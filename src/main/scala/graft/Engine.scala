@@ -1,0 +1,32 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Session + table helpers shared by Verify/Bench/tests.
+  *
+  * Tuned for the harness's single-JVM `local[N]` run but configured the way a
+  * real cluster job would be: AQE on (runtime partition coalescing + skew-join
+  * splitting), shuffle partition count sized to the executor core count rather
+  * than the 200 default, UTC session time zone for oracle parity.
+  */
+object Engine {
+
+  def defaultCpus: String = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+
+  def builder(cpus: String = defaultCpus): SparkSession.Builder =
+    SparkSession
+      .builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+
+  /** Load one of the harness tables (`region nation customer supplier part
+    * orders lineitem events documents embeddings`) from a scale-factor dir.
+    */
+  def table(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+}

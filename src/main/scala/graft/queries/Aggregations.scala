@@ -1,0 +1,195 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.Engine.table
+
+/** SURVEY.md §2.4 aggregation operators (A1–A11), exercised against the
+  * harness's TPC-H-ish tables.
+  *
+  * Reference semantics (citations into /root/reference):
+  *   - A1 count(*): defs/checks.py:29
+  *   - A2 null-count aggregate: defs/checks.py:26-30
+  *   - A3 duplicate detection via group-by-all-columns: defs/checks.py:33-41
+  *   - A4 distinct count: defs/checks.py:100-103
+  *   - A5 conditional-sum completeness ratio: defs/checks.py:68-86
+  *   - A6 ordered list aggregation: defs/assets/ingest_graph_db.py:103-107
+  *   - A7 grouped top-N frequency: defs/assets/detect_communities.py:100-135
+  *   - A8 grouped member stats: defs/assets/detect_communities.py:307-328
+  *   - A9 group-size stats: utils/neo4j_helpers.py:271-290
+  *   - A10 distinct subset: defs/assets/extract_countries.py:47
+  *   - A11 dedup-by-priority: utils/data_transformation_helpers.py:89-120
+  *
+  * Scale notes: every aggregation here is a single hash-aggregate with
+  * map-side partial aggregation; the window-based ones (A7, A11) shuffle once
+  * on their partition keys. Nothing collects to the driver.
+  */
+object Aggregations extends QueryModule {
+
+  private def a1_count(s: SparkSession, d: String): DataFrame =
+    table(s, d, "lineitem").agg(count(lit(1)).as("cnt"))
+
+  private def a2_null_counts(s: SparkSession, d: String): DataFrame = {
+    val o = table(s, d, "orders")
+    o.agg(
+      sum(when(col("o_custkey").isNull, 1).otherwise(0)).cast("long").as("null_custkey"),
+      sum(when(col("o_orderstatus").isNull, 1).otherwise(0)).cast("long").as("null_status"),
+      sum(when(col("o_totalprice").isNull, 1).otherwise(0)).cast("long").as("null_price")
+    )
+  }
+
+  private def a3_dup_rows(s: SparkSession, d: String): DataFrame = {
+    val li = table(s, d, "lineitem")
+    li.groupBy(li.columns.map(col): _*)
+      .count()
+      .filter(col("count") > 1)
+      .agg(coalesce(sum("count"), lit(0L)).cast("long").as("dup_rows"))
+  }
+
+  private def a4_distinct_count(s: SparkSession, d: String): DataFrame =
+    table(s, d, "orders").agg(countDistinct(col("o_custkey")).as("n_cust"))
+
+  private def a5_conditional_ratio(s: SparkSession, d: String): DataFrame =
+    table(s, d, "lineitem").agg(
+      round(
+        sum(when(col("l_discount") > 0.0, 1).otherwise(0)).cast("double") /
+          count(lit(1)),
+        6
+      ).as("discounted_ratio")
+    )
+
+  private def a6_ordered_list(s: SparkSession, d: String): DataFrame =
+    table(s, d, "lineitem")
+      .groupBy(col("l_orderkey"))
+      .agg(
+        array_join(
+          transform(sort_array(collect_list(col("l_linenumber"))), _.cast("string")),
+          ","
+        ).as("lines")
+      )
+
+  private def a7_grouped_topk_freq(s: SparkSession, d: String): DataFrame = {
+    val counts = table(s, d, "lineitem")
+      .groupBy(col("l_returnflag"), col("l_partkey"))
+      .agg(count(lit(1)).as("cnt"))
+    val w = Window
+      .partitionBy(col("l_returnflag"))
+      .orderBy(col("cnt").desc, col("l_partkey").asc)
+    counts
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= 3)
+  }
+
+  private def a8_member_stats(s: SparkSession, d: String): DataFrame =
+    table(s, d, "orders")
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        count(lit(1)).as("member_count"),
+        array_join(
+          transform(sort_array(collect_list(col("o_orderkey"))), _.cast("string")),
+          ","
+        ).as("member_ids")
+      )
+
+  private def a9_group_size_stats(s: SparkSession, d: String): DataFrame =
+    table(s, d, "orders")
+      .groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("c"))
+      .agg(
+        count(lit(1)).as("n_groups"),
+        max(col("c")).as("largest"),
+        min(col("c")).as("smallest"),
+        round(avg(col("c")), 6).as("mean_size")
+      )
+
+  private def a10_distinct_subset(s: SparkSession, d: String): DataFrame =
+    table(s, d, "orders").select("o_orderstatus", "o_orderpriority").distinct()
+
+  /** A11 — dedup-by-priority: sort by a date, then keep-first sequentially on
+    * two different keys (reference dedups by artist_uri then by name). Spark
+    * form: two chained row_number windows with a deterministic tiebreak.
+    */
+  private def a11_dedup_priority(s: SparkSession, d: String): DataFrame = {
+    val o = table(s, d, "orders")
+    val byDate = Seq(col("o_orderdate").asc, col("o_orderkey").asc)
+    val w1 = Window.partitionBy(col("o_custkey")).orderBy(byDate: _*)
+    val w2 = Window.partitionBy(col("o_orderpriority")).orderBy(byDate: _*)
+    o.withColumn("rn", row_number().over(w1))
+      .filter(col("rn") === 1)
+      .drop("rn")
+      .withColumn("rn", row_number().over(w2))
+      .filter(col("rn") === 1)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderpriority"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "a1_count" -> (a1_count _),
+    "a2_null_counts" -> (a2_null_counts _),
+    "a3_dup_rows" -> (a3_dup_rows _),
+    "a4_distinct_count" -> (a4_distinct_count _),
+    "a5_conditional_ratio" -> (a5_conditional_ratio _),
+    "a6_ordered_list" -> (a6_ordered_list _),
+    "a7_grouped_topk_freq" -> (a7_grouped_topk_freq _),
+    "a8_member_stats" -> (a8_member_stats _),
+    "a9_group_size_stats" -> (a9_group_size_stats _),
+    "a10_distinct_subset" -> (a10_distinct_subset _),
+    "a11_dedup_priority" -> (a11_dedup_priority _)
+  )
+
+  val oracles: Map[String, String] = Map(
+    "a1_count" ->
+      "SELECT CAST(count(*) AS BIGINT) AS cnt FROM lineitem",
+    "a2_null_counts" ->
+      """SELECT CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_custkey,
+         CAST(sum(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_status,
+         CAST(sum(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_price
+         FROM orders""",
+    "a3_dup_rows" ->
+      """SELECT CAST(coalesce(sum(c), 0) AS BIGINT) AS dup_rows FROM (
+           SELECT count(*) AS c FROM lineitem
+           GROUP BY l_orderkey, l_partkey, l_suppkey, l_linenumber, l_quantity,
+                    l_extendedprice, l_discount, l_tax, l_returnflag,
+                    l_linestatus, l_shipdate
+           HAVING count(*) > 1)""",
+    "a4_distinct_count" ->
+      "SELECT CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_cust FROM orders",
+    "a5_conditional_ratio" ->
+      """SELECT round(CAST(sum(CASE WHEN l_discount > 0.0 THEN 1 ELSE 0 END) AS DOUBLE)
+                / count(*), 6) AS discounted_ratio FROM lineitem""",
+    "a6_ordered_list" ->
+      """SELECT l_orderkey,
+                string_agg(CAST(l_linenumber AS VARCHAR), ',' ORDER BY l_linenumber) AS lines
+         FROM lineitem GROUP BY l_orderkey""",
+    "a7_grouped_topk_freq" ->
+      """SELECT l_returnflag, l_partkey, cnt, rnk FROM (
+           SELECT l_returnflag, l_partkey, cnt,
+                  CAST(row_number() OVER (PARTITION BY l_returnflag
+                       ORDER BY cnt DESC, l_partkey) AS BIGINT) AS rnk
+           FROM (SELECT l_returnflag, l_partkey, CAST(count(*) AS BIGINT) AS cnt
+                 FROM lineitem GROUP BY 1, 2))
+         WHERE rnk <= 3""",
+    "a8_member_stats" ->
+      """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS member_count,
+                string_agg(CAST(o_orderkey AS VARCHAR), ',' ORDER BY o_orderkey) AS member_ids
+         FROM orders GROUP BY o_orderpriority""",
+    "a9_group_size_stats" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_groups, CAST(max(c) AS BIGINT) AS largest,
+                CAST(min(c) AS BIGINT) AS smallest, round(avg(c), 6) AS mean_size
+         FROM (SELECT count(*) AS c FROM orders GROUP BY o_custkey)""",
+    "a10_distinct_subset" ->
+      "SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders",
+    "a11_dedup_priority" ->
+      """WITH s1 AS (
+           SELECT *, row_number() OVER (PARTITION BY o_custkey
+                  ORDER BY o_orderdate, o_orderkey) AS rn FROM orders),
+         s2 AS (
+           SELECT o_orderkey, o_custkey, o_orderpriority, o_orderdate
+           FROM s1 WHERE rn = 1),
+         s3 AS (
+           SELECT *, row_number() OVER (PARTITION BY o_orderpriority
+                  ORDER BY o_orderdate, o_orderkey) AS rn FROM s2)
+         SELECT o_orderkey, o_custkey, o_orderpriority FROM s3 WHERE rn = 1"""
+  )
+}
