@@ -1,0 +1,188 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Engine.table
+
+/** SURVEY.md §2.3 joins (J1–J10) and §2.7 set operations (U1–U4).
+  *
+  * Reference semantics (citations into /root/reference):
+  *   - J1 left equi-join releases⟕grouped tracks: defs/assets/ingest_graph_db.py:110-115
+  *   - J2 left enrichment join: defs/assets/detect_communities.py:283-288
+  *   - J5 OR-predicate theta join (name OR alias): defs/assets/ingest_graph_db.py:236-243,
+  *     rewritten as a union of equi-joins + distinct so Catalyst never plans a
+  *     broadcast-nested-loop join — the OR form would be quadratic at scale.
+  *   - J6 broadcast dim join: defs/assets/ingest_graph_db.py:284-295
+  *   - J7 self equi-join, self-pairs excluded: defs/assets/ingest_graph_db.py:267-280
+  *   - J8 fk inner equi-join: defs/assets/ingest_graph_db.py:252-263
+  *   - J9 anti join: defs/assets/extract_countries.py:90-92
+  *   - J10 semi join (cache-hit partition): utils/wikidata_helpers.py:229-245
+  *   - U1 relaxed union: defs/assets/merge_wikipedia_articles.py:42-61
+  *   - U4 difference: defs/assets/extract_countries.py:90
+  *
+  * Scale notes: dims (nation/region) are broadcast explicitly; the fact-side
+  * joins shuffle once on the join key and AQE handles skew. The J5 rewrite
+  * turns a worst-case O(n·m) predicate into two hash joins + one dedup.
+  */
+object JoinsSetOps extends QueryModule {
+
+  private def j1_left_join_agg(s: SparkSession, d: String): DataFrame = {
+    val liAgg = table(s, d, "lineitem")
+      .groupBy(col("l_orderkey"))
+      .agg(
+        sum(col("l_quantity")).as("sum_qty"), // integral doubles: exact in fp64
+        count(lit(1)).as("n_items")
+      )
+    table(s, d, "orders")
+      .join(liAgg, col("o_orderkey") === col("l_orderkey"), "left")
+      .select(
+        col("o_orderkey"),
+        col("sum_qty"),
+        coalesce(col("n_items"), lit(0L)).as("n_items")
+      )
+  }
+
+  private def j2_left_enrich(s: SparkSession, d: String): DataFrame =
+    table(s, d, "customer")
+      .join(
+        broadcast(table(s, d, "nation")),
+        col("c_nationkey") === col("n_nationkey"),
+        "left"
+      )
+      .select(col("c_custkey"), col("c_name"), col("n_name"))
+
+  /** J5 — `a = x OR b = x` join, rewritten as union-of-equi-joins + distinct. */
+  private def j5_theta_or_join(s: SparkSession, d: String): DataFrame = {
+    val li = table(s, d, "lineitem")
+      .filter(col("l_linenumber") === 1)
+      .select("l_orderkey", "l_partkey", "l_suppkey")
+    val p = table(s, d, "part").select("p_partkey")
+    val byPart = li.join(p, col("p_partkey") === col("l_partkey"))
+    val bySupp = li.join(p, col("p_partkey") === col("l_suppkey"))
+    byPart
+      .select("l_orderkey", "p_partkey")
+      .union(bySupp.select("l_orderkey", "p_partkey"))
+      .distinct()
+  }
+
+  private def j6_broadcast_dims(s: SparkSession, d: String): DataFrame =
+    table(s, d, "customer")
+      .join(broadcast(table(s, d, "nation")), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(table(s, d, "region")), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"))
+      .agg(count(lit(1)).as("n_customers"))
+
+  /** J7 — self equi-join on a grouping key, self-pairs excluded. */
+  private def j7_self_join(s: SparkSession, d: String): DataFrame = {
+    val a = table(s, d, "nation").select(
+      col("n_nationkey").as("a_key"),
+      col("n_regionkey").as("a_region")
+    )
+    val b = table(s, d, "nation").select(
+      col("n_nationkey").as("b_key"),
+      col("n_regionkey").as("b_region")
+    )
+    a.join(b, col("a_region") === col("b_region") && col("a_key") < col("b_key"))
+      .select(col("a_key"), col("b_key"), col("a_region").as("regionkey"))
+  }
+
+  private def j8_fk_join(s: SparkSession, d: String): DataFrame =
+    table(s, d, "supplier")
+      .join(broadcast(table(s, d, "nation")), col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("s_name"), col("n_name"))
+
+  private def j9_anti_join(s: SparkSession, d: String): DataFrame = {
+    val fOrders = table(s, d, "orders").filter(col("o_orderstatus") === "F")
+    table(s, d, "customer")
+      .join(fOrders, col("c_custkey") === col("o_custkey"), "left_anti")
+      .select("c_custkey", "c_name")
+  }
+
+  private def j10_semi_join(s: SparkSession, d: String): DataFrame = {
+    val bigOrders = table(s, d, "orders").filter(col("o_totalprice") > 1000.0)
+    table(s, d, "customer")
+      .join(bigOrders, col("c_custkey") === col("o_custkey"), "left_semi")
+      .select("c_custkey", "c_mktsegment")
+  }
+
+  /** U1 — union with compatible-but-unequal schemas (vertical_relaxed). */
+  private def u1_union_relaxed(s: SparkSession, d: String): DataFrame = {
+    val c = table(s, d, "customer").select(
+      col("c_custkey").as("id"),
+      col("c_name").as("name"),
+      col("c_acctbal").as("bal")
+    )
+    val sup = table(s, d, "supplier").select(
+      col("s_suppkey").as("id"),
+      col("s_name").as("name")
+    )
+    c.unionByName(sup, allowMissingColumns = true)
+  }
+
+  private def u4_except(s: SparkSession, d: String): DataFrame = {
+    val allNations = table(s, d, "nation").select(col("n_nationkey").as("nationkey"))
+    val customerNations =
+      table(s, d, "customer").select(col("c_nationkey").cast("int").as("nationkey"))
+    allNations.except(customerNations)
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "j1_left_join_agg" -> (j1_left_join_agg _),
+    "j2_left_enrich" -> (j2_left_enrich _),
+    "j5_theta_or_join" -> (j5_theta_or_join _),
+    "j6_broadcast_dims" -> (j6_broadcast_dims _),
+    "j7_self_join" -> (j7_self_join _),
+    "j8_fk_join" -> (j8_fk_join _),
+    "j9_anti_join" -> (j9_anti_join _),
+    "j10_semi_join" -> (j10_semi_join _),
+    "u1_union_relaxed" -> (u1_union_relaxed _),
+    "u4_except" -> (u4_except _)
+  )
+
+  val oracles: Map[String, String] = Map(
+    "j1_left_join_agg" ->
+      """SELECT o_orderkey, sum_qty, CAST(coalesce(n_items, 0) AS BIGINT) AS n_items
+         FROM orders LEFT JOIN (
+           SELECT l_orderkey, sum(l_quantity) AS sum_qty, count(*) AS n_items
+           FROM lineitem GROUP BY l_orderkey
+         ) ON o_orderkey = l_orderkey""",
+    "j2_left_enrich" ->
+      """SELECT c_custkey, c_name, n_name
+         FROM customer LEFT JOIN nation ON c_nationkey = n_nationkey""",
+    "j5_theta_or_join" ->
+      """SELECT DISTINCT l_orderkey, p_partkey
+         FROM (SELECT * FROM lineitem WHERE l_linenumber = 1) l, part
+         WHERE p_partkey = l_partkey OR p_partkey = l_suppkey""",
+    "j6_broadcast_dims" ->
+      """SELECT r_name, CAST(count(*) AS BIGINT) AS n_customers
+         FROM customer
+         JOIN nation ON c_nationkey = n_nationkey
+         JOIN region ON n_regionkey = r_regionkey
+         GROUP BY r_name""",
+    "j7_self_join" ->
+      """SELECT a.n_nationkey AS a_key, b.n_nationkey AS b_key,
+                a.n_regionkey AS regionkey
+         FROM nation a JOIN nation b
+           ON a.n_regionkey = b.n_regionkey AND a.n_nationkey < b.n_nationkey""",
+    "j8_fk_join" ->
+      """SELECT s_suppkey, s_name, n_name
+         FROM supplier JOIN nation ON s_nationkey = n_nationkey""",
+    "j9_anti_join" ->
+      """SELECT c_custkey, c_name FROM customer
+         WHERE NOT EXISTS (SELECT 1 FROM orders
+                           WHERE o_orderstatus = 'F' AND o_custkey = c_custkey)""",
+    "j10_semi_join" ->
+      """SELECT c_custkey, c_mktsegment FROM customer
+         WHERE EXISTS (SELECT 1 FROM orders
+                       WHERE o_totalprice > 1000.0 AND o_custkey = c_custkey)""",
+    "u1_union_relaxed" ->
+      """SELECT c_custkey AS id, c_name AS name, c_acctbal AS bal FROM customer
+         UNION ALL
+         SELECT s_suppkey, s_name, CAST(NULL AS DOUBLE) FROM supplier""",
+    "u4_except" ->
+      """SELECT n_nationkey AS nationkey FROM nation
+         EXCEPT
+         SELECT CAST(c_nationkey AS INTEGER) FROM customer"""
+  )
+}

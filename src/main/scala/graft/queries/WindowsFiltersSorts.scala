@@ -1,0 +1,192 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.Engine.table
+
+/** SURVEY.md §2.5 windows (W1–W3), §2.6 sorts/limits/top-k (O1–O4), and
+  * §2.2 filter/predicate operators (P2, P4, P6, P8, P9).
+  *
+  * Reference semantics (citations into /root/reference):
+  *   - W1 ordinal rank per partition + label: defs/assets/ingest_graph_db.py:90-102
+  *   - W2 keep-first dedup window: utils/data_transformation_helpers.py:113-120
+  *   - W3 grouped top-k by connectivity: defs/assets/detect_communities.py:138-165
+  *   - O1 global sort: utils/data_transformation_helpers.py:115
+  *   - O3 argmin by composite priority key: utils/musicbrainz_helpers.py:280-308
+  *   - P2/P6 not-null / validation predicates: defs/assets/extract_artists.py:66-97
+  *   - P4 regex predicate: defs/assets/extract_artists.py:42-63
+  *   - P8 offset/limit slice: defs/assets/extract_artists.py:298-303
+  *   - P9 min-length content filter: utils/wikipedia_helpers.py:151-152
+  *
+  * Scale notes: all windows partition by a key (one shuffle, parallel within
+  * partitions). The only global-ordering ops are O1 (TakeOrderedAndProject —
+  * per-partition top-k then k-way merge on the driver, never a full sort) and
+  * P8 (explicit slice semantics, documented as inherently serial — the
+  * reference's offset batching has no scalable equivalent by design).
+  */
+object WindowsFiltersSorts extends QueryModule {
+
+  /** W1 + F8 — ordinal position within a group, rendered "{pos}. {title}". */
+  private def w1_rank_label(s: SparkSession, d: String): DataFrame = {
+    val w = Window
+      .partitionBy(col("l_orderkey"))
+      .orderBy(col("l_linenumber").asc)
+    table(s, d, "lineitem")
+      .withColumn("pos", row_number().over(w).cast("long"))
+      .select(
+        col("l_orderkey"),
+        col("pos"),
+        concat(col("pos").cast("string"), lit(". "), col("l_partkey").cast("string"))
+          .as("entry")
+      )
+  }
+
+  /** W2 — keep-first dedup: earliest shipment wins per part. */
+  private def w2_keep_first(s: SparkSession, d: String): DataFrame = {
+    val w = Window
+      .partitionBy(col("l_partkey"))
+      .orderBy(col("l_shipdate").asc, col("l_orderkey").asc, col("l_linenumber").asc)
+    table(s, d, "lineitem")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select("l_partkey", "l_orderkey", "l_linenumber")
+  }
+
+  /** W3 — per-group top-5 by "connectivity" (order count per customer). */
+  private def w3_topk_per_group(s: SparkSession, d: String): DataFrame = {
+    val conn = table(s, d, "orders")
+      .groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("connectivity"))
+    val cust = table(s, d, "customer")
+      .join(conn, col("c_custkey") === col("o_custkey"), "left")
+      .select(
+        col("c_custkey"),
+        col("c_nationkey"),
+        coalesce(col("connectivity"), lit(0L)).as("connectivity")
+      )
+    val w = Window
+      .partitionBy(col("c_nationkey"))
+      .orderBy(col("connectivity").desc, col("c_custkey").asc)
+    cust
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= 5)
+  }
+
+  /** O1 — global ordered top-100 (planned as TakeOrderedAndProject). */
+  private def o1_global_sort_limit(s: SparkSession, d: String): DataFrame =
+    table(s, d, "orders")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      .limit(100)
+      .select("o_orderkey", "o_totalprice")
+
+  /** O3 — argmin by composite key: preferred status first, then oldest. */
+  private def o3_argmin_composite(s: SparkSession, d: String): DataFrame = {
+    val w = Window
+      .partitionBy(col("o_custkey"))
+      .orderBy(
+        when(col("o_orderstatus") === "F", 0).otherwise(1).asc,
+        col("o_orderdate").asc,
+        col("o_orderkey").asc
+      )
+    table(s, d, "orders")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("o_custkey"), col("o_orderkey").as("best_orderkey"), col("o_orderstatus"))
+  }
+
+  /** P2 + P6 — multi-condition validation gate. */
+  private def p6_validation_gate(s: SparkSession, d: String): DataFrame =
+    table(s, d, "orders")
+      .filter(
+        col("o_orderstatus").isNotNull &&
+          col("o_orderpriority").isNotNull &&
+          col("o_orderstatus") === "O" &&
+          col("o_totalprice") > 5000.0
+      )
+      .select("o_orderkey", "o_totalprice")
+
+  /** P4 — regex predicate gate (reference: Latin-script name filter). */
+  private def p4_regex_filter(s: SparkSession, d: String): DataFrame =
+    table(s, d, "part")
+      .filter(col("p_name").rlike("^(red|blue) [a-z]+$"))
+      .select("p_partkey", "p_name")
+
+  /** P8 — explicit offset/limit slice via row_number over a total order. */
+  private def p8_offset_slice(s: SparkSession, d: String): DataFrame = {
+    val w = Window.orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    table(s, d, "orders")
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") > 100 && col("rn") <= 200)
+      .select("rn", "o_orderkey", "o_totalprice")
+  }
+
+  /** P9 — min-length content filter. */
+  private def p9_min_length(s: SparkSession, d: String): DataFrame =
+    table(s, d, "documents")
+      .filter(length(col("text")) >= 200)
+      .select(col("doc_id"), length(col("text")).cast("long").as("text_len"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "w1_rank_label" -> (w1_rank_label _),
+    "w2_keep_first" -> (w2_keep_first _),
+    "w3_topk_per_group" -> (w3_topk_per_group _),
+    "o1_global_sort_limit" -> (o1_global_sort_limit _),
+    "o3_argmin_composite" -> (o3_argmin_composite _),
+    "p6_validation_gate" -> (p6_validation_gate _),
+    "p4_regex_filter" -> (p4_regex_filter _),
+    "p8_offset_slice" -> (p8_offset_slice _),
+    "p9_min_length" -> (p9_min_length _)
+  )
+
+  val oracles: Map[String, String] = Map(
+    "w1_rank_label" ->
+      """SELECT l_orderkey,
+                CAST(row_number() OVER (PARTITION BY l_orderkey ORDER BY l_linenumber) AS BIGINT) AS pos,
+                CAST(row_number() OVER (PARTITION BY l_orderkey ORDER BY l_linenumber) AS VARCHAR)
+                  || '. ' || CAST(l_partkey AS VARCHAR) AS entry
+         FROM lineitem""",
+    "w2_keep_first" ->
+      """SELECT l_partkey, l_orderkey, l_linenumber FROM (
+           SELECT l_partkey, l_orderkey, l_linenumber,
+                  row_number() OVER (PARTITION BY l_partkey
+                       ORDER BY l_shipdate, l_orderkey, l_linenumber) AS rn
+           FROM lineitem) WHERE rn = 1""",
+    "w3_topk_per_group" ->
+      """WITH conn AS (
+           SELECT o_custkey, count(*) AS connectivity FROM orders GROUP BY o_custkey),
+         cust AS (
+           SELECT c_custkey, c_nationkey,
+                  CAST(coalesce(connectivity, 0) AS BIGINT) AS connectivity
+           FROM customer LEFT JOIN conn ON c_custkey = o_custkey)
+         SELECT c_custkey, c_nationkey, connectivity, rnk FROM (
+           SELECT *, CAST(row_number() OVER (PARTITION BY c_nationkey
+                  ORDER BY connectivity DESC, c_custkey) AS BIGINT) AS rnk
+           FROM cust) WHERE rnk <= 5""",
+    "o1_global_sort_limit" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+         ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""",
+    "o3_argmin_composite" ->
+      """SELECT o_custkey, o_orderkey AS best_orderkey, o_orderstatus FROM (
+           SELECT *, row_number() OVER (PARTITION BY o_custkey
+                  ORDER BY CASE WHEN o_orderstatus = 'F' THEN 0 ELSE 1 END,
+                           o_orderdate, o_orderkey) AS rn
+           FROM orders) WHERE rn = 1""",
+    "p6_validation_gate" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+         WHERE o_orderstatus IS NOT NULL AND o_orderpriority IS NOT NULL
+           AND o_orderstatus = 'O' AND o_totalprice > 5000.0""",
+    "p4_regex_filter" ->
+      """SELECT p_partkey, p_name FROM part
+         WHERE regexp_matches(p_name, '^(red|blue) [a-z]+$')""",
+    "p8_offset_slice" ->
+      """SELECT rn, o_orderkey, o_totalprice FROM (
+           SELECT CAST(row_number() OVER (ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rn,
+                  o_orderkey, o_totalprice
+           FROM orders) WHERE rn > 100 AND rn <= 200""",
+    "p9_min_length" ->
+      """SELECT doc_id, CAST(length(text) AS BIGINT) AS text_len
+         FROM documents WHERE length(text) >= 200"""
+  )
+}
