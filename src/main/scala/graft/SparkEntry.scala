@@ -13,7 +13,9 @@ import graft.queries._
 object SparkEntry {
 
   private val modules: Seq[QueryModule] = Seq(
-    Aggregations
+    Aggregations,
+    JoinsSetOps,
+    WindowsFiltersSorts
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

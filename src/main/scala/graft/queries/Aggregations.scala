@@ -82,16 +82,23 @@ object Aggregations extends QueryModule {
       .filter(col("rnk") <= 3)
   }
 
-  private def a8_member_stats(s: SparkSession, d: String): DataFrame =
+  /** A8 — member count + member-id list, bounded to the 50 smallest ids per
+    * group (the reference itself truncates member_ids to 50,
+    * settings.py:144-145). Uses [[graft.functions.KSmallestLong]] so state is
+    * O(k) per group at every aggregation stage — no unbounded collect_list.
+    */
+  private def a8_member_stats(s: SparkSession, d: String): DataFrame = {
+    val kSmallest = udaf(graft.functions.KSmallestLong(50), org.apache.spark.sql.Encoders.scalaLong)
     table(s, d, "orders")
       .groupBy(col("o_orderpriority"))
       .agg(
         count(lit(1)).as("member_count"),
         array_join(
-          transform(sort_array(collect_list(col("o_orderkey"))), _.cast("string")),
+          transform(kSmallest(col("o_orderkey")), _.cast("string")),
           ","
         ).as("member_ids")
       )
+  }
 
   private def a9_group_size_stats(s: SparkSession, d: String): DataFrame =
     table(s, d, "orders")
@@ -171,9 +178,15 @@ object Aggregations extends QueryModule {
                  FROM lineitem GROUP BY 1, 2))
          WHERE rnk <= 3""",
     "a8_member_stats" ->
-      """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS member_count,
-                string_agg(CAST(o_orderkey AS VARCHAR), ',' ORDER BY o_orderkey) AS member_ids
-         FROM orders GROUP BY o_orderpriority""",
+      """WITH ranked AS (
+           SELECT o_orderpriority, o_orderkey,
+                  row_number() OVER (PARTITION BY o_orderpriority
+                                     ORDER BY o_orderkey) AS rn
+           FROM orders)
+         SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS member_count,
+                string_agg(CASE WHEN rn <= 50 THEN CAST(o_orderkey AS VARCHAR) END,
+                           ',' ORDER BY o_orderkey) AS member_ids
+         FROM ranked GROUP BY o_orderpriority""",
     "a9_group_size_stats" ->
       """SELECT CAST(count(*) AS BIGINT) AS n_groups, CAST(max(c) AS BIGINT) AS largest,
                 CAST(min(c) AS BIGINT) AS smallest, round(avg(c), 6) AS mean_size

@@ -21,18 +21,27 @@ import graft.Engine.table
   *   - P9 min-length content filter: utils/wikipedia_helpers.py:151-152
   *
   * Scale notes: all windows partition by a key (one shuffle, parallel within
-  * partitions). The only global-ordering ops are O1 (TakeOrderedAndProject —
-  * per-partition top-k then k-way merge on the driver, never a full sort) and
-  * P8 (explicit slice semantics, documented as inherently serial — the
-  * reference's offset batching has no scalable equivalent by design).
+  * partitions). The only global-ordering ops are O1 and P8, both planned as
+  * TakeOrderedAndProject (per-partition top-k then k-way merge — never a full
+  * sort); P8's unpartitioned window runs after a limit, so its serial stage
+  * is O(offset+n) whatever the input size.
   */
 object WindowsFiltersSorts extends QueryModule {
 
-  /** W1 + F8 — ordinal position within a group, rendered "{pos}. {title}". */
+  /** W1 + F8 — ordinal position within a group, rendered "{pos}. {title}".
+    * The harness lineitem table has duplicate (orderkey, linenumber) pairs, so
+    * the ordering carries a full deterministic tiebreak — SURVEY §7.5 hard
+    * point 1 (Polars maintain_order has no free Spark equivalent).
+    */
   private def w1_rank_label(s: SparkSession, d: String): DataFrame = {
     val w = Window
       .partitionBy(col("l_orderkey"))
-      .orderBy(col("l_linenumber").asc)
+      .orderBy(
+        col("l_linenumber").asc,
+        col("l_partkey").asc,
+        col("l_suppkey").asc,
+        col("l_extendedprice").asc
+      )
     table(s, d, "lineitem")
       .withColumn("pos", row_number().over(w).cast("long"))
       .select(
@@ -113,12 +122,21 @@ object WindowsFiltersSorts extends QueryModule {
       .filter(col("p_name").rlike("^(red|blue) [a-z]+$"))
       .select("p_partkey", "p_name")
 
-  /** P8 — explicit offset/limit slice via row_number over a total order. */
+  /** P8 — explicit offset/limit slice (rows 101..200 of a total order).
+    * Scale-safe plan: `orderBy().limit(offset+n)` is planned as
+    * TakeOrderedAndProject (per-partition top-k, then a k-way merge — never a
+    * full global sort), and only the 200 surviving rows flow through the
+    * unpartitioned row_number window, so the serial stage is O(offset+n)
+    * regardless of input size.
+    */
   private def p8_offset_slice(s: SparkSession, d: String): DataFrame = {
     val w = Window.orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
     table(s, d, "orders")
+      .select("o_orderkey", "o_totalprice")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      .limit(200)
       .withColumn("rn", row_number().over(w).cast("long"))
-      .filter(col("rn") > 100 && col("rn") <= 200)
+      .filter(col("rn") > 100)
       .select("rn", "o_orderkey", "o_totalprice")
   }
 
@@ -143,8 +161,10 @@ object WindowsFiltersSorts extends QueryModule {
   val oracles: Map[String, String] = Map(
     "w1_rank_label" ->
       """SELECT l_orderkey,
-                CAST(row_number() OVER (PARTITION BY l_orderkey ORDER BY l_linenumber) AS BIGINT) AS pos,
-                CAST(row_number() OVER (PARTITION BY l_orderkey ORDER BY l_linenumber) AS VARCHAR)
+                CAST(row_number() OVER (PARTITION BY l_orderkey
+                     ORDER BY l_linenumber, l_partkey, l_suppkey, l_extendedprice) AS BIGINT) AS pos,
+                CAST(row_number() OVER (PARTITION BY l_orderkey
+                     ORDER BY l_linenumber, l_partkey, l_suppkey, l_extendedprice) AS VARCHAR)
                   || '. ' || CAST(l_partkey AS VARCHAR) AS entry
          FROM lineitem""",
     "w2_keep_first" ->
