@@ -1,0 +1,24 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+
+import graft.functions.NormalizeNFKC
+
+/** Session extension registering graft's native Catalyst expressions, wired
+  * through `spark.sql.extensions` (see [[Engine.builder]]) the same way a
+  * user cluster would enable the library.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction(
+      (
+        FunctionIdentifier("graft_nfkc"),
+        new ExpressionInfo(classOf[NormalizeNFKC].getName, "graft_nfkc"),
+        (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+          NormalizeNFKC(exprs.head)
+      )
+    )
+  }
+}

@@ -15,7 +15,8 @@ object SparkEntry {
   private val modules: Seq[QueryModule] = Seq(
     Aggregations,
     JoinsSetOps,
-    WindowsFiltersSorts
+    WindowsFiltersSorts,
+    TextOps
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

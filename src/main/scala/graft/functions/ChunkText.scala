@@ -1,0 +1,98 @@
+package graft.functions
+
+import scala.collection.mutable.ArrayBuffer
+
+/** F3 — recursive character text splitter with overlap, the shape of the
+  * reference's `split_text_into_chunks`
+  * (reference: utils/data_transformation_helpers.py:161-183, which wraps
+  * LangChain's RecursiveCharacterTextSplitter: 2048-token chunks, 512-token
+  * overlap, separators ["\n\n", "\n", ". ", "? ", "! ", " ", ""]).
+  *
+  * The reference measures length in HuggingFace tokens; no tokenizer ships in
+  * this offline environment, so the declared deterministic length function is
+  * characters (SURVEY §7.5.4). Semantics preserved: recurse down the separator
+  * hierarchy until pieces fit, then greedily merge pieces into chunks of at
+  * most `chunkSize`, carrying `overlap` characters of trailing context into
+  * the next chunk.
+  *
+  * Pure function of its arguments — safe as a deterministic Spark UDF; runs
+  * per-document on executors (embarrassingly parallel, no shuffle).
+  */
+object ChunkText {
+
+  val DefaultSeparators: List[String] = List("\n\n", "\n", ". ", "? ", "! ", " ", "")
+
+  def chunk(text: String, chunkSize: Int, overlap: Int): Seq[String] =
+    chunk(text, chunkSize, overlap, DefaultSeparators)
+
+  def chunk(text: String, chunkSize: Int, overlap: Int, separators: List[String]): Seq[String] = {
+    require(chunkSize > 0, "chunkSize must be positive")
+    require(overlap >= 0 && overlap < chunkSize, "overlap must be in [0, chunkSize)")
+    if (text == null || text.isEmpty) Seq.empty
+    else mergePieces(splitRecursive(text, chunkSize, separators), chunkSize, overlap)
+      .filter(_.nonEmpty)
+  }
+
+  /** Split `text` into pieces each ≤ chunkSize, using the first separator in
+    * the hierarchy that makes progress, recursing on oversized pieces.
+    */
+  private def splitRecursive(text: String, chunkSize: Int, seps: List[String]): Seq[String] =
+    if (text.length <= chunkSize) Seq(text)
+    else seps match {
+      case Nil => // unsplittable run: hard-cut
+        text.grouped(chunkSize).toSeq
+      case "" :: _ =>
+        text.grouped(chunkSize).toSeq
+      case sep :: rest =>
+        val parts = splitKeepingSeparator(text, sep)
+        if (parts.length <= 1) splitRecursive(text, chunkSize, rest)
+        else parts.flatMap { p =>
+          if (p.length <= chunkSize) Seq(p)
+          else splitRecursive(p, chunkSize, rest)
+        }
+    }
+
+  /** Split on `sep`, keeping the separator attached to the preceding piece so
+    * concatenating the pieces reproduces the input exactly.
+    */
+  private def splitKeepingSeparator(text: String, sep: String): Seq[String] = {
+    val out = ArrayBuffer.empty[String]
+    var start = 0
+    var idx = text.indexOf(sep, start)
+    while (idx >= 0) {
+      out += text.substring(start, idx + sep.length)
+      start = idx + sep.length
+      idx = text.indexOf(sep, start)
+    }
+    if (start < text.length) out += text.substring(start)
+    out.toSeq
+  }
+
+  /** Greedy merge of pieces into chunks ≤ chunkSize, with each next chunk
+    * seeded by the trailing pieces of the previous one up to `overlap` chars.
+    */
+  private def mergePieces(pieces: Seq[String], chunkSize: Int, overlap: Int): Seq[String] = {
+    val chunks = ArrayBuffer.empty[String]
+    val cur = ArrayBuffer.empty[String]
+    var curLen = 0
+
+    def flush(): Unit = if (curLen > 0) {
+      chunks += cur.mkString.trim
+      // retain trailing pieces totalling ≤ overlap as the next chunk's seed
+      var keep = List.empty[String]
+      var kept = 0
+      var i = cur.length - 1
+      while (i >= 0 && kept + cur(i).length <= overlap) {
+        keep = cur(i) :: keep; kept += cur(i).length; i -= 1
+      }
+      cur.clear(); cur ++= keep; curLen = kept
+    }
+
+    pieces.foreach { p =>
+      if (curLen + p.length > chunkSize && curLen > 0) flush()
+      cur += p; curLen += p.length
+    }
+    if (curLen > 0) chunks += cur.mkString.trim
+    chunks.toSeq
+  }
+}

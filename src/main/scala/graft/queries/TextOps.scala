@@ -1,0 +1,284 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{IntegerType, StructField, StructType}
+
+import graft.Engine.table
+import graft.functions.{ChunkText, ParseSections, TextFunctions => TF}
+
+/** SURVEY.md §2.8 scalar text functions (F1–F17) as registered queries.
+  *
+  * Reference semantics (citations into /root/reference):
+  *   - F1 clean_text: utils/data_transformation_helpers.py:28-86
+  *   - F2 Oxford-comma natural list: utils/data_transformation_helpers.py:123-158
+  *   - F3 chunker: utils/data_transformation_helpers.py:161-183
+  *   - F4 section parser: utils/wikipedia_helpers.py:111-152
+  *   - F5 QID from URI: defs/assets/extract_artists.py:123-124
+  *   - F6 year from date string: utils/musicbrainz_helpers.py:260-277
+  *   - F7 year from Wikidata time: defs/assets/extract_genres_articles.py:48-66
+  *   - F9 size with null fill: defs/checks.py:70-71
+  *   - F10 explode: defs/assets/extract_genres.py:54
+  *   - F12 hash ids: utils/chroma_helpers.py:111-124, utils/wikidata_helpers.py:539
+  *   - F13 JSON encode/decode: utils/io_helpers.py:20-128
+  *   - F14 context string builder: defs/assets/extract_artists_articles.py:146-190
+  *   - F15 chunk id: defs/assets/extract_artists_articles.py:198-200
+  *   - F17 title translate: defs/assets/extract_artists_articles.py:203
+  *
+  * Scale notes: every query here is a narrow projection (no shuffle at all
+  * except the two that aggregate first), and the whole cleaning chain stays
+  * inside WholeStageCodegen — F1's NFKC step is a native Catalyst expression
+  * ([[graft.functions.NormalizeNFKC]]), not a UDF. The two real UDFs (F3b
+  * recursive chunker, F4 section parser) are per-row generators with no
+  * cross-row state: embarrassingly parallel, no shuffle, no driver collect.
+  */
+object TextOps extends QueryModule {
+
+  /** F1 — clean_text over deliberately messy input (injected escapes,
+    * CR/LF, double spaces) so the whole chain is exercised.
+    */
+  private def f1_clean_text(s: SparkSession, d: String): DataFrame =
+    table(s, d, "documents")
+      .select(
+        col("doc_id"),
+        TF.cleanText(
+          concat(lit("  "), col("text"), lit(" \n\r mixed\\\"quote  "))
+        ).as("cleaned")
+      )
+
+  /** F2 + F9 — natural-language list of each order's distinct return flags. */
+  private def f2_natural_list(s: SparkSession, d: String): DataFrame =
+    table(s, d, "lineitem")
+      .groupBy(col("l_orderkey"))
+      .agg(array_sort(array_distinct(collect_list(col("l_returnflag")))).as("flags"))
+      .select(
+        col("l_orderkey"),
+        TF.naturalList(col("flags")).as("flag_phrase"),
+        TF.sizeOrZero(col("flags")).cast("long").as("n_flags")
+      )
+
+  /** F3 (fixed-stride) + F15 — pure-Catalyst chunker: 120-char windows,
+    * stride 90 (i.e. 30-char overlap), chunk ids `{doc}_chunk_{i}`.
+    */
+  private def f3_chunk_fixed(s: SparkSession, d: String): DataFrame =
+    table(s, d, "documents")
+      .select(col("doc_id"), posexplode(TF.chunkFixed(col("text"), 120, 90)))
+      .select(
+        col("doc_id"),
+        (col("pos") + 1).cast("long").as("chunk_index"),
+        TF.chunkId(col("doc_id"), col("pos")).as("chunk_id"),
+        col("col").as("chunk")
+      )
+
+  /** F3 (recursive) — separator-aware recursive splitter with overlap.
+    * Not SQL-expressible → no oracle (rows-only check); invariants are
+    * property-tested in ChunkTextSpec.
+    */
+  private def f3b_chunk_recursive(s: SparkSession, d: String): DataFrame = {
+    val chunkUdf = udf((t: String) => ChunkText.chunk(t, 160, 40))
+    table(s, d, "documents")
+      .select(col("doc_id"), posexplode(chunkUdf(col("text"))))
+      .select(
+        col("doc_id"),
+        (col("pos") + 1).cast("long").as("chunk_index"),
+        col("col").as("chunk")
+      )
+  }
+
+  /** F4 — section parser over synthesized wiki-style documents: a lead block,
+    * a History section from the document text, and an excluded trailing
+    * section that must be stopped at.
+    */
+  private def f4_parse_sections(s: SparkSession, d: String): DataFrame = {
+    val parseUdf = udf((t: String) => ParseSections.parse(t, 30))
+    val wiki = concat(
+      lit("Opening paragraph about this document body.\n== History ==\n"),
+      substring(col("text"), 1, 100),
+      lit("\n== See also ==\nexcluded tail that must not appear")
+    )
+    table(s, d, "documents")
+      .select(col("doc_id"), explode(parseUdf(wiki)).as("sec"))
+      .select(
+        col("doc_id"),
+        col("sec._1").as("section"),
+        col("sec._2").as("content")
+      )
+  }
+
+  private def f5_qid_from_uri(s: SparkSession, d: String): DataFrame =
+    table(s, d, "documents")
+      .select(
+        col("doc_id"),
+        TF.qidFromUri(
+          concat(lit("http://www.wikidata.org/entity/Q"), col("doc_id").cast("string"))
+        ).as("qid")
+      )
+
+  private def f6_year_from_date(s: SparkSession, d: String): DataFrame =
+    table(s, d, "orders")
+      .select(
+        col("o_orderkey"),
+        split(date_format(col("o_orderdate"), "yyyy-MM-dd"), "-")
+          .getItem(0)
+          .cast("int")
+          .as("order_year")
+      )
+
+  private def f7_year_from_wikidata_time(s: SparkSession, d: String): DataFrame = {
+    val wdTime =
+      concat(lit("+"), date_format(col("o_orderdate"), "yyyy-MM-dd"), lit("T00:00:00Z"))
+    table(s, d, "orders")
+      .select(col("o_orderkey"), TF.yearFromWikidataTime(wdTime).as("wd_year"))
+  }
+
+  private def f9_size_null_fill(s: SparkSession, d: String): DataFrame = {
+    val nums = table(s, d, "lineitem")
+      .groupBy(col("l_orderkey"))
+      .agg(collect_list(col("l_linenumber")).as("nums"))
+    table(s, d, "orders")
+      .join(nums, col("o_orderkey") === col("l_orderkey"), "left")
+      .select(col("o_orderkey"), TF.sizeOrZero(col("nums")).as("n_items"))
+  }
+
+  private def f10_explode(s: SparkSession, d: String): DataFrame =
+    table(s, d, "lineitem")
+      .groupBy(col("l_orderkey"))
+      .agg(sort_array(collect_set(col("l_returnflag"))).as("flags"))
+      .select(col("l_orderkey"), explode(col("flags")).as("flag"))
+
+  private def f12_hash_ids(s: SparkSession, d: String): DataFrame =
+    table(s, d, "customer")
+      .select(
+        col("c_custkey"),
+        TF.labelKey(col("c_name")).as("label_key"),
+        TF.docId(col("c_name"), col("c_custkey")).as("doc_id_hash")
+      )
+
+  private def f13_json_roundtrip(s: SparkSession, d: String): DataFrame = {
+    val parsed = from_json(col("props"), StructType(Seq(StructField("k", IntegerType))))
+    table(s, d, "events")
+      .select(
+        col("event_id"),
+        parsed.getField("k").as("k"),
+        to_json(struct(col("event_id"), parsed.getField("k").as("k"))).as("js")
+      )
+  }
+
+  private def f14_context_string(s: SparkSession, d: String): DataFrame =
+    table(s, d, "documents")
+      .select(
+        col("doc_id"),
+        concat(
+          lit("search_document: Topic: doc"),
+          col("doc_id").cast("string"),
+          lit(". Context: "),
+          when(col("lang") =!= "en", concat(col("lang"), lit("; "))).otherwise(lit("")),
+          col("source"),
+          lit(" | "),
+          col("n_chars").cast("string")
+        ).as("context")
+      )
+
+  private def f17_translate(s: SparkSession, d: String): DataFrame =
+    table(s, d, "customer")
+      .select(
+        col("c_custkey"),
+        translate(col("c_name"), "#", " ").as("name_spaced"),
+        replace(col("c_name"), lit("Customer#"), lit("C_")).as("name_short")
+      )
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "f1_clean_text" -> (f1_clean_text _),
+    "f2_natural_list" -> (f2_natural_list _),
+    "f3_chunk_fixed" -> (f3_chunk_fixed _),
+    "f3b_chunk_recursive" -> (f3b_chunk_recursive _),
+    "f4_parse_sections" -> (f4_parse_sections _),
+    "f5_qid_from_uri" -> (f5_qid_from_uri _),
+    "f6_year_from_date" -> (f6_year_from_date _),
+    "f7_year_from_wikidata_time" -> (f7_year_from_wikidata_time _),
+    "f9_size_null_fill" -> (f9_size_null_fill _),
+    "f10_explode" -> (f10_explode _),
+    "f12_hash_ids" -> (f12_hash_ids _),
+    "f13_json_roundtrip" -> (f13_json_roundtrip _),
+    "f14_context_string" -> (f14_context_string _),
+    "f17_translate" -> (f17_translate _)
+  )
+
+  val oracles: Map[String, String] = Map(
+    "f1_clean_text" ->
+      """SELECT doc_id,
+                trim(regexp_replace(regexp_replace(regexp_replace(
+                  '  ' || text || ' ' || chr(10) || chr(13) || ' mixed\"quote  ',
+                  '\\"', '"', 'g'), '[' || chr(10) || chr(13) || ']+', ' ', 'g'),
+                  '\s+', ' ', 'g')) AS cleaned
+         FROM documents""",
+    "f2_natural_list" ->
+      """WITH f AS (SELECT l_orderkey,
+                           list_sort(list_distinct(list(l_returnflag))) AS flags
+                    FROM lineitem GROUP BY 1)
+         SELECT l_orderkey,
+                CASE WHEN len(flags) = 0 THEN ''
+                     WHEN len(flags) = 1 THEN flags[1]
+                     WHEN len(flags) = 2 THEN flags[1] || ' and ' || flags[2]
+                     ELSE array_to_string(flags[1:len(flags)-1], ', ')
+                          || ', and ' || flags[len(flags)]
+                END AS flag_phrase,
+                CAST(len(flags) AS BIGINT) AS n_flags
+         FROM f""",
+    "f3_chunk_fixed" ->
+      """WITH pos AS (SELECT doc_id, text,
+                             unnest(generate_series(1, greatest(length(text), 1), 90)) AS p
+                      FROM documents)
+         SELECT doc_id,
+                CAST((p-1)//90 + 1 AS BIGINT) AS chunk_index,
+                CAST(doc_id AS VARCHAR) || '_chunk_' || CAST((p-1)//90 + 1 AS VARCHAR) AS chunk_id,
+                substr(text, CAST(p AS INTEGER), 120) AS chunk
+         FROM pos""",
+    "f4_parse_sections" ->
+      """SELECT doc_id, 'Introduction' AS section,
+                'Opening paragraph about this document body.' AS content
+         FROM documents
+         UNION ALL
+         SELECT doc_id, 'History', trim(substr(text, 1, 100))
+         FROM documents WHERE length(trim(substr(text, 1, 100))) >= 30""",
+    "f5_qid_from_uri" ->
+      """SELECT doc_id,
+                regexp_extract('http://www.wikidata.org/entity/Q' || CAST(doc_id AS VARCHAR),
+                               '([^/]+)$', 1) AS qid
+         FROM documents""",
+    "f6_year_from_date" ->
+      """SELECT o_orderkey,
+                CAST(split_part(strftime(o_orderdate, '%Y-%m-%d'), '-', 1) AS INTEGER) AS order_year
+         FROM orders""",
+    "f7_year_from_wikidata_time" ->
+      """SELECT o_orderkey,
+                CAST(substr('+' || strftime(o_orderdate, '%Y-%m-%d') || 'T00:00:00Z', 2, 4) AS INTEGER) AS wd_year
+         FROM orders""",
+    "f9_size_null_fill" ->
+      """SELECT o_orderkey, CAST(coalesce(n, 0) AS INTEGER) AS n_items
+         FROM orders LEFT JOIN (SELECT l_orderkey, count(*) AS n
+                                FROM lineitem GROUP BY 1)
+           ON o_orderkey = l_orderkey""",
+    "f10_explode" ->
+      "SELECT DISTINCT l_orderkey, l_returnflag AS flag FROM lineitem",
+    "f12_hash_ids" ->
+      """SELECT c_custkey, md5(lower(c_name)) AS label_key,
+                substr(sha256(c_name || '-' || CAST(c_custkey AS VARCHAR)), 1, 32) AS doc_id_hash
+         FROM customer""",
+    "f13_json_roundtrip" ->
+      """SELECT event_id, CAST(props->>'k' AS INTEGER) AS k,
+                '{"event_id":' || CAST(event_id AS VARCHAR)
+                || ',"k":' || CAST(CAST(props->>'k' AS INTEGER) AS VARCHAR) || '}' AS js
+         FROM events""",
+    "f14_context_string" ->
+      """SELECT doc_id,
+                'search_document: Topic: doc' || CAST(doc_id AS VARCHAR) || '. Context: '
+                || CASE WHEN lang <> 'en' THEN lang || '; ' ELSE '' END
+                || source || ' | ' || CAST(n_chars AS VARCHAR) AS context
+         FROM documents""",
+    "f17_translate" ->
+      """SELECT c_custkey, translate(c_name, '#', ' ') AS name_spaced,
+                replace(c_name, 'Customer#', 'C_') AS name_short
+         FROM customer"""
+  )
+}

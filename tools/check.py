@@ -52,7 +52,13 @@ def main():
     spark_dirs = sorted(
         d.name for d in out_dir.iterdir() if d.is_dir() and not d.name.startswith("_")
     )
-    for name in spark_dirs:
+    # Work-list = union of oracle keys and Spark output dirs, so a query whose
+    # Spark job failed (Verify logs + continues) shows up as FAIL rather than
+    # silently vanishing.
+    for name in sorted(set(spark_dirs) | set(oracle)):
+        if name not in spark_dirs:
+            results[name] = "SPARK-OUTPUT-MISSING (job failed in Verify?)"
+            continue
         try:
             got = canon(
                 con.execute(
@@ -63,7 +69,10 @@ def main():
             results[name] = f"SPARK-READ-FAIL {e}"
             continue
         if name not in oracle:
-            results[name] = f"NO-ORACLE rows={len(got)}"
+            # Driver records a weaker rows-only check for oracle-less queries.
+            results[name] = (
+                f"OK(rows-only) rows={len(got)}" if len(got) > 0 else "EMPTY-NO-ORACLE"
+            )
             continue
         try:
             want = canon(con.execute(oracle[name]).fetchdf())
@@ -92,7 +101,9 @@ def main():
     for k in sorted(results):
         print(f"{'PASS' if results[k].startswith('OK') else 'FAIL':4} {k}: {results[k]}")
     print(f"\n{n_ok}/{len(results)} passed")
-    sys.exit(0 if n_ok == len(results) else 1)
+    # Nonzero when anything failed OR when there was nothing to compare —
+    # an empty output dir must not look like a green gate.
+    sys.exit(0 if (results and n_ok == len(results)) else 1)
 
 
 if __name__ == "__main__":
