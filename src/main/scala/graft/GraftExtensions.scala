@@ -16,8 +16,19 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (
         FunctionIdentifier("graft_nfkc"),
         new ExpressionInfo(classOf[NormalizeNFKC].getName, "graft_nfkc"),
-        (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+          if (exprs.length != 1)
+            throw new org.apache.spark.sql.AnalysisException(
+              errorClass = "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
+              messageParameters = Map(
+                "functionName" -> "graft_nfkc",
+                "expectedNum" -> "1",
+                "actualNum" -> exprs.length.toString,
+                "docroot" -> "https://spark.apache.org/docs/latest"
+              )
+            )
           NormalizeNFKC(exprs.head)
+        }
       )
     )
   }

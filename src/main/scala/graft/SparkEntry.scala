@@ -19,9 +19,12 @@ object SparkEntry {
     TextOps
   )
 
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * Direct method reference (not a string-key lookup) so a rename is a
+    * compile error, not a runtime NoSuchElementException.
+    */
   def entry(spark: SparkSession): DataFrame =
-    queries("a7_grouped_topk_freq")(spark, "/root/testdata/sf0.001")
+    Aggregations.a7_grouped_topk_freq(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

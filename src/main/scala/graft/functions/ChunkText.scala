@@ -70,26 +70,27 @@ object ChunkText {
 
   /** Greedy merge of pieces into chunks ≤ chunkSize, with each next chunk
     * seeded by the trailing pieces of the previous one up to `overlap` chars.
+    *
+    * After emitting a chunk, retained pieces are evicted from the front until
+    * BOTH the overlap bound holds and the incoming piece fits — the
+    * reference's splitter pops front pieces while
+    * `total > overlap || (total + len > chunkSize && total > 0)`, so an
+    * emitted chunk can never exceed chunkSize (every piece is ≤ chunkSize by
+    * construction of [[splitRecursive]]).
     */
   private def mergePieces(pieces: Seq[String], chunkSize: Int, overlap: Int): Seq[String] = {
     val chunks = ArrayBuffer.empty[String]
     val cur = ArrayBuffer.empty[String]
     var curLen = 0
 
-    def flush(): Unit = if (curLen > 0) {
-      chunks += cur.mkString.trim
-      // retain trailing pieces totalling ≤ overlap as the next chunk's seed
-      var keep = List.empty[String]
-      var kept = 0
-      var i = cur.length - 1
-      while (i >= 0 && kept + cur(i).length <= overlap) {
-        keep = cur(i) :: keep; kept += cur(i).length; i -= 1
-      }
-      cur.clear(); cur ++= keep; curLen = kept
-    }
-
     pieces.foreach { p =>
-      if (curLen + p.length > chunkSize && curLen > 0) flush()
+      if (curLen + p.length > chunkSize && curLen > 0) {
+        chunks += cur.mkString.trim
+        while (curLen > overlap || (curLen + p.length > chunkSize && curLen > 0)) {
+          curLen -= cur.head.length
+          cur.remove(0)
+        }
+      }
       cur += p; curLen += p.length
     }
     if (curLen > 0) chunks += cur.mkString.trim

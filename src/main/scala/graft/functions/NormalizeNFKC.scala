@@ -1,6 +1,6 @@
 package graft.functions
 
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{Expression, ImplicitCastInputTypes, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.types.{DataType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
@@ -14,9 +14,12 @@ import org.apache.spark.unsafe.types.UTF8String
   * (a Scala UDF would break the span and force row serialization); the
   * generated code is a single static call into `java.text.Normalizer`.
   */
-case class NormalizeNFKC(child: Expression) extends UnaryExpression {
+case class NormalizeNFKC(child: Expression) extends UnaryExpression with ImplicitCastInputTypes {
 
   override def dataType: DataType = StringType
+  // Seq is covariant: Seq[DataType] satisfies ExpectsInputTypes'
+  // Seq[AbstractDataType] (which is private[sql] in Spark 4).
+  override def inputTypes: Seq[DataType] = Seq(StringType)
   override def prettyName: String = "graft_nfkc"
 
   override protected def nullSafeEval(input: Any): Any =

@@ -21,9 +21,13 @@ object ParseSections {
 
   private val HeaderRe = "(?m)^\\s*={2,}\\s*(.+?)\\s*={2,}\\s*$".r
 
-  /** Returns (section, content) pairs; content trimmed. */
+  /** Returns (section, content) pairs; content trimmed. Exclusion-header
+    * comparison is case-insensitive, matching the reference's
+    * `ex.lower() == header_clean.lower()` (wikipedia_helpers.py:146).
+    */
   def parse(text: String, minLen: Int, exclusions: Set[String]): Seq[(String, String)] = {
     if (text == null || text.isEmpty) return Seq.empty
+    val exLower = exclusions.map(_.toLowerCase)
     val out = ArrayBuffer.empty[(String, String)]
     var sectionName = "Introduction"
     var lastEnd = 0
@@ -35,7 +39,7 @@ object ParseSections {
       val content = text.substring(lastEnd, m.start).trim
       if (content.length >= minLen) out += ((sectionName, content))
       val header = m.group(1).trim
-      if (exclusions.contains(header)) stopped = true
+      if (exLower.contains(header.toLowerCase)) stopped = true
       else { sectionName = header; lastEnd = m.end }
     }
     if (!stopped) {

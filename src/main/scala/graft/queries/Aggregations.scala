@@ -70,7 +70,7 @@ object Aggregations extends QueryModule {
         ).as("lines")
       )
 
-  private def a7_grouped_topk_freq(s: SparkSession, d: String): DataFrame = {
+  def a7_grouped_topk_freq(s: SparkSession, d: String): DataFrame = {
     val counts = table(s, d, "lineitem")
       .groupBy(col("l_returnflag"), col("l_partkey"))
       .agg(count(lit(1)).as("cnt"))

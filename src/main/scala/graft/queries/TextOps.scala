@@ -71,8 +71,9 @@ object TextOps extends QueryModule {
       )
 
   /** F3 (recursive) — separator-aware recursive splitter with overlap.
-    * Not SQL-expressible → no oracle (rows-only check); invariants are
-    * property-tested in ChunkTextSpec.
+    * Not SQL-expressible → no oracle (rows-only check); invariants
+    * (chunk length ≤ size, overlap bound, input coverage) are
+    * property-tested in [[graft.ChunkTextSpec]].
     */
   private def f3b_chunk_recursive(s: SparkSession, d: String): DataFrame = {
     val chunkUdf = udf((t: String) => ChunkText.chunk(t, 160, 40))
@@ -268,7 +269,9 @@ object TextOps extends QueryModule {
     "f13_json_roundtrip" ->
       """SELECT event_id, CAST(props->>'k' AS INTEGER) AS k,
                 '{"event_id":' || CAST(event_id AS VARCHAR)
-                || ',"k":' || CAST(CAST(props->>'k' AS INTEGER) AS VARCHAR) || '}' AS js
+                || CASE WHEN props->>'k' IS NULL THEN ''
+                        ELSE ',"k":' || CAST(CAST(props->>'k' AS INTEGER) AS VARCHAR)
+                   END || '}' AS js
          FROM events""",
     "f14_context_string" ->
       """SELECT doc_id,

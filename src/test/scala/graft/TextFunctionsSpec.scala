@@ -1,0 +1,51 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.{TextFunctions => TF}
+
+/** Column-level tests for F1/F2 against a local session — the F2 cases mirror
+  * the reference's own unit expectations (Oxford comma, two-item "and",
+  * single item, empty, order-preserving dedup —
+  * reference: tests/data_pipeline/utils/test_data_transformation_helpers.py:10-29).
+  */
+class TextFunctionsSpec extends AnyFunSuite with SparkTestBase {
+
+  private def natural(items: Seq[String]): String = {
+    import spark.implicits._
+    Seq(Tuple1(items)).toDF("items").select(TF.naturalList($"items")).head.getString(0)
+  }
+
+  test("naturalList: empty list → empty string") {
+    assert(natural(Seq.empty) == "")
+  }
+
+  test("naturalList: single item") {
+    assert(natural(Seq("techno")) == "techno")
+  }
+
+  test("naturalList: two items joined with 'and'") {
+    assert(natural(Seq("techno", "house")) == "techno and house")
+  }
+
+  test("naturalList: three+ items use the Oxford comma") {
+    assert(natural(Seq("techno", "house", "ambient")) == "techno, house, and ambient")
+    assert(
+      natural(Seq("a", "b", "c", "d")) == "a, b, c, and d"
+    )
+  }
+
+  test("naturalList: duplicates removed preserving first-occurrence order") {
+    assert(natural(Seq("techno", "house", "techno")) == "techno and house")
+  }
+
+  test("cleanText: collapses whitespace/newlines, unescapes quotes, trims, NFKC") {
+    import spark.implicits._
+    val out = Seq(
+      "  a\\\"quoted\\\"  \n\r  text  ",
+      "ﬁne" // U+FB01 ligature: NFKC → "fine"
+    ).toDF("t").select(TF.cleanText($"t")).collect().map(_.getString(0))
+    assert(out(0) == "a\"quoted\" text")
+    assert(out(1) == "fine")
+  }
+}
