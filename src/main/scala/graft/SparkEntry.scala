@@ -16,7 +16,8 @@ object SparkEntry {
     Aggregations,
     JoinsSetOps,
     WindowsFiltersSorts,
-    TextOps
+    TextOps,
+    Vectors
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

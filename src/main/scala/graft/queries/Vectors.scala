@@ -1,0 +1,144 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Engine.table
+import graft.functions.{VectorFunctions => VF}
+
+/** SURVEY.md §2.1 S19/S20 + §2.10 G3 — the vector-store surface, Spark-first.
+  *
+  * Reference semantics (citations into /root/reference):
+  *   - S19 kNN query: scripts/query_embeddings.py:39-93 — embed the query,
+  *     cosine top-8 with metadata; utils/chroma_helpers.py:83-108 (normalized
+  *     vectors, cosine space per README.md:459).
+  *   - S20 vector dump: scripts/generate_embedding_vis.py:21-48 — batched
+  *     full-collection scan of embeddings + metadata.
+  *   - G3 embedding function: utils/chroma_helpers.py:36-81 — the model is
+  *     not available offline, so the declared deterministic stub derives each
+  *     component from md5 (FIXTURES.md pattern); the Spark-side plumbing
+  *     (schema, column shapes, codegen'd arithmetic) is the real deliverable.
+  *
+  * Scale notes (100 TB):
+  *   - `s19_knn_cosine` is the correctness baseline: one narrow scan of
+  *     (vec_id, embedding), a broadcast of the single-row query vector, and a
+  *     global top-k that Spark executes as TakeOrderedAndProject — O(k) state
+  *     per partition, one O(k·parts) driver merge, no full sort, no wide
+  *     shuffle. This plan survives arbitrary table growth.
+  *   - `s19b_knn_bucketed` is the scale path: random-hyperplane LSH sign
+  *     bits give each vector a compact bucket key; the query probes only its
+  *     own bucket (expected candidates = n / 2^planes), so the rerank touches
+  *     a tiny fraction of rows. The bucket join is a broadcast equi-join on
+  *     the key — no all-pairs comparison anywhere. Recall < 1 by design;
+  *     the oracle pins the exact same candidate set deterministically.
+  */
+object Vectors extends QueryModule {
+
+  private val K       = 8
+  // 4 planes = 16 buckets: the expected candidate set (n/16) stays well above
+  // k at every test scale factor, so the rerank genuinely selects. At real
+  // scale you'd raise planes with log2(n) to hold candidates ~constant.
+  private val NPlanes = 4
+  private val Dim     = 64
+
+  /** Query = the stored vector with vec_id 0 (a self-contained, deterministic
+    * stand-in for an embedded free-text query).
+    */
+  private def queryVec(e: DataFrame): DataFrame =
+    e.filter(col("vec_id") === 0).select(col("embedding").as("qe"))
+
+  private def scored(df: DataFrame): DataFrame =
+    df.withColumn("score_raw", VF.cosine(col("embedding"), col("qe")))
+      .orderBy(col("score_raw").desc, col("vec_id").asc)
+      .limit(K)
+      .select(col("vec_id"), round(col("score_raw"), 4).as("score"))
+
+  /** S19 — brute-force cosine top-k (the exact answer). */
+  private def s19_knn_cosine(s: SparkSession, d: String): DataFrame = {
+    val e = table(s, d, "embeddings")
+    scored(e.crossJoin(broadcast(queryVec(e))))
+  }
+
+  /** S19b — LSH-bucketed candidate pruning + exact rerank (the scale path). */
+  private def s19b_knn_bucketed(s: SparkSession, d: String): DataFrame = {
+    val pls   = VF.planes(NPlanes, Dim)
+    val e     = table(s, d, "embeddings")
+    val keyed = e.withColumn("bk", VF.signBits(col("embedding"), pls))
+    val q = keyed
+      .filter(col("vec_id") === 0)
+      .select(col("embedding").as("qe"), col("bk").as("qbk"))
+    scored(keyed.join(broadcast(q), col("bk") === col("qbk")))
+  }
+
+  /** S20 — full-collection dump with derived metadata. */
+  private def s20_vector_dump(s: SparkSession, d: String): DataFrame =
+    table(s, d, "embeddings")
+      .select(
+        col("vec_id"),
+        col("label"),
+        size(col("embedding")).cast("long").as("dim"),
+        round(VF.l2norm(col("embedding")), 4).as("norm")
+      )
+
+  /** G3 — deterministic embedding stub: component j of a document's vector is
+    * an md5-derived value in [-0.5, 0.5), quantized ×10000 to integers so the
+    * output is engine-portable (double→string rendering differs per engine).
+    */
+  private def g3_embed_stub(s: SparkSession, d: String): DataFrame = {
+    val dim = 8
+    val comps: Seq[Column] = (0 until dim).map { j =>
+      val h = conv(substring(md5(concat(col("text"), lit(s"_$j"))), 1, 6), 16, 10)
+        .cast("double")
+      round(((h / 16777215.0) - 0.5) * 10000, 0).cast("long").cast("string")
+    }
+    table(s, d, "documents")
+      .select(col("doc_id"), array_join(array(comps: _*), ",").as("emb_q"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s19_knn_cosine" -> (s19_knn_cosine _),
+    "s19b_knn_bucketed" -> (s19b_knn_bucketed _),
+    "s20_vector_dump" -> (s20_vector_dump _),
+    "g3_embed_stub" -> (g3_embed_stub _)
+  )
+
+  private val cosSql =
+    """list_dot_product(e, qe) /
+       (sqrt(list_dot_product(e, e)) * sqrt(list_dot_product(qe, qe)))"""
+
+  private val bucketKeySql: String =
+    (0 until NPlanes)
+      .map(p =>
+        s"""CASE WHEN list_dot_product(embedding::DOUBLE[], ${VF.duckdbPlaneSql(p, Dim)}) >= 0
+            THEN '1' ELSE '0' END"""
+      )
+      .mkString(" || ")
+
+  val oracles: Map[String, String] = Map(
+    "s19_knn_cosine" ->
+      s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+              q AS (SELECT e AS qe FROM v WHERE vec_id = 0)
+          SELECT vec_id, round($cosSql, 4) AS score
+          FROM v, q
+          ORDER BY $cosSql DESC, vec_id
+          LIMIT $K""",
+    "s19b_knn_bucketed" ->
+      s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e, $bucketKeySql AS bk
+                     FROM embeddings),
+              q AS (SELECT e AS qe, bk AS qbk FROM v WHERE vec_id = 0)
+          SELECT vec_id, round($cosSql, 4) AS score
+          FROM v, q WHERE bk = qbk
+          ORDER BY $cosSql DESC, vec_id
+          LIMIT $K""",
+    "s20_vector_dump" ->
+      """SELECT vec_id, label, CAST(len(embedding) AS BIGINT) AS dim,
+                round(sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])), 4) AS norm
+         FROM embeddings""",
+    "g3_embed_stub" ->
+      """SELECT doc_id,
+                array_to_string(list_transform(generate_series(0, 7),
+                  j -> CAST(CAST(round(((('0x' || substr(md5(text || '_' || CAST(j AS VARCHAR)), 1, 6))::BIGINT / 16777215.0) - 0.5) * 10000, 0) AS BIGINT) AS VARCHAR)),
+                  ',') AS emb_q
+         FROM documents"""
+  )
+}
