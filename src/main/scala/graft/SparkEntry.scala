@@ -17,7 +17,8 @@ object SparkEntry {
     JoinsSetOps,
     WindowsFiltersSorts,
     TextOps,
-    Vectors
+    Vectors,
+    Dedup
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

