@@ -18,7 +18,8 @@ object SparkEntry {
     WindowsFiltersSorts,
     TextOps,
     Vectors,
-    Dedup
+    Dedup,
+    TextAnalysis
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

@@ -1,0 +1,152 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Engine.table
+
+/** Text-analysis operators an LLM training-data pipeline needs at corpus
+  * scale: language identification, quality scoring, token counting, and
+  * document fingerprinting — the quality-gate family the reference applies
+  * per-row (Latin-script gate extract_artists.py:42-63, min-length gate
+  * wikipedia_helpers.py:151-152) generalized to corpus curation.
+  *
+  * Scale notes: every query is a per-row narrow projection over `documents`
+  * — pure `functions._` composition, fully codegen'd, zero shuffle, column
+  * pruning reaches the parquet scan. At 100 TB these run at scan speed.
+  */
+object TextAnalysis extends QueryModule {
+
+  private val StopEn = Seq("the", "a", "of", "and", "to", "in", "is")
+  private val StopDe = Seq("der", "die", "das", "und", "ist", "ein")
+  private val StopEs = Seq("el", "los", "de", "y", "es", "una")
+  private val StopFr = Seq("le", "les", "et", "est", "une", "dans")
+
+  private def words(c: Column): Column = split(c, " ")
+
+  private def stopCount(w: Column, stop: Seq[String]): Column =
+    size(filter(w, x => x.isin(stop: _*))).cast("long")
+
+  /** X1 — stopword-profile language ID: count hits against each language's
+    * function-word list; predict the argmax (deterministic en>de>es>fr
+    * tiebreak), "und" when no list matches at all.
+    */
+  private def x1_lang_id(s: SparkSession, d: String): DataFrame = {
+    val w   = words(col("text"))
+    val cEn = stopCount(w, StopEn)
+    val cDe = stopCount(w, StopDe)
+    val cEs = stopCount(w, StopEs)
+    val cFr = stopCount(w, StopFr)
+    table(s, d, "documents").select(
+      col("doc_id"),
+      cEn.as("c_en"),
+      cDe.as("c_de"),
+      cEs.as("c_es"),
+      cFr.as("c_fr"),
+      when(cEn === 0 && cDe === 0 && cEs === 0 && cFr === 0, lit("und"))
+        .when(cEn >= cDe && cEn >= cEs && cEn >= cFr, lit("en"))
+        .when(cDe >= cEs && cDe >= cFr, lit("de"))
+        .when(cEs >= cFr, lit("es"))
+        .otherwise(lit("fr"))
+        .as("pred_lang")
+    )
+  }
+
+  /** X2 — composite quality score: length saturation, non-alphanumeric
+    * (junk-character) ratio, stopword density.
+    */
+  private def x2_quality_score(s: SparkSession, d: String): DataFrame = {
+    val w         = words(col("text"))
+    val nChars    = length(col("text")).cast("double")
+    val junkChars = nChars - length(regexp_replace(col("text"), "[^a-z0-9 ]", ""))
+    val lenScore  = least(nChars / 500.0, lit(1.0))
+    val junkRatio = junkChars / nChars
+    val stopRatio = stopCount(w, StopEn).cast("double") / size(w)
+    table(s, d, "documents").select(
+      col("doc_id"),
+      round(lenScore, 4).as("len_score"),
+      round(junkRatio, 4).as("junk_ratio"),
+      round(stopRatio, 4).as("stop_ratio"),
+      round(lenScore * 0.4 + (lit(1.0) - junkRatio) * 0.2 + stopRatio * 0.4, 4)
+        .as("quality")
+    )
+  }
+
+  /** X3 — token counting three ways: whitespace tokens, regex (BPE-ish
+    * pre-tokenizer: letter runs / digit runs / single symbols), and the
+    * chars/4 subword estimate.
+    */
+  private def x3_token_count(s: SparkSession, d: String): DataFrame =
+    table(s, d, "documents").select(
+      col("doc_id"),
+      size(words(col("text"))).cast("long").as("ws_tokens"),
+      regexp_count(col("text"), lit("[a-z]+|[0-9]+|[^a-z0-9 ]")).cast("long")
+        .as("re_tokens"),
+      ceil(length(col("text")) / 4.0).cast("long").as("subword_est")
+    )
+
+  /** X4 — document fingerprints: exact (md5 of the raw text) and
+    * order-insensitive bag-of-words (md5 of the sorted distinct token set) —
+    * the pair a dedup pipeline keys on before near-dup passes.
+    */
+  private def x4_fingerprint(s: SparkSession, d: String): DataFrame =
+    table(s, d, "documents").select(
+      col("doc_id"),
+      md5(col("text")).as("exact_fp"),
+      md5(concat_ws(" ", array_sort(array_distinct(words(col("text")))))).as("bow_fp")
+    )
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x1_lang_id" -> (x1_lang_id _),
+    "x2_quality_score" -> (x2_quality_score _),
+    "x3_token_count" -> (x3_token_count _),
+    "x4_fingerprint" -> (x4_fingerprint _)
+  )
+
+  private def inList(xs: Seq[String]): String = xs.map(x => s"'$x'").mkString(", ")
+
+  private def stopCountSql(xs: Seq[String]): String =
+    s"CAST(len(list_filter(string_split(text, ' '), w -> w IN (${inList(xs)}))) AS BIGINT)"
+
+  val oracles: Map[String, String] = Map(
+    "x1_lang_id" ->
+      s"""WITH c AS (
+            SELECT doc_id,
+                   ${stopCountSql(StopEn)} AS c_en,
+                   ${stopCountSql(StopDe)} AS c_de,
+                   ${stopCountSql(StopEs)} AS c_es,
+                   ${stopCountSql(StopFr)} AS c_fr
+            FROM documents)
+          SELECT doc_id, c_en, c_de, c_es, c_fr,
+                 CASE WHEN c_en = 0 AND c_de = 0 AND c_es = 0 AND c_fr = 0 THEN 'und'
+                      WHEN c_en >= c_de AND c_en >= c_es AND c_en >= c_fr THEN 'en'
+                      WHEN c_de >= c_es AND c_de >= c_fr THEN 'de'
+                      WHEN c_es >= c_fr THEN 'es'
+                      ELSE 'fr' END AS pred_lang
+          FROM c""",
+    "x2_quality_score" ->
+      s"""WITH q AS (
+            SELECT doc_id,
+                   CAST(length(text) AS DOUBLE) AS n,
+                   CAST(length(text) - length(regexp_replace(text, '[^a-z0-9 ]', '', 'g')) AS DOUBLE) AS junk,
+                   CAST(${stopCountSql(StopEn)} AS DOUBLE) AS stp,
+                   CAST(len(string_split(text, ' ')) AS DOUBLE) AS nw
+            FROM documents)
+          SELECT doc_id,
+                 round(least(n / 500.0, 1.0), 4) AS len_score,
+                 round(junk / n, 4) AS junk_ratio,
+                 round(stp / nw, 4) AS stop_ratio,
+                 round(least(n / 500.0, 1.0) * 0.4 + (1.0 - junk / n) * 0.2 + (stp / nw) * 0.4, 4) AS quality
+          FROM q""",
+    "x3_token_count" ->
+      """SELECT doc_id,
+                CAST(len(string_split(text, ' ')) AS BIGINT) AS ws_tokens,
+                CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS re_tokens,
+                CAST(ceil(length(text) / 4.0) AS BIGINT) AS subword_est
+         FROM documents""",
+    "x4_fingerprint" ->
+      """SELECT doc_id, md5(text) AS exact_fp,
+                md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS bow_fp
+         FROM documents"""
+  )
+}
