@@ -19,7 +19,8 @@ object SparkEntry {
     TextOps,
     Vectors,
     Dedup,
-    TextAnalysis
+    TextAnalysis,
+    GraphQueries
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

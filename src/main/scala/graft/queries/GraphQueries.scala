@@ -1,0 +1,149 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.Engine.table
+import graft.graph.GraphOps
+
+/** SURVEY.md §2.1 S14/S15 + §2.10 G1/G2 — the graph layer over the harness
+  * tables: typed node table construction, edge derivation with validity
+  * filtering, degree statistics, and distributed connected components.
+  *
+  * Reference semantics (citations into /root/reference):
+  *   - node/edge table construction: defs/assets/ingest_graph_db.py:126-296
+  *     (5 edge types derived relationally from the frames)
+  *   - edge validity via endpoint-existence filtering:
+  *     utils/neo4j_helpers.py:196-234 (igraph build drops edges whose
+  *     endpoints are unknown)
+  *   - community structure over the graph: utils/neo4j_helpers.py:237-268
+  *     (Leiden; connected components is the deterministic distributed
+  *     baseline — SURVEY §7.4 declares exact Leiden parity out of scope)
+  *
+  * The graph is derived from TPC-H-ish relations: suppliers and parts are
+  * nodes; lineitem SUPPLIES pairs are edges (plus deliberately dangling
+  * edges that the validity filter must drop); nations chained within a
+  * region form the small deterministic CC input.
+  */
+object GraphQueries extends QueryModule {
+
+  /** G0/S14 — typed node table (the graph sink's node side): suppliers and
+    * parts with a namespaced string id, node type, and display name.
+    */
+  private def g0_node_table(s: SparkSession, d: String): DataFrame = {
+    val sup = table(s, d, "supplier").select(
+      concat(lit("s:"), col("s_suppkey")).as("node_id"),
+      lit("Supplier").as("node_type"),
+      col("s_name").as("name")
+    )
+    val prt = table(s, d, "part").select(
+      concat(lit("p:"), col("p_partkey")).as("node_id"),
+      lit("Part").as("node_type"),
+      col("p_name").as("name")
+    )
+    sup.unionByName(prt)
+  }
+
+  /** G1 — edge derivation + validity: distinct SUPPLIES edges from lineitem
+    * plus synthesized dangling edges (partkey shifted out of range); the two
+    * semi-joins must drop exactly the dangling set.
+    */
+  private def g1_edge_validity(s: SparkSession, d: String): DataFrame = {
+    val li = table(s, d, "lineitem")
+    val real = li.select(col("l_suppkey").as("src"), col("l_partkey").as("dst"))
+    val dangling = li
+      .filter(col("l_linenumber") === 7)
+      .select(col("l_suppkey").as("src"), (col("l_partkey") + 9000000).as("dst"))
+    val edges = real.unionAll(dangling).distinct().withColumn("rel", lit("SUPPLIES"))
+    GraphOps.validEdges(
+      edges,
+      table(s, d, "supplier").select(col("s_suppkey").as("id")),
+      table(s, d, "part").select(col("p_partkey").as("id"))
+    )
+  }
+
+  /** G1b — degree histogram of the valid SUPPLIES graph: how many vertices
+    * have each degree (suppliers and parts both count).
+    */
+  private def g1b_degree_stats(s: SparkSession, d: String): DataFrame =
+    GraphOps
+      .degrees(g1_edge_validity(s, d))
+      .groupBy(col("degree"))
+      .agg(count(lit(1)).as("n_vertices"))
+
+  /** G2 — distributed connected components on a deterministic graph: nations
+    * chained by key within each region (5 chains of 5) — min-label
+    * propagation needs multiple passes to converge, exercising the real
+    * iterative algorithm, and the component label = min nation key per chain.
+    */
+  private def g2_connected_components(s: SparkSession, d: String): DataFrame = {
+    val n = table(s, d, "nation")
+    val w = Window.partitionBy(col("n_regionkey")).orderBy(col("n_nationkey"))
+    val edges = n
+      .select(
+        col("n_nationkey").as("src"),
+        lead(col("n_nationkey"), 1).over(w).as("dst")
+      )
+      .filter(col("dst").isNotNull)
+    val vertices = n.select(col("n_nationkey").as("id"))
+    GraphOps
+      .connectedComponents(vertices, edges)
+      .select(col("id").cast("long").as("id"), col("comp").cast("long").as("component"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "g0_node_table" -> (g0_node_table _),
+    "g1_edge_validity" -> (g1_edge_validity _),
+    "g1b_degree_stats" -> (g1b_degree_stats _),
+    "g2_connected_components" -> (g2_connected_components _)
+  )
+
+  private val validEdgesSql =
+    """WITH e AS (
+         SELECT DISTINCT l_suppkey AS src, l_partkey AS dst FROM lineitem
+         UNION
+         SELECT DISTINCT l_suppkey AS src, l_partkey + 9000000 AS dst
+         FROM lineitem WHERE l_linenumber = 7
+       ),
+       valid AS (
+         SELECT src, dst, 'SUPPLIES' AS rel FROM e
+         WHERE EXISTS (SELECT 1 FROM supplier WHERE s_suppkey = e.src)
+           AND EXISTS (SELECT 1 FROM part WHERE p_partkey = e.dst)
+       )"""
+
+  val oracles: Map[String, String] = Map(
+    "g0_node_table" ->
+      """SELECT 's:' || CAST(s_suppkey AS VARCHAR) AS node_id,
+                'Supplier' AS node_type, s_name AS name FROM supplier
+         UNION ALL
+         SELECT 'p:' || CAST(p_partkey AS VARCHAR) AS node_id,
+                'Part' AS node_type, p_name AS name FROM part""",
+    "g1_edge_validity" ->
+      s"$validEdgesSql SELECT dst, src, rel FROM valid",
+    "g1b_degree_stats" ->
+      s"""$validEdgesSql,
+          deg AS (
+            SELECT id, CAST(count(*) AS BIGINT) AS degree FROM (
+              SELECT src AS id FROM valid UNION ALL SELECT dst AS id FROM valid)
+            GROUP BY id)
+          SELECT degree, CAST(count(*) AS BIGINT) AS n_vertices
+          FROM deg GROUP BY degree""",
+    "g2_connected_components" ->
+      """WITH RECURSIVE chain AS (
+           SELECT n_nationkey AS src,
+                  lead(n_nationkey) OVER (PARTITION BY n_regionkey
+                                          ORDER BY n_nationkey) AS dst
+           FROM nation),
+         edges AS (
+           SELECT src, dst FROM chain WHERE dst IS NOT NULL
+           UNION ALL
+           SELECT dst AS src, src AS dst FROM chain WHERE dst IS NOT NULL),
+         reach(id, comp) AS (
+           SELECT n_nationkey, n_nationkey FROM nation
+           UNION
+           SELECT e.dst, r.comp FROM reach r JOIN edges e ON r.id = e.src)
+         SELECT CAST(id AS BIGINT) AS id, CAST(min(comp) AS BIGINT) AS component
+         FROM reach GROUP BY id"""
+  )
+}
