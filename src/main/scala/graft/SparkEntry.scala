@@ -20,7 +20,8 @@ object SparkEntry {
     Vectors,
     Dedup,
     TextAnalysis,
-    GraphQueries
+    GraphQueries,
+    Nested
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
