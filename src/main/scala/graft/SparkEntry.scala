@@ -21,7 +21,8 @@ object SparkEntry {
     Dedup,
     TextAnalysis,
     GraphQueries,
-    Nested
+    Nested,
+    IOQueries
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
