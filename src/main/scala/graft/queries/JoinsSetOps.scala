@@ -106,6 +106,53 @@ object JoinsSetOps extends QueryModule {
       .select("c_custkey", "c_mktsegment")
   }
 
+  /** J3 — exploded-array lookup join (reference
+    * defs/assets/extract_artists_articles.py:77-97: genre-id list → lookup →
+    * name list): build the per-order supplier-id array in deterministic
+    * order, posexplode it, broadcast-join the supplier dim, and re-collect
+    * names preserving the original array order.
+    */
+  private def j3_array_lookup(s: SparkSession, d: String): DataFrame = {
+    val arr = table(s, d, "lineitem")
+      .groupBy(col("l_orderkey"))
+      .agg(
+        transform(
+          array_sort(collect_list(struct(col("l_linenumber"), col("l_suppkey")))),
+          x => x.getField("l_suppkey")
+        ).as("supp_ids")
+      )
+    val sup = table(s, d, "supplier").select(col("s_suppkey"), col("s_name"))
+    arr
+      .select(col("l_orderkey"), posexplode(col("supp_ids")))
+      .join(broadcast(sup), col("col") === col("s_suppkey"))
+      .groupBy(col("l_orderkey"))
+      .agg(
+        array_join(
+          transform(
+            array_sort(collect_list(struct(col("pos"), col("s_name")))),
+            x => x.getField("s_name")
+          ),
+          ","
+        ).as("supplier_names")
+      )
+  }
+
+  /** J4 — qid→year lookup join (reference
+    * defs/assets/extract_artists_articles.py:82-97): extract the trailing
+    * QID from an entity URI, broadcast-join a small (qid → year) lookup.
+    */
+  private def j4_qid_year_lookup(s: SparkSession, d: String): DataFrame = {
+    val uri =
+      concat(lit("http://www.wikidata.org/entity/Q"), col("c_nationkey").cast("string"))
+    val cust = table(s, d, "customer")
+      .select(col("c_custkey"), graft.functions.TextFunctions.qidFromUri(uri).as("qid"))
+    val years = table(s, d, "nation").select(
+      concat(lit("Q"), col("n_nationkey").cast("string")).as("qid"),
+      (col("n_nationkey") + 1950).cast("long").as("inception_year")
+    )
+    cust.join(broadcast(years), Seq("qid")).select(col("c_custkey"), col("inception_year"))
+  }
+
   /** U1 — union with compatible-but-unequal schemas (vertical_relaxed). */
   private def u1_union_relaxed(s: SparkSession, d: String): DataFrame = {
     val c = table(s, d, "customer").select(
@@ -130,6 +177,8 @@ object JoinsSetOps extends QueryModule {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "j1_left_join_agg" -> (j1_left_join_agg _),
     "j2_left_enrich" -> (j2_left_enrich _),
+    "j3_array_lookup" -> (j3_array_lookup _),
+    "j4_qid_year_lookup" -> (j4_qid_year_lookup _),
     "j5_theta_or_join" -> (j5_theta_or_join _),
     "j6_broadcast_dims" -> (j6_broadcast_dims _),
     "j7_self_join" -> (j7_self_join _),
@@ -150,6 +199,22 @@ object JoinsSetOps extends QueryModule {
     "j2_left_enrich" ->
       """SELECT c_custkey, c_name, n_name
          FROM customer LEFT JOIN nation ON c_nationkey = n_nationkey""",
+    "j3_array_lookup" ->
+      """SELECT l_orderkey,
+                string_agg(s_name, ',' ORDER BY l_linenumber, l_suppkey) AS supplier_names
+         FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+         GROUP BY l_orderkey""",
+    "j4_qid_year_lookup" ->
+      """WITH cust AS (
+           SELECT c_custkey,
+                  regexp_extract('http://www.wikidata.org/entity/Q' || CAST(c_nationkey AS VARCHAR),
+                                 '([^/]+)$', 1) AS qid
+           FROM customer),
+         years AS (
+           SELECT 'Q' || CAST(n_nationkey AS VARCHAR) AS qid,
+                  CAST(n_nationkey + 1950 AS BIGINT) AS inception_year
+           FROM nation)
+         SELECT c_custkey, inception_year FROM cust JOIN years USING (qid)""",
     "j5_theta_or_join" ->
       """SELECT DISTINCT l_orderkey, p_partkey
          FROM (SELECT * FROM lineitem WHERE l_linenumber = 1) l, part

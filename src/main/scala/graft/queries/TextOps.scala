@@ -180,6 +180,20 @@ object TextOps extends QueryModule {
         ).as("context")
       )
 
+  /** F16 — community doc id `community_L{level}_{id}`
+    * (reference: defs/assets/ingest_community_summaries.py:156). */
+  private def f16_community_doc_id(s: SparkSession, d: String): DataFrame =
+    table(s, d, "nation")
+      .select(
+        col("n_nationkey"),
+        concat(
+          lit("community_L"),
+          col("n_regionkey").cast("string"),
+          lit("_"),
+          col("n_nationkey").cast("string")
+        ).as("community_doc_id")
+      )
+
   private def f17_translate(s: SparkSession, d: String): DataFrame =
     table(s, d, "customer")
       .select(
@@ -202,6 +216,7 @@ object TextOps extends QueryModule {
     "f12_hash_ids" -> (f12_hash_ids _),
     "f13_json_roundtrip" -> (f13_json_roundtrip _),
     "f14_context_string" -> (f14_context_string _),
+    "f16_community_doc_id" -> (f16_community_doc_id _),
     "f17_translate" -> (f17_translate _)
   )
 
@@ -279,6 +294,11 @@ object TextOps extends QueryModule {
                 || CASE WHEN lang <> 'en' THEN lang || '; ' ELSE '' END
                 || source || ' | ' || CAST(n_chars AS VARCHAR) AS context
          FROM documents""",
+    "f16_community_doc_id" ->
+      """SELECT n_nationkey,
+                'community_L' || CAST(n_regionkey AS VARCHAR) || '_'
+                || CAST(n_nationkey AS VARCHAR) AS community_doc_id
+         FROM nation""",
     "f17_translate" ->
       """SELECT c_custkey, translate(c_name, '#', ' ') AS name_spaced,
                 replace(c_name, 'Customer#', 'C_') AS name_short

@@ -140,6 +140,47 @@ object WindowsFiltersSorts extends QueryModule {
       .select("rn", "o_orderkey", "o_totalprice")
   }
 
+  /** P3 — drop_nulls after explode (reference extract_genres.py:52-57:
+    * exploded genre ids can be null; the null rows are dropped).
+    */
+  private def p3_explode_drop_nulls(s: SparkSession, d: String): DataFrame = {
+    val arr = array(
+      when(col("o_orderkey") % 2 === 0, lit("even")),
+      lit("all"),
+      when(col("o_orderkey") % 3 === 0, lit("third"))
+    )
+    table(s, d, "orders")
+      .select(col("o_orderkey"), explode(arr).as("tag"))
+      .na
+      .drop(Seq("tag"))
+  }
+
+  /** P10 — empty/None row skip (reference ingest_vector_db.py:113-114:
+    * rows whose article is empty or missing never reach the sink).
+    */
+  private def p10_empty_skip(s: SparkSession, d: String): DataFrame = {
+    val article = when(col("c_custkey") % 7 === 0, lit(""))
+      .when(col("c_custkey") % 11 === 0, lit(null).cast("string"))
+      .otherwise(col("c_name"))
+    table(s, d, "customer")
+      .select(col("c_custkey"), article.as("article"))
+      .filter(col("article").isNotNull && col("article") =!= "")
+  }
+
+  /** O2 — source-level stable sort (reference build_artist_index.py:66,84:
+    * ORDER BY start_date, artist for pagination stability) made observable
+    * via the global rank, truncated to the first 500 so the single-partition
+    * window stage is O(500) at any scale.
+    */
+  private def o2_stable_sort(s: SparkSession, d: String): DataFrame = {
+    val ord = Seq(col("o_orderdate").asc, col("o_orderkey").asc)
+    table(s, d, "orders")
+      .orderBy(ord: _*)
+      .limit(500)
+      .withColumn("rn", row_number().over(Window.orderBy(ord: _*)).cast("long"))
+      .select(col("o_orderkey"), col("rn"))
+  }
+
   /** P9 — min-length content filter. */
   private def p9_min_length(s: SparkSession, d: String): DataFrame =
     table(s, d, "documents")
@@ -151,7 +192,10 @@ object WindowsFiltersSorts extends QueryModule {
     "w2_keep_first" -> (w2_keep_first _),
     "w3_topk_per_group" -> (w3_topk_per_group _),
     "o1_global_sort_limit" -> (o1_global_sort_limit _),
+    "o2_stable_sort" -> (o2_stable_sort _),
     "o3_argmin_composite" -> (o3_argmin_composite _),
+    "p3_explode_drop_nulls" -> (p3_explode_drop_nulls _),
+    "p10_empty_skip" -> (p10_empty_skip _),
     "p6_validation_gate" -> (p6_validation_gate _),
     "p4_regex_filter" -> (p4_regex_filter _),
     "p8_offset_slice" -> (p8_offset_slice _),
@@ -200,6 +244,25 @@ object WindowsFiltersSorts extends QueryModule {
     "p4_regex_filter" ->
       """SELECT p_partkey, p_name FROM part
          WHERE regexp_matches(p_name, '^(red|blue) [a-z]+$')""",
+    "o2_stable_sort" ->
+      """SELECT o_orderkey, rn FROM (
+           SELECT o_orderkey,
+                  CAST(row_number() OVER (ORDER BY o_orderdate, o_orderkey) AS BIGINT) AS rn
+           FROM orders) WHERE rn <= 500""",
+    "p3_explode_drop_nulls" ->
+      """SELECT o_orderkey, tag FROM (
+           SELECT o_orderkey,
+                  unnest([CASE WHEN o_orderkey % 2 = 0 THEN 'even' END,
+                          'all',
+                          CASE WHEN o_orderkey % 3 = 0 THEN 'third' END]) AS tag
+           FROM orders) WHERE tag IS NOT NULL""",
+    "p10_empty_skip" ->
+      """SELECT c_custkey, article FROM (
+           SELECT c_custkey,
+                  CASE WHEN c_custkey % 7 = 0 THEN ''
+                       WHEN c_custkey % 11 = 0 THEN NULL
+                       ELSE c_name END AS article
+           FROM customer) WHERE article IS NOT NULL AND article <> ''""",
     "p8_offset_slice" ->
       """SELECT rn, o_orderkey, o_totalprice FROM (
            SELECT CAST(row_number() OVER (ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rn,
