@@ -22,7 +22,8 @@ object SparkEntry {
     TextAnalysis,
     GraphQueries,
     Nested,
-    IOQueries
+    IOQueries,
+    Multimodal
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

@@ -1,0 +1,110 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Engine.table
+import graft.functions.MediaStub
+import graft.functions.MediaStub.{MediaFeatures, MediaInput}
+
+/** Multimodal column handling: image/audio/video as opaque `binary` columns
+  * with typed metadata, decode/feature-extract as per-partition typed
+  * Dataset operations, and frame sampling — the operations a training-data
+  * pipeline runs over media at corpus scale.
+  *
+  * The decode step is a deterministic STUB ([[graft.functions.MediaStub]] —
+  * no codecs ship in this container); the Spark plumbing is real: binary
+  * payload column, `Dataset[MediaInput]` → `mapPartitions` →
+  * `Dataset[MediaFeatures]` with case-class encoders (one decoder init per
+  * partition, streaming iterator — the batch shape a GPU/codec worker needs),
+  * and `sequence`+`explode` frame fan-out.
+  *
+  * Scale notes: decode is embarrassingly parallel per partition with zero
+  * shuffle; frame fan-out multiplies rows ~12× but stays narrow (no
+  * shuffle); metadata extraction is a codegen'd projection.
+  */
+object Multimodal extends QueryModule {
+
+  /** M1 — binary payload metadata: byte length, sha256 content id, and a
+    * magic-byte format sniff — the typed-metadata projection that runs
+    * before any decode at scale (cheap, prunes undecodable rows early).
+    */
+  private def m1_binary_meta(s: SparkSession, d: String): DataFrame = {
+    val payload = col("text").cast("binary")
+    table(s, d, "documents").select(
+      col("doc_id"),
+      octet_length(payload).cast("long").as("n_bytes"),
+      sha2(payload, 256).as("content_id"),
+      when(substring(col("text"), 1, 4) === "key ", lit("fmt/key"))
+        .when(substring(col("text"), 1, 4) === "the ", lit("fmt/the"))
+        .otherwise(lit("fmt/unknown"))
+        .as("sniffed_format")
+    )
+  }
+
+  /** M2 — decode/feature-extract over the binary column: typed Dataset →
+    * mapPartitions(stub decoder) → typed features.
+    */
+  private def m2_feature_extract(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    table(s, d, "documents")
+      .select(col("doc_id"), col("text").cast("binary").as("payload"))
+      .as[MediaInput]
+      .mapPartitions { rows =>
+        // one decoder context per partition; rows stream through it
+        rows.map(MediaStub.decode)
+      }
+      .toDF()
+  }
+
+  /** M3 — frame sampling: every 10th frame index from the decoded frame
+    * count, fanned out to (doc_id, frame_idx, frame_id) rows.
+    */
+  private def m3_frame_sample(s: SparkSession, d: String): DataFrame =
+    m2_feature_extract(s, d)
+      .select(
+        col("doc_id"),
+        explode(sequence(lit(0L), col("n_frames") - 1, lit(10L))).as("frame_idx")
+      )
+      .select(
+        col("doc_id"),
+        col("frame_idx"),
+        concat(col("doc_id").cast("string"), lit("_f"), col("frame_idx").cast("string"))
+          .as("frame_id")
+      )
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "m1_binary_meta" -> (m1_binary_meta _),
+    "m2_feature_extract" -> (m2_feature_extract _),
+    "m3_frame_sample" -> (m3_frame_sample _)
+  )
+
+  /** The stub decoder's md5 arithmetic, regenerated in DuckDB. */
+  private val decodeSql =
+    """decoded AS (
+         SELECT doc_id,
+                160 + h % 480 AS width,
+                90 + (h // 7) % 270 AS height,
+                1 + (h // 11) % 120 AS n_frames
+         FROM (SELECT doc_id,
+                      ('0x' || substr(md5(text), 1, 6))::BIGINT AS h
+               FROM documents))"""
+
+  val oracles: Map[String, String] = Map(
+    "m1_binary_meta" ->
+      """SELECT doc_id,
+                CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+                sha256(text) AS content_id,
+                CASE WHEN substr(text, 1, 4) = 'key ' THEN 'fmt/key'
+                     WHEN substr(text, 1, 4) = 'the ' THEN 'fmt/the'
+                     ELSE 'fmt/unknown' END AS sniffed_format
+         FROM documents""",
+    "m2_feature_extract" ->
+      s"WITH $decodeSql SELECT doc_id, width, height, n_frames FROM decoded",
+    "m3_frame_sample" ->
+      s"""WITH $decodeSql
+          SELECT doc_id, frame_idx,
+                 CAST(doc_id AS VARCHAR) || '_f' || CAST(frame_idx AS VARCHAR) AS frame_id
+          FROM (SELECT doc_id, unnest(range(0, n_frames, 10)) AS frame_idx FROM decoded)"""
+  )
+}
