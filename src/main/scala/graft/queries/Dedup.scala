@@ -39,6 +39,7 @@ object Dedup extends QueryModule {
   private val NumHashes = 12
   private val BandR     = 3 // rows per band → 4 bands
   private val NumBands  = NumHashes / BandR
+  private val ModP      = 2147483647L // 2^31-1, the classic Carter-Wegman prime
 
   private def words(c: Column): Column = split(c, " ")
 
@@ -53,9 +54,24 @@ object Dedup extends QueryModule {
     )
   }
 
-  /** MinHash h: lexicographic min of salted md5 over the shingle set. */
-  private def minhash(sh: Column, h: Int): Column =
-    array_min(transform(sh, x => md5(concat(lit(s"$h|"), x))))
+  /** One 24-bit integer hash per string (single md5 — the only expensive
+    * hash in any signature here; the hash families are integer-only).
+    */
+  private def hash24(c: Column): Column =
+    conv(substring(md5(c), 1, 6), 16, 10).cast("long")
+
+  /** Deterministic affine-family constants, md5-seeded so the oracle
+    * regenerates them (a forced odd, both < 2^24 ⇒ a·x < 2^48, no overflow).
+    */
+  private[queries] def affineConst(seed: String): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(seed.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .take(3).map(b => f"${b & 0xff}%02x").mkString
+    java.lang.Long.parseLong(hex, 16)
+  }
+
+  private def affineA(i: Int): Long = affineConst(s"a$i") | 1L
+  private def affineB(i: Int): Long = affineConst(s"b$i")
 
   /** documents ∪ perturbed copy — the dedup test corpus (see scaladoc). */
   private def corpus(s: SparkSession, d: String): DataFrame = {
@@ -70,14 +86,25 @@ object Dedup extends QueryModule {
       )
   }
 
-  /** (doc_id, band, band_key) — NumBands rows per document. */
+  /** (doc_id, band, band_key) — NumBands rows per document.
+    *
+    * Shape: explode shingles → ONE md5 per (doc, shingle) row → the
+    * NumHashes Carter-Wegman minhashes `min((aᵢ·x+bᵢ) mod p)` as grouped
+    * mins. The md5 is computed exactly once per shingle (array-expression
+    * forms re-inline it per hash — 12× the digest work), and the groupBy
+    * runs map-side partial mins so the shuffle carries NumHashes longs per
+    * (doc, partition), not the shingle set.
+    */
   private def bandKeys(c: DataFrame): DataFrame = {
-    val sh  = c.select(col("doc_id"), shingles(col("text")).as("sh"))
-    val sig = sh.select(
-      col("doc_id") +: (0 until NumHashes).map(h => minhash(col("sh"), h).as(s"m$h")): _*
+    val shx = c
+      .select(col("doc_id"), explode(shingles(col("text"))).as("shingle"))
+      .select(col("doc_id"), hash24(col("shingle")).as("x"))
+    val aggs = (0 until NumHashes).map(h =>
+      min((col("x") * affineA(h) + affineB(h)) % ModP).as(s"m$h")
     )
+    val sig = shx.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
     val keys = (0 until NumBands).map { b =>
-      md5(concat((0 until BandR).map(r => col(s"m${b * BandR + r}")): _*))
+      concat_ws("|", (0 until BandR).map(r => col(s"m${b * BandR + r}").cast("string")): _*)
     }
     sig.select(col("doc_id"), posexplode(array(keys: _*)))
       .select(col("doc_id"), col("pos").as("band"), col("col").as("bkey"))
@@ -114,27 +141,32 @@ object Dedup extends QueryModule {
   }
 
   /** D3 — 16-bit SimHash fingerprint per document (token-frequency weighted:
-    * each occurrence votes ±1 per bit; bit = sign of the vote sum).
+    * each occurrence votes ±1 per bit; bit = sign of the vote sum). One md5
+    * per word; the 16 bit-votes are bit extractions of that single hash —
+    * the standard SimHash construction.
     */
   private def d3_simhash(s: SparkSession, d: String): DataFrame = {
-    val w = words(col("text"))
-    val bits: Seq[Column] = (0 until 16).map { b =>
-      val vote = aggregate(
-        w,
-        lit(0),
-        (acc, word) =>
-          acc +
-            (conv(substring(md5(concat(lit(s"$b|"), word)), 1, 1), 16, 10)
-              .cast("int") % 2) * 2 - 1
+    val wx = table(s, d, "documents")
+      .select(col("doc_id"), explode(words(col("text"))).as("w"))
+      .select(col("doc_id"), hash24(col("w")).as("x"))
+    val votes = (0 until 16).map(b =>
+      sum(shiftright(col("x"), b).bitwiseAND(lit(1L)) * 2 - 1).as(s"v$b")
+    )
+    wx.groupBy(col("doc_id"))
+      .agg(votes.head, votes.tail: _*)
+      .select(
+        col("doc_id"),
+        concat((0 until 16).map(b =>
+          when(col(s"v$b") > 0, lit("1")).otherwise(lit("0"))
+        ): _*).as("simhash")
       )
-      when(vote > 0, lit("1")).otherwise(lit("0"))
-    }
-    table(s, d, "documents")
-      .select(col("doc_id"), concat(bits: _*).as("simhash"))
   }
 
   /** D4 — exact character-4-gram Jaccard over a linear pair set (consecutive
-    * ids) — the verification primitive without an all-pairs join.
+    * ids) — the verification primitive without an all-pairs join. Each
+    * side's set size is computed once per document BEFORE the pair join, not
+    * once per pair. (Hashing grams to ints first was measured slower at this
+    * gram size: the md5 per gram costs more than the string intersect saves.)
     */
   private def d4_ngram_jaccard(s: SparkSession, d: String): DataFrame = {
     val grams = array_distinct(
@@ -143,16 +175,17 @@ object Dedup extends QueryModule {
         i => col("text").substr(i, lit(4))
       )
     )
-    val g = table(s, d, "documents").select(col("doc_id"), grams.as("g"))
-    val a = g.select(col("doc_id").as("doc1"), col("g").as("g1"))
-    val b = g.select(col("doc_id").as("doc2"), col("g").as("g2"))
+    val g = table(s, d, "documents")
+      .select(col("doc_id"), grams.as("g"))
+      .select(col("doc_id"), col("g"), size(col("g")).cast("double").as("n"))
+    val a = g.select(col("doc_id").as("doc1"), col("g").as("g1"), col("n").as("n1"))
+    val b = g.select(col("doc_id").as("doc2"), col("g").as("g2"), col("n").as("n2"))
     a.join(b, col("doc2") === col("doc1") + 1)
       .withColumn("inter", size(array_intersect(col("g1"), col("g2"))).cast("double"))
       .select(
         col("doc1"),
         col("doc2"),
-        round(col("inter") / (size(col("g1")) + size(col("g2")) - col("inter")), 4)
-          .as("jaccard")
+        round(col("inter") / (col("n1") + col("n2") - col("inter")), 4).as("jaccard")
       )
   }
 
@@ -162,16 +195,19 @@ object Dedup extends QueryModule {
     */
   private def d5_embed_neardup(s: SparkSession, d: String): DataFrame = {
     val pls = VF.planes(4, 64)
+    // norm precomputed per row (not per pair — the pair join would otherwise
+    // recompute each side's norm candidate-count times)
     val v = table(s, d, "embeddings")
       .select(
         col("vec_id"),
         col("embedding"),
-        VF.signBits(col("embedding"), pls).as("bk")
+        VF.signBits(col("embedding"), pls).as("bk"),
+        VF.l2norm(col("embedding")).as("nrm")
       )
-    val a = v.select(col("vec_id").as("vec1"), col("embedding").as("e1"), col("bk"))
-    val b = v.select(col("vec_id").as("vec2"), col("embedding").as("e2"), col("bk").as("bk2"))
+    val a = v.select(col("vec_id").as("vec1"), col("embedding").as("e1"), col("bk"), col("nrm").as("n1"))
+    val b = v.select(col("vec_id").as("vec2"), col("embedding").as("e2"), col("bk").as("bk2"), col("nrm").as("n2"))
     a.join(b, col("bk") === col("bk2") && col("vec1") < col("vec2"))
-      .withColumn("cos", VF.cosine(col("e1"), col("e2")))
+      .withColumn("cos", VF.dot(col("e1"), col("e2")) / (col("n1") * col("n2")))
       .filter(col("cos") >= 0.25)
       .select(col("vec1"), col("vec2"), round(col("cos"), 4).as("cos_sim"))
   }
@@ -200,20 +236,29 @@ object Dedup extends QueryModule {
                    generate_series(0, greatest(len(string_split(text, ' ')) - $ShingleN, 0)),
                    i -> array_to_string(string_split(text, ' ')[i+1:i+$ShingleN], ' '))) AS s
           FROM corpus
+        ),
+        shx AS (
+          SELECT doc_id, s,
+                 list_transform(s, x -> ('0x' || substr(md5(x), 1, 6))::BIGINT) AS xs
+          FROM sh
         )"""
 
   private val sigSql = {
     val cols = (0 until NumHashes)
-      .map(h => s"list_min(list_transform(s, x -> md5('$h|' || x))) AS m$h")
+      .map(h =>
+        s"list_min(list_transform(xs, x -> (x * ${affineA(h)} + ${affineB(h)}) % $ModP)) AS m$h"
+      )
       .mkString(", ")
-    s"sig AS (SELECT doc_id, $cols FROM sh)"
+    s"sig AS (SELECT doc_id, $cols FROM shx)"
   }
 
   private val bandsSql = {
     val unions = (0 until NumBands)
       .map { b =>
-        val cat = (0 until BandR).map(r => s"m${b * BandR + r}").mkString(" || ")
-        s"SELECT doc_id, $b AS band, md5($cat) AS bkey FROM sig"
+        val cat = (0 until BandR)
+          .map(r => s"CAST(m${b * BandR + r} AS VARCHAR)")
+          .mkString(" || '|' || ")
+        s"SELECT doc_id, $b AS band, $cat AS bkey FROM sig"
       }
       .mkString(" UNION ALL ")
     s"bands AS ($unions)"
@@ -229,8 +274,7 @@ object Dedup extends QueryModule {
 
   private val simhashBitsSql = (0 until 16)
     .map(b =>
-      s"""CASE WHEN list_sum(list_transform(string_split(text, ' '),
-            w -> (('0x' || substr(md5('$b|' || w), 1, 1))::BIGINT % 2) * 2 - 1)) > 0
+      s"""CASE WHEN list_sum(list_transform(xs, x -> ((x >> $b) & 1) * 2 - 1)) > 0
           THEN '1' ELSE '0' END"""
     )
     .mkString(" || ")
@@ -256,18 +300,24 @@ object Dedup extends QueryModule {
           WHERE CAST(len(list_intersect(s1.s, s2.s)) AS DOUBLE) /
                 (len(s1.s) + len(s2.s) - len(list_intersect(s1.s, s2.s))) >= 0.8""",
     "d3_simhash" ->
-      s"SELECT doc_id, $simhashBitsSql AS simhash FROM documents",
+      s"""WITH wx AS (
+            SELECT doc_id,
+                   list_transform(string_split(text, ' '),
+                                  w -> ('0x' || substr(md5(w), 1, 6))::BIGINT) AS xs
+            FROM documents)
+          SELECT doc_id, $simhashBitsSql AS simhash FROM wx""",
     "d4_ngram_jaccard" ->
-      """WITH g AS (
+      """WITH g0 AS (
            SELECT doc_id,
                   list_distinct(list_transform(
                     generate_series(1, greatest(length(text) - 3, 1)),
                     i -> substr(text, CAST(i AS INTEGER), 4))) AS g
-           FROM documents)
+           FROM documents),
+         gn AS (SELECT doc_id, g, CAST(len(g) AS DOUBLE) AS n FROM g0)
          SELECT a.doc_id AS doc1, b.doc_id AS doc2,
                 round(CAST(len(list_intersect(a.g, b.g)) AS DOUBLE) /
-                      (len(a.g) + len(b.g) - len(list_intersect(a.g, b.g))), 4) AS jaccard
-         FROM g a JOIN g b ON b.doc_id = a.doc_id + 1""",
+                      (a.n + b.n - len(list_intersect(a.g, b.g))), 4) AS jaccard
+         FROM gn a JOIN gn b ON b.doc_id = a.doc_id + 1""",
     "d5_embed_neardup" ->
       s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e, $planeBkSql AS bk FROM embeddings)
           SELECT a.vec_id AS vec1, b.vec_id AS vec2,
