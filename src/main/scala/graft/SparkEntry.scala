@@ -23,7 +23,8 @@ object SparkEntry {
     GraphQueries,
     Nested,
     IOQueries,
-    Multimodal
+    Multimodal,
+    PipelineQueries
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

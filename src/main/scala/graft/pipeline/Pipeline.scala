@@ -1,0 +1,83 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Engine
+import graft.graph.GraphOps
+import graft.io.TableIO
+import graft.sources.Fixtures
+
+/** The orchestrator — the reference's Dagster asset DAG
+  * (defs/definitions.py:20-32, README.md:282-295) as one Spark job running
+  * the asset transforms in dependency order, materializing each to Parquet
+  * through [[graft.io.TableIO]] and running the quality checks after the
+  * index write. Usage:
+  *   SPARK_GRAFT_SF_DIR=… sbt "runMain graft.pipeline.Pipeline [outDir]"
+  *
+  * Prints one JSON line of per-asset row counts + check verdicts.
+  */
+object Pipeline {
+
+  /** Runs the DAG; returns (asset → committed row count, check report). */
+  def run(spark: SparkSession, sfDir: String, outDir: String): (Seq[(String, Long)], DataFrame) = {
+    val raw   = Fixtures.artistIndexRaw(spark, sfDir)
+    val index = Assets.buildArtistIndex(raw)
+    val nIndex = TableIO.writeParquet(index, s"$outDir/artist_index")
+
+    val artists  = Assets.extractArtists(index, Fixtures.entityFixture(spark, sfDir))
+    val nArtists = TableIO.writeParquet(artists, s"$outDir/artists")
+
+    val resolved = graft.Engine
+      .table(spark, sfDir, "nation")
+      .select(concat(lit("QC"), col("n_nationkey").cast("string")).as("id"),
+        col("n_name").as("name"))
+    val (countries, unresolved) = Assets.extractCountries(artists, resolved)
+    val nCountries = TableIO.writeParquet(countries, s"$outDir/countries")
+
+    val articles  = Assets.extractArticles(artists, Fixtures.articleFixture(spark, sfDir))
+    val nArticles = TableIO.writeParquet(articles, s"$outDir/articles")
+
+    val (nodes, edges) = Assets.graphTables(artists, countries)
+    val nNodes = TableIO.writeParquet(nodes, s"$outDir/graph_nodes")
+    val nEdges = TableIO.writeParquet(edges, s"$outDir/graph_edges")
+
+    // communities over the artist—country graph (connected components =
+    // the deterministic community baseline, SURVEY §7.4)
+    val comps = GraphOps.connectedComponents(
+      nodes.select(col("node_id").as("id")),
+      edges.select(col("src"), col("dst"))
+    )
+    val nComms = TableIO.writeParquet(comps, s"$outDir/communities")
+
+    val report = Checks.artistIndexReport(spark.read.parquet(s"$outDir/artist_index"))
+    (
+      Seq(
+        "artist_index" -> nIndex,
+        "artists" -> nArtists,
+        "countries" -> nCountries,
+        "unresolved_countries" -> unresolved.count(),
+        "articles" -> nArticles,
+        "graph_nodes" -> nNodes,
+        "graph_edges" -> nEdges,
+        "communities" -> nComms
+      ),
+      report
+    )
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir  = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+    val outDir = args.headOption.getOrElse(s"${sys.props("java.io.tmpdir")}/graft_pipeline")
+    val spark  = Engine.builder().getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val (counts, report) = run(spark, sfDir, outDir)
+    val countsJson = counts.map { case (k, v) => s""""$k":$v""" }.mkString(",")
+    val checksJson = report
+      .collect()
+      .map(r => s""""${r.getString(0)}":${r.getBoolean(2)}""")
+      .mkString(",")
+    println(s"""{"assets":{$countsJson},"checks":{$checksJson}}""")
+    spark.stop()
+  }
+}

@@ -1,0 +1,192 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Engine.table
+import graft.pipeline.{Assets, Checks}
+import graft.sources.Fixtures
+
+/** End-to-end pipeline-asset queries: each runs a real segment of the
+  * [[graft.pipeline.Pipeline]] DAG (fixture source → asset transforms) and
+  * is oracled by the full equivalent SQL chain — so the correctness gate
+  * covers the *composition* of the operators, not just each in isolation.
+  *
+  * s7 exercises the resumable-source cache pattern (S7/S8) on its own.
+  */
+object PipelineQueries extends QueryModule {
+
+  /** S7 — cache-hit/fetch-missing split: requested ids partitioned by a
+    * warm-cache semi/anti join pair, tagged by provenance.
+    */
+  private def s7_cache_fetch_missing(s: SparkSession, d: String): DataFrame = {
+    val requested = table(s, d, "customer")
+      .filter(col("c_custkey") <= 900)
+      .select(concat(lit("Q"), col("c_custkey").cast("string")).as("qid"))
+    val cache = table(s, d, "customer")
+      .filter(col("c_custkey") % 3 === 0)
+      .select(concat(lit("Q"), col("c_custkey").cast("string")).as("qid"))
+    val (hits, missing) = Fixtures.cacheSplit(requested, cache, "qid")
+    hits
+      .select(col("qid"), lit("cache").as("src"))
+      .unionByName(missing.select(col("qid"), lit("fetched").as("src")))
+  }
+
+  private def index(s: SparkSession, d: String): DataFrame =
+    Assets.buildArtistIndex(Fixtures.artistIndexRaw(s, d))
+
+  private def artists(s: SparkSession, d: String): DataFrame =
+    Assets.extractArtists(index(s, d), Fixtures.entityFixture(s, d))
+
+  /** PL1 — build_artist_index end-to-end: raw fixture → clean → null gates
+    * → dedup-by-priority.
+    */
+  private def pl1_artist_index(s: SparkSession, d: String): DataFrame = index(s, d)
+
+  /** PL2 — extract_artists end-to-end: QID/year derivation → Latin gate →
+    * enrichment join → validation gate.
+    */
+  private def pl2_artists(s: SparkSession, d: String): DataFrame = artists(s, d)
+
+  /** PL3 — extract_articles end-to-end: artists ⨝ article fixture → clean →
+    * chunk → chunk ids + search_document context strings.
+    */
+  private def pl3_article_chunks(s: SparkSession, d: String): DataFrame =
+    Assets.extractArticles(artists(s, d), Fixtures.articleFixture(s, d))
+
+  /** PL4 — the five quality checks as a report over the built index. */
+  private def pl4_check_report(s: SparkSession, d: String): DataFrame =
+    Checks.artistIndexReport(index(s, d))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s7_cache_fetch_missing" -> (s7_cache_fetch_missing _),
+    "pl1_artist_index" -> (pl1_artist_index _),
+    "pl2_artists" -> (pl2_artists _),
+    "pl3_article_chunks" -> (pl3_article_chunks _),
+    "pl4_check_report" -> (pl4_check_report _)
+  )
+
+  // ---- oracle CTE chain mirroring Fixtures + Assets ----
+
+  private val rawSql =
+    """raw AS (
+         SELECT 'http://www.wikidata.org/entity/Q' || CAST(c_custkey AS VARCHAR) AS artist_uri,
+                '  ' || c_name || CASE WHEN c_custkey % 17 = 0 THEN ' Ω' ELSE '' END || '  ' AS name,
+                '19' || lpad(CAST(c_custkey % 50 + 20 AS VARCHAR), 2, '0') || '-01-01' AS start_date
+         FROM customer
+         UNION ALL
+         SELECT 'http://www.wikidata.org/entity/Q' || CAST(c_custkey AS VARCHAR),
+                c_name || ' (later)', '1999-12-31'
+         FROM customer WHERE c_custkey % 10 = 0
+         UNION ALL
+         SELECT 'http://www.wikidata.org/entity/QX' || CAST(c_custkey AS VARCHAR),
+                CASE WHEN c_custkey % 2 = 0 THEN c_name END,
+                CASE WHEN c_custkey % 2 <> 0 THEN '1980-01-01' END
+         FROM customer WHERE c_custkey % 13 = 0
+       )"""
+
+  private val indexSql =
+    s"""$rawSql,
+       cleaned AS (
+         SELECT artist_uri,
+                trim(regexp_replace(regexp_replace(regexp_replace(name, '\\\\"', '"', 'g'),
+                     '[' || chr(10) || chr(13) || ']+', ' ', 'g'), '\\s+', ' ', 'g')) AS name,
+                start_date
+         FROM raw),
+       gated AS (
+         SELECT * FROM cleaned
+         WHERE artist_uri IS NOT NULL AND name IS NOT NULL AND name <> ''
+           AND start_date IS NOT NULL),
+       s1 AS (
+         SELECT *, row_number() OVER (PARTITION BY artist_uri
+                ORDER BY start_date, artist_uri, name) AS rn FROM gated),
+       d1 AS (SELECT artist_uri, name, start_date FROM s1 WHERE rn = 1),
+       s2 AS (
+         SELECT *, row_number() OVER (PARTITION BY name
+                ORDER BY start_date, artist_uri, name) AS rn FROM d1),
+       index_out AS (SELECT artist_uri, name, start_date FROM s2 WHERE rn = 1)"""
+
+  private val artistsSql =
+    s"""$indexSql,
+       qids AS (
+         SELECT regexp_extract(artist_uri, '([^/]+)$$', 1) AS qid, name,
+                CAST(split_part(start_date, '-', 1) AS INTEGER) AS inception_year
+         FROM index_out
+         WHERE regexp_matches(name, '^[\\x00-\\x{024F}\\x{1E00}-\\x{1EFF}]*$$')),
+       entities AS (
+         SELECT 'Q' || CAST(c_custkey AS VARCHAR) AS qid, c_name AS entity_name,
+                md5(c_name) AS mbid, n_name AS country,
+                CASE WHEN c_custkey % 4 = 0 THEN NULL
+                     ELSE 'https://en.wikipedia.org/wiki/T' || CAST(c_custkey AS VARCHAR)
+                END AS wikipedia_url
+         FROM customer JOIN nation ON c_nationkey = n_nationkey),
+       artists_out AS (
+         SELECT qid AS id, name, mbid, country, wikipedia_url, inception_year
+         FROM qids JOIN entities USING (qid)
+         WHERE wikipedia_url IS NOT NULL AND mbid IS NOT NULL AND country IS NOT NULL)"""
+
+  val oracles: Map[String, String] = Map(
+    "s7_cache_fetch_missing" ->
+      """WITH req AS (
+           SELECT 'Q' || CAST(c_custkey AS VARCHAR) AS qid
+           FROM customer WHERE c_custkey <= 900),
+         cache AS (
+           SELECT 'Q' || CAST(c_custkey AS VARCHAR) AS qid
+           FROM customer WHERE c_custkey % 3 = 0)
+         SELECT qid,
+                CASE WHEN qid IN (SELECT qid FROM cache) THEN 'cache'
+                     ELSE 'fetched' END AS src
+         FROM req""",
+    "pl1_artist_index" ->
+      s"WITH $indexSql SELECT artist_uri, name, start_date FROM index_out",
+    "pl2_artists" ->
+      s"WITH $artistsSql SELECT id, name, mbid, country, wikipedia_url, inception_year FROM artists_out",
+    "pl3_article_chunks" ->
+      s"""WITH $artistsSql,
+          fixt AS (
+            SELECT 'Q' || CAST(doc_id AS VARCHAR) AS qid,
+                   'Title_' || CAST(doc_id AS VARCHAR) AS title,
+                   trim(regexp_replace(regexp_replace(regexp_replace(text, '\\\\"', '"', 'g'),
+                        '[' || chr(10) || chr(13) || ']+', ' ', 'g'), '\\s+', ' ', 'g')) AS ct
+            FROM documents),
+          joined AS (
+            SELECT a.id AS qid, a.name, a.country, a.inception_year, f.title, f.ct
+            FROM artists_out a JOIN fixt f ON a.id = f.qid),
+          chunks AS (
+            SELECT qid, name, country, inception_year, title,
+                   unnest(generate_series(1, greatest(length(ct), 1), 150)) AS p, ct
+            FROM joined)
+          SELECT qid || '_chunk_' || CAST((p - 1) // 150 + 1 AS VARCHAR) AS id,
+                 'search_document: Topic: ' || name || '. Context: ' || country || '; '
+                 || CAST(inception_year AS VARCHAR) || ' | ' || title || ' | '
+                 || substr(ct, CAST(p AS INTEGER), 200) AS article,
+                 qid,
+                 CAST((p - 1) // 150 + 1 AS BIGINT) AS chunk_index
+          FROM chunks""",
+    "pl4_check_report" ->
+      s"""WITH $indexSql,
+          counts AS (
+            SELECT CAST(count(*) AS DOUBLE) AS row_count,
+                   CAST(sum(CASE WHEN artist_uri IS NULL THEN 1 ELSE 0 END)
+                        + sum(CASE WHEN name IS NULL THEN 1 ELSE 0 END) AS DOUBLE) AS null_ids,
+                   CAST(count(DISTINCT artist_uri) AS DOUBLE) AS distinct_uris,
+                   CAST(sum(CASE WHEN start_date IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE) AS dated_rows
+            FROM index_out),
+          dups AS (
+            SELECT CAST(coalesce(sum(c), 0) AS DOUBLE) AS dup_rows FROM (
+              SELECT count(*) AS c FROM index_out
+              GROUP BY artist_uri, name, start_date HAVING count(*) > 1))
+          SELECT 'row_count' AS check, round(row_count, 6) AS value, row_count > 0 AS passed
+          FROM counts, dups
+          UNION ALL
+          SELECT 'null_ids', round(null_ids, 6), null_ids = 0 FROM counts, dups
+          UNION ALL
+          SELECT 'dup_rows', round(dup_rows, 6), dup_rows = 0 FROM counts, dups
+          UNION ALL
+          SELECT 'unique_uri_ratio', round(distinct_uris / row_count, 6),
+                 distinct_uris = row_count FROM counts, dups
+          UNION ALL
+          SELECT 'date_completeness', round(dated_rows / row_count, 6),
+                 dated_rows / row_count >= 0.95 FROM counts, dups"""
+  )
+}
