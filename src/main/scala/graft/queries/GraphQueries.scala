@@ -92,11 +92,95 @@ object GraphQueries extends QueryModule {
       .select(col("id").cast("long").as("id"), col("comp").cast("long").as("component"))
   }
 
+  /** Community metadata aggregation (reference detect_communities.py:100-165
+    * + 294-328): member count, top segment by frequency (deterministic
+    * tiebreak), and the 3 lowest-key representative members. `collect_list`
+    * groups here are nation-bounded; the unbounded-group form would use the
+    * KSmallestLong aggregator (see a8_member_stats).
+    */
+  private def communityMeta(s: SparkSession, d: String): DataFrame = {
+    val c = table(s, d, "customer")
+    val segCounts = c
+      .groupBy(col("c_nationkey"), col("c_mktsegment"))
+      .agg(count(lit(1)).as("cnt"))
+    val wTop = Window
+      .partitionBy(col("c_nationkey"))
+      .orderBy(col("cnt").desc, col("c_mktsegment").asc)
+    val topSeg = segCounts
+      .withColumn("rn", row_number().over(wTop))
+      .filter(col("rn") === 1)
+      .select(col("c_nationkey"), col("c_mktsegment").as("top_segment"))
+    val stats = c
+      .groupBy(col("c_nationkey"))
+      .agg(
+        count(lit(1)).as("member_count"),
+        array_join(
+          slice(
+            transform(
+              array_sort(collect_list(struct(col("c_custkey"), col("c_name")))),
+              x => x.getField("c_name")
+            ),
+            1,
+            3
+          ),
+          ", "
+        ).as("reps")
+      )
+    stats.join(topSeg, "c_nationkey")
+  }
+
+  /** G5 — LLM prompt construction (reference
+    * generate_community_summaries.py:52-83): the summarization prompt as a
+    * pure column expression over the aggregated community metadata.
+    */
+  private def g5_prompt_construction(s: SparkSession, d: String): DataFrame =
+    communityMeta(s, d).select(
+      col("c_nationkey").as("community_id"),
+      concat(
+        lit("Summarize community "),
+        col("c_nationkey").cast("string"),
+        lit(" with "),
+        col("member_count").cast("string"),
+        lit(" members. Top segment: "),
+        col("top_segment"),
+        lit(". Representatives: "),
+        col("reps"),
+        lit(".")
+      ).as("prompt")
+    )
+
+  /** G4 — LLM summarization STUB (reference utils/llm_helpers.py:20-112 —
+    * no model ships offline, SURVEY §7.4 declares the deterministic
+    * template stand-in): name = "{country} {top_segment}", summary from the
+    * same metadata the real prompt would carry.
+    */
+  private def g4_summary_stub(s: SparkSession, d: String): DataFrame =
+    communityMeta(s, d)
+      .join(
+        broadcast(table(s, d, "nation")),
+        col("c_nationkey") === col("n_nationkey")
+      )
+      .select(
+        col("c_nationkey").as("community_id"),
+        concat(col("n_name"), lit(" "), col("top_segment")).as("name"),
+        concat(
+          lit("Community of "),
+          col("member_count").cast("string"),
+          lit(" customers dominated by the "),
+          col("top_segment"),
+          lit(" segment; representatives include "),
+          col("reps"),
+          lit(".")
+        ).as("summary")
+      )
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "g0_node_table" -> (g0_node_table _),
     "g1_edge_validity" -> (g1_edge_validity _),
     "g1b_degree_stats" -> (g1b_degree_stats _),
-    "g2_connected_components" -> (g2_connected_components _)
+    "g2_connected_components" -> (g2_connected_components _),
+    "g4_summary_stub" -> (g4_summary_stub _),
+    "g5_prompt_construction" -> (g5_prompt_construction _)
   )
 
   private val validEdgesSql =
@@ -112,7 +196,44 @@ object GraphQueries extends QueryModule {
            AND EXISTS (SELECT 1 FROM part WHERE p_partkey = e.dst)
        )"""
 
+  private val communityMetaSql =
+    """segc AS (
+         SELECT c_nationkey, c_mktsegment, count(*) AS cnt
+         FROM customer GROUP BY 1, 2),
+       tops AS (
+         SELECT c_nationkey, c_mktsegment AS top_segment FROM (
+           SELECT *, row_number() OVER (PARTITION BY c_nationkey
+                  ORDER BY cnt DESC, c_mktsegment) AS rn FROM segc)
+         WHERE rn = 1),
+       reps AS (
+         SELECT c_nationkey, string_agg(c_name, ', ' ORDER BY c_custkey) AS reps FROM (
+           SELECT *, row_number() OVER (PARTITION BY c_nationkey
+                  ORDER BY c_custkey) AS rn FROM customer)
+         WHERE rn <= 3 GROUP BY c_nationkey),
+       stats AS (
+         SELECT c_nationkey, CAST(count(*) AS BIGINT) AS member_count
+         FROM customer GROUP BY c_nationkey),
+       meta AS (
+         SELECT s.c_nationkey, s.member_count, t.top_segment, r.reps
+         FROM stats s JOIN tops t ON s.c_nationkey = t.c_nationkey
+         JOIN reps r ON s.c_nationkey = r.c_nationkey)"""
+
   val oracles: Map[String, String] = Map(
+    "g4_summary_stub" ->
+      s"""WITH $communityMetaSql
+          SELECT c_nationkey AS community_id,
+                 n_name || ' ' || top_segment AS name,
+                 'Community of ' || CAST(member_count AS VARCHAR)
+                 || ' customers dominated by the ' || top_segment
+                 || ' segment; representatives include ' || reps || '.' AS summary
+          FROM meta JOIN nation ON c_nationkey = n_nationkey""",
+    "g5_prompt_construction" ->
+      s"""WITH $communityMetaSql
+          SELECT c_nationkey AS community_id,
+                 'Summarize community ' || CAST(c_nationkey AS VARCHAR) || ' with '
+                 || CAST(member_count AS VARCHAR) || ' members. Top segment: '
+                 || top_segment || '. Representatives: ' || reps || '.' AS prompt
+          FROM meta""",
     "g0_node_table" ->
       """SELECT 's:' || CAST(s_suppkey AS VARCHAR) AS node_id,
                 'Supplier' AS node_type, s_name AS name FROM supplier

@@ -95,10 +95,48 @@ object Vectors extends QueryModule {
       .select(col("doc_id"), array_join(array(comps: _*), ",").as("emb_q"))
   }
 
+  /** S17 — vector-collection upsert sink: multiple versions per doc_id in
+    * the batch, keep-last wins (the reference's `collection.upsert`
+    * semantics, ingest_vector_db.py:181-204), then the collection is
+    * written through the parquet sink and read back.
+    */
+  private def s17_vector_upsert(s: SparkSession, d: String): DataFrame = {
+    val batch = table(s, d, "embeddings").select(
+      (col("vec_id") % 300).as("doc_id"),
+      col("vec_id"),
+      col("label")
+    )
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id"))
+      .orderBy(col("vec_id").desc)
+    val upserted = batch
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), col("vec_id").as("kept_vec_id"), col("label"))
+    val out = s"${sys.props("java.io.tmpdir")}/graft_io/s17_collection"
+    graft.io.TableIO.writeParquet(upserted, out)
+    s.read.parquet(out)
+  }
+
+  /** S18 — dedup-aware append (the reference's community-summary ingest
+    * skips doc_ids already present, ingest_community_summaries.py:90-201):
+    * existing ∪ (new LEFT ANTI existing), tagged by provenance.
+    */
+  private def s18_dedup_aware_append(s: SparkSession, d: String): DataFrame = {
+    val all      = table(s, d, "embeddings").select(col("vec_id"), col("label"))
+    val existing = all.filter(col("vec_id") % 2 === 0)
+    val fresh    = all.join(existing.select("vec_id"), Seq("vec_id"), "left_anti")
+    existing
+      .select(col("vec_id"), col("label"), lit("existing").as("src"))
+      .unionByName(fresh.select(col("vec_id"), col("label"), lit("appended").as("src")))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s19_knn_cosine" -> (s19_knn_cosine _),
     "s19b_knn_bucketed" -> (s19b_knn_bucketed _),
     "s20_vector_dump" -> (s20_vector_dump _),
+    "s17_vector_upsert" -> (s17_vector_upsert _),
+    "s18_dedup_aware_append" -> (s18_dedup_aware_append _),
     "g3_embed_stub" -> (g3_embed_stub _)
   )
 
@@ -130,6 +168,15 @@ object Vectors extends QueryModule {
           FROM v, q WHERE bk = qbk
           ORDER BY $cosSql DESC, vec_id
           LIMIT $K""",
+    "s17_vector_upsert" ->
+      """SELECT doc_id, kept_vec_id, label FROM (
+           SELECT vec_id % 300 AS doc_id, vec_id AS kept_vec_id, label,
+                  row_number() OVER (PARTITION BY vec_id % 300 ORDER BY vec_id DESC) AS rn
+           FROM embeddings) WHERE rn = 1""",
+    "s18_dedup_aware_append" ->
+      """SELECT vec_id, label,
+                CASE WHEN vec_id % 2 = 0 THEN 'existing' ELSE 'appended' END AS src
+         FROM embeddings""",
     "s20_vector_dump" ->
       """SELECT vec_id, label, CAST(len(embedding) AS BIGINT) AS dim,
                 round(sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])), 4) AS norm
