@@ -75,9 +75,74 @@ object IOQueries extends QueryModule {
       )
   }
 
+  /** S13 — MusicBrainz release flatten (reference
+    * utils/musicbrainz_helpers.py:158-225): `media[].tracks[].recording`
+    * nested arrays-of-structs, flattened by a double explode. The nested
+    * shape is synthesized from lineitem (media = per-order linestatus
+    * groups, tracks = lines within each).
+    */
+  private def s13_track_flatten(s: SparkSession, d: String): DataFrame = {
+    val li = table(s, d, "lineitem").filter(col("l_orderkey") % 7 === 0)
+    val nested = li
+      .groupBy(col("l_orderkey"), col("l_linestatus"))
+      .agg(
+        sort_array(
+          collect_list(
+            struct(
+              col("l_linenumber").as("position"),
+              col("l_partkey").as("recording_id"),
+              col("l_suppkey").as("artist_credit")
+            )
+          )
+        ).as("tracks")
+      )
+      .groupBy(col("l_orderkey"))
+      .agg(
+        sort_array(collect_list(struct(col("l_linestatus").as("format"), col("tracks"))))
+          .as("media")
+      )
+    nested
+      .select(col("l_orderkey"), explode(col("media")).as("m"))
+      .select(col("l_orderkey"), col("m.format").as("format"), explode(col("m.tracks")).as("t"))
+      .select(
+        col("l_orderkey"),
+        col("format"),
+        col("t.position").as("position"),
+        col("t.recording_id").as("recording_id"),
+        col("t.artist_credit").as("artist_credit")
+      )
+  }
+
+  /** S14+S15 — graph sink/source roundtrip: node+edge tables written as the
+    * graph store, read back, summarized by type (the reference's node-count
+    * reconciliation, ingest_graph_db.py:336-363).
+    */
+  private def s14_graph_roundtrip(s: SparkSession, d: String): DataFrame = {
+    val base = ioDir("s14_graph")
+    val nodes = table(s, d, "supplier")
+      .select(concat(lit("s:"), col("s_suppkey")).as("node_id"), lit("Supplier").as("node_type"))
+      .unionByName(
+        table(s, d, "nation")
+          .select(concat(lit("n:"), col("n_nationkey")).as("node_id"), lit("Nation").as("node_type"))
+      )
+    val edges = table(s, d, "supplier")
+      .select(
+        concat(lit("s:"), col("s_suppkey")).as("src"),
+        concat(lit("n:"), col("s_nationkey")).as("dst"),
+        lit("FROM_NATION").as("rel")
+      )
+    TableIO.writeParquet(nodes, s"$base/nodes")
+    TableIO.writeParquet(edges, s"$base/edges")
+    val n = s.read.parquet(s"$base/nodes").groupBy(col("node_type").as("kind")).agg(count(lit(1)).as("n"))
+    val e = s.read.parquet(s"$base/edges").groupBy(col("rel").as("kind")).agg(count(lit(1)).as("n"))
+    n.unionByName(e)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s1_parquet_roundtrip" -> (s1_parquet_roundtrip _),
     "s3_jsonl_roundtrip" -> (s3_jsonl_roundtrip _),
+    "s13_track_flatten" -> (s13_track_flatten _),
+    "s14_graph_roundtrip" -> (s14_graph_roundtrip _),
     "u2_partition_union" -> (u2_partition_union _)
   )
 
@@ -89,6 +154,17 @@ object IOQueries extends QueryModule {
                 CASE WHEN c_custkey % 2 = 0
                      THEN 'seg' || CAST(c_nationkey AS VARCHAR) END AS segment
          FROM customer""",
+    "s13_track_flatten" ->
+      """SELECT l_orderkey, l_linestatus AS format,
+                l_linenumber AS position, l_partkey AS recording_id,
+                l_suppkey AS artist_credit
+         FROM lineitem WHERE l_orderkey % 7 = 0""",
+    "s14_graph_roundtrip" ->
+      """SELECT 'Supplier' AS kind, CAST(count(*) AS BIGINT) AS n FROM supplier
+         UNION ALL
+         SELECT 'Nation', CAST(count(*) AS BIGINT) FROM nation
+         UNION ALL
+         SELECT 'FROM_NATION', CAST(count(*) AS BIGINT) FROM supplier""",
     "u2_partition_union" ->
       """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders,
                 max(o_totalprice) AS max_price

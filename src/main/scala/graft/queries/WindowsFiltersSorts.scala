@@ -181,6 +181,20 @@ object WindowsFiltersSorts extends QueryModule {
       .select(col("o_orderkey"), col("rn"))
   }
 
+  /** O5 — sorted distinct keys (reference detect_communities.py:296:
+    * `unique().sort()` over community ids), rank made observable; the
+    * distinct-key set is tiny by construction so the single-partition
+    * window is O(keys).
+    */
+  private def o5_sorted_distinct(s: SparkSession, d: String): DataFrame =
+    table(s, d, "orders")
+      .select(col("o_orderpriority"))
+      .distinct()
+      .withColumn(
+        "rnk",
+        row_number().over(Window.orderBy(col("o_orderpriority"))).cast("long")
+      )
+
   /** P9 — min-length content filter. */
   private def p9_min_length(s: SparkSession, d: String): DataFrame =
     table(s, d, "documents")
@@ -194,6 +208,7 @@ object WindowsFiltersSorts extends QueryModule {
     "o1_global_sort_limit" -> (o1_global_sort_limit _),
     "o2_stable_sort" -> (o2_stable_sort _),
     "o3_argmin_composite" -> (o3_argmin_composite _),
+    "o5_sorted_distinct" -> (o5_sorted_distinct _),
     "p3_explode_drop_nulls" -> (p3_explode_drop_nulls _),
     "p10_empty_skip" -> (p10_empty_skip _),
     "p6_validation_gate" -> (p6_validation_gate _),
@@ -249,6 +264,10 @@ object WindowsFiltersSorts extends QueryModule {
            SELECT o_orderkey,
                   CAST(row_number() OVER (ORDER BY o_orderdate, o_orderkey) AS BIGINT) AS rn
            FROM orders) WHERE rn <= 500""",
+    "o5_sorted_distinct" ->
+      """SELECT o_orderpriority,
+                CAST(row_number() OVER (ORDER BY o_orderpriority) AS BIGINT) AS rnk
+         FROM (SELECT DISTINCT o_orderpriority FROM orders)""",
     "p3_explode_drop_nulls" ->
       """SELECT o_orderkey, tag FROM (
            SELECT o_orderkey,
