@@ -42,6 +42,47 @@ object GraphOps {
       .groupBy("id")
       .agg(count(lit(1)).as("degree"))
 
+  /** Synchronous label propagation (fixed iteration count, fully
+    * deterministic): label₀(v) = v; each pass every vertex adopts the most
+    * frequent label among its neighbors, ties broken by the smallest label;
+    * isolated vertices keep theirs. The deterministic community baseline
+    * one step up from connected components (async LPA — and seeded Leiden,
+    * reference utils/neo4j_helpers.py:237-268 — are not run-reproducible
+    * across engines; SURVEY §7.4 declares this substitution).
+    *
+    * Per pass: one equi-join + one count aggregate + one top-1 window +
+    * one left join — all key-partitioned, `localCheckpoint` truncating
+    * lineage between passes.
+    */
+  def labelPropagation(vertexIds: DataFrame, edges: DataFrame, iterations: Int): DataFrame = {
+    val sym = edges
+      .select(col("src"), col("dst"))
+      .unionAll(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+      .localCheckpoint(true)
+
+    var labels =
+      vertexIds.select(col("id"), col("id").as("lbl")).localCheckpoint(true)
+    (1 to iterations).foreach { _ =>
+      val neigh = sym
+        .join(labels, sym("dst") === labels("id"))
+        .select(sym("src").as("id"), col("lbl"))
+      val cnt = neigh.groupBy(col("id"), col("lbl")).agg(count(lit(1)).as("c"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("id"))
+        .orderBy(col("c").desc, col("lbl").asc)
+      val picked = cnt
+        .withColumn("rn", org.apache.spark.sql.functions.row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("id"), col("lbl").as("new_lbl"))
+      labels = labels
+        .join(picked, Seq("id"), "left")
+        .select(col("id"), coalesce(col("new_lbl"), col("lbl")).as("lbl"))
+        .localCheckpoint(true)
+    }
+    labels
+  }
+
   /** Connected components by min-label propagation: every vertex starts
     * labelled with its own id; each pass every vertex takes the min label in
     * its closed neighborhood; converged when no label changes. Returns

@@ -92,6 +92,24 @@ object GraphQueries extends QueryModule {
       .select(col("id").cast("long").as("id"), col("comp").cast("long").as("component"))
   }
 
+  /** G2b — synchronous label propagation (3 passes) on the same chained
+    * graph: the deterministic community algorithm one step past connected
+    * components (see [[graft.graph.GraphOps.labelPropagation]]).
+    */
+  private def g2b_label_propagation(s: SparkSession, d: String): DataFrame = {
+    val n = table(s, d, "nation")
+    val w = Window.partitionBy(col("n_regionkey")).orderBy(col("n_nationkey"))
+    val edges = n
+      .select(
+        col("n_nationkey").as("src"),
+        lead(col("n_nationkey"), 1).over(w).as("dst")
+      )
+      .filter(col("dst").isNotNull)
+    GraphOps
+      .labelPropagation(n.select(col("n_nationkey").as("id")), edges, 3)
+      .select(col("id").cast("long").as("id"), col("lbl").cast("long").as("label"))
+  }
+
   /** Community metadata aggregation (reference detect_communities.py:100-165
     * + 294-328): member count, top segment by frequency (deterministic
     * tiebreak), and the 3 lowest-key representative members. `collect_list`
@@ -179,6 +197,7 @@ object GraphQueries extends QueryModule {
     "g1_edge_validity" -> (g1_edge_validity _),
     "g1b_degree_stats" -> (g1b_degree_stats _),
     "g2_connected_components" -> (g2_connected_components _),
+    "g2b_label_propagation" -> (g2b_label_propagation _),
     "g4_summary_stub" -> (g4_summary_stub _),
     "g5_prompt_construction" -> (g5_prompt_construction _)
   )
@@ -218,7 +237,38 @@ object GraphQueries extends QueryModule {
          FROM stats s JOIN tops t ON s.c_nationkey = t.c_nationkey
          JOIN reps r ON s.c_nationkey = r.c_nationkey)"""
 
+  /** The 3 LPA passes, unrolled (the iterative loop has no SQL equivalent
+    * short of unrolling; 3 passes = 3 CTE triplets).
+    */
+  private val lpaStepsSql: String = (1 to 3)
+    .map { t =>
+      s"""c$t AS (
+            SELECT e.src AS id, l.lbl, count(*) AS c
+            FROM edges e JOIN l${t - 1} l ON l.id = e.dst GROUP BY 1, 2),
+          p$t AS (
+            SELECT id, lbl FROM (
+              SELECT *, row_number() OVER (PARTITION BY id ORDER BY c DESC, lbl) AS rn
+              FROM c$t) WHERE rn = 1),
+          l$t AS (
+            SELECT a.id, coalesce(p.lbl, a.lbl) AS lbl
+            FROM l${t - 1} a LEFT JOIN p$t p ON a.id = p.id)"""
+    }
+    .mkString(", ")
+
   val oracles: Map[String, String] = Map(
+    "g2b_label_propagation" ->
+      s"""WITH chain AS (
+            SELECT n_nationkey AS src,
+                   lead(n_nationkey) OVER (PARTITION BY n_regionkey
+                                           ORDER BY n_nationkey) AS dst
+            FROM nation),
+          edges AS (
+            SELECT src, dst FROM chain WHERE dst IS NOT NULL
+            UNION
+            SELECT dst, src FROM chain WHERE dst IS NOT NULL),
+          l0 AS (SELECT n_nationkey AS id, n_nationkey AS lbl FROM nation),
+          $lpaStepsSql
+          SELECT CAST(id AS BIGINT) AS id, CAST(lbl AS BIGINT) AS label FROM l3""",
     "g4_summary_stub" ->
       s"""WITH $communityMetaSql
           SELECT c_nationkey AS community_id,
