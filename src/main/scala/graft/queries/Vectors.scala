@@ -95,6 +95,35 @@ object Vectors extends QueryModule {
       .select(col("doc_id"), array_join(array(comps: _*), ",").as("emb_q"))
   }
 
+  /** S19c — IVF-style ANN: one centroid per stored cluster label (per-dim
+    * mean), the query probes only its nearest centroid's cluster, exact
+    * rerank inside it. The third scale path next to brute force and LSH:
+    * at 100 TB the centroid table is tiny (k × dim), the probe is a
+    * broadcast, and the rerank touches n/k rows. Recall < 1 by design —
+    * deterministic given the stored labels.
+    */
+  private def s19c_knn_ivf(s: SparkSession, d: String): DataFrame = {
+    val e = table(s, d, "embeddings")
+    val dims = e.select(col("label"), posexplode(col("embedding").cast("array<double>")))
+    val cent = dims.groupBy(col("label"), col("pos")).agg(avg(col("col")).as("c"))
+    val qdims = e
+      .filter(col("vec_id") === 0)
+      .select(posexplode(col("embedding").cast("array<double>")))
+      .select(col("pos"), col("col").as("q"))
+    val dist = cent
+      .join(broadcast(qdims), Seq("pos"))
+      .groupBy(col("label"))
+      .agg(sum((col("c") - col("q")) * (col("c") - col("q"))).as("d2"))
+    val probe = dist
+      .orderBy(col("d2").asc, col("label").asc)
+      .limit(1)
+      .select(col("label").as("plabel"))
+    scored(
+      e.join(broadcast(probe), col("label") === col("plabel"))
+        .crossJoin(broadcast(queryVec(e)))
+    )
+  }
+
   /** S17 — vector-collection upsert sink: multiple versions per doc_id in
     * the batch, keep-last wins (the reference's `collection.upsert`
     * semantics, ingest_vector_db.py:181-204), then the collection is
@@ -134,6 +163,7 @@ object Vectors extends QueryModule {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s19_knn_cosine" -> (s19_knn_cosine _),
     "s19b_knn_bucketed" -> (s19b_knn_bucketed _),
+    "s19c_knn_ivf" -> (s19c_knn_ivf _),
     "s20_vector_dump" -> (s20_vector_dump _),
     "s17_vector_upsert" -> (s17_vector_upsert _),
     "s18_dedup_aware_append" -> (s18_dedup_aware_append _),
@@ -166,6 +196,21 @@ object Vectors extends QueryModule {
               q AS (SELECT e AS qe, bk AS qbk FROM v WHERE vec_id = 0)
           SELECT vec_id, round($cosSql, 4) AS score
           FROM v, q WHERE bk = qbk
+          ORDER BY $cosSql DESC, vec_id
+          LIMIT $K""",
+    "s19c_knn_ivf" ->
+      s"""WITH v AS (SELECT vec_id, label, embedding::DOUBLE[] AS e FROM embeddings),
+              dims AS (SELECT label, i AS pos, e[i] AS val
+                       FROM v, (SELECT unnest(range(1, ${Dim + 1})) AS i)),
+              cent AS (SELECT label, pos, avg(val) AS c FROM dims GROUP BY 1, 2),
+              q AS (SELECT e AS qe FROM v WHERE vec_id = 0),
+              qd AS (SELECT i AS pos, qe[i] AS q
+                     FROM q, (SELECT unnest(range(1, ${Dim + 1})) AS i)),
+              dist AS (SELECT label, sum((c - q) * (c - q)) AS d2
+                       FROM cent JOIN qd USING (pos) GROUP BY label),
+              probe AS (SELECT label FROM dist ORDER BY d2, label LIMIT 1)
+          SELECT vec_id, round($cosSql, 4) AS score
+          FROM v, q WHERE v.label = (SELECT label FROM probe)
           ORDER BY $cosSql DESC, vec_id
           LIMIT $K""",
     "s17_vector_upsert" ->
