@@ -24,7 +24,8 @@ object SparkEntry {
     Nested,
     IOQueries,
     Multimodal,
-    PipelineQueries
+    PipelineQueries,
+    Events
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

@@ -1,0 +1,85 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Engine.table
+import graft.streaming.StreamOps
+
+/** Event-time operators over the `events` table — the batch face of the
+  * [[graft.streaming.StreamOps]] transforms (the reference itself is pure
+  * batch, SURVEY §2.11; the engine still provides the event-time surface).
+  *
+  * `events.ts` is TIMESTAMP(NANOS) in parquet, which the session reads as
+  * epoch-nanos longs (see Engine.builder's nanosAsLong note); this module
+  * owns the nanos→timestamp conversion.
+  *
+  * Scale notes: e1 is one hash aggregate on (window, type) — window binning
+  * is a codegen'd projection, not a shuffle per window. e2 is classic
+  * two-window sessionization: one shuffle on user_id, lag + running sum
+  * within partitions, then a grouped aggregate on the same key (no second
+  * shuffle — the partitioning is reused).
+  */
+object Events extends QueryModule {
+
+  private def us: org.apache.spark.sql.Column = expr("ts div 1000")
+
+  /** E1 — tumbling 1-day event-time window counts per type, through the
+    * shared batch/streaming transform.
+    */
+  private def e1_event_window(s: SparkSession, d: String): DataFrame =
+    StreamOps.windowedCounts(
+      table(s, d, "events").withColumn("t", timestamp_micros(us))
+    )
+
+  /** E2 — gap-based sessionization (30-minute gap) in its batch SQL form:
+    * lag detects gaps, a running sum assigns session ids, one aggregate
+    * summarizes each session.
+    */
+  private def e2_sessionize(s: SparkSession, d: String): DataFrame = {
+    val w  = Window.partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
+    val ws = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    table(s, d, "events")
+      .select(col("user_id"), col("event_id"), us.as("us"))
+      .withColumn(
+        "flag",
+        when(col("us") - lag(col("us"), 1).over(w) > 30L * 60 * 1000000, 1).otherwise(0)
+      )
+      .withColumn("sid", sum(col("flag")).over(ws))
+      .groupBy(col("user_id"), col("sid"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        ((max(col("us")) - min(col("us"))) / 1000000).cast("long").as("duration_sec")
+      )
+      .select(
+        col("user_id"),
+        col("sid").cast("long").as("session_idx"),
+        col("n_events"),
+        col("duration_sec")
+      )
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "e1_event_window" -> (e1_event_window _),
+    "e2_sessionize" -> (e2_sessionize _)
+  )
+
+  val oracles: Map[String, String] = Map(
+    "e1_event_window" ->
+      """SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS wday, event_type,
+                CAST(count(*) AS BIGINT) AS n, round(sum(value), 2) AS total
+         FROM events GROUP BY 1, 2""",
+    "e2_sessionize" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us FROM events),
+         f AS (SELECT *, CASE WHEN us - lag(us) OVER (PARTITION BY user_id
+                                   ORDER BY us, event_id) > 1800000000
+                              THEN 1 ELSE 0 END AS flag FROM e),
+         s AS (SELECT *, sum(flag) OVER (PARTITION BY user_id ORDER BY us, event_id
+                         ROWS UNBOUNDED PRECEDING) AS sid FROM f)
+         SELECT user_id, CAST(sid AS BIGINT) AS session_idx,
+                CAST(count(*) AS BIGINT) AS n_events,
+                CAST((max(us) - min(us)) // 1000000 AS BIGINT) AS duration_sec
+         FROM s GROUP BY 1, 2"""
+  )
+}

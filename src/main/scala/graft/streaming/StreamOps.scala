@@ -1,0 +1,79 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming operators. The reference is pure batch (SURVEY
+  * §2.11), so nothing here replicates reference behavior — this is the
+  * engine's stream surface for the same transforms, built so batch and
+  * streaming share one code path:
+  *
+  *   - [[windowedCounts]] is a single transform accepted by both
+  *     `spark.read` DataFrames (watermark is a no-op in batch) and
+  *     `spark.readStream` ones (watermark bounds state + late data).
+  *   - [[Sessionizer]] is the custom-state path: per-key session windows
+  *     via `flatMapGroupsWithState` — the construct Spark reserves for
+  *     semantics windows can't express (gap-based sessions).
+  *
+  * Scale notes: windowed aggregation state is bounded by the watermark
+  * horizon × key cardinality; sessionizer state is one small record per
+  * active user, evicted on session close. Both shuffle once on the group
+  * key per micro-batch.
+  */
+object StreamOps {
+
+  /** Tumbling event-time window counts per event type. `t` must be a
+    * TimestampType column named "t".
+    */
+  def windowedCounts(events: DataFrame, windowLen: String = "1 day"): DataFrame =
+    events
+      .withWatermark("t", "1 hour")
+      .groupBy(window(col("t"), windowLen).as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total"))
+      .select(
+        date_format(col("w.start"), "yyyy-MM-dd").as("wday"),
+        col("event_type"),
+        col("n"),
+        col("total")
+      )
+
+  final case class Event(user_id: Long, us: Long)
+  final case class SessionState(startUs: Long, lastUs: Long, n: Long)
+  final case class Session(user_id: Long, n_events: Long, duration_us: Long)
+
+  /** Gap-based sessionizer: events for a user belong to one session until a
+    * gap larger than `gapUs` arrives; the closed session is emitted and the
+    * new one opens. Works per micro-batch in streaming (state carries the
+    * open session across batches) and per-group in batch tests.
+    */
+  object Sessionizer {
+
+    def apply(events: Dataset[Event], gapUs: Long): Dataset[Session] = {
+      import events.sparkSession.implicits._
+      events
+        .groupByKey(_.user_id)
+        .flatMapGroupsWithState[SessionState, Session](
+          OutputMode.Append(),
+          GroupStateTimeout.NoTimeout()
+        ) { case (userId, rows, state) =>
+          val sorted = rows.toSeq.sortBy(e => (e.us))
+          var cur    = state.getOption
+          val out    = scala.collection.mutable.ArrayBuffer.empty[Session]
+          sorted.foreach { e =>
+            cur match {
+              case Some(st) if e.us - st.lastUs > gapUs =>
+                out += Session(userId, st.n, st.lastUs - st.startUs)
+                cur = Some(SessionState(e.us, e.us, 1))
+              case Some(st) =>
+                cur = Some(SessionState(st.startUs, e.us, st.n + 1))
+              case None =>
+                cur = Some(SessionState(e.us, e.us, 1))
+            }
+          }
+          cur.foreach(state.update)
+          out.iterator
+        }
+    }
+  }
+}

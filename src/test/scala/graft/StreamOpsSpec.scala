@@ -1,0 +1,85 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.streaming.StreamOps
+import graft.streaming.StreamOps.{Event, Session}
+
+/** Structured Streaming tests: the shared windowed transform running as a
+  * real stream from a MemoryStream source, and the stateful sessionizer
+  * carrying an open session across micro-batches.
+  */
+class StreamOpsSpec extends AnyFunSuite with SparkTestBase {
+
+  private def ts(day: Int, hour: Int): Timestamp =
+    Timestamp.valueOf(f"2024-01-$day%02d $hour%02d:00:00")
+
+  test("windowedCounts aggregates a stream by event-time day windows") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Timestamp, String, Double)]
+    val counts = StreamOps.windowedCounts(
+      in.toDF().toDF("t", "event_type", "value")
+    )
+    val q = counts.writeStream
+      .format("memory")
+      .queryName("wc")
+      .outputMode(OutputMode.Complete())
+      .start()
+    try {
+      in.addData((ts(1, 1), "click", 1.0), (ts(1, 2), "click", 2.0), (ts(2, 1), "view", 5.0))
+      q.processAllAvailable()
+      val rows = spark.table("wc").collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+        .toSet
+      assert(rows == Set(("2024-01-01", "click", 2L, 3.0), ("2024-01-02", "view", 1L, 5.0)))
+
+      in.addData((ts(1, 5), "click", 4.0)) // same day-1 window, second batch
+      q.processAllAvailable()
+      val updated = spark.table("wc").collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+        .toSet
+      assert(updated.contains(("2024-01-01", "click", 3L, 7.0)))
+    } finally q.stop()
+  }
+
+  test("windowedCounts also runs the identical transform in batch") {
+    import spark.implicits._
+    val batch = Seq(
+      (ts(1, 1), "click", 1.0),
+      (ts(1, 2), "click", 2.0)
+    ).toDF("t", "event_type", "value")
+    val got = StreamOps.windowedCounts(batch).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    assert(got == Set(("2024-01-01", "click", 2L, 3.0)))
+  }
+
+  test("Sessionizer emits closed sessions and carries open state across batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val hourUs = 3600L * 1000000
+    val in     = MemoryStream[Event]
+    val q = StreamOps.Sessionizer(in.toDS(), gapUs = hourUs).writeStream
+      .format("memory")
+      .queryName("sess")
+      .outputMode(OutputMode.Append())
+      .start()
+    try {
+      // batch 1: two events 10 minutes apart — one OPEN session, nothing emitted
+      in.addData(Event(7L, 0L), Event(7L, 600L * 1000000))
+      q.processAllAvailable()
+      assert(spark.table("sess").count() == 0)
+
+      // batch 2: an event 5 hours later closes the session (2 events, 600s)
+      in.addData(Event(7L, 5 * hourUs))
+      q.processAllAvailable()
+      val sessions = spark.table("sess").as[Session].collect().toSeq
+      assert(sessions == Seq(Session(7L, 2L, 600L * 1000000)))
+    } finally q.stop()
+  }
+}
