@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 
-import graft.functions.NormalizeNFKC
+import graft.functions.{DotProduct, NormalizeNFKC}
 
 /** Session extension registering graft's native Catalyst expressions, wired
   * through `spark.sql.extensions` (see [[Engine.builder]]) the same way a
@@ -28,6 +28,25 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
               )
             )
           NormalizeNFKC(exprs.head)
+        }
+      )
+    )
+    ext.injectFunction(
+      (
+        FunctionIdentifier("graft_dot"),
+        new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
+        (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+          if (exprs.length != 2)
+            throw new org.apache.spark.sql.AnalysisException(
+              errorClass = "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
+              messageParameters = Map(
+                "functionName" -> "graft_dot",
+                "expectedNum" -> "2",
+                "actualNum" -> exprs.length.toString,
+                "docroot" -> "https://spark.apache.org/docs/latest"
+              )
+            )
+          DotProduct(exprs.head, exprs(1))
         }
       )
     )

@@ -27,15 +27,13 @@ import org.apache.spark.sql.functions._
   */
 object VectorFunctions {
 
-  /** Dot product in double precision: `Σ a_i * b_i` via zip_with + aggregate
-    * (a strict left fold — deterministic summation order).
+  /** Dot product in double precision: `Σ a_i * b_i`, a strict left fold
+    * (deterministic summation order) through the native codegen'd
+    * [[DotProduct]] expression — `zip_with`+`aggregate` compute the same
+    * value but are CodegenFallback (interpreted lambda per element).
     */
   def dot(a: Column, b: Column): Column =
-    aggregate(
-      zip_with(a.cast("array<double>"), b.cast("array<double>"), (x, y) => x * y),
-      lit(0.0),
-      (acc, x) => acc + x
-    )
+    call_function("graft_dot", a.cast("array<double>"), b.cast("array<double>"))
 
   /** Euclidean norm in double precision. */
   def l2norm(a: Column): Column = sqrt(dot(a, a))
