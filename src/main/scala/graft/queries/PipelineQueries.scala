@@ -32,6 +32,33 @@ object PipelineQueries extends QueryModule {
       .unionByName(missing.select(col("qid"), lit("fetched").as("src")))
   }
 
+  /** S8 — label→QID resolver with md5-keyed cache (reference
+    * utils/wikidata_helpers.py:497-606): lookups hit the cache by
+    * `md5(lower(label))`; misses resolve through the (fixture) search
+    * source and are tagged for append-back.
+    */
+  private def s8_label_resolver(s: SparkSession, d: String): DataFrame = {
+    val c = table(s, d, "customer").select(
+      col("c_custkey"),
+      col("c_name"),
+      md5(lower(col("c_name"))).as("label_key")
+    )
+    val cache = c
+      .filter(col("c_custkey") % 2 === 0)
+      .select(
+        col("label_key"),
+        concat(lit("Q"), col("c_custkey").cast("string")).as("cached_qid")
+      )
+    c.join(cache, Seq("label_key"), "left")
+      .select(
+        col("c_custkey"),
+        col("label_key"),
+        coalesce(col("cached_qid"), concat(lit("Q"), col("c_custkey").cast("string")))
+          .as("qid"),
+        when(col("cached_qid").isNotNull, lit("cache")).otherwise(lit("resolved")).as("src")
+      )
+  }
+
   private def index(s: SparkSession, d: String): DataFrame =
     Assets.buildArtistIndex(Fixtures.artistIndexRaw(s, d))
 
@@ -60,6 +87,7 @@ object PipelineQueries extends QueryModule {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s7_cache_fetch_missing" -> (s7_cache_fetch_missing _),
+    "s8_label_resolver" -> (s8_label_resolver _),
     "pl1_artist_index" -> (pl1_artist_index _),
     "pl2_artists" -> (pl2_artists _),
     "pl3_article_chunks" -> (pl3_article_chunks _),
@@ -137,6 +165,11 @@ object PipelineQueries extends QueryModule {
                 CASE WHEN qid IN (SELECT qid FROM cache) THEN 'cache'
                      ELSE 'fetched' END AS src
          FROM req""",
+    "s8_label_resolver" ->
+      """SELECT c_custkey, md5(lower(c_name)) AS label_key,
+                'Q' || CAST(c_custkey AS VARCHAR) AS qid,
+                CASE WHEN c_custkey % 2 = 0 THEN 'cache' ELSE 'resolved' END AS src
+         FROM customer""",
     "pl1_artist_index" ->
       s"WITH $indexSql SELECT artist_uri, name, start_date FROM index_out",
     "pl2_artists" ->
