@@ -15,16 +15,20 @@ object Bench {
     val spark = Engine.builder().getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    // Warm-up (untimed): touch every table and run one agg + one window so
-    // JVM/codegen/parquet-footer warm-up isn't billed to the first query
-    // alphabetically (VERDICT r2: a10 absorbed it).
+    // Warm-up (untimed, best-effort): touch every table and run one agg +
+    // one window so JVM/codegen/parquet-footer warm-up isn't billed to the
+    // first query alphabetically (VERDICT r2: a10 absorbed it). Failures
+    // here must never abort the benchmark — the per-query loop has its own
+    // error handling and still emits the JSON line.
+    def warm(body: => Unit): Unit =
+      try body
+      catch { case e: Throwable => System.err.println(s"[bench] warm-up skipped: $e") }
     Seq("lineitem", "orders", "customer", "supplier", "part", "nation", "region",
       "documents", "embeddings", "events")
-      .foreach(t => Engine.table(spark, sfDir, t).write.format("noop").mode("overwrite").save())
-    SparkEntry.queries("a9_group_size_stats")(spark, sfDir)
-      .write.format("noop").mode("overwrite").save()
-    SparkEntry.queries("w2_keep_first")(spark, sfDir)
-      .write.format("noop").mode("overwrite").save()
+      .foreach(t => warm(Engine.table(spark, sfDir, t).write.format("noop").mode("overwrite").save()))
+    Seq("a9_group_size_stats", "w2_keep_first").foreach { q =>
+      warm(SparkEntry.queries.get(q).foreach(_(spark, sfDir).write.format("noop").mode("overwrite").save()))
+    }
 
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()

@@ -1,7 +1,5 @@
 package graft.functions
 
-import java.security.MessageDigest
-
 /** Typed rows + deterministic STUB decoder for the multimodal column path.
   *
   * Real media decoding (image/audio/video codecs) is unavailable in this
@@ -24,15 +22,12 @@ object MediaStub {
   /** Typed decode output — the metadata struct a real decoder would emit. */
   final case class MediaFeatures(doc_id: Long, width: Long, height: Long, n_frames: Long)
 
-  private def md5Hex(bytes: Array[Byte]): String =
-    MessageDigest.getInstance("MD5").digest(bytes).map(b => f"${b & 0xff}%02x").mkString
-
   /** STUB — deterministic fake decode (see object scaladoc). Derives
     * width/height/frame-count from the payload's md5; replace with a real
     * codec call behind this exact signature.
     */
   def decode(in: MediaInput): MediaFeatures = {
-    val h = java.lang.Long.parseLong(md5Hex(in.payload).take(6), 16)
+    val h = Md5Seed.prefixLong(in.payload, 6)
     MediaFeatures(
       doc_id = in.doc_id,
       width = 160 + h % 480,

@@ -1,8 +1,5 @@
 package graft.functions
 
-import java.nio.charset.StandardCharsets
-import java.security.MessageDigest
-
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 
@@ -42,15 +39,11 @@ object VectorFunctions {
   def cosine(a: Column, b: Column): Column = dot(a, b) / (l2norm(a) * l2norm(b))
 
   /** Deterministic pseudo-random value in [-0.5, 0.5) from a seed string:
-    * first 6 md5 hex digits scaled by 2^24-1. Any engine with md5 reproduces
-    * it exactly (DuckDB: `('0x' || substr(md5(s),1,6))::BIGINT / 16777215.0 - 0.5`).
+    * first 6 md5 hex digits scaled by 2^24. Any engine with md5 reproduces
+    * it exactly (DuckDB: `('0x' || substr(md5(s),1,6))::BIGINT / 16777216.0 - 0.5`).
     */
-  def hashUnit(seed: String): Double = {
-    val md  = MessageDigest.getInstance("MD5")
-    val hex = md.digest(seed.getBytes(StandardCharsets.UTF_8))
-      .take(3).map(b => f"${b & 0xff}%02x").mkString
-    java.lang.Long.parseLong(hex, 16) / 16777215.0 - 0.5
-  }
+  def hashUnit(seed: String): Double =
+    Md5Seed.prefixLong(seed, 6) / 16777216.0 - 0.5
 
   /** `nPlanes` random hyperplanes of dimension `dim`, seeded `"{p}_{j}"`. */
   def planes(nPlanes: Int, dim: Int): Seq[Seq[Double]] =
@@ -69,5 +62,5 @@ object VectorFunctions {
   /** SQL fragment regenerating [[planes]]' plane `p` in DuckDB (for oracles). */
   def duckdbPlaneSql(p: Int, dim: Int): String =
     s"""list_transform(generate_series(0, ${dim - 1}),
-        j -> (('0x' || substr(md5('${p}_' || CAST(j AS VARCHAR)), 1, 6))::BIGINT) / 16777215.0 - 0.5)"""
+        j -> (('0x' || substr(md5('${p}_' || CAST(j AS VARCHAR)), 1, 6))::BIGINT) / 16777216.0 - 0.5)"""
 }

@@ -36,10 +36,19 @@ object TableIO {
     df.sparkSession.read.parquet(path).count()
   }
 
-  /** S2 — Parquet scan with declared-schema empty fallback when missing. */
+  /** S2 — Parquet scan with declared-schema empty fallback when missing.
+    * Existence goes through the Hadoop FileSystem for the path's scheme —
+    * `java.io.File` would report false for every hdfs://, s3a://, … URI and
+    * silently turn real data into an empty frame.
+    */
   def readParquet(spark: SparkSession, schema: StructType, paths: String*): DataFrame = {
-    val existing = paths.filter(p => new java.io.File(p).exists())
-    if (existing.isEmpty) spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val existing = paths.filter { p =>
+      val hp = new org.apache.hadoop.fs.Path(p)
+      hp.getFileSystem(conf).exists(hp)
+    }
+    if (existing.isEmpty)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
     else spark.read.schema(schema).parquet(existing: _*)
   }
 

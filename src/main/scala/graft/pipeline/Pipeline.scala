@@ -19,28 +19,42 @@ import graft.sources.Fixtures
   */
 object Pipeline {
 
-  /** Runs the DAG; returns (asset → committed row count, check report). */
+  /** Runs the DAG; returns (asset → committed row count, check report).
+    *
+    * Each downstream asset reads the materialized parquet of its upstream
+    * (as the reference's I/O managers do), not the unmaterialized lineage —
+    * otherwise the index dedup chain would be re-executed once per
+    * consumer.
+    */
   def run(spark: SparkSession, sfDir: String, outDir: String): (Seq[(String, Long)], DataFrame) = {
-    val raw   = Fixtures.artistIndexRaw(spark, sfDir)
-    val index = Assets.buildArtistIndex(raw)
-    val nIndex = TableIO.writeParquet(index, s"$outDir/artist_index")
+    val raw    = Fixtures.artistIndexRaw(spark, sfDir)
+    val nIndex = TableIO.writeParquet(Assets.buildArtistIndex(raw), s"$outDir/artist_index")
+    val index  = spark.read.parquet(s"$outDir/artist_index")
 
-    val artists  = Assets.extractArtists(index, Fixtures.entityFixture(spark, sfDir))
-    val nArtists = TableIO.writeParquet(artists, s"$outDir/artists")
+    val nArtists = TableIO.writeParquet(
+      Assets.extractArtists(index, Fixtures.entityFixture(spark, sfDir)),
+      s"$outDir/artists"
+    )
+    val artists = spark.read.parquet(s"$outDir/artists")
 
     val resolved = graft.Engine
       .table(spark, sfDir, "nation")
       .select(concat(lit("QC"), col("n_nationkey").cast("string")).as("id"),
         col("n_name").as("name"))
-    val (countries, unresolved) = Assets.extractCountries(artists, resolved)
-    val nCountries = TableIO.writeParquet(countries, s"$outDir/countries")
+    val (countriesLineage, unresolved) = Assets.extractCountries(artists, resolved)
+    val nCountries = TableIO.writeParquet(countriesLineage, s"$outDir/countries")
+    val countries  = spark.read.parquet(s"$outDir/countries")
 
-    val articles  = Assets.extractArticles(artists, Fixtures.articleFixture(spark, sfDir))
-    val nArticles = TableIO.writeParquet(articles, s"$outDir/articles")
+    val nArticles = TableIO.writeParquet(
+      Assets.extractArticles(artists, Fixtures.articleFixture(spark, sfDir)),
+      s"$outDir/articles"
+    )
 
-    val (nodes, edges) = Assets.graphTables(artists, countries)
-    val nNodes = TableIO.writeParquet(nodes, s"$outDir/graph_nodes")
-    val nEdges = TableIO.writeParquet(edges, s"$outDir/graph_edges")
+    val (nodesLineage, edgesLineage) = Assets.graphTables(artists, countries)
+    val nNodes = TableIO.writeParquet(nodesLineage, s"$outDir/graph_nodes")
+    val nEdges = TableIO.writeParquet(edgesLineage, s"$outDir/graph_edges")
+    val nodes  = spark.read.parquet(s"$outDir/graph_nodes")
+    val edges  = spark.read.parquet(s"$outDir/graph_edges")
 
     // communities over the artist—country graph (connected components =
     // the deterministic community baseline, SURVEY §7.4)

@@ -60,18 +60,12 @@ object Dedup extends QueryModule {
   private def hash24(c: Column): Column =
     conv(substring(md5(c), 1, 6), 16, 10).cast("long")
 
-  /** Deterministic affine-family constants, md5-seeded so the oracle
-    * regenerates them (a forced odd, both < 2^24 ⇒ a·x < 2^48, no overflow).
+  /** Deterministic affine-family constants, md5-seeded via [[Md5Seed]] so
+    * the oracle regenerates them (a forced odd, both < 2^24 ⇒ a·x < 2^48,
+    * no overflow).
     */
-  private[queries] def affineConst(seed: String): Long = {
-    val md = java.security.MessageDigest.getInstance("MD5")
-    val hex = md.digest(seed.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      .take(3).map(b => f"${b & 0xff}%02x").mkString
-    java.lang.Long.parseLong(hex, 16)
-  }
-
-  private def affineA(i: Int): Long = affineConst(s"a$i") | 1L
-  private def affineB(i: Int): Long = affineConst(s"b$i")
+  private def affineA(i: Int): Long = graft.functions.Md5Seed.prefixLong(s"a$i", 6) | 1L
+  private def affineB(i: Int): Long = graft.functions.Md5Seed.prefixLong(s"b$i", 6)
 
   /** documents ∪ perturbed copy — the dedup test corpus (see scaladoc). */
   private def corpus(s: SparkSession, d: String): DataFrame = {

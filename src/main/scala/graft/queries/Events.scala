@@ -68,7 +68,8 @@ object Events extends QueryModule {
   val oracles: Map[String, String] = Map(
     "e1_event_window" ->
       """SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS wday, event_type,
-                CAST(count(*) AS BIGINT) AS n, round(sum(value), 2) AS total
+                CAST(count(*) AS BIGINT) AS n,
+                CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS total_cents
          FROM events GROUP BY 1, 2""",
     "e2_sessionize" ->
       """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us FROM events),

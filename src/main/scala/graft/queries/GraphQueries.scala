@@ -72,12 +72,11 @@ object GraphQueries extends QueryModule {
       .groupBy(col("degree"))
       .agg(count(lit(1)).as("n_vertices"))
 
-  /** G2 — distributed connected components on a deterministic graph: nations
-    * chained by key within each region (5 chains of 5) — min-label
-    * propagation needs multiple passes to converge, exercising the real
-    * iterative algorithm, and the component label = min nation key per chain.
+  /** The shared deterministic test graph for g2/g2b: nations chained by key
+    * within each region (5 chains of 5) — propagation algorithms need
+    * multiple passes to converge on a chain. Returns (vertexIds, edges).
     */
-  private def g2_connected_components(s: SparkSession, d: String): DataFrame = {
+  private def chainedNationGraph(s: SparkSession, d: String): (DataFrame, DataFrame) = {
     val n = table(s, d, "nation")
     val w = Window.partitionBy(col("n_regionkey")).orderBy(col("n_nationkey"))
     val edges = n
@@ -86,7 +85,14 @@ object GraphQueries extends QueryModule {
         lead(col("n_nationkey"), 1).over(w).as("dst")
       )
       .filter(col("dst").isNotNull)
-    val vertices = n.select(col("n_nationkey").as("id"))
+    (n.select(col("n_nationkey").as("id")), edges)
+  }
+
+  /** G2 — distributed connected components on the chained-nation graph;
+    * the component label = min nation key per chain.
+    */
+  private def g2_connected_components(s: SparkSession, d: String): DataFrame = {
+    val (vertices, edges) = chainedNationGraph(s, d)
     GraphOps
       .connectedComponents(vertices, edges)
       .select(col("id").cast("long").as("id"), col("comp").cast("long").as("component"))
@@ -97,16 +103,9 @@ object GraphQueries extends QueryModule {
     * components (see [[graft.graph.GraphOps.labelPropagation]]).
     */
   private def g2b_label_propagation(s: SparkSession, d: String): DataFrame = {
-    val n = table(s, d, "nation")
-    val w = Window.partitionBy(col("n_regionkey")).orderBy(col("n_nationkey"))
-    val edges = n
-      .select(
-        col("n_nationkey").as("src"),
-        lead(col("n_nationkey"), 1).over(w).as("dst")
-      )
-      .filter(col("dst").isNotNull)
+    val (vertices, edges) = chainedNationGraph(s, d)
     GraphOps
-      .labelPropagation(n.select(col("n_nationkey").as("id")), edges, 3)
+      .labelPropagation(vertices, edges, 3)
       .select(col("id").cast("long").as("id"), col("lbl").cast("long").as("label"))
   }
 

@@ -41,7 +41,7 @@ object PipelineQueries extends QueryModule {
     val c = table(s, d, "customer").select(
       col("c_custkey"),
       col("c_name"),
-      md5(lower(col("c_name"))).as("label_key")
+      graft.functions.TextFunctions.labelKey(col("c_name")).as("label_key")
     )
     val cache = c
       .filter(col("c_custkey") % 2 === 0)

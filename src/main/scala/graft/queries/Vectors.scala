@@ -89,7 +89,7 @@ object Vectors extends QueryModule {
     val comps: Seq[Column] = (0 until dim).map { j =>
       val h = conv(substring(md5(concat(col("text"), lit(s"_$j"))), 1, 6), 16, 10)
         .cast("double")
-      round(((h / 16777215.0) - 0.5) * 10000, 0).cast("long").cast("string")
+      round(((h / 16777216.0) - 0.5) * 10000, 0).cast("long").cast("string")
     }
     table(s, d, "documents")
       .select(col("doc_id"), array_join(array(comps: _*), ",").as("emb_q"))
@@ -229,7 +229,7 @@ object Vectors extends QueryModule {
     "g3_embed_stub" ->
       """SELECT doc_id,
                 array_to_string(list_transform(generate_series(0, 7),
-                  j -> CAST(CAST(round(((('0x' || substr(md5(text || '_' || CAST(j AS VARCHAR)), 1, 6))::BIGINT / 16777215.0) - 0.5) * 10000, 0) AS BIGINT) AS VARCHAR)),
+                  j -> CAST(CAST(round(((('0x' || substr(md5(text || '_' || CAST(j AS VARCHAR)), 1, 6))::BIGINT / 16777216.0) - 0.5) * 10000, 0) AS BIGINT) AS VARCHAR)),
                   ',') AS emb_q
          FROM documents"""
   )

@@ -24,18 +24,24 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
 object StreamOps {
 
   /** Tumbling event-time window counts per event type. `t` must be a
-    * TimestampType column named "t".
+    * TimestampType column named "t". The value aggregate is an integer
+    * cent sum, not a float sum — float sums depend on partition merge
+    * order, so a rounded double total can flap at a rounding boundary
+    * between runs; integer addition is order-independent.
     */
   def windowedCounts(events: DataFrame, windowLen: String = "1 day"): DataFrame =
     events
       .withWatermark("t", "1 hour")
       .groupBy(window(col("t"), windowLen).as("w"), col("event_type"))
-      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(round(col("value") * 100, 0).cast("long")).as("total_cents")
+      )
       .select(
         date_format(col("w.start"), "yyyy-MM-dd").as("wday"),
         col("event_type"),
         col("n"),
-        col("total")
+        col("total_cents")
       )
 
   final case class Event(user_id: Long, us: Long)

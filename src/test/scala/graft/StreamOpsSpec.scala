@@ -34,16 +34,16 @@ class StreamOpsSpec extends AnyFunSuite with SparkTestBase {
       in.addData((ts(1, 1), "click", 1.0), (ts(1, 2), "click", 2.0), (ts(2, 1), "view", 5.0))
       q.processAllAvailable()
       val rows = spark.table("wc").collect()
-        .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
         .toSet
-      assert(rows == Set(("2024-01-01", "click", 2L, 3.0), ("2024-01-02", "view", 1L, 5.0)))
+      assert(rows == Set(("2024-01-01", "click", 2L, 300L), ("2024-01-02", "view", 1L, 500L)))
 
       in.addData((ts(1, 5), "click", 4.0)) // same day-1 window, second batch
       q.processAllAvailable()
       val updated = spark.table("wc").collect()
-        .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
         .toSet
-      assert(updated.contains(("2024-01-01", "click", 3L, 7.0)))
+      assert(updated.contains(("2024-01-01", "click", 3L, 700L)))
     } finally q.stop()
   }
 
@@ -54,9 +54,9 @@ class StreamOpsSpec extends AnyFunSuite with SparkTestBase {
       (ts(1, 2), "click", 2.0)
     ).toDF("t", "event_type", "value")
     val got = StreamOps.windowedCounts(batch).collect()
-      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
       .toSet
-    assert(got == Set(("2024-01-01", "click", 2L, 3.0)))
+    assert(got == Set(("2024-01-01", "click", 2L, 300L)))
   }
 
   test("Sessionizer emits closed sessions and carries open state across batches") {
