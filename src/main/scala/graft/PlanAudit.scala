@@ -16,7 +16,7 @@ object PlanAudit {
   /** Queries whose construction runs jobs (writes or driver iterations). */
   private val sideEffecting = Set(
     "s1_parquet_roundtrip", "s3_jsonl_roundtrip", "u2_partition_union",
-    "s14_graph_roundtrip", "s17_vector_upsert",
+    "s14_graph_roundtrip", "s17_vector_upsert", "b1_bucketed_join",
     "d1_minhash_candidates", "d2_verified_pairs",
     "g2_connected_components", "g2b_label_propagation"
   )

@@ -113,6 +113,39 @@ object IOQueries extends QueryModule {
       )
   }
 
+  /** B1 — bucketed co-located join: both sides written bucketed on the join
+    * key with matching bucket counts, so the join plans with ZERO shuffle
+    * exchanges (each task reads matching bucket files from both sides) —
+    * the pre-partitioning story for repeated joins at 100 TB: pay the
+    * layout cost once at write time, skip the shuffle on every later join.
+    */
+  private def b1_bucketed_join(s: SparkSession, d: String): DataFrame = {
+    val base = ioDir("b1_buckets")
+    s.sql("DROP TABLE IF EXISTS graft_orders_b")
+    s.sql("DROP TABLE IF EXISTS graft_lineitem_b")
+    table(s, d, "orders")
+      .select(col("o_orderkey"), col("o_orderpriority"))
+      .write.mode("overwrite")
+      .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+      .option("path", s"$base/orders").saveAsTable("graft_orders_b")
+    table(s, d, "lineitem")
+      .select(col("l_orderkey"), col("l_quantity"))
+      .write.mode("overwrite")
+      .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+      .option("path", s"$base/lineitem").saveAsTable("graft_lineitem_b")
+    // merge hint: at test scale Catalyst would broadcast the small side and
+    // never touch the bucket layout; the hint forces the sort-merge path
+    // that the bucketing exists for (zero Exchange on either join side)
+    s.table("graft_lineitem_b")
+      .hint("merge")
+      .join(s.table("graft_orders_b"), col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        count(lit(1)).as("n_lines"),
+        sum(col("l_quantity")).as("sum_qty") // integral doubles: exact in fp64
+      )
+  }
+
   /** S14+S15 — graph sink/source roundtrip: node+edge tables written as the
     * graph store, read back, summarized by type (the reference's node-count
     * reconciliation, ingest_graph_db.py:336-363).
@@ -143,6 +176,7 @@ object IOQueries extends QueryModule {
     "s3_jsonl_roundtrip" -> (s3_jsonl_roundtrip _),
     "s13_track_flatten" -> (s13_track_flatten _),
     "s14_graph_roundtrip" -> (s14_graph_roundtrip _),
+    "b1_bucketed_join" -> (b1_bucketed_join _),
     "u2_partition_union" -> (u2_partition_union _)
   )
 
@@ -159,6 +193,11 @@ object IOQueries extends QueryModule {
                 l_linenumber AS position, l_partkey AS recording_id,
                 l_suppkey AS artist_credit
          FROM lineitem WHERE l_orderkey % 7 = 0""",
+    "b1_bucketed_join" ->
+      """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_lines,
+                sum(l_quantity) AS sum_qty
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         GROUP BY o_orderpriority""",
     "s14_graph_roundtrip" ->
       """SELECT 'Supplier' AS kind, CAST(count(*) AS BIGINT) AS n FROM supplier
          UNION ALL
