@@ -43,7 +43,9 @@ object Dedup extends QueryModule {
 
   private def words(c: Column): Column = split(c, " ")
 
-  /** Distinct word n-gram shingles of a text column. */
+  /** Distinct word n-gram shingles of a text column (unordered — the
+    * signature path only explodes them).
+    */
   private def shingles(c: Column): Column = {
     val w = words(c)
     array_distinct(
@@ -53,6 +55,12 @@ object Dedup extends QueryModule {
       )
     )
   }
+
+  /** Sorted variant — sorting once per document lets pair verification use
+    * the merge-scan [[graft.functions.SortedIntersectSize]] instead of a
+    * per-pair hash set.
+    */
+  private def shinglesSorted(c: Column): Column = array_sort(shingles(c))
 
   /** One 24-bit integer hash per string (single md5 — the only expensive
     * hash in any signature here; the hash families are integer-only).
@@ -125,13 +133,16 @@ object Dedup extends QueryModule {
   /** D2 — exact-Jaccard verification of the MinHash candidates (τ = 0.8). */
   private def d2_verified_pairs(s: SparkSession, d: String): DataFrame = {
     val sh = corpus(s, d)
-      .select(col("doc_id"), shingles(col("text")).as("sh"))
+      .select(col("doc_id"), shinglesSorted(col("text")).as("sh"))
       .localCheckpoint(true) // joined twice below (s1/s2 sides)
     val cand = d1_minhash_candidates(s, d)
     val j = cand
       .join(sh.select(col("doc_id").as("doc1"), col("sh").as("s1")), "doc1")
       .join(sh.select(col("doc_id").as("doc2"), col("sh").as("s2")), "doc2")
-      .withColumn("inter", size(array_intersect(col("s1"), col("s2"))).cast("double"))
+      .withColumn(
+        "inter",
+        call_function("graft_sorted_intersect_size", col("s1"), col("s2")).cast("double")
+      )
       .withColumn(
         "jac",
         col("inter") / (size(col("s1")) + size(col("s2")) - col("inter"))
@@ -169,10 +180,12 @@ object Dedup extends QueryModule {
     * gram size: the md5 per gram costs more than the string intersect saves.)
     */
   private def d4_ngram_jaccard(s: SparkSession, d: String): DataFrame = {
-    val grams = array_distinct(
-      transform(
-        sequence(lit(1), greatest(length(col("text")) - 3, lit(1))),
-        i => col("text").substr(i, lit(4))
+    val grams = array_sort(
+      array_distinct(
+        transform(
+          sequence(lit(1), greatest(length(col("text")) - 3, lit(1))),
+          i => col("text").substr(i, lit(4))
+        )
       )
     )
     val g = table(s, d, "documents")
@@ -181,7 +194,10 @@ object Dedup extends QueryModule {
     val a = g.select(col("doc_id").as("doc1"), col("g").as("g1"), col("n").as("n1"))
     val b = g.select(col("doc_id").as("doc2"), col("g").as("g2"), col("n").as("n2"))
     a.join(b, col("doc2") === col("doc1") + 1)
-      .withColumn("inter", size(array_intersect(col("g1"), col("g2"))).cast("double"))
+      .withColumn(
+        "inter",
+        call_function("graft_sorted_intersect_size", col("g1"), col("g2")).cast("double")
+      )
       .select(
         col("doc1"),
         col("doc2"),
