@@ -153,6 +153,36 @@ object JoinsSetOps extends QueryModule {
     cust.join(broadcast(years), Seq("qid")).select(col("c_custkey"), col("inception_year"))
   }
 
+  /** J11 — salted skew join: the fact side is deliberately skewed (80% of
+    * rows share key 0); the dim side is exploded ×16 with a salt column and
+    * the fact side salts deterministically, so the hot key's rows spread
+    * over 16 shuffle partitions instead of one straggler task. AQE's skew
+    * split handles this adaptively; explicit salting is the plan-stable
+    * form when the skew is known (e.g. null-ish sentinel keys at 100 TB).
+    */
+  private def j11_salted_skew_join(s: SparkSession, d: String): DataFrame = {
+    val Salts = 16
+    val fact = table(s, d, "lineitem").select(
+      when(col("l_orderkey") % 5 =!= 0, lit(0L))
+        .otherwise(col("l_partkey") % 100)
+        .as("k"),
+      (col("l_orderkey") % Salts).as("salt"),
+      col("l_quantity")
+    )
+    val dim = table(s, d, "part")
+      .groupBy((col("p_partkey") % 100).as("k"))
+      .agg(min(col("p_name")).as("dname"))
+    val dimSalted =
+      dim.withColumn("salt", explode(sequence(lit(0L), lit(Salts - 1L))))
+    fact
+      .join(dimSalted, Seq("k", "salt"))
+      .groupBy(col("k"), col("dname"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("l_quantity")).as("sum_qty") // integral doubles: exact in fp64
+      )
+  }
+
   /** U1 — union with compatible-but-unequal schemas (vertical_relaxed). */
   private def u1_union_relaxed(s: SparkSession, d: String): DataFrame = {
     val c = table(s, d, "customer").select(
@@ -185,6 +215,7 @@ object JoinsSetOps extends QueryModule {
     "j8_fk_join" -> (j8_fk_join _),
     "j9_anti_join" -> (j9_anti_join _),
     "j10_semi_join" -> (j10_semi_join _),
+    "j11_salted_skew_join" -> (j11_salted_skew_join _),
     "u1_union_relaxed" -> (u1_union_relaxed _),
     "u4_except" -> (u4_except _)
   )
@@ -241,6 +272,17 @@ object JoinsSetOps extends QueryModule {
       """SELECT c_custkey, c_mktsegment FROM customer
          WHERE EXISTS (SELECT 1 FROM orders
                        WHERE o_totalprice > 1000.0 AND o_custkey = c_custkey)""",
+    "j11_salted_skew_join" ->
+      """WITH fact AS (
+           SELECT CASE WHEN l_orderkey % 5 <> 0 THEN 0
+                       ELSE l_partkey % 100 END AS k,
+                  l_quantity
+           FROM lineitem),
+         dim AS (
+           SELECT p_partkey % 100 AS k, min(p_name) AS dname
+           FROM part GROUP BY 1)
+         SELECT k, dname, CAST(count(*) AS BIGINT) AS n, sum(l_quantity) AS sum_qty
+         FROM fact JOIN dim USING (k) GROUP BY 1, 2""",
     "u1_union_relaxed" ->
       """SELECT c_custkey AS id, c_name AS name, c_acctbal AS bal FROM customer
          UNION ALL
