@@ -28,24 +28,62 @@ import org.apache.spark.sql.types.StructType
   */
 object TableIO {
 
-  /** S1 — atomic overwrite Parquet sink; returns the committed row count
-    * (metadata-only count, as the reference records row_count metadata).
+  /** S1 — overwrite Parquet sink; returns the committed row count
+    * (metadata-only footer count, as the reference records row_count
+    * metadata). The job writes to a sibling `._tmp` staging path and only
+    * then swaps it into place, mirroring the reference io_manager's
+    * temp-file+rename: a mid-job failure leaves the previous data intact
+    * (plain `mode("overwrite")` deletes the target before the job runs, so
+    * a crash would leave the path empty). The swap itself is
+    * delete-then-rename — two metadata ops, not one atomic replace; on a
+    * crash exactly between them the committed data survives at the staging
+    * path.
     */
   def writeParquet(df: DataFrame, path: String): Long = {
-    df.write.mode("overwrite").parquet(path)
+    val conf    = df.sparkSession.sparkContext.hadoopConfiguration
+    val target  = new org.apache.hadoop.fs.Path(path)
+    val staging = new org.apache.hadoop.fs.Path(path + "._tmp")
+    val fs      = target.getFileSystem(conf)
+    df.write.mode("overwrite").parquet(staging.toString)
+    if (fs.exists(target)) fs.delete(target, true)
+    if (!fs.rename(staging, target))
+      throw new java.io.IOException(s"rename $staging -> $target failed")
     df.sparkSession.read.parquet(path).count()
   }
 
   /** S2 — Parquet scan with declared-schema empty fallback when missing.
     * Existence goes through the Hadoop FileSystem for the path's scheme —
     * `java.io.File` would report false for every hdfs://, s3a://, … URI and
-    * silently turn real data into an empty frame.
+    * silently turn real data into an empty frame. A multi-path read where
+    * only SOME paths are missing is suspicious (typo'd path → silently
+    * partial data): with `strict=true` it throws; by default each dropped
+    * path is logged so partial reads stay visible.
     */
-  def readParquet(spark: SparkSession, schema: StructType, paths: String*): DataFrame = {
+  def readParquet(
+      spark: SparkSession,
+      schema: StructType,
+      paths: String*
+  ): DataFrame = readParquetStrictly(spark, schema, strict = false, paths: _*)
+
+  def readParquetStrictly(
+      spark: SparkSession,
+      schema: StructType,
+      strict: Boolean,
+      paths: String*
+  ): DataFrame = {
     val conf = spark.sparkContext.hadoopConfiguration
-    val existing = paths.filter { p =>
+    val (existing, missing) = paths.partition { p =>
       val hp = new org.apache.hadoop.fs.Path(p)
       hp.getFileSystem(conf).exists(hp)
+    }
+    if (missing.nonEmpty && existing.nonEmpty) {
+      if (strict)
+        throw new java.io.FileNotFoundException(
+          s"readParquet: ${missing.size}/${paths.size} paths missing: ${missing.mkString(", ")}"
+        )
+      org.slf4j.LoggerFactory
+        .getLogger(getClass)
+        .warn(s"readParquet: dropping missing paths: ${missing.mkString(", ")}")
     }
     if (existing.isEmpty)
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)

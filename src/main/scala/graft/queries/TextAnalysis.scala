@@ -12,8 +12,12 @@ import graft.Engine.table
   * wikipedia_helpers.py:151-152) generalized to corpus curation.
   *
   * Scale notes: every query is a per-row narrow projection over `documents`
-  * — pure `functions._` composition, fully codegen'd, zero shuffle, column
-  * pruning reaches the parquet scan. At 100 TB these run at scan speed.
+  * — zero shuffle, column pruning reaches the parquet scan, no driver
+  * round-trips. The higher-order array functions (`filter`/`transform`/
+  * `aggregate`) are CodegenFallback in Spark, so the per-row expression tree
+  * is partly interpreted — the plan SHAPE (narrow, scan-speed) is what holds
+  * at 100 TB; the codegen'd form of the hot set paths lives in the native
+  * expression family (graft_sorted_intersect_size, graft_word_shingles).
   */
 object TextAnalysis extends QueryModule {
 

@@ -45,40 +45,80 @@ object StreamOps {
       )
 
   final case class Event(user_id: Long, us: Long)
+  private[streaming] final case class EventT(user_id: Long, us: Long, ets: java.sql.Timestamp)
   final case class SessionState(startUs: Long, lastUs: Long, n: Long)
   final case class Session(user_id: Long, n_events: Long, duration_us: Long)
 
   /** Gap-based sessionizer: events for a user belong to one session until a
     * gap larger than `gapUs` arrives; the closed session is emitted and the
-    * new one opens. Works per micro-batch in streaming (state carries the
-    * open session across batches) and per-group in batch tests.
+    * new one opens. State is bounded two ways:
+    *
+    *   - an event-time watermark (`watermarkDelay`) drops late events before
+    *     the stateful operator, so state transitions are monotone in event
+    *     time across micro-batches;
+    *   - `EventTimeTimeout` fires once the watermark passes `lastUs + gapUs`:
+    *     the open session is emitted as closed and its state REMOVED — a
+    *     user who goes quiet costs nothing forever after.
+    *
+    * Within a batch, events that still arrive out of order (inside the
+    * watermark delay) fold in with min/max guards, so `duration_us` can
+    * never shrink or go negative. Batch runs (timeouts never fire there)
+    * process each group once and keep the final open session unemitted —
+    * same semantics as before.
     */
   object Sessionizer {
 
-    def apply(events: Dataset[Event], gapUs: Long): Dataset[Session] = {
+    def apply(
+        events: Dataset[Event],
+        gapUs: Long,
+        watermarkDelay: String = "0 seconds"
+    ): Dataset[Session] = {
       import events.sparkSession.implicits._
+      // captured on the driver: in batch runs the watermark node is elided,
+      // so timeout bookkeeping would throw UnsupportedOperationException
+      val streaming = events.isStreaming
       events
+        .withColumn("ets", timestamp_micros(col("us")))
+        .withWatermark("ets", watermarkDelay)
+        .as[EventT]
         .groupByKey(_.user_id)
         .flatMapGroupsWithState[SessionState, Session](
           OutputMode.Append(),
-          GroupStateTimeout.NoTimeout()
+          GroupStateTimeout.EventTimeTimeout()
         ) { case (userId, rows, state) =>
-          val sorted = rows.toSeq.sortBy(e => (e.us))
-          var cur    = state.getOption
-          val out    = scala.collection.mutable.ArrayBuffer.empty[Session]
-          sorted.foreach { e =>
-            cur match {
-              case Some(st) if e.us - st.lastUs > gapUs =>
-                out += Session(userId, st.n, st.lastUs - st.startUs)
-                cur = Some(SessionState(e.us, e.us, 1))
-              case Some(st) =>
-                cur = Some(SessionState(st.startUs, e.us, st.n + 1))
-              case None =>
-                cur = Some(SessionState(e.us, e.us, 1))
+          if (state.hasTimedOut) {
+            val st = state.get
+            state.remove()
+            Iterator.single(Session(userId, st.n, st.lastUs - st.startUs))
+          } else {
+            val sorted = rows.toSeq.sortBy(_.us)
+            var cur    = state.getOption
+            val out    = scala.collection.mutable.ArrayBuffer.empty[Session]
+            sorted.foreach { e =>
+              cur match {
+                case Some(st) if e.us - st.lastUs > gapUs =>
+                  out += Session(userId, st.n, st.lastUs - st.startUs)
+                  cur = Some(SessionState(e.us, e.us, 1))
+                case Some(st) =>
+                  // out-of-order guard: never move the session bounds backwards
+                  cur = Some(
+                    SessionState(math.min(st.startUs, e.us), math.max(st.lastUs, e.us), st.n + 1)
+                  )
+                case None =>
+                  cur = Some(SessionState(e.us, e.us, 1))
+              }
             }
+            cur.foreach { st =>
+              state.update(st)
+              // close the session when the watermark passes last-event + gap;
+              // clamp above the current watermark (Spark rejects stale stamps)
+              if (streaming)
+                state.setTimeoutTimestamp(
+                  math.max(st.lastUs / 1000 + gapUs / 1000, state.getCurrentWatermarkMs() + 1)
+                )
+            }
+            out.iterator
           }
-          cur.foreach(state.update)
-          out.iterator
         }
     }
   }

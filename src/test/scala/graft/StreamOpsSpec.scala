@@ -63,6 +63,7 @@ class StreamOpsSpec extends AnyFunSuite with SparkTestBase {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
     val hourUs = 3600L * 1000000
+    val base   = 100 * hourUs // away from epoch 0 = the initial watermark
     val in     = MemoryStream[Event]
     val q = StreamOps.Sessionizer(in.toDS(), gapUs = hourUs).writeStream
       .format("memory")
@@ -71,15 +72,60 @@ class StreamOpsSpec extends AnyFunSuite with SparkTestBase {
       .start()
     try {
       // batch 1: two events 10 minutes apart — one OPEN session, nothing emitted
-      in.addData(Event(7L, 0L), Event(7L, 600L * 1000000))
+      in.addData(Event(7L, base), Event(7L, base + 600L * 1000000))
       q.processAllAvailable()
       assert(spark.table("sess").count() == 0)
 
       // batch 2: an event 5 hours later closes the session (2 events, 600s)
-      in.addData(Event(7L, 5 * hourUs))
+      in.addData(Event(7L, base + 5 * hourUs))
       q.processAllAvailable()
       val sessions = spark.table("sess").as[Session].collect().toSeq
       assert(sessions == Seq(Session(7L, 2L, 600L * 1000000)))
     } finally q.stop()
+  }
+
+  test("Sessionizer evicts idle sessions via event-time timeout") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val hourUs = 3600L * 1000000
+    val base   = 100 * hourUs // away from epoch 0 = the initial watermark
+    val in     = MemoryStream[Event]
+    val q = StreamOps.Sessionizer(in.toDS(), gapUs = hourUs).writeStream
+      .format("memory")
+      .queryName("sess_to")
+      .outputMode(OutputMode.Append())
+      .start()
+    try {
+      // batch 1: user 7's session opens (2 events, 600s span)
+      in.addData(Event(7L, base), Event(7L, base + 600L * 1000000))
+      q.processAllAvailable()
+      assert(spark.table("sess_to").count() == 0)
+
+      // batch 2: a different user far in the future advances the watermark
+      // past user 7's (last + gap) timeout stamp
+      in.addData(Event(8L, base + 10 * hourUs))
+      q.processAllAvailable()
+      // batch 3: any further data triggers the timeout sweep — user 7's
+      // open session is emitted as closed and its state removed
+      in.addData(Event(8L, base + 10 * hourUs + 1))
+      q.processAllAvailable()
+      val sessions = spark.table("sess_to").as[Session].collect().toSet
+      assert(sessions.contains(Session(7L, 2L, 600L * 1000000)))
+    } finally q.stop()
+  }
+
+  test("Sessionizer folds out-of-order events without shrinking durations") {
+    import spark.implicits._
+    val gapUs = 3600L * 1000000
+    // batch mode: one group pass; events deliberately unsorted in input —
+    // within-pass sorting plus min/max guards keep bounds monotone
+    val base = 100 * gapUs
+    val events = Seq(
+      Event(1L, base + 500L * 1000000),
+      Event(1L, base),
+      Event(1L, base + 3 * gapUs) // closes the first session
+    ).toDS()
+    val out = StreamOps.Sessionizer(events, gapUs).collect().toSeq
+    assert(out == Seq(Session(1L, 2L, 500L * 1000000)))
   }
 }
