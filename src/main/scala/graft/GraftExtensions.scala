@@ -2,72 +2,53 @@ package graft
 
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{DotProduct, NormalizeNFKC, SortedIntersectSize}
+import graft.functions.{CharNgrams, DotProduct, NormalizeNFKC, SortedIntersectSize, WordShingles}
 
 /** Session extension registering graft's native Catalyst expressions, wired
   * through `spark.sql.extensions` (see [[Engine.builder]]) the same way a
   * user cluster would enable the library.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def register(
+      ext: SparkSessionExtensions,
+      name: String,
+      arity: Int,
+      className: String
+  )(build: Seq[Expression] => Expression): Unit =
+    ext.injectFunction(
+      (
+        FunctionIdentifier(name),
+        new ExpressionInfo(className, name),
+        (exprs: Seq[Expression]) => {
+          if (exprs.length != arity)
+            throw new org.apache.spark.sql.AnalysisException(
+              errorClass = "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
+              messageParameters = Map(
+                "functionName" -> name,
+                "expectedNum" -> arity.toString,
+                "actualNum" -> exprs.length.toString,
+                "docroot" -> "https://spark.apache.org/docs/latest"
+              )
+            )
+          build(exprs)
+        }
+      )
+    )
+
   override def apply(ext: SparkSessionExtensions): Unit = {
-    ext.injectFunction(
-      (
-        FunctionIdentifier("graft_nfkc"),
-        new ExpressionInfo(classOf[NormalizeNFKC].getName, "graft_nfkc"),
-        (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
-          if (exprs.length != 1)
-            throw new org.apache.spark.sql.AnalysisException(
-              errorClass = "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
-              messageParameters = Map(
-                "functionName" -> "graft_nfkc",
-                "expectedNum" -> "1",
-                "actualNum" -> exprs.length.toString,
-                "docroot" -> "https://spark.apache.org/docs/latest"
-              )
-            )
-          NormalizeNFKC(exprs.head)
-        }
-      )
+    register(ext, "graft_nfkc", 1, classOf[NormalizeNFKC].getName)(e => NormalizeNFKC(e.head))
+    register(ext, "graft_dot", 2, classOf[DotProduct].getName)(e => DotProduct(e.head, e(1)))
+    register(ext, "graft_sorted_intersect_size", 2, classOf[SortedIntersectSize].getName)(e =>
+      SortedIntersectSize(e.head, e(1))
     )
-    ext.injectFunction(
-      (
-        FunctionIdentifier("graft_dot"),
-        new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
-        (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
-          if (exprs.length != 2)
-            throw new org.apache.spark.sql.AnalysisException(
-              errorClass = "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
-              messageParameters = Map(
-                "functionName" -> "graft_dot",
-                "expectedNum" -> "2",
-                "actualNum" -> exprs.length.toString,
-                "docroot" -> "https://spark.apache.org/docs/latest"
-              )
-            )
-          DotProduct(exprs.head, exprs(1))
-        }
-      )
+    register(ext, "graft_word_shingles", 2, classOf[WordShingles].getName)(e =>
+      WordShingles(e.head, e(1))
     )
-    ext.injectFunction(
-      (
-        FunctionIdentifier("graft_sorted_intersect_size"),
-        new ExpressionInfo(classOf[SortedIntersectSize].getName, "graft_sorted_intersect_size"),
-        (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
-          if (exprs.length != 2)
-            throw new org.apache.spark.sql.AnalysisException(
-              errorClass = "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
-              messageParameters = Map(
-                "functionName" -> "graft_sorted_intersect_size",
-                "expectedNum" -> "2",
-                "actualNum" -> exprs.length.toString,
-                "docroot" -> "https://spark.apache.org/docs/latest"
-              )
-            )
-          SortedIntersectSize(exprs.head, exprs(1))
-        }
-      )
+    register(ext, "graft_char_ngrams", 2, classOf[CharNgrams].getName)(e =>
+      CharNgrams(e.head, e(1))
     )
   }
 }

@@ -43,24 +43,15 @@ object Dedup extends QueryModule {
 
   private def words(c: Column): Column = split(c, " ")
 
-  /** Distinct word n-gram shingles of a text column (unordered — the
-    * signature path only explodes them).
+  /** Sorted distinct word n-gram shingles — the native codegen'd
+    * [[graft.functions.WordShingles]] (one set build per document inside
+    * WholeStageCodegen; the `transform(sequence(...))` chain it replaced was
+    * CodegenFallback and re-inlined per referencing expression). Sorted
+    * output is exactly the [[graft.functions.SortedIntersectSize]]
+    * precondition, so verification needs no separate sort pass.
     */
-  private def shingles(c: Column): Column = {
-    val w = words(c)
-    array_distinct(
-      transform(
-        sequence(lit(0), greatest(size(w) - ShingleN, lit(0))),
-        i => concat_ws(" ", slice(w, i + 1, lit(ShingleN)))
-      )
-    )
-  }
-
-  /** Sorted variant — sorting once per document lets pair verification use
-    * the merge-scan [[graft.functions.SortedIntersectSize]] instead of a
-    * per-pair hash set.
-    */
-  private def shinglesSorted(c: Column): Column = array_sort(shingles(c))
+  private def shingles(c: Column): Column =
+    call_function("graft_word_shingles", c, lit(ShingleN))
 
   /** One 24-bit integer hash per string (single md5 — the only expensive
     * hash in any signature here; the hash families are integer-only).
@@ -133,7 +124,7 @@ object Dedup extends QueryModule {
   /** D2 — exact-Jaccard verification of the MinHash candidates (τ = 0.8). */
   private def d2_verified_pairs(s: SparkSession, d: String): DataFrame = {
     val sh = corpus(s, d)
-      .select(col("doc_id"), shinglesSorted(col("text")).as("sh"))
+      .select(col("doc_id"), shingles(col("text")).as("sh"))
       .localCheckpoint(true) // joined twice below (s1/s2 sides)
     val cand = d1_minhash_candidates(s, d)
     val j = cand
@@ -180,14 +171,7 @@ object Dedup extends QueryModule {
     * gram size: the md5 per gram costs more than the string intersect saves.)
     */
   private def d4_ngram_jaccard(s: SparkSession, d: String): DataFrame = {
-    val grams = array_sort(
-      array_distinct(
-        transform(
-          sequence(lit(1), greatest(length(col("text")) - 3, lit(1))),
-          i => col("text").substr(i, lit(4))
-        )
-      )
-    )
+    val grams = call_function("graft_char_ngrams", col("text"), lit(4))
     val g = table(s, d, "documents")
       .select(col("doc_id"), grams.as("g"))
       .select(col("doc_id"), col("g"), size(col("g")).cast("double").as("n"))
