@@ -8,12 +8,17 @@ import scala.collection.mutable.ArrayBuffer
   * LangChain's RecursiveCharacterTextSplitter: 2048-token chunks, 512-token
   * overlap, separators ["\n\n", "\n", ". ", "? ", "! ", " ", ""]).
   *
-  * The reference measures length in HuggingFace tokens; no tokenizer ships in
-  * this offline environment, so the declared deterministic length function is
-  * characters (SURVEY §7.5.4). Semantics preserved: recurse down the separator
+  * Length is measured by a pluggable `measure` function:
+  *   - [[chunk]] measures characters (SURVEY §7.5.4's declared default);
+  *   - [[chunkBy]] with [[TokenCount.count]] measures tokens — the
+  *     reference's unit, via the declared regex-BPE approximation. Piece
+  *     lengths are summed across merges exactly as the reference splitter
+  *     sums them.
+  *
+  * Semantics preserved from the reference: recurse down the separator
   * hierarchy until pieces fit, then greedily merge pieces into chunks of at
-  * most `chunkSize`, carrying `overlap` characters of trailing context into
-  * the next chunk.
+  * most `chunkSize`, carrying up to `overlap` of trailing context into the
+  * next chunk.
   *
   * Pure function of its arguments — safe as a deterministic Spark UDF; runs
   * per-document on executors (embarrassingly parallel, no shuffle).
@@ -23,21 +28,39 @@ object ChunkText {
   val DefaultSeparators: List[String] = List("\n\n", "\n", ". ", "? ", "! ", " ", "")
 
   def chunk(text: String, chunkSize: Int, overlap: Int): Seq[String] =
-    chunk(text, chunkSize, overlap, DefaultSeparators)
+    chunkBy(text, chunkSize, overlap, DefaultSeparators, _.length)
 
-  def chunk(text: String, chunkSize: Int, overlap: Int, separators: List[String]): Seq[String] = {
+  def chunk(text: String, chunkSize: Int, overlap: Int, separators: List[String]): Seq[String] =
+    chunkBy(text, chunkSize, overlap, separators, _.length)
+
+  def chunkBy(
+      text: String,
+      chunkSize: Int,
+      overlap: Int,
+      separators: List[String],
+      measure: String => Int
+  ): Seq[String] = {
     require(chunkSize > 0, "chunkSize must be positive")
     require(overlap >= 0 && overlap < chunkSize, "overlap must be in [0, chunkSize)")
     if (text == null || text.isEmpty) Seq.empty
-    else mergePieces(splitRecursive(text, chunkSize, separators), chunkSize, overlap)
-      .filter(_.nonEmpty)
+    else
+      mergePieces(splitRecursive(text, chunkSize, separators, measure), chunkSize, overlap, measure)
+        .filter(_.nonEmpty)
   }
 
-  /** Split `text` into pieces each ≤ chunkSize, using the first separator in
-    * the hierarchy that makes progress, recursing on oversized pieces.
+  /** Split `text` into pieces each measuring ≤ chunkSize, using the first
+    * separator in the hierarchy that makes progress, recursing on oversized
+    * pieces. The hard-cut fallback groups by chunkSize CHARACTERS, which is
+    * safe for any measure bounded by character count (both `_.length` and
+    * [[TokenCount.count]] are).
     */
-  private def splitRecursive(text: String, chunkSize: Int, seps: List[String]): Seq[String] =
-    if (text.length <= chunkSize) Seq(text)
+  private def splitRecursive(
+      text: String,
+      chunkSize: Int,
+      seps: List[String],
+      measure: String => Int
+  ): Seq[String] =
+    if (measure(text) <= chunkSize) Seq(text)
     else seps match {
       case Nil => // unsplittable run: hard-cut
         text.grouped(chunkSize).toSeq
@@ -45,10 +68,10 @@ object ChunkText {
         text.grouped(chunkSize).toSeq
       case sep :: rest =>
         val parts = splitKeepingSeparator(text, sep)
-        if (parts.length <= 1) splitRecursive(text, chunkSize, rest)
+        if (parts.length <= 1) splitRecursive(text, chunkSize, rest, measure)
         else parts.flatMap { p =>
-          if (p.length <= chunkSize) Seq(p)
-          else splitRecursive(p, chunkSize, rest)
+          if (measure(p) <= chunkSize) Seq(p)
+          else splitRecursive(p, chunkSize, rest, measure)
         }
     }
 
@@ -68,30 +91,39 @@ object ChunkText {
     out.toSeq
   }
 
-  /** Greedy merge of pieces into chunks ≤ chunkSize, with each next chunk
-    * seeded by the trailing pieces of the previous one up to `overlap` chars.
+  /** Greedy merge of pieces into chunks measuring ≤ chunkSize, with each next
+    * chunk seeded by the trailing pieces of the previous one up to `overlap`.
     *
     * After emitting a chunk, retained pieces are evicted from the front until
     * BOTH the overlap bound holds and the incoming piece fits — the
     * reference's splitter pops front pieces while
     * `total > overlap || (total + len > chunkSize && total > 0)`, so an
-    * emitted chunk can never exceed chunkSize (every piece is ≤ chunkSize by
-    * construction of [[splitRecursive]]).
+    * emitted chunk can never exceed chunkSize (every piece measures
+    * ≤ chunkSize by construction of [[splitRecursive]]). Each piece is
+    * measured exactly once.
     */
-  private def mergePieces(pieces: Seq[String], chunkSize: Int, overlap: Int): Seq[String] = {
+  private def mergePieces(
+      pieces: Seq[String],
+      chunkSize: Int,
+      overlap: Int,
+      measure: String => Int
+  ): Seq[String] = {
     val chunks = ArrayBuffer.empty[String]
-    val cur = ArrayBuffer.empty[String]
+    val cur    = ArrayBuffer.empty[String]
+    val lens   = ArrayBuffer.empty[Int]
     var curLen = 0
 
     pieces.foreach { p =>
-      if (curLen + p.length > chunkSize && curLen > 0) {
+      val pl = measure(p)
+      if (curLen + pl > chunkSize && curLen > 0) {
         chunks += cur.mkString.trim
-        while (curLen > overlap || (curLen + p.length > chunkSize && curLen > 0)) {
-          curLen -= cur.head.length
+        while (curLen > overlap || (curLen + pl > chunkSize && curLen > 0)) {
+          curLen -= lens.head
           cur.remove(0)
+          lens.remove(0)
         }
       }
-      cur += p; curLen += p.length
+      cur += p; lens += pl; curLen += pl
     }
     if (curLen > 0) chunks += cur.mkString.trim
     chunks.toSeq

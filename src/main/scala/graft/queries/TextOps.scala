@@ -70,15 +70,52 @@ object TextOps extends QueryModule {
         col("col").as("chunk")
       )
 
-  /** F3 (recursive) — separator-aware recursive splitter with overlap.
-    * Not SQL-expressible → no oracle (rows-only check); invariants
-    * (chunk length ≤ size, overlap bound, input coverage) are
-    * property-tested in [[graft.ChunkTextSpec]].
+  /** Sentence-structured restricted input shared by f3b/f3c: per document,
+    * `k = doc_id % 40 + 1` copies of one fixed-shape 12-char sentence
+    * `"ab" + md5(doc_id)[0:3] + " fghi. "`. On such input the recursive
+    * splitter's behavior has a CLOSED FORM (every ". "-piece has identical
+    * measure, so the greedy merge/evict arithmetic is pure integer math) —
+    * which makes the genuinely recursive path (separator split → greedy
+    * merge → overlap retention) SQL-expressible and hash-verifiable.
+    * Arbitrary-text invariants stay covered by [[graft.ChunkTextSpec]].
+    */
+  private def sentenceText(s: SparkSession, d: String): DataFrame = {
+    val sentence =
+      concat(lit("ab"), substring(md5(col("doc_id").cast("string")), 1, 3), lit(" fghi. "))
+    table(s, d, "documents")
+      .select(col("doc_id"), repeat(sentence, (col("doc_id") % 40 + 1).cast("int")).as("stext"))
+  }
+
+  /** F3 (recursive, char-measured) — the separator-aware recursive splitter
+    * with overlap, oracled on the restricted sentence input (see
+    * [[sentenceText]]): chunkSize 160 chars, overlap 40 ⇒ 13 sentences per
+    * chunk, 3 retained, stride 10.
     */
   private def f3b_chunk_recursive(s: SparkSession, d: String): DataFrame = {
     val chunkUdf = udf((t: String) => ChunkText.chunk(t, 160, 40))
-    table(s, d, "documents")
-      .select(col("doc_id"), posexplode(chunkUdf(col("text"))))
+    sentenceText(s, d)
+      .select(col("doc_id"), posexplode(chunkUdf(col("stext"))))
+      .select(
+        col("doc_id"),
+        (col("pos") + 1).cast("long").as("chunk_index"),
+        col("col").as("chunk")
+      )
+  }
+
+  /** F3 (recursive, TOKEN-measured) — the reference's unit
+    * (2048-token/512-overlap via HF tokenizer,
+    * data_transformation_helpers.py:161-183 + settings.py:126-127), here via
+    * the declared [[graft.functions.TokenCount]] regex-BPE approximation at
+    * test-corpus scale: chunkSize 40 tokens, overlap 12. Each sentence
+    * measures 4 tokens (ceil(5/4)+1+1) ⇒ 10 sentences per chunk, 3
+    * retained, stride 7.
+    */
+  private def f3c_chunk_tokenized(s: SparkSession, d: String): DataFrame = {
+    val chunkUdf = udf((t: String) =>
+      ChunkText.chunkBy(t, 40, 12, ChunkText.DefaultSeparators, graft.functions.TokenCount.count)
+    )
+    sentenceText(s, d)
+      .select(col("doc_id"), posexplode(chunkUdf(col("stext"))))
       .select(
         col("doc_id"),
         (col("pos") + 1).cast("long").as("chunk_index"),
@@ -207,6 +244,7 @@ object TextOps extends QueryModule {
     "f2_natural_list" -> (f2_natural_list _),
     "f3_chunk_fixed" -> (f3_chunk_fixed _),
     "f3b_chunk_recursive" -> (f3b_chunk_recursive _),
+    "f3c_chunk_tokenized" -> (f3c_chunk_tokenized _),
     "f4_parse_sections" -> (f4_parse_sections _),
     "f5_qid_from_uri" -> (f5_qid_from_uri _),
     "f6_year_from_date" -> (f6_year_from_date _),
@@ -241,6 +279,44 @@ object TextOps extends QueryModule {
                 END AS flag_phrase,
                 CAST(len(flags) AS BIGINT) AS n_flags
          FROM f""",
+    // f3b/f3c closed forms on the sentence-structured input: every piece
+    // (". "-delimited sentence) measures the same — 12 chars / 4 tokens — so
+    // the splitter's greedy merge is pure arithmetic:
+    //   fit  = floor(chunkSize / pieceLen)   pieces per emitted chunk
+    //   keep = floor(overlap  / pieceLen)    pieces retained after emit
+    //   stride = fit - keep; #chunks m = k <= fit ? 1 : 1 + ceil((k-fit)/stride)
+    //   chunk j = pieces [stride*(j-1), +min(fit, k - stride*(j-1))) — a
+    //   contiguous substring; trim drops the single trailing space.
+    "f3b_chunk_recursive" ->
+      """WITH p AS (
+           SELECT doc_id, doc_id % 40 + 1 AS k,
+                  repeat('ab' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 3) || ' fghi. ',
+                         CAST(doc_id % 40 + 1 AS INTEGER)) AS txt
+           FROM documents),
+         c AS (
+           SELECT doc_id, k, txt,
+                  unnest(generate_series(1, CASE WHEN k <= 13 THEN 1
+                                               ELSE 1 + (k - 4) // 10 END)) AS j
+           FROM p)
+         SELECT doc_id, CAST(j AS BIGINT) AS chunk_index,
+                substr(txt, CAST(120 * (j - 1) + 1 AS INTEGER),
+                       CAST(12 * least(13, k - 10 * (j - 1)) - 1 AS INTEGER)) AS chunk
+         FROM c""",
+    "f3c_chunk_tokenized" ->
+      """WITH p AS (
+           SELECT doc_id, doc_id % 40 + 1 AS k,
+                  repeat('ab' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 3) || ' fghi. ',
+                         CAST(doc_id % 40 + 1 AS INTEGER)) AS txt
+           FROM documents),
+         c AS (
+           SELECT doc_id, k, txt,
+                  unnest(generate_series(1, CASE WHEN k <= 10 THEN 1
+                                               ELSE 1 + (k - 4) // 7 END)) AS j
+           FROM p)
+         SELECT doc_id, CAST(j AS BIGINT) AS chunk_index,
+                substr(txt, CAST(84 * (j - 1) + 1 AS INTEGER),
+                       CAST(12 * least(10, k - 7 * (j - 1)) - 1 AS INTEGER)) AS chunk
+         FROM c""",
     "f3_chunk_fixed" ->
       """WITH pos AS (SELECT doc_id, text,
                              unnest(generate_series(1, greatest(length(text), 1), 90)) AS p

@@ -3,7 +3,7 @@ package graft
 import org.scalacheck.{Gen, Prop, Test => SCTest}
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.functions.ChunkText
+import graft.functions.{ChunkText, TokenCount}
 
 /** Property tests for the recursive chunker (F3b) — the invariants the
   * reference's RecursiveCharacterTextSplitter guarantees:
@@ -85,5 +85,32 @@ class ChunkTextSpec extends AnyFunSuite {
     assert(chunks.length == 5)
     assert(chunks.forall(_.length == 100))
     assert(chunks.mkString == text)
+  }
+
+  test("token-measured chunks never exceed chunkSize tokens") {
+    checkProp(Prop.forAll(paramsGen) { case (text, size, overlap) =>
+      ChunkText
+        .chunkBy(text, size, overlap, ChunkText.DefaultSeparators, TokenCount.count)
+        .forall(TokenCount.count(_) <= size)
+    })
+  }
+
+  test("token-measured chunks keep substring + coverage invariants") {
+    checkProp(Prop.forAll(paramsGen) { case (text, size, overlap) =>
+      val chunks =
+        ChunkText.chunkBy(text, size, overlap, ChunkText.DefaultSeparators, TokenCount.count)
+      chunks.forall(text.contains(_)) &&
+      text.split("[\\s.?!]+").filter(_.nonEmpty).forall(w => chunks.exists(_.contains(w)))
+    })
+  }
+
+  test("TokenCount: alnum runs count ceil(len/4), symbols 1, whitespace 0") {
+    assert(TokenCount.count("") == 0)
+    assert(TokenCount.count("   ") == 0)
+    assert(TokenCount.count("abcd") == 1)
+    assert(TokenCount.count("abcde") == 2)
+    assert(TokenCount.count("ab3f7 fghi. ") == 4) // 2 + 1 + 1 — the f3c sentence
+    assert(TokenCount.count("a,b") == 3)
+    assert(TokenCount.count("hello world!") == 2 + 2 + 1) // ceil(5/4) twice + '!'
   }
 }
