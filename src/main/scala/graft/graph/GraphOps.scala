@@ -3,6 +3,8 @@ package graft.graph
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
+import graft.Lineage
+
 /** Vertex/edge DataFrame operators — the Spark-native form of the reference's
   * property-graph layer (Neo4j node/edge ingestion,
   * defs/assets/ingest_graph_db.py:126-296; igraph analytic graph,
@@ -20,9 +22,14 @@ import org.apache.spark.sql.functions._
   *     aggregation keeps the shuffle at one row per (vertex, partition).
   *   - [[connectedComponents]] is iterative min-label propagation (the
   *     standard distributed CC; Leiden/Louvain's coarse first pass). Each
-  *     pass is one equi-join + one aggregate; `localCheckpoint` truncates
-  *     the plan between passes so lineage doesn't grow with iterations —
-  *     the driver only ever sees a convergence count, never the graph.
+  *     pass is ONE equi-join + ONE aggregate: the convergence signal rides
+  *     along as an `old` column through the same aggregate, so detecting a
+  *     fixed point costs a cheap scan of the materialized pass output — no
+  *     extra join per iteration. [[graft.Lineage.truncate]] cuts the plan
+  *     between passes (localCheckpoint by default; reliable `checkpoint()`
+  *     when `spark.graft.checkpointDir` is set — the cluster-grade mode
+  *     where truncated state must survive executor loss). The driver only
+  *     ever sees a convergence count, never the graph.
   */
 object GraphOps {
 
@@ -55,14 +62,15 @@ object GraphOps {
     * lineage between passes.
     */
   def labelPropagation(vertexIds: DataFrame, edges: DataFrame, iterations: Int): DataFrame = {
-    val sym = edges
-      .select(col("src"), col("dst"))
-      .unionAll(edges.select(col("dst").as("src"), col("src").as("dst")))
-      .distinct()
-      .localCheckpoint(true)
+    val sym = Lineage.truncate(
+      edges
+        .select(col("src"), col("dst"))
+        .unionAll(edges.select(col("dst").as("src"), col("src").as("dst")))
+        .distinct()
+    )
 
     var labels =
-      vertexIds.select(col("id"), col("id").as("lbl")).localCheckpoint(true)
+      Lineage.truncate(vertexIds.select(col("id"), col("id").as("lbl")))
     (1 to iterations).foreach { _ =>
       val neigh = sym
         .join(labels, sym("dst") === labels("id"))
@@ -75,10 +83,11 @@ object GraphOps {
         .withColumn("rn", org.apache.spark.sql.functions.row_number().over(w))
         .filter(col("rn") === 1)
         .select(col("id"), col("lbl").as("new_lbl"))
-      labels = labels
-        .join(picked, Seq("id"), "left")
-        .select(col("id"), coalesce(col("new_lbl"), col("lbl")).as("lbl"))
-        .localCheckpoint(true)
+      labels = Lineage.truncate(
+        labels
+          .join(picked, Seq("id"), "left")
+          .select(col("id"), coalesce(col("new_lbl"), col("lbl")).as("lbl"))
+      )
     }
     labels
   }
@@ -93,31 +102,33 @@ object GraphOps {
     * 100 TB — per-pass cost is one shuffle join + one aggregate.
     */
   def connectedComponents(vertexIds: DataFrame, edges: DataFrame, maxIter: Int = 30): DataFrame = {
-    val sym = edges
-      .select(col("src"), col("dst"))
-      .unionAll(edges.select(col("dst").as("src"), col("src").as("dst")))
-      .distinct()
-      .localCheckpoint(true)
+    val sym = Lineage.truncate(
+      edges
+        .select(col("src"), col("dst"))
+        .unionAll(edges.select(col("dst").as("src"), col("src").as("dst")))
+        .distinct()
+    )
 
     var labels =
-      vertexIds.select(col("id"), col("id").as("comp")).localCheckpoint(true)
+      Lineage.truncate(vertexIds.select(col("id"), col("id").as("comp")))
     var iter      = 0
     var converged = false
     while (!converged && iter < maxIter) {
       val msgs = sym
         .join(labels, sym("src") === labels("id"))
         .select(sym("dst").as("id"), col("comp"))
-      val next = labels
-        .unionByName(msgs)
-        .groupBy("id")
-        .agg(min("comp").as("comp"))
-        .localCheckpoint(true)
-      val changed = next
-        .as("n")
-        .join(labels.as("o"), "id")
-        .filter(col("n.comp") =!= col("o.comp"))
-        .count()
-      labels = next
+      // fused convergence: each vertex's previous label rides along as `old`
+      // (exactly one non-null per id — min ignores nulls), so the changed
+      // count is a scan of the materialized pass output, not a second join
+      val next = Lineage.truncate(
+        labels
+          .select(col("id"), col("comp"), col("comp").as("old"))
+          .unionByName(msgs.withColumn("old", lit(null).cast(msgs.schema("comp").dataType)))
+          .groupBy("id")
+          .agg(min("comp").as("comp"), min("old").as("old"))
+      )
+      val changed = next.filter(col("comp") =!= col("old")).count()
+      labels = next.drop("old")
       converged = changed == 0
       iter += 1
     }

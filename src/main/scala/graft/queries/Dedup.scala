@@ -104,12 +104,14 @@ object Dedup extends QueryModule {
   }
 
   /** D1 — MinHash + LSH banding candidate pairs. The band-key table is
-    * materialized once (localCheckpoint — the single-job analog of
-    * persisting the signature table, which is what a 100 TB pipeline does)
-    * so the self-join's two sides don't each recompute the signatures.
+    * materialized once ([[graft.Lineage.truncate]] — localCheckpoint by
+    * default, reliable checkpoint under `spark.graft.checkpointDir`; the
+    * single-job analog of persisting the signature table, which is what a
+    * 100 TB pipeline does) so the self-join's two sides don't each
+    * recompute the signatures.
     */
   private def d1_minhash_candidates(s: SparkSession, d: String): DataFrame = {
-    val bands = bandKeys(corpus(s, d)).localCheckpoint(true)
+    val bands = graft.Lineage.truncate(bandKeys(corpus(s, d)))
     val a     = bands.as("a")
     val b     = bands.as("b")
     a.join(
@@ -123,9 +125,9 @@ object Dedup extends QueryModule {
 
   /** D2 — exact-Jaccard verification of the MinHash candidates (τ = 0.8). */
   private def d2_verified_pairs(s: SparkSession, d: String): DataFrame = {
-    val sh = corpus(s, d)
-      .select(col("doc_id"), shingles(col("text")).as("sh"))
-      .localCheckpoint(true) // joined twice below (s1/s2 sides)
+    val sh = graft.Lineage.truncate( // joined twice below (s1/s2 sides)
+      corpus(s, d).select(col("doc_id"), shingles(col("text")).as("sh"))
+    )
     val cand = d1_minhash_candidates(s, d)
     val j = cand
       .join(sh.select(col("doc_id").as("doc1"), col("sh").as("s1")), "doc1")

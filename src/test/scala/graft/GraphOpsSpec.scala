@@ -20,6 +20,26 @@ class GraphOpsSpec extends AnyFunSuite with SparkTestBase {
     assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 10L -> 10L, 11L -> 10L, 20L -> 20L))
   }
 
+  test("connectedComponents is identical under reliable-checkpoint mode") {
+    import spark.implicits._
+    val edges    = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L)).toDF("src", "dst")
+    val vertices = Seq(1L, 2L, 3L, 4L, 10L, 11L, 20L).toDF("id")
+    val expected =
+      GraphOps.connectedComponents(vertices, edges).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val dir = java.nio.file.Files.createTempDirectory("graft_chk").toString
+    spark.conf.set(graft.Lineage.CheckpointDirConf, dir)
+    try {
+      val got = GraphOps
+        .connectedComponents(vertices, edges)
+        .collect()
+        .map(r => r.getLong(0) -> r.getLong(1))
+        .toMap
+      assert(got == expected)
+      // reliable mode actually wrote checkpoint data to the configured dir
+      assert(new java.io.File(dir).listFiles().nonEmpty)
+    } finally spark.conf.unset(graft.Lineage.CheckpointDirConf)
+  }
+
   test("validEdges drops edges with a missing endpoint") {
     import spark.implicits._
     val edges = Seq((1L, 100L, "R"), (1L, 999L, "R"), (7L, 100L, "R"))
