@@ -92,6 +92,45 @@ object GraphOps {
     labels
   }
 
+  /** Deterministic multi-level community hierarchy — the Spark-native form
+    * of the reference's 3-resolution Leiden run
+    * (defs/assets/detect_communities.py:218-246, resolutions [2.0, 0.5,
+    * 0.1]; exact Leiden parity is declared out of scope, SURVEY §7.4):
+    *
+    *   - level 0 (finest): synchronous LPA on the input graph;
+    *   - level 1: the graph COARSENED by level-0 communities
+    *     (communities become vertices, deduplicated inter-community edges
+    *     become edges — the Louvain/Leiden aggregation step), then LPA
+    *     again on the coarse graph;
+    *   - level 2 (coarsest): connected components — the connectivity limit
+    *     every resolution sequence bottoms out at.
+    *
+    * Returns `(id, community_l0, community_l1, community_l2)`, one row per
+    * vertex, all labels drawn from the vertex-id namespace. Each level is
+    * join+aggregate passes over key-partitioned frames; the coarse graph is
+    * strictly smaller than the input, so level cost decreases — the same
+    * reason Louvain scales.
+    */
+  def communityHierarchy(vertexIds: DataFrame, edges: DataFrame, iterations: Int = 3): DataFrame = {
+    val l0 = Lineage.truncate(labelPropagation(vertexIds, edges, iterations))
+    val coarseEdges = edges
+      .join(l0.select(col("id").as("src"), col("lbl").as("csrc")), "src")
+      .join(l0.select(col("id").as("dst"), col("lbl").as("cdst")), "dst")
+      .filter(col("csrc") =!= col("cdst"))
+      .select(col("csrc").as("src"), col("cdst").as("dst"))
+      .distinct()
+    val coarseVerts = l0.select(col("lbl").as("id")).distinct()
+    val l1          = labelPropagation(coarseVerts, coarseEdges, iterations)
+    val l2          = connectedComponents(vertexIds, edges)
+    l0.select(col("id"), col("lbl").as("community_l0"))
+      .join(
+        l1.select(col("id").as("community_l0"), col("lbl").as("community_l1")),
+        "community_l0"
+      )
+      .join(l2.select(col("id"), col("comp").as("community_l2")), "id")
+      .select(col("id"), col("community_l0"), col("community_l1"), col("community_l2"))
+  }
+
   /** Connected components by min-label propagation: every vertex starts
     * labelled with its own id; each pass every vertex takes the min label in
     * its closed neighborhood; converged when no label changes. Returns

@@ -109,26 +109,42 @@ object GraphQueries extends QueryModule {
       .select(col("id").cast("long").as("id"), col("lbl").cast("long").as("label"))
   }
 
+  /** The community assignment consumed by the metadata/summary layer: the
+    * REAL detection output (3-pass sync LPA labels over the chained-nation
+    * graph, g2b's algorithm), not a nation-key proxy — mirroring how the
+    * reference's community_metadata asset consumes detected_communities
+    * (detect_communities.py:294-328). 25 rows → broadcast to the customer
+    * side; at scale this is the canonical small-dim broadcast join.
+    */
+  private def communityAssign(s: SparkSession, d: String): DataFrame = {
+    val (vertices, edges) = chainedNationGraph(s, d)
+    GraphOps
+      .labelPropagation(vertices, edges, 3)
+      .select(col("id").as("c_nationkey"), col("lbl").as("community_id"))
+  }
+
   /** Community metadata aggregation (reference detect_communities.py:100-165
-    * + 294-328): member count, top segment by frequency (deterministic
-    * tiebreak), and the 3 lowest-key representative members. `collect_list`
-    * groups here are nation-bounded; the unbounded-group form would use the
+    * + 294-328), keyed on the LPA community labels: member count, top
+    * segment by frequency (deterministic tiebreak), and the 3 lowest-key
+    * representative members. `collect_list` groups here are
+    * community-bounded; the unbounded-group form would use the
     * KSmallestLong aggregator (see a8_member_stats).
     */
   private def communityMeta(s: SparkSession, d: String): DataFrame = {
     val c = table(s, d, "customer")
+      .join(broadcast(communityAssign(s, d)), "c_nationkey")
     val segCounts = c
-      .groupBy(col("c_nationkey"), col("c_mktsegment"))
+      .groupBy(col("community_id"), col("c_mktsegment"))
       .agg(count(lit(1)).as("cnt"))
     val wTop = Window
-      .partitionBy(col("c_nationkey"))
+      .partitionBy(col("community_id"))
       .orderBy(col("cnt").desc, col("c_mktsegment").asc)
     val topSeg = segCounts
       .withColumn("rn", row_number().over(wTop))
       .filter(col("rn") === 1)
-      .select(col("c_nationkey"), col("c_mktsegment").as("top_segment"))
+      .select(col("community_id"), col("c_mktsegment").as("top_segment"))
     val stats = c
-      .groupBy(col("c_nationkey"))
+      .groupBy(col("community_id"))
       .agg(
         count(lit(1)).as("member_count"),
         array_join(
@@ -143,7 +159,7 @@ object GraphQueries extends QueryModule {
           ", "
         ).as("reps")
       )
-    stats.join(topSeg, "c_nationkey")
+    stats.join(topSeg, "community_id")
   }
 
   /** G5 — LLM prompt construction (reference
@@ -152,10 +168,10 @@ object GraphQueries extends QueryModule {
     */
   private def g5_prompt_construction(s: SparkSession, d: String): DataFrame =
     communityMeta(s, d).select(
-      col("c_nationkey").as("community_id"),
+      col("community_id"),
       concat(
         lit("Summarize community "),
-        col("c_nationkey").cast("string"),
+        col("community_id").cast("string"),
         lit(" with "),
         col("member_count").cast("string"),
         lit(" members. Top segment: "),
@@ -175,10 +191,10 @@ object GraphQueries extends QueryModule {
     communityMeta(s, d)
       .join(
         broadcast(table(s, d, "nation")),
-        col("c_nationkey") === col("n_nationkey")
+        col("community_id") === col("n_nationkey")
       )
       .select(
-        col("c_nationkey").as("community_id"),
+        col("community_id"),
         concat(col("n_name"), lit(" "), col("top_segment")).as("name"),
         concat(
           lit("Community of "),
@@ -191,12 +207,30 @@ object GraphQueries extends QueryModule {
         ).as("summary")
       )
 
+  /** G2c — deterministic multi-level community hierarchy (the reference's
+    * 3-resolution Leiden run, detect_communities.py:218-246, re-expressed
+    * as LPA → coarsened LPA → connected components; see
+    * [[graft.graph.GraphOps.communityHierarchy]]).
+    */
+  private def g2c_community_hierarchy(s: SparkSession, d: String): DataFrame = {
+    val (vertices, edges) = chainedNationGraph(s, d)
+    GraphOps
+      .communityHierarchy(vertices, edges, 3)
+      .select(
+        col("id").cast("long").as("id"),
+        col("community_l0").cast("long").as("community_l0"),
+        col("community_l1").cast("long").as("community_l1"),
+        col("community_l2").cast("long").as("community_l2")
+      )
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "g0_node_table" -> (g0_node_table _),
     "g1_edge_validity" -> (g1_edge_validity _),
     "g1b_degree_stats" -> (g1b_degree_stats _),
     "g2_connected_components" -> (g2_connected_components _),
     "g2b_label_propagation" -> (g2b_label_propagation _),
+    "g2c_community_hierarchy" -> (g2c_community_hierarchy _),
     "g4_summary_stub" -> (g4_summary_stub _),
     "g5_prompt_construction" -> (g5_prompt_construction _)
   )
@@ -214,72 +248,103 @@ object GraphQueries extends QueryModule {
            AND EXISTS (SELECT 1 FROM part WHERE p_partkey = e.dst)
        )"""
 
-  private val communityMetaSql =
-    """segc AS (
-         SELECT c_nationkey, c_mktsegment, count(*) AS cnt
-         FROM customer GROUP BY 1, 2),
-       tops AS (
-         SELECT c_nationkey, c_mktsegment AS top_segment FROM (
-           SELECT *, row_number() OVER (PARTITION BY c_nationkey
-                  ORDER BY cnt DESC, c_mktsegment) AS rn FROM segc)
-         WHERE rn = 1),
-       reps AS (
-         SELECT c_nationkey, string_agg(c_name, ', ' ORDER BY c_custkey) AS reps FROM (
-           SELECT *, row_number() OVER (PARTITION BY c_nationkey
-                  ORDER BY c_custkey) AS rn FROM customer)
-         WHERE rn <= 3 GROUP BY c_nationkey),
-       stats AS (
-         SELECT c_nationkey, CAST(count(*) AS BIGINT) AS member_count
-         FROM customer GROUP BY c_nationkey),
-       meta AS (
-         SELECT s.c_nationkey, s.member_count, t.top_segment, r.reps
-         FROM stats s JOIN tops t ON s.c_nationkey = t.c_nationkey
-         JOIN reps r ON s.c_nationkey = r.c_nationkey)"""
-
   /** The 3 LPA passes, unrolled (the iterative loop has no SQL equivalent
-    * short of unrolling; 3 passes = 3 CTE triplets).
+    * short of unrolling; 3 passes = 3 CTE triplets). Parameterized on the
+    * (symmetric) edge CTE name and a CTE-name prefix so the hierarchy
+    * oracle can run a second unrolled round over the coarsened graph.
     */
-  private val lpaStepsSql: String = (1 to 3)
+  private def lpaStepsSql(edgesName: String, p: String): String = (1 to 3)
     .map { t =>
-      s"""c$t AS (
+      s"""${p}c$t AS (
             SELECT e.src AS id, l.lbl, count(*) AS c
-            FROM edges e JOIN l${t - 1} l ON l.id = e.dst GROUP BY 1, 2),
-          p$t AS (
+            FROM $edgesName e JOIN ${p}l${t - 1} l ON l.id = e.dst GROUP BY 1, 2),
+          ${p}p$t AS (
             SELECT id, lbl FROM (
               SELECT *, row_number() OVER (PARTITION BY id ORDER BY c DESC, lbl) AS rn
-              FROM c$t) WHERE rn = 1),
-          l$t AS (
+              FROM ${p}c$t) WHERE rn = 1),
+          ${p}l$t AS (
             SELECT a.id, coalesce(p.lbl, a.lbl) AS lbl
-            FROM l${t - 1} a LEFT JOIN p$t p ON a.id = p.id)"""
+            FROM ${p}l${t - 1} a LEFT JOIN ${p}p$t p ON a.id = p.id)"""
     }
     .mkString(", ")
 
+  /** Chained-nation graph + 3 unrolled LPA passes; yields `l3` = (id, lbl). */
+  private val chainLpaSql: String =
+    s"""chain AS (
+          SELECT n_nationkey AS src,
+                 lead(n_nationkey) OVER (PARTITION BY n_regionkey
+                                         ORDER BY n_nationkey) AS dst
+          FROM nation),
+        edges AS (
+          SELECT src, dst FROM chain WHERE dst IS NOT NULL
+          UNION
+          SELECT dst, src FROM chain WHERE dst IS NOT NULL),
+        l0 AS (SELECT n_nationkey AS id, n_nationkey AS lbl FROM nation),
+        ${lpaStepsSql("edges", "")}"""
+
+  private val communityMetaSql =
+    s"""$chainLpaSql,
+       assign AS (SELECT id AS c_nationkey, lbl AS community_id FROM l3),
+       cmembers AS (
+         SELECT c.c_custkey, c.c_name, c.c_mktsegment, a.community_id
+         FROM customer c JOIN assign a USING (c_nationkey)),
+       segc AS (
+         SELECT community_id, c_mktsegment, count(*) AS cnt
+         FROM cmembers GROUP BY 1, 2),
+       tops AS (
+         SELECT community_id, c_mktsegment AS top_segment FROM (
+           SELECT *, row_number() OVER (PARTITION BY community_id
+                  ORDER BY cnt DESC, c_mktsegment) AS rn FROM segc)
+         WHERE rn = 1),
+       reps AS (
+         SELECT community_id, string_agg(c_name, ', ' ORDER BY c_custkey) AS reps FROM (
+           SELECT *, row_number() OVER (PARTITION BY community_id
+                  ORDER BY c_custkey) AS rn FROM cmembers)
+         WHERE rn <= 3 GROUP BY community_id),
+       stats AS (
+         SELECT community_id, CAST(count(*) AS BIGINT) AS member_count
+         FROM cmembers GROUP BY community_id),
+       meta AS (
+         SELECT s.community_id, s.member_count, t.top_segment, r.reps
+         FROM stats s JOIN tops t ON s.community_id = t.community_id
+         JOIN reps r ON s.community_id = r.community_id)"""
+
   val oracles: Map[String, String] = Map(
     "g2b_label_propagation" ->
-      s"""WITH chain AS (
-            SELECT n_nationkey AS src,
-                   lead(n_nationkey) OVER (PARTITION BY n_regionkey
-                                           ORDER BY n_nationkey) AS dst
-            FROM nation),
-          edges AS (
-            SELECT src, dst FROM chain WHERE dst IS NOT NULL
-            UNION
-            SELECT dst, src FROM chain WHERE dst IS NOT NULL),
-          l0 AS (SELECT n_nationkey AS id, n_nationkey AS lbl FROM nation),
-          $lpaStepsSql
+      s"""WITH $chainLpaSql
           SELECT CAST(id AS BIGINT) AS id, CAST(lbl AS BIGINT) AS label FROM l3""",
+    "g2c_community_hierarchy" ->
+      s"""WITH RECURSIVE $chainLpaSql,
+          hedges AS (
+            SELECT DISTINCT a.lbl AS src, b.lbl AS dst
+            FROM edges e JOIN l3 a ON a.id = e.src JOIN l3 b ON b.id = e.dst
+            WHERE a.lbl <> b.lbl),
+          hl0 AS (SELECT DISTINCT lbl AS id, lbl FROM l3),
+          ${lpaStepsSql("hedges", "h")},
+          reach(id, comp) AS (
+            SELECT n_nationkey, n_nationkey FROM nation
+            UNION
+            SELECT e.dst, r.comp FROM reach r JOIN edges e ON r.id = e.src),
+          comps AS (SELECT id, min(comp) AS comp FROM reach GROUP BY id)
+          SELECT CAST(l.id AS BIGINT) AS id,
+                 CAST(l.lbl AS BIGINT) AS community_l0,
+                 CAST(h.lbl AS BIGINT) AS community_l1,
+                 CAST(k.comp AS BIGINT) AS community_l2
+          FROM l3 l
+          JOIN hl3 h ON h.id = l.lbl
+          JOIN comps k ON k.id = l.id""",
     "g4_summary_stub" ->
       s"""WITH $communityMetaSql
-          SELECT c_nationkey AS community_id,
+          SELECT community_id,
                  n_name || ' ' || top_segment AS name,
                  'Community of ' || CAST(member_count AS VARCHAR)
                  || ' customers dominated by the ' || top_segment
                  || ' segment; representatives include ' || reps || '.' AS summary
-          FROM meta JOIN nation ON c_nationkey = n_nationkey""",
+          FROM meta JOIN nation ON community_id = n_nationkey""",
     "g5_prompt_construction" ->
       s"""WITH $communityMetaSql
-          SELECT c_nationkey AS community_id,
-                 'Summarize community ' || CAST(c_nationkey AS VARCHAR) || ' with '
+          SELECT community_id,
+                 'Summarize community ' || CAST(community_id AS VARCHAR) || ' with '
                  || CAST(member_count AS VARCHAR) || ' members. Top segment: '
                  || top_segment || '. Representatives: ' || reps || '.' AS prompt
           FROM meta""",
