@@ -121,11 +121,162 @@ object Assets {
       )
   }
 
+  /** extract_releases (reference defs/assets/extract_releases.py:28-99 +
+    * utils/musicbrainz_helpers.py filter_release_groups/parse_release_year):
+    * release groups of known artists, kept only when primary type is
+    * Album/Single AND no secondary types; title cleaned (F1), year = leading
+    * date component (handles "YYYY" / "YYYY-MM" / "YYYY-MM-DD" uniformly).
+    */
+  def extractReleases(artists: DataFrame, releaseGroups: DataFrame): DataFrame =
+    releaseGroups
+      .join(artists.select(col("id").as("artist_qid")), Seq("artist_qid"), "left_semi")
+      .filter(
+        col("primary_type").isin("Album", "Single") && size(col("secondary_types")) === 0
+      )
+      .select(
+        col("rg_id").as("id"),
+        TF.cleanText(col("title")).as("title"),
+        split(col("first_release_date"), "-").getItem(0).cast("int").as("year"),
+        col("artist_qid").as("artist_id")
+      )
+
+  /** select_best_release (reference utils/musicbrainz_helpers.py:280-308):
+    * per release group, prefer Official status, then earliest date. The
+    * reference relies on Python's stable sort for ties; the declared
+    * deterministic tiebreak here is the release id (SURVEY §7.5.1 pattern).
+    * O3 argmin-by-composite-key in pipeline form — one key-partitioned
+    * window, no collected candidate lists.
+    */
+  def selectBestRelease(candidates: DataFrame): DataFrame = {
+    val w = Window
+      .partitionBy(col("rg_id"))
+      .orderBy(
+        when(col("status") === "Official", 0).otherwise(1).asc,
+        col("rdate").asc,
+        col("release_id").asc
+      )
+    candidates
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("rg_id"), col("release_id"))
+  }
+
+  /** extract_tracks (reference defs/assets/extract_tracks.py:28-110):
+    * candidates restricted to surviving release groups, best release chosen
+    * per group ([[selectBestRelease]]), tracks of exactly that release
+    * flattened to Track(id, title, album_id = release-GROUP id).
+    */
+  def extractTracks(releases: DataFrame, candidates: DataFrame, trackSrc: DataFrame): DataFrame = {
+    val cands = candidates
+      .join(releases.select(col("id").as("rg_id")), Seq("rg_id"), "left_semi")
+    selectBestRelease(cands)
+      .join(trackSrc, "release_id")
+      .select(
+        col("track_id").as("id"),
+        TF.cleanText(col("title")).as("title"),
+        col("rg_id").as("album_id")
+      )
+  }
+
+  /** extract_genres (reference defs/assets/extract_genres.py:33-132): each
+    * artist's genre-QID list is exploded (F10), null entries dropped (P3),
+    * de-duplicated, and resolved to label + aliases + P279 parents — here
+    * derived deterministically from the genre number the same way the
+    * entity fixtures derive from keys (aliases/parents emitted as CSV
+    * strings, the JSONL-friendly sparse form; empty string = no parents).
+    */
+  def extractGenres(artists: DataFrame): DataFrame = {
+    val cnum = substring(col("id"), 2, 18).cast("long")
+    val gids = artists
+      .select(
+        explode(
+          array(
+            concat(lit("G"), (cnum % 7).cast("string")),
+            when(cnum % 3 =!= 0, concat(lit("G"), (cnum % 13).cast("string")))
+          )
+        ).as("gid")
+      )
+      .filter(col("gid").isNotNull)
+      .distinct()
+    val n = substring(col("gid"), 2, 6).cast("int")
+    gids.select(
+      col("gid").as("id"),
+      TF.cleanText(concat(lit("  Genre "), n.cast("string"), lit("  "))).as("name"),
+      concat(lit("g"), n.cast("string"), lit(",style"), n.cast("string")).as("aliases"),
+      when(n > 3, concat(lit("G"), (n % 4).cast("string"))).otherwise(lit("")).as("parents")
+    )
+  }
+
+  /** extract_genres_articles (reference defs/assets/extract_genres_articles
+    * .py): the same clean→chunk→id→context pipeline as [[extractArticles]]
+    * but keyed by genre, with the genre-only `parents` column carried
+    * through (exercises the relaxed-union fill on the artist side).
+    */
+  def genreArticleChunks(genres: DataFrame, docs: DataFrame): DataFrame = {
+    val n = substring(col("id"), 2, 6).cast("long")
+    genres
+      .select(col("id").as("gid"), col("name"), col("parents"), (n + 1).as("doc_id"))
+      .join(docs.select(col("doc_id"), col("text")), "doc_id")
+      .select(
+        col("gid"),
+        col("name"),
+        col("parents"),
+        posexplode(TF.chunkFixed(TF.cleanText(col("text")), 200, 150))
+      )
+      .select(
+        TF.chunkId(col("gid"), col("pos")).as("id"),
+        concat(
+          lit("search_document: Topic: "),
+          col("name"),
+          lit(". Context: genre | "),
+          col("col")
+        ).as("article"),
+        col("gid").as("qid"),
+        (col("pos") + 1).cast("long").as("chunk_index"),
+        lit("genre").as("entity_type"),
+        col("parents")
+      )
+  }
+
   /** merge_wikipedia_articles (reference defs/assets/merge_wikipedia_articles.py:
     * 42-61): relaxed union of per-entity-type article frames.
     */
   def mergeArticles(a: DataFrame, b: DataFrame): DataFrame =
     a.unionByName(b, allowMissingColumns = true)
+
+  /** ingest_vector_db (reference defs/assets/ingest_vector_db.py:126-221 +
+    * utils/chroma_helpers.py:111-124): empty articles filtered, doc id =
+    * sha256(article + "-" + id)[:32] (F12), then the collection upsert —
+    * a stale copy of the chunk-1 rows plays the already-ingested
+    * collection, the full batch arrives versioned on top, and keep-last
+    * per doc_id (S17, one key-partitioned window) resolves; rows are
+    * tagged updated/inserted by whether an existing row was replaced
+    * (S18's provenance semantics).
+    */
+  def vectorIngest(chunks: DataFrame): DataFrame = {
+    val batch = chunks
+      .filter(col("article").isNotNull && length(col("article")) > 0)
+      .select(
+        TF.docId(col("article"), col("id")).as("doc_id"),
+        col("qid"),
+        col("entity_type"),
+        col("chunk_index").cast("long").as("chunk_index")
+      )
+    val stale    = batch.filter(col("chunk_index") === 1).withColumn("ver", lit(0L))
+    val incoming = batch.withColumn("ver", lit(1L))
+    val w        = Window.partitionBy(col("doc_id")).orderBy(col("ver").desc)
+    stale
+      .unionByName(incoming)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(
+        col("doc_id"),
+        col("qid"),
+        col("entity_type"),
+        col("chunk_index"),
+        when(col("chunk_index") === 1, lit("updated")).otherwise(lit("inserted")).as("src")
+      )
+  }
 
   /** ingest_graph_db node/edge derivation (reference
     * defs/assets/ingest_graph_db.py:126-296): typed node union + the

@@ -49,6 +49,43 @@ object Pipeline {
       Assets.extractArticles(artists, Fixtures.articleFixture(spark, sfDir)),
       s"$outDir/articles"
     )
+    val articles = spark.read.parquet(s"$outDir/articles")
+
+    // releases → tracks branch (extract_releases.py / extract_tracks.py)
+    val nReleases = TableIO.writeParquet(
+      Assets.extractReleases(artists, Fixtures.releaseGroupFixture(spark, sfDir)),
+      s"$outDir/releases"
+    )
+    val releases = spark.read.parquet(s"$outDir/releases")
+    val nTracks = TableIO.writeParquet(
+      Assets.extractTracks(
+        releases,
+        Fixtures.releaseCandidatesFixture(spark, sfDir),
+        Fixtures.trackFixture(spark, sfDir)
+      ),
+      s"$outDir/tracks"
+    )
+
+    // genres branch (extract_genres.py / extract_genres_articles.py)
+    val nGenres = TableIO.writeParquet(Assets.extractGenres(artists), s"$outDir/genres")
+    val genres  = spark.read.parquet(s"$outDir/genres")
+    val nGenreArticles = TableIO.writeParquet(
+      Assets.genreArticleChunks(genres, graft.Engine.table(spark, sfDir, "documents")),
+      s"$outDir/genres_articles"
+    )
+
+    // merged article corpus (merge_wikipedia_articles.py) + vector ingest
+    val nMerged = TableIO.writeParquet(
+      Assets.mergeArticles(
+        articles.withColumn("entity_type", lit("artist")),
+        spark.read.parquet(s"$outDir/genres_articles")
+      ),
+      s"$outDir/wikipedia_articles"
+    )
+    val nVector = TableIO.writeParquet(
+      Assets.vectorIngest(spark.read.parquet(s"$outDir/wikipedia_articles")),
+      s"$outDir/vector_db"
+    )
 
     val (nodesLineage, edgesLineage) = Assets.graphTables(artists, countries)
     val nNodes = TableIO.writeParquet(nodesLineage, s"$outDir/graph_nodes")
@@ -56,9 +93,10 @@ object Pipeline {
     val nodes  = spark.read.parquet(s"$outDir/graph_nodes")
     val edges  = spark.read.parquet(s"$outDir/graph_edges")
 
-    // communities over the artist—country graph (connected components =
-    // the deterministic community baseline, SURVEY §7.4)
-    val comps = GraphOps.connectedComponents(
+    // multi-level communities over the artist—country graph (the
+    // deterministic re-expression of the reference's 3-resolution Leiden
+    // run, detect_communities.py:218-246; SURVEY §7.4)
+    val comps = GraphOps.communityHierarchy(
       nodes.select(col("node_id").as("id")),
       edges.select(col("src"), col("dst"))
     )
@@ -72,6 +110,12 @@ object Pipeline {
         "countries" -> nCountries,
         "unresolved_countries" -> unresolved.count(),
         "articles" -> nArticles,
+        "releases" -> nReleases,
+        "tracks" -> nTracks,
+        "genres" -> nGenres,
+        "genres_articles" -> nGenreArticles,
+        "wikipedia_articles" -> nMerged,
+        "vector_db" -> nVector,
         "graph_nodes" -> nNodes,
         "graph_edges" -> nEdges,
         "communities" -> nComms

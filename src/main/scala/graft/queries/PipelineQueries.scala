@@ -85,13 +85,61 @@ object PipelineQueries extends QueryModule {
   private def pl4_check_report(s: SparkSession, d: String): DataFrame =
     Checks.artistIndexReport(index(s, d))
 
+  private def releases(s: SparkSession, d: String): DataFrame =
+    Assets.extractReleases(artists(s, d), Fixtures.releaseGroupFixture(s, d))
+
+  /** PL5 — the releases→tracks branch end-to-end: release groups of known
+    * artists → type/secondary filters + year parse → best-release argmin
+    * per group (O3 in pipeline form) → track flatten of exactly the chosen
+    * release.
+    */
+  private def pl5_tracks(s: SparkSession, d: String): DataFrame =
+    Assets.extractTracks(
+      releases(s, d),
+      Fixtures.releaseCandidatesFixture(s, d),
+      Fixtures.trackFixture(s, d)
+    )
+
+  /** PL6 — the genres branch end-to-end: explode artist genre lists, drop
+    * nulls, dedup, resolve label/aliases/parents.
+    */
+  private def pl6_genres(s: SparkSession, d: String): DataFrame =
+    Assets.extractGenres(artists(s, d))
+
+  private def mergedArticles(s: SparkSession, d: String): DataFrame = {
+    val artistChunks = Assets
+      .extractArticles(artists(s, d), Fixtures.articleFixture(s, d))
+      .withColumn("entity_type", lit("artist"))
+    val genreChunks =
+      Assets.genreArticleChunks(Assets.extractGenres(artists(s, d)), table(s, d, "documents"))
+    Assets.mergeArticles(artistChunks, genreChunks)
+  }
+
+  /** PL7 — merge_wikipedia_articles: artist chunks ∪ genre chunks via
+    * relaxed union (U1) — the genre-only `parents` column null-fills on the
+    * artist side.
+    */
+  private def pl7_article_merge(s: SparkSession, d: String): DataFrame =
+    mergedArticles(s, d)
+
+  /** PL8 — the vector-ingest tail: merged chunks → sha256 doc ids (F12) →
+    * versioned keep-last upsert against the already-ingested rows (S17)
+    * with updated/inserted provenance (S18).
+    */
+  private def pl8_vector_ingest(s: SparkSession, d: String): DataFrame =
+    Assets.vectorIngest(mergedArticles(s, d))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s7_cache_fetch_missing" -> (s7_cache_fetch_missing _),
     "s8_label_resolver" -> (s8_label_resolver _),
     "pl1_artist_index" -> (pl1_artist_index _),
     "pl2_artists" -> (pl2_artists _),
     "pl3_article_chunks" -> (pl3_article_chunks _),
-    "pl4_check_report" -> (pl4_check_report _)
+    "pl4_check_report" -> (pl4_check_report _),
+    "pl5_tracks" -> (pl5_tracks _),
+    "pl6_genres" -> (pl6_genres _),
+    "pl7_article_merge" -> (pl7_article_merge _),
+    "pl8_vector_ingest" -> (pl8_vector_ingest _)
   )
 
   // ---- oracle CTE chain mirroring Fixtures + Assets ----
@@ -153,6 +201,96 @@ object PipelineQueries extends QueryModule {
          FROM qids JOIN entities USING (qid)
          WHERE wikipedia_url IS NOT NULL AND mbid IS NOT NULL AND country IS NOT NULL)"""
 
+  /** The pl3 chunk chain as a reusable CTE block ending in `artist_chunks`. */
+  private val artistChunksSql =
+    s"""$artistsSql,
+       fixt AS (
+         SELECT 'Q' || CAST(doc_id AS VARCHAR) AS qid,
+                'Title_' || CAST(doc_id AS VARCHAR) AS title,
+                trim(regexp_replace(regexp_replace(regexp_replace(text, '\\\\"', '"', 'g'),
+                     '[' || chr(10) || chr(13) || ']+', ' ', 'g'), '\\s+', ' ', 'g')) AS ct
+         FROM documents),
+       joined AS (
+         SELECT a.id AS qid, a.name, a.country, a.inception_year, f.title, f.ct
+         FROM artists_out a JOIN fixt f ON a.id = f.qid),
+       achunks AS (
+         SELECT qid, name, country, inception_year, title,
+                unnest(generate_series(1, greatest(length(ct), 1), 150)) AS p, ct
+         FROM joined),
+       artist_chunks AS (
+         SELECT qid || '_chunk_' || CAST((p - 1) // 150 + 1 AS VARCHAR) AS id,
+                'search_document: Topic: ' || name || '. Context: ' || country || '; '
+                || CAST(inception_year AS VARCHAR) || ' | ' || title || ' | '
+                || substr(ct, CAST(p AS INTEGER), 200) AS article,
+                qid,
+                CAST((p - 1) // 150 + 1 AS BIGINT) AS chunk_index
+         FROM achunks)"""
+
+  /** Release groups of known artists, filtered + year-parsed → `releases_out`. */
+  private val releasesSql =
+    """rg AS (
+         SELECT 'RG' || CAST(o_orderkey AS VARCHAR) AS rg_id,
+                'Q' || CAST(o_custkey AS VARCHAR) AS artist_qid,
+                'Release ' || CAST(o_orderkey AS VARCHAR) AS title,
+                CASE CAST(o_orderkey % 3 AS INTEGER) WHEN 0 THEN 'Album'
+                     WHEN 1 THEN 'Single' ELSE 'EP' END AS primary_type,
+                CASE WHEN o_orderkey % 7 = 0 THEN 1 ELSE 0 END AS has_secondary,
+                CASE WHEN o_orderkey % 5 = 0 THEN strftime(o_orderdate, '%Y')
+                     WHEN o_orderkey % 5 = 1 THEN strftime(o_orderdate, '%Y-%m')
+                     ELSE strftime(o_orderdate, '%Y-%m-%d') END AS frd
+         FROM orders),
+       releases_out AS (
+         SELECT rg_id AS id, title, CAST(split_part(frd, '-', 1) AS INTEGER) AS year,
+                artist_qid AS artist_id
+         FROM rg
+         WHERE primary_type IN ('Album', 'Single') AND has_secondary = 0
+           AND artist_qid IN (SELECT id FROM artists_out))"""
+
+  /** Genre derivation from artists_out → `genres_out`. */
+  private val genresSql =
+    """gx AS (
+         SELECT DISTINCT gid FROM (
+           SELECT unnest(['G' || CAST(cnum % 7 AS VARCHAR),
+                          CASE WHEN cnum % 3 <> 0
+                               THEN 'G' || CAST(cnum % 13 AS VARCHAR) END]) AS gid
+           FROM (SELECT CAST(substr(id, 2) AS BIGINT) AS cnum FROM artists_out))
+         WHERE gid IS NOT NULL),
+       genres_out AS (
+         SELECT gid AS id,
+                'Genre ' || CAST(n AS VARCHAR) AS name,
+                'g' || CAST(n AS VARCHAR) || ',style' || CAST(n AS VARCHAR) AS aliases,
+                CASE WHEN n > 3 THEN 'G' || CAST(n % 4 AS VARCHAR) ELSE '' END AS parents
+         FROM (SELECT gid, CAST(substr(gid, 2) AS INTEGER) AS n FROM gx))"""
+
+  /** Artist chunks ∪ genre chunks (relaxed union) → `merged`. */
+  private val mergedSql =
+    s"""$artistChunksSql,
+       $genresSql,
+       gdocs AS (
+         SELECT g.id AS gid, g.name, g.parents,
+                trim(regexp_replace(regexp_replace(regexp_replace(d.text, '\\\\"', '"', 'g'),
+                     '[' || chr(10) || chr(13) || ']+', ' ', 'g'), '\\s+', ' ', 'g')) AS ct
+         FROM genres_out g JOIN documents d ON d.doc_id = CAST(substr(g.id, 2) AS INTEGER) + 1),
+       gchunks AS (
+         SELECT gid, name, parents,
+                unnest(generate_series(1, greatest(length(ct), 1), 150)) AS p, ct
+         FROM gdocs),
+       genre_chunks AS (
+         SELECT gid || '_chunk_' || CAST((p - 1) // 150 + 1 AS VARCHAR) AS id,
+                'search_document: Topic: ' || name || '. Context: genre | '
+                || substr(ct, CAST(p AS INTEGER), 200) AS article,
+                gid AS qid,
+                CAST((p - 1) // 150 + 1 AS BIGINT) AS chunk_index,
+                parents
+         FROM gchunks),
+       merged AS (
+         SELECT id, article, qid, chunk_index, 'artist' AS entity_type,
+                CAST(NULL AS VARCHAR) AS parents
+         FROM artist_chunks
+         UNION ALL
+         SELECT id, article, qid, chunk_index, 'genre' AS entity_type, parents
+         FROM genre_chunks)"""
+
   val oracles: Map[String, String] = Map(
     "s7_cache_fetch_missing" ->
       """WITH req AS (
@@ -175,27 +313,49 @@ object PipelineQueries extends QueryModule {
     "pl2_artists" ->
       s"WITH $artistsSql SELECT id, name, mbid, country, wikipedia_url, inception_year FROM artists_out",
     "pl3_article_chunks" ->
-      s"""WITH $artistsSql,
-          fixt AS (
-            SELECT 'Q' || CAST(doc_id AS VARCHAR) AS qid,
-                   'Title_' || CAST(doc_id AS VARCHAR) AS title,
-                   trim(regexp_replace(regexp_replace(regexp_replace(text, '\\\\"', '"', 'g'),
-                        '[' || chr(10) || chr(13) || ']+', ' ', 'g'), '\\s+', ' ', 'g')) AS ct
-            FROM documents),
-          joined AS (
-            SELECT a.id AS qid, a.name, a.country, a.inception_year, f.title, f.ct
-            FROM artists_out a JOIN fixt f ON a.id = f.qid),
-          chunks AS (
-            SELECT qid, name, country, inception_year, title,
-                   unnest(generate_series(1, greatest(length(ct), 1), 150)) AS p, ct
-            FROM joined)
-          SELECT qid || '_chunk_' || CAST((p - 1) // 150 + 1 AS VARCHAR) AS id,
-                 'search_document: Topic: ' || name || '. Context: ' || country || '; '
-                 || CAST(inception_year AS VARCHAR) || ' | ' || title || ' | '
-                 || substr(ct, CAST(p AS INTEGER), 200) AS article,
-                 qid,
-                 CAST((p - 1) // 150 + 1 AS BIGINT) AS chunk_index
-          FROM chunks""",
+      s"WITH $artistChunksSql SELECT id, article, qid, chunk_index FROM artist_chunks",
+    "pl5_tracks" ->
+      s"""WITH $artistsSql, $releasesSql,
+          cand AS (
+            SELECT 'RG' || CAST(l_orderkey AS VARCHAR) AS rg_id,
+                   'R' || CAST(l_orderkey AS VARCHAR) || '_'
+                   || CAST(l_linenumber AS VARCHAR) AS release_id,
+                   CASE WHEN l_linenumber % 2 = 1 THEN 'Official'
+                        ELSE 'Promotion' END AS status,
+                   strftime(l_shipdate, '%Y-%m-%d') AS rdate
+            FROM lineitem),
+          best AS (
+            SELECT rg_id, release_id FROM (
+              SELECT c.*, row_number() OVER (PARTITION BY rg_id ORDER BY
+                       CASE WHEN status = 'Official' THEN 0 ELSE 1 END,
+                       rdate, release_id) AS rn
+              FROM cand c WHERE rg_id IN (SELECT id FROM releases_out)) WHERE rn = 1),
+          trk AS (
+            SELECT 'R' || CAST(l_orderkey AS VARCHAR) || '_'
+                   || CAST(l_linenumber AS VARCHAR) AS release_id,
+                   l_partkey,
+                   unnest(generate_series(1, CAST(l_linenumber AS BIGINT))) AS tno
+            FROM lineitem)
+          SELECT t.release_id || '_t' || CAST(tno AS VARCHAR) AS id,
+                 'Track ' || CAST(l_partkey AS VARCHAR) || '-'
+                 || CAST(tno AS VARCHAR) AS title,
+                 b.rg_id AS album_id
+          FROM best b JOIN trk t ON t.release_id = b.release_id""",
+    "pl6_genres" ->
+      s"""WITH $artistsSql, $genresSql
+          SELECT id, name, aliases, parents FROM genres_out""",
+    "pl7_article_merge" ->
+      s"""WITH $mergedSql
+          SELECT id, article, qid, chunk_index, entity_type, parents FROM merged""",
+    "pl8_vector_ingest" ->
+      s"""WITH $mergedSql,
+          batch AS (
+            SELECT substr(sha256(article || '-' || id), 1, 32) AS doc_id,
+                   qid, entity_type, chunk_index
+            FROM merged WHERE article IS NOT NULL AND length(article) > 0)
+          SELECT doc_id, qid, entity_type, chunk_index,
+                 CASE WHEN chunk_index = 1 THEN 'updated' ELSE 'inserted' END AS src
+          FROM batch""",
     "pl4_check_report" ->
       s"""WITH $indexSql,
           counts AS (

@@ -94,6 +94,79 @@ object Fixtures {
       col("text").as("raw_text")
     )
 
+  /** S10-shaped MusicBrainz release-group fixture keyed by artist QID
+    * (reference fetch_artist_release_groups_async,
+    * utils/musicbrainz_helpers.py:31-118): primary type cycles
+    * Album/Single/EP (EP must be filtered out), every 7th group carries a
+    * secondary type (must be filtered out), and the first-release date
+    * cycles through MusicBrainz's three formats "YYYY" / "YYYY-MM" /
+    * "YYYY-MM-DD" so the year parser sees all of them.
+    */
+  def releaseGroupFixture(s: SparkSession, d: String): DataFrame =
+    table(s, d, "orders").select(
+      concat(lit("RG"), col("o_orderkey").cast("string")).as("rg_id"),
+      concat(lit("Q"), col("o_custkey").cast("string")).as("artist_qid"),
+      concat(lit("  Release "), col("o_orderkey").cast("string"), lit("  ")).as("title"),
+      when(col("o_orderkey") % 3 === 0, lit("Album"))
+        .when(col("o_orderkey") % 3 === 1, lit("Single"))
+        .otherwise(lit("EP"))
+        .as("primary_type"),
+      when(col("o_orderkey") % 7 === 0, array(lit("Compilation")))
+        .otherwise(array().cast("array<string>"))
+        .as("secondary_types"),
+      when(col("o_orderkey") % 5 === 0, date_format(col("o_orderdate"), "yyyy"))
+        .when(col("o_orderkey") % 5 === 1, date_format(col("o_orderdate"), "yyyy-MM"))
+        .otherwise(date_format(col("o_orderdate"), "yyyy-MM-dd"))
+        .as("first_release_date")
+    )
+
+  /** S11-shaped candidate releases per release group (reference
+    * fetch_releases_for_group_async): odd line numbers are "Official",
+    * even are "Promotion"; dates come from the ship date — the best-release
+    * argmin must prefer (Official, earliest date, id tiebreak).
+    */
+  def releaseCandidatesFixture(s: SparkSession, d: String): DataFrame =
+    table(s, d, "lineitem").select(
+      concat(lit("RG"), col("l_orderkey").cast("string")).as("rg_id"),
+      concat(
+        lit("R"),
+        col("l_orderkey").cast("string"),
+        lit("_"),
+        col("l_linenumber").cast("string")
+      ).as("release_id"),
+      when(col("l_linenumber") % 2 === 1, lit("Official"))
+        .otherwise(lit("Promotion"))
+        .as("status"),
+      date_format(col("l_shipdate"), "yyyy-MM-dd").as("rdate")
+    )
+
+  /** S12-shaped track lists per candidate release (reference
+    * fetch_tracks_for_release_async): release R{o}_{n} carries n tracks.
+    */
+  def trackFixture(s: SparkSession, d: String): DataFrame =
+    table(s, d, "lineitem")
+      .select(
+        concat(
+          lit("R"),
+          col("l_orderkey").cast("string"),
+          lit("_"),
+          col("l_linenumber").cast("string")
+        ).as("release_id"),
+        col("l_partkey"),
+        explode(sequence(lit(1), col("l_linenumber").cast("int"))).as("tno")
+      )
+      .select(
+        col("release_id"),
+        concat(col("release_id"), lit("_t"), col("tno").cast("string")).as("track_id"),
+        concat(
+          lit("  Track "),
+          col("l_partkey").cast("string"),
+          lit("-"),
+          col("tno").cast("string"),
+          lit("  ")
+        ).as("title")
+      )
+
   /** The cache-hit / fetch-missing split (S7/S8/J10): `requested` ids are
     * partitioned into cache hits and to-fetch via semi/anti joins — no
     * driver-side id sets, no shuffle beyond the two key-only joins.
