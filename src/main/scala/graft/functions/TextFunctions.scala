@@ -11,16 +11,22 @@ import org.apache.spark.sql.functions._
 object TextFunctions {
 
   /** F1 — `normalize_and_clean_text`
-    * (reference: utils/data_transformation_helpers.py:28-86): NFKC normalize,
+    * (reference: utils/data_transformation_helpers.py:28-86), all three
+    * stages: mojibake repair ([[FixMojibake]] — the ftfy UTF-8-as-Latin-1
+    * core), NFKC normalize ([[NormalizeNFKC]]), then the regex chain:
     * unescape `\"`, collapse newlines and runs of whitespace to one space,
-    * trim. The reference's ftfy mojibake repair has no JVM port; NFKC + the
-    * regex chain is the declared reproducible subset (SURVEY §7.5.3).
+    * trim. Repair and NFKC are identity on well-formed ASCII, which keeps
+    * the SQL oracles exact on the fixture corpus.
     */
   def cleanText(c: Column): Column =
     trim(
       regexp_replace(
         regexp_replace(
-          regexp_replace(call_function("graft_nfkc", c), "\\\\\"", "\""),
+          regexp_replace(
+            call_function("graft_nfkc", call_function("graft_fix_mojibake", c)),
+            "\\\\\"",
+            "\""
+          ),
           "[\\n\\r]+",
           " "
         ),

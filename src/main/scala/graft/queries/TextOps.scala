@@ -46,6 +46,23 @@ object TextOps extends QueryModule {
         ).as("cleaned")
       )
 
+  /** F1b — the ftfy mojibake-repair core in isolation: the query MANUFACTURES
+    * real mojibake (UTF-8 bytes of an accented/cp1252-special string
+    * re-decoded as Latin-1 — the exact corruption ftfy targets) and
+    * `graft_fix_mojibake` must recover the original bit-exactly, while the
+    * already-clean original passes through untouched.
+    */
+  private def f1b_fix_mojibake(s: SparkSession, d: String): DataFrame = {
+    val orig = concat(lit("Café résumé — naïve €"), col("doc_id").cast("string"))
+    val moji = decode(encode(orig, "UTF-8"), "ISO-8859-1")
+    table(s, d, "documents").select(
+      col("doc_id"),
+      call_function("graft_fix_mojibake", moji).as("fixed"),
+      length(moji).cast("long").as("moji_len"),
+      call_function("graft_fix_mojibake", orig).as("untouched")
+    )
+  }
+
   /** F2 + F9 — natural-language list of each order's distinct return flags. */
   private def f2_natural_list(s: SparkSession, d: String): DataFrame =
     table(s, d, "lineitem")
@@ -241,6 +258,7 @@ object TextOps extends QueryModule {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "f1_clean_text" -> (f1_clean_text _),
+    "f1b_fix_mojibake" -> (f1b_fix_mojibake _),
     "f2_natural_list" -> (f2_natural_list _),
     "f3_chunk_fixed" -> (f3_chunk_fixed _),
     "f3b_chunk_recursive" -> (f3b_chunk_recursive _),
@@ -279,6 +297,15 @@ object TextOps extends QueryModule {
                 END AS flag_phrase,
                 CAST(len(flags) AS BIGINT) AS n_flags
          FROM f""",
+    // the repaired string IS the original, so the oracle constructs it
+    // directly; moji_len = the original's UTF-8 BYTE length (every byte
+    // became one Latin-1 char) = DuckDB strlen
+    "f1b_fix_mojibake" ->
+      """SELECT doc_id,
+                'Café résumé — naïve €' || CAST(doc_id AS VARCHAR) AS fixed,
+                CAST(strlen('Café résumé — naïve €' || CAST(doc_id AS VARCHAR)) AS BIGINT) AS moji_len,
+                'Café résumé — naïve €' || CAST(doc_id AS VARCHAR) AS untouched
+         FROM documents""",
     // f3b/f3c closed forms on the sentence-structured input: every piece
     // (". "-delimited sentence) measures the same — 12 chars / 4 tokens — so
     // the splitter's greedy merge is pure arithmetic:
