@@ -163,8 +163,11 @@ object Assets {
 
   /** extract_tracks (reference defs/assets/extract_tracks.py:28-110):
     * candidates restricted to surviving release groups, best release chosen
-    * per group ([[selectBestRelease]]), tracks of exactly that release
-    * flattened to Track(id, title, album_id = release-GROUP id).
+    * per group ([[selectBestRelease]]), then the track fan-out runs ONLY on
+    * the chosen releases (the reference fetches tracks per chosen release;
+    * exploding before the best-release prune would build ~every candidate's
+    * track list and throw it away). Output Track(id, title,
+    * album_id = release-GROUP id).
     */
   def extractTracks(releases: DataFrame, candidates: DataFrame, trackSrc: DataFrame): DataFrame = {
     val cands = candidates
@@ -172,8 +175,22 @@ object Assets {
     selectBestRelease(cands)
       .join(trackSrc, "release_id")
       .select(
-        col("track_id").as("id"),
-        TF.cleanText(col("title")).as("title"),
+        col("rg_id"),
+        col("release_id"),
+        col("l_partkey"),
+        explode(sequence(lit(1), col("n_tracks"))).as("tno")
+      )
+      .select(
+        concat(col("release_id"), lit("_t"), col("tno").cast("string")).as("id"),
+        TF.cleanText(
+          concat(
+            lit("  Track "),
+            col("l_partkey").cast("string"),
+            lit("-"),
+            col("tno").cast("string"),
+            lit("  ")
+          )
+        ).as("title"),
         col("rg_id").as("album_id")
       )
   }

@@ -107,11 +107,15 @@ object PipelineQueries extends QueryModule {
     Assets.extractGenres(artists(s, d))
 
   private def mergedArticles(s: SparkSession, d: String): DataFrame = {
+    // the artists chain feeds both branches — materialize it once instead
+    // of re-running the index dedup windows per consumer (the in-query
+    // analog of Pipeline.run reading back each parquet asset)
+    val a = graft.Lineage.truncate(artists(s, d))
     val artistChunks = Assets
-      .extractArticles(artists(s, d), Fixtures.articleFixture(s, d))
+      .extractArticles(a, Fixtures.articleFixture(s, d))
       .withColumn("entity_type", lit("artist"))
     val genreChunks =
-      Assets.genreArticleChunks(Assets.extractGenres(artists(s, d)), table(s, d, "documents"))
+      Assets.genreArticleChunks(Assets.extractGenres(a), table(s, d, "documents"))
     Assets.mergeArticles(artistChunks, genreChunks)
   }
 

@@ -140,8 +140,12 @@ object Fixtures {
       date_format(col("l_shipdate"), "yyyy-MM-dd").as("rdate")
     )
 
-  /** S12-shaped track lists per candidate release (reference
-    * fetch_tracks_for_release_async): release R{o}_{n} carries n tracks.
+  /** S12-shaped track source (reference fetch_tracks_for_release_async):
+    * release R{o}_{n} carries n tracks. Returned UNEXPLODED — the reference
+    * fetches tracks only for each group's chosen release, so the consumer
+    * semi-joins the best-release set FIRST and fans out after
+    * ([[graft.pipeline.Assets.extractTracks]]); exploding up front would
+    * materialize every candidate's track list only to discard ~all of it.
     */
   def trackFixture(s: SparkSession, d: String): DataFrame =
     table(s, d, "lineitem")
@@ -153,18 +157,7 @@ object Fixtures {
           col("l_linenumber").cast("string")
         ).as("release_id"),
         col("l_partkey"),
-        explode(sequence(lit(1), col("l_linenumber").cast("int"))).as("tno")
-      )
-      .select(
-        col("release_id"),
-        concat(col("release_id"), lit("_t"), col("tno").cast("string")).as("track_id"),
-        concat(
-          lit("  Track "),
-          col("l_partkey").cast("string"),
-          lit("-"),
-          col("tno").cast("string"),
-          lit("  ")
-        ).as("title")
+        col("l_linenumber").cast("int").as("n_tracks")
       )
 
   /** The cache-hit / fetch-missing split (S7/S8/J10): `requested` ids are
