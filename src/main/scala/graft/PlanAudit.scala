@@ -18,7 +18,9 @@ object PlanAudit {
     "s1_parquet_roundtrip", "s3_jsonl_roundtrip", "u2_partition_union",
     "s14_graph_roundtrip", "s17_vector_upsert", "b1_bucketed_join",
     "d1_minhash_candidates", "d2_verified_pairs",
-    "g2_connected_components", "g2b_label_propagation"
+    "g2_connected_components", "g2b_label_propagation",
+    "g2c_community_hierarchy", "g4_summary_stub", "g5_prompt_construction",
+    "pl7_article_merge", "pl8_vector_ingest"
   )
 
   def main(args: Array[String]): Unit = {
