@@ -191,6 +191,38 @@ object Dedup extends QueryModule {
       )
   }
 
+  /** D6 — benchmark-contamination check: flag training documents sharing
+    * any 5-word shingle with a held-out benchmark set (docs 1-10) — the
+    * eval-leakage gate every serious training-data pipeline runs. Planted
+    * contamination (prefixed copies of benchmark docs at id+200000)
+    * guarantees the detector has real work. Scale shape: the benchmark
+    * gram set is tiny → broadcast; the train side is one narrow
+    * explode + semi join — never an all-pairs document comparison.
+    */
+  private def d6_contamination(s: SparkSession, d: String): DataFrame = {
+    val docs = table(s, d, "documents")
+    val benchGrams = docs
+      .filter(col("doc_id") <= 10)
+      .select(explode(call_function("graft_word_shingles", col("text"), lit(5))).as("g"))
+      .distinct()
+    val train = docs
+      .filter(col("doc_id") > 10)
+      .select(col("doc_id"), col("text"))
+      .unionAll(
+        docs
+          .filter(col("doc_id") <= 5)
+          .select(
+            (col("doc_id") + 200000).as("doc_id"),
+            concat(lit("prefix "), col("text")).as("text")
+          )
+      )
+    train
+      .select(col("doc_id"), explode(call_function("graft_word_shingles", col("text"), lit(5))).as("g"))
+      .join(broadcast(benchGrams), Seq("g"), "left_semi")
+      .select(col("doc_id"))
+      .distinct()
+  }
+
   /** D5 — embedding-cosine near-dup pairs, LSH-bucketed: pairs are generated
     * only within a sign-bit bucket (shared plane family with s19b), then
     * exact-cosine filtered.
@@ -219,7 +251,8 @@ object Dedup extends QueryModule {
     "d2_verified_pairs" -> (d2_verified_pairs _),
     "d3_simhash" -> (d3_simhash _),
     "d4_ngram_jaccard" -> (d4_ngram_jaccard _),
-    "d5_embed_neardup" -> (d5_embed_neardup _)
+    "d5_embed_neardup" -> (d5_embed_neardup _),
+    "d6_contamination" -> (d6_contamination _)
   )
 
   // ---- oracles ----
@@ -327,6 +360,24 @@ object Dedup extends QueryModule {
                        (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))), 4) AS cos_sim
           FROM v a JOIN v b ON a.bk = b.bk AND a.vec_id < b.vec_id
           WHERE list_dot_product(a.e, b.e) /
-                (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))) >= 0.25"""
+                (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))) >= 0.25""",
+    "d6_contamination" ->
+      """WITH bg AS (
+           SELECT DISTINCT g FROM (
+             SELECT unnest(list_distinct(list_transform(
+                      generate_series(0, greatest(len(string_split(text, ' ')) - 5, 0)),
+                      i -> array_to_string(string_split(text, ' ')[i+1:i+5], ' ')))) AS g
+             FROM documents WHERE doc_id <= 10)),
+         tr AS (
+           SELECT doc_id, text FROM documents WHERE doc_id > 10
+           UNION ALL
+           SELECT doc_id + 200000 AS doc_id, 'prefix ' || text AS text
+           FROM documents WHERE doc_id <= 5),
+         tg AS (
+           SELECT doc_id, unnest(list_distinct(list_transform(
+                    generate_series(0, greatest(len(string_split(text, ' ')) - 5, 0)),
+                    i -> array_to_string(string_split(text, ' ')[i+1:i+5], ' ')))) AS g
+           FROM tr)
+         SELECT DISTINCT doc_id FROM tg WHERE g IN (SELECT g FROM bg)"""
   )
 }

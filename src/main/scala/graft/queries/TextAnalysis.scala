@@ -89,6 +89,58 @@ object TextAnalysis extends QueryModule {
       ceil(length(col("text")) / 4.0).cast("long").as("subword_est")
     )
 
+  /** X5 — deterministic stratified sampling + train/val/test split: the
+    * corpus-mix primitives a training-data pipeline runs last. Both
+    * decisions are pure functions of md5(doc_id | salt) — reproducible
+    * across runs/engines, no RNG state, embarrassingly parallel, and the
+    * sample filter reaches the scan. Per-language rates (en 80% / de 50% /
+    * other 20%) model up-weighting the target language; the 80/10/10 split
+    * uses an independent salt so split membership is uncorrelated with
+    * sampling.
+    */
+  private def x5_sample_split(s: SparkSession, d: String): DataFrame = {
+    def h(salt: String): Column =
+      conv(substring(md5(concat(col("doc_id").cast("string"), lit(salt))), 1, 6), 16, 10)
+        .cast("long") % 100
+    val rate =
+      when(col("lang") === "en", 80).when(col("lang") === "de", 50).otherwise(20)
+    table(s, d, "documents")
+      .filter(h("|sample") < rate)
+      .select(
+        col("doc_id"),
+        col("lang"),
+        when(h("|split") < 80, "train")
+          .when(h("|split") < 90, "val")
+          .otherwise("test")
+          .as("split")
+      )
+  }
+
+  /** X6 — PII redaction: email and phone patterns replaced with typed
+    * placeholders, plus a per-row redaction count (the audit metric). The
+    * query injects deterministic synthetic PII so the patterns provably
+    * fire; a narrow regex projection — scan-speed at any scale.
+    */
+  private def x6_pii_redact(s: SparkSession, d: String): DataFrame = {
+    val emailRe = "[a-z0-9]+@[a-z]+\\.[a-z]+"
+    val phoneRe = "\\+[0-9]{2} [0-9]{3}-[0-9]{4}"
+    val withPii = concat(
+      col("text"),
+      lit(" contact: user"),
+      col("doc_id").cast("string"),
+      lit("@example.com or +49 555-"),
+      lpad((col("doc_id") % 10000).cast("string"), 4, "0")
+    )
+    table(s, d, "documents").select(
+      col("doc_id"),
+      regexp_replace(regexp_replace(withPii, emailRe, "[EMAIL]"), phoneRe, "[PHONE]")
+        .as("redacted"),
+      (regexp_count(withPii, lit(emailRe)) + regexp_count(withPii, lit(phoneRe)))
+        .cast("long")
+        .as("n_pii")
+    )
+  }
+
   /** X4 — document fingerprints: exact (md5 of the raw text) and
     * order-insensitive bag-of-words (md5 of the sorted distinct token set) —
     * the pair a dedup pipeline keys on before near-dup passes.
@@ -104,7 +156,9 @@ object TextAnalysis extends QueryModule {
     "x1_lang_id" -> (x1_lang_id _),
     "x2_quality_score" -> (x2_quality_score _),
     "x3_token_count" -> (x3_token_count _),
-    "x4_fingerprint" -> (x4_fingerprint _)
+    "x4_fingerprint" -> (x4_fingerprint _),
+    "x5_sample_split" -> (x5_sample_split _),
+    "x6_pii_redact" -> (x6_pii_redact _)
   )
 
   private def inList(xs: Seq[String]): String = xs.map(x => s"'$x'").mkString(", ")
@@ -151,6 +205,29 @@ object TextAnalysis extends QueryModule {
     "x4_fingerprint" ->
       """SELECT doc_id, md5(text) AS exact_fp,
                 md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS bow_fp
-         FROM documents"""
+         FROM documents""",
+    "x5_sample_split" ->
+      """WITH h AS (
+           SELECT doc_id, lang,
+                  ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|sample'), 1, 6))::BIGINT % 100 AS hs,
+                  ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|split'), 1, 6))::BIGINT % 100 AS hp
+           FROM documents)
+         SELECT doc_id, lang,
+                CASE WHEN hp < 80 THEN 'train' WHEN hp < 90 THEN 'val' ELSE 'test' END AS split
+         FROM h
+         WHERE hs < CASE WHEN lang = 'en' THEN 80 WHEN lang = 'de' THEN 50 ELSE 20 END""",
+    "x6_pii_redact" ->
+      """WITH p AS (
+           SELECT doc_id,
+                  text || ' contact: user' || CAST(doc_id AS VARCHAR)
+                  || '@example.com or +49 555-'
+                  || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS t
+           FROM documents)
+         SELECT doc_id,
+                regexp_replace(regexp_replace(t, '[a-z0-9]+@[a-z]+\.[a-z]+', '[EMAIL]', 'g'),
+                               '\+[0-9]{2} [0-9]{3}-[0-9]{4}', '[PHONE]', 'g') AS redacted,
+                CAST(len(regexp_extract_all(t, '[a-z0-9]+@[a-z]+\.[a-z]+'))
+                     + len(regexp_extract_all(t, '\+[0-9]{2} [0-9]{3}-[0-9]{4}')) AS BIGINT) AS n_pii
+         FROM p"""
   )
 }
