@@ -60,9 +60,31 @@ object Events extends QueryModule {
       )
   }
 
+  /** E3 — per-key debounce: keep the FIRST event per (user, minute bucket),
+    * deterministic tiebreak by (us, event_id) — the batch face of
+    * [[graft.streaming.StreamOps.dedupWithinWatermark]] (whose streaming
+    * state-eviction behavior is covered in StreamOpsSpec; the batch form is
+    * a keep-first window so the kept row is well-defined for the oracle).
+    * One shuffle on the group key, rank pushed map-side by
+    * WindowGroupLimit.
+    */
+  private def e3_debounce(s: SparkSession, d: String): DataFrame = {
+    val base = table(s, d, "events")
+      .select(col("user_id"), col("event_id"), us.as("us"), col("event_type"))
+      .withColumn("bucket", expr("us div 60000000"))
+    val w = Window
+      .partitionBy(col("user_id"), col("bucket"))
+      .orderBy(col("us"), col("event_id"))
+    base
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("bucket"), col("event_id").as("first_event_id"), col("event_type"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "e1_event_window" -> (e1_event_window _),
-    "e2_sessionize" -> (e2_sessionize _)
+    "e2_sessionize" -> (e2_sessionize _),
+    "e3_debounce" -> (e3_debounce _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -81,6 +103,13 @@ object Events extends QueryModule {
          SELECT user_id, CAST(sid AS BIGINT) AS session_idx,
                 CAST(count(*) AS BIGINT) AS n_events,
                 CAST((max(us) - min(us)) // 1000000 AS BIGINT) AS duration_sec
-         FROM s GROUP BY 1, 2"""
+         FROM s GROUP BY 1, 2""",
+    "e3_debounce" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us, event_type FROM events),
+         b AS (SELECT *, us // 60000000 AS bucket FROM e),
+         r AS (SELECT *, row_number() OVER (PARTITION BY user_id, bucket
+                         ORDER BY us, event_id) AS rn FROM b)
+         SELECT user_id, bucket, event_id AS first_event_id, event_type
+         FROM r WHERE rn = 1"""
   )
 }

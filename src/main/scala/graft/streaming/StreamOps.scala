@@ -44,6 +44,20 @@ object StreamOps {
         col("total_cents")
       )
 
+  /** Watermark-bounded stream deduplication: drops repeats of a business
+    * key seen within the watermark horizon, with per-key state EVICTED once
+    * the watermark passes — the streaming face of exact dedup (classic
+    * `dropDuplicates` on a stream retains every key forever; this form's
+    * state is bounded by horizon × key arrival rate). `t` must be the
+    * event-time column.
+    */
+  def dedupWithinWatermark(
+      events: DataFrame,
+      keys: Seq[String],
+      delay: String = "1 hour"
+  ): DataFrame =
+    events.withWatermark("t", delay).dropDuplicatesWithinWatermark(keys)
+
   final case class Event(user_id: Long, us: Long)
   private[streaming] final case class EventT(user_id: Long, us: Long, ets: java.sql.Timestamp)
   final case class SessionState(startUs: Long, lastUs: Long, n: Long)

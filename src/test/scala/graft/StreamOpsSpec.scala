@@ -114,6 +114,41 @@ class StreamOpsSpec extends AnyFunSuite with SparkTestBase {
     } finally q.stop()
   }
 
+  test("dedupWithinWatermark drops repeats of a key and evicts expired state") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Timestamp, Long)]
+    val q = StreamOps
+      .dedupWithinWatermark(in.toDF().toDF("t", "k"), Seq("k"), "1 hour")
+      .writeStream
+      .format("memory")
+      .queryName("dedup")
+      .outputMode(OutputMode.Append())
+      .start()
+    try {
+      // batch 1: k=1 twice, k=2 once → two rows survive
+      in.addData((ts(1, 1), 1L), (ts(1, 1), 1L), (ts(1, 2), 2L))
+      q.processAllAvailable()
+      assert(spark.table("dedup").select("k").as[Long].collect().sorted.toSeq == Seq(1L, 2L))
+
+      // batch 2: k=1 repeats within the horizon → suppressed; k=3 is new
+      in.addData((ts(1, 2), 1L), (ts(1, 3), 3L))
+      q.processAllAvailable()
+      assert(
+        spark.table("dedup").select("k").as[Long].collect().sorted.toSeq == Seq(1L, 2L, 3L)
+      )
+
+      // batch 3: far future — watermark passes, k=1's state expires, so a
+      // late re-arrival of k=1 is emitted again (bounded state, by design)
+      in.addData((ts(5, 1), 9L))
+      q.processAllAvailable()
+      in.addData((ts(5, 2), 1L))
+      q.processAllAvailable()
+      val ks = spark.table("dedup").select("k").as[Long].collect().sorted.toSeq
+      assert(ks == Seq(1L, 1L, 2L, 3L, 9L))
+    } finally q.stop()
+  }
+
   test("Sessionizer folds out-of-order events without shrinking durations") {
     import spark.implicits._
     val gapUs = 3600L * 1000000
