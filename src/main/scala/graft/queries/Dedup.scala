@@ -191,6 +191,27 @@ object Dedup extends QueryModule {
       )
   }
 
+  /** D7 — dedup cluster assignment: the LAST stage of the MinHash pipeline.
+    * Verified near-dup pairs (d2) form an undirected graph over the corpus;
+    * connected components assign every document a cluster id (min doc id),
+    * and the canonical representative per cluster (the row a dedup'd
+    * training set keeps) is the one whose id IS the cluster label. Runs the
+    * distributed CC from [[graft.graph.GraphOps]] — the same code path that
+    * holds when the pair graph has billions of edges — never a driver-side
+    * union-find.
+    */
+  private def d7_dedup_clusters(s: SparkSession, d: String): DataFrame = {
+    val pairs = d2_verified_pairs(s, d).select(col("doc1").as("src"), col("doc2").as("dst"))
+    val ids   = corpus(s, d).select(col("doc_id").as("id"))
+    graft.graph.GraphOps
+      .connectedComponents(ids, pairs)
+      .select(
+        col("id").cast("long").as("doc_id"),
+        col("comp").cast("long").as("cluster"),
+        (col("id") === col("comp")).as("is_canonical")
+      )
+  }
+
   /** D6 — benchmark-contamination check: flag training documents sharing
     * any 5-word shingle with a held-out benchmark set (docs 1-10) — the
     * eval-leakage gate every serious training-data pipeline runs. Planted
@@ -252,7 +273,8 @@ object Dedup extends QueryModule {
     "d3_simhash" -> (d3_simhash _),
     "d4_ngram_jaccard" -> (d4_ngram_jaccard _),
     "d5_embed_neardup" -> (d5_embed_neardup _),
-    "d6_contamination" -> (d6_contamination _)
+    "d6_contamination" -> (d6_contamination _),
+    "d7_dedup_clusters" -> (d7_dedup_clusters _)
   )
 
   // ---- oracles ----
@@ -378,6 +400,26 @@ object Dedup extends QueryModule {
                     generate_series(0, greatest(len(string_split(text, ' ')) - 5, 0)),
                     i -> array_to_string(string_split(text, ' ')[i+1:i+5], ' ')))) AS g
            FROM tr)
-         SELECT DISTINCT doc_id FROM tg WHERE g IN (SELECT g FROM bg)"""
+         SELECT DISTINCT doc_id FROM tg WHERE g IN (SELECT g FROM bg)""",
+    "d7_dedup_clusters" ->
+      s"""WITH RECURSIVE $corpusSql, $shinglesSql, $sigSql, $bandsSql, $candSql,
+          vp AS (
+            SELECT doc1, doc2
+            FROM cand
+            JOIN sh s1 ON s1.doc_id = doc1
+            JOIN sh s2 ON s2.doc_id = doc2
+            WHERE CAST(len(list_intersect(s1.s, s2.s)) AS DOUBLE) /
+                  (len(s1.s) + len(s2.s) - len(list_intersect(s1.s, s2.s))) >= 0.8),
+          pedges AS (
+            SELECT doc1 AS src, doc2 AS dst FROM vp
+            UNION
+            SELECT doc2 AS src, doc1 AS dst FROM vp),
+          reach(id, comp) AS (
+            SELECT doc_id, doc_id FROM corpus
+            UNION
+            SELECT e.dst, r.comp FROM reach r JOIN pedges e ON r.id = e.src)
+          SELECT CAST(id AS BIGINT) AS doc_id, CAST(min(comp) AS BIGINT) AS cluster,
+                 CAST(id AS BIGINT) = CAST(min(comp) AS BIGINT) AS is_canonical
+          FROM reach GROUP BY id"""
   )
 }
