@@ -70,6 +70,19 @@ object Vectors extends QueryModule {
     scored(keyed.join(broadcast(q), col("bk") === col("qbk")))
   }
 
+  /** S19d — metadata-FILTERED kNN: a predicate on the metadata column
+    * restricts the candidate set BEFORE the exact top-k (the vector-store
+    * `where`-filter form of the reference's collection.query,
+    * scripts/query_embeddings.py:54-58 / Chroma query API). The filter is
+    * a plain Catalyst predicate, so at scale it rides partition pruning /
+    * row-group skipping on the metadata column rather than post-filtering
+    * scored results — which would under-fill k.
+    */
+  private def s19d_knn_filtered(s: SparkSession, d: String): DataFrame = {
+    val e = table(s, d, "embeddings")
+    scored(e.filter(col("label").isin(2, 5, 7)).crossJoin(broadcast(queryVec(e))))
+  }
+
   /** S20 — full-collection dump with derived metadata. */
   private def s20_vector_dump(s: SparkSession, d: String): DataFrame =
     table(s, d, "embeddings")
@@ -164,7 +177,9 @@ object Vectors extends QueryModule {
     "s19_knn_cosine" -> (s19_knn_cosine _),
     "s19b_knn_bucketed" -> (s19b_knn_bucketed _),
     "s19c_knn_ivf" -> (s19c_knn_ivf _),
+    "s19d_knn_filtered" -> (s19d_knn_filtered _),
     "s20_vector_dump" -> (s20_vector_dump _),
+    "s19d_knn_filtered" -> (s19d_knn_filtered _),
     "s17_vector_upsert" -> (s17_vector_upsert _),
     "s18_dedup_aware_append" -> (s18_dedup_aware_append _),
     "g3_embed_stub" -> (g3_embed_stub _)
@@ -211,6 +226,20 @@ object Vectors extends QueryModule {
               probe AS (SELECT label FROM dist ORDER BY d2, label LIMIT 1)
           SELECT vec_id, round($cosSql, 4) AS score
           FROM v, q WHERE v.label = (SELECT label FROM probe)
+          ORDER BY $cosSql DESC, vec_id
+          LIMIT $K""",
+    "s19d_knn_filtered" ->
+      s"""WITH v AS (SELECT vec_id, label, embedding::DOUBLE[] AS e FROM embeddings),
+              q AS (SELECT e AS qe FROM v WHERE vec_id = 0)
+          SELECT vec_id, round($cosSql, 4) AS score
+          FROM v, q WHERE label IN (2, 5, 7)
+          ORDER BY $cosSql DESC, vec_id
+          LIMIT $K""",
+    "s19d_knn_filtered" ->
+      s"""WITH v AS (SELECT vec_id, label, embedding::DOUBLE[] AS e FROM embeddings),
+              q AS (SELECT e AS qe FROM v WHERE vec_id = 0)
+          SELECT vec_id, round($cosSql, 4) AS score
+          FROM v, q WHERE label IN (2, 5, 7)
           ORDER BY $cosSql DESC, vec_id
           LIMIT $K""",
     "s17_vector_upsert" ->
