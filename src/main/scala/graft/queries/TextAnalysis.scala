@@ -152,13 +152,29 @@ object TextAnalysis extends QueryModule {
       md5(concat_ws(" ", array_sort(array_distinct(words(col("text")))))).as("bow_fp")
     )
 
+  /** X7 — corpus token statistics: per-token DOCUMENT frequency (the IDF
+    * building block — each token counted once per doc via the distinct
+    * set), top-100 by (df desc, token). Integer-only output so the oracle
+    * hash can't flap on transcendental rounding. Shape: distinct-per-doc
+    * explode → hash aggregate with map-side partial counts → global top-k
+    * as TakeOrderedAndProject (O(k) state per partition, no full sort).
+    */
+  private def x7_df_stats(s: SparkSession, d: String): DataFrame =
+    table(s, d, "documents")
+      .select(explode(array_distinct(words(col("text")))).as("token"))
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("df"))
+      .orderBy(col("df").desc, col("token").asc)
+      .limit(100)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x1_lang_id" -> (x1_lang_id _),
     "x2_quality_score" -> (x2_quality_score _),
     "x3_token_count" -> (x3_token_count _),
     "x4_fingerprint" -> (x4_fingerprint _),
     "x5_sample_split" -> (x5_sample_split _),
-    "x6_pii_redact" -> (x6_pii_redact _)
+    "x6_pii_redact" -> (x6_pii_redact _),
+    "x7_df_stats" -> (x7_df_stats _)
   )
 
   private def inList(xs: Seq[String]): String = xs.map(x => s"'$x'").mkString(", ")
@@ -228,6 +244,12 @@ object TextAnalysis extends QueryModule {
                                '\+[0-9]{2} [0-9]{3}-[0-9]{4}', '[PHONE]', 'g') AS redacted,
                 CAST(len(regexp_extract_all(t, '[a-z0-9]+@[a-z]+\.[a-z]+'))
                      + len(regexp_extract_all(t, '\+[0-9]{2} [0-9]{3}-[0-9]{4}')) AS BIGINT) AS n_pii
-         FROM p"""
+         FROM p""",
+    "x7_df_stats" ->
+      """WITH w AS (
+           SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS token
+           FROM documents),
+         d AS (SELECT token, CAST(count(*) AS BIGINT) AS df FROM w GROUP BY token)
+         SELECT token, df FROM d ORDER BY df DESC, token LIMIT 100"""
   )
 }
