@@ -65,7 +65,7 @@ object WordShingles {
     }
     val nWords = starts.size()
     val last   = math.max(nWords - n, 0)
-    val set    = new java.util.TreeSet[UTF8String]()
+    val out    = new Array[AnyRef](last + 1)
     var w      = 0
     while (w <= last) {
       // shingle = bytes from start of word w to end of word min(w+n, nWords)-1
@@ -74,10 +74,30 @@ object WordShingles {
       val until =
         if (endW == nWords) bytes.length
         else starts.get(endW) - 1 // drop the trailing separator space
-      set.add(UTF8String.fromBytes(java.util.Arrays.copyOfRange(bytes, from, until)))
+      out(w) = UTF8String.fromBytes(java.util.Arrays.copyOfRange(bytes, from, until))
       w += 1
     }
-    new GenericArrayData(set.toArray)
+    new GenericArrayData(Shingles.sortDedup(out))
+  }
+}
+
+/** Shared sort+dedupe for the shingle/n-gram builders: one flat-array sort
+  * in UTF8 binary order then adjacent-dedupe — same result as a TreeSet
+  * build, without a node allocation per element.
+  */
+private[functions] object Shingles {
+  def sortDedup(arr: Array[AnyRef]): Array[AnyRef] = {
+    java.util.Arrays.sort(arr) // UTF8String.compareTo = binary order, same as array_sort
+    var n = 0
+    var i = 0
+    while (i < arr.length) {
+      if (n == 0 || arr(n - 1).asInstanceOf[UTF8String].compareTo(arr(i).asInstanceOf[UTF8String]) != 0) {
+        arr(n) = arr(i)
+        n += 1
+      }
+      i += 1
+    }
+    if (n == arr.length) arr else java.util.Arrays.copyOf(arr, n)
   }
 }
 
@@ -127,14 +147,14 @@ object CharNgrams {
     }
     offs(nChars) = bytes.length
     val last = math.max(nChars - n, 0)
-    val set  = new java.util.TreeSet[UTF8String]()
+    val out  = new Array[AnyRef](last + 1)
     var c    = 0
     while (c <= last) {
       val from  = offs(c)
       val until = offs(math.min(c + n, nChars))
-      set.add(UTF8String.fromBytes(java.util.Arrays.copyOfRange(bytes, from, until)))
+      out(c) = UTF8String.fromBytes(java.util.Arrays.copyOfRange(bytes, from, until))
       c += 1
     }
-    new GenericArrayData(set.toArray)
+    new GenericArrayData(Shingles.sortDedup(out))
   }
 }
