@@ -48,6 +48,20 @@ class TableIOSpec extends AnyFunSuite with SparkTestBase {
     assert(df.schema == schema && df.count() == 0)
   }
 
+  test("partially-missing multi-path read drops quietly by default, throws in strict mode") {
+    import spark.implicits._
+    val schema =
+      StructType(Seq(StructField("id", LongType), StructField("v", StringType)))
+    TableIO.writeParquet(Seq((1L, "a"), (2L, "b")).toDF("id", "v"), s"$tmp/p3")
+    // default: the existing path's data comes back, the missing one is logged
+    val loose = TableIO.readParquet(spark, schema, s"$tmp/p3", s"$tmp/absent")
+    assert(loose.count() == 2)
+    // strict: a typo'd path is an error, not silent partial data
+    intercept[java.io.FileNotFoundException] {
+      TableIO.readParquetStrictly(spark, schema, strict = true, s"$tmp/p3", s"$tmp/absent")
+    }
+  }
+
   test("partition routing convention and partitioned write/read") {
     import spark.implicits._
     assert(
