@@ -39,5 +39,10 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
     assert(
       comm.columns.toSet == Set("id", "community_l0", "community_l1", "community_l2")
     )
+
+    // rerun into the same outDir: overwrite/reset semantics (S16) make the
+    // DAG idempotent — identical counts, no residue from the first run
+    val (counts2, _) = Pipeline.run(spark, "/root/testdata/sf0.001", out)
+    assert(counts2 == counts)
   }
 }
