@@ -67,8 +67,24 @@ object Bench {
     val failed = results.collect { case (k, _, false) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     val total = results.map(_._2).sum
+
+    // Full per-query map → a sidecar file. The driver records only the last
+    // ~2KB of output, so a single line carrying 100+ timings gets its head
+    // (and with it the `"metric"` key) truncated away — BENCH_r01..r04 all
+    // ended up `parsed: null` for exactly this reason.
+    val detailPath = java.nio.file.Paths.get("bench_detail.json").toAbsolutePath
+    java.nio.file.Files.write(
+      detailPath,
+      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}\n"""
+        .getBytes("UTF-8"))
+
+    // Compact line for stdout: global total plus the slowest queries only,
+    // budgeted to stay well inside the tail buffer alongside sbt's trailer.
+    val slowest = results.sortBy(-_._2).take(25)
+      .map { case (k, v, _) => "\"" + k + "\":" + f"$v%.3f" }
+      .mkString("{", ",", "}")
     println(
-      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$slowest,"n_queries":${results.size},"failed":$failed,"sf":"$sfDir","detail":"$detailPath"}"""
     )
     spark.stop()
   }

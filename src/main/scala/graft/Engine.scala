@@ -23,6 +23,12 @@ object Engine {
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
+      // Reliable-checkpoint mode (Lineage): let the ContextCleaner delete
+      // checkpoint files once their RDD is GC'd — iterative ops checkpoint
+      // every pass, and without this the files accumulate for the session
+      // lifetime. Must be set at context build time; a no-op in the default
+      // localCheckpoint mode.
+      .config("spark.cleaner.referenceTracking.cleanCheckpoints", "true")
       // events.parquet stores TIMESTAMP(NANOS) which Spark's vectorized
       // reader rejects; read as epoch-nanos long and convert explicitly
       // (Events module owns the conversion).

@@ -28,8 +28,18 @@ object Lineage {
     val spark = df.sparkSession
     spark.conf.getOption(CheckpointDirConf) match {
       case Some(dir) =>
-        if (spark.sparkContext.getCheckpointDir.isEmpty)
-          spark.sparkContext.setCheckpointDir(dir)
+        val sc = spark.sparkContext
+        // setCheckpointDir appends a per-call UUID subdirectory, so compare
+        // against the parent: re-point only when the conf value actually
+        // changed (the first-writer-wins pinning the r4 advice flagged).
+        val pointsAtDir = sc.getCheckpointDir.exists { current =>
+          val parent = new org.apache.hadoop.fs.Path(current).getParent
+          parent != null && parent.toString == new org.apache.hadoop.fs.Path(dir).toString
+        }
+        if (!pointsAtDir) sc.setCheckpointDir(dir)
+        // Superseded checkpoints are reclaimed by the ContextCleaner
+        // (spark.cleaner.referenceTracking.cleanCheckpoints, set in
+        // Engine.builder) once the RDD they back is garbage-collected.
         df.checkpoint()
       case None =>
         df.localCheckpoint(true)

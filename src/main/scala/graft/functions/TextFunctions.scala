@@ -16,7 +16,9 @@ object TextFunctions {
     * core), NFKC normalize ([[NormalizeNFKC]]), then the regex chain:
     * unescape `\"`, collapse newlines and runs of whitespace to one space,
     * trim. Repair and NFKC are identity on well-formed ASCII, which keeps
-    * the SQL oracles exact on the fixture corpus.
+    * the SQL oracles exact on the fixture corpus — a precondition ENFORCED
+    * (not just documented) by TextFunctionsSpec's repair-neutrality test
+    * over every corpus the F1/pl3/pl7 oracles read.
     */
   def cleanText(c: Column): Column =
     trim(

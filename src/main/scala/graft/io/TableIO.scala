@@ -34,20 +34,32 @@ object TableIO {
     * then swaps it into place, mirroring the reference io_manager's
     * temp-file+rename: a mid-job failure leaves the previous data intact
     * (plain `mode("overwrite")` deletes the target before the job runs, so
-    * a crash would leave the path empty). The swap itself is
-    * delete-then-rename — two metadata ops, not one atomic replace; on a
-    * crash exactly between them the committed data survives at the staging
-    * path.
+    * a crash would leave the path empty). The swap parks the previous data
+    * at a `._old` sibling rather than deleting it up front, so the target
+    * path holds either the old or the new committed data at every instant —
+    * a crash mid-swap can no longer leave the path absent (which the
+    * declared-schema fallback in [[readParquet]] would otherwise turn into
+    * a silent empty frame). `._old` is dropped only after the promote
+    * succeeds; if the promote fails the old data is restored.
     */
   def writeParquet(df: DataFrame, path: String): Long = {
     val conf    = df.sparkSession.sparkContext.hadoopConfiguration
     val target  = new org.apache.hadoop.fs.Path(path)
     val staging = new org.apache.hadoop.fs.Path(path + "._tmp")
+    val parked  = new org.apache.hadoop.fs.Path(path + "._old")
     val fs      = target.getFileSystem(conf)
     df.write.mode("overwrite").parquet(staging.toString)
-    if (fs.exists(target)) fs.delete(target, true)
-    if (!fs.rename(staging, target))
+    if (fs.exists(parked)) fs.delete(parked, true) // leftover from a prior crash
+    val hadOld = fs.exists(target) && {
+      if (!fs.rename(target, parked))
+        throw new java.io.IOException(s"park $target -> $parked failed")
+      true
+    }
+    if (!fs.rename(staging, target)) {
+      if (hadOld) fs.rename(parked, target) // promote failed: put the old data back
       throw new java.io.IOException(s"rename $staging -> $target failed")
+    }
+    if (hadOld) fs.delete(parked, true)
     df.sparkSession.read.parquet(path).count()
   }
 

@@ -179,7 +179,6 @@ object Vectors extends QueryModule {
     "s19c_knn_ivf" -> (s19c_knn_ivf _),
     "s19d_knn_filtered" -> (s19d_knn_filtered _),
     "s20_vector_dump" -> (s20_vector_dump _),
-    "s19d_knn_filtered" -> (s19d_knn_filtered _),
     "s17_vector_upsert" -> (s17_vector_upsert _),
     "s18_dedup_aware_append" -> (s18_dedup_aware_append _),
     "g3_embed_stub" -> (g3_embed_stub _)
@@ -226,13 +225,6 @@ object Vectors extends QueryModule {
               probe AS (SELECT label FROM dist ORDER BY d2, label LIMIT 1)
           SELECT vec_id, round($cosSql, 4) AS score
           FROM v, q WHERE v.label = (SELECT label FROM probe)
-          ORDER BY $cosSql DESC, vec_id
-          LIMIT $K""",
-    "s19d_knn_filtered" ->
-      s"""WITH v AS (SELECT vec_id, label, embedding::DOUBLE[] AS e FROM embeddings),
-              q AS (SELECT e AS qe FROM v WHERE vec_id = 0)
-          SELECT vec_id, round($cosSql, 4) AS score
-          FROM v, q WHERE label IN (2, 5, 7)
           ORDER BY $cosSql DESC, vec_id
           LIMIT $K""",
     "s19d_knn_filtered" ->

@@ -48,4 +48,31 @@ class TextFunctionsSpec extends AnyFunSuite with SparkTestBase {
     assert(out(0) == "a\"quoted\" text")
     assert(out(1) == "fine")
   }
+
+  /** The F1/pl3/pl7 DuckDB oracles do not model the mojibake-repair stage of
+    * cleanText — parity requires `graft_fix_mojibake` to be the identity on
+    * every corpus those oracles read (r4 ADVICE). This pins the precondition:
+    * if a future test-data or fixture change introduces repairable mojibake,
+    * this fails loudly instead of the gate diverging silently.
+    */
+  test("mojibake repair is identity on every cleanText oracle corpus") {
+    import org.apache.spark.sql.functions._
+    val repaired = call_function("graft_fix_mojibake", col("t"))
+    def assertNeutral(df: org.apache.spark.sql.DataFrame, what: String): Unit = {
+      val n = df.filter(repaired =!= col("t")).count()
+      assert(n == 0, s"$what: $n rows would be altered by graft_fix_mojibake")
+    }
+    for {
+      sf <- Seq("sf0.001", "sf0.01")
+      dir = s"/root/testdata/$sf"
+      if new java.io.File(s"$dir/documents.parquet").exists()
+    } {
+      assertNeutral(
+        Engine.table(spark, dir, "documents").select(col("text").as("t")),
+        s"$sf documents.text")
+      assertNeutral(
+        graft.sources.Fixtures.artistIndexRaw(spark, dir).select(col("name").as("t")),
+        s"$sf artistIndexRaw.name")
+    }
+  }
 }
