@@ -25,7 +25,8 @@ object SparkEntry {
     IOQueries,
     Multimodal,
     PipelineQueries,
-    Events
+    Events,
+    TemporalQueries
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

@@ -1,0 +1,107 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Engine.table
+import graft.operators.TemporalJoins
+
+/** J12/J13 — the temporal join family over the `events` table (beyond the
+  * reference's §2.3 inventory; the shapes an event/training pipeline needs).
+  *
+  *   - j12: as-of join — every non-signup event is annotated with the most
+  *     recent signup at-or-before it for the same user (the "attach current
+  *     dimension state to a fact" pattern). Oracle: DuckDB's native
+  *     ASOF LEFT JOIN, an independent formulation of the same semantics.
+  *   - j13: interval join — all events falling inside 10-minute incident
+  *     windows opened by high-value error events, any user. Oracle: DuckDB's
+  *     range join (IEJoin). The Spark side uses the binned equi-join
+  *     ([[TemporalJoins.rangeJoinBinned]]) — at scale the interval side
+  *     outgrows a broadcast and a raw range predicate would plan as a
+  *     BroadcastNestedLoopJoin; the bin key keeps it a hash join.
+  *
+  * `events.ts` is TIMESTAMP(NANOS) read as epoch-nanos longs (Engine
+  * builder's nanosAsLong); `us` is epoch-micros, matching DuckDB epoch_us.
+  */
+object TemporalQueries extends QueryModule {
+
+  private def us = expr("ts div 1000")
+
+  private val WindowUs = 600L * 1000000L // 10-minute incident windows
+
+  private def j12_asof_join(s: SparkSession, d: String): DataFrame = {
+    val e = table(s, d, "events")
+      .select(col("event_id"), col("user_id"), us.as("us"), col("event_type"), col("value"))
+    // right side: signups, made unique per (user, ts) — keep the max
+    // event_id's row, so "the most recent signup" is well-defined
+    val signups = e
+      .filter(col("event_type") === "signup")
+      .groupBy(col("user_id"), col("us"))
+      .agg(
+        max(col("event_id")).as("ref_event_id"),
+        expr("max_by(value, event_id)").as("ref_val")
+      )
+    val facts = e
+      .filter(col("event_type") =!= "signup")
+      .select(col("event_id"), col("user_id"), col("us"))
+    TemporalJoins
+      .asofLast(facts, signups, key = "user_id", ts = "us", leftId = "event_id",
+        payload = Seq("ref_event_id", "ref_val"))
+      .select(
+        col("event_id"),
+        col("user_id"),
+        col("us"),
+        col("ref_event_id"),
+        round(col("ref_val") * 100, 0).cast("long").as("ref_value_cents")
+      )
+  }
+
+  private def j13_range_join(s: SparkSession, d: String): DataFrame = {
+    val e = table(s, d, "events")
+      .select(col("event_id"), col("user_id"), us.as("us"), col("event_type"), col("value"))
+    val incidents = e
+      .filter(col("event_type") === "error" && col("value") > 198)
+      .select(
+        col("event_id").as("incident_id"),
+        col("us").as("ws"),
+        (col("us") + lit(WindowUs)).as("we")
+      )
+    TemporalJoins
+      .rangeJoinBinned(
+        e.select(col("event_id"), col("user_id"), col("us")),
+        incidents,
+        pointTs = "us", start = "ws", end = "we", binWidth = WindowUs
+      )
+      .filter(col("event_id") =!= col("incident_id"))
+      .select(
+        col("incident_id"),
+        col("event_id"),
+        col("user_id"),
+        expr("(us - ws) div 1000000").as("offset_sec")
+      )
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "j12_asof_join" -> (j12_asof_join _),
+    "j13_range_join" -> (j13_range_join _)
+  )
+
+  val oracles: Map[String, String] = Map(
+    "j12_asof_join" ->
+      """WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS us, event_type, value FROM events),
+         q AS (SELECT user_id, us, max(event_id) AS ref_event_id,
+                      arg_max(value, event_id) AS ref_val
+               FROM e WHERE event_type = 'signup' GROUP BY 1, 2),
+         t AS (SELECT event_id, user_id, us FROM e WHERE event_type <> 'signup')
+         SELECT t.event_id, t.user_id, t.us, q.ref_event_id,
+                CAST(round(q.ref_val * 100, 0) AS BIGINT) AS ref_value_cents
+         FROM t ASOF LEFT JOIN q ON t.user_id = q.user_id AND t.us >= q.us""",
+    "j13_range_join" ->
+      """WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS us, event_type, value FROM events),
+         w AS (SELECT event_id AS incident_id, us AS ws, us + 600000000 AS we
+               FROM e WHERE event_type = 'error' AND value > 198)
+         SELECT w.incident_id, e.event_id, e.user_id,
+                CAST((e.us - w.ws) // 1000000 AS BIGINT) AS offset_sec
+         FROM w JOIN e ON e.us >= w.ws AND e.us <= w.we AND e.event_id <> w.incident_id"""
+  )
+}

@@ -1,0 +1,55 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.TemporalJoins
+
+/** Edge semantics of the temporal join operators on tiny in-memory frames:
+  * the at-or-before tie rule, the no-prior-match null, and the
+  * exactly-once pairing guarantee of the binned interval join (a pair must
+  * meet in the point's single bin — never zero times, never twice).
+  */
+class TemporalJoinsSpec extends AnyFunSuite with SparkTestBase {
+
+  import spark.implicits._
+
+  test("asofLast: equal timestamps match (at-or-before), later rights do not") {
+    val left = Seq((1L, 10L, 100L), (1L, 20L, 101L), (2L, 5L, 102L))
+      .toDF("k", "t", "lid")
+    val right = Seq((1L, 10L, "a"), (1L, 15L, "b"), (2L, 6L, "c"))
+      .toDF("k", "t", "p")
+    val out = TemporalJoins
+      .asofLast(left, right, key = "k", ts = "t", leftId = "lid", payload = Seq("p"))
+      .collect()
+      .map(r => (r.getAs[Long]("lid"), r.getAs[String]("p")))
+      .toMap
+    assert(out(100L) == "a") // right at t=10 matches left at t=10 (>=)
+    assert(out(101L) == "b") // most recent of {a@10, b@15} at t=20
+    assert(out(102L) == null) // right@6 is after left@5: no match
+  }
+
+  test("asofLast: output keeps every left row exactly once") {
+    val left  = (1 to 50).map(i => (i.toLong % 3, i.toLong, i.toLong)).toDF("k", "t", "lid")
+    val right = Seq((0L, 10L, "x")).toDF("k", "t", "p")
+    val out   = TemporalJoins.asofLast(left, right, "k", "t", "lid", Seq("p"))
+    assert(out.count() == 50)
+    assert(out.select("lid").distinct().count() == 50)
+  }
+
+  test("rangeJoinBinned: boundary-inclusive, exactly-once, bin-straddling intervals") {
+    val points = Seq((1L, 0L), (2L, 100L), (3L, 150L), (4L, 251L))
+      .toDF("pid", "t")
+    // [100, 250] straddles bins of width 100 (bins 1..2); [0, 0] is a
+    // single-instant interval.
+    val intervals = Seq(("w1", 100L, 250L), ("w2", 0L, 0L))
+      .toDF("wid", "ws", "we")
+    val got = TemporalJoins
+      .rangeJoinBinned(points, intervals, "t", "ws", "we", binWidth = 100L)
+      .select("wid", "pid")
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+      .sorted
+    assert(got.toSeq == Seq(("w1", 2L), ("w1", 3L), ("w2", 1L)))
+  }
+}
