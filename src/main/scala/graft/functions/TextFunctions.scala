@@ -96,4 +96,30 @@ object TextFunctions {
     * defs/assets/extract_artists_articles.py:198-200). */
   def chunkId(qid: Column, pos0: Column): Column =
     concat(qid.cast("string"), lit("_chunk_"), (pos0 + 1).cast("string"))
+
+  private val UrlAuthorityRe = "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*"
+
+  /** URL canonicalization for dedup keying (the crawl-pipeline counterpart
+    * of F1's text cleaning; beyond the reference's §2.8 inventory). Declared
+    * rule set, applied in order:
+    *   1. strip the fragment (`#…`),
+    *   2. lowercase scheme + authority (path/query case is preserved —
+    *      paths are case-significant on most servers),
+    *   3. drop the scheme-default port (`:80` for http, `:443` for https),
+    *   4. strip trailing `/` and empty-`?` noise from the remainder.
+    * Every regex is anchored (≤1 possible match), so Spark's replace-all
+    * and DuckDB's replace-first semantics agree — the d8 oracle replays the
+    * identical chain.
+    */
+  def normalizeUrl(c: Column): Column = {
+    val noFrag = regexp_replace(c, "#.*$", "")
+    val auth   = lower(regexp_extract(noFrag, UrlAuthorityRe, 0))
+    val rest   = regexp_replace(noFrag, UrlAuthorityRe, "")
+    val authNoPort = regexp_replace(
+      regexp_replace(auth, "^(http://[^:]*):80$", "$1"),
+      "^(https://[^:]*):443$",
+      "$1"
+    )
+    concat(authNoPort, regexp_replace(rest, "[/?]+$", ""))
+  }
 }

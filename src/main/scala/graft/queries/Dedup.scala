@@ -267,6 +267,31 @@ object Dedup extends QueryModule {
       .select(col("vec1"), col("vec2"), round(col("cos"), 4).as("cos_sim"))
   }
 
+  /** D8 — URL-normalized exact dedup (the crawl-pipeline first pass: group
+    * syntactic URL variants under one canonical key BEFORE any content
+    * hashing). The messy variants are generated deterministically — four
+    * syntactic spellings (mixed-case scheme/host, default port, fragment,
+    * trailing-slash/empty-query noise) of one canonical URL per group of 4
+    * doc_ids — then collapsed via [[graft.functions.TextFunctions.normalizeUrl]].
+    * Shape: narrow projection + one groupBy on the canonical key (map-side
+    * partial counts); at 100 TB this is the cheapest dedup pass there is.
+    */
+  private def d8_url_dedup(s: SparkSession, d: String): DataFrame = {
+    val pid = expr("doc_id div 4").cast("string")
+    val url = when(col("doc_id") % 4 === 0, concat(lit("HTTP://Example.COM:80/docs/"), pid, lit("/")))
+      .when(col("doc_id") % 4 === 1, concat(lit("http://example.com/docs/"), pid))
+      .when(
+        col("doc_id") % 4 === 2,
+        concat(lit("http://example.com:80/docs/"), pid, lit("#sec-"), col("doc_id").cast("string"))
+      )
+      .otherwise(concat(lit("http://EXAMPLE.com/docs/"), pid, lit("/?")))
+    table(s, d, "documents")
+      .select(col("doc_id"), url.as("url"))
+      .withColumn("canonical_url", graft.functions.TextFunctions.normalizeUrl(col("url")))
+      .groupBy(col("canonical_url"))
+      .agg(min(col("doc_id")).as("first_doc_id"), count(lit(1)).as("n_variants"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d1_minhash_candidates" -> (d1_minhash_candidates _),
     "d2_verified_pairs" -> (d2_verified_pairs _),
@@ -274,7 +299,8 @@ object Dedup extends QueryModule {
     "d4_ngram_jaccard" -> (d4_ngram_jaccard _),
     "d5_embed_neardup" -> (d5_embed_neardup _),
     "d6_contamination" -> (d6_contamination _),
-    "d7_dedup_clusters" -> (d7_dedup_clusters _)
+    "d7_dedup_clusters" -> (d7_dedup_clusters _),
+    "d8_url_dedup" -> (d8_url_dedup _)
   )
 
   // ---- oracles ----
@@ -420,6 +446,33 @@ object Dedup extends QueryModule {
             SELECT e.dst, r.comp FROM reach r JOIN pedges e ON r.id = e.src)
           SELECT CAST(id AS BIGINT) AS doc_id, CAST(min(comp) AS BIGINT) AS cluster,
                  CAST(id AS BIGINT) = CAST(min(comp) AS BIGINT) AS is_canonical
-          FROM reach GROUP BY id"""
+          FROM reach GROUP BY id""",
+    "d8_url_dedup" ->
+      """WITH u AS (
+           SELECT doc_id,
+                  CASE doc_id % 4
+                    WHEN 0 THEN 'HTTP://Example.COM:80/docs/' || CAST(doc_id // 4 AS VARCHAR) || '/'
+                    WHEN 1 THEN 'http://example.com/docs/' || CAST(doc_id // 4 AS VARCHAR)
+                    WHEN 2 THEN 'http://example.com:80/docs/' || CAST(doc_id // 4 AS VARCHAR)
+                                || '#sec-' || CAST(doc_id AS VARCHAR)
+                    ELSE 'http://EXAMPLE.com/docs/' || CAST(doc_id // 4 AS VARCHAR) || '/?'
+                  END AS url
+           FROM documents),
+         n AS (
+           SELECT doc_id,
+                  lower(regexp_extract(regexp_replace(url, '#.*$', ''),
+                                       '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*', 0)) AS auth,
+                  regexp_replace(regexp_replace(url, '#.*$', ''),
+                                 '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*', '') AS rest
+           FROM u),
+         c AS (
+           SELECT doc_id,
+                  regexp_replace(regexp_replace(auth, '^(http://[^:]*):80$', '\1'),
+                                 '^(https://[^:]*):443$', '\1')
+                  || regexp_replace(rest, '[/?]+$', '') AS canonical_url
+           FROM n)
+         SELECT canonical_url, min(doc_id) AS first_doc_id,
+                CAST(count(*) AS BIGINT) AS n_variants
+         FROM c GROUP BY 1"""
   )
 }

@@ -167,6 +167,53 @@ object TextAnalysis extends QueryModule {
       .orderBy(col("df").desc, col("token").asc)
       .limit(100)
 
+  /** X8 — Gopher-style repetition metrics (Rae et al. 2021's repetition
+    * filters, adapted to this corpus's single-line structure: word and
+    * word-bigram granularity instead of lines/paragraphs). Per document:
+    * distinct-word fraction, top-word fraction, top-bigram fraction — the
+    * signals that catch boilerplate and degenerate repetition.
+    *
+    * Fractions are integer-quantized (×10000, floor div) so the comparison
+    * is pure integer math end-to-end — no float rounding disagreement
+    * between engines. Shape: two explode→groupBy aggregates (map-side
+    * partial counts; the shuffle carries (doc_id, token) counts, not text)
+    * joined on doc_id — both sides already hash-partitioned on doc_id, so
+    * AQE plans the join without a third shuffle.
+    */
+  private def x8_repetition(s: SparkSession, d: String): DataFrame = {
+    val docs = table(s, d, "documents").select(col("doc_id"), words(col("text")).as("a"))
+    val wordStats = docs
+      .select(col("doc_id"), explode(col("a")).as("w"))
+      .groupBy(col("doc_id"), col("w"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(
+        sum(col("c")).as("n_words"),
+        count(lit(1)).as("n_distinct"),
+        max(col("c")).as("top_w")
+      )
+    val bigramStats = docs
+      .select(
+        col("doc_id"),
+        explode(
+          expr("transform(sequence(1, size(a) - 1), i -> concat(element_at(a, i), ' ', element_at(a, i + 1)))")
+        ).as("b")
+      )
+      .groupBy(col("doc_id"), col("b"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_bigrams"), max(col("c")).as("top_b"))
+    wordStats
+      .join(bigramStats, "doc_id")
+      .select(
+        col("doc_id"),
+        col("n_words"),
+        expr("(10000 * n_distinct) div n_words").as("distinct_frac_q"),
+        expr("(10000 * top_w) div n_words").as("top_word_frac_q"),
+        expr("(10000 * top_b) div n_bigrams").as("top_bigram_frac_q")
+      )
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x1_lang_id" -> (x1_lang_id _),
     "x2_quality_score" -> (x2_quality_score _),
@@ -174,7 +221,8 @@ object TextAnalysis extends QueryModule {
     "x4_fingerprint" -> (x4_fingerprint _),
     "x5_sample_split" -> (x5_sample_split _),
     "x6_pii_redact" -> (x6_pii_redact _),
-    "x7_df_stats" -> (x7_df_stats _)
+    "x7_df_stats" -> (x7_df_stats _),
+    "x8_repetition" -> (x8_repetition _)
   )
 
   private def inList(xs: Seq[String]): String = xs.map(x => s"'$x'").mkString(", ")
@@ -250,6 +298,22 @@ object TextAnalysis extends QueryModule {
            SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS token
            FROM documents),
          d AS (SELECT token, CAST(count(*) AS BIGINT) AS df FROM w GROUP BY token)
-         SELECT token, df FROM d ORDER BY df DESC, token LIMIT 100"""
+         SELECT token, df FROM d ORDER BY df DESC, token LIMIT 100""",
+    "x8_repetition" ->
+      """WITH a AS (SELECT doc_id, string_split(text, ' ') AS a FROM documents),
+         w AS (SELECT doc_id, unnest(a) AS w FROM a),
+         wc AS (SELECT doc_id, w, count(*) AS c FROM w GROUP BY 1, 2),
+         ws AS (SELECT doc_id, sum(c) AS n_words, count(*) AS n_distinct, max(c) AS top_w
+                FROM wc GROUP BY 1),
+         bg AS (SELECT doc_id,
+                       unnest(list_transform(range(1, len(a)), i -> a[i] || ' ' || a[i + 1])) AS b
+                FROM a),
+         bc AS (SELECT doc_id, b, count(*) AS c FROM bg GROUP BY 1, 2),
+         bs AS (SELECT doc_id, sum(c) AS n_bigrams, max(c) AS top_b FROM bc GROUP BY 1)
+         SELECT ws.doc_id, CAST(n_words AS BIGINT) AS n_words,
+                CAST((10000 * n_distinct) // n_words AS BIGINT) AS distinct_frac_q,
+                CAST((10000 * top_w) // n_words AS BIGINT) AS top_word_frac_q,
+                CAST((10000 * top_b) // n_bigrams AS BIGINT) AS top_bigram_frac_q
+         FROM ws JOIN bs ON ws.doc_id = bs.doc_id"""
   )
 }

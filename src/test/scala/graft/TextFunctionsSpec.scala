@@ -49,6 +49,23 @@ class TextFunctionsSpec extends AnyFunSuite with SparkTestBase {
     assert(out(1) == "fine")
   }
 
+  test("normalizeUrl: scheme/host case, default ports, fragments, trailing noise") {
+    import spark.implicits._
+    val cases = Seq(
+      "HTTP://Example.COM:80/docs/5/"        -> "http://example.com/docs/5",
+      "http://example.com/docs/5"            -> "http://example.com/docs/5",
+      "http://example.com:80/docs/5#sec-20"  -> "http://example.com/docs/5",
+      "http://EXAMPLE.com/docs/5/?"          -> "http://example.com/docs/5",
+      "HTTPS://Example.com:443/A/B"          -> "https://example.com/A/B", // path case kept
+      "https://example.com:8443/x"           -> "https://example.com:8443/x", // non-default port kept
+      "http://example.com/p?x=1"             -> "http://example.com/p?x=1", // real query kept
+      "no-scheme/path/"                      -> "no-scheme/path" // scheme-less: only tail cleanup
+    )
+    val got = cases.map(_._1).toDF("u")
+      .select(TF.normalizeUrl($"u")).collect().map(_.getString(0))
+    cases.map(_._2).zip(got).foreach { case (want, g) => assert(g == want) }
+  }
+
   /** The F1/pl3/pl7 DuckDB oracles do not model the mojibake-repair stage of
     * cleanText — parity requires `graft_fix_mojibake` to be the identity on
     * every corpus those oracles read (r4 ADVICE). This pins the precondition:
