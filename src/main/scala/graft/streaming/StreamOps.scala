@@ -58,6 +58,51 @@ object StreamOps {
   ): DataFrame =
     events.withWatermark("t", delay).dropDuplicatesWithinWatermark(keys)
 
+  /** Stream-static enrichment: join each micro-batch against a broadcast of
+    * the (small) static dimension — the streaming face of J2/J6. Spark plans
+    * this as a BroadcastHashJoin inside every micro-batch: no state, no
+    * stream-side shuffle, and a file-backed `dim` is re-scanned per batch so
+    * slowly-changing dimensions are picked up without restarting the query.
+    * Left join: facts with no dimension row pass through with nulls rather
+    * than silently dropping (the same no-silent-loss stance as P7's gates).
+    */
+  def enrichWithStatic(stream: DataFrame, dim: DataFrame, key: String): DataFrame =
+    stream.join(broadcast(dim), Seq(key), "left")
+
+  /** Keep-last streaming upsert sink (S17's semantics on a stream): each
+    * micro-batch is merged into the parquet collection at `path` — existing
+    * rows lose to same-key batch rows, within-batch ties resolve by highest
+    * `version`. Built on `foreachBatch` + [[graft.io.TableIO.writeParquet]]
+    * (staging + swap), so a crash mid-batch leaves the previous collection
+    * intact and the retried batch converges to the same state (the merge is
+    * idempotent for replayed input — exactly the property a
+    * Structured-Streaming sink must provide over at-least-once delivery).
+    *
+    * Scale note: each merge rewrites the collection — right for dimension/
+    * collection tables (the S17 use), wrong for append-heavy fact streams
+    * (use partitioned append there instead).
+    */
+  def upsertSink(batch: DataFrame, path: String, key: String, version: String): Unit = {
+    val spark  = batch.sparkSession
+    val target = new org.apache.hadoop.fs.Path(path)
+    val fs     = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val existing =
+      if (fs.exists(target)) spark.read.parquet(path)
+      else spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], batch.schema)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(key))
+      // batch rows (rank 0) beat existing rows (rank 1); ties by version desc
+      .orderBy(col("graft_src").asc, col(version).desc)
+    val merged = batch
+      .withColumn("graft_src", lit(0))
+      .unionByName(existing.withColumn("graft_src", lit(1)))
+      .withColumn("graft_rn", row_number().over(w))
+      .filter(col("graft_rn") === 1)
+      .drop("graft_src", "graft_rn")
+    graft.io.TableIO.writeParquet(merged, path)
+    ()
+  }
+
   final case class Event(user_id: Long, us: Long)
   private[streaming] final case class EventT(user_id: Long, us: Long, ets: java.sql.Timestamp)
   final case class SessionState(startUs: Long, lastUs: Long, n: Long)

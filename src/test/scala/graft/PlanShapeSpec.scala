@@ -1,0 +1,80 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.FormattedMode
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan regression tests: the scale properties the scaladocs claim
+  * are asserted here against the actual executed-plan text, so a Spark
+  * upgrade or refactor that silently loses a broadcast, un-pushes a filter,
+  * or degrades an equi-join to a nested loop fails the build instead of
+  * only showing up as a 100×-scale regression.
+  *
+  * Runs against sf0.001 (plan shape is scale-invariant; AQE may still
+  * re-plan at runtime — these inspect the compile-time plan, which is what
+  * the query declares).
+  */
+class PlanShapeSpec extends AnyFunSuite with SparkTestBase {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sf).queryExecution.explainString(FormattedMode)
+
+  private def planOf(df: DataFrame): String =
+    df.queryExecution.explainString(FormattedMode)
+
+  test("j6 dims are broadcast (two BroadcastHashJoins, no SortMergeJoin)") {
+    val p = plan("j6_broadcast_dims")
+    // FormattedMode prints each node in the tree AND the detail section:
+    // two joins appear as 4 mentions
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2, p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("j13's binned interval join is an equi-join, never a nested loop") {
+    val p = plan("j13_range_join")
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("s19 brute-force kNN is TakeOrderedAndProject (O(k) per partition, no full sort)") {
+    val p = plan("s19_knn_cosine")
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("p4's regex filter is pushed to the parquet scan") {
+    val p = plan("p4_regex_filter")
+    // StartsWith pushes as a parquet filter; the scan must not be bare
+    assert(p.contains("PushedFilters: [IsNotNull"), p)
+  }
+
+  test("x1 scan is column-pruned to (doc_id, text)") {
+    val p = plan("x1_lang_id")
+    val readSchema = p.linesIterator.filter(_.contains("ReadSchema")).mkString
+    assert(readSchema.contains("doc_id") && readSchema.contains("text"), p)
+    assert(!readSchema.contains("lang") && !readSchema.contains("source"), p)
+  }
+
+  test("j12's as-of join is one Exchange on the key (no per-row subquery re-join)") {
+    val p = plan("j12_asof_join")
+    // signup pre-agg (2: partial+final share one Exchange) + the asof union
+    // window (1) — anything above 3 means the formulation regressed
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(exchanges <= 3, s"$exchanges exchanges:\n$p")
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("enrichWithStatic plans a broadcast join in batch form") {
+    import spark.implicits._
+    val facts = Seq((1L, "a")).toDF("k", "v")
+    val dim   = Seq((1L, "gold")).toDF("k", "tier")
+    val p     = planOf(graft.streaming.StreamOps.enrichWithStatic(facts, dim, "k"))
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("w3 grouped top-k carries a WindowGroupLimit (rank pushed map-side)") {
+    val p = plan("w3_topk_per_group")
+    assert(p.contains("WindowGroupLimit"), p)
+  }
+}

@@ -149,6 +149,71 @@ class StreamOpsSpec extends AnyFunSuite with SparkTestBase {
     } finally q.stop()
   }
 
+  test("enrichWithStatic broadcast-joins each micro-batch; unmatched facts keep nulls") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dim = Seq((1L, "gold"), (2L, "silver")).toDF("k", "tier")
+    val in  = MemoryStream[(Timestamp, Long)]
+    val q = StreamOps
+      .enrichWithStatic(in.toDF().toDF("t", "k"), dim, "k")
+      .writeStream
+      .format("memory")
+      .queryName("enriched")
+      .outputMode(OutputMode.Append())
+      .start()
+    try {
+      in.addData((ts(1, 1), 1L), (ts(1, 2), 3L))
+      q.processAllAvailable()
+      val rows = spark.table("enriched").select("k", "tier").collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSet
+      assert(rows == Set((1L, "gold"), (3L, null)))
+      in.addData((ts(1, 3), 2L))
+      q.processAllAvailable()
+      assert(spark.table("enriched").count() == 3)
+    } finally q.stop()
+  }
+
+  test("upsertSink: batch beats existing, version breaks within-batch ties, replay converges") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val path = s"${sys.props("java.io.tmpdir")}/graft_io/stream_upsert_spec"
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(path), true)
+
+    val in = MemoryStream[(Long, Long, String)]
+    val q = in.toDF().toDF("k", "version", "payload").writeStream
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        StreamOps.upsertSink(b, path, key = "k", version = "version")
+      }
+      .outputMode(OutputMode.Append())
+      .start()
+    try {
+      // batch 1: k=1 appears twice — highest version wins within the batch
+      in.addData((1L, 1L, "v1"), (1L, 2L, "v2"), (2L, 1L, "a"))
+      q.processAllAvailable()
+      val s1 = spark.read.parquet(path).select("k", "payload").collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSet
+      assert(s1 == Set((1L, "v2"), (2L, "a")))
+
+      // batch 2: k=1 re-arrives with a LOWER version — batch still beats
+      // existing (keep-last stream semantics), k=3 is new
+      in.addData((1L, 1L, "v1-replay"), (3L, 1L, "c"))
+      q.processAllAvailable()
+      val s2 = spark.read.parquet(path).select("k", "payload").collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSet
+      assert(s2 == Set((1L, "v1-replay"), (2L, "a"), (3L, "c")))
+
+      // replaying the same batch again converges to the same state
+      StreamOps.upsertSink(
+        Seq((1L, 1L, "v1-replay"), (3L, 1L, "c")).toDF("k", "version", "payload"),
+        path, key = "k", version = "version")
+      val s3 = spark.read.parquet(path).select("k", "payload").collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSet
+      assert(s3 == s2)
+    } finally q.stop()
+  }
+
   test("Sessionizer folds out-of-order events without shrinking durations") {
     import spark.implicits._
     val gapUs = 3600L * 1000000
