@@ -139,7 +139,35 @@ object Aggregations extends QueryModule {
       .select(col("o_orderkey"), col("o_custkey"), col("o_orderpriority"))
   }
 
+  /** A12 — grouped exact percentiles by POSITION, not interpolation: the
+    * p-th percentile of each group is the value at sorted rank
+    * `ceil(p·n)` (the lower / `quantile_disc` convention). Interpolated
+    * percentiles mix floats from two rows — engines disagree in the last
+    * ulp and a rounded hash flaps; rank selection is pure integer
+    * arithmetic, so both engines pick the identical row. One shuffle on
+    * the group key; the rank window and the count ride the same
+    * partitioning.
+    */
+  private def a12_percentiles(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w  = Window.partitionBy(col("l_returnflag")).orderBy(col("l_quantity"))
+    val wg = Window.partitionBy(col("l_returnflag"))
+    table(s, d, "lineitem")
+      .select(col("l_returnflag"), col("l_quantity"))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(wg))
+      .groupBy(col("l_returnflag"))
+      .agg(
+        max(col("n")).as("n"),
+        max(when(col("rn") === expr("(n + 1) div 2"), col("l_quantity")))
+          .cast("long").as("p50_qty"),
+        max(when(col("rn") === expr("(9 * n + 9) div 10"), col("l_quantity")))
+          .cast("long").as("p90_qty")
+      )
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "a12_percentiles" -> (a12_percentiles _),
     "a1_count" -> (a1_count _),
     "a2_null_counts" -> (a2_null_counts _),
     "a3_dup_rows" -> (a3_dup_rows _),
@@ -154,6 +182,16 @@ object Aggregations extends QueryModule {
   )
 
   val oracles: Map[String, String] = Map(
+    "a12_percentiles" ->
+      """WITH r AS (
+           SELECT l_returnflag, l_quantity,
+                  row_number() OVER (PARTITION BY l_returnflag ORDER BY l_quantity) AS rn,
+                  count(*) OVER (PARTITION BY l_returnflag) AS n
+           FROM lineitem)
+         SELECT l_returnflag, CAST(max(n) AS BIGINT) AS n,
+                CAST(max(CASE WHEN rn = (n + 1) // 2 THEN l_quantity END) AS BIGINT) AS p50_qty,
+                CAST(max(CASE WHEN rn = (9 * n + 9) // 10 THEN l_quantity END) AS BIGINT) AS p90_qty
+         FROM r GROUP BY l_returnflag""",
     "a1_count" ->
       "SELECT CAST(count(*) AS BIGINT) AS cnt FROM lineitem",
     "a2_null_counts" ->

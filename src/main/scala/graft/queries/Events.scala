@@ -81,10 +81,36 @@ object Events extends QueryModule {
       .select(col("user_id"), col("bucket"), col("event_id").as("first_event_id"), col("event_type"))
   }
 
+  /** E4 — per-user rolling 1-hour aggregate (event-time RANGE frame): for
+    * every event, the count and cent-sum of that user's events in the
+    * preceding hour. The range frame is resolved inside the per-user sort —
+    * one shuffle on user_id, no self-join (the naive formulation is an
+    * O(n²/user) interval self-join). Cents (integer) rather than a float
+    * sum, so the running total is merge-order-independent.
+    */
+  private def e4_rolling_window(s: SparkSession, d: String): DataFrame = {
+    val HourUs = 3600L * 1000000L
+    val w = Window
+      .partitionBy(col("user_id"))
+      .orderBy(col("us"))
+      .rangeBetween(-HourUs, 0)
+    table(s, d, "events")
+      .select(
+        col("event_id"),
+        col("user_id"),
+        us.as("us"),
+        round(col("value") * 100, 0).cast("long").as("cents")
+      )
+      .withColumn("n_1h", count(lit(1)).over(w))
+      .withColumn("sum_cents_1h", sum(col("cents")).over(w))
+      .select(col("event_id"), col("user_id"), col("us"), col("n_1h"), col("sum_cents_1h"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "e1_event_window" -> (e1_event_window _),
     "e2_sessionize" -> (e2_sessionize _),
-    "e3_debounce" -> (e3_debounce _)
+    "e3_debounce" -> (e3_debounce _),
+    "e4_rolling_window" -> (e4_rolling_window _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -110,6 +136,16 @@ object Events extends QueryModule {
          r AS (SELECT *, row_number() OVER (PARTITION BY user_id, bucket
                          ORDER BY us, event_id) AS rn FROM b)
          SELECT user_id, bucket, event_id AS first_event_id, event_type
-         FROM r WHERE rn = 1"""
+         FROM r WHERE rn = 1""",
+    "e4_rolling_window" ->
+      """WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS us,
+                           CAST(round(value * 100, 0) AS BIGINT) AS cents
+                    FROM events)
+         SELECT event_id, user_id, us,
+                CAST(count(*) OVER w AS BIGINT) AS n_1h,
+                CAST(sum(cents) OVER w AS BIGINT) AS sum_cents_1h
+         FROM e
+         WINDOW w AS (PARTITION BY user_id ORDER BY us
+                      RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)"""
   )
 }

@@ -214,7 +214,38 @@ object TextAnalysis extends QueryModule {
       )
   }
 
+  /** X9 — top-3 distinguishing terms per document by TF-IDF, composing X7's
+    * document-frequency table. The idf is the LINEAR variant N/df (declared:
+    * `ln` mixes libm implementations across engines and a floored log score
+    * can flip at an ulp boundary; `score = (10⁶·tf·N) div df` is pure
+    * integer arithmetic, monotone in tf·(N/df), and bit-identical
+    * everywhere). Shape: two grouped counts (map-side partial), a join on
+    * the term, one per-doc top-k window (WindowGroupLimit pushes the rank
+    * map-side). N arrives via a broadcast single-row aggregate — no driver
+    * action.
+    */
+  private def x9_tfidf_topk(s: SparkSession, d: String): DataFrame = {
+    val tf = table(s, d, "documents")
+      .select(col("doc_id"), explode(words(col("text"))).as("term"))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    // tf rows are distinct (doc, term) pairs, so counting them per term IS
+    // the document frequency — no second pass over the corpus
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val n  = table(s, d, "documents").agg(count(lit(1)).as("n_docs"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id"))
+      .orderBy(col("score_q").desc, col("term").asc)
+    tf.join(df, "term")
+      .crossJoin(broadcast(n))
+      .withColumn("score_q", expr("(1000000 * tf * n_docs) div df"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 3)
+      .select(col("doc_id"), col("term"), col("score_q"), col("rank"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x9_tfidf_topk" -> (x9_tfidf_topk _),
     "x1_lang_id" -> (x1_lang_id _),
     "x2_quality_score" -> (x2_quality_score _),
     "x3_token_count" -> (x3_token_count _),
@@ -314,6 +345,21 @@ object TextAnalysis extends QueryModule {
                 CAST((10000 * n_distinct) // n_words AS BIGINT) AS distinct_frac_q,
                 CAST((10000 * top_w) // n_words AS BIGINT) AS top_word_frac_q,
                 CAST((10000 * top_b) // n_bigrams AS BIGINT) AS top_bigram_frac_q
-         FROM ws JOIN bs ON ws.doc_id = bs.doc_id"""
+         FROM ws JOIN bs ON ws.doc_id = bs.doc_id""",
+    "x9_tfidf_topk" ->
+      """WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+         tf AS (SELECT doc_id, term, count(*) AS tf FROM w GROUP BY 1, 2),
+         df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+         n AS (SELECT count(*) AS n_docs FROM documents),
+         s AS (SELECT tf.doc_id, tf.term,
+                      (1000000 * tf.tf * n.n_docs) // df.df AS score_q
+               FROM tf JOIN df ON tf.term = df.term CROSS JOIN n),
+         r AS (SELECT doc_id, term, score_q,
+                      row_number() OVER (PARTITION BY doc_id
+                                         ORDER BY score_q DESC, term) AS rank
+               FROM s)
+         SELECT doc_id, term, CAST(score_q AS BIGINT) AS score_q,
+                CAST(rank AS BIGINT) AS rank
+         FROM r WHERE rank <= 3"""
   )
 }
