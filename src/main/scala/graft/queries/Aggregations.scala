@@ -166,8 +166,46 @@ object Aggregations extends QueryModule {
       )
   }
 
+  /** A13 — ROLLUP with grouping id: per-(flag, status) stats plus the
+    * per-flag and grand-total superaggregates in ONE pass (Spark expands
+    * grouping sets inside a single Exchange — three separate groupBys would
+    * shuffle three times). `gid` bit i set = column i rolled up; the oracle
+    * derives the same id from the output NULLs, valid because neither
+    * column is nullable in the data. sum_qty is integral doubles — exact in
+    * fp64, cast to long.
+    */
+  private def a13_rollup(s: SparkSession, d: String): DataFrame =
+    table(s, d, "lineitem")
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        grouping_id().cast("long").as("gid"),
+        count(lit(1)).as("n"),
+        sum(col("l_quantity")).cast("long").as("sum_qty")
+      )
+
+  /** A14 (pivot) — event counts per user cohort pivoted to one column per
+    * event type. The value list is EXPLICIT: without it Spark runs an extra
+    * distinct-collect job to discover values, and the output schema becomes
+    * data-dependent — both wrong at scale. Absent combinations are
+    * coalesced to 0 so the frame is dense like the oracle's conditional
+    * aggregation.
+    */
+  private def a14_pivot(s: SparkSession, d: String): DataFrame = {
+    val types = Seq("click", "error", "purchase", "signup", "view")
+    table(s, d, "events")
+      .select((col("user_id") % 10).as("cohort"), col("event_type"))
+      .groupBy(col("cohort"))
+      .pivot("event_type", types)
+      .agg(count(lit(1)))
+      .select(
+        col("cohort") +: types.map(t => coalesce(col(t), lit(0L)).as(s"n_$t")): _*
+      )
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "a12_percentiles" -> (a12_percentiles _),
+    "a13_rollup" -> (a13_rollup _),
+    "a14_pivot" -> (a14_pivot _),
     "a1_count" -> (a1_count _),
     "a2_null_counts" -> (a2_null_counts _),
     "a3_dup_rows" -> (a3_dup_rows _),
@@ -192,6 +230,21 @@ object Aggregations extends QueryModule {
                 CAST(max(CASE WHEN rn = (n + 1) // 2 THEN l_quantity END) AS BIGINT) AS p50_qty,
                 CAST(max(CASE WHEN rn = (9 * n + 9) // 10 THEN l_quantity END) AS BIGINT) AS p90_qty
          FROM r GROUP BY l_returnflag""",
+    "a13_rollup" ->
+      """SELECT l_returnflag, l_linestatus,
+                CAST(CASE WHEN l_returnflag IS NULL THEN 2 ELSE 0 END
+                   + CASE WHEN l_linestatus IS NULL THEN 1 ELSE 0 END AS BIGINT) AS gid,
+                CAST(count(*) AS BIGINT) AS n,
+                CAST(sum(l_quantity) AS BIGINT) AS sum_qty
+         FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""",
+    "a14_pivot" ->
+      """SELECT user_id % 10 AS cohort,
+                CAST(count(CASE WHEN event_type = 'click' THEN 1 END) AS BIGINT) AS n_click,
+                CAST(count(CASE WHEN event_type = 'error' THEN 1 END) AS BIGINT) AS n_error,
+                CAST(count(CASE WHEN event_type = 'purchase' THEN 1 END) AS BIGINT) AS n_purchase,
+                CAST(count(CASE WHEN event_type = 'signup' THEN 1 END) AS BIGINT) AS n_signup,
+                CAST(count(CASE WHEN event_type = 'view' THEN 1 END) AS BIGINT) AS n_view
+         FROM events GROUP BY 1""",
     "a1_count" ->
       "SELECT CAST(count(*) AS BIGINT) AS cnt FROM lineitem",
     "a2_null_counts" ->

@@ -106,11 +106,42 @@ object Events extends QueryModule {
       .select(col("event_id"), col("user_id"), col("us"), col("n_1h"), col("sum_cents_1h"))
   }
 
+  /** E5 — conversion funnel: per user, first signup → first purchase
+    * at-or-after it, converted = within 7 days. Two keyed aggregates and
+    * one join, all hash-partitioned on user_id (AQE reuses the
+    * partitioning) — no per-user event-list collection, no window over the
+    * full event stream. The left join keeps never-converting users visible
+    * (silently dropping them would bias any funnel metric downstream).
+    */
+  private def e5_funnel(s: SparkSession, d: String): DataFrame = {
+    val WeekUs = 7L * 24 * 3600 * 1000000L
+    val e = table(s, d, "events").select(col("user_id"), us.as("us"), col("event_type"))
+    val signups = e
+      .filter(col("event_type") === "signup")
+      .groupBy(col("user_id"))
+      .agg(min(col("us")).as("s_us"))
+    val purchases = e
+      .filter(col("event_type") === "purchase")
+      .join(signups, "user_id")
+      .filter(col("us") >= col("s_us"))
+      .groupBy(col("user_id"))
+      .agg(min(col("us")).as("p_us"))
+    signups
+      .join(purchases, Seq("user_id"), "left")
+      .select(
+        col("user_id"),
+        col("s_us"),
+        col("p_us"),
+        coalesce(col("p_us") - col("s_us") <= WeekUs, lit(false)).as("converted")
+      )
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "e1_event_window" -> (e1_event_window _),
     "e2_sessionize" -> (e2_sessionize _),
     "e3_debounce" -> (e3_debounce _),
-    "e4_rolling_window" -> (e4_rolling_window _)
+    "e4_rolling_window" -> (e4_rolling_window _),
+    "e5_funnel" -> (e5_funnel _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -146,6 +177,16 @@ object Events extends QueryModule {
                 CAST(sum(cents) OVER w AS BIGINT) AS sum_cents_1h
          FROM e
          WINDOW w AS (PARTITION BY user_id ORDER BY us
-                      RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)"""
+                      RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)""",
+    "e5_funnel" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS us, event_type FROM events),
+         s AS (SELECT user_id, min(us) AS s_us FROM e
+               WHERE event_type = 'signup' GROUP BY 1),
+         p AS (SELECT e.user_id, min(e.us) AS p_us
+               FROM e JOIN s ON e.user_id = s.user_id
+               WHERE e.event_type = 'purchase' AND e.us >= s.s_us GROUP BY 1)
+         SELECT s.user_id, s.s_us, p.p_us,
+                coalesce(p.p_us - s.s_us <= 604800000000, false) AS converted
+         FROM s LEFT JOIN p ON s.user_id = p.user_id"""
   )
 }

@@ -224,6 +224,36 @@ object GraphQueries extends QueryModule {
       )
   }
 
+  /** G6 — triangle count over the supplier co-supply graph (suppliers
+    * sharing a part, projected from the bipartite SUPPLIES relation).
+    * Edges are ORIENTED low-id → high-id before the join chain, so every
+    * triangle is counted exactly once and the wedge join never expands a
+    * vertex's full neighborhood in both directions — the standard
+    * distributed-triangle trick (at real scale the orientation would be by
+    * degree, which bounds wedge fan-out by the arboricity instead of the
+    * max degree). The co-supply edge table is lineage-truncated once and
+    * reused by all three join legs.
+    */
+  private def g6_triangles(s: SparkSession, d: String): DataFrame = {
+    val sp = table(s, d, "lineitem")
+      .filter(col("l_linenumber") === 1)
+      .select(col("l_suppkey").as("sk"), col("l_partkey").as("p"))
+      .distinct()
+    val e = graft.Lineage.truncate(
+      sp.select(col("sk").as("a"), col("p"))
+        .join(sp.select(col("sk").as("b"), col("p")), "p")
+        .filter(col("a") < col("b"))
+        .select(col("a"), col("b"))
+        .distinct()
+    )
+    e.join(e.select(col("a").as("b2"), col("b").as("c")), col("b") === col("b2"))
+      .join(
+        e.select(col("a").as("a3"), col("b").as("c3")),
+        col("a") === col("a3") && col("c") === col("c3")
+      )
+      .agg(count(lit(1)).as("n_triangles"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "g0_node_table" -> (g0_node_table _),
     "g1_edge_validity" -> (g1_edge_validity _),
@@ -232,7 +262,8 @@ object GraphQueries extends QueryModule {
     "g2b_label_propagation" -> (g2b_label_propagation _),
     "g2c_community_hierarchy" -> (g2c_community_hierarchy _),
     "g4_summary_stub" -> (g4_summary_stub _),
-    "g5_prompt_construction" -> (g5_prompt_construction _)
+    "g5_prompt_construction" -> (g5_prompt_construction _),
+    "g6_triangles" -> (g6_triangles _)
   )
 
   private val validEdgesSql =
@@ -356,6 +387,15 @@ object GraphQueries extends QueryModule {
                 'Part' AS node_type, p_name AS name FROM part""",
     "g1_edge_validity" ->
       s"$validEdgesSql SELECT dst, src, rel FROM valid",
+    "g6_triangles" ->
+      """WITH sp AS (SELECT DISTINCT l_suppkey AS s, l_partkey AS p
+                     FROM lineitem WHERE l_linenumber = 1),
+         e AS (SELECT DISTINCT a.s AS a, b.s AS b
+               FROM sp a JOIN sp b ON a.p = b.p AND a.s < b.s)
+         SELECT CAST(count(*) AS BIGINT) AS n_triangles
+         FROM e e1
+         JOIN e e2 ON e1.b = e2.a
+         JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b""",
     "g1b_degree_stats" ->
       s"""$validEdgesSql,
           deg AS (

@@ -81,9 +81,39 @@ object TemporalQueries extends QueryModule {
       )
   }
 
+  /** H1 — SCD2 history build: compress each customer's order-priority
+    * timeline into validity intervals (state, valid_from, valid_to-open).
+    * Change detection (lag) and interval close (lead over the survivors)
+    * are two window passes over the SAME user partitioning — one shuffle
+    * total. Ties on the date break by order key, so the history is
+    * deterministic. The classic warehouse dimension-history operator.
+    */
+  private def h1_scd2_history(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("o_custkey")).orderBy(col("dt"), col("o_orderkey"))
+    val changes = table(s, d, "orders")
+      .select(
+        col("o_custkey"),
+        col("o_orderpriority").as("state"),
+        col("o_orderdate").as("dt"),
+        col("o_orderkey")
+      )
+      .withColumn("prev", lag(col("state"), 1).over(w))
+      .filter(col("prev").isNull || col("prev") =!= col("state"))
+    changes
+      .withColumn("vto", lead(col("dt"), 1).over(w))
+      .select(
+        col("o_custkey"),
+        col("state"),
+        date_format(col("dt"), "yyyy-MM-dd").as("valid_from"),
+        date_format(col("vto"), "yyyy-MM-dd").as("valid_to")
+      )
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "j12_asof_join" -> (j12_asof_join _),
-    "j13_range_join" -> (j13_range_join _)
+    "j13_range_join" -> (j13_range_join _),
+    "h1_scd2_history" -> (h1_scd2_history _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -102,6 +132,20 @@ object TemporalQueries extends QueryModule {
                FROM e WHERE event_type = 'error' AND value > 198)
          SELECT w.incident_id, e.event_id, e.user_id,
                 CAST((e.us - w.ws) // 1000000 AS BIGINT) AS offset_sec
-         FROM w JOIN e ON e.us >= w.ws AND e.us <= w.we AND e.event_id <> w.incident_id"""
+         FROM w JOIN e ON e.us >= w.ws AND e.us <= w.we AND e.event_id <> w.incident_id""",
+    "h1_scd2_history" ->
+      """WITH o AS (SELECT o_custkey, o_orderpriority AS state, o_orderdate AS dt, o_orderkey,
+                           lag(o_orderpriority) OVER (PARTITION BY o_custkey
+                               ORDER BY o_orderdate, o_orderkey) AS prev
+                    FROM orders),
+         ch AS (SELECT o_custkey, state, dt, o_orderkey FROM o
+                WHERE prev IS NULL OR prev <> state),
+         v AS (SELECT o_custkey, state, dt,
+                      lead(dt) OVER (PARTITION BY o_custkey ORDER BY dt, o_orderkey) AS vto
+               FROM ch)
+         SELECT o_custkey, state,
+                strftime(dt, '%Y-%m-%d') AS valid_from,
+                strftime(vto, '%Y-%m-%d') AS valid_to
+         FROM v"""
   )
 }
