@@ -73,10 +73,62 @@ object Multimodal extends QueryModule {
           .as("frame_id")
       )
 
+  /** M4 — modality dispatch: route rows by the magic-byte sniff into
+    * per-modality feature branches (image → width/height arithmetic,
+    * audio → sample-rate/duration arithmetic, unknown → quarantined with
+    * null features), then union back to ONE standardized feature schema.
+    * This is the fan-out/fan-in shape a mixed-modality corpus needs when
+    * each modality has its own decode pipeline (each branch would carry its
+    * own mapPartitions decoder at production scale — m2 demonstrates that
+    * construct; here the branch features stay SQL-expressible for full
+    * oracle parity). Each branch's filter pushes to its scan, branches are
+    * narrow, and the union is a zero-shuffle concatenation. Quarantined
+    * rows are KEPT (status column), not dropped — silent row loss in a
+    * dispatch is the classic multimodal-pipeline bug.
+    */
+  private def m4_modality_dispatch(s: SparkSession, d: String): DataFrame = {
+    val base = table(s, d, "documents")
+      .select(
+        col("doc_id"),
+        col("text"),
+        when(substring(col("text"), 1, 4) === "key ", lit("image"))
+          .when(substring(col("text"), 1, 4) === "the ", lit("audio"))
+          .otherwise(lit("unknown"))
+          .as("modality")
+      )
+      .withColumn("h", conv(substring(md5(col("text")), 1, 6), 16, 10).cast("long"))
+    val image = base
+      .filter(col("modality") === "image")
+      .select(
+        col("doc_id"), col("modality"),
+        (lit(160) + col("h") % 480).as("feat_a"),
+        (lit(90) + expr("h div 7") % 270).as("feat_b"),
+        lit("ok").as("status")
+      )
+    val audio = base
+      .filter(col("modality") === "audio")
+      .select(
+        col("doc_id"), col("modality"),
+        (lit(8000) + col("h") % 40000).as("feat_a"),
+        (lit(1) + expr("h div 13") % 600).as("feat_b"),
+        lit("ok").as("status")
+      )
+    val unknown = base
+      .filter(col("modality") === "unknown")
+      .select(
+        col("doc_id"), col("modality"),
+        lit(null).cast("long").as("feat_a"),
+        lit(null).cast("long").as("feat_b"),
+        lit("quarantined").as("status")
+      )
+    image.unionByName(audio).unionByName(unknown)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "m1_binary_meta" -> (m1_binary_meta _),
     "m2_feature_extract" -> (m2_feature_extract _),
-    "m3_frame_sample" -> (m3_frame_sample _)
+    "m3_frame_sample" -> (m3_frame_sample _),
+    "m4_modality_dispatch" -> (m4_modality_dispatch _)
   )
 
   /** The stub decoder's md5 arithmetic, regenerated in DuckDB. */
@@ -105,6 +157,30 @@ object Multimodal extends QueryModule {
       s"""WITH $decodeSql
           SELECT doc_id, frame_idx,
                  CAST(doc_id AS VARCHAR) || '_f' || CAST(frame_idx AS VARCHAR) AS frame_id
-          FROM (SELECT doc_id, unnest(range(0, n_frames, 10)) AS frame_idx FROM decoded)"""
+          FROM (SELECT doc_id, unnest(range(0, n_frames, 10)) AS frame_idx FROM decoded)""",
+    "m4_modality_dispatch" ->
+      """WITH base AS (
+           SELECT doc_id,
+                  CASE WHEN substr(text, 1, 4) = 'key ' THEN 'image'
+                       WHEN substr(text, 1, 4) = 'the ' THEN 'audio'
+                       ELSE 'unknown' END AS modality,
+                  ('0x' || substr(md5(text), 1, 6))::BIGINT AS h
+           FROM documents)
+         SELECT doc_id, modality,
+                CAST(160 + h % 480 AS BIGINT) AS feat_a,
+                CAST(90 + (h // 7) % 270 AS BIGINT) AS feat_b,
+                'ok' AS status
+         FROM base WHERE modality = 'image'
+         UNION ALL
+         SELECT doc_id, modality,
+                CAST(8000 + h % 40000 AS BIGINT) AS feat_a,
+                CAST(1 + (h // 13) % 600 AS BIGINT) AS feat_b,
+                'ok' AS status
+         FROM base WHERE modality = 'audio'
+         UNION ALL
+         SELECT doc_id, modality,
+                CAST(NULL AS BIGINT) AS feat_a, CAST(NULL AS BIGINT) AS feat_b,
+                'quarantined' AS status
+         FROM base WHERE modality = 'unknown'"""
   )
 }

@@ -214,6 +214,31 @@ class StreamOpsSpec extends AnyFunSuite with SparkTestBase {
     } finally q.stop()
   }
 
+  test("windowedCounts over a parquet file-source stream matches the batch result") {
+    import org.apache.spark.sql.functions._
+    val dir = s"${sys.props("java.io.tmpdir")}/graft_io/stream_file_src"
+    val batchDf = Engine
+      .table(spark, "/root/testdata/sf0.001", "events")
+      .withColumn("t", timestamp_micros(expr("ts div 1000")))
+      .select("t", "event_type", "value")
+    batchDf.write.mode("overwrite").parquet(dir)
+    val q = StreamOps
+      .windowedCounts(spark.readStream.schema(batchDf.schema).parquet(dir))
+      .writeStream
+      .format("memory")
+      .queryName("fsrc")
+      .outputMode(OutputMode.Complete())
+      .start()
+    try {
+      q.processAllAvailable()
+      def key(r: org.apache.spark.sql.Row) =
+        (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3))
+      val got  = spark.table("fsrc").collect().map(key).toSet
+      val want = StreamOps.windowedCounts(batchDf).collect().map(key).toSet
+      assert(got == want && got.nonEmpty)
+    } finally q.stop()
+  }
+
   test("Sessionizer folds out-of-order events without shrinking durations") {
     import spark.implicits._
     val gapUs = 3600L * 1000000
