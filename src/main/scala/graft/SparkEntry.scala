@@ -36,13 +36,24 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     Aggregations.a7_grouped_topk_freq(spark, "/root/testdata/sf0.001")
 
+  /** Guard against silent last-wins collisions: `flatMap(...).toMap` keeps
+    * only the final entry for a duplicated key, turning an accidental copy
+    * of a query name (within or across modules) into dead code with no
+    * warning. Fail loudly instead.
+    */
+  private def uniqueToMap[V](pairs: Seq[(String, V)], what: String): Map[String, V] = {
+    val dups = pairs.groupBy(_._1).collect { case (k, vs) if vs.size > 1 => k }
+    require(dups.isEmpty, s"duplicate $what keys: ${dups.mkString(", ")}")
+    pairs.toMap
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    modules.flatMap(_.queries).toMap
+    uniqueToMap(modules.flatMap(_.queries), "query")
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
     */
   def oracleSql: Map[String, String] =
-    modules.flatMap(_.oracles).toMap
+    uniqueToMap(modules.flatMap(_.oracles), "oracle")
 }

@@ -101,6 +101,67 @@ private[functions] object Shingles {
   }
 }
 
+/** `graft_word_ngrams(text, n)` — word n-grams IN ORDER, WITH duplicates:
+  * the multiset counterpart of [[WordShingles]] for occurrence-counting
+  * consumers (x8's repetition fractions need per-gram counts, so the
+  * dedup'd builders can't serve them). Word split = every single space, as
+  * [[WordShingles]]; gram i = words[i..i+n-1] joined by one space for
+  * i in 0..#words-n — FULL windows only, so a text with fewer than n words
+  * yields an EMPTY array (matching DuckDB's `range(1, len(a))` bigram
+  * formulation, where a 1-word doc contributes no rows).
+  */
+case class WordNgrams(left: Expression, right: Expression)
+    extends BinaryExpression
+    with ImplicitCastInputTypes {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def inputTypes: Seq[DataType] = Seq(StringType, IntegerType)
+  override def prettyName: String = "graft_word_ngrams"
+
+  override protected def nullSafeEval(t: Any, n: Any): Any =
+    WordNgrams.compute(t.asInstanceOf[UTF8String], n.asInstanceOf[Int])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (t, n) => s"graft.functions.WordNgrams.compute($t, $n)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression,
+      newRight: Expression
+  ): WordNgrams = copy(left = newLeft, right = newRight)
+}
+
+object WordNgrams {
+
+  /** Static entry point shared by interpreted + codegen paths. Same
+    * byte-walk word indexing as [[WordShingles.compute]], but keeps
+    * duplicates, preserves document order, and emits full windows only.
+    */
+  def compute(text: UTF8String, n: Int): ArrayData = {
+    val bytes  = text.getBytes
+    val starts = new java.util.ArrayList[Integer]()
+    starts.add(0)
+    var i = 0
+    while (i < bytes.length) {
+      if (bytes(i) == ' '.toByte) starts.add(i + 1)
+      i += 1
+    }
+    val nWords = starts.size()
+    val count  = math.max(nWords - n + 1, 0)
+    val out    = new Array[AnyRef](count)
+    var w      = 0
+    while (w < count) {
+      val from = starts.get(w)
+      val endW = w + n
+      val until =
+        if (endW == nWords) bytes.length
+        else starts.get(endW) - 1 // drop the trailing separator space
+      out(w) = UTF8String.fromBytes(java.util.Arrays.copyOfRange(bytes, from, until))
+      w += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
 /** `graft_char_ngrams(text, n)` — sorted distinct character n-grams,
   * counted in CODE POINTS (the unit Spark's `substr` and DuckDB's `substr`
   * agree on): gram i = chars[i..i+n-1] clamped to the end, for i in

@@ -49,6 +49,64 @@ object GraphOps {
       .groupBy("id")
       .agg(count(lit(1)).as("degree"))
 
+  /** Modularity components of a vertex partition over an undirected graph —
+    * the quality measure the reference optimizes via seeded Leiden
+    * (utils/neo4j_helpers.py:237-268, leidenalg's default objective) and the
+    * quality bar SURVEY §7.4 declares for this rebuild's deterministic LPA
+    * substitution ("modularity within ε").
+    *
+    * Newman modularity Q = Σ_c [ L_c/m − (d_c/2m)² ] for undirected graphs,
+    * kept in PURE INTEGER components so the value is bit-identical across
+    * engines (the x9 playbook): with num = 4·m·Σ L_c − Σ d_c², Q = num/(4m²).
+    *
+    * Input: `und` = canonical undirected edge list (a, b) with a < b,
+    * distinct; `labels` = (id, lbl) partition. Shape: one equi-join pair to
+    * label endpoints, one degree aggregate, one per-community sum — every
+    * step key-partitioned, the three scalar aggregates combined by
+    * broadcast; no driver loop, holds at any graph size.
+    */
+  def modularityComponents(und: DataFrame, labels: DataFrame): DataFrame = {
+    val la = labels.select(col("id").as("a"), col("lbl").as("la"))
+    val lb = labels.select(col("id").as("b"), col("lbl").as("lb"))
+    val mRow = und.agg(count(lit(1)).as("n_edges"))
+    val intraRow = und
+      .join(la, "a")
+      .join(lb, "b")
+      .filter(col("la") === col("lb"))
+      .agg(count(lit(1)).as("intra_edges"))
+    val deg = und
+      .select(col("a").as("id"))
+      .unionAll(und.select(col("b").as("id")))
+      .groupBy("id")
+      .agg(count(lit(1)).as("deg"))
+    val sumD2Row = deg
+      .join(labels, "id")
+      .groupBy(col("lbl"))
+      .agg(sum(col("deg")).as("dsum"))
+      .agg(sum(col("dsum") * col("dsum")).as("sum_comm_deg_sq"))
+    mRow
+      .crossJoin(broadcast(intraRow))
+      .crossJoin(broadcast(sumD2Row))
+      .select(
+        col("n_edges"),
+        col("intra_edges"),
+        col("sum_comm_deg_sq"),
+        (lit(4) * col("n_edges") * col("intra_edges") - col("sum_comm_deg_sq"))
+          .as("modularity_num")
+      )
+  }
+
+  /** Scalar modularity Q ∈ [−0.5, 1] of a partition — the spec-floor form
+    * (one collected aggregate row; the distributed components are
+    * [[modularityComponents]]).
+    */
+  def modularity(und: DataFrame, labels: DataFrame): Double = {
+    val r  = modularityComponents(und, labels).head()
+    val m  = r.getAs[Long]("n_edges").toDouble
+    val nm = r.getAs[Long]("modularity_num").toDouble
+    if (m == 0) 0.0 else nm / (4.0 * m * m)
+  }
+
   /** Synchronous label propagation (fixed iteration count, fully
     * deterministic): label₀(v) = v; each pass every vertex adopts the most
     * frequent label among its neighbors, ties broken by the smallest label;

@@ -226,25 +226,50 @@ object GraphQueries extends QueryModule {
 
   /** G6 — triangle count over the supplier co-supply graph (suppliers
     * sharing a part, projected from the bipartite SUPPLIES relation).
-    * Edges are ORIENTED low-id → high-id before the join chain, so every
-    * triangle is counted exactly once and the wedge join never expands a
-    * vertex's full neighborhood in both directions — the standard
-    * distributed-triangle trick (at real scale the orientation would be by
-    * degree, which bounds wedge fan-out by the arboricity instead of the
-    * max degree). The co-supply edge table is lineage-truncated once and
-    * reused by all three join legs.
+    * Edges are ORIENTED by the total order (degree, id): every edge points
+    * from the lower-(degree, id) endpoint to the higher, so each triangle
+    * {x≺y≺z} is counted exactly once via x→y, y→z, x→z — and, unlike the
+    * round-5 low-id orientation, out-degree is bounded by O(√m) (arboricity
+    * bound): a high-degree hub that happens to hold a small id can no
+    * longer keep all its edges outgoing and dominate the wedge leg at
+    * scale. One extra aggregate + join (the degree table) buys that bound.
+    * The oriented edge table is lineage-truncated once and reused by all
+    * three join legs; the triangle COUNT is orientation-invariant, so the
+    * oracle is unchanged from round 5.
     */
-  private def g6_triangles(s: SparkSession, d: String): DataFrame = {
+  /** The supplier co-supply projection shared by g6/g7: distinct (supplier,
+    * part) pairs from first-line lineitems, then canonical undirected
+    * supplier pairs (a < b) for suppliers sharing a part.
+    */
+  private def coSupplyUndirected(s: SparkSession, d: String): DataFrame = {
     val sp = table(s, d, "lineitem")
       .filter(col("l_linenumber") === 1)
       .select(col("l_suppkey").as("sk"), col("l_partkey").as("p"))
       .distinct()
+    sp.select(col("sk").as("a"), col("p"))
+      .join(sp.select(col("sk").as("b"), col("p")), "p")
+      .filter(col("a") < col("b"))
+      .select(col("a"), col("b"))
+      .distinct()
+  }
+
+  private def g6_triangles(s: SparkSession, d: String): DataFrame = {
+    // undirected edge set, canonical a < b
+    val und = coSupplyUndirected(s, d)
+    val deg = und.select(col("a").as("v"))
+      .unionAll(und.select(col("b").as("v")))
+      .groupBy("v")
+      .agg(count(lit(1)).as("deg"))
+    val aFirst = // a ≺ b in the (degree, id) order? (und is canonical a < b, so id breaks ties)
+      col("da") < col("db") || (col("da") === col("db"))
     val e = graft.Lineage.truncate(
-      sp.select(col("sk").as("a"), col("p"))
-        .join(sp.select(col("sk").as("b"), col("p")), "p")
-        .filter(col("a") < col("b"))
-        .select(col("a"), col("b"))
-        .distinct()
+      und
+        .join(deg.select(col("v").as("a"), col("deg").as("da")), "a")
+        .join(deg.select(col("v").as("b"), col("deg").as("db")), "b")
+        .select(
+          when(aFirst, col("a")).otherwise(col("b")).as("a"),
+          when(aFirst, col("b")).otherwise(col("a")).as("b")
+        )
     )
     e.join(e.select(col("a").as("b2"), col("b").as("c")), col("b") === col("b2"))
       .join(
@@ -252,6 +277,38 @@ object GraphQueries extends QueryModule {
         col("a") === col("a3") && col("c") === col("c3")
       )
       .agg(count(lit(1)).as("n_triangles"))
+  }
+
+  /** G7 — modularity of the detected partition: runs the SAME 3-pass sync
+    * LPA as g2b but over the co-supply graph, then scores the partition with
+    * Newman modularity in pure-integer components (Q = modularity_num/4m²;
+    * see [[graft.graph.GraphOps.modularityComponents]]). This implements
+    * SURVEY §7.4's declared quality bar ("modularity within ε") for the
+    * rebuild's deterministic substitution of the reference's seeded Leiden
+    * (utils/neo4j_helpers.py:237-268) — the oracle unrolls the identical
+    * LPA passes in SQL, so the SCORE of the partition, not just its labels,
+    * is cross-engine-verified. The quality floor itself (LPA vs planted
+    * structure) is asserted in GraphOpsSpec on a crafted graph.
+    */
+  private def g7_modularity(s: SparkSession, d: String): DataFrame = {
+    val und = graft.Lineage.truncate(coSupplyUndirected(s, d))
+    val verts = und
+      .select(col("a").as("id"))
+      .unionAll(und.select(col("b").as("id")))
+      .distinct()
+    val labels = GraphOps.labelPropagation(
+      verts,
+      und.select(col("a").as("src"), col("b").as("dst")),
+      3
+    )
+    GraphOps
+      .modularityComponents(und, labels)
+      .select(
+        col("n_edges").cast("long").as("n_edges"),
+        col("intra_edges").cast("long").as("intra_edges"),
+        col("sum_comm_deg_sq").cast("long").as("sum_comm_deg_sq"),
+        col("modularity_num").cast("long").as("modularity_num")
+      )
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -263,7 +320,8 @@ object GraphQueries extends QueryModule {
     "g2c_community_hierarchy" -> (g2c_community_hierarchy _),
     "g4_summary_stub" -> (g4_summary_stub _),
     "g5_prompt_construction" -> (g5_prompt_construction _),
-    "g6_triangles" -> (g6_triangles _)
+    "g6_triangles" -> (g6_triangles _),
+    "g7_modularity" -> (g7_modularity _)
   )
 
   private val validEdgesSql =
@@ -396,6 +454,32 @@ object GraphQueries extends QueryModule {
          FROM e e1
          JOIN e e2 ON e1.b = e2.a
          JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b""",
+    "g7_modularity" ->
+      s"""WITH sp AS (SELECT DISTINCT l_suppkey AS sk, l_partkey AS p
+                      FROM lineitem WHERE l_linenumber = 1),
+          und AS (SELECT DISTINCT x.sk AS a, y.sk AS b
+                  FROM sp x JOIN sp y ON x.p = y.p AND x.sk < y.sk),
+          cedges AS (SELECT a AS src, b AS dst FROM und
+                     UNION
+                     SELECT b AS src, a AS dst FROM und),
+          sl0 AS (SELECT DISTINCT v AS id, v AS lbl FROM (
+                    SELECT a AS v FROM und UNION ALL SELECT b AS v FROM und)),
+          ${lpaStepsSql("cedges", "s")},
+          deg AS (SELECT v, count(*) AS dg FROM (
+                    SELECT a AS v FROM und UNION ALL SELECT b AS v FROM und)
+                  GROUP BY v),
+          mm AS (SELECT count(*) AS m FROM und),
+          ii AS (SELECT count(*) AS intra
+                 FROM und u JOIN sl3 x ON x.id = u.a JOIN sl3 y ON y.id = u.b
+                 WHERE x.lbl = y.lbl),
+          dc AS (SELECT l.lbl, sum(d.dg) AS dsum
+                 FROM deg d JOIN sl3 l ON l.id = d.v GROUP BY l.lbl),
+          s2 AS (SELECT sum(dsum * dsum) AS sum_d2 FROM dc)
+          SELECT CAST(m AS BIGINT) AS n_edges,
+                 CAST(intra AS BIGINT) AS intra_edges,
+                 CAST(sum_d2 AS BIGINT) AS sum_comm_deg_sq,
+                 CAST(4 * m * intra - sum_d2 AS BIGINT) AS modularity_num
+          FROM mm, ii, s2""",
     "g1b_degree_stats" ->
       s"""$validEdgesSql,
           deg AS (

@@ -178,12 +178,15 @@ object TextAnalysis extends QueryModule {
     * between engines. Shape: two explode→groupBy aggregates (map-side
     * partial counts; the shuffle carries (doc_id, token) counts, not text)
     * joined on doc_id — both sides already hash-partitioned on doc_id, so
-    * AQE plans the join without a third shuffle.
+    * AQE plans the join without a third shuffle. Bigrams come from the
+    * native `graft_word_ngrams` (multiset, in-order) — the CodegenFallback
+    * `transform(sequence(...))` chain this replaced was the last of its
+    * kind in a hot path (r5 verdict #2).
     */
   private def x8_repetition(s: SparkSession, d: String): DataFrame = {
-    val docs = table(s, d, "documents").select(col("doc_id"), words(col("text")).as("a"))
+    val docs = table(s, d, "documents").select(col("doc_id"), col("text"))
     val wordStats = docs
-      .select(col("doc_id"), explode(col("a")).as("w"))
+      .select(col("doc_id"), explode(words(col("text"))).as("w"))
       .groupBy(col("doc_id"), col("w"))
       .agg(count(lit(1)).as("c"))
       .groupBy(col("doc_id"))
@@ -195,9 +198,7 @@ object TextAnalysis extends QueryModule {
     val bigramStats = docs
       .select(
         col("doc_id"),
-        explode(
-          expr("transform(sequence(1, size(a) - 1), i -> concat(element_at(a, i), ' ', element_at(a, i + 1)))")
-        ).as("b")
+        explode(call_function("graft_word_ngrams", col("text"), lit(2))).as("b")
       )
       .groupBy(col("doc_id"), col("b"))
       .agg(count(lit(1)).as("c"))

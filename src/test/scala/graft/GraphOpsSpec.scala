@@ -55,6 +55,56 @@ class GraphOpsSpec extends AnyFunSuite with SparkTestBase {
     assert(got == Set((1L, 100L)))
   }
 
+  /** Two 5-cliques bridged by one edge: canonical planted community
+    * structure. m = 21 (10 + 10 + 1 bridge); the planted partition has
+    * intra = 20, per-community degree sums 21 and 21, so
+    * Q = 20/21 − 2·(21/42)² = 0.4524. SURVEY §7.4's quality bar.
+    */
+  private def twoCliques(implicit s: org.apache.spark.sql.SparkSession) = {
+    import s.implicits._
+    def clique(ids: Seq[Long]) =
+      for { a <- ids; b <- ids if a < b } yield (a, b)
+    val und = (clique(1L to 5L) ++ clique(11L to 15L) :+ (5L, 11L)).toDF("a", "b")
+    val verts = ((1L to 5L) ++ (11L to 15L)).toDF("id")
+    (verts, und)
+  }
+
+  test("modularity: exact value on the planted two-clique partition") {
+    import spark.implicits._
+    val (_, und) = twoCliques(spark)
+    val planted = ((1L to 5L).map(_ -> 1L) ++ (11L to 15L).map(_ -> 11L)).toDF("id", "lbl")
+    val comp = GraphOps.modularityComponents(und, planted).head()
+    assert(comp.getAs[Long]("n_edges") == 21L)
+    assert(comp.getAs[Long]("intra_edges") == 20L)
+    assert(comp.getAs[Long]("sum_comm_deg_sq") == 21L * 21 + 21L * 21)
+    // Q = num / (4m²) = (4·21·20 − 882) / 1764 = 798/1764 ≈ 0.4524
+    assert(comp.getAs[Long]("modularity_num") == 798L)
+    val q = GraphOps.modularity(und, planted)
+    assert(math.abs(q - 798.0 / 1764.0) < 1e-12)
+  }
+
+  test("modularity quality floor: 3-pass LPA recovers planted two-clique structure") {
+    val (verts, und) = twoCliques(spark)
+    import org.apache.spark.sql.functions.col
+    val labels = GraphOps.labelPropagation(
+      verts,
+      und.select(col("a").as("src"), col("b").as("dst")),
+      3
+    )
+    val q = GraphOps.modularity(und, labels)
+    // planted-partition Q is 0.4524; the deterministic LPA substitution for
+    // the reference's seeded Leiden must land within ε of it (SURVEY §7.4)
+    assert(q >= 0.40, s"LPA modularity $q below the 0.40 quality floor (planted = 0.4524)")
+  }
+
+  test("modularity of the all-one-community partition is 0") {
+    import spark.implicits._
+    val (_, und) = twoCliques(spark)
+    val one = ((1L to 5L) ++ (11L to 15L)).map(_ -> 0L).toDF("id", "lbl")
+    // intra = m and Σd_c² = (2m)² cancel exactly: num = 4m² − 4m² = 0
+    assert(GraphOps.modularity(und, one) == 0.0)
+  }
+
   test("degrees counts both endpoints of every edge") {
     import spark.implicits._
     val edges = Seq((1L, 2L), (1L, 3L)).toDF("src", "dst")

@@ -67,6 +67,42 @@ class ShinglesSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("graft_word_ngrams keeps duplicates in document order, full windows only") {
+    import spark.implicits._
+    val rows = Seq(
+      "a b a b a",   // repeated bigrams must NOT dedup
+      "one two",
+      "solo",        // fewer words than n → empty
+      "",
+      "x  y"         // consecutive spaces yield an empty middle word
+    ).toDF("text")
+      .select(call_function("graft_word_ngrams", col("text"), lit(2)).as("g"))
+      .collect()
+      .map(_.getSeq[String](0))
+    assert(rows(0) == Seq("a b", "b a", "a b", "b a"))
+    assert(rows(1) == Seq("one two"))
+    assert(rows(2) == Seq.empty)
+    assert(rows(3) == Seq.empty)
+    assert(rows(4) == Seq("x ", " y"))
+  }
+
+  test("graft_word_ngrams matches the x8 transform/sequence bigram chain on multi-word text") {
+    import spark.implicits._
+    val multi = samples.filter(_.split(" ", -1).length >= 2)
+    val w = split(col("text"), " ")
+    val legacy = transform(
+      sequence(lit(1), size(w) - 1),
+      i => concat(element_at(w, i), lit(" "), element_at(w, i + 1))
+    )
+    val rows = multi.toDF("text")
+      .select(
+        call_function("graft_word_ngrams", col("text"), lit(2)).as("nat"),
+        legacy.as("leg")
+      )
+      .collect()
+    rows.foreach(r => assert(r.getSeq[String](0) == r.getSeq[String](1)))
+  }
+
   test("outputs are sorted — the SortedIntersectSize precondition") {
     import spark.implicits._
     val rows = samples.toDF("text")
