@@ -71,8 +71,55 @@ object TemporalJoins {
       .select(leftCols.map(col) ++ payload.map(col): _*)
   }
 
-  /** Interval join: all (interval, point) pairs with
-    * `start <= pointTs <= end`, via bin-key equi-join + residual predicate.
+  /** Forward as-of join: for each left row, attach the payload of the FIRST
+    * right row with the same key and `rightTs >= leftTs` (at-or-after; equal
+    * timestamps match) — the mirror of [[asofLast]], and the shape users
+    * reach for next ("attach the next state change / next action after this
+    * fact"). Left rows with no following right row keep null payload.
+    *
+    * Same plan class as [[asofLast]]: union both sides on the key, ONE
+    * shuffle, one ordered pass per key partition — here the window frame
+    * looks FORWARD (currentRow..unboundedFollowing, `first` ignoring nulls).
+    * Same preconditions: `right` unique per (key, ts); `leftId` breaks
+    * ordering ties among left rows sharing a timestamp.
+    */
+  def asofFirst(
+      left: DataFrame,
+      right: DataFrame,
+      key: String,
+      ts: String,
+      leftId: String,
+      payload: Seq[String]
+  ): DataFrame = {
+    val leftCols = left.columns.toSeq
+    val nulled   = payload.map(p => lit(null).cast(right.schema(p).dataType).as(p))
+    // side 0 = left, 1 = right: at equal ts the LEFT row sorts first, so the
+    // forward frame starting at currentRow still contains the same-ts right
+    // row — the at-or-after (>=) match semantic.
+    val taggedR = right.select(
+      Seq(col(key), col(ts), lit(1).as("graft_side"), lit(null).cast("long").as("graft_lid")) ++
+        payload.map(col) ++ leftCols.filterNot(Set(key, ts)).map(c => lit(null).cast(left.schema(c).dataType).as(c)): _*
+    )
+    val taggedL = left.select(
+      Seq(col(key), col(ts), lit(0).as("graft_side"), col(leftId).cast("long").as("graft_lid")) ++
+        nulled ++ leftCols.filterNot(Set(key, ts)).map(col): _*
+    )
+    val w = Window
+      .partitionBy(col(key))
+      .orderBy(col(ts), col("graft_side"), col("graft_lid"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val carried = payload.foldLeft(taggedL.unionByName(taggedR)) { (df, p) =>
+      df.withColumn(p, first(col(p), ignoreNulls = true).over(w))
+    }
+    carried
+      .filter(col("graft_side") === 0)
+      .select(leftCols.map(col) ++ payload.map(col): _*)
+  }
+
+  /** Interval join: all (interval, point) pairs with `start <= pointTs <=
+    * end` (or `< end` with `endExclusive` — the half-open convention
+    * windowing systems use, so back-to-back windows never double-count a
+    * boundary point), via bin-key equi-join + residual predicate.
     * `binWidth` is in the ts unit; pick it near the typical interval length
     * so each interval expands to O(1) bins.
     */
@@ -82,16 +129,29 @@ object TemporalJoins {
       pointTs: String,
       start: String,
       end: String,
-      binWidth: Long
+      binWidth: Long,
+      endExclusive: Boolean = false
   ): DataFrame = {
     val expanded = intervals.withColumn(
       "graft_bin",
-      explode(sequence(expr(s"$start div $binWidth"), expr(s"$end div $binWidth")))
+      // an exclusive end that lands exactly on a bin boundary contributes
+      // nothing to that bin — skip expanding the interval into it. greatest
+      // keeps the sequence ascending for degenerate empty intervals
+      // [s, s) (the residual predicate drops their rows regardless).
+      explode(
+        sequence(
+          expr(s"$start div $binWidth"),
+          if (endExclusive) expr(s"greatest($start div $binWidth, ($end - 1) div $binWidth)")
+          else expr(s"$end div $binWidth")
+        )
+      )
     )
+    val endPred =
+      if (endExclusive) col(pointTs) < col(end) else col(pointTs) <= col(end)
     points
       .withColumn("graft_bin", expr(s"$pointTs div $binWidth"))
       .join(expanded, "graft_bin")
-      .filter(col(pointTs) >= col(start) && col(pointTs) <= col(end))
+      .filter(col(pointTs) >= col(start) && endPred)
       .drop("graft_bin")
   }
 }

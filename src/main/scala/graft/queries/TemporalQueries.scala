@@ -81,6 +81,70 @@ object TemporalQueries extends QueryModule {
       )
   }
 
+  /** J14 — forward as-of join, the mirror of j12: every non-signup event is
+    * annotated with the NEXT signup at-or-after it for the same user (the
+    * "time to next conversion / next state change" pattern). Oracle:
+    * DuckDB's native ASOF LEFT JOIN with `<=`, its forward form — again an
+    * independent formulation of the same semantics.
+    */
+  private def j14_asof_forward(s: SparkSession, d: String): DataFrame = {
+    val e = table(s, d, "events")
+      .select(col("event_id"), col("user_id"), us.as("us"), col("event_type"), col("value"))
+    // right side unique per (user, ts): at equal ts keep the MIN event_id's
+    // row so "the first following signup" is well-defined
+    val signups = e
+      .filter(col("event_type") === "signup")
+      .groupBy(col("user_id"), col("us"))
+      .agg(
+        min(col("event_id")).as("next_event_id"),
+        expr("min_by(value, event_id)").as("next_val")
+      )
+    val facts = e
+      .filter(col("event_type") =!= "signup")
+      .select(col("event_id"), col("user_id"), col("us"))
+    TemporalJoins
+      .asofFirst(facts, signups, key = "user_id", ts = "us", leftId = "event_id",
+        payload = Seq("next_event_id", "next_val"))
+      .select(
+        col("event_id"),
+        col("user_id"),
+        col("us"),
+        col("next_event_id"),
+        round(col("next_val") * 100, 0).cast("long").as("next_value_cents")
+      )
+  }
+
+  /** J13b — j13's interval join with the HALF-OPEN window convention
+    * ([ws, we)): boundary events at exactly `we` fall out, so back-to-back
+    * incident windows can never double-count a point. Oracle: the same
+    * IEJoin with a strict upper bound.
+    */
+  private def j13b_range_join_exclusive(s: SparkSession, d: String): DataFrame = {
+    val e = table(s, d, "events")
+      .select(col("event_id"), col("user_id"), us.as("us"), col("event_type"), col("value"))
+    val incidents = e
+      .filter(col("event_type") === "error" && col("value") > 198)
+      .select(
+        col("event_id").as("incident_id"),
+        col("us").as("ws"),
+        (col("us") + lit(WindowUs)).as("we")
+      )
+    TemporalJoins
+      .rangeJoinBinned(
+        e.select(col("event_id"), col("user_id"), col("us")),
+        incidents,
+        pointTs = "us", start = "ws", end = "we", binWidth = WindowUs,
+        endExclusive = true
+      )
+      .filter(col("event_id") =!= col("incident_id"))
+      .select(
+        col("incident_id"),
+        col("event_id"),
+        col("user_id"),
+        expr("(us - ws) div 1000000").as("offset_sec")
+      )
+  }
+
   /** H1 — SCD2 history build: compress each customer's order-priority
     * timeline into validity intervals (state, valid_from, valid_to-open).
     * Change detection (lag) and interval close (lead over the survivors)
@@ -113,6 +177,8 @@ object TemporalQueries extends QueryModule {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "j12_asof_join" -> (j12_asof_join _),
     "j13_range_join" -> (j13_range_join _),
+    "j13b_range_join_exclusive" -> (j13b_range_join_exclusive _),
+    "j14_asof_forward" -> (j14_asof_forward _),
     "h1_scd2_history" -> (h1_scd2_history _)
   )
 
@@ -133,6 +199,22 @@ object TemporalQueries extends QueryModule {
          SELECT w.incident_id, e.event_id, e.user_id,
                 CAST((e.us - w.ws) // 1000000 AS BIGINT) AS offset_sec
          FROM w JOIN e ON e.us >= w.ws AND e.us <= w.we AND e.event_id <> w.incident_id""",
+    "j14_asof_forward" ->
+      """WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS us, event_type, value FROM events),
+         q AS (SELECT user_id, us, min(event_id) AS next_event_id,
+                      arg_min(value, event_id) AS next_val
+               FROM e WHERE event_type = 'signup' GROUP BY 1, 2),
+         t AS (SELECT event_id, user_id, us FROM e WHERE event_type <> 'signup')
+         SELECT t.event_id, t.user_id, t.us, q.next_event_id,
+                CAST(round(q.next_val * 100, 0) AS BIGINT) AS next_value_cents
+         FROM t ASOF LEFT JOIN q ON t.user_id = q.user_id AND t.us <= q.us""",
+    "j13b_range_join_exclusive" ->
+      """WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS us, event_type, value FROM events),
+         w AS (SELECT event_id AS incident_id, us AS ws, us + 600000000 AS we
+               FROM e WHERE event_type = 'error' AND value > 198)
+         SELECT w.incident_id, e.event_id, e.user_id,
+                CAST((e.us - w.ws) // 1000000 AS BIGINT) AS offset_sec
+         FROM w JOIN e ON e.us >= w.ws AND e.us < w.we AND e.event_id <> w.incident_id""",
     "h1_scd2_history" ->
       """WITH o AS (SELECT o_custkey, o_orderpriority AS state, o_orderdate AS dt, o_orderkey,
                            lag(o_orderpriority) OVER (PARTITION BY o_custkey

@@ -103,6 +103,62 @@ object StreamOps {
     ()
   }
 
+  /** Partition-pruned streaming upsert (the merge-shaped scale form of
+    * [[upsertSink]]): the collection at `path` is laid out Hive-style by
+    * `partCol` (`path/partCol=v/`), and a micro-batch rewrites ONLY the
+    * partitions it touches — untouched partitions' files are left
+    * byte-identical, so per-batch cost is ∝ touched-partition size, not
+    * collection size (upsertSink's full rewrite is right for small
+    * dimension tables; this is the form for large partitioned collections).
+    *
+    * Precondition: `partCol` must be a pure function of `key` (a row can
+    * never migrate partitions), otherwise a stale copy under the old
+    * partition value would survive the merge — the standard contract of
+    * every partition-overwrite merge.
+    *
+    * Crash story: each touched partition goes through
+    * [[graft.io.TableIO.writeParquet]]'s staged swap, so it atomically
+    * holds either its old or its new contents; a crash mid-batch can leave
+    * a PREFIX of touched partitions updated, and the retried batch
+    * re-merges to the identical end state (keep-last is idempotent over
+    * replayed input) — at-least-once delivery converges.
+    *
+    * The touched-partition values are collected to the driver: a
+    * micro-batch touches few partitions by design (that is the operator's
+    * whole premise), so this is a bounded small list, not a data collect.
+    */
+  def upsertSinkPartitioned(
+      batch: DataFrame,
+      path: String,
+      key: String,
+      version: String,
+      partCol: String
+  ): Unit = {
+    val spark = batch.sparkSession
+    val conf  = spark.sparkContext.hadoopConfiguration
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(key))
+      .orderBy(col("graft_src").asc, col(version).desc)
+    val touched = batch.select(col(partCol)).distinct().collect().map(_.get(0))
+    touched.foreach { pv =>
+      val pPath  = s"$path/$partCol=$pv"
+      val target = new org.apache.hadoop.fs.Path(pPath)
+      val fs     = target.getFileSystem(conf)
+      val slice  = batch.filter(col(partCol) === lit(pv)).drop(partCol)
+      val existing =
+        if (fs.exists(target)) spark.read.schema(slice.schema).parquet(pPath)
+        else
+          spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], slice.schema)
+      val merged = slice
+        .withColumn("graft_src", lit(0))
+        .unionByName(existing.withColumn("graft_src", lit(1)))
+        .withColumn("graft_rn", row_number().over(w))
+        .filter(col("graft_rn") === 1)
+        .drop("graft_src", "graft_rn")
+      graft.io.TableIO.writeParquet(merged, pPath)
+    }
+  }
+
   final case class Event(user_id: Long, us: Long)
   private[streaming] final case class EventT(user_id: Long, us: Long, ets: java.sql.Timestamp)
   final case class SessionState(startUs: Long, lastUs: Long, n: Long)

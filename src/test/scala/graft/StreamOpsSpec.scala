@@ -214,6 +214,59 @@ class StreamOpsSpec extends AnyFunSuite with SparkTestBase {
     } finally q.stop()
   }
 
+  test("upsertSinkPartitioned: merges touched partitions, untouched files byte-identical") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val path  = s"${sys.props("java.io.tmpdir")}/graft_io/stream_upsert_part_spec"
+    val hpath = new org.apache.hadoop.fs.Path(path)
+    val fs    = hpath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(hpath, true)
+
+    def fileBytes(sub: String): Map[String, Long] = {
+      val p = new org.apache.hadoop.fs.Path(s"$path/$sub")
+      if (!fs.exists(p)) Map.empty
+      else
+        fs.listStatus(p)
+          .filter(_.isFile)
+          .map(st => st.getPath.getName -> st.getModificationTime)
+          .toMap
+    }
+
+    // seed two partitions (pt is a pure function of k: k mod 2)
+    val in = MemoryStream[(Long, Long, Long, String)]
+    val q = in.toDF().toDF("k", "pt", "version", "payload").writeStream
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        StreamOps.upsertSinkPartitioned(b, path, key = "k", version = "version", partCol = "pt")
+      }
+      .outputMode(OutputMode.Append())
+      .start()
+    try {
+      in.addData((1L, 1L, 1L, "a"), (2L, 0L, 1L, "b"))
+      q.processAllAvailable()
+      val pt0Before = fileBytes("pt=0")
+      assert(pt0Before.nonEmpty && fileBytes("pt=1").nonEmpty)
+
+      // batch 2 touches ONLY pt=1: upsert k=1, add k=3
+      in.addData((1L, 1L, 2L, "a2"), (3L, 1L, 1L, "c"))
+      q.processAllAvailable()
+      // untouched partition: exact same files, untouched timestamps
+      assert(fileBytes("pt=0") == pt0Before)
+      def readAll() = spark.read
+        .schema("k LONG, version LONG, payload STRING, pt LONG")
+        .option("basePath", path)
+        .parquet(s"$path/pt=0", s"$path/pt=1")
+        .select("k", "payload").collect().map(r => (r.getLong(0), r.getString(1))).toSet
+      assert(readAll() == Set((1L, "a2"), (2L, "b"), (3L, "c")))
+
+      // replaying batch 2 converges and still leaves pt=0 alone
+      StreamOps.upsertSinkPartitioned(
+        Seq((1L, 1L, 2L, "a2"), (3L, 1L, 1L, "c")).toDF("k", "pt", "version", "payload"),
+        path, key = "k", version = "version", partCol = "pt")
+      assert(fileBytes("pt=0") == pt0Before)
+      assert(readAll() == Set((1L, "a2"), (2L, "b"), (3L, "c")))
+    } finally q.stop()
+  }
+
   test("windowedCounts over a parquet file-source stream matches the batch result") {
     import org.apache.spark.sql.functions._
     val dir = s"${sys.props("java.io.tmpdir")}/graft_io/stream_file_src"

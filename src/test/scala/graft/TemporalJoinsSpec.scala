@@ -37,6 +37,47 @@ class TemporalJoinsSpec extends AnyFunSuite with SparkTestBase {
     assert(out.select("lid").distinct().count() == 50)
   }
 
+  test("asofFirst: equal timestamps match (at-or-after), earlier rights do not") {
+    val left = Seq((1L, 10L, 100L), (1L, 20L, 101L), (2L, 5L, 102L))
+      .toDF("k", "t", "lid")
+    val right = Seq((1L, 10L, "a"), (1L, 15L, "b"), (2L, 4L, "c"))
+      .toDF("k", "t", "p")
+    val out = TemporalJoins
+      .asofFirst(left, right, key = "k", ts = "t", leftId = "lid", payload = Seq("p"))
+      .collect()
+      .map(r => (r.getAs[Long]("lid"), r.getAs[String]("p")))
+      .toMap
+    assert(out(100L) == "a") // right at t=10 matches left at t=10 (>=)
+    assert(out(101L) == null) // nothing at-or-after t=20
+    assert(out(102L) == null) // right@4 is before left@5: no match
+  }
+
+  test("asofFirst: picks the NEAREST following right, keeps every left row once") {
+    val left  = Seq((1L, 0L, 1L), (1L, 12L, 2L)).toDF("k", "t", "lid")
+    val right = Seq((1L, 10L, "near"), (1L, 50L, "far")).toDF("k", "t", "p")
+    val out = TemporalJoins
+      .asofFirst(left, right, "k", "t", "lid", Seq("p"))
+      .collect()
+      .map(r => (r.getAs[Long]("lid"), r.getAs[String]("p")))
+      .toMap
+    assert(out == Map(1L -> "near", 2L -> "far"))
+  }
+
+  test("rangeJoinBinned endExclusive: a point exactly at `end` falls out") {
+    val points    = Seq((1L, 100L), (2L, 250L), (3L, 249L)).toDF("pid", "t")
+    val intervals = Seq(("w1", 100L, 250L)).toDF("wid", "ws", "we")
+    def run(excl: Boolean) = TemporalJoins
+      .rangeJoinBinned(points, intervals, "t", "ws", "we", binWidth = 100L, endExclusive = excl)
+      .select("pid").collect().map(_.getLong(0)).sorted.toSeq
+    assert(run(false) == Seq(1L, 2L, 3L)) // closed: 250 included
+    assert(run(true) == Seq(1L, 3L))      // half-open: 250 excluded
+    // degenerate empty interval [s, s) matches nothing
+    val empty = TemporalJoins
+      .rangeJoinBinned(points, Seq(("e", 100L, 100L)).toDF("wid", "ws", "we"),
+        "t", "ws", "we", binWidth = 100L, endExclusive = true)
+    assert(empty.count() == 0)
+  }
+
   test("rangeJoinBinned: boundary-inclusive, exactly-once, bin-straddling intervals") {
     val points = Seq((1L, 0L), (2L, 100L), (3L, 150L), (4L, 251L))
       .toDF("pid", "t")
