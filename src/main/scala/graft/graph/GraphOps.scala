@@ -109,11 +109,19 @@ object GraphOps {
 
   /** Synchronous label propagation (fixed iteration count, fully
     * deterministic): label₀(v) = v; each pass every vertex adopts the most
-    * frequent label among its neighbors, ties broken by the smallest label;
-    * isolated vertices keep theirs. The deterministic community baseline
-    * one step up from connected components (async LPA — and seeded Leiden,
-    * reference utils/neo4j_helpers.py:237-268 — are not run-reproducible
-    * across engines; SURVEY §7.4 declares this substitution).
+    * frequent label among its neighbors PLUS ITS OWN current label (one
+    * self-vote), ties broken by the smallest label; isolated vertices keep
+    * theirs. The deterministic community baseline one step up from
+    * connected components (async LPA — and seeded Leiden, reference
+    * utils/neo4j_helpers.py:237-268 — are not run-reproducible across
+    * engines; SURVEY §7.4 declares this substitution).
+    *
+    * The self-vote is the inertia term of Raghavan et al.'s original LPA:
+    * without it, SYNCHRONOUS updates oscillate on bipartite structures
+    * (on a path graph every vertex swaps labels with its neighbors each
+    * pass — measured Q ≈ 0 on the chained-nation harness graph in round
+    * 5). With it, updates are sticky and the measured modularity on
+    * structured graphs recovers (see g7 and GraphOpsSpec's quality floor).
     *
     * Per pass: one equi-join + one count aggregate + one top-1 window +
     * one left join — all key-partitioned, `localCheckpoint` truncating
@@ -133,7 +141,8 @@ object GraphOps {
       val neigh = sym
         .join(labels, sym("dst") === labels("id"))
         .select(sym("src").as("id"), col("lbl"))
-      val cnt = neigh.groupBy(col("id"), col("lbl")).agg(count(lit(1)).as("c"))
+      val votes = neigh.unionByName(labels.select(col("id"), col("lbl")))
+      val cnt   = votes.groupBy(col("id"), col("lbl")).agg(count(lit(1)).as("c"))
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(col("id"))
         .orderBy(col("c").desc, col("lbl").asc)

@@ -279,36 +279,52 @@ object GraphQueries extends QueryModule {
       .agg(count(lit(1)).as("n_triangles"))
   }
 
-  /** G7 — modularity of the detected partition: runs the SAME 3-pass sync
-    * LPA as g2b but over the co-supply graph, then scores the partition with
+  /** G7 — modularity of the detected partitions: runs the SAME 3-pass sync
+    * LPA as g2b over TWO harness graphs and scores each partition with
     * Newman modularity in pure-integer components (Q = modularity_num/4m²;
-    * see [[graft.graph.GraphOps.modularityComponents]]). This implements
-    * SURVEY §7.4's declared quality bar ("modularity within ε") for the
-    * rebuild's deterministic substitution of the reference's seeded Leiden
-    * (utils/neo4j_helpers.py:237-268) — the oracle unrolls the identical
-    * LPA passes in SQL, so the SCORE of the partition, not just its labels,
-    * is cross-engine-verified. The quality floor itself (LPA vs planted
-    * structure) is asserted in GraphOpsSpec on a crafted graph.
+    * see [[graft.graph.GraphOps.modularityComponents]]):
+    *
+    *   - `co_supply` — near-complete at harness scale, so the near-optimal
+    *     score is ≈ 0 (a clique has no community structure); the row guards
+    *     against an algorithm that invents communities where none exist;
+    *   - `nation_chain` — 5 disjoint chains, real planted structure: the
+    *     row proves the self-vote LPA actually RECOVERS it (round 5's
+    *     vote-only sync LPA oscillated here and scored ≈ 0).
+    *
+    * This implements SURVEY §7.4's declared quality bar ("modularity
+    * within ε") for the rebuild's deterministic substitution of the
+    * reference's seeded Leiden (utils/neo4j_helpers.py:237-268) — the
+    * oracle unrolls the identical LPA passes in SQL, so the SCORE of each
+    * partition, not just its labels, is cross-engine-verified. The quality
+    * floor itself (LPA vs planted structure) is asserted in GraphOpsSpec.
     */
   private def g7_modularity(s: SparkSession, d: String): DataFrame = {
-    val und = graft.Lineage.truncate(coSupplyUndirected(s, d))
-    val verts = und
-      .select(col("a").as("id"))
-      .unionAll(und.select(col("b").as("id")))
-      .distinct()
-    val labels = GraphOps.labelPropagation(
-      verts,
-      und.select(col("a").as("src"), col("b").as("dst")),
-      3
-    )
-    GraphOps
-      .modularityComponents(und, labels)
-      .select(
-        col("n_edges").cast("long").as("n_edges"),
-        col("intra_edges").cast("long").as("intra_edges"),
-        col("sum_comm_deg_sq").cast("long").as("sum_comm_deg_sq"),
-        col("modularity_num").cast("long").as("modularity_num")
+    def score(graphName: String, und: DataFrame, verts: DataFrame): DataFrame = {
+      val labels = GraphOps.labelPropagation(
+        verts,
+        und.select(col("a").as("src"), col("b").as("dst")),
+        3
       )
+      GraphOps
+        .modularityComponents(und, labels)
+        .select(
+          lit(graphName).as("graph"),
+          col("n_edges").cast("long").as("n_edges"),
+          col("intra_edges").cast("long").as("intra_edges"),
+          col("sum_comm_deg_sq").cast("long").as("sum_comm_deg_sq"),
+          col("modularity_num").cast("long").as("modularity_num")
+        )
+    }
+    val csUnd = graft.Lineage.truncate(coSupplyUndirected(s, d))
+    val csVerts = csUnd
+      .select(col("a").as("id"))
+      .unionAll(csUnd.select(col("b").as("id")))
+      .distinct()
+    val (ncVerts, ncEdges) = chainedNationGraph(s, d)
+    // lead() over ascending keys ⇒ src < dst: already canonical undirected
+    val ncUnd = ncEdges.select(col("src").as("a"), col("dst").as("b"))
+    score("co_supply", csUnd, csVerts)
+      .unionByName(score("nation_chain", ncUnd, ncVerts))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -341,12 +357,18 @@ object GraphQueries extends QueryModule {
     * short of unrolling; 3 passes = 3 CTE triplets). Parameterized on the
     * (symmetric) edge CTE name and a CTE-name prefix so the hierarchy
     * oracle can run a second unrolled round over the coarsened graph.
+    * The UNION ALL self-vote row mirrors [[GraphOps.labelPropagation]]'s
+    * inertia term exactly — both engines count neighbors + own label.
     */
   private def lpaStepsSql(edgesName: String, p: String): String = (1 to 3)
     .map { t =>
       s"""${p}c$t AS (
-            SELECT e.src AS id, l.lbl, count(*) AS c
-            FROM $edgesName e JOIN ${p}l${t - 1} l ON l.id = e.dst GROUP BY 1, 2),
+            SELECT id, lbl, count(*) AS c FROM (
+              SELECT e.src AS id, l.lbl
+              FROM $edgesName e JOIN ${p}l${t - 1} l ON l.id = e.dst
+              UNION ALL
+              SELECT id, lbl FROM ${p}l${t - 1}
+            ) GROUP BY 1, 2),
           ${p}p$t AS (
             SELECT id, lbl FROM (
               SELECT *, row_number() OVER (PARTITION BY id ORDER BY c DESC, lbl) AS rn
@@ -455,8 +477,20 @@ object GraphQueries extends QueryModule {
          JOIN e e2 ON e1.b = e2.a
          JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b""",
     "g7_modularity" ->
-      s"""WITH sp AS (SELECT DISTINCT l_suppkey AS sk, l_partkey AS p
-                      FROM lineitem WHERE l_linenumber = 1),
+      s"""WITH $chainLpaSql,
+          ncund AS (SELECT src AS a, dst AS b FROM chain WHERE dst IS NOT NULL),
+          ncdeg AS (SELECT v, count(*) AS dg FROM (
+                      SELECT a AS v FROM ncund UNION ALL SELECT b AS v FROM ncund)
+                    GROUP BY v),
+          ncmm AS (SELECT count(*) AS m FROM ncund),
+          ncii AS (SELECT count(*) AS intra
+                   FROM ncund u JOIN l3 x ON x.id = u.a JOIN l3 y ON y.id = u.b
+                   WHERE x.lbl = y.lbl),
+          ncdc AS (SELECT l.lbl, sum(d.dg) AS dsum
+                   FROM ncdeg d JOIN l3 l ON l.id = d.v GROUP BY l.lbl),
+          ncs2 AS (SELECT sum(dsum * dsum) AS sum_d2 FROM ncdc),
+          sp AS (SELECT DISTINCT l_suppkey AS sk, l_partkey AS p
+                 FROM lineitem WHERE l_linenumber = 1),
           und AS (SELECT DISTINCT x.sk AS a, y.sk AS b
                   FROM sp x JOIN sp y ON x.p = y.p AND x.sk < y.sk),
           cedges AS (SELECT a AS src, b AS dst FROM und
@@ -475,11 +509,19 @@ object GraphQueries extends QueryModule {
           dc AS (SELECT l.lbl, sum(d.dg) AS dsum
                  FROM deg d JOIN sl3 l ON l.id = d.v GROUP BY l.lbl),
           s2 AS (SELECT sum(dsum * dsum) AS sum_d2 FROM dc)
-          SELECT CAST(m AS BIGINT) AS n_edges,
+          SELECT 'co_supply' AS graph,
+                 CAST(m AS BIGINT) AS n_edges,
                  CAST(intra AS BIGINT) AS intra_edges,
                  CAST(sum_d2 AS BIGINT) AS sum_comm_deg_sq,
                  CAST(4 * m * intra - sum_d2 AS BIGINT) AS modularity_num
-          FROM mm, ii, s2""",
+          FROM mm, ii, s2
+          UNION ALL
+          SELECT 'nation_chain' AS graph,
+                 CAST(m AS BIGINT) AS n_edges,
+                 CAST(intra AS BIGINT) AS intra_edges,
+                 CAST(sum_d2 AS BIGINT) AS sum_comm_deg_sq,
+                 CAST(4 * m * intra - sum_d2 AS BIGINT) AS modularity_num
+          FROM ncmm AS mm(m), ncii AS ii(intra), ncs2 AS s2(sum_d2)""",
     "g1b_degree_stats" ->
       s"""$validEdgesSql,
           deg AS (

@@ -65,6 +65,25 @@ class PlanShapeSpec extends AnyFunSuite with SparkTestBase {
     assert(!p.contains("SortMergeJoin"), p)
   }
 
+  test("j14's forward as-of join keeps j12's one-Exchange plan class") {
+    val p = plan("j14_asof_forward")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(exchanges <= 3, s"$exchanges exchanges:\n$p")
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("j13b's half-open interval join stays an equi-join") {
+    val p = plan("j13b_range_join_exclusive")
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("g6 triangles: every join leg is keyed (degree orientation adds no nested loop)") {
+    val p = plan("g6_triangles")
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("enrichWithStatic plans a broadcast join in batch form") {
     import spark.implicits._
     val facts = Seq((1L, "a")).toDF("k", "v")
