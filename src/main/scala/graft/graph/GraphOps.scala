@@ -107,6 +107,79 @@ object GraphOps {
     if (m == 0) 0.0 else nm / (4.0 * m * m)
   }
 
+  /** One deterministic greedy modularity-merge pass — the Leiden-ward
+    * refinement over an LPA partition (the aggregation move of
+    * CNM/Louvain, kept synchronous and tie-broken so it is
+    * run-reproducible, which seeded Leiden itself is not):
+    *
+    *   1. coarsen: per-community degree sums d_c and inter-community edge
+    *      counts E_{c1,c2};
+    *   2. each community picks its best merge partner by the CNM gain
+    *      ΔQ·2m² = 2m·E_{c1,c2} − d_{c1}·d_{c2}, kept in integers (the
+    *      g7 playbook); only strictly-positive gains merge, ties break by
+    *      (gain desc, partner label asc);
+    *   3. chains of picks (A→B while B→C) resolve by connected components
+    *      over the picked merge edges — every community in a merge chain
+    *      lands in one final community, deterministically labeled by the
+    *      min community label.
+    *
+    * Each pass is two aggregates + one top-1 window + a CC run over the
+    * COMMUNITY graph (strictly smaller than the input), so the refinement
+    * costs a fraction of the LPA that precedes it. Every applied merge
+    * edge has positive gain in isolation; resolving pick CHAINS in one
+    * synchronous step is the standard parallel-agglomeration heuristic
+    * (sequential CNM would re-evaluate after each merge) — so a pass is
+    * not formally monotone in Q, which is why g8 reports the before/after
+    * numerators and the spec asserts the improvement rather than assuming
+    * it. A fixed point means no adjacent pair has positive gain — the CNM
+    * stopping rule.
+    */
+  def refineMerge(und: DataFrame, labels: DataFrame): DataFrame = {
+    val la = labels.select(col("id").as("a"), col("lbl").as("ca"))
+    val lb = labels.select(col("id").as("b"), col("lbl").as("cb"))
+    val labeled = und.join(la, "a").join(lb, "b")
+    val mRow = und.agg(count(lit(1)).as("m"))
+    // inter-community edge counts, symmetric (both directions kept so each
+    // community sees every neighbor)
+    val inter = labeled
+      .filter(col("ca") =!= col("cb"))
+      .select(col("ca").as("c1"), col("cb").as("c2"))
+      .unionAll(
+        labeled
+          .filter(col("ca") =!= col("cb"))
+          .select(col("cb").as("c1"), col("ca").as("c2"))
+      )
+      .groupBy(col("c1"), col("c2"))
+      .agg(count(lit(1)).as("e12"))
+    val deg = und
+      .select(col("a").as("id"))
+      .unionAll(und.select(col("b").as("id")))
+      .groupBy("id")
+      .agg(count(lit(1)).as("deg"))
+    val commDeg = deg
+      .join(labels, "id")
+      .groupBy(col("lbl"))
+      .agg(sum(col("deg")).as("d"))
+    val gains = inter
+      .join(commDeg.select(col("lbl").as("c1"), col("d").as("d1")), "c1")
+      .join(commDeg.select(col("lbl").as("c2"), col("d").as("d2")), "c2")
+      .crossJoin(broadcast(mRow))
+      .withColumn("gain", lit(2) * col("m") * col("e12") - col("d1") * col("d2"))
+      .filter(col("gain") > 0)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("c1"))
+      .orderBy(col("gain").desc, col("c2").asc)
+    val picks = gains
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("c1").as("src"), col("c2").as("dst"))
+    val comms  = labels.select(col("lbl").as("id")).distinct()
+    val merged = connectedComponents(comms, picks)
+    labels
+      .join(merged.select(col("comp").as("new_lbl"), col("id").as("lbl")), Seq("lbl"), "left")
+      .select(col("id"), coalesce(col("new_lbl"), col("lbl")).as("lbl"))
+  }
+
   /** Synchronous label propagation (fixed iteration count, fully
     * deterministic): label₀(v) = v; each pass every vertex adopts the most
     * frequent label among its neighbors PLUS ITS OWN current label (one

@@ -327,6 +327,52 @@ object GraphQueries extends QueryModule {
       .unionByName(score("nation_chain", ncUnd, ncVerts))
   }
 
+  /** G8 — the Leiden-ward refinement, measured: one deterministic greedy
+    * modularity-merge pass ([[graft.graph.GraphOps.refineMerge]]) over the
+    * g7 LPA partitions, reporting the integer modularity numerator BEFORE
+    * and AFTER so the improvement is a verified fact, not a claim:
+    *
+    *   - `nation_chain`: LPA leaves each chain's tail split off (Q=0.594);
+    *     the merge pass folds it back — Q rises to the planted 0.8;
+    *   - `co_supply`: one community, no positive-gain merge exists, the
+    *     pass is a no-op (the stopping rule holding on a structureless
+    *     graph is itself part of the bar).
+    *
+    * The oracle unrolls the identical pass in SQL (gain argmax + recursive
+    * CC over the picked merge edges), so the refinement semantics — not
+    * just the score — are cross-engine-verified.
+    */
+  private def g8_refined_modularity(s: SparkSession, d: String): DataFrame = {
+    def score(graphName: String, undRaw: DataFrame, verts: DataFrame): DataFrame = {
+      val und = graft.Lineage.truncate(undRaw)
+      val labels = graft.Lineage.truncate(
+        GraphOps.labelPropagation(verts, und.select(col("a").as("src"), col("b").as("dst")), 3)
+      )
+      val refined = GraphOps.refineMerge(und, labels)
+      val base = GraphOps
+        .modularityComponents(und, labels)
+        .select(
+          col("n_edges").cast("long").as("n_edges"),
+          col("modularity_num").cast("long").as("q_num_lpa")
+        )
+      val ref = GraphOps
+        .modularityComponents(und, refined)
+        .select(col("modularity_num").cast("long").as("q_num_refined"))
+      base
+        .crossJoin(broadcast(ref))
+        .select(lit(graphName).as("graph"), col("n_edges"), col("q_num_lpa"), col("q_num_refined"))
+    }
+    val csUnd = coSupplyUndirected(s, d)
+    val csVerts = csUnd
+      .select(col("a").as("id"))
+      .unionAll(csUnd.select(col("b").as("id")))
+      .distinct()
+    val (ncVerts, ncEdges) = chainedNationGraph(s, d)
+    val ncUnd = ncEdges.select(col("src").as("a"), col("dst").as("b"))
+    score("co_supply", csUnd, csVerts)
+      .unionByName(score("nation_chain", ncUnd, ncVerts))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "g0_node_table" -> (g0_node_table _),
     "g1_edge_validity" -> (g1_edge_validity _),
@@ -337,7 +383,8 @@ object GraphQueries extends QueryModule {
     "g4_summary_stub" -> (g4_summary_stub _),
     "g5_prompt_construction" -> (g5_prompt_construction _),
     "g6_triangles" -> (g6_triangles _),
-    "g7_modularity" -> (g7_modularity _)
+    "g7_modularity" -> (g7_modularity _),
+    "g8_refined_modularity" -> (g8_refined_modularity _)
   )
 
   private val validEdgesSql =
@@ -373,11 +420,62 @@ object GraphQueries extends QueryModule {
             SELECT id, lbl FROM (
               SELECT *, row_number() OVER (PARTITION BY id ORDER BY c DESC, lbl) AS rn
               FROM ${p}c$t) WHERE rn = 1),
-          ${p}l$t AS (
+          ${p}l$t AS MATERIALIZED (
             SELECT a.id, coalesce(p.lbl, a.lbl) AS lbl
             FROM ${p}l${t - 1} a LEFT JOIN ${p}p$t p ON a.id = p.id)"""
     }
     .mkString(", ")
+
+  /** One unrolled greedy modularity-merge pass (GraphOps.refineMerge's SQL
+    * twin): inter-community edge counts + degree sums → positive-gain
+    * argmax picks → recursive CC over the picked merge edges → relabel →
+    * re-scored modularity. Parameterized on the CTE names of the undirected
+    * edges (a, b), labels (id, lbl), degrees (v, dg), and edge-count (m)
+    * frames, prefixed so two graphs can refine in one statement. Yields
+    * `${p}rii` (intra) and `${p}rs2` (sum_d2) for the refined partition.
+    */
+  private def mergeRefineSql(p: String, und: String, labels: String, deg: String, mm: String): String =
+    s"""${p}inter AS MATERIALIZED (
+          SELECT c1, c2, count(*) AS e12 FROM (
+            SELECT x.lbl AS c1, y.lbl AS c2
+            FROM $und u JOIN $labels x ON x.id = u.a JOIN $labels y ON y.id = u.b
+            WHERE x.lbl <> y.lbl
+            UNION ALL
+            SELECT y.lbl AS c1, x.lbl AS c2
+            FROM $und u JOIN $labels x ON x.id = u.a JOIN $labels y ON y.id = u.b
+            WHERE x.lbl <> y.lbl
+          ) GROUP BY 1, 2),
+        ${p}cdeg AS MATERIALIZED (
+          SELECT l.lbl, sum(d.dg) AS d
+          FROM $deg d JOIN $labels l ON l.id = d.v GROUP BY 1),
+        ${p}gains AS (
+          SELECT i.c1, i.c2, 2 * m.m * i.e12 - a.d * b.d AS gain
+          FROM ${p}inter i
+          JOIN ${p}cdeg a ON a.lbl = i.c1
+          JOIN ${p}cdeg b ON b.lbl = i.c2, $mm m
+          WHERE 2 * m.m * i.e12 - a.d * b.d > 0),
+        ${p}picks AS (
+          SELECT c1 AS src, c2 AS dst FROM (
+            SELECT *, row_number() OVER (PARTITION BY c1 ORDER BY gain DESC, c2) AS rn
+            FROM ${p}gains) WHERE rn = 1),
+        ${p}pedges AS MATERIALIZED (
+          SELECT src, dst FROM ${p}picks UNION SELECT dst, src FROM ${p}picks),
+        ${p}reach(id, comp) AS (
+          SELECT DISTINCT lbl, lbl FROM $labels
+          UNION
+          SELECT e.dst, r.comp FROM ${p}reach r JOIN ${p}pedges e ON r.id = e.src),
+        ${p}mcomp AS (SELECT id, min(comp) AS comp FROM ${p}reach GROUP BY id),
+        ${p}newlab AS MATERIALIZED (
+          SELECT l.id, coalesce(c.comp, l.lbl) AS lbl
+          FROM $labels l LEFT JOIN ${p}mcomp c ON c.id = l.lbl),
+        ${p}rii AS (
+          SELECT count(*) AS intra
+          FROM $und u JOIN ${p}newlab x ON x.id = u.a JOIN ${p}newlab y ON y.id = u.b
+          WHERE x.lbl = y.lbl),
+        ${p}rdc AS (
+          SELECT l.lbl, sum(d.dg) AS dsum
+          FROM $deg d JOIN ${p}newlab l ON l.id = d.v GROUP BY 1),
+        ${p}rs2 AS (SELECT sum(dsum * dsum) AS sum_d2 FROM ${p}rdc)"""
 
   /** Chained-nation graph + 3 unrolled LPA passes; yields `l3` = (id, lbl). */
   private val chainLpaSql: String =
@@ -392,6 +490,45 @@ object GraphQueries extends QueryModule {
           SELECT dst, src FROM chain WHERE dst IS NOT NULL),
         l0 AS (SELECT n_nationkey AS id, n_nationkey AS lbl FROM nation),
         ${lpaStepsSql("edges", "")}"""
+
+  /** Shared WITH-body for g7/g8: both harness graphs' LPA labels plus the
+    * modularity ingredients of each partition — nation-chain (`l3`,
+    * `ncund`/`ncdeg`/`ncmm`/`ncii`/`ncs2`) and co-supply (`sl3`, `und`/
+    * `deg`/`mm`/`ii`/`s2`).
+    */
+  private val modularityBaseSql: String =
+    s"""$chainLpaSql,
+        ncund AS MATERIALIZED (SELECT src AS a, dst AS b FROM chain WHERE dst IS NOT NULL),
+        ncdeg AS MATERIALIZED (SELECT v, count(*) AS dg FROM (
+                    SELECT a AS v FROM ncund UNION ALL SELECT b AS v FROM ncund)
+                  GROUP BY v),
+        ncmm AS (SELECT count(*) AS m FROM ncund),
+        ncii AS (SELECT count(*) AS intra
+                 FROM ncund u JOIN l3 x ON x.id = u.a JOIN l3 y ON y.id = u.b
+                 WHERE x.lbl = y.lbl),
+        ncdc AS (SELECT l.lbl, sum(d.dg) AS dsum
+                 FROM ncdeg d JOIN l3 l ON l.id = d.v GROUP BY l.lbl),
+        ncs2 AS (SELECT sum(dsum * dsum) AS sum_d2 FROM ncdc),
+        sp AS (SELECT DISTINCT l_suppkey AS sk, l_partkey AS p
+               FROM lineitem WHERE l_linenumber = 1),
+        und AS MATERIALIZED (SELECT DISTINCT x.sk AS a, y.sk AS b
+                FROM sp x JOIN sp y ON x.p = y.p AND x.sk < y.sk),
+        cedges AS MATERIALIZED (SELECT a AS src, b AS dst FROM und
+                   UNION
+                   SELECT b AS src, a AS dst FROM und),
+        sl0 AS (SELECT DISTINCT v AS id, v AS lbl FROM (
+                  SELECT a AS v FROM und UNION ALL SELECT b AS v FROM und)),
+        ${lpaStepsSql("cedges", "s")},
+        deg AS MATERIALIZED (SELECT v, count(*) AS dg FROM (
+                  SELECT a AS v FROM und UNION ALL SELECT b AS v FROM und)
+                GROUP BY v),
+        mm AS (SELECT count(*) AS m FROM und),
+        ii AS (SELECT count(*) AS intra
+               FROM und u JOIN sl3 x ON x.id = u.a JOIN sl3 y ON y.id = u.b
+               WHERE x.lbl = y.lbl),
+        dc AS (SELECT l.lbl, sum(d.dg) AS dsum
+               FROM deg d JOIN sl3 l ON l.id = d.v GROUP BY l.lbl),
+        s2 AS (SELECT sum(dsum * dsum) AS sum_d2 FROM dc)"""
 
   private val communityMetaSql =
     s"""$chainLpaSql,
@@ -477,38 +614,7 @@ object GraphQueries extends QueryModule {
          JOIN e e2 ON e1.b = e2.a
          JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b""",
     "g7_modularity" ->
-      s"""WITH $chainLpaSql,
-          ncund AS (SELECT src AS a, dst AS b FROM chain WHERE dst IS NOT NULL),
-          ncdeg AS (SELECT v, count(*) AS dg FROM (
-                      SELECT a AS v FROM ncund UNION ALL SELECT b AS v FROM ncund)
-                    GROUP BY v),
-          ncmm AS (SELECT count(*) AS m FROM ncund),
-          ncii AS (SELECT count(*) AS intra
-                   FROM ncund u JOIN l3 x ON x.id = u.a JOIN l3 y ON y.id = u.b
-                   WHERE x.lbl = y.lbl),
-          ncdc AS (SELECT l.lbl, sum(d.dg) AS dsum
-                   FROM ncdeg d JOIN l3 l ON l.id = d.v GROUP BY l.lbl),
-          ncs2 AS (SELECT sum(dsum * dsum) AS sum_d2 FROM ncdc),
-          sp AS (SELECT DISTINCT l_suppkey AS sk, l_partkey AS p
-                 FROM lineitem WHERE l_linenumber = 1),
-          und AS (SELECT DISTINCT x.sk AS a, y.sk AS b
-                  FROM sp x JOIN sp y ON x.p = y.p AND x.sk < y.sk),
-          cedges AS (SELECT a AS src, b AS dst FROM und
-                     UNION
-                     SELECT b AS src, a AS dst FROM und),
-          sl0 AS (SELECT DISTINCT v AS id, v AS lbl FROM (
-                    SELECT a AS v FROM und UNION ALL SELECT b AS v FROM und)),
-          ${lpaStepsSql("cedges", "s")},
-          deg AS (SELECT v, count(*) AS dg FROM (
-                    SELECT a AS v FROM und UNION ALL SELECT b AS v FROM und)
-                  GROUP BY v),
-          mm AS (SELECT count(*) AS m FROM und),
-          ii AS (SELECT count(*) AS intra
-                 FROM und u JOIN sl3 x ON x.id = u.a JOIN sl3 y ON y.id = u.b
-                 WHERE x.lbl = y.lbl),
-          dc AS (SELECT l.lbl, sum(d.dg) AS dsum
-                 FROM deg d JOIN sl3 l ON l.id = d.v GROUP BY l.lbl),
-          s2 AS (SELECT sum(dsum * dsum) AS sum_d2 FROM dc)
+      s"""WITH $modularityBaseSql
           SELECT 'co_supply' AS graph,
                  CAST(m AS BIGINT) AS n_edges,
                  CAST(intra AS BIGINT) AS intra_edges,
@@ -522,6 +628,21 @@ object GraphQueries extends QueryModule {
                  CAST(sum_d2 AS BIGINT) AS sum_comm_deg_sq,
                  CAST(4 * m * intra - sum_d2 AS BIGINT) AS modularity_num
           FROM ncmm AS mm(m), ncii AS ii(intra), ncs2 AS s2(sum_d2)""",
+    "g8_refined_modularity" ->
+      s"""WITH RECURSIVE $modularityBaseSql,
+          ${mergeRefineSql("x", "und", "sl3", "deg", "mm")},
+          ${mergeRefineSql("y", "ncund", "l3", "ncdeg", "ncmm")}
+          SELECT 'co_supply' AS graph,
+                 CAST(m.m AS BIGINT) AS n_edges,
+                 CAST(4 * m.m * ii.intra - s2.sum_d2 AS BIGINT) AS q_num_lpa,
+                 CAST(4 * m.m * ri.intra - rs.sum_d2 AS BIGINT) AS q_num_refined
+          FROM mm m, ii, s2, xrii ri, xrs2 rs
+          UNION ALL
+          SELECT 'nation_chain' AS graph,
+                 CAST(m.m AS BIGINT) AS n_edges,
+                 CAST(4 * m.m * ii.intra - s2.sum_d2 AS BIGINT) AS q_num_lpa,
+                 CAST(4 * m.m * ri.intra - rs.sum_d2 AS BIGINT) AS q_num_refined
+          FROM ncmm m, ncii ii, ncs2 s2, yrii ri, yrs2 rs""",
     "g1b_degree_stats" ->
       s"""$validEdgesSql,
           deg AS (

@@ -174,12 +174,44 @@ object TemporalQueries extends QueryModule {
       )
   }
 
+  /** H2 — CDC snapshot compaction: apply a keyed changelog (upserts +
+    * deletes, ordered by a sequence) and materialize the final state — the
+    * other half of the warehouse temporal pair (h1 keeps the history, h2
+    * compacts to "now"). Orders act as the changelog per customer: each
+    * order upserts the priority state, '5-LOW' orders are deletes; the
+    * last change wins (date, then order key), and a key whose last change
+    * is a delete is ABSENT from the snapshot. One window over one shuffle
+    * — the same plan class as keep-last dedup, plus the delete filter.
+    */
+  private def h2_cdc_snapshot(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window
+      .partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate").desc, col("o_orderkey").desc)
+    table(s, d, "orders")
+      .select(
+        col("o_custkey"),
+        col("o_orderkey"),
+        col("o_orderdate"),
+        when(col("o_orderpriority") === "5-LOW", lit("D")).otherwise(lit("U")).as("op"),
+        col("o_orderpriority").as("state")
+      )
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1 && col("op") =!= "D")
+      .select(
+        col("o_custkey"),
+        col("state"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("applied_at")
+      )
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "j12_asof_join" -> (j12_asof_join _),
     "j13_range_join" -> (j13_range_join _),
     "j13b_range_join_exclusive" -> (j13b_range_join_exclusive _),
     "j14_asof_forward" -> (j14_asof_forward _),
-    "h1_scd2_history" -> (h1_scd2_history _)
+    "h1_scd2_history" -> (h1_scd2_history _),
+    "h2_cdc_snapshot" -> (h2_cdc_snapshot _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -215,6 +247,16 @@ object TemporalQueries extends QueryModule {
          SELECT w.incident_id, e.event_id, e.user_id,
                 CAST((e.us - w.ws) // 1000000 AS BIGINT) AS offset_sec
          FROM w JOIN e ON e.us >= w.ws AND e.us < w.we AND e.event_id <> w.incident_id""",
+    "h2_cdc_snapshot" ->
+      """WITH log AS (
+           SELECT o_custkey, o_orderkey, o_orderdate,
+                  CASE WHEN o_orderpriority = '5-LOW' THEN 'D' ELSE 'U' END AS op,
+                  o_orderpriority AS state,
+                  row_number() OVER (PARTITION BY o_custkey
+                                     ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+           FROM orders)
+         SELECT o_custkey, state, strftime(o_orderdate, '%Y-%m-%d') AS applied_at
+         FROM log WHERE rn = 1 AND op <> 'D'""",
     "h1_scd2_history" ->
       """WITH o AS (SELECT o_custkey, o_orderpriority AS state, o_orderdate AS dt, o_orderkey,
                            lag(o_orderpriority) OVER (PARTITION BY o_custkey

@@ -97,6 +97,30 @@ class GraphOpsSpec extends AnyFunSuite with SparkTestBase {
     assert(q >= 0.40, s"LPA modularity $q below the 0.40 quality floor (planted = 0.4524)")
   }
 
+  test("refineMerge folds a positive-gain singleton back in, raising Q") {
+    import spark.implicits._
+    // triangle {1,2,3} + pendant 4-3; partition splits the pendant off:
+    // merge gain for {4}→{1,2,3} is 2·4·1 − 7·1 = 1 > 0 ⇒ merged, Q −2/64 → 0
+    val und    = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L)).toDF("a", "b")
+    val labels = Seq(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L).toDF("id", "lbl")
+    val before = GraphOps.modularity(und, labels)
+    val refined = GraphOps.refineMerge(und, labels)
+    val after   = GraphOps.modularity(und, refined)
+    assert(math.abs(before - (-2.0 / 64.0)) < 1e-12)
+    assert(after == 0.0)
+    assert(refined.select("lbl").distinct().count() == 1)
+  }
+
+  test("refineMerge is a no-op when no merge has positive gain") {
+    import spark.implicits._
+    // two cliques + bridge, planted partition: merging costs 2·21·1 − 21·21 < 0
+    val (_, und) = twoCliques(spark)
+    val planted = ((1L to 5L).map(_ -> 1L) ++ (11L to 15L).map(_ -> 11L)).toDF("id", "lbl")
+    val refined = GraphOps.refineMerge(und, planted)
+    val got = refined.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == planted.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap)
+  }
+
   test("modularity of the all-one-community partition is 0") {
     import spark.implicits._
     val (_, und) = twoCliques(spark)
