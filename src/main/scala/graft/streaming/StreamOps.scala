@@ -69,6 +69,41 @@ object StreamOps {
   def enrichWithStatic(stream: DataFrame, dim: DataFrame, key: String): DataFrame =
     stream.join(broadcast(dim), Seq(key), "left")
 
+  /** Watermarked stream-stream inner join within an event-time band — the
+    * canonical two-fact-stream correlation (impression↔click attribution,
+    * request↔response pairing): rows join when keys match AND the right
+    * event time lies within ±`bandSeconds` of the left's. Both sides carry
+    * watermarks and the join condition carries the time band, which is
+    * exactly what Structured Streaming needs to EVICT state: each side
+    * buffers only `watermark delay + band` worth of rows per key, so state
+    * is bounded at any input rate — without the band the state store grows
+    * forever (Spark would reject the stream-stream join outright in Append
+    * mode without a watermark-constrained condition).
+    *
+    * Column names must be disjoint across sides (the usual stream-stream
+    * join contract); in batch frames the watermark is a no-op and the same
+    * call degrades to a plain range-banded equi-join — one transform, both
+    * execution modes (the windowedCounts stance).
+    */
+  def joinStreamsWithinBand(
+      left: DataFrame,
+      right: DataFrame,
+      leftKey: String,
+      rightKey: String,
+      leftTs: String,
+      rightTs: String,
+      bandSeconds: Long,
+      delay: String = "1 hour"
+  ): DataFrame =
+    left
+      .withWatermark(leftTs, delay)
+      .join(
+        right.withWatermark(rightTs, delay),
+        col(leftKey) === col(rightKey) &&
+          col(rightTs) >= col(leftTs) - expr(s"interval $bandSeconds seconds") &&
+          col(rightTs) <= col(leftTs) + expr(s"interval $bandSeconds seconds")
+      )
+
   /** Keep-last streaming upsert sink (S17's semantics on a stream): each
     * micro-batch is merged into the parquet collection at `path` — existing
     * rows lose to same-key batch rows, within-batch ties resolve by highest

@@ -214,6 +214,51 @@ class StreamOpsSpec extends AnyFunSuite with SparkTestBase {
     } finally q.stop()
   }
 
+  test("joinStreamsWithinBand: matches inside the band in streaming, same as batch") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    implicit val sqlCtx = spark.sqlContext
+    val base = 1700000000L // epoch-0 collides with the initial watermark
+    def toTs(c: String) = timestamp_seconds(col(c))
+    // impressions (k, it) and clicks (ck, ct): click joins an impression of
+    // the same key within ±60s
+    val imps   = Seq((1L, base + 0L), (1L, base + 500L), (2L, base + 100L))
+    val clicks = Seq((1L, base + 30L), (1L, base + 400L), (2L, base + 90L), (3L, base + 10L))
+    val expected = Set((1L, base + 0L, base + 30L), (2L, base + 100L, base + 90L))
+
+    def joined(l: org.apache.spark.sql.DataFrame, r: org.apache.spark.sql.DataFrame) =
+      StreamOps.joinStreamsWithinBand(
+        l.select(col("k"), toTs("its").as("it")),
+        r.select(col("ck"), toTs("cts").as("ct")),
+        leftKey = "k", rightKey = "ck", leftTs = "it", rightTs = "ct",
+        bandSeconds = 60L, delay = "10 seconds"
+      )
+
+    // batch form: watermark is a no-op, same transform
+    val batchGot = joined(
+      imps.toDF("k", "its"), clicks.toDF("ck", "cts")
+    ).collect().map(r => (r.getAs[Long]("k"),
+      r.getAs[java.sql.Timestamp]("it").getTime / 1000,
+      r.getAs[java.sql.Timestamp]("ct").getTime / 1000)).toSet
+    assert(batchGot == expected)
+
+    // streaming form over MemoryStreams
+    val li = MemoryStream[(Long, Long)]
+    val ri = MemoryStream[(Long, Long)]
+    val q = joined(li.toDF().toDF("k", "its"), ri.toDF().toDF("ck", "cts"))
+      .writeStream.format("memory").queryName("ssjoin").outputMode(OutputMode.Append())
+      .start()
+    try {
+      li.addData(imps: _*)
+      ri.addData(clicks: _*)
+      q.processAllAvailable()
+      val got = spark.table("ssjoin").collect().map(r => (r.getAs[Long]("k"),
+        r.getAs[java.sql.Timestamp]("it").getTime / 1000,
+        r.getAs[java.sql.Timestamp]("ct").getTime / 1000)).toSet
+      assert(got == expected)
+    } finally q.stop()
+  }
+
   test("upsertSinkPartitioned: merges touched partitions, untouched files byte-identical") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
