@@ -60,6 +60,7 @@ object Soak {
     "g2c_community_hierarchy",
     "g6_triangles",
     "g7_modularity",
+    "g8_refined_modularity",
     "pl5_tracks",
     "d4_ngram_jaccard",
     "d7_dedup_clusters",
