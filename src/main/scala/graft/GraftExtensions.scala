@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{CharNgrams, DotProduct, FixMojibake, NormalizeNFKC, SortedIntersectSize, WordNgrams, WordShingles}
+import graft.functions.{CharNgrams, DotProduct, FixMojibake, NormalizeNFKC, SortedIntersectSize, UnescapeHtml, WordNgrams, WordShingles}
 
 /** Session extension registering graft's native Catalyst expressions, wired
   * through `spark.sql.extensions` (see [[Engine.builder]]) the same way a
@@ -41,6 +41,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     register(ext, "graft_nfkc", 1, classOf[NormalizeNFKC].getName)(e => NormalizeNFKC(e.head))
     register(ext, "graft_fix_mojibake", 1, classOf[FixMojibake].getName)(e => FixMojibake(e.head))
+    register(ext, "graft_unescape_html", 1, classOf[UnescapeHtml].getName)(e => UnescapeHtml(e.head))
     register(ext, "graft_dot", 2, classOf[DotProduct].getName)(e => DotProduct(e.head, e(1)))
     register(ext, "graft_sorted_intersect_size", 2, classOf[SortedIntersectSize].getName)(e =>
       SortedIntersectSize(e.head, e(1))

@@ -11,21 +11,25 @@ import org.apache.spark.sql.functions._
 object TextFunctions {
 
   /** F1 — `normalize_and_clean_text`
-    * (reference: utils/data_transformation_helpers.py:28-86), all three
-    * stages: mojibake repair ([[FixMojibake]] — the ftfy UTF-8-as-Latin-1
-    * core), NFKC normalize ([[NormalizeNFKC]]), then the regex chain:
-    * unescape `\"`, collapse newlines and runs of whitespace to one space,
-    * trim. Repair and NFKC are identity on well-formed ASCII, which keeps
-    * the SQL oracles exact on the fixture corpus — a precondition ENFORCED
-    * (not just documented) by TextFunctionsSpec's repair-neutrality test
-    * over every corpus the F1/pl3/pl7 oracles read.
+    * (reference: utils/data_transformation_helpers.py:28-86), all four
+    * stages in ftfy's own order: mojibake repair ([[FixMojibake]] — the
+    * UTF-8-as-Latin-1 core), HTML-entity unescape ([[UnescapeHtml]]), NFKC
+    * normalize ([[NormalizeNFKC]]), then the regex chain: unescape `\"`,
+    * collapse newlines and runs of whitespace to one space, trim. Repair,
+    * unescape, and NFKC are identity on well-formed entity-free ASCII,
+    * which keeps the SQL oracles exact on the fixture corpus — a
+    * precondition ENFORCED (not just documented) by TextFunctionsSpec's
+    * repair-neutrality test over every corpus the F1/pl3/pl7 oracles read.
     */
   def cleanText(c: Column): Column =
     trim(
       regexp_replace(
         regexp_replace(
           regexp_replace(
-            call_function("graft_nfkc", call_function("graft_fix_mojibake", c)),
+            call_function(
+              "graft_nfkc",
+              call_function("graft_unescape_html", call_function("graft_fix_mojibake", c))
+            ),
             "\\\\\"",
             "\""
           ),

@@ -63,6 +63,24 @@ object TextOps extends QueryModule {
     )
   }
 
+  /** F1c — the HTML-entity leg of the ftfy chain in isolation (and then
+    * through the full cleanText pipeline): the query MANUFACTURES entity
+    * mixes — named, decimal, hex, malformed-left-alone — and
+    * `graft_unescape_html` must decode exactly the well-formed ones.
+    * Like f1b, the oracle states the expected literals in closed form.
+    */
+  private def f1c_unescape_html(s: SparkSession, d: String): DataFrame = {
+    val mixed = concat(
+      lit("Fish &amp; Chips caf&#233; &#x20AC;5 &lt;i&gt; &broken &#; no."),
+      col("doc_id").cast("string")
+    )
+    table(s, d, "documents").select(
+      col("doc_id"),
+      call_function("graft_unescape_html", mixed).as("unescaped"),
+      TF.cleanText(concat(lit("  "), mixed, lit(" \n x  "))).as("cleaned")
+    )
+  }
+
   /** F2 + F9 — natural-language list of each order's distinct return flags. */
   private def f2_natural_list(s: SparkSession, d: String): DataFrame =
     table(s, d, "lineitem")
@@ -259,6 +277,7 @@ object TextOps extends QueryModule {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "f1_clean_text" -> (f1_clean_text _),
     "f1b_fix_mojibake" -> (f1b_fix_mojibake _),
+    "f1c_unescape_html" -> (f1c_unescape_html _),
     "f2_natural_list" -> (f2_natural_list _),
     "f3_chunk_fixed" -> (f3_chunk_fixed _),
     "f3b_chunk_recursive" -> (f3b_chunk_recursive _),
@@ -305,6 +324,13 @@ object TextOps extends QueryModule {
                 'Café résumé — naïve €' || CAST(doc_id AS VARCHAR) AS fixed,
                 CAST(strlen('Café résumé — naïve €' || CAST(doc_id AS VARCHAR)) AS BIGINT) AS moji_len,
                 'Café résumé — naïve €' || CAST(doc_id AS VARCHAR) AS untouched
+         FROM documents""",
+    "f1c_unescape_html" ->
+      """SELECT doc_id,
+                'Fish & Chips café €5 <i> &broken &#; no.' || CAST(doc_id AS VARCHAR)
+                  AS unescaped,
+                'Fish & Chips café €5 <i> &broken &#; no.' || CAST(doc_id AS VARCHAR) || ' x'
+                  AS cleaned
          FROM documents""",
     // f3b/f3c closed forms on the sentence-structured input: every piece
     // (". "-delimited sentence) measures the same — 12 chars / 4 tokens — so

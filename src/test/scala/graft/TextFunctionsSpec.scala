@@ -72,12 +72,32 @@ class TextFunctionsSpec extends AnyFunSuite with SparkTestBase {
     * if a future test-data or fixture change introduces repairable mojibake,
     * this fails loudly instead of the gate diverging silently.
     */
-  test("mojibake repair is identity on every cleanText oracle corpus") {
+  test("unescapeHtml: numeric + named entities decode, malformed pass through") {
+    import spark.implicits._
     import org.apache.spark.sql.functions._
-    val repaired = call_function("graft_fix_mojibake", col("t"))
+    val rows = Seq(
+      "Fish &amp; Chips &lt;b&gt; &quot;hi&quot; &apos;y&apos;",
+      "caf&#233; costs &#x20AC;5&nbsp;now",
+      "no entities here",
+      "broken &amp no-semi &unknown; &#; &#xZZ; &#1114112; keep & alone",
+      "&amp;amp; stays single-decoded"
+    ).toDF("t").select(call_function("graft_unescape_html", col("t"))).collect().map(_.getString(0))
+    assert(rows(0) == "Fish & Chips <b> \"hi\" 'y'")
+    assert(rows(1) == "café costs €5\u00a0now") // &nbsp; → U+00A0
+    assert(rows(2) == "no entities here")
+    assert(rows(3) == "broken &amp no-semi &unknown; &#; &#xZZ; &#1114112; keep & alone")
+    assert(rows(4) == "&amp; stays single-decoded") // one pass, ftfy-style
+  }
+
+  test("mojibake repair and entity unescape are identity on every cleanText oracle corpus") {
+    import org.apache.spark.sql.functions._
+    val repaired = call_function(
+      "graft_unescape_html",
+      call_function("graft_fix_mojibake", col("t"))
+    )
     def assertNeutral(df: org.apache.spark.sql.DataFrame, what: String): Unit = {
       val n = df.filter(repaired =!= col("t")).count()
-      assert(n == 0, s"$what: $n rows would be altered by graft_fix_mojibake")
+      assert(n == 0, s"$what: $n rows would be altered by the repair chain")
     }
     for {
       sf <- Seq("sf0.001", "sf0.01")
