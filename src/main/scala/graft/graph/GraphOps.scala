@@ -180,6 +180,54 @@ object GraphOps {
       .select(col("id"), coalesce(col("new_lbl"), col("lbl")).as("lbl"))
   }
 
+  /** Fixed-iteration PageRank with INTEGER-QUANTIZED arithmetic, so the
+    * scores are bit-identical across engines (the g7 playbook applied to
+    * the one place float PageRank can never hash-match: double addition is
+    * not associative, so partition merge order changes the low bits):
+    *
+    *   r₀(v) = scale;  rₜ(v) = (15·scale) div 100 + (85·Σᵤ→ᵥ (rₜ₋₁(u) div
+    *   outdeg(u))) div 100
+    *
+    * Every operation is integer floor division — deterministic regardless
+    * of aggregation order. Dangling nodes (no out-edges) contribute
+    * nothing — their mass leaks, the declared semantic (redistribution
+    * would need a per-pass global aggregate; the RANKING is what consumers
+    * use and leak affects all nodes' shared teleport floor equally).
+    *
+    * Per pass: one equi-join onto the edge list + one aggregate on dst —
+    * both key-partitioned; lineage truncated between passes. The classic
+    * iterative-analytics shape that holds at any graph size.
+    */
+  def pageRankQuantized(
+      vertexIds: DataFrame,
+      edges: DataFrame,
+      iterations: Int,
+      scale: Long = 1000000L
+  ): DataFrame = {
+    val outDeg = Lineage.truncate(
+      edges.groupBy(col("src")).agg(count(lit(1)).as("od"))
+    )
+    val e = Lineage.truncate(edges.join(outDeg, "src"))
+    var r = Lineage.truncate(vertexIds.select(col("id"), lit(scale).as("r")))
+    (1 to iterations).foreach { _ =>
+      val contrib = e
+        .join(r, e("src") === r("id"))
+        .select(e("dst").as("id"), expr("r div od").as("c"))
+        .groupBy("id")
+        .agg(sum(col("c")).as("s"))
+      r = Lineage.truncate(
+        vertexIds
+          .join(contrib, Seq("id"), "left")
+          .select(
+            col("id"),
+            (lit(15L * scale / 100) +
+              expr(s"(85 * coalesce(s, 0)) div 100")).as("r")
+          )
+      )
+    }
+    r
+  }
+
   /** Synchronous label propagation (fixed iteration count, fully
     * deterministic): label₀(v) = v; each pass every vertex adopts the most
     * frequent label among its neighbors PLUS ITS OWN current label (one

@@ -373,6 +373,32 @@ object GraphQueries extends QueryModule {
       .unionByName(score("nation_chain", ncUnd, ncVerts))
   }
 
+  /** G9 — fixed-iteration PageRank over the SUPPLIES bipartite graph
+    * (supplier → part), integer-quantized so both engines produce
+    * bit-identical scores ([[graft.graph.GraphOps.pageRankQuantized]];
+    * float PageRank can never hash-match across engines because double
+    * addition is order-sensitive). Parts accumulate rank from the
+    * suppliers stocking them; suppliers are pure sources (rank = teleport
+    * floor), parts are dangling sinks — the declared leak semantic. Output
+    * is the top 20 by quantized rank with a deterministic tiebreak.
+    */
+  private def g9_pagerank(s: SparkSession, d: String): DataFrame = {
+    val edges = table(s, d, "lineitem")
+      .select(
+        concat(lit("s:"), col("l_suppkey")).as("src"),
+        concat(lit("p:"), col("l_partkey")).as("dst")
+      )
+      .distinct()
+    val nodes = table(s, d, "supplier")
+      .select(concat(lit("s:"), col("s_suppkey")).as("id"))
+      .unionByName(table(s, d, "part").select(concat(lit("p:"), col("p_partkey")).as("id")))
+    GraphOps
+      .pageRankQuantized(nodes, edges, 3)
+      .orderBy(col("r").desc, col("id").asc)
+      .limit(20)
+      .select(col("id").as("node_id"), col("r").cast("long").as("rank_q"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "g0_node_table" -> (g0_node_table _),
     "g1_edge_validity" -> (g1_edge_validity _),
@@ -384,7 +410,8 @@ object GraphQueries extends QueryModule {
     "g5_prompt_construction" -> (g5_prompt_construction _),
     "g6_triangles" -> (g6_triangles _),
     "g7_modularity" -> (g7_modularity _),
-    "g8_refined_modularity" -> (g8_refined_modularity _)
+    "g8_refined_modularity" -> (g8_refined_modularity _),
+    "g9_pagerank" -> (g9_pagerank _)
   )
 
   private val validEdgesSql =
@@ -643,6 +670,30 @@ object GraphQueries extends QueryModule {
                  CAST(4 * m.m * ii.intra - s2.sum_d2 AS BIGINT) AS q_num_lpa,
                  CAST(4 * m.m * ri.intra - rs.sum_d2 AS BIGINT) AS q_num_refined
           FROM ncmm m, ncii ii, ncs2 s2, yrii ri, yrs2 rs""",
+    "g9_pagerank" -> {
+      def prStep(t: Int): String =
+        s"""pr$t AS (
+              SELECT n.id, 150000 + (85 * coalesce(s.c, 0)) // 100 AS r
+              FROM prnodes n LEFT JOIN (
+                SELECT e.dst AS id, sum(p.r // o.od) AS c
+                FROM predges e
+                JOIN pr${t - 1} p ON p.id = e.src
+                JOIN prodeg o ON o.src = e.src
+                GROUP BY e.dst) s ON s.id = n.id)"""
+      s"""WITH prnodes AS MATERIALIZED (
+            SELECT 's:' || CAST(s_suppkey AS VARCHAR) AS id FROM supplier
+            UNION ALL
+            SELECT 'p:' || CAST(p_partkey AS VARCHAR) AS id FROM part),
+          predges AS MATERIALIZED (
+            SELECT DISTINCT 's:' || CAST(l_suppkey AS VARCHAR) AS src,
+                   'p:' || CAST(l_partkey AS VARCHAR) AS dst
+            FROM lineitem),
+          prodeg AS MATERIALIZED (SELECT src, count(*) AS od FROM predges GROUP BY src),
+          pr0 AS (SELECT id, CAST(1000000 AS BIGINT) AS r FROM prnodes),
+          ${(1 to 3).map(prStep).mkString(", ")}
+          SELECT id AS node_id, CAST(r AS BIGINT) AS rank_q
+          FROM pr3 ORDER BY r DESC, id LIMIT 20"""
+    },
     "g1b_degree_stats" ->
       s"""$validEdgesSql,
           deg AS (

@@ -129,6 +129,31 @@ class GraphOpsSpec extends AnyFunSuite with SparkTestBase {
     assert(GraphOps.modularity(und, one) == 0.0)
   }
 
+  test("pageRankQuantized: exact integer scores on a hand-computed graph") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // 1 → 2, 1 → 3, 2 → 3; scale 10⁶, 1 iteration:
+    //   r(1) = 150000 (no in-edges)
+    //   r(2) = 150000 + 85·(10⁶ div 2) div 100 = 150000 + 425000 = 575000
+    //   r(3) = 150000 + 85·(10⁶ div 2 + 10⁶ div 1) div 100 = 150000 + 1275000
+    val verts = Seq(1L, 2L, 3L).toDF("id")
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L)).toDF("src", "dst")
+    val got = GraphOps
+      .pageRankQuantized(verts, edges, 1)
+      .collect()
+      .map(r => r.getLong(0) -> r.getAs[Long]("r"))
+      .toMap
+    assert(got == Map(1L -> 150000L, 2L -> 575000L, 3L -> 1425000L))
+    // second iteration feeds the quantized ranks forward deterministically:
+    //   r(2) = 150000 + 85·(150000 div 2) div 100 = 213750
+    val got2 = GraphOps
+      .pageRankQuantized(verts, edges, 2)
+      .filter(col("id") === 2L)
+      .head()
+      .getAs[Long]("r")
+    assert(got2 == 213750L)
+  }
+
   test("degrees counts both endpoints of every edge") {
     import spark.implicits._
     val edges = Seq((1L, 2L), (1L, 3L)).toDF("src", "dst")
