@@ -166,6 +166,23 @@ object Aggregations extends QueryModule {
       )
   }
 
+  /** A15 — NTILE bucketing: customers quartiled by account balance within
+    * their nation (the "tier your entities per segment" operator). NTILE's
+    * assignment is purely positional, so with the order fully determined
+    * (balance desc, key asc tiebreak) both engines bucket identically —
+    * no float compare anywhere. One shuffle on the nation key.
+    */
+  private def a15_ntile(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window
+      .partitionBy(col("c_nationkey"))
+      .orderBy(col("c_acctbal").desc, col("c_custkey").asc)
+    table(s, d, "customer")
+      .select(col("c_custkey"), col("c_nationkey"), col("c_acctbal"))
+      .withColumn("quartile", ntile(4).over(w).cast("long"))
+      .select(col("c_custkey"), col("c_nationkey"), col("quartile"))
+  }
+
   /** A13 — ROLLUP with grouping id: per-(flag, status) stats plus the
     * per-flag and grand-total superaggregates in ONE pass (Spark expands
     * grouping sets inside a single Exchange — three separate groupBys would
@@ -204,6 +221,7 @@ object Aggregations extends QueryModule {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "a12_percentiles" -> (a12_percentiles _),
+    "a15_ntile" -> (a15_ntile _),
     "a13_rollup" -> (a13_rollup _),
     "a14_pivot" -> (a14_pivot _),
     "a1_count" -> (a1_count _),
@@ -230,6 +248,11 @@ object Aggregations extends QueryModule {
                 CAST(max(CASE WHEN rn = (n + 1) // 2 THEN l_quantity END) AS BIGINT) AS p50_qty,
                 CAST(max(CASE WHEN rn = (9 * n + 9) // 10 THEN l_quantity END) AS BIGINT) AS p90_qty
          FROM r GROUP BY l_returnflag""",
+    "a15_ntile" ->
+      """SELECT c_custkey, c_nationkey,
+                CAST(ntile(4) OVER (PARTITION BY c_nationkey
+                                    ORDER BY c_acctbal DESC, c_custkey) AS BIGINT) AS quartile
+         FROM customer""",
     "a13_rollup" ->
       """SELECT l_returnflag, l_linestatus,
                 CAST(CASE WHEN l_returnflag IS NULL THEN 2 ELSE 0 END

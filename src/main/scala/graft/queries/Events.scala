@@ -136,12 +136,31 @@ object Events extends QueryModule {
       )
   }
 
+  /** E6 — inter-arrival-time histogram: per-user deltas between consecutive
+    * events (lag over one user_id shuffle), bucketed to minutes and counted
+    * — the distribution that drives session-gap and rate-limit tuning.
+    * Minute bucketing is integer floor division, so the histogram is exact
+    * cross-engine; both window and final count are map-side-combinable.
+    */
+  private def e6_interarrival(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
+    table(s, d, "events")
+      .select(col("user_id"), col("event_id"), us.as("us"))
+      .withColumn("prev", lag(col("us"), 1).over(w))
+      .filter(col("prev").isNotNull)
+      .select(expr("(us - prev) div 60000000").as("gap_min"))
+      .groupBy(col("gap_min"))
+      .agg(count(lit(1)).as("n"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "e1_event_window" -> (e1_event_window _),
     "e2_sessionize" -> (e2_sessionize _),
     "e3_debounce" -> (e3_debounce _),
     "e4_rolling_window" -> (e4_rolling_window _),
-    "e5_funnel" -> (e5_funnel _)
+    "e5_funnel" -> (e5_funnel _),
+    "e6_interarrival" -> (e6_interarrival _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -178,6 +197,13 @@ object Events extends QueryModule {
          FROM e
          WINDOW w AS (PARTITION BY user_id ORDER BY us
                       RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)""",
+    "e6_interarrival" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us FROM events),
+         g AS (SELECT us - lag(us) OVER (PARTITION BY user_id
+                       ORDER BY us, event_id) AS gap FROM e)
+         SELECT CAST(gap // 60000000 AS BIGINT) AS gap_min,
+                CAST(count(*) AS BIGINT) AS n
+         FROM g WHERE gap IS NOT NULL GROUP BY 1""",
     "e5_funnel" ->
       """WITH e AS (SELECT user_id, epoch_us(ts) AS us, event_type FROM events),
          s AS (SELECT user_id, min(us) AS s_us FROM e
