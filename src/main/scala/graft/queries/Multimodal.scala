@@ -124,11 +124,40 @@ object Multimodal extends QueryModule {
     image.unionByName(audio).unionByName(unknown)
   }
 
+  /** M5 — modality-partitioned layout + pruned read-back: m4's dispatched
+    * corpus is written Hive-partitioned BY MODALITY, then a single
+    * modality's partition is read back by path. At corpus scale this is
+    * the layout decision that makes per-modality training jobs cheap —
+    * an image-only epoch reads the `modality=image/` directory and never
+    * scans audio bytes (directory-level pruning, stronger than row-group
+    * skipping). The read-back aggregate proves the roundtrip preserved
+    * the branch exactly.
+    */
+  private def m5_modality_partitioned(s: SparkSession, d: String): DataFrame = {
+    val base  = s"${sys.props("java.io.tmpdir")}/graft_io/m5"
+    val asset = "media_features"
+    graft.io.TableIO.writePartitioned(m4_modality_dispatch(s, d), base, asset, "modality")
+    graft.io.TableIO
+      .readPartitions(
+        s,
+        base,
+        asset,
+        Seq(graft.io.TableIO.partitionPath(base, asset, "modality", Some("image")))
+      )
+      .groupBy(col("modality").cast("string").as("modality"), col("status"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("feat_a")).cast("long").as("sum_feat_a"),
+        max(col("feat_b")).cast("long").as("max_feat_b")
+      )
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "m1_binary_meta" -> (m1_binary_meta _),
     "m2_feature_extract" -> (m2_feature_extract _),
     "m3_frame_sample" -> (m3_frame_sample _),
-    "m4_modality_dispatch" -> (m4_modality_dispatch _)
+    "m4_modality_dispatch" -> (m4_modality_dispatch _),
+    "m5_modality_partitioned" -> (m5_modality_partitioned _)
   )
 
   /** The stub decoder's md5 arithmetic, regenerated in DuckDB. */
@@ -181,6 +210,18 @@ object Multimodal extends QueryModule {
          SELECT doc_id, modality,
                 CAST(NULL AS BIGINT) AS feat_a, CAST(NULL AS BIGINT) AS feat_b,
                 'quarantined' AS status
-         FROM base WHERE modality = 'unknown'"""
+         FROM base WHERE modality = 'unknown'""",
+    // m5: the roundtrip is the identity on the image branch, so the oracle
+    // derives the same aggregate straight from the source
+    "m5_modality_partitioned" ->
+      """WITH base AS (
+           SELECT doc_id,
+                  ('0x' || substr(md5(text), 1, 6))::BIGINT AS h
+           FROM documents WHERE substr(text, 1, 4) = 'key ')
+         SELECT 'image' AS modality, 'ok' AS status,
+                CAST(count(*) AS BIGINT) AS n,
+                CAST(sum(160 + h % 480) AS BIGINT) AS sum_feat_a,
+                CAST(max(90 + (h // 7) % 270) AS BIGINT) AS max_feat_b
+         FROM base"""
   )
 }

@@ -195,6 +195,27 @@ object WindowsFiltersSorts extends QueryModule {
         row_number().over(Window.orderBy(col("o_orderpriority"))).cast("long")
       )
 
+  /** O6 — Z-order layout key (`graft_zorder`, a native codegen'd Morton
+    * interleave): the clustering sort a lakehouse runs before writing so
+    * parquet min/max stats stay tight on BOTH dimensions (here: nation ×
+    * balance-bucket over customers). The query materializes the first 100
+    * rows of the layout order — at scale this ordering feeds the writer,
+    * and predicates on either dimension then skip most row groups.
+    */
+  private def o6_zorder_layout(s: SparkSession, d: String): DataFrame = {
+    // trunc-toward-zero then normalized mod: matches the oracle's
+    // CAST(trunc(...)) — DuckDB's decimal→int CAST rounds, Spark's truncates
+    val zkey = call_function(
+      "graft_zorder",
+      col("c_nationkey").cast("long"),
+      (col("c_acctbal").cast("long") % 65536 + 65536) % 65536
+    )
+    table(s, d, "customer")
+      .select(col("c_custkey"), zkey.as("zkey"))
+      .orderBy(col("zkey").asc, col("c_custkey").asc)
+      .limit(100)
+  }
+
   /** P9 — min-length content filter. */
   private def p9_min_length(s: SparkSession, d: String): DataFrame =
     table(s, d, "documents")
@@ -214,10 +235,23 @@ object WindowsFiltersSorts extends QueryModule {
     "p6_validation_gate" -> (p6_validation_gate _),
     "p4_regex_filter" -> (p4_regex_filter _),
     "p8_offset_slice" -> (p8_offset_slice _),
-    "p9_min_length" -> (p9_min_length _)
+    "p9_min_length" -> (p9_min_length _),
+    "o6_zorder_layout" -> (o6_zorder_layout _)
   )
 
+  /** The Morton interleave as a closed-form bit chain (ZOrderKey's SQL twin). */
+  private val zorderBitsSql: String = (0 until 16)
+    .map(i => s"(((x >> $i) & 1) << ${2 * i}) + (((y >> $i) & 1) << ${2 * i + 1})")
+    .mkString(" + ")
+
   val oracles: Map[String, String] = Map(
+    "o6_zorder_layout" ->
+      s"""WITH c AS (SELECT c_custkey,
+                            CAST(c_nationkey AS BIGINT) AS x,
+                            ((CAST(trunc(c_acctbal) AS BIGINT) % 65536) + 65536) % 65536 AS y
+                     FROM customer)
+          SELECT c_custkey, CAST($zorderBitsSql AS BIGINT) AS zkey
+          FROM c ORDER BY zkey, c_custkey LIMIT 100""",
     "w1_rank_label" ->
       """SELECT l_orderkey,
                 CAST(row_number() OVER (PARTITION BY l_orderkey
