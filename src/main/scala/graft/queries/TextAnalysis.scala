@@ -225,6 +225,45 @@ object TextAnalysis extends QueryModule {
     * map-side). N arrives via a broadcast single-row aggregate — no driver
     * action.
     */
+  /** X10 — HyperLogLog REGISTER build over document content, all-integer:
+    * bucket = top 6 bits of the 24-bit md5 value (64 registers), ρ =
+    * leading-zeros-plus-one of the 18-bit suffix via `19 − bitlen` (both
+    * engines compute bit length as `length(bin(x))` — no floats anywhere,
+    * unlike every stock HLL whose harmonic estimate can't hash-match).
+    * The registers ARE the distributed artifact: one bounded 64-row max
+    * aggregate per partition, mergeable by max across executors or days —
+    * the bounded-memory distinct-count shape a 100 TB pipeline ships
+    * between stages. `est_q` is the raw HLL estimate kept rational:
+    * Σ 2^−Mⱼ scaled by 2¹⁹ is an exact integer S, and the estimate
+    * α·m²/(S/2¹⁹) quantizes to (709·m²·2¹⁹) div (1000·S) — α = 0.709 for
+    * m = 64, declared without the small-range correction.
+    */
+  private def x10_hll_registers(s: SparkSession, d: String): DataFrame = {
+    val docs = table(s, d, "documents")
+      .select(expr("conv(substr(md5(text), 1, 6), 16, 10)").cast("long").as("h24"))
+      .select(expr("h24 div 262144").as("bucket"), expr("h24 % 262144").as("suffix"))
+      .select(
+        col("bucket"),
+        when(col("suffix") === 0, lit(19L))
+          .otherwise(lit(19L) - length(expr("bin(suffix)")))
+          .as("rho")
+      )
+    val allBuckets = s.range(0, 64).select(col("id").as("bucket"))
+    val regs = allBuckets
+      .join(docs.groupBy(col("bucket")).agg(max(col("rho")).as("m")), Seq("bucket"), "left")
+      .select(col("bucket"), coalesce(col("m"), lit(0L)).as("register"))
+    val sRow = regs.agg(
+      sum(expr("cast(shiftleft(1, cast(19 - register as int)) as long)")).as("s")
+    )
+    regs
+      .crossJoin(broadcast(sRow))
+      .select(
+        col("bucket"),
+        col("register"),
+        expr(s"${709L * 4096L * 524288L} div (s * 1000)").as("est_q")
+      )
+  }
+
   private def x9_tfidf_topk(s: SparkSession, d: String): DataFrame = {
     val tf = table(s, d, "documents")
       .select(col("doc_id"), explode(words(col("text"))).as("term"))
@@ -247,6 +286,7 @@ object TextAnalysis extends QueryModule {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x9_tfidf_topk" -> (x9_tfidf_topk _),
+    "x10_hll_registers" -> (x10_hll_registers _),
     "x1_lang_id" -> (x1_lang_id _),
     "x2_quality_score" -> (x2_quality_score _),
     "x3_token_count" -> (x3_token_count _),
@@ -361,6 +401,23 @@ object TextAnalysis extends QueryModule {
                FROM s)
          SELECT doc_id, term, CAST(score_q AS BIGINT) AS score_q,
                 CAST(rank AS BIGINT) AS rank
-         FROM r WHERE rank <= 3"""
+         FROM r WHERE rank <= 3""",
+    "x10_hll_registers" ->
+      s"""WITH h AS (SELECT ('0x' || substr(md5(text), 1, 6))::BIGINT AS h24
+                     FROM documents),
+          r AS (SELECT h24 // 262144 AS bucket,
+                       CASE WHEN h24 % 262144 = 0 THEN 19
+                            ELSE 19 - length(bin(h24 % 262144)) END AS rho
+                FROM h),
+          regs AS (
+            SELECT b.bucket, coalesce(max(r.rho), 0) AS register
+            FROM (SELECT unnest(range(0, 64)) AS bucket) b
+            LEFT JOIN r ON r.bucket = b.bucket
+            GROUP BY b.bucket),
+          s AS (SELECT sum(1 << (19 - register)) AS s FROM regs)
+          SELECT CAST(bucket AS BIGINT) AS bucket,
+                 CAST(register AS BIGINT) AS register,
+                 CAST(${709L * 4096L * 524288L} // (s.s * 1000) AS BIGINT) AS est_q
+          FROM regs, s"""
   )
 }
