@@ -84,6 +84,17 @@ class PlanShapeSpec extends AnyFunSuite with SparkTestBase {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("o6's layout sort is TakeOrderedAndProject (O(k) per partition, no full sort)") {
+    val p = plan("o6_zorder_layout")
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("x10's register build carries no join wider than the 64-bucket frame") {
+    val p = plan("x10_hll_registers")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("SortMergeJoin"), p) // 64-row sides must stay broadcast
+  }
+
   test("enrichWithStatic plans a broadcast join in batch form") {
     import spark.implicits._
     val facts = Seq((1L, "a")).toDF("k", "v")
