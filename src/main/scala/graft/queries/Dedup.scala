@@ -292,6 +292,32 @@ object Dedup extends QueryModule {
       .agg(min(col("doc_id")).as("first_doc_id"), count(lit(1)).as("n_variants"))
   }
 
+  /** D9 — entity-resolution blocking: fuzzy-match part names within edit
+    * distance 2, with candidate generation BLOCKED on (first word, exact
+    * length) so the comparison set is Σ block² pairs, never the n²
+    * all-pairs a naive fuzzy join would scan — the same cost discipline as
+    * d1's LSH bands, applied to edit distance instead of Jaccard. The
+    * residual `levenshtein ≤ 2` runs only inside blocks (both engines
+    * implement standard unit-cost Levenshtein, so the distances compare
+    * exactly). At scale the block key is the knob: tighter blocks trade
+    * recall for cost, the canonical ER tuning.
+    */
+  private def d9_fuzzy_blocking(s: SparkSession, d: String): DataFrame = {
+    val p = table(s, d, "part").select(
+      col("p_partkey").as("k"),
+      col("p_name").as("nm"),
+      element_at(split(col("p_name"), " "), 1).as("blk_word"),
+      length(col("p_name")).as("blk_len")
+    )
+    val a = p.select(col("k").as("a_key"), col("nm").as("a_name"), col("blk_word"), col("blk_len"))
+    val b = p.select(col("k").as("b_key"), col("nm").as("b_name"), col("blk_word"), col("blk_len"))
+    a.join(b, Seq("blk_word", "blk_len"))
+      .filter(col("a_key") < col("b_key"))
+      .withColumn("dist", levenshtein(col("a_name"), col("b_name")).cast("long"))
+      .filter(col("dist") <= 2)
+      .select(col("a_key"), col("b_key"), col("dist"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d1_minhash_candidates" -> (d1_minhash_candidates _),
     "d2_verified_pairs" -> (d2_verified_pairs _),
@@ -300,7 +326,8 @@ object Dedup extends QueryModule {
     "d5_embed_neardup" -> (d5_embed_neardup _),
     "d6_contamination" -> (d6_contamination _),
     "d7_dedup_clusters" -> (d7_dedup_clusters _),
-    "d8_url_dedup" -> (d8_url_dedup _)
+    "d8_url_dedup" -> (d8_url_dedup _),
+    "d9_fuzzy_blocking" -> (d9_fuzzy_blocking _)
   )
 
   // ---- oracles ----
@@ -473,6 +500,15 @@ object Dedup extends QueryModule {
            FROM n)
          SELECT canonical_url, min(doc_id) AS first_doc_id,
                 CAST(count(*) AS BIGINT) AS n_variants
-         FROM c GROUP BY 1"""
+         FROM c GROUP BY 1""",
+    "d9_fuzzy_blocking" ->
+      """SELECT a.p_partkey AS a_key, b.p_partkey AS b_key,
+                CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist
+         FROM part a
+         JOIN part b
+           ON split_part(a.p_name, ' ', 1) = split_part(b.p_name, ' ', 1)
+          AND length(a.p_name) = length(b.p_name)
+          AND a.p_partkey < b.p_partkey
+         WHERE levenshtein(a.p_name, b.p_name) <= 2"""
   )
 }
