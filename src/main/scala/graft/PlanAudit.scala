@@ -21,7 +21,8 @@ object PlanAudit {
     "g2_connected_components", "g2b_label_propagation",
     "g2c_community_hierarchy", "g4_summary_stub", "g5_prompt_construction",
     "g7_modularity", "g8_refined_modularity", "g9_pagerank",
-    "pl7_article_merge", "pl8_vector_ingest", "m5_modality_partitioned"
+    "pl7_article_merge", "pl8_vector_ingest", "m5_modality_partitioned",
+    "s4b_corrupt_capture"
   )
 
   def main(args: Array[String]): Unit = {

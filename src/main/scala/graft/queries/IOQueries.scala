@@ -52,6 +52,47 @@ object IOQueries extends QueryModule {
     TableIO.readJsonl(s, schema, out)
   }
 
+  /** S4b — corrupt-record capture on a schema'd JSONL scan: every 7th line
+    * of the written file is truncated mid-record, and the PERMISSIVE read
+    * routes each bad line into `_corrupt_record` instead of failing the job
+    * or silently dropping it. The single-row accounting (good count, bad
+    * count, checksum over the good rows) is what a 100 TB ingest MUST
+    * emit per batch: FAILFAST dies on one bad byte among billions, and
+    * DROPMALFORMED loses rows without a trace — capture-and-count is the
+    * only mode that scales operationally.
+    */
+  private def s4b_corrupt_capture(s: SparkSession, d: String): DataFrame = {
+    val out = ioDir("s4b_jsonl")
+    val lines = table(s, d, "documents")
+      .select(
+        col("doc_id"),
+        to_json(struct(col("doc_id"), length(col("text")).as("text_len"))).as("line")
+      )
+      .select(
+        when(col("doc_id") % 7 === 0, substring(col("line"), 1, 9)) // truncated mid-record
+          .otherwise(col("line"))
+          .as("value")
+      )
+    lines.write.mode("overwrite").text(out)
+    val schema = StructType(
+      Seq(
+        StructField("doc_id", LongType),
+        StructField("text_len", LongType),
+        StructField("_corrupt_record", StringType)
+      )
+    )
+    s.read
+      .schema(schema)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .json(out)
+      .agg(
+        count(when(col("_corrupt_record").isNull, 1)).as("n_good"),
+        count(col("_corrupt_record")).as("n_bad"),
+        sum(when(col("_corrupt_record").isNull, col("text_len"))).as("good_len_sum")
+      )
+  }
+
   /** S5+U2 — Hive-partitioned write, then a multi-path union read of two
     * selected partitions (with basePath so the partition column survives).
     */
@@ -174,6 +215,7 @@ object IOQueries extends QueryModule {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s1_parquet_roundtrip" -> (s1_parquet_roundtrip _),
     "s3_jsonl_roundtrip" -> (s3_jsonl_roundtrip _),
+    "s4b_corrupt_capture" -> (s4b_corrupt_capture _),
     "s13_track_flatten" -> (s13_track_flatten _),
     "s14_graph_roundtrip" -> (s14_graph_roundtrip _),
     "b1_bucketed_join" -> (b1_bucketed_join _),
@@ -188,6 +230,14 @@ object IOQueries extends QueryModule {
                 CASE WHEN c_custkey % 2 = 0
                      THEN 'seg' || CAST(c_nationkey AS VARCHAR) END AS segment
          FROM customer""",
+    // s4b: the corrupt set is doc_id % 7 = 0 by construction, so the
+    // accounting derives in closed form from the source table
+    "s4b_corrupt_capture" ->
+      """SELECT CAST(count(CASE WHEN doc_id % 7 <> 0 THEN 1 END) AS BIGINT) AS n_good,
+                CAST(count(CASE WHEN doc_id % 7 = 0 THEN 1 END) AS BIGINT) AS n_bad,
+                CAST(sum(CASE WHEN doc_id % 7 <> 0 THEN length(text) END) AS BIGINT)
+                  AS good_len_sum
+         FROM documents""",
     "s13_track_flatten" ->
       """SELECT l_orderkey, l_linestatus AS format,
                 l_linenumber AS position, l_partkey AS recording_id,
