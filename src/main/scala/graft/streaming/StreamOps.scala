@@ -84,6 +84,14 @@ object StreamOps {
     * join contract); in batch frames the watermark is a no-op and the same
     * call degrades to a plain range-banded equi-join — one transform, both
     * execution modes (the windowedCounts stance).
+    *
+    * `joinType = "left_outer"` is the attribution-timeout form: a left row
+    * with no in-band match is emitted WITH NULL right columns — but only
+    * once the watermark has passed its band's end, because until then a
+    * match could still arrive. That deferred emission is exactly the
+    * "impression never converted" record an attribution pipeline needs,
+    * and it's only well-defined because the watermark+band bound when the
+    * question closes. Inner joins emit eagerly on match.
     */
   def joinStreamsWithinBand(
       left: DataFrame,
@@ -93,7 +101,8 @@ object StreamOps {
       leftTs: String,
       rightTs: String,
       bandSeconds: Long,
-      delay: String = "1 hour"
+      delay: String = "1 hour",
+      joinType: String = "inner"
   ): DataFrame =
     left
       .withWatermark(leftTs, delay)
@@ -101,7 +110,8 @@ object StreamOps {
         right.withWatermark(rightTs, delay),
         col(leftKey) === col(rightKey) &&
           col(rightTs) >= col(leftTs) - expr(s"interval $bandSeconds seconds") &&
-          col(rightTs) <= col(leftTs) + expr(s"interval $bandSeconds seconds")
+          col(rightTs) <= col(leftTs) + expr(s"interval $bandSeconds seconds"),
+        joinType
       )
 
   /** Keep-last streaming upsert sink (S17's semantics on a stream): each

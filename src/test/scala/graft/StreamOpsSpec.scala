@@ -259,6 +259,38 @@ class StreamOpsSpec extends AnyFunSuite with SparkTestBase {
     } finally q.stop()
   }
 
+  test("joinStreamsWithinBand left_outer: unmatched facts emit with nulls after the watermark") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    implicit val sqlCtx = spark.sqlContext
+    val base = 1700000000L
+    val li = MemoryStream[(Long, Long)]
+    val ri = MemoryStream[(Long, Long)]
+    val joined = StreamOps.joinStreamsWithinBand(
+      li.toDF().toDF("k", "its").select(col("k"), timestamp_seconds(col("its")).as("it")),
+      ri.toDF().toDF("ck", "cts").select(col("ck"), timestamp_seconds(col("cts")).as("ct")),
+      leftKey = "k", rightKey = "ck", leftTs = "it", rightTs = "ct",
+      bandSeconds = 60L, delay = "10 seconds", joinType = "left_outer"
+    )
+    val q = joined.writeStream.format("memory").queryName("ssleft")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // k=1 gets a match; k=2 never does
+      li.addData((1L, base + 0L), (2L, base + 5L))
+      ri.addData((1L, base + 30L))
+      q.processAllAvailable()
+      // advance the watermark far past k=2's band end so its timeout fires
+      li.addData((9L, base + 10000L))
+      ri.addData((9L, base + 10000L))
+      q.processAllAvailable()
+      val got = spark.table("ssleft").collect()
+        .map(r => (r.getAs[Long]("k"), Option(r.getAs[java.sql.Timestamp]("ct")).isDefined))
+        .toSet
+      assert(got.contains((1L, true)), s"matched row missing: ${got.mkString(",")}")
+      assert(got.contains((2L, false)), s"timed-out row with nulls missing: ${got.mkString(",")}")
+    } finally q.stop()
+  }
+
   test("upsertSinkPartitioned: merges touched partitions, untouched files byte-identical") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
