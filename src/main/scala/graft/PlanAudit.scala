@@ -22,7 +22,7 @@ object PlanAudit {
     "g2c_community_hierarchy", "g4_summary_stub", "g5_prompt_construction",
     "g7_modularity", "g8_refined_modularity", "g9_pagerank",
     "pl7_article_merge", "pl8_vector_ingest", "m5_modality_partitioned",
-    "s4b_corrupt_capture"
+    "s4b_corrupt_capture", "s21_csv_roundtrip"
   )
 
   def main(args: Array[String]): Unit = {

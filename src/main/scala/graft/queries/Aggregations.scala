@@ -200,6 +200,21 @@ object Aggregations extends QueryModule {
         sum(col("l_quantity")).cast("long").as("sum_qty")
       )
 
+  /** A16 — CUBE over (returnflag, linestatus): all four grouping sets —
+    * the cross-dimension superaggregates ROLLUP's hierarchy omits (the
+    * per-status-across-flags marginals) — in ONE Exchange, like a13.
+    * Same grouping-id convention and the same NULL-derivation oracle
+    * trick (valid because neither column is nullable in the data).
+    */
+  private def a16_cube(s: SparkSession, d: String): DataFrame =
+    table(s, d, "lineitem")
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        grouping_id().cast("long").as("gid"),
+        count(lit(1)).as("n"),
+        sum(col("l_quantity")).cast("long").as("sum_qty")
+      )
+
   /** A14 (pivot) — event counts per user cohort pivoted to one column per
     * event type. The value list is EXPLICIT: without it Spark runs an extra
     * distinct-collect job to discover values, and the output schema becomes
@@ -224,6 +239,7 @@ object Aggregations extends QueryModule {
     "a15_ntile" -> (a15_ntile _),
     "a13_rollup" -> (a13_rollup _),
     "a14_pivot" -> (a14_pivot _),
+    "a16_cube" -> (a16_cube _),
     "a1_count" -> (a1_count _),
     "a2_null_counts" -> (a2_null_counts _),
     "a3_dup_rows" -> (a3_dup_rows _),
@@ -260,6 +276,13 @@ object Aggregations extends QueryModule {
                 CAST(count(*) AS BIGINT) AS n,
                 CAST(sum(l_quantity) AS BIGINT) AS sum_qty
          FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""",
+    "a16_cube" ->
+      """SELECT l_returnflag, l_linestatus,
+                CAST(CASE WHEN l_returnflag IS NULL THEN 2 ELSE 0 END
+                   + CASE WHEN l_linestatus IS NULL THEN 1 ELSE 0 END AS BIGINT) AS gid,
+                CAST(count(*) AS BIGINT) AS n,
+                CAST(sum(l_quantity) AS BIGINT) AS sum_qty
+         FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)""",
     "a14_pivot" ->
       """SELECT user_id % 10 AS cohort,
                 CAST(count(CASE WHEN event_type = 'click' THEN 1 END) AS BIGINT) AS n_click,

@@ -154,7 +154,33 @@ object Events extends QueryModule {
       .agg(count(lit(1)).as("n"))
   }
 
+  /** E7 — calendar-spine gap filling: daily order counts DENSIFIED over the
+    * full min→max date range, missing days present with zero counts. Time
+    * series consumers (trend models, anomaly detectors) need the dense
+    * form; the naive groupBy silently omits empty days. The spine comes
+    * from one broadcast single-row min/max aggregate exploded through
+    * `sequence` — no driver round-trip, and the left join against the
+    * (already aggregated, small) daily counts broadcasts. Counting to the
+    * spine, not filtering to the data, is the point.
+    */
+  private def e7_gap_fill(s: SparkSession, d: String): DataFrame = {
+    val daily = table(s, d, "orders")
+      .groupBy(col("o_orderdate").as("day"))
+      .agg(count(lit(1)).as("n_orders"))
+    val bounds = table(s, d, "orders")
+      .agg(min(col("o_orderdate")).as("lo"), max(col("o_orderdate")).as("hi"))
+    val spine = bounds
+      .select(explode(expr("sequence(lo, hi, interval 1 day)")).as("day"))
+    spine
+      .join(daily, Seq("day"), "left")
+      .select(
+        date_format(col("day"), "yyyy-MM-dd").as("day"),
+        coalesce(col("n_orders"), lit(0L)).as("n_orders")
+      )
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "e7_gap_fill" -> (e7_gap_fill _),
     "e1_event_window" -> (e1_event_window _),
     "e2_sessionize" -> (e2_sessionize _),
     "e3_debounce" -> (e3_debounce _),
@@ -197,6 +223,14 @@ object Events extends QueryModule {
          FROM e
          WINDOW w AS (PARTITION BY user_id ORDER BY us
                       RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)""",
+    "e7_gap_fill" ->
+      """WITH b AS (SELECT min(o_orderdate) AS lo, max(o_orderdate) AS hi FROM orders),
+         spine AS (SELECT unnest(generate_series(lo, hi, INTERVAL 1 DAY))::DATE AS day FROM b),
+         daily AS (SELECT o_orderdate AS day, CAST(count(*) AS BIGINT) AS n
+                   FROM orders GROUP BY 1)
+         SELECT strftime(spine.day, '%Y-%m-%d') AS day,
+                coalesce(daily.n, 0) AS n_orders
+         FROM spine LEFT JOIN daily ON spine.day = daily.day""",
     "e6_interarrival" ->
       """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us FROM events),
          g AS (SELECT us - lag(us) OVER (PARTITION BY user_id

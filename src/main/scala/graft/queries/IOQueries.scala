@@ -52,6 +52,41 @@ object IOQueries extends QueryModule {
     TableIO.readJsonl(s, schema, out)
   }
 
+  /** S21 — CSV sink + schema'd scan roundtrip: header on, explicit quote/
+    * escape handling exercised by a field that CONTAINS the delimiter and
+    * quotes (part names with an injected `, "q"` suffix), explicit schema
+    * on read (inference samples the data — nondeterministic at scale and
+    * an extra pass). CSV is the interchange format that still carries half
+    * of real ingest; the dangerous part is quoting, so the roundtrip
+    * plants the dangerous case.
+    */
+  private def s21_csv_roundtrip(s: SparkSession, d: String): DataFrame = {
+    val out = ioDir("s21_csv")
+    val src = table(s, d, "part").select(
+      col("p_partkey"),
+      concat(col("p_name"), lit(", \"q\"")).as("tricky_name"),
+      col("p_retailprice")
+    )
+    src.write.mode("overwrite").option("header", "true").csv(out)
+    val schema = StructType(
+      Seq(
+        StructField("p_partkey", LongType),
+        StructField("tricky_name", StringType),
+        StructField("p_retailprice", org.apache.spark.sql.types.DoubleType)
+      )
+    )
+    s.read
+      .schema(schema)
+      .option("header", "true")
+      .csv(out)
+      .select(
+        col("p_partkey"),
+        col("tricky_name"),
+        // integral-cents long: float-safe compare (the s3/u2 stance)
+        round(col("p_retailprice") * 100, 0).cast("long").as("price_cents")
+      )
+  }
+
   /** S4b — corrupt-record capture on a schema'd JSONL scan: every 7th line
     * of the written file is truncated mid-record, and the PERMISSIVE read
     * routes each bad line into `_corrupt_record` instead of failing the job
@@ -216,6 +251,7 @@ object IOQueries extends QueryModule {
     "s1_parquet_roundtrip" -> (s1_parquet_roundtrip _),
     "s3_jsonl_roundtrip" -> (s3_jsonl_roundtrip _),
     "s4b_corrupt_capture" -> (s4b_corrupt_capture _),
+    "s21_csv_roundtrip" -> (s21_csv_roundtrip _),
     "s13_track_flatten" -> (s13_track_flatten _),
     "s14_graph_roundtrip" -> (s14_graph_roundtrip _),
     "b1_bucketed_join" -> (b1_bucketed_join _),
@@ -230,6 +266,12 @@ object IOQueries extends QueryModule {
                 CASE WHEN c_custkey % 2 = 0
                      THEN 'seg' || CAST(c_nationkey AS VARCHAR) END AS segment
          FROM customer""",
+    // s21: the roundtrip is the identity, so the oracle derives from source
+    "s21_csv_roundtrip" ->
+      """SELECT p_partkey,
+                p_name || ', "q"' AS tricky_name,
+                CAST(round(p_retailprice * 100, 0) AS BIGINT) AS price_cents
+         FROM part""",
     // s4b: the corrupt set is doc_id % 7 = 0 by construction, so the
     // accounting derives in closed form from the source table
     "s4b_corrupt_capture" ->
