@@ -195,6 +195,48 @@ object WindowsFiltersSorts extends QueryModule {
         row_number().over(Window.orderBy(col("o_orderpriority"))).cast("long")
       )
 
+  /** W5 — percent_rank, INTEGER-QUANTIZED: pr_q = ((rank−1)·10⁶) div (n−1)
+    * over a fully-determined order, so the relative standing is exact
+    * cross-engine (stock percent_rank returns a float division both
+    * engines round differently at the ulp). The per-entity percentile
+    * standing feeds tiering and outlier policies downstream.
+    */
+  private def w5_percent_rank_q(s: SparkSession, d: String): DataFrame = {
+    val w  = Window.partitionBy(col("c_nationkey")).orderBy(col("c_acctbal").asc, col("c_custkey").asc)
+    val wg = Window.partitionBy(col("c_nationkey"))
+    table(s, d, "customer")
+      .select(col("c_custkey"), col("c_nationkey"), col("c_acctbal"))
+      .withColumn("rk", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(wg))
+      .select(
+        col("c_custkey"),
+        col("c_nationkey"),
+        expr("((rk - 1) * 1000000) div (n - 1)").as("pr_q")
+      )
+  }
+
+  /** W6 — grouped top-k WITH TIES (`rank`, not `row_number`): every row
+    * tied with the k-th survives, so the cut never silently drops peers —
+    * the semantics audits and leaderboards want. The contrast with w3's
+    * exact-k row_number form is the point: both are one WindowGroupLimit
+    * pass, the difference is only which boundary rule the consumer needs.
+    */
+  private def w6_topk_with_ties(s: SparkSession, d: String): DataFrame = {
+    val conn = table(s, d, "orders")
+      .groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("connectivity"))
+    val w = Window.partitionBy(col("c_nationkey")).orderBy(col("connectivity").desc)
+    table(s, d, "customer")
+      .join(conn, col("c_custkey") === col("o_custkey"), "left")
+      .select(
+        col("c_custkey"),
+        col("c_nationkey"),
+        coalesce(col("connectivity"), lit(0L)).as("connectivity")
+      )
+      .withColumn("rk", rank().over(w).cast("long"))
+      .filter(col("rk") <= 3)
+  }
+
   /** O6 — Z-order layout key (`graft_zorder`, a native codegen'd Morton
     * interleave): the clustering sort a lakehouse runs before writing so
     * parquet min/max stats stay tight on BOTH dimensions (here: nation ×
@@ -236,7 +278,9 @@ object WindowsFiltersSorts extends QueryModule {
     "p4_regex_filter" -> (p4_regex_filter _),
     "p8_offset_slice" -> (p8_offset_slice _),
     "p9_min_length" -> (p9_min_length _),
-    "o6_zorder_layout" -> (o6_zorder_layout _)
+    "o6_zorder_layout" -> (o6_zorder_layout _),
+    "w5_percent_rank_q" -> (w5_percent_rank_q _),
+    "w6_topk_with_ties" -> (w6_topk_with_ties _)
   )
 
   /** The Morton interleave as a closed-form bit chain (ZOrderKey's SQL twin). */
@@ -245,6 +289,26 @@ object WindowsFiltersSorts extends QueryModule {
     .mkString(" + ")
 
   val oracles: Map[String, String] = Map(
+    "w5_percent_rank_q" ->
+      """WITH r AS (
+           SELECT c_custkey, c_nationkey,
+                  row_number() OVER (PARTITION BY c_nationkey
+                                     ORDER BY c_acctbal, c_custkey) AS rk,
+                  count(*) OVER (PARTITION BY c_nationkey) AS n
+           FROM customer)
+         SELECT c_custkey, c_nationkey,
+                CAST(((rk - 1) * 1000000) // (n - 1) AS BIGINT) AS pr_q
+         FROM r""",
+    "w6_topk_with_ties" ->
+      """WITH conn AS (SELECT o_custkey, CAST(count(*) AS BIGINT) AS connectivity
+                      FROM orders GROUP BY 1),
+         c AS (SELECT c_custkey, c_nationkey,
+                      coalesce(conn.connectivity, 0) AS connectivity
+               FROM customer LEFT JOIN conn ON c_custkey = o_custkey),
+         r AS (SELECT *, rank() OVER (PARTITION BY c_nationkey
+                                      ORDER BY connectivity DESC) AS rk FROM c)
+         SELECT c_custkey, c_nationkey, connectivity, CAST(rk AS BIGINT) AS rk
+         FROM r WHERE rk <= 3""",
     "o6_zorder_layout" ->
       s"""WITH c AS (SELECT c_custkey,
                             CAST(c_nationkey AS BIGINT) AS x,
