@@ -200,6 +200,31 @@ object Aggregations extends QueryModule {
         sum(col("l_quantity")).cast("long").as("sum_qty")
       )
 
+  /** A17 — correlation COMPONENTS in exact integers: n, Σx, Σy, Σxy, Σx²,
+    * Σy² between quantity and price-cents per return flag. Pearson's r is
+    * a pure function of these six sums, and over integer inputs the sums
+    * are exact int64 — so the statistic is bit-reproducible across
+    * engines, partitionings, and retries, where a float `corr()` drifts
+    * with aggregation order. Map-side combinable like any sum; at larger
+    * magnitudes the same shape carries over decimal(38) accumulators.
+    */
+  private def a17_corr_components(s: SparkSession, d: String): DataFrame =
+    table(s, d, "lineitem")
+      .select(
+        col("l_returnflag"),
+        col("l_quantity").cast("long").as("x"),
+        round(col("l_extendedprice") * 100, 0).cast("long").as("y")
+      )
+      .groupBy(col("l_returnflag"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("x")).as("sum_x"),
+        sum(col("y")).as("sum_y"),
+        sum(col("x") * col("y")).as("sum_xy"),
+        sum(col("x") * col("x")).as("sum_x2"),
+        sum(col("y") * col("y")).as("sum_y2")
+      )
+
   /** A16 — CUBE over (returnflag, linestatus): all four grouping sets —
     * the cross-dimension superaggregates ROLLUP's hierarchy omits (the
     * per-status-across-flags marginals) — in ONE Exchange, like a13.
@@ -240,6 +265,7 @@ object Aggregations extends QueryModule {
     "a13_rollup" -> (a13_rollup _),
     "a14_pivot" -> (a14_pivot _),
     "a16_cube" -> (a16_cube _),
+    "a17_corr_components" -> (a17_corr_components _),
     "a1_count" -> (a1_count _),
     "a2_null_counts" -> (a2_null_counts _),
     "a3_dup_rows" -> (a3_dup_rows _),
@@ -276,6 +302,19 @@ object Aggregations extends QueryModule {
                 CAST(count(*) AS BIGINT) AS n,
                 CAST(sum(l_quantity) AS BIGINT) AS sum_qty
          FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""",
+    "a17_corr_components" ->
+      """WITH t AS (SELECT l_returnflag,
+                          CAST(l_quantity AS BIGINT) AS x,
+                          CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS y
+                   FROM lineitem)
+         SELECT l_returnflag,
+                CAST(count(*) AS BIGINT) AS n,
+                CAST(sum(x) AS BIGINT) AS sum_x,
+                CAST(sum(y) AS BIGINT) AS sum_y,
+                CAST(sum(x * y) AS BIGINT) AS sum_xy,
+                CAST(sum(x * x) AS BIGINT) AS sum_x2,
+                CAST(sum(y * y) AS BIGINT) AS sum_y2
+         FROM t GROUP BY l_returnflag""",
     "a16_cube" ->
       """SELECT l_returnflag, l_linestatus,
                 CAST(CASE WHEN l_returnflag IS NULL THEN 2 ELSE 0 END
