@@ -84,6 +84,44 @@ class StreamOpsSpec extends AnyFunSuite with SparkTestBase {
     } finally q.stop()
   }
 
+  test("Sessionizer state survives a checkpointed query restart") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val hourUs = 3600L * 1000000
+    val base   = 100 * hourUs
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
+    val in   = MemoryStream[Event]
+    // memory sink can't recover from a checkpoint; foreachBatch can
+    val emitted = new java.util.concurrent.ConcurrentLinkedQueue[Session]()
+    def start() = StreamOps.Sessionizer(in.toDS(), gapUs = hourUs).writeStream
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[Session], _: Long) =>
+        b.collect().foreach(emitted.add)
+      }
+      .option("checkpointLocation", ckpt)
+      .outputMode(OutputMode.Append())
+      .start()
+
+    // run 1: open a session for user 7, then STOP — state lives only in
+    // the checkpoint now
+    val q1 = start()
+    try {
+      in.addData(Event(7L, base), Event(7L, base + 600L * 1000000))
+      q1.processAllAvailable()
+      assert(emitted.isEmpty) // still open
+    } finally q1.stop()
+
+    // run 2: NEW query from the same checkpoint; a late third event must
+    // fold into the RECOVERED session, then a far-future event closes it —
+    // 3 events, 1200s span proves pre-restart state was not lost
+    val q2 = start()
+    try {
+      in.addData(Event(7L, base + 1200L * 1000000))
+      in.addData(Event(7L, base + 10 * hourUs))
+      q2.processAllAvailable()
+      assert(emitted.toArray.toSeq == Seq(Session(7L, 3L, 1200L * 1000000)))
+    } finally q2.stop()
+  }
+
   test("Sessionizer evicts idle sessions via event-time timeout") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
