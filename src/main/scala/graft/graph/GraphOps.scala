@@ -49,6 +49,32 @@ object GraphOps {
       .groupBy("id")
       .agg(count(lit(1)).as("degree"))
 
+  /** Orient a canonical undirected edge list (a < b, distinct) by the total
+    * order (degree, id): every edge points from the lower-(degree, id)
+    * endpoint to the higher. Out-degree under this orientation is bounded
+    * by O(√m) (the arboricity bound), so a wedge join over the oriented
+    * edges can never be dominated by one hub — unlike id-orientation,
+    * where a high-degree vertex holding a small id keeps ALL its edges
+    * outgoing (the round-5 g6 pathology; see GraphOpsSpec's star-graph
+    * case). Ties in degree break by id, so the output is deterministic.
+    */
+  def orientByDegree(und: DataFrame): DataFrame = {
+    val deg = und
+      .select(col("a").as("v"))
+      .unionAll(und.select(col("b").as("v")))
+      .groupBy("v")
+      .agg(count(lit(1)).as("deg"))
+    val aFirst = // a ≺ b in (degree, id)? und is canonical a < b, so id breaks ties
+      col("da") < col("db") || (col("da") === col("db"))
+    und
+      .join(deg.select(col("v").as("a"), col("deg").as("da")), "a")
+      .join(deg.select(col("v").as("b"), col("deg").as("db")), "b")
+      .select(
+        when(aFirst, col("a")).otherwise(col("b")).as("src"),
+        when(aFirst, col("b")).otherwise(col("a")).as("dst")
+      )
+  }
+
   /** Modularity components of a vertex partition over an undirected graph —
     * the quality measure the reference optimizes via seeded Leiden
     * (utils/neo4j_helpers.py:237-268, leidenalg's default objective) and the

@@ -254,22 +254,10 @@ object GraphQueries extends QueryModule {
   }
 
   private def g6_triangles(s: SparkSession, d: String): DataFrame = {
-    // undirected edge set, canonical a < b
-    val und = coSupplyUndirected(s, d)
-    val deg = und.select(col("a").as("v"))
-      .unionAll(und.select(col("b").as("v")))
-      .groupBy("v")
-      .agg(count(lit(1)).as("deg"))
-    val aFirst = // a ≺ b in the (degree, id) order? (und is canonical a < b, so id breaks ties)
-      col("da") < col("db") || (col("da") === col("db"))
     val e = graft.Lineage.truncate(
-      und
-        .join(deg.select(col("v").as("a"), col("deg").as("da")), "a")
-        .join(deg.select(col("v").as("b"), col("deg").as("db")), "b")
-        .select(
-          when(aFirst, col("a")).otherwise(col("b")).as("a"),
-          when(aFirst, col("b")).otherwise(col("a")).as("b")
-        )
+      GraphOps
+        .orientByDegree(coSupplyUndirected(s, d))
+        .select(col("src").as("a"), col("dst").as("b"))
     )
     e.join(e.select(col("a").as("b2"), col("b").as("c")), col("b") === col("b2"))
       .join(

@@ -129,6 +129,23 @@ class GraphOpsSpec extends AnyFunSuite with SparkTestBase {
     assert(GraphOps.modularity(und, one) == 0.0)
   }
 
+  test("orientByDegree: a low-id hub can no longer keep its edges outgoing") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // star: hub 0 (the SMALLEST id) with 50 leaves — under id-orientation
+    // the hub's out-degree is 50 (one task owns every wedge); under
+    // (degree, id) orientation all edges point leaf → hub
+    val und = (1L to 50L).map(l => (0L, l)).toDF("a", "b")
+    val oriented = GraphOps.orientByDegree(und)
+    val outDeg = oriented.groupBy(col("src")).count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(!outDeg.contains(0L), s"hub kept outgoing edges: $outDeg")
+    assert(outDeg.values.max == 1L)
+    // orientation never loses or duplicates an edge
+    assert(oriented.count() == 50)
+    assert(oriented.select("src", "dst").distinct().count() == 50)
+  }
+
   test("pageRankQuantized: exact integer scores on a hand-computed graph") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
