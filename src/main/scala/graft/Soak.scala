@@ -61,6 +61,7 @@ object Soak {
     "g6_triangles",
     "g7_modularity",
     "g8_refined_modularity",
+    "g9_pagerank",
     "pl5_tracks",
     "d4_ngram_jaccard",
     "d7_dedup_clusters",
