@@ -345,6 +345,66 @@ object GraphOps {
       .select(col("id"), col("community_l0"), col("community_l1"), col("community_l2"))
   }
 
+  /** Fixed-pass k-core peeling over a canonical undirected edge list
+    * `(a, b)`: each pass drops every vertex whose CURRENT degree is below
+    * `k` (and the edges touching it), the textbook iterative peel whose
+    * fixed point is the k-core (Seidman; the reference's analytic layer
+    * stops at connectivity, utils/neo4j_helpers.py:196-234 — the core
+    * decomposition is the next densest-substructure rung a graph-quality
+    * pipeline reaches for). A FIXED pass count keeps the operator
+    * deterministic and SQL-unrollable (the g2b playbook): after `passes`
+    * rounds the survivors are exactly the vertices the same number of
+    * synchronous peel rounds leaves in any engine, converged or not.
+    *
+    * Per pass: one degree aggregate + two semi-joins — all key-partitioned,
+    * lineage truncated between passes; edge set only ever shrinks, so pass
+    * cost is non-increasing. Returns the surviving edge list.
+    */
+  def kCorePeel(und: DataFrame, k: Int, passes: Int): DataFrame = {
+    var e = Lineage.truncate(und.select(col("a"), col("b")))
+    (1 to passes).foreach { _ =>
+      val keep = e
+        .select(col("a").as("v"))
+        .unionAll(e.select(col("b").as("v")))
+        .groupBy("v")
+        .agg(count(lit(1)).as("deg"))
+        .filter(col("deg") >= k)
+        .select("v")
+      e = Lineage.truncate(
+        e.join(keep.select(col("v").as("a")), Seq("a"), "left_semi")
+          .join(keep.select(col("v").as("b")), Seq("b"), "left_semi")
+          .select(col("a"), col("b"))
+      )
+    }
+    e
+  }
+
+  /** Multi-source BFS hop counts: `seeds` is `(id, hop)` (hop 0 at the
+    * sources); each pass the frontier relaxes one edge — a vertex's hop is
+    * the min over (its current hop, any in-neighbor's hop + 1). After
+    * `passes` rounds every vertex within that distance of a seed carries
+    * its exact hop count; unreached vertices are absent (no sentinel rows).
+    * The Bellman-Ford/Pregel shape with unit weights: per pass one
+    * equi-join + one min aggregate, key-partitioned, lineage truncated —
+    * the reference's path-style traversals (Neo4j MATCH paths) re-expressed
+    * as bulk-synchronous relational passes that hold at any graph size.
+    *
+    * `edges` is directed `(src, dst)`; pass a symmetrized list for
+    * undirected reachability.
+    */
+  def bfsHops(seeds: DataFrame, edges: DataFrame, passes: Int): DataFrame = {
+    var hops = Lineage.truncate(seeds.select(col("id"), col("hop")))
+    (1 to passes).foreach { _ =>
+      val relaxed = edges
+        .join(hops, edges("src") === hops("id"))
+        .select(edges("dst").as("id"), (col("hop") + 1).as("hop"))
+      hops = Lineage.truncate(
+        hops.unionByName(relaxed).groupBy("id").agg(min("hop").as("hop"))
+      )
+    }
+    hops
+  }
+
   /** Connected components by min-label propagation: every vertex starts
     * labelled with its own id; each pass every vertex takes the min label in
     * its closed neighborhood; converged when no label changes. Returns

@@ -259,7 +259,40 @@ object Aggregations extends QueryModule {
       )
   }
 
+  /** A18 — histogram-sketch median: per-priority order totals bucketed
+    * into fixed $10k-wide cent bins, then the median approximated as the
+    * first bucket whose cumulative count reaches half. This is the
+    * mergeable-sketch form of a quantile — two key-partitioned shuffles
+    * (bucket counts, then a per-priority cumulative window over at most
+    * #buckets rows) regardless of row count, where a12's exact rank-based
+    * percentile sorts EVERY row inside its partition. The bucket index is
+    * integer floor division, so the answer is bit-identical cross-engine —
+    * the trade the t-digest/HDR-histogram family makes, with the error
+    * bounded by the bucket width.
+    */
+  private def a18_hist_median(s: SparkSession, d: String): DataFrame = {
+    val bcnt = table(s, d, "orders")
+      .select(
+        col("o_orderpriority"),
+        expr("CAST(round(o_totalprice * 100, 0) AS LONG) div 1000000").as("bucket")
+      )
+      .groupBy(col("o_orderpriority"), col("bucket"))
+      .agg(count(lit(1)).as("bn"))
+    val wCum = Window
+      .partitionBy(col("o_orderpriority"))
+      .orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wTot = Window.partitionBy(col("o_orderpriority"))
+    bcnt
+      .withColumn("cum", sum(col("bn")).over(wCum))
+      .withColumn("total", sum(col("bn")).over(wTot))
+      .filter(col("cum") * 2 >= col("total"))
+      .groupBy(col("o_orderpriority"))
+      .agg(min(col("bucket")).as("median_bucket"), min(col("total")).as("n_orders"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "a18_hist_median" -> (a18_hist_median _),
     "a12_percentiles" -> (a12_percentiles _),
     "a15_ntile" -> (a15_ntile _),
     "a13_rollup" -> (a13_rollup _),
@@ -280,6 +313,22 @@ object Aggregations extends QueryModule {
   )
 
   val oracles: Map[String, String] = Map(
+    "a18_hist_median" ->
+      """WITH b AS (
+           SELECT o_orderpriority,
+                  CAST(round(o_totalprice * 100, 0) AS BIGINT) // 1000000 AS bucket,
+                  count(*) AS bn
+           FROM orders GROUP BY 1, 2),
+         c AS (
+           SELECT o_orderpriority, bucket, bn,
+                  sum(bn) OVER (PARTITION BY o_orderpriority ORDER BY bucket
+                                ROWS UNBOUNDED PRECEDING) AS cum,
+                  sum(bn) OVER (PARTITION BY o_orderpriority) AS total
+           FROM b)
+         SELECT o_orderpriority,
+                CAST(min(bucket) AS BIGINT) AS median_bucket,
+                CAST(min(total) AS BIGINT) AS n_orders
+         FROM c WHERE cum * 2 >= total GROUP BY 1""",
     "a12_percentiles" ->
       """WITH r AS (
            SELECT l_returnflag, l_quantity,

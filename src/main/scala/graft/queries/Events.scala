@@ -179,7 +179,34 @@ object Events extends QueryModule {
       )
   }
 
+  /** E8 — SLIDING event-time windows (10-minute length, 5-minute slide):
+    * per (window, type) counts and cent-sums, the overlapping-window
+    * counterpart of e1's tumbling windows. Spark's `window()` expands each
+    * event into exactly length/slide = 2 window rows inside a codegen'd
+    * projection (no self-join, no shuffle per window) and the aggregate is
+    * one map-side-combinable hash agg on (window_start, type) — the shape
+    * that holds at any event volume. The oracle materializes the same two
+    * epoch-aligned starts per event explicitly. Window starts reported as
+    * epoch seconds; cents so the sum is merge-order-exact.
+    */
+  private def e8_sliding_window(s: SparkSession, d: String): DataFrame =
+    table(s, d, "events")
+      .select(
+        timestamp_micros(us).as("t"),
+        col("event_type"),
+        round(col("value") * 100, 0).cast("long").as("cents")
+      )
+      .groupBy(window(col("t"), "10 minutes", "5 minutes").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("cents")).as("total_cents"))
+      .select(
+        col("w.start").cast("long").as("ws"),
+        col("event_type"),
+        col("n"),
+        col("total_cents")
+      )
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "e8_sliding_window" -> (e8_sliding_window _),
     "e7_gap_fill" -> (e7_gap_fill _),
     "e1_event_window" -> (e1_event_window _),
     "e2_sessionize" -> (e2_sessionize _),
@@ -231,6 +258,20 @@ object Events extends QueryModule {
          SELECT strftime(spine.day, '%Y-%m-%d') AS day,
                 coalesce(daily.n, 0) AS n_orders
          FROM spine LEFT JOIN daily ON spine.day = daily.day""",
+    // e8: size 10 min / slide 5 min ⇒ every event lands in EXACTLY two
+    // epoch-aligned windows: [s, s+600) with s = us div 300e6 · 300, and
+    // [s−300, s+300). The UNION ALL materializes both memberships.
+    "e8_sliding_window" ->
+      """WITH e AS (SELECT epoch_us(ts) AS us, event_type,
+                           CAST(round(value * 100, 0) AS BIGINT) AS cents
+                    FROM events),
+         m AS (SELECT (us // 300000000) * 300 AS ws, event_type, cents FROM e
+               UNION ALL
+               SELECT (us // 300000000) * 300 - 300 AS ws, event_type, cents FROM e)
+         SELECT CAST(ws AS BIGINT) AS ws, event_type,
+                CAST(count(*) AS BIGINT) AS n,
+                CAST(sum(cents) AS BIGINT) AS total_cents
+         FROM m GROUP BY 1, 2""",
     "e6_interarrival" ->
       """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us FROM events),
          g AS (SELECT us - lag(us) OVER (PARTITION BY user_id

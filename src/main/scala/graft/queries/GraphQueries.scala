@@ -387,6 +387,92 @@ object GraphQueries extends QueryModule {
       .select(col("id").as("node_id"), col("r").cast("long").as("rank_q"))
   }
 
+  /** G10 — k-core peeling (k=2, 4 fixed passes) over the MIXED harness
+    * graph: the dense co-supply projection (namespaced `s:`) unioned with
+    * the sparse nation chains (`n:`). The chains are cycle-free, so the
+    * peel provably eats them from the endpoints inward (two vertices per
+    * chain per pass) while the near-complete co-supply core survives
+    * untouched — one query exercising both the "peels away" and the
+    * "stays" behavior. Output: every surviving vertex with its in-core
+    * degree. Fixed passes = deterministic and SQL-unrollable; see
+    * [[graft.graph.GraphOps.kCorePeel]].
+    */
+  private def g10_kcore(s: SparkSession, d: String): DataFrame = {
+    val cs = coSupplyUndirected(s, d)
+      .select(concat(lit("s:"), col("a")).as("a"), concat(lit("s:"), col("b")).as("b"))
+    val (_, ncEdges) = chainedNationGraph(s, d)
+    // lead() over ascending keys ⇒ src < dst: already canonical undirected
+    val nc = ncEdges
+      .select(concat(lit("n:"), col("src")).as("a"), concat(lit("n:"), col("dst")).as("b"))
+    val core = GraphOps.kCorePeel(cs.unionByName(nc), 2, 4)
+    core
+      .select(col("a").as("id"))
+      .unionAll(core.select(col("b").as("id")))
+      .groupBy("id")
+      .agg(count(lit(1)).as("deg_in_core"))
+  }
+
+  /** G11 — neighborhood Jaccard similarity (node similarity over the
+    * bipartite SUPPLIES relation): for every supplier pair sharing ≥1
+    * part, |parts(a) ∩ parts(b)| / |parts(a) ∪ parts(b)|, INTEGER-QUANTIZED
+    * as (10⁶·inter) div (|a|+|b|−inter) so the score is bit-identical
+    * cross-engine (the x9/g7 playbook). Candidate pairs come from the
+    * part-keyed self-join — cost ∝ Σ parts-per-supplier², the same bounded
+    * blocking as d1/d4, never all supplier pairs. Top-20 by (score desc,
+    * pair asc) is TakeOrderedAndProject: per-partition top-k, no global
+    * sort. The similarity rung between raw co-occurrence (g6's graph) and
+    * embedding ANN (s19) that entity-resolution pipelines use for
+    * collaborative-filtering-style neighbors.
+    */
+  private def g11_neighbor_jaccard(s: SparkSession, d: String): DataFrame = {
+    val sp = table(s, d, "lineitem")
+      .filter(col("l_linenumber") === 1)
+      .select(col("l_suppkey").as("sk"), col("l_partkey").as("p"))
+      .distinct()
+    val sizes = sp.groupBy(col("sk")).agg(count(lit(1)).as("sz"))
+    val pairs = sp
+      .join(sp.select(col("sk").as("sk2"), col("p")), "p")
+      .filter(col("sk") < col("sk2"))
+      .groupBy(col("sk"), col("sk2"))
+      .agg(count(lit(1)).as("inter"))
+    pairs
+      .join(sizes.select(col("sk").as("sk"), col("sz").as("sa")), "sk")
+      .join(sizes.select(col("sk").as("sk2"), col("sz").as("sb")), "sk2")
+      .select(
+        col("sk").as("a"),
+        col("sk2").as("b"),
+        col("inter"),
+        expr("(1000000 * inter) div (sa + sb - inter)").as("jaccard_q")
+      )
+      .orderBy(col("jaccard_q").desc, col("a").asc, col("b").asc)
+      .limit(20)
+  }
+
+  /** G12 — multi-source BFS hop counts on the chained-nation graph: seeds
+    * are each region's minimum nation key (hop 0), edges symmetrized, 6
+    * relaxation passes (chain diameter is 4, so every vertex is settled).
+    * The bulk-synchronous unit-weight shortest-path
+    * ([[graft.graph.GraphOps.bfsHops]]); the oracle closes the same
+    * reachability recursively and takes the min hop per vertex.
+    */
+  private def g12_bfs_hops(s: SparkSession, d: String): DataFrame = {
+    val (vertices, edges) = chainedNationGraph(s, d)
+    val sym = edges.unionByName(
+      edges.select(col("dst").as("src"), col("src").as("dst"))
+    )
+    val seeds = vertices
+      .join(
+        table(s, d, "nation")
+          .groupBy(col("n_regionkey"))
+          .agg(min(col("n_nationkey")).as("id")),
+        "id"
+      )
+      .select(col("id"), lit(0L).as("hop"))
+    GraphOps
+      .bfsHops(seeds, sym, 6)
+      .select(col("id").cast("long").as("id"), col("hop").cast("long").as("hops"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "g0_node_table" -> (g0_node_table _),
     "g1_edge_validity" -> (g1_edge_validity _),
@@ -399,7 +485,10 @@ object GraphQueries extends QueryModule {
     "g6_triangles" -> (g6_triangles _),
     "g7_modularity" -> (g7_modularity _),
     "g8_refined_modularity" -> (g8_refined_modularity _),
-    "g9_pagerank" -> (g9_pagerank _)
+    "g9_pagerank" -> (g9_pagerank _),
+    "g10_kcore" -> (g10_kcore _),
+    "g11_neighbor_jaccard" -> (g11_neighbor_jaccard _),
+    "g12_bfs_hops" -> (g12_bfs_hops _)
   )
 
   private val validEdgesSql =
@@ -492,6 +581,23 @@ object GraphQueries extends QueryModule {
           FROM $deg d JOIN ${p}newlab l ON l.id = d.v GROUP BY 1),
         ${p}rs2 AS (SELECT sum(dsum * dsum) AS sum_d2 FROM ${p}rdc)"""
 
+  /** The 4 k-core peel passes, unrolled (the g2b playbook applied to
+    * [[graft.graph.GraphOps.kCorePeel]]): each pass recomputes degrees over
+    * the surviving edges and keeps only edges whose BOTH endpoints clear
+    * k=2. Yields `u4` = the surviving (a, b) edge list.
+    */
+  private val kcorePeelSql: String = (1 to 4)
+    .map { t =>
+      s"""kd$t AS (SELECT v, count(*) AS c FROM (
+              SELECT a AS v FROM u${t - 1} UNION ALL SELECT b AS v FROM u${t - 1})
+            GROUP BY v),
+          kk$t AS MATERIALIZED (SELECT v FROM kd$t WHERE c >= 2),
+          u$t AS MATERIALIZED (
+            SELECT a, b FROM u${t - 1}
+            WHERE a IN (SELECT v FROM kk$t) AND b IN (SELECT v FROM kk$t))"""
+    }
+    .mkString(", ")
+
   /** Chained-nation graph + 3 unrolled LPA passes; yields `l3` = (id, lbl). */
   private val chainLpaSql: String =
     s"""chain AS (
@@ -573,6 +679,56 @@ object GraphQueries extends QueryModule {
          JOIN reps r ON s.community_id = r.community_id)"""
 
   val oracles: Map[String, String] = Map(
+    "g10_kcore" ->
+      s"""WITH sp AS (SELECT DISTINCT l_suppkey AS sk, l_partkey AS p
+                      FROM lineitem WHERE l_linenumber = 1),
+          u0 AS MATERIALIZED (
+            SELECT DISTINCT 's:' || CAST(x.sk AS VARCHAR) AS a,
+                            's:' || CAST(y.sk AS VARCHAR) AS b
+            FROM sp x JOIN sp y ON x.p = y.p AND x.sk < y.sk
+            UNION
+            SELECT 'n:' || CAST(src AS VARCHAR), 'n:' || CAST(dst AS VARCHAR)
+            FROM (SELECT n_nationkey AS src,
+                         lead(n_nationkey) OVER (PARTITION BY n_regionkey
+                                                 ORDER BY n_nationkey) AS dst
+                  FROM nation)
+            WHERE dst IS NOT NULL),
+          $kcorePeelSql
+          SELECT id, CAST(count(*) AS BIGINT) AS deg_in_core FROM (
+            SELECT a AS id FROM u4 UNION ALL SELECT b AS id FROM u4)
+          GROUP BY id""",
+    "g11_neighbor_jaccard" ->
+      """WITH sp AS (SELECT DISTINCT l_suppkey AS sk, l_partkey AS p
+                     FROM lineitem WHERE l_linenumber = 1),
+         sizes AS (SELECT sk, count(*) AS sz FROM sp GROUP BY sk),
+         pairs AS (SELECT x.sk AS a, y.sk AS b, count(*) AS inter
+                   FROM sp x JOIN sp y ON x.p = y.p AND x.sk < y.sk
+                   GROUP BY 1, 2)
+         SELECT p.a AS a, p.b AS b, CAST(p.inter AS BIGINT) AS inter,
+                CAST((1000000 * p.inter) // (sa.sz + sb.sz - p.inter) AS BIGINT)
+                  AS jaccard_q
+         FROM pairs p
+         JOIN sizes sa ON sa.sk = p.a
+         JOIN sizes sb ON sb.sk = p.b
+         ORDER BY jaccard_q DESC, a, b LIMIT 20""",
+    "g12_bfs_hops" ->
+      """WITH RECURSIVE chain AS (
+           SELECT n_nationkey AS src,
+                  lead(n_nationkey) OVER (PARTITION BY n_regionkey
+                                          ORDER BY n_nationkey) AS dst
+           FROM nation),
+         sym AS MATERIALIZED (
+           SELECT src, dst FROM chain WHERE dst IS NOT NULL
+           UNION
+           SELECT dst, src FROM chain WHERE dst IS NOT NULL),
+         seeds AS (SELECT min(n_nationkey) AS id FROM nation GROUP BY n_regionkey),
+         reach(id, hop) AS (
+           SELECT id, 0 FROM seeds
+           UNION
+           SELECT e.dst, r.hop + 1 FROM reach r JOIN sym e ON e.src = r.id
+           WHERE r.hop < 6)
+         SELECT CAST(id AS BIGINT) AS id, CAST(min(hop) AS BIGINT) AS hops
+         FROM reach GROUP BY id""",
     "g2b_label_propagation" ->
       s"""WITH $chainLpaSql
           SELECT CAST(id AS BIGINT) AS id, CAST(lbl AS BIGINT) AS label FROM l3""",

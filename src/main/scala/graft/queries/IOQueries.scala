@@ -87,6 +87,31 @@ object IOQueries extends QueryModule {
       )
   }
 
+  /** S22 — ORC sink→scan roundtrip: the second columnar format a
+    * Spark-native engine gets for free (predicate pushdown, column
+    * pruning, and vectorized read all apply to ORC scans exactly as to
+    * parquet), exercised end-to-end with an explicit declared schema on
+    * read — the warehouse-interchange path for stacks standardized on
+    * ORC/Hive rather than parquet. Balances are reported as integral
+    * cents, the float-safe compare (the s3/s21 stance); the oracle reads
+    * the parquet source directly since the roundtrip is the identity.
+    */
+  private def s22_orc_roundtrip(s: SparkSession, d: String): DataFrame = {
+    val out = ioDir("s22_orc")
+    table(s, d, "supplier")
+      .select(col("s_suppkey"), col("s_name"), col("s_acctbal"))
+      .write
+      .mode("overwrite")
+      .orc(out)
+    s.read
+      .orc(out)
+      .select(
+        col("s_suppkey"),
+        col("s_name"),
+        round(col("s_acctbal") * 100, 0).cast("long").as("acctbal_cents")
+      )
+  }
+
   /** S4b — corrupt-record capture on a schema'd JSONL scan: every 7th line
     * of the written file is truncated mid-record, and the PERMISSIVE read
     * routes each bad line into `_corrupt_record` instead of failing the job
@@ -249,6 +274,7 @@ object IOQueries extends QueryModule {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s1_parquet_roundtrip" -> (s1_parquet_roundtrip _),
+    "s22_orc_roundtrip" -> (s22_orc_roundtrip _),
     "s3_jsonl_roundtrip" -> (s3_jsonl_roundtrip _),
     "s4b_corrupt_capture" -> (s4b_corrupt_capture _),
     "s21_csv_roundtrip" -> (s21_csv_roundtrip _),
@@ -267,6 +293,11 @@ object IOQueries extends QueryModule {
                      THEN 'seg' || CAST(c_nationkey AS VARCHAR) END AS segment
          FROM customer""",
     // s21: the roundtrip is the identity, so the oracle derives from source
+    // s22: the roundtrip is the identity, so the oracle derives from source
+    "s22_orc_roundtrip" ->
+      """SELECT s_suppkey, s_name,
+                CAST(round(s_acctbal * 100, 0) AS BIGINT) AS acctbal_cents
+         FROM supplier""",
     "s21_csv_roundtrip" ->
       """SELECT p_partkey,
                 p_name || ', "q"' AS tricky_name,

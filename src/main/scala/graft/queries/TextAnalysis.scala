@@ -284,7 +284,32 @@ object TextAnalysis extends QueryModule {
       .select(col("doc_id"), col("term"), col("score_q"), col("rank"))
   }
 
+  /** X11 — deterministic per-stratum reservoir sample: exactly k=5
+    * documents per language, selected by hash rank (md5 of the doc id,
+    * salted) with the id as tiebreak. Hash-rank selection IS the
+    * distributed reservoir: uniform over the stratum, stable across
+    * engines/retries/partitionings (a real `rand()` reservoir is none of
+    * those), and one keyed shuffle — WindowGroupLimit pushes the rank
+    * cutoff map-side, so each partition forwards at most k candidates per
+    * stratum. The sampled-eval primitive every corpus pipeline needs
+    * (x5's rate-based split samples a PROPORTION; this pins an exact
+    * per-group COUNT). 24-bit hash prefix: the established cross-engine
+    * md5 arithmetic window.
+    */
+  private def x11_reservoir_sample(s: SparkSession, d: String): DataFrame = {
+    val h = conv(substring(md5(concat(col("doc_id").cast("string"), lit("|res"))), 1, 6), 16, 10)
+      .cast("long")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang"))
+      .orderBy(h.asc, col("doc_id").asc)
+    table(s, d, "documents")
+      .select(col("doc_id"), col("lang"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= 5)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x11_reservoir_sample" -> (x11_reservoir_sample _),
     "x9_tfidf_topk" -> (x9_tfidf_topk _),
     "x10_hll_registers" -> (x10_hll_registers _),
     "x1_lang_id" -> (x1_lang_id _),
@@ -303,6 +328,17 @@ object TextAnalysis extends QueryModule {
     s"CAST(len(list_filter(string_split(text, ' '), w -> w IN (${inList(xs)}))) AS BIGINT)"
 
   val oracles: Map[String, String] = Map(
+    "x11_reservoir_sample" ->
+      """WITH h AS (
+           SELECT doc_id, lang,
+                  ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|res'), 1, 6))::BIGINT AS hv
+           FROM documents),
+         r AS (
+           SELECT doc_id, lang,
+                  CAST(row_number() OVER (PARTITION BY lang
+                                          ORDER BY hv, doc_id) AS BIGINT) AS rk
+           FROM h)
+         SELECT doc_id, lang, rk FROM r WHERE rk <= 5""",
     "x1_lang_id" ->
       s"""WITH c AS (
             SELECT doc_id,
