@@ -181,4 +181,48 @@ class GraphOpsSpec extends AnyFunSuite with SparkTestBase {
       .toMap
     assert(got == Map(1L -> 2L, 2L -> 1L, 3L -> 1L))
   }
+
+  test("kCorePeel strips a pendant path off a triangle, two hops per pass") {
+    import spark.implicits._
+    // triangle {1,2,3} with a tail 3-4-5-6: the 2-core is the triangle.
+    // Pass 1 peels 6 (deg 1); pass 2 peels 5; pass 3 peels 4; the
+    // triangle's degrees never drop below 2.
+    val und = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L))
+      .toDF("a", "b")
+    def survivors(passes: Int): Set[(Long, Long)] =
+      GraphOps
+        .kCorePeel(und, 2, passes)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+        .toSet
+    val triangle = Set((1L, 2L), (1L, 3L), (2L, 3L))
+    // one pass: only the edge whose BOTH endpoints fell below k is gone
+    assert(survivors(1) == triangle + ((3L, 4L)) + ((4L, 5L)))
+    // converged: exactly the 2-core, and further passes are a fixed point
+    assert(survivors(3) == triangle)
+    assert(survivors(4) == triangle)
+  }
+
+  test("bfsHops settles exact hop counts and omits unreachable vertices") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // path 1-2-3-4 plus isolate 9; seed at 1, symmetrized edges
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("src", "dst")
+    val sym   = edges.unionByName(edges.select(col("dst").as("src"), col("src").as("dst")))
+    val seeds = Seq((1L, 0L)).toDF("id", "hop")
+    val got = GraphOps
+      .bfsHops(seeds, sym, 4)
+      .collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+      .toMap
+    assert(got == Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 4L -> 3L))
+    // two seeds: every vertex takes the NEARER seed's distance
+    val twoSeeds = Seq((1L, 0L), (4L, 0L)).toDF("id", "hop")
+    val got2 = GraphOps
+      .bfsHops(twoSeeds, sym, 4)
+      .collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+      .toMap
+    assert(got2 == Map(1L -> 0L, 2L -> 1L, 3L -> 1L, 4L -> 0L))
+  }
 }
