@@ -107,4 +107,30 @@ class PlanShapeSpec extends AnyFunSuite with SparkTestBase {
     val p = plan("w3_topk_per_group")
     assert(p.contains("WindowGroupLimit"), p)
   }
+
+  test("g11's top-20 is TakeOrderedAndProject and every join is keyed") {
+    val p = plan("g11_neighbor_jaccard")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("x11's per-stratum sample carries a WindowGroupLimit (k pushed map-side)") {
+    val p = plan("x11_reservoir_sample")
+    assert(p.contains("WindowGroupLimit"), p)
+  }
+
+  test("e8 sliding windows are one hash-agg chain (no self-join)") {
+    val p = plan("e8_sliding_window")
+    assert(!p.contains("Join"), p)
+    // the 2-windows-per-event expansion is a narrow Expand/projection;
+    // partial + final agg share ONE Exchange on (window, type)
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(exchanges <= 1, s"$exchanges exchanges:\n$p")
+  }
+
+  test("a18's histogram median shuffles on the group key, never globally") {
+    val p = plan("a18_hist_median")
+    assert(!p.contains("Exchange SinglePartition"), p)
+  }
 }
