@@ -62,6 +62,9 @@ object Soak {
     "g7_modularity",
     "g8_refined_modularity",
     "g9_pagerank",
+    "g10_kcore",
+    "g11_neighbor_jaccard",
+    "g12_bfs_hops",
     "pl5_tracks",
     "d4_ngram_jaccard",
     "d7_dedup_clusters",

@@ -88,14 +88,21 @@ object Dedup extends QueryModule {
     * runs map-side partial mins so the shuffle carries NumHashes longs per
     * (doc, partition), not the shingle set.
     */
-  private def bandKeys(c: DataFrame): DataFrame = {
+  /** (doc_id, m0..m11) — the full MinHash signature table (shared by the
+    * band keys and d10's estimator calibration).
+    */
+  private def signatures(c: DataFrame): DataFrame = {
     val shx = c
       .select(col("doc_id"), explode(shingles(col("text"))).as("shingle"))
       .select(col("doc_id"), hash24(col("shingle")).as("x"))
     val aggs = (0 until NumHashes).map(h =>
       min((col("x") * affineA(h) + affineB(h)) % ModP).as(s"m$h")
     )
-    val sig = shx.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
+    shx.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
+  }
+
+  private def bandKeys(c: DataFrame): DataFrame = {
+    val sig = signatures(c)
     val keys = (0 until NumBands).map { b =>
       concat_ws("|", (0 until BandR).map(r => col(s"m${b * BandR + r}").cast("string")): _*)
     }
@@ -327,6 +334,52 @@ object Dedup extends QueryModule {
       .select(col("a_name"), col("b_name"), col("dist"), col("a_rows"), col("b_rows"))
   }
 
+  /** D10 — MinHash estimator calibration: for every LSH candidate pair,
+    * the number of agreeing signature components (the unbiased Jaccard
+    * estimator's numerator, n_match/12 ≈ J) NEXT TO the exact quantized
+    * Jaccard over the true shingle sets. This is the QA query a dedup
+    * pipeline runs when tuning bands/rows: it makes the estimator's error
+    * observable per pair instead of trusting the theory. Cost: the
+    * signature table is lineage-truncated once and joined twice (24
+    * integers per doc), and the exact check runs only on the (already
+    * banded, bounded) candidate set — the d2 discipline; nothing touches
+    * all pairs. Integer end-to-end, so cross-engine exact.
+    */
+  private def d10_minhash_estimate(s: SparkSession, d: String): DataFrame = {
+    val c    = corpus(s, d)
+    val sig  = graft.Lineage.truncate(signatures(c))
+    val cand = d1_minhash_candidates(s, d)
+    val sh = graft.Lineage.truncate(
+      c.select(col("doc_id"), shingles(col("text")).as("sh"))
+    )
+    val a = sig.select(
+      col("doc_id").as("doc1") +: (0 until NumHashes).map(h => col(s"m$h").as(s"a$h")): _*
+    )
+    val b = sig.select(
+      col("doc_id").as("doc2") +: (0 until NumHashes).map(h => col(s"m$h").as(s"b$h")): _*
+    )
+    val nMatch = (0 until NumHashes)
+      .map(h => when(col(s"a$h") === col(s"b$h"), 1L).otherwise(0L))
+      .reduce(_ + _)
+    cand
+      .join(a, "doc1")
+      .join(b, "doc2")
+      .withColumn("n_match", nMatch)
+      .join(sh.select(col("doc_id").as("doc1"), col("sh").as("s1")), "doc1")
+      .join(sh.select(col("doc_id").as("doc2"), col("sh").as("s2")), "doc2")
+      .withColumn(
+        "inter",
+        call_function("graft_sorted_intersect_size", col("s1"), col("s2"))
+      )
+      .select(
+        col("doc1"),
+        col("doc2"),
+        col("n_match"),
+        expr("(CAST(1000000 AS BIGINT) * inter) div (size(s1) + size(s2) - inter)")
+          .as("jaccard_q")
+      )
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d1_minhash_candidates" -> (d1_minhash_candidates _),
     "d2_verified_pairs" -> (d2_verified_pairs _),
@@ -336,7 +389,8 @@ object Dedup extends QueryModule {
     "d6_contamination" -> (d6_contamination _),
     "d7_dedup_clusters" -> (d7_dedup_clusters _),
     "d8_url_dedup" -> (d8_url_dedup _),
-    "d9_fuzzy_blocking" -> (d9_fuzzy_blocking _)
+    "d9_fuzzy_blocking" -> (d9_fuzzy_blocking _),
+    "d10_minhash_estimate" -> (d10_minhash_estimate _)
   )
 
   // ---- oracles ----
@@ -408,6 +462,22 @@ object Dedup extends QueryModule {
   val oracles: Map[String, String] = Map(
     "d1_minhash_candidates" ->
       s"WITH $corpusSql, $shinglesSql, $sigSql, $bandsSql, $candSql SELECT doc1, doc2 FROM cand",
+    "d10_minhash_estimate" -> {
+      val nMatch = (0 until NumHashes)
+        .map(h => s"CASE WHEN sa.m$h = sb.m$h THEN 1 ELSE 0 END")
+        .mkString(" + ")
+      s"""WITH $corpusSql, $shinglesSql, $sigSql, $bandsSql, $candSql
+          SELECT c.doc1, c.doc2,
+                 CAST($nMatch AS BIGINT) AS n_match,
+                 CAST((CAST(1000000 AS BIGINT) * len(list_intersect(s1.s, s2.s))) //
+                      (len(s1.s) + len(s2.s) - len(list_intersect(s1.s, s2.s)))
+                   AS BIGINT) AS jaccard_q
+          FROM cand c
+          JOIN sig sa ON sa.doc_id = c.doc1
+          JOIN sig sb ON sb.doc_id = c.doc2
+          JOIN sh s1 ON s1.doc_id = c.doc1
+          JOIN sh s2 ON s2.doc_id = c.doc2"""
+    },
     "d2_verified_pairs" ->
       s"""WITH $corpusSql, $shinglesSql, $sigSql, $bandsSql, $candSql
           SELECT doc1, doc2,

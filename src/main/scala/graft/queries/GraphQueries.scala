@@ -473,6 +473,36 @@ object GraphQueries extends QueryModule {
       .select(col("id").cast("long").as("id"), col("hop").cast("long").as("hops"))
   }
 
+  /** G13 — PERSONALIZED PageRank from one nation's suppliers over the
+    * symmetrized bipartite SUPPLIES graph: teleport mass pinned to the
+    * seed set, so the ranking answers "which nodes matter *to these
+    * suppliers*" rather than g9's global importance — the
+    * recommendation/expansion primitive (related-entity retrieval,
+    * seed-set expansion) GraphRAG-style pipelines layer on a graph. The
+    * sparse frontier form ([[graft.graph.GraphOps.personalizedPageRankQuantized]])
+    * carries only reached vertices per pass; absent row = rank 0 in both
+    * engines. Symmetrized edges so mass circulates (the bipartite forward
+    * direction alone dead-ends in two hops); 3 passes, integer-quantized
+    * (the g9 playbook), top-20 by (rank desc, id).
+    */
+  private def g13_personalized_pagerank(s: SparkSession, d: String): DataFrame = {
+    val base = table(s, d, "lineitem")
+      .select(
+        concat(lit("s:"), col("l_suppkey")).as("src"),
+        concat(lit("p:"), col("l_partkey")).as("dst")
+      )
+      .distinct()
+    val edges = base.unionByName(base.select(col("dst").as("src"), col("src").as("dst")))
+    val seeds = table(s, d, "supplier")
+      .filter(col("s_nationkey") === 0)
+      .select(concat(lit("s:"), col("s_suppkey")).as("id"))
+    GraphOps
+      .personalizedPageRankQuantized(seeds, edges, 3)
+      .orderBy(col("r").desc, col("id").asc)
+      .limit(20)
+      .select(col("id").as("node_id"), col("r").cast("long").as("rank_q"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "g0_node_table" -> (g0_node_table _),
     "g1_edge_validity" -> (g1_edge_validity _),
@@ -488,7 +518,8 @@ object GraphQueries extends QueryModule {
     "g9_pagerank" -> (g9_pagerank _),
     "g10_kcore" -> (g10_kcore _),
     "g11_neighbor_jaccard" -> (g11_neighbor_jaccard _),
-    "g12_bfs_hops" -> (g12_bfs_hops _)
+    "g12_bfs_hops" -> (g12_bfs_hops _),
+    "g13_personalized_pagerank" -> (g13_personalized_pagerank _)
   )
 
   private val validEdgesSql =
@@ -814,6 +845,36 @@ object GraphQueries extends QueryModule {
                  CAST(4 * m.m * ii.intra - s2.sum_d2 AS BIGINT) AS q_num_lpa,
                  CAST(4 * m.m * ri.intra - rs.sum_d2 AS BIGINT) AS q_num_refined
           FROM ncmm m, ncii ii, ncs2 s2, yrii ri, yrs2 rs""",
+    "g13_personalized_pagerank" -> {
+      def pprStep(t: Int): String =
+        s"""pp$t AS MATERIALIZED (
+              SELECT coalesce(t.id, c.id) AS id,
+                     coalesce(t.tp, 0) + (85 * coalesce(c.c, 0)) // 100 AS r
+              FROM (SELECT id, 150000 AS tp FROM pseeds) t
+              FULL OUTER JOIN (
+                SELECT e.dst AS id, sum(p.r // o.od) AS c
+                FROM ppedges e
+                JOIN pp${t - 1} p ON p.id = e.src
+                JOIN ppodeg o ON o.src = e.src
+                GROUP BY e.dst) c
+              ON t.id = c.id)"""
+      s"""WITH ppbase AS MATERIALIZED (
+            SELECT DISTINCT 's:' || CAST(l_suppkey AS VARCHAR) AS src,
+                   'p:' || CAST(l_partkey AS VARCHAR) AS dst
+            FROM lineitem),
+          ppedges AS MATERIALIZED (
+            SELECT src, dst FROM ppbase
+            UNION ALL
+            SELECT dst AS src, src AS dst FROM ppbase),
+          ppodeg AS MATERIALIZED (SELECT src, count(*) AS od FROM ppedges GROUP BY src),
+          pseeds AS MATERIALIZED (
+            SELECT 's:' || CAST(s_suppkey AS VARCHAR) AS id
+            FROM supplier WHERE s_nationkey = 0),
+          pp0 AS (SELECT id, CAST(1000000 AS BIGINT) AS r FROM pseeds),
+          ${(1 to 3).map(pprStep).mkString(", ")}
+          SELECT id AS node_id, CAST(r AS BIGINT) AS rank_q
+          FROM pp3 ORDER BY r DESC, id LIMIT 20"""
+    },
     "g9_pagerank" -> {
       def prStep(t: Int): String =
         s"""pr$t AS (

@@ -112,6 +112,42 @@ object IOQueries extends QueryModule {
       )
   }
 
+  /** S23 — schema-evolution merge scan: two parquet batches written at
+    * different pipeline epochs — the old schema (key, name) and the new
+    * one with an added `p_retailprice` column — read back through ONE
+    * `mergeSchema` scan that unions the schemas and nulls the column where
+    * a file predates it. Schema drift across ingest epochs is a certainty
+    * in a long-lived 100 TB lake; the merge-scan is the read-side
+    * contract that additive evolution never breaks old files or loses new
+    * columns. (Footer merging costs one pass over file metadata, not
+    * data — why Spark gates it behind an option; a production lake pins
+    * the merged schema in a catalog instead of re-deriving it per scan.)
+    */
+  private def s23_schema_merge(s: SparkSession, d: String): DataFrame = {
+    val out = ioDir("s23_evolution")
+    val part = table(s, d, "part")
+    part
+      .filter(col("p_partkey") % 2 === 0)
+      .select(col("p_partkey"), col("p_name"))
+      .write
+      .mode("overwrite")
+      .parquet(s"$out/epoch1")
+    part
+      .filter(col("p_partkey") % 2 === 1)
+      .select(col("p_partkey"), col("p_name"), col("p_retailprice"))
+      .write
+      .mode("overwrite")
+      .parquet(s"$out/epoch2")
+    s.read
+      .option("mergeSchema", "true")
+      .parquet(s"$out/epoch1", s"$out/epoch2")
+      .select(
+        col("p_partkey"),
+        col("p_name"),
+        round(col("p_retailprice") * 100, 0).cast("long").as("price_cents")
+      )
+  }
+
   /** S4b — corrupt-record capture on a schema'd JSONL scan: every 7th line
     * of the written file is truncated mid-record, and the PERMISSIVE read
     * routes each bad line into `_corrupt_record` instead of failing the job
@@ -275,6 +311,7 @@ object IOQueries extends QueryModule {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s1_parquet_roundtrip" -> (s1_parquet_roundtrip _),
     "s22_orc_roundtrip" -> (s22_orc_roundtrip _),
+    "s23_schema_merge" -> (s23_schema_merge _),
     "s3_jsonl_roundtrip" -> (s3_jsonl_roundtrip _),
     "s4b_corrupt_capture" -> (s4b_corrupt_capture _),
     "s21_csv_roundtrip" -> (s21_csv_roundtrip _),
@@ -298,6 +335,14 @@ object IOQueries extends QueryModule {
       """SELECT s_suppkey, s_name,
                 CAST(round(s_acctbal * 100, 0) AS BIGINT) AS acctbal_cents
          FROM supplier""",
+    // s23: old-epoch files (even keys) predate the price column, so the
+    // merged scan yields NULL there — derivable in closed form from source
+    "s23_schema_merge" ->
+      """SELECT p_partkey, p_name,
+                CASE WHEN p_partkey % 2 = 1
+                     THEN CAST(round(p_retailprice * 100, 0) AS BIGINT)
+                END AS price_cents
+         FROM part""",
     "s21_csv_roundtrip" ->
       """SELECT p_partkey,
                 p_name || ', "q"' AS tricky_name,

@@ -203,6 +203,25 @@ class GraphOpsSpec extends AnyFunSuite with SparkTestBase {
     assert(survivors(4) == triangle)
   }
 
+  test("personalizedPageRankQuantized pins teleport to the seed set, quantized") {
+    import spark.implicits._
+    // directed 1→2, 1→3, 2→3; seed {1}; scale 10⁶.
+    //   pass 1: r = {1: 150000, 2: 425000, 3: 425000}
+    //     (contrib to 2 and 3 = 10⁶ div 2 = 500000; 85% of it = 425000)
+    //   pass 2: contribs from pass-1 ranks: 2 gets 75000, 3 gets 500000 →
+    //     r = {1: 150000, 2: 63750, 3: 425000}
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L)).toDF("src", "dst")
+    val seeds = Seq(1L).toDF("id")
+    def run(iters: Int): Map[Long, Long] =
+      GraphOps
+        .personalizedPageRankQuantized(seeds, edges, iters)
+        .collect()
+        .map(r => r.getLong(0) -> r.getAs[Long]("r"))
+        .toMap
+    assert(run(1) == Map(1L -> 150000L, 2L -> 425000L, 3L -> 425000L))
+    assert(run(2) == Map(1L -> 150000L, 2L -> 63750L, 3L -> 425000L))
+  }
+
   test("bfsHops settles exact hop counts and omits unreachable vertices") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
