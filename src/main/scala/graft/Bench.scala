@@ -69,7 +69,12 @@ object Bench {
       ((System.nanoTime() - t0) / 1e9, ok)
     }
 
-    val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
+    // SPARK_GRAFT_ONLY=q1,q2 restricts the run — the A/B loop for a single
+    // query's plan work without paying for the other 150.
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").map(_.trim).toSet)
+    val ordered = SparkEntry.queries.toSeq
+      .filter { case (n, _) => only.forall(_.contains(n)) }
+      .sortBy(_._1)
     val pass1 = ordered.map { case (name, fn) => (name, timeOnce(name, fn)) }
     // Second full pass, interleaved: a query that failed in pass 1 fails
     // fast (not re-run); everything else gets its min across the two passes.

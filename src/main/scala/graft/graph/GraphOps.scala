@@ -372,16 +372,26 @@ object GraphOps {
     * reason Louvain scales.
     */
   def communityHierarchy(vertexIds: DataFrame, edges: DataFrame, iterations: Int = 3): DataFrame = {
-    val l0 = Lineage.truncate(labelPropagation(vertexIds, edges, iterations))
-    val coarseEdges = edges
-      .join(l0.select(col("id").as("src"), col("lbl").as("csrc")), "src")
-      .join(l0.select(col("id").as("dst"), col("lbl").as("cdst")), "dst")
-      .filter(col("csrc") =!= col("cdst"))
-      .select(col("csrc").as("src"), col("cdst").as("dst"))
-      .distinct()
-    val coarseVerts = l0.select(col("lbl").as("id")).distinct()
-    val l1          = labelPropagation(coarseVerts, coarseEdges, iterations)
-    val l2          = connectedComponents(vertexIds, edges)
+    // The LPA→coarsen→LPA chain and the connected-components run are
+    // independent chains of eager truncate actions — submit them from two
+    // threads so their jobs overlap (deterministic either way).
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val fLpa = Future {
+      val l0 = Lineage.truncate(labelPropagation(vertexIds, edges, iterations))
+      val coarseEdges = edges
+        .join(l0.select(col("id").as("src"), col("lbl").as("csrc")), "src")
+        .join(l0.select(col("id").as("dst"), col("lbl").as("cdst")), "dst")
+        .filter(col("csrc") =!= col("cdst"))
+        .select(col("csrc").as("src"), col("cdst").as("dst"))
+        .distinct()
+      val coarseVerts = l0.select(col("lbl").as("id")).distinct()
+      (l0, labelPropagation(coarseVerts, coarseEdges, iterations))
+    }
+    val fCc      = Future(connectedComponents(vertexIds, edges))
+    val (l0, l1) = Await.result(fLpa, Duration.Inf)
+    val l2       = Await.result(fCc, Duration.Inf)
     l0.select(col("id"), col("lbl").as("community_l0"))
       .join(
         l1.select(col("id").as("community_l0"), col("lbl").as("community_l1")),

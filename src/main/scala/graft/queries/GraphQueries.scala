@@ -311,8 +311,16 @@ object GraphQueries extends QueryModule {
     val (ncVerts, ncEdges) = chainedNationGraph(s, d)
     // lead() over ascending keys ⇒ src < dst: already canonical undirected
     val ncUnd = ncEdges.select(col("src").as("a"), col("dst").as("b"))
-    score("co_supply", csUnd, csVerts)
-      .unionByName(score("nation_chain", ncUnd, ncVerts))
+    // The two graphs' pipelines are independent chains of EAGER
+    // lineage-truncation actions; submitted from one thread they
+    // serialize, so overlap them (concurrent action submission — the
+    // result is a deterministic union either way).
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val fa = Future(score("co_supply", csUnd, csVerts))
+    val fb = Future(score("nation_chain", ncUnd, ncVerts))
+    Await.result(fa, Duration.Inf).unionByName(Await.result(fb, Duration.Inf))
   }
 
   /** G8 — the Leiden-ward refinement, measured: one deterministic greedy
@@ -357,8 +365,13 @@ object GraphQueries extends QueryModule {
       .distinct()
     val (ncVerts, ncEdges) = chainedNationGraph(s, d)
     val ncUnd = ncEdges.select(col("src").as("a"), col("dst").as("b"))
-    score("co_supply", csUnd, csVerts)
-      .unionByName(score("nation_chain", ncUnd, ncVerts))
+    // Overlap the two graphs' eager truncate chains (see g7).
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val fa = Future(score("co_supply", csUnd, csVerts))
+    val fb = Future(score("nation_chain", ncUnd, ncVerts))
+    Await.result(fa, Duration.Inf).unionByName(Await.result(fb, Duration.Inf))
   }
 
   /** G9 — fixed-iteration PageRank over the SUPPLIES bipartite graph
