@@ -190,20 +190,9 @@ object Events extends QueryModule {
     * epoch seconds; cents so the sum is merge-order-exact.
     */
   private def e8_sliding_window(s: SparkSession, d: String): DataFrame =
-    table(s, d, "events")
-      .select(
-        timestamp_micros(us).as("t"),
-        col("event_type"),
-        round(col("value") * 100, 0).cast("long").as("cents")
-      )
-      .groupBy(window(col("t"), "10 minutes", "5 minutes").as("w"), col("event_type"))
-      .agg(count(lit(1)).as("n"), sum(col("cents")).as("total_cents"))
-      .select(
-        col("w.start").cast("long").as("ws"),
-        col("event_type"),
-        col("n"),
-        col("total_cents")
-      )
+    StreamOps.slidingCounts(
+      table(s, d, "events").withColumn("t", timestamp_micros(us))
+    )
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "e8_sliding_window" -> (e8_sliding_window _),

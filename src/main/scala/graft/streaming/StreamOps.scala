@@ -44,6 +44,35 @@ object StreamOps {
         col("total_cents")
       )
 
+  /** SLIDING event-time window counts per event type — the streaming face
+    * of the e8 batch query, one shared transform for both `spark.read`
+    * and `spark.readStream` inputs (the [[windowedCounts]] contract).
+    * Each event expands into windowLen/slide rows inside a narrow
+    * projection; streaming state is bounded by (watermark horizon /
+    * slide) × key cardinality windows. Window starts are reported as
+    * epoch seconds and the value aggregate is an integer cent sum —
+    * order-independent, so batch and every micro-batch schedule agree
+    * exactly.
+    */
+  def slidingCounts(
+      events: DataFrame,
+      windowLen: String = "10 minutes",
+      slide: String = "5 minutes"
+  ): DataFrame =
+    events
+      .withWatermark("t", "1 hour")
+      .groupBy(window(col("t"), windowLen, slide).as("w"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(round(col("value") * 100, 0).cast("long")).as("total_cents")
+      )
+      .select(
+        col("w.start").cast("long").as("ws"),
+        col("event_type"),
+        col("n"),
+        col("total_cents")
+      )
+
   /** Watermark-bounded stream deduplication: drops repeats of a business
     * key seen within the watermark horizon, with per-key state EVICTED once
     * the watermark passes — the streaming face of exact dedup (classic

@@ -47,6 +47,48 @@ class StreamOpsSpec extends AnyFunSuite with SparkTestBase {
     } finally q.stop()
   }
 
+  test("slidingCounts lands every event in exactly two overlapping windows, stream = batch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // 10-min windows sliding by 5: an event at :07 belongs to [:00,:10)
+    // and [:05,:15) — counted twice, once per window.
+    val events = Seq(
+      (Timestamp.valueOf("2024-01-01 10:07:00"), "click", 1.0),
+      (Timestamp.valueOf("2024-01-01 10:12:00"), "click", 2.0)
+    )
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))
+    val want = StreamOps
+      .slidingCounts(events.toDF("t", "event_type", "value"))
+      .collect()
+      .map(key)
+      .toSet
+    // :07 → starts 10:00 & 10:05; :12 → starts 10:05 & 10:10; the shared
+    // 10:05 window holds both events
+    val s0 = Timestamp.valueOf("2024-01-01 10:00:00").getTime / 1000
+    assert(
+      want == Set(
+        (s0, "click", 1L, 100L),
+        (s0 + 300, "click", 2L, 300L),
+        (s0 + 600, "click", 1L, 200L)
+      )
+    )
+    val in = MemoryStream[(Timestamp, String, Double)]
+    val q = StreamOps
+      .slidingCounts(in.toDF().toDF("t", "event_type", "value"))
+      .writeStream
+      .format("memory")
+      .queryName("slide")
+      .outputMode(OutputMode.Complete())
+      .start()
+    try {
+      in.addData(events: _*)
+      q.processAllAvailable()
+      val got = spark.table("slide").collect().map(key).toSet
+      assert(got == want)
+    } finally q.stop()
+  }
+
   test("windowedCounts also runs the identical transform in batch") {
     import spark.implicits._
     val batch = Seq(
