@@ -101,13 +101,31 @@ object Dedup extends QueryModule {
     shx.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
   }
 
-  private def bandKeys(c: DataFrame): DataFrame = {
-    val sig = signatures(c)
+  private def bandKeys(c: DataFrame): DataFrame = bandKeysFromSig(signatures(c))
+
+  /** Band keys derived from an (already materialized) signature table —
+    * a narrow projection, so callers holding a truncated `sig` pay no
+    * second signature build.
+    */
+  private def bandKeysFromSig(sig: DataFrame): DataFrame = {
     val keys = (0 until NumBands).map { b =>
       concat_ws("|", (0 until BandR).map(r => col(s"m${b * BandR + r}").cast("string")): _*)
     }
     sig.select(col("doc_id"), posexplode(array(keys: _*)))
       .select(col("doc_id"), col("pos").as("band"), col("col").as("bkey"))
+  }
+
+  /** LSH candidate pairs from a band-key table (d1's join body). */
+  private def candidatePairs(bands: DataFrame): DataFrame = {
+    val a = bands.as("a")
+    val b = bands.as("b")
+    a.join(
+        b,
+        col("a.bkey") === col("b.bkey") && col("a.band") === col("b.band") &&
+          col("a.doc_id") < col("b.doc_id")
+      )
+      .select(col("a.doc_id").as("doc1"), col("b.doc_id").as("doc2"))
+      .distinct()
   }
 
   /** D1 — MinHash + LSH banding candidate pairs. The band-key table is
@@ -117,18 +135,8 @@ object Dedup extends QueryModule {
     * 100 TB pipeline does) so the self-join's two sides don't each
     * recompute the signatures.
     */
-  private def d1_minhash_candidates(s: SparkSession, d: String): DataFrame = {
-    val bands = graft.Lineage.truncate(bandKeys(corpus(s, d)))
-    val a     = bands.as("a")
-    val b     = bands.as("b")
-    a.join(
-        b,
-        col("a.bkey") === col("b.bkey") && col("a.band") === col("b.band") &&
-          col("a.doc_id") < col("b.doc_id")
-      )
-      .select(col("a.doc_id").as("doc1"), col("b.doc_id").as("doc2"))
-      .distinct()
-  }
+  private def d1_minhash_candidates(s: SparkSession, d: String): DataFrame =
+    candidatePairs(graft.Lineage.truncate(bandKeys(corpus(s, d))))
 
   /** D2 — exact-Jaccard verification of the MinHash candidates (τ = 0.8). */
   private def d2_verified_pairs(s: SparkSession, d: String): DataFrame = {
@@ -346,9 +354,11 @@ object Dedup extends QueryModule {
     * all pairs. Integer end-to-end, so cross-engine exact.
     */
   private def d10_minhash_estimate(s: SparkSession, d: String): DataFrame = {
-    val c    = corpus(s, d)
-    val sig  = graft.Lineage.truncate(signatures(c))
-    val cand = d1_minhash_candidates(s, d)
+    val c   = corpus(s, d)
+    val sig = graft.Lineage.truncate(signatures(c))
+    // candidates derive from the SAME truncated signature table (band
+    // keys are a narrow projection of it) — one signature build total
+    val cand = candidatePairs(bandKeysFromSig(sig))
     val sh = graft.Lineage.truncate(
       c.select(col("doc_id"), shingles(col("text")).as("sh"))
     )
