@@ -230,10 +230,14 @@ object GraphOps {
       iterations: Int,
       scale: Long = 1000000L
   ): DataFrame = {
+    // materialize the edge list FIRST: callers pass distinct()/union-heavy
+    // plans, and both the degree aggregate and the degree-annotated join
+    // below consume it — untruncated, that plan runs twice
+    val ed = Lineage.truncate(edges.select(col("src"), col("dst")))
     val outDeg = Lineage.truncate(
-      edges.groupBy(col("src")).agg(count(lit(1)).as("od"))
+      ed.groupBy(col("src")).agg(count(lit(1)).as("od"))
     )
-    val e = Lineage.truncate(edges.join(outDeg, "src"))
+    val e = Lineage.truncate(ed.join(outDeg, "src"))
     var r = Lineage.truncate(vertexIds.select(col("id"), lit(scale).as("r")))
     (1 to iterations).foreach { _ =>
       val contrib = e
@@ -276,10 +280,12 @@ object GraphOps {
       iterations: Int,
       scale: Long = 1000000L
   ): DataFrame = {
+    // see pageRankQuantized: truncate the edge plan once, consume it twice
+    val ed = Lineage.truncate(edges.select(col("src"), col("dst")))
     val outDeg = Lineage.truncate(
-      edges.groupBy(col("src")).agg(count(lit(1)).as("od"))
+      ed.groupBy(col("src")).agg(count(lit(1)).as("od"))
     )
-    val e  = Lineage.truncate(edges.join(outDeg, "src"))
+    val e  = Lineage.truncate(ed.join(outDeg, "src"))
     val tp = Lineage.truncate(seeds.select(col("id"), lit(15L * scale / 100).as("tp")))
     var r  = Lineage.truncate(seeds.select(col("id"), lit(scale).as("r")))
     (1 to iterations).foreach { _ =>
