@@ -140,10 +140,17 @@ object Dedup extends QueryModule {
 
   /** D2 — exact-Jaccard verification of the MinHash candidates (τ = 0.8). */
   private def d2_verified_pairs(s: SparkSession, d: String): DataFrame = {
-    val sh = graft.Lineage.truncate( // joined twice below (s1/s2 sides)
+    // the shingle-set table and the band-key table are independent eager
+    // materializations — overlap their jobs (deterministic either way)
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val fSh = Future(graft.Lineage.truncate( // joined twice below (s1/s2 sides)
       corpus(s, d).select(col("doc_id"), shingles(col("text")).as("sh"))
-    )
-    val cand = d1_minhash_candidates(s, d)
+    ))
+    val fCand = Future(d1_minhash_candidates(s, d))
+    val sh    = Await.result(fSh, Duration.Inf)
+    val cand  = Await.result(fCand, Duration.Inf)
     val j = cand
       .join(sh.select(col("doc_id").as("doc1"), col("sh").as("s1")), "doc1")
       .join(sh.select(col("doc_id").as("doc2"), col("sh").as("s2")), "doc2")
