@@ -183,6 +183,30 @@ object JoinsSetOps extends QueryModule {
       )
   }
 
+  /** J15 — NULL-SAFE equi-join (`<=>` / SQL `IS NOT DISTINCT FROM`): the
+    * join semantic for nullable business keys, where NULL must MATCH NULL
+    * instead of silently dropping both sides (plain `=` never matches a
+    * NULL — rows with unknown keys vanish from an inner join with no
+    * trace, the classic reconciliation bug). Spark plans EqualNullSafe as
+    * a true equi-join key (hash/SMJ, asserted in PlanShapeSpec), not a
+    * nested loop — so the null-safe form costs the same shuffle as `=`.
+    * The NULL⋈NULL block is a key-group cross product by definition;
+    * keyed like any skewed group, bounded here (and salted/AQE-split at
+    * scale like any hot key — the j11 discipline).
+    */
+  private def j15_nullsafe_join(s: SparkSession, d: String): DataFrame = {
+    val custKey = when(col("c_custkey") % 7 === 0, lit(null).cast("long"))
+      .otherwise(col("c_nationkey").cast("long"))
+    val natKey = when(col("n_nationkey") % 5 === 0, lit(null).cast("long"))
+      .otherwise(col("n_nationkey").cast("long"))
+    val left  = table(s, d, "customer").select(custKey.as("k"), col("c_custkey"))
+    val right = table(s, d, "nation").select(natKey.as("k"), col("n_name"))
+    left
+      .join(right, left("k") <=> right("k"))
+      .groupBy(col("n_name"))
+      .agg(count(lit(1)).as("n_matches"))
+  }
+
   /** U1 — union with compatible-but-unequal schemas (vertical_relaxed). */
   private def u1_union_relaxed(s: SparkSession, d: String): DataFrame = {
     val c = table(s, d, "customer").select(
@@ -216,11 +240,24 @@ object JoinsSetOps extends QueryModule {
     "j9_anti_join" -> (j9_anti_join _),
     "j10_semi_join" -> (j10_semi_join _),
     "j11_salted_skew_join" -> (j11_salted_skew_join _),
+    "j15_nullsafe_join" -> (j15_nullsafe_join _),
     "u1_union_relaxed" -> (u1_union_relaxed _),
     "u4_except" -> (u4_except _)
   )
 
   val oracles: Map[String, String] = Map(
+    "j15_nullsafe_join" ->
+      """WITH l AS (
+           SELECT CASE WHEN c_custkey % 7 <> 0 THEN CAST(c_nationkey AS BIGINT) END AS k,
+                  c_custkey
+           FROM customer),
+         r AS (
+           SELECT CASE WHEN n_nationkey % 5 <> 0 THEN CAST(n_nationkey AS BIGINT) END AS k,
+                  n_name
+           FROM nation)
+         SELECT n_name, CAST(count(*) AS BIGINT) AS n_matches
+         FROM l JOIN r ON l.k IS NOT DISTINCT FROM r.k
+         GROUP BY n_name""",
     "j1_left_join_agg" ->
       """SELECT o_orderkey, sum_qty, CAST(coalesce(n_items, 0) AS BIGINT) AS n_items
          FROM orders LEFT JOIN (

@@ -308,7 +308,39 @@ object TextAnalysis extends QueryModule {
       .filter(col("rk") <= 5)
   }
 
+  /** X12 — count-min sketch registers over the corpus token stream: a
+    * 4×64 grid of counters; token w increments cell (j, h_j(w)) for each
+    * of 4 independent md5-salted hash rows, and freq(w) is later estimated
+    * as min_j grid[j][h_j(w)] — always an overestimate, bounded by the
+    * collision mass. The frequency twin of x10's HLL cardinality sketch
+    * and the third mergeable-sketch family (HLL, histogram a18, CM) a
+    * corpus pipeline ships: heavy-hitter token detection at 100 TB
+    * without a full term dictionary. The register build is ONE pass —
+    * posexplode fans each token into its 4 (row, col) cells in a narrow
+    * projection, one hash agg on a 256-key space, zero-filled against the
+    * dense grid so shards merge by cell-wise addition. All integer.
+    */
+  private def x12_cmsketch_registers(s: SparkSession, d: String): DataFrame = {
+    val Depth = 4
+    val Width = 64L
+    val cells = (0 until Depth).map(j =>
+      conv(substring(md5(concat(col("w"), lit(s"|cm$j"))), 1, 6), 16, 10)
+        .cast("long") % Width
+    )
+    val hits = table(s, d, "documents")
+      .select(explode(words(col("text"))).as("w"))
+      .select(posexplode(array(cells: _*)))
+      .select(col("pos").cast("long").as("cm_row"), col("col").as("cm_col"))
+    val counts = hits.groupBy(col("cm_row"), col("cm_col")).agg(count(lit(1)).as("cnt"))
+    s.range(0, Depth)
+      .select(col("id").as("cm_row"))
+      .crossJoin(s.range(0, Width).select(col("id").as("cm_col")))
+      .join(counts, Seq("cm_row", "cm_col"), "left")
+      .select(col("cm_row"), col("cm_col"), coalesce(col("cnt"), lit(0L)).as("cnt"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x12_cmsketch_registers" -> (x12_cmsketch_registers _),
     "x11_reservoir_sample" -> (x11_reservoir_sample _),
     "x9_tfidf_topk" -> (x9_tfidf_topk _),
     "x10_hll_registers" -> (x10_hll_registers _),
@@ -438,6 +470,26 @@ object TextAnalysis extends QueryModule {
          SELECT doc_id, term, CAST(score_q AS BIGINT) AS score_q,
                 CAST(rank AS BIGINT) AS rank
          FROM r WHERE rank <= 3""",
+    "x12_cmsketch_registers" -> {
+      val rows = (0 until 4)
+        .map(j =>
+          s"""SELECT $j AS cm_row,
+                     ('0x' || substr(md5(w || '|cm$j'), 1, 6))::BIGINT % 64 AS cm_col
+              FROM t"""
+        )
+        .mkString(" UNION ALL ")
+      s"""WITH t AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+          c AS (SELECT cm_row, cm_col, count(*) AS cnt FROM ($rows) GROUP BY 1, 2),
+          grid AS (
+            SELECT r.r AS cm_row, k.k AS cm_col
+            FROM (SELECT unnest(range(0, 4)) AS r) r,
+                 (SELECT unnest(range(0, 64)) AS k) k)
+          SELECT CAST(grid.cm_row AS BIGINT) AS cm_row,
+                 CAST(grid.cm_col AS BIGINT) AS cm_col,
+                 CAST(coalesce(c.cnt, 0) AS BIGINT) AS cnt
+          FROM grid LEFT JOIN c
+            ON c.cm_row = grid.cm_row AND c.cm_col = grid.cm_col"""
+    },
     "x10_hll_registers" ->
       s"""WITH h AS (SELECT ('0x' || substr(md5(text), 1, 6))::BIGINT AS h24
                      FROM documents),

@@ -129,6 +129,12 @@ class PlanShapeSpec extends AnyFunSuite with SparkTestBase {
     assert(exchanges <= 1, s"$exchanges exchanges:\n$p")
   }
 
+  test("j15's null-safe equality plans as a keyed join, not a nested loop") {
+    val p = plan("j15_nullsafe_join")
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("a18's histogram median shuffles on the group key, never globally") {
     val p = plan("a18_hist_median")
     assert(!p.contains("Exchange SinglePartition"), p)
