@@ -11,18 +11,32 @@ object Verify {
     val spark = Engine.builder().getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.foreach { case (name, fn) =>
-      try
-        fn(spark, sfDir)
-          .coalesce(1)
-          .write
-          .mode("overwrite")
-          .parquet(s"$outDir/$name")
-      catch {
-        case e: Throwable =>
-          System.err.println(s"[verify] $name failed: ${e.getMessage}")
+    // Queries are independent (each writes its own directory), so run a few
+    // concurrently: one query rarely saturates the local[N] executor pool
+    // (single-partition tails, driver-side planning), and overlapping them
+    // reclaims that idle time — same rows either way. Bounded at 4 so no
+    // query is starved into a timing-flaky state.
+    import java.util.concurrent.Executors
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
+    val pool = Executors.newFixedThreadPool(4)
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutorService(pool)
+    val runs = SparkEntry.queries.toSeq.map { case (name, fn) =>
+      Future {
+        try
+          fn(spark, sfDir)
+            .coalesce(1)
+            .write
+            .mode("overwrite")
+            .parquet(s"$outDir/$name")
+        catch {
+          case e: Throwable =>
+            System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        }
       }
     }
+    runs.foreach(Await.result(_, Duration.Inf))
+    pool.shutdown()
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.
