@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Engine.table
@@ -234,6 +235,38 @@ object Dedup extends QueryModule {
       )
   }
 
+  /** D11 — cluster survivor selection: the dedup pipeline's actual OUTPUT
+    * artifact. d7 labels clusters; this picks the row a training set KEEPS
+    * per cluster — by QUALITY policy (longest text, ties by lowest id),
+    * not by arbitrary id, which is how production dedup chooses among
+    * near-duplicates (keep the most complete variant, drop truncations) —
+    * plus the per-cluster accounting (members, dropped) an audit trail
+    * requires. One extra shuffle on the cluster key; the rank and the
+    * member count share its partitioning. Singleton clusters pass through
+    * as their own survivor with zero drops — dedup must never lose
+    * non-duplicated rows.
+    */
+  private def d11_cluster_survivors(s: SparkSession, d: String): DataFrame = {
+    val cl = d7_dedup_clusters(s, d).select(col("doc_id"), col("cluster"))
+    val len = corpus(s, d).select(
+      col("doc_id").cast("long").as("doc_id"),
+      length(col("text")).cast("long").as("tlen")
+    )
+    val w  = Window.partitionBy(col("cluster")).orderBy(col("tlen").desc, col("doc_id").asc)
+    val wc = Window.partitionBy(col("cluster"))
+    cl.join(len, "doc_id")
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n_members", count(lit(1)).over(wc))
+      .filter(col("rn") === 1)
+      .select(
+        col("cluster"),
+        col("doc_id").as("kept_doc_id"),
+        col("tlen").as("kept_len"),
+        col("n_members"),
+        (col("n_members") - 1).as("n_dropped")
+      )
+  }
+
   /** D6 — benchmark-contamination check: flag training documents sharing
     * any 5-word shingle with a held-out benchmark set (docs 1-10) — the
     * eval-leakage gate every serious training-data pipeline runs. Planted
@@ -407,7 +440,8 @@ object Dedup extends QueryModule {
     "d7_dedup_clusters" -> (d7_dedup_clusters _),
     "d8_url_dedup" -> (d8_url_dedup _),
     "d9_fuzzy_blocking" -> (d9_fuzzy_blocking _),
-    "d10_minhash_estimate" -> (d10_minhash_estimate _)
+    "d10_minhash_estimate" -> (d10_minhash_estimate _),
+    "d11_cluster_survivors" -> (d11_cluster_survivors _)
   )
 
   // ---- oracles ----
@@ -570,6 +604,39 @@ object Dedup extends QueryModule {
           SELECT CAST(id AS BIGINT) AS doc_id, CAST(min(comp) AS BIGINT) AS cluster,
                  CAST(id AS BIGINT) = CAST(min(comp) AS BIGINT) AS is_canonical
           FROM reach GROUP BY id""",
+    "d11_cluster_survivors" ->
+      s"""WITH RECURSIVE $corpusSql, $shinglesSql, $sigSql, $bandsSql, $candSql,
+          vp AS (
+            SELECT doc1, doc2
+            FROM cand
+            JOIN sh s1 ON s1.doc_id = doc1
+            JOIN sh s2 ON s2.doc_id = doc2
+            WHERE CAST(len(list_intersect(s1.s, s2.s)) AS DOUBLE) /
+                  (len(s1.s) + len(s2.s) - len(list_intersect(s1.s, s2.s))) >= 0.8),
+          pedges AS (
+            SELECT doc1 AS src, doc2 AS dst FROM vp
+            UNION
+            SELECT doc2 AS src, doc1 AS dst FROM vp),
+          reach(id, comp) AS (
+            SELECT doc_id, doc_id FROM corpus
+            UNION
+            SELECT e.dst, r.comp FROM reach r JOIN pedges e ON r.id = e.src),
+          cls AS (SELECT id AS doc_id, min(comp) AS cluster FROM reach GROUP BY id),
+          wl AS (
+            SELECT c.doc_id, c.cluster, length(co.text) AS tlen
+            FROM cls c JOIN corpus co ON co.doc_id = c.doc_id),
+          r AS (
+            SELECT *,
+                   row_number() OVER (PARTITION BY cluster
+                                      ORDER BY tlen DESC, doc_id) AS rn,
+                   count(*) OVER (PARTITION BY cluster) AS n_members
+            FROM wl)
+          SELECT CAST(cluster AS BIGINT) AS cluster,
+                 CAST(doc_id AS BIGINT) AS kept_doc_id,
+                 CAST(tlen AS BIGINT) AS kept_len,
+                 CAST(n_members AS BIGINT) AS n_members,
+                 CAST(n_members - 1 AS BIGINT) AS n_dropped
+          FROM r WHERE rn = 1""",
     "d8_url_dedup" ->
       """WITH u AS (
            SELECT doc_id,
