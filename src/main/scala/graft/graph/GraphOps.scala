@@ -238,22 +238,27 @@ object GraphOps {
       ed.groupBy(col("src")).agg(count(lit(1)).as("od"))
     )
     val e = Lineage.truncate(ed.join(outDeg, "src"))
-    var r = Lineage.truncate(vertexIds.select(col("id"), lit(scale).as("r")))
-    (1 to iterations).foreach { _ =>
+    // Each pass consumes the previous rank frame exactly ONCE (the contrib
+    // join), so per-pass truncation would only pay a materialization job
+    // without preventing any recompute — shuffle-stage boundaries already
+    // bound retry cost. (Contrast labelPropagation, whose labels fan out
+    // 3× per pass and MUST truncate.) Truncate every 5th pass purely to
+    // bound plan depth for deep iteration counts.
+    var r = vertexIds.select(col("id"), lit(scale).as("r"))
+    (1 to iterations).foreach { i =>
       val contrib = e
         .join(r, e("src") === r("id"))
         .select(e("dst").as("id"), expr("r div od").as("c"))
         .groupBy("id")
         .agg(sum(col("c")).as("s"))
-      r = Lineage.truncate(
-        vertexIds
-          .join(contrib, Seq("id"), "left")
-          .select(
-            col("id"),
-            (lit(15L * scale / 100) +
-              expr(s"(85 * coalesce(s, 0)) div 100")).as("r")
-          )
-      )
+      val next = vertexIds
+        .join(contrib, Seq("id"), "left")
+        .select(
+          col("id"),
+          (lit(15L * scale / 100) +
+            expr(s"(85 * coalesce(s, 0)) div 100")).as("r")
+        )
+      r = if (i % 5 == 0 && i < iterations) Lineage.truncate(next) else next
     }
     r
   }
@@ -287,21 +292,23 @@ object GraphOps {
     )
     val e  = Lineage.truncate(ed.join(outDeg, "src"))
     val tp = Lineage.truncate(seeds.select(col("id"), lit(15L * scale / 100).as("tp")))
-    var r  = Lineage.truncate(seeds.select(col("id"), lit(scale).as("r")))
-    (1 to iterations).foreach { _ =>
+    // no per-pass truncation: the rank frame is consumed once per pass;
+    // depth-bounding truncate every 5th (see pageRankQuantized)
+    var r = tp.select(col("id"), lit(scale).as("r"))
+    (1 to iterations).foreach { i =>
       val contrib = e
         .join(r, e("src") === r("id"))
         .select(e("dst").as("id"), expr("r div od").as("c"))
         .groupBy("id")
         .agg(sum(col("c")).as("s"))
-      r = Lineage.truncate(
-        tp.join(contrib, Seq("id"), "full_outer")
-          .select(
-            col("id"),
-            (coalesce(col("tp"), lit(0L)) +
-              expr("(85 * coalesce(s, 0)) div 100")).as("r")
-          )
-      )
+      val next = tp
+        .join(contrib, Seq("id"), "full_outer")
+        .select(
+          col("id"),
+          (coalesce(col("tp"), lit(0L)) +
+            expr("(85 * coalesce(s, 0)) div 100")).as("r")
+        )
+      r = if (i % 5 == 0 && i < iterations) Lineage.truncate(next) else next
     }
     r
   }
