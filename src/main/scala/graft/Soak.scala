@@ -65,6 +65,9 @@ object Soak {
     "g10_kcore",
     "g11_neighbor_jaccard",
     "g12_bfs_hops",
+    "g13_personalized_pagerank",
+    "d10_minhash_estimate",
+    "d11_cluster_survivors",
     "pl5_tracks",
     "d4_ngram_jaccard",
     "d7_dedup_clusters",
