@@ -203,6 +203,70 @@ class GraphOpsSpec extends AnyFunSuite with SparkTestBase {
     assert(survivors(4) == triangle)
   }
 
+  test("kCorePeel converges to the brute-force 2-core on seeded random graphs") {
+    import spark.implicits._
+    for (seed <- 1 to 6) {
+      val rnd = new scala.util.Random(seed)
+      val n   = 8
+      val edges = (for {
+        a <- 0 until n; b <- (a + 1) until n if rnd.nextDouble() < 0.3
+      } yield (a.toLong, b.toLong)).toVector
+      // brute force: drop sub-k vertices until fixpoint
+      var core = edges
+      var stable = false
+      while (!stable) {
+        val deg  = core.flatMap(e => Seq(e._1, e._2)).groupBy(identity).view.mapValues(_.size)
+        val keep = deg.filter(_._2 >= 2).keySet
+        val next = core.filter(e => keep(e._1) && keep(e._2))
+        stable = next == core
+        core = next
+      }
+      if (edges.nonEmpty) {
+        // n passes always suffice: each non-converged pass removes ≥1 vertex
+        val got = GraphOps
+          .kCorePeel(edges.toDF("a", "b"), 2, n)
+          .collect()
+          .map(r => (r.getLong(0), r.getLong(1)))
+          .toSet
+        assert(got == core.toSet, s"seed $seed: got $got want ${core.toSet}")
+      }
+    }
+  }
+
+  test("bfsHops matches brute-force distances on seeded random graphs") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    for (seed <- 10 to 13) {
+      val rnd = new scala.util.Random(seed)
+      val n   = 8
+      val und = (for {
+        a <- 0 until n; b <- (a + 1) until n if rnd.nextDouble() < 0.25
+      } yield (a.toLong, b.toLong)).toVector
+      if (und.nonEmpty) {
+        val adj = (und ++ und.map(_.swap)).groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+        // brute-force BFS from vertex 0
+        var dist    = Map(0L -> 0L)
+        var frontier = Seq(0L)
+        while (frontier.nonEmpty) {
+          val next = frontier
+            .flatMap(v => adj.getOrElse(v, Nil))
+            .filterNot(dist.contains)
+            .distinct
+          dist = dist ++ next.map(_ -> (dist(frontier.head) + 1))
+          frontier = next
+        }
+        val edges = und.toDF("src", "dst")
+        val sym   = edges.unionByName(edges.select(col("dst").as("src"), col("src").as("dst")))
+        val got = GraphOps
+          .bfsHops(Seq((0L, 0L)).toDF("id", "hop"), sym, n)
+          .collect()
+          .map(r => r.getLong(0) -> r.getLong(1))
+          .toMap
+        assert(got == dist, s"seed $seed: got $got want $dist")
+      }
+    }
+  }
+
   test("personalizedPageRankQuantized pins teleport to the seed set, quantized") {
     import spark.implicits._
     // directed 1→2, 1→3, 2→3; seed {1}; scale 10⁶.
