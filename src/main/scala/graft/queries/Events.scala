@@ -194,7 +194,31 @@ object Events extends QueryModule {
       table(s, d, "events").withColumn("t", timestamp_micros(us))
     )
 
+  /** E9 — NATIVE gap-based session windows (`session_window`, 30-minute
+    * gap): the built-in operator form of e2's manual lag+running-sum
+    * islands — one shuffle on the session key, merge logic inside the
+    * aggregation operator, and the same construct drives streaming
+    * session state. Boundary semantic pinned by the oracle: Spark closes
+    * a session when the next event is AT OR BEYOND gap (windows merge
+    * only while t₂ < t₁+gap), so the oracle's new-session flag is `>=` —
+    * e2's manual form uses `>` and the two legitimately differ on an
+    * exactly-gap-apart pair. Window bounds are [first event, last event
+    * + gap), reported in floor-seconds.
+    */
+  private def e9_session_window_native(s: SparkSession, d: String): DataFrame =
+    table(s, d, "events")
+      .select(timestamp_micros(us).as("t"), col("user_id"))
+      .groupBy(session_window(col("t"), "30 minutes").as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(
+        col("user_id"),
+        col("w.start").cast("long").as("session_start_s"),
+        col("w.end").cast("long").as("session_end_s"),
+        col("n_events")
+      )
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "e9_session_window_native" -> (e9_session_window_native _),
     "e8_sliding_window" -> (e8_sliding_window _),
     "e7_gap_fill" -> (e7_gap_fill _),
     "e1_event_window" -> (e1_event_window _),
@@ -247,6 +271,18 @@ object Events extends QueryModule {
          SELECT strftime(spine.day, '%Y-%m-%d') AS day,
                 coalesce(daily.n, 0) AS n_orders
          FROM spine LEFT JOIN daily ON spine.day = daily.day""",
+    "e9_session_window_native" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us FROM events),
+         f AS (SELECT *, CASE WHEN us - lag(us) OVER (PARTITION BY user_id
+                                   ORDER BY us, event_id) >= 1800000000
+                              THEN 1 ELSE 0 END AS flag FROM e),
+         s AS (SELECT *, sum(flag) OVER (PARTITION BY user_id ORDER BY us, event_id
+                         ROWS UNBOUNDED PRECEDING) AS sid FROM f)
+         SELECT user_id,
+                CAST(min(us) // 1000000 AS BIGINT) AS session_start_s,
+                CAST((max(us) + 1800000000) // 1000000 AS BIGINT) AS session_end_s,
+                CAST(count(*) AS BIGINT) AS n_events
+         FROM s GROUP BY user_id, sid""",
     // e8: size 10 min / slide 5 min ⇒ every event lands in EXACTLY two
     // epoch-aligned windows: [s, s+600) with s = us div 300e6 · 300, and
     // [s−300, s+300). The UNION ALL materializes both memberships.
