@@ -139,4 +139,17 @@ class PlanShapeSpec extends AnyFunSuite with SparkTestBase {
     val p = plan("a18_hist_median")
     assert(!p.contains("Exchange SinglePartition"), p)
   }
+
+  test("g13's personalized PageRank passes stay keyed joins") {
+    val p = plan("g13_personalized_pagerank")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("e9's native session windows are one keyed shuffle, no join") {
+    val p = plan("e9_session_window_native")
+    assert(!p.contains("Join"), p)
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(exchanges <= 1, s"$exchanges exchanges:\n$p")
+  }
 }
