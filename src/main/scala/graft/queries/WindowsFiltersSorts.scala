@@ -264,7 +264,38 @@ object WindowsFiltersSorts extends QueryModule {
       .filter(length(col("text")) >= 200)
       .select(col("doc_id"), length(col("text")).cast("long").as("text_len"))
 
+  /** O7 — SCALABLE global row-id assignment (two-level rank): the
+    * operation o2/p8 deliberately bound to ≤500 rows, done for the FULL
+    * table without ever moving it to one partition. Level 1 ranks within
+    * key-range buckets (one keyed shuffle, parallel); level 2 turns the
+    * per-bucket counts — #buckets rows, data-independent of row count —
+    * into exclusive prefix offsets with a bounded single-partition window
+    * (the o2/o5 discipline), broadcast back, gid = offset + local rank.
+    * Equal to `row_number() OVER (ORDER BY key)` because bucket id is
+    * monotone in the key. The pattern every 100 TB pipeline needs for
+    * stable dense ids (file-concat line numbers, contiguous sample ids)
+    * where a naive global window serializes the entire table.
+    */
+  private def o7_global_ids(s: SparkSession, d: String): DataFrame = {
+    val o      = table(s, d, "orders").select(col("o_orderkey"))
+    val b      = o.withColumn("bucket", expr("o_orderkey div 100000"))
+    val wIn    = Window.partitionBy(col("bucket")).orderBy(col("o_orderkey"))
+    val ranked = b.withColumn("rn", row_number().over(wIn).cast("long"))
+    val wOff = Window
+      .orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = b
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("off", coalesce(sum(col("n")).over(wOff), lit(0L)))
+      .select(col("bucket"), col("off"))
+    ranked
+      .join(broadcast(offsets), "bucket")
+      .select(col("o_orderkey"), (col("off") + col("rn")).as("gid"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "o7_global_ids" -> (o7_global_ids _),
     "w1_rank_label" -> (w1_rank_label _),
     "w2_keep_first" -> (w2_keep_first _),
     "w3_topk_per_group" -> (w3_topk_per_group _),
@@ -289,6 +320,10 @@ object WindowsFiltersSorts extends QueryModule {
     .mkString(" + ")
 
   val oracles: Map[String, String] = Map(
+    "o7_global_ids" ->
+      """SELECT o_orderkey,
+                CAST(row_number() OVER (ORDER BY o_orderkey) AS BIGINT) AS gid
+         FROM orders""",
     "w5_percent_rank_q" ->
       """WITH r AS (
            SELECT c_custkey, c_nationkey,

@@ -140,6 +140,15 @@ class PlanShapeSpec extends AnyFunSuite with SparkTestBase {
     assert(!p.contains("Exchange SinglePartition"), p)
   }
 
+  test("o7's global ids rank the big table keyed; only bucket counts go single-partition") {
+    val p = plan("o7_global_ids")
+    // level-1 rank: the full table shuffles on the bucket key
+    assert(p.contains("Exchange hashpartitioning"), p)
+    // offsets come back via broadcast, not a shuffled join
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
   test("g13's personalized PageRank passes stay keyed joins") {
     val p = plan("g13_personalized_pagerank")
     assert(!p.contains("CartesianProduct"), p)
