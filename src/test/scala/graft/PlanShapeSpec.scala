@@ -24,6 +24,15 @@ class PlanShapeSpec extends AnyFunSuite with SparkTestBase {
   private def planOf(df: DataFrame): String =
     df.queryExecution.explainString(FormattedMode)
 
+  /** Count shuffle Exchange NODES in a FormattedMode plan. The node's
+    * detail header is "(n) Exchange"; the partitioning argument is on a
+    * separate line, so matching "Exchange hashpartitioning" matches
+    * nothing (it silently made earlier count assertions vacuous) and
+    * BroadcastExchange must not be counted.
+    */
+  private def shuffleExchanges(p: String): Int =
+    raw"\(\d+\) Exchange\b".r.findAllIn(p).size
+
   test("j6 dims are broadcast (two BroadcastHashJoins, no SortMergeJoin)") {
     val p = plan("j6_broadcast_dims")
     // FormattedMode prints each node in the tree AND the detail section:
@@ -60,14 +69,14 @@ class PlanShapeSpec extends AnyFunSuite with SparkTestBase {
     val p = plan("j12_asof_join")
     // signup pre-agg (2: partial+final share one Exchange) + the asof union
     // window (1) — anything above 3 means the formulation regressed
-    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    val exchanges = shuffleExchanges(p)
     assert(exchanges <= 3, s"$exchanges exchanges:\n$p")
     assert(!p.contains("SortMergeJoin"), p)
   }
 
   test("j14's forward as-of join keeps j12's one-Exchange plan class") {
     val p = plan("j14_asof_forward")
-    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    val exchanges = shuffleExchanges(p)
     assert(exchanges <= 3, s"$exchanges exchanges:\n$p")
     assert(!p.contains("SortMergeJoin"), p)
   }
@@ -125,7 +134,7 @@ class PlanShapeSpec extends AnyFunSuite with SparkTestBase {
     assert(!p.contains("Join"), p)
     // the 2-windows-per-event expansion is a narrow Expand/projection;
     // partial + final agg share ONE Exchange on (window, type)
-    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    val exchanges = shuffleExchanges(p)
     assert(exchanges <= 1, s"$exchanges exchanges:\n$p")
   }
 
@@ -137,13 +146,16 @@ class PlanShapeSpec extends AnyFunSuite with SparkTestBase {
 
   test("a18's histogram median shuffles on the group key, never globally") {
     val p = plan("a18_hist_median")
-    assert(!p.contains("Exchange SinglePartition"), p)
+    // "Exchange SinglePartition" never occurs contiguously in FormattedMode
+    // (same trap as shuffleExchanges) — match the bare argument
+    assert(!p.contains("SinglePartition"), p)
   }
 
   test("o7's global ids rank the big table keyed; only bucket counts go single-partition") {
     val p = plan("o7_global_ids")
-    // level-1 rank: the full table shuffles on the bucket key
-    assert(p.contains("Exchange hashpartitioning"), p)
+    // level-1 rank: the full table shuffles on the bucket key (FormattedMode
+    // prints the partitioning in the node's detail section)
+    assert(p.contains("hashpartitioning(bucket"), p)
     // offsets come back via broadcast, not a shuffled join
     assert(p.contains("BroadcastHashJoin"), p)
     assert(!p.contains("SortMergeJoin"), p)
@@ -158,7 +170,7 @@ class PlanShapeSpec extends AnyFunSuite with SparkTestBase {
   test("e9's native session windows are one keyed shuffle, no join") {
     val p = plan("e9_session_window_native")
     assert(!p.contains("Join"), p)
-    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    val exchanges = shuffleExchanges(p)
     assert(exchanges <= 1, s"$exchanges exchanges:\n$p")
   }
 }
