@@ -322,6 +322,27 @@ object Dedup extends QueryModule {
       .select(col("vec1"), col("vec2"), round(col("cos"), 4).as("cos_sim"))
   }
 
+  /** D12 — SEMANTIC dedup clusters: connected components over the
+    * embedding-cosine near-dup pairs (d5) — the modern dedup rung textual
+    * MinHash can't reach (paraphrases, translations, re-renders of the
+    * same content embed close but share few shingles; SemDeDup-style
+    * pipelines cluster in embedding space for exactly this reason). Same
+    * distributed-CC discipline as d7: pairs only ever come from the
+    * sign-bit LSH buckets, the cluster label is the min member id, and
+    * singletons stay visible (a vector with no near-dup is its own
+    * cluster — dropping it would misreport corpus size). Output is the
+    * cluster census: label + member count.
+    */
+  private def d12_semantic_clusters(s: SparkSession, d: String): DataFrame = {
+    val pairs = d5_embed_neardup(s, d).select(col("vec1").as("src"), col("vec2").as("dst"))
+    val ids   = table(s, d, "embeddings").select(col("vec_id").as("id"))
+    graft.graph.GraphOps
+      .connectedComponents(ids, pairs)
+      .groupBy(col("comp"))
+      .agg(count(lit(1)).as("n_members"))
+      .select(col("comp").cast("long").as("cluster"), col("n_members"))
+  }
+
   /** D8 — URL-normalized exact dedup (the crawl-pipeline first pass: group
     * syntactic URL variants under one canonical key BEFORE any content
     * hashing). The messy variants are generated deterministically — four
@@ -441,7 +462,8 @@ object Dedup extends QueryModule {
     "d8_url_dedup" -> (d8_url_dedup _),
     "d9_fuzzy_blocking" -> (d9_fuzzy_blocking _),
     "d10_minhash_estimate" -> (d10_minhash_estimate _),
-    "d11_cluster_survivors" -> (d11_cluster_survivors _)
+    "d11_cluster_survivors" -> (d11_cluster_survivors _),
+    "d12_semantic_clusters" -> (d12_semantic_clusters _)
   )
 
   // ---- oracles ----
@@ -566,6 +588,23 @@ object Dedup extends QueryModule {
           FROM v a JOIN v b ON a.bk = b.bk AND a.vec_id < b.vec_id
           WHERE list_dot_product(a.e, b.e) /
                 (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))) >= 0.25""",
+    "d12_semantic_clusters" ->
+      s"""WITH RECURSIVE v AS (
+            SELECT vec_id, embedding::DOUBLE[] AS e, $planeBkSql AS bk FROM embeddings),
+          p AS (
+            SELECT a.vec_id AS v1, b.vec_id AS v2
+            FROM v a JOIN v b ON a.bk = b.bk AND a.vec_id < b.vec_id
+            WHERE list_dot_product(a.e, b.e) /
+                  (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))) >= 0.25),
+          pe AS (SELECT v1, v2 FROM p UNION SELECT v2, v1 FROM p),
+          reach(id, comp) AS (
+            SELECT vec_id, vec_id FROM embeddings
+            UNION
+            SELECT e.v2, r.comp FROM reach r JOIN pe e ON r.id = e.v1),
+          c AS (SELECT id, min(comp) AS cluster FROM reach GROUP BY id)
+          SELECT CAST(cluster AS BIGINT) AS cluster,
+                 CAST(count(*) AS BIGINT) AS n_members
+          FROM c GROUP BY cluster""",
     "d6_contamination" ->
       """WITH bg AS (
            SELECT DISTINCT g FROM (
