@@ -152,7 +152,36 @@ object Multimodal extends QueryModule {
       )
   }
 
+  /** M6 — payload chunking: each document's payload split into fixed
+    * 256-char ranges with offset index, actual length (last chunk is
+    * short), and a per-chunk content hash — the storage-page split a
+    * media/blob pipeline runs before distributing large payloads (chunked
+    * upload, content-defined dedup at page granularity, range reads). One
+    * narrow projection + a `sequence` fan-out, no shuffle; the same
+    * plumbing applies verbatim to `binary` payloads at scale. Per-chunk
+    * hashes mean two payloads sharing pages dedup at page level even when
+    * the whole-payload hash (m1) differs.
+    */
+  private def m6_payload_chunks(s: SparkSession, d: String): DataFrame = {
+    val W = 256L
+    table(s, d, "documents")
+      .select(col("doc_id"), col("text"), length(col("text")).cast("long").as("n"))
+      .select(
+        col("doc_id"),
+        col("n"),
+        col("text"),
+        explode(sequence(lit(0L), greatest(expr(s"(n - 1) div $W"), lit(0L)))).as("chunk_idx")
+      )
+      .select(
+        col("doc_id"),
+        col("chunk_idx"),
+        least(lit(W), col("n") - col("chunk_idx") * W).as("chunk_len"),
+        md5(expr(s"substring(text, cast(chunk_idx * $W + 1 as int), $W)")).as("chunk_hash")
+      )
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "m6_payload_chunks" -> (m6_payload_chunks _),
     "m1_binary_meta" -> (m1_binary_meta _),
     "m2_feature_extract" -> (m2_feature_extract _),
     "m3_frame_sample" -> (m3_frame_sample _),
@@ -172,6 +201,16 @@ object Multimodal extends QueryModule {
                FROM documents))"""
 
   val oracles: Map[String, String] = Map(
+    "m6_payload_chunks" ->
+      """WITH d AS (SELECT doc_id, text, length(text) AS n FROM documents),
+         c AS (SELECT doc_id, n, text,
+                      unnest(generate_series(0, greatest((n - 1) // 256, 0))) AS chunk_idx
+               FROM d)
+         SELECT doc_id,
+                CAST(chunk_idx AS BIGINT) AS chunk_idx,
+                CAST(least(256, n - chunk_idx * 256) AS BIGINT) AS chunk_len,
+                md5(substr(text, CAST(chunk_idx * 256 + 1 AS INTEGER), 256)) AS chunk_hash
+         FROM c""",
     "m1_binary_meta" ->
       """SELECT doc_id,
                 CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
