@@ -291,7 +291,58 @@ object Aggregations extends QueryModule {
       .agg(min(col("bucket")).as("median_bucket"), min(col("total")).as("n_orders"))
   }
 
+  /** The bucket-histogram median used by a18/a19: for each group, the
+    * first bucket whose cumulative count reaches half. One keyed shuffle
+    * + a per-group window over at most #buckets rows.
+    */
+  private def histMedian(buckets: DataFrame): DataFrame = {
+    val bcnt = buckets.groupBy(col("g"), col("bucket")).agg(count(lit(1)).as("bn"))
+    val wCum = Window
+      .partitionBy(col("g"))
+      .orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wTot = Window.partitionBy(col("g"))
+    bcnt
+      .withColumn("cum", sum(col("bn")).over(wCum))
+      .withColumn("total", sum(col("bn")).over(wTot))
+      .filter(col("cum") * 2 >= col("total"))
+      .groupBy(col("g"))
+      .agg(min(col("bucket")).as("med"), min(col("total")).as("n"))
+  }
+
+  /** A19 — MAD (median absolute deviation) in bucket units: the
+    * histogram-median machinery applied twice — once for the center, once
+    * over each row's absolute bucket distance from it. MAD is the robust
+    * dispersion measure outlier policies want where stddev is dragged by
+    * the very outliers it should flag; in bucket units it is exact
+    * integers cross-engine (the a18 trade: error bounded by bucket
+    * width). The center table is #groups rows → broadcast back onto the
+    * row stream; two keyed shuffles total, independent of row count.
+    */
+  private def a19_mad(s: SparkSession, d: String): DataFrame = {
+    val b = table(s, d, "orders")
+      .select(
+        col("o_orderpriority").as("g"),
+        expr("CAST(round(o_totalprice * 100, 0) AS LONG) div 1000000").as("bucket")
+      )
+    val med = histMedian(b)
+    val dev = b
+      .join(broadcast(med.select(col("g"), col("med"))), "g")
+      .select(col("g"), abs(col("bucket") - col("med")).as("bucket"))
+    val mad = histMedian(dev).select(col("g"), col("med").as("mad_bucket"))
+    med
+      .select(col("g"), col("med").as("median_bucket"), col("n").as("n_orders"))
+      .join(mad, "g")
+      .select(
+        col("g").as("o_orderpriority"),
+        col("median_bucket"),
+        col("mad_bucket"),
+        col("n_orders")
+      )
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "a19_mad" -> (a19_mad _),
     "a18_hist_median" -> (a18_hist_median _),
     "a12_percentiles" -> (a12_percentiles _),
     "a15_ntile" -> (a15_ntile _),
@@ -313,6 +364,33 @@ object Aggregations extends QueryModule {
   )
 
   val oracles: Map[String, String] = Map(
+    "a19_mad" ->
+      """WITH b AS (
+           SELECT o_orderpriority AS g,
+                  CAST(round(o_totalprice * 100, 0) AS BIGINT) // 1000000 AS bucket
+           FROM orders),
+         c1 AS (
+           SELECT g, bucket, count(*) AS bn,
+                  sum(count(*)) OVER (PARTITION BY g ORDER BY bucket
+                                      ROWS UNBOUNDED PRECEDING) AS cum,
+                  sum(count(*)) OVER (PARTITION BY g) AS total
+           FROM b GROUP BY g, bucket),
+         med AS (SELECT g, min(bucket) AS med, min(total) AS n
+                 FROM c1 WHERE cum * 2 >= total GROUP BY g),
+         dev AS (SELECT b.g, abs(b.bucket - med.med) AS bucket
+                 FROM b JOIN med ON med.g = b.g),
+         c2 AS (
+           SELECT g, bucket, count(*) AS bn,
+                  sum(count(*)) OVER (PARTITION BY g ORDER BY bucket
+                                      ROWS UNBOUNDED PRECEDING) AS cum,
+                  sum(count(*)) OVER (PARTITION BY g) AS total
+           FROM dev GROUP BY g, bucket),
+         mad AS (SELECT g, min(bucket) AS mad FROM c2 WHERE cum * 2 >= total GROUP BY g)
+         SELECT med.g AS o_orderpriority,
+                CAST(med.med AS BIGINT) AS median_bucket,
+                CAST(mad.mad AS BIGINT) AS mad_bucket,
+                CAST(med.n AS BIGINT) AS n_orders
+         FROM med JOIN mad ON mad.g = med.g""",
     "a18_hist_median" ->
       """WITH b AS (
            SELECT o_orderpriority,
