@@ -26,7 +26,8 @@ object SparkEntry {
     Multimodal,
     PipelineQueries,
     Events,
-    TemporalQueries
+    TemporalQueries,
+    Curation
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

@@ -1,0 +1,416 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Engine.table
+
+/** Corpus-curation operators: the document-stream transformations that sit
+  * between raw crawl and training shards — sequence packing, span-level
+  * cleaning, exact substring dedup, weighted sampling, Bloom-filter
+  * membership pruning, and Gopher-style gate batteries. The reference's
+  * per-row quality gates (extract_artists.py:42-63) are the seed; these are
+  * the corpus-scale generalizations a 100 TB pipeline runs after them.
+  *
+  * Scale notes, per query:
+  *   - c1 packs within per-language streams — the running sum is a window
+  *     PARTITIONED by lang, never a single-partition global cumsum (the
+  *     global-order variant is o7's two-level rank; packing doesn't need it
+  *     because shard boundaries only have to be consistent per stream).
+  *   - c3 shuffles 56-bit md5-prefix gram keys, not 5-word strings — the
+  *     gram text never leaves the map side. Any md5 collision merges the
+  *     same two grams in Spark and DuckDB alike, so the oracle still
+  *     matches bit-for-bit.
+  *   - c5 is the runtime-filter pattern: the Bloom registers collapse to a
+  *     single broadcast row (128 words), the probe side stays a narrow
+  *     zero-shuffle projection, and the only Exchange is the final 4-row
+  *     confusion-matrix aggregate.
+  */
+object Curation extends QueryModule {
+
+  private val StopEn = Seq("the", "a", "of", "and", "to", "in", "is")
+
+  private def words(c: Column): Column = split(c, " ")
+
+  /** First-6-hex-digits of md5 as a long in [0, 16^6) — the deterministic
+    * uniform hash both engines compute identically (x5/x11's trick).
+    */
+  private def h6(c: Column, salt: String): Column =
+    conv(substring(md5(concat(c.cast("string"), lit(salt))), 1, 6), 16, 10)
+      .cast("long")
+
+  // ---------------------------------------------------------------------
+  // c1 — sequence packing (concat-then-chunk)
+  // ---------------------------------------------------------------------
+
+  /** Greedy sequential packing of documents into fixed 4096-token training
+    * windows: concatenate the per-language document stream in doc_id order,
+    * then cut every 4096 tokens. Each document gets its start offset in the
+    * stream, its pack id (the window its first token lands in), and a
+    * boundary-straddle flag (the packing loss metric: a straddling doc is
+    * split across two training sequences).
+    *
+    * One shuffle (the per-lang window); token counts are a narrow
+    * projection. At 100 TB each language stream still packs independently
+    * and in parallel.
+    */
+  private def c1_sequence_pack(s: SparkSession, d: String): DataFrame = {
+    val nTok = size(words(col("text"))).cast("long")
+    val w = Window
+      .partitionBy("lang")
+      .orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    table(s, d, "documents")
+      .select(col("doc_id"), col("lang"), nTok.as("n_tokens"))
+      .withColumn("cum", sum("n_tokens").over(w))
+      .select(
+        col("doc_id"),
+        col("lang"),
+        col("n_tokens"),
+        (col("cum") - col("n_tokens")).as("start_off"),
+        floor((col("cum") - col("n_tokens")) / 4096).cast("long").as("pack_id"),
+        (floor((col("cum") - col("n_tokens")) / 4096) =!=
+          floor((col("cum") - 1) / 4096)).cast("int").as("straddles")
+      )
+  }
+
+  // ---------------------------------------------------------------------
+  // c2 — span-level cleaning (the C4 line-filter shape)
+  // ---------------------------------------------------------------------
+
+  /** Span-level cleaning: split each document into consecutive 10-word
+    * spans, drop spans that are low-diversity (< 5 distinct words) or
+    * contain a banned token, and reassemble the survivors in order. The
+    * C4 line-filter shape (split → per-segment predicate → ordered
+    * reassembly) over the harness's newline-free fixtures, with retention
+    * accounting per document.
+    *
+    * Zero shuffle — one narrow projection; the higher-order functions are
+    * CodegenFallback but the plan stays scan-speed (TextAnalysis scaladoc
+    * has the standing note).
+    */
+  private def c2_span_clean(s: SparkSession, d: String): DataFrame = {
+    val w      = words(col("text"))
+    val nSpans = ceil(size(w) / lit(10.0)).cast("int")
+    val spans  = transform(sequence(lit(0), nSpans - 1), i => slice(w, i * 10 + 1, lit(10)))
+    val kept = filter(
+      spans,
+      sp => size(array_distinct(sp)) >= 5 && !array_contains(sp, "slow")
+    )
+    table(s, d, "documents")
+      .select(col("doc_id"), spans.as("spans"), kept.as("kept"))
+      .select(
+        col("doc_id"),
+        size(col("spans")).cast("long").as("n_spans"),
+        size(col("kept")).cast("long").as("kept_spans"),
+        array_join(flatten(col("kept")), " ").as("clean_text")
+      )
+  }
+
+  // ---------------------------------------------------------------------
+  // c3 — exact substring dedup (cross-document repeated 5-gram windows)
+  // ---------------------------------------------------------------------
+
+  /** Exact substring duplication census, the word-window form of "train on
+    * each substring once": every 5-word window position in every document,
+    * counted as duplicated when its gram also appears in at least one OTHER
+    * document. Per document: total windows, duplicated windows, distinct
+    * shared grams, and the quantized duplicated fraction.
+    *
+    * Grams are reduced to 56-bit md5-prefix keys before the shuffle — the
+    * two aggregations and the join move longs, never 5-word strings. A
+    * collision merges identically in both engines (same md5), so the oracle
+    * comparison is unaffected.
+    */
+  private def c3_substring_dedup(s: SparkSession, d: String): DataFrame = {
+    val gramKey =
+      conv(substring(md5(col("g")), 1, 14), 16, 10).cast("long").as("gk")
+    val byDoc = table(s, d, "documents")
+      .select(
+        col("doc_id"),
+        explode(call_function("graft_word_ngrams", col("text"), lit(5))).as("g")
+      )
+      .select(col("doc_id"), gramKey)
+      .groupBy("doc_id", "gk")
+      .agg(count(lit(1)).as("c"))
+    // byDoc rows are distinct (doc, gram) pairs, so counting them per gram
+    // IS the number of documents containing the gram — no second corpus pass.
+    val docsPerGram = byDoc.groupBy("gk").agg(count(lit(1)).as("n_docs"))
+    byDoc
+      .join(docsPerGram, "gk")
+      .groupBy("doc_id")
+      .agg(
+        sum("c").as("n_windows"),
+        sum(when(col("n_docs") >= 2, col("c")).otherwise(0L)).as("dup_windows"),
+        count(when(col("n_docs") >= 2, lit(1))).as("dup_grams")
+      )
+      .select(
+        col("doc_id"),
+        col("n_windows"),
+        col("dup_windows"),
+        col("dup_grams"),
+        expr("10000 * dup_windows DIV n_windows").as("dup_frac_q")
+      )
+  }
+
+  // ---------------------------------------------------------------------
+  // c4 — deterministic weighted sampling
+  // ---------------------------------------------------------------------
+
+  /** Weighted priority sampling, deterministic: each document draws a
+    * uniform hash and competes with priority hash ÷ weight (weight =
+    * n_chars), so longer documents win proportionally more seats — the
+    * integer-exact cousin of Efraimidis–Spirakis u^(1/w) sampling, with
+    * md5 standing in for the RNG (reproducible across engines and runs,
+    * x5/x11's discipline). Top 10 seats per language stratum.
+    *
+    * One shuffle (the per-lang window); the rank prunes to 10 rows per
+    * stratum before anything wide happens.
+    */
+  private def c4_weighted_sample(s: SparkSession, d: String): DataFrame = {
+    val pri = expr("hv DIV n_chars")
+    val w   = Window.partitionBy("lang").orderBy(col("priority"), col("doc_id"))
+    table(s, d, "documents")
+      .select(col("doc_id"), col("lang"), col("n_chars"), h6(col("doc_id"), "|wsample").as("hv"))
+      .select(col("doc_id"), col("lang"), col("n_chars"), pri.as("priority"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= 10)
+  }
+
+  // ---------------------------------------------------------------------
+  // c5 — Bloom-filter membership pruning
+  // ---------------------------------------------------------------------
+
+  private val BloomBits  = 4096 // 128 × 32-bit words
+  private val BloomSeeds = 0 to 3
+
+  private def bloomPos(key: Column, seed: Int): Column =
+    conv(
+      substring(md5(concat(key.cast("string"), lit(s"|b$seed"))), 1, 6),
+      16,
+      10
+    ).cast("long") % BloomBits
+
+  /** Bloom-filter join pruning with false-positive accounting — the
+    * runtime-filter pattern built by hand: hash the build side (BUILDING
+    * customers) into a 4096-bit / 4-hash Bloom sketch held as 128 32-bit
+    * words, collapse the words to ONE broadcast row, and probe every order
+    * with four narrow bit tests. The result is the confusion matrix of
+    * bloom verdict × exact membership (a Bloom filter must never produce a
+    * false negative; the false-positive row sizes the pruning error).
+    *
+    * The probe side never shuffles and never fans out: the four probes are
+    * unrolled columns against the broadcast register map, exactly how an
+    * injected runtime Bloom filter evaluates inside the scan stage. The
+    * only Exchange is the ≤4-row final aggregate.
+    */
+  private def c5_bloom_prune(s: SparkSession, d: String): DataFrame = {
+    val build = table(s, d, "customer")
+      .filter(col("c_mktsegment") === "BUILDING")
+      .select(col("c_custkey"))
+    val regs = build
+      .select(
+        explode(
+          array(BloomSeeds.map(k => bloomPos(col("c_custkey"), k)): _*)
+        ).as("pos")
+      )
+      .select(
+        expr("pos DIV 32").as("word"),
+        call_function("shiftleft", lit(1L), (col("pos") % 32).cast("int")).as("contrib")
+      )
+      .groupBy("word")
+      .agg(call_function("bit_or", col("contrib")).as("reg"))
+      .agg(map_from_entries(collect_list(struct(col("word"), col("reg")))).as("regmap"))
+    val probed = table(s, d, "orders")
+      .select(col("o_orderkey"), col("o_custkey"))
+      .crossJoin(broadcast(regs))
+    val passAll = BloomSeeds
+      .map { k =>
+        val pos  = bloomPos(col("o_custkey"), k)
+        val word = floor(pos / 32).cast("long")
+        val reg  = coalesce(call_function("element_at", col("regmap"), word), lit(0L))
+        call_function("shiftright", reg, (pos % 32).cast("int")).bitwiseAND(lit(1L)) === 1L
+      }
+      .reduce(_ && _)
+    val members = broadcast(build.withColumn("member", lit(1)))
+    probed
+      .withColumn("bloom_pass", passAll.cast("int"))
+      .join(members, col("o_custkey") === col("c_custkey"), "left")
+      .groupBy(col("bloom_pass"), coalesce(col("member"), lit(0)).as("exact_member"))
+      .agg(count(lit(1)).as("n"))
+  }
+
+  // ---------------------------------------------------------------------
+  // c6 — Gopher-style document gate battery
+  // ---------------------------------------------------------------------
+
+  /** Gopher-style quality gates with per-gate accounting: word count,
+    * mean word length, stopword presence, and distinct-word fraction, each
+    * as an explicit pass/fail column plus the first-failing-gate reject
+    * reason (the audit column a curation run reports per shard). x2 scores;
+    * c6 GATES — the keep/drop decision with its reasons, integer-quantized
+    * so both engines agree exactly.
+    *
+    * Zero shuffle — one narrow projection over `documents`.
+    */
+  private def c6_gopher_gates(s: SparkSession, d: String): DataFrame = {
+    val w      = words(col("text"))
+    val nWords = size(w).cast("long")
+    // Single-space-joined text: total word chars = length - (n_words - 1).
+    val mwlQ      = expr("100 * (length(text) - (n_words - 1)) DIV n_words")
+    val distinctQ = expr("10000 * n_distinct DIV n_words")
+    val base = table(s, d, "documents").select(
+      col("doc_id"),
+      col("text"),
+      nWords.as("n_words"),
+      size(array_distinct(w)).cast("long").as("n_distinct"),
+      size(filter(w, x => x.isin(StopEn: _*))).cast("long").as("n_stop")
+    )
+    base
+      .select(
+        col("doc_id"),
+        col("n_words"),
+        mwlQ.as("mwl_q"),
+        distinctQ.as("distinct_q"),
+        col("n_stop")
+      )
+      .select(
+        col("doc_id"),
+        col("n_words"),
+        col("mwl_q"),
+        col("distinct_q"),
+        col("n_stop"),
+        (col("n_words") >= 20 && col("n_words") <= 100000).cast("int").as("g_len"),
+        (col("mwl_q") >= 300 && col("mwl_q") <= 800).cast("int").as("g_mwl"),
+        (col("n_stop") >= 2).cast("int").as("g_stop"),
+        (col("distinct_q") >= 3000).cast("int").as("g_distinct")
+      )
+      .withColumn(
+        "keep",
+        (col("g_len") === 1 && col("g_mwl") === 1 && col("g_stop") === 1 &&
+          col("g_distinct") === 1).cast("int")
+      )
+      .withColumn(
+        "reject_reason",
+        when(col("g_len") === 0, "len")
+          .when(col("g_mwl") === 0, "mwl")
+          .when(col("g_stop") === 0, "stop")
+          .when(col("g_distinct") === 0, "distinct")
+          .otherwise("pass")
+      )
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "c1_sequence_pack" -> (c1_sequence_pack _),
+    "c2_span_clean" -> (c2_span_clean _),
+    "c3_substring_dedup" -> (c3_substring_dedup _),
+    "c4_weighted_sample" -> (c4_weighted_sample _),
+    "c5_bloom_prune" -> (c5_bloom_prune _),
+    "c6_gopher_gates" -> (c6_gopher_gates _)
+  )
+
+  private def inList(xs: Seq[String]): String = xs.map(x => s"'$x'").mkString(", ")
+
+  val oracles: Map[String, String] = Map(
+    "c1_sequence_pack" ->
+      """WITH t AS (SELECT doc_id, lang,
+                CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+         FROM documents),
+         c AS (SELECT doc_id, lang, n_tokens,
+                      sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                                          ROWS UNBOUNDED PRECEDING) AS cum
+               FROM t)
+         SELECT doc_id, lang, n_tokens,
+                CAST(cum - n_tokens AS BIGINT) AS start_off,
+                CAST((cum - n_tokens) // 4096 AS BIGINT) AS pack_id,
+                CAST((cum - n_tokens) // 4096 != (cum - 1) // 4096 AS INT) AS straddles
+         FROM c""",
+    "c2_span_clean" ->
+      """WITH a AS (SELECT doc_id, string_split(text, ' ') AS a FROM documents),
+         s AS (SELECT doc_id,
+                      list_transform(range(0, CAST(ceil(len(a) / 10.0) AS INT)),
+                                     i -> list_slice(a, i * 10 + 1, i * 10 + 10)) AS spans
+               FROM a),
+         k AS (SELECT doc_id, spans,
+                      list_filter(spans, sp -> len(list_distinct(sp)) >= 5
+                                               AND NOT list_contains(sp, 'slow')) AS kept
+               FROM s)
+         SELECT doc_id,
+                CAST(len(spans) AS BIGINT) AS n_spans,
+                CAST(len(kept) AS BIGINT) AS kept_spans,
+                coalesce(array_to_string(flatten(kept), ' '), '') AS clean_text
+         FROM k""",
+    "c3_substring_dedup" ->
+      """WITH a AS (SELECT doc_id, string_split(text, ' ') AS a FROM documents),
+         g AS (SELECT doc_id,
+                      unnest(list_transform(range(1, len(a) - 3),
+                        i -> a[i] || ' ' || a[i+1] || ' ' || a[i+2] || ' ' || a[i+3] || ' ' || a[i+4])) AS g
+               FROM a),
+         bd AS (SELECT doc_id,
+                       ('0x' || substr(md5(g), 1, 14))::BIGINT AS gk,
+                       count(*) AS c
+                FROM g GROUP BY doc_id, ('0x' || substr(md5(g), 1, 14))::BIGINT),
+         dg AS (SELECT gk, count(*) AS n_docs FROM bd GROUP BY 1)
+         SELECT bd.doc_id,
+                CAST(sum(c) AS BIGINT) AS n_windows,
+                CAST(sum(CASE WHEN n_docs >= 2 THEN c ELSE 0 END) AS BIGINT) AS dup_windows,
+                CAST(count(CASE WHEN n_docs >= 2 THEN 1 END) AS BIGINT) AS dup_grams,
+                CAST(10000 * sum(CASE WHEN n_docs >= 2 THEN c ELSE 0 END) // sum(c) AS BIGINT) AS dup_frac_q
+         FROM bd JOIN dg USING (gk) GROUP BY 1""",
+    "c4_weighted_sample" ->
+      """WITH h AS (SELECT doc_id, lang, n_chars,
+                ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|wsample'), 1, 6))::BIGINT AS hv
+         FROM documents),
+         p AS (SELECT doc_id, lang, n_chars, CAST(hv // n_chars AS BIGINT) AS priority FROM h),
+         r AS (SELECT doc_id, lang, n_chars, priority,
+                      CAST(row_number() OVER (PARTITION BY lang
+                                              ORDER BY priority, doc_id) AS BIGINT) AS rk
+               FROM p)
+         SELECT doc_id, lang, n_chars, priority, rk FROM r WHERE rk <= 10""",
+    "c5_bloom_prune" ->
+      """WITH b AS (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'),
+         bp AS (SELECT (('0x' || substr(md5(CAST(c_custkey AS VARCHAR) || '|b' || CAST(s AS VARCHAR)), 1, 6))::BIGINT % 4096) AS pos
+                FROM b, (SELECT unnest([0, 1, 2, 3]) AS s)),
+         r AS (SELECT pos // 32 AS word,
+                      bit_or(CAST(1 AS BIGINT) << CAST(pos % 32 AS INT)) AS reg
+               FROM bp GROUP BY 1),
+         op AS (SELECT o_orderkey, o_custkey, s,
+                       (('0x' || substr(md5(CAST(o_custkey AS VARCHAR) || '|b' || CAST(s AS VARCHAR)), 1, 6))::BIGINT % 4096) AS pos
+                FROM orders, (SELECT unnest([0, 1, 2, 3]) AS s)),
+         oj AS (SELECT o_orderkey, any_value(o_custkey) AS ck,
+                       bool_and(((coalesce(reg, 0) >> CAST(pos % 32 AS INT)) & 1) = 1) AS bp
+                FROM op LEFT JOIN r ON op.pos // 32 = r.word
+                GROUP BY o_orderkey)
+         SELECT CAST(bp AS INT) AS bloom_pass,
+                CAST(ck IN (SELECT c_custkey FROM b) AS INT) AS exact_member,
+                CAST(count(*) AS BIGINT) AS n
+         FROM oj GROUP BY 1, 2""",
+    "c6_gopher_gates" ->
+      s"""WITH t AS (SELECT doc_id, text,
+                 CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+                 CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_distinct,
+                 CAST(len(list_filter(string_split(text, ' '), w -> w IN (${inList(StopEn)}))) AS BIGINT) AS n_stop
+          FROM documents),
+          q AS (SELECT doc_id, n_words,
+                       CAST(100 * (length(text) - (n_words - 1)) // n_words AS BIGINT) AS mwl_q,
+                       CAST(10000 * n_distinct // n_words AS BIGINT) AS distinct_q,
+                       n_stop
+                FROM t),
+          g AS (SELECT doc_id, n_words, mwl_q, distinct_q, n_stop,
+                       CAST(n_words >= 20 AND n_words <= 100000 AS INT) AS g_len,
+                       CAST(mwl_q >= 300 AND mwl_q <= 800 AS INT) AS g_mwl,
+                       CAST(n_stop >= 2 AS INT) AS g_stop,
+                       CAST(distinct_q >= 3000 AS INT) AS g_distinct
+                FROM q)
+          SELECT doc_id, n_words, mwl_q, distinct_q, n_stop,
+                 g_len, g_mwl, g_stop, g_distinct,
+                 CAST(g_len = 1 AND g_mwl = 1 AND g_stop = 1 AND g_distinct = 1 AS INT) AS keep,
+                 CASE WHEN g_len = 0 THEN 'len'
+                      WHEN g_mwl = 0 THEN 'mwl'
+                      WHEN g_stop = 0 THEN 'stop'
+                      WHEN g_distinct = 0 THEN 'distinct'
+                      ELSE 'pass' END AS reject_reason
+          FROM g"""
+  )
+}

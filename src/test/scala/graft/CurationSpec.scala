@@ -1,0 +1,117 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Operator-level invariants for the Curation module — properties the
+  * DuckDB oracle can't express directly (it only proves both engines agree;
+  * these prove the SEMANTICS are the intended ones).
+  */
+class CurationSpec extends AnyFunSuite with SparkTestBase {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def run(name: String) = SparkEntry.queries(name)(spark, sf)
+
+  test("c1: packing is gap-free per language stream and pack ids are cumsum-consistent") {
+    val rows = run("c1_sequence_pack")
+      .orderBy("lang", "doc_id")
+      .collect()
+      .groupBy(_.getAs[String]("lang"))
+    rows.foreach { case (lang, docs) =>
+      var expectedStart = 0L
+      docs.foreach { r =>
+        val start = r.getAs[Long]("start_off")
+        val n     = r.getAs[Long]("n_tokens")
+        assert(start == expectedStart, s"$lang doc ${r.getAs[Long]("doc_id")}: gap at $start")
+        assert(r.getAs[Long]("pack_id") == start / 4096)
+        // straddle flag ⇔ the doc's first and last token land in different packs
+        val straddles = r.getAs[Int]("straddles") == 1
+        assert(straddles == (start / 4096 != (start + n - 1) / 4096))
+        expectedStart = start + n
+      }
+    }
+  }
+
+  test("c2: span cleaning preserves original word order among survivors") {
+    val docs = spark.read
+      .parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text")
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text"))
+      .toMap
+    run("c2_span_clean").collect().foreach { r =>
+      val clean = r.getAs[String]("clean_text")
+      if (clean.nonEmpty) {
+        // every kept span is a contiguous block of the original, in order:
+        // the cleaned text must be a subsequence of the original words with
+        // kept 10-word blocks intact
+        val orig  = docs(r.getAs[Long]("doc_id")).split(" ")
+        val spans = orig.grouped(10).toSeq
+        val expected = spans
+          .filter(sp => sp.distinct.length >= 5 && !sp.contains("slow"))
+          .flatten
+          .mkString(" ")
+        assert(clean == expected)
+      }
+    }
+  }
+
+  test("c3: a planted cross-document 5-gram is counted in both documents") {
+    import spark.implicits._
+    val shared = "alpha beta gamma delta epsilon"
+    val docs = Seq(
+      (1L, s"one two $shared three four"),
+      (2L, s"$shared five six seven eight nine"),
+      (3L, "ten eleven twelve thirteen fourteen fifteen sixteen")
+    ).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("c3spec").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = SparkEntry
+      .queries("c3_substring_dedup")(spark, dir)
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") -> r)
+      .toMap
+    assert(out(1L).getAs[Long]("dup_windows") == 1)
+    assert(out(2L).getAs[Long]("dup_windows") == 1)
+    assert(out(3L).getAs[Long]("dup_windows") == 0)
+    assert(out(1L).getAs[Long]("dup_grams") == 1)
+  }
+
+  test("c4: exactly 10 seats per stratum and longer docs win more seats than uniform") {
+    val out    = run("c4_weighted_sample").collect()
+    val byLang = out.groupBy(_.getAs[String]("lang"))
+    byLang.foreach { case (_, rows) => assert(rows.length <= 10) }
+    // weighting sanity: mean n_chars of winners exceeds the corpus mean
+    // (priority = hash DIV n_chars makes long docs win proportionally)
+    val winnersMean =
+      out.map(_.getAs[Long]("n_chars").toDouble).sum / out.length
+    val corpusMean = spark.read
+      .parquet(s"$sf/documents.parquet")
+      .agg(avg("n_chars"))
+      .head()
+      .getDouble(0)
+    assert(winnersMean > corpusMean, s"winners $winnersMean vs corpus $corpusMean")
+  }
+
+  test("c5: the Bloom filter produces zero false negatives") {
+    val rows = run("c5_bloom_prune").collect()
+    // no row with exact_member=1 and bloom_pass=0 may exist
+    assert(
+      !rows.exists(r => r.getAs[Int]("exact_member") == 1 && r.getAs[Int]("bloom_pass") == 0),
+      rows.mkString("\n")
+    )
+    // and members exist and pass
+    assert(rows.exists(r => r.getAs[Int]("exact_member") == 1 && r.getAs[Int]("bloom_pass") == 1))
+  }
+
+  test("c6: reject_reason names the first failing gate and keep matches the gates") {
+    run("c6_gopher_gates").collect().foreach { r =>
+      val gates = Seq("g_len" -> "len", "g_mwl" -> "mwl", "g_stop" -> "stop", "g_distinct" -> "distinct")
+      val firstFail =
+        gates.collectFirst { case (g, name) if r.getAs[Int](g) == 0 => name }.getOrElse("pass")
+      assert(r.getAs[String]("reject_reason") == firstFail)
+      assert((r.getAs[Int]("keep") == 1) == (firstFail == "pass"))
+    }
+  }
+}

@@ -173,4 +173,29 @@ class PlanShapeSpec extends AnyFunSuite with SparkTestBase {
     val exchanges = shuffleExchanges(p)
     assert(exchanges <= 1, s"$exchanges exchanges:\n$p")
   }
+
+  test("c1's packing cumsum is a PARTITIONED window, never a global single-partition sort") {
+    val p = plan("c1_sequence_pack")
+    assert(p.contains("hashpartitioning(lang"), p)
+    assert(!p.contains("SinglePartition"), p)
+  }
+
+  test("c5's Bloom probe keeps the fact side narrow: broadcasts only, no SortMergeJoin") {
+    val p = plan("c5_bloom_prune")
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    // register map + member dim both arrive by broadcast
+    assert("BroadcastExchange".r.findAllIn(p).size >= 2, p)
+    // three shuffles total, none over the fact table: the ≤4-row
+    // confusion-matrix aggregate plus TWO on the ≤128-row register side
+    // (bit_or by word, then the collapse to the single broadcast row)
+    val exchanges = shuffleExchanges(p)
+    assert(exchanges <= 3, s"$exchanges exchanges:\n$p")
+  }
+
+  test("c4's weighted sample rank is per-stratum (window keyed by lang)") {
+    val p = plan("c4_weighted_sample")
+    assert(p.contains("hashpartitioning(lang"), p)
+    assert(!p.contains("SinglePartition"), p)
+  }
 }
