@@ -301,13 +301,130 @@ object Curation extends QueryModule {
       )
   }
 
+  // ---------------------------------------------------------------------
+  // c7 — intra-document repetition accounting
+  // ---------------------------------------------------------------------
+
+  /** Intra-document exact window dedup accounting: for every 5-word window
+    * WITHIN a document, count the occurrences beyond the first of each
+    * distinct gram — the "keep first occurrence" self-repetition metric
+    * (c3 counts cross-document duplication; c7 counts a document repeating
+    * itself). Same 56-bit md5 gram keys, one groupBy pair + one per-doc
+    * rollup, no join at all.
+    */
+  private def c7_self_dedup(s: SparkSession, d: String): DataFrame = {
+    val gramKey =
+      conv(substring(md5(col("g")), 1, 14), 16, 10).cast("long").as("gk")
+    table(s, d, "documents")
+      .select(
+        col("doc_id"),
+        explode(call_function("graft_word_ngrams", col("text"), lit(5))).as("g")
+      )
+      .select(col("doc_id"), gramKey)
+      .groupBy("doc_id", "gk")
+      .agg(count(lit(1)).as("c"))
+      .groupBy("doc_id")
+      .agg(
+        sum("c").as("n_windows"),
+        sum(col("c") - 1).as("self_dup"),
+        count(lit(1)).as("distinct_grams")
+      )
+      .select(
+        col("doc_id"),
+        col("n_windows"),
+        col("self_dup"),
+        col("distinct_grams"),
+        expr("10000 * self_dup DIV n_windows").as("self_dup_frac_q")
+      )
+  }
+
+  // ---------------------------------------------------------------------
+  // c8 — corpus mixture rebalancing
+  // ---------------------------------------------------------------------
+
+  /** Deterministic down-sampling to a uniform source mixture: each source's
+    * keep-rate is min-source-count / source-count (the smallest source keeps
+    * everything, larger sources are thinned to match), and the keep decision
+    * is the usual md5 hash gate — reproducible, no RNG state. Output is the
+    * per-source audit row: corpus count, quantized rate, surviving count.
+    *
+    * Two narrow scans of `documents`; the rate table is ≤ |sources| rows and
+    * arrives at the second scan by broadcast. The global min is a single-row
+    * broadcast (never a global sort).
+    */
+  private def c8_mixture_rebalance(s: SparkSession, d: String): DataFrame = {
+    val counts = table(s, d, "documents").groupBy("source").agg(count(lit(1)).as("n_docs"))
+    val minRow = broadcast(counts.agg(min("n_docs").as("min_docs")))
+    val rates = counts
+      .crossJoin(minRow)
+      .select(col("source"), col("n_docs"), expr("10000 * min_docs DIV n_docs").as("rate_q"))
+    table(s, d, "documents")
+      .select(col("doc_id"), col("source"))
+      .join(broadcast(rates), "source")
+      .filter(h6(col("doc_id"), "|mix") % 10000 < col("rate_q"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_kept"))
+      .join(broadcast(rates), "source")
+      .select(col("source"), col("n_docs"), col("rate_q"), col("n_kept"))
+  }
+
+  // ---------------------------------------------------------------------
+  // c9 — importance weighting against a target distribution
+  // ---------------------------------------------------------------------
+
+  /** DSIR-shaped importance scoring: hash every word occurrence into 64
+    * feature buckets, estimate the target distribution (lang = 'en' docs)
+    * and the corpus distribution over those buckets, and score each document
+    * by the mean quantized likelihood ratio of its words — the
+    * data-selection signal "looks like the target domain". All integer
+    * arithmetic (ratio of proportions × 10000, integer division) so both
+    * engines agree exactly; the intermediate product tcnt × c_tot needs
+    * headroom — fine to ~2^31 words a side at this quantization, beyond
+    * that rescale the quantization constant.
+    *
+    * The weight table is 64 rows (broadcast); the per-doc score is one
+    * keyed aggregation over the exploded words. Nothing global, nothing
+    * wide.
+    */
+  private def c9_importance_weights(s: SparkSession, d: String): DataFrame = {
+    def wordBuckets =
+      table(s, d, "documents")
+        .select(col("doc_id"), col("lang"), explode(words(col("text"))).as("w"))
+        .select(
+          col("doc_id"),
+          col("lang"),
+          (conv(substring(md5(col("w")), 1, 6), 16, 10).cast("long") % 64).as("bk")
+        )
+    val corpus = wordBuckets.groupBy("bk").agg(count(lit(1)).as("ccnt"))
+    val target =
+      wordBuckets.filter(col("lang") === "en").groupBy("bk").agg(count(lit(1)).as("tcnt"))
+    val totals = broadcast(
+      corpus
+        .agg(sum("ccnt").as("c_tot"))
+        .crossJoin(target.agg(sum("tcnt").as("t_tot")))
+    )
+    val weights = corpus
+      .join(target, Seq("bk"), "left")
+      .na.fill(0L, Seq("tcnt"))
+      .crossJoin(totals)
+      .select(col("bk"), expr("10000 * tcnt * c_tot DIV (ccnt * t_tot)").as("weight_q"))
+    wordBuckets
+      .join(broadcast(weights), "bk")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_words"), sum("weight_q").as("wsum"))
+      .select(col("doc_id"), col("n_words"), expr("wsum DIV n_words").as("score_q"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "c1_sequence_pack" -> (c1_sequence_pack _),
     "c2_span_clean" -> (c2_span_clean _),
     "c3_substring_dedup" -> (c3_substring_dedup _),
     "c4_weighted_sample" -> (c4_weighted_sample _),
     "c5_bloom_prune" -> (c5_bloom_prune _),
-    "c6_gopher_gates" -> (c6_gopher_gates _)
+    "c6_gopher_gates" -> (c6_gopher_gates _),
+    "c7_self_dedup" -> (c7_self_dedup _),
+    "c8_mixture_rebalance" -> (c8_mixture_rebalance _),
+    "c9_importance_weights" -> (c9_importance_weights _)
   )
 
   private def inList(xs: Seq[String]): String = xs.map(x => s"'$x'").mkString(", ")
@@ -411,6 +528,50 @@ object Curation extends QueryModule {
                       WHEN g_stop = 0 THEN 'stop'
                       WHEN g_distinct = 0 THEN 'distinct'
                       ELSE 'pass' END AS reject_reason
-          FROM g"""
+          FROM g""",
+    "c7_self_dedup" ->
+      """WITH a AS (SELECT doc_id, string_split(text, ' ') AS a FROM documents),
+         g AS (SELECT doc_id,
+                      unnest(list_transform(range(1, len(a) - 3),
+                        i -> a[i] || ' ' || a[i+1] || ' ' || a[i+2] || ' ' || a[i+3] || ' ' || a[i+4])) AS g
+               FROM a),
+         bd AS (SELECT doc_id,
+                       ('0x' || substr(md5(g), 1, 14))::BIGINT AS gk,
+                       count(*) AS c
+                FROM g GROUP BY doc_id, ('0x' || substr(md5(g), 1, 14))::BIGINT)
+         SELECT doc_id,
+                CAST(sum(c) AS BIGINT) AS n_windows,
+                CAST(sum(c - 1) AS BIGINT) AS self_dup,
+                CAST(count(*) AS BIGINT) AS distinct_grams,
+                CAST(10000 * sum(c - 1) // sum(c) AS BIGINT) AS self_dup_frac_q
+         FROM bd GROUP BY 1""",
+    "c8_mixture_rebalance" ->
+      """WITH c AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs FROM documents GROUP BY 1),
+         m AS (SELECT min(n_docs) AS min_docs FROM c),
+         r AS (SELECT source, n_docs,
+                      CAST(10000 * min_docs // n_docs AS BIGINT) AS rate_q
+               FROM c CROSS JOIN m),
+         k AS (SELECT d.source, count(*) AS n_kept
+               FROM documents d JOIN r ON d.source = r.source
+               WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|mix'), 1, 6))::BIGINT % 10000 < rate_q
+               GROUP BY 1)
+         SELECT r.source, n_docs, rate_q, CAST(n_kept AS BIGINT) AS n_kept
+         FROM r JOIN k ON r.source = k.source""",
+    "c9_importance_weights" ->
+      """WITH w0 AS (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS w FROM documents),
+         w AS (SELECT doc_id, lang,
+                      ('0x' || substr(md5(w), 1, 6))::BIGINT % 64 AS bk
+               FROM w0),
+         c AS (SELECT bk, CAST(count(*) AS BIGINT) AS ccnt FROM w GROUP BY 1),
+         t AS (SELECT bk, CAST(count(*) AS BIGINT) AS tcnt FROM w WHERE lang = 'en' GROUP BY 1),
+         tot AS (SELECT (SELECT count(*) FROM w) AS c_tot,
+                        (SELECT count(*) FROM w WHERE lang = 'en') AS t_tot),
+         wt AS (SELECT c.bk,
+                       CAST(10000 * coalesce(tcnt, 0) * c_tot // (ccnt * t_tot) AS BIGINT) AS weight_q
+                FROM c LEFT JOIN t USING (bk) CROSS JOIN tot)
+         SELECT doc_id,
+                CAST(count(*) AS BIGINT) AS n_words,
+                CAST(sum(weight_q) // count(*) AS BIGINT) AS score_q
+         FROM w JOIN wt USING (bk) GROUP BY 1"""
   )
 }

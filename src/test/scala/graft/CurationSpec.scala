@@ -105,6 +105,54 @@ class CurationSpec extends AnyFunSuite with SparkTestBase {
     assert(rows.exists(r => r.getAs[Int]("exact_member") == 1 && r.getAs[Int]("bloom_pass") == 1))
   }
 
+  test("c7: a document repeating a 5-gram is charged occurrences beyond the first") {
+    import spark.implicits._
+    val rep = "alpha beta gamma delta epsilon"
+    val docs = Seq(
+      (1L, s"$rep zero $rep"), // the repeated gram occurs twice → self_dup 1
+      (2L, "one two three four five six")
+    ).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("c7spec").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = SparkEntry
+      .queries("c7_self_dedup")(spark, dir)
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") -> r)
+      .toMap
+    assert(out(1L).getAs[Long]("self_dup") == 1)
+    assert(out(1L).getAs[Long]("n_windows") == 7) // 11 words → 7 windows
+    assert(out(2L).getAs[Long]("self_dup") == 0)
+  }
+
+  test("c8: rates are inversely proportional to source size and kept counts respect them") {
+    val rows = run("c8_mixture_rebalance").collect()
+    rows.foreach { r =>
+      val rate = r.getAs[Long]("rate_q")
+      assert(rate >= 1 && rate <= 10000)
+      // the hash gate can't keep more than the corpus offers, and the
+      // expected kept count is n_docs * rate / 10000 — allow wide slack at
+      // sf0.001 sizes, but the bound must hold
+      assert(r.getAs[Long]("n_kept") <= r.getAs[Long]("n_docs"))
+    }
+    // the smallest source keeps everything
+    val minRow = rows.minBy(_.getAs[Long]("n_docs"))
+    assert(minRow.getAs[Long]("rate_q") == 10000)
+  }
+
+  test("c9: target-language documents score higher on average than the rest") {
+    val scores = run("c9_importance_weights")
+      .join(
+        spark.read.parquet(s"$sf/documents.parquet").select("doc_id", "lang"),
+        "doc_id"
+      )
+      .collect()
+    val (en, rest) = scores.partition(_.getAs[String]("lang") == "en")
+    def mean(rs: Array[org.apache.spark.sql.Row]) =
+      rs.map(_.getAs[Long]("score_q").toDouble).sum / rs.length
+    assert(en.nonEmpty && rest.nonEmpty)
+    assert(mean(en) > mean(rest), s"en ${mean(en)} vs rest ${mean(rest)}")
+  }
+
   test("c6: reject_reason names the first failing gate and keep matches the gates") {
     run("c6_gopher_gates").collect().foreach { r =>
       val gates = Seq("g_len" -> "len", "g_mwl" -> "mwl", "g_stop" -> "stop", "g_distinct" -> "distinct")
