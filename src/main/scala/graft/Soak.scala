@@ -76,7 +76,13 @@ object Soak {
     "g1b_degree_stats",
     "pl7_article_merge",
     "x9_tfidf_topk",
-    "e4_rolling_window"
+    "e4_rolling_window",
+    // round-7 curation family: the corpus-wide shuffle (c3), the
+    // broadcast-probe (c5), and the double-aggregation scorer (c9)
+    "c3_substring_dedup",
+    "c5_bloom_prune",
+    "c9_importance_weights",
+    "c1_sequence_pack"
   )
 
   private def buildScaled(spark: SparkSession, src: String, out: String, n: Int): Unit = {

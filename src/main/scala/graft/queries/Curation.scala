@@ -252,15 +252,19 @@ object Curation extends QueryModule {
     * c6 GATES — the keep/drop decision with its reasons, integer-quantized
     * so both engines agree exactly.
     *
-    * Zero shuffle — one narrow projection over `documents`.
+    * Zero shuffle — one narrow projection. Shared transform: the same
+    * function gates a `spark.read` table (c6) and a `readStream` source
+    * ([[graft.streaming.StreamOps.gateAndQuarantine]]) — it is stateless
+    * row-wise arithmetic, so batch and stream verdicts agree by
+    * construction.
     */
-  private def c6_gopher_gates(s: SparkSession, d: String): DataFrame = {
+  def gateBattery(docs: DataFrame): DataFrame = {
     val w      = words(col("text"))
     val nWords = size(w).cast("long")
     // Single-space-joined text: total word chars = length - (n_words - 1).
     val mwlQ      = expr("100 * (length(text) - (n_words - 1)) DIV n_words")
     val distinctQ = expr("10000 * n_distinct DIV n_words")
-    val base = table(s, d, "documents").select(
+    val base = docs.select(
       col("doc_id"),
       col("text"),
       nWords.as("n_words"),
@@ -300,6 +304,9 @@ object Curation extends QueryModule {
           .otherwise("pass")
       )
   }
+
+  private def c6_gopher_gates(s: SparkSession, d: String): DataFrame =
+    gateBattery(table(s, d, "documents").select(col("doc_id"), col("text")))
 
   // ---------------------------------------------------------------------
   // c7 — intra-document repetition accounting

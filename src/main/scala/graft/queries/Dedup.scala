@@ -451,7 +451,64 @@ object Dedup extends QueryModule {
       )
   }
 
+  /** D13 — INCREMENTAL near-dup: a new batch probed against the indexed
+    * corpus, the shape a production ingest actually runs (daily crawl vs
+    * persisted signature store) — d1/d2 deduplicate a corpus against
+    * itself; this is the asymmetric face. A deterministic hash splits the
+    * corpus 80/20 into index/batch; band keys are built ONCE (one
+    * truncated table standing in for the persisted index), the candidate
+    * join is batch-side × index-side only (cost ∝ batch size × bucket
+    * occupancy, independent of corpus size), and every batch document gets
+    * a verdict row — zero-candidate docs report 'new', never vanish
+    * (m4's no-silent-row-loss contract).
+    */
+  private def d13_incremental_neardup(s: SparkSession, d: String): DataFrame = {
+    def isBatch(c: Column): Column =
+      (conv(substring(md5(concat(c.cast("string"), lit("|inc"))), 1, 6), 16, 10)
+        .cast("long") % 10) >= 8
+    val all   = corpus(s, d)
+    val bands = graft.Lineage.truncate(bandKeys(all).withColumn("is_batch", isBatch(col("doc_id"))))
+    val cand = bands
+      .filter(col("is_batch"))
+      .as("a")
+      .join(
+        bands.filter(!col("is_batch")).as("b"),
+        col("a.bkey") === col("b.bkey") && col("a.band") === col("b.band")
+      )
+      .select(col("a.doc_id").as("bid"), col("b.doc_id").as("iid"))
+      .distinct()
+    val sh = graft.Lineage.truncate(
+      all.select(col("doc_id"), shingles(col("text")).as("sh"))
+    )
+    val verified = cand
+      .join(sh.select(col("doc_id").as("bid"), col("sh").as("s1")), "bid")
+      .join(sh.select(col("doc_id").as("iid"), col("sh").as("s2")), "iid")
+      .withColumn(
+        "inter",
+        call_function("graft_sorted_intersect_size", col("s1"), col("s2")).cast("double")
+      )
+      .withColumn("jac", col("inter") / (size(col("s1")) + size(col("s2")) - col("inter")))
+    val perBatch = verified
+      .groupBy("bid")
+      .agg(
+        count(lit(1)).as("n_candidates"),
+        sum(when(col("jac") >= 0.8, 1L).otherwise(0L)).as("n_neardup")
+      )
+    all
+      .filter(isBatch(col("doc_id")))
+      .select(col("doc_id").as("bid"))
+      .join(perBatch, Seq("bid"), "left")
+      .na.fill(0L, Seq("n_candidates", "n_neardup"))
+      .select(
+        col("bid").as("doc_id"),
+        col("n_candidates"),
+        col("n_neardup"),
+        when(col("n_neardup") > 0, "dup").otherwise("new").as("verdict")
+      )
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d13_incremental_neardup" -> (d13_incremental_neardup _),
     "d1_minhash_candidates" -> (d1_minhash_candidates _),
     "d2_verified_pairs" -> (d2_verified_pairs _),
     "d3_simhash" -> (d3_simhash _),
@@ -533,6 +590,33 @@ object Dedup extends QueryModule {
     .mkString(" || ")
 
   val oracles: Map[String, String] = Map(
+    "d13_incremental_neardup" ->
+      s"""WITH $corpusSql, $shinglesSql, $sigSql, $bandsSql,
+          fb AS (SELECT doc_id,
+                        (('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|inc'), 1, 6))::BIGINT % 10 >= 8) AS is_batch
+                 FROM corpus),
+          cand AS (SELECT a.doc_id AS bid, b.doc_id AS iid
+                   FROM bands a
+                   JOIN fb fa ON a.doc_id = fa.doc_id AND fa.is_batch
+                   JOIN bands b ON a.bkey = b.bkey AND a.band = b.band
+                   JOIN fb fi ON b.doc_id = fi.doc_id AND NOT fi.is_batch
+                   GROUP BY 1, 2),
+          v AS (SELECT bid,
+                       CAST(len(list_intersect(s1.s, s2.s)) AS DOUBLE) /
+                       (len(s1.s) + len(s2.s) - len(list_intersect(s1.s, s2.s))) AS jac
+                FROM cand
+                JOIN sh s1 ON s1.doc_id = bid
+                JOIN sh s2 ON s2.doc_id = iid),
+          pb AS (SELECT bid, count(*) AS n_candidates,
+                        sum(CASE WHEN jac >= 0.8 THEN 1 ELSE 0 END) AS n_neardup
+                 FROM v GROUP BY 1)
+          SELECT c.doc_id,
+                 CAST(coalesce(n_candidates, 0) AS BIGINT) AS n_candidates,
+                 CAST(coalesce(n_neardup, 0) AS BIGINT) AS n_neardup,
+                 CASE WHEN coalesce(n_neardup, 0) > 0 THEN 'dup' ELSE 'new' END AS verdict
+          FROM corpus c
+          JOIN fb ON c.doc_id = fb.doc_id AND fb.is_batch
+          LEFT JOIN pb ON pb.bid = c.doc_id""",
     "d1_minhash_candidates" ->
       s"WITH $corpusSql, $shinglesSql, $sigSql, $bandsSql, $candSql SELECT doc1, doc2 FROM cand",
     "d10_minhash_estimate" -> {

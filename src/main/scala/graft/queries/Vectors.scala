@@ -173,7 +173,54 @@ object Vectors extends QueryModule {
       .unionByName(fresh.select(col("vec_id"), col("label"), lit("appended").as("src")))
   }
 
+  /** S24 — int8 scalar quantization of the embedding collection: per-dimension
+    * min/max over the corpus, each component mapped to a 0–255 code, and the
+    * per-component reconstruction error reported quantized — the compression
+    * pass a vector store runs before building an index at scale (4× smaller
+    * vectors, cache-resident distance tables). Emits (vec_id, dim, code,
+    * err_q) rows.
+    *
+    * Cross-engine exactness: every float step is IEEE-double with IDENTICAL
+    * parenthesization in the Spark and DuckDB formulations —
+    * floor((255·(v−mn))/(mx−mn)) then mn + (code·(mx−mn))/255 — and floor
+    * (never round: round's tie rule differs between engines) makes the codes
+    * integer-stable. Constant dimensions (mx = mn) quantize to code 0.
+    *
+    * Scale: one narrow scan exploded to (dim, v), a 64-row stats aggregate
+    * broadcast back, zero wide shuffles.
+    */
+  private def s24_scalar_quantize(s: SparkSession, d: String): DataFrame = {
+    val exploded = table(s, d, "embeddings")
+      .select(col("vec_id"), posexplode(col("embedding")))
+      .select(
+        col("vec_id"),
+        (col("pos") + 1).cast("long").as("dim"),
+        col("col").cast("double").as("v")
+      )
+    val stats = exploded.groupBy("dim").agg(min("v").as("mn"), max("v").as("mx"))
+    val coded = exploded
+      .join(broadcast(stats), "dim")
+      .withColumn(
+        "code",
+        when(col("mx") === col("mn"), 0L)
+          .otherwise(
+            floor((lit(255.0) * (col("v") - col("mn"))) / (col("mx") - col("mn")))
+          )
+          .cast("long")
+      )
+    coded.select(
+      col("vec_id"),
+      col("dim"),
+      col("code"),
+      floor(
+        lit(1000000000.0) *
+          abs(col("v") - (col("mn") + (col("code").cast("double") * (col("mx") - col("mn"))) / lit(255.0)))
+      ).cast("long").as("err_q")
+    )
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s24_scalar_quantize" -> (s24_scalar_quantize _),
     "s19_knn_cosine" -> (s19_knn_cosine _),
     "s19b_knn_bucketed" -> (s19b_knn_bucketed _),
     "s19c_knn_ivf" -> (s19c_knn_ivf _),
@@ -197,6 +244,20 @@ object Vectors extends QueryModule {
       .mkString(" || ")
 
   val oracles: Map[String, String] = Map(
+    "s24_scalar_quantize" ->
+      """WITH w0 AS (SELECT vec_id,
+                unnest(list_transform(range(1, len(embedding) + 1),
+                       i -> struct_pack(dim := i, v := embedding[i]))) AS s
+         FROM embeddings),
+         w AS (SELECT vec_id, CAST(s.dim AS BIGINT) AS dim, CAST(s.v AS DOUBLE) AS v FROM w0),
+         st AS (SELECT dim, min(v) AS mn, max(v) AS mx FROM w GROUP BY 1),
+         c AS (SELECT vec_id, dim, v, mn, mx,
+                      CAST(CASE WHEN mx = mn THEN 0
+                                ELSE floor((255.0 * (v - mn)) / (mx - mn)) END AS BIGINT) AS code
+               FROM w JOIN st USING (dim))
+         SELECT vec_id, dim, code,
+                CAST(floor(1000000000.0 * abs(v - (mn + (CAST(code AS DOUBLE) * (mx - mn)) / 255.0))) AS BIGINT) AS err_q
+         FROM c""",
     "s19_knn_cosine" ->
       s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
               q AS (SELECT e AS qe FROM v WHERE vec_id = 0)

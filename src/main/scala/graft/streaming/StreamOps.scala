@@ -233,6 +233,40 @@ object StreamOps {
     }
   }
 
+  /** Streaming quality-gate router: run the c6 gate battery
+    * ([[graft.queries.Curation.gateBattery]] — the SAME transform the
+    * batch query uses, so batch and stream verdicts agree by construction)
+    * over each micro-batch of documents and route rows to the keep or
+    * quarantine directory, never dropping a row silently (m4's
+    * no-silent-row-loss contract, streaming form). Quarantined rows carry
+    * their per-gate columns and first-failing reject reason for the audit
+    * trail.
+    *
+    * Delivery: the two appends inside one micro-batch are not jointly
+    * atomic — a crash between them followed by a replay can double rows in
+    * the keep dir (at-least-once). Readers that need exactly-once dedup on
+    * (doc_id) downstream, or use upsertSink as the terminal sink; counting
+    * audits should read the quarantine dir with dropDuplicates(doc_id).
+    * State: none — the gate is stateless row-wise arithmetic, so the
+    * stream needs no watermark and holds no store.
+    */
+  def gateAndQuarantine(
+      docs: DataFrame,
+      keepPath: String,
+      quarantinePath: String,
+      checkpoint: String
+  ): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val gated = graft.queries.Curation.gateBattery(batch).cache()
+        try {
+          gated.filter(col("keep") === 1).write.mode("append").parquet(keepPath)
+          gated.filter(col("keep") === 0).write.mode("append").parquet(quarantinePath)
+        } finally { gated.unpersist(); () }
+      }
+      .start()
+
   final case class Event(user_id: Long, us: Long)
   private[streaming] final case class EventT(user_id: Long, us: Long, ets: java.sql.Timestamp)
   final case class SessionState(startUs: Long, lastUs: Long, n: Long)

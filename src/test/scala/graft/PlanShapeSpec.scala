@@ -198,4 +198,30 @@ class PlanShapeSpec extends AnyFunSuite with SparkTestBase {
     assert(p.contains("hashpartitioning(lang"), p)
     assert(!p.contains("SinglePartition"), p)
   }
+
+  test("a join on a Hive partition column injects dynamic partition pruning into the scan") {
+    import org.apache.spark.sql.functions.{col, lit, substring}
+    // At 100 TB the fact table is partition-laid-out (S5/m5); a join against
+    // a filtered dim on the partition key must prune partitions at RUNTIME,
+    // not scan everything — pin that Catalyst actually injects the DPP
+    // subquery for our layout so a config/upgrade regression is caught here.
+    val dir  = java.nio.file.Files.createTempDirectory("graft_dpp").toString
+    val base = spark.read.parquet(s"$sf/orders.parquet")
+    base.write.mode("overwrite").partitionBy("o_orderpriority").parquet(s"$dir/fact")
+    base
+      .select(col("o_orderpriority")).distinct()
+      // NOTE: the dim filter must be a BinaryComparison — a bare boolean
+      // column fails Catalyst's isLikelySelective gate and DPP is skipped
+      .withColumn("tier", substring(col("o_orderpriority"), 1, 1))
+      .write.mode("overwrite").parquet(s"$dir/dim")
+    val fact = spark.read.parquet(s"$dir/fact")
+    val dim  = spark.read.parquet(s"$dir/dim").filter(col("tier") === lit("1"))
+    val p = planOf(
+      fact
+        .join(dim, "o_orderpriority")
+        .groupBy("o_orderpriority")
+        .agg(org.apache.spark.sql.functions.sum("o_totalprice"))
+    )
+    assert(p.contains("dynamicpruningexpression"), p)
+  }
 }

@@ -126,6 +126,49 @@ class StreamOpsSpec extends AnyFunSuite with SparkTestBase {
     } finally q.stop()
   }
 
+  test("gateAndQuarantine routes every row exactly once and agrees with the batch gate") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in   = MemoryStream[(Long, String)]
+    val base = java.nio.file.Files.createTempDirectory("graft_gate").toString
+    val q = StreamOps.gateAndQuarantine(
+      in.toDF().toDF("doc_id", "text"),
+      s"$base/keep",
+      s"$base/quarantine",
+      s"$base/ckpt"
+    )
+    try {
+      val passDoc = // 20+ words, mean length in range, stopwords, diverse
+        (1L, "the quick brown fox jumps over a lazy dog while the keen red cat naps of and to in is table")
+      val failShort = (2L, "tiny doc of nothing much here") // < 20 words
+      val failStop  = (3L, Seq.fill(4)("alpha beta gamma delta epsilon").mkString(" ")) // no stopwords
+      in.addData(passDoc, failShort, failStop)
+      q.processAllAvailable()
+      in.addData((4L, "second batch doc with few words")) // < 20 words → quarantine
+      q.processAllAvailable()
+
+      val keep = spark.read.parquet(s"$base/keep")
+      val quar = spark.read.parquet(s"$base/quarantine")
+      assert(keep.select("doc_id").as[Long].collect().toSet == Set(1L))
+      assert(quar.select("doc_id").as[Long].collect().toSet == Set(2L, 3L, 4L))
+      // verdicts equal the batch transform run over the same rows
+      val all = Seq(passDoc, failShort, failStop, (4L, "second batch doc with few words"))
+      val batch = graft.queries.Curation
+        .gateBattery(all.toDF("doc_id", "text"))
+        .select("doc_id", "keep", "reject_reason")
+        .collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getString(2)))
+        .toSet
+      val streamed = keep
+        .unionByName(quar)
+        .select("doc_id", "keep", "reject_reason")
+        .collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getString(2)))
+        .toSet
+      assert(streamed == batch)
+    } finally q.stop()
+  }
+
   test("Sessionizer state survives a checkpointed query restart") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
