@@ -179,6 +179,49 @@ object Events extends QueryModule {
       )
   }
 
+  /** E10 — linear interpolation over hourly gaps: hourly mean value (integer
+    * cents) per event type, a dense hour spine per type (min..max — endpoints
+    * always present, so every gap has both neighbors), and missing hours
+    * filled with the integer-exact weighted average
+    * (pv·(nh−hr) + nv·(hr−ph)) DIV (nh−ph) — numerator built non-negative so
+    * truncating integer division is unambiguous and both engines agree
+    * bit-for-bit. Each row carries an `interpolated` audit flag.
+    *
+    * Scale: the spine is generated from a per-type (min, max) aggregate —
+    * never a driver loop; the fill is one window partitioned by type (the
+    * e2/e4 shuffle class, reused partitioning, no self-join per gap).
+    */
+  private def e10_interpolate(s: SparkSession, d: String): DataFrame = {
+    val hourly = table(s, d, "events")
+      .select(
+        col("event_type"),
+        expr("ts div 3600000000000").as("hr"),
+        round(col("value") * 100, 0).cast("long").as("cents")
+      )
+      .groupBy("event_type", "hr")
+      .agg(expr("sum(cents) div count(1)").as("v"))
+    val spans = hourly.groupBy("event_type").agg(min("hr").as("h0"), max("hr").as("h1"))
+    val grid =
+      spans.select(col("event_type"), explode(sequence(col("h0"), col("h1"))).as("hr"))
+    val w  = Window.partitionBy("event_type").orderBy("hr")
+    val wB = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wF = w.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    grid
+      .join(hourly, Seq("event_type", "hr"), "left")
+      .withColumn("pv", last(col("v"), ignoreNulls = true).over(wB))
+      .withColumn("ph", last(when(col("v").isNotNull, col("hr")), ignoreNulls = true).over(wB))
+      .withColumn("nv", first(col("v"), ignoreNulls = true).over(wF))
+      .withColumn("nh", first(when(col("v").isNotNull, col("hr")), ignoreNulls = true).over(wF))
+      .select(
+        col("event_type"),
+        col("hr"),
+        when(col("v").isNotNull, col("v"))
+          .otherwise(expr("(pv * (nh - hr) + nv * (hr - ph)) DIV (nh - ph)"))
+          .as("v_q"),
+        col("v").isNull.cast("int").as("interpolated")
+      )
+  }
+
   /** E8 — SLIDING event-time windows (10-minute length, 5-minute slide):
     * per (window, type) counts and cent-sums, the overlapping-window
     * counterpart of e1's tumbling windows. Spark's `window()` expands each
@@ -221,6 +264,7 @@ object Events extends QueryModule {
     "e9_session_window_native" -> (e9_session_window_native _),
     "e8_sliding_window" -> (e8_sliding_window _),
     "e7_gap_fill" -> (e7_gap_fill _),
+    "e10_interpolate" -> (e10_interpolate _),
     "e1_event_window" -> (e1_event_window _),
     "e2_sessionize" -> (e2_sessionize _),
     "e3_debounce" -> (e3_debounce _),
@@ -230,6 +274,29 @@ object Events extends QueryModule {
   )
 
   val oracles: Map[String, String] = Map(
+    "e10_interpolate" ->
+      """WITH hourly AS (SELECT event_type, epoch_ns(ts) // 3600000000000 AS hr,
+                sum(CAST(round(value * 100, 0) AS BIGINT)) // count(*) AS v
+         FROM events GROUP BY 1, 2),
+         sp AS (SELECT event_type, min(hr) AS h0, max(hr) AS h1 FROM hourly GROUP BY 1),
+         grid AS (SELECT event_type, unnest(range(h0, h1 + 1)) AS hr FROM sp),
+         j AS (SELECT g.event_type, g.hr, h.v
+               FROM grid g LEFT JOIN hourly h ON g.event_type = h.event_type AND g.hr = h.hr),
+         f AS (SELECT event_type, hr, v,
+                last_value(v IGNORE NULLS) OVER (PARTITION BY event_type ORDER BY hr
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+                last_value(CASE WHEN v IS NOT NULL THEN hr END IGNORE NULLS) OVER (PARTITION BY event_type ORDER BY hr
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ph,
+                first_value(v IGNORE NULLS) OVER (PARTITION BY event_type ORDER BY hr
+                  ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+                first_value(CASE WHEN v IS NOT NULL THEN hr END IGNORE NULLS) OVER (PARTITION BY event_type ORDER BY hr
+                  ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nh
+               FROM j)
+         SELECT event_type, CAST(hr AS BIGINT) AS hr,
+                CAST(CASE WHEN v IS NOT NULL THEN v
+                          ELSE (pv * (nh - hr) + nv * (hr - ph)) // (nh - ph) END AS BIGINT) AS v_q,
+                CAST(v IS NULL AS INT) AS interpolated
+         FROM f""",
     "e1_event_window" ->
       """SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS wday, event_type,
                 CAST(count(*) AS BIGINT) AS n,

@@ -264,6 +264,60 @@ object TextAnalysis extends QueryModule {
       )
   }
 
+  /** X13 — HLL MERGE across sources: per-source 64-register sketches of the
+    * distinct-word count, plus the union sketch formed by ELEMENTWISE MAX of
+    * the per-source registers — the mergeability that lets a 1000-executor
+    * job sketch partitions independently and combine results in O(registers)
+    * (x10 builds one corpus sketch; x13 demonstrates the property that makes
+    * it distributed). Each row reports the quantized HLL estimate next to
+    * the exact distinct count, for every source and for the merged
+    * `__union__` row — the estimate-vs-truth audit.
+    *
+    * Scale: sketches aggregate per (source, bucket) — map-side combinable;
+    * the merge touches |sources| × 64 rows; the exact counts exist only
+    * because the test corpus is small enough to afford the audit.
+    */
+  private def x13_hll_union(s: SparkSession, d: String): DataFrame = {
+    val wordRows = table(s, d, "documents")
+      .select(col("source"), explode(words(col("text"))).as("w"))
+    val rho = wordRows
+      .select(
+        col("source"),
+        expr("conv(substr(md5(w), 1, 6), 16, 10)").cast("long").as("h24")
+      )
+      .select(
+        col("source"),
+        expr("h24 div 262144").as("bucket"),
+        when(expr("h24 % 262144") === 0, lit(19L))
+          .otherwise(lit(19L) - length(expr("bin(h24 % 262144)")))
+          .as("rho")
+      )
+    val perSrc = rho.groupBy("source", "bucket").agg(max("rho").as("m"))
+    val merged = perSrc
+      .groupBy("bucket")
+      .agg(max("m").as("m"))
+      .select(lit("__union__").as("source"), col("bucket"), col("m"))
+    val allRegs = perSrc.select("source", "bucket", "m").unionByName(merged)
+    val srcSpine = wordRows
+      .select("source")
+      .distinct()
+      .unionByName(s.range(1).select(lit("__union__").as("source")))
+      .crossJoin(s.range(0, 64).select(col("id").as("bucket")))
+    val est = srcSpine
+      .join(allRegs, Seq("source", "bucket"), "left")
+      .select(col("source"), coalesce(col("m"), lit(0L)).as("register"))
+      .groupBy("source")
+      .agg(sum(expr("cast(shiftleft(1, cast(19 - register as int)) as long)")).as("ssum"))
+      .select(col("source"), expr(s"${709L * 4096L * 524288L} div (ssum * 1000)").as("est_q"))
+    val exact = wordRows
+      .groupBy("source")
+      .agg(countDistinct(col("w")).as("exact_d"))
+      .unionByName(
+        wordRows.agg(countDistinct(col("w")).as("exact_d")).select(lit("__union__").as("source"), col("exact_d"))
+      )
+    est.join(exact, "source")
+  }
+
   private def x9_tfidf_topk(s: SparkSession, d: String): DataFrame = {
     val tf = table(s, d, "documents")
       .select(col("doc_id"), explode(words(col("text"))).as("term"))
@@ -344,6 +398,7 @@ object TextAnalysis extends QueryModule {
     "x11_reservoir_sample" -> (x11_reservoir_sample _),
     "x9_tfidf_topk" -> (x9_tfidf_topk _),
     "x10_hll_registers" -> (x10_hll_registers _),
+    "x13_hll_union" -> (x13_hll_union _),
     "x1_lang_id" -> (x1_lang_id _),
     "x2_quality_score" -> (x2_quality_score _),
     "x3_token_count" -> (x3_token_count _),
@@ -490,6 +545,28 @@ object TextAnalysis extends QueryModule {
           FROM grid LEFT JOIN c
             ON c.cm_row = grid.cm_row AND c.cm_col = grid.cm_col"""
     },
+    "x13_hll_union" ->
+      s"""WITH w0 AS (SELECT source, unnest(string_split(text, ' ')) AS w FROM documents),
+          h AS (SELECT source, w, ('0x' || substr(md5(w), 1, 6))::BIGINT AS h24 FROM w0),
+          r AS (SELECT source, h24 // 262144 AS bucket,
+                       CASE WHEN h24 % 262144 = 0 THEN 19
+                            ELSE 19 - length(bin(h24 % 262144)) END AS rho
+                FROM h),
+          ps AS (SELECT source, bucket, max(rho) AS m FROM r GROUP BY 1, 2),
+          un AS (SELECT '__union__' AS source, bucket, max(m) AS m FROM ps GROUP BY bucket),
+          ar AS (SELECT source, bucket, m FROM ps UNION ALL SELECT source, bucket, m FROM un),
+          srcs AS (SELECT DISTINCT source FROM documents UNION ALL SELECT '__union__'),
+          dense AS (SELECT s.source, b.bucket, coalesce(ar.m, 0) AS register
+                    FROM srcs s
+                    CROSS JOIN (SELECT unnest(range(0, 64)) AS bucket) b
+                    LEFT JOIN ar ON ar.source = s.source AND ar.bucket = b.bucket),
+          est AS (SELECT source,
+                         CAST(${709L * 4096L * 524288L} // (sum(1 << (19 - register)) * 1000) AS BIGINT) AS est_q
+                  FROM dense GROUP BY 1),
+          ex AS (SELECT source, CAST(count(DISTINCT w) AS BIGINT) AS exact_d FROM w0 GROUP BY 1
+                 UNION ALL
+                 SELECT '__union__', CAST(count(DISTINCT w) AS BIGINT) FROM w0)
+          SELECT est.source, est_q, exact_d FROM est JOIN ex ON est.source = ex.source""",
     "x10_hll_registers" ->
       s"""WITH h AS (SELECT ('0x' || substr(md5(text), 1, 6))::BIGINT AS h24
                      FROM documents),
