@@ -259,6 +259,32 @@ object Aggregations extends QueryModule {
       )
   }
 
+  /** A20 — unpivot (melt): the inverse relational operator of a14's pivot —
+    * wide per-status count columns back to long (priority, status, n) rows.
+    * Round-trip property: unpivot(pivot(T)) recovers the plain two-key
+    * aggregate, which is exactly what the oracle states (the DuckDB side is
+    * the long-form GROUP BY — no UNPIVOT needed to describe the semantics).
+    * Absent (priority, status) combinations surface as null cells in the
+    * wide form and are dropped on the way back, matching the long form's
+    * no-row representation.
+    */
+  private def a20_unpivot(s: SparkSession, d: String): DataFrame = {
+    val statuses = Seq("F", "O", "P")
+    val wide = table(s, d, "orders")
+      .groupBy(col("o_orderpriority"))
+      .pivot("o_orderstatus", statuses)
+      .agg(count(lit(1)))
+    wide
+      .unpivot(
+        Array(col("o_orderpriority")),
+        statuses.map(col).toArray,
+        "o_orderstatus",
+        "n"
+      )
+      .filter(col("n").isNotNull)
+      .select(col("o_orderpriority"), col("o_orderstatus"), col("n"))
+  }
+
   /** A18 — histogram-sketch median: per-priority order totals bucketed
     * into fixed $10k-wide cent bins, then the median approximated as the
     * first bucket whose cumulative count reaches half. This is the
@@ -342,6 +368,7 @@ object Aggregations extends QueryModule {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "a20_unpivot" -> (a20_unpivot _),
     "a19_mad" -> (a19_mad _),
     "a18_hist_median" -> (a18_hist_median _),
     "a12_percentiles" -> (a12_percentiles _),
@@ -364,6 +391,9 @@ object Aggregations extends QueryModule {
   )
 
   val oracles: Map[String, String] = Map(
+    "a20_unpivot" ->
+      """SELECT o_orderpriority, o_orderstatus, CAST(count(*) AS BIGINT) AS n
+         FROM orders GROUP BY 1, 2""",
     "a19_mad" ->
       """WITH b AS (
            SELECT o_orderpriority AS g,
