@@ -36,36 +36,24 @@ import graft.functions.{VectorFunctions => VF}
   */
 object Dedup extends QueryModule {
 
-  private val ShingleN  = 3
-  private val NumHashes = 12
-  private val BandR     = 3 // rows per band → 4 bands
-  private val NumBands  = NumHashes / BandR
-  private val ModP      = 2147483647L // 2^31-1, the classic Carter-Wegman prime
+  // Signature machinery shared with the stream surface lives in
+  // graft.operators.MinHashOps (one definition for batch corpus builds and
+  // incremental ingest); these aliases keep the module self-describing and
+  // its oracle constants in one import.
+  import graft.operators.{MinHashOps => MH}
+  private val ShingleN  = MH.ShingleN
+  private val NumHashes = MH.NumHashes
+  private val BandR     = MH.BandR
+  private val NumBands  = MH.NumBands
+  private val ModP      = MH.ModP
 
   private def words(c: Column): Column = split(c, " ")
 
-  /** Sorted distinct word n-gram shingles — the native codegen'd
-    * [[graft.functions.WordShingles]] (one set build per document inside
-    * WholeStageCodegen; the `transform(sequence(...))` chain it replaced was
-    * CodegenFallback and re-inlined per referencing expression). Sorted
-    * output is exactly the [[graft.functions.SortedIntersectSize]]
-    * precondition, so verification needs no separate sort pass.
-    */
-  private def shingles(c: Column): Column =
-    call_function("graft_word_shingles", c, lit(ShingleN))
+  private def shingles(c: Column): Column = MH.shingles(c)
+  private def hash24(c: Column): Column   = MH.hash24(c)
 
-  /** One 24-bit integer hash per string (single md5 — the only expensive
-    * hash in any signature here; the hash families are integer-only).
-    */
-  private def hash24(c: Column): Column =
-    conv(substring(md5(c), 1, 6), 16, 10).cast("long")
-
-  /** Deterministic affine-family constants, md5-seeded via [[Md5Seed]] so
-    * the oracle regenerates them (a forced odd, both < 2^24 ⇒ a·x < 2^48,
-    * no overflow).
-    */
-  private def affineA(i: Int): Long = graft.functions.Md5Seed.prefixLong(s"a$i", 6) | 1L
-  private def affineB(i: Int): Long = graft.functions.Md5Seed.prefixLong(s"b$i", 6)
+  private def affineA(i: Int): Long = MH.affineA(i)
+  private def affineB(i: Int): Long = MH.affineB(i)
 
   /** documents ∪ perturbed copy — the dedup test corpus (see scaladoc). */
   private def corpus(s: SparkSession, d: String): DataFrame = {
@@ -92,29 +80,11 @@ object Dedup extends QueryModule {
   /** (doc_id, m0..m11) — the full MinHash signature table (shared by the
     * band keys and d10's estimator calibration).
     */
-  private def signatures(c: DataFrame): DataFrame = {
-    val shx = c
-      .select(col("doc_id"), explode(shingles(col("text"))).as("shingle"))
-      .select(col("doc_id"), hash24(col("shingle")).as("x"))
-    val aggs = (0 until NumHashes).map(h =>
-      min((col("x") * affineA(h) + affineB(h)) % ModP).as(s"m$h")
-    )
-    shx.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
-  }
+  private def signatures(c: DataFrame): DataFrame = MH.signatures(c)
 
-  private def bandKeys(c: DataFrame): DataFrame = bandKeysFromSig(signatures(c))
+  private def bandKeys(c: DataFrame): DataFrame = MH.bandKeys(c)
 
-  /** Band keys derived from an (already materialized) signature table —
-    * a narrow projection, so callers holding a truncated `sig` pay no
-    * second signature build.
-    */
-  private def bandKeysFromSig(sig: DataFrame): DataFrame = {
-    val keys = (0 until NumBands).map { b =>
-      concat_ws("|", (0 until BandR).map(r => col(s"m${b * BandR + r}").cast("string")): _*)
-    }
-    sig.select(col("doc_id"), posexplode(array(keys: _*)))
-      .select(col("doc_id"), col("pos").as("band"), col("col").as("bkey"))
-  }
+  private def bandKeysFromSig(sig: DataFrame): DataFrame = MH.bandKeysFromSig(sig)
 
   /** LSH candidate pairs from a band-key table (d1's join body). */
   private def candidatePairs(bands: DataFrame): DataFrame = {

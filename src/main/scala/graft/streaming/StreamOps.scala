@@ -267,6 +267,78 @@ object StreamOps {
       }
       .start()
 
+  /** Streaming dedup-aware ingest (d13's semantics on a stream): every
+    * micro-batch of documents is MinHash-probed against the on-disk
+    * signature index built by all PREVIOUS batches, each document written
+    * to `outPath` with a `verdict` ('dup' when a verified near-duplicate
+    * already exists in the index, else 'new'), and only 'new' documents
+    * extend the index — the keep-one-representative ingest a production
+    * corpus runs continuously. Batch and stream agree by construction: the
+    * signature definition is [[graft.operators.MinHashOps]], the same one
+    * the batch dedup family uses.
+    *
+    * State story: cross-batch memory is the parquet index (band keys +
+    * shingle sets of accepted docs), NOT executor state — so it is
+    * unbounded only on disk, survives restarts with the checkpoint, and a
+    * 1000-executor ingest probes it with one equi-join per batch. Probe
+    * cost ∝ batch size × bucket occupancy, independent of corpus size.
+    *
+    * Delivery: the out-append, band-append, and shingle-append inside one
+    * micro-batch are not jointly atomic (the gateAndQuarantine caveat);
+    * replay after a crash between writes can duplicate out-rows or index
+    * entries. Index duplicates only create redundant candidates (verdicts
+    * unchanged); out-dir readers needing exactly-once dedup on doc_id.
+    */
+  def dedupIngest(
+      docs: DataFrame,
+      indexPath: String,
+      outPath: String,
+      checkpoint: String,
+      tau: Double = 0.8
+  ): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        import graft.operators.{MinHashOps => MH}
+        val spark = batch.sparkSession
+        val conf  = spark.sparkContext.hadoopConfiguration
+        def exists(p: String): Boolean = {
+          val hp = new org.apache.hadoop.fs.Path(p)
+          hp.getFileSystem(conf).exists(hp)
+        }
+        val b      = batch.localCheckpoint(true) // several consumers below
+        val bBands = MH.bandKeys(b).localCheckpoint(true)
+        val bSh    = MH.shingleSets(b).localCheckpoint(true)
+        val dupIds =
+          if (!exists(s"$indexPath/bands")) {
+            spark.emptyDataFrame.select(lit(0L).as("doc_id")).limit(0)
+          } else {
+            val iBands = spark.read.parquet(s"$indexPath/bands")
+            val iSh    = spark.read.parquet(s"$indexPath/shingles")
+            val cand = bBands
+              .as("a")
+              .join(iBands.as("b"), col("a.bkey") === col("b.bkey") && col("a.band") === col("b.band"))
+              .select(col("a.doc_id").as("bid"), col("b.doc_id").as("iid"))
+              .distinct()
+            cand
+              .join(bSh.select(col("doc_id").as("bid"), col("sh").as("s1")), "bid")
+              .join(iSh.select(col("doc_id").as("iid"), col("sh").as("s2")), "iid")
+              .filter(MH.jaccard(col("s1"), col("s2")) >= tau)
+              .select(col("bid").as("doc_id"))
+              .distinct()
+          }
+        val verdicts = b
+          .join(dupIds.withColumn("is_dup", lit(1)), Seq("doc_id"), "left")
+          .withColumn("verdict", when(col("is_dup").isNotNull, "dup").otherwise("new"))
+          .drop("is_dup")
+          .localCheckpoint(true)
+        verdicts.write.mode("append").parquet(outPath)
+        val newIds = verdicts.filter(col("verdict") === "new").select("doc_id")
+        bBands.join(newIds, "doc_id").write.mode("append").parquet(s"$indexPath/bands")
+        bSh.join(newIds, "doc_id").write.mode("append").parquet(s"$indexPath/shingles")
+      }
+      .start()
+
   final case class Event(user_id: Long, us: Long)
   private[streaming] final case class EventT(user_id: Long, us: Long, ets: java.sql.Timestamp)
   final case class SessionState(startUs: Long, lastUs: Long, n: Long)

@@ -169,6 +169,37 @@ class StreamOpsSpec extends AnyFunSuite with SparkTestBase {
     } finally q.stop()
   }
 
+  test("dedupIngest flags cross-batch duplicates against the on-disk index and grows it with representatives only") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in   = MemoryStream[(Long, String)]
+    val base = java.nio.file.Files.createTempDirectory("graft_ingest").toString
+    val q = StreamOps.dedupIngest(
+      in.toDF().toDF("doc_id", "text"),
+      s"$base/index",
+      s"$base/out",
+      s"$base/ckpt"
+    )
+    try {
+      val a    = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+      val bTxt = "one two three four five six seven eight nine ten"
+      in.addData((1L, a))
+      q.processAllAvailable() // batch 1: index is empty → doc 1 is new
+      in.addData((2L, a), (3L, bTxt))
+      q.processAllAvailable() // batch 2: doc 2 duplicates INDEXED doc 1
+      val out = spark.read
+        .parquet(s"$base/out")
+        .select("doc_id", "verdict")
+        .as[(Long, String)]
+        .collect()
+        .toMap
+      assert(out == Map(1L -> "new", 2L -> "dup", 3L -> "new"))
+      val idx =
+        spark.read.parquet(s"$base/index/shingles").select("doc_id").as[Long].collect().toSet
+      assert(idx == Set(1L, 3L)) // the duplicate never entered the index
+    } finally q.stop()
+  }
+
   test("Sessionizer state survives a checkpointed query restart") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
