@@ -63,6 +63,33 @@ object TableIO {
     df.sparkSession.read.parquet(path).count()
   }
 
+  /** Small-file compaction: rewrite a parquet table into ceil(rows /
+    * targetRowsPerFile) files through the same staged atomic swap as
+    * [[writeParquet]] — readers see either the fragmented or the compacted
+    * table, never a partial mix. Returns (files before, files after, rows).
+    *
+    * At 100 TB this is the nightly maintenance pass that keeps streaming
+    * appends (upsertSink / dedupIngest grow a file per micro-batch) from
+    * degrading scan parallelism into open-file overhead: many kilobyte
+    * files → few target-sized files, row-group min/max skipping restored.
+    * The file count comes from the driver-side listing (cheap metadata);
+    * the data path is one distributed read + repartition + write, no
+    * collect.
+    */
+  def compact(spark: SparkSession, path: String, targetRowsPerFile: Long): (Int, Int, Long) = {
+    val conf   = spark.sparkContext.hadoopConfiguration
+    val target = new org.apache.hadoop.fs.Path(path)
+    val fs     = target.getFileSystem(conf)
+    def dataFiles(): Int =
+      fs.listStatus(target).count(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+    val before = dataFiles()
+    val df     = spark.read.parquet(path)
+    val rows   = df.count()
+    val nFiles = math.max(1, math.ceil(rows.toDouble / targetRowsPerFile).toInt)
+    writeParquet(df.repartition(nFiles), path)
+    (before, dataFiles(), rows)
+  }
+
   /** S2 — Parquet scan with declared-schema empty fallback when missing.
     * Existence goes through the Hadoop FileSystem for the path's scheme —
     * `java.io.File` would report false for every hdfs://, s3a://, … URI and

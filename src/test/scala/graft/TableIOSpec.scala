@@ -62,6 +62,17 @@ class TableIOSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("compact merges a fragmented table without changing its contents") {
+    import spark.implicits._
+    val frag = (0L until 500L).map(i => (i, s"v$i")).toDF("id", "v").repartition(50)
+    frag.write.mode("overwrite").parquet(s"$tmp/frag")
+    val (before, after, rows) = TableIO.compact(spark, s"$tmp/frag", targetRowsPerFile = 100)
+    assert(before == 50 && after == 5 && rows == 500)
+    val back = spark.read.parquet(s"$tmp/frag")
+    assert(back.count() == 500)
+    assert(back.select("id").as[Long].collect().sorted.sameElements(0L until 500L))
+  }
+
   test("partition routing convention and partitioned write/read") {
     import spark.implicits._
     assert(
