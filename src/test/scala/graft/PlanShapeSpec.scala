@@ -199,6 +199,30 @@ class PlanShapeSpec extends AnyFunSuite with SparkTestBase {
     assert(!p.contains("SinglePartition"), p)
   }
 
+  test("a selective dim filter injects a runtime Bloom filter into the fact side of a shuffle join") {
+    import org.apache.spark.sql.functions.{col, sum}
+    // The row-level sibling of the DPP pin below: when a shuffle join's
+    // build side is selectively filtered, Catalyst should pre-filter the
+    // fact side with a Bloom filter (might_contain) so most rows die at the
+    // scan instead of crossing the Exchange — at 100 TB that IS the join
+    // cost. The thresholds exist for tiny-input protection, so lower them
+    // to the test scale in a cloned session; the PIN is that the rule still
+    // fires for our plan shape.
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+    s2.conf.set("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "100GB")
+    s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force the shuffle join
+    val lineitem = s2.read.parquet(s"$sf/lineitem.parquet")
+    val part     = s2.read.parquet(s"$sf/part.parquet").filter(col("p_name").startsWith("a"))
+    val p = planOf(
+      lineitem
+        .join(part, col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_name"))
+        .agg(sum("l_quantity"))
+    )
+    assert(p.contains("might_contain"), p)
+  }
+
   test("a join on a Hive partition column injects dynamic partition pruning into the scan") {
     import org.apache.spark.sql.functions.{col, lit, substring}
     // At 100 TB the fact table is partition-laid-out (S5/m5); a join against
