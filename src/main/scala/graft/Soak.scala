@@ -82,7 +82,10 @@ object Soak {
     "c3_substring_dedup",
     "c5_bloom_prune",
     "c9_importance_weights",
-    "c1_sequence_pack"
+    "c1_sequence_pack",
+    // the asymmetric index-probe dedup and the cross-source sketch merge
+    "d13_incremental_neardup",
+    "x13_hll_union"
   )
 
   private def buildScaled(spark: SparkSession, src: String, out: String, n: Int): Unit = {

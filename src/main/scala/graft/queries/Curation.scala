@@ -422,6 +422,39 @@ object Curation extends QueryModule {
       .select(col("doc_id"), col("n_words"), expr("wsum DIV n_words").as("score_q"))
   }
 
+  // ---------------------------------------------------------------------
+  // c10 — padded-batching waste audit
+  // ---------------------------------------------------------------------
+
+  /** Length-bucketed batching audit — the padding counterpart of c1's
+    * packing: round each document's token count up to the next power of
+    * two (the classic padded-batch bucket), and report per bucket how many
+    * tokens the padding wastes (quantized fraction). The c1-vs-c10 pair is
+    * the measurement a pipeline uses to decide between sequence packing
+    * and padded batching.
+    *
+    * Integer-exact bucket: for n ≥ 2, ceil(log2(n)) is the bit-length of
+    * n−1 (both engines spell it length(bin(n−1))); n ≤ 1 pins bucket 1.
+    * Zero shuffle until the ≤ ~16-row bucket aggregate.
+    */
+  private def c10_batch_padding(s: SparkSession, d: String): DataFrame =
+    table(s, d, "documents")
+      .select(size(words(col("text"))).cast("long").as("n"))
+      .select(
+        when(col("n") <= 1, 1L)
+          .otherwise(expr("shiftleft(CAST(1 AS BIGINT), CAST(length(bin(n - 1)) AS INT))"))
+          .as("bucket"),
+        col("n")
+      )
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_docs"), sum("n").as("sum_tokens"))
+      .select(
+        col("bucket"),
+        col("n_docs"),
+        col("sum_tokens"),
+        expr("10000 * (n_docs * bucket - sum_tokens) DIV (n_docs * bucket)").as("waste_q")
+      )
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "c1_sequence_pack" -> (c1_sequence_pack _),
     "c2_span_clean" -> (c2_span_clean _),
@@ -431,7 +464,8 @@ object Curation extends QueryModule {
     "c6_gopher_gates" -> (c6_gopher_gates _),
     "c7_self_dedup" -> (c7_self_dedup _),
     "c8_mixture_rebalance" -> (c8_mixture_rebalance _),
-    "c9_importance_weights" -> (c9_importance_weights _)
+    "c9_importance_weights" -> (c9_importance_weights _),
+    "c10_batch_padding" -> (c10_batch_padding _)
   )
 
   private def inList(xs: Seq[String]): String = xs.map(x => s"'$x'").mkString(", ")
@@ -579,6 +613,17 @@ object Curation extends QueryModule {
          SELECT doc_id,
                 CAST(count(*) AS BIGINT) AS n_words,
                 CAST(sum(weight_q) // count(*) AS BIGINT) AS score_q
-         FROM w JOIN wt USING (bk) GROUP BY 1"""
+         FROM w JOIN wt USING (bk) GROUP BY 1""",
+    "c10_batch_padding" ->
+      """WITH t AS (SELECT CAST(len(string_split(text, ' ')) AS BIGINT) AS n FROM documents),
+         b AS (SELECT CASE WHEN n <= 1 THEN 1
+                           ELSE (CAST(1 AS BIGINT) << CAST(length(bin(n - 1)) AS INT)) END AS bucket,
+                      n
+               FROM t),
+         g AS (SELECT bucket, CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(n) AS BIGINT) AS sum_tokens
+               FROM b GROUP BY 1)
+         SELECT bucket, n_docs, sum_tokens,
+                CAST(10000 * (n_docs * bucket - sum_tokens) // (n_docs * bucket) AS BIGINT) AS waste_q
+         FROM g"""
   )
 }

@@ -302,7 +302,7 @@ object TextAnalysis extends QueryModule {
       .select("source")
       .distinct()
       .unionByName(s.range(1).select(lit("__union__").as("source")))
-      .crossJoin(s.range(0, 64).select(col("id").as("bucket")))
+      .crossJoin(broadcast(s.range(0, 64).select(col("id").as("bucket"))))
     val est = srcSpine
       .join(allRegs, Seq("source", "bucket"), "left")
       .select(col("source"), coalesce(col("m"), lit(0L)).as("register"))

@@ -153,6 +153,24 @@ class CurationSpec extends AnyFunSuite with SparkTestBase {
     assert(mean(en) > mean(rest), s"en ${mean(en)} vs rest ${mean(rest)}")
   }
 
+  test("c10: every bucket is the tightest power of two and waste is consistent") {
+    val docs = spark.read
+      .parquet(s"$sf/documents.parquet")
+      .select(size(split(col("text"), " ")).cast("long").as("n"))
+      .collect()
+      .map(_.getLong(0))
+    val expected = docs
+      .groupBy(n => if (n <= 1) 1L else java.lang.Long.highestOneBit(n - 1) << 1)
+    run("c10_batch_padding").collect().foreach { r =>
+      val bucket = r.getAs[Long]("bucket")
+      val ns     = expected(bucket)
+      assert(r.getAs[Long]("n_docs") == ns.length.toLong)
+      assert(r.getAs[Long]("sum_tokens") == ns.sum)
+      // tightest: every member fits and would not fit the next bucket down
+      assert(ns.forall(n => n <= bucket && (bucket == 1 || n > bucket / 2)))
+    }
+  }
+
   test("c6: reject_reason names the first failing gate and keep matches the gates") {
     run("c6_gopher_gates").collect().foreach { r =>
       val gates = Seq("g_len" -> "len", "g_mwl" -> "mwl", "g_stop" -> "stop", "g_distinct" -> "distinct")
