@@ -339,6 +339,55 @@ object StreamOps {
       }
       .start()
 
+  final case class PackIn(lang: String, doc_id: Long, n_tokens: Long)
+  final case class PackOut(
+      lang: String,
+      doc_id: Long,
+      n_tokens: Long,
+      start_off: Long,
+      pack_id: Long,
+      straddles: Int
+  )
+  final case class PackCursor(next: Long)
+
+  /** Streaming sequence packer — c1's concat-then-chunk packing
+    * (4096-token windows per language stream) continued ACROSS
+    * micro-batches: each language's running token offset is the
+    * `flatMapGroupsWithState` state, so the shard layout a streaming ingest
+    * produces is the one the batch query would have produced over the same
+    * stream history, provided documents arrive in stream order (within a
+    * batch they are sorted by doc_id; ACROSS batches arrival order is the
+    * stream's order — the packer's contract, same as any append log).
+    *
+    * State: one long per language — bounded by language cardinality,
+    * never by volume. One shuffle per micro-batch on lang.
+    */
+  def sequencePacker(docs: Dataset[PackIn], packTokens: Long = 4096L): Dataset[PackOut] = {
+    import docs.sparkSession.implicits._
+    docs
+      .groupByKey(_.lang)
+      .flatMapGroupsWithState[PackCursor, PackOut](
+        OutputMode.Append(),
+        GroupStateTimeout.NoTimeout()
+      ) { case (lang, rows, state) =>
+        var off = state.getOption.map(_.next).getOrElse(0L)
+        val out = rows.toSeq.sortBy(_.doc_id).map { d =>
+          val start = off
+          off += d.n_tokens
+          PackOut(
+            lang,
+            d.doc_id,
+            d.n_tokens,
+            start,
+            start / packTokens,
+            if (start / packTokens != (start + d.n_tokens - 1) / packTokens) 1 else 0
+          )
+        }
+        state.update(PackCursor(off))
+        out.iterator
+      }
+  }
+
   final case class Event(user_id: Long, us: Long)
   private[streaming] final case class EventT(user_id: Long, us: Long, ets: java.sql.Timestamp)
   final case class SessionState(startUs: Long, lastUs: Long, n: Long)

@@ -200,6 +200,37 @@ class StreamOpsSpec extends AnyFunSuite with SparkTestBase {
     } finally q.stop()
   }
 
+  test("sequencePacker continues each language's pack offsets across micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[StreamOps.PackIn]
+    val q = StreamOps
+      .sequencePacker(in.toDS(), packTokens = 10L)
+      .writeStream
+      .format("memory")
+      .queryName("packer")
+      .outputMode(OutputMode.Append())
+      .start()
+    try {
+      in.addData(StreamOps.PackIn("en", 1L, 4L), StreamOps.PackIn("en", 2L, 7L))
+      q.processAllAvailable()
+      in.addData(StreamOps.PackIn("en", 3L, 5L), StreamOps.PackIn("de", 4L, 3L))
+      q.processAllAvailable()
+      val rows = spark
+        .table("packer")
+        .as[StreamOps.PackOut]
+        .collect()
+        .map(p => p.doc_id -> p)
+        .toMap
+      // en stream: 4 then 7 then 5 tokens → offsets 0, 4, 11
+      assert(rows(1L).start_off == 0L && rows(1L).pack_id == 0L && rows(1L).straddles == 0)
+      assert(rows(2L).start_off == 4L && rows(2L).straddles == 1) // spans 10-boundary
+      assert(rows(3L).start_off == 11L && rows(3L).pack_id == 1L) // batch 2 continues
+      // de stream is independent
+      assert(rows(4L).start_off == 0L)
+    } finally q.stop()
+  }
+
   test("Sessionizer state survives a checkpointed query restart") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
