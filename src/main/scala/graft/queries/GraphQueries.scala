@@ -253,6 +253,38 @@ object GraphQueries extends QueryModule {
       .distinct()
   }
 
+  /** G14 — degree assortativity, a17's exact-integer discipline applied to
+    * the graph: the Pearson sufficient statistics over edge endpoint
+    * degrees, computed on the SYMMETRIZED edge set (each undirected edge
+    * contributes both orientations, so s_x = s_y and s_xx = s_yy and one
+    * row of four integers determines r = (n·s_xy − s_x²)/(n·s_xx − s_x²)).
+    * Positive r = hubs link hubs; the float never crosses an engine
+    * boundary.
+    *
+    * Scale: degrees are one keyed count; the two degree joins are keyed
+    * equi-joins on vertex id; the final reduce is a scalar aggregate.
+    */
+  private def g14_assortativity(s: SparkSession, d: String): DataFrame = {
+    val und = graft.Lineage.truncate(coSupplyUndirected(s, d))
+    val deg = und
+      .select(col("a").as("v"))
+      .unionAll(und.select(col("b").as("v")))
+      .groupBy("v")
+      .agg(count(lit(1)).as("dg"))
+    val sym = und
+      .select(col("a").as("x"), col("b").as("y"))
+      .unionAll(und.select(col("b").as("x"), col("a").as("y")))
+    sym
+      .join(deg.select(col("v").as("x"), col("dg").as("dx")), "x")
+      .join(deg.select(col("v").as("y"), col("dg").as("dy")), "y")
+      .agg(
+        count(lit(1)).as("n_points"),
+        sum("dx").as("s_x"),
+        sum(expr("dx * dx")).as("s_xx"),
+        sum(expr("dx * dy")).as("s_xy")
+      )
+  }
+
   private def g6_triangles(s: SparkSession, d: String): DataFrame = {
     val e = graft.Lineage.truncate(
       GraphOps
@@ -526,6 +558,7 @@ object GraphQueries extends QueryModule {
     "g4_summary_stub" -> (g4_summary_stub _),
     "g5_prompt_construction" -> (g5_prompt_construction _),
     "g6_triangles" -> (g6_triangles _),
+    "g14_assortativity" -> (g14_assortativity _),
     "g7_modularity" -> (g7_modularity _),
     "g8_refined_modularity" -> (g8_refined_modularity _),
     "g9_pagerank" -> (g9_pagerank _),
@@ -828,6 +861,22 @@ object GraphQueries extends QueryModule {
          FROM e e1
          JOIN e e2 ON e1.b = e2.a
          JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b""",
+    "g14_assortativity" ->
+      """WITH sp AS (SELECT DISTINCT l_suppkey AS sk, l_partkey AS p
+                     FROM lineitem WHERE l_linenumber = 1),
+         und AS (SELECT DISTINCT x.sk AS a, y.sk AS b
+                 FROM sp x JOIN sp y ON x.p = y.p AND x.sk < y.sk),
+         deg AS (SELECT v, CAST(count(*) AS BIGINT) AS dg
+                 FROM (SELECT a AS v FROM und UNION ALL SELECT b AS v FROM und)
+                 GROUP BY v),
+         sym AS (SELECT a AS x, b AS y FROM und UNION ALL SELECT b AS x, a AS y FROM und)
+         SELECT CAST(count(*) AS BIGINT) AS n_points,
+                CAST(sum(dx.dg) AS BIGINT) AS s_x,
+                CAST(sum(dx.dg * dx.dg) AS BIGINT) AS s_xx,
+                CAST(sum(dx.dg * dy.dg) AS BIGINT) AS s_xy
+         FROM sym
+         JOIN deg dx ON dx.v = sym.x
+         JOIN deg dy ON dy.v = sym.y""",
     "g7_modularity" ->
       s"""WITH $modularityBaseSql
           SELECT 'co_supply' AS graph,

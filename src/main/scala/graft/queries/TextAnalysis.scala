@@ -318,6 +318,40 @@ object TextAnalysis extends QueryModule {
     est.join(exact, "source")
   }
 
+  /** X14 — heavy-hitter token-mass coverage: the top-20 terms by corpus
+    * frequency with each rank's CUMULATIVE share of total token mass
+    * (quantized) — the curve a vocabulary-truncation or stopword decision
+    * reads ("the top k terms cover p% of the corpus").
+    *
+    * Scale: term counts are one keyed aggregate; the top-20 is
+    * TakeOrderedAndProject (O(k) per partition); only the 20 surviving
+    * rows enter the unpartitioned cumulative window — bounded by
+    * construction, same discipline as o2/p8.
+    */
+  private def x14_term_coverage(s: SparkSession, d: String): DataFrame = {
+    val tc = table(s, d, "documents")
+      .select(explode(words(col("text"))).as("term"))
+      .groupBy("term")
+      .agg(count(lit(1)).as("cnt"))
+    val top = tc.orderBy(col("cnt").desc, col("term").asc).limit(20)
+    val tot = broadcast(tc.agg(sum("cnt").as("total")))
+    val ord = org.apache.spark.sql.expressions.Window
+      .orderBy(col("cnt").desc, col("term").asc)
+    top
+      .crossJoin(tot)
+      .withColumn("rank", row_number().over(ord).cast("long"))
+      .withColumn(
+        "cum",
+        sum("cnt").over(
+          ord.rowsBetween(
+            org.apache.spark.sql.expressions.Window.unboundedPreceding,
+            org.apache.spark.sql.expressions.Window.currentRow
+          )
+        )
+      )
+      .select(col("rank"), col("term"), col("cnt"), expr("10000 * cum DIV total").as("cum_share_q"))
+  }
+
   private def x9_tfidf_topk(s: SparkSession, d: String): DataFrame = {
     val tf = table(s, d, "documents")
       .select(col("doc_id"), explode(words(col("text"))).as("term"))
@@ -399,6 +433,7 @@ object TextAnalysis extends QueryModule {
     "x9_tfidf_topk" -> (x9_tfidf_topk _),
     "x10_hll_registers" -> (x10_hll_registers _),
     "x13_hll_union" -> (x13_hll_union _),
+    "x14_term_coverage" -> (x14_term_coverage _),
     "x1_lang_id" -> (x1_lang_id _),
     "x2_quality_score" -> (x2_quality_score _),
     "x3_token_count" -> (x3_token_count _),
@@ -545,6 +580,19 @@ object TextAnalysis extends QueryModule {
           FROM grid LEFT JOIN c
             ON c.cm_row = grid.cm_row AND c.cm_col = grid.cm_col"""
     },
+    "x14_term_coverage" ->
+      """WITH w0 AS (SELECT unnest(string_split(text, ' ')) AS term FROM documents),
+         tc AS (SELECT term, CAST(count(*) AS BIGINT) AS cnt FROM w0 GROUP BY 1),
+         tot AS (SELECT sum(cnt) AS total FROM tc),
+         top AS (SELECT term, cnt,
+                        CAST(row_number() OVER (ORDER BY cnt DESC, term) AS BIGINT) AS rank
+                 FROM tc ORDER BY cnt DESC, term LIMIT 20),
+         c AS (SELECT rank, term, cnt,
+                      sum(cnt) OVER (ORDER BY cnt DESC, term
+                                     ROWS UNBOUNDED PRECEDING) AS cum
+               FROM top)
+         SELECT rank, term, cnt, CAST(10000 * cum // total AS BIGINT) AS cum_share_q
+         FROM c CROSS JOIN tot""",
     "x13_hll_union" ->
       s"""WITH w0 AS (SELECT source, unnest(string_split(text, ' ')) AS w FROM documents),
           h AS (SELECT source, w, ('0x' || substr(md5(w), 1, 6))::BIGINT AS h24 FROM w0),
