@@ -1,57 +1,65 @@
 package graft
 
-import org.apache.spark.sql.execution.FormattedMode
+import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
+import org.apache.spark.sql.execution.window.WindowExec
 import org.scalatest.funsuite.AnyFunSuite
 
 /** Whole-surface plan sweep: EVERY registered query's compile-time physical
-  * plan is checked for the two join shapes that mean "a join lost its key"
-  * (CartesianProduct, BroadcastNestedLoopJoin) and for unpartitioned
-  * windows, so a new query or a refactor can't reintroduce a scale
-  * anti-pattern without either fixing it or EXPLICITLY registering the
-  * exception here with its boundedness argument. PlanShapeSpec pins
-  * specific queries' best plans; this spec pins the floor for all of them.
+  * plan (pre-AQE `sparkPlan`, walked as a tree — not text-matched) is
+  * checked for the join shapes that mean "a join lost its key"
+  * (CartesianProduct, BroadcastNestedLoopJoin) and for windows with an
+  * EMPTY partition spec (the single-partition bottleneck), so a new query
+  * or a refactor can't reintroduce a scale anti-pattern without either
+  * fixing it or EXPLICITLY registering the exception here with its
+  * boundedness argument. PlanShapeSpec pins specific queries' best plans;
+  * this spec pins the floor for all of them.
   */
 class PlanSweepSpec extends AnyFunSuite with SparkTestBase {
 
   private val sf = "/root/testdata/sf0.001"
 
-  /** Queries allowed to contain a BroadcastNestedLoopJoin: every entry is a
-    * broadcast of a ≤-constant-row frame (single-row scalar aggregates or a
-    * bounded spine), so the "nested loop" is one pass over the fact side —
-    * the scan cost, not a quadratic join.
+  /** Queries allowed a BroadcastNestedLoopJoin: every entry broadcasts a
+    * ≤-constant-row frame (single-row scalar aggregates or a bounded
+    * spine), so the "nested loop" is one pass over the fact side — scan
+    * cost, not a quadratic join.
     */
   private val bnljBounded: Set[String] = Set(
-    "s19_knn_cosine",       // single-row query-vector broadcast
-    "s19c_knn_ivf",         // single-row query-vector broadcast
-    "s19d_knn_filtered",    // single-row query-vector broadcast
-    "c5_bloom_prune",       // single-row Bloom register map broadcast
-    "c8_mixture_rebalance", // single-row min-count broadcast
+    "s19_knn_cosine",        // single-row query-vector broadcast
+    "s19c_knn_ivf",          // single-row query-vector broadcast
+    "s19d_knn_filtered",     // single-row query-vector broadcast
+    "c5_bloom_prune",        // single-row Bloom register map broadcast
+    "c8_mixture_rebalance",  // single-row min-count broadcast
     "c9_importance_weights", // single-row totals broadcast
-    "g7_modularity",        // single-row m / sum_d2 scalar broadcasts
+    "g7_modularity",         // single-row m / sum_d2 scalar broadcasts
     "g8_refined_modularity", // single-row before/after numerator broadcasts
-    "pl4_check_report",     // ≤8-row check-report spine
-    "x9_tfidf_topk",        // single-row n_docs broadcast
-    "x10_hll_registers",    // single-row harmonic-sum broadcast
+    "pl4_check_report",      // ≤8-row check-report spine
+    "x9_tfidf_topk",         // single-row n_docs broadcast
+    "x10_hll_registers",     // single-row harmonic-sum broadcast
     "x12_cmsketch_registers", // single-row totals broadcast
-    "x13_hll_union",        // 64-bucket spine × ~20-source frame
-    "x14_term_coverage"     // single-row total-mass broadcast over 20 rows
+    "x13_hll_union",         // 64-bucket spine × ~20-source frame
+    "x14_term_coverage"      // single-row total-mass broadcast over 20 rows
   )
 
-  /** Queries allowed an unpartitioned Window: the window input is bounded
-    * by construction (limit/distinct/bucket-count) BEFORE the window runs.
+  /** Queries allowed a window with an empty partition spec: the window
+    * input is bounded by construction BEFORE the window runs.
     */
-  private val globalWindowBounded: Set[String] = Set.empty
+  private val globalWindowBounded: Set[String] = Set(
+    "o2_stable_sort",     // declared bounded demo: limit upstream of the rank
+    "o5_sorted_distinct", // distinct of a low-cardinality column (≤ ~500)
+    "o7_global_ids",      // level-2 rank over the ≤-bucket-count offset rows
+    "p8_offset_slice",    // bounded serial stage, limit upstream
+    "x14_term_coverage"   // cumulative share over the top-20 rows only
+  )
 
   test("no query plans a CartesianProduct, an unexpected BNLJ, or an unbounded global window") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
-      val p = fn(spark, sf).queryExecution.explainString(FormattedMode)
-      val cart = p.contains("CartesianProduct")
-      val bnlj = p.contains("BroadcastNestedLoopJoin") && !bnljBounded(name)
-      // FormattedMode spells an unpartitioned window's spec with an empty
-      // partition list in the Arguments line: "Arguments: [...], [x ASC...]"
-      val gwin = p.linesIterator.exists(l =>
-        l.contains("Window") && l.contains("Arguments:")
-      ) && p.contains("SinglePartition") && !globalWindowBounded(name)
+      val plan = fn(spark, sf).queryExecution.sparkPlan
+      val cart = plan.collect { case p: CartesianProductExec => p }.nonEmpty
+      val bnlj =
+        plan.collect { case p: BroadcastNestedLoopJoinExec => p }.nonEmpty && !bnljBounded(name)
+      val gwin =
+        plan.collect { case w: WindowExec if w.partitionSpec.isEmpty => w }.nonEmpty &&
+          !globalWindowBounded(name)
       val tags = Seq(
         if (cart) Some("CartesianProduct") else None,
         if (bnlj) Some("BNLJ") else None,
