@@ -455,6 +455,43 @@ object Curation extends QueryModule {
         expr("10000 * (n_docs * bucket - sum_tokens) DIV (n_docs * bucket)").as("waste_q")
       )
 
+  // ---------------------------------------------------------------------
+  // c11 — integer-exact 3σ outlier gate
+  // ---------------------------------------------------------------------
+
+  /** Length-outlier gate without a float ever crossing the engine boundary:
+    * |x − μ| > 3σ rewritten in sufficient statistics —
+    * (n·x − s)² > 9·(n·ss − s²), with s = Σx, ss = Σx² — so the flag is
+    * exact integer arithmetic in both engines (the a17/g14 discipline
+    * applied to an inequality instead of a report). The corpus-length
+    * outlier cut is the standard pre-training gate for truncated/concatenated
+    * crawl artifacts.
+    *
+    * Scale: one single-row stats broadcast + a narrow per-row test.
+    * Integer headroom: n·x and n·ss must fit 63 bits — at ~10¹¹ docs
+    * rescale x (e.g. kilochars) or gate per shard; the inequality form is
+    * unchanged.
+    */
+  private def c11_outlier_gate(s: SparkSession, d: String): DataFrame = {
+    val stats = broadcast(
+      table(s, d, "documents").agg(
+        count(lit(1)).as("n"),
+        sum("n_chars").as("sm"),
+        sum(expr("n_chars * n_chars")).as("ss")
+      )
+    )
+    table(s, d, "documents")
+      .select(col("doc_id"), col("n_chars"))
+      .crossJoin(stats)
+      .select(
+        col("doc_id"),
+        col("n_chars"),
+        expr(
+          "CAST((n * n_chars - sm) * (n * n_chars - sm) > 9 * (n * ss - sm * sm) AS INT)"
+        ).as("is_outlier")
+      )
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "c1_sequence_pack" -> (c1_sequence_pack _),
     "c2_span_clean" -> (c2_span_clean _),
@@ -465,7 +502,8 @@ object Curation extends QueryModule {
     "c7_self_dedup" -> (c7_self_dedup _),
     "c8_mixture_rebalance" -> (c8_mixture_rebalance _),
     "c9_importance_weights" -> (c9_importance_weights _),
-    "c10_batch_padding" -> (c10_batch_padding _)
+    "c10_batch_padding" -> (c10_batch_padding _),
+    "c11_outlier_gate" -> (c11_outlier_gate _)
   )
 
   private def inList(xs: Seq[String]): String = xs.map(x => s"'$x'").mkString(", ")
@@ -624,6 +662,14 @@ object Curation extends QueryModule {
                FROM b GROUP BY 1)
          SELECT bucket, n_docs, sum_tokens,
                 CAST(10000 * (n_docs * bucket - sum_tokens) // (n_docs * bucket) AS BIGINT) AS waste_q
-         FROM g"""
+         FROM g""",
+    "c11_outlier_gate" ->
+      """WITH st AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                            CAST(sum(n_chars) AS BIGINT) AS sm,
+                            CAST(sum(n_chars * n_chars) AS BIGINT) AS ss
+                     FROM documents)
+         SELECT doc_id, n_chars,
+                CAST((n * n_chars - sm) * (n * n_chars - sm) > 9 * (n * ss - sm * sm) AS INT) AS is_outlier
+         FROM documents CROSS JOIN st"""
   )
 }

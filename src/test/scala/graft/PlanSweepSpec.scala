@@ -30,6 +30,7 @@ class PlanSweepSpec extends AnyFunSuite with SparkTestBase {
     "c5_bloom_prune",        // single-row Bloom register map broadcast
     "c8_mixture_rebalance",  // single-row min-count broadcast
     "c9_importance_weights", // single-row totals broadcast
+    "c11_outlier_gate",      // single-row sufficient-statistics broadcast
     "g7_modularity",         // single-row m / sum_d2 scalar broadcasts
     "g8_refined_modularity", // single-row before/after numerator broadcasts
     "pl4_check_report",      // ≤8-row check-report spine
