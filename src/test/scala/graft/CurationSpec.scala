@@ -171,6 +171,22 @@ class CurationSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("c11: the integer inequality agrees with the float three-sigma rule") {
+    val lens = spark.read
+      .parquet(s"$sf/documents.parquet")
+      .select("n_chars")
+      .collect()
+      .map(_.getLong(0).toDouble)
+    val n    = lens.length.toDouble
+    val mean = lens.sum / n
+    val sd   = math.sqrt(lens.map(x => (x - mean) * (x - mean)).sum / n)
+    run("c11_outlier_gate").collect().foreach { r =>
+      val x        = r.getAs[Long]("n_chars").toDouble
+      val expected = math.abs(x - mean) > 3 * sd
+      assert((r.getAs[Int]("is_outlier") == 1) == expected, s"x=$x mean=$mean sd=$sd")
+    }
+  }
+
   test("c6: reject_reason names the first failing gate and keep matches the gates") {
     run("c6_gopher_gates").collect().foreach { r =>
       val gates = Seq("g_len" -> "len", "g_mwl" -> "mwl", "g_stop" -> "stop", "g_distinct" -> "distinct")
