@@ -492,6 +492,47 @@ object Curation extends QueryModule {
       )
   }
 
+  // ---------------------------------------------------------------------
+  // c12 — boilerplate prefix detection
+  // ---------------------------------------------------------------------
+
+  /** Shared-prefix (boilerplate header) census: group documents of a source
+    * by their first-2-word prefix and report, per source, how many prefix
+    * groups exist, how many are SHARED (≥ 2 docs — the boilerplate
+    * candidates a header-stripping pass would target), how many documents
+    * sit in shared groups, and the quantized fraction. Anchored at position
+    * 0, per source — the complement of c3's position-free cross-corpus
+    * windows (a crawl's repeated page chrome is anchored, not floating).
+    *
+    * Prefixes shuffle as 56-bit md5 keys (c3's discipline); two keyed
+    * aggregates, nothing wide.
+    */
+  private def c12_boilerplate_prefix(s: SparkSession, d: String): DataFrame = {
+    val prefix = concat_ws(" ", slice(words(col("text")), 1, 2))
+    val groups = table(s, d, "documents")
+      .select(
+        col("source"),
+        conv(substring(md5(prefix), 1, 14), 16, 10).cast("long").as("pk")
+      )
+      .groupBy("source", "pk")
+      .agg(count(lit(1)).as("n_docs"))
+    groups
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_prefix_groups"),
+        sum(when(col("n_docs") >= 2, 1L).otherwise(0L)).as("shared_groups"),
+        sum(when(col("n_docs") >= 2, col("n_docs")).otherwise(0L)).as("shared_docs"),
+        sum("n_docs").as("total_docs")
+      )
+      .select(
+        col("source"),
+        col("n_prefix_groups"),
+        col("shared_groups"),
+        col("shared_docs"),
+        expr("10000 * shared_docs DIV total_docs").as("shared_frac_q")
+      )
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "c1_sequence_pack" -> (c1_sequence_pack _),
     "c2_span_clean" -> (c2_span_clean _),
@@ -503,7 +544,8 @@ object Curation extends QueryModule {
     "c8_mixture_rebalance" -> (c8_mixture_rebalance _),
     "c9_importance_weights" -> (c9_importance_weights _),
     "c10_batch_padding" -> (c10_batch_padding _),
-    "c11_outlier_gate" -> (c11_outlier_gate _)
+    "c11_outlier_gate" -> (c11_outlier_gate _),
+    "c12_boilerplate_prefix" -> (c12_boilerplate_prefix _)
   )
 
   private def inList(xs: Seq[String]): String = xs.map(x => s"'$x'").mkString(", ")
@@ -670,6 +712,17 @@ object Curation extends QueryModule {
                      FROM documents)
          SELECT doc_id, n_chars,
                 CAST((n * n_chars - sm) * (n * n_chars - sm) > 9 * (n * ss - sm * sm) AS INT) AS is_outlier
-         FROM documents CROSS JOIN st"""
+         FROM documents CROSS JOIN st""",
+    "c12_boilerplate_prefix" ->
+      """WITH p AS (SELECT source,
+                ('0x' || substr(md5(array_to_string(string_split(text, ' ')[1:2], ' ')), 1, 14))::BIGINT AS pk
+         FROM documents),
+         g AS (SELECT source, pk, CAST(count(*) AS BIGINT) AS n_docs FROM p GROUP BY 1, 2)
+         SELECT source,
+                CAST(count(*) AS BIGINT) AS n_prefix_groups,
+                CAST(sum(CASE WHEN n_docs >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS shared_groups,
+                CAST(sum(CASE WHEN n_docs >= 2 THEN n_docs ELSE 0 END) AS BIGINT) AS shared_docs,
+                CAST(10000 * sum(CASE WHEN n_docs >= 2 THEN n_docs ELSE 0 END) // sum(n_docs) AS BIGINT) AS shared_frac_q
+         FROM g GROUP BY 1"""
   )
 }
