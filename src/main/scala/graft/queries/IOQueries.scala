@@ -283,6 +283,32 @@ object IOQueries extends QueryModule {
       )
   }
 
+  /** S25 — order-independent table digest: one 56-bit md5 per row over the
+    * canonically-ordered, null-sentineled column values, SUMMED (addition
+    * commutes, so partitioning/ordering can't change the digest) next to
+    * the row count — the cheap cross-environment equality check a
+    * migration runs on both sides before cutting over (the engine-level
+    * form of this harness's own oracle hashing). Over `documents`: every
+    * column is an exact type, so both engines render identical strings
+    * (float columns would need quantization first — the standing
+    * cross-engine float rule). 32-bit row hashes keep the ANSI long sum
+    * overflow-free to ~2×10⁹ rows; beyond that, digest per shard and
+    * compare shard-wise (the manifest form).
+    *
+    * Scale: one narrow scan + a scalar aggregate with map-side partial
+    * sums; no shuffle wider than one row per partition.
+    */
+  private def s25_table_digest(s: SparkSession, d: String): DataFrame = {
+    val docs = table(s, d, "documents")
+    val rowStr = concat_ws(
+      "|",
+      docs.columns.sorted.map(c => coalesce(col(c).cast("string"), lit("\u0000"))): _*
+    )
+    docs
+      .select(conv(substring(md5(rowStr), 1, 8), 16, 10).cast("long").as("h"))
+      .agg(count(lit(1)).as("n_rows"), sum("h").as("digest"))
+  }
+
   /** S14+S15 — graph sink/source roundtrip: node+edge tables written as the
     * graph store, read back, summarized by type (the reference's node-count
     * reconciliation, ingest_graph_db.py:336-363).
@@ -317,11 +343,21 @@ object IOQueries extends QueryModule {
     "s21_csv_roundtrip" -> (s21_csv_roundtrip _),
     "s13_track_flatten" -> (s13_track_flatten _),
     "s14_graph_roundtrip" -> (s14_graph_roundtrip _),
+    "s25_table_digest" -> (s25_table_digest _),
     "b1_bucketed_join" -> (b1_bucketed_join _),
     "u2_partition_union" -> (u2_partition_union _)
   )
 
   val oracles: Map[String, String] = Map(
+    "s25_table_digest" ->
+      """WITH h AS (SELECT ('0x' || substr(md5(
+              coalesce(CAST(doc_id AS VARCHAR), chr(0)) || '|' ||
+              coalesce(lang, chr(0)) || '|' ||
+              coalesce(CAST(n_chars AS VARCHAR), chr(0)) || '|' ||
+              coalesce(source, chr(0)) || '|' ||
+              coalesce(text, chr(0))), 1, 8))::BIGINT AS h
+         FROM documents)
+         SELECT CAST(count(*) AS BIGINT) AS n_rows, CAST(sum(h) AS BIGINT) AS digest FROM h""",
     "s1_parquet_roundtrip" ->
       "SELECT o_orderkey, o_custkey, o_totalprice FROM orders",
     "s3_jsonl_roundtrip" ->
