@@ -26,6 +26,12 @@ import graft.Engine.table
   *     single broadcast row (128 words), the probe side stays a narrow
   *     zero-shuffle projection, and the only Exchange is the final 4-row
   *     confusion-matrix aggregate.
+  *   - c7/c12 reuse c3's hashed-key discipline (intra-doc windows and
+  *     anchored prefixes respectively); c8/c9/c11 gate or score against
+  *     single-row or ≤64-row broadcast statistics — per-row tests, never a
+  *     second wide pass; c10 is a tiny bucket aggregate; c2/c6 are pure
+  *     narrow projections (c6 doubles as the stream surface's
+  *     gateAndQuarantine transform).
   */
 object Curation extends QueryModule {
 
