@@ -296,6 +296,41 @@ object Aggregations extends QueryModule {
     * the trade the t-digest/HDR-histogram family makes, with the error
     * bounded by the bucket width.
     */
+  /** A21 — quantile-sketch calibration (d10's discipline applied to a18):
+    * for each group, the EXACT lower median (rank ⌈n/2⌉ of the sorted cent
+    * totals — one window) next to the histogram-sketch median bucket a18
+    * reports, plus the bucket the exact median falls in. `bucket_err` is
+    * the observable sketch error in bucket units — the QA row a pipeline
+    * reads when sizing histogram bins, instead of trusting the bound.
+    *
+    * Two keyed shuffles (rank window + bucket histogram), both on the
+    * group key; the join of the two medians is ≤-groups-sized.
+    */
+  private def a21_median_calibration(s: SparkSession, d: String): DataFrame = {
+    val cents = table(s, d, "orders").select(
+      col("o_orderpriority"),
+      expr("CAST(round(o_totalprice * 100, 0) AS LONG)").as("c")
+    )
+    val w = Window.partitionBy(col("o_orderpriority")).orderBy(col("c"))
+    val exact = cents
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("o_orderpriority"))))
+      .filter(col("rn") === expr("(n + 1) DIV 2"))
+      .select(col("o_orderpriority"), col("c").as("exact_median_cents"))
+    val hist = a18_hist_median(s, d)
+      .select(col("o_orderpriority"), col("median_bucket"), col("n_orders"))
+    exact
+      .join(hist, "o_orderpriority")
+      .select(
+        col("o_orderpriority"),
+        col("n_orders"),
+        col("exact_median_cents"),
+        expr("exact_median_cents DIV 1000000").as("exact_bucket"),
+        col("median_bucket"),
+        expr("abs(exact_median_cents DIV 1000000 - median_bucket)").as("bucket_err")
+      )
+  }
+
   private def a18_hist_median(s: SparkSession, d: String): DataFrame = {
     val bcnt = table(s, d, "orders")
       .select(
@@ -371,6 +406,7 @@ object Aggregations extends QueryModule {
     "a20_unpivot" -> (a20_unpivot _),
     "a19_mad" -> (a19_mad _),
     "a18_hist_median" -> (a18_hist_median _),
+    "a21_median_calibration" -> (a21_median_calibration _),
     "a12_percentiles" -> (a12_percentiles _),
     "a15_ntile" -> (a15_ntile _),
     "a13_rollup" -> (a13_rollup _),
@@ -421,6 +457,32 @@ object Aggregations extends QueryModule {
                 CAST(mad.mad AS BIGINT) AS mad_bucket,
                 CAST(med.n AS BIGINT) AS n_orders
          FROM med JOIN mad ON mad.g = med.g""",
+    "a21_median_calibration" ->
+      """WITH cents AS (SELECT o_orderpriority,
+                CAST(round(o_totalprice * 100, 0) AS BIGINT) AS c
+         FROM orders),
+         r AS (SELECT o_orderpriority, c,
+                      row_number() OVER (PARTITION BY o_orderpriority ORDER BY c) AS rn,
+                      count(*) OVER (PARTITION BY o_orderpriority) AS n
+               FROM cents),
+         ex AS (SELECT o_orderpriority, c AS exact_median_cents
+                FROM r WHERE rn = (n + 1) // 2),
+         b AS (SELECT o_orderpriority, c // 1000000 AS bucket, count(*) AS bn
+               FROM cents GROUP BY 1, 2),
+         cb AS (SELECT o_orderpriority, bucket, bn,
+                       sum(bn) OVER (PARTITION BY o_orderpriority ORDER BY bucket
+                                     ROWS UNBOUNDED PRECEDING) AS cum,
+                       sum(bn) OVER (PARTITION BY o_orderpriority) AS total
+                FROM b),
+         h AS (SELECT o_orderpriority,
+                      CAST(min(bucket) AS BIGINT) AS median_bucket,
+                      CAST(min(total) AS BIGINT) AS n_orders
+               FROM cb WHERE cum * 2 >= total GROUP BY 1)
+         SELECT ex.o_orderpriority, n_orders, exact_median_cents,
+                CAST(exact_median_cents // 1000000 AS BIGINT) AS exact_bucket,
+                median_bucket,
+                CAST(abs(exact_median_cents // 1000000 - median_bucket) AS BIGINT) AS bucket_err
+         FROM ex JOIN h ON ex.o_orderpriority = h.o_orderpriority""",
     "a18_hist_median" ->
       """WITH b AS (
            SELECT o_orderpriority,
