@@ -24,6 +24,26 @@ object Lineage {
 
   val CheckpointDirConf = "spark.graft.checkpointDir"
 
+  /** [[truncate]] + STATS RESET — for frames that feed back into their own
+    * computation across many passes. `localCheckpoint`/`checkpoint` cut the
+    * logical plan but PRESERVE the source plan's size-in-bytes estimate,
+    * and Catalyst's join-stats visitor multiplies child sizes — so a loop
+    * that feeds pass k's (truncated) output into pass k+1 compounds the
+    * estimate multiplicatively per join, i.e. DOUBLY-exponentially in the
+    * pass count. At ~5 joins per pass the estimate is a BigInt of 63·5^k
+    * bits by pass k: harmless for the 2–3-factor passes of LPA/CC/PageRank,
+    * but a measured multi-minute optimizer hang in BigInteger.multiply by
+    * pass ~10 of the refinement fixed point. Re-materializing through an
+    * RDD boundary resets the leaf estimate each pass, bounding every
+    * pass's internal product at its own handful of factors. Costs one
+    * extern/re-encode of the frame — the fixed-point loops apply it to
+    * COMMUNITY-sized frames, never the full graph.
+    */
+  def truncateFresh(df: DataFrame): DataFrame = {
+    val cp = truncate(df)
+    cp.sparkSession.createDataFrame(cp.rdd, cp.schema)
+  }
+
   def truncate(df: DataFrame): DataFrame = {
     val spark = df.sparkSession
     spark.conf.getOption(CheckpointDirConf) match {

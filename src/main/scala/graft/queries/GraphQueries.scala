@@ -406,6 +406,124 @@ object GraphQueries extends QueryModule {
     Await.result(fa, Duration.Inf).unionByName(Await.result(fb, Duration.Inf))
   }
 
+  /** G8b — refinement to the CNM FIXED POINT (VERDICT r7 #1): greedy
+    * merging iterated until no adjacent community pair has positive gain
+    * ([[graft.graph.GraphOps.refineMergeFixedPoint]] — MONOTONE
+    * mutual-pair passes, pass cap 4), reporting the integer modularity
+    * numerator at each rung — LPA, one synchronous g8 pass, fixed point —
+    * so "the fixed point is at least as good as the single pass" is a
+    * verified fact in the result rows:
+    *
+    *   - `nation_chain`: LPA leaves chain tails split (Q=0.594); the fixed
+    *     point folds every chain whole — the planted Q=0.800 partition;
+    *   - `co_supply`: already at the fixed point after LPA — all three
+    *     numerators agree (the stopping rule as a no-op, cross-checked).
+    *
+    * The oracle unrolls the SAME mutual pass four times in SQL (a pass at
+    * the fixed point is a no-op in both engines — empty picks relabel
+    * nothing — so an unrolled twin with ≥ as many passes computes the
+    * identical partition).
+    */
+  private def g8b_refined_fixed_point(s: SparkSession, d: String): DataFrame = {
+    def score(graphName: String, undRaw: DataFrame, verts: DataFrame): DataFrame = {
+      val und = graft.Lineage.truncate(undRaw)
+      val labels = graft.Lineage.truncate(
+        GraphOps.labelPropagation(verts, und.select(col("a").as("src"), col("b").as("dst")), 3)
+      )
+      val pass1 = GraphOps.refineMerge(und, labels)
+      val fixed = GraphOps.refineMergeFixedPoint(und, labels, maxPasses = 4)
+      val base = GraphOps
+        .modularityComponents(und, labels)
+        .select(
+          col("n_edges").cast("long").as("n_edges"),
+          col("modularity_num").cast("long").as("q_num_lpa")
+        )
+      val p1 = GraphOps
+        .modularityComponents(und, pass1)
+        .select(col("modularity_num").cast("long").as("q_num_pass1"))
+      val fx = GraphOps
+        .modularityComponents(und, fixed)
+        .select(col("modularity_num").cast("long").as("q_num_fixed"))
+      base
+        .crossJoin(broadcast(p1))
+        .crossJoin(broadcast(fx))
+        .select(
+          lit(graphName).as("graph"),
+          col("n_edges"),
+          col("q_num_lpa"),
+          col("q_num_pass1"),
+          col("q_num_fixed")
+        )
+    }
+    val csUnd = coSupplyUndirected(s, d)
+    val csVerts = csUnd
+      .select(col("a").as("id"))
+      .unionAll(csUnd.select(col("b").as("id")))
+      .distinct()
+    val (ncVerts, ncEdges) = chainedNationGraph(s, d)
+    val ncUnd = ncEdges.select(col("src").as("a"), col("dst").as("b"))
+    // Overlap the two graphs' eager truncate chains (see g7).
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val fa = Future(score("co_supply", csUnd, csVerts))
+    val fb = Future(score("nation_chain", ncUnd, ncVerts))
+    Await.result(fa, Duration.Inf).unionByName(Await.result(fb, Duration.Inf))
+  }
+
+  /** G8c — the RESOLUTION-parameterized hierarchy: the reference's
+    * 3-resolution Leiden sweep (detect_communities.py:218-246, resolutions
+    * [2.0, 0.5, 0.1]) re-expressed as one fixed-point refinement per
+    * resolution γ under the Reichardt–Bornholdt gain, each level seeded
+    * from the previous finer one ([[graft.graph.GraphOps.resolutionHierarchy]];
+    * γ as a rational — (2,1), (1,2), (1,10) — so the gain stays
+    * integer-exact).
+    *
+    * The graph is the BRIDGED nation chain — the per-region chains plus
+    * one bridge from each region's max nation key to the next region's
+    * min, i.e. one 25-vertex path (m=24) with two-scale structure —
+    * chosen so the sweep is READABLE: merging two fragments with E12=1
+    * gains 48·γden − γnum·d1·d2, so rising degree mass d1·d2 prices
+    * merges out sooner at higher γ. Measured (deterministic — every
+    * stage is tie-broken; pinned in GraphOpsSpec): γ=2.0 keeps 16
+    * LPA-fine fragments, γ=0.5 coarsens to 9, γ=0.1 to 3 — three
+    * distinct levels, nested because each seeds the next. One row per
+    * vertex with its community at every resolution — exactly the
+    * reference's per-resolution community assignment shape.
+    */
+  private def g8c_resolution_hierarchy(s: SparkSession, d: String): DataFrame = {
+    val n = table(s, d, "nation")
+    val w = Window.partitionBy(col("n_regionkey")).orderBy(col("n_nationkey"))
+    val chain = n
+      .select(col("n_nationkey").as("src"), lead(col("n_nationkey"), 1).over(w).as("dst"))
+      .filter(col("dst").isNotNull)
+    // one bridge per adjacent region pair: ≤5 rows reach the unpartitioned
+    // window (bounded by region cardinality, the p8 argument)
+    val rw = Window.orderBy(col("n_regionkey"))
+    val bridges = n
+      .groupBy(col("n_regionkey"))
+      .agg(min(col("n_nationkey")).as("mn"), max(col("n_nationkey")).as("mx"))
+      .select(col("mx").as("src"), lead(col("mn"), 1).over(rw).as("dst"))
+      .filter(col("dst").isNotNull)
+    val und = chain
+      .unionByName(bridges)
+      .select(least(col("src"), col("dst")).as("a"), greatest(col("src"), col("dst")).as("b"))
+    GraphOps
+      .resolutionHierarchy(
+        n.select(col("n_nationkey").as("id")),
+        und,
+        Seq((2L, 1L), (1L, 2L), (1L, 10L)),
+        3,
+        4
+      )
+      .select(
+        col("id").cast("long").as("id"),
+        col("community_0").cast("long").as("community_r20"),
+        col("community_1").cast("long").as("community_r05"),
+        col("community_2").cast("long").as("community_r01")
+      )
+  }
+
   /** G9 — fixed-iteration PageRank over the SUPPLIES bipartite graph
     * (supplier → part), integer-quantized so both engines produce
     * bit-identical scores ([[graft.graph.GraphOps.pageRankQuantized]];
@@ -548,6 +666,35 @@ object GraphQueries extends QueryModule {
       .select(col("id").as("node_id"), col("r").cast("long").as("rank_q"))
   }
 
+  /** G13b — g13 with FRONTIER TRUNCATION: ranks below ε = 1000 (0.1% of
+    * scale) are pruned after every pass
+    * ([[graft.graph.GraphOps.personalizedPageRankQuantized]], ε > 0) —
+    * the sparse-PPR bound for the frontier growth that made g13 the graph
+    * family's worst soak ratio (5.30 at 16×): pruned vertices never fan
+    * out again, so per-pass cost tracks the ε-supported frontier instead
+    * of the hop-k ball. Declared approximation (tail mass lost; head
+    * ranks ≥ the teleport floor are exact — the scaladoc carries the
+    * argument); the oracle applies the identical integer threshold per
+    * unrolled pass, so the approximation itself is cross-engine-verified.
+    */
+  private def g13b_ppr_truncated(s: SparkSession, d: String): DataFrame = {
+    val base = table(s, d, "lineitem")
+      .select(
+        concat(lit("s:"), col("l_suppkey")).as("src"),
+        concat(lit("p:"), col("l_partkey")).as("dst")
+      )
+      .distinct()
+    val edges = base.unionByName(base.select(col("dst").as("src"), col("src").as("dst")))
+    val seeds = table(s, d, "supplier")
+      .filter(col("s_nationkey") === 0)
+      .select(concat(lit("s:"), col("s_suppkey")).as("id"))
+    GraphOps
+      .personalizedPageRankQuantized(seeds, edges, 3, epsilon = 1000L)
+      .orderBy(col("r").desc, col("id").asc)
+      .limit(20)
+      .select(col("id").as("node_id"), col("r").cast("long").as("rank_q"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "g0_node_table" -> (g0_node_table _),
     "g1_edge_validity" -> (g1_edge_validity _),
@@ -561,11 +708,14 @@ object GraphQueries extends QueryModule {
     "g14_assortativity" -> (g14_assortativity _),
     "g7_modularity" -> (g7_modularity _),
     "g8_refined_modularity" -> (g8_refined_modularity _),
+    "g8b_refined_fixed_point" -> (g8b_refined_fixed_point _),
+    "g8c_resolution_hierarchy" -> (g8c_resolution_hierarchy _),
     "g9_pagerank" -> (g9_pagerank _),
     "g10_kcore" -> (g10_kcore _),
     "g11_neighbor_jaccard" -> (g11_neighbor_jaccard _),
     "g12_bfs_hops" -> (g12_bfs_hops _),
-    "g13_personalized_pagerank" -> (g13_personalized_pagerank _)
+    "g13_personalized_pagerank" -> (g13_personalized_pagerank _),
+    "g13b_ppr_truncated" -> (g13b_ppr_truncated _)
   )
 
   private val validEdgesSql =
@@ -612,10 +762,19 @@ object GraphQueries extends QueryModule {
     * argmax picks → recursive CC over the picked merge edges → relabel →
     * re-scored modularity. Parameterized on the CTE names of the undirected
     * edges (a, b), labels (id, lbl), degrees (v, dg), and edge-count (m)
-    * frames, prefixed so two graphs can refine in one statement. Yields
-    * `${p}rii` (intra) and `${p}rs2` (sum_d2) for the refined partition.
+    * frames, prefixed so two graphs can refine in one statement — and
+    * CHAINABLE: pass k+1's `labels` = pass k's `${p}newlab`, which is how
+    * the g8b/g8c oracles unroll the fixed-point loop. `gn`/`gd` are the
+    * RB-resolution rational γ (gain = γden·2m·E12 − γnum·d1·d2; 1/1 = the
+    * Newman gain). `mutual=true` merges only MUTUAL best-partner pairs —
+    * [[graft.graph.GraphOps.refineMergeFixedPoint]]'s monotone pass —
+    * instead of CC-resolving pick chains (the single-pass g8 semantics).
+    * Yields `${p}newlab` (id, lbl) plus `${p}rii` (intra) and `${p}rs2`
+    * (sum_d2) for the refined partition.
     */
-  private def mergeRefineSql(p: String, und: String, labels: String, deg: String, mm: String): String =
+  private def mergeRefineSql(
+      p: String, und: String, labels: String, deg: String, mm: String,
+      gn: Long = 1L, gd: Long = 1L, mutual: Boolean = false): String =
     s"""${p}inter AS MATERIALIZED (
           SELECT c1, c2, count(*) AS e12 FROM (
             SELECT x.lbl AS c1, y.lbl AS c2
@@ -630,17 +789,27 @@ object GraphQueries extends QueryModule {
           SELECT l.lbl, sum(d.dg) AS d
           FROM $deg d JOIN $labels l ON l.id = d.v GROUP BY 1),
         ${p}gains AS (
-          SELECT i.c1, i.c2, 2 * m.m * i.e12 - a.d * b.d AS gain
+          SELECT i.c1, i.c2, $gd * 2 * m.m * i.e12 - $gn * a.d * b.d AS gain
           FROM ${p}inter i
           JOIN ${p}cdeg a ON a.lbl = i.c1
           JOIN ${p}cdeg b ON b.lbl = i.c2, $mm m
-          WHERE 2 * m.m * i.e12 - a.d * b.d > 0),
+          WHERE $gd * 2 * m.m * i.e12 - $gn * a.d * b.d > 0),
         ${p}picks AS (
           SELECT c1 AS src, c2 AS dst FROM (
             SELECT *, row_number() OVER (PARTITION BY c1 ORDER BY gain DESC, c2) AS rn
             FROM ${p}gains) WHERE rn = 1),
-        ${p}pedges AS MATERIALIZED (
-          SELECT src, dst FROM ${p}picks UNION SELECT dst, src FROM ${p}picks),
+        ${p}pedges AS MATERIALIZED (${
+          if (mutual)
+            s"""SELECT p1.src, p1.dst
+                FROM ${p}picks p1 JOIN ${p}picks p2
+                  ON p1.src = p2.dst AND p1.dst = p2.src
+                UNION
+                SELECT p1.dst, p1.src
+                FROM ${p}picks p1 JOIN ${p}picks p2
+                  ON p1.src = p2.dst AND p1.dst = p2.src"""
+          else
+            s"SELECT src, dst FROM ${p}picks UNION SELECT dst, src FROM ${p}picks"
+        }),
         ${p}reach(id, comp) AS (
           SELECT DISTINCT lbl, lbl FROM $labels
           UNION
@@ -907,6 +1076,76 @@ object GraphQueries extends QueryModule {
                  CAST(4 * m.m * ii.intra - s2.sum_d2 AS BIGINT) AS q_num_lpa,
                  CAST(4 * m.m * ri.intra - rs.sum_d2 AS BIGINT) AS q_num_refined
           FROM ncmm m, ncii ii, ncs2 s2, yrii ri, yrs2 rs""",
+    "g8b_refined_fixed_point" ->
+      s"""WITH RECURSIVE $modularityBaseSql,
+          ${mergeRefineSql("x1", "und", "sl3", "deg", "mm")},
+          ${mergeRefineSql("f1", "und", "sl3", "deg", "mm", mutual = true)},
+          ${mergeRefineSql("f2", "und", "f1newlab", "deg", "mm", mutual = true)},
+          ${mergeRefineSql("f3", "und", "f2newlab", "deg", "mm", mutual = true)},
+          ${mergeRefineSql("f4", "und", "f3newlab", "deg", "mm", mutual = true)},
+          ${mergeRefineSql("y1", "ncund", "l3", "ncdeg", "ncmm")},
+          ${mergeRefineSql("h1", "ncund", "l3", "ncdeg", "ncmm", mutual = true)},
+          ${mergeRefineSql("h2", "ncund", "h1newlab", "ncdeg", "ncmm", mutual = true)},
+          ${mergeRefineSql("h3", "ncund", "h2newlab", "ncdeg", "ncmm", mutual = true)},
+          ${mergeRefineSql("h4", "ncund", "h3newlab", "ncdeg", "ncmm", mutual = true)}
+          SELECT 'co_supply' AS graph,
+                 CAST(m.m AS BIGINT) AS n_edges,
+                 CAST(4 * m.m * ii.intra - s2.sum_d2 AS BIGINT) AS q_num_lpa,
+                 CAST(4 * m.m * r1.intra - s1.sum_d2 AS BIGINT) AS q_num_pass1,
+                 CAST(4 * m.m * r4.intra - s4.sum_d2 AS BIGINT) AS q_num_fixed
+          FROM mm m, ii, s2, x1rii r1, x1rs2 s1, f4rii r4, f4rs2 s4
+          UNION ALL
+          SELECT 'nation_chain' AS graph,
+                 CAST(m.m AS BIGINT) AS n_edges,
+                 CAST(4 * m.m * ii.intra - s2.sum_d2 AS BIGINT) AS q_num_lpa,
+                 CAST(4 * m.m * r1.intra - s1.sum_d2 AS BIGINT) AS q_num_pass1,
+                 CAST(4 * m.m * r4.intra - s4.sum_d2 AS BIGINT) AS q_num_fixed
+          FROM ncmm m, ncii ii, ncs2 s2, y1rii r1, y1rs2 s1, h4rii r4, h4rs2 s4""",
+    "g8c_resolution_hierarchy" ->
+      s"""WITH RECURSIVE bchain AS (
+            SELECT n_nationkey AS src,
+                   lead(n_nationkey) OVER (PARTITION BY n_regionkey
+                                           ORDER BY n_nationkey) AS dst
+            FROM nation),
+          bbr AS (
+            SELECT mx AS src, lead(mn) OVER (ORDER BY rk) AS dst FROM (
+              SELECT n_regionkey AS rk, min(n_nationkey) AS mn,
+                     max(n_nationkey) AS mx
+              FROM nation GROUP BY 1)),
+          bund AS MATERIALIZED (
+            SELECT least(src, dst) AS a, greatest(src, dst) AS b
+            FROM (SELECT src, dst FROM bchain WHERE dst IS NOT NULL
+                  UNION ALL
+                  SELECT src, dst FROM bbr WHERE dst IS NOT NULL)),
+          bedges AS MATERIALIZED (
+            SELECT a AS src, b AS dst FROM bund
+            UNION
+            SELECT b AS src, a AS dst FROM bund),
+          wl0 AS (SELECT n_nationkey AS id, n_nationkey AS lbl FROM nation),
+          ${lpaStepsSql("bedges", "w")},
+          bdeg AS MATERIALIZED (SELECT v, count(*) AS dg FROM (
+                      SELECT a AS v FROM bund UNION ALL SELECT b AS v FROM bund)
+                    GROUP BY v),
+          bmm AS (SELECT count(*) AS m FROM bund),
+          ${mergeRefineSql("a1", "bund", "wl3", "bdeg", "bmm", 2L, 1L, mutual = true)},
+          ${mergeRefineSql("a2", "bund", "a1newlab", "bdeg", "bmm", 2L, 1L, mutual = true)},
+          ${mergeRefineSql("a3", "bund", "a2newlab", "bdeg", "bmm", 2L, 1L, mutual = true)},
+          ${mergeRefineSql("a4", "bund", "a3newlab", "bdeg", "bmm", 2L, 1L, mutual = true)},
+          ${mergeRefineSql("b1", "bund", "a4newlab", "bdeg", "bmm", 1L, 2L, mutual = true)},
+          ${mergeRefineSql("b2", "bund", "b1newlab", "bdeg", "bmm", 1L, 2L, mutual = true)},
+          ${mergeRefineSql("b3", "bund", "b2newlab", "bdeg", "bmm", 1L, 2L, mutual = true)},
+          ${mergeRefineSql("b4", "bund", "b3newlab", "bdeg", "bmm", 1L, 2L, mutual = true)},
+          ${mergeRefineSql("c1", "bund", "b4newlab", "bdeg", "bmm", 1L, 10L, mutual = true)},
+          ${mergeRefineSql("c2", "bund", "c1newlab", "bdeg", "bmm", 1L, 10L, mutual = true)},
+          ${mergeRefineSql("c3", "bund", "c2newlab", "bdeg", "bmm", 1L, 10L, mutual = true)},
+          ${mergeRefineSql("c4", "bund", "c3newlab", "bdeg", "bmm", 1L, 10L, mutual = true)}
+          SELECT CAST(r20.id AS BIGINT) AS id,
+                 CAST(r20.lbl AS BIGINT) AS community_r20,
+                 CAST(r05.lbl AS BIGINT) AS community_r05,
+                 CAST(r01.lbl AS BIGINT) AS community_r01
+          FROM a4newlab r20
+          JOIN b4newlab r05 ON r05.id = r20.id
+          JOIN c4newlab r01 ON r01.id = r20.id""",
     "g13_personalized_pagerank" -> {
       def pprStep(t: Int): String =
         s"""pp$t AS MATERIALIZED (
@@ -920,6 +1159,39 @@ object GraphQueries extends QueryModule {
                 JOIN ppodeg o ON o.src = e.src
                 GROUP BY e.dst) c
               ON t.id = c.id)"""
+      s"""WITH ppbase AS MATERIALIZED (
+            SELECT DISTINCT 's:' || CAST(l_suppkey AS VARCHAR) AS src,
+                   'p:' || CAST(l_partkey AS VARCHAR) AS dst
+            FROM lineitem),
+          ppedges AS MATERIALIZED (
+            SELECT src, dst FROM ppbase
+            UNION ALL
+            SELECT dst AS src, src AS dst FROM ppbase),
+          ppodeg AS MATERIALIZED (SELECT src, count(*) AS od FROM ppedges GROUP BY src),
+          pseeds AS MATERIALIZED (
+            SELECT 's:' || CAST(s_suppkey AS VARCHAR) AS id
+            FROM supplier WHERE s_nationkey = 0),
+          pp0 AS (SELECT id, CAST(1000000 AS BIGINT) AS r FROM pseeds),
+          ${(1 to 3).map(pprStep).mkString(", ")}
+          SELECT id AS node_id, CAST(r AS BIGINT) AS rank_q
+          FROM pp3 ORDER BY r DESC, id LIMIT 20"""
+    },
+    "g13b_ppr_truncated" -> {
+      // g13's unrolled passes with the per-pass integer frontier threshold
+      def pprStep(t: Int): String =
+        s"""pp$t AS MATERIALIZED (
+              SELECT id, r FROM (
+                SELECT coalesce(t.id, c.id) AS id,
+                       coalesce(t.tp, 0) + (85 * coalesce(c.c, 0)) // 100 AS r
+                FROM (SELECT id, 150000 AS tp FROM pseeds) t
+                FULL OUTER JOIN (
+                  SELECT e.dst AS id, sum(p.r // o.od) AS c
+                  FROM ppedges e
+                  JOIN pp${t - 1} p ON p.id = e.src
+                  JOIN ppodeg o ON o.src = e.src
+                  GROUP BY e.dst) c
+                ON t.id = c.id)
+              WHERE r >= 1000)"""
       s"""WITH ppbase AS MATERIALIZED (
             SELECT DISTINCT 's:' || CAST(l_suppkey AS VARCHAR) AS src,
                    'p:' || CAST(l_partkey AS VARCHAR) AS dst

@@ -121,6 +121,103 @@ class GraphOpsSpec extends AnyFunSuite with SparkTestBase {
     assert(got == planted.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap)
   }
 
+  /** The chained-nation harness shape: 5 disjoint 5-vertex paths (m = 20).
+    * Planted partition = one community per chain: intra = 20,
+    * Σd_c² = 5·8² = 320, num = 4·20·20 − 320 = 1280, Q = 1280/1600 = 0.800.
+    */
+  private def fiveChains(implicit s: org.apache.spark.sql.SparkSession) = {
+    import s.implicits._
+    val und = (for { c <- 0 until 5; i <- 0 until 4 } yield {
+      val base = 5L * c
+      (base + i, base + i + 1)
+    }).toDF("a", "b")
+    val verts = (0L until 25L).toDF("id")
+    (verts, und)
+  }
+
+  test("refineMergeFixedPoint reaches the planted Q=0.800 on the chained-nation shape") {
+    import org.apache.spark.sql.functions.col
+    val (verts, und) = fiveChains(spark)
+    val labels = GraphOps.labelPropagation(
+      verts,
+      und.select(col("a").as("src"), col("b").as("dst")),
+      3
+    )
+    val qLpa   = GraphOps.modularity(und, labels)
+    val pass1  = GraphOps.refineMerge(und, labels)
+    val qPass1 = GraphOps.modularity(und, pass1)
+    val fixed  = GraphOps.refineMergeFixedPoint(und, labels, maxPasses = 4)
+    val qFixed = GraphOps.modularity(und, fixed)
+    // the CNM fixed point must fold every chain whole: within a chain any
+    // adjacent fragment pair has gain 2·20·1 − d1·d2 with d1+d2 ≤ 8 ⇒
+    // d1·d2 ≤ 16 < 40, always positive — the planted partition is the
+    // unique fixed point reachable by intra-chain merges
+    assert(qFixed >= qPass1 - 1e-12, s"fixed point Q $qFixed regressed below single-pass $qPass1")
+    assert(qFixed >= qLpa - 1e-12)
+    assert(math.abs(qFixed - 0.8) < 1e-12, s"fixed point Q $qFixed != planted 0.800 (LPA $qLpa, pass1 $qPass1)")
+    assert(fixed.select("lbl").distinct().count() == 5)
+  }
+
+  test("resolution gamma prices merges: pendant folds at low gamma, holds at high") {
+    import spark.implicits._
+    // pendant-triangle (see the refineMerge test): Newman gain is +1, so at
+    // γ=2 the gain 2·4·1·1 − 2·7·1 = −6 blocks the merge, and at γ=1/10 the
+    // gain 10·8 − 7 = 73 folds it — the RB knob doing its one job
+    val und    = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L)).toDF("a", "b")
+    val labels = Seq(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L).toDF("id", "lbl")
+    val high = GraphOps.refineMergeFixedPoint(und, labels, 3, gammaNum = 2L, gammaDen = 1L)
+    assert(high.select("lbl").distinct().count() == 2, "γ=2.0 must keep the pendant split")
+    val low = GraphOps.refineMergeFixedPoint(und, labels, 3, gammaNum = 1L, gammaDen = 10L)
+    assert(low.select("lbl").distinct().count() == 1, "γ=0.1 must fold the pendant in")
+  }
+
+  test("resolutionHierarchy levels nest and coarsen with decreasing gamma") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // bridged five-chain path (the g8c graph): chains 0-4..20-24 plus
+    // bridges 4-5, 9-10, 14-15, 19-20 ⇒ one 25-vertex path, m = 24
+    val chains = (for { c <- 0 until 5; i <- 0 until 4 } yield {
+      val base = 5L * c
+      (base + i, base + i + 1)
+    })
+    val bridges = (0 until 4).map(c => (5L * c + 4, 5L * c + 5))
+    val und     = (chains ++ bridges).toDF("a", "b")
+    val verts   = (0L until 25L).toDF("id")
+    val h = GraphOps
+      .resolutionHierarchy(verts, und, Seq((2L, 1L), (1L, 2L), (1L, 10L)), 3, 4)
+      .collect()
+    assert(h.length == 25)
+    def nDistinct(i: Int) = h.map(_.getLong(i + 1)).distinct.length
+    val (n20, n05, n01) = (nDistinct(0), nDistinct(1), nDistinct(2))
+    assert(n20 >= n05 && n05 >= n01, s"levels must coarsen: $n20 >= $n05 >= $n01")
+    // the deterministic sweep lands each γ on a DISTINCT level (pinned
+    // measured values — every stage is tie-broken, so they are stable)
+    assert((n20, n05, n01) == ((16, 9, 3)), s"sweep moved: ($n20, $n05, $n01)")
+    // nesting: a level-k community never splits at level k+1
+    Seq((1, 2), (2, 3)).foreach { case (f, c) =>
+      val fine2coarse = h.map(r => r.getLong(f) -> r.getLong(c)).distinct
+      assert(
+        fine2coarse.map(_._1).distinct.length == fine2coarse.length,
+        s"level $f communities must map to exactly one level $c community"
+      )
+    }
+  }
+
+  test("personalizedPageRankQuantized epsilon prunes the sub-threshold frontier") {
+    import spark.implicits._
+    // 1→2, 1→3, 2→3, seed {1} (the exact-arithmetic graph above): pass-2
+    // rank of vertex 2 is 63750, so ε = 100000 prunes it while 1 and 3
+    // (150000 / 425000) survive with IDENTICAL ranks — head exactness
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L)).toDF("src", "dst")
+    val seeds = Seq(1L).toDF("id")
+    val got = GraphOps
+      .personalizedPageRankQuantized(seeds, edges, 2, epsilon = 100000L)
+      .collect()
+      .map(r => r.getLong(0) -> r.getAs[Long]("r"))
+      .toMap
+    assert(got == Map(1L -> 150000L, 3L -> 425000L))
+  }
+
   test("modularity of the all-one-community partition is 0") {
     import spark.implicits._
     val (_, und) = twoCliques(spark)

@@ -33,6 +33,7 @@ class PlanSweepSpec extends AnyFunSuite with SparkTestBase {
     "c11_outlier_gate",      // single-row sufficient-statistics broadcast
     "g7_modularity",         // single-row m / sum_d2 scalar broadcasts
     "g8_refined_modularity", // single-row before/after numerator broadcasts
+    "g8b_refined_fixed_point", // single-row LPA/pass1/fixed-point numerator broadcasts
     "pl4_check_report",      // ≤8-row check-report spine
     "x9_tfidf_topk",         // single-row n_docs broadcast
     "x10_hll_registers",     // single-row harmonic-sum broadcast
