@@ -46,9 +46,23 @@ object TableIO {
     val conf    = df.sparkSession.sparkContext.hadoopConfiguration
     val target  = new org.apache.hadoop.fs.Path(path)
     val staging = new org.apache.hadoop.fs.Path(path + "._tmp")
-    val parked  = new org.apache.hadoop.fs.Path(path + "._old")
     val fs      = target.getFileSystem(conf)
     df.write.mode("overwrite").parquet(staging.toString)
+    promote(fs, staging, target)
+    df.sparkSession.read.parquet(path).count()
+  }
+
+  /** The swap leg of the staged write: park the previous data at a `._old`
+    * sibling, promote the staging dir, drop the parked copy only once the
+    * promote succeeded (restore it if the promote failed). The target path
+    * holds either the old or the new committed data at every instant.
+    */
+  private def promote(
+      fs: org.apache.hadoop.fs.FileSystem,
+      staging: org.apache.hadoop.fs.Path,
+      target: org.apache.hadoop.fs.Path
+  ): Unit = {
+    val parked = new org.apache.hadoop.fs.Path(target.toString + "._old")
     if (fs.exists(parked)) fs.delete(parked, true) // leftover from a prior crash
     val hadOld = fs.exists(target) && {
       if (!fs.rename(target, parked))
@@ -60,7 +74,6 @@ object TableIO {
       throw new java.io.IOException(s"rename $staging -> $target failed")
     }
     if (hadOld) fs.delete(parked, true)
-    df.sparkSession.read.parquet(path).count()
   }
 
   /** Small-file compaction: rewrite a parquet table into ceil(rows /
@@ -68,26 +81,80 @@ object TableIO {
     * [[writeParquet]] — readers see either the fragmented or the compacted
     * table, never a partial mix. Returns (files before, files after, rows).
     *
+    * Hive-partitioned layouts (the exact layout `upsertSinkPartitioned` and
+    * partitioned streaming appends produce) are handled PER PARTITION: the
+    * walk recurses into `col=value/` directories (any nesting depth) and
+    * compacts each leaf independently through its own staged swap, so the
+    * partition columns stay in the directory layout (a flat read+rewrite
+    * would flatten them out) and partition pruning is untouched. A leaf
+    * that is already at-or-below its target file count is SKIPPED — its
+    * files are left byte-identical, so a nightly pass over a mostly-cold
+    * partitioned collection costs only the hot partitions.
+    *
+    * Concurrency guard: compaction must not race a live writer (a file
+    * appended between the read and the swap would be deleted by the swap).
+    * Each leaf's file listing (name, length) is snapshotted before the
+    * read and re-checked after the staging write; on any change the leaf
+    * ABORTS (staging dropped, live data untouched) with an exception — the
+    * contract is that the writing stream is stopped or the pass is re-run.
+    *
     * At 100 TB this is the nightly maintenance pass that keeps streaming
     * appends (upsertSink / dedupIngest grow a file per micro-batch) from
     * degrading scan parallelism into open-file overhead: many kilobyte
     * files → few target-sized files, row-group min/max skipping restored.
-    * The file count comes from the driver-side listing (cheap metadata);
-    * the data path is one distributed read + repartition + write, no
+    * The file counts come from driver-side listings (cheap metadata); the
+    * data path is one distributed read + repartition + write per leaf, no
     * collect.
     */
   def compact(spark: SparkSession, path: String, targetRowsPerFile: Long): (Int, Int, Long) = {
     val conf   = spark.sparkContext.hadoopConfiguration
     val target = new org.apache.hadoop.fs.Path(path)
     val fs     = target.getFileSystem(conf)
-    def dataFiles(): Int =
-      fs.listStatus(target).count(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
-    val before = dataFiles()
-    val df     = spark.read.parquet(path)
-    val rows   = df.count()
-    val nFiles = math.max(1, math.ceil(rows.toDouble / targetRowsPerFile).toInt)
-    writeParquet(df.repartition(nFiles), path)
-    (before, dataFiles(), rows)
+
+    def partitionDirs(dir: org.apache.hadoop.fs.Path): Seq[org.apache.hadoop.fs.Path] =
+      fs.listStatus(dir)
+        .filter(s => s.isDirectory && s.getPath.getName.contains("="))
+        .map(_.getPath)
+        .toSeq
+
+    def listing(dir: org.apache.hadoop.fs.Path): Seq[(String, Long)] =
+      fs.listStatus(dir)
+        .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+        .map(s => (s.getPath.getName, s.getLen))
+        .toSeq
+        .sorted
+
+    /** Compact one leaf dir in place; (before, after, rows). */
+    def compactLeaf(dir: org.apache.hadoop.fs.Path): (Int, Int, Long) = {
+      val snap   = listing(dir)
+      val before = snap.size
+      if (before == 0) return (0, 0, 0L)
+      val df     = spark.read.parquet(dir.toString)
+      val rows   = df.count()
+      val nFiles = math.max(1, math.ceil(rows.toDouble / targetRowsPerFile).toInt)
+      if (before <= nFiles) return (before, before, rows) // already compact: byte-identical
+      val staging = new org.apache.hadoop.fs.Path(dir.toString + "._tmp")
+      df.repartition(nFiles).write.mode("overwrite").parquet(staging.toString)
+      if (listing(dir) != snap) {
+        fs.delete(staging, true)
+        throw new java.util.ConcurrentModificationException(
+          s"compact: $dir changed during compaction (live writer?) — aborted, data untouched"
+        )
+      }
+      promote(fs, staging, dir)
+      (before, listing(dir).size, rows)
+    }
+
+    def walk(dir: org.apache.hadoop.fs.Path): (Int, Int, Long) = {
+      val parts = partitionDirs(dir)
+      if (parts.isEmpty) compactLeaf(dir)
+      else
+        parts.map(walk).foldLeft((0, 0, 0L)) { case ((b, a, r), (b2, a2, r2)) =>
+          (b + b2, a + a2, r + r2)
+        }
+    }
+
+    walk(target)
   }
 
   /** S2 — Parquet scan with declared-schema empty fallback when missing.
