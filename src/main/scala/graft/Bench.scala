@@ -101,14 +101,21 @@ object Bench {
       s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}\n"""
         .getBytes("UTF-8"))
 
-    // Compact line for stdout: global total plus the slowest queries only,
-    // budgeted to stay well inside the tail buffer alongside sbt's trailer.
-    val slowest = results.sortBy(-_._2).take(25)
+    // The parseable result also goes to a FILE (bench_out.json): BENCH_r07
+    // still came back `parsed: null` because the stdout line competes with
+    // sbt's trailer inside the driver's 2KB tail capture. The file carries
+    // the same single-line JSON the driver expects, immune to log noise.
+    val slowest = results.sortBy(-_._2).take(8)
       .map { case (k, v, _) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
-    println(
+    val line =
       s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$slowest,"n_queries":${results.size},"failed":$failed,"sf":"$sfDir","detail":"$detailPath"}"""
-    )
+    val outPath = java.nio.file.Paths.get("bench_out.json").toAbsolutePath
+    java.nio.file.Files.write(outPath, (line + "\n").getBytes("UTF-8"))
+    // Compact stdout line last (top-8 slowest only, ~400 bytes): even if a
+    // stray WARN lands above it, the line plus the file path stay in-tail.
+    println(line)
+    println(s"""{"bench_out":"$outPath"}""")
     spark.stop()
   }
 }
