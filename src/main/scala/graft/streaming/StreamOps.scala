@@ -261,8 +261,11 @@ object StreamOps {
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val gated = graft.queries.Curation.gateBattery(batch).cache()
         try {
+          // keep only CONFIRMED keeps; quarantine is the null-safe complement
+          // (a null gate column — e.g. null text — must land in quarantine,
+          // not vanish between two filters: the no-silent-row-loss contract)
           gated.filter(col("keep") === 1).write.mode("append").parquet(keepPath)
-          gated.filter(col("keep") === 0).write.mode("append").parquet(quarantinePath)
+          gated.filter(!(col("keep") <=> 1)).write.mode("append").parquet(quarantinePath)
         } finally { gated.unpersist(); () }
       }
       .start()
@@ -271,9 +274,9 @@ object StreamOps {
     * micro-batch of documents is MinHash-probed against the on-disk
     * signature index built by all PREVIOUS batches, each document written
     * to `outPath` with a `verdict` ('dup' when a verified near-duplicate
-    * already exists in the index, else 'new'), and only 'new' documents
-    * extend the index — the keep-one-representative ingest a production
-    * corpus runs continuously. Batch and stream agree by construction: the
+    * already exists in the index OR earlier — by doc_id — in the same
+    * micro-batch), and only 'new' documents extend the index — the
+    * keep-one-representative ingest a production corpus runs continuously. Batch and stream agree by construction: the
     * signature definition is [[graft.operators.MinHashOps]], the same one
     * the batch dedup family uses.
     *
@@ -309,10 +312,10 @@ object StreamOps {
         val b      = batch.localCheckpoint(true) // several consumers below
         val bBands = MH.bandKeys(b).localCheckpoint(true)
         val bSh    = MH.shingleSets(b).localCheckpoint(true)
-        val dupIds =
-          if (!exists(s"$indexPath/bands")) {
-            spark.emptyDataFrame.select(lit(0L).as("doc_id")).limit(0)
-          } else {
+        val noIds  = spark.emptyDataFrame.select(lit(0L).as("doc_id")).limit(0)
+        val indexDups =
+          if (!exists(s"$indexPath/bands")) noIds
+          else {
             val iBands = spark.read.parquet(s"$indexPath/bands")
             val iSh    = spark.read.parquet(s"$indexPath/shingles")
             val cand = bBands
@@ -327,6 +330,25 @@ object StreamOps {
               .select(col("bid").as("doc_id"))
               .distinct()
           }
+        // INTRA-batch self-probe (d13's candidate join, batch vs batch):
+        // without it two near-duplicates arriving in the SAME micro-batch
+        // would both verdict 'new' and both enter the index. Tiebreak by
+        // doc_id — the lower id is the representative, every verified
+        // higher-id match is a dup. (A doc matching only a dup — a chain —
+        // still enters as 'new': the declared pairwise approximation, same
+        // as any single-pass LSH ingest.)
+        val selfDups = bBands
+          .as("a")
+          .join(bBands.as("b"), col("a.bkey") === col("b.bkey") && col("a.band") === col("b.band")
+            && col("a.doc_id") > col("b.doc_id"))
+          .select(col("a.doc_id").as("bid"), col("b.doc_id").as("iid"))
+          .distinct()
+          .join(bSh.select(col("doc_id").as("bid"), col("sh").as("s1")), "bid")
+          .join(bSh.select(col("doc_id").as("iid"), col("sh").as("s2")), "iid")
+          .filter(MH.jaccard(col("s1"), col("s2")) >= tau)
+          .select(col("bid").as("doc_id"))
+          .distinct()
+        val dupIds = indexDups.unionByName(selfDups).distinct()
         val verdicts = b
           .join(dupIds.withColumn("is_dup", lit(1)), Seq("doc_id"), "left")
           .withColumn("verdict", when(col("is_dup").isNotNull, "dup").otherwise("new"))

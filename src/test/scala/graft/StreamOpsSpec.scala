@@ -231,6 +231,139 @@ class StreamOpsSpec extends AnyFunSuite with SparkTestBase {
     } finally q.stop()
   }
 
+  test("sequencePacker pack offsets survive a checkpointed query restart (crash replay)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_pack_ckpt").toString
+    val in   = MemoryStream[StreamOps.PackIn]
+    val emitted = new java.util.concurrent.ConcurrentLinkedQueue[StreamOps.PackOut]()
+    // memory sink can't recover from a checkpoint; foreachBatch can
+    def start() = StreamOps
+      .sequencePacker(in.toDS(), packTokens = 10L)
+      .writeStream
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[StreamOps.PackOut], _: Long) =>
+        b.collect().foreach(emitted.add)
+      }
+      .option("checkpointLocation", ckpt)
+      .outputMode(OutputMode.Append())
+      .start()
+
+    // run 1: two en docs (offsets 0, 4) and one de doc, then STOP — the
+    // per-language cursors live only in the checkpointed state store now
+    val q1 = start()
+    try {
+      in.addData(StreamOps.PackIn("en", 1L, 4L), StreamOps.PackIn("en", 2L, 7L))
+      in.addData(StreamOps.PackIn("de", 3L, 9L))
+      q1.processAllAvailable()
+    } finally q1.stop()
+
+    // run 2: NEW query from the same checkpoint — offsets must continue
+    // EXACTLY (en at 11, de at 9), proving flatMapGroupsWithState state
+    // recovery, not a rebuild from reprocessed input
+    val q2 = start()
+    try {
+      in.addData(StreamOps.PackIn("en", 4L, 5L), StreamOps.PackIn("de", 5L, 2L))
+      q2.processAllAvailable()
+      val rows = emitted.toArray(Array.empty[StreamOps.PackOut]).map(p => p.doc_id -> p).toMap
+      assert(rows(4L).start_off == 11L && rows(4L).pack_id == 1L, s"en cursor lost: ${rows(4L)}")
+      assert(rows(5L).start_off == 9L && rows(5L).straddles == 1, s"de cursor lost: ${rows(5L)}")
+    } finally q2.stop()
+  }
+
+  test("dedupIngest flags near-duplicates arriving in the SAME micro-batch (intra-batch probe)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in   = MemoryStream[(Long, String)]
+    val base = java.nio.file.Files.createTempDirectory("graft_ingest_ib").toString
+    val q = StreamOps.dedupIngest(
+      in.toDF().toDF("doc_id", "text"),
+      s"$base/index",
+      s"$base/out",
+      s"$base/ckpt"
+    )
+    try {
+      val a = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+      val b = "one two three four five six seven eight nine ten"
+      // doc 1 and doc 2 are near-duplicates IN THE SAME batch: the lower
+      // doc_id is the representative, the higher one must verdict 'dup'
+      // and stay out of the index
+      in.addData((2L, a), (1L, a), (3L, b))
+      q.processAllAvailable()
+      val out = spark.read
+        .parquet(s"$base/out")
+        .select("doc_id", "verdict")
+        .as[(Long, String)]
+        .collect()
+        .toMap
+      assert(out == Map(1L -> "new", 2L -> "dup", 3L -> "new"), s"got $out")
+      val idx =
+        spark.read.parquet(s"$base/index/shingles").select("doc_id").as[Long].collect().toSet
+      assert(idx == Set(1L, 3L))
+    } finally q.stop()
+  }
+
+  test("gateAndQuarantine routes null-gate rows to quarantine, never dropping them") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in   = MemoryStream[(Long, String)]
+    val base = java.nio.file.Files.createTempDirectory("graft_gate_null").toString
+    val q = StreamOps.gateAndQuarantine(
+      in.toDF().toDF("doc_id", "text"),
+      s"$base/keep",
+      s"$base/quarantine",
+      s"$base/ckpt"
+    )
+    try {
+      // a NULL text makes every gate column null: keep === 1 and keep === 0
+      // both evaluate to null — the row must still land in quarantine
+      in.addData((1L, "a plain healthy document with enough ordinary words to pass the battery of gates easily and cleanly today"), (2L, null.asInstanceOf[String]))
+      q.processAllAvailable()
+      val kept = spark.read.parquet(s"$base/keep").select("doc_id").as[Long].collect().toSet
+      val quar = spark.read.parquet(s"$base/quarantine").select("doc_id").as[Long].collect().toSet
+      assert((kept ++ quar) == Set(1L, 2L), s"row lost: kept=$kept quarantine=$quar")
+      assert(quar.contains(2L), "null-gate row must be quarantined")
+    } finally q.stop()
+  }
+
+  test("streaming soak: dedupIngest per-batch wall time stays flat as the index grows") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in   = MemoryStream[(Long, String)]
+    val base = java.nio.file.Files.createTempDirectory("graft_ingest_soak").toString
+    val q = StreamOps.dedupIngest(
+      in.toDF().toDF("doc_id", "text"),
+      s"$base/index",
+      s"$base/out",
+      s"$base/ckpt"
+    )
+    try {
+      val words = Vector("alpha", "beta", "gamma", "delta", "epsilon", "zeta", "eta",
+        "theta", "iota", "kappa", "lambda", "mu", "nu", "xi", "omicron", "pi")
+      def doc(i: Long): String =
+        (0 until 12).map(k => words(((i * 31 + k * 7) % 16).toInt) + (i % 97)).mkString(" ")
+      val perBatch = 16
+      val times = (0 until 20).map { b =>
+        val docs = (0 until perBatch).map(k => (b * 1000L + k, doc(b * 1000L + k)))
+        in.addData(docs: _*)
+        val t0 = System.nanoTime()
+        q.processAllAvailable()
+        (System.nanoTime() - t0) / 1e9
+      }
+      // the index grows 20× over the run; probe cost is ∝ batch × bucket
+      // occupancy, so per-batch time must stay FLAT — compare medians of
+      // the early and late windows (medians damp scheduler noise)
+      def median(xs: Seq[Double]) = xs.sorted.apply(xs.size / 2)
+      val early = median(times.slice(2, 8))
+      val late  = median(times.slice(14, 20))
+      assert(
+        late <= early * 3.0,
+        s"per-batch time grew with index size: early=$early late=$late (${times.mkString(", ")})"
+      )
+      // state is on disk, not in the executor store: out has every row
+      assert(spark.read.parquet(s"$base/out").count() == 20L * perBatch)
+    } finally q.stop()
+  }
+
   test("Sessionizer state survives a checkpointed query restart") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
