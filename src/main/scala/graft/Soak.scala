@@ -88,7 +88,7 @@ object Soak {
     "x13_hll_union"
   )
 
-  private def buildScaled(spark: SparkSession, src: String, out: String, n: Int): Unit = {
+  private[graft] def buildScaled(spark: SparkSession, src: String, out: String, n: Int): Unit = {
     val all = Seq("region", "nation") ++ keyCols.keys
     all.foreach { t =>
       val base = Engine.table(spark, src, t)

@@ -21,7 +21,10 @@ object Verify {
     import scala.concurrent.duration.Duration
     val pool = Executors.newFixedThreadPool(4)
     implicit val ec: ExecutionContext = ExecutionContext.fromExecutorService(pool)
-    val runs = SparkEntry.queries.toSeq.map { case (name, fn) =>
+    // SPARK_GRAFT_ONLY=q1,q2 restricts the dump — the local iteration loop
+    // for a new query's oracle without paying for the other ~190.
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").map(_.trim).toSet)
+    val runs = SparkEntry.queries.toSeq.filter { case (n, _) => only.forall(_.contains(n)) }.map { case (name, fn) =>
       Future {
         try
           fn(spark, sfDir)

@@ -400,7 +400,10 @@ object Curation extends QueryModule {
     * wide.
     */
   private def c9_importance_weights(s: SparkSession, d: String): DataFrame = {
-    def wordBuckets =
+    // materialized ONCE (the d13 pattern): three consumers below — corpus
+    // counts, target counts, final scoring join — would otherwise each
+    // re-scan and re-explode the documents table
+    val wordBuckets = graft.Lineage.truncate(
       table(s, d, "documents")
         .select(col("doc_id"), col("lang"), explode(words(col("text"))).as("w"))
         .select(
@@ -408,6 +411,7 @@ object Curation extends QueryModule {
           col("lang"),
           (conv(substring(md5(col("w")), 1, 6), 16, 10).cast("long") % 64).as("bk")
         )
+    )
     val corpus = wordBuckets.groupBy("bk").agg(count(lit(1)).as("ccnt"))
     val target =
       wordBuckets.filter(col("lang") === "en").groupBy("bk").agg(count(lit(1)).as("tcnt"))

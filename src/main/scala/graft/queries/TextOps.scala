@@ -63,6 +63,27 @@ object TextOps extends QueryModule {
     )
   }
 
+  /** F1d — the DOUBLE-mojibake chain (ftfy's iterate-own-repair tail,
+    * reference utils/data_transformation_helpers.py:28-86): UTF-8 bytes
+    * mis-decoded as Latin-1 TWICE ("é" → "Ã©" → "ÃƒÂ©").
+    * `graft_fix_mojibake` runs its repair to a fixed point (≤3 passes —
+    * [[graft.functions.FixMojibake.fix]]), so two corruption layers peel
+    * back to the original bit-exactly; clean text still passes through
+    * untouched (each guard — full byte-mappability, strict UTF-8 decode,
+    * strict contraction — must hold per pass).
+    */
+  private def f1d_double_mojibake(s: SparkSession, d: String): DataFrame = {
+    val orig  = concat(lit("Café résumé — naïve €"), col("doc_id").cast("string"))
+    val moji1 = decode(encode(orig, "UTF-8"), "ISO-8859-1")
+    val moji2 = decode(encode(moji1, "UTF-8"), "ISO-8859-1")
+    table(s, d, "documents").select(
+      col("doc_id"),
+      call_function("graft_fix_mojibake", moji2).as("fixed"),
+      length(moji2).cast("long").as("moji2_len"),
+      call_function("graft_fix_mojibake", orig).as("untouched")
+    )
+  }
+
   /** F1c — the HTML-entity leg of the ftfy chain in isolation (and then
     * through the full cleanText pipeline): the query MANUFACTURES entity
     * mixes — named, decimal, hex, malformed-left-alone — and
@@ -278,6 +299,7 @@ object TextOps extends QueryModule {
     "f1_clean_text" -> (f1_clean_text _),
     "f1b_fix_mojibake" -> (f1b_fix_mojibake _),
     "f1c_unescape_html" -> (f1c_unescape_html _),
+    "f1d_double_mojibake" -> (f1d_double_mojibake _),
     "f2_natural_list" -> (f2_natural_list _),
     "f3_chunk_fixed" -> (f3_chunk_fixed _),
     "f3b_chunk_recursive" -> (f3b_chunk_recursive _),
@@ -323,6 +345,13 @@ object TextOps extends QueryModule {
       """SELECT doc_id,
                 'Café résumé — naïve €' || CAST(doc_id AS VARCHAR) AS fixed,
                 CAST(strlen('Café résumé — naïve €' || CAST(doc_id AS VARCHAR)) AS BIGINT) AS moji_len,
+                'Café résumé — naïve €' || CAST(doc_id AS VARCHAR) AS untouched
+         FROM documents""",
+    "f1d_double_mojibake" ->
+      """SELECT doc_id,
+                'Café résumé — naïve €' || CAST(doc_id AS VARCHAR) AS fixed,
+                CAST(strlen('Café résumé — naïve €' || CAST(doc_id AS VARCHAR)) + 14 AS BIGINT)
+                  AS moji2_len,
                 'Café résumé — naïve €' || CAST(doc_id AS VARCHAR) AS untouched
          FROM documents""",
     "f1c_unescape_html" ->
