@@ -66,6 +66,10 @@ object Soak {
     "g11_neighbor_jaccard",
     "g12_bfs_hops",
     "g13_personalized_pagerank",
+    // r8: the frontier-truncated PPR variant (the ratio drop vs g13 is the
+    // point) and the fixed-point refinement (iterative, community-sized)
+    "g13b_ppr_truncated",
+    "g8b_refined_fixed_point",
     "d10_minhash_estimate",
     "d11_cluster_survivors",
     "pl5_tracks",
@@ -110,6 +114,18 @@ object Soak {
     }
   }
 
+  /** Per-query algorithmic cost exponent: the pass bar is N^exp × slack.
+    * Default 1.0 (work ~ rows). Triangle counting is the one soak query
+    * whose WORK is super-linear by design: wedge checks grow ~ m^1.5
+    * under the (degree, id)-orientation arboricity bound (out-degree ≤
+    * ~√m), so at N× edges the fair bar is N^1.5 — holding it to the
+    * linear bar would flag the algorithm's own complexity class, not a
+    * plan regression (r7's verdict already reads g6's 16× growth as "the
+    * expected super-linear-in-edges wedge growth").
+    */
+  private val costExponent: Map[String, Double] =
+    Map("g6_triangles" -> 1.5).withDefaultValue(1.0)
+
   /** Physical-plan join-node census — the soak's plan-flip detector.
     * Counts per node type, because some plans carry a BENIGN
     * BroadcastNestedLoopJoin at every scale (attaching a single-row scalar
@@ -138,7 +154,17 @@ object Soak {
     def timeOnce(name: String, dir: String): Double = {
       val t0 = System.nanoTime()
       SparkEntry.queries(name)(spark, dir).write.format("noop").mode("overwrite").save()
-      (System.nanoTime() - t0) / 1e9
+      val t = (System.nanoTime() - t0) / 1e9
+      // Block hygiene between measurements: iterative queries leave their
+      // localCheckpoint blocks pinned until the ContextCleaner sees the
+      // RDDs garbage-collected — at 16× those are multi-hundred-MB blocks
+      // that squeeze the MemoryStore for the NEXT query (measured: a
+      // neighboring query's 16× time tripled from spill pressure). One GC
+      // after each measurement releases them; the pause is outside the
+      // timed window.
+      System.gc()
+      Thread.sleep(100)
+      t
     }
     // two interleaved passes over (query × scale), per-cell min
     def pass(): Map[(String, String), Double] =
@@ -152,26 +178,29 @@ object Soak {
       val t1     = best((q, src))
       val tn     = best((q, out))
       val ratio  = tn / t1
+      val bar    = math.pow(n.toDouble, costExponent(q)) * slack
       val before = nodeCensus(SparkEntry.queries(q)(spark, src))
       val after  = nodeCensus(SparkEntry.queries(q)(spark, out))
       val flips  = after.collect { case (node, c) if c > before(node) => node }.toSeq
-      val ok     = ratio <= n * slack && flips.isEmpty
-      (q, t1, tn, ratio, flips, ok)
+      val ok     = ratio <= bar && flips.isEmpty
+      (q, t1, tn, ratio, bar, flips, ok)
     }
 
     val md = new StringBuilder
     md.append(s"# SOAK — $src vs ${n}x (key-offset replicas)\n\n")
-    md.append(s"Pass bar: ratio <= N x $slack = ${n * slack}; no BNLJ/CartesianProduct node count growing at ${n}x\n")
+    md.append(s"Pass bar: ratio <= N^exp x $slack (exp = the query's algorithmic cost exponent,\n")
+    md.append(s"1.0 except where the WORK is super-linear by design — g6's wedge checks ~ m^1.5\n")
+    md.append(s"under the arboricity bound); no BNLJ/CartesianProduct node count growing at ${n}x\n")
     md.append("(a constant count is benign: single-row scalar-aggregate broadcasts plan as 1-row BNLJ by design).\n")
     md.append("Timing = min of two interleaved passes (Bench's contention defense).\n\n")
-    md.append("| query | t(1x) s | t(" + n + "x) s | ratio | plan flips | verdict |\n")
-    md.append("|---|---|---|---|---|---|\n")
-    rows.foreach { case (q, t1, tn, r, flips, ok) =>
+    md.append("| query | t(1x) s | t(" + n + "x) s | ratio | bar | plan flips | verdict |\n")
+    md.append("|---|---|---|---|---|---|---|\n")
+    rows.foreach { case (q, t1, tn, r, bar, flips, ok) =>
       md.append(
-        f"| $q | $t1%.2f | $tn%.2f | $r%.2f | ${if (flips.isEmpty) "none" else flips.mkString(",")} | ${if (ok) "pass" else "FAIL"} |%n"
+        f"| $q | $t1%.2f | $tn%.2f | $r%.2f | $bar%.0f | ${if (flips.isEmpty) "none" else flips.mkString(",")} | ${if (ok) "pass" else "FAIL"} |%n"
       )
     }
-    val failed = rows.filterNot(_._6)
+    val failed = rows.filterNot(_._7)
     md.append(s"\n${rows.size - failed.size}/${rows.size} within the bar.\n")
     print(md)
     java.nio.file.Files.writeString(java.nio.file.Paths.get("SOAK.md"), md.toString)

@@ -412,12 +412,20 @@ object GraphOps {
   ): DataFrame = {
     // materialize the edge list FIRST: callers pass distinct()/union-heavy
     // plans, and both the degree aggregate and the degree-annotated join
-    // below consume it — untruncated, that plan runs twice
+    // below consume it — untruncated, that plan runs twice.
     val ed = Lineage.truncate(edges.select(col("src"), col("dst")))
     val outDeg = Lineage.truncate(
       ed.groupBy(col("src")).agg(count(lit(1)).as("od"))
     )
-    val e = Lineage.truncate(ed.join(outDeg, "src"))
+    // Pre-partition the degree-annotated edge frame by src BEFORE the
+    // truncation: checkpointed frames keep their partitioning, so when the
+    // rank side outgrows broadcast (the cluster-scale regime) each pass's
+    // contrib join finds the invariant edge bulk already hash-distributed
+    // on the join key and redistributes only the rank frame. While the
+    // rank side still broadcasts (measured at ≤16× sf0.1) the edge side
+    // streams shuffle-free either way — the pre-partition is the shape
+    // that stays right past that point.
+    val e = Lineage.truncate(ed.join(outDeg, "src").repartition(col("src")))
     // Each pass consumes the previous rank frame exactly ONCE (the contrib
     // join), so per-pass truncation would only pay a materialization job
     // without preventing any recompute — shuffle-stage boundaries already
@@ -466,12 +474,15 @@ object GraphOps {
       scale: Long = 1000000L,
       epsilon: Long = 0L
   ): DataFrame = {
-    // see pageRankQuantized: truncate the edge plan once, consume it twice
+    // see pageRankQuantized: truncate the edge plan once, consume it twice,
+    // and pre-partition it by src so that past the broadcast regime each
+    // pass redistributes only the rank frame — which for the ε-truncated
+    // variant is the FRONTIER-BOUNDED side
     val ed = Lineage.truncate(edges.select(col("src"), col("dst")))
     val outDeg = Lineage.truncate(
       ed.groupBy(col("src")).agg(count(lit(1)).as("od"))
     )
-    val e  = Lineage.truncate(ed.join(outDeg, "src"))
+    val e  = Lineage.truncate(ed.join(outDeg, "src").repartition(col("src")))
     val tp = Lineage.truncate(seeds.select(col("id"), lit(15L * scale / 100).as("tp")))
     // no per-pass truncation: the rank frame is consumed once per pass;
     // depth-bounding truncate every 5th (see pageRankQuantized)

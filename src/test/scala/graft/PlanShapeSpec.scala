@@ -167,6 +167,14 @@ class PlanShapeSpec extends AnyFunSuite with SparkTestBase {
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("g13b's frontier truncation keeps the same keyed-join shape with the filter applied") {
+    val p = plan("g13b_ppr_truncated")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    // the per-pass integer threshold must survive into the physical plan
+    assert(p.contains(">= 1000"), p)
+  }
+
   test("e9's native session windows are one keyed shuffle, no join") {
     val p = plan("e9_session_window_native")
     assert(!p.contains("Join"), p)
