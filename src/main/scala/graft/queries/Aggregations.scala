@@ -205,10 +205,15 @@ object Aggregations extends QueryModule {
     * a pure function of these six sums, and over integer inputs the sums
     * are exact int64 — so the statistic is bit-reproducible across
     * engines, partitionings, and retries, where a float `corr()` drifts
-    * with aggregation order. Map-side combinable like any sum; at larger
-    * magnitudes the same shape carries over decimal(38) accumulators.
+    * with aggregation order. Map-side combinable like any sum. The sums
+    * accumulate in decimal(38,0) — Spark's 128-bit exact accumulator —
+    * because Σy² grows as n·y²: with y ~ 10⁷ cents it passes int64's
+    * 9.2·10¹⁸ at only ~10⁵ rows per group (the sf1 scale point aborted on
+    * exactly this in round 8), and 38 digits carries the same shape to
+    * 10¹² rows and beyond.
     */
-  private def a17_corr_components(s: SparkSession, d: String): DataFrame =
+  private def a17_corr_components(s: SparkSession, d: String): DataFrame = {
+    val d38 = "decimal(38,0)"
     table(s, d, "lineitem")
       .select(
         col("l_returnflag"),
@@ -218,12 +223,15 @@ object Aggregations extends QueryModule {
       .groupBy(col("l_returnflag"))
       .agg(
         count(lit(1)).as("n"),
-        sum(col("x")).as("sum_x"),
-        sum(col("y")).as("sum_y"),
-        sum(col("x") * col("y")).as("sum_xy"),
-        sum(col("x") * col("x")).as("sum_x2"),
-        sum(col("y") * col("y")).as("sum_y2")
+        sum(col("x").cast(d38)).as("sum_x"),
+        sum(col("y").cast(d38)).as("sum_y"),
+        sum((col("x") * col("y")).cast(d38)).as("sum_xy"),
+        sum((col("x") * col("x")).cast(d38)).as("sum_x2"),
+        // per-row products still fit long comfortably (y² ≤ 10¹⁴); only
+        // the ACCUMULATION needs 128 bits, so cast after the multiply.
+        sum((col("y") * col("y")).cast(d38)).as("sum_y2")
       )
+  }
 
   /** A16 — CUBE over (returnflag, linestatus): all four grouping sets —
     * the cross-dimension superaggregates ROLLUP's hierarchy omits (the
@@ -528,11 +536,11 @@ object Aggregations extends QueryModule {
                    FROM lineitem)
          SELECT l_returnflag,
                 CAST(count(*) AS BIGINT) AS n,
-                CAST(sum(x) AS BIGINT) AS sum_x,
-                CAST(sum(y) AS BIGINT) AS sum_y,
-                CAST(sum(x * y) AS BIGINT) AS sum_xy,
-                CAST(sum(x * x) AS BIGINT) AS sum_x2,
-                CAST(sum(y * y) AS BIGINT) AS sum_y2
+                CAST(sum(x) AS DECIMAL(38,0)) AS sum_x,
+                CAST(sum(y) AS DECIMAL(38,0)) AS sum_y,
+                CAST(sum(x * y) AS DECIMAL(38,0)) AS sum_xy,
+                CAST(sum(x * x) AS DECIMAL(38,0)) AS sum_x2,
+                CAST(sum(y * y) AS DECIMAL(38,0)) AS sum_y2
          FROM t GROUP BY l_returnflag""",
     "a16_cube" ->
       """SELECT l_returnflag, l_linestatus,

@@ -543,7 +543,91 @@ object Curation extends QueryModule {
       )
   }
 
+  // ---------------------------------------------------------------------
+  // c13 — bigram-LM quality score (perplexity proxy)
+  // ---------------------------------------------------------------------
+
+  /** CCNet/KenLM-style LM quality filter, integer-exact: score each
+    * document by how well its word bigrams are explained by a tiny corpus
+    * language model — the top-256 bigrams by corpus frequency. A covered
+    * bigram contributes its frequency's integer log₂ (`length(bin(cnt))`,
+    * bit-identical in both engines — no float log crosses the boundary);
+    * an OOV bigram contributes 0. Low coverage flags the gibberish /
+    * boilerplate / wrong-language docs a float-perplexity gate would
+    * catch, without a float.
+    *
+    * Scale shape: the exploded bigram frame is materialized ONCE
+    * (c9's lineage-truncation pattern) and feeds both the LM build and
+    * the probe; the LM itself is a TakeOrdered top-256 collapsed to a
+    * BROADCAST, so scoring is a map-side join — the only wide shuffles
+    * are the LM count and the per-doc re-aggregation, both on keys that
+    * shrink with grouping. Sub-2-word docs carry no bigram and are out
+    * of an LM score's scope (c6's min-length gate owns them); both
+    * engines drop them identically.
+    */
+  private def c13_lm_quality(s: SparkSession, d: String): DataFrame = {
+    val bi = graft.Lineage.truncate(
+      table(s, d, "documents")
+        .select(
+          col("doc_id"), col("lang"), col("source"),
+          explode(call_function("graft_word_ngrams", col("text"), lit(2))).as("gram")
+        )
+    )
+    val lm = bi
+      .groupBy("gram")
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("gram").asc)
+      .limit(256)
+    bi.join(broadcast(lm), Seq("gram"), "left")
+      .groupBy("doc_id", "lang", "source")
+      .agg(
+        count(lit(1)).as("n_bi"),
+        sum(when(col("cnt").isNotNull, 1L).otherwise(0L)).as("covered"),
+        sum(when(col("cnt").isNotNull, length(bin(col("cnt"))).cast("long")).otherwise(0L))
+          .as("score_q")
+      )
+      .groupBy("lang", "source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum("n_bi").as("n_bigrams"),
+        sum("covered").as("n_covered"),
+        sum("score_q").as("sum_score_q"),
+        sum(when(col("covered") * 100 < col("n_bi") * 60, 1L).otherwise(0L)).as("n_gated")
+      )
+  }
+
+  // ---------------------------------------------------------------------
+  // c14 — deterministic stratified train/val/test split
+  // ---------------------------------------------------------------------
+
+  /** Hash-based 90/5/5 split, stratified implicitly by the uniformity of
+    * the key hash: split(doc) is a pure function of doc_id, so the
+    * assignment is stable under reruns, re-partitioning, and incremental
+    * appends — no global shuffle, no stored assignment table, and a doc
+    * can never migrate between splits when the corpus grows (the property
+    * random-split-by-fraction loses on every rerun). Output is the per
+    * (lang, source, split) census a mixture report reads.
+    *
+    * Scale: one narrow projection + one aggregate; the split column is
+    * scan-local, so downstream shard writers filter `split = 'train'`
+    * with zero extra passes.
+    */
+  private def c14_stratified_split(s: SparkSession, d: String): DataFrame =
+    table(s, d, "documents")
+      .select(
+        col("lang"), col("source"), col("n_chars"),
+        (h6(col("doc_id"), "|split") % 100).as("bucket")
+      )
+      .withColumn(
+        "split",
+        when(col("bucket") < 90, "train").when(col("bucket") < 95, "val").otherwise("test")
+      )
+      .groupBy("lang", "source", "split")
+      .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("sum_chars"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "c13_lm_quality" -> (c13_lm_quality _),
+    "c14_stratified_split" -> (c14_stratified_split _),
     "c1_sequence_pack" -> (c1_sequence_pack _),
     "c2_span_clean" -> (c2_span_clean _),
     "c3_substring_dedup" -> (c3_substring_dedup _),
@@ -561,6 +645,38 @@ object Curation extends QueryModule {
   private def inList(xs: Seq[String]): String = xs.map(x => s"'$x'").mkString(", ")
 
   val oracles: Map[String, String] = Map(
+    "c13_lm_quality" ->
+      """WITH a AS (SELECT doc_id, lang, source, string_split(text, ' ') AS a FROM documents),
+         bg AS (SELECT doc_id, lang, source,
+                       unnest(list_transform(range(1, len(a)), i -> a[i] || ' ' || a[i + 1])) AS gram
+                FROM a),
+         lm AS (SELECT gram, count(*) AS cnt FROM bg GROUP BY 1
+                ORDER BY cnt DESC, gram ASC LIMIT 256),
+         sc AS (SELECT b.doc_id, b.lang, b.source,
+                       count(*) AS n_bi,
+                       sum(CASE WHEN lm.cnt IS NOT NULL THEN 1 ELSE 0 END) AS covered,
+                       sum(CASE WHEN lm.cnt IS NOT NULL THEN length(bin(lm.cnt)) ELSE 0 END) AS score_q
+                FROM bg b LEFT JOIN lm ON b.gram = lm.gram
+                GROUP BY 1, 2, 3)
+         SELECT lang, source,
+                CAST(count(*) AS BIGINT) AS n_docs,
+                CAST(sum(n_bi) AS BIGINT) AS n_bigrams,
+                CAST(sum(covered) AS BIGINT) AS n_covered,
+                CAST(sum(score_q) AS BIGINT) AS sum_score_q,
+                CAST(sum(CASE WHEN covered * 100 < n_bi * 60 THEN 1 ELSE 0 END) AS BIGINT) AS n_gated
+         FROM sc GROUP BY 1, 2""",
+    "c14_stratified_split" ->
+      """WITH h AS (
+           SELECT lang, source, n_chars,
+                  ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|split'), 1, 6))::BIGINT % 100 AS bucket
+           FROM documents)
+         SELECT lang, source,
+                CASE WHEN bucket < 90 THEN 'train'
+                     WHEN bucket < 95 THEN 'val'
+                     ELSE 'test' END AS split,
+                CAST(count(*) AS BIGINT) AS n_docs,
+                CAST(sum(n_chars) AS BIGINT) AS sum_chars
+         FROM h GROUP BY 1, 2, 3""",
     "c1_sequence_pack" ->
       """WITH t AS (SELECT doc_id, lang,
                 CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens

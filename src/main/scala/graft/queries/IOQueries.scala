@@ -309,6 +309,36 @@ object IOQueries extends QueryModule {
       .agg(count(lit(1)).as("n_rows"), sum("h").as("digest"))
   }
 
+  /** S26 — zone-map manifest: per-partition (order year) min/max/count/NDV
+    * stats — the footer statistics a 100 TB lakehouse layout keeps per file
+    * so scans can SKIP whole partitions on a key or price predicate without
+    * opening them (the engine-side half of the partition-pruning story m5
+    * exercises from the read side).
+    *
+    * One narrow scan; min/max/count are map-side combinable so the only
+    * full-width shuffle is the exact `countDistinct` — which at real scale
+    * is the one column you'd swap for the HLL register sketch (x10/x13's
+    * machinery) to make the whole manifest a single streaming pass. Price
+    * is integer-quantized cents (the standing cross-engine float rule).
+    */
+  private def s26_zonemap_manifest(s: SparkSession, d: String): DataFrame =
+    table(s, d, "orders")
+      .select(
+        year(col("o_orderdate")).cast("long").as("part_year"),
+        col("o_orderkey"),
+        col("o_custkey"),
+        expr("CAST(round(o_totalprice * 100, 0) AS LONG)").as("price_c")
+      )
+      .groupBy("part_year")
+      .agg(
+        count(lit(1)).as("n_rows"),
+        min("o_orderkey").as("min_key"),
+        max("o_orderkey").as("max_key"),
+        min("price_c").as("min_price_c"),
+        max("price_c").as("max_price_c"),
+        countDistinct(col("o_custkey")).as("ndv_cust")
+      )
+
   /** S14+S15 — graph sink/source roundtrip: node+edge tables written as the
     * graph store, read back, summarized by type (the reference's node-count
     * reconciliation, ingest_graph_db.py:336-363).
@@ -344,11 +374,21 @@ object IOQueries extends QueryModule {
     "s13_track_flatten" -> (s13_track_flatten _),
     "s14_graph_roundtrip" -> (s14_graph_roundtrip _),
     "s25_table_digest" -> (s25_table_digest _),
+    "s26_zonemap_manifest" -> (s26_zonemap_manifest _),
     "b1_bucketed_join" -> (b1_bucketed_join _),
     "u2_partition_union" -> (u2_partition_union _)
   )
 
   val oracles: Map[String, String] = Map(
+    "s26_zonemap_manifest" ->
+      """SELECT CAST(year(o_orderdate) AS BIGINT) AS part_year,
+                CAST(count(*) AS BIGINT) AS n_rows,
+                CAST(min(o_orderkey) AS BIGINT) AS min_key,
+                CAST(max(o_orderkey) AS BIGINT) AS max_key,
+                CAST(min(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) AS min_price_c,
+                CAST(max(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) AS max_price_c,
+                CAST(count(DISTINCT o_custkey) AS BIGINT) AS ndv_cust
+         FROM orders GROUP BY 1""",
     "s25_table_digest" ->
       """WITH h AS (SELECT ('0x' || substr(md5(
               coalesce(CAST(doc_id AS VARCHAR), chr(0)) || '|' ||

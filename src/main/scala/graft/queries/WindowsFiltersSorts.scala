@@ -211,7 +211,10 @@ object WindowsFiltersSorts extends QueryModule {
       .select(
         col("c_custkey"),
         col("c_nationkey"),
-        expr("((rk - 1) * 1000000) div (n - 1)").as("pr_q")
+        // rk is row_number's Int; the multiply must widen FIRST — in Int it
+        // overflows once a nation holds >2148 customers (caught by the sf1
+        // scale point, round 8).
+        expr("((CAST(rk AS BIGINT) - 1) * 1000000) div (n - 1)").as("pr_q")
       )
   }
 
