@@ -597,37 +597,49 @@ object Curation extends QueryModule {
   }
 
   // ---------------------------------------------------------------------
-  // c14 — deterministic stratified train/val/test split
+  // c14 — temporal embargo split (leakage-safe train/test cut)
   // ---------------------------------------------------------------------
 
-  /** Hash-based 90/5/5 split, stratified implicitly by the uniformity of
-    * the key hash: split(doc) is a pure function of doc_id, so the
-    * assignment is stable under reruns, re-partitioning, and incremental
-    * appends — no global shuffle, no stored assignment table, and a doc
-    * can never migrate between splits when the corpus grows (the property
-    * random-split-by-fraction loses on every rerun). Output is the per
-    * (lang, source, split) census a mixture report reads.
+  /** Time-based train/embargo/test split: train is everything before 70%
+    * of the observed time span, test everything after 80%, and the 10%
+    * between is EMBARGOED — dropped from both sides so that no
+    * train-adjacent information leaks across the boundary (the
+    * forecasting/decontamination discipline; x5's hash split is the
+    * i.i.d. counterpart, this is the autocorrelated-data one). The
+    * embargo rows stay visible in the census — dropped with accounting,
+    * never silently (m4).
     *
-    * Scale: one narrow projection + one aggregate; the split column is
-    * scan-local, so downstream shard writers filter `split = 'train'`
-    * with zero extra passes.
+    * All boundary arithmetic is integer epoch-microseconds — no float
+    * and no timezone-dependent date math crosses the engine boundary.
+    *
+    * Scale: the span is a single-row min/max aggregate broadcast to a
+    * scan-local labeling pass (c8/c11's sufficient-statistics shape);
+    * per-row cost is two long compares, and the split column exists
+    * before any shuffle so shard writers filter it at the scan.
     */
-  private def c14_stratified_split(s: SparkSession, d: String): DataFrame =
-    table(s, d, "documents")
-      .select(
-        col("lang"), col("source"), col("n_chars"),
-        (h6(col("doc_id"), "|split") % 100).as("bucket")
-      )
+  private def c14_embargo_split(s: SparkSession, d: String): DataFrame = {
+    val ev = table(s, d, "events")
+      // ts is TIMESTAMP(NANOS) parquet, read as raw nanos — micros via
+      // `div 1000`, matching the oracle's epoch_us (Events.scala's idiom)
+      .select(col("event_type"), col("user_id"), expr("ts div 1000").as("us"))
+    val span = ev.agg(min("us").as("t0"), max("us").as("t1"))
+    ev.crossJoin(broadcast(span))
       .withColumn(
         "split",
-        when(col("bucket") < 90, "train").when(col("bucket") < 95, "val").otherwise("test")
+        when(col("us") < expr("t0 + ((t1 - t0) * 70) div 100"), "train")
+          .when(col("us") < expr("t0 + ((t1 - t0) * 80) div 100"), "embargo")
+          .otherwise("test")
       )
-      .groupBy("lang", "source", "split")
-      .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("sum_chars"))
+      .groupBy("event_type", "split")
+      .agg(
+        count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users")
+      )
+  }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "c13_lm_quality" -> (c13_lm_quality _),
-    "c14_stratified_split" -> (c14_stratified_split _),
+    "c14_embargo_split" -> (c14_embargo_split _),
     "c1_sequence_pack" -> (c1_sequence_pack _),
     "c2_span_clean" -> (c2_span_clean _),
     "c3_substring_dedup" -> (c3_substring_dedup _),
@@ -665,18 +677,17 @@ object Curation extends QueryModule {
                 CAST(sum(score_q) AS BIGINT) AS sum_score_q,
                 CAST(sum(CASE WHEN covered * 100 < n_bi * 60 THEN 1 ELSE 0 END) AS BIGINT) AS n_gated
          FROM sc GROUP BY 1, 2""",
-    "c14_stratified_split" ->
-      """WITH h AS (
-           SELECT lang, source, n_chars,
-                  ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|split'), 1, 6))::BIGINT % 100 AS bucket
-           FROM documents)
-         SELECT lang, source,
-                CASE WHEN bucket < 90 THEN 'train'
-                     WHEN bucket < 95 THEN 'val'
-                     ELSE 'test' END AS split,
-                CAST(count(*) AS BIGINT) AS n_docs,
-                CAST(sum(n_chars) AS BIGINT) AS sum_chars
-         FROM h GROUP BY 1, 2, 3""",
+    "c14_embargo_split" ->
+      """WITH b AS (SELECT min(epoch_us(ts)) AS t0, max(epoch_us(ts)) AS t1 FROM events),
+         l AS (SELECT event_type, user_id,
+                      CASE WHEN epoch_us(ts) < t0 + ((t1 - t0) * 70) // 100 THEN 'train'
+                           WHEN epoch_us(ts) < t0 + ((t1 - t0) * 80) // 100 THEN 'embargo'
+                           ELSE 'test' END AS split
+               FROM events, b)
+         SELECT event_type, split,
+                CAST(count(*) AS BIGINT) AS n_events,
+                CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+         FROM l GROUP BY 1, 2""",
     "c1_sequence_pack" ->
       """WITH t AS (SELECT doc_id, lang,
                 CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
