@@ -637,7 +637,65 @@ object Curation extends QueryModule {
       )
   }
 
+  // ---------------------------------------------------------------------
+  // c15 — content-defined chunking (rolling-hash boundaries)
+  // ---------------------------------------------------------------------
+
+  /** LBFS/rsync-style content-defined chunking: a chunk boundary falls
+    * after word i exactly when the hash of the 5-gram ENDING at i is
+    * ≡ 0 mod 16 (expected chunk ≈ 16 words) — the boundary is a function
+    * of local CONTENT, not position. That is the property c3's fixed
+    * sliding windows lack: inserting one word into a document reshuffles
+    * every downstream fixed window, but moves only the one CDC chunk
+    * containing the edit — so chunk-level dedup stays stable under edits,
+    * at ~1/16 of c3's candidate volume. The census counts chunks shared
+    * across documents per source (the dedup opportunity CDC exists to
+    * expose).
+    *
+    * Scale shape: boundary detection, chunk cutting, and chunk hashing
+    * are ALL row-local array lambdas (c2's higher-order-function
+    * discipline) — zero shuffle until 8-byte chunk hashes explode into
+    * the two-level census, and the gram/chunk text never leaves the map
+    * side (c3's hashed-key rule).
+    */
+  private def c15_cdc_chunks(s: SparkSession, d: String): DataFrame = {
+    val w = words(col("text"))
+    val n = size(w)
+    // boundary after word i (1-based, i ≥ 5) when h6(gram(i-4..i)) % 16 == 0
+    val bounds = when(
+      n >= 5,
+      filter(
+        sequence(lit(5), n),
+        i => h6(array_join(slice(w, i - 4, lit(5)), " "), "|cdc") % 16 === 0
+      )
+    ).otherwise(array().cast("array<int>"))
+    val starts = concat(array(lit(1)), transform(col("bounds"), b => b + 1))
+    val ends   = concat(col("bounds"), array(col("n")))
+    // a boundary on the last word makes an empty tail span — drop it
+    val chunkHashes = filter(
+      zip_with(
+        starts, ends,
+        (st, en) =>
+          when(en >= st, h6(array_join(slice(words(col("text")), st, en - st + 1), " "), "|cdcch"))
+      ),
+      x => x.isNotNull
+    )
+    table(s, d, "documents")
+      .select(col("doc_id"), col("source"), col("text"), bounds.as("bounds"), n.as("n"))
+      .select(col("doc_id"), col("source"), explode(chunkHashes).as("ch"))
+      .groupBy(col("source"), col("ch"))
+      .agg(count(lit(1)).as("occ"), countDistinct(col("doc_id")).as("n_docs_with"))
+      .groupBy("source")
+      .agg(
+        sum("occ").as("n_chunk_instances"),
+        count(lit(1)).as("distinct_chunks"),
+        sum(when(col("n_docs_with") >= 2, 1L).otherwise(0L)).as("shared_chunks"),
+        sum(when(col("n_docs_with") >= 2, col("occ")).otherwise(0L)).as("shared_instances")
+      )
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "c15_cdc_chunks" -> (c15_cdc_chunks _),
     "c13_lm_quality" -> (c13_lm_quality _),
     "c14_embargo_split" -> (c14_embargo_split _),
     "c1_sequence_pack" -> (c1_sequence_pack _),
@@ -657,6 +715,36 @@ object Curation extends QueryModule {
   private def inList(xs: Seq[String]): String = xs.map(x => s"'$x'").mkString(", ")
 
   val oracles: Map[String, String] = Map(
+    "c15_cdc_chunks" ->
+      """WITH a AS (SELECT doc_id, source, string_split(text, ' ') AS a,
+                           len(string_split(text, ' ')) AS n
+                    FROM documents),
+         b AS (SELECT doc_id, source, a, n,
+                      CASE WHEN n >= 5
+                           THEN list_filter(range(5, n + 1),
+                                  i -> ('0x' || substr(md5(array_to_string(a[i-4:i], ' ') || '|cdc'), 1, 6))::BIGINT % 16 = 0)
+                           ELSE CAST([] AS BIGINT[]) END AS bounds
+               FROM a),
+         c AS (SELECT doc_id, source, a,
+                      list_prepend(1, list_transform(bounds, x -> x + 1)) AS starts,
+                      list_append(bounds, n) AS ends
+               FROM b),
+         ch AS (SELECT doc_id, source,
+                       unnest(list_filter(
+                         list_transform(range(1, len(starts) + 1),
+                           j -> CASE WHEN ends[j] >= starts[j]
+                                     THEN ('0x' || substr(md5(array_to_string(a[starts[j]:ends[j]], ' ') || '|cdcch'), 1, 6))::BIGINT
+                                END),
+                         x -> x IS NOT NULL)) AS ch
+                FROM c),
+         g AS (SELECT source, ch, count(*) AS occ, count(DISTINCT doc_id) AS n_docs_with
+               FROM ch GROUP BY 1, 2)
+         SELECT source,
+                CAST(sum(occ) AS BIGINT) AS n_chunk_instances,
+                CAST(count(*) AS BIGINT) AS distinct_chunks,
+                CAST(sum(CASE WHEN n_docs_with >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS shared_chunks,
+                CAST(sum(CASE WHEN n_docs_with >= 2 THEN occ ELSE 0 END) AS BIGINT) AS shared_instances
+         FROM g GROUP BY source""",
     "c13_lm_quality" ->
       """WITH a AS (SELECT doc_id, lang, source, string_split(text, ' ') AS a FROM documents),
          bg AS (SELECT doc_id, lang, source,
