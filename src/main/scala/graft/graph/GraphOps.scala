@@ -676,14 +676,28 @@ object GraphOps {
     hops
   }
 
-  /** Connected components by min-label propagation: every vertex starts
-    * labelled with its own id; each pass every vertex takes the min label in
-    * its closed neighborhood; converged when no label changes. Returns
-    * `(id, component)` with component = min vertex id of the component.
+  /** Connected components by min-label propagation with pointer jumping:
+    * every vertex starts labelled with its own id; each pass every vertex
+    * takes the min label in its closed neighborhood, then resolves that
+    * label through the label OF its label (`comp := comp(comp)` — path
+    * doubling). Returns `(id, component)` with component = min vertex id.
+    *
+    * Propagation alone needs diameter-many passes (a chain of length d
+    * drags the min one hop per pass); the jump halves every label chain
+    * each pass, so convergence is O(log d) passes — the hash-to-min bound.
+    * The jump is safe: `comp(x) <= x` and both live in x's component, so
+    * labels stay monotone non-increasing within the component, and a pass
+    * with zero changes is a propagation fixed point, which for min-labels
+    * is globally correct. The jump's self-join is |V|-sized — cheap next
+    * to the |E|-sized message join it saves passes of. At the 100 TB scale
+    * pass count IS the cost (each pass is a full shuffle barrier + job
+    * launch; the sf1 soak measured the CC family's growth as per-pass
+    * overhead at a deeper effective diameter), so log d beats d directly.
     *
     * The reference collects its (small) graph to the driver for igraph/Leiden
     * (neo4j_helpers.py:196-268); this is the distributed form that holds at
-    * 100 TB — per-pass cost is one shuffle join + one aggregate.
+    * 100 TB — per-pass cost is one shuffle join + one aggregate + one
+    * vertex-sized self-join.
     */
   def connectedComponents(vertexIds: DataFrame, edges: DataFrame, maxIter: Int = 30): DataFrame = {
     val sym = Lineage.truncate(
@@ -704,12 +718,19 @@ object GraphOps {
       // fused convergence: each vertex's previous label rides along as `old`
       // (exactly one non-null per id — min ignores nulls), so the changed
       // count is a scan of the materialized pass output, not a second join
+      val prop = labels
+        .select(col("id"), col("comp"), col("comp").as("old"))
+        .unionByName(msgs.withColumn("old", lit(null).cast(msgs.schema("comp").dataType)))
+        .groupBy("id")
+        .agg(min("comp").as("comp"), min("old").as("old"))
+      // pointer jump: comp := comp(comp). Every comp value is a vertex id
+      // present in `prop` (labels covers all ids; min only ever picks ids),
+      // so the inner equi-join is total.
+      val parents = prop.select(col("comp").as("pcomp"), col("id").as("comp"))
       val next = Lineage.truncate(
-        labels
-          .select(col("id"), col("comp"), col("comp").as("old"))
-          .unionByName(msgs.withColumn("old", lit(null).cast(msgs.schema("comp").dataType)))
-          .groupBy("id")
-          .agg(min("comp").as("comp"), min("old").as("old"))
+        prop
+          .join(parents, Seq("comp"))
+          .select(col("id"), col("pcomp").as("comp"), col("old"))
       )
       val changed = next.filter(col("comp") =!= col("old")).count()
       labels = next.drop("old")
