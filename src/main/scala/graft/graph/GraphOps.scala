@@ -676,6 +676,29 @@ object GraphOps {
     hops
   }
 
+  /** Per-seed BFS hop counts — [[bfsHops]] with seed identity: `seeds` is
+    * `(seed, id, hop)` and the frontier key is the (seed, id) PAIR, so after
+    * `passes` rounds every (seed, vertex) pair within that distance carries
+    * the exact hop count from THAT seed (bfsHops collapses the seed set to
+    * one min — this keeps the per-landmark distances centrality estimators
+    * need). State is |seeds| × |reach| rows: the Eppstein–Wang landmark
+    * trade — centralities are estimated from a bounded seed sample exactly
+    * so the state stays |S|-bounded and never becomes all-pairs. Per pass
+    * one equi-join on src + one (seed, id) min aggregate, lineage truncated.
+    */
+  def seededHops(seeds: DataFrame, edges: DataFrame, passes: Int): DataFrame = {
+    var hops = Lineage.truncate(seeds.select(col("seed"), col("id"), col("hop")))
+    (1 to passes).foreach { _ =>
+      val relaxed = edges
+        .join(hops, edges("src") === hops("id"))
+        .select(col("seed"), edges("dst").as("id"), (col("hop") + 1).as("hop"))
+      hops = Lineage.truncate(
+        hops.unionByName(relaxed).groupBy("seed", "id").agg(min("hop").as("hop"))
+      )
+    }
+    hops
+  }
+
   /** Connected components by min-label propagation with pointer jumping:
     * every vertex starts labelled with its own id; each pass every vertex
     * takes the min label in its closed neighborhood, then resolves that

@@ -694,7 +694,63 @@ object Curation extends QueryModule {
       )
   }
 
+  // ---------------------------------------------------------------------
+  // c16 — corpus-level line dedup (CCNet-style)
+  // ---------------------------------------------------------------------
+
+  /** Cross-document line deduplication, the CCNet/C4 boilerplate filter:
+    * cut each document into its non-overlapping 10-word spans (the
+    * pseudo-lines of this newline-free harness corpus — c2's span
+    * structure), count how many DISTINCT documents each span occurs in
+    * corpus-wide, and drop every span shared by ≥ 2 documents. Out: per
+    * document, span count, dropped count, and the cleaned text reassembled
+    * from the surviving spans in order. Complements c7 (intra-document
+    * repetition) and c12 (anchored prefix census): this filter strips
+    * boilerplate wherever it sits in the document, not just at the head.
+    *
+    * Scale shape: span text is hashed to a 56-bit md5 prefix on the map
+    * side, and BOTH the corpus-frequency aggregate and the probe join key
+    * on that 8-byte hash (c3's rule — the span string itself never enters
+    * a shuffle for counting; it rides the doc-keyed path only for the
+    * rebuild). The join reuses the aggregate's hash partitioning on `sk`,
+    * so the plan is two narrow shuffles plus the final per-doc regroup.
+    * The clean-text rebuild sorts only each document's own spans — bounded
+    * by document length, never a global order.
+    */
+  private def c16_line_dedup(s: SparkSession, d: String): DataFrame = {
+    val w      = words(col("text"))
+    val nSpans = ceil(size(w) / lit(10.0)).cast("int")
+    val spanTexts = transform(
+      sequence(lit(0), nSpans - 1),
+      i => array_join(slice(w, i * 10 + 1, lit(10)), " ")
+    )
+    val spans = table(s, d, "documents")
+      .select(col("doc_id"), posexplode(spanTexts).as(Seq("idx", "txt")))
+      .select(
+        col("doc_id"),
+        col("idx"),
+        col("txt"),
+        conv(substring(md5(col("txt")), 1, 14), 16, 10).cast("long").as("sk")
+      )
+    val freq = spans.groupBy("sk").agg(countDistinct("doc_id").as("n_docs"))
+    spans
+      .join(freq, "sk")
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).cast("long").as("n_spans"),
+        sum(when(col("n_docs") >= 2, 1L).otherwise(0L)).as("dropped_spans"),
+        array_join(
+          transform(
+            array_sort(collect_list(when(col("n_docs") < 2, struct(col("idx"), col("txt"))))),
+            x => x.getField("txt")
+          ),
+          " "
+        ).as("clean_text")
+      )
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "c16_line_dedup" -> (c16_line_dedup _),
     "c15_cdc_chunks" -> (c15_cdc_chunks _),
     "c13_lm_quality" -> (c13_lm_quality _),
     "c14_embargo_split" -> (c14_embargo_split _),
@@ -715,6 +771,20 @@ object Curation extends QueryModule {
   private def inList(xs: Seq[String]): String = xs.map(x => s"'$x'").mkString(", ")
 
   val oracles: Map[String, String] = Map(
+    "c16_line_dedup" ->
+      """WITH a AS (SELECT doc_id, string_split(text, ' ') AS a FROM documents),
+         s AS (SELECT doc_id,
+                      list_transform(range(0, CAST(ceil(len(a) / 10.0) AS INT)),
+                        i -> array_to_string(list_slice(a, i * 10 + 1, i * 10 + 10), ' ')) AS sp
+               FROM a),
+         e AS (SELECT doc_id, generate_subscripts(sp, 1) - 1 AS idx, unnest(sp) AS txt FROM s),
+         r AS (SELECT doc_id, idx, txt, ('0x' || substr(md5(txt), 1, 14))::BIGINT AS sk FROM e),
+         f AS (SELECT sk, count(DISTINCT doc_id) AS n_docs FROM r GROUP BY 1)
+         SELECT doc_id,
+                CAST(count(*) AS BIGINT) AS n_spans,
+                CAST(sum(CASE WHEN n_docs >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS dropped_spans,
+                coalesce(string_agg(CASE WHEN n_docs < 2 THEN txt END, ' ' ORDER BY idx), '') AS clean_text
+         FROM r JOIN f USING (sk) GROUP BY 1""",
     "c15_cdc_chunks" ->
       """WITH a AS (SELECT doc_id, source, string_split(text, ' ') AS a,
                            len(string_split(text, ' ')) AS n

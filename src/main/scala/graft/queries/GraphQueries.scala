@@ -714,9 +714,51 @@ object GraphQueries extends QueryModule {
     "g10_kcore" -> (g10_kcore _),
     "g11_neighbor_jaccard" -> (g11_neighbor_jaccard _),
     "g12_bfs_hops" -> (g12_bfs_hops _),
+    "g15_harmonic_centrality" -> (g15_harmonic_centrality _),
     "g13_personalized_pagerank" -> (g13_personalized_pagerank _),
     "g13b_ppr_truncated" -> (g13b_ppr_truncated _)
   )
+
+  /** G15 — sampled harmonic centrality (the Eppstein–Wang landmark
+    * estimator): exact per-seed BFS distances from the 5 region-anchor
+    * seeds over the bridged nation graph (g8c's connected harness graph),
+    * then harmonic_q(v) = Σ_s 1'000'000 DIV d(v, s) over seeds with
+    * 0 < d ≤ 8 — integer-quantized, hop-bounded. The hop bound is the
+    * standard distance-cutoff variant: at 100 TB the pass count is the
+    * cost (each pass a shuffle barrier), so centrality-by-landmarks runs a
+    * FIXED number of passes over a SAMPLED seed set, and the state frame
+    * stays |seeds| × |reach| — never the all-pairs matrix an exact
+    * closeness computation would need. Seeds and bridges are region-
+    * bounded (≤ 5 rows hit the unpartitioned bridge window — p8's bounded-
+    * serial argument, same as g8c).
+    */
+  private def g15_harmonic_centrality(s: SparkSession, d: String): DataFrame = {
+    val n = table(s, d, "nation")
+    val w = Window.partitionBy(col("n_regionkey")).orderBy(col("n_nationkey"))
+    val chain = n
+      .select(col("n_nationkey").as("src"), lead(col("n_nationkey"), 1).over(w).as("dst"))
+      .filter(col("dst").isNotNull)
+    val rw = Window.orderBy(col("n_regionkey"))
+    val bridges = n
+      .groupBy(col("n_regionkey"))
+      .agg(min(col("n_nationkey")).as("mn"), max(col("n_nationkey")).as("mx"))
+      .select(col("mx").as("src"), lead(col("mn"), 1).over(rw).as("dst"))
+      .filter(col("dst").isNotNull)
+    val und = chain.unionByName(bridges)
+    val sym = und.unionByName(und.select(col("dst").as("src"), col("src").as("dst")))
+    val seeds = n
+      .groupBy(col("n_regionkey"))
+      .agg(min(col("n_nationkey")).as("seed"))
+      .select(col("seed"), col("seed").as("id"), lit(0L).as("hop"))
+    GraphOps
+      .seededHops(seeds, sym, 8)
+      .groupBy("id")
+      .agg(
+        sum(when(col("hop") > 0, 1L).otherwise(0L)).as("n_seeds_reached"),
+        sum(when(col("hop") > 0, expr("1000000 DIV hop")).otherwise(0L)).as("harmonic_q")
+      )
+      .select(col("id").cast("long").as("id"), col("n_seeds_reached"), col("harmonic_q"))
+  }
 
   private val validEdgesSql =
     """WITH e AS (
@@ -975,6 +1017,35 @@ object GraphQueries extends QueryModule {
            WHERE r.hop < 6)
          SELECT CAST(id AS BIGINT) AS id, CAST(min(hop) AS BIGINT) AS hops
          FROM reach GROUP BY id""",
+    "g15_harmonic_centrality" ->
+      """WITH RECURSIVE chain AS (
+           SELECT n_nationkey AS src,
+                  lead(n_nationkey) OVER (PARTITION BY n_regionkey
+                                          ORDER BY n_nationkey) AS dst
+           FROM nation),
+         br AS (
+           SELECT mx AS src, lead(mn) OVER (ORDER BY rk) AS dst FROM (
+             SELECT n_regionkey AS rk, min(n_nationkey) AS mn,
+                    max(n_nationkey) AS mx
+             FROM nation GROUP BY 1)),
+         und AS MATERIALIZED (
+           SELECT src, dst FROM chain WHERE dst IS NOT NULL
+           UNION ALL
+           SELECT src, dst FROM br WHERE dst IS NOT NULL),
+         sym AS MATERIALIZED (
+           SELECT src, dst FROM und UNION ALL SELECT dst AS src, src AS dst FROM und),
+         seeds AS (SELECT min(n_nationkey) AS sid FROM nation GROUP BY n_regionkey),
+         reach(seed, id, hop) AS (
+           SELECT sid, sid, 0 FROM seeds
+           UNION
+           SELECT r.seed, e.dst, r.hop + 1
+           FROM reach r JOIN sym e ON e.src = r.id
+           WHERE r.hop < 8),
+         dist AS (SELECT seed, id, min(hop) AS hop FROM reach GROUP BY 1, 2)
+         SELECT CAST(id AS BIGINT) AS id,
+                CAST(sum(CASE WHEN hop > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_seeds_reached,
+                CAST(sum(CASE WHEN hop > 0 THEN 1000000 // hop ELSE 0 END) AS BIGINT) AS harmonic_q
+         FROM dist GROUP BY 1""",
     "g2b_label_propagation" ->
       s"""WITH $chainLpaSql
           SELECT CAST(id AS BIGINT) AS id, CAST(lbl AS BIGINT) AS label FROM l3""",

@@ -57,6 +57,31 @@ class CurationSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("c16: a span shared across documents is dropped wherever it sits; order preserved") {
+    import spark.implicits._
+    val shared = (1 to 10).map(i => s"s$i").mkString(" ")
+    val u1     = (1 to 10).map(i => s"a$i").mkString(" ")
+    val u2     = (1 to 10).map(i => s"b$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"$shared $u1"), // shared span at the head
+      (2L, s"$u2 $shared"), // shared span at the tail
+      (3L, (1 to 10).map(i => s"c$i").mkString(" "))
+    ).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("c16spec").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = SparkEntry
+      .queries("c16_line_dedup")(spark, dir)
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") -> r)
+      .toMap
+    assert(out(1L).getAs[Long]("n_spans") == 2)
+    assert(out(1L).getAs[Long]("dropped_spans") == 1)
+    assert(out(1L).getAs[String]("clean_text") == u1)
+    assert(out(2L).getAs[Long]("dropped_spans") == 1)
+    assert(out(2L).getAs[String]("clean_text") == u2)
+    assert(out(3L).getAs[Long]("dropped_spans") == 0)
+  }
+
   test("c3: a planted cross-document 5-gram is counted in both documents") {
     import spark.implicits._
     val shared = "alpha beta gamma delta epsilon"

@@ -330,6 +330,41 @@ class GraphOpsSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("seededHops keeps per-seed distances separate and exact") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val rnd = new scala.util.Random(42)
+    val n   = 10
+    val und = (for {
+      a <- 0 until n; b <- (a + 1) until n if rnd.nextDouble() < 0.3
+    } yield (a.toLong, b.toLong)).toVector
+    val adj =
+      (und ++ und.map(_.swap)).groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    def bfs(s: Long): Map[Long, Long] = {
+      var dist     = Map(s -> 0L)
+      var frontier = Set(s)
+      var lvl      = 0L
+      while (frontier.nonEmpty) {
+        lvl += 1
+        val next = frontier.flatMap(v => adj.getOrElse(v, Set.empty[Long])) -- dist.keySet
+        dist ++= next.map(_ -> lvl)
+        frontier = next
+      }
+      dist
+    }
+    val seedsV = Seq(0L, 3L, 7L)
+    val want   = (for { s <- seedsV; (v, h) <- bfs(s) } yield (s, v, h)).toSet
+    val edges  = und.toDF("src", "dst")
+    val sym    = edges.unionByName(edges.select(col("dst").as("src"), col("src").as("dst")))
+    val seeds  = seedsV.map(s => (s, s, 0L)).toDF("seed", "id", "hop")
+    val got = GraphOps
+      .seededHops(seeds, sym, n)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toSet
+    assert(got == want)
+  }
+
   test("bfsHops matches brute-force distances on seeded random graphs") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
