@@ -260,7 +260,49 @@ object Events extends QueryModule {
         col("n_events")
       )
 
+  /** E11 — out-of-orderness census, the watermark-sizing measurement: per
+    * keyed stream (user_id — the key a stateful operator partitions its
+    * watermark state by), each event's lateness = running max of event
+    * time along the ingest order (event_id, the arrival sequence) minus
+    * the event's own time, then a power-of-two lateness histogram per
+    * event type. The histogram answers the operational question the
+    * streaming surface's `withWatermark` delay hardcodes: what delay keeps
+    * which fraction of events inside the state window
+    * (dedupWithinWatermark / Sessionizer's eviction knob).
+    *
+    * Per-key because keyed stateful operators evict per key; a global-
+    * arrival variant would need o7's two-level bounded-prefix pattern
+    * (a global running max is a single-partition window — banned).
+    *
+    * Scale: one shuffle (the per-user window), then a tiny
+    * (type × bucket) aggregate. The power-of-two bucketing is c10's
+    * integer idiom — no float quantiles, and histograms merge across
+    * shards by addition.
+    */
+  private def e11_disorder_census(s: SparkSession, d: String): DataFrame = {
+    val w = Window
+      .partitionBy("user_id")
+      .orderBy("event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    table(s, d, "events")
+      .select(col("user_id"), col("event_id"), col("event_type"), us.as("us"))
+      .withColumn("late_us", max("us").over(w) - col("us"))
+      .select(
+        col("event_type"),
+        when(col("late_us") === 0, 0L)
+          .when(col("late_us") === 1, 1L)
+          .otherwise(
+            expr("shiftleft(CAST(1 AS BIGINT), CAST(length(bin(late_us - 1)) AS INT))")
+          )
+          .as("late_bucket_us"),
+        col("late_us")
+      )
+      .groupBy("event_type", "late_bucket_us")
+      .agg(count(lit(1)).as("n_events"), max("late_us").as("max_late_us"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "e11_disorder_census" -> (e11_disorder_census _),
     "e9_session_window_native" -> (e9_session_window_native _),
     "e8_sliding_window" -> (e8_sliding_window _),
     "e7_gap_fill" -> (e7_gap_fill _),
@@ -274,6 +316,22 @@ object Events extends QueryModule {
   )
 
   val oracles: Map[String, String] = Map(
+    "e11_disorder_census" ->
+      """WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS us FROM events),
+         l AS (SELECT event_type,
+                      max(us) OVER (PARTITION BY user_id ORDER BY event_id
+                                    ROWS UNBOUNDED PRECEDING) - us AS late_us
+               FROM e),
+         b AS (SELECT event_type, late_us,
+                      CASE WHEN late_us = 0 THEN 0
+                           WHEN late_us = 1 THEN 1
+                           ELSE (CAST(1 AS BIGINT) << CAST(length(bin(late_us - 1)) AS INT))
+                      END AS late_bucket_us
+               FROM l)
+         SELECT event_type, CAST(late_bucket_us AS BIGINT) AS late_bucket_us,
+                CAST(count(*) AS BIGINT) AS n_events,
+                CAST(max(late_us) AS BIGINT) AS max_late_us
+         FROM b GROUP BY 1, 2""",
     "e10_interpolate" ->
       """WITH hourly AS (SELECT event_type, epoch_ns(ts) // 3600000000000 AS hr,
                 sum(CAST(round(value * 100, 0) AS BIGINT)) // count(*) AS v

@@ -427,7 +427,58 @@ object TextAnalysis extends QueryModule {
       .select(col("cm_row"), col("cm_col"), coalesce(col("cnt"), lit(0L)).as("cnt"))
   }
 
+  /** X15 — per-source distribution drift: an integer-quantized KL-style
+    * divergence between each source's unigram distribution and the whole
+    * corpus, over 64 hashed word buckets (c9's DSIR bucket discipline).
+    * The log-likelihood ratio log2((scnt/stot) / (ccnt/ctot)) uses the
+    * floor-log2 bit-length surrogate (c13's integer-log idiom) applied to
+    * each count SEPARATELY — (bitlen(scnt) − bitlen(stot)) −
+    * (bitlen(ccnt) − bitlen(ctot)) — so no product of two large counts is
+    * ever formed: every term fits 63 bits at any corpus size (the c11
+    * headroom rule), at the price of a < 2-bit per-term quantization the
+    * scaladoc declares. This is the drift monitor c8's mixture rebalancing
+    * acts on.
+    *
+    * Scale: the corpus is scanned ONCE — the corpus bucket counts, source
+    * totals, and grand total all re-aggregate the (source × 64)-row first
+    * aggregate, which then joins as broadcasts. One wide explode+count
+    * shuffle; everything after is ≤ (sources × 64) rows.
+    */
+  private def x15_source_divergence(s: SparkSession, d: String): DataFrame = {
+    val sb = graft.Lineage.truncate(
+      table(s, d, "documents")
+        .select(col("source"), explode(words(col("text"))).as("w"))
+        .select(
+          col("source"),
+          (conv(substring(md5(concat(col("w"), lit("|x15"))), 1, 6), 16, 10)
+            .cast("long") % 64).as("bk")
+        )
+        .groupBy("source", "bk")
+        .agg(count(lit(1)).as("scnt"))
+    )
+    val corpus = broadcast(sb.groupBy("bk").agg(sum("scnt").as("ccnt")))
+    val totals = broadcast(sb.groupBy("source").agg(sum("scnt").as("stot")))
+    val grand  = broadcast(sb.agg(sum("scnt").as("ctot")))
+    sb.join(corpus, "bk")
+      .join(totals, "source")
+      .crossJoin(grand)
+      .select(
+        col("source"),
+        col("scnt"),
+        col("stot"),
+        ((length(bin(col("scnt"))) - length(bin(col("stot")))) -
+          (length(bin(col("ccnt"))) - length(bin(col("ctot"))))).cast("long").as("dl")
+      )
+      .groupBy("source")
+      .agg(
+        max("stot").as("n_words"),
+        count(lit(1)).as("n_buckets"),
+        sum(col("scnt") * col("dl")).as("divergence_q")
+      )
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x15_source_divergence" -> (x15_source_divergence _),
     "x12_cmsketch_registers" -> (x12_cmsketch_registers _),
     "x11_reservoir_sample" -> (x11_reservoir_sample _),
     "x9_tfidf_topk" -> (x9_tfidf_topk _),
@@ -450,6 +501,24 @@ object TextAnalysis extends QueryModule {
     s"CAST(len(list_filter(string_split(text, ' '), w -> w IN (${inList(xs)}))) AS BIGINT)"
 
   val oracles: Map[String, String] = Map(
+    "x15_source_divergence" ->
+      """WITH w0 AS (SELECT source, unnest(string_split(text, ' ')) AS w FROM documents),
+         w AS (SELECT source,
+                      ('0x' || substr(md5(w || '|x15'), 1, 6))::BIGINT % 64 AS bk
+               FROM w0),
+         sb AS (SELECT source, bk, CAST(count(*) AS BIGINT) AS scnt FROM w GROUP BY 1, 2),
+         cb AS (SELECT bk, CAST(sum(scnt) AS BIGINT) AS ccnt FROM sb GROUP BY 1),
+         st AS (SELECT source, CAST(sum(scnt) AS BIGINT) AS stot FROM sb GROUP BY 1),
+         g AS (SELECT CAST(sum(scnt) AS BIGINT) AS ctot FROM sb),
+         t AS (SELECT sb.source, sb.scnt, st.stot,
+                      CAST((length(bin(sb.scnt)) - length(bin(st.stot)))
+                         - (length(bin(cb.ccnt)) - length(bin(g.ctot))) AS BIGINT) AS dl
+               FROM sb JOIN cb USING (bk) JOIN st USING (source) CROSS JOIN g)
+         SELECT source,
+                CAST(max(stot) AS BIGINT) AS n_words,
+                CAST(count(*) AS BIGINT) AS n_buckets,
+                CAST(sum(scnt * dl) AS BIGINT) AS divergence_q
+         FROM t GROUP BY 1""",
     "x11_reservoir_sample" ->
       """WITH h AS (
            SELECT doc_id, lang,

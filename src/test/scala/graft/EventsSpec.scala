@@ -9,6 +9,34 @@ class EventsSpec extends AnyFunSuite with SparkTestBase {
 
   private val sf = "/root/testdata/sf0.001"
 
+  test("e11: planted out-of-order events land in the right power-of-two lateness buckets") {
+    import spark.implicits._
+    // ts in raw nanos (the nanosAsLong read shape); user 1 arrives in event-time
+    // order, user 2's third event is 5 ms late, fourth is exactly 1 µs late
+    val ns = 1000L
+    val events = Seq(
+      (1L, 1L, "click", 1000000L * ns),
+      (1L, 2L, "click", 2000000L * ns),
+      (2L, 3L, "click", 9000000L * ns),
+      (2L, 4L, "click", 14000000L * ns),
+      (2L, 5L, "click", 9000000L * ns),  // 5_000_000 µs late → bucket 2^23
+      (2L, 6L, "click", 13999999L * ns)  // 1 µs late → bucket 1
+    ).toDF("user_id", "event_id", "event_type", "ts")
+    val dir = java.nio.file.Files.createTempDirectory("e11spec").toString
+    events.write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = SparkEntry
+      .queries("e11_disorder_census")(spark, dir)
+      .collect()
+      .map(r => r.getAs[Long]("late_bucket_us") -> r)
+      .toMap
+    assert(out(0L).getAs[Long]("n_events") == 4) // both in-order users
+    assert(out(1L).getAs[Long]("n_events") == 1)
+    assert(out(1L).getAs[Long]("max_late_us") == 1L)
+    val bigBucket = out.keys.max
+    assert(bigBucket == (1L << 23), s"expected 2^23 bucket, got $bigBucket")
+    assert(out(bigBucket).getAs[Long]("max_late_us") == 5000000L)
+  }
+
   test("e10: spine endpoints are measured, and every interpolated value lies between its neighbors") {
     val rows = SparkEntry
       .queries("e10_interpolate")(spark, sf)

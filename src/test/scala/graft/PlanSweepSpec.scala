@@ -40,7 +40,8 @@ class PlanSweepSpec extends AnyFunSuite with SparkTestBase {
     "x10_hll_registers",     // single-row harmonic-sum broadcast
     "x12_cmsketch_registers", // single-row totals broadcast
     "x13_hll_union",         // 64-bucket spine × ~20-source frame
-    "x14_term_coverage"      // single-row total-mass broadcast over 20 rows
+    "x14_term_coverage",     // single-row total-mass broadcast over 20 rows
+    "x15_source_divergence"  // single-row grand-total broadcast over the ≤(sources×64) frame
   )
 
   /** Queries allowed a window with an empty partition spec: the window
