@@ -301,7 +301,57 @@ object Events extends QueryModule {
       .agg(count(lit(1)).as("n_events"), max("late_us").as("max_late_us"))
   }
 
+  /** E12 — GLOBAL out-of-orderness census: e11's lateness histogram
+    * against the running event-time max over the WHOLE ingest order, not
+    * per key — the measurement a source-global watermark needs. A global
+    * running max is a single-partition window, so this runs o7's two-level
+    * decomposition instead: (1) range-bucket the arrival keys
+    * (`event_id div 1000`), (2) per-bucket running max under a PARTITIONED
+    * window, (3) a bucket-max spine (one row per bucket) gets the
+    * cross-bucket prefix max under a bounded global window and broadcasts
+    * back, (4) global running max = greatest(local running max, previous
+    * buckets' spine max). The distributed prefix-scan shape: only the
+    * spine — rows = arrival-key span ÷ 1000, the o7 boundedness argument —
+    * ever sees a global order.
+    */
+  private def e12_global_disorder(s: SparkSession, d: String): DataFrame = {
+    val ev = table(s, d, "events")
+      .select(col("event_id"), col("event_type"), us.as("us"))
+      .withColumn("bucket", expr("event_id div 1000"))
+    val wIn = Window
+      .partitionBy("bucket")
+      .orderBy("event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val local = ev.withColumn("lmax", max("us").over(wIn))
+    val wOff  = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)
+    val spine = ev
+      .groupBy("bucket")
+      .agg(max("us").as("bmax"))
+      .withColumn("pmax", max("bmax").over(wOff))
+      .select(col("bucket"), col("pmax"))
+    local
+      .join(broadcast(spine), "bucket")
+      .withColumn(
+        "late_us",
+        when(col("pmax").isNull, col("lmax")).otherwise(greatest(col("lmax"), col("pmax")))
+          - col("us")
+      )
+      .select(
+        col("event_type"),
+        when(col("late_us") === 0, 0L)
+          .when(col("late_us") === 1, 1L)
+          .otherwise(
+            expr("shiftleft(CAST(1 AS BIGINT), CAST(length(bin(late_us - 1)) AS INT))")
+          )
+          .as("late_bucket_us"),
+        col("late_us")
+      )
+      .groupBy("event_type", "late_bucket_us")
+      .agg(count(lit(1)).as("n_events"), max("late_us").as("max_late_us"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "e12_global_disorder" -> (e12_global_disorder _),
     "e11_disorder_census" -> (e11_disorder_census _),
     "e9_session_window_native" -> (e9_session_window_native _),
     "e8_sliding_window" -> (e8_sliding_window _),
@@ -316,6 +366,22 @@ object Events extends QueryModule {
   )
 
   val oracles: Map[String, String] = Map(
+    "e12_global_disorder" ->
+      """WITH e AS (SELECT event_id, event_type, epoch_us(ts) AS us FROM events),
+         l AS (SELECT event_type,
+                      max(us) OVER (ORDER BY event_id
+                                    ROWS UNBOUNDED PRECEDING) - us AS late_us
+               FROM e),
+         b AS (SELECT event_type, late_us,
+                      CASE WHEN late_us = 0 THEN 0
+                           WHEN late_us = 1 THEN 1
+                           ELSE (CAST(1 AS BIGINT) << CAST(length(bin(late_us - 1)) AS INT))
+                      END AS late_bucket_us
+               FROM l)
+         SELECT event_type, CAST(late_bucket_us AS BIGINT) AS late_bucket_us,
+                CAST(count(*) AS BIGINT) AS n_events,
+                CAST(max(late_us) AS BIGINT) AS max_late_us
+         FROM b GROUP BY 1, 2""",
     "e11_disorder_census" ->
       """WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS us FROM events),
          l AS (SELECT event_type,

@@ -37,6 +37,30 @@ class EventsSpec extends AnyFunSuite with SparkTestBase {
     assert(out(bigBucket).getAs[Long]("max_late_us") == 5000000L)
   }
 
+  test("e12: global lateness sees across bucket boundaries (the spine path)") {
+    import spark.implicits._
+    // event 2500 lives in range-bucket 2 but is 1 s earlier than bucket 0's
+    // max — its lateness must come from the broadcast spine, not the
+    // bucket-local running max
+    val ns = 1000L
+    val events = Seq(
+      (1L, 1L, "click", 10000000L * ns),
+      (2L, 2L, "click", 20000000L * ns), // global event-time max so far
+      (3L, 2500L, "click", 19000000L * ns), // 1_000_000 µs late vs bucket 0
+      (4L, 2501L, "click", 30000000L * ns)
+    ).toDF("user_id", "event_id", "event_type", "ts")
+    val dir = java.nio.file.Files.createTempDirectory("e12spec").toString
+    events.write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = SparkEntry
+      .queries("e12_global_disorder")(spark, dir)
+      .collect()
+      .map(r => r.getAs[Long]("late_bucket_us") -> r)
+      .toMap
+    assert(out(0L).getAs[Long]("n_events") == 3)
+    assert(out(1L << 20).getAs[Long]("n_events") == 1)
+    assert(out(1L << 20).getAs[Long]("max_late_us") == 1000000L)
+  }
+
   test("e10: spine endpoints are measured, and every interpolated value lies between its neighbors") {
     val rows = SparkEntry
       .queries("e10_interpolate")(spark, sf)

@@ -51,6 +51,7 @@ class PlanSweepSpec extends AnyFunSuite with SparkTestBase {
     "o2_stable_sort",     // declared bounded demo: limit upstream of the rank
     "o5_sorted_distinct", // distinct of a low-cardinality column (≤ ~500)
     "o7_global_ids",      // level-2 rank over the ≤-bucket-count offset rows
+    "e12_global_disorder", // level-2 prefix max over the ≤-bucket-count spine rows
     "p8_offset_slice",    // bounded serial stage, limit upstream
     "x14_term_coverage"   // cumulative share over the top-20 rows only
   )
