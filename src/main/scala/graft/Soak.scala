@@ -89,7 +89,15 @@ object Soak {
     "c1_sequence_pack",
     // the asymmetric index-probe dedup and the cross-source sketch merge
     "d13_incremental_neardup",
-    "x13_hll_union"
+    "x13_hll_union",
+    // round-8 corpus/event-scale additions: content-defined chunking
+    // (per-doc rolling hash), corpus-level line dedup (line-hash shuffle),
+    // and the global-disorder spine (two-level prefix max over events).
+    // g15/g8c are excluded on purpose: they run on the fixed nation
+    // dimension, which the soak never replicates.
+    "c15_cdc_chunks",
+    "c16_line_dedup",
+    "e12_global_disorder"
   )
 
   private[graft] def buildScaled(spark: SparkSession, src: String, out: String, n: Int): Unit = {
