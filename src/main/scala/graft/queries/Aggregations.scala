@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
@@ -410,7 +410,85 @@ object Aggregations extends QueryModule {
       )
   }
 
+  /** A22 — incremental partial-aggregate MERGE (materialized-view
+    * maintenance): the documents table is split into a simulated existing
+    * partition (doc_id % 10 != 0) and a delta batch (doc_id % 10 == 0),
+    * each reduced to per-source PARTIAL states — count/sum/min/max plus
+    * x10's 64 HLL registers — and the partials are then merged with the
+    * combine algebra alone (+, +, min, max, elementwise register max),
+    * never re-touching rows. The oracle computes the same stats DIRECTLY
+    * over the whole table, so the green row proves the merge path is
+    * byte-equal to recompute — the property that lets a 100 TB nightly
+    * stats job fold a day's delta into yesterday's aggregates in
+    * O(|delta| + |states|) instead of O(|corpus|).
+    *
+    * The HLL sum skips the bucket spine entirely: absent buckets
+    * contribute exactly (64 − present) · 2^19 to the harmonic sum, so the
+    * estimate needs no 64-row scaffold join (tighter than x10/x13's
+    * broadcast-spine form).
+    */
+  private def a22_incremental_merge(s: SparkSession, d: String): DataFrame = {
+    val docs = table(s, d, "documents").select(
+      col("source"),
+      col("doc_id"),
+      col("n_chars"),
+      expr("conv(substr(md5(text), 1, 6), 16, 10)").cast("long").as("h24")
+    )
+    def partials(pred: Column): (DataFrame, DataFrame) = {
+      val part = docs.filter(pred)
+      val scalar = part
+        .groupBy("source")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum("n_chars").as("sum_chars"),
+          min("n_chars").as("min_chars"),
+          max("n_chars").as("max_chars")
+        )
+      val regs = part
+        .select(
+          col("source"),
+          expr("h24 div 262144").as("bucket"),
+          when(expr("h24 % 262144") === 0, 19L)
+            .otherwise(lit(19L) - length(expr("bin(h24 % 262144)")))
+            .as("rho")
+        )
+        .groupBy("source", "bucket")
+        .agg(max("rho").as("register"))
+      (scalar, regs)
+    }
+    val (baseS, baseR)   = partials(expr("doc_id % 10 != 0"))
+    val (deltaS, deltaR) = partials(expr("doc_id % 10 = 0"))
+    val scalars = baseS
+      .unionByName(deltaS)
+      .groupBy("source")
+      .agg(
+        sum("n_docs").as("n_docs"),
+        sum("sum_chars").as("sum_chars"),
+        min("min_chars").as("min_chars"),
+        max("max_chars").as("max_chars")
+      )
+    val est = baseR
+      .unionByName(deltaR)
+      .groupBy("source", "bucket")
+      .agg(max("register").as("register"))
+      .groupBy("source")
+      .agg(
+        sum(expr("cast(shiftleft(1, cast(19 - register as int)) as long)")).as("sp"),
+        count(lit(1)).as("np")
+      )
+      .select(
+        col("source"),
+        (col("sp") + (lit(64L) - col("np")) * lit(524288L)).as("sreg")
+      )
+      .select(
+        col("source"),
+        expr(s"${709L * 4096L * 524288L} div (sreg * 1000)").as("distinct_est_q")
+      )
+    scalars.join(est, "source")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "a22_incremental_merge" -> (a22_incremental_merge _),
     "a20_unpivot" -> (a20_unpivot _),
     "a19_mad" -> (a19_mad _),
     "a18_hist_median" -> (a18_hist_median _),
@@ -435,6 +513,30 @@ object Aggregations extends QueryModule {
   )
 
   val oracles: Map[String, String] = Map(
+    // direct whole-table recompute: a green row proves the engine's
+    // partial-merge path equals recompute (mergeability, not just math)
+    "a22_incremental_merge" ->
+      s"""WITH h AS (SELECT source, n_chars,
+                            ('0x' || substr(md5(text), 1, 6))::BIGINT AS h24
+                     FROM documents),
+          r AS (SELECT source, h24 // 262144 AS bucket,
+                       CASE WHEN h24 % 262144 = 0 THEN 19
+                            ELSE 19 - length(bin(h24 % 262144)) END AS rho
+                FROM h),
+          regs AS (SELECT source, bucket, max(rho) AS register FROM r GROUP BY 1, 2),
+          est AS (SELECT source,
+                         sum(1 << (19 - register)) + (64 - count(*)) * 524288 AS sreg
+                  FROM regs GROUP BY 1),
+          sc AS (SELECT source, count(*) AS n_docs, sum(n_chars) AS sum_chars,
+                        min(n_chars) AS min_chars, max(n_chars) AS max_chars
+                 FROM h GROUP BY 1)
+          SELECT sc.source,
+                 CAST(n_docs AS BIGINT) AS n_docs,
+                 CAST(sum_chars AS BIGINT) AS sum_chars,
+                 CAST(min_chars AS BIGINT) AS min_chars,
+                 CAST(max_chars AS BIGINT) AS max_chars,
+                 CAST(${709L * 4096L * 524288L} // (sreg * 1000) AS BIGINT) AS distinct_est_q
+          FROM sc JOIN est ON est.source = sc.source""",
     "a20_unpivot" ->
       """SELECT o_orderpriority, o_orderstatus, CAST(count(*) AS BIGINT) AS n
          FROM orders GROUP BY 1, 2""",

@@ -477,8 +477,58 @@ object Dedup extends QueryModule {
       )
   }
 
+  /** D14 — dedup-consistent train/test split: every d7 near-dup cluster is
+    * assigned WHOLLY to one split by hashing its cluster label (the
+    * component's minimum doc_id), so no verified near-duplicate pair ever
+    * straddles the train/test boundary — the contamination channel x5's
+    * i.i.d. row-hash split leaves open (a test doc whose near-twin sits in
+    * train measures memorization, not generalization). Output is the
+    * per-split audit a pipeline records: docs, clusters, and the
+    * cross-split verified-pair count — zero by construction, and MEASURED
+    * here rather than asserted (d10's estimator-QA discipline).
+    *
+    * Scale: the split is one hash on the already-computed cluster label;
+    * the leak audit re-joins the banded verified-pair set (≪ |docs| rows
+    * after LSH) against the assignment and collapses to a single audit row
+    * broadcast onto the ≤2-row split summary.
+    */
+  private def d14_cluster_safe_split(s: SparkSession, d: String): DataFrame = {
+    val pairs = graft.Lineage.truncate(
+      d2_verified_pairs(s, d).select(col("doc1"), col("doc2"))
+    )
+    val ids = corpus(s, d).select(col("doc_id").as("id"))
+    val cl = graft.graph.GraphOps
+      .connectedComponents(ids, pairs.select(col("doc1").as("src"), col("doc2").as("dst")))
+      .select(col("id").cast("long").as("doc_id"), col("comp").cast("long").as("cluster"))
+    val assigned = cl.withColumn(
+      "split",
+      when(
+        conv(substring(md5(concat(col("cluster").cast("string"), lit("|d14"))), 1, 6), 16, 10)
+          .cast("long") % 100 < 90,
+        "train"
+      ).otherwise("test")
+    )
+    val leaks = broadcast(
+      pairs
+        .join(assigned.select(col("doc_id").as("doc1"), col("split").as("sp1")), "doc1")
+        .join(assigned.select(col("doc_id").as("doc2"), col("split").as("sp2")), "doc2")
+        .agg(sum(when(col("sp1") =!= col("sp2"), 1L).otherwise(0L)).as("leak_pairs"))
+    )
+    assigned
+      .groupBy("split")
+      .agg(count(lit(1)).as("n_docs"), countDistinct(col("cluster")).as("n_clusters"))
+      .crossJoin(leaks)
+      .select(
+        col("split"),
+        col("n_docs"),
+        col("n_clusters"),
+        coalesce(col("leak_pairs"), lit(0L)).as("leak_pairs")
+      )
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d13_incremental_neardup" -> (d13_incremental_neardup _),
+    "d14_cluster_safe_split" -> (d14_cluster_safe_split _),
     "d1_minhash_candidates" -> (d1_minhash_candidates _),
     "d2_verified_pairs" -> (d2_verified_pairs _),
     "d3_simhash" -> (d3_simhash _),
@@ -677,6 +727,41 @@ object Dedup extends QueryModule {
                     i -> array_to_string(string_split(text, ' ')[i+1:i+5], ' ')))) AS g
            FROM tr)
          SELECT DISTINCT doc_id FROM tg WHERE g IN (SELECT g FROM bg)""",
+    "d14_cluster_safe_split" ->
+      s"""WITH RECURSIVE $corpusSql, $shinglesSql, $sigSql, $bandsSql, $candSql,
+          vp AS (
+            SELECT doc1, doc2
+            FROM cand
+            JOIN sh s1 ON s1.doc_id = doc1
+            JOIN sh s2 ON s2.doc_id = doc2
+            WHERE CAST(len(list_intersect(s1.s, s2.s)) AS DOUBLE) /
+                  (len(s1.s) + len(s2.s) - len(list_intersect(s1.s, s2.s))) >= 0.8),
+          pedges AS (
+            SELECT doc1 AS src, doc2 AS dst FROM vp
+            UNION
+            SELECT doc2 AS src, doc1 AS dst FROM vp),
+          reach(id, comp) AS (
+            SELECT doc_id, doc_id FROM corpus
+            UNION
+            SELECT e.dst, r.comp FROM reach r JOIN pedges e ON r.id = e.src),
+          cls AS (SELECT id AS doc_id, min(comp) AS cluster FROM reach GROUP BY id),
+          asg AS (
+            SELECT doc_id, cluster,
+                   CASE WHEN ('0x' || substr(md5(CAST(cluster AS VARCHAR) || '|d14'), 1, 6))::BIGINT
+                             % 100 < 90
+                        THEN 'train' ELSE 'test' END AS split
+            FROM cls),
+          lk AS (
+            SELECT coalesce(sum(CASE WHEN a1.split <> a2.split THEN 1 ELSE 0 END), 0) AS leak_pairs
+            FROM vp
+            JOIN asg a1 ON a1.doc_id = vp.doc1
+            JOIN asg a2 ON a2.doc_id = vp.doc2)
+          SELECT split,
+                 CAST(count(*) AS BIGINT) AS n_docs,
+                 CAST(count(DISTINCT cluster) AS BIGINT) AS n_clusters,
+                 CAST(lk.leak_pairs AS BIGINT) AS leak_pairs
+          FROM asg, lk
+          GROUP BY split, lk.leak_pairs""",
     "d7_dedup_clusters" ->
       s"""WITH RECURSIVE $corpusSql, $shinglesSql, $sigSql, $bandsSql, $candSql,
           vp AS (

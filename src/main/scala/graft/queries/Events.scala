@@ -350,8 +350,63 @@ object Events extends QueryModule {
       .agg(count(lit(1)).as("n_events"), max("late_us").as("max_late_us"))
   }
 
+  /** E13 — watermark-eviction audit: e11/e12 MEASURE disorder; this query
+    * APPLIES the admission policy and reports its cost. Each event is
+    * classified against the global watermark a streaming engine would hold
+    * at its arrival — running event-time max over all STRICTLY EARLIER
+    * arrivals minus the allowed lateness (5 s here, the knob
+    * dedupWithinWatermark/Sessionizer hardcode): `on_time` (at or above
+    * the running max), `late_admitted` (behind it but within the
+    * allowance), `dropped` (behind by more than the allowance — the rows a
+    * `withWatermark("5 seconds")` pipeline silently evicts). The per-type
+    * verdict counts are the data-loss budget a delay choice commits to,
+    * measured on the actual stream instead of assumed.
+    *
+    * Same two-level spine as e12 (the global prefix max decomposed into
+    * per-bucket partitioned windows plus a ≤-bucket-count spine), except
+    * the in-bucket frame ends at -1: the watermark that judges an event
+    * excludes the event itself.
+    */
+  private def e13_watermark_audit(s: SparkSession, d: String): DataFrame = {
+    val allowedUs = 5000000L
+    val ev = table(s, d, "events")
+      .select(col("event_id"), col("event_type"), us.as("us"))
+      .withColumn("bucket", expr("event_id div 1000"))
+    val wIn = Window
+      .partitionBy("bucket")
+      .orderBy("event_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val local = ev.withColumn("lmax", max("us").over(wIn))
+    val wOff  = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)
+    val spine = ev
+      .groupBy("bucket")
+      .agg(max("us").as("bmax"))
+      .withColumn("pmax", max("bmax").over(wOff))
+      .select(col("bucket"), col("pmax"))
+    local
+      .join(broadcast(spine), "bucket")
+      .withColumn(
+        "late_us",
+        when(col("lmax").isNull && col("pmax").isNull, lit(null).cast("long"))
+          .when(col("lmax").isNull, col("pmax") - col("us"))
+          .when(col("pmax").isNull, col("lmax") - col("us"))
+          .otherwise(greatest(col("lmax"), col("pmax")) - col("us"))
+      )
+      .select(
+        col("event_type"),
+        when(col("late_us").isNull || col("late_us") <= 0, "on_time")
+          .when(col("late_us") <= allowedUs, "late_admitted")
+          .otherwise("dropped")
+          .as("verdict"),
+        when(col("late_us") > 0, col("late_us")).otherwise(0L).as("pos_late")
+      )
+      .groupBy("event_type", "verdict")
+      .agg(count(lit(1)).as("n_events"), max("pos_late").as("max_late_us"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "e12_global_disorder" -> (e12_global_disorder _),
+    "e13_watermark_audit" -> (e13_watermark_audit _),
     "e11_disorder_census" -> (e11_disorder_census _),
     "e9_session_window_native" -> (e9_session_window_native _),
     "e8_sliding_window" -> (e8_sliding_window _),
@@ -366,6 +421,23 @@ object Events extends QueryModule {
   )
 
   val oracles: Map[String, String] = Map(
+    "e13_watermark_audit" ->
+      """WITH e AS (SELECT event_id, event_type, epoch_us(ts) AS us FROM events),
+         l AS (SELECT event_type, us,
+                      max(us) OVER (ORDER BY event_id
+                                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS wm
+               FROM e),
+         c AS (SELECT event_type, wm - us AS late_us FROM l),
+         v AS (SELECT event_type,
+                      CASE WHEN late_us IS NULL OR late_us <= 0 THEN 'on_time'
+                           WHEN late_us <= 5000000 THEN 'late_admitted'
+                           ELSE 'dropped' END AS verdict,
+                      CASE WHEN late_us > 0 THEN late_us ELSE 0 END AS pos_late
+               FROM c)
+         SELECT event_type, verdict,
+                CAST(count(*) AS BIGINT) AS n_events,
+                CAST(max(pos_late) AS BIGINT) AS max_late_us
+         FROM v GROUP BY 1, 2""",
     "e12_global_disorder" ->
       """WITH e AS (SELECT event_id, event_type, epoch_us(ts) AS us FROM events),
          l AS (SELECT event_type,

@@ -61,6 +61,28 @@ class EventsSpec extends AnyFunSuite with SparkTestBase {
     assert(out(1L << 20).getAs[Long]("max_late_us") == 1000000L)
   }
 
+  test("e13: an event later than the allowance is dropped, within it admitted, ahead on time") {
+    import spark.implicits._
+    val ns = 1000L
+    val events = Seq(
+      (1L, 1L, "click", 10000000L * ns),
+      (2L, 2L, "click", 30000000L * ns), // running max 30 s
+      (3L, 3L, "click", 27000000L * ns), // 3 s late -> admitted (allowance 5 s)
+      (4L, 4L, "click", 20000000L * ns), // 10 s late -> dropped
+      (5L, 5L, "click", 31000000L * ns)  // ahead -> on_time
+    ).toDF("user_id", "event_id", "event_type", "ts")
+    val dir = java.nio.file.Files.createTempDirectory("e13spec").toString
+    events.write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = SparkEntry
+      .queries("e13_watermark_audit")(spark, dir)
+      .collect()
+      .map(r => r.getAs[String]("verdict") -> r.getAs[Long]("n_events"))
+      .toMap
+    assert(out("on_time") == 3) // first event (no watermark yet) + max + ahead
+    assert(out("late_admitted") == 1)
+    assert(out("dropped") == 1)
+  }
+
   test("e10: spine endpoints are measured, and every interpolated value lies between its neighbors") {
     val rows = SparkEntry
       .queries("e10_interpolate")(spark, sf)
