@@ -749,7 +749,47 @@ object Curation extends QueryModule {
       )
   }
 
+  /** C17 — exact-quota stratified split: x5's hash split hits 80/10/10
+    * only in expectation (a Bernoulli coin per row); this one RANKS each
+    * language stratum by a salted doc hash (doc_id tiebreak — total order,
+    * no coin) and cuts at the integer quota boundaries, so every stratum's
+    * split sizes are exactly ⌊0.8n⌋ / ⌊0.9n⌋−⌊0.8n⌋ / rest, run after run.
+    * The guarantee matters when a stratum is SMALL (a rare language with
+    * 30 docs can lose its whole test set to Bernoulli variance) and when a
+    * contract pins byte-exact set sizes (benchmark reproducibility).
+    * Output is the per-(lang, split) census the quota contract is checked
+    * against.
+    *
+    * Scale: one window per stratum (partitioned — never global), carrying
+    * an 8-byte hash; same shuffle budget as any per-key rank. Re-running
+    * with a new salt re-deals the split without re-reading text.
+    */
+  private def c17_exact_quota_split(s: SparkSession, d: String): DataFrame = {
+    val docs = table(s, d, "documents")
+      .select(col("doc_id"), col("lang"))
+      .withColumn(
+        "h",
+        conv(substring(md5(concat(col("doc_id").cast("string"), lit("|c17"))), 1, 8), 16, 10)
+          .cast("long")
+      )
+    val w  = Window.partitionBy("lang").orderBy(col("h"), col("doc_id"))
+    val wc = Window.partitionBy("lang")
+    docs
+      .withColumn("rk", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(wc))
+      .select(
+        col("lang"),
+        when(col("rk") * 10 <= col("n") * 8, "train")
+          .when(col("rk") * 10 <= col("n") * 9, "val")
+          .otherwise("test")
+          .as("split")
+      )
+      .groupBy("lang", "split")
+      .agg(count(lit(1)).as("n_docs"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "c17_exact_quota_split" -> (c17_exact_quota_split _),
     "c16_line_dedup" -> (c16_line_dedup _),
     "c15_cdc_chunks" -> (c15_cdc_chunks _),
     "c13_lm_quality" -> (c13_lm_quality _),
@@ -771,6 +811,21 @@ object Curation extends QueryModule {
   private def inList(xs: Seq[String]): String = xs.map(x => s"'$x'").mkString(", ")
 
   val oracles: Map[String, String] = Map(
+    "c17_exact_quota_split" ->
+      """WITH h AS (
+           SELECT doc_id, lang,
+                  ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|c17'), 1, 8))::BIGINT AS h
+           FROM documents),
+         r AS (SELECT lang,
+                      row_number() OVER (PARTITION BY lang ORDER BY h, doc_id) AS rk,
+                      count(*) OVER (PARTITION BY lang) AS n
+               FROM h)
+         SELECT lang,
+                CASE WHEN rk * 10 <= n * 8 THEN 'train'
+                     WHEN rk * 10 <= n * 9 THEN 'val'
+                     ELSE 'test' END AS split,
+                CAST(count(*) AS BIGINT) AS n_docs
+         FROM r GROUP BY 1, 2""",
     "c16_line_dedup" ->
       """WITH a AS (SELECT doc_id, string_split(text, ' ') AS a FROM documents),
          s AS (SELECT doc_id,

@@ -695,7 +695,40 @@ object GraphQueries extends QueryModule {
       .select(col("id").as("node_id"), col("r").cast("long").as("rank_q"))
   }
 
+  /** G16 — bipartite co-occurrence projection with a HUB CAP: the
+    * supplier–part incidence (distinct (l_partkey, l_suppkey) from
+    * lineitem) projected onto supplier–supplier edges weighted by shared
+    * parts, keeping edges with weight ≥ 2. The within-key self-join is THE
+    * quadratic trap of co-occurrence mining — one hub key with 10⁶
+    * incident rows is 10¹² pairs — so parts with more than 16 suppliers
+    * are excluded up front (the standard frequency-cap approximation in
+    * co-occurrence/market-basket builds; a hub part's pair set carries
+    * almost no association signal anyway). With the cap, per-key fan-out
+    * is ≤ C(16,2) = 120 pairs — the join's output is linearly bounded in
+    * its input no matter how skewed the key distribution gets, the same
+    * Σ bucket² bound d1's LSH banding relies on.
+    */
+  private def g16_cooccurrence_projection(s: SparkSession, d: String): DataFrame = {
+    val sp = table(s, d, "lineitem")
+      .select(col("l_partkey").as("pk"), col("l_suppkey").as("sk"))
+      .distinct()
+    val keep = sp
+      .groupBy("pk")
+      .agg(count(lit(1)).as("nsup"))
+      .filter(col("nsup") <= 16)
+      .select("pk")
+    val kept = sp.join(keep, "pk")
+    val a    = kept.select(col("pk"), col("sk").as("s1"))
+    val b    = kept.select(col("pk"), col("sk").as("s2"))
+    a.join(b, Seq("pk"))
+      .filter(col("s1") < col("s2"))
+      .groupBy("s1", "s2")
+      .agg(count(lit(1)).as("shared_parts"))
+      .filter(col("shared_parts") >= 2)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "g16_cooccurrence_projection" -> (g16_cooccurrence_projection _),
     "g0_node_table" -> (g0_node_table _),
     "g1_edge_validity" -> (g1_edge_validity _),
     "g1b_degree_stats" -> (g1b_degree_stats _),
@@ -967,6 +1000,14 @@ object GraphQueries extends QueryModule {
          JOIN reps r ON s.community_id = r.community_id)"""
 
   val oracles: Map[String, String] = Map(
+    "g16_cooccurrence_projection" ->
+      """WITH sp AS (SELECT DISTINCT l_partkey AS pk, l_suppkey AS sk FROM lineitem),
+         keep AS (SELECT pk FROM sp GROUP BY pk HAVING count(*) <= 16),
+         kept AS (SELECT sp.pk, sp.sk FROM sp JOIN keep ON keep.pk = sp.pk)
+         SELECT a.sk AS s1, b.sk AS s2, CAST(count(*) AS BIGINT) AS shared_parts
+         FROM kept a JOIN kept b ON a.pk = b.pk AND a.sk < b.sk
+         GROUP BY 1, 2
+         HAVING count(*) >= 2""",
     "g10_kcore" ->
       s"""WITH sp AS (SELECT DISTINCT l_suppkey AS sk, l_partkey AS p
                       FROM lineitem WHERE l_linenumber = 1),

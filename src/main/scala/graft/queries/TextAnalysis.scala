@@ -477,7 +477,51 @@ object TextAnalysis extends QueryModule {
       )
   }
 
+  /** X16 — incoming-batch NOVELTY rate: of the distinct 5-grams a delta
+    * batch (doc_id % 10 == 0, a22's simulated increment) brings, what
+    * per-mille is NOT already in the base corpus — per source. This is the
+    * measurement a data-mixing loop reads before paying to ingest a new
+    * crawl slice: a source whose novelty has collapsed to ~0 is re-crawl
+    * of what the corpus already holds (d6 answers "is the benchmark IN the
+    * corpus"; x16 answers "is the new data NEW").
+    *
+    * Scale: grams travel as 56-bit md5 keys (c3's discipline — the
+    * shuffle carries 8-byte longs, never gram strings); the base side is
+    * a distinct-key table equi-joined once. At 100 TB the base-gram table
+    * is the persisted artifact a pipeline maintains incrementally (a22's
+    * merge pattern); swapping the exact join for a c5 Bloom probe trades
+    * per-mille exactness for a zero-shuffle probe — declared knob, exact
+    * form measured here.
+    */
+  private def x16_novelty_rate(s: SparkSession, d: String): DataFrame = {
+    val docs = table(s, d, "documents")
+    def grams(df: DataFrame): DataFrame = df
+      .select(
+        col("source"),
+        explode(call_function("graft_word_shingles", col("text"), lit(5))).as("g")
+      )
+      .select(col("source"), expr("conv(substr(md5(g), 1, 14), 16, 10)").cast("long").as("gk"))
+    // delta membership is a salted hash, not doc_id % 10: the synthetic
+    // table's source correlates with doc_id modulo, and a modulo delta
+    // would sample only 2 of the 20 sources
+    val isDelta =
+      expr("conv(substr(md5(CAST(doc_id AS STRING) || '|x16'), 1, 6), 16, 10) % 10 = 0")
+    val base  = grams(docs.filter(!isDelta)).select("gk").distinct()
+    val delta = grams(docs.filter(isDelta)).distinct()
+    delta
+      .join(base.withColumn("seen", lit(1L)), Seq("gk"), "left")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_grams"), sum(coalesce(col("seen"), lit(0L))).as("n_seen"))
+      .select(
+        col("source"),
+        col("n_grams"),
+        col("n_seen"),
+        expr("1000 * (n_grams - n_seen) DIV n_grams").as("novelty_pm")
+      )
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x16_novelty_rate" -> (x16_novelty_rate _),
     "x15_source_divergence" -> (x15_source_divergence _),
     "x12_cmsketch_registers" -> (x12_cmsketch_registers _),
     "x11_reservoir_sample" -> (x11_reservoir_sample _),
@@ -501,6 +545,26 @@ object TextAnalysis extends QueryModule {
     s"CAST(len(list_filter(string_split(text, ' '), w -> w IN (${inList(xs)}))) AS BIGINT)"
 
   val oracles: Map[String, String] = Map(
+    "x16_novelty_rate" ->
+      """WITH g AS (
+           SELECT source, doc_id,
+                  unnest(list_distinct(list_transform(
+                    generate_series(0, greatest(len(string_split(text, ' ')) - 5, 0)),
+                    i -> array_to_string(string_split(text, ' ')[i+1:i+5], ' ')))) AS g
+           FROM documents),
+         k AS (SELECT source, doc_id, ('0x' || substr(md5(g), 1, 14))::BIGINT AS gk,
+                      ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|x16'), 1, 6))::BIGINT % 10
+                        AS hd
+               FROM g),
+         base AS (SELECT DISTINCT gk FROM k WHERE hd != 0),
+         delta AS (SELECT DISTINCT source, gk FROM k WHERE hd = 0),
+         j AS (SELECT d.source, CASE WHEN b.gk IS NULL THEN 0 ELSE 1 END AS seen
+               FROM delta d LEFT JOIN base b ON b.gk = d.gk)
+         SELECT source,
+                CAST(count(*) AS BIGINT) AS n_grams,
+                CAST(sum(seen) AS BIGINT) AS n_seen,
+                CAST(1000 * (count(*) - sum(seen)) // count(*) AS BIGINT) AS novelty_pm
+         FROM j GROUP BY 1""",
     "x15_source_divergence" ->
       """WITH w0 AS (SELECT source, unnest(string_split(text, ' ')) AS w FROM documents),
          w AS (SELECT source,
