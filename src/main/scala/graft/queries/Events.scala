@@ -404,9 +404,61 @@ object Events extends QueryModule {
       .agg(count(lit(1)).as("n_events"), max("pos_late").as("max_late_us"))
   }
 
+  /** E14 — retraction census, the UPDATE-MODE cost measurement: e13 prices
+    * a delay by what it DROPS; e14 prices the alternative — admit
+    * everything and re-emit. An event is a `late update` to its 1-minute
+    * tumbling window when, at its arrival, the global running event-time
+    * max (strictly earlier arrivals — e13's watermark base, allowance 0)
+    * has already passed the window's END: a zero-lateness emitter would
+    * have finalized that window, so this arrival forces a downstream
+    * retraction/re-emit. Per type: events, late updates, dirty windows
+    * (re-emitted at least once), total windows — the retraction amplification
+    * a sink (and everything downstream of it) must absorb if the pipeline
+    * chooses update mode over dropping. Same two-level spine as e12/e13.
+    */
+  private def e14_retraction_census(s: SparkSession, d: String): DataFrame = {
+    val winUs = 60000000L // 1-minute tumbling windows
+    val ev = table(s, d, "events")
+      .select(col("event_id"), col("event_type"), us.as("us"))
+      .withColumn("bucket", expr("event_id div 1000"))
+    val wIn = Window
+      .partitionBy("bucket")
+      .orderBy("event_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val local = ev.withColumn("lmax", max("us").over(wIn))
+    val wOff  = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)
+    val spine = ev
+      .groupBy("bucket")
+      .agg(max("us").as("bmax"))
+      .withColumn("pmax", max("bmax").over(wOff))
+      .select(col("bucket"), col("pmax"))
+    local
+      .join(broadcast(spine), "bucket")
+      .withColumn(
+        "wm",
+        when(col("lmax").isNull && col("pmax").isNull, lit(null).cast("long"))
+          .when(col("lmax").isNull, col("pmax"))
+          .when(col("pmax").isNull, col("lmax"))
+          .otherwise(greatest(col("lmax"), col("pmax")))
+      )
+      .withColumn("wstart", expr(s"us div $winUs"))
+      .withColumn(
+        "late_update",
+        col("wm").isNotNull && col("wm") >= (col("wstart") + 1) * lit(winUs)
+      )
+      .groupBy("event_type")
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(when(col("late_update"), 1L).otherwise(0L)).as("n_late_updates"),
+        countDistinct(when(col("late_update"), col("wstart"))).as("n_dirty_windows"),
+        countDistinct(col("wstart")).as("n_windows")
+      )
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "e12_global_disorder" -> (e12_global_disorder _),
     "e13_watermark_audit" -> (e13_watermark_audit _),
+    "e14_retraction_census" -> (e14_retraction_census _),
     "e11_disorder_census" -> (e11_disorder_census _),
     "e9_session_window_native" -> (e9_session_window_native _),
     "e8_sliding_window" -> (e8_sliding_window _),
@@ -421,6 +473,22 @@ object Events extends QueryModule {
   )
 
   val oracles: Map[String, String] = Map(
+    "e14_retraction_census" ->
+      """WITH e AS (SELECT event_id, event_type, epoch_us(ts) AS us FROM events),
+         l AS (SELECT event_type, us,
+                      max(us) OVER (ORDER BY event_id
+                                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS wm
+               FROM e),
+         c AS (SELECT event_type, us // 60000000 AS wstart,
+                      (wm IS NOT NULL AND wm >= (us // 60000000 + 1) * 60000000) AS late_update
+               FROM l)
+         SELECT event_type,
+                CAST(count(*) AS BIGINT) AS n_events,
+                CAST(sum(CASE WHEN late_update THEN 1 ELSE 0 END) AS BIGINT) AS n_late_updates,
+                CAST(count(DISTINCT CASE WHEN late_update THEN wstart END) AS BIGINT)
+                  AS n_dirty_windows,
+                CAST(count(DISTINCT wstart) AS BIGINT) AS n_windows
+         FROM c GROUP BY 1""",
     "e13_watermark_audit" ->
       """WITH e AS (SELECT event_id, event_type, epoch_us(ts) AS us FROM events),
          l AS (SELECT event_type, us,

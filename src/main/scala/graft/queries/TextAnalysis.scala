@@ -520,7 +520,49 @@ object TextAnalysis extends QueryModule {
       )
   }
 
+  /** X17 — cross-source overlap MATRIX by per-source MinHash: each
+    * source's whole gram population collapsed to one 12-component MinHash
+    * signature (min per affine hash over every 3-gram the source emits —
+    * [[graft.operators.MinHashOps]], the dedup family's exact machinery at
+    * corpus granularity), then the pairwise signature-agreement matrix as
+    * estimated Jaccard per-mille. This is the source-overlap heat map a
+    * curation run reads to find mirror crawls and shared boilerplate pools
+    * BEFORE paying for pairwise exact comparison — 20 sources compare in
+    * 20·12 integers, where the exact matrix would re-shuffle every gram
+    * (x16 prices one batch against the corpus; x17 prices every source
+    * against every other).
+    *
+    * Scale: the signature build is a map-side-combinable groupBy min — no
+    * per-gram shuffle survives the combine; the matrix join is a ≤-sources
+    * row broadcast (bounded BNLJ, registered). d10 calibrates this exact
+    * estimator against true Jaccard.
+    */
+  private def x17_source_overlap_matrix(s: SparkSession, d: String): DataFrame = {
+    import graft.operators.{MinHashOps => MH}
+    val xs = table(s, d, "documents")
+      .select(col("source"), explode(MH.shingles(col("text"))).as("shingle"))
+      .select(col("source"), MH.hash24(col("shingle")).as("x"))
+    val aggs = (0 until MH.NumHashes).map(h =>
+      min((col("x") * MH.affineA(h) + MH.affineB(h)) % MH.ModP).as(s"m$h")
+    )
+    val sig = xs.groupBy(col("source")).agg(aggs.head, aggs.tail: _*)
+    val a = sig.select(
+      col("source").as("src_a") +: (0 until MH.NumHashes).map(h => col(s"m$h").as(s"a$h")): _*
+    )
+    val b = sig.select(
+      col("source").as("src_b") +: (0 until MH.NumHashes).map(h => col(s"m$h").as(s"b$h")): _*
+    )
+    val agree = (0 until MH.NumHashes)
+      .map(h => when(col(s"a$h") === col(s"b$h"), 1L).otherwise(0L))
+      .reduce(_ + _)
+    a.crossJoin(broadcast(b))
+      .filter(col("src_a") < col("src_b"))
+      .select(col("src_a"), col("src_b"), agree.as("n_agree"))
+      .withColumn("est_jaccard_pm", expr(s"1000 * n_agree DIV ${MH.NumHashes}"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x17_source_overlap_matrix" -> (x17_source_overlap_matrix _),
     "x16_novelty_rate" -> (x16_novelty_rate _),
     "x15_source_divergence" -> (x15_source_divergence _),
     "x12_cmsketch_registers" -> (x12_cmsketch_registers _),
@@ -545,6 +587,26 @@ object TextAnalysis extends QueryModule {
     s"CAST(len(list_filter(string_split(text, ' '), w -> w IN (${inList(xs)}))) AS BIGINT)"
 
   val oracles: Map[String, String] = Map(
+    "x17_source_overlap_matrix" -> {
+      import graft.operators.{MinHashOps => MH}
+      val cols = (0 until MH.NumHashes)
+        .map(h => s"min((x * ${MH.affineA(h)} + ${MH.affineB(h)}) % ${MH.ModP}) AS m$h")
+        .mkString(", ")
+      val agree = (0 until MH.NumHashes)
+        .map(h => s"CASE WHEN a.m$h = b.m$h THEN 1 ELSE 0 END")
+        .mkString(" + ")
+      s"""WITH g AS (
+            SELECT source, unnest(list_distinct(list_transform(
+                     generate_series(0, greatest(len(string_split(text, ' ')) - ${MH.ShingleN}, 0)),
+                     i -> array_to_string(string_split(text, ' ')[i+1:i+${MH.ShingleN}], ' ')))) AS sh
+            FROM documents),
+          x AS (SELECT source, ('0x' || substr(md5(sh), 1, 6))::BIGINT AS x FROM g),
+          sig AS (SELECT source, $cols FROM x GROUP BY source)
+          SELECT a.source AS src_a, b.source AS src_b,
+                 CAST($agree AS BIGINT) AS n_agree,
+                 CAST(1000 * ($agree) // ${MH.NumHashes} AS BIGINT) AS est_jaccard_pm
+          FROM sig a JOIN sig b ON a.source < b.source"""
+    },
     "x16_novelty_rate" ->
       """WITH g AS (
            SELECT source, doc_id,

@@ -83,6 +83,24 @@ class EventsSpec extends AnyFunSuite with SparkTestBase {
     assert(out("dropped") == 1)
   }
 
+  test("e14: an arrival after its window's end has passed marks the window dirty") {
+    import spark.implicits._
+    val ns = 1000L
+    val events = Seq(
+      (1L, 1L, "click", 10000000L * ns),  // window 0 (0-60 s)
+      (2L, 2L, "click", 70000000L * ns),  // window 1 -> running max passes 60 s
+      (3L, 3L, "click", 20000000L * ns),  // window 0 again: late update (wm 70 s >= 60 s)
+      (4L, 4L, "click", 80000000L * ns)   // window 1, wm 70 s < 120 s: clean
+    ).toDF("user_id", "event_id", "event_type", "ts")
+    val dir = java.nio.file.Files.createTempDirectory("e14spec").toString
+    events.write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val r = SparkEntry.queries("e14_retraction_census")(spark, dir).collect().head
+    assert(r.getAs[Long]("n_events") == 4)
+    assert(r.getAs[Long]("n_late_updates") == 1)
+    assert(r.getAs[Long]("n_dirty_windows") == 1)
+    assert(r.getAs[Long]("n_windows") == 2)
+  }
+
   test("e10: spine endpoints are measured, and every interpolated value lies between its neighbors") {
     val rows = SparkEntry
       .queries("e10_interpolate")(spark, sf)
