@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{CharNgrams, DotProduct, FixMojibake, NormalizeNFKC, SortedIntersectSize, UnescapeHtml, WordNgrams, WordShingles, ZOrderKey}
+import graft.functions.{CharNgrams, DotProduct, FixMojibake, MinHashSig, NormalizeNFKC, SortedIntersectSize, UnescapeHtml, WordNgrams, WordShingles, ZOrderKey}
 
 /** Session extension registering graft's native Catalyst expressions, wired
   * through `spark.sql.extensions` (see [[Engine.builder]]) the same way a
@@ -58,5 +58,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     register(ext, "graft_zorder", 2, classOf[ZOrderKey].getName)(e =>
       ZOrderKey(e.head, e(1))
     )
+    register(ext, "graft_minhash_sig", 1, classOf[MinHashSig].getName)(e => MinHashSig(e.head))
   }
 }

@@ -47,15 +47,24 @@ object MinHashOps {
   def shingleSets(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), shingles(col("text")).as("sh"))
 
-  /** (doc_id, m0..m11) — the full MinHash signature table. */
+  /** (doc_id, m0..m11) — the full MinHash signature table. One narrow
+    * codegen'd projection per document ([[graft.functions.MinHashSig]]):
+    * no explode row-blowup, no doc_id exchange. Bit-identical to the
+    * composed explode → md5 → 12-way min-aggregate formulation it
+    * replaced (same md5 prefix, affine constants, and modulus), so the
+    * DuckDB oracle and every downstream band key are unchanged.
+    */
   def signatures(docs: DataFrame): DataFrame = {
-    val shx = docs
-      .select(col("doc_id"), explode(shingles(col("text"))).as("shingle"))
-      .select(col("doc_id"), hash24(col("shingle")).as("x"))
-    val aggs = (0 until NumHashes).map(h =>
-      min((col("x") * affineA(h) + affineB(h)) % ModP).as(s"m$h")
-    )
-    shx.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
+    val sig = call_function("graft_minhash_sig", shingles(col("text")))
+    docs
+      .select(col("doc_id"), sig.as("sig"))
+      // the composed form had no row for a null-text/shingle-less doc (its
+      // explode emitted nothing); keep that contract
+      .where(col("sig").isNotNull)
+      .select(
+        col("doc_id") +:
+          (0 until NumHashes).map(h => element_at(col("sig"), h + 1).as(s"m$h")): _*
+      )
   }
 
   /** Band keys from an (already materialized) signature table — a narrow

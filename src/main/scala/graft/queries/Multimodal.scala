@@ -180,7 +180,61 @@ object Multimodal extends QueryModule {
       )
   }
 
+  /** M7 — INTERLEAVED image-text sequence packing: c1's packing over a
+    * heterogeneous item stream. Every document contributes a text item
+    * (one token per word); image-bearing documents (doc_id % 3 == 0 — the
+    * deterministic stand-in for a media-presence flag) additionally
+    * contribute a 576-token image item after their text (the ViT-style
+    * fixed patch-token cost a vision encoder emits per image). Items pack
+    * into 4096-token windows per language with straddle accounting —
+    * exactly the sample-construction step of an interleaved multimodal
+    * training run (text and image placeholder runs share one token
+    * budget), and the reason packing must be ITEM-typed, not text-only:
+    * an image's tokens are opaque to any text chunker.
+    *
+    * Scale: same plan class as c1 — one per-language window over an item
+    * stream that is ≤ 2 rows per document; nothing global, nothing wide.
+    */
+  private def m7_interleaved_pack(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = table(s, d, "documents")
+    val textItems = docs.select(
+      col("doc_id"),
+      col("lang"),
+      lit("text").as("item_type"),
+      size(split(col("text"), " ")).cast("long").as("n_tokens"),
+      lit(0).as("ord")
+    )
+    val imageItems = docs
+      .filter(col("doc_id") % 3 === 0)
+      .select(
+        col("doc_id"),
+        col("lang"),
+        lit("image").as("item_type"),
+        lit(576L).as("n_tokens"),
+        lit(1).as("ord")
+      )
+    val w = Window
+      .partitionBy("lang")
+      .orderBy(col("doc_id"), col("ord"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    textItems
+      .unionByName(imageItems)
+      .withColumn("cum", sum("n_tokens").over(w))
+      .select(
+        col("doc_id"),
+        col("item_type"),
+        col("lang"),
+        col("n_tokens"),
+        (col("cum") - col("n_tokens")).as("start_off"),
+        floor((col("cum") - col("n_tokens")) / 4096).cast("long").as("pack_id"),
+        (floor((col("cum") - col("n_tokens")) / 4096) =!=
+          floor((col("cum") - 1) / 4096)).cast("int").as("straddles")
+      )
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "m7_interleaved_pack" -> (m7_interleaved_pack _),
     "m6_payload_chunks" -> (m6_payload_chunks _),
     "m1_binary_meta" -> (m1_binary_meta _),
     "m2_feature_extract" -> (m2_feature_extract _),
@@ -201,6 +255,23 @@ object Multimodal extends QueryModule {
                FROM documents))"""
 
   val oracles: Map[String, String] = Map(
+    "m7_interleaved_pack" ->
+      """WITH items AS (
+           SELECT doc_id, lang, 'text' AS item_type,
+                  len(string_split(text, ' ')) AS n_tokens, 0 AS ord
+           FROM documents
+           UNION ALL
+           SELECT doc_id, lang, 'image', 576, 1 FROM documents WHERE doc_id % 3 = 0),
+         c AS (SELECT *, sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id, ord
+                                             ROWS UNBOUNDED PRECEDING) AS cum
+               FROM items)
+         SELECT doc_id, item_type, lang,
+                CAST(n_tokens AS BIGINT) AS n_tokens,
+                CAST(cum - n_tokens AS BIGINT) AS start_off,
+                CAST((cum - n_tokens) // 4096 AS BIGINT) AS pack_id,
+                CAST(CASE WHEN (cum - n_tokens) // 4096 != (cum - 1) // 4096
+                          THEN 1 ELSE 0 END AS INTEGER) AS straddles
+         FROM c""",
     "m6_payload_chunks" ->
       """WITH d AS (SELECT doc_id, text, length(text) AS n FROM documents),
          c AS (SELECT doc_id, n, text,

@@ -297,7 +297,55 @@ object WindowsFiltersSorts extends QueryModule {
       .select(col("o_orderkey"), (col("off") + col("rn")).as("gid"))
   }
 
+  /** O8 — range-partitioner balance audit: the global-sort scale story,
+    * made measurable. A total ordering at 100 TB is only as good as its
+    * range boundaries, so this query derives 8-way split points the way a
+    * distributed engine must — from a FIXED-WIDTH INTEGER HISTOGRAM
+    * (map-side combinable, bounded by the value domain, never a sort):
+    * cumulative counts over the $1000-wide price bins pick the smallest
+    * bin where cum·8 ≥ q·n for each q, and every row is then assigned to
+    * its range partition by counting boundaries at or below its value.
+    * The output is the per-partition row census with its share in
+    * per-mille of the ideal 125‰ — the skew a RangePartitioner built from
+    * this histogram would actually exhibit, boundary-quantization error
+    * included (a18/a21's calibration discipline applied to partitioning).
+    *
+    * Scale: the only non-linear state is the histogram (≤ value-range ÷
+    * bin-width rows — the bounded global window) and two ≤8-row broadcast
+    * spines; rows are touched twice, shuffled zero times beyond the
+    * histogram's map-side combine.
+    */
+  private def o8_range_partition_audit(s: SparkSession, d: String): DataFrame = {
+    val binW   = 100000L // $1000.00 bins over price cents
+    val nParts = 8
+    val v    = table(s, d, "orders").select((col("o_totalprice") * 100).cast("long").as("v"))
+    val hist = v.groupBy(expr(s"v div $binW").as("bk")).agg(count(lit(1)).as("c"))
+    val wCum = Window.orderBy("bk").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum  = hist.withColumn("cc", sum("c").over(wCum))
+    val nRow = broadcast(v.agg(count(lit(1)).as("n")))
+    val qs   = s.range(1, nParts).select(col("id").as("q"))
+    val bnd = cum
+      .crossJoin(nRow)
+      .join(broadcast(qs), col("cc") * nParts >= col("q") * col("n"))
+      .groupBy("q")
+      .agg(min("bk").as("bbk"))
+      .agg(sort_array(collect_list((col("bbk") + 1) * binW)).as("bs"))
+    v.crossJoin(broadcast(bnd.crossJoin(nRow)))
+      .select(
+        size(filter(col("bs"), x => col("v") >= x)).cast("long").as("bin"),
+        col("n")
+      )
+      .groupBy("bin", "n")
+      .agg(count(lit(1)).as("n_rows"))
+      .select(
+        col("bin"),
+        col("n_rows"),
+        expr(s"1000 * n_rows * $nParts DIV n").as("share_pm")
+      )
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "o8_range_partition_audit" -> (o8_range_partition_audit _),
     "o7_global_ids" -> (o7_global_ids _),
     "w1_rank_label" -> (w1_rank_label _),
     "w2_keep_first" -> (w2_keep_first _),
@@ -323,6 +371,19 @@ object WindowsFiltersSorts extends QueryModule {
     .mkString(" + ")
 
   val oracles: Map[String, String] = Map(
+    "o8_range_partition_audit" ->
+      """WITH v AS (SELECT CAST(o_totalprice * 100 AS BIGINT) AS v FROM orders),
+         h AS (SELECT v // 100000 AS bk, count(*) AS c FROM v GROUP BY 1),
+         cum AS (SELECT bk, sum(c) OVER (ORDER BY bk ROWS UNBOUNDED PRECEDING) AS cc FROM h),
+         n AS (SELECT count(*) AS n FROM v),
+         q AS (SELECT unnest(range(1, 8)) AS q),
+         bnd AS (SELECT q, min(bk) AS bbk FROM cum, n, q WHERE cc * 8 >= q * n GROUP BY 1),
+         bs AS (SELECT list_sort(list((bbk + 1) * 100000)) AS bs FROM bnd),
+         a AS (SELECT len(list_filter(bs.bs, x -> v.v >= x)) AS bin FROM v, bs)
+         SELECT CAST(bin AS BIGINT) AS bin,
+                CAST(count(*) AS BIGINT) AS n_rows,
+                CAST(1000 * count(*) * 8 // max(n.n) AS BIGINT) AS share_pm
+         FROM a, n GROUP BY 1""",
     "o7_global_ids" ->
       """SELECT o_orderkey,
                 CAST(row_number() OVER (ORDER BY o_orderkey) AS BIGINT) AS gid

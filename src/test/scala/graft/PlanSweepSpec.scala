@@ -43,7 +43,8 @@ class PlanSweepSpec extends AnyFunSuite with SparkTestBase {
     "x14_term_coverage",     // single-row total-mass broadcast over 20 rows
     "x15_source_divergence", // single-row grand-total broadcast over the ≤(sources×64) frame
     "d14_cluster_safe_split", // single-row leak-count broadcast onto the ≤2-row split summary
-    "x17_source_overlap_matrix" // ≤-sources-row signature broadcast (20 rows × 12 ints)
+    "x17_source_overlap_matrix", // ≤-sources-row signature broadcast (20 rows × 12 ints)
+    "o8_range_partition_audit" // ≤7-row quantile spine + single-row boundary-array broadcasts
   )
 
   /** Queries allowed a window with an empty partition spec: the window
@@ -56,6 +57,7 @@ class PlanSweepSpec extends AnyFunSuite with SparkTestBase {
     "e12_global_disorder", // level-2 prefix max over the ≤-bucket-count spine rows
     "e13_watermark_audit", // same spine decomposition as e12, frame ends at -1
     "e14_retraction_census", // same spine decomposition as e13
+    "o8_range_partition_audit", // cumulative window over value-domain-bounded histogram bins
     "p8_offset_slice",    // bounded serial stage, limit upstream
     "x14_term_coverage"   // cumulative share over the top-20 rows only
   )
