@@ -364,7 +364,70 @@ object IOQueries extends QueryModule {
     n.unionByName(e)
   }
 
+  /** S28 — manifest-PRUNED scan, the zone-map loop closed end-to-end: s26
+    * computes footer stats as a result; this query USES them to skip
+    * files. Events land day-partitioned (event_id arrives time-ordered, so
+    * per-day [min,max] id ranges are disjoint — the clustering that makes
+    * zone maps bite on a NON-partition column); the per-partition min/max
+    * manifest is collected driver-side (≤ one row per partition — the
+    * listing-scale metadata a lakehouse reads from footers for free; the
+    * build pass here stands in for that), and the id-range predicate
+    * [25%, 35%] of the max id is answered by reading ONLY the partitions
+    * whose manifest interval intersects it. Scanned-but-empty partitions
+    * stay visible with n_hits = 0 — the zone map's false-positive cost,
+    * measured — alongside the scanned/total partition census.
+    *
+    * Scale: the pruning decision is O(|partitions|) driver metadata (the
+    * same budget `TableIO.compact` spends); the data path reads only
+    * matching directories, so scan cost tracks the predicate's
+    * selectivity, not the table size — the point of keeping zone maps.
+    */
+  private def s28_manifest_pruned_scan(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val base = ioDir("s28_events")
+    table(s, d, "events")
+      .select(
+        col("event_id"),
+        col("event_type"),
+        expr("ts div 86400000000000").cast("long").as("day_n")
+      )
+      .write
+      .mode("overwrite")
+      .partitionBy("day_n")
+      .parquet(base)
+    val manifest = s.read
+      .parquet(base)
+      .groupBy(col("day_n").cast("long").as("day_n"))
+      .agg(min("event_id").as("mn"), max("event_id").as("mx"))
+      .collect()
+    val maxId    = manifest.map(_.getAs[Long]("mx")).max
+    val lo       = maxId * 25 / 100
+    val hi       = maxId * 35 / 100
+    val scanned  = manifest.collect {
+      case r if r.getAs[Long]("mn") <= hi && r.getAs[Long]("mx") >= lo => r.getAs[Long]("day_n")
+    }.sorted
+    val nTotal   = manifest.length.toLong
+    val nScanned = scanned.length.toLong
+    val hits = s.read
+      .option("basePath", base)
+      .parquet(scanned.map(dayN => s"$base/day_n=$dayN"): _*)
+      .filter(col("event_id").between(lo, hi))
+      .groupBy(col("day_n").cast("long").as("day_n"))
+      .agg(count(lit(1)).as("n_hits"))
+    scanned.toSeq
+      .toDF("day_n")
+      .join(hits, Seq("day_n"), "left")
+      .na.fill(0L, Seq("n_hits"))
+      .select(
+        col("day_n"),
+        col("n_hits"),
+        lit(nScanned).as("n_parts_scanned"),
+        lit(nTotal).as("n_parts_total")
+      )
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s28_manifest_pruned_scan" -> (s28_manifest_pruned_scan _),
     "s1_parquet_roundtrip" -> (s1_parquet_roundtrip _),
     "s22_orc_roundtrip" -> (s22_orc_roundtrip _),
     "s23_schema_merge" -> (s23_schema_merge _),
@@ -380,6 +443,23 @@ object IOQueries extends QueryModule {
   )
 
   val oracles: Map[String, String] = Map(
+    "s28_manifest_pruned_scan" ->
+      """WITH e AS (SELECT event_id, epoch_us(ts) // 86400000000 AS day_n FROM events),
+         mf AS (SELECT day_n, min(event_id) AS mn, max(event_id) AS mx FROM e GROUP BY 1),
+         m AS (SELECT max(mx) AS m FROM mf),
+         b AS (SELECT m * 25 // 100 AS lo, m * 35 // 100 AS hi FROM m),
+         sc AS (SELECT day_n FROM mf, b WHERE mn <= hi AND mx >= lo),
+         ns AS (SELECT count(*) AS n_parts_scanned FROM sc),
+         tot AS (SELECT count(*) AS n_parts_total FROM mf),
+         h AS (SELECT e.day_n,
+                      sum(CASE WHEN e.event_id BETWEEN b.lo AND b.hi THEN 1 ELSE 0 END) AS n_hits
+               FROM e JOIN sc USING (day_n), b
+               GROUP BY 1)
+         SELECT CAST(h.day_n AS BIGINT) AS day_n,
+                CAST(n_hits AS BIGINT) AS n_hits,
+                CAST(n_parts_scanned AS BIGINT) AS n_parts_scanned,
+                CAST(n_parts_total AS BIGINT) AS n_parts_total
+         FROM h, ns, tot""",
     "s26_zonemap_manifest" ->
       """SELECT CAST(year(o_orderdate) AS BIGINT) AS part_year,
                 CAST(count(*) AS BIGINT) AS n_rows,
