@@ -788,7 +788,89 @@ object Curation extends QueryModule {
       .agg(count(lit(1)).as("n_docs"))
   }
 
+  /** PL9 — the corpus-build FUNNEL, end to end in one query: ingest →
+    * quality gate (the c6 battery via the SHARED gateBattery transform —
+    * batch, stream, and this funnel gate with one definition) → exact
+    * dedup (keep-first by text md5) → sequence packing (c1's per-language
+    * 4096-token windows), with the per-stage census a pipeline run
+    * reports: docs surviving, tokens surviving, and the per-mille drop at
+    * each stage. The `packed` row counts the 4096-token windows the
+    * surviving tokens fill per language — the number a training run
+    * actually budgets against. This is the integration artifact: every
+    * stage is an operator the engine already proves individually
+    * (c6/c3-family/c1), composed the way a production corpus build chains
+    * them, with drop accounting so no stage can lose rows silently.
+    *
+    * Scale: each stage's census is one single-row aggregate broadcast
+    * into the 4-row summary (registered bounded BNLJ); the stage frames
+    * materialize once (Lineage.truncate — the d13 pattern) so the text is
+    * scanned once per stage, not once per census.
+    */
+  private def pl9_corpus_funnel(s: SparkSession, d: String): DataFrame = {
+    val docs = table(s, d, "documents")
+      .select(col("doc_id"), col("lang"), col("text"))
+      .withColumn("ntok", size(words(col("text"))).cast("long"))
+    val keepIds = graft.Lineage.truncate(
+      gateBattery(docs).filter(col("keep") === 1).select("doc_id")
+    )
+    val kept = graft.Lineage.truncate(docs.join(keepIds, "doc_id"))
+    val wDup = Window.partitionBy(md5(col("text"))).orderBy(col("doc_id"))
+    val deduped = graft.Lineage.truncate(
+      kept
+        .withColumn("rn", row_number().over(wDup))
+        .filter(col("rn") === 1)
+        .select(col("doc_id"), col("lang"), col("ntok"))
+    )
+    val a0 = docs.agg(count(lit(1)).as("d0"), sum("ntok").as("t0"))
+    val a1 = kept.agg(count(lit(1)).as("d1"), sum("ntok").as("t1"))
+    val a2 = deduped.agg(count(lit(1)).as("d2"), sum("ntok").as("t2"))
+    val a3 = deduped
+      .groupBy("lang")
+      .agg(sum("ntok").as("tok"))
+      .agg(sum(expr("(tok - 1) DIV 4096 + 1")).as("npacks"))
+    val one = broadcast(a0)
+      .crossJoin(broadcast(a1))
+      .crossJoin(broadcast(a2))
+      .crossJoin(broadcast(a3))
+    one
+      .select(
+        lit(0L).as("stage_idx"),
+        lit("ingest").as("stage"),
+        col("d0").as("n_docs"),
+        col("t0").as("n_tokens"),
+        lit(0L).as("drop_pm")
+      )
+      .unionByName(
+        one.select(
+          lit(1L).as("stage_idx"),
+          lit("gate").as("stage"),
+          col("d1").as("n_docs"),
+          col("t1").as("n_tokens"),
+          expr("1000 * (d0 - d1) DIV d0").as("drop_pm")
+        )
+      )
+      .unionByName(
+        one.select(
+          lit(2L).as("stage_idx"),
+          lit("exact_dedup").as("stage"),
+          col("d2").as("n_docs"),
+          col("t2").as("n_tokens"),
+          expr("1000 * (d1 - d2) DIV d1").as("drop_pm")
+        )
+      )
+      .unionByName(
+        one.select(
+          lit(3L).as("stage_idx"),
+          lit("packed").as("stage"),
+          col("npacks").as("n_docs"),
+          col("t2").as("n_tokens"),
+          lit(0L).as("drop_pm")
+        )
+      )
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pl9_corpus_funnel" -> (pl9_corpus_funnel _),
     "c17_exact_quota_split" -> (c17_exact_quota_split _),
     "c16_line_dedup" -> (c16_line_dedup _),
     "c15_cdc_chunks" -> (c15_cdc_chunks _),
@@ -810,7 +892,63 @@ object Curation extends QueryModule {
 
   private def inList(xs: Seq[String]): String = xs.map(x => s"'$x'").mkString(", ")
 
+  /** The c6 gate battery as reusable oracle CTEs (`t`, `q`, `g`) — shared
+    * by the c6 oracle and the pl9 funnel oracle so both gate with
+    * literally the same SQL, mirroring gateBattery's single definition on
+    * the Spark side.
+    */
+  private val gateCtesSql =
+    s"""t AS (SELECT doc_id, text,
+                 CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+                 CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_distinct,
+                 CAST(len(list_filter(string_split(text, ' '), w -> w IN (${inList(StopEn)}))) AS BIGINT) AS n_stop
+          FROM documents),
+          q AS (SELECT doc_id, n_words,
+                       CAST(100 * (length(text) - (n_words - 1)) // n_words AS BIGINT) AS mwl_q,
+                       CAST(10000 * n_distinct // n_words AS BIGINT) AS distinct_q,
+                       n_stop
+                FROM t),
+          g AS (SELECT doc_id, n_words, mwl_q, distinct_q, n_stop,
+                       CAST(n_words >= 20 AND n_words <= 100000 AS INT) AS g_len,
+                       CAST(mwl_q >= 300 AND mwl_q <= 800 AS INT) AS g_mwl,
+                       CAST(n_stop >= 2 AS INT) AS g_stop,
+                       CAST(distinct_q >= 3000 AS INT) AS g_distinct
+                FROM q)"""
+
   val oracles: Map[String, String] = Map(
+    "pl9_corpus_funnel" ->
+      s"""WITH $gateCtesSql,
+          keepids AS (SELECT doc_id FROM g
+                      WHERE g_len = 1 AND g_mwl = 1 AND g_stop = 1 AND g_distinct = 1),
+          docs AS (SELECT doc_id, lang, text,
+                          CAST(len(string_split(text, ' ')) AS BIGINT) AS ntok
+                   FROM documents),
+          kept AS (SELECT d.* FROM docs d JOIN keepids USING (doc_id)),
+          dd AS (SELECT doc_id, lang, ntok,
+                        row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+                 FROM kept),
+          dedup AS (SELECT doc_id, lang, ntok FROM dd WHERE rn = 1),
+          s0 AS (SELECT count(*) AS d0, sum(ntok) AS t0 FROM docs),
+          s1 AS (SELECT count(*) AS d1, sum(ntok) AS t1 FROM kept),
+          s2 AS (SELECT count(*) AS d2, sum(ntok) AS t2 FROM dedup),
+          s3 AS (SELECT sum((tok - 1) // 4096 + 1) AS npacks
+                 FROM (SELECT lang, sum(ntok) AS tok FROM dedup GROUP BY 1))
+          SELECT CAST(0 AS BIGINT) AS stage_idx, 'ingest' AS stage,
+                 CAST(d0 AS BIGINT) AS n_docs, CAST(t0 AS BIGINT) AS n_tokens,
+                 CAST(0 AS BIGINT) AS drop_pm
+          FROM s0
+          UNION ALL
+          SELECT 1, 'gate', CAST(d1 AS BIGINT), CAST(t1 AS BIGINT),
+                 CAST(1000 * (d0 - d1) // d0 AS BIGINT)
+          FROM s0, s1
+          UNION ALL
+          SELECT 2, 'exact_dedup', CAST(d2 AS BIGINT), CAST(t2 AS BIGINT),
+                 CAST(1000 * (d1 - d2) // d1 AS BIGINT)
+          FROM s1, s2
+          UNION ALL
+          SELECT 3, 'packed', CAST(npacks AS BIGINT), CAST(t2 AS BIGINT),
+                 CAST(0 AS BIGINT)
+          FROM s2, s3""",
     "c17_exact_quota_split" ->
       """WITH h AS (
            SELECT doc_id, lang,
@@ -975,22 +1113,7 @@ object Curation extends QueryModule {
                 CAST(count(*) AS BIGINT) AS n
          FROM oj GROUP BY 1, 2""",
     "c6_gopher_gates" ->
-      s"""WITH t AS (SELECT doc_id, text,
-                 CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
-                 CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_distinct,
-                 CAST(len(list_filter(string_split(text, ' '), w -> w IN (${inList(StopEn)}))) AS BIGINT) AS n_stop
-          FROM documents),
-          q AS (SELECT doc_id, n_words,
-                       CAST(100 * (length(text) - (n_words - 1)) // n_words AS BIGINT) AS mwl_q,
-                       CAST(10000 * n_distinct // n_words AS BIGINT) AS distinct_q,
-                       n_stop
-                FROM t),
-          g AS (SELECT doc_id, n_words, mwl_q, distinct_q, n_stop,
-                       CAST(n_words >= 20 AND n_words <= 100000 AS INT) AS g_len,
-                       CAST(mwl_q >= 300 AND mwl_q <= 800 AS INT) AS g_mwl,
-                       CAST(n_stop >= 2 AS INT) AS g_stop,
-                       CAST(distinct_q >= 3000 AS INT) AS g_distinct
-                FROM q)
+      s"""WITH $gateCtesSql
           SELECT doc_id, n_words, mwl_q, distinct_q, n_stop,
                  g_len, g_mwl, g_stop, g_distinct,
                  CAST(g_len = 1 AND g_mwl = 1 AND g_stop = 1 AND g_distinct = 1 AS INT) AS keep,

@@ -44,7 +44,8 @@ class PlanSweepSpec extends AnyFunSuite with SparkTestBase {
     "x15_source_divergence", // single-row grand-total broadcast over the ≤(sources×64) frame
     "d14_cluster_safe_split", // single-row leak-count broadcast onto the ≤2-row split summary
     "x17_source_overlap_matrix", // ≤-sources-row signature broadcast (20 rows × 12 ints)
-    "o8_range_partition_audit" // ≤7-row quantile spine + single-row boundary-array broadcasts
+    "o8_range_partition_audit", // ≤7-row quantile spine + single-row boundary-array broadcasts
+    "pl9_corpus_funnel" // four single-row stage-census broadcasts into the 4-row summary
   )
 
   /** Queries allowed a window with an empty partition spec: the window
