@@ -869,8 +869,40 @@ object Curation extends QueryModule {
       )
   }
 
+  /** C18 — k-anonymity census (k = 5) over the release quasi-identifiers:
+    * documents grouped by the attribute tuple an adversary could join on
+    * — (lang, source, power-of-two length bucket) — and every cell with
+    * fewer than k members flagged, with the at-risk doc count. This is
+    * the audit a privacy pass runs BEFORE a corpus release: a document
+    * alone in its (lang, source, ~length) cell is re-identifiable from
+    * metadata even with the text redacted (x6 redacts content; c18
+    * measures the metadata side channel). Cells below k are what a
+    * release then suppresses or generalizes — the census prices that loss
+    * per (lang, source) slice.
+    *
+    * Scale: two nested keyed aggregations, both map-side combinable; the
+    * power-of-two bucket is c10's integer idiom (no float, merges by
+    * addition).
+    */
+  private def c18_k_anonymity(s: SparkSession, d: String): DataFrame =
+    table(s, d, "documents")
+      .select(
+        col("lang"),
+        col("source"),
+        expr("shiftleft(CAST(1 AS BIGINT), CAST(length(bin(n_chars)) AS INT))").as("len_bucket")
+      )
+      .groupBy("lang", "source", "len_bucket")
+      .agg(count(lit(1)).as("cell_n"))
+      .groupBy("lang", "source")
+      .agg(
+        count(lit(1)).as("n_cells"),
+        sum(when(col("cell_n") < 5, 1L).otherwise(0L)).as("n_small_cells"),
+        sum(when(col("cell_n") < 5, col("cell_n")).otherwise(0L)).as("n_docs_at_risk")
+      )
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "pl9_corpus_funnel" -> (pl9_corpus_funnel _),
+    "c18_k_anonymity" -> (c18_k_anonymity _),
     "c17_exact_quota_split" -> (c17_exact_quota_split _),
     "c16_line_dedup" -> (c16_line_dedup _),
     "c15_cdc_chunks" -> (c15_cdc_chunks _),
@@ -916,6 +948,17 @@ object Curation extends QueryModule {
                 FROM q)"""
 
   val oracles: Map[String, String] = Map(
+    "c18_k_anonymity" ->
+      """WITH q AS (SELECT lang, source,
+                           1 << length(bin(n_chars)) AS len_bucket
+                    FROM documents),
+         cells AS (SELECT lang, source, len_bucket, count(*) AS cell_n
+                   FROM q GROUP BY 1, 2, 3)
+         SELECT lang, source,
+                CAST(count(*) AS BIGINT) AS n_cells,
+                CAST(sum(CASE WHEN cell_n < 5 THEN 1 ELSE 0 END) AS BIGINT) AS n_small_cells,
+                CAST(sum(CASE WHEN cell_n < 5 THEN cell_n ELSE 0 END) AS BIGINT) AS n_docs_at_risk
+         FROM cells GROUP BY 1, 2""",
     "pl9_corpus_funnel" ->
       s"""WITH $gateCtesSql,
           keepids AS (SELECT doc_id FROM g

@@ -455,10 +455,65 @@ object Events extends QueryModule {
       )
   }
 
+  /** E15 — per-window distinct-user SKETCH next to truth: x10's all-integer
+    * HLL registers keyed by the 1-hour tumbling window, with the exact
+    * per-window distinct count as the audit column — the sketch-inside-
+    * window composition a streaming dashboard actually runs (per-window
+    * cardinality state = 64 registers, mergeable across shards by
+    * register max, instead of a per-window distinct-user set that grows
+    * with traffic). The exact column exists because the test corpus can
+    * afford truth; at 100 TB only the registers survive and d10/x13's
+    * estimate-vs-truth discipline is what this row calibrates.
+    *
+    * Scale: both aggregations key by window (map-side combinable), the
+    * join is window-keyed — nothing global, state O(windows × 64).
+    */
+  private def e15_window_distinct_sketch(s: SparkSession, d: String): DataFrame = {
+    val ev = table(s, d, "events")
+      .select(us.as("us"), col("user_id"))
+      .withColumn("win", expr("us div 3600000000"))
+    val counts = ev
+      .groupBy("win")
+      .agg(count(lit(1)).as("n_events"), countDistinct(col("user_id")).as("n_users_exact"))
+    val est = ev
+      .select(
+        col("win"),
+        expr("conv(substr(md5(CAST(user_id AS STRING)), 1, 6), 16, 10)").cast("long").as("h24")
+      )
+      .select(
+        col("win"),
+        expr("h24 div 262144").as("bucket"),
+        when(expr("h24 % 262144") === 0, 19L)
+          .otherwise(lit(19L) - length(expr("bin(h24 % 262144)")))
+          .as("rho")
+      )
+      .groupBy("win", "bucket")
+      .agg(max("rho").as("register"))
+      .groupBy("win")
+      .agg(
+        sum(expr("cast(shiftleft(1, cast(19 - register as int)) as long)")).as("sp"),
+        count(lit(1)).as("np")
+      )
+      .select(col("win"), (col("sp") + (lit(64L) - col("np")) * lit(524288L)).as("sreg"))
+      .select(
+        col("win"),
+        expr(s"${709L * 4096L * 524288L} div (sreg * 1000)").as("n_users_est_q")
+      )
+    counts
+      .join(est, "win")
+      .select(
+        (col("win") * 3600).as("win_start_s"),
+        col("n_events"),
+        col("n_users_exact"),
+        col("n_users_est_q")
+      )
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "e12_global_disorder" -> (e12_global_disorder _),
     "e13_watermark_audit" -> (e13_watermark_audit _),
     "e14_retraction_census" -> (e14_retraction_census _),
+    "e15_window_distinct_sketch" -> (e15_window_distinct_sketch _),
     "e11_disorder_census" -> (e11_disorder_census _),
     "e9_session_window_native" -> (e9_session_window_native _),
     "e8_sliding_window" -> (e8_sliding_window _),
@@ -473,6 +528,27 @@ object Events extends QueryModule {
   )
 
   val oracles: Map[String, String] = Map(
+    "e15_window_distinct_sketch" ->
+      s"""WITH e AS (SELECT epoch_us(ts) // 3600000000 AS win, user_id FROM events),
+         c AS (SELECT win, count(*) AS n_events,
+                      count(DISTINCT user_id) AS n_users_exact
+               FROM e GROUP BY 1),
+         h AS (SELECT win,
+                      ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 6))::BIGINT AS h24
+               FROM e),
+         r AS (SELECT win, h24 // 262144 AS bucket,
+                      CASE WHEN h24 % 262144 = 0 THEN 19
+                           ELSE 19 - length(bin(h24 % 262144)) END AS rho
+               FROM h),
+         regs AS (SELECT win, bucket, max(rho) AS register FROM r GROUP BY 1, 2),
+         est AS (SELECT win,
+                        sum(1 << (19 - register)) + (64 - count(*)) * 524288 AS sreg
+                 FROM regs GROUP BY 1)
+         SELECT CAST(c.win * 3600 AS BIGINT) AS win_start_s,
+                CAST(n_events AS BIGINT) AS n_events,
+                CAST(n_users_exact AS BIGINT) AS n_users_exact,
+                CAST(${709L * 4096L * 524288L} // (sreg * 1000) AS BIGINT) AS n_users_est_q
+         FROM c JOIN est ON est.win = c.win""",
     "e14_retraction_census" ->
       """WITH e AS (SELECT event_id, event_type, epoch_us(ts) AS us FROM events),
          l AS (SELECT event_type, us,
