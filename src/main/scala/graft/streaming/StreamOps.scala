@@ -238,9 +238,11 @@ object StreamOps {
     * batch query uses, so batch and stream verdicts agree by construction)
     * over each micro-batch of documents and route rows to the keep or
     * quarantine directory, never dropping a row silently (m4's
-    * no-silent-row-loss contract, streaming form). Quarantined rows carry
-    * their per-gate columns and first-failing reject reason for the audit
-    * trail.
+    * no-silent-row-loss contract, streaming form). Both outputs carry the
+    * FULL input payload plus the per-gate columns and first-failing
+    * reject reason: kept rows flow to the next pipeline stage (the
+    * dedupIngest → sequencePacker chain — the streaming funnel) without a
+    * re-join, and quarantined rows stay reprocessable after a gate fix.
     *
     * Delivery: the two appends inside one micro-batch are not jointly
     * atomic — a crash between them followed by a replay can double rows in
@@ -259,7 +261,13 @@ object StreamOps {
     docs.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        val gated = graft.queries.Curation.gateBattery(batch).cache()
+        // join the verdict back onto the FULL payload: a kept row flows to
+        // the next pipeline stage with its columns intact, and a
+        // quarantined row must carry everything needed to reprocess it
+        // after a gate fix — verdict-only quarantine rows are dead letters
+        val gated = batch
+          .join(graft.queries.Curation.gateBattery(batch).drop("text"), Seq("doc_id"))
+          .cache()
         try {
           // keep only CONFIRMED keeps; quarantine is the null-safe complement
           // (a null gate column — e.g. null text — must land in quarantine,

@@ -200,6 +200,96 @@ class StreamOpsSpec extends AnyFunSuite with SparkTestBase {
     } finally q.stop()
   }
 
+  test("streaming funnel: gate, dedup ingest, and packer chain via durable handoffs") {
+    import org.apache.spark.sql.functions.{col, size, split}
+    import org.apache.spark.sql.types.{LongType, StringType, StructType}
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val base = java.nio.file.Files.createTempDirectory("graft_funnel").toString
+    val in   = MemoryStream[(Long, String, String)]
+
+    val tEn1 = "the quick brown fox jumps over a lazy dog while the keen red cat naps of and to in is table"
+    val tDe1 = "the slow green bird flies under a heavy cloud while the warm blue lake rests of and to in is chair"
+    val tEn3 = tEn1 // duplicate of doc 1 — every band collides, verdict must be 'dup'
+    val tEn4 = "a big old ship sails past the tall white tower when a cold dark wave hits of and to in is stone"
+
+    // stage 1: gate router (payload carried through)
+    val q1 = StreamOps.gateAndQuarantine(
+      in.toDF().toDF("doc_id", "lang", "text"),
+      s"$base/keep",
+      s"$base/quar",
+      s"$base/ck1"
+    )
+    in.addData((1L, "en", tEn1), (2L, "de", tDe1), (5L, "en", "tiny doc of nothing much"))
+    q1.processAllAvailable()
+
+    // stage 2: dedup-aware ingest over the keep dir (file-source handoff)
+    val keepSchema = new StructType()
+      .add("doc_id", LongType)
+      .add("lang", StringType)
+      .add("text", StringType)
+    val q2 = StreamOps.dedupIngest(
+      spark.readStream.schema(keepSchema).parquet(s"$base/keep"),
+      s"$base/index",
+      s"$base/out",
+      s"$base/ck2"
+    )
+    q2.processAllAvailable()
+
+    // stage 3: packer over the ingest's 'new' docs (second file handoff)
+    val outSchema = keepSchema.add("verdict", StringType)
+    val q3 = StreamOps
+      .sequencePacker(
+        spark.readStream
+          .schema(outSchema)
+          .parquet(s"$base/out")
+          .filter(col("verdict") === "new")
+          .select(
+            col("lang"),
+            col("doc_id"),
+            size(split(col("text"), " ")).cast("long").as("n_tokens")
+          )
+          .as[StreamOps.PackIn]
+      )
+      .writeStream
+      .format("parquet")
+      .option("path", s"$base/packed")
+      .option("checkpointLocation", s"$base/ck3")
+      .outputMode(OutputMode.Append())
+      .start()
+    q3.processAllAvailable()
+
+    try {
+      // batch 2: a near-dup of doc 1, a fresh pass doc, a gate failure
+      in.addData((3L, "en", tEn3), (4L, "en", tEn4), (6L, "en", "another small doc with scant words"))
+      q1.processAllAvailable()
+      q2.processAllAvailable()
+      q3.processAllAvailable()
+
+      val quar = spark.read.parquet(s"$base/quar").select("doc_id").as[Long].collect().toSet
+      assert(quar == Set(5L, 6L))
+      val verdicts = spark.read
+        .parquet(s"$base/out")
+        .select("doc_id", "verdict")
+        .as[(Long, String)]
+        .collect()
+        .toMap
+      assert(verdicts == Map(1L -> "new", 2L -> "new", 3L -> "dup", 4L -> "new"))
+
+      val packed = spark.read
+        .parquet(s"$base/packed")
+        .as[StreamOps.PackOut]
+        .collect()
+        .map(p => p.doc_id -> p)
+        .toMap
+      val en1Tokens = tEn1.split(" ").length.toLong
+      assert(packed.keySet == Set(1L, 2L, 4L))
+      assert(packed(1L).start_off == 0L && packed(1L).n_tokens == en1Tokens)
+      assert(packed(2L).start_off == 0L) // de stream packs independently
+      assert(packed(4L).start_off == en1Tokens) // en offset continues past batch 1
+    } finally { q3.stop(); q2.stop(); q1.stop() }
+  }
+
   test("sequencePacker continues each language's pack offsets across micro-batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
