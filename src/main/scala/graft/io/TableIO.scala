@@ -157,6 +157,39 @@ object TableIO {
     walk(target)
   }
 
+  /** Crash-leftover VACUUM, compact's storage-side sibling: walks the tree
+    * under `path` and removes the two reserved write-protocol suffixes —
+    * `._tmp` staging dirs (a write that died before its promote) and
+    * `._old` parked dirs (a promote that died between swap and cleanup;
+    * the next write re-parks safely, but the copy pays storage until
+    * removed). Returns (staging dirs removed, parked dirs removed). Live
+    * table data is never a candidate: only the reserved suffixes match,
+    * and the walk does not descend into them. Run in the same maintenance
+    * window as compact — a live writer's in-flight staging dir is
+    * indistinguishable from a crashed one.
+    *
+    * At 100 TB this is driver-side listing metadata only (the compact
+    * budget); nothing reads data files.
+    */
+  def vacuum(spark: SparkSession, path: String): (Int, Int) = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs   = root.getFileSystem(conf)
+    var nTmp = 0
+    var nOld = 0
+    def walk(p: org.apache.hadoop.fs.Path): Unit =
+      fs.listStatus(p).foreach { s =>
+        if (s.isDirectory) {
+          val n = s.getPath.getName
+          if (n.endsWith("._tmp")) { fs.delete(s.getPath, true); nTmp += 1 }
+          else if (n.endsWith("._old")) { fs.delete(s.getPath, true); nOld += 1 }
+          else walk(s.getPath)
+        }
+      }
+    if (fs.exists(root)) walk(root)
+    (nTmp, nOld)
+  }
+
   /** S2 — Parquet scan with declared-schema empty fallback when missing.
     * Existence goes through the Hadoop FileSystem for the path's scheme —
     * `java.io.File` would report false for every hdfs://, s3a://, … URI and

@@ -139,6 +139,26 @@ class TableIOSpec extends AnyFunSuite with SparkTestBase {
       assert(n >= 200, s"compact lost rows: $n")
   }
 
+  test("vacuum removes crash leftovers and never touches live data") {
+    import spark.implicits._
+    val base = s"$tmp/vac"
+    val df   = Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+    TableIO.writeParquet(df, s"$base/t.parquet")
+    // plant the two crash shapes: a dead staging dir and a dead parked dir
+    val fs = new org.apache.hadoop.fs.Path(base)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    df.write.parquet(s"$base/t.parquet._tmp")
+    df.write.parquet(s"$base/t.parquet._old")
+    val (nTmp, nOld) = TableIO.vacuum(spark, base)
+    assert(nTmp == 1 && nOld == 1)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$base/t.parquet._tmp")))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$base/t.parquet._old")))
+    val back = spark.read.parquet(s"$base/t.parquet").as[(Long, String)].collect().toSet
+    assert(back == Set((1L, "a"), (2L, "b")))
+    // second pass finds nothing
+    assert(TableIO.vacuum(spark, base) == ((0, 0)))
+  }
+
   test("partition routing convention and partitioned write/read") {
     import spark.implicits._
     assert(
