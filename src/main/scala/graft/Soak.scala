@@ -97,7 +97,16 @@ object Soak {
     // dimension, which the soak never replicates.
     "c15_cdc_chunks",
     "c16_line_dedup",
-    "e12_global_disorder"
+    "e12_global_disorder",
+    // round-8 second wave: the dedup-consistent split (CC + leak audit),
+    // the hub-capped projection (the bounded self-join), the gram-novelty
+    // join, the manifest-pruned scan (write + prune + read), and the
+    // end-to-end funnel
+    "d14_cluster_safe_split",
+    "g16_cooccurrence_projection",
+    "x16_novelty_rate",
+    "s28_manifest_pruned_scan",
+    "pl9_corpus_funnel"
   )
 
   private[graft] def buildScaled(spark: SparkSession, src: String, out: String, n: Int): Unit = {
