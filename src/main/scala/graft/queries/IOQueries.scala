@@ -426,8 +426,42 @@ object IOQueries extends QueryModule {
       )
   }
 
+  /** B2 — bucket-PRUNED point lookup: the read-side payoff of b1's bucket
+    * layout. A point predicate on the bucketing key hashes to exactly one
+    * bucket, so the scan opens 1 of 8 bucket files instead of the table —
+    * the O(table/buckets) point-lookup a bucketed layout buys without any
+    * index structure (PlanShapeSpec pins `SelectedBucketsCount: 1 out of
+    * 8` so a layout regression can't silently fall back to a full scan).
+    * The probe key is the table's minimum order key — data-derived, so the
+    * lookup hits at every scale factor.
+    */
+  private def b2_bucket_pruned_lookup(s: SparkSession, d: String): DataFrame = {
+    val base = ioDir("b2_buckets")
+    s.sql("DROP TABLE IF EXISTS graft_orders_b2")
+    table(s, d, "orders")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderpriority"))
+      .write.mode("overwrite")
+      .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+      .option("path", s"$base/orders").saveAsTable("graft_orders_b2")
+    val k = table(s, d, "orders").agg(min("o_orderkey")).head().getLong(0)
+    // aggregate ON the bucketing key: the planner keeps the bucketed scan
+    // (auto-bucketed-scan drops the layout — and with it the pruning —
+    // when no operator consumes the bucket clustering), and the bucketing
+    // satisfies the aggregation's distribution, so the plan has zero
+    // Exchanges AND opens one bucket file
+    s.table("graft_orders_b2")
+      .filter(col("o_orderkey") === k)
+      .groupBy(col("o_orderkey"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        min(col("o_custkey")).as("o_custkey"),
+        min(col("o_orderpriority")).as("o_orderpriority")
+      )
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s28_manifest_pruned_scan" -> (s28_manifest_pruned_scan _),
+    "b2_bucket_pruned_lookup" -> (b2_bucket_pruned_lookup _),
     "s1_parquet_roundtrip" -> (s1_parquet_roundtrip _),
     "s22_orc_roundtrip" -> (s22_orc_roundtrip _),
     "s23_schema_merge" -> (s23_schema_merge _),
@@ -443,6 +477,14 @@ object IOQueries extends QueryModule {
   )
 
   val oracles: Map[String, String] = Map(
+    "b2_bucket_pruned_lookup" ->
+      """SELECT o_orderkey,
+                CAST(count(*) AS BIGINT) AS n_rows,
+                min(o_custkey) AS o_custkey,
+                min(o_orderpriority) AS o_orderpriority
+         FROM orders
+         WHERE o_orderkey = (SELECT min(o_orderkey) FROM orders)
+         GROUP BY 1""",
     "s28_manifest_pruned_scan" ->
       """WITH e AS (SELECT event_id, epoch_us(ts) // 86400000000 AS day_n FROM events),
          mf AS (SELECT day_n, min(event_id) AS mn, max(event_id) AS mx FROM e GROUP BY 1),

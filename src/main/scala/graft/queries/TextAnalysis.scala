@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Engine.table
@@ -561,7 +562,43 @@ object TextAnalysis extends QueryModule {
       .withColumn("est_jaccard_pm", expr(s"1000 * n_agree DIV ${MH.NumHashes}"))
   }
 
+  /** X18 — Zipf rank-frequency audit over the top-32 corpus terms: each
+    * rank's observed frequency next to the Zipf prediction f₁/rank and
+    * their ratio in per-mille (1000 = the ideal curve). Natural-language
+    * corpora track Zipf closely; machine-generated or template-heavy
+    * slices bend the curve — so this is the cheap "does this corpus look
+    * like language" check a curation run reads next to x1's lang-ID and
+    * c12's boilerplate census. Integer end-to-end: the ratio uses only
+    * positive operands, so truncating division agrees across engines.
+    *
+    * Scale: one map-side-combinable term count, a top-32 TakeOrdered, and
+    * a window over those 32 rows only (x14's bounded-global-window
+    * argument).
+    */
+  private def x18_zipf_audit(s: SparkSession, d: String): DataFrame = {
+    val freq = table(s, d, "documents")
+      .select(explode(words(col("text"))).as("w"))
+      .groupBy("w")
+      .agg(count(lit(1)).as("f"))
+    val top = freq.orderBy(col("f").desc, col("w").asc).limit(32)
+    val wR  = Window.orderBy(col("f").desc, col("w").asc)
+    top
+      .withColumn("rank", row_number().over(wR).cast("long"))
+      .withColumn(
+        "f1",
+        max(col("f")).over(wR.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+      )
+      .select(
+        col("rank"),
+        col("w").as("term"),
+        col("f").as("freq"),
+        expr("f1 DIV rank").as("zipf_pred"),
+        expr("1000 * f DIV (f1 DIV rank)").as("ratio_pm")
+      )
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x18_zipf_audit" -> (x18_zipf_audit _),
     "x17_source_overlap_matrix" -> (x17_source_overlap_matrix _),
     "x16_novelty_rate" -> (x16_novelty_rate _),
     "x15_source_divergence" -> (x15_source_divergence _),
@@ -587,6 +624,19 @@ object TextAnalysis extends QueryModule {
     s"CAST(len(list_filter(string_split(text, ' '), w -> w IN (${inList(xs)}))) AS BIGINT)"
 
   val oracles: Map[String, String] = Map(
+    "x18_zipf_audit" ->
+      """WITH w AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+         f AS (SELECT w, count(*) AS f FROM w GROUP BY 1),
+         top AS (SELECT w, f FROM f ORDER BY f DESC, w LIMIT 32),
+         r AS (SELECT w, f,
+                      row_number() OVER (ORDER BY f DESC, w) AS rank,
+                      max(f) OVER (ORDER BY f DESC, w ROWS UNBOUNDED PRECEDING) AS f1
+               FROM top)
+         SELECT CAST(rank AS BIGINT) AS rank, w AS term,
+                CAST(f AS BIGINT) AS freq,
+                CAST(f1 // rank AS BIGINT) AS zipf_pred,
+                CAST(1000 * f // (f1 // rank) AS BIGINT) AS ratio_pm
+         FROM r""",
     "x17_source_overlap_matrix" -> {
       import graft.operators.{MinHashOps => MH}
       val cols = (0 until MH.NumHashes)

@@ -33,6 +33,12 @@ class PlanShapeSpec extends AnyFunSuite with SparkTestBase {
   private def shuffleExchanges(p: String): Int =
     raw"\(\d+\) Exchange\b".r.findAllIn(p).size
 
+  test("b2's point lookup opens exactly one of eight bucket files") {
+    val p = plan("b2_bucket_pruned_lookup")
+    assert(p.contains("SelectedBucketsCount: 1 out of 8"), p.linesIterator.take(30).mkString("\n"))
+    assert(shuffleExchanges(p) == 0)
+  }
+
   test("j6 dims are broadcast (two BroadcastHashJoins, no SortMergeJoin)") {
     val p = plan("j6_broadcast_dims")
     // FormattedMode prints each node in the tree AND the detail section:

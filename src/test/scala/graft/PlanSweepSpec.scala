@@ -60,7 +60,8 @@ class PlanSweepSpec extends AnyFunSuite with SparkTestBase {
     "e14_retraction_census", // same spine decomposition as e13
     "o8_range_partition_audit", // cumulative window over value-domain-bounded histogram bins
     "p8_offset_slice",    // bounded serial stage, limit upstream
-    "x14_term_coverage"   // cumulative share over the top-20 rows only
+    "x14_term_coverage",  // cumulative share over the top-20 rows only
+    "x18_zipf_audit"      // rank + running max over the top-32 rows only
   )
 
   test("no query plans a CartesianProduct, an unexpected BNLJ, or an unbounded global window") {
