@@ -190,6 +190,38 @@ object TableIO {
     (nTmp, nOld)
   }
 
+  /** Generation-stamped append — the write half of snapshot (time-travel)
+    * reads: each call lands a whole generation as a `gen=N` Hive partition
+    * through the staged atomic swap, so a crashed generation write leaves
+    * prior generations untouched and re-running generation N is
+    * idempotent (its partition is swapped, the others never opened).
+    * Generations are the coarse-grained commit log a lakehouse table
+    * keeps: the table's state AS OF generation k is a pure function of
+    * the `gen<=k` partitions.
+    */
+  def writeGeneration(df: DataFrame, path: String, gen: Int): Unit = {
+    val conf    = df.sparkSession.sparkContext.hadoopConfiguration
+    val target  = new org.apache.hadoop.fs.Path(s"$path/gen=$gen")
+    val staging = new org.apache.hadoop.fs.Path(target.toString + "._tmp")
+    val fs      = target.getFileSystem(conf)
+    df.write.mode("overwrite").parquet(staging.toString)
+    promote(fs, staging, target)
+  }
+
+  /** Snapshot (time-travel) read: every row of every generation `<= asOf`,
+    * with the `gen` column available for keep-last conflict resolution
+    * (which stays with the CALLER — a log table unions generations, an
+    * upsert table resolves max-gen per key; [[graft.queries.IOQueries]]'s
+    * s29 shows the latter). The `gen <= asOf` predicate is a partition
+    * filter, so Catalyst prunes newer generations at planning time — a
+    * snapshot read never opens a file written after its as-of point
+    * (TableIOSpec asserts the predicate lands in PartitionFilters).
+    */
+  def readSnapshot(spark: SparkSession, path: String, asOf: Int): DataFrame =
+    spark.read
+      .parquet(path)
+      .filter(org.apache.spark.sql.functions.col("gen") <= asOf)
+
   /** S2 — Parquet scan with declared-schema empty fallback when missing.
     * Existence goes through the Hadoop FileSystem for the path's scheme —
     * `java.io.File` would report false for every hdfs://, s3a://, … URI and

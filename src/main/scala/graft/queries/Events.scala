@@ -509,7 +509,50 @@ object Events extends QueryModule {
       )
   }
 
+  /** E16 — exponential time-decay (half-life = 1 day) recency weighting per
+    * event type: the freshness prior a corpus-mixing loop applies when
+    * deciding how much of each stream to admit (yesterday's crawl counts
+    * double tomorrow's). Weight = 2^(day − min_day), so the NEWEST day
+    * carries the largest power of two and every day older halves it —
+    * equivalent to 2^(−age) up to one shared scale factor, which the
+    * per-mille share divides back out. All integer: the weight is a bigint
+    * shift (capped at 2^62 for spans the harness never reaches), the share
+    * is positive-operand integer division, so no float crosses the engine
+    * boundary and the sum is order-independent.
+    *
+    * Scale: one hash aggregate on event_type (map-side combinable); the
+    * day span and the grand total are single-row broadcasts (the two BNLJs
+    * the sweep allowlists). At 100 TB the decayed sums stay bounded by the
+    * 62-bit cap only if the day span is ≤ ~30; a production run would
+    * bucket ages at a coarser grain (weeks) or renormalize per window —
+    * the per-mille output is invariant to that shared rescale.
+    */
+  private def e16_time_decay(s: SparkSession, d: String): DataFrame = {
+    val ev = table(s, d, "events")
+      .select(col("event_type"), expr("(ts div 1000) div 86400000000").as("day"))
+    val span = ev.agg(min(col("day")).as("d0"))
+    val perType = ev
+      .crossJoin(broadcast(span))
+      .select(
+        col("event_type"),
+        expr("cast(shiftleft(cast(1 as bigint), cast(least(day - d0, 62L) as int)) as long)")
+          .as("wt")
+      )
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"), sum(col("wt")).as("decayed"))
+    val total = perType.agg(sum(col("decayed")).as("total"))
+    perType
+      .crossJoin(broadcast(total))
+      .select(
+        col("event_type"),
+        col("n_events"),
+        col("decayed"),
+        expr("(1000 * decayed) div total").as("decayed_pm")
+      )
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "e16_time_decay" -> (e16_time_decay _),
     "e12_global_disorder" -> (e12_global_disorder _),
     "e13_watermark_audit" -> (e13_watermark_audit _),
     "e14_retraction_census" -> (e14_retraction_census _),
@@ -528,6 +571,20 @@ object Events extends QueryModule {
   )
 
   val oracles: Map[String, String] = Map(
+    "e16_time_decay" ->
+      """WITH e AS (SELECT event_type,
+                           epoch_us(ts) // 86400000000 AS day FROM events),
+         span AS (SELECT min(day) AS d0 FROM e),
+         w AS (SELECT event_type,
+                      1::BIGINT << CAST(least(day - d0, 62) AS INTEGER) AS wt
+               FROM e, span),
+         t AS (SELECT event_type, count(*) AS n_events, sum(wt) AS decayed
+               FROM w GROUP BY 1),
+         g AS (SELECT sum(decayed) AS total FROM t)
+         SELECT event_type, CAST(n_events AS BIGINT) AS n_events,
+                CAST(decayed AS BIGINT) AS decayed,
+                CAST((1000 * decayed) // total AS BIGINT) AS decayed_pm
+         FROM t, g""",
     "e15_window_distinct_sketch" ->
       s"""WITH e AS (SELECT epoch_us(ts) // 3600000000 AS win, user_id FROM events),
          c AS (SELECT win, count(*) AS n_events,

@@ -20,6 +20,51 @@ object IOQueries extends QueryModule {
   private def ioDir(name: String): String =
     s"${sys.props("java.io.tmpdir")}/graft_io/$name"
 
+  /** S29 — snapshot (time-travel) read over generation-stamped commits:
+    * three generations of the supplier table land as `gen=N` partitions
+    * (gen 1 = the base load, gen 2 upserts every 10th key, gen 3 every
+    * 7th), then the table is read AS OF generation 2 — gen 3's files are
+    * partition-pruned away at planning time (TableIOSpec asserts the
+    * PartitionFilters) — and per-key conflicts resolve keep-last by max gen.
+    * The oracle recomputes the as-of-2 state directly from the source
+    * table, so a green row proves write→prune→resolve reproduces the
+    * committed history, not merely that two reads agree.
+    *
+    * Scale: the snapshot scan reads only `gen<=asOf` partitions; the
+    * keep-last window keys on s_suppkey (one shuffle), and the final
+    * aggregate is map-side combinable. Values are pure integer functions
+    * of the key, so no float crosses the engine boundary. At 100 TB the
+    * per-key window is the standard MOR (merge-on-read) price; compact
+    * (this module's maintenance pass) is what folds old generations down
+    * when the history no longer needs to stay addressable.
+    */
+  private def s29_time_travel(s: SparkSession, d: String): DataFrame = {
+    val base = ioDir("s29_supplier")
+    val src = table(s, d, "supplier")
+      .select(col("s_suppkey"), col("s_nationkey"), (col("s_suppkey") * 10).as("v"))
+    TableIO.writeGeneration(src, base, 1)
+    TableIO.writeGeneration(
+      src.filter(col("s_suppkey") % 10 === 0).withColumn("v", col("s_suppkey") * 10 + 1),
+      base,
+      2
+    )
+    TableIO.writeGeneration(
+      src.filter(col("s_suppkey") % 7 === 0).withColumn("v", col("s_suppkey") * 10 + 2),
+      base,
+      3
+    )
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("s_suppkey"))
+      .orderBy(col("gen").desc)
+    TableIO
+      .readSnapshot(s, base, asOf = 2)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .groupBy(col("s_nationkey"))
+      .agg(count(lit(1)).as("n_suppliers"), sum(col("v")).as("sum_v"))
+      .select(col("s_nationkey"), col("n_suppliers"), col("sum_v").cast("long").as("sum_v"))
+  }
+
   /** S1 — Parquet sink→scan roundtrip (atomic overwrite commit). */
   private def s1_parquet_roundtrip(s: SparkSession, d: String): DataFrame = {
     val out = ioDir("s1_orders")
@@ -463,6 +508,7 @@ object IOQueries extends QueryModule {
     "s28_manifest_pruned_scan" -> (s28_manifest_pruned_scan _),
     "b2_bucket_pruned_lookup" -> (b2_bucket_pruned_lookup _),
     "s1_parquet_roundtrip" -> (s1_parquet_roundtrip _),
+    "s29_time_travel" -> (s29_time_travel _),
     "s22_orc_roundtrip" -> (s22_orc_roundtrip _),
     "s23_schema_merge" -> (s23_schema_merge _),
     "s3_jsonl_roundtrip" -> (s3_jsonl_roundtrip _),
@@ -522,6 +568,13 @@ object IOQueries extends QueryModule {
          SELECT CAST(count(*) AS BIGINT) AS n_rows, CAST(sum(h) AS BIGINT) AS digest FROM h""",
     "s1_parquet_roundtrip" ->
       "SELECT o_orderkey, o_custkey, o_totalprice FROM orders",
+    // s29: the as-of-2 state is a closed-form function of the source keys
+    // (gen 2 overrode every 10th key; gen 3 is beyond the as-of point)
+    "s29_time_travel" ->
+      """SELECT s_nationkey, CAST(count(*) AS BIGINT) AS n_suppliers,
+                CAST(sum(CASE WHEN s_suppkey % 10 = 0 THEN s_suppkey * 10 + 1
+                              ELSE s_suppkey * 10 END) AS BIGINT) AS sum_v
+         FROM supplier GROUP BY 1""",
     "s3_jsonl_roundtrip" ->
       """SELECT c_custkey, c_name,
                 CASE WHEN c_custkey % 2 = 0

@@ -597,7 +597,40 @@ object TextAnalysis extends QueryModule {
       )
   }
 
+  /** X19 — tokenizer fertility audit per language: tokens-per-word and
+    * chars-per-token under the declared regex-BPE estimator (x3's
+    * re_tokens), aggregated per lang. Fertility is the multilingual
+    * token-budget number — a language whose fertility runs 2× English
+    * costs 2× the compute per word, and the mixing loop prices that
+    * BEFORE committing a sampling ratio (pairs with c8's rebalance and
+    * x5's per-language rates). Ratios are per-mille positive-operand
+    * integer division, so truncation agrees across engines.
+    *
+    * Scale: one projection (codegen'd regexp_count/size — no explode,
+    * no token rows materialized) into one map-side-combinable hash
+    * aggregate on lang; output is |languages| rows.
+    */
+  private def x19_token_fertility(s: SparkSession, d: String): DataFrame =
+    table(s, d, "documents")
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(size(words(col("text")))).as("n_words"),
+        sum(regexp_count(col("text"), lit("[a-z]+|[0-9]+|[^a-z0-9 ]"))).as("n_tokens"),
+        sum(length(col("text"))).as("n_chars")
+      )
+      .select(
+        col("lang"),
+        col("n_docs"),
+        col("n_words").cast("long").as("n_words"),
+        col("n_tokens").cast("long").as("n_tokens"),
+        col("n_chars").cast("long").as("n_chars"),
+        expr("(1000 * n_tokens) div n_words").as("fertility_pm"),
+        expr("(1000 * n_chars) div n_tokens").as("chars_per_token_pm")
+      )
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x19_token_fertility" -> (x19_token_fertility _),
     "x18_zipf_audit" -> (x18_zipf_audit _),
     "x17_source_overlap_matrix" -> (x17_source_overlap_matrix _),
     "x16_novelty_rate" -> (x16_novelty_rate _),
@@ -624,6 +657,19 @@ object TextAnalysis extends QueryModule {
     s"CAST(len(list_filter(string_split(text, ' '), w -> w IN (${inList(xs)}))) AS BIGINT)"
 
   val oracles: Map[String, String] = Map(
+    "x19_token_fertility" ->
+      """WITH t AS (SELECT lang, count(*) AS n_docs,
+                sum(len(string_split(text, ' '))) AS n_words,
+                sum(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]'))) AS n_tokens,
+                sum(length(text)) AS n_chars
+         FROM documents GROUP BY 1)
+         SELECT lang, CAST(n_docs AS BIGINT) AS n_docs,
+                CAST(n_words AS BIGINT) AS n_words,
+                CAST(n_tokens AS BIGINT) AS n_tokens,
+                CAST(n_chars AS BIGINT) AS n_chars,
+                CAST((1000 * n_tokens) // n_words AS BIGINT) AS fertility_pm,
+                CAST((1000 * n_chars) // n_tokens AS BIGINT) AS chars_per_token_pm
+         FROM t""",
     "x18_zipf_audit" ->
       """WITH w AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents),
          f AS (SELECT w, count(*) AS f FROM w GROUP BY 1),

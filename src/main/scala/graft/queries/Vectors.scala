@@ -137,6 +137,58 @@ object Vectors extends QueryModule {
     )
   }
 
+  /** S27 — IVF codebook TRAINING step (one deterministic Lloyd iteration):
+    * the half of the IVF story s19c consumes. Seeds = the first 8 stored
+    * vectors; every vector is assigned to its nearest seed by squared L2,
+    * then the per-cluster per-dim mean is the next codebook. Output = the
+    * trained codebook as a (cluster, pos) table — exactly the centroid
+    * frame an IVF probe broadcasts.
+    *
+    * Everything crosses the engine boundary as integers: components are
+    * quantized once (floor(e·1024) — ·1024 is a power of two so the double
+    * product is exact and floor is engine-identical), distances are bigint
+    * sums (order-independent, so plain aggregation is safe — no float
+    * parenthesization contract needed), ties go to the smaller seed id via
+    * min(struct(d2, seed)), and the mean is positive-operand integer
+    * division (q shifted by +1024 ≥ 0, then shifted back).
+    *
+    * Scale: the seed table is 8×dim rows — a broadcast hash join on pos,
+    * never all-pairs over vectors. The distance aggregate keys on
+    * (vec_id, seed) = 8 rows per vector with map-side partial sums; the
+    * codebook aggregate keys on (cluster, pos) = k·dim cells. Two scans of
+    * the quantized frame (assignment + re-centering) is the Lloyd-step
+    * minimum; a k-means RUN repeats this whole job per iteration with the
+    * codebook swapped in for the seeds — each iteration this same shape.
+    */
+  private def s27_ivf_train(s: SparkSession, d: String): DataFrame = {
+    val vq = table(s, d, "embeddings")
+      .select(col("vec_id"), posexplode(col("embedding").cast("array<double>")))
+      .select(
+        col("vec_id"),
+        (col("pos") + 1).cast("long").as("pos"),
+        floor(col("col") * 1024).cast("long").as("q")
+      )
+    val seeds = vq
+      .filter(col("vec_id") < 8)
+      .select(col("vec_id").as("seed"), col("pos"), col("q").as("cq"))
+    val assign = vq
+      .join(broadcast(seeds), Seq("pos"))
+      .groupBy(col("vec_id"), col("seed"))
+      .agg(sum((col("q") - col("cq")) * (col("q") - col("cq"))).as("d2"))
+      .groupBy(col("vec_id"))
+      .agg(min(struct(col("d2"), col("seed"))).as("m"))
+      .select(col("vec_id"), col("m.seed").as("cluster"))
+    vq.join(assign, "vec_id")
+      .groupBy(col("cluster"), col("pos"))
+      .agg(count(lit(1)).as("n_members"), sum(col("q") + lit(1024L)).as("sp"))
+      .select(
+        col("cluster"),
+        col("pos"),
+        col("n_members"),
+        (expr("sp div n_members") - 1024L).as("mean_q")
+      )
+  }
+
   /** S17 — vector-collection upsert sink: multiple versions per doc_id in
     * the batch, keep-last wins (the reference's `collection.upsert`
     * semantics, ingest_vector_db.py:181-204), then the collection is
@@ -224,6 +276,7 @@ object Vectors extends QueryModule {
     "s19_knn_cosine" -> (s19_knn_cosine _),
     "s19b_knn_bucketed" -> (s19b_knn_bucketed _),
     "s19c_knn_ivf" -> (s19c_knn_ivf _),
+    "s27_ivf_train" -> (s27_ivf_train _),
     "s19d_knn_filtered" -> (s19d_knn_filtered _),
     "s20_vector_dump" -> (s20_vector_dump _),
     "s17_vector_upsert" -> (s17_vector_upsert _),
@@ -244,6 +297,23 @@ object Vectors extends QueryModule {
       .mkString(" || ")
 
   val oracles: Map[String, String] = Map(
+    "s27_ivf_train" ->
+      s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+          vq AS (SELECT vec_id, CAST(i AS BIGINT) AS pos,
+                        CAST(floor(e[i] * 1024) AS BIGINT) AS q
+                 FROM v, (SELECT unnest(range(1, ${Dim + 1})) AS i)),
+          seeds AS (SELECT vec_id AS seed, pos, q AS cq FROM vq WHERE vec_id < 8),
+          dist AS (SELECT vq.vec_id, seeds.seed,
+                          sum((q - cq) * (q - cq)) AS d2
+                   FROM vq JOIN seeds USING (pos) GROUP BY 1, 2),
+          a AS (SELECT vec_id, seed AS cluster,
+                       row_number() OVER (PARTITION BY vec_id ORDER BY d2, seed) AS rn
+                FROM dist),
+          m AS (SELECT vec_id, cluster FROM a WHERE rn = 1)
+          SELECT cluster, pos, CAST(count(*) AS BIGINT) AS n_members,
+                 CAST((sum(q + 1024) // count(*)) - 1024 AS BIGINT) AS mean_q
+          FROM vq JOIN m USING (vec_id)
+          GROUP BY 1, 2""",
     "s24_scalar_quantize" ->
       """WITH w0 AS (SELECT vec_id,
                 unnest(list_transform(range(1, len(embedding) + 1),

@@ -32,6 +32,7 @@ class PlanSweepSpec extends AnyFunSuite with SparkTestBase {
     "c9_importance_weights", // single-row totals broadcast
     "c11_outlier_gate",      // single-row sufficient-statistics broadcast
     "c14_embargo_split",     // single-row time-span (min/max) broadcast
+    "e16_time_decay",        // single-row min-day + single-row grand-total broadcasts
     "g7_modularity",         // single-row m / sum_d2 scalar broadcasts
     "g8_refined_modularity", // single-row before/after numerator broadcasts
     "g8b_refined_fixed_point", // single-row LPA/pass1/fixed-point numerator broadcasts

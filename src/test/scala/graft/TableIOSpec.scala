@@ -159,6 +159,43 @@ class TableIOSpec extends AnyFunSuite with SparkTestBase {
     assert(TableIO.vacuum(spark, base) == ((0, 0)))
   }
 
+  test("generation writes + snapshot read: as-of prunes newer gens, keep-last resolves") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val base = s"$tmp/timetravel"
+    TableIO.writeGeneration(Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v"), base, 1)
+    TableIO.writeGeneration(Seq((2L, "b2")).toDF("k", "v"), base, 2)
+    TableIO.writeGeneration(Seq((1L, "a3"), (4L, "d3")).toDF("k", "v"), base, 3)
+
+    def resolved(asOf: Int): Map[Long, String] = {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("k"))
+        .orderBy(col("gen").desc)
+      TableIO
+        .readSnapshot(spark, base, asOf)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("k").as[Long], col("v").as[String])
+        .collect()
+        .toMap
+    }
+    assert(resolved(1) == Map(1L -> "a", 2L -> "b", 3L -> "c"))
+    assert(resolved(2) == Map(1L -> "a", 2L -> "b2", 3L -> "c"))
+    assert(resolved(3) == Map(1L -> "a3", 2L -> "b2", 3L -> "c", 4L -> "d3"))
+    // the as-of-2 scan must never open a generation-3 file: the gen<=asOf
+    // predicate must reach the scan as a PARTITION filter (pruned at
+    // planning time), not a post-scan row filter
+    val p = TableIO
+      .readSnapshot(spark, base, 2)
+      .queryExecution
+      .explainString(org.apache.spark.sql.execution.FormattedMode)
+    val pf = p.linesIterator.filter(_.contains("PartitionFilters")).mkString
+    assert(pf.contains("gen") && pf.contains("<= 2"), p)
+    // re-running a generation write is idempotent (staged swap per gen)
+    TableIO.writeGeneration(Seq((2L, "b2")).toDF("k", "v"), base, 2)
+    assert(resolved(2) == Map(1L -> "a", 2L -> "b2", 3L -> "c"))
+  }
+
   test("partition routing convention and partitioned write/read") {
     import spark.implicits._
     assert(
