@@ -37,7 +37,32 @@ object Engine {
 
   /** Load one of the harness tables (`region nation customer supplier part
     * orders lineitem events documents embeddings`) from a scale-factor dir.
+    *
+    * `events.ts` has shipped as both TIMESTAMP(NANOS) (read as epoch-nanos
+    * long under `nanosAsLong`) and plain TIMESTAMP(MICROS) (read as a
+    * timestamp) across testdata generations. Downstream event-time code is
+    * written against epoch-nanos longs, so normalize here — the ONE place
+    * the table enters the engine — rather than branching in every query:
+    * long passes through; timestamp/timestamp_ntz becomes
+    * `unix_micros(ts) * 1000` (session TZ is UTC, so the cast is
+    * deterministic). Pure projection — pushdown/pruning are unaffected.
     */
-  def table(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+  def table(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val df = spark.read.parquet(s"$dir/$name.parquet")
+    if (name == "events") normalizeEventTs(df) else df
+  }
+
+  /** Rewrite a timestamp-typed `ts` column to epoch-nanos long; leave a
+    * long-typed `ts` (old NANOS testdata under nanosAsLong) untouched.
+    */
+  def normalizeEventTs(df: DataFrame): DataFrame =
+    df.schema.find(_.name == "ts").map(_.dataType) match {
+      case Some(org.apache.spark.sql.types.TimestampType) |
+          Some(org.apache.spark.sql.types.TimestampNTZType) =>
+        df.withColumn(
+          "ts",
+          org.apache.spark.sql.functions.expr(
+            "unix_micros(cast(ts as timestamp)) * 1000L"))
+      case _ => df
+    }
 }

@@ -26,9 +26,13 @@ object TextFunctions {
       regexp_replace(
         regexp_replace(
           regexp_replace(
+            // ftfy's fix_text ordering: unescape_html BEFORE fix_encoding
+            // (reference utils/data_transformation_helpers.py:28-86) — an
+            // entity-escaped mojibake mix ("&Atilde;&copy;") must unescape
+            // to raw mojibake ("Ã©") before the encoding repair can see it.
             call_function(
               "graft_nfkc",
-              call_function("graft_unescape_html", call_function("graft_fix_mojibake", c))
+              call_function("graft_fix_mojibake", call_function("graft_unescape_html", c))
             ),
             "\\\\\"",
             "\""

@@ -210,7 +210,10 @@ object Aggregations extends QueryModule {
     * because Σy² grows as n·y²: with y ~ 10⁷ cents it passes int64's
     * 9.2·10¹⁸ at only ~10⁵ rows per group (the sf1 scale point aborted on
     * exactly this in round 8), and 38 digits carries the same shape to
-    * 10¹² rows and beyond.
+    * 10¹² rows and beyond. The sums are EMITTED as decimal-digit strings:
+    * Σy² ≈ 7.4·10¹⁷ already exceeds double's 2⁵³ exact-integer range, so
+    * any comparison path that canonicalizes numerics through float loses
+    * exactness — a string of digits survives any hasher bit-for-bit.
     */
   private def a17_corr_components(s: SparkSession, d: String): DataFrame = {
     val d38 = "decimal(38,0)"
@@ -223,13 +226,13 @@ object Aggregations extends QueryModule {
       .groupBy(col("l_returnflag"))
       .agg(
         count(lit(1)).as("n"),
-        sum(col("x").cast(d38)).as("sum_x"),
-        sum(col("y").cast(d38)).as("sum_y"),
-        sum((col("x") * col("y")).cast(d38)).as("sum_xy"),
-        sum((col("x") * col("x")).cast(d38)).as("sum_x2"),
+        sum(col("x").cast(d38)).cast("string").as("sum_x"),
+        sum(col("y").cast(d38)).cast("string").as("sum_y"),
+        sum((col("x") * col("y")).cast(d38)).cast("string").as("sum_xy"),
+        sum((col("x") * col("x")).cast(d38)).cast("string").as("sum_x2"),
         // per-row products still fit long comfortably (y² ≤ 10¹⁴); only
         // the ACCUMULATION needs 128 bits, so cast after the multiply.
-        sum((col("y") * col("y")).cast(d38)).as("sum_y2")
+        sum((col("y") * col("y")).cast(d38)).cast("string").as("sum_y2")
       )
   }
 
@@ -638,11 +641,11 @@ object Aggregations extends QueryModule {
                    FROM lineitem)
          SELECT l_returnflag,
                 CAST(count(*) AS BIGINT) AS n,
-                CAST(sum(x) AS DECIMAL(38,0)) AS sum_x,
-                CAST(sum(y) AS DECIMAL(38,0)) AS sum_y,
-                CAST(sum(x * y) AS DECIMAL(38,0)) AS sum_xy,
-                CAST(sum(x * x) AS DECIMAL(38,0)) AS sum_x2,
-                CAST(sum(y * y) AS DECIMAL(38,0)) AS sum_y2
+                CAST(CAST(sum(x) AS DECIMAL(38,0)) AS VARCHAR) AS sum_x,
+                CAST(CAST(sum(y) AS DECIMAL(38,0)) AS VARCHAR) AS sum_y,
+                CAST(CAST(sum(x * y) AS DECIMAL(38,0)) AS VARCHAR) AS sum_xy,
+                CAST(CAST(sum(x * x) AS DECIMAL(38,0)) AS VARCHAR) AS sum_x2,
+                CAST(CAST(sum(y * y) AS DECIMAL(38,0)) AS VARCHAR) AS sum_y2
          FROM t GROUP BY l_returnflag""",
     "a16_cube" ->
       """SELECT l_returnflag, l_linestatus,

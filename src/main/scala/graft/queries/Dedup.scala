@@ -222,16 +222,26 @@ object Dedup extends QueryModule {
       col("doc_id").cast("long").as("doc_id"),
       length(col("text")).cast("long").as("tlen")
     )
-    val w  = Window.partitionBy(col("cluster")).orderBy(col("tlen").desc, col("doc_id").asc)
-    val wc = Window.partitionBy(col("cluster"))
+    // Survivor selection as ONE hash aggregate, not a window: max_by with
+    // the (tlen, -doc_id) tiebreak key picks the same row row_number over
+    // (tlen desc, doc_id asc) would, but partial aggregation collapses each
+    // cluster to one row MAP-SIDE — the shuffle carries ~|clusters| rows
+    // instead of every (doc, cluster, len) row into a per-cluster sort.
+    // At 100 TB that's the difference between shuffling the corpus and
+    // shuffling the cluster directory.
     cl.join(len, "doc_id")
-      .withColumn("rn", row_number().over(w))
-      .withColumn("n_members", count(lit(1)).over(wc))
-      .filter(col("rn") === 1)
+      .groupBy(col("cluster"))
+      .agg(
+        max_by(
+          struct(col("doc_id"), col("tlen")),
+          struct(col("tlen"), (-col("doc_id")).as("neg_id"))
+        ).as("kept"),
+        count(lit(1)).as("n_members")
+      )
       .select(
         col("cluster"),
-        col("doc_id").as("kept_doc_id"),
-        col("tlen").as("kept_len"),
+        col("kept.doc_id").as("kept_doc_id"),
+        col("kept.tlen").as("kept_len"),
         col("n_members"),
         (col("n_members") - 1).as("n_dropped")
       )

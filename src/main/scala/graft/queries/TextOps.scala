@@ -84,6 +84,40 @@ object TextOps extends QueryModule {
     )
   }
 
+  /** F1e — the ENTITY-MIX-OVER-MOJIBAKE chain (ftfy's unescape-then-fix
+    * ordering, reference utils/data_transformation_helpers.py:28-86):
+    * text that was mojibake'd (UTF-8 bytes mis-decoded as Latin-1) and
+    * THEN had its high-byte chars entity-escaped by a sanitizer
+    * ("Ã©" → "&Atilde;&copy;"). Repair must run unescape_html FIRST —
+    * recovering raw mojibake — and fix_mojibake second; the reverse order
+    * can't fire because "&Atilde;" isn't a mojibake byte pattern. The
+    * full cleanText chain (which encodes exactly this ordering) recovers
+    * the original bit-exactly; clean text still passes through untouched.
+    */
+  private def f1e_entity_mojibake(s: SparkSession, d: String): DataFrame = {
+    val orig = concat(lit("Café résumé naïve"), col("doc_id").cast("string"))
+    val moji = decode(encode(orig, "UTF-8"), "ISO-8859-1")
+    // the sanitizer pass: Latin-1 high bytes → named entities
+    val mix = regexp_replace(
+      regexp_replace(regexp_replace(moji, "Ã", "&Atilde;"), "©", "&copy;"),
+      "¯",
+      "&macr;"
+    )
+    table(s, d, "documents").select(
+      col("doc_id"),
+      call_function(
+        "graft_fix_mojibake",
+        call_function("graft_unescape_html", mix)
+      ).as("fixed"),
+      length(mix).cast("long").as("mix_len"),
+      TF.cleanText(mix).as("cleaned"),
+      call_function(
+        "graft_fix_mojibake",
+        call_function("graft_unescape_html", orig)
+      ).as("untouched")
+    )
+  }
+
   /** F1c — the HTML-entity leg of the ftfy chain in isolation (and then
     * through the full cleanText pipeline): the query MANUFACTURES entity
     * mixes — named, decimal, hex, malformed-left-alone — and
@@ -300,6 +334,7 @@ object TextOps extends QueryModule {
     "f1b_fix_mojibake" -> (f1b_fix_mojibake _),
     "f1c_unescape_html" -> (f1c_unescape_html _),
     "f1d_double_mojibake" -> (f1d_double_mojibake _),
+    "f1e_entity_mojibake" -> (f1e_entity_mojibake _),
     "f2_natural_list" -> (f2_natural_list _),
     "f3_chunk_fixed" -> (f3_chunk_fixed _),
     "f3b_chunk_recursive" -> (f3b_chunk_recursive _),
@@ -353,6 +388,19 @@ object TextOps extends QueryModule {
                 CAST(strlen('Café résumé — naïve €' || CAST(doc_id AS VARCHAR)) + 14 AS BIGINT)
                   AS moji2_len,
                 'Café résumé — naïve €' || CAST(doc_id AS VARCHAR) AS untouched
+         FROM documents""",
+    // fixed/cleaned/untouched all recover the ORIGINAL, so the oracle
+    // states it in closed form like f1b/f1d. mix_len: mojibake doubles
+    // each accented char (= UTF-8 byte length = DuckDB strlen), then the
+    // entity pass adds 7 per "Ã" (4: é×3, ï), 5 per "©" (3) and 5 per
+    // "¯" (1) → strlen + 48.
+    "f1e_entity_mojibake" ->
+      """SELECT doc_id,
+                'Café résumé naïve' || CAST(doc_id AS VARCHAR) AS fixed,
+                CAST(strlen('Café résumé naïve' || CAST(doc_id AS VARCHAR)) + 48 AS BIGINT)
+                  AS mix_len,
+                'Café résumé naïve' || CAST(doc_id AS VARCHAR) AS cleaned,
+                'Café résumé naïve' || CAST(doc_id AS VARCHAR) AS untouched
          FROM documents""",
     "f1c_unescape_html" ->
       """SELECT doc_id,
