@@ -160,6 +160,15 @@ object Soak {
 
   def main(args: Array[String]): Unit = {
     val n   = args.headOption.map(_.toInt).getOrElse(8)
+    // SPARK_GRAFT_SOAK_ONLY=q1,q2 re-soaks a subset (the iteration loop for
+    // a targeted fix); filtered runs report to SOAK_DELTA.md so the full
+    // run's SOAK.md table is never clobbered by a partial one.
+    val only = sys.env.get("SPARK_GRAFT_SOAK_ONLY").map(_.split(",").map(_.trim).toSet)
+    val soakQueries = only match {
+      case Some(qs) => Soak.soakQueries.filter(qs.contains)
+      case None     => Soak.soakQueries
+    }
+    val reportFile = if (only.isDefined) "SOAK_DELTA.md" else "SOAK.md"
     val src = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val out = java.nio.file.Files.createTempDirectory("graft_soak").toString
     val spark = Engine.builder().getOrCreate()
@@ -220,7 +229,7 @@ object Soak {
     val failed = rows.filterNot(_._7)
     md.append(s"\n${rows.size - failed.size}/${rows.size} within the bar.\n")
     print(md)
-    java.nio.file.Files.writeString(java.nio.file.Paths.get("SOAK.md"), md.toString)
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(reportFile), md.toString)
 
     // leave nothing behind in /tmp
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(out))

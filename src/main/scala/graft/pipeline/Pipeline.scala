@@ -93,13 +93,32 @@ object Pipeline {
     val nodes  = spark.read.parquet(s"$outDir/graph_nodes")
     val edges  = spark.read.parquet(s"$outDir/graph_edges")
 
-    // multi-level communities over the artist—country graph (the
-    // deterministic re-expression of the reference's 3-resolution Leiden
-    // run, detect_communities.py:218-246; SURVEY §7.4)
-    val comps = GraphOps.communityHierarchy(
-      nodes.select(col("node_id").as("id")),
-      edges.select(col("src"), col("dst"))
-    )
+    // multi-level communities over the artist—country graph: the same
+    // resolution-parameterized sweep the quality face measures (g8c) —
+    // LPA seeded, γ ∈ [2.0, 0.5, 0.1] modularity-refined fixed points,
+    // each level seeding the next (the deterministic re-expression of the
+    // reference's 3-resolution Leiden run, detect_communities.py:218-246;
+    // SURVEY §7.4). The pipeline and quality faces consume ONE algorithm.
+    val und = edges
+      .select(
+        least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b")
+      )
+      .distinct()
+    val comps = GraphOps
+      .resolutionHierarchy(
+        nodes.select(col("node_id").as("id")),
+        und,
+        Seq((2L, 1L), (1L, 2L), (1L, 10L)),
+        3,
+        4
+      )
+      .select(
+        col("id"),
+        col("community_0").as("community_l0"),
+        col("community_1").as("community_l1"),
+        col("community_2").as("community_l2")
+      )
     val nComms = TableIO.writeParquet(comps, s"$outDir/communities")
 
     val report = Checks.artistIndexReport(spark.read.parquet(s"$outDir/artist_index"))

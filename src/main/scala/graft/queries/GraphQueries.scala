@@ -116,10 +116,45 @@ object GraphQueries extends QueryModule {
     * (detect_communities.py:294-328). 25 rows → broadcast to the customer
     * side; at scale this is the canonical small-dim broadcast join.
     */
+  /** The bridged nation graph shared by g8c/g15 and the community-metadata
+    * path: per-region chains plus one bridge per adjacent region pair, as
+    * a canonical undirected edge list (a < b). Bounded construction: ≤5
+    * rows reach the unpartitioned bridge window (region cardinality).
+    */
+  private def bridgedNationUnd(s: SparkSession, d: String): (DataFrame, DataFrame) = {
+    val n = table(s, d, "nation")
+    val w = Window.partitionBy(col("n_regionkey")).orderBy(col("n_nationkey"))
+    val chain = n
+      .select(col("n_nationkey").as("src"), lead(col("n_nationkey"), 1).over(w).as("dst"))
+      .filter(col("dst").isNotNull)
+    val rw = Window.orderBy(col("n_regionkey"))
+    val bridges = n
+      .groupBy(col("n_regionkey"))
+      .agg(min(col("n_nationkey")).as("mn"), max(col("n_nationkey")).as("mx"))
+      .select(col("mx").as("src"), lead(col("mn"), 1).over(rw).as("dst"))
+      .filter(col("dst").isNotNull)
+    val und = chain
+      .unionByName(bridges)
+      .select(least(col("src"), col("dst")).as("a"), greatest(col("src"), col("dst")).as("b"))
+    (n.select(col("n_nationkey").as("id")), und)
+  }
+
+  /** Community labels for the metadata path (g4/g5): the g8c LEVEL-0
+    * partition — synchronous LPA refined to the γ=2.0 modularity fixed
+    * point over the bridged nation graph — so the pipeline face consumes
+    * the same labels the quality face (g8c) measures, instead of running
+    * a parallel plain-LPA track (reference detect_communities.py:283-328
+    * feeds summarization from the Leiden run's level-0 communities).
+    */
   private def communityAssign(s: SparkSession, d: String): DataFrame = {
-    val (vertices, edges) = chainedNationGraph(s, d)
+    val (vertices, und) = bridgedNationUnd(s, d)
+    val lpa = GraphOps.labelPropagation(
+      vertices,
+      und.select(col("a").as("src"), col("b").as("dst")),
+      3
+    )
     GraphOps
-      .labelPropagation(vertices, edges, 3)
+      .refineMergeFixedPoint(und, lpa, 4, 2L, 1L)
       .select(col("id").as("c_nationkey"), col("lbl").as("community_id"))
   }
 
@@ -492,25 +527,10 @@ object GraphQueries extends QueryModule {
     * reference's per-resolution community assignment shape.
     */
   private def g8c_resolution_hierarchy(s: SparkSession, d: String): DataFrame = {
-    val n = table(s, d, "nation")
-    val w = Window.partitionBy(col("n_regionkey")).orderBy(col("n_nationkey"))
-    val chain = n
-      .select(col("n_nationkey").as("src"), lead(col("n_nationkey"), 1).over(w).as("dst"))
-      .filter(col("dst").isNotNull)
-    // one bridge per adjacent region pair: ≤5 rows reach the unpartitioned
-    // window (bounded by region cardinality, the p8 argument)
-    val rw = Window.orderBy(col("n_regionkey"))
-    val bridges = n
-      .groupBy(col("n_regionkey"))
-      .agg(min(col("n_nationkey")).as("mn"), max(col("n_nationkey")).as("mx"))
-      .select(col("mx").as("src"), lead(col("mn"), 1).over(rw).as("dst"))
-      .filter(col("dst").isNotNull)
-    val und = chain
-      .unionByName(bridges)
-      .select(least(col("src"), col("dst")).as("a"), greatest(col("src"), col("dst")).as("b"))
+    val (vertices, und) = bridgedNationUnd(s, d)
     GraphOps
       .resolutionHierarchy(
-        n.select(col("n_nationkey").as("id")),
+        vertices,
         und,
         Seq((2L, 1L), (1L, 2L), (1L, 10L)),
         3,
@@ -972,9 +992,46 @@ object GraphQueries extends QueryModule {
                FROM deg d JOIN sl3 l ON l.id = d.v GROUP BY l.lbl),
         s2 AS (SELECT sum(dsum * dsum) AS sum_d2 FROM dc)"""
 
+  /** The bridged nation graph + LPA + 4 mutual-merge refinement passes at
+    * γ = 2.0 — the g8c LEVEL-0 labeling (`a4newlab` = (id, lbl)), shared
+    * by the g8c oracle and the community-metadata oracles (g4/g5) so both
+    * faces verifiably consume the SAME partition. Callers must open with
+    * WITH RECURSIVE (mergeRefineSql's relabel closure is recursive).
+    */
+  private val bridgedLevel0Sql: String =
+    s"""bchain AS (
+          SELECT n_nationkey AS src,
+                 lead(n_nationkey) OVER (PARTITION BY n_regionkey
+                                         ORDER BY n_nationkey) AS dst
+          FROM nation),
+        bbr AS (
+          SELECT mx AS src, lead(mn) OVER (ORDER BY rk) AS dst FROM (
+            SELECT n_regionkey AS rk, min(n_nationkey) AS mn,
+                   max(n_nationkey) AS mx
+            FROM nation GROUP BY 1)),
+        bund AS MATERIALIZED (
+          SELECT least(src, dst) AS a, greatest(src, dst) AS b
+          FROM (SELECT src, dst FROM bchain WHERE dst IS NOT NULL
+                UNION ALL
+                SELECT src, dst FROM bbr WHERE dst IS NOT NULL)),
+        bedges AS MATERIALIZED (
+          SELECT a AS src, b AS dst FROM bund
+          UNION
+          SELECT b AS src, a AS dst FROM bund),
+        wl0 AS (SELECT n_nationkey AS id, n_nationkey AS lbl FROM nation),
+        ${lpaStepsSql("bedges", "w")},
+        bdeg AS MATERIALIZED (SELECT v, count(*) AS dg FROM (
+                    SELECT a AS v FROM bund UNION ALL SELECT b AS v FROM bund)
+                  GROUP BY v),
+        bmm AS (SELECT count(*) AS m FROM bund),
+        ${mergeRefineSql("a1", "bund", "wl3", "bdeg", "bmm", 2L, 1L, mutual = true)},
+        ${mergeRefineSql("a2", "bund", "a1newlab", "bdeg", "bmm", 2L, 1L, mutual = true)},
+        ${mergeRefineSql("a3", "bund", "a2newlab", "bdeg", "bmm", 2L, 1L, mutual = true)},
+        ${mergeRefineSql("a4", "bund", "a3newlab", "bdeg", "bmm", 2L, 1L, mutual = true)}"""
+
   private val communityMetaSql =
-    s"""$chainLpaSql,
-       assign AS (SELECT id AS c_nationkey, lbl AS community_id FROM l3),
+    s"""$bridgedLevel0Sql,
+       assign AS (SELECT id AS c_nationkey, lbl AS community_id FROM a4newlab),
        cmembers AS (
          SELECT c.c_custkey, c.c_name, c.c_mktsegment, a.community_id
          FROM customer c JOIN assign a USING (c_nationkey)),
@@ -1111,7 +1168,7 @@ object GraphQueries extends QueryModule {
           JOIN hl3 h ON h.id = l.lbl
           JOIN comps k ON k.id = l.id""",
     "g4_summary_stub" ->
-      s"""WITH $communityMetaSql
+      s"""WITH RECURSIVE $communityMetaSql
           SELECT community_id,
                  n_name || ' ' || top_segment AS name,
                  'Community of ' || CAST(member_count AS VARCHAR)
@@ -1119,7 +1176,7 @@ object GraphQueries extends QueryModule {
                  || ' segment; representatives include ' || reps || '.' AS summary
           FROM meta JOIN nation ON community_id = n_nationkey""",
     "g5_prompt_construction" ->
-      s"""WITH $communityMetaSql
+      s"""WITH RECURSIVE $communityMetaSql
           SELECT community_id,
                  'Summarize community ' || CAST(community_id AS VARCHAR) || ' with '
                  || CAST(member_count AS VARCHAR) || ' members. Top segment: '
@@ -1214,35 +1271,7 @@ object GraphQueries extends QueryModule {
                  CAST(4 * m.m * r4.intra - s4.sum_d2 AS BIGINT) AS q_num_fixed
           FROM ncmm m, ncii ii, ncs2 s2, y1rii r1, y1rs2 s1, h4rii r4, h4rs2 s4""",
     "g8c_resolution_hierarchy" ->
-      s"""WITH RECURSIVE bchain AS (
-            SELECT n_nationkey AS src,
-                   lead(n_nationkey) OVER (PARTITION BY n_regionkey
-                                           ORDER BY n_nationkey) AS dst
-            FROM nation),
-          bbr AS (
-            SELECT mx AS src, lead(mn) OVER (ORDER BY rk) AS dst FROM (
-              SELECT n_regionkey AS rk, min(n_nationkey) AS mn,
-                     max(n_nationkey) AS mx
-              FROM nation GROUP BY 1)),
-          bund AS MATERIALIZED (
-            SELECT least(src, dst) AS a, greatest(src, dst) AS b
-            FROM (SELECT src, dst FROM bchain WHERE dst IS NOT NULL
-                  UNION ALL
-                  SELECT src, dst FROM bbr WHERE dst IS NOT NULL)),
-          bedges AS MATERIALIZED (
-            SELECT a AS src, b AS dst FROM bund
-            UNION
-            SELECT b AS src, a AS dst FROM bund),
-          wl0 AS (SELECT n_nationkey AS id, n_nationkey AS lbl FROM nation),
-          ${lpaStepsSql("bedges", "w")},
-          bdeg AS MATERIALIZED (SELECT v, count(*) AS dg FROM (
-                      SELECT a AS v FROM bund UNION ALL SELECT b AS v FROM bund)
-                    GROUP BY v),
-          bmm AS (SELECT count(*) AS m FROM bund),
-          ${mergeRefineSql("a1", "bund", "wl3", "bdeg", "bmm", 2L, 1L, mutual = true)},
-          ${mergeRefineSql("a2", "bund", "a1newlab", "bdeg", "bmm", 2L, 1L, mutual = true)},
-          ${mergeRefineSql("a3", "bund", "a2newlab", "bdeg", "bmm", 2L, 1L, mutual = true)},
-          ${mergeRefineSql("a4", "bund", "a3newlab", "bdeg", "bmm", 2L, 1L, mutual = true)},
+      s"""WITH RECURSIVE $bridgedLevel0Sql,
           ${mergeRefineSql("b1", "bund", "a4newlab", "bdeg", "bmm", 1L, 2L, mutual = true)},
           ${mergeRefineSql("b2", "bund", "b1newlab", "bdeg", "bmm", 1L, 2L, mutual = true)},
           ${mergeRefineSql("b3", "bund", "b2newlab", "bdeg", "bmm", 1L, 2L, mutual = true)},
