@@ -11,9 +11,11 @@ import graft.streaming.StreamOps
   * [[graft.streaming.StreamOps]] transforms (the reference itself is pure
   * batch, SURVEY §2.11; the engine still provides the event-time surface).
   *
-  * `events.ts` is TIMESTAMP(NANOS) in parquet, which the session reads as
-  * epoch-nanos longs (see Engine.builder's nanosAsLong note); this module
-  * owns the nanos→timestamp conversion.
+  * `events.ts` arrives as epoch-nanos longs regardless of how the parquet
+  * stored it — TIMESTAMP(NANOS) testdata reads as long under
+  * Engine.builder's nanosAsLong, TIMESTAMP(MICROS) testdata is normalized
+  * to nanos by Engine.table — so this module's `ts div 1000` micros idiom
+  * is generation-independent.
   *
   * Scale notes: e1 is one hash aggregate on (window, type) — window binning
   * is a codegen'd projection, not a shuffle per window. e2 is classic

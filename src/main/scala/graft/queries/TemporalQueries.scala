@@ -20,8 +20,9 @@ import graft.operators.TemporalJoins
   *     outgrows a broadcast and a raw range predicate would plan as a
   *     BroadcastNestedLoopJoin; the bin key keeps it a hash join.
   *
-  * `events.ts` is TIMESTAMP(NANOS) read as epoch-nanos longs (Engine
-  * builder's nanosAsLong); `us` is epoch-micros, matching DuckDB epoch_us.
+  * `events.ts` arrives as epoch-nanos longs whatever the parquet stored
+  * (Engine.table normalizes both testdata generations); `us` is
+  * epoch-micros, matching DuckDB epoch_us.
   */
 object TemporalQueries extends QueryModule {
 
@@ -205,7 +206,59 @@ object TemporalQueries extends QueryModule {
       )
   }
 
+  /** J16 — interval-union coverage: each event opens a 5-minute activity
+    * interval; per (event_type, start-day), the UNION length of those
+    * intervals — the coverage/uptime aggregate (what fraction of the day
+    * was "active") that naive sum-of-durations overstates wherever
+    * intervals overlap. One window, no segment materialization: with
+    * pm = running max of interval-end over STRICTLY PRECEDING rows
+    * (ordered by start), each row's novel contribution is
+    * max(0, end − max(start, pm)) — summing those is exactly the union
+    * length (every covered point is counted by the first interval that
+    * covers it). Ties on start are harmless: equal starts imply equal
+    * ends (fixed width), so the later row contributes 0 either way —
+    * fully deterministic with no tiebreak column.
+    *
+    * Scale shape: partitioned by (type, day) — time-bucketed groups, the
+    * standard way an interval sweep shards at 100 TB; all arithmetic is
+    * integer micros.
+    */
+  private def j16_interval_coverage(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val width = 300L * 1000000L // 5-minute activity intervals
+    val base = table(s, d, "events")
+      .select(us.as("us"), col("event_type"))
+      .withColumn("day", expr("us div 86400000000"))
+      .withColumn("e", col("us") + lit(width))
+    val w = Window
+      .partitionBy(col("event_type"), col("day"))
+      .orderBy(col("us"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    base
+      .withColumn("pm", max(col("e")).over(w))
+      .withColumn(
+        "novel",
+        // null pm (first row of a group) → 0: epoch-micros starts are
+        // always positive, so greatest(us, 0) = us
+        greatest(lit(0L), col("e") - greatest(col("us"), coalesce(col("pm"), lit(0L))))
+      )
+      .groupBy(col("event_type"), col("day"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col("novel")).as("covered_us"),
+        (count(lit(1)) * width).as("naive_us")
+      )
+      .select(
+        col("event_type"),
+        col("day"),
+        col("n_events"),
+        col("covered_us"),
+        col("naive_us")
+      )
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "j16_interval_coverage" -> (j16_interval_coverage _),
     "j12_asof_join" -> (j12_asof_join _),
     "j13_range_join" -> (j13_range_join _),
     "j13b_range_join_exclusive" -> (j13b_range_join_exclusive _),
@@ -215,6 +268,22 @@ object TemporalQueries extends QueryModule {
   )
 
   val oracles: Map[String, String] = Map(
+    "j16_interval_coverage" ->
+      """WITH e AS (SELECT event_type, epoch_us(ts) AS us FROM events),
+         i AS (SELECT event_type, us // 86400000000 AS day, us,
+                      us + 300000000 AS e
+               FROM e),
+         s AS (SELECT event_type, day, us, e,
+                      max(e) OVER (PARTITION BY event_type, day ORDER BY us
+                                   ROWS BETWEEN UNBOUNDED PRECEDING
+                                   AND 1 PRECEDING) AS pm
+               FROM i)
+         SELECT event_type, CAST(day AS BIGINT) AS day,
+                CAST(count(*) AS BIGINT) AS n_events,
+                CAST(sum(greatest(0, e - greatest(us, coalesce(pm, 0))))
+                     AS BIGINT) AS covered_us,
+                CAST(count(*) * 300000000 AS BIGINT) AS naive_us
+         FROM s GROUP BY 1, 2""",
     "j12_asof_join" ->
       """WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS us, event_type, value FROM events),
          q AS (SELECT user_id, us, max(event_id) AS ref_event_id,

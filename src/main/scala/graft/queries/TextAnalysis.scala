@@ -629,7 +629,52 @@ object TextAnalysis extends QueryModule {
         expr("(1000 * n_chars) div n_tokens").as("chars_per_token_pm")
       )
 
+  /** X20 — gram-novelty DECAY curve: how many NEW distinct 5-grams each
+    * additional tenth of the corpus (by doc_id position) contributes, with
+    * the cumulative per-mille share — the diminishing-returns curve a
+    * scaling decision reads ("does doubling this crawl still buy new
+    * content, or are we past the knee?"). x16 prices ONE incoming batch
+    * against the corpus; x20 prices the corpus against itself, slice by
+    * slice. Each gram is attributed to the slice of its FIRST occurrence
+    * (min doc_id — the well-defined distributed form of "who saw it
+    * first"; grams travel as 56-bit md5 keys like x16).
+    *
+    * Scale shape: one groupBy-min over hashed grams (map-side
+    * combinable), a single-row max-doc-id broadcast, then all windows run
+    * on the ≤10-row decile spine — bounded serial tail, never a global
+    * sort of grams.
+    */
+  private def x20_gram_novelty_decay(s: SparkSession, d: String): DataFrame = {
+    val docs = table(s, d, "documents")
+    val first = docs
+      .select(
+        col("doc_id"),
+        explode(call_function("graft_word_shingles", col("text"), lit(5))).as("g")
+      )
+      .select(col("doc_id"), expr("conv(substr(md5(g), 1, 14), 16, 10)").cast("long").as("gk"))
+      .groupBy(col("gk"))
+      .agg(min(col("doc_id")).as("first_doc"))
+    val maxRow = docs.agg(max(col("doc_id")).as("maxd"))
+    val spine = first
+      .crossJoin(broadcast(maxRow))
+      .select(expr("(first_doc * 10) div (maxd + 1)").as("decile"))
+      .groupBy(col("decile"))
+      .agg(count(lit(1)).as("new_grams"))
+    val wCum = Window.orderBy(col("decile")).rowsBetween(Window.unboundedPreceding, 0)
+    val wAll = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    spine
+      .withColumn("cum_grams", sum(col("new_grams")).over(wCum))
+      .withColumn("total", sum(col("new_grams")).over(wAll))
+      .select(
+        col("decile"),
+        col("new_grams"),
+        col("cum_grams"),
+        expr("1000 * cum_grams DIV total").as("cum_share_pm")
+      )
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x20_gram_novelty_decay" -> (x20_gram_novelty_decay _),
     "x19_token_fertility" -> (x19_token_fertility _),
     "x18_zipf_audit" -> (x18_zipf_audit _),
     "x17_source_overlap_matrix" -> (x17_source_overlap_matrix _),
@@ -657,6 +702,24 @@ object TextAnalysis extends QueryModule {
     s"CAST(len(list_filter(string_split(text, ' '), w -> w IN (${inList(xs)}))) AS BIGINT)"
 
   val oracles: Map[String, String] = Map(
+    "x20_gram_novelty_decay" ->
+      """WITH g AS (
+           SELECT doc_id,
+                  unnest(list_distinct(list_transform(
+                    generate_series(0, greatest(len(string_split(text, ' ')) - 5, 0)),
+                    i -> array_to_string(string_split(text, ' ')[i+1:i+5], ' ')))) AS g
+           FROM documents),
+         k AS (SELECT doc_id, ('0x' || substr(md5(g), 1, 14))::BIGINT AS gk FROM g),
+         f AS (SELECT gk, min(doc_id) AS first_doc FROM k GROUP BY 1),
+         m AS (SELECT max(doc_id) AS maxd FROM documents),
+         dc AS (SELECT (first_doc * 10) // (maxd + 1) AS decile FROM f, m),
+         c AS (SELECT decile, count(*) AS new_grams FROM dc GROUP BY 1)
+         SELECT CAST(decile AS BIGINT) AS decile,
+                CAST(new_grams AS BIGINT) AS new_grams,
+                CAST(sum(new_grams) OVER (ORDER BY decile) AS BIGINT) AS cum_grams,
+                CAST(1000 * sum(new_grams) OVER (ORDER BY decile)
+                     // sum(new_grams) OVER () AS BIGINT) AS cum_share_pm
+         FROM c""",
     "x19_token_fertility" ->
       """WITH t AS (SELECT lang, count(*) AS n_docs,
                 sum(len(string_split(text, ' '))) AS n_words,

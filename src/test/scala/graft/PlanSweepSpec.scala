@@ -45,6 +45,7 @@ class PlanSweepSpec extends AnyFunSuite with SparkTestBase {
     "x15_source_divergence", // single-row grand-total broadcast over the ≤(sources×64) frame
     "d14_cluster_safe_split", // single-row leak-count broadcast onto the ≤2-row split summary
     "x17_source_overlap_matrix", // ≤-sources-row signature broadcast (20 rows × 12 ints)
+    "x20_gram_novelty_decay", // single-row max-doc-id broadcast onto the gram-first table
     "o8_range_partition_audit", // ≤7-row quantile spine + single-row boundary-array broadcasts
     "pl9_corpus_funnel" // four single-row stage-census broadcasts into the 4-row summary
   )
@@ -62,7 +63,8 @@ class PlanSweepSpec extends AnyFunSuite with SparkTestBase {
     "o8_range_partition_audit", // cumulative window over value-domain-bounded histogram bins
     "p8_offset_slice",    // bounded serial stage, limit upstream
     "x14_term_coverage",  // cumulative share over the top-20 rows only
-    "x18_zipf_audit"      // rank + running max over the top-32 rows only
+    "x18_zipf_audit",     // rank + running max over the top-32 rows only
+    "x20_gram_novelty_decay" // cumulative windows over the ≤10-row decile spine
   )
 
   test("no query plans a CartesianProduct, an unexpected BNLJ, or an unbounded global window") {
