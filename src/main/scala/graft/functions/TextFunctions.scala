@@ -21,18 +21,39 @@ object TextFunctions {
     * precondition ENFORCED (not just documented) by TextFunctionsSpec's
     * repair-neutrality test over every corpus the F1/pl3/pl7 oracles read.
     */
+  /** ftfy's uncurl_quotes repertoire: single curly/high-reversed quotes →
+    * apostrophe, double → straight quote (low-9 „ ‚ stay, as in ftfy).
+    */
+  private val CurlyFrom = "‘’‛“”‟"
+  private val CurlyTo   = "'''\"\"\""
+
   def cleanText(c: Column): Column =
     trim(
       regexp_replace(
         regexp_replace(
           regexp_replace(
-            // ftfy's fix_text ordering: unescape_html BEFORE fix_encoding
-            // (reference utils/data_transformation_helpers.py:28-86) — an
-            // entity-escaped mojibake mix ("&Atilde;&copy;") must unescape
-            // to raw mojibake ("Ã©") before the encoding repair can see it.
-            call_function(
-              "graft_nfkc",
-              call_function("graft_fix_mojibake", call_function("graft_unescape_html", c))
+            // ftfy's fix_text ordering (reference
+            // utils/data_transformation_helpers.py:28-86): unescape_html →
+            // remove_terminal_escapes → fix_encoding → (NFKC, which
+            // subsumes ftfy's latin-ligature/character-width fixes) →
+            // uncurl_quotes. Unescape must run BEFORE the encoding repair —
+            // an entity-escaped mojibake mix ("&Atilde;&copy;") has to
+            // unescape to raw mojibake ("Ã©") first; terminal escapes
+            // before it too, or a CSI sequence splits a mojibake byte run.
+            translate(
+              call_function(
+                "graft_nfkc",
+                call_function(
+                  "graft_fix_mojibake",
+                  regexp_replace(
+                    call_function("graft_unescape_html", c),
+                    "\\u001B\\[[0-9;]*[A-Za-z]",
+                    ""
+                  )
+                )
+              ),
+              CurlyFrom,
+              CurlyTo
             ),
             "\\\\\"",
             "\""

@@ -118,6 +118,29 @@ object TextOps extends QueryModule {
     )
   }
 
+  /** F1f — the uncurl-quotes + terminal-escape legs of the ftfy chain
+    * (fix_text defaults `uncurl_quotes` and `remove_terminal_escapes`;
+    * reference utils/data_transformation_helpers.py:28-86): input carries
+    * curly single/double quotes (which must straighten), low-9 quotes
+    * (which must NOT — ftfy leaves „ and ‚ alone), and an ANSI CSI color
+    * sequence (which must vanish); all as native translate/regexp_replace
+    * inside the cleanText chain — no UDF. The CSI regex is anchored on
+    * the ESC byte, so bracketed prose like "[0m" survives.
+    */
+  private def f1f_uncurl_escapes(s: SparkSession, d: String): DataFrame = {
+    val esc = lit("\u001B[31m")
+    val messy = concat(
+      esc,
+      lit("‘quoted’ “double” „low9„ keep [0m "),
+      col("doc_id").cast("string")
+    )
+    table(s, d, "documents").select(
+      col("doc_id"),
+      TF.cleanText(messy).as("cleaned"),
+      length(messy).cast("long").as("messy_len")
+    )
+  }
+
   /** F1c — the HTML-entity leg of the ftfy chain in isolation (and then
     * through the full cleanText pipeline): the query MANUFACTURES entity
     * mixes — named, decimal, hex, malformed-left-alone — and
@@ -335,6 +358,7 @@ object TextOps extends QueryModule {
     "f1c_unescape_html" -> (f1c_unescape_html _),
     "f1d_double_mojibake" -> (f1d_double_mojibake _),
     "f1e_entity_mojibake" -> (f1e_entity_mojibake _),
+    "f1f_uncurl_escapes" -> (f1f_uncurl_escapes _),
     "f2_natural_list" -> (f2_natural_list _),
     "f3_chunk_fixed" -> (f3_chunk_fixed _),
     "f3b_chunk_recursive" -> (f3b_chunk_recursive _),
@@ -401,6 +425,14 @@ object TextOps extends QueryModule {
                   AS mix_len,
                 'Café résumé naïve' || CAST(doc_id AS VARCHAR) AS cleaned,
                 'Café résumé naïve' || CAST(doc_id AS VARCHAR) AS untouched
+         FROM documents""",
+    // curly quotes straighten, low-9 quotes stay, the 5-char CSI sequence
+    // vanishes; messy_len = 39 fixed chars + the id's digits
+    "f1f_uncurl_escapes" ->
+      """SELECT doc_id,
+                '''quoted'' "double" „low9„ keep [0m ' || CAST(doc_id AS VARCHAR)
+                  AS cleaned,
+                CAST(39 + length(CAST(doc_id AS VARCHAR)) AS BIGINT) AS messy_len
          FROM documents""",
     "f1c_unescape_html" ->
       """SELECT doc_id,
