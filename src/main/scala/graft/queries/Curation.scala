@@ -900,7 +900,52 @@ object Curation extends QueryModule {
         sum(when(col("cell_n") < 5, col("cell_n")).otherwise(0L)).as("n_docs_at_risk")
       )
 
+  /** C19 — token-budget FILL: per language, documents are ranked by an
+    * integer type-token-ratio quality score (distinct words per mille of
+    * words, ties by doc_id) and greedily admitted while the tokens
+    * admitted BEFORE the document stay under a 20k budget — the
+    * "best-first until the budget is spent" selection a fixed-size
+    * training mix runs per stratum (c8 balances BETWEEN strata; c19
+    * spends WITHIN one). First-overshoot is admitted by construction
+    * (prefix-greedy), so the fill can exceed 1000 per-mille by at most
+    * one document — the standard knapsack-free approximation. One
+    * per-language window (sort within stratum partitions — never a
+    * global sort), then a 5-row aggregate.
+    */
+  private def c19_token_budget_fill(s: SparkSession, d: String): DataFrame = {
+    val budget = 20000L
+    val w      = words(col("text"))
+    val scored = table(s, d, "documents").select(
+      col("doc_id"),
+      col("lang"),
+      size(w).cast("long").as("n_tokens"),
+      expr("1000 * size(array_distinct(split(text, ' '))) div size(split(text, ' '))")
+        .as("ttr_pm")
+    )
+    val win = Window
+      .partitionBy(col("lang"))
+      .orderBy(col("ttr_pm").desc, col("doc_id").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    scored
+      .withColumn("before", coalesce(sum(col("n_tokens")).over(win), lit(0L)))
+      .filter(col("before") < budget)
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_kept"),
+        sum(col("n_tokens")).as("tokens_used"),
+        min(col("ttr_pm")).as("worst_kept_ttr_pm")
+      )
+      .select(
+        col("lang"),
+        col("n_kept"),
+        col("tokens_used"),
+        expr("1000 * tokens_used div 20000").as("fill_pm"),
+        col("worst_kept_ttr_pm")
+      )
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "c19_token_budget_fill" -> (c19_token_budget_fill _),
     "pl9_corpus_funnel" -> (pl9_corpus_funnel _),
     "c18_k_anonymity" -> (c18_k_anonymity _),
     "c17_exact_quota_split" -> (c17_exact_quota_split _),
@@ -948,6 +993,25 @@ object Curation extends QueryModule {
                 FROM q)"""
 
   val oracles: Map[String, String] = Map(
+    "c19_token_budget_fill" ->
+      """WITH t AS (
+           SELECT doc_id, lang,
+                  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+                  1000 * len(list_distinct(string_split(text, ' ')))
+                    // len(string_split(text, ' ')) AS ttr_pm
+           FROM documents),
+         r AS (
+           SELECT *, coalesce(sum(n_tokens) OVER (
+                    PARTITION BY lang ORDER BY ttr_pm DESC, doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                  AS before
+           FROM t)
+         SELECT lang,
+                CAST(count(*) AS BIGINT) AS n_kept,
+                CAST(sum(n_tokens) AS BIGINT) AS tokens_used,
+                CAST(1000 * sum(n_tokens) // 20000 AS BIGINT) AS fill_pm,
+                CAST(min(ttr_pm) AS BIGINT) AS worst_kept_ttr_pm
+         FROM r WHERE before < 20000 GROUP BY 1""",
     "c18_k_anonymity" ->
       """WITH q AS (SELECT lang, source,
                            1 << length(bin(n_chars)) AS len_bucket

@@ -553,7 +553,30 @@ object Events extends QueryModule {
       )
   }
 
+  /** E17 — per-window HEAVY HITTERS: top-3 event types per 6-hour tumbling
+    * window by count, deterministic tiebreak — the windowed drill-down a
+    * monitoring/trending surface serves ("what dominated each window"),
+    * and the batch face of the streaming top-k pattern. Two-level shape:
+    * a hash aggregate on (window, type) — map-side combinable, the only
+    * full shuffle — then the rank window runs per-window over at most
+    * |event types| rows, so the sort input is bounded by the type
+    * cardinality, never by event volume.
+    */
+  private def e17_window_topk(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = table(s, d, "events")
+      .select(expr("ts div 1000 div 21600000000").as("win"), col("event_type"))
+      .groupBy(col("win"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy(col("win")).orderBy(col("n").desc, col("event_type").asc)
+    counts
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= 3)
+      .select(col("win"), col("event_type"), col("n"), col("rnk"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "e17_window_topk" -> (e17_window_topk _),
     "e16_time_decay" -> (e16_time_decay _),
     "e12_global_disorder" -> (e12_global_disorder _),
     "e13_watermark_audit" -> (e13_watermark_audit _),
@@ -573,6 +596,18 @@ object Events extends QueryModule {
   )
 
   val oracles: Map[String, String] = Map(
+    "e17_window_topk" ->
+      """WITH c AS (
+           SELECT epoch_us(ts) // 21600000000 AS win, event_type,
+                  count(*) AS n
+           FROM events GROUP BY 1, 2),
+         r AS (
+           SELECT *, row_number() OVER (PARTITION BY win
+                       ORDER BY n DESC, event_type) AS rnk
+           FROM c)
+         SELECT CAST(win AS BIGINT) AS win, event_type,
+                CAST(n AS BIGINT) AS n, CAST(rnk AS BIGINT) AS rnk
+         FROM r WHERE rnk <= 3""",
     "e16_time_decay" ->
       """WITH e AS (SELECT event_type,
                            epoch_us(ts) // 86400000000 AS day FROM events),

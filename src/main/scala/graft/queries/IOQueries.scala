@@ -504,7 +504,41 @@ object IOQueries extends QueryModule {
       )
   }
 
+  /** S31 — DYNAMIC partition overwrite: the incremental re-process
+    * semantics a partitioned lake table needs — re-running one stratum
+    * must replace ONLY that stratum's partitions, never truncate the
+    * table (static overwrite mode would). Full load partitioned by lang,
+    * then the `en` slice re-lands with a ` v2` suffix under
+    * `partitionOverwriteMode=dynamic`; the read-back census proves `en`
+    * was replaced in place (every text carries the marker) and every
+    * other language survived byte-for-byte from the first load. At 100 TB
+    * this is the difference between rewriting one day/language directory
+    * and rewriting the corpus.
+    */
+  private def s31_dynamic_partition_overwrite(s: SparkSession, d: String): DataFrame = {
+    val base = ioDir("s31_docs")
+    val docs = table(s, d, "documents").select(col("doc_id"), col("lang"), col("text"))
+    docs.write.mode("overwrite").partitionBy("lang").parquet(base)
+    docs
+      .filter(col("lang") === "en")
+      .withColumn("text", concat(col("text"), lit(" v2")))
+      .write
+      .mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("lang")
+      .parquet(base)
+    s.read
+      .parquet(base)
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(length(col("text"))).cast("long").as("sum_len"),
+        sum(when(col("text").endsWith(" v2"), 1L).otherwise(0L)).as("n_v2")
+      )
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s31_dynamic_partition_overwrite" -> (s31_dynamic_partition_overwrite _),
     "s28_manifest_pruned_scan" -> (s28_manifest_pruned_scan _),
     "b2_bucket_pruned_lookup" -> (b2_bucket_pruned_lookup _),
     "s1_parquet_roundtrip" -> (s1_parquet_roundtrip _),
@@ -523,6 +557,14 @@ object IOQueries extends QueryModule {
   )
 
   val oracles: Map[String, String] = Map(
+    // final state = non-en originals + en with the 3-char " v2" suffix
+    "s31_dynamic_partition_overwrite" ->
+      """SELECT lang,
+                CAST(count(*) AS BIGINT) AS n_docs,
+                CAST(sum(length(text) + CASE WHEN lang = 'en' THEN 3 ELSE 0 END)
+                     AS BIGINT) AS sum_len,
+                CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS n_v2
+         FROM documents GROUP BY 1""",
     "b2_bucket_pruned_lookup" ->
       """SELECT o_orderkey,
                 CAST(count(*) AS BIGINT) AS n_rows,
