@@ -93,4 +93,36 @@ class TemporalJoinsSpec extends AnyFunSuite with SparkTestBase {
       .sorted
     assert(got.toSeq == Seq(("w1", 2L), ("w1", 3L), ("w2", 1L)))
   }
+
+  /** j16's union-length sweep on planted interval shapes: the formula
+    * Σ max(0, end − max(start, running-max-end-of-preceding)) must count
+    * every covered point exactly once for disjoint, touching, overlapping,
+    * nested, and duplicate intervals. Fixture events are raw-nanos ts
+    * (Engine.table long passthrough) with 5-minute (3·10¹¹ ns) widths.
+    */
+  test("j16: interval-union coverage counts overlap/nesting/duplicates once") {
+    val nsPerUs = 1000L
+    val w       = 300000000L // interval width in µs
+    // one event_type, one day; starts in µs chosen to exercise each shape
+    // (sorted: 0, w, 2w+100, 2w+150, 2w+150, 2w+200):
+    //   0            : base                               → + w
+    //   w            : touching (no overlap, no gap)      → + w
+    //   2*w + 100    : disjoint (gap of 100)              → + w
+    //   2*w + 150    : overlapping by w-50                → + 50
+    //   2*w + 150    : exact duplicate                    → + 0
+    //   2*w + 200    : overlapping the previous max end   → + 50
+    val starts = Seq(0L, w, 2 * w + 100, 2 * w + 150, 2 * w + 200, 2 * w + 150)
+    val events = starts.zipWithIndex
+      .map { case (us, i) => (i.toLong, i.toLong, "click", us * nsPerUs, 0.0, "{}") }
+      .toDF("event_id", "user_id", "event_type", "ts", "value", "props")
+    val dir = java.nio.file.Files.createTempDirectory("j16spec").toString
+    events.write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val r = SparkEntry.queries("j16_interval_coverage")(spark, dir).collect()
+    assert(r.length == 1)
+    val row = r.head
+    assert(row.getAs[Long]("n_events") == 6)
+    // union = [0, 2w) ∪ [2w+100, 3w+200) = 2w + (w + 100)
+    assert(row.getAs[Long]("covered_us") == 3 * w + 100)
+    assert(row.getAs[Long]("naive_us") == 6 * w)
+  }
 }

@@ -59,4 +59,15 @@ class UnescapeHtmlSpec extends AnyFunSuite {
       un(s) == s
     })
   }
+
+  test("Latin-1/cp1252 named repertoire decodes; unknown names still pass through") {
+    assert(un("&Atilde;&copy;") == "Ã©") // the f1e mojibake building block
+    assert(un("&eacute;&macr;&euro;&trade;&hellip;") == "é¯€™…")
+    assert(un("caf&eacute; &ndash; 5&cent;") == "café – 5¢")
+    // names outside the table are NOT guessed at
+    assert(un("&alpha; &clubs; &unknown;") == "&alpha; &clubs; &unknown;")
+    // case matters, as in HTML: &Eacute; and &eacute; differ, &COPY; is unknown
+    assert(un("&Eacute;&eacute;") == "Éé")
+    assert(un("&COPY;") == "&COPY;")
+  }
 }
