@@ -109,6 +109,46 @@ object Dedup extends QueryModule {
   private def d1_minhash_candidates(s: SparkSession, d: String): DataFrame =
     candidatePairs(graft.Lineage.truncate(bandKeys(corpus(s, d))))
 
+  /** D15 — LSH banding-parameter AUDIT: for every (rows-per-band, bands)
+    * split of the 12-hash signature — (1,12) loosest … (12,1) strictest —
+    * the candidate-join cost the configuration would commit to, measured
+    * from BUCKET OCCUPANCY ALONE: raw_pairs = Σ C(occupancy, 2) is
+    * exactly the equi-join's output size, so the audit prices every
+    * banding BEFORE paying for any pair materialization (the tuning read
+    * a dedup run does before launching d1 at 100 TB; cf. the S-curve
+    * P(candidate) = 1−(1−j^r)^b this trades recall against). One shared
+    * truncated signature table; per config one narrow projection + two
+    * hash aggregates — no pair join anywhere.
+    */
+  private def d15_band_tuning(s: SparkSession, d: String): DataFrame = {
+    val sig = graft.Lineage.truncate(MH.signatures(corpus(s, d)))
+    Seq(1, 2, 3, 4, 6, 12)
+      .map { r =>
+        val nb = MH.NumHashes / r
+        val keys = (0 until nb).map { b =>
+          concat_ws("|", (0 until r).map(i => col(s"m${b * r + i}").cast("string")): _*)
+        }
+        sig
+          .select(posexplode(array(keys: _*)))
+          .select(col("pos").as("band"), col("col").as("bkey"))
+          .groupBy(col("band"), col("bkey"))
+          .agg(count(lit(1)).as("n"))
+          .agg(
+            sum(expr("n * (n - 1) div 2")).as("rp"),
+            sum(when(col("n") > 1, 1L).otherwise(0L)).as("hot"),
+            max(col("n")).as("mx")
+          )
+          .select(
+            lit(r.toLong).as("rows_per_band"),
+            lit(nb.toLong).as("n_bands"),
+            coalesce(col("rp"), lit(0L)).as("raw_pairs"),
+            col("hot").as("n_hot_buckets"),
+            col("mx").as("max_bucket")
+          )
+      }
+      .reduce(_ unionByName _)
+  }
+
   /** D2 — exact-Jaccard verification of the MinHash candidates (τ = 0.8). */
   private def d2_verified_pairs(s: SparkSession, d: String): DataFrame = {
     // the shingle-set table and the band-key table are independent eager
@@ -540,6 +580,7 @@ object Dedup extends QueryModule {
     "d13_incremental_neardup" -> (d13_incremental_neardup _),
     "d14_cluster_safe_split" -> (d14_cluster_safe_split _),
     "d1_minhash_candidates" -> (d1_minhash_candidates _),
+    "d15_band_tuning" -> (d15_band_tuning _),
     "d2_verified_pairs" -> (d2_verified_pairs _),
     "d3_simhash" -> (d3_simhash _),
     "d4_ngram_jaccard" -> (d4_ngram_jaccard _),
@@ -620,6 +661,28 @@ object Dedup extends QueryModule {
     .mkString(" || ")
 
   val oracles: Map[String, String] = Map(
+    "d15_band_tuning" -> {
+      val cfgs = Seq(1, 2, 3, 4, 6, 12)
+        .map { r =>
+          val nb = NumHashes / r
+          val unions = (0 until nb)
+            .map { b =>
+              val cat = (0 until r)
+                .map(i => s"CAST(m${b * r + i} AS VARCHAR)")
+                .mkString(" || '|' || ")
+              s"SELECT $b AS band, $cat AS bkey FROM sig"
+            }
+            .mkString(" UNION ALL ")
+          s"""SELECT CAST($r AS BIGINT) AS rows_per_band,
+                     CAST($nb AS BIGINT) AS n_bands,
+                     CAST(coalesce(sum(n * (n - 1) // 2), 0) AS BIGINT) AS raw_pairs,
+                     CAST(sum(CASE WHEN n > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hot_buckets,
+                     CAST(max(n) AS BIGINT) AS max_bucket
+              FROM (SELECT band, bkey, count(*) AS n FROM ($unions) GROUP BY 1, 2)"""
+        }
+        .mkString(" UNION ALL ")
+      s"WITH $corpusSql, $shinglesSql, $sigSql $cfgs"
+    },
     "d13_incremental_neardup" ->
       s"""WITH $corpusSql, $shinglesSql, $sigSql, $bandsSql,
           fb AS (SELECT doc_id,
