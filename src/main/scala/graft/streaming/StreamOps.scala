@@ -44,6 +44,59 @@ object StreamOps {
         col("total_cents")
       )
 
+  /** Watermarked per-(window, type) counts with epoch-second window
+    * starts — the aggregate stage of the streaming top-k ([[topKPerWindow]]):
+    * in Append mode a window's rows emit exactly once, when the watermark
+    * passes its end, so the downstream rank only ever sees COMPLETED
+    * windows. Shared by the batch face (where "completed" is trivially
+    * all of them).
+    */
+  def windowTypeCounts(events: DataFrame, windowLen: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("t", "1 hour")
+      .groupBy(window(col("t"), windowLen).as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(unix_timestamp(col("w.start")).as("wstart_s"), col("event_type"), col("n"))
+
+  /** Per-window TOP-K heavy hitters over completed (window, type) counts —
+    * the streaming face of the e17 batch query. Ranking is not expressible
+    * inside a streaming query (window functions are unsupported on
+    * streams), so the documented pattern applies: the watermarked
+    * aggregate ([[windowTypeCounts]]) streams completed windows in Append
+    * mode, and THIS transform runs against each sink batch
+    * (foreachBatch) or any batch frame. The selection is a bounded one-pass
+    * scan per window — O(|types|·k) with a k-bounded buffer, never a sort
+    * of the full group — and the (n desc, type asc) tiebreak makes stream
+    * and batch agree exactly.
+    */
+  def topKPerWindow(counts: DataFrame, k: Int = 3): DataFrame = {
+    val spark = counts.sparkSession
+    import spark.implicits._
+    counts
+      .select(col("wstart_s").cast("long"), col("event_type"), col("n").cast("long"))
+      .as[(Long, String, Long)]
+      .groupByKey(_._1)
+      .flatMapGroups { (w: Long, it: Iterator[(Long, String, Long)]) =>
+        val best = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
+        it.foreach { case (_, t, n) =>
+          best += ((t, n))
+          // keep the buffer k-bounded (amortized): compact at 4k entries
+          if (best.size > 4 * k) {
+            val keep = best.sortBy { case (t2, n2) => (-n2, t2) }.take(k)
+            best.clear()
+            best ++= keep
+          }
+        }
+        best
+          .sortBy { case (t2, n2) => (-n2, t2) }
+          .take(k)
+          .zipWithIndex
+          .map { case ((t2, n2), i) => (w, t2, n2, (i + 1).toLong) }
+          .iterator
+      }
+      .toDF("wstart_s", "event_type", "n", "rnk")
+  }
+
   /** SLIDING event-time window counts per event type — the streaming face
     * of the e8 batch query, one shared transform for both `spark.read`
     * and `spark.readStream` inputs (the [[windowedCounts]] contract).

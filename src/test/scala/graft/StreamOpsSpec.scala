@@ -18,6 +18,72 @@ class StreamOpsSpec extends AnyFunSuite with SparkTestBase {
   private def ts(day: Int, hour: Int): Timestamp =
     Timestamp.valueOf(f"2024-01-$day%02d $hour%02d:00:00")
 
+  test("windowTopK: append mode emits only watermark-completed windows; rank = batch face") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in     = MemoryStream[(Timestamp, String, Double)]
+    val counts = StreamOps.windowTypeCounts(in.toDF().toDF("t", "event_type", "value"), "1 hour")
+    val q = counts.writeStream
+      .format("memory")
+      .queryName("wtk")
+      .outputMode(OutputMode.Append())
+      .start()
+    try {
+      def at(h: Int, m: Int) = Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
+      // hour-10 window: click×3, view×2, error×1 (top-2 = click, view)
+      in.addData(
+        (at(10, 1), "click", 1.0), (at(10, 2), "click", 1.0), (at(10, 3), "click", 1.0),
+        (at(10, 4), "view", 1.0), (at(10, 5), "view", 1.0), (at(10, 6), "error", 1.0)
+      )
+      q.processAllAvailable()
+      // watermark hasn't passed 11:00 — nothing is final, nothing emitted
+      assert(spark.table("wtk").count() == 0)
+      // an event at 13:00 pushes the watermark to 12:00 > the window end
+      in.addData((at(13, 0), "click", 1.0))
+      q.processAllAvailable()
+      val completed = spark.table("wtk")
+      assert(completed.count() == 3) // the hour-10 window's three type rows
+      val got = StreamOps
+        .topKPerWindow(completed, 2)
+        .collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+        .toSet
+      // batch face over the SAME events, restricted to the completed window
+      val batch = StreamOps.windowTypeCounts(
+        Seq(
+          (at(10, 1), "click", 1.0), (at(10, 2), "click", 1.0), (at(10, 3), "click", 1.0),
+          (at(10, 4), "view", 1.0), (at(10, 5), "view", 1.0), (at(10, 6), "error", 1.0),
+          (at(13, 0), "click", 1.0)
+        ).toDF("t", "event_type", "value"),
+        "1 hour"
+      )
+      val wstart = completed.select("wstart_s").head().getLong(0)
+      val want = StreamOps
+        .topKPerWindow(batch.filter(col("wstart_s") === wstart), 2)
+        .collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+        .toSet
+      assert(got == want)
+      assert(got.map(t => (t._2, t._4)) == Set(("click", 1L), ("view", 2L)))
+    } finally q.stop()
+  }
+
+  test("topKPerWindow: bounded buffer survives many types and breaks ties by name") {
+    import spark.implicits._
+    // 100 types in one window with counts 1..100 plus a tie at the top
+    val counts = ((1 to 100).map(i => (1000L, f"t$i%03d", i.toLong)) :+ (1000L, "t000", 100L))
+      .toDF("wstart_s", "event_type", "n")
+    val got = StreamOps
+      .topKPerWindow(counts, 3)
+      .collect()
+      .map(r => (r.getString(1), r.getLong(2), r.getLong(3)))
+      .toSeq
+      .sortBy(_._3)
+    // tie at n=100: t000 before t100 (name asc); then t099
+    assert(got == Seq(("t000", 100L, 1L), ("t100", 100L, 2L), ("t099", 99L, 3L)))
+  }
+
   test("windowedCounts aggregates a stream by event-time day windows") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
