@@ -240,8 +240,56 @@ object Multimodal extends QueryModule {
     "m2_feature_extract" -> (m2_feature_extract _),
     "m3_frame_sample" -> (m3_frame_sample _),
     "m4_modality_dispatch" -> (m4_modality_dispatch _),
-    "m5_modality_partitioned" -> (m5_modality_partitioned _)
+    "m5_modality_partitioned" -> (m5_modality_partitioned _),
+    "m8_token_budget" -> (m8_token_budget _)
   )
+
+  /** M8 — multimodal TOKEN-BUDGET census: what each modality will cost the
+    * sequence packer BEFORE packing runs (m7 packs, m8 prices). Images
+    * cost ViT-style patch tokens — ceil(w/16)·ceil(h/16) in pure integer
+    * arithmetic over the m4 dispatch's decoded dimensions; audio costs
+    * frame tokens — samples div a 320-sample hop; unknown payloads fall
+    * back to word tokens. One narrow projection into one 3-row hash
+    * aggregate; the per-modality mean is integer division so both engines
+    * agree bit-for-bit.
+    */
+  private def m8_token_budget(s: SparkSession, d: String): DataFrame = {
+    val base = table(s, d, "documents")
+      .select(
+        col("doc_id"),
+        col("text"),
+        when(substring(col("text"), 1, 4) === "key ", lit("image"))
+          .when(substring(col("text"), 1, 4) === "the ", lit("audio"))
+          .otherwise(lit("unknown"))
+          .as("modality")
+      )
+      .withColumn("h", conv(substring(md5(col("text")), 1, 6), 16, 10).cast("long"))
+    base
+      .withColumn(
+        "media_tokens",
+        when(
+          col("modality") === "image",
+          expr("((160 + h % 480 + 15) div 16) * ((90 + (h div 7) % 270 + 15) div 16)")
+        ).when(
+            col("modality") === "audio",
+            expr("((8000 + h % 40000) * (1 + (h div 13) % 600)) div 320")
+          )
+          .otherwise(expr("size(split(text, ' '))").cast("long"))
+      )
+      .groupBy(col("modality"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("media_tokens")).as("total_tokens"),
+        max(col("media_tokens")).as("max_tokens")
+      )
+      .select(
+        col("modality"),
+        col("n_docs"),
+        col("total_tokens"),
+        expr("total_tokens div n_docs").as("mean_tokens"),
+        col("max_tokens")
+      )
+  }
 
   /** The stub decoder's md5 arithmetic, regenerated in DuckDB. */
   private val decodeSql =
@@ -255,6 +303,30 @@ object Multimodal extends QueryModule {
                FROM documents))"""
 
   val oracles: Map[String, String] = Map(
+    "m8_token_budget" ->
+      """WITH b AS (
+           SELECT doc_id, text,
+                  CASE WHEN substr(text, 1, 4) = 'key ' THEN 'image'
+                       WHEN substr(text, 1, 4) = 'the ' THEN 'audio'
+                       ELSE 'unknown' END AS modality,
+                  ('0x' || substr(md5(text), 1, 6))::BIGINT AS h
+           FROM documents),
+         t AS (
+           SELECT modality,
+                  CASE modality
+                    WHEN 'image' THEN
+                      ((160 + h % 480 + 15) // 16) * ((90 + (h // 7) % 270 + 15) // 16)
+                    WHEN 'audio' THEN
+                      ((8000 + h % 40000) * (1 + (h // 13) % 600)) // 320
+                    ELSE len(string_split(text, ' '))
+                  END AS media_tokens
+           FROM b)
+         SELECT modality,
+                CAST(count(*) AS BIGINT) AS n_docs,
+                CAST(sum(media_tokens) AS BIGINT) AS total_tokens,
+                CAST(sum(media_tokens) // count(*) AS BIGINT) AS mean_tokens,
+                CAST(max(media_tokens) AS BIGINT) AS max_tokens
+         FROM t GROUP BY 1""",
     "m7_interleaved_pack" ->
       """WITH items AS (
            SELECT doc_id, lang, 'text' AS item_type,
