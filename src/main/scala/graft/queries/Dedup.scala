@@ -86,6 +86,28 @@ object Dedup extends QueryModule {
 
   private def bandKeysFromSig(sig: DataFrame): DataFrame = MH.bandKeysFromSig(sig)
 
+  /** Soak diagnostic (r9 verdict #2): the candidate-join size the d-family
+    * commits to on a given corpus, priced from bucket occupancy alone —
+    * the d15 audit evaluated at d1's production banding. Returns
+    * (raw_pairs = Σ C(occupancy, 2), hot_buckets, max_bucket): raw_pairs
+    * IS the band-key equi-join's output size, so comparing it at 1× vs N×
+    * separates engine scaling (join cost ∝ raw_pairs) from corpus
+    * semantics (how many near-dup siblings the data actually contains).
+    * One bounded single-row collect — a diagnostic, not an operator.
+    */
+  private[graft] def candidateDiagnostics(s: SparkSession, d: String): (Long, Long, Long) = {
+    val row = bandKeys(corpus(s, d))
+      .groupBy(col("band"), col("bkey"))
+      .agg(count(lit(1)).as("n"))
+      .agg(
+        coalesce(sum(expr("n * (n - 1) div 2")), lit(0L)).as("raw_pairs"),
+        coalesce(sum(when(col("n") > 1, 1L).otherwise(0L)), lit(0L)).as("hot"),
+        coalesce(max(col("n")), lit(0L)).as("mx")
+      )
+      .collect()(0)
+    (row.getLong(0), row.getLong(1), row.getLong(2))
+  }
+
   /** LSH candidate pairs from a band-key table (d1's join body). */
   private def candidatePairs(bands: DataFrame): DataFrame = {
     val a = bands.as("a")
@@ -149,19 +171,17 @@ object Dedup extends QueryModule {
       .reduce(_ unionByName _)
   }
 
-  /** D2 — exact-Jaccard verification of the MinHash candidates (τ = 0.8). */
+  /** D2 — exact-Jaccard verification of the MinHash candidates (τ = 0.8).
+    * The shingle-set table is materialized once (joined twice below, s1/s2
+    * sides); the candidate table brings its own materialization via d1.
+    * Both are plain eager stages — any job-overlap scheduling belongs to
+    * the harness, not the query definition.
+    */
   private def d2_verified_pairs(s: SparkSession, d: String): DataFrame = {
-    // the shingle-set table and the band-key table are independent eager
-    // materializations — overlap their jobs (deterministic either way)
-    import scala.concurrent.{Await, Future}
-    import scala.concurrent.duration.Duration
-    import scala.concurrent.ExecutionContext.Implicits.global
-    val fSh = Future(graft.Lineage.truncate( // joined twice below (s1/s2 sides)
+    val sh = graft.Lineage.truncate(
       corpus(s, d).select(col("doc_id"), shingles(col("text")).as("sh"))
-    ))
-    val fCand = Future(d1_minhash_candidates(s, d))
-    val sh    = Await.result(fSh, Duration.Inf)
-    val cand  = Await.result(fCand, Duration.Inf)
+    )
+    val cand = d1_minhash_candidates(s, d)
     val j = cand
       .join(sh.select(col("doc_id").as("doc1"), col("sh").as("s1")), "doc1")
       .join(sh.select(col("doc_id").as("doc2"), col("sh").as("s2")), "doc2")

@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{IntegerType, StructField, StructType}
 
@@ -138,6 +138,53 @@ object TextOps extends QueryModule {
       col("doc_id"),
       TF.cleanText(messy).as("cleaned"),
       length(messy).cast("long").as("messy_len")
+    )
+  }
+
+  /** The ftfy `badness` heuristic CORE as a declared subset (reference
+    * utils/data_transformation_helpers.py:28-86 → ftfy.badness): a weighted
+    * count of the byte-signature patterns that distinguish mojibake from
+    * legitimately accented text —
+    *   - weight 2: a UTF-8 LEAD-byte char (Ã Â Î Ï Ð = C3 C2 CE CF D0
+    *     mis-decoded) followed by a char in the continuation range
+    *     U+0080–U+00BF ("Ã©", "Ã¯", "Â ");
+    *   - weight 2: "â" (E2, the 3-byte-sequence lead) followed by a C1
+    *     control — the "â€™"-family signature under strict Latin-1 (where
+    *     0x80–0x9F decode to C1 controls, not cp1252 punctuation);
+    *   - weight 1: any bare C1 control char U+0080–U+009F.
+    * Pure regexp_count — no UDF; ftfy's full scorer adds language-model-ish
+    * terms (letter-frequency priors) that stay out of the declared scope
+    * (SURVEY §7.5.3).
+    */
+  private def mojibakeBadness(c: Column): Column =
+    (regexp_count(c, lit("[\u00C3\u00C2\u00CE\u00CF\u00D0][\u0080-\u00BF]")) * 2 +
+      regexp_count(c, lit("\u00E2[\u0080-\u009F]")) * 2 +
+      regexp_count(c, lit("[\u0080-\u009F]"))).cast("long")
+
+  /** F1g — the ftfy ACCEPT-REPAIR decision on the badness scorer: ftfy
+    * fixes a line only when the repair REDUCES badness. The query
+    * manufactures mojibake (as f1b), scores original / mojibake / repaired
+    * text, and emits the decision plus the accepted output. Closed-form
+    * oracle: "Café résumé — naïve €" mis-decoded carries 4 lead-pairs
+    * (Ã©×3, Ã¯), 2 â+C1 runs (— = E2 80 94, € = E2 82 AC) and 3 bare C1
+    * controls → badness 4·2 + 2·2 + 3 = 15; clean text scores 0 (identity
+    * preserved: nothing to accept).
+    */
+  private def f1g_badness_scorer(s: SparkSession, d: String): DataFrame = {
+    val orig  = concat(lit("Café résumé — naïve €"), col("doc_id").cast("string"))
+    val moji  = decode(encode(orig, "UTF-8"), "ISO-8859-1")
+    val fixed = call_function("graft_fix_mojibake", moji)
+    table(s, d, "documents").select(
+      col("doc_id"),
+      mojibakeBadness(moji).as("badness_moji"),
+      mojibakeBadness(orig).as("badness_orig"),
+      mojibakeBadness(fixed).as("badness_fixed"),
+      when(mojibakeBadness(fixed) < mojibakeBadness(moji), 1L)
+        .otherwise(0L)
+        .as("repair_accepted"),
+      when(mojibakeBadness(fixed) < mojibakeBadness(moji), fixed)
+        .otherwise(moji)
+        .as("accepted")
     )
   }
 
@@ -359,6 +406,7 @@ object TextOps extends QueryModule {
     "f1d_double_mojibake" -> (f1d_double_mojibake _),
     "f1e_entity_mojibake" -> (f1e_entity_mojibake _),
     "f1f_uncurl_escapes" -> (f1f_uncurl_escapes _),
+    "f1g_badness_scorer" -> (f1g_badness_scorer _),
     "f2_natural_list" -> (f2_natural_list _),
     "f3_chunk_fixed" -> (f3_chunk_fixed _),
     "f3b_chunk_recursive" -> (f3b_chunk_recursive _),
@@ -425,6 +473,19 @@ object TextOps extends QueryModule {
                   AS mix_len,
                 'Café résumé naïve' || CAST(doc_id AS VARCHAR) AS cleaned,
                 'Café résumé naïve' || CAST(doc_id AS VARCHAR) AS untouched
+         FROM documents""",
+    // closed form (see f1g's scaladoc): the manufactured mojibake scores
+    // 4 lead-pairs x2 + 2 (â + C1) runs x2 + 3 bare C1 controls = 15;
+    // clean and repaired text score 0, so the repair is always accepted
+    // and the accepted output IS the original (digits contribute nothing
+    // to any pattern).
+    "f1g_badness_scorer" ->
+      """SELECT doc_id,
+                CAST(15 AS BIGINT) AS badness_moji,
+                CAST(0 AS BIGINT) AS badness_orig,
+                CAST(0 AS BIGINT) AS badness_fixed,
+                CAST(1 AS BIGINT) AS repair_accepted,
+                'Café résumé — naïve €' || CAST(doc_id AS VARCHAR) AS accepted
          FROM documents""",
     // curly quotes straighten, low-9 quotes stay, the 5-char CSI sequence
     // vanishes; messy_len = 39 fixed chars + the id's digits
