@@ -2,23 +2,33 @@ package graft
 
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StringType, StructType}
 
 /** Streaming-ingest soak (the stream counterpart of [[Soak]]): the batch
-  * soak proves query plans hold at N× data; the two CROSS-BATCH-STATEFUL
+  * soak proves query plans hold at N× data; the CROSS-BATCH-STATEFUL
   * streaming operators need a different proof — that per-batch cost stays
-  * FLAT as their persistent state grows:
+  * FLAT as their persistent state grows.
   *
-  *   - `dedupIngest` carries an on-disk signature index that grows with
-  *     every accepted document; the claim is probe cost ∝ batch ×
-  *     bucket occupancy, independent of corpus size;
-  *   - `sequencePacker` carries one pack-offset cursor per language in
-  *     the state store; the claim is per-batch cost ∝ batch size with
-  *     state bounded by language cardinality.
+  * Method (r9 verdict #6): the FULL four-stage funnel is chained through
+  * durable handoffs — exactly the StreamOpsSpec funnel topology plus the
+  * e17 stream face appended —
   *
-  * Method: drive each operator through `batches` micro-batches of
-  * `perBatch` documents drawn from the sf documents table (16× the
-  * StreamOpsSpec batch size by default), timing each micro-batch; report
-  * the per-batch series and the late/early MEDIAN ratio (medians damp
+  *   1. `gateAndQuarantine` routes raw documents (stateless);
+  *   2. `dedupIngest` probes the kept docs against the on-disk signature
+  *      index built by all previous batches (state = the index; claim:
+  *      probe cost ∝ batch × bucket occupancy, not corpus size);
+  *   3. `sequencePacker` packs 'new' docs per language (state = one
+  *      cursor per language, bounded by language cardinality);
+  *   4. `windowTypeCounts` + `topKPerWindow` aggregate the packed stream
+  *      as synthetic events (doc_id-derived event time, 30 s apart, so
+  *      hourly windows complete continuously under the 1 h watermark;
+  *      state = in-flight windows, bounded by the watermark horizon) —
+  *      the rank applied per sink batch via foreachBatch, the documented
+  *      e17 pattern.
+  *
+  * Each micro-batch of `perBatch` documents (16× the StreamOpsSpec batch
+  * size by default) is timed PER STAGE; the report shows each stage's
+  * per-batch series and the late/early MEDIAN ratio (medians damp
   * scheduler noise; a growing trend means state leaked into per-batch
   * cost). Appends a "## Streaming" section to SOAK.md.
   *
@@ -57,74 +67,150 @@ object SoakStream {
       (early, late, late / early)
     }
 
-    // --- dedupIngest: index grows by ~perBatch docs per batch -------------
-    val ingestDir = java.nio.file.Files.createTempDirectory("graft_soak_ingest").toString
-    val inDocs    = MemoryStream[(Long, String)]
-    val qIngest = graft.streaming.StreamOps.dedupIngest(
-      inDocs.toDF().toDF("doc_id", "text"),
-      s"$ingestDir/index",
-      s"$ingestDir/out",
-      s"$ingestDir/ckpt"
-    )
-    val ingestTimes =
-      try {
-        (0 until batches).map { b =>
-          val slice = docs.slice(b * perBatch, (b + 1) * perBatch).map(d => (d._1, d._2))
-          inDocs.addData(slice: _*)
-          val t0 = System.nanoTime()
-          qIngest.processAllAvailable()
-          (System.nanoTime() - t0) / 1e9
-        }
-      } finally qIngest.stop()
-    val outRows  = spark.read.parquet(s"$ingestDir/out").count()
-    val idxRows  = spark.read.parquet(s"$ingestDir/index/shingles").count()
+    val base = java.nio.file.Files.createTempDirectory("graft_soak_funnel").toString
 
-    // --- sequencePacker: one cursor per language, state never grows -------
+    // --- stage 1: gate router --------------------------------------------
+    val inF = MemoryStream[(Long, String, String)]
+    val q1 = graft.streaming.StreamOps.gateAndQuarantine(
+      inF.toDF().toDF("doc_id", "lang", "text"),
+      s"$base/keep",
+      s"$base/quar",
+      s"$base/ck1"
+    )
+    def feed(b: Int): Unit = {
+      val slice = docs.slice(b * perBatch, (b + 1) * perBatch).map(d => (d._1, d._3, d._2))
+      inF.addData(slice: _*)
+    }
+    def timed(f: => Unit): Double = {
+      val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+    }
+    // priming batch: file-source stages need their source dirs to exist
+    // before the downstream readStream starts
+    feed(0)
+    val g0 = timed(q1.processAllAvailable())
+
+    // --- stage 2: dedup-aware ingest over the keep dir -------------------
+    val keepSchema = new StructType()
+      .add("doc_id", LongType)
+      .add("lang", StringType)
+      .add("text", StringType)
+    val q2 = graft.streaming.StreamOps.dedupIngest(
+      spark.readStream.schema(keepSchema).parquet(s"$base/keep"),
+      s"$base/index",
+      s"$base/out",
+      s"$base/ck2"
+    )
+    val i0 = timed(q2.processAllAvailable())
+
+    // --- stage 3: packer over the ingest's 'new' docs --------------------
     import graft.streaming.StreamOps.PackIn
-    val packDir = java.nio.file.Files.createTempDirectory("graft_soak_pack").toString
-    val inPack  = MemoryStream[PackIn]
-    val qPack = graft.streaming.StreamOps
-      .sequencePacker(inPack.toDS())
+    val outSchema = keepSchema.add("verdict", StringType)
+    val q3 = graft.streaming.StreamOps
+      .sequencePacker(
+        spark.readStream
+          .schema(outSchema)
+          .parquet(s"$base/out")
+          .filter(col("verdict") === "new")
+          .select(
+            col("lang"),
+            col("doc_id"),
+            greatest(lit(1L), (length(col("text")) / 4).cast("long")).as("n_tokens")
+          )
+          .as[PackIn]
+      )
       .writeStream
-      .option("checkpointLocation", s"$packDir/ckpt")
+      .option("checkpointLocation", s"$base/ck3")
       .format("parquet")
-      .option("path", s"$packDir/out")
+      .option("path", s"$base/packed")
       .outputMode("append")
       .start()
-    val packTimes =
-      try {
-        (0 until batches).map { b =>
-          val slice = docs
-            .slice(b * perBatch, (b + 1) * perBatch)
-            .map(d => PackIn(d._3, d._1, math.max(1L, d._2.length / 4L)))
-          inPack.addData(slice: _*)
-          val t0 = System.nanoTime()
-          qPack.processAllAvailable()
-          (System.nanoTime() - t0) / 1e9
-        }
-      } finally qPack.stop()
-    val packRows = spark.read.parquet(s"$packDir/out").count()
+    val p0 = timed(q3.processAllAvailable())
 
-    val (ie, il, ir) = trend(ingestTimes)
-    val (pe, pl, pr) = trend(packTimes)
+    // --- stage 4: windowed type counts + per-window top-k ----------------
+    // Packed docs become synthetic events: event time advances 30 s per
+    // doc_id from a fixed epoch, so a 256-doc batch advances ~2.1 h and
+    // hourly windows complete (and emit through the watermark) every
+    // batch or two — the stage continuously flushes state instead of
+    // accumulating it.
+    val packedSchema = new StructType()
+      .add("lang", StringType)
+      .add("doc_id", LongType)
+      .add("n_tokens", LongType)
+      .add("start_off", LongType)
+      .add("pack_id", LongType)
+      .add("straddles", org.apache.spark.sql.types.IntegerType)
+    val evStream = spark.readStream
+      .schema(packedSchema)
+      .parquet(s"$base/packed")
+      .select(
+        timestamp_seconds(lit(1704067200L) + col("doc_id") * 30).as("t"),
+        col("lang").as("event_type"),
+        col("n_tokens").cast("double").as("value")
+      )
+    val q4 = graft.streaming.StreamOps
+      .windowTypeCounts(evStream, "1 hour")
+      .writeStream
+      .option("checkpointLocation", s"$base/ck4")
+      .outputMode("append")
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        graft.streaming.StreamOps
+          .topKPerWindow(b, 3)
+          .write
+          .mode("append")
+          .parquet(s"$base/topk")
+      }
+      .start()
+    val w0 = timed(q4.processAllAvailable())
+
+    // --- measured chain: batches 1..N-1 ----------------------------------
+    val series =
+      try {
+        (g0, i0, p0, w0) +: (1 until batches).map { b =>
+          feed(b)
+          val tg = timed(q1.processAllAvailable())
+          val ti = timed(q2.processAllAvailable())
+          val tp = timed(q3.processAllAvailable())
+          val tw = timed(q4.processAllAvailable())
+          (tg, ti, tp, tw)
+        }
+      } finally { q4.stop(); q3.stop(); q2.stop(); q1.stop() }
+
+    val keptRows   = spark.read.parquet(s"$base/out").count()
+    val idxRows    = spark.read.parquet(s"$base/index/shingles").count()
+    val packedRows = spark.read.parquet(s"$base/packed").count()
+    val topkRows =
+      try spark.read.parquet(s"$base/topk").count()
+      catch { case _: Throwable => 0L }
+
+    val stages = Seq(
+      ("gateAndQuarantine", series.map(_._1)),
+      ("dedupIngest", series.map(_._2)),
+      ("sequencePacker", series.map(_._3)),
+      ("windowTopK", series.map(_._4)),
+      ("chain total", series.map(s => s._1 + s._2 + s._3 + s._4))
+    )
     val bar = 3.0 // flat bar: late median within 3× early (state must not leak)
-    def series(xs: Seq[Double]) = xs.map(t => f"$t%.2f").mkString(" ")
+    def fmt(xs: Seq[Double]) = xs.map(t => f"$t%.2f").mkString(" ")
     val md = new StringBuilder
-    md.append(s"\n## Streaming soak — $batches micro-batches × $perBatch docs ($src)\n\n")
-    md.append("Per-batch wall seconds; bar = late-window median within 3× early-window median\n")
-    md.append("(cross-batch state — the on-disk signature index / per-language cursors — must\n")
-    md.append("not leak into per-batch cost).\n\n")
-    md.append("| operator | per-batch series (s) | early med | late med | ratio | verdict |\n")
+    md.append(s"\n## Streaming soak — 4-stage funnel chain, $batches micro-batches × $perBatch docs ($src)\n\n")
+    md.append("gate → dedupIngest → sequencePacker → windowTypeCounts/topKPerWindow, chained\n")
+    md.append("through durable handoffs (parquet file-source between stages — the StreamOpsSpec\n")
+    md.append("funnel topology with the e17 stream face appended). Per-batch wall seconds per\n")
+    md.append("stage; bar = late-window median within 3× early-window median (cross-batch\n")
+    md.append("state — signature index, per-language cursors, in-flight windows — must not\n")
+    md.append("leak into per-batch cost).\n\n")
+    md.append("| stage | per-batch series (s) | early med | late med | ratio | verdict |\n")
     md.append("|---|---|---|---|---|---|\n")
+    val verdicts = stages.map { case (name, xs) =>
+      val (e, l, r) = trend(xs)
+      md.append(
+        f"| $name | ${fmt(xs)} | $e%.2f | $l%.2f | $r%.2f | ${if (r <= bar) "pass" else "FAIL"} |%n"
+      )
+      (name, r)
+    }
     md.append(
-      f"| dedupIngest | ${series(ingestTimes)} | $ie%.2f | $il%.2f | $ir%.2f | ${if (ir <= bar) "pass" else "FAIL"} |%n"
-    )
-    md.append(
-      f"| sequencePacker | ${series(packTimes)} | $pe%.2f | $pl%.2f | $pr%.2f | ${if (pr <= bar) "pass" else "FAIL"} |%n"
-    )
-    md.append(
-      s"\ndedupIngest: $outRows rows out, index grew to $idxRows shingle rows; " +
-        s"sequencePacker: $packRows rows out, state = one cursor per language.\n"
+      s"\ningest: $keptRows gate-kept docs probed, index grew to $idxRows shingle rows; " +
+        s"packer: $packedRows rows out; windowTopK: $topkRows completed-window rank rows.\n"
     )
     print(md)
     java.nio.file.Files.write(
@@ -134,11 +220,13 @@ object SoakStream {
       java.nio.file.StandardOpenOption.APPEND
     )
 
-    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ingestDir))
-    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(packDir))
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
     spark.stop()
-    if (ir > bar || pr > bar) {
-      System.err.println(f"[soak-stream] FAILED: ingest ratio $ir%.2f, packer ratio $pr%.2f")
+    val failed = verdicts.filter(_._2 > bar)
+    if (failed.nonEmpty) {
+      System.err.println(
+        s"[soak-stream] FAILED: ${failed.map { case (n, r) => f"$n $r%.2f" }.mkString(", ")}"
+      )
       sys.exit(1)
     }
   }
