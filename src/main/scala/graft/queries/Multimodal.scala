@@ -233,7 +233,59 @@ object Multimodal extends QueryModule {
       )
   }
 
+  /** M9 — PAYLOAD near-dup via block-fingerprint index (the binary/opaque
+    * counterpart of d1's shingle LSH, for media payloads where tokenization
+    * doesn't exist — the rsync/CDC idea applied to dedup): each payload is
+    * fingerprinted as up to 16 aligned 32-byte block hashes; two payloads
+    * are near-dups when they agree on all but at most one of the smaller
+    * side's full blocks (an append-corrupted or tail-re-encoded copy keeps
+    * every aligned prefix block). Pairs come from an inverted
+    * (block_idx, hash) index equi-join — cost ∝ Σ bucket², never all-pairs,
+    * the same bound d1's banding relies on — and the corpus is documents ∪
+    * an append-perturbed copy (the Dedup test-corpus construction), so the
+    * planted pairs are deterministic. The payload is the text column's
+    * bytes, like every m-family query (the codec is the declared stub;
+    * byte-block hashing is codec-agnostic by design).
+    */
+  private def m9_payload_block_dedup(s: SparkSession, d: String): DataFrame = {
+    val docs = table(s, d, "documents").select(col("doc_id"), col("text"))
+    val c = docs.unionAll(
+      docs.select(
+        (col("doc_id") + 100000).as("doc_id"),
+        concat(col("text"), lit(" zz tail")).as("text")
+      )
+    )
+    val blk = c
+      .withColumn("nb", least(floor(length(col("text")) / 32), lit(16)).cast("int"))
+      .filter(col("nb") >= 1)
+      .select(
+        col("doc_id"),
+        col("nb"),
+        explode(sequence(lit(0), col("nb") - 1)).as("bi"),
+        col("text")
+      )
+      .select(
+        col("doc_id"),
+        col("nb"),
+        col("bi"),
+        md5(encode(expr("substring(text, bi * 32 + 1, 32)"), "UTF-8")).as("h")
+      )
+    val a = blk.select(col("doc_id").as("doc1"), col("nb").as("nb1"), col("bi"), col("h"))
+    val b = blk.select(col("doc_id").as("doc2"), col("nb").as("nb2"), col("bi"), col("h"))
+    a.join(b, Seq("bi", "h"))
+      .filter(col("doc1") < col("doc2"))
+      .groupBy(col("doc1"), col("doc2"))
+      .agg(
+        count(lit(1)).as("shared_blocks"),
+        max(col("nb1")).as("n1"),
+        max(col("nb2")).as("n2")
+      )
+      .filter(col("shared_blocks") >= greatest(lit(1), least(col("n1"), col("n2")) - 1))
+      .select(col("doc1"), col("doc2"), col("shared_blocks"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "m9_payload_block_dedup" -> (m9_payload_block_dedup _),
     "m7_interleaved_pack" -> (m7_interleaved_pack _),
     "m6_payload_chunks" -> (m6_payload_chunks _),
     "m1_binary_meta" -> (m1_binary_meta _),
@@ -303,6 +355,33 @@ object Multimodal extends QueryModule {
                FROM documents))"""
 
   val oracles: Map[String, String] = Map(
+    "m9_payload_block_dedup" ->
+      """WITH c AS (
+           SELECT doc_id, text FROM documents
+           UNION ALL
+           SELECT doc_id + 100000, text || ' zz tail' FROM documents),
+         nbt AS (
+           SELECT doc_id, text,
+                  CAST(least(length(text) // 32, 16) AS INTEGER) AS nb
+           FROM c),
+         blk AS (
+           SELECT doc_id, nb,
+                  unnest(generate_series(0, nb - 1)) AS bi, text
+           FROM nbt WHERE nb >= 1),
+         h AS (
+           SELECT doc_id, nb, bi,
+                  md5(substr(text, CAST(bi * 32 + 1 AS INTEGER), 32)) AS hh
+           FROM blk),
+         p AS (
+           SELECT a.doc_id AS doc1, b.doc_id AS doc2,
+                  count(*) AS shared_blocks,
+                  max(a.nb) AS n1, max(b.nb) AS n2
+           FROM h a JOIN h b ON a.bi = b.bi AND a.hh = b.hh
+                             AND a.doc_id < b.doc_id
+           GROUP BY 1, 2)
+         SELECT doc1, doc2, CAST(shared_blocks AS BIGINT) AS shared_blocks
+         FROM p
+         WHERE shared_blocks >= greatest(1, least(n1, n2) - 1)""",
     "m8_token_budget" ->
       """WITH b AS (
            SELECT doc_id, text,

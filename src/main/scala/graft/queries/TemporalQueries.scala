@@ -257,8 +257,37 @@ object TemporalQueries extends QueryModule {
       )
   }
 
+  /** J17 — interval ANTI-join (gap detection): signups with NO error event
+    * by the same user within the hour after — the "clean conversion" / SLA
+    * gap face of the range-join family (j13 finds what's inside a window;
+    * j17 proves nothing is). Spark plans this as a LEFT ANTI join on the
+    * user-id EQUI key with the time bounds as a residual predicate — a
+    * keyed hash/sort-merge anti join, never a nested loop: at 100 TB both
+    * sides shuffle once on user_id and each key's candidate set is that
+    * user's events only. Oracle: DuckDB NOT EXISTS — an independent
+    * formulation of the same semantics.
+    */
+  private def j17_interval_anti_join(s: SparkSession, d: String): DataFrame = {
+    val hourUs = 3600L * 1000000L
+    val e = table(s, d, "events")
+      .select(col("event_id"), col("user_id"), us.as("us"), col("event_type"))
+    val signups = e.filter(col("event_type") === "signup")
+      .select(col("event_id"), col("user_id"), col("us"))
+    val errors = e.filter(col("event_type") === "error")
+      .select(col("user_id").as("eu"), col("us").as("eus"))
+    signups
+      .join(
+        errors,
+        col("user_id") === col("eu") &&
+          col("eus") > col("us") && col("eus") <= col("us") + lit(hourUs),
+        "left_anti"
+      )
+      .select(col("event_id"), col("user_id"), col("us"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "j16_interval_coverage" -> (j16_interval_coverage _),
+    "j17_interval_anti_join" -> (j17_interval_anti_join _),
     "j12_asof_join" -> (j12_asof_join _),
     "j13_range_join" -> (j13_range_join _),
     "j13b_range_join_exclusive" -> (j13b_range_join_exclusive _),
@@ -268,6 +297,16 @@ object TemporalQueries extends QueryModule {
   )
 
   val oracles: Map[String, String] = Map(
+    "j17_interval_anti_join" ->
+      """WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS us, event_type FROM events),
+         s AS (SELECT event_id, user_id, us FROM e WHERE event_type = 'signup'),
+         x AS (SELECT user_id, us FROM e WHERE event_type = 'error')
+         SELECT s.event_id, s.user_id, s.us
+         FROM s
+         WHERE NOT EXISTS (
+           SELECT 1 FROM x
+           WHERE x.user_id = s.user_id
+             AND x.us > s.us AND x.us <= s.us + 3600000000)""",
     "j16_interval_coverage" ->
       """WITH e AS (SELECT event_type, epoch_us(ts) AS us FROM events),
          i AS (SELECT event_type, us // 86400000000 AS day, us,
