@@ -490,7 +490,44 @@ object Aggregations extends QueryModule {
     scalars.join(est, "source")
   }
 
+  /** A23 — weighted median: per return flag, the extended-price point
+    * (cents) below which HALF THE SHIPPED QUANTITY sits — the
+    * quantity-weighted analog of a18's count median, and the robust
+    * "typical price of a shipped unit" statistic (an unweighted median
+    * over line items would let many tiny lines outvote a few bulk ones).
+    * Exact, not histogram: collapse to (group, value) with summed weight
+    * first — the value domain is what bounds the window, and it grows far
+    * slower than rows — then one per-group cumulative-weight window picks
+    * the first value reaching half the total. One keyed shuffle + one
+    * window over the collapsed frame.
+    */
+  private def a23_weighted_median(s: SparkSession, d: String): DataFrame = {
+    val vw = table(s, d, "lineitem")
+      .select(
+        col("l_returnflag"),
+        expr("CAST(round(l_extendedprice * 100, 0) AS LONG)").as("cents"),
+        expr("CAST(l_quantity AS LONG)").as("w")
+      )
+      .groupBy(col("l_returnflag"), col("cents"))
+      .agg(sum(col("w")).as("wv"))
+    val wCum = Window
+      .partitionBy(col("l_returnflag"))
+      .orderBy(col("cents"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wTot = Window.partitionBy(col("l_returnflag"))
+    vw
+      .withColumn("cum", sum(col("wv")).over(wCum))
+      .withColumn("total", sum(col("wv")).over(wTot))
+      .filter(col("cum") * 2 >= col("total"))
+      .groupBy(col("l_returnflag"))
+      .agg(
+        min(col("cents")).as("wmedian_cents"),
+        min(col("total")).as("total_qty")
+      )
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "a23_weighted_median" -> (a23_weighted_median _),
     "a22_incremental_merge" -> (a22_incremental_merge _),
     "a20_unpivot" -> (a20_unpivot _),
     "a19_mad" -> (a19_mad _),
@@ -516,6 +553,20 @@ object Aggregations extends QueryModule {
   )
 
   val oracles: Map[String, String] = Map(
+    "a23_weighted_median" ->
+      """WITH vw AS (SELECT l_returnflag,
+                            CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS cents,
+                            sum(CAST(l_quantity AS BIGINT)) AS wv
+                     FROM lineitem GROUP BY 1, 2),
+         c AS (SELECT l_returnflag, cents,
+                      sum(wv) OVER (PARTITION BY l_returnflag ORDER BY cents
+                                    ROWS UNBOUNDED PRECEDING) AS cum,
+                      sum(wv) OVER (PARTITION BY l_returnflag) AS total
+               FROM vw)
+         SELECT l_returnflag,
+                CAST(min(cents) AS BIGINT) AS wmedian_cents,
+                CAST(min(total) AS BIGINT) AS total_qty
+         FROM c WHERE cum * 2 >= total GROUP BY 1""",
     // direct whole-table recompute: a green row proves the engine's
     // partial-merge path equals recompute (mergeability, not just math)
     "a22_incremental_merge" ->

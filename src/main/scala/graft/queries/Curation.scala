@@ -944,7 +944,65 @@ object Curation extends QueryModule {
       )
   }
 
+  /** C20 — domain-blocklist gate: the first filter a web-scale crawl
+    * pipeline applies (drop documents whose source domain sits under a
+    * blocked suffix — ads/tracker/spam hosts — before any text work runs).
+    * Domains are synthesized deterministically from doc_id (the harness
+    * tables carry no URL; same convention as d8's canonicalization corpus).
+    *
+    * Scale design: suffix matching is done by exploding each domain into
+    * its ≤k label-suffixes and EQUI-joining the broadcast blocklist on the
+    * suffix — the per-row work is bounded by label depth, and the match is
+    * a hash lookup. The naive alternative (one LIKE '%.suffix' predicate
+    * per rule) is a |docs|×|rules| scan that can't use a join and grows
+    * with every rule added; real blocklists carry 10⁵⁺ entries, which only
+    * the equi-join form survives. Longest (most specific) matched rule is
+    * kept, so an allow-vs-block tie at different depths is deterministic.
+    */
+  private def c20_domain_blocklist(s: SparkSession, d: String): DataFrame = {
+    val m = col("doc_id") % 8
+    val domain =
+      when(m === 0, lit("cdn.ads.example.com"))
+        .when(m === 1, lit("news.example.org"))
+        .when(m === 2, lit("tracker.net"))
+        .when(m === 3, concat(lit("u"), expr("doc_id div 8"), lit(".blog.example.net")))
+        .when(m === 4, lit("ads.example.com"))
+        .when(m === 5, lit("mirror.spam-site.io"))
+        .when(m === 6, lit("docs.example.com"))
+        .otherwise(lit("api.spam-site.io"))
+    val blocklist = Seq("ads.example.com", "tracker.net", "spam-site.io")
+    val rules = s.createDataFrame(
+      s.sparkContext.parallelize(blocklist.map(org.apache.spark.sql.Row(_)), 1),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("rule", org.apache.spark.sql.types.StringType)
+      ))
+    )
+    val docs = table(s, d, "documents").select(col("doc_id"), domain.as("domain"))
+    val suffixes = docs.select(
+      col("doc_id"),
+      col("domain"),
+      explode(expr(
+        """transform(sequence(1, size(split(domain, '\\.'))),
+           i -> array_join(slice(split(domain, '\\.'), i,
+                           size(split(domain, '\\.')) - i + 1), '.'))"""
+      )).as("sfx")
+    )
+    val matched = suffixes
+      .join(broadcast(rules), col("sfx") === col("rule"))
+      .groupBy(col("doc_id"))
+      .agg(expr("max_by(rule, length(rule))").as("rule"))
+    docs
+      .join(matched, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        col("domain"),
+        col("rule").isNotNull.as("blocked"),
+        col("rule")
+      )
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "c20_domain_blocklist" -> (c20_domain_blocklist _),
     "c19_token_budget_fill" -> (c19_token_budget_fill _),
     "pl9_corpus_funnel" -> (pl9_corpus_funnel _),
     "c18_k_anonymity" -> (c18_k_anonymity _),
@@ -993,6 +1051,34 @@ object Curation extends QueryModule {
                 FROM q)"""
 
   val oracles: Map[String, String] = Map(
+    // independent formulation: per-rule LIKE suffix tests, most specific
+    // (longest) rule first — vs the engine's explode+equi-join
+    "c20_domain_blocklist" ->
+      """WITH d AS (SELECT doc_id,
+                CASE doc_id % 8
+                  WHEN 0 THEN 'cdn.ads.example.com'
+                  WHEN 1 THEN 'news.example.org'
+                  WHEN 2 THEN 'tracker.net'
+                  WHEN 3 THEN 'u' || CAST(doc_id // 8 AS VARCHAR)
+                              || '.blog.example.net'
+                  WHEN 4 THEN 'ads.example.com'
+                  WHEN 5 THEN 'mirror.spam-site.io'
+                  WHEN 6 THEN 'docs.example.com'
+                  ELSE 'api.spam-site.io' END AS domain
+              FROM documents)
+         SELECT doc_id, domain,
+                (domain = 'ads.example.com' OR domain LIKE '%.ads.example.com'
+                 OR domain = 'tracker.net' OR domain LIKE '%.tracker.net'
+                 OR domain = 'spam-site.io' OR domain LIKE '%.spam-site.io')
+                  AS blocked,
+                CASE WHEN domain = 'ads.example.com'
+                       OR domain LIKE '%.ads.example.com' THEN 'ads.example.com'
+                     WHEN domain = 'spam-site.io'
+                       OR domain LIKE '%.spam-site.io' THEN 'spam-site.io'
+                     WHEN domain = 'tracker.net'
+                       OR domain LIKE '%.tracker.net' THEN 'tracker.net'
+                END AS rule
+         FROM d""",
     "c19_token_budget_fill" ->
       """WITH t AS (
            SELECT doc_id, lang,

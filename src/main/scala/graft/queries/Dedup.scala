@@ -596,7 +596,80 @@ object Dedup extends QueryModule {
       )
   }
 
+  /** D16 — asymmetric CONTAINMENT near-dup: catches the excerpt/quotation/
+    * truncation duplicates that symmetric Jaccard (d1/d4) structurally
+    * misses — a 10-word excerpt of a 200-word source has Jaccard ≈ 0.05
+    * but containment |S(a)∩S(b)| / min(|S(a)|,|S(b)|) = 1.0. The test
+    * corpus plants exactly that shape: documents ∪ a first-10-words
+    * excerpt per document (id + 200000; a prefix's word shingles are a
+    * subset of the source's by construction). Shingles are the d1 word
+    * n-grams, NOT char-4-grams — on a natural-vocabulary corpus char
+    * grams are so common the df cap would starve anchor generation
+    * (measured: 4 candidate pairs from 500 planted ones).
+    *
+    * Scale design (the all-pairs trap is worse here than for Jaccard,
+    * because candidate pairs with very different sizes are the SIGNAL):
+    *   1. rare-gram postings — drop grams with document frequency > 16
+    *      (stop-gram removal; a ubiquitous gram would be a quadratic hot
+    *      bucket and carries no identity anyway);
+    *   2. each doc ANCHORS on its 3 lowest-md5 rare grams (bottom-k
+    *      sketch) and probes the FULL rare-postings list — anchor-to-
+    *      posting, not anchor-to-anchor, so a contained excerpt finds its
+    *      source even when the source's own bottom-3 lie outside the
+    *      excerpt. Join output ≤ Σ_gram anchors(g)·df(g) ≤ 16·Σ anchors —
+    *      linear in docs with a bounded constant, never n².
+    *   3. exact verification (sorted-intersect of the full gram sets) runs
+    *      on candidates only; keep containment ≥ 0.9 (basis points,
+    *      integer — hash-stable).
+    */
+  private def d16_containment(s: SparkSession, d: String): DataFrame = {
+    val docs = table(s, d, "documents")
+    val c16 = docs
+      .select(col("doc_id"), col("text"))
+      .unionAll(
+        docs.select(
+          (col("doc_id") + 200000).as("doc_id"),
+          array_join(slice(split(col("text"), " "), 1, 10), " ").as("text")
+        )
+      )
+    val g = c16.select(
+      col("doc_id"),
+      call_function("graft_word_shingles", col("text"), lit(ShingleN)).as("g")
+    )
+    val posts = g.select(col("doc_id"), explode(col("g")).as("gr"))
+    val dfOk  = posts.groupBy(col("gr")).agg(count(lit(1)).as("df")).filter(col("df") <= 16)
+    val rare  = posts.join(dfOk.select("gr"), "gr")
+    val wA    = Window.partitionBy(col("doc_id")).orderBy(md5(col("gr")), col("gr"))
+    val anchors = rare
+      .withColumn("rn", row_number().over(wA))
+      .filter(col("rn") <= 3)
+      .select(col("doc_id").as("da"), col("gr"))
+    val cand = anchors
+      .join(rare.select(col("doc_id").as("db"), col("gr")), "gr")
+      .filter(col("da") =!= col("db"))
+      .select(least(col("da"), col("db")).as("doc1"), greatest(col("da"), col("db")).as("doc2"))
+      .distinct()
+    val g1 = g.select(col("doc_id").as("doc1"), col("g").as("g1"), size(col("g")).as("n1"))
+    val g2 = g.select(col("doc_id").as("doc2"), col("g").as("g2"), size(col("g")).as("n2"))
+    cand
+      .join(g1, "doc1")
+      .join(g2, "doc2")
+      .withColumn(
+        "inter",
+        call_function("graft_sorted_intersect_size", col("g1"), col("g2")).cast("long")
+      )
+      .withColumn("containment_bp", expr("inter * 10000 div least(n1, n2)"))
+      .filter(col("containment_bp") >= 9000)
+      .select(
+        col("doc1"),
+        col("doc2"),
+        col("containment_bp"),
+        expr("inter * 10000 div (n1 + n2 - inter)").as("jaccard_bp")
+      )
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d16_containment" -> (d16_containment _),
     "d13_incremental_neardup" -> (d13_incremental_neardup _),
     "d14_cluster_safe_split" -> (d14_cluster_safe_split _),
     "d1_minhash_candidates" -> (d1_minhash_candidates _),
@@ -681,6 +754,43 @@ object Dedup extends QueryModule {
     .mkString(" || ")
 
   val oracles: Map[String, String] = Map(
+    "d16_containment" ->
+      """WITH c AS (
+           SELECT doc_id, text FROM documents
+           UNION ALL
+           SELECT doc_id + 200000,
+                  array_to_string(string_split(text, ' ')[1:10], ' ')
+           FROM documents),
+         g0 AS (
+           SELECT doc_id,
+                  list_distinct(list_transform(
+                    generate_series(0, greatest(len(string_split(text, ' ')) - 3, 0)),
+                    i -> array_to_string(string_split(text, ' ')[i+1:i+3], ' '))) AS g
+           FROM c),
+         e AS (SELECT doc_id, unnest(g) AS gr FROM g0),
+         dft AS (SELECT gr, count(*) AS df FROM e GROUP BY 1),
+         rare AS (SELECT e.doc_id, e.gr
+                  FROM e JOIN dft USING (gr) WHERE dft.df <= 16),
+         anch AS (SELECT doc_id, gr FROM (
+                    SELECT doc_id, gr,
+                           row_number() OVER (PARTITION BY doc_id
+                             ORDER BY md5(gr), gr) AS rn
+                    FROM rare) WHERE rn <= 3),
+         cand AS (SELECT DISTINCT least(a.doc_id, p.doc_id) AS doc1,
+                         greatest(a.doc_id, p.doc_id) AS doc2
+                  FROM anch a JOIN rare p ON a.gr = p.gr
+                  WHERE a.doc_id <> p.doc_id),
+         v AS (SELECT doc1, doc2,
+                      CAST(len(list_intersect(g1.g, g2.g)) AS BIGINT) AS inter,
+                      CAST(len(g1.g) AS BIGINT) AS n1,
+                      CAST(len(g2.g) AS BIGINT) AS n2
+               FROM cand
+               JOIN g0 g1 ON g1.doc_id = cand.doc1
+               JOIN g0 g2 ON g2.doc_id = cand.doc2)
+         SELECT doc1, doc2,
+                CAST(inter * 10000 // least(n1, n2) AS BIGINT) AS containment_bp,
+                CAST(inter * 10000 // (n1 + n2 - inter) AS BIGINT) AS jaccard_bp
+         FROM v WHERE inter * 10000 // least(n1, n2) >= 9000""",
     "d15_band_tuning" -> {
       val cfgs = Seq(1, 2, 3, 4, 6, 12)
         .map { r =>

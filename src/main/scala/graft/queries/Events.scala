@@ -575,7 +575,33 @@ object Events extends QueryModule {
       .select(col("win"), col("event_type"), col("n"), col("rnk"))
   }
 
+  /** E18 — event-type transition matrix (the first-order Markov census a
+    * journey/funnel analysis starts from): per user, order events by time,
+    * pair each with its predecessor's type, count (from, to) transitions
+    * globally, and derive the per-from transition probability in basis
+    * points (integer, hash-stable across engines).
+    *
+    * Scale shape: ONE shuffle on user_id for the lag window (the same
+    * partitioning e2/e6 use), then a hash aggregate whose output is
+    * |types|² rows — the per-from normalization window runs on that
+    * type-cardinality-bounded frame, never on the event stream.
+    */
+  private def e18_transition_matrix(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
+    val pairs = table(s, d, "events")
+      .select(col("user_id"), col("event_id"), us.as("us"), col("event_type"))
+      .withColumn("from_type", lag(col("event_type"), 1).over(w))
+      .filter(col("from_type").isNotNull)
+      .groupBy(col("from_type"), col("event_type").as("to_type"))
+      .agg(count(lit(1)).as("n"))
+    pairs
+      .withColumn("prob_bp", expr("n * 10000 div sum(n) OVER (PARTITION BY from_type)"))
+      .select(col("from_type"), col("to_type"), col("n"), col("prob_bp"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "e18_transition_matrix" -> (e18_transition_matrix _),
     "e17_window_topk" -> (e17_window_topk _),
     "e16_time_decay" -> (e16_time_decay _),
     "e12_global_disorder" -> (e12_global_disorder _),
@@ -596,6 +622,19 @@ object Events extends QueryModule {
   )
 
   val oracles: Map[String, String] = Map(
+    "e18_transition_matrix" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us, event_type
+                    FROM events),
+         p AS (SELECT event_type AS to_type,
+                      lag(event_type) OVER (PARTITION BY user_id
+                          ORDER BY us, event_id) AS from_type
+               FROM e),
+         c AS (SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n
+               FROM p WHERE from_type IS NOT NULL GROUP BY 1, 2)
+         SELECT from_type, to_type, n,
+                CAST(n * 10000 // sum(n) OVER (PARTITION BY from_type)
+                     AS BIGINT) AS prob_bp
+         FROM c""",
     "e17_window_topk" ->
       """WITH c AS (
            SELECT epoch_us(ts) // 21600000000 AS win, event_type,

@@ -271,7 +271,7 @@ object GraphQueries extends QueryModule {
     * one small window.
     */
   private def g4b_multilevel_summaries(s: SparkSession, d: String): DataFrame = {
-    val hier = graft.Lineage.truncate(g8c_resolution_hierarchy(s, d))
+    val hier = g8c_resolution_hierarchy(s, d) // memoized + already truncated
     val lv = hier.selectExpr(
       "id AS c_nationkey",
       "stack(3, 'r20', community_r20, 'r05', community_r05, 'r01', community_r01) AS (level, community_id)"
@@ -608,7 +608,23 @@ object GraphQueries extends QueryModule {
     * vertex with its community at every resolution — exactly the
     * reference's per-resolution community assignment shape.
     */
-  private def g8c_resolution_hierarchy(s: SparkSession, d: String): DataFrame = {
+  /** g8c's three-resolution sweep is consumed by both g8c itself and g4b's
+    * per-level summaries; the sweep is the whole cost of either (iterative
+    * refinement × 3 resolutions) while the result is nation-count-sized.
+    * Memoized per (session, dataset) exactly like [[communityAssign]] —
+    * whichever of g8c/g4b runs first pays for the sweep, the other reads
+    * the 25-row materialized frame.
+    */
+  private val resolutionHierMemo =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+
+  private def g8c_resolution_hierarchy(s: SparkSession, d: String): DataFrame =
+    resolutionHierMemo.computeIfAbsent(
+      (s, d),
+      k => graft.Lineage.truncate(g8cResolutionHierarchyCompute(k._1, k._2))
+    )
+
+  private def g8cResolutionHierarchyCompute(s: SparkSession, d: String): DataFrame = {
     val (vertices, und) = bridgedNationUnd(s, d)
     GraphOps
       .resolutionHierarchy(
@@ -829,7 +845,53 @@ object GraphQueries extends QueryModule {
       .filter(col("shared_parts") >= 2)
   }
 
+  /** G17 — k-truss peel (k=4, two fixed passes): the community-core filter
+    * one level stronger than k-core — an edge survives only while it
+    * closes ≥ k−2 triangles among SURVIVING edges, so bridges and
+    * hub-spoke spokes that k-core keeps are stripped. Runs on the g16
+    * hub-capped co-purchase projection (weight ≥ 2), the sparse substrate
+    * where a truss is meaningful — on the near-complete raw co-supply
+    * graph every edge is in every truss and the computation is pure waste.
+    * Fixed 2 passes (the engine's iterative-graph convention, g2/g9/g10
+    * alike) rather than peel-to-fixpoint; each pass is the g6 wedge-join
+    * support count (m^1.5-bounded under the hub cap) + one keyed
+    * semi-join. Output: the per-pass edge census — the artifact a
+    * pipeline run logs to decide whether another peel pass is worth it.
+    */
+  private def g17_ktruss(s: SparkSession, d: String): DataFrame = {
+    val minSup = 2L // k = 4
+    def pass(e: DataFrame): DataFrame = {
+      val tri = e
+        .join(e.select(col("a").as("b2"), col("b").as("c")), col("b") === col("b2"))
+        .join(
+          e.select(col("a").as("a3"), col("b").as("c3")),
+          col("a") === col("a3") && col("c") === col("c3")
+        )
+        .select(col("a"), col("b"), col("c"))
+      val sup = tri
+        .select(col("a"), col("b"))
+        .unionAll(tri.select(col("b").as("a"), col("c").as("b")))
+        .unionAll(tri.select(col("a"), col("c").as("b")))
+        .groupBy(col("a"), col("b"))
+        .agg(count(lit(1)).as("sup"))
+        .filter(col("sup") >= minSup)
+        .select(col("a"), col("b"))
+      e.join(sup, Seq("a", "b"), "left_semi")
+    }
+    val e0 = graft.Lineage.truncate(
+      g16_cooccurrence_projection(s, d).select(col("s1").as("a"), col("s2").as("b"))
+    )
+    val e1 = graft.Lineage.truncate(pass(e0))
+    val e2 = graft.Lineage.truncate(pass(e1))
+    e0.select(lit("s0_initial").as("stage"))
+      .unionAll(e1.select(lit("s1_after_pass1").as("stage")))
+      .unionAll(e2.select(lit("s2_after_pass2").as("stage")))
+      .groupBy(col("stage"))
+      .agg(count(lit(1)).as("n_edges"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "g17_ktruss" -> (g17_ktruss _),
     "g16_cooccurrence_projection" -> (g16_cooccurrence_projection _),
     "g0_node_table" -> (g0_node_table _),
     "g1_edge_validity" -> (g1_edge_validity _),
@@ -1155,6 +1217,42 @@ object GraphQueries extends QueryModule {
          JOIN reps r ON s.community_id = r.community_id)"""
 
   val oracles: Map[String, String] = Map(
+    "g17_ktruss" ->
+      """WITH sp AS (SELECT DISTINCT l_partkey AS pk, l_suppkey AS sk FROM lineitem),
+         keep AS (SELECT pk FROM sp GROUP BY pk HAVING count(*) <= 16),
+         kept AS (SELECT sp.pk, sp.sk FROM sp JOIN keep ON keep.pk = sp.pk),
+         e0 AS MATERIALIZED (
+           SELECT a.sk AS a, b.sk AS b
+           FROM kept a JOIN kept b ON a.pk = b.pk AND a.sk < b.sk
+           GROUP BY 1, 2 HAVING count(*) >= 2),
+         t1 AS (SELECT e1.a, e1.b, e2.b AS c
+                FROM e0 e1
+                JOIN e0 e2 ON e1.b = e2.a
+                JOIN e0 e3 ON e3.a = e1.a AND e3.b = e2.b),
+         s1 AS (SELECT a, b, count(*) AS sup FROM (
+                  SELECT a, b FROM t1
+                  UNION ALL SELECT b AS a, c AS b FROM t1
+                  UNION ALL SELECT a, c AS b FROM t1)
+                GROUP BY 1, 2),
+         e1 AS MATERIALIZED (
+           SELECT e0.a, e0.b FROM e0
+           JOIN s1 ON s1.a = e0.a AND s1.b = e0.b AND s1.sup >= 2),
+         t2 AS (SELECT x.a, x.b, y.b AS c
+                FROM e1 x
+                JOIN e1 y ON x.b = y.a
+                JOIN e1 z ON z.a = x.a AND z.b = y.b),
+         s2 AS (SELECT a, b, count(*) AS sup FROM (
+                  SELECT a, b FROM t2
+                  UNION ALL SELECT b AS a, c AS b FROM t2
+                  UNION ALL SELECT a, c AS b FROM t2)
+                GROUP BY 1, 2),
+         e2 AS (SELECT e1.a, e1.b FROM e1
+                JOIN s2 ON s2.a = e1.a AND s2.b = e1.b AND s2.sup >= 2)
+         SELECT 's0_initial' AS stage, CAST(count(*) AS BIGINT) AS n_edges FROM e0
+         UNION ALL
+         SELECT 's1_after_pass1', CAST(count(*) AS BIGINT) FROM e1
+         UNION ALL
+         SELECT 's2_after_pass2', CAST(count(*) AS BIGINT) FROM e2""",
     "g16_cooccurrence_projection" ->
       """WITH sp AS (SELECT DISTINCT l_partkey AS pk, l_suppkey AS sk FROM lineitem),
          keep AS (SELECT pk FROM sp GROUP BY pk HAVING count(*) <= 16),

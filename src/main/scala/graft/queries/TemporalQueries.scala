@@ -285,7 +285,48 @@ object TemporalQueries extends QueryModule {
       .select(col("event_id"), col("user_id"), col("us"))
   }
 
+  /** J18 — as-of join with a STALENESS TOLERANCE (the point-in-time-correct
+    * feature-store shape: attach the most recent signup state to each fact,
+    * but only if it is at most 24 h old — older state is treated as expired
+    * and the fact keeps null feature columns rather than silently training
+    * on stale data). Same single-shuffle union+running-window plan as j12:
+    * the most-recent-at-or-before match is the ONLY candidate inside any
+    * trailing window ending at the fact, so tolerance is a post-filter on
+    * the matched timestamp, not a different join. Oracle: DuckDB range
+    * LEFT JOIN + keep-latest row_number — an independent formulation.
+    */
+  private def j18_asof_tolerance(s: SparkSession, d: String): DataFrame = {
+    val tolUs = 24L * 3600L * 1000000L
+    val e = table(s, d, "events")
+      .select(col("event_id"), col("user_id"), us.as("us"), col("event_type"), col("value"))
+    val signups = e
+      .filter(col("event_type") === "signup")
+      .groupBy(col("user_id"), col("us"))
+      .agg(
+        max(col("event_id")).as("ref_event_id"),
+        expr("max_by(value, event_id)").as("ref_val")
+      )
+      // carry the match timestamp as payload so staleness is checkable
+      .withColumn("ref_us", col("us"))
+    val facts = e
+      .filter(col("event_type") =!= "signup")
+      .select(col("event_id"), col("user_id"), col("us"))
+    val fresh = col("ref_us").isNotNull && col("us") - col("ref_us") <= tolUs
+    TemporalJoins
+      .asofLast(facts, signups, key = "user_id", ts = "us", leftId = "event_id",
+        payload = Seq("ref_event_id", "ref_val", "ref_us"))
+      .select(
+        col("event_id"),
+        col("user_id"),
+        col("us"),
+        when(fresh, col("ref_event_id")).as("ref_event_id"),
+        when(fresh, round(col("ref_val") * 100, 0).cast("long")).as("ref_value_cents"),
+        when(fresh, (col("us") - col("ref_us")) / lit(1000000L)).cast("long").as("staleness_sec")
+      )
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "j18_asof_tolerance" -> (j18_asof_tolerance _),
     "j16_interval_coverage" -> (j16_interval_coverage _),
     "j17_interval_anti_join" -> (j17_interval_anti_join _),
     "j12_asof_join" -> (j12_asof_join _),
@@ -297,6 +338,30 @@ object TemporalQueries extends QueryModule {
   )
 
   val oracles: Map[String, String] = Map(
+    "j18_asof_tolerance" ->
+      """WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS us, event_type,
+                           value
+                    FROM events),
+         s AS (SELECT user_id, us AS ref_us,
+                      max(event_id) AS ref_event_id,
+                      max_by(value, event_id) AS ref_val
+               FROM e WHERE event_type = 'signup' GROUP BY 1, 2),
+         f AS (SELECT event_id, user_id, us FROM e
+               WHERE event_type <> 'signup'),
+         j AS (SELECT f.event_id, f.user_id, f.us,
+                      s.ref_us, s.ref_event_id, s.ref_val
+               FROM f LEFT JOIN s
+                 ON f.user_id = s.user_id
+                AND s.ref_us <= f.us
+                AND s.ref_us >= f.us - 86400000000),
+         r AS (SELECT *, row_number() OVER (PARTITION BY event_id
+                           ORDER BY ref_us DESC NULLS LAST) AS rn
+               FROM j)
+         SELECT event_id, user_id, us,
+                ref_event_id,
+                CAST(round(ref_val * 100, 0) AS BIGINT) AS ref_value_cents,
+                CAST((us - ref_us) // 1000000 AS BIGINT) AS staleness_sec
+         FROM r WHERE rn = 1""",
     "j17_interval_anti_join" ->
       """WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS us, event_type FROM events),
          s AS (SELECT event_id, user_id, us FROM e WHERE event_type = 'signup'),

@@ -673,7 +673,34 @@ object TextAnalysis extends QueryModule {
       )
   }
 
+  /** X21 — character-class entropy: the cheap gibberish/boilerplate signal
+    * (binary junk and repeated-padding documents collapse toward one class;
+    * natural text sits near the corpus-typical mix of letters / digits /
+    * spaces / punctuation). Shannon entropy over the four classes in bits,
+    * plus the dominant-class fraction. Pure per-row projection — codegen'd
+    * regexp counts, no shuffle, scan-parallel at any scale.
+    */
+  private def x21_char_class_entropy(s: SparkSession, d: String): DataFrame = {
+    val n       = length(col("text")).cast("double")
+    def classCount(keepRe: String) =
+      length(regexp_replace(col("text"), keepRe, "")).cast("double")
+    val letters = classCount("[^a-z]")
+    val digits  = classCount("[^0-9]")
+    val spaces  = classCount("[^ ]")
+    val other   = n - letters - digits - spaces
+    def term(c: Column): Column =
+      when(c > 0, -(c / n) * log2(c / n)).otherwise(lit(0.0))
+    val entropy = term(letters) + term(digits) + term(spaces) + term(other)
+    table(s, d, "documents").select(
+      col("doc_id"),
+      round(when(n > 0, entropy).otherwise(lit(0.0)), 4).as("class_entropy_bits"),
+      round(when(n > 0, greatest(letters, digits, spaces, other) / n)
+        .otherwise(lit(0.0)), 4).as("dominant_frac")
+    )
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x21_char_class_entropy" -> (x21_char_class_entropy _),
     "x20_gram_novelty_decay" -> (x20_gram_novelty_decay _),
     "x19_token_fertility" -> (x19_token_fertility _),
     "x18_zipf_audit" -> (x18_zipf_audit _),
@@ -702,6 +729,26 @@ object TextAnalysis extends QueryModule {
     s"CAST(len(list_filter(string_split(text, ' '), w -> w IN (${inList(xs)}))) AS BIGINT)"
 
   val oracles: Map[String, String] = Map(
+    "x21_char_class_entropy" ->
+      """WITH c AS (
+           SELECT doc_id,
+                  CAST(length(text) AS DOUBLE) AS n,
+                  CAST(length(regexp_replace(text, '[^a-z]', '', 'g')) AS DOUBLE) AS l,
+                  CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE) AS dg,
+                  CAST(length(regexp_replace(text, '[^ ]', '', 'g')) AS DOUBLE) AS sp
+           FROM documents),
+         k AS (SELECT doc_id, n, l, dg, sp, n - l - dg - sp AS o FROM c)
+         SELECT doc_id,
+                round(CASE WHEN n > 0 THEN
+                  (CASE WHEN l  > 0 THEN -(l/n)  * log2(l/n)  ELSE 0 END) +
+                  (CASE WHEN dg > 0 THEN -(dg/n) * log2(dg/n) ELSE 0 END) +
+                  (CASE WHEN sp > 0 THEN -(sp/n) * log2(sp/n) ELSE 0 END) +
+                  (CASE WHEN o  > 0 THEN -(o/n)  * log2(o/n)  ELSE 0 END)
+                ELSE 0 END, 4) AS class_entropy_bits,
+                round(CASE WHEN n > 0
+                      THEN greatest(l, dg, sp, o) / n ELSE 0 END, 4)
+                  AS dominant_frac
+         FROM k""",
     "x20_gram_novelty_decay" ->
       """WITH g AS (
            SELECT doc_id,

@@ -344,7 +344,32 @@ object WindowsFiltersSorts extends QueryModule {
       )
   }
 
+  /** O9 — deterministic training-order shuffle: every epoch of LLM training
+    * needs a reproducible global permutation of the corpus, sharded for the
+    * data loader. Order = md5(epoch-salt | doc_id) — a pure column function,
+    * so the permutation is identical across runs/engines with no RNG state;
+    * shard = first hash byte mod 8 (hash-uniform), position-within-shard =
+    * rank along the same hash order. At 100 TB the shard assignment is a
+    * scan-parallel projection and each shard's ordering is one
+    * range-partitioned sort WITHIN the shard key — never a global
+    * single-partition sort (the per-shard window keeps the sort sharded;
+    * compare o7's explicit two-phase global-id build).
+    */
+  private def o9_epoch_shuffle(s: SparkSession, d: String): DataFrame = {
+    val nShards = 8
+    val h       = md5(concat(lit("epoch-7|"), col("doc_id").cast("string")))
+    val w = Window
+      .partitionBy(col("shard"))
+      .orderBy(col("h"), col("doc_id"))
+    table(s, d, "documents")
+      .select(col("doc_id"), h.as("h"))
+      .withColumn("shard", (conv(substring(col("h"), 1, 2), 16, 10).cast("long") % nShards).cast("long"))
+      .withColumn("pos", row_number().over(w).cast("long"))
+      .select(col("doc_id"), col("shard"), col("pos"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "o9_epoch_shuffle" -> (o9_epoch_shuffle _),
     "o8_range_partition_audit" -> (o8_range_partition_audit _),
     "o7_global_ids" -> (o7_global_ids _),
     "w1_rank_label" -> (w1_rank_label _),
@@ -371,6 +396,18 @@ object WindowsFiltersSorts extends QueryModule {
     .mkString(" + ")
 
   val oracles: Map[String, String] = Map(
+    "o9_epoch_shuffle" ->
+      """WITH h AS (SELECT doc_id,
+                           md5('epoch-7|' || CAST(doc_id AS VARCHAR)) AS h
+                    FROM documents),
+         sh AS (SELECT doc_id, h,
+                       CAST(CAST('0x' || substring(h, 1, 2) AS INTEGER) % 8
+                            AS BIGINT) AS shard
+                FROM h)
+         SELECT doc_id, shard,
+                CAST(row_number() OVER (PARTITION BY shard
+                       ORDER BY h, doc_id) AS BIGINT) AS pos
+         FROM sh""",
     "o8_range_partition_audit" ->
       """WITH v AS (SELECT CAST(o_totalprice * 100 AS BIGINT) AS v FROM orders),
          h AS (SELECT v // 100000 AS bk, count(*) AS c FROM v GROUP BY 1),

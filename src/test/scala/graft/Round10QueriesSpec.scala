@@ -1,0 +1,192 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Invariants for the round-10 additions (e18/j18/x21/o9/a23/c20/d16/g17)
+  * on planted micro-corpora — semantics the row-hash oracle proves equal
+  * across engines but can't explain; these pin WHY each answer is right.
+  */
+class Round10QueriesSpec extends AnyFunSuite with SparkTestBase {
+
+  private def tmp(tag: String): String =
+    java.nio.file.Files.createTempDirectory(tag).toString
+
+  private val ns = 1000L // micros → raw nanos longs (the nanosAsLong shape)
+
+  test("e18: transition counts and per-from probabilities") {
+    import spark.implicits._
+    val events = Seq(
+      // user 1: A → B → A ; user 2: A → A
+      (1L, 1L, "A", 1000000L * ns),
+      (1L, 2L, "B", 2000000L * ns),
+      (1L, 3L, "A", 3000000L * ns),
+      (2L, 4L, "A", 1000000L * ns),
+      (2L, 5L, "A", 2000000L * ns)
+    ).toDF("user_id", "event_id", "event_type", "ts")
+    val dir = tmp("e18spec")
+    events.write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = SparkEntry
+      .queries("e18_transition_matrix")(spark, dir)
+      .collect()
+      .map(r => (r.getAs[String]("from_type"), r.getAs[String]("to_type")) ->
+        (r.getAs[Long]("n"), r.getAs[Long]("prob_bp")))
+      .toMap
+    assert(out(("A", "B")) == (1L, 5000L)) // A fans out to B and A equally
+    assert(out(("A", "A")) == (1L, 5000L))
+    assert(out(("B", "A")) == (1L, 10000L)) // B always goes back to A
+    assert(out.size == 3)
+  }
+
+  test("j18: stale state (>24h) yields null features, fresh state carries staleness") {
+    import spark.implicits._
+    val h = 3600L * 1000000L
+    val events = Seq(
+      (1L, 1L, "signup", 0L * ns, 2.5),
+      (1L, 2L, "purchase", 1L * h * ns, 0.0), // 1 h after signup: fresh
+      (1L, 3L, "purchase", 25L * h * ns, 0.0), // 25 h after: stale → nulls
+      (2L, 4L, "purchase", 1L * h * ns, 0.0) // no signup at all → nulls
+    ).toDF("user_id", "event_id", "event_type", "ts", "value")
+    val dir = tmp("j18spec")
+    events.write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = SparkEntry
+      .queries("j18_asof_tolerance")(spark, dir)
+      .collect()
+      .map(r => r.getAs[Long]("event_id") -> r)
+      .toMap
+    assert(out(2L).getAs[Long]("ref_event_id") == 1L)
+    assert(out(2L).getAs[Long]("ref_value_cents") == 250L)
+    assert(out(2L).getAs[Long]("staleness_sec") == 3600L)
+    for (id <- Seq(3L, 4L)) {
+      assert(out(id).isNullAt(out(id).fieldIndex("ref_event_id")))
+      assert(out(id).isNullAt(out(id).fieldIndex("staleness_sec")))
+    }
+  }
+
+  test("x21: entropy 0 for one class, 1 bit for two equal, 2 bits for four equal") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "aaaa"), // all letters
+      (2L, "ab12"), // letters/digits 50:50
+      (3L, "a1 .") // one char per class
+    ).toDF("doc_id", "text")
+    val dir = tmp("x21spec")
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = SparkEntry
+      .queries("x21_char_class_entropy")(spark, dir)
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Double]("class_entropy_bits"), r.getAs[Double]("dominant_frac")))
+      .toMap
+    assert(out(1L) == (0.0, 1.0))
+    assert(out(2L) == (1.0, 0.5))
+    assert(out(3L) == (2.0, 0.25))
+  }
+
+  test("o9: shards partition the corpus, positions are dense per shard, order is reproducible") {
+    import spark.implicits._
+    val docs = (0L until 64L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    val dir = tmp("o9spec")
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    def run() = SparkEntry
+      .queries("o9_epoch_shuffle")(spark, dir)
+      .collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("shard"), r.getAs[Long]("pos")))
+      .sortBy(_._1)
+    val a = run()
+    assert(a.length == 64)
+    assert(a.forall { case (_, s, _) => s >= 0 && s < 8 })
+    // dense ranks: within each shard, positions are exactly 1..n
+    a.groupBy(_._2).foreach { case (_, rows) =>
+      assert(rows.map(_._3).sorted.toSeq == (1L to rows.length.toLong))
+    }
+    // the permutation is a pure function of doc_id — identical on rerun
+    assert(run().toSeq == a.toSeq)
+    // shard matches an independent md5 computation for a spot-checked doc
+    val d0 = java.security.MessageDigest.getInstance("MD5")
+      .digest("epoch-7|0".getBytes("UTF-8"))
+    val expectedShard = (d0(0) & 0xff) % 8
+    assert(a.find(_._1 == 0L).get._2 == expectedShard.toLong)
+  }
+
+  test("a23: median follows the shipped quantity, not the row count") {
+    import spark.implicits._
+    // three rows, but the 2.00 line carries half the quantity: many cheap
+    // single-unit rows must NOT outvote it
+    val li = Seq(
+      ("A", 1.00, 1.0),
+      ("A", 2.00, 2.0),
+      ("A", 3.00, 1.0)
+    ).toDF("l_returnflag", "l_extendedprice", "l_quantity")
+    val dir = tmp("a23spec")
+    li.write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val out = SparkEntry.queries("a23_weighted_median")(spark, dir).collect()
+    assert(out.length == 1)
+    assert(out(0).getAs[Long]("wmedian_cents") == 200L)
+    assert(out(0).getAs[Long]("total_qty") == 4L)
+  }
+
+  test("c20: subdomains of blocked suffixes are blocked, lookalike hosts are not") {
+    import spark.implicits._
+    val docs = (0L until 8L).map(i => (i, "t")).toDF("doc_id", "text")
+    val dir = tmp("c20spec")
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = SparkEntry
+      .queries("c20_domain_blocklist")(spark, dir)
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Boolean]("blocked"), Option(r.getAs[String]("rule"))))
+      .toMap
+    assert(out(0L) == (true, Some("ads.example.com"))) // cdn.ads.example.com
+    assert(out(1L) == (false, None)) // news.example.org
+    assert(out(2L) == (true, Some("tracker.net"))) // exact match
+    assert(out(3L) == (false, None)) // u0.blog.example.net
+    assert(out(4L) == (true, Some("ads.example.com")))
+    assert(out(5L) == (true, Some("spam-site.io"))) // mirror.spam-site.io
+    assert(out(6L) == (false, None)) // docs.example.com — suffix, not subdomain
+    assert(out(7L) == (true, Some("spam-site.io")))
+  }
+
+  test("d16: a planted excerpt is fully contained while Jaccard stays low") {
+    import spark.implicits._
+    val words = (1 to 40).map(i => s"w$i").mkString(" ")
+    val docs = Seq((7L, words)).toDF("doc_id", "text")
+    val dir = tmp("d16spec")
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = SparkEntry
+      .queries("d16_containment")(spark, dir)
+      .collect()
+      .map(r => (r.getAs[Long]("doc1"), r.getAs[Long]("doc2")) ->
+        (r.getAs[Long]("containment_bp"), r.getAs[Long]("jaccard_bp")))
+      .toMap
+    // the 10-word excerpt (8 of 38 shingles) is 100% contained ...
+    val (cont, jac) = out((7L, 200007L))
+    assert(cont == 10000L)
+    // ... while symmetric Jaccard sees ~21% — the pair d1/d4 would miss
+    assert(jac == 8L * 10000L / 38L)
+    assert(out.size == 1)
+  }
+
+  test("g17: truss peel drops the triangle-free bridge edge, keeps the K4") {
+    import spark.implicits._
+    // K4 over suppliers 1..4 (each pair shares 2 exclusive parts) plus a
+    // bridge 4–5 (2 shared parts, but no triangle through it)
+    val pairs = Seq((1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4), (4, 5))
+    val rows = pairs.zipWithIndex.flatMap { case ((a, b), i) =>
+      Seq(
+        (2L * i, a.toLong), (2L * i, b.toLong),
+        (2L * i + 1, a.toLong), (2L * i + 1, b.toLong)
+      )
+    }
+    val li = rows.toDF("l_partkey", "l_suppkey")
+    val dir = tmp("g17spec")
+    li.write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val out = SparkEntry
+      .queries("g17_ktruss")(spark, dir)
+      .collect()
+      .map(r => r.getAs[String]("stage") -> r.getAs[Long]("n_edges"))
+      .toMap
+    assert(out("s0_initial") == 7L)
+    assert(out("s1_after_pass1") == 6L) // bridge 4–5 peeled
+    assert(out("s2_after_pass2") == 6L) // K4 is stable: every edge has support 2
+  }
+}
