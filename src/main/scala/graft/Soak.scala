@@ -109,7 +109,14 @@ object Soak {
     "g16_cooccurrence_projection",
     "x16_novelty_rate",
     "s28_manifest_pruned_scan",
-    "pl9_corpus_funnel"
+    "pl9_corpus_funnel",
+    // round-10 additions heavy enough to earn a soak row: the containment
+    // anchor-join (rare-shingle postings), the truss peel (2× the g6 wedge
+    // join, graded at its m^1.5 exponent like g6), and the binary
+    // block-fingerprint inverted-index join
+    "d16_containment",
+    "g17_ktruss",
+    "m9_payload_block_dedup"
   )
 
   private[graft] def buildScaled(spark: SparkSession, src: String, out: String, n: Int): Unit = {
@@ -150,7 +157,12 @@ object Soak {
     * expected super-linear-in-edges wedge growth").
     */
   private val costExponent: Map[String, Double] =
-    Map("g6_triangles" -> 1.5).withDefaultValue(1.0)
+    Map(
+      "g6_triangles" -> 1.5,
+      // same wedge-join work class as g6, run twice (the g16 substrate's
+      // hub cap bounds the constant, not the exponent)
+      "g17_ktruss" -> 1.5
+    ).withDefaultValue(1.0)
 
   /** Physical-plan join-node census — the soak's plan-flip detector.
     * Counts per node type, because some plans carry a BENIGN

@@ -422,6 +422,43 @@ object StreamOps {
       }
       .start()
 
+  final case class TransIn(user_id: Long, us: Long, event_id: Long, event_type: String)
+  final case class TransPair(user_id: Long, from_type: String, to_type: String)
+  final case class LastSeen(us: Long, event_id: Long, event_type: String)
+
+  /** Streaming face of e18's transition matrix: per-user (from, to)
+    * event-type pairs emitted as transitions happen, with the LAST event of
+    * each user held as `flatMapGroupsWithState` state so the transition
+    * that straddles a micro-batch boundary is emitted exactly once — the
+    * pair stream a downstream counter aggregates into the same matrix the
+    * batch query computes over the full history.
+    *
+    * Contract (same as [[sequencePacker]]): within a batch rows are sorted
+    * by (us, event_id); across batches arrival order is the stream's
+    * order. State: one (us, event_id, type) triple per user — bounded by
+    * active-user cardinality, never volume. One shuffle per micro-batch on
+    * user_id.
+    */
+  def transitionPairs(events: Dataset[TransIn]): Dataset[TransPair] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[LastSeen, TransPair](
+        OutputMode.Append(),
+        GroupStateTimeout.NoTimeout()
+      ) { case (uid, rows, state) =>
+        val sorted = rows.toSeq.sortBy(r => (r.us, r.event_id))
+        var prev   = state.getOption
+        val out = sorted.map { e =>
+          val pair = prev.map(p => TransPair(uid, p.event_type, e.event_type))
+          prev = Some(LastSeen(e.us, e.event_id, e.event_type))
+          pair
+        }
+        prev.foreach(p => state.update(p))
+        out.flatten.iterator
+      }
+  }
+
   final case class PackIn(lang: String, doc_id: Long, n_tokens: Long)
   final case class PackOut(
       lang: String,

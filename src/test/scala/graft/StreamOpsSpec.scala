@@ -843,6 +843,45 @@ class StreamOpsSpec extends AnyFunSuite with SparkTestBase {
     } finally q.stop()
   }
 
+  test("transitionPairs emits the boundary transition once and matches the batch matrix") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import StreamOps.{TransIn, TransPair}
+    val in = MemoryStream[TransIn]
+    val q = StreamOps.transitionPairs(in.toDS()).writeStream
+      .format("memory")
+      .queryName("trans")
+      .outputMode(OutputMode.Append())
+      .start()
+    try {
+      // batch 1: user 1 A→B; user 2 lone A (no pair yet)
+      in.addData(TransIn(1L, 1000L, 1L, "A"), TransIn(1L, 2000L, 2L, "B"), TransIn(2L, 1000L, 3L, "A"))
+      q.processAllAvailable()
+      // batch 2: user 1 B→A straddles the boundary; user 2 A→A
+      in.addData(TransIn(1L, 3000L, 4L, "A"), TransIn(2L, 2000L, 5L, "A"))
+      q.processAllAvailable()
+      val got = spark.table("trans").as[TransPair].collect().toSeq
+        .groupBy(p => (p.from_type, p.to_type)).view.mapValues(_.size).toMap
+      // the batch lag-window census over the SAME history (e18's shape)
+      val batch = Seq(
+        (1L, 1000L, 1L, "A"), (1L, 2000L, 2L, "B"), (1L, 3000L, 4L, "A"),
+        (2L, 1000L, 3L, "A"), (2L, 2000L, 5L, "A")
+      ).toDF("user_id", "us", "event_id", "event_type")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(org.apache.spark.sql.functions.col("user_id"))
+        .orderBy(org.apache.spark.sql.functions.col("us"), org.apache.spark.sql.functions.col("event_id"))
+      val want = batch
+        .withColumn("from_type", org.apache.spark.sql.functions.lag(org.apache.spark.sql.functions.col("event_type"), 1).over(w))
+        .filter(org.apache.spark.sql.functions.col("from_type").isNotNull)
+        .groupBy("from_type", "event_type").count()
+        .collect()
+        .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2).toInt)
+        .toMap
+      assert(got == want)
+      assert(got == Map(("A", "B") -> 1, ("B", "A") -> 1, ("A", "A") -> 1))
+    } finally q.stop()
+  }
+
   test("Sessionizer folds out-of-order events without shrinking durations") {
     import spark.implicits._
     val gapUs = 3600L * 1000000
