@@ -133,7 +133,68 @@ object PipelineQueries extends QueryModule {
   private def pl8_vector_ingest(s: SparkSession, d: String): DataFrame =
     Assets.vectorIngest(mergedArticles(s, d))
 
+  /** PL10 — digest-driven incremental recompute (the reference's per-decade
+    * partition reruns, `build_artist_index.py:141-142`, made INCREMENTAL):
+    * a pipeline that re-lands only the partitions whose INPUT changed. Each
+    * order-year partition is reduced to (row count, order-independent
+    * digest) — s25's summed-row-hash digest, map-side combinable so the
+    * whole decision costs one narrow scan at any scale — and compared
+    * against the previous run's digests; `changed` partitions are exactly
+    * the recompute set, priced in rows. The previous run is simulated
+    * deterministically: the same inputs minus the planted delta (every
+    * 97th order of 1995), so 1995 — and only 1995 — must flag.
+    *
+    * At 100 TB this decision table is |partitions| rows; recompute cost
+    * drops from full-corpus to Σ changed-partition rows, which is the
+    * entire point of partitioned pipeline state (s31's dynamic overwrite
+    * is the write-side half of the same story).
+    */
+  private def pl10_incremental_recompute(s: SparkSession, d: String): DataFrame = {
+    val o = table(s, d, "orders").select(
+      col("o_orderkey"),
+      col("o_custkey"),
+      year(col("o_orderdate")).cast("long").as("part_year"),
+      expr("CAST(round(o_totalprice * 100, 0) AS LONG)").as("cents"),
+      date_format(col("o_orderdate"), "yyyy-MM-dd").as("day"),
+      col("o_orderpriority")
+    )
+    val h = conv(
+      substring(
+        md5(concat_ws("|",
+          col("o_orderkey").cast("string"),
+          col("o_custkey").cast("string"),
+          col("cents").cast("string"),
+          col("day"),
+          col("o_orderpriority"))),
+        1, 8),
+      16, 10
+    ).cast("long")
+    def digestOf(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("part_year"), h.as("h"))
+      .groupBy("part_year")
+      .agg(count(lit(1)).as("n_rows"), sum("h").as("digest"))
+    val now  = digestOf(o)
+    val prev = digestOf(o.filter(!(col("part_year") === 1995 && col("o_orderkey") % 97 === 0)))
+      .select(col("part_year"), col("n_rows").as("prev_rows"), col("digest").as("prev_digest"))
+    now
+      .join(prev, Seq("part_year"), "left")
+      .select(
+        col("part_year"),
+        col("n_rows"),
+        col("digest"),
+        col("prev_digest"),
+        (col("prev_digest").isNull || col("digest") =!= col("prev_digest")
+          || col("n_rows") =!= col("prev_rows")).as("changed"),
+        when(
+          col("prev_digest").isNull || col("digest") =!= col("prev_digest")
+            || col("n_rows") =!= col("prev_rows"),
+          col("n_rows")
+        ).otherwise(lit(0L)).as("recompute_rows")
+      )
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pl10_incremental_recompute" -> (pl10_incremental_recompute _),
     "s7_cache_fetch_missing" -> (s7_cache_fetch_missing _),
     "s8_label_resolver" -> (s8_label_resolver _),
     "pl1_artist_index" -> (pl1_artist_index _),
@@ -296,6 +357,37 @@ object PipelineQueries extends QueryModule {
          FROM genre_chunks)"""
 
   val oracles: Map[String, String] = Map(
+    "pl10_incremental_recompute" ->
+      """WITH o AS (
+           SELECT o_orderkey, o_custkey,
+                  CAST(year(o_orderdate) AS BIGINT) AS part_year,
+                  CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents,
+                  strftime(o_orderdate, '%Y-%m-%d') AS day,
+                  o_orderpriority
+           FROM orders),
+         h AS (SELECT part_year, o_orderkey,
+                      ('0x' || substr(md5(
+                        CAST(o_orderkey AS VARCHAR) || '|' ||
+                        CAST(o_custkey AS VARCHAR) || '|' ||
+                        CAST(cents AS VARCHAR) || '|' ||
+                        day || '|' || o_orderpriority), 1, 8))::BIGINT AS h
+               FROM o),
+         now AS (SELECT part_year, CAST(count(*) AS BIGINT) AS n_rows,
+                        CAST(sum(h) AS BIGINT) AS digest
+                 FROM h GROUP BY 1),
+         prev AS (SELECT part_year, CAST(count(*) AS BIGINT) AS prev_rows,
+                         CAST(sum(h) AS BIGINT) AS prev_digest
+                  FROM h
+                  WHERE NOT (part_year = 1995 AND o_orderkey % 97 = 0)
+                  GROUP BY 1)
+         SELECT now.part_year, now.n_rows, now.digest, prev.prev_digest,
+                (prev.prev_digest IS NULL OR now.digest <> prev.prev_digest
+                 OR now.n_rows <> prev.prev_rows) AS changed,
+                CASE WHEN prev.prev_digest IS NULL
+                       OR now.digest <> prev.prev_digest
+                       OR now.n_rows <> prev.prev_rows
+                     THEN now.n_rows ELSE 0 END AS recompute_rows
+         FROM now LEFT JOIN prev ON prev.part_year = now.part_year""",
     "s7_cache_fetch_missing" ->
       """WITH req AS (
            SELECT 'Q' || CAST(c_custkey AS VARCHAR) AS qid

@@ -725,7 +725,43 @@ object TextAnalysis extends QueryModule {
     )
   }
 
+  /** X22 — term burstiness (Church–Gale): for the top-32 corpus terms,
+    * occurrences-per-containing-document cf/df in per-mille next to the
+    * document-coverage rate df/N. Function words sit near coverage≈high,
+    * burst≈low (one hit per doc); topical/boilerplate terms CONCENTRATE —
+    * high burst at low coverage — which is the signal that separates "this
+    * term is language" from "this term is a template artifact" when x7/x14
+    * frequency alone can't.
+    *
+    * Scale shape: the (doc,term,tf) frame from one explode+hash agg; cf
+    * and df are then per-term sums/counts over THAT frame (no second
+    * corpus pass — d9's vocabulary-first discipline); top-32 via
+    * TakeOrdered; the single-row doc count broadcasts.
+    */
+  private def x22_term_burstiness(s: SparkSession, d: String): DataFrame = {
+    val tf = table(s, d, "documents")
+      .select(col("doc_id"), explode(words(col("text"))).as("term"))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val stats = tf
+      .groupBy("term")
+      .agg(sum("tf").as("cf"), count(lit(1)).as("df"))
+    val n = broadcast(table(s, d, "documents").agg(count(lit(1)).as("n_docs")))
+    stats
+      .orderBy(col("cf").desc, col("term").asc)
+      .limit(32)
+      .crossJoin(n)
+      .select(
+        col("term"),
+        col("cf"),
+        col("df"),
+        expr("cf * 1000 div df").as("burst_pm"),
+        expr("df * 1000 div n_docs").as("coverage_pm")
+      )
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x22_term_burstiness" -> (x22_term_burstiness _),
     "x21_char_class_entropy" -> (x21_char_class_entropy _),
     "x20_gram_novelty_decay" -> (x20_gram_novelty_decay _),
     "x19_token_fertility" -> (x19_token_fertility _),
@@ -755,6 +791,20 @@ object TextAnalysis extends QueryModule {
     s"CAST(len(list_filter(string_split(text, ' '), w -> w IN (${inList(xs)}))) AS BIGINT)"
 
   val oracles: Map[String, String] = Map(
+    "x22_term_burstiness" ->
+      """WITH w AS (
+           SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+         ),
+         tf AS (SELECT doc_id, term, count(*) AS tf FROM w GROUP BY 1, 2),
+         st AS (SELECT term, CAST(sum(tf) AS BIGINT) AS cf,
+                       CAST(count(*) AS BIGINT) AS df
+                FROM tf GROUP BY 1),
+         top AS (SELECT * FROM st ORDER BY cf DESC, term LIMIT 32),
+         n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents)
+         SELECT term, cf, df,
+                CAST(cf * 1000 // df AS BIGINT) AS burst_pm,
+                CAST(df * 1000 // n_docs AS BIGINT) AS coverage_pm
+         FROM top, n""",
     "x21_char_class_entropy" ->
       """WITH c AS (
            SELECT doc_id,

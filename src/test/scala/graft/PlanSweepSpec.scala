@@ -47,7 +47,8 @@ class PlanSweepSpec extends AnyFunSuite with SparkTestBase {
     "x17_source_overlap_matrix", // ≤-sources-row signature broadcast (20 rows × 12 ints)
     "x20_gram_novelty_decay", // single-row max-doc-id broadcast onto the gram-first table
     "o8_range_partition_audit", // ≤7-row quantile spine + single-row boundary-array broadcasts
-    "pl9_corpus_funnel" // four single-row stage-census broadcasts into the 4-row summary
+    "pl9_corpus_funnel", // four single-row stage-census broadcasts into the 4-row summary
+    "x22_term_burstiness" // single-row n_docs broadcast over the top-32 rows
   )
 
   /** Queries allowed a window with an empty partition spec: the window

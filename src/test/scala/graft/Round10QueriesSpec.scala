@@ -166,6 +166,51 @@ class Round10QueriesSpec extends AnyFunSuite with SparkTestBase {
     assert(out.size == 1)
   }
 
+  test("pl10: only the partition with the planted input delta flags for recompute") {
+    import spark.implicits._
+    val d95 = java.sql.Date.valueOf("1995-06-01")
+    val d96 = java.sql.Date.valueOf("1996-06-01")
+    // 1995 contains key 97 (the simulated prev run lacks it → changed);
+    // 1996 has no multiple of 97 → digests agree → unchanged
+    val orders = Seq(
+      (97L, 1L, d95, 10.0, "1-URGENT"),
+      (98L, 2L, d95, 20.0, "2-HIGH"),
+      (200L, 3L, d96, 30.0, "3-MEDIUM"),
+      (201L, 4L, d96, 40.0, "4-NOT SPECIFIED")
+    ).toDF("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice", "o_orderpriority")
+    val dir = tmp("pl10spec")
+    orders.write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    val out = SparkEntry
+      .queries("pl10_incremental_recompute")(spark, dir)
+      .collect()
+      .map(r => r.getAs[Long]("part_year") ->
+        (r.getAs[Boolean]("changed"), r.getAs[Long]("recompute_rows")))
+      .toMap
+    assert(out(1995L) == (true, 2L)) // whole partition re-lands, not one row
+    assert(out(1996L) == (false, 0L))
+    assert(out.size == 2)
+  }
+
+  test("x22: function words spread wide, template terms concentrate") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the spam spam spam"), // 'spam' bursts: 3 hits in 1 doc
+      (2L, "the cat")
+    ).toDF("doc_id", "text")
+    val dir = tmp("x22spec")
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = SparkEntry
+      .queries("x22_term_burstiness")(spark, dir)
+      .collect()
+      .map(r => r.getAs[String]("term") ->
+        (r.getAs[Long]("cf"), r.getAs[Long]("df"),
+          r.getAs[Long]("burst_pm"), r.getAs[Long]("coverage_pm")))
+      .toMap
+    assert(out("the") == (2L, 2L, 1000L, 1000L)) // everywhere, never repeated
+    assert(out("spam") == (3L, 1L, 3000L, 500L)) // concentrated
+    assert(out("cat") == (1L, 1L, 1000L, 500L))
+  }
+
   test("g17: truss peel drops the triangle-free bridge edge, keeps the K4") {
     import spark.implicits._
     // K4 over suppliers 1..4 (each pair shares 2 exclusive parts) plus a
