@@ -354,11 +354,25 @@ object GraphQueries extends QueryModule {
     * three join legs; the triangle COUNT is orientation-invariant, so the
     * oracle is unchanged from round 5.
     */
-  /** The supplier co-supply projection shared by g6/g7: distinct (supplier,
-    * part) pairs from first-line lineitems, then canonical undirected
-    * supplier pairs (a < b) for suppliers sharing a part.
+  /** The supplier co-supply projection shared by g6/g7/g8/g8b/g10/g14:
+    * distinct (supplier, part) pairs from first-line lineitems, then
+    * canonical undirected supplier pairs (a < b) for suppliers sharing a
+    * part. Six queries consume this same frame; like [[communityAssign]]
+    * and the g8c hierarchy it is materialized ONCE per (session, dataset)
+    * — the build is a lineitem distinct + self-join, the result is
+    * supplier²-bounded, and every consumer's iterative passes start from
+    * the truncated frame either way.
     */
-  private def coSupplyUndirected(s: SparkSession, d: String): DataFrame = {
+  private val coSupplyMemo =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+
+  private def coSupplyUndirected(s: SparkSession, d: String): DataFrame =
+    coSupplyMemo.computeIfAbsent(
+      (s, d),
+      k => graft.Lineage.truncate(coSupplyUndirectedCompute(k._1, k._2))
+    )
+
+  private def coSupplyUndirectedCompute(s: SparkSession, d: String): DataFrame = {
     val sp = table(s, d, "lineitem")
       .filter(col("l_linenumber") === 1)
       .select(col("l_suppkey").as("sk"), col("l_partkey").as("p"))
@@ -382,7 +396,7 @@ object GraphQueries extends QueryModule {
     * equi-joins on vertex id; the final reduce is a scalar aggregate.
     */
   private def g14_assortativity(s: SparkSession, d: String): DataFrame = {
-    val und = graft.Lineage.truncate(coSupplyUndirected(s, d))
+    val und = coSupplyUndirected(s, d) // memoized + truncated
     val deg = und
       .select(col("a").as("v"))
       .unionAll(und.select(col("b").as("v")))
@@ -452,7 +466,7 @@ object GraphQueries extends QueryModule {
           col("modularity_num").cast("long").as("modularity_num")
         )
     }
-    val csUnd = graft.Lineage.truncate(coSupplyUndirected(s, d))
+    val csUnd = coSupplyUndirected(s, d) // memoized + truncated
     val csVerts = csUnd
       .select(col("a").as("id"))
       .unionAll(csUnd.select(col("b").as("id")))
