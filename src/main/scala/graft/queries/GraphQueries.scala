@@ -904,7 +904,53 @@ object GraphQueries extends QueryModule {
       .agg(count(lit(1)).as("n_edges"))
   }
 
+  /** G18 — local clustering coefficient: per supplier, how close its
+    * co-purchase neighborhood is to a clique — 2·tri(v)/(deg(v)·(deg(v)−1))
+    * in per-mille. The node-local complement of g6's global count (a node
+    * can sit in a dense corner of a globally sparse graph); low coefficient
+    * at high degree is the hub/bridge signature g17's truss peel removes.
+    * Runs on the g16 hub-capped projection where structure actually varies
+    * (the raw co-supply graph is near-complete — every coefficient ≈ 1).
+    *
+    * Scale: one g6-style wedge join for the triangle triples (m^1.5 under
+    * the cap), then per-node counts are two keyed aggregates; integer
+    * per-mille only.
+    */
+  private def g18_clustering_coeff(s: SparkSession, d: String): DataFrame = {
+    val e = graft.Lineage.truncate(
+      g16_cooccurrence_projection(s, d).select(col("s1").as("a"), col("s2").as("b"))
+    )
+    val tri = e
+      .join(e.select(col("a").as("b2"), col("b").as("c")), col("b") === col("b2"))
+      .join(
+        e.select(col("a").as("a3"), col("b").as("c3")),
+        col("a") === col("a3") && col("c") === col("c3")
+      )
+      .select(col("a"), col("b"), col("c"))
+    val triPerNode = tri
+      .select(col("a").as("v"))
+      .unionAll(tri.select(col("b").as("v")))
+      .unionAll(tri.select(col("c").as("v")))
+      .groupBy("v")
+      .agg(count(lit(1)).as("tri"))
+    val deg = e
+      .select(col("a").as("v"))
+      .unionAll(e.select(col("b").as("v")))
+      .groupBy("v")
+      .agg(count(lit(1)).as("deg"))
+    deg
+      .filter(col("deg") >= 2)
+      .join(triPerNode, Seq("v"), "left")
+      .select(
+        col("v").as("supplier"),
+        col("deg"),
+        coalesce(col("tri"), lit(0L)).as("n_tri"),
+        expr("2000 * coalesce(tri, 0) div (deg * (deg - 1))").as("coeff_pm")
+      )
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "g18_clustering_coeff" -> (g18_clustering_coeff _),
     "g17_ktruss" -> (g17_ktruss _),
     "g16_cooccurrence_projection" -> (g16_cooccurrence_projection _),
     "g0_node_table" -> (g0_node_table _),
@@ -1231,6 +1277,30 @@ object GraphQueries extends QueryModule {
          JOIN reps r ON s.community_id = r.community_id)"""
 
   val oracles: Map[String, String] = Map(
+    "g18_clustering_coeff" ->
+      """WITH sp AS (SELECT DISTINCT l_partkey AS pk, l_suppkey AS sk FROM lineitem),
+         keep AS (SELECT pk FROM sp GROUP BY pk HAVING count(*) <= 16),
+         kept AS (SELECT sp.pk, sp.sk FROM sp JOIN keep ON keep.pk = sp.pk),
+         e AS MATERIALIZED (
+           SELECT a.sk AS a, b.sk AS b
+           FROM kept a JOIN kept b ON a.pk = b.pk AND a.sk < b.sk
+           GROUP BY 1, 2 HAVING count(*) >= 2),
+         t AS (SELECT e1.a, e1.b, e2.b AS c
+               FROM e e1
+               JOIN e e2 ON e1.b = e2.a
+               JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b),
+         tn AS (SELECT v, CAST(count(*) AS BIGINT) AS tri FROM (
+                  SELECT a AS v FROM t
+                  UNION ALL SELECT b FROM t
+                  UNION ALL SELECT c FROM t) GROUP BY 1),
+         dg AS (SELECT v, CAST(count(*) AS BIGINT) AS deg FROM (
+                  SELECT a AS v FROM e UNION ALL SELECT b FROM e) GROUP BY 1)
+         SELECT dg.v AS supplier, dg.deg,
+                coalesce(tn.tri, 0) AS n_tri,
+                CAST(2000 * coalesce(tn.tri, 0) // (dg.deg * (dg.deg - 1))
+                     AS BIGINT) AS coeff_pm
+         FROM dg LEFT JOIN tn ON tn.v = dg.v
+         WHERE dg.deg >= 2""",
     "g17_ktruss" ->
       """WITH sp AS (SELECT DISTINCT l_partkey AS pk, l_suppkey AS sk FROM lineitem),
          keep AS (SELECT pk FROM sp GROUP BY pk HAVING count(*) <= 16),

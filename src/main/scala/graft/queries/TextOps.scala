@@ -188,6 +188,39 @@ object TextOps extends QueryModule {
     )
   }
 
+  /** F1h — lossy-decode refusal: text that went through a decoder that
+    * already DROPPED bytes carries U+FFFD replacement characters, and no
+    * byte-shuffling repair can recover what isn't there — ftfy's contract
+    * (and cleanText's, pinned here) is to fix what is fixable around the
+    * loss and never hallucinate content. The engine's repair is
+    * deliberately MORE conservative than per-span fixing: a string whose
+    * decode already lost bytes (any U+FFFD present) is not re-interpreted
+    * AT ALL — `graft_fix_mojibake`'s reverse-encode step cannot encode the
+    * marker to Latin-1, so the whole string passes through unchanged,
+    * mojibake and all. Re-reading bytes in a string that demonstrably came
+    * through a broken decode risks compounding the damage; such rows
+    * belong in re-extraction, which is exactly what this census (marker
+    * count, lossy flag) routes on. Marker-free strings repair normally —
+    * both arms pinned by the closed-form oracle.
+    */
+  private def f1h_lossy_refusal(s: SparkSession, d: String): DataFrame = {
+    val orig  = concat(lit("Café"), col("doc_id").cast("string"))
+    val moji  = decode(encode(orig, "UTF-8"), "ISO-8859-1")
+    val mixed = concat(
+      moji,
+      when(col("doc_id") % 2 === 0, lit(" lost��bytes")).otherwise(lit("")),
+      when(col("doc_id") % 3 === 0, lit(" tail�")).otherwise(lit(""))
+    )
+    val cleaned = TF.cleanText(mixed)
+    val nRepl   = (length(cleaned) - length(translate(cleaned, "�", ""))).cast("long")
+    table(s, d, "documents").select(
+      col("doc_id"),
+      cleaned.as("cleaned"),
+      nRepl.as("n_replacement"),
+      (nRepl > 0).as("lossy")
+    )
+  }
+
   /** F1c — the HTML-entity leg of the ftfy chain in isolation (and then
     * through the full cleanText pipeline): the query MANUFACTURES entity
     * mixes — named, decimal, hex, malformed-left-alone — and
@@ -407,6 +440,7 @@ object TextOps extends QueryModule {
     "f1e_entity_mojibake" -> (f1e_entity_mojibake _),
     "f1f_uncurl_escapes" -> (f1f_uncurl_escapes _),
     "f1g_badness_scorer" -> (f1g_badness_scorer _),
+    "f1h_lossy_refusal" -> (f1h_lossy_refusal _),
     "f2_natural_list" -> (f2_natural_list _),
     "f3_chunk_fixed" -> (f3_chunk_fixed _),
     "f3b_chunk_recursive" -> (f3b_chunk_recursive _),
@@ -425,6 +459,22 @@ object TextOps extends QueryModule {
   )
 
   val oracles: Map[String, String] = Map(
+    // closed form, both arms: marker-free rows repair to clean text;
+    // any-marker rows pass through UNTOUCHED (mojibake kept, markers
+    // byte-identical) — the whole-string refusal the scaladoc declares
+    "f1h_lossy_refusal" ->
+      """SELECT doc_id,
+                CASE WHEN doc_id % 2 = 0 OR doc_id % 3 = 0
+                     THEN 'CafÃ©' || CAST(doc_id AS VARCHAR)
+                          || CASE WHEN doc_id % 2 = 0 THEN ' lost��bytes' ELSE '' END
+                          || CASE WHEN doc_id % 3 = 0 THEN ' tail�' ELSE '' END
+                     ELSE 'Café' || CAST(doc_id AS VARCHAR) END
+                  AS cleaned,
+                CAST(CASE WHEN doc_id % 2 = 0 THEN 2 ELSE 0 END
+                     + CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END
+                     AS BIGINT) AS n_replacement,
+                (doc_id % 2 = 0 OR doc_id % 3 = 0) AS lossy
+         FROM documents""",
     "f1_clean_text" ->
       """SELECT doc_id,
                 trim(regexp_replace(regexp_replace(regexp_replace(

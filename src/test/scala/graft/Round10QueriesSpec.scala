@@ -211,6 +211,44 @@ class Round10QueriesSpec extends AnyFunSuite with SparkTestBase {
     assert(out("cat") == (1L, 1L, 1000L, 500L))
   }
 
+  test("g18: K4 members are perfectly clustered, the bridge hub is diluted") {
+    import spark.implicits._
+    val pairs = Seq((1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4), (4, 5))
+    val rows = pairs.zipWithIndex.flatMap { case ((a, b), i) =>
+      Seq(
+        (2L * i, a.toLong), (2L * i, b.toLong),
+        (2L * i + 1, a.toLong), (2L * i + 1, b.toLong)
+      )
+    }
+    val dir = tmp("g18spec")
+    rows.toDF("l_partkey", "l_suppkey").write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val out = SparkEntry
+      .queries("g18_clustering_coeff")(spark, dir)
+      .collect()
+      .map(r => r.getAs[Long]("supplier") ->
+        (r.getAs[Long]("deg"), r.getAs[Long]("n_tri"), r.getAs[Long]("coeff_pm")))
+      .toMap
+    for (v <- 1L to 3L) assert(out(v) == (3L, 3L, 1000L)) // clique corner
+    assert(out(4L) == (4L, 3L, 500L)) // same triangles, diluted by the bridge
+    assert(!out.contains(5L)) // degree-1 leaf has no defined coefficient
+  }
+
+  test("f1h: marker-free text repairs, any U+FFFD refuses the whole-string repair") {
+    import spark.implicits._
+    val docs = Seq((1L, "x"), (6L, "x")).toDF("doc_id", "text")
+    val dir = tmp("f1hspec")
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = SparkEntry
+      .queries("f1h_lossy_refusal")(spark, dir)
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[String]("cleaned"), r.getAs[Long]("n_replacement"), r.getAs[Boolean]("lossy")))
+      .toMap
+    assert(out(1L) == ("Café1", 0L, false)) // mojibake repaired, nothing lost
+    // both markers present → conservative refusal: mojibake kept, markers intact
+    assert(out(6L) == ("CafÃ©6 lost��bytes tail�", 3L, true))
+  }
+
   test("g17: truss peel drops the triangle-free bridge edge, keeps the K4") {
     import spark.implicits._
     // K4 over suppliers 1..4 (each pair shares 2 exclusive parts) plus a
