@@ -668,7 +668,42 @@ object Dedup extends QueryModule {
       )
   }
 
+  /** D17 — hyperplane-count audit for the EMBEDDING LSH (d15's discipline
+    * applied to d5/d12's sign-bit buckets): for k = 2..6 planes, the
+    * bucket census and the raw candidate-pair cost Σ C(occupancy, 2) that
+    * k sign bits commit the pair join to. This is the one number behind
+    * the d5/d12 scale ratios (within-bucket candidates grow with corpus
+    * size at fixed k) — a 100 TB run reads this curve and picks the k
+    * where pair cost crosses its budget, BEFORE paying for the join; each
+    * halving of expected bucket occupancy costs one plane's recall. One
+    * 6-bit signature per vector computed once; each k is a census over
+    * the key PREFIX (hyperplane LSH keys nest), so the audit is 5 hash
+    * aggregates over (vec, 6-char key) — no pairs materialized.
+    */
+  private def d17_plane_tuning(s: SparkSession, d: String): DataFrame = {
+    val pls = VF.planes(6, 64)
+    val b = graft.Lineage.truncate(
+      table(s, d, "embeddings").select(VF.signBits(col("embedding"), pls).as("bits"))
+    )
+    (2 to 6)
+      .map { k =>
+        b.select(substring(col("bits"), 1, k).as("bk"))
+          .groupBy("bk")
+          .agg(count(lit(1)).as("n"))
+          .agg(
+            count(lit(1)).as("n_buckets"),
+            coalesce(sum(when(col("n") > 1, 1L).otherwise(0L)), lit(0L)).as("hot_buckets"),
+            coalesce(max(col("n")), lit(0L)).as("max_bucket"),
+            coalesce(sum(expr("n * (n - 1) div 2")), lit(0L)).as("raw_pairs")
+          )
+          .select(lit(k.toLong).as("n_planes"), col("n_buckets"), col("hot_buckets"),
+            col("max_bucket"), col("raw_pairs"))
+      }
+      .reduce(_ unionAll _)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d17_plane_tuning" -> (d17_plane_tuning _),
     "d16_containment" -> (d16_containment _),
     "d13_incremental_neardup" -> (d13_incremental_neardup _),
     "d14_cluster_safe_split" -> (d14_cluster_safe_split _),
@@ -753,7 +788,27 @@ object Dedup extends QueryModule {
     )
     .mkString(" || ")
 
+  private val planeBk6Sql = (0 until 6)
+    .map(p =>
+      s"""CASE WHEN list_dot_product(embedding::DOUBLE[], ${VF.duckdbPlaneSql(p, 64)}) >= 0
+          THEN '1' ELSE '0' END"""
+    )
+    .mkString(" || ")
+
   val oracles: Map[String, String] = Map(
+    "d17_plane_tuning" -> {
+      val perK = (2 to 6)
+        .map(k => s"""SELECT CAST($k AS BIGINT) AS n_planes,
+                 CAST(count(*) AS BIGINT) AS n_buckets,
+                 CAST(coalesce(sum(CASE WHEN n > 1 THEN 1 ELSE 0 END), 0) AS BIGINT) AS hot_buckets,
+                 CAST(coalesce(max(n), 0) AS BIGINT) AS max_bucket,
+                 CAST(coalesce(sum(n * (n - 1) // 2), 0) AS BIGINT) AS raw_pairs
+          FROM (SELECT substr(bits, 1, $k) AS bk, count(*) AS n
+                FROM b GROUP BY 1)""")
+        .mkString("\n UNION ALL\n ")
+      s"""WITH b AS (SELECT $planeBk6Sql AS bits FROM embeddings)
+          $perK"""
+    },
     "d16_containment" ->
       """WITH c AS (
            SELECT doc_id, text FROM documents

@@ -211,6 +211,27 @@ class Round10QueriesSpec extends AnyFunSuite with SparkTestBase {
     assert(out("cat") == (1L, 1L, 1000L, 500L))
   }
 
+  test("d17: nested plane prefixes never increase pair cost; identical vectors stay together") {
+    import spark.implicits._
+    // 4 copies of v share every sign bit; 2 copies of -v flip every bit —
+    // at ANY plane count the census is the same: 2 buckets, C(4,2)+C(2,2)=7
+    // raw pairs (no plane dot is exactly 0 for this v)
+    val v    = Array.tabulate(64)(j => (0.1f + 0.01f * j) * (if (j % 3 == 0) -1 else 1))
+    val negV = v.map(x => -x)
+    val rows = (1L to 4L).map(i => (i, v.toSeq)) ++ Seq((5L, negV.toSeq), (6L, negV.toSeq))
+    val dir  = tmp("d17spec")
+    rows.toDF("vec_id", "embedding").write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val out = SparkEntry
+      .queries("d17_plane_tuning")(spark, dir)
+      .collect()
+      .map(r => r.getAs[Long]("n_planes") ->
+        (r.getAs[Long]("n_buckets"), r.getAs[Long]("hot_buckets"),
+          r.getAs[Long]("max_bucket"), r.getAs[Long]("raw_pairs")))
+      .toMap
+    assert(out.keySet == Set(2L, 3L, 4L, 5L, 6L))
+    for (k <- 2L to 6L) assert(out(k) == (2L, 2L, 4L, 7L))
+  }
+
   test("g18: K4 members are perfectly clustered, the bridge hub is diluted") {
     import spark.implicits._
     val pairs = Seq((1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4), (4, 5))
