@@ -116,7 +116,8 @@ object Soak {
     // block-fingerprint inverted-index join
     "d16_containment",
     "g17_ktruss",
-    "m9_payload_block_dedup"
+    "m9_payload_block_dedup",
+    "g18_clustering_coeff"
   )
 
   private[graft] def buildScaled(spark: SparkSession, src: String, out: String, n: Int): Unit = {
@@ -161,7 +162,8 @@ object Soak {
       "g6_triangles" -> 1.5,
       // same wedge-join work class as g6, run twice (the g16 substrate's
       // hub cap bounds the constant, not the exponent)
-      "g17_ktruss" -> 1.5
+      "g17_ktruss" -> 1.5,
+      "g18_clustering_coeff" -> 1.5
     ).withDefaultValue(1.0)
 
   /** Physical-plan join-node census — the soak's plan-flip detector.

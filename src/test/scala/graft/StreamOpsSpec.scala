@@ -426,6 +426,43 @@ class StreamOpsSpec extends AnyFunSuite with SparkTestBase {
     } finally q2.stop()
   }
 
+  test("transitionPairs last-seen state survives a checkpointed query restart") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import StreamOps.{TransIn, TransPair}
+    val ckpt    = java.nio.file.Files.createTempDirectory("graft_trans_ckpt").toString
+    val in      = MemoryStream[TransIn]
+    val emitted = new java.util.concurrent.ConcurrentLinkedQueue[TransPair]()
+    def start() = StreamOps
+      .transitionPairs(in.toDS())
+      .writeStream
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[TransPair], _: Long) =>
+        b.collect().foreach(emitted.add)
+      }
+      .option("checkpointLocation", ckpt)
+      .outputMode(OutputMode.Append())
+      .start()
+
+    // run 1: user 9 ends on type "B", then STOP — the last-seen triple
+    // lives only in the checkpointed state store now
+    val q1 = start()
+    try {
+      in.addData(TransIn(9L, 1000L, 1L, "A"), TransIn(9L, 2000L, 2L, "B"))
+      q1.processAllAvailable()
+    } finally q1.stop()
+
+    // run 2: NEW query from the same checkpoint — the first new event must
+    // pair with the RECOVERED "B", not start fresh
+    val q2 = start()
+    try {
+      in.addData(TransIn(9L, 3000L, 3L, "C"))
+      q2.processAllAvailable()
+      val pairs = emitted.toArray(Array.empty[TransPair])
+        .map(p => (p.from_type, p.to_type)).toSeq.sorted
+      assert(pairs == Seq(("A", "B"), ("B", "C")), s"state lost: $pairs")
+    } finally q2.stop()
+  }
+
   test("dedupIngest flags near-duplicates arriving in the SAME micro-batch (intra-batch probe)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
