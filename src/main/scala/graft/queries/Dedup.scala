@@ -177,7 +177,23 @@ object Dedup extends QueryModule {
     * Both are plain eager stages — any job-overlap scheduling belongs to
     * the harness, not the query definition.
     */
-  private def d2_verified_pairs(s: SparkSession, d: String): DataFrame = {
+  /** d2's verified pair set feeds d7's clustering, d11's survivor pick and
+    * d14's leak audit on top of standing alone — four queries, one
+    * deterministic pair table. Memoized per (session, dataset) like the
+    * graph substrates (GraphQueries.coSupplyMemo): the first consumer pays
+    * for signature + verify, the rest start from the materialized
+    * pair-count-sized frame.
+    */
+  private val d2PairsMemo =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+
+  private def d2_verified_pairs(s: SparkSession, d: String): DataFrame =
+    d2PairsMemo.computeIfAbsent(
+      (s, d),
+      k => graft.Lineage.truncate(d2VerifiedPairsCompute(k._1, k._2))
+    )
+
+  private def d2VerifiedPairsCompute(s: SparkSession, d: String): DataFrame = {
     val sh = graft.Lineage.truncate(
       corpus(s, d).select(col("doc_id"), shingles(col("text")).as("sh"))
     )
@@ -253,7 +269,20 @@ object Dedup extends QueryModule {
     * holds when the pair graph has billions of edges — never a driver-side
     * union-find.
     */
-  private def d7_dedup_clusters(s: SparkSession, d: String): DataFrame = {
+  private val d7ClustersMemo =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+
+  /** Memoized like d2 (consumers: d7 itself, d11, d14) — the CC label
+    * table is corpus-row-sized but the iterative pointer-jumping that
+    * produces it is the cost worth paying once.
+    */
+  private def d7_dedup_clusters(s: SparkSession, d: String): DataFrame =
+    d7ClustersMemo.computeIfAbsent(
+      (s, d),
+      k => graft.Lineage.truncate(d7DedupClustersCompute(k._1, k._2))
+    )
+
+  private def d7DedupClustersCompute(s: SparkSession, d: String): DataFrame = {
     val pairs = d2_verified_pairs(s, d).select(col("doc1").as("src"), col("doc2").as("dst"))
     val ids   = corpus(s, d).select(col("doc_id").as("id"))
     graft.graph.GraphOps
@@ -632,9 +661,13 @@ object Dedup extends QueryModule {
           array_join(slice(split(col("text"), " "), 1, 10), " ").as("text")
         )
       )
-    val g = c16.select(
-      col("doc_id"),
-      call_function("graft_word_shingles", col("text"), lit(ShingleN)).as("g")
+    // shingle frame referenced three times (postings explode + both verify
+    // sides) — materialize once or the per-row shingle expression runs 3×
+    val g = graft.Lineage.truncate(
+      c16.select(
+        col("doc_id"),
+        call_function("graft_word_shingles", col("text"), lit(ShingleN)).as("g")
+      )
     )
     val posts = g.select(col("doc_id"), explode(col("g")).as("gr"))
     val dfOk  = posts.groupBy(col("gr")).agg(count(lit(1)).as("df")).filter(col("df") <= 16)
