@@ -372,7 +372,20 @@ object Dedup extends QueryModule {
     * only within a sign-bit bucket (shared plane family with s19b), then
     * exact-cosine filtered.
     */
-  private def d5_embed_neardup(s: SparkSession, d: String): DataFrame = {
+  /** Memoized (consumers: d5 itself + d12's clustering) — the bucketed
+    * pair join with per-pair cosine is the dominant embedding-dedup cost;
+    * the surviving pair set is small.
+    */
+  private val d5PairsMemo =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+
+  private def d5_embed_neardup(s: SparkSession, d: String): DataFrame =
+    d5PairsMemo.computeIfAbsent(
+      (s, d),
+      k => graft.Lineage.truncate(d5EmbedNeardupCompute(k._1, k._2))
+    )
+
+  private def d5EmbedNeardupCompute(s: SparkSession, d: String): DataFrame = {
     val pls = VF.planes(4, 64)
     // norm precomputed per row (not per pair — the pair join would otherwise
     // recompute each side's norm candidate-count times)
