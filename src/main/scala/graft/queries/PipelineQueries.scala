@@ -62,8 +62,21 @@ object PipelineQueries extends QueryModule {
   private def index(s: SparkSession, d: String): DataFrame =
     Assets.buildArtistIndex(Fixtures.artistIndexRaw(s, d))
 
+  /** The artists frame heads every downstream branch (pl2/pl3/pl5/pl6 and
+    * the article merge) — memoized per (session, dataset) like the dedup
+    * pair tables, so the index dedup windows + entity join run once for
+    * the whole pl-family instead of once per query.
+    */
+  private val artistsMemo =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+
   private def artists(s: SparkSession, d: String): DataFrame =
-    Assets.extractArtists(index(s, d), Fixtures.entityFixture(s, d))
+    artistsMemo.computeIfAbsent(
+      (s, d),
+      k => graft.Lineage.truncate(
+        Assets.extractArtists(index(k._1, k._2), Fixtures.entityFixture(k._1, k._2))
+      )
+    )
 
   /** PL1 — build_artist_index end-to-end: raw fixture → clean → null gates
     * → dedup-by-priority.
@@ -106,11 +119,21 @@ object PipelineQueries extends QueryModule {
   private def pl6_genres(s: SparkSession, d: String): DataFrame =
     Assets.extractGenres(artists(s, d))
 
-  private def mergedArticles(s: SparkSession, d: String): DataFrame = {
-    // the artists chain feeds both branches — materialize it once instead
-    // of re-running the index dedup windows per consumer (the in-query
-    // analog of Pipeline.run reading back each parquet asset)
-    val a = graft.Lineage.truncate(artists(s, d))
+  private val mergedMemo =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+
+  /** pl7's output and pl8's input — memoized so the vector-ingest tail
+    * starts from the materialized merge instead of re-running both
+    * branches.
+    */
+  private def mergedArticles(s: SparkSession, d: String): DataFrame =
+    mergedMemo.computeIfAbsent(
+      (s, d),
+      k => graft.Lineage.truncate(mergedArticlesCompute(k._1, k._2))
+    )
+
+  private def mergedArticlesCompute(s: SparkSession, d: String): DataFrame = {
+    val a = artists(s, d) // memoized + truncated
     val artistChunks = Assets
       .extractArticles(a, Fixtures.articleFixture(s, d))
       .withColumn("entity_type", lit("artist"))
