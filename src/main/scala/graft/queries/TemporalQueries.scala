@@ -325,7 +325,45 @@ object TemporalQueries extends QueryModule {
       )
   }
 
+  /** J19 — followed-by pair mining: for every ordered event-type pair
+    * (A, B), how often B follows A for the SAME user within 10 minutes,
+    * and across how many distinct users — the co-occurrence census behind
+    * "users who do A then do B" funnels, WITHOUT e18's adjacency
+    * restriction (an intervening C doesn't break the A→B pair) and
+    * without e5's fixed two-step shape.
+    *
+    * Plan: self-join on the user EQUI key with the time bounds as a
+    * residual predicate (j17's plan class — keyed hash join, never a
+    * nested loop), then one hash aggregate over |types|² groups. Per-key
+    * pair fan-out is bounded by each user's event density inside the 10 min
+    * horizon — the τ bound is what keeps sequence mining sub-quadratic on
+    * a stream where any one user's rate is bounded, and the horizon is the
+    * knob a 100 TB run tunes against its densest users (a hot user's cost
+    * is rate·τ per event, measurable up front from e6's inter-arrival
+    * histogram).
+    */
+  private def j19_followed_by(s: SparkSession, d: String): DataFrame = {
+    val tauUs = 600L * 1000000L
+    val e = table(s, d, "events")
+      .select(col("user_id"), col("event_id"), us.as("us"), col("event_type"))
+    val a = e.select(
+      col("user_id"), col("us").as("aus"), col("event_type").as("from_type"))
+    val b = e.select(
+      col("user_id").as("u2"), col("us").as("bus"), col("event_type").as("to_type"))
+    a.join(
+        b,
+        col("user_id") === col("u2") &&
+          col("bus") > col("aus") && col("bus") <= col("aus") + lit(tauUs)
+      )
+      .groupBy(col("from_type"), col("to_type"))
+      .agg(
+        count(lit(1)).as("n_pairs"),
+        countDistinct(col("user_id")).as("n_users")
+      )
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "j19_followed_by" -> (j19_followed_by _),
     "j18_asof_tolerance" -> (j18_asof_tolerance _),
     "j16_interval_coverage" -> (j16_interval_coverage _),
     "j17_interval_anti_join" -> (j17_interval_anti_join _),
@@ -338,6 +376,16 @@ object TemporalQueries extends QueryModule {
   )
 
   val oracles: Map[String, String] = Map(
+    "j19_followed_by" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS us, event_type
+                    FROM events)
+         SELECT a.event_type AS from_type, b.event_type AS to_type,
+                CAST(count(*) AS BIGINT) AS n_pairs,
+                CAST(count(DISTINCT a.user_id) AS BIGINT) AS n_users
+         FROM e a JOIN e b
+           ON a.user_id = b.user_id
+          AND b.us > a.us AND b.us <= a.us + 600000000
+         GROUP BY 1, 2""",
     "j18_asof_tolerance" ->
       """WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS us, event_type,
                            value

@@ -166,6 +166,30 @@ class Round10QueriesSpec extends AnyFunSuite with SparkTestBase {
     assert(out.size == 1)
   }
 
+  test("j19: pairs respect the horizon, skip adjacency, and never cross users") {
+    import spark.implicits._
+    val m = 60L * 1000000L // minute in micros
+    val events = Seq(
+      (1L, 1L, "A", 0L * m * ns),
+      (1L, 2L, "C", 3L * m * ns),  // intervening event — A→B must still count
+      (1L, 3L, "B", 5L * m * ns),  // 5 min after A: inside the 10 min horizon
+      (1L, 4L, "B", 20L * m * ns), // 20 min after A: outside; 15 after B: outside
+      (2L, 5L, "B", 1L * m * ns)   // other user — pairs never cross
+    ).toDF("user_id", "event_id", "event_type", "ts")
+    val dir = tmp("j19spec")
+    events.write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = SparkEntry
+      .queries("j19_followed_by")(spark, dir)
+      .collect()
+      .map(r => (r.getAs[String]("from_type"), r.getAs[String]("to_type")) ->
+        (r.getAs[Long]("n_pairs"), r.getAs[Long]("n_users")))
+      .toMap
+    assert(out(("A", "C")) == (1L, 1L))
+    assert(out(("A", "B")) == (1L, 1L)) // through the intervening C
+    assert(out(("C", "B")) == (1L, 1L))
+    assert(out.size == 3) // no horizon-violating, no cross-user pairs
+  }
+
   test("pl10: only the partition with the planted input delta flags for recompute") {
     import spark.implicits._
     val d95 = java.sql.Date.valueOf("1995-06-01")
