@@ -189,6 +189,56 @@ object Vectors extends QueryModule {
       )
   }
 
+  /** X23 — embedding-space outlier gate: c11's exact-integer 3σ discipline
+    * applied where a vector pipeline needs it — per label, each vector's
+    * squared distance to its own label centroid, flagged when
+    * (n·d² − Σd²)² > 9·(n·Σ(d²)² − (Σd²)²). Corrupt/mislabeled embeddings
+    * surface as distance outliers BEFORE they pollute an ANN index or a
+    * codebook (s27 trains on whatever it is given). Quantization is s27's
+    * floor(x·1024) per dim with the non-negative shift for the integer
+    * centroid mean; the sufficient statistics are decimal(38,0) so the
+    * squared products can't overflow longs at any realistic corpus size.
+    * Shapes: one posexplode → (label, dim) hash agg for centroids
+    * (broadcast: labels × 64 rows), one keyed agg back to vectors, one
+    * label-level stats broadcast — no pair joins anywhere.
+    */
+  private def x23_embedding_outliers(s: SparkSession, d: String): DataFrame = {
+    val dims = table(s, d, "embeddings")
+      .select(col("vec_id"), col("label"), posexplode(col("embedding").cast("array<double>")))
+      .select(
+        col("vec_id"),
+        col("label"),
+        col("pos"),
+        floor(col("col") * 1024).cast("long").as("q")
+      )
+    val cent = dims
+      .groupBy(col("label"), col("pos"))
+      .agg(count(lit(1)).as("cn"), sum(col("q") + lit(4096L)).as("sp"))
+      .select(col("label"), col("pos"), (expr("sp div cn") - 4096L).as("cq"))
+    val d2 = dims
+      .join(broadcast(cent), Seq("label", "pos"))
+      .groupBy(col("vec_id"), col("label"))
+      .agg(sum((col("q") - col("cq")) * (col("q") - col("cq"))).as("d2q"))
+    val st = d2
+      .groupBy(col("label"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("d2q").cast("decimal(38,0)")).as("sm"),
+        sum((col("d2q").cast("decimal(38,0)") * col("d2q").cast("decimal(38,0)"))).as("ss")
+      )
+    d2.join(broadcast(st), "label")
+      .select(
+        col("vec_id"),
+        col("label").cast("long").as("label"),
+        col("d2q"),
+        expr(
+          """CAST((CAST(n AS DECIMAL(38,0)) * CAST(d2q AS DECIMAL(38,0)) - sm)
+                  * (CAST(n AS DECIMAL(38,0)) * CAST(d2q AS DECIMAL(38,0)) - sm)
+                  > 9 * (CAST(n AS DECIMAL(38,0)) * ss - sm * sm) AS INT)"""
+        ).as("is_outlier")
+      )
+  }
+
   /** S17 — vector-collection upsert sink: multiple versions per doc_id in
     * the batch, keep-last wins (the reference's `collection.upsert`
     * semantics, ingest_vector_db.py:181-204), then the collection is
@@ -277,6 +327,7 @@ object Vectors extends QueryModule {
     "s19b_knn_bucketed" -> (s19b_knn_bucketed _),
     "s19c_knn_ivf" -> (s19c_knn_ivf _),
     "s27_ivf_train" -> (s27_ivf_train _),
+    "x23_embedding_outliers" -> (x23_embedding_outliers _),
     "s19d_knn_filtered" -> (s19d_knn_filtered _),
     "s20_vector_dump" -> (s20_vector_dump _),
     "s17_vector_upsert" -> (s17_vector_upsert _),
@@ -297,6 +348,26 @@ object Vectors extends QueryModule {
       .mkString(" || ")
 
   val oracles: Map[String, String] = Map(
+    "x23_embedding_outliers" ->
+      s"""WITH v AS (SELECT vec_id, label, embedding::DOUBLE[] AS e FROM embeddings),
+          vq AS (SELECT vec_id, label, CAST(i AS BIGINT) AS pos,
+                        CAST(floor(e[i] * 1024) AS BIGINT) AS q
+                 FROM v, (SELECT unnest(range(1, ${Dim + 1})) AS i)),
+          cent AS (SELECT label, pos,
+                          (sum(q + 4096) // count(*)) - 4096 AS cq
+                   FROM vq GROUP BY 1, 2),
+          d2 AS (SELECT vec_id, vq.label,
+                        sum((q - cq) * (q - cq)) AS d2q
+                 FROM vq JOIN cent ON cent.label = vq.label AND cent.pos = vq.pos
+                 GROUP BY 1, 2),
+          st AS (SELECT label, count(*) AS n, sum(d2q) AS sm,
+                        sum(d2q * d2q) AS ss
+                 FROM d2 GROUP BY 1)
+          SELECT d2.vec_id, CAST(d2.label AS BIGINT) AS label,
+                 CAST(d2q AS BIGINT) AS d2q,
+                 CAST((n * d2q - sm) * (n * d2q - sm) > 9 * (n * ss - sm * sm)
+                      AS INT) AS is_outlier
+          FROM d2 JOIN st USING (label)""",
     "s27_ivf_train" ->
       s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
           vq AS (SELECT vec_id, CAST(i AS BIGINT) AS pos,

@@ -256,6 +256,24 @@ class Round10QueriesSpec extends AnyFunSuite with SparkTestBase {
     for (k <- 2L to 6L) assert(out(k) == (2L, 2L, 4L, 7L))
   }
 
+  test("x23: the far vector flags as a 3-sigma distance outlier, the tight cluster doesn't") {
+    import spark.implicits._
+    val base = Seq.fill(64)(0.5f)
+    val far  = Seq.fill(64)(-0.5f)
+    val rows = (1L to 10L).map(i => (i, base, 0)) :+ (11L, far, 0)
+    val dir  = tmp("x23spec")
+    rows.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val out = SparkEntry
+      .queries("x23_embedding_outliers")(spark, dir)
+      .collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Int]("is_outlier"))
+      .toMap
+    assert(out.size == 11)
+    assert(out(11L) == 1, "the far vector must flag")
+    for (i <- 1L to 10L) assert(out(i) == 0, s"tight-cluster vector $i must not flag")
+  }
+
   test("g18: K4 members are perfectly clustered, the bridge hub is diluted") {
     import spark.implicits._
     val pairs = Seq((1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4), (4, 5))
