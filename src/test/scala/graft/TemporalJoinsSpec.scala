@@ -14,6 +14,77 @@ class TemporalJoinsSpec extends AnyFunSuite with SparkTestBase {
 
   import spark.implicits._
 
+  // ---- randomized equivalence vs a brute-force reference ---------------
+  // The union+running-window formulation must equal the obvious per-left-row
+  // "latest right at-or-before" definition on ANY input — including ties,
+  // empty sides, and keys present on only one side. Spark round-trips are
+  // slow, so the case count is modest; each case is a fresh random frame.
+
+  private val rnd = new scala.util.Random(4242)
+
+  private def randomAsofCase(): Unit = {
+    val keys = 1 + rnd.nextInt(3)
+    val left = (0 until rnd.nextInt(12)).map { i =>
+      (1L + rnd.nextInt(keys), rnd.nextInt(10).toLong, 100L + i)
+    }
+    val right = (0 until rnd.nextInt(12)).map { i =>
+      (1L + rnd.nextInt(keys), rnd.nextInt(10).toLong, 1000L + i)
+    }
+    // right unique per (key, ts): keep max payload (asofLast's precondition)
+    val rightU = right.groupBy(r => (r._1, r._2)).map { case ((k, t), rs) =>
+      (k, t, rs.map(_._3).max)
+    }.toSeq
+    val got = TemporalJoins
+      .asofLast(
+        left.toDF("k", "t", "lid"),
+        rightU.toDF("k", "t", "p"),
+        key = "k", ts = "t", leftId = "lid", payload = Seq("p")
+      )
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getLong(3))))
+      .sortBy(_._3)
+    val want = left.sortBy(_._3).map { case (k, t, lid) =>
+      val cand = rightU.filter(r => r._1 == k && r._2 <= t)
+      (k, t, lid, if (cand.isEmpty) None else Some(cand.maxBy(r => (r._2, r._3))._3))
+    }
+    assert(got.toSeq == want, s"left=$left rightU=$rightU")
+  }
+
+  test("asofLast equals the brute-force latest-at-or-before on random inputs") {
+    (1 to 12).foreach(_ => randomAsofCase())
+  }
+
+  private def randomRangeCase(endExclusive: Boolean): Unit = {
+    val points = (0 until rnd.nextInt(12)).map(i => (rnd.nextInt(40).toLong, 100L + i))
+    val ivals = (0 until rnd.nextInt(8)).map { i =>
+      val s = rnd.nextInt(40).toLong
+      (s, s + rnd.nextInt(15).toLong, 1000L + i)
+    }
+    val got = TemporalJoins
+      .rangeJoinBinned(
+        points.toDF("t", "pid"),
+        ivals.toDF("s", "e", "iid"),
+        pointTs = "t", start = "s", end = "e", binWidth = 7L,
+        endExclusive = endExclusive
+      )
+      .select("pid", "iid")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .sorted
+    val want = (for {
+      (t, pid) <- points
+      (s, e, iid) <- ivals
+      if t >= s && (if (endExclusive) t < e else t <= e)
+    } yield (pid, iid)).sorted
+    assert(got.toSeq == want, s"points=$points ivals=$ivals excl=$endExclusive")
+  }
+
+  test("rangeJoinBinned equals the brute-force range filter on random inputs (both end rules)") {
+    (1 to 8).foreach(_ => randomRangeCase(endExclusive = false))
+    (1 to 8).foreach(_ => randomRangeCase(endExclusive = true))
+  }
+
   test("asofLast: equal timestamps match (at-or-before), later rights do not") {
     val left = Seq((1L, 10L, 100L), (1L, 20L, 101L), (2L, 5L, 102L))
       .toDF("k", "t", "lid")
