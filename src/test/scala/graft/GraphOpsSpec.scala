@@ -20,6 +20,31 @@ class GraphOpsSpec extends AnyFunSuite with SparkTestBase {
     assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 10L -> 10L, 11L -> 10L, 20L -> 20L))
   }
 
+  test("connectedComponents matches brute-force union-find on seeded random graphs") {
+    import spark.implicits._
+    for (seed <- 1 to 6) {
+      val rnd = new scala.util.Random(100 + seed)
+      val n   = 10
+      val edges = (for {
+        a <- 0 until n; b <- (a + 1) until n if rnd.nextDouble() < 0.15
+      } yield (a.toLong, b.toLong)).toVector
+      // brute force union-find with min-id labels
+      val parent = Array.tabulate(n)(identity)
+      def find(x: Int): Int = if (parent(x) == x) x else { parent(x) = find(parent(x)); parent(x) }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a.toInt), find(b.toInt))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val want = (0 until n).map(v => v.toLong -> find(v).toLong).toMap
+      val got = GraphOps
+        .connectedComponents((0L until n.toLong).toDF("id"), edges.toDF("src", "dst"))
+        .collect()
+        .map(r => r.getLong(0) -> r.getLong(1))
+        .toMap
+      assert(got == want, s"seed $seed edges=$edges")
+    }
+  }
+
   test("connectedComponents is identical under reliable-checkpoint mode") {
     import spark.implicits._
     val edges    = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L)).toDF("src", "dst")
