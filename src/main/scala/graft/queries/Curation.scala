@@ -900,6 +900,51 @@ object Curation extends QueryModule {
         sum(when(col("cell_n") < 5, col("cell_n")).otherwise(0L)).as("n_docs_at_risk")
       )
 
+  /** C21 — k-anonymity ENFORCEMENT (c18 audits, this applies): the release
+    * pipeline's iterative generalize-then-suppress ladder over the same
+    * quasi-identifiers. Each document tries to release its full
+    * (lang, source, len_bucket) tuple; tuples whose cell holds < 5 docs
+    * generalize to (lang, source), then to (lang), and whatever still
+    * can't reach k = 5 is suppressed — the standard Samarati-style
+    * full-domain ladder with the crucial subtlety that each level's
+    * counts run over the SURVIVORS of the previous level only (a cell
+    * that released at level 0 must not prop up the anonymity of the rest).
+    * Output: per-doc released tuple with generalized fields nulled, plus
+    * the level — 0/1/2 released, 3 suppressed.
+    *
+    * Scale: three keyed aggregates over strictly shrinking frames and
+    * broadcast cell tables (cells are bounded by the QI domain, not by
+    * rows); the anti-join ladder is how this runs at 100 TB — never a
+    * per-doc loop.
+    */
+  private def c21_k_anonymity_enforce(s: SparkSession, d: String): DataFrame = {
+    val k = 5L
+    val base = table(s, d, "documents").select(
+      col("doc_id"),
+      col("lang"),
+      col("source"),
+      expr("shiftleft(CAST(1 AS BIGINT), CAST(length(bin(n_chars)) AS INT))").as("len_bucket")
+    )
+    def releasable(df: DataFrame, qi: Seq[String]): DataFrame = {
+      val ok = df.groupBy(qi.map(col): _*).agg(count(lit(1)).as("cn")).filter(col("cn") >= k)
+      df.join(broadcast(ok.select(qi.map(col): _*)), qi, "left_semi")
+    }
+    val l0    = releasable(base, Seq("lang", "source", "len_bucket"))
+    val rest1 = base.join(l0.select("doc_id"), Seq("doc_id"), "left_anti")
+    val l1    = releasable(rest1, Seq("lang", "source"))
+    val rest2 = rest1.join(l1.select("doc_id"), Seq("doc_id"), "left_anti")
+    val l2    = releasable(rest2, Seq("lang"))
+    val l3    = rest2.join(l2.select("doc_id"), Seq("doc_id"), "left_anti")
+    l0.select(col("doc_id"), lit(0L).as("level"), col("lang"), col("source"), col("len_bucket"))
+      .unionAll(l1.select(col("doc_id"), lit(1L).as("level"), col("lang"), col("source"),
+        lit(null).cast("long").as("len_bucket")))
+      .unionAll(l2.select(col("doc_id"), lit(2L).as("level"), col("lang"),
+        lit(null).cast("string").as("source"), lit(null).cast("long").as("len_bucket")))
+      .unionAll(l3.select(col("doc_id"), lit(3L).as("level"),
+        lit(null).cast("string").as("lang"), lit(null).cast("string").as("source"),
+        lit(null).cast("long").as("len_bucket")))
+  }
+
   /** C19 — token-budget FILL: per language, documents are ranked by an
     * integer type-token-ratio quality score (distinct words per mille of
     * words, ties by doc_id) and greedily admitted while the tokens
@@ -1002,6 +1047,7 @@ object Curation extends QueryModule {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "c21_k_anonymity_enforce" -> (c21_k_anonymity_enforce _),
     "c20_domain_blocklist" -> (c20_domain_blocklist _),
     "c19_token_budget_fill" -> (c19_token_budget_fill _),
     "pl9_corpus_funnel" -> (pl9_corpus_funnel _),
@@ -1051,6 +1097,28 @@ object Curation extends QueryModule {
                 FROM q)"""
 
   val oracles: Map[String, String] = Map(
+    "c21_k_anonymity_enforce" ->
+      """WITH b AS (SELECT doc_id, lang, source,
+                CAST(1 << length(bin(n_chars)) AS BIGINT) AS len_bucket
+              FROM documents),
+         ok0 AS (SELECT lang, source, len_bucket FROM b
+                 GROUP BY 1, 2, 3 HAVING count(*) >= 5),
+         l0 AS (SELECT b.* FROM b JOIN ok0 USING (lang, source, len_bucket)),
+         r1 AS (SELECT * FROM b WHERE doc_id NOT IN (SELECT doc_id FROM l0)),
+         ok1 AS (SELECT lang, source FROM r1 GROUP BY 1, 2 HAVING count(*) >= 5),
+         l1 AS (SELECT r1.* FROM r1 JOIN ok1 USING (lang, source)),
+         r2 AS (SELECT * FROM r1 WHERE doc_id NOT IN (SELECT doc_id FROM l1)),
+         ok2 AS (SELECT lang FROM r2 GROUP BY 1 HAVING count(*) >= 5),
+         l2 AS (SELECT r2.* FROM r2 JOIN ok2 USING (lang)),
+         l3 AS (SELECT * FROM r2 WHERE doc_id NOT IN (SELECT doc_id FROM l2))
+         SELECT doc_id, CAST(0 AS BIGINT) AS level, lang, source, len_bucket
+         FROM l0
+         UNION ALL
+         SELECT doc_id, 1, lang, source, NULL FROM l1
+         UNION ALL
+         SELECT doc_id, 2, lang, NULL, NULL FROM l2
+         UNION ALL
+         SELECT doc_id, 3, NULL, NULL, NULL FROM l3""",
     // independent formulation: per-rule LIKE suffix tests, most specific
     // (longest) rule first — vs the engine's explode+equi-join
     "c20_domain_blocklist" ->

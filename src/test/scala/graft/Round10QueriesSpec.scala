@@ -166,6 +166,37 @@ class Round10QueriesSpec extends AnyFunSuite with SparkTestBase {
     assert(out.size == 1)
   }
 
+  test("c21: the generalization ladder releases at the right level and suppresses the tail") {
+    import spark.implicits._
+    val docs =
+      // 5 en/web docs in ONE length cell → release the full tuple (level 0)
+      (1L to 5L).map(i => (i, "en", "web", 100L)) ++
+        // 4 en/web docs in four DIFFERENT cells → their (en,web) survivor
+        // count is 4 < k, and level-2 (en) survivors are the same 4 → suppressed:
+        // the five level-0 docs must NOT prop them up
+        Seq((6L, "en", "web", 10L), (7L, "en", "web", 300L),
+          (8L, "en", "web", 2000L), (9L, "en", "web", 9000L)) ++
+        // 5 en/blog docs in five different cells → generalize to (en, blog) (level 1)
+        Seq((10L, "en", "blog", 10L), (11L, "en", "blog", 300L),
+          (12L, "en", "blog", 2000L), (13L, "en", "blog", 9000L),
+          (14L, "en", "blog", 40000L)) ++
+        // 5 de docs all in singleton (source, bucket) cells → lang-only (level 2)
+        (15L to 19L).map(i => (i, "de", s"s$i", 100L * i))
+    val dir = tmp("c21spec")
+    docs.toDF("doc_id", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = SparkEntry
+      .queries("c21_k_anonymity_enforce")(spark, dir)
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("level"))
+      .toMap
+    assert(out.size == 19)
+    for (i <- 1L to 5L) assert(out(i) == 0L)
+    for (i <- 6L to 9L) assert(out(i) == 3L, s"doc $i must be suppressed, got ${out(i)}")
+    for (i <- 10L to 14L) assert(out(i) == 1L)
+    for (i <- 15L to 19L) assert(out(i) == 2L)
+  }
+
   test("j19: pairs respect the horizon, skip adjacency, and never cross users") {
     import spark.implicits._
     val m = 60L * 1000000L // minute in micros
