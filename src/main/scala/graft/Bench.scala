@@ -78,6 +78,12 @@ object Bench {
     val pass1 = ordered.map { case (name, fn) => (name, timeOnce(name, fn)) }
     // Second full pass, interleaved: a query that failed in pass 1 fails
     // fast (not re-run); everything else gets its min across the two passes.
+    // The cross-query memo (Memo) is cleared at the pass boundary so pass 2
+    // re-measures real compute instead of reading pass 1's checkpoints —
+    // WITHIN a pass the memo stays live on purpose: materialize-once-share
+    // across the d2→d7→d11 / g8c→g4b / pl2→pl7 chains is the pipeline's
+    // deliberate design and belongs in the suite's wall-clock.
+    Memo.clearAll()
     val pass2 = ordered.zip(pass1).map { case ((name, fn), (_, (t1, ok1))) =>
       if (ok1) (name, timeOnce(name, fn)) else (name, (t1, ok1))
     }

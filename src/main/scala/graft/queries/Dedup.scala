@@ -31,8 +31,10 @@ import graft.functions.{VectorFunctions => VF}
   *
   * Test-corpus note: the synthetic `documents` table has no planted
   * duplicates, so d1/d2 run against `corpus` = documents ∪ a perturbed copy
-  * (id+100000, two appended tokens) — near-dup pairs exist by construction
-  * and every derived pair is deterministic.
+  * (planted at −id−1 — negation keeps copy ids disjoint from any
+  * non-negative corpus id at any corpus size, unlike the former fixed
+  * +100000 offset; two appended tokens) — near-dup pairs exist by
+  * construction and every derived pair is deterministic.
   */
 object Dedup extends QueryModule {
 
@@ -62,7 +64,7 @@ object Dedup extends QueryModule {
       .select(col("doc_id"), col("text"))
       .unionAll(
         docs.select(
-          (col("doc_id") + 100000).as("doc_id"),
+          (-col("doc_id") - 1).as("doc_id"),
           concat(col("text"), lit(" zz tail")).as("text")
         )
       )
@@ -184,14 +186,10 @@ object Dedup extends QueryModule {
     * for signature + verify, the rest start from the materialized
     * pair-count-sized frame.
     */
-  private val d2PairsMemo =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+  private val d2PairsMemo = graft.Memo.newMap()
 
   private def d2_verified_pairs(s: SparkSession, d: String): DataFrame =
-    d2PairsMemo.computeIfAbsent(
-      (s, d),
-      k => graft.Lineage.truncate(d2VerifiedPairsCompute(k._1, k._2))
-    )
+    graft.Memo.cached(d2PairsMemo, s, d)(d2VerifiedPairsCompute(s, d))
 
   private def d2VerifiedPairsCompute(s: SparkSession, d: String): DataFrame = {
     val sh = graft.Lineage.truncate(
@@ -269,18 +267,14 @@ object Dedup extends QueryModule {
     * holds when the pair graph has billions of edges — never a driver-side
     * union-find.
     */
-  private val d7ClustersMemo =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+  private val d7ClustersMemo = graft.Memo.newMap()
 
   /** Memoized like d2 (consumers: d7 itself, d11, d14) — the CC label
     * table is corpus-row-sized but the iterative pointer-jumping that
     * produces it is the cost worth paying once.
     */
   private def d7_dedup_clusters(s: SparkSession, d: String): DataFrame =
-    d7ClustersMemo.computeIfAbsent(
-      (s, d),
-      k => graft.Lineage.truncate(d7DedupClustersCompute(k._1, k._2))
-    )
+    graft.Memo.cached(d7ClustersMemo, s, d)(d7DedupClustersCompute(s, d))
 
   private def d7DedupClustersCompute(s: SparkSession, d: String): DataFrame = {
     val pairs = d2_verified_pairs(s, d).select(col("doc1").as("src"), col("doc2").as("dst"))
@@ -339,8 +333,10 @@ object Dedup extends QueryModule {
   /** D6 — benchmark-contamination check: flag training documents sharing
     * any 5-word shingle with a held-out benchmark set (docs 1-10) — the
     * eval-leakage gate every serious training-data pipeline runs. Planted
-    * contamination (prefixed copies of benchmark docs at id+200000)
-    * guarantees the detector has real work. Scale shape: the benchmark
+    * contamination (prefixed copies of benchmark docs at −id−1 — negation
+    * keeps planted ids disjoint from ANY non-negative corpus id, however
+    * large the corpus; a fixed +200000 offset collided once real ids
+    * crossed it, r10 advice) guarantees the detector has real work. Scale shape: the benchmark
     * gram set is tiny → broadcast; the train side is one narrow
     * explode + semi join — never an all-pairs document comparison.
     */
@@ -357,7 +353,7 @@ object Dedup extends QueryModule {
         docs
           .filter(col("doc_id") <= 5)
           .select(
-            (col("doc_id") + 200000).as("doc_id"),
+            (-col("doc_id") - 1).as("doc_id"),
             concat(lit("prefix "), col("text")).as("text")
           )
       )
@@ -376,14 +372,10 @@ object Dedup extends QueryModule {
     * pair join with per-pair cosine is the dominant embedding-dedup cost;
     * the surviving pair set is small.
     */
-  private val d5PairsMemo =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+  private val d5PairsMemo = graft.Memo.newMap()
 
   private def d5_embed_neardup(s: SparkSession, d: String): DataFrame =
-    d5PairsMemo.computeIfAbsent(
-      (s, d),
-      k => graft.Lineage.truncate(d5EmbedNeardupCompute(k._1, k._2))
-    )
+    graft.Memo.cached(d5PairsMemo, s, d)(d5EmbedNeardupCompute(s, d))
 
   private def d5EmbedNeardupCompute(s: SparkSession, d: String): DataFrame = {
     val pls = VF.planes(4, 64)
@@ -643,8 +635,11 @@ object Dedup extends QueryModule {
     * misses — a 10-word excerpt of a 200-word source has Jaccard ≈ 0.05
     * but containment |S(a)∩S(b)| / min(|S(a)|,|S(b)|) = 1.0. The test
     * corpus plants exactly that shape: documents ∪ a first-10-words
-    * excerpt per document (id + 200000; a prefix's word shingles are a
-    * subset of the source's by construction). Shingles are the d1 word
+    * excerpt per document (planted at −id−1: negation keeps excerpt ids
+    * disjoint from any non-negative corpus id at ANY corpus size, where a
+    * fixed +200000 offset silently collided once real ids crossed it —
+    * r10 advice; a prefix's word shingles are a subset of the source's by
+    * construction). Shingles are the d1 word
     * n-grams, NOT char-4-grams — on a natural-vocabulary corpus char
     * grams are so common the df cap would starve anchor generation
     * (measured: 4 candidate pairs from 500 planted ones).
@@ -670,7 +665,7 @@ object Dedup extends QueryModule {
       .select(col("doc_id"), col("text"))
       .unionAll(
         docs.select(
-          (col("doc_id") + 200000).as("doc_id"),
+          (-col("doc_id") - 1).as("doc_id"),
           array_join(slice(split(col("text"), " "), 1, 10), " ").as("text")
         )
       )
@@ -774,7 +769,7 @@ object Dedup extends QueryModule {
     """corpus AS (
          SELECT doc_id, text FROM documents
          UNION ALL
-         SELECT doc_id + 100000 AS doc_id, text || ' zz tail' AS text FROM documents
+         SELECT -doc_id - 1 AS doc_id, text || ' zz tail' AS text FROM documents
        )"""
 
   private val shinglesSql =
@@ -859,7 +854,7 @@ object Dedup extends QueryModule {
       """WITH c AS (
            SELECT doc_id, text FROM documents
            UNION ALL
-           SELECT doc_id + 200000,
+           SELECT -doc_id - 1,
                   array_to_string(string_split(text, ' ')[1:10], ' ')
            FROM documents),
          g0 AS (
@@ -1023,7 +1018,7 @@ object Dedup extends QueryModule {
          tr AS (
            SELECT doc_id, text FROM documents WHERE doc_id > 10
            UNION ALL
-           SELECT doc_id + 200000 AS doc_id, 'prefix ' || text AS text
+           SELECT -doc_id - 1 AS doc_id, 'prefix ' || text AS text
            FROM documents WHERE doc_id <= 5),
          tg AS (
            SELECT doc_id, unnest(list_distinct(list_transform(

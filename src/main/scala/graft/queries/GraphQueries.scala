@@ -165,14 +165,10 @@ object GraphQueries extends QueryModule {
     * the cross-query analog of pl9's shared stage frames. Deterministic:
     * the memo only skips recomputing a value that is itself deterministic.
     */
-  private val communityAssignMemo =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+  private val communityAssignMemo = graft.Memo.newMap()
 
   private def communityAssign(s: SparkSession, d: String): DataFrame =
-    communityAssignMemo.computeIfAbsent(
-      (s, d),
-      k => graft.Lineage.truncate(communityAssignCompute(k._1, k._2))
-    )
+    graft.Memo.cached(communityAssignMemo, s, d)(communityAssignCompute(s, d))
 
   /** Community metadata aggregation (reference detect_communities.py:100-165
     * + 294-328), keyed on the LPA community labels: member count, top
@@ -363,14 +359,10 @@ object GraphQueries extends QueryModule {
     * supplier²-bounded, and every consumer's iterative passes start from
     * the truncated frame either way.
     */
-  private val coSupplyMemo =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+  private val coSupplyMemo = graft.Memo.newMap()
 
   private def coSupplyUndirected(s: SparkSession, d: String): DataFrame =
-    coSupplyMemo.computeIfAbsent(
-      (s, d),
-      k => graft.Lineage.truncate(coSupplyUndirectedCompute(k._1, k._2))
-    )
+    graft.Memo.cached(coSupplyMemo, s, d)(coSupplyUndirectedCompute(s, d))
 
   private def coSupplyUndirectedCompute(s: SparkSession, d: String): DataFrame = {
     val sp = table(s, d, "lineitem")
@@ -629,14 +621,10 @@ object GraphQueries extends QueryModule {
     * whichever of g8c/g4b runs first pays for the sweep, the other reads
     * the 25-row materialized frame.
     */
-  private val resolutionHierMemo =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+  private val resolutionHierMemo = graft.Memo.newMap()
 
   private def g8c_resolution_hierarchy(s: SparkSession, d: String): DataFrame =
-    resolutionHierMemo.computeIfAbsent(
-      (s, d),
-      k => graft.Lineage.truncate(g8cResolutionHierarchyCompute(k._1, k._2))
-    )
+    graft.Memo.cached(resolutionHierMemo, s, d)(g8cResolutionHierarchyCompute(s, d))
 
   private def g8cResolutionHierarchyCompute(s: SparkSession, d: String): DataFrame = {
     val (vertices, und) = bridgedNationUnd(s, d)

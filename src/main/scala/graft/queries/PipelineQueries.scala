@@ -67,15 +67,11 @@ object PipelineQueries extends QueryModule {
     * pair tables, so the index dedup windows + entity join run once for
     * the whole pl-family instead of once per query.
     */
-  private val artistsMemo =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+  private val artistsMemo = graft.Memo.newMap()
 
   private def artists(s: SparkSession, d: String): DataFrame =
-    artistsMemo.computeIfAbsent(
-      (s, d),
-      k => graft.Lineage.truncate(
-        Assets.extractArtists(index(k._1, k._2), Fixtures.entityFixture(k._1, k._2))
-      )
+    graft.Memo.cached(artistsMemo, s, d)(
+      Assets.extractArtists(index(s, d), Fixtures.entityFixture(s, d))
     )
 
   /** PL1 — build_artist_index end-to-end: raw fixture → clean → null gates
@@ -119,18 +115,14 @@ object PipelineQueries extends QueryModule {
   private def pl6_genres(s: SparkSession, d: String): DataFrame =
     Assets.extractGenres(artists(s, d))
 
-  private val mergedMemo =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+  private val mergedMemo = graft.Memo.newMap()
 
   /** pl7's output and pl8's input — memoized so the vector-ingest tail
     * starts from the materialized merge instead of re-running both
     * branches.
     */
   private def mergedArticles(s: SparkSession, d: String): DataFrame =
-    mergedMemo.computeIfAbsent(
-      (s, d),
-      k => graft.Lineage.truncate(mergedArticlesCompute(k._1, k._2))
-    )
+    graft.Memo.cached(mergedMemo, s, d)(mergedArticlesCompute(s, d))
 
   private def mergedArticlesCompute(s: SparkSession, d: String): DataFrame = {
     val a = artists(s, d) // memoized + truncated
