@@ -1,7 +1,11 @@
 package graft
 
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+import org.apache.spark.sql.execution.exchange.ReusedExchangeExec
 import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
 import org.apache.spark.sql.execution.window.WindowExec
+import org.apache.spark.sql.catalyst.optimizer.{BuildLeft, BuildRight}
 import org.scalatest.funsuite.AnyFunSuite
 
 /** Whole-surface plan sweep: EVERY registered query's compile-time physical
@@ -13,59 +17,73 @@ import org.scalatest.funsuite.AnyFunSuite
   * fixing it or EXPLICITLY registering the exception here with its
   * boundedness argument. PlanShapeSpec pins specific queries' best plans;
   * this spec pins the floor for all of them.
+  *
+  * The allowlists are MACHINE-CHECKED, not comment-argued (r10 verdict
+  * soft spot #1): each entry declares the row bound its prose claims, and
+  * a second test EXECUTES every allowlisted query and reads the actual
+  * broadcast-side / window-input row counts from the executed plan's SQL
+  * metrics. A silent change that makes a "single-row" broadcast
+  * data-dependent now fails the sweep instead of sailing through on a
+  * stale comment.
   */
 class PlanSweepSpec extends AnyFunSuite with SparkTestBase {
 
   private val sf = "/root/testdata/sf0.001"
 
-  /** Queries allowed a BroadcastNestedLoopJoin: every entry broadcasts a
-    * ≤-constant-row frame (single-row scalar aggregates or a bounded
-    * spine), so the "nested loop" is one pass over the fact side — scan
-    * cost, not a quadratic join.
+  /** Queries allowed a BroadcastNestedLoopJoin, with the DECLARED bound on
+    * every BNLJ broadcast-side row count (checked against executed-plan
+    * metrics below): each entry broadcasts a ≤-constant-row frame
+    * (single-row scalar aggregates or a bounded spine), so the "nested
+    * loop" is one pass over the fact side — scan cost, not a quadratic
+    * join. Bounds are scale-invariant by construction (aggregates to one
+    * row, fixed-size spines), so asserting them at sf0.001 pins the claim,
+    * not the dataset.
     */
-  private val bnljBounded: Set[String] = Set(
-    "s19_knn_cosine",        // single-row query-vector broadcast
-    "s19c_knn_ivf",          // single-row query-vector broadcast
-    "s19d_knn_filtered",     // single-row query-vector broadcast
-    "c5_bloom_prune",        // single-row Bloom register map broadcast
-    "c8_mixture_rebalance",  // single-row min-count broadcast
-    "c9_importance_weights", // single-row totals broadcast
-    "c11_outlier_gate",      // single-row sufficient-statistics broadcast
-    "c14_embargo_split",     // single-row time-span (min/max) broadcast
-    "e16_time_decay",        // single-row min-day + single-row grand-total broadcasts
-    "g7_modularity",         // single-row m / sum_d2 scalar broadcasts
-    "g8_refined_modularity", // single-row before/after numerator broadcasts
-    "g8b_refined_fixed_point", // single-row LPA/pass1/fixed-point numerator broadcasts
-    "pl4_check_report",      // ≤8-row check-report spine
-    "x9_tfidf_topk",         // single-row n_docs broadcast
-    "x10_hll_registers",     // single-row harmonic-sum broadcast
-    "x12_cmsketch_registers", // single-row totals broadcast
-    "x13_hll_union",         // 64-bucket spine × ~20-source frame
-    "x14_term_coverage",     // single-row total-mass broadcast over 20 rows
-    "x15_source_divergence", // single-row grand-total broadcast over the ≤(sources×64) frame
-    "d14_cluster_safe_split", // single-row leak-count broadcast onto the ≤2-row split summary
-    "x17_source_overlap_matrix", // ≤-sources-row signature broadcast (20 rows × 12 ints)
-    "x20_gram_novelty_decay", // single-row max-doc-id broadcast onto the gram-first table
-    "o8_range_partition_audit", // ≤7-row quantile spine + single-row boundary-array broadcasts
-    "pl9_corpus_funnel", // four single-row stage-census broadcasts into the 4-row summary
-    "x22_term_burstiness" // single-row n_docs broadcast over the top-32 rows
+  private val bnljBounded: Map[String, Long] = Map(
+    "s19_knn_cosine"         -> 1L, // single-row query-vector broadcast
+    "s19c_knn_ivf"           -> 1L, // single-row query-vector broadcast
+    "s19d_knn_filtered"      -> 1L, // single-row query-vector broadcast
+    "c5_bloom_prune"         -> 1L, // single-row Bloom register map broadcast
+    "c8_mixture_rebalance"   -> 1L, // single-row min-count broadcast
+    "c9_importance_weights"  -> 1L, // single-row totals broadcast
+    "c11_outlier_gate"       -> 1L, // single-row sufficient-statistics broadcast
+    "c14_embargo_split"      -> 1L, // single-row time-span (min/max) broadcast
+    "e16_time_decay"         -> 1L, // single-row min-day + single-row grand-total broadcasts
+    "g7_modularity"          -> 1L, // single-row m / sum_d2 scalar broadcasts
+    "g8_refined_modularity"  -> 1L, // single-row before/after numerator broadcasts
+    "g8b_refined_fixed_point" -> 1L, // single-row LPA/pass1/fixed-point numerator broadcasts
+    "pl4_check_report"       -> 8L, // ≤8-row check-report spine
+    "x9_tfidf_topk"          -> 1L, // single-row n_docs broadcast
+    "x10_hll_registers"      -> 1L, // single-row harmonic-sum broadcast
+    "x12_cmsketch_registers" -> 1L, // single-row totals broadcast
+    "x13_hll_union"          -> 64L, // 64-register HLL spine broadcast onto the ~20-source frame
+    "x14_term_coverage"      -> 1L, // single-row total-mass broadcast over 20 rows
+    "x15_source_divergence"  -> 1L, // single-row grand-total broadcast over the ≤(sources×64) frame
+    "d14_cluster_safe_split" -> 1L, // single-row leak-count broadcast onto the ≤2-row split summary
+    "x17_source_overlap_matrix" -> 32L, // ≤-sources-row signature broadcast (20 rows × 12 ints)
+    "x20_gram_novelty_decay" -> 1L, // single-row max-doc-id broadcast onto the gram-first table
+    "o8_range_partition_audit" -> 8L, // ≤7-row quantile spine + single-row boundary-array broadcasts
+    "pl9_corpus_funnel"      -> 1L, // four single-row stage-census broadcasts into the 4-row summary
+    "x22_term_burstiness"    -> 1L  // single-row n_docs broadcast over the top-32 rows
   )
 
-  /** Queries allowed a window with an empty partition spec: the window
-    * input is bounded by construction BEFORE the window runs.
+  /** Queries allowed a window with an empty partition spec, with the
+    * DECLARED bound on the window's input row count (checked against
+    * executed-plan metrics below): the window input is bounded by
+    * construction BEFORE the window runs.
     */
-  private val globalWindowBounded: Set[String] = Set(
-    "o2_stable_sort",     // declared bounded demo: limit upstream of the rank
-    "o5_sorted_distinct", // distinct of a low-cardinality column (≤ ~500)
-    "o7_global_ids",      // level-2 rank over the ≤-bucket-count offset rows
-    "e12_global_disorder", // level-2 prefix max over the ≤-bucket-count spine rows
-    "e13_watermark_audit", // same spine decomposition as e12, frame ends at -1
-    "e14_retraction_census", // same spine decomposition as e13
-    "o8_range_partition_audit", // cumulative window over value-domain-bounded histogram bins
-    "p8_offset_slice",    // bounded serial stage, limit upstream
-    "x14_term_coverage",  // cumulative share over the top-20 rows only
-    "x18_zipf_audit",     // rank + running max over the top-32 rows only
-    "x20_gram_novelty_decay" // cumulative windows over the ≤10-row decile spine
+  private val globalWindowBounded: Map[String, Long] = Map(
+    "o2_stable_sort"       -> 500L, // declared bounded demo: limit 500 upstream of the rank
+    "o5_sorted_distinct"   -> 500L, // distinct of a low-cardinality column (≤ ~500)
+    "o7_global_ids"        -> 64L,  // level-2 rank over the ≤-bucket-count offset rows
+    "e12_global_disorder"  -> 64L,  // level-2 prefix max over the ≤-bucket-count spine rows
+    "e13_watermark_audit"  -> 64L,  // same spine decomposition as e12, frame ends at -1
+    "e14_retraction_census" -> 64L, // same spine decomposition as e13
+    "o8_range_partition_audit" -> 128L, // cumulative window over value-domain-bounded histogram bins
+    "p8_offset_slice"      -> 600L, // bounded serial stage, limit upstream
+    "x14_term_coverage"    -> 20L,  // cumulative share over the top-20 rows only
+    "x18_zipf_audit"       -> 32L,  // rank + running max over the top-32 rows only
+    "x20_gram_novelty_decay" -> 10L // cumulative windows over the ≤10-row decile spine
   )
 
   test("no query plans a CartesianProduct, an unexpected BNLJ, or an unbounded global window") {
@@ -73,10 +91,11 @@ class PlanSweepSpec extends AnyFunSuite with SparkTestBase {
       val plan = fn(spark, sf).queryExecution.sparkPlan
       val cart = plan.collect { case p: CartesianProductExec => p }.nonEmpty
       val bnlj =
-        plan.collect { case p: BroadcastNestedLoopJoinExec => p }.nonEmpty && !bnljBounded(name)
+        plan.collect { case p: BroadcastNestedLoopJoinExec => p }.nonEmpty &&
+          !bnljBounded.contains(name)
       val gwin =
         plan.collect { case w: WindowExec if w.partitionSpec.isEmpty => w }.nonEmpty &&
-          !globalWindowBounded(name)
+          !globalWindowBounded.contains(name)
       val tags = Seq(
         if (cart) Some("CartesianProduct") else None,
         if (bnlj) Some("BNLJ") else None,
@@ -85,5 +104,79 @@ class PlanSweepSpec extends AnyFunSuite with SparkTestBase {
       if (tags.isEmpty) None else Some(s"$name: ${tags.mkString(", ")}")
     }
     assert(offenders.isEmpty, offenders.mkString("\n"))
+  }
+
+  /** Walk the EXECUTED plan including adaptive stages and exchange reuse. */
+  private def flatten(p: SparkPlan): Seq[SparkPlan] = p match {
+    case a: AdaptiveSparkPlanExec => p +: flatten(a.executedPlan)
+    case s: QueryStageExec        => p +: flatten(s.plan)
+    case r: ReusedExchangeExec    => p +: flatten(r.child)
+    case _                        => p +: p.children.flatMap(flatten)
+  }
+
+  /** Nearest `numOutputRows` SQL metric at-or-below `p` — the actual row
+    * count that flowed out of that subtree during execution.
+    */
+  private def outputRows(p: SparkPlan): Option[Long] =
+    flatten(p).iterator
+      .flatMap(_.metrics.get("numOutputRows"))
+      .map(_.value)
+      .find(_ >= 0)
+
+  test("allowlisted BNLJ broadcast sides and global-window inputs stay within their declared bounds") {
+    var bnljChecked   = 0
+    var windowChecked = 0
+    val names = (bnljBounded.keySet ++ globalWindowBounded.keySet).toSeq.sorted
+    val violations = names.flatMap { name =>
+      val df = SparkEntry.queries(name)(spark, sf)
+      df.foreach(_ => ()) // execute through df's own queryExecution so metrics populate
+      val plan = flatten(df.queryExecution.executedPlan)
+      bnljChecked += plan.count(_.isInstanceOf[BroadcastNestedLoopJoinExec])
+      windowChecked += plan.count {
+        case w: WindowExec => w.partitionSpec.isEmpty
+        case _             => false
+      }
+      val bnljViolations = plan.collect { case j: BroadcastNestedLoopJoinExec => j }.flatMap { j =>
+        val build = j.buildSide match {
+          case BuildLeft  => j.left
+          case BuildRight => j.right
+        }
+        val rows  = outputRows(build)
+        val bound = bnljBounded.getOrElse(name, 0L)
+        rows match {
+          case Some(r) if r > bound =>
+            Some(s"$name: BNLJ broadcast side $r rows > declared bound $bound")
+          case None =>
+            Some(s"$name: BNLJ broadcast side has no numOutputRows metric — bound unverifiable")
+          case _ => None
+        }
+      }
+      val windowViolations =
+        plan.collect { case w: WindowExec if w.partitionSpec.isEmpty => w }.flatMap { w =>
+          val rows  = outputRows(w.child)
+          val bound = globalWindowBounded.getOrElse(name, 0L)
+          rows match {
+            case Some(r) if r > bound =>
+              Some(s"$name: global-window input $r rows > declared bound $bound")
+            case None =>
+              Some(s"$name: global-window input has no numOutputRows metric — bound unverifiable")
+            case _ => None
+          }
+        }
+      bnljViolations ++ windowViolations
+    }
+    assert(violations.isEmpty, violations.mkString("\n"))
+    // Coverage guard: the metric check must actually have SEEN the nodes it
+    // claims to bound — if a Spark upgrade or refactor made the executed
+    // plans stop carrying these node types, this test would otherwise pass
+    // vacuously while the allowlists rot.
+    assert(
+      bnljChecked >= 15,
+      s"only $bnljChecked BNLJ nodes measured across ${bnljBounded.size} allowlisted queries"
+    )
+    assert(
+      windowChecked >= 8,
+      s"only $windowChecked global windows measured across ${globalWindowBounded.size} allowlisted queries"
+    )
   }
 }
