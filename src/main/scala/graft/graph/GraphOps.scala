@@ -348,6 +348,147 @@ object GraphOps {
     cur
   }
 
+  /** The LEIDEN REFINEMENT PHASE (Traag–Waltman–van Eck 2019, the step
+    * that makes Leiden ≠ Louvain; reference utils/neo4j_helpers.py:237-268
+    * runs leidenalg, whose refinement splits badly-connected communities
+    * the merge ladder cannot): within each community of `parent`, restart
+    * from SINGLETONS and re-merge under the same deterministic
+    * mutual-best-partner passes as [[refineMergeFixedPoint]], with two
+    * constraints that define refinement:
+    *
+    *   1. merges stay INSIDE the parent community — the refined partition
+    *      always refines `parent`;
+    *   2. the WELL-CONNECTEDNESS gate: a sub-community R ⊆ C may take part
+    *      in a merge only while gateDen·E(R, C∖R) ≥ gateNum·‖R‖·(‖C‖−‖R‖)
+    *      (vertex-count form of the paper's γ-connectivity bound). A
+    *      badly-connected R — e.g. a blob attached to the rest of its
+    *      community by a single bridge edge — fails the gate and is FROZEN,
+    *      even when re-merging it would raise modularity: the gate is a
+    *      connectivity guarantee, not a quality heuristic, which is exactly
+    *      how Leiden escapes the merge ladder's trapped dumbbells.
+    *
+    * A community the ladder inherited as a dumbbell (LPA label flooding
+    * across a bridge) therefore SPLITS here: the sides re-form from
+    * singletons (high intra gain), and the cross-bridge merge either has
+    * negative gain at full community degrees or is blocked by the gate.
+    * Merge gains are the same integer RB form as [[refineMergeFixedPoint]]
+    * (γ = gammaNum/gammaDen over the WHOLE graph's m and degrees), so the
+    * arithmetic stays engine-exact.
+    *
+    * Scale shape: per pass one endpoint-labeling join + keyed aggregates
+    * (sizes, cuts, sub-community degrees) + one top-1 window + a
+    * broadcastable disjoint relabel — everything keyed on sub-community or
+    * parent, nothing driver-side; [[Lineage.truncateFresh]] between passes
+    * (the label frame feeds back into itself — see that method's stats
+    * note). Passes run over sub-community frames that only coarsen, and the
+    * loop stops at the first pass with no mutual merge.
+    *
+    * Input: `und` canonical undirected edges (a, b), `parent` = (id, lbl).
+    * Returns (id, lbl): the refined partition (labels = min member id per
+    * sub-community; parent communities with no internal structure return
+    * intact).
+    */
+  def refineWithinFixedPoint(
+      und: DataFrame,
+      parent: DataFrame,
+      maxPasses: Int = 6,
+      gammaNum: Long = 1L,
+      gammaDen: Long = 1L,
+      gateNum: Long = 1L,
+      gateDen: Long = 6L
+  ): DataFrame = {
+    val u = Lineage.truncate(und.select(col("a"), col("b")))
+    val deg = Lineage.truncate(
+      u.select(col("a").as("id"))
+        .unionAll(u.select(col("b").as("id")))
+        .groupBy("id")
+        .agg(count(lit(1)).as("deg"))
+    )
+    val mRow = Lineage.truncate(u.agg(count(lit(1)).as("m")))
+    val par  = Lineage.truncate(parent.select(col("id"), col("lbl").as("parent")))
+    val psz  = Lineage.truncate(par.groupBy("parent").agg(count(lit(1)).as("psz")))
+    // singletons, each carrying its parent community
+    var cur  = Lineage.truncate(par.select(col("id"), col("id").as("lbl"), col("parent")))
+    var pass = 0
+    var done = false
+    while (!done && pass < maxPasses) {
+      val xa = cur.select(col("id").as("a"), col("lbl").as("ca"), col("parent").as("pa"))
+      val xb = cur.select(col("id").as("b"), col("lbl").as("cb"), col("parent").as("pb"))
+      val labeled = u.join(xa, "a").join(xb, "b")
+      // intra-parent, inter-sub-community edge counts (symmetric)
+      val within = labeled.filter(col("pa") === col("pb") && col("ca") =!= col("cb"))
+      val inter = within
+        .select(col("ca").as("c1"), col("cb").as("c2"), col("pa").as("parent"))
+        .unionAll(within.select(col("cb").as("c1"), col("ca").as("c2"), col("pa").as("parent")))
+        .groupBy(col("c1"), col("c2"), col("parent"))
+        .agg(count(lit(1)).as("e12"))
+      val sz = cur.groupBy(col("lbl"), col("parent")).agg(count(lit(1)).as("sz"))
+      // cut(R) = E(R, C∖R); sub-communities with no intra-parent neighbors
+      // (R = C, or an isolated singleton parent) have cut 0 and a zero
+      // right-hand side — eligible but partnerless either way
+      val cut = inter.groupBy(col("c1")).agg(sum(col("e12")).as("cut"))
+      val elig = sz
+        .join(cut.select(col("c1").as("lbl"), col("cut")), Seq("lbl"), "left")
+        .join(psz, "parent")
+        .filter(
+          lit(gateDen) * coalesce(col("cut"), lit(0L)) >=
+            lit(gateNum) * col("sz") * (col("psz") - col("sz"))
+        )
+        .select(col("lbl"))
+      val cdeg = deg
+        .join(cur.select(col("id"), col("lbl")), "id")
+        .groupBy(col("lbl"))
+        .agg(sum(col("deg")).as("d"))
+      val gains = inter
+        .join(elig.select(col("lbl").as("c1")), "c1")
+        .join(elig.select(col("lbl").as("c2")), "c2")
+        .join(cdeg.select(col("lbl").as("c1"), col("d").as("d1")), "c1")
+        .join(cdeg.select(col("lbl").as("c2"), col("d").as("d2")), "c2")
+        .crossJoin(broadcast(mRow))
+        .withColumn(
+          "gain",
+          lit(gammaDen) * lit(2) * col("m") * col("e12") - lit(gammaNum) * col("d1") * col("d2")
+        )
+        .filter(col("gain") > 0)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("c1"))
+        .orderBy(col("gain").desc, col("c2").asc)
+      val picks = gains
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("c1").as("src"), col("c2").as("dst"))
+      // mutual pairs only (disjoint — see refineMergeFixedPoint); loop ends
+      // at the first pass with NO mutual pair (under the gate the max-gain
+      // pick is still mutual whenever any gain survives, but checking the
+      // mutual frame directly is the guard that cannot hang)
+      val mutual = Lineage.truncate(
+        picks
+          .as("p")
+          .join(
+            picks.select(col("src").as("msrc"), col("dst").as("mdst")).as("q"),
+            col("p.src") === col("q.mdst") && col("p.dst") === col("q.msrc")
+          )
+          .filter(col("p.src") < col("p.dst"))
+          .select(col("p.src").as("src"), col("p.dst").as("dst"))
+      )
+      if (mutual.isEmpty) done = true
+      else {
+        val relabel = mutual
+          .select(col("src").as("lbl"), least(col("src"), col("dst")).as("new_lbl"))
+          .unionAll(
+            mutual.select(col("dst").as("lbl"), least(col("src"), col("dst")).as("new_lbl"))
+          )
+        cur = Lineage.truncateFresh(
+          cur
+            .join(relabel, Seq("lbl"), "left")
+            .select(col("id"), coalesce(col("new_lbl"), col("lbl")).as("lbl"), col("parent"))
+        )
+        pass += 1
+      }
+    }
+    cur.select(col("id"), col("lbl"))
+  }
+
   /** Resolution-parameterized community hierarchy — the Spark-native form
     * of the reference's 3-resolution Leiden sweep
     * (defs/assets/detect_communities.py:218-246, resolutions [2.0, 0.5,

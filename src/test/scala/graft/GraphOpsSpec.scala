@@ -465,4 +465,69 @@ class GraphOpsSpec extends AnyFunSuite with SparkTestBase {
       .toMap
     assert(got2 == Map(1L -> 0L, 2L -> 1L, 3L -> 1L, 4L -> 0L))
   }
+
+  test("Leiden refinement splits the bridge-trapped dumbbell that the merge ladder cannot") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // The g8d planted graph: K4 {0,1,2,3} + tail 3-8-9. LPA floods label 0
+    // across the bridge (dumbbell = one community); the merge-only fixed
+    // point provably leaves it merged; refinement-from-singletons splits it
+    // and modularity strictly improves.
+    val und = Seq(
+      (0L, 1L), (0L, 2L), (0L, 3L), (1L, 2L), (1L, 3L), (2L, 3L),
+      (3L, 8L), (8L, 9L)
+    ).toDF("a", "b")
+    val verts = Seq(0L, 1L, 2L, 3L, 8L, 9L).toDF("id")
+    val lpa = GraphOps.labelPropagation(
+      verts, und.select(col("a").as("src"), col("b").as("dst")), 3)
+    val fixed = GraphOps.refineMergeFixedPoint(und, lpa, maxPasses = 4)
+    val fixedMap =
+      fixed.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // g8b's ladder keeps the dumbbell as ONE community (merge-only)
+    assert(fixedMap.values.toSet.size == 1, s"expected one merged community, got $fixedMap")
+    val refined = GraphOps.refineWithinFixedPoint(und, fixed, maxPasses = 6)
+    val refinedMap =
+      refined.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // refinement re-forms the clique and the tail as separate communities
+    assert(Set(0L, 1L, 2L, 3L).map(refinedMap) == Set(0L))
+    assert(Set(8L, 9L).map(refinedMap) == Set(8L))
+    // and the split strictly improves modularity (merged Q = 0)
+    val qFixed   = GraphOps.modularity(und, fixed)
+    val qRefined = GraphOps.modularity(und, refined)
+    assert(qFixed == 0.0)
+    assert(qRefined > qFixed)
+  }
+
+  test("the well-connectedness gate holds a split even against a positive-gain re-merge") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // Ballast variant: adding a separate 12-edge path inflates m to 20, so
+    // gluing {8,9} back onto the clique has POSITIVE gain
+    // (2m·E − d1·d2 = 40 − 39 = +1). A pure greedy re-merge would take it;
+    // the gate (E({8,9}, rest) = 1 < (1/6)·2·4) must freeze it.
+    val ballast = (13L to 24L).map(k => (k - 1, k))
+    val und = (Seq(
+      (0L, 1L), (0L, 2L), (0L, 3L), (1L, 2L), (1L, 3L), (2L, 3L),
+      (3L, 8L), (8L, 9L)
+    ) ++ ballast).toDF("a", "b")
+    val dumbbellIds = Seq(0L, 1L, 2L, 3L, 8L, 9L)
+    val verts       = (dumbbellIds ++ (12L to 24L)).toDF("id")
+    val lpa = GraphOps.labelPropagation(
+      verts, und.select(col("a").as("src"), col("b").as("dst")), 3)
+    val fixed   = GraphOps.refineMergeFixedPoint(und, lpa, maxPasses = 4)
+    val refined = GraphOps.refineWithinFixedPoint(und, fixed, maxPasses = 6)
+    val refinedMap =
+      refined.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // the split held: clique and tail carry different labels
+    assert(Set(0L, 1L, 2L, 3L).map(refinedMap) == Set(0L))
+    assert(Set(8L, 9L).map(refinedMap) == Set(8L))
+    // and it held AGAINST the gain: manually gluing {8,9} back onto the
+    // clique scores strictly higher — proof the gate, not the gain test,
+    // kept the split
+    val glued = refined.select(
+      col("id"),
+      org.apache.spark.sql.functions
+        .when(col("lbl") === 8L, 0L).otherwise(col("lbl")).as("lbl"))
+    assert(GraphOps.modularity(und, glued) > GraphOps.modularity(und, refined))
+  }
 }

@@ -52,6 +52,7 @@ class PlanSweepSpec extends AnyFunSuite with SparkTestBase {
     "g7_modularity"          -> 1L, // single-row m / sum_d2 scalar broadcasts
     "g8_refined_modularity"  -> 1L, // single-row before/after numerator broadcasts
     "g8b_refined_fixed_point" -> 1L, // single-row LPA/pass1/fixed-point numerator broadcasts
+    "g8d_leiden_refinement"  -> 1L, // single-row fixed/refined numerator + community-count broadcasts
     "pl4_check_report"       -> 8L, // ≤8-row check-report spine
     "x9_tfidf_topk"          -> 1L, // single-row n_docs broadcast
     "x10_hll_registers"      -> 1L, // single-row harmonic-sum broadcast
