@@ -221,6 +221,89 @@ object TextOps extends QueryModule {
     )
   }
 
+  /** The quantized LETTER-FREQUENCY PRIOR — the last declared tranche of
+    * the ftfy chain (SURVEY §7.5.3; reference
+    * utils/data_transformation_helpers.py:28-86 → ftfy's badness uses
+    * frequency-informed "weirdness" patterns on top of the byte
+    * signatures): real language essentially never puts a cp1252 PUNCTUATION
+    * special (’ “ † œ …) directly after an uppercase accented letter
+    * (À–Þ) — "Ä’" occurs in mojibake ("Ē" read as cp1252) and not in
+    * German — while the repaired character is an ordinary letter. The
+    * prior is quantized to an integer bigram count (one regexp_count of
+    * literal char classes — engine-exact, RE2-safe: no lookahead), so the
+    * tiebreak below is bit-reproducible where ftfy's float trigram model
+    * is not.
+    */
+  private def mojibakeWeirdness(c: Column): Column =
+    regexp_count(
+      c,
+      lit("[À-Þ][€‚ƒ„…†‡ˆ‰Š‹ŒŽ‘’“”•–—˜™š›œžŸ]")
+    ).cast("long")
+
+  /** F1i — the prior TIEBREAK for AMBIGUOUS repairs (r10 verdict #6): the
+    * byte-signature badness scorer (f1g) counts only the {Ã Â Î Ï Ð}-lead
+    * and C1-control signatures, so a repairable string can score ZERO on
+    * both sides — exactly the ambiguity band ftfy resolves with
+    * letter-frequency priors. The decision ladder here:
+    *
+    *   accept repair ⇔ badness drops, OR badness ties AND the weirdness
+    *   prior strictly drops; a FULL tie keeps the original (conservative —
+    *   never rewrite text no scorer prefers).
+    *
+    * Two manufactured arms per row:
+    *   - arm A ("Ēvele" read as cp1252 → "Ä’vele"): badness 0 == 0, but
+    *     weirdness 1 → 0 — the prior accepts the repair;
+    *   - arm B ("rīt" read as cp1252 → "rÄ«t"): badness 0 == 0 AND
+    *     weirdness 0 == 0 (« is spacing punctuation, outside the
+    *     prior's special class) — full tie, original kept. ftfy's full
+    *     trigram model would fix this one; the quantized subset DECLARES
+    *     the tie-keeps boundary instead of approximating floats.
+    */
+  private def f1i_prior_tiebreak(s: SparkSession, d: String): DataFrame = {
+    // Spark's decode knows iso-8859-1 but not windows-1252; the cp1252
+    // mis-read is the Latin-1 mis-read with the 27 defined 0x80–0x9F bytes
+    // shown as their cp1252 printables — one translate applies that map.
+    def cp1252View(c: Column): Column =
+      translate(
+        decode(encode(c, "UTF-8"), "ISO-8859-1"),
+        "\u0080\u0082\u0083\u0084\u0085\u0086\u0087\u0088\u0089\u008A\u008B\u008C\u008E" +
+          "\u0091\u0092\u0093\u0094\u0095\u0096\u0097\u0098\u0099\u009A\u009B\u009C\u009E\u009F",
+        "€‚ƒ„…†‡ˆ‰Š‹ŒŽ‘’“”•–—˜™š›œžŸ"
+      )
+    def arms(orig: Column): (Column, Column, Column, Column, Column, Column) = {
+      val moji  = cp1252View(orig)
+      val fixed = call_function("graft_fix_mojibake", moji)
+      val bm    = mojibakeBadness(moji)
+      val bf    = mojibakeBadness(fixed)
+      val wm    = mojibakeWeirdness(moji)
+      val wf    = mojibakeWeirdness(fixed)
+      val acc   = bf < bm || (bf === bm && wf < wm)
+      (moji, wm, wf,
+        when(acc, 1L).otherwise(0L),
+        when(acc, fixed).otherwise(moji),
+        bm)
+    }
+    val (aMoji, aWm, aWf, aFlag, aAcc, aBm) =
+      arms(concat(lit("Ēvele"), col("doc_id").cast("string")))
+    val (bMoji, bWm, bWf, bFlag, bAcc, bBm) =
+      arms(concat(lit("rīt"), col("doc_id").cast("string")))
+    table(s, d, "documents").select(
+      col("doc_id"),
+      aMoji.as("a_moji"),
+      aBm.as("a_badness_moji"),
+      aWm.as("a_weird_moji"),
+      aWf.as("a_weird_fixed"),
+      aFlag.as("a_repair_accepted"),
+      aAcc.as("a_accepted"),
+      bMoji.as("b_moji"),
+      bBm.as("b_badness_moji"),
+      bWm.as("b_weird_moji"),
+      bWf.as("b_weird_fixed"),
+      bFlag.as("b_repair_accepted"),
+      bAcc.as("b_accepted")
+    )
+  }
+
   /** F1c — the HTML-entity leg of the ftfy chain in isolation (and then
     * through the full cleanText pipeline): the query MANUFACTURES entity
     * mixes — named, decimal, hex, malformed-left-alone — and
@@ -441,6 +524,7 @@ object TextOps extends QueryModule {
     "f1f_uncurl_escapes" -> (f1f_uncurl_escapes _),
     "f1g_badness_scorer" -> (f1g_badness_scorer _),
     "f1h_lossy_refusal" -> (f1h_lossy_refusal _),
+    "f1i_prior_tiebreak" -> (f1i_prior_tiebreak _),
     "f2_natural_list" -> (f2_natural_list _),
     "f3_chunk_fixed" -> (f3_chunk_fixed _),
     "f3b_chunk_recursive" -> (f3b_chunk_recursive _),
@@ -529,6 +613,26 @@ object TextOps extends QueryModule {
     // clean and repaired text score 0, so the repair is always accepted
     // and the accepted output IS the original (digits contribute nothing
     // to any pattern).
+    // closed form, both arms (see f1i's scaladoc): arm A's mojibake is the
+    // cp1252 mis-read 'Ä’vele' (weirdness 1 — Ä followed by the cp1252
+    // special ’) whose repair 'Ēvele' is accepted on the prior tiebreak;
+    // arm B's 'rÄ«t' is a FULL tie (« is outside the special class) and the
+    // original is kept. Digits contribute to no pattern.
+    "f1i_prior_tiebreak" ->
+      """SELECT doc_id,
+                'Ä’vele' || CAST(doc_id AS VARCHAR) AS a_moji,
+                CAST(0 AS BIGINT) AS a_badness_moji,
+                CAST(1 AS BIGINT) AS a_weird_moji,
+                CAST(0 AS BIGINT) AS a_weird_fixed,
+                CAST(1 AS BIGINT) AS a_repair_accepted,
+                'Ēvele' || CAST(doc_id AS VARCHAR) AS a_accepted,
+                'rÄ«t' || CAST(doc_id AS VARCHAR) AS b_moji,
+                CAST(0 AS BIGINT) AS b_badness_moji,
+                CAST(0 AS BIGINT) AS b_weird_moji,
+                CAST(0 AS BIGINT) AS b_weird_fixed,
+                CAST(0 AS BIGINT) AS b_repair_accepted,
+                'rÄ«t' || CAST(doc_id AS VARCHAR) AS b_accepted
+         FROM documents""",
     "f1g_badness_scorer" ->
       """SELECT doc_id,
                 CAST(15 AS BIGINT) AS badness_moji,
