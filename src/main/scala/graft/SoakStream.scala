@@ -24,7 +24,23 @@ import org.apache.spark.sql.types.{LongType, StringType, StructType}
   *      hourly windows complete continuously under the 1 h watermark;
   *      state = in-flight windows, bounded by the watermark horizon) —
   *      the rank applied per sink batch via foreachBatch, the documented
-  *      e17 pattern.
+  *      e17 pattern;
+  *   5. `transitionPairs` (e18's stream face, r10 verdict #5) consumes the
+  *      SAME packed handoff as a per-user event stream (user = doc_id mod
+  *      64): each user's last event is `flatMapGroupsWithState` state, so
+  *      the transition that straddles a micro-batch boundary is emitted
+  *      exactly once — verified at the end by the exactly-once invariant
+  *      pairs == packed_rows − distinct_users (every event after a user's
+  *      first emits exactly one pair, across ALL batch boundaries).
+  *
+  * MID-RUN COMPACTION (r10 verdict #8): halfway through, the on-disk
+  * signature index (stage 2's cross-batch state — by then dozens of small
+  * per-batch appends) is compacted via [[graft.io.TableIO.compact]] in the
+  * idle window between micro-batches — the maintenance pattern a
+  * production ingest runs. Row counts must be preserved exactly and the
+  * funnel's later verdicts/offsets must come out as if nothing happened
+  * (they do: dedupIngest re-lists the index per batch; the packer's
+  * cursors never touch it).
   *
   * Each micro-batch of `perBatch` documents (16× the StreamOpsSpec batch
   * size by default) is timed PER STAGE; the report shows each stage's
@@ -162,18 +178,64 @@ object SoakStream {
       .start()
     val w0 = timed(q4.processAllAvailable())
 
-    // --- measured chain: batches 1..N-1 ----------------------------------
+    // --- stage 5: per-user transition pairs over the packed handoff ------
+    import graft.streaming.StreamOps.TransIn
+    val q5 = graft.streaming.StreamOps
+      .transitionPairs(
+        spark.readStream
+          .schema(packedSchema)
+          .parquet(s"$base/packed")
+          .select(
+            (col("doc_id") % 64).as("user_id"),
+            (lit(1704067200000000L) + col("doc_id") * 30000000L).as("us"),
+            col("doc_id").as("event_id"),
+            col("lang").as("event_type")
+          )
+          .as[TransIn]
+      )
+      .writeStream
+      .option("checkpointLocation", s"$base/ck5")
+      .format("parquet")
+      .option("path", s"$base/pairs")
+      .outputMode("append")
+      .start()
+    val t0 = timed(q5.processAllAvailable())
+
+    // --- measured chain: batches 1..N-1, compaction window at the middle --
+    var compactNote = ""
     val series =
       try {
-        (g0, i0, p0, w0) +: (1 until batches).map { b =>
+        (g0, i0, p0, w0, t0) +: (1 until batches).map { b =>
+          if (b == batches / 2) {
+            // idle window between micro-batches: compact the signature
+            // index the ingest stage has been appending to — row counts
+            // must survive exactly, and every later verdict/offset must be
+            // unaffected (asserted by the same end-state checks as always)
+            val fs = new java.io.File(s"$base/index/shingles")
+              .listFiles()
+              .count(_.getName.endsWith(".parquet"))
+            val shBefore = spark.read.parquet(s"$base/index/shingles").count()
+            val bdBefore = spark.read.parquet(s"$base/index/bands").count()
+            val (b1, a1, r1) =
+              graft.io.TableIO.compact(spark, s"$base/index/shingles", shBefore)
+            val (b2, a2, r2) =
+              graft.io.TableIO.compact(spark, s"$base/index/bands", bdBefore)
+            require(r1 == shBefore && r2 == bdBefore,
+              s"compact changed index rows: $r1!=$shBefore or $r2!=$bdBefore")
+            compactNote =
+              s"mid-run compaction at batch $b (idle window): shingles $b1→$a1 files, " +
+                s"bands $b2→$a2 files, rows preserved exactly ($r1 + $r2); " +
+                s"fs-listed $fs parquet files before. All later verdicts/offsets unaffected."
+          }
           feed(b)
           val tg = timed(q1.processAllAvailable())
           val ti = timed(q2.processAllAvailable())
           val tp = timed(q3.processAllAvailable())
           val tw = timed(q4.processAllAvailable())
-          (tg, ti, tp, tw)
+          val tt = timed(q5.processAllAvailable())
+          (tg, ti, tp, tw, tt)
         }
-      } finally { q4.stop(); q3.stop(); q2.stop(); q1.stop() }
+      } finally { q5.stop(); q4.stop(); q3.stop(); q2.stop(); q1.stop() }
 
     val keptRows   = spark.read.parquet(s"$base/out").count()
     val idxRows    = spark.read.parquet(s"$base/index/shingles").count()
@@ -181,24 +243,38 @@ object SoakStream {
     val topkRows =
       try spark.read.parquet(s"$base/topk").count()
       catch { case _: Throwable => 0L }
+    // exactly-once invariant for the transition stage: every packed event
+    // after a user's FIRST emits exactly one pair — including the ones that
+    // straddle micro-batch boundaries (held as flatMapGroupsWithState
+    // state). pairs == packed − distinct_users, or boundary transitions
+    // were dropped (<) or duplicated (>).
+    val pairsRows = spark.read.parquet(s"$base/pairs").count()
+    val distinctUsers = spark.read
+      .parquet(s"$base/packed")
+      .select((col("doc_id") % 64).as("u"))
+      .distinct()
+      .count()
+    val exactlyOnce = pairsRows == packedRows - distinctUsers
 
     val stages = Seq(
       ("gateAndQuarantine", series.map(_._1)),
       ("dedupIngest", series.map(_._2)),
       ("sequencePacker", series.map(_._3)),
       ("windowTopK", series.map(_._4)),
-      ("chain total", series.map(s => s._1 + s._2 + s._3 + s._4))
+      ("transitionPairs", series.map(_._5)),
+      ("chain total", series.map(s => s._1 + s._2 + s._3 + s._4 + s._5))
     )
     val bar = 3.0 // flat bar: late median within 3× early (state must not leak)
     def fmt(xs: Seq[Double]) = xs.map(t => f"$t%.2f").mkString(" ")
     val md = new StringBuilder
-    md.append(s"\n## Streaming soak — 4-stage funnel chain, $batches micro-batches × $perBatch docs ($src)\n\n")
-    md.append("gate → dedupIngest → sequencePacker → windowTypeCounts/topKPerWindow, chained\n")
+    md.append(s"\n## Streaming soak — 5-stage funnel chain, $batches micro-batches × $perBatch docs ($src)\n\n")
+    md.append("gate → dedupIngest → sequencePacker → windowTypeCounts/topKPerWindow +\n")
+    md.append("transitionPairs (e18's stream face, fed from the same packed handoff), chained\n")
     md.append("through durable handoffs (parquet file-source between stages — the StreamOpsSpec\n")
-    md.append("funnel topology with the e17 stream face appended). Per-batch wall seconds per\n")
-    md.append("stage; bar = late-window median within 3× early-window median (cross-batch\n")
-    md.append("state — signature index, per-language cursors, in-flight windows — must not\n")
-    md.append("leak into per-batch cost).\n\n")
+    md.append("funnel topology with the e17 and e18 stream faces appended). Per-batch wall\n")
+    md.append("seconds per stage; bar = late-window median within 3× early-window median\n")
+    md.append("(cross-batch state — signature index, per-language cursors, in-flight windows,\n")
+    md.append("per-user last-event triples — must not leak into per-batch cost).\n\n")
     md.append("| stage | per-batch series (s) | early med | late med | ratio | verdict |\n")
     md.append("|---|---|---|---|---|---|\n")
     val verdicts = stages.map { case (name, xs) =>
@@ -210,8 +286,11 @@ object SoakStream {
     }
     md.append(
       s"\ningest: $keptRows gate-kept docs probed, index grew to $idxRows shingle rows; " +
-        s"packer: $packedRows rows out; windowTopK: $topkRows completed-window rank rows.\n"
+        s"packer: $packedRows rows out; windowTopK: $topkRows completed-window rank rows; " +
+        s"transitionPairs: $pairsRows pairs over $distinctUsers users — exactly-once " +
+        s"boundary invariant (pairs == packed − users) ${if (exactlyOnce) "HOLDS" else "VIOLATED"}.\n"
     )
+    if (compactNote.nonEmpty) md.append(s"\n$compactNote\n")
     print(md)
     java.nio.file.Files.write(
       java.nio.file.Paths.get("SOAK.md"),
@@ -222,6 +301,7 @@ object SoakStream {
 
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
     spark.stop()
+    require(exactlyOnce, s"transitionPairs exactly-once violated: $pairsRows pairs, $packedRows packed, $distinctUsers users")
     val failed = verdicts.filter(_._2 > bar)
     if (failed.nonEmpty) {
       System.err.println(

@@ -249,9 +249,12 @@ object Multimodal extends QueryModule {
     */
   private def m9_payload_block_dedup(s: SparkSession, d: String): DataFrame = {
     val docs = table(s, d, "documents").select(col("doc_id"), col("text"))
+    // planted near-dup copy at −id−1: negation keeps planted ids disjoint
+    // from any non-negative corpus id at any scale (a fixed +100000 offset
+    // collided once real ids crossed it — the d16 lesson, r10 advice)
     val c = docs.unionAll(
       docs.select(
-        (col("doc_id") + 100000).as("doc_id"),
+        (-col("doc_id") - 1).as("doc_id"),
         concat(col("text"), lit(" zz tail")).as("text")
       )
     )
@@ -359,7 +362,7 @@ object Multimodal extends QueryModule {
       """WITH c AS (
            SELECT doc_id, text FROM documents
            UNION ALL
-           SELECT doc_id + 100000, text || ' zz tail' FROM documents),
+           SELECT -doc_id - 1, text || ' zz tail' FROM documents),
          nbt AS (
            SELECT doc_id, text,
                   CAST(least(length(text) // 32, 16) AS INTEGER) AS nb

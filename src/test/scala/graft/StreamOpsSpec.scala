@@ -356,6 +356,81 @@ class StreamOpsSpec extends AnyFunSuite with SparkTestBase {
     } finally { q3.stop(); q2.stop(); q1.stop() }
   }
 
+  test("TableIO.compact between micro-batches leaves funnel verdicts and pack offsets intact") {
+    import org.apache.spark.sql.functions.{col, size, split}
+    import org.apache.spark.sql.types.{LongType, StringType, StructType}
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val base = java.nio.file.Files.createTempDirectory("graft_funnel_compact").toString
+    val in   = MemoryStream[(Long, String, String)]
+
+    val tEn1 = "the quick brown fox jumps over a lazy dog while the keen red cat naps of and to in is table"
+    val tEn2 = "a big old ship sails past the tall white tower when a cold dark wave hits of and to in is stone"
+    val tEn4 = "nine tall grey wolves run down the long cold ridge as one pale moon rises of and to in is cliff"
+
+    val q1 = StreamOps.gateAndQuarantine(
+      in.toDF().toDF("doc_id", "lang", "text"),
+      s"$base/keep", s"$base/quar", s"$base/ck1")
+    in.addData((1L, "en", tEn1))
+    q1.processAllAvailable()
+    val keepSchema = new StructType()
+      .add("doc_id", LongType).add("lang", StringType).add("text", StringType)
+    val q2 = StreamOps.dedupIngest(
+      spark.readStream.schema(keepSchema).parquet(s"$base/keep"),
+      s"$base/index", s"$base/out", s"$base/ck2")
+    q2.processAllAvailable()
+    val outSchema = keepSchema.add("verdict", StringType)
+    val q3 = StreamOps
+      .sequencePacker(
+        spark.readStream.schema(outSchema).parquet(s"$base/out")
+          .filter(col("verdict") === "new")
+          .select(col("lang"), col("doc_id"),
+            size(split(col("text"), " ")).cast("long").as("n_tokens"))
+          .as[StreamOps.PackIn])
+      .writeStream.format("parquet")
+      .option("path", s"$base/packed")
+      .option("checkpointLocation", s"$base/ck3")
+      .outputMode(OutputMode.Append()).start()
+    q3.processAllAvailable()
+
+    try {
+      // batch 2 grows the index to multiple per-batch appends
+      in.addData((2L, "en", tEn2))
+      q1.processAllAvailable(); q2.processAllAvailable(); q3.processAllAvailable()
+
+      // idle window between micro-batches: compact the cross-batch index.
+      // Rows must survive exactly; the rewrite must genuinely coalesce
+      // (two per-batch appends → one file) or the test is vacuous.
+      val shBefore = spark.read.parquet(s"$base/index/shingles").count()
+      val (fb, fa, rows) = graft.io.TableIO.compact(spark, s"$base/index/shingles", shBefore)
+      assert(rows == shBefore && fb > fa, s"compact: $fb→$fa files, $rows/$shBefore rows")
+      val (bb, ba, brows) = {
+        val n = spark.read.parquet(s"$base/index/bands").count()
+        val r = graft.io.TableIO.compact(spark, s"$base/index/bands", n)
+        (r._1, r._2, r._3)
+      }
+      assert(bb > ba && brows > 0)
+
+      // batch 3 AFTER compaction: the duplicate must still be caught
+      // against the compacted index, and the packer's en offset must
+      // continue exactly where batch 2 left it
+      in.addData((3L, "en", tEn1), (4L, "en", tEn4))
+      q1.processAllAvailable(); q2.processAllAvailable(); q3.processAllAvailable()
+
+      val verdicts = spark.read.parquet(s"$base/out")
+        .select("doc_id", "verdict").as[(Long, String)].collect().toMap
+      assert(verdicts == Map(1L -> "new", 2L -> "new", 3L -> "dup", 4L -> "new"))
+      val packed = spark.read.parquet(s"$base/packed")
+        .as[StreamOps.PackOut].collect().map(p => p.doc_id -> p).toMap
+      val t1 = tEn1.split(" ").length.toLong
+      val t2 = tEn2.split(" ").length.toLong
+      assert(packed.keySet == Set(1L, 2L, 4L))
+      assert(packed(1L).start_off == 0L)
+      assert(packed(2L).start_off == t1)
+      assert(packed(4L).start_off == t1 + t2) // offsets unbroken across the compaction
+    } finally { q3.stop(); q2.stop(); q1.stop() }
+  }
+
   test("sequencePacker continues each language's pack offsets across micro-batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
