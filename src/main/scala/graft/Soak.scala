@@ -200,12 +200,19 @@ object Soak {
     }
     val reportFile = if (only.isDefined) "SOAK_DELTA.md" else "SOAK.md"
     val src = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val out = java.nio.file.Files.createTempDirectory("graft_soak").toString
+    // SPARK_GRAFT_SOAK_DIR points at a PREBUILT N× replica (ScaleBuild's
+    // output): the build step is skipped and the dir is kept afterwards —
+    // the iteration loop for multi-invocation deep-soak campaigns where
+    // rebuilding the replica per run would dominate wall time.
+    val prebuilt = sys.env.get("SPARK_GRAFT_SOAK_DIR")
+    val out = prebuilt.getOrElse(java.nio.file.Files.createTempDirectory("graft_soak").toString)
     val spark = Engine.builder().getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    println(s"[soak] building ${n}x replica of $src at $out")
-    buildScaled(spark, src, out, n)
+    if (prebuilt.isEmpty) {
+      println(s"[soak] building ${n}x replica of $src at $out")
+      buildScaled(spark, src, out, n)
+    } else println(s"[soak] using prebuilt ${n}x replica at $out")
 
     def timeOnce(name: String, dir: String): Double = {
       // Cross-query memoization (Memo) must not leak into the measurement:
@@ -299,8 +306,9 @@ object Soak {
     print(md)
     java.nio.file.Files.writeString(java.nio.file.Paths.get(reportFile), md.toString)
 
-    // leave nothing behind in /tmp
-    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(out))
+    // leave nothing behind in /tmp (prebuilt replicas are the caller's)
+    if (prebuilt.isEmpty)
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(out))
     spark.stop()
     if (failed.nonEmpty) {
       System.err.println(s"[soak] FAILED: ${failed.map(_._1).mkString(", ")}")

@@ -526,7 +526,58 @@ object Aggregations extends QueryModule {
       )
   }
 
+  /** A24 — annotator LABEL AGGREGATION: the majority-vote + agreement
+    * consolidation every human-labeled training set runs before labels
+    * enter a corpus (the Dawid–Skene family's zeroth rung, kept
+    * deterministic). Five synthetic annotators vote per document — vote k
+    * = md5(doc_id | k) mod 4, biased toward a per-document true label so
+    * agreement varies (the harness stand-in for real annotation tables,
+    * x5's hash-split discipline). Per item: the majority label (ties →
+    * smallest label — deterministic), its vote count, agreement in basis
+    * points, and the low-agreement review flag (< 60%).
+    *
+    * Scale shape: explode 5 votes (narrow, no shuffle) → ONE (item,
+    * label) count aggregate → ONE item-keyed max_by — two keyed
+    * shuffles, both on the item id; no window, no self-join. At 100 TB
+    * with real annotator tables the explode disappears and the same two
+    * aggregates run straight off the votes table.
+    */
+  private def a24_label_aggregation(s: SparkSession, d: String): DataFrame = {
+    val votes = table(s, d, "documents")
+      .select(col("doc_id"), explode(expr("sequence(0, 4)")).as("k"))
+      .select(
+        col("doc_id"),
+        // annotators 0-2 vote the "true" label (doc_id mod 4); 3-4 vote
+        // hash noise — so agreement spans 60%-100% deterministically
+        when(
+          col("k") <= 2,
+          col("doc_id") % 4
+        ).otherwise(
+          expr(
+            "cast(conv(substr(md5(concat(cast(doc_id as string), '|', cast(k as string))), 1, 6), 16, 10) as bigint) % 4"
+          )
+        ).as("label")
+      )
+    votes
+      .groupBy(col("doc_id"), col("label"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy(col("doc_id"))
+      .agg(
+        expr("max_by(struct(label, n), struct(n, -label))").as("mj"),
+        sum(col("n")).as("n_votes")
+      )
+      .select(
+        col("doc_id"),
+        col("mj.label").as("majority_label"),
+        col("mj.n").as("majority_votes"),
+        col("n_votes"),
+        expr("10000 * mj.n div n_votes").as("agreement_bp"),
+        (expr("10000 * mj.n div n_votes") < 6000).as("needs_review")
+      )
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "a24_label_aggregation" -> (a24_label_aggregation _),
     "a23_weighted_median" -> (a23_weighted_median _),
     "a22_incremental_merge" -> (a22_incremental_merge _),
     "a20_unpivot" -> (a20_unpivot _),
@@ -553,6 +604,26 @@ object Aggregations extends QueryModule {
   )
 
   val oracles: Map[String, String] = Map(
+    "a24_label_aggregation" ->
+      """WITH v AS (
+           SELECT doc_id, k,
+                  CASE WHEN k <= 2 THEN doc_id % 4
+                       ELSE ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|' || CAST(k AS VARCHAR)), 1, 6))::BIGINT % 4
+                  END AS label
+           FROM documents, unnest(generate_series(0, 4)) AS t(k)),
+         cnt AS (SELECT doc_id, label, count(*) AS n FROM v GROUP BY 1, 2),
+         mj AS (SELECT doc_id, label AS majority_label, n AS majority_votes FROM (
+                  SELECT *, row_number() OVER (PARTITION BY doc_id
+                         ORDER BY n DESC, label ASC) AS rn FROM cnt)
+                WHERE rn = 1),
+         tot AS (SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_votes FROM cnt GROUP BY 1)
+         SELECT m.doc_id,
+                CAST(m.majority_label AS BIGINT) AS majority_label,
+                CAST(m.majority_votes AS BIGINT) AS majority_votes,
+                t.n_votes,
+                CAST(10000 * m.majority_votes // t.n_votes AS BIGINT) AS agreement_bp,
+                10000 * m.majority_votes // t.n_votes < 6000 AS needs_review
+         FROM mj m JOIN tot t ON t.doc_id = m.doc_id""",
     "a23_weighted_median" ->
       """WITH vw AS (SELECT l_returnflag,
                             CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS cents,

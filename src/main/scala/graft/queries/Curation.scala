@@ -1046,7 +1046,99 @@ object Curation extends QueryModule {
       )
   }
 
+  /** C22 — CURRICULUM batch audit: curriculum training orders data
+    * easy→hard, but a 100 TB pipeline cannot afford a global
+    * difficulty sort, and a strict sort is not even wanted — each batch
+    * should keep a stable mix while the PHASE schedule advances. The
+    * scale-safe construction audited here:
+    *
+    *   - difficulty phase by FIXED integer thresholds on a per-row score
+    *     (word count — the standard length proxy; the thresholds come
+    *     from a prior census the way d15/d17 price banding, never from a
+    *     run-time global sort);
+    *   - within a phase, batch assignment by md5 bucket — a deterministic
+    *     shuffle, embarrassingly parallel, reproducible across reruns
+    *     (o9's epoch-shuffle discipline);
+    *   - the AUDIT (this query's output): per (phase, batch) the document
+    *     count and the score envelope — the evenness a curriculum
+    *     scheduler needs to trust the bucketing, priced in one keyed
+    *     aggregate. Bounded output: phases × batches rows.
+    *
+    * No global window anywhere: one narrow projection + one hash
+    * aggregate; the eventual physical ordering is repartitionByRange on
+    * (phase, batch) + sortWithinPartitions — metadata here, not a sort.
+    */
+  private def c22_curriculum_batches(s: SparkSession, d: String): DataFrame = {
+    val nBatches = 8L
+    val scored = table(s, d, "documents").select(
+      col("doc_id"),
+      size(words(col("text"))).cast("long").as("difficulty_q")
+    )
+    val phased = scored.select(
+      col("doc_id"),
+      col("difficulty_q"),
+      when(col("difficulty_q") < 40, 0L)
+        .when(col("difficulty_q") < 70, 1L)
+        .otherwise(2L)
+        .as("phase"),
+      (h6(col("doc_id"), "|cur") % nBatches).as("batch_id")
+    )
+    phased
+      .groupBy(col("phase"), col("batch_id"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        min(col("difficulty_q")).as("min_q"),
+        max(col("difficulty_q")).as("max_q"),
+        sum(col("difficulty_q")).as("sum_q")
+      )
+  }
+
+  /** C23 — PREFERENCE-PAIR mining: the (chosen, rejected) pair
+    * construction an RLHF/DPO data build runs over groups of candidate
+    * completions. Prompt groups are synthesized as doc_id div 8 (8
+    * candidates per prompt — the harness stand-in for a real prompt_id
+    * key); the reward proxy is an integer lexical-diversity score
+    * (distinct words per mille, the c19 scorer). Per group: chosen =
+    * argmax, rejected = argmin (ties broken toward the LOWER doc_id on
+    * both sides — deterministic), kept only when the margin clears a
+    * threshold (pairs that teach nothing are dropped, the standard DPO
+    * filter).
+    *
+    * Scale shape: ONE hash aggregate on the prompt key — the argmax and
+    * argmin ride in the same `max_by`/`min_by` structs, so mining is one
+    * shuffle of (prompt, score, id) triples regardless of group fan-out;
+    * never a self-join of candidates (the |group|² trap a naive pairwise
+    * ranker pays).
+    */
+  private def c23_preference_pairs(s: SparkSession, d: String): DataFrame = {
+    val scored = table(s, d, "documents").select(
+      expr("doc_id div 8").as("prompt_id"),
+      col("doc_id"),
+      expr("1000 * size(array_distinct(split(text, ' '))) div size(split(text, ' '))")
+        .as("reward_q")
+    )
+    scored
+      .groupBy(col("prompt_id"))
+      .agg(
+        expr("max_by(struct(doc_id, reward_q), struct(reward_q, -doc_id))").as("ch"),
+        expr("min_by(struct(doc_id, reward_q), struct(reward_q, doc_id))").as("rj"),
+        count(lit(1)).as("n_candidates")
+      )
+      .select(
+        col("prompt_id"),
+        col("ch.doc_id").as("chosen_doc"),
+        col("rj.doc_id").as("rejected_doc"),
+        col("ch.reward_q").as("chosen_q"),
+        col("rj.reward_q").as("rejected_q"),
+        (col("ch.reward_q") - col("rj.reward_q")).as("margin_q"),
+        col("n_candidates")
+      )
+      .filter(col("margin_q") >= 50)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "c22_curriculum_batches" -> (c22_curriculum_batches _),
+    "c23_preference_pairs" -> (c23_preference_pairs _),
     "c21_k_anonymity_enforce" -> (c21_k_anonymity_enforce _),
     "c20_domain_blocklist" -> (c20_domain_blocklist _),
     "c19_token_budget_fill" -> (c19_token_budget_fill _),
@@ -1097,6 +1189,45 @@ object Curation extends QueryModule {
                 FROM q)"""
 
   val oracles: Map[String, String] = Map(
+    "c22_curriculum_batches" ->
+      """WITH p AS (
+           SELECT doc_id,
+                  CAST(len(string_split(text, ' ')) AS BIGINT) AS difficulty_q,
+                  ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|cur'), 1, 6))::BIGINT % 8
+                    AS batch_id
+           FROM documents)
+         SELECT CASE WHEN difficulty_q < 40 THEN 0
+                     WHEN difficulty_q < 70 THEN 1
+                     ELSE 2 END AS phase,
+                CAST(batch_id AS BIGINT) AS batch_id,
+                CAST(count(*) AS BIGINT) AS n_docs,
+                CAST(min(difficulty_q) AS BIGINT) AS min_q,
+                CAST(max(difficulty_q) AS BIGINT) AS max_q,
+                CAST(sum(difficulty_q) AS BIGINT) AS sum_q
+         FROM p GROUP BY 1, 2""",
+    "c23_preference_pairs" ->
+      """WITH sc AS (
+           SELECT doc_id // 8 AS prompt_id, doc_id,
+                  CAST(1000 * len(list_distinct(string_split(text, ' ')))
+                       // len(string_split(text, ' ')) AS BIGINT) AS reward_q
+           FROM documents),
+         ch AS (SELECT prompt_id, doc_id AS chosen_doc, reward_q AS chosen_q FROM (
+                  SELECT *, row_number() OVER (PARTITION BY prompt_id
+                         ORDER BY reward_q DESC, doc_id ASC) AS rn FROM sc)
+                WHERE rn = 1),
+         rj AS (SELECT prompt_id, doc_id AS rejected_doc, reward_q AS rejected_q FROM (
+                  SELECT *, row_number() OVER (PARTITION BY prompt_id
+                         ORDER BY reward_q ASC, doc_id ASC) AS rn FROM sc)
+                WHERE rn = 1),
+         nc AS (SELECT prompt_id, CAST(count(*) AS BIGINT) AS n_candidates
+                FROM sc GROUP BY 1)
+         SELECT CAST(c.prompt_id AS BIGINT) AS prompt_id,
+                c.chosen_doc, r.rejected_doc, c.chosen_q, r.rejected_q,
+                c.chosen_q - r.rejected_q AS margin_q, nc.n_candidates
+         FROM ch c
+         JOIN rj r ON r.prompt_id = c.prompt_id
+         JOIN nc ON nc.prompt_id = c.prompt_id
+         WHERE c.chosen_q - r.rejected_q >= 50""",
     "c21_k_anonymity_enforce" ->
       """WITH b AS (SELECT doc_id, lang, source,
                 CAST(1 << length(bin(n_chars)) AS BIGINT) AS len_bucket
