@@ -743,7 +743,77 @@ object Dedup extends QueryModule {
       .reduce(_ unionAll _)
   }
 
+  /** D18 — LSH RECALL audit, d15's missing half: d15 prices what a
+    * banding configuration COSTS (candidate-join output from bucket
+    * occupancy); this measures what it CATCHES. The audit corpus plants
+    * one known near-dup pair per document — (doc, −doc−1), a GRADED
+    * truncation keeping (30 + 10·(doc_id mod 8))% of the words — so the
+    * planted truth sweeps the whole similarity range by construction
+    * (30%-prefix pairs sit near J ≈ 0.25, full-copy pairs near 1.0). The
+    * audit joins the truth against the same 12-hash/4-band MinHash
+    * candidate generation d1 runs and reports recall per
+    * Jaccard-per-mille decade — the empirical S-curve
+    * P(candidate) = 1−(1−J^r)^b that the banding math promises, measured
+    * instead of assumed: low-J pairs must mostly MISS (that is the
+    * banding doing its pruning job), high-J pairs must be caught. A
+    * production run reads d15 and d18 together: cost per configuration,
+    * recall per similarity band, pick the banding that clears both.
+    *
+    * Scale shape: planted truth is a zero-join projection of `documents`;
+    * exact Jaccard is computed for the |docs| planted pairs ONLY (never
+    * all pairs — the truth set is what bounds the audit); candidate
+    * generation is the standard band-key equi-join; one left join onto
+    * the candidate table (keyed on the pair), one ≤11-row aggregate.
+    */
+  private def d18_lsh_recall(s: SparkSession, d: String): DataFrame = {
+    val docs = table(s, d, "documents")
+    val keepN = expr(
+      "greatest(1, (size(split(text, ' ')) * (3 + doc_id % 8)) div 10)"
+    )
+    val audit = docs
+      .select(col("doc_id"), col("text"))
+      .unionAll(
+        docs.select(
+          (-col("doc_id") - 1).as("doc_id"),
+          array_join(slice(split(col("text"), " "), lit(1), keepN.cast("int")), " ").as("text")
+        )
+      )
+    val sh = graft.Lineage.truncate(
+      audit.select(col("doc_id"), shingles(col("text")).as("sh"))
+    )
+    val cands = candidatePairs(graft.Lineage.truncate(bandKeys(audit)))
+    val planted = docs
+      .select((-col("doc_id") - 1).as("doc1"), col("doc_id").as("doc2"))
+    val truth = planted
+      .join(sh.select(col("doc_id").as("doc1"), col("sh").as("s1")), "doc1")
+      .join(sh.select(col("doc_id").as("doc2"), col("sh").as("s2")), "doc2")
+      .withColumn(
+        "inter",
+        call_function("graft_sorted_intersect_size", col("s1"), col("s2")).cast("long")
+      )
+      .withColumn(
+        "jac_pm",
+        expr("1000 * inter div (size(s1) + size(s2) - inter)")
+      )
+      .select(col("doc1"), col("doc2"), col("jac_pm"))
+    val cand = cands.withColumn("caught", lit(1L))
+    truth
+      .join(cand, Seq("doc1", "doc2"), "left")
+      .groupBy(expr("jac_pm div 100").as("jac_bucket"))
+      .agg(
+        count(lit(1)).as("n_planted"),
+        coalesce(sum(col("caught")), lit(0L)).as("n_caught")
+      )
+      .select(
+        col("jac_bucket"),
+        col("n_planted"),
+        col("n_caught"),
+        expr("10000 * n_caught div n_planted").as("recall_bp")
+      )
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d18_lsh_recall" -> (d18_lsh_recall _),
     "d17_plane_tuning" -> (d17_plane_tuning _),
     "d16_containment" -> (d16_containment _),
     "d13_incremental_neardup" -> (d13_incremental_neardup _),
@@ -837,6 +907,29 @@ object Dedup extends QueryModule {
     .mkString(" || ")
 
   val oracles: Map[String, String] = Map(
+    "d18_lsh_recall" ->
+      s"""WITH corpus AS (
+            SELECT doc_id, text FROM documents
+            UNION ALL
+            SELECT -doc_id - 1,
+                   array_to_string(string_split(text, ' ')[1:greatest(1,
+                     (len(string_split(text, ' ')) * (3 + doc_id % 8)) // 10)], ' ')
+            FROM documents),
+          $shinglesSql, $sigSql, $bandsSql, $candSql,
+          pl AS (SELECT -doc_id - 1 AS doc1, doc_id AS doc2 FROM documents),
+          tr AS (SELECT pl.doc1, pl.doc2,
+                        1000 * len(list_intersect(s1.s, s2.s))
+                          // (len(s1.s) + len(s2.s) - len(list_intersect(s1.s, s2.s))) AS jac_pm
+                 FROM pl
+                 JOIN sh s1 ON s1.doc_id = pl.doc1
+                 JOIN sh s2 ON s2.doc_id = pl.doc2),
+          ct AS (SELECT doc1, doc2, 1 AS caught FROM cand)
+          SELECT CAST(jac_pm // 100 AS BIGINT) AS jac_bucket,
+                 CAST(count(*) AS BIGINT) AS n_planted,
+                 CAST(coalesce(sum(caught), 0) AS BIGINT) AS n_caught,
+                 CAST(10000 * coalesce(sum(caught), 0) // count(*) AS BIGINT) AS recall_bp
+          FROM tr LEFT JOIN ct USING (doc1, doc2)
+          GROUP BY 1""",
     "d17_plane_tuning" -> {
       val perK = (2 to 6)
         .map(k => s"""SELECT CAST($k AS BIGINT) AS n_planes,
