@@ -159,7 +159,9 @@ class Round10QueriesSpec extends AnyFunSuite with SparkTestBase {
         (r.getAs[Long]("containment_bp"), r.getAs[Long]("jaccard_bp")))
       .toMap
     // the 10-word excerpt (8 of 38 shingles) is 100% contained ...
-    val (cont, jac) = out((7L, 200007L))
+    // (planted at −id−1 since r11: excerpt of doc 7 is doc −8, which sorts
+    // as doc1 under least/greatest)
+    val (cont, jac) = out((-8L, 7L))
     assert(cont == 10000L)
     // ... while symmetric Jaccard sees ~21% — the pair d1/d4 would miss
     assert(jac == 8L * 10000L / 38L)
