@@ -287,7 +287,79 @@ object Multimodal extends QueryModule {
       .select(col("doc1"), col("doc2"), col("shared_blocks"))
   }
 
+  /** M10 — PERCEPTUAL-HASH near-dup (average-hash + banded Hamming LSH):
+    * the image-dedup rung m9's exact block fingerprints cannot reach — a
+    * re-encoded/slightly-edited image shares no 32-byte block with its
+    * source but its downsampled luminance barely moves. The classic
+    * pipeline, Spark-first:
+    *
+    *   1. "decode" each payload to an 8×8 grayscale — here the
+    *      deterministic md5-stream fake decode (the m2/m4 convention: the
+    *      image libs aren't in this container; the Spark-side plumbing is
+    *      real), with one PLANTED near-dup per document at −id−1 whose
+    *      single perturbed pixel models a small edit;
+    *   2. aHash: bit i = pixel i above the image mean — 64 bits, pure
+    *      integer column arithmetic;
+    *   3. banded Hamming LSH: the 64-bit hash splits into 4 × 16-bit band
+    *      keys; candidates = pairs sharing ≥1 band bucket (pigeonhole: any
+    *      pair within Hamming ≤ 3 is GUARANTEED caught — ≤3 flipped bits
+    *      cannot touch all 4 bands; beyond that recall decays, the declared
+    *      trade). Never an all-pairs Hamming scan: candidate cost is
+    *      Σ C(bucket, 2) over ~uniform 16-bit keys;
+    *   4. exact Hamming verification on candidates only (zip_with over the
+    *      bit arrays), keep ≤ 6.
+    *
+    * One narrow projection builds pixels/bits/bands (no shuffle); one
+    * band-key equi-join; one keyed verify join — the d1 shape transplanted
+    * to image space, every hash md5-derived so the DuckDB oracle
+    * regenerates all 64 bits bit-identically.
+    */
+  private def m10_phash_neardup(s: SparkSession, d: String): DataFrame = {
+    val docs = table(s, d, "documents")
+    val a    = docs.select(col("doc_id"), col("doc_id").as("src"), lit(false).as("pert"))
+    val b    = docs.select((-col("doc_id") - 1).as("doc_id"), col("doc_id").as("src"), lit(true).as("pert"))
+    val pixExpr =
+      """transform(sequence(0, 63), i ->
+           (cast(conv(substr(md5(concat(cast(src as string), '|px', cast(i div 8 as string))),
+                      (i % 8) * 4 + 1, 2), 16, 10) as bigint)
+            + CASE WHEN pert AND i = cast(src % 64 AS int) THEN 128 ELSE 0 END) % 256)"""
+    val imgs = a
+      .unionByName(b)
+      .withColumn("pix", expr(pixExpr))
+      .withColumn("mean_q", expr("aggregate(pix, 0L, (acc, x) -> acc + x) div 64"))
+      .withColumn("bits", expr("transform(pix, x -> CASE WHEN x > mean_q THEN 1L ELSE 0L END)"))
+      .withColumn(
+        "bk",
+        expr("""transform(sequence(0, 3), b ->
+                  aggregate(slice(bits, b * 16 + 1, 16), 0L, (acc, x) -> acc * 2 + x))""")
+      )
+      .select(col("doc_id"), col("bits"), col("bk"))
+    val img = graft.Lineage.truncate(imgs)
+    val bands = img
+      .select(col("doc_id"), posexplode(col("bk")))
+      .select(col("doc_id"), col("pos").as("band"), col("col").as("key"))
+    val cand = bands
+      .as("x")
+      .join(
+        bands.select(col("doc_id").as("did2"), col("band"), col("key")).as("y"),
+        col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
+          col("x.doc_id") < col("did2")
+      )
+      .select(col("x.doc_id").as("doc1"), col("did2").as("doc2"))
+      .distinct()
+    cand
+      .join(img.select(col("doc_id").as("doc1"), col("bits").as("b1")), "doc1")
+      .join(img.select(col("doc_id").as("doc2"), col("bits").as("b2")), "doc2")
+      .withColumn(
+        "hamming",
+        expr("aggregate(zip_with(b1, b2, (p, q) -> abs(p - q)), 0L, (acc, x) -> acc + x)")
+      )
+      .filter(col("hamming") <= 6)
+      .select(col("doc1"), col("doc2"), col("hamming"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "m10_phash_neardup" -> (m10_phash_neardup _),
     "m9_payload_block_dedup" -> (m9_payload_block_dedup _),
     "m7_interleaved_pack" -> (m7_interleaved_pack _),
     "m6_payload_chunks" -> (m6_payload_chunks _),
@@ -358,6 +430,42 @@ object Multimodal extends QueryModule {
                FROM documents))"""
 
   val oracles: Map[String, String] = Map(
+    "m10_phash_neardup" ->
+      """WITH base AS (
+           SELECT doc_id AS src, doc_id, FALSE AS pert FROM documents
+           UNION ALL
+           SELECT doc_id, -doc_id - 1, TRUE FROM documents),
+         px AS (
+           SELECT doc_id,
+                  list_transform(generate_series(0, 63), i ->
+                    (('0x' || substr(md5(CAST(src AS VARCHAR) || '|px' || CAST(i // 8 AS VARCHAR)),
+                                     (i % 8) * 4 + 1, 2))::BIGINT
+                     + CASE WHEN pert AND i = src % 64 THEN 128 ELSE 0 END) % 256) AS pix
+           FROM base),
+         bt AS (
+           SELECT doc_id,
+                  list_transform(pix, x ->
+                    CASE WHEN x > list_sum(pix) // 64 THEN 1 ELSE 0 END) AS bits
+           FROM px),
+         bk AS (
+           SELECT doc_id, b.b AS band,
+                  list_sum(list_transform(generate_series(0, 15), j ->
+                    bits[b.b * 16 + j + 1] * (1 << (15 - j)))) AS key
+           FROM bt, (SELECT unnest(generate_series(0, 3)) AS b) b),
+         cand AS (
+           SELECT x.doc_id AS doc1, y.doc_id AS doc2
+           FROM bk x JOIN bk y
+             ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id
+           GROUP BY 1, 2),
+         v AS (
+           SELECT doc1, doc2,
+                  list_sum(list_transform(generate_series(1, 64), k ->
+                    abs(b1.bits[k] - b2.bits[k]))) AS hamming
+           FROM cand
+           JOIN bt b1 ON b1.doc_id = cand.doc1
+           JOIN bt b2 ON b2.doc_id = cand.doc2)
+         SELECT doc1, doc2, CAST(hamming AS BIGINT) AS hamming
+         FROM v WHERE hamming <= 6""",
     "m9_payload_block_dedup" ->
       """WITH c AS (
            SELECT doc_id, text FROM documents
