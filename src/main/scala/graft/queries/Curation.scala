@@ -1136,7 +1136,47 @@ object Curation extends QueryModule {
       .filter(col("margin_q") >= 50)
   }
 
+  /** C24 — training-SHARD MANIFEST with content checksums: the artifact a
+    * shard publisher writes next to the packed data (c1's layout) so a
+    * training job can verify byte-integrity and membership of every shard
+    * WITHOUT re-reading payloads — per (lang, pack_id): document count,
+    * token sum, id range, and a content checksum = md5 of the in-order
+    * "id:tokens" records (order = doc_id, the pack's own order, so two
+    * producers of the same shard agree bit-for-bit; s25's table-digest
+    * discipline applied per shard instead of per table).
+    *
+    * Scale shape: one pass reuses c1's per-language cumulative window, the
+    * manifest is ONE keyed aggregate on (lang, pack_id) — collect_list is
+    * PACK-BOUNDED (≤ 4096 tokens of docs by construction, never a
+    * whole-corpus group), and the output is shard-count-sized. Integrity
+    * checking then costs one manifest read, not a corpus scan.
+    */
+  private def c24_shard_manifest(s: SparkSession, d: String): DataFrame = {
+    val packed = c1_sequence_pack(s, d)
+    packed
+      .groupBy(col("lang"), col("pack_id"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("n_tokens"),
+        min(col("doc_id")).as("min_doc_id"),
+        max(col("doc_id")).as("max_doc_id"),
+        md5(
+          to_binary(
+            array_join(
+              transform(
+                array_sort(collect_list(struct(col("doc_id"), col("n_tokens")))),
+                r => concat(r.getField("doc_id"), lit(":"), r.getField("n_tokens"))
+              ),
+              "|"
+            ),
+            lit("utf-8")
+          )
+        ).as("content_md5")
+      )
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "c24_shard_manifest" -> (c24_shard_manifest _),
     "c22_curriculum_batches" -> (c22_curriculum_batches _),
     "c23_preference_pairs" -> (c23_preference_pairs _),
     "c21_k_anonymity_enforce" -> (c21_k_anonymity_enforce _),
@@ -1189,6 +1229,26 @@ object Curation extends QueryModule {
                 FROM q)"""
 
   val oracles: Map[String, String] = Map(
+    "c24_shard_manifest" ->
+      """WITH p AS (
+           SELECT doc_id, lang,
+                  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+                  sum(CAST(len(string_split(text, ' ')) AS BIGINT))
+                    OVER (PARTITION BY lang ORDER BY doc_id
+                          ROWS UNBOUNDED PRECEDING) AS cum
+           FROM documents),
+         pk AS (
+           SELECT doc_id, lang, n_tokens,
+                  CAST(floor((cum - n_tokens) / 4096) AS BIGINT) AS pack_id
+           FROM p)
+         SELECT lang, pack_id,
+                CAST(count(*) AS BIGINT) AS n_docs,
+                CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+                min(doc_id) AS min_doc_id,
+                max(doc_id) AS max_doc_id,
+                md5(string_agg(CAST(doc_id AS VARCHAR) || ':' || CAST(n_tokens AS VARCHAR),
+                               '|' ORDER BY doc_id)) AS content_md5
+         FROM pk GROUP BY 1, 2""",
     "c22_curriculum_batches" ->
       """WITH p AS (
            SELECT doc_id,

@@ -466,6 +466,62 @@ class GraphOpsSpec extends AnyFunSuite with SparkTestBase {
     assert(got2 == Map(1L -> 0L, 2L -> 1L, 3L -> 1L, 4L -> 0L))
   }
 
+  test("refineWithinFixedPoint invariants hold on seeded random graphs") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    for (seed <- 1 to 5) {
+      val rnd = new scala.util.Random(300 + seed)
+      val n   = 12
+      val und = (for {
+        a <- 0 until n; b <- (a + 1) until n if rnd.nextDouble() < 0.25
+      } yield (a.toLong, b.toLong)).toVector
+      val undDf = und.toDF("a", "b")
+      val verts = (0L until n.toLong).toDF("id")
+      val parent = GraphOps.refineMergeFixedPoint(
+        undDf,
+        GraphOps.labelPropagation(
+          verts, undDf.select(col("a").as("src"), col("b").as("dst")), 3),
+        maxPasses = 4)
+      val parentMap =
+        parent.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val refined = GraphOps.refineWithinFixedPoint(undDf, parent, maxPasses = 6)
+      val refinedMap =
+        refined.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+      // 1. the refined partition REFINES the parent: same refined label ⇒
+      //    same parent label (Leiden's structural contract)
+      for (Seq(x, y) <- refinedMap.keys.toSeq.combinations(2))
+        if (refinedMap(x) == refinedMap(y))
+          assert(parentMap(x) == parentMap(y), s"seed $seed: $x,$y merged across parents")
+
+      // 2. every refined community induces a CONNECTED subgraph (the
+      //    guarantee refinement exists to provide): union-find per label
+      val byLabel = refinedMap.keys.groupBy(refinedMap)
+      byLabel.foreach { case (lbl, members) =>
+        val ms = members.toSet
+        if (ms.size > 1) {
+          var reach = Set(ms.head)
+          var grown = true
+          while (grown) {
+            val next = reach ++ und.collect {
+              case (a, b) if reach(a) && ms(b) => b
+              case (a, b) if reach(b) && ms(a) => a
+            }
+            grown = next.size > reach.size
+            reach = next
+          }
+          assert(reach == ms, s"seed $seed: community $lbl disconnected ($ms vs $reach)")
+        }
+      }
+
+      // 3. deterministic: a second run reproduces the partition exactly
+      val again = GraphOps
+        .refineWithinFixedPoint(undDf, parent, maxPasses = 6)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(again == refinedMap, s"seed $seed: nondeterministic refinement")
+    }
+  }
+
   test("Leiden refinement splits the bridge-trapped dumbbell that the merge ladder cannot") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
