@@ -117,7 +117,12 @@ object Soak {
     "d16_containment",
     "g17_ktruss",
     "m9_payload_block_dedup",
-    "g18_clustering_coeff"
+    "g18_clustering_coeff",
+    // round-11 additions with a candidate-join at their core: the banding
+    // recall audit (signatures over its own graded corpus) and the
+    // perceptual-hash band-bucket join
+    "d18_lsh_recall",
+    "m10_phash_neardup"
   )
 
   private[graft] def buildScaled(spark: SparkSession, src: String, out: String, n: Int): Unit = {
