@@ -168,6 +168,54 @@ object TextAnalysis extends QueryModule {
       md5(concat_ws(" ", array_sort(array_distinct(words(col("text")))))).as("bow_fp")
     )
 
+  /** X24 — WINNOWING fingerprint selection (Schleimer–Wilkerson–Aiken's
+    * MOSS algorithm, the local fingerprinting every plagiarism/code-clone
+    * pipeline runs where MinHash's whole-document signatures are too
+    * coarse): positional k-gram hashes (k = 3 words), then for every
+    * sliding window of w = 4 consecutive hashes select the window
+    * MINIMUM — the selection is position-independent (two documents
+    * sharing a long-enough passage select the same fingerprints wherever
+    * the passage sits) and guaranteed dense (≥ 1 per window; expected
+    * density 2/(w+1) ≈ 400‰ on random hashes). Output per document:
+    * gram/window counts, the distinct selected-fingerprint count, its
+    * density per-mille, and an md5 over the sorted distinct selection —
+    * the shard-level fingerprint index key.
+    *
+    * Scale shape: zero shuffle — one narrow projection of array
+    * expressions; windows are per-document arrays, never a cross-row
+    * window function. The hashes are md5-prefix integers (hash24's
+    * discipline) so the oracle regenerates every selection
+    * bit-identically.
+    */
+  private def x24_winnowing(s: SparkSession, d: String): DataFrame = {
+    val k = 3
+    val w = 4
+    table(s, d, "documents")
+      .select(col("doc_id"), words(col("text")).as("ws"))
+      .withColumn(
+        "hs",
+        expr(s"""transform(sequence(0, greatest(size(ws) - $k, 0)),
+                   i -> cast(conv(substr(md5(array_join(slice(ws, i + 1, $k), ' ')), 1, 6), 16, 10) as bigint))""")
+      )
+      .withColumn(
+        "wins",
+        expr(s"""CASE WHEN size(hs) >= $w
+                 THEN transform(sequence(0, size(hs) - $w),
+                        j -> array_min(slice(hs, j + 1, $w)))
+                 ELSE array(array_min(hs)) END""")
+      )
+      .select(
+        col("doc_id"),
+        size(col("hs")).cast("long").as("n_grams"),
+        size(col("wins")).cast("long").as("n_windows"),
+        expr("size(array_distinct(wins))").cast("long").as("n_fingerprints"),
+        expr("1000 * size(array_distinct(wins)) div size(wins)").as("density_pm"),
+        md5(expr(
+          "array_join(transform(array_sort(array_distinct(wins)), x -> cast(x as string)), '|')"
+        )).as("selection_md5")
+      )
+  }
+
   /** X7 — corpus token statistics: per-token DOCUMENT frequency (the IDF
     * building block — each token counted once per doc via the distinct
     * set), top-100 by (df desc, token). Integer-only output so the oracle
@@ -761,6 +809,7 @@ object TextAnalysis extends QueryModule {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x24_winnowing" -> (x24_winnowing _),
     "x22_term_burstiness" -> (x22_term_burstiness _),
     "x21_char_class_entropy" -> (x21_char_class_entropy _),
     "x20_gram_novelty_decay" -> (x20_gram_novelty_decay _),
@@ -791,6 +840,29 @@ object TextAnalysis extends QueryModule {
     s"CAST(len(list_filter(string_split(text, ' '), w -> w IN (${inList(xs)}))) AS BIGINT)"
 
   val oracles: Map[String, String] = Map(
+    "x24_winnowing" ->
+      """WITH b AS (
+           SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+         h AS (
+           SELECT doc_id,
+                  list_transform(generate_series(0, greatest(len(ws) - 3, 0)),
+                    i -> ('0x' || substr(md5(array_to_string(ws[i+1:i+3], ' ')), 1, 6))::BIGINT)
+                    AS hs
+           FROM b),
+         wn AS (
+           SELECT doc_id, hs,
+                  CASE WHEN len(hs) >= 4
+                       THEN list_transform(generate_series(0, len(hs) - 4),
+                              j -> list_min(hs[j+1:j+4]))
+                       ELSE [list_min(hs)] END AS wins
+           FROM h)
+         SELECT doc_id,
+                CAST(len(hs) AS BIGINT) AS n_grams,
+                CAST(len(wins) AS BIGINT) AS n_windows,
+                CAST(len(list_distinct(wins)) AS BIGINT) AS n_fingerprints,
+                CAST(1000 * len(list_distinct(wins)) // len(wins) AS BIGINT) AS density_pm,
+                md5(array_to_string(list_sort(list_distinct(wins)), '|')) AS selection_md5
+         FROM wn""",
     "x22_term_burstiness" ->
       """WITH w AS (
            SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
