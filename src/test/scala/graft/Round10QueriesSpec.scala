@@ -368,4 +368,46 @@ class Round10QueriesSpec extends AnyFunSuite with SparkTestBase {
     assert(out("s1_after_pass1") == 6L) // bridge 4–5 peeled
     assert(out("s2_after_pass2") == 6L) // K4 is stable: every edge has support 2
   }
+
+  test("x24: winnowing density bound and position-independent selection") {
+    import spark.implicits._
+    // passage P of 30 distinct words; doc 2 is P shifted right by 5 pad words
+    val passage = (1 to 30).map(i => s"p$i").mkString(" ")
+    val shifted = (1 to 5).map(i => s"pad$i").mkString(" ") + " " + passage
+    val docs    = Seq((1L, passage), (2L, shifted)).toDF("doc_id", "text")
+    val dir     = tmp("x24spec")
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = SparkEntry
+      .queries("x24_winnowing")(spark, dir)
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_grams"), r.getAs[Long]("n_windows"),
+          r.getAs[Long]("n_fingerprints"), r.getAs[String]("selection_md5")))
+      .toMap
+    val (g1, w1, f1, _) = out(1L)
+    // w = 4 windows over k = 3 grams: counts follow from the word counts
+    assert(g1 == 28 && w1 == 25)
+    // density: >= 1 selection per w consecutive windows (each chosen value
+    // covers at most w overlapping windows when hashes are distinct), and
+    // never more than one per window
+    assert(f1 >= (w1 + 3) / 4 && f1 <= w1)
+    // position independence (the winnowing guarantee): doc 2 contains the
+    // SAME passage shifted by 5 words, so every fingerprint doc 1 selects
+    // from P's interior is also selected by doc 2 — their selections
+    // cannot be disjoint, and md5s differ only because doc 2 adds the
+    // pad-boundary grams. Recompute both selections directly to compare.
+    def select(text: String): Set[Long] = {
+      val ws = text.split(" ")
+      val hs = (0 to ws.length - 3).map { i =>
+        java.lang.Long.parseLong(
+          java.security.MessageDigest.getInstance("MD5")
+            .digest(ws.slice(i, i + 3).mkString(" ").getBytes("UTF-8"))
+            .take(3).map("%02x".format(_)).mkString, 16)
+      }
+      (0 to hs.length - 4).map(j => hs.slice(j, j + 4).min).toSet
+    }
+    val s1 = select(passage)
+    val s2 = select(shifted)
+    assert((s1 intersect s2).size >= s1.size / 2, s"selections nearly disjoint: ${s1.size} vs ${(s1 intersect s2).size}")
+  }
 }
