@@ -118,10 +118,12 @@ object Bench {
       s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$slowest,"n_queries":${results.size},"failed":$failed,"sf":"$sfDir","detail":"$detailPath"}"""
     val outPath = java.nio.file.Paths.get("bench_out.json").toAbsolutePath
     java.nio.file.Files.write(outPath, (line + "\n").getBytes("UTF-8"))
-    // Compact stdout line last (top-8 slowest only, ~400 bytes): even if a
-    // stray WARN lands above it, the line plus the file path stay in-tail.
-    println(line)
+    // Compact totals line LAST on stdout (top-8 slowest only, ~400 bytes):
+    // the driver parses the tail of captured output, so the totals JSON must
+    // be the final line — BENCH_r11 came back `parsed: null` because the
+    // bench_out pointer line printed after it (r11 verdict #8).
     println(s"""{"bench_out":"$outPath"}""")
+    println(line)
     spark.stop()
   }
 }

@@ -64,8 +64,24 @@ object Memo {
       compute: => DataFrame
   ): DataFrame = {
     val depth = bypassDepth.get()
-    if (depth < 0) m.computeIfAbsent((s, d), _ => Lineage.truncate(compute))
-    else if (depth == 0) {
+    if (depth < 0) {
+      // Compute OUTSIDE the map: computeIfAbsent holds the bin lock for the
+      // closure's duration, and the closure here runs an eager Spark job —
+      // a memoized compute that (directly or via a chain) re-entered the
+      // SAME map would hit computeIfAbsent's recursive-update
+      // IllegalStateException or deadlock on the bin lock (r11 advice).
+      // putIfAbsent accepts the race's cost instead: two threads racing a
+      // cold key may both materialize, and the loser's checkpoint is
+      // dropped for the ContextCleaner — rare duplicate work, never a hang.
+      val key = (s, d)
+      val hit = m.get(key)
+      if (hit != null) hit
+      else {
+        val fresh = Lineage.truncate(compute)
+        val prev  = m.putIfAbsent(key, fresh)
+        if (prev != null) prev else fresh
+      }
+    } else if (depth == 0) {
       bypassDepth.set(1)
       try compute
       finally bypassDepth.set(0)

@@ -151,6 +151,30 @@ object Soak {
             .reduce(_ unionByName _)
       scaled.write.mode("overwrite").parquet(s"$out/$t.parquet")
     }
+    // Scale marker: prebuilt replicas are consumed by later Soak runs whose
+    // CLI scale argument sets every ratio denominator and pass bar — a
+    // replica built at a different N would silently grade against the wrong
+    // bar (r11 advice). The marker makes the mismatch fail fast instead.
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(out, ScaleMarker), s"$n\n")
+  }
+
+  private val ScaleMarker = "_SCALE"
+
+  /** Fail fast when a prebuilt replica's recorded scale disagrees with the
+    * requested one (or carries no marker at all — a pre-r12 build).
+    */
+  private def validateScale(dir: String, n: Int): Unit = {
+    val p = java.nio.file.Paths.get(dir, ScaleMarker)
+    require(
+      java.nio.file.Files.exists(p),
+      s"prebuilt replica $dir has no $ScaleMarker marker — rebuild it with graft.tools.ScaleBuild"
+    )
+    val recorded = java.nio.file.Files.readString(p).trim.toInt
+    require(
+      recorded == n,
+      s"prebuilt replica $dir was built at ${recorded}x but this soak was invoked at ${n}x — " +
+        "every ratio and pass bar would use the wrong denominator"
+    )
   }
 
   /** Soak queries whose RETURNED frame is itself a Memo-cached checkpoint
@@ -217,7 +241,10 @@ object Soak {
     if (prebuilt.isEmpty) {
       println(s"[soak] building ${n}x replica of $src at $out")
       buildScaled(spark, src, out, n)
-    } else println(s"[soak] using prebuilt ${n}x replica at $out")
+    } else {
+      validateScale(out, n)
+      println(s"[soak] using prebuilt ${n}x replica at $out")
+    }
 
     def timeOnce(name: String, dir: String): Double = {
       // Cross-query memoization (Memo) must not leak into the measurement:
