@@ -208,43 +208,89 @@ object GraphOps {
       mRow: DataFrame,
       gammaNum: Long,
       gammaDen: Long
-  ): DataFrame = {
+  ): DataFrame =
+    picksFromGains(
+      interWithDegrees(und, labels, deg)
+        .crossJoin(broadcast(mRow))
+        .withColumn(
+          "gain",
+          lit(gammaDen) * lit(2) * col("m") * col("e12") - lit(gammaNum) * col("d1") * col("d2")
+        )
+    )
+
+  /** [[mergePicksWith]] with the edge count as a DRIVER SCALAR — the
+    * fixed-point loops count the (truncated) edge list once up front, so no
+    * pass plan carries the single-row broadcast subtree.
+    */
+  private def mergePicksWithM(
+      und: DataFrame,
+      labels: DataFrame,
+      deg: DataFrame,
+      m: Long,
+      gammaNum: Long,
+      gammaDen: Long
+  ): DataFrame =
+    picksFromGains(
+      interWithDegrees(und, labels, deg)
+        .withColumn(
+          "gain",
+          lit(gammaDen * 2 * m) * col("e12") - lit(gammaNum) * col("d1") * col("d2")
+        )
+    )
+
+  /** Inter-community edge counts, SYMMETRIC, annotated with both sides'
+    * community degree sums: (c1, c2, e12, d1, d2). The count aggregates on
+    * the canonical (least, greatest) pair FIRST and mirrors the aggregated
+    * frame after — both union branches then share the aggregate's shuffle
+    * (ReusedExchange), so the edge-labeling join runs once per pass instead
+    * of once per direction (it used to sit under each branch).
+    */
+  private def interWithDegrees(und: DataFrame, labels: DataFrame, deg: DataFrame): DataFrame = {
     val la = labels.select(col("id").as("a"), col("lbl").as("ca"))
     val lb = labels.select(col("id").as("b"), col("lbl").as("cb"))
-    val labeled = und.join(la, "a").join(lb, "b")
-    // inter-community edge counts, symmetric (both directions kept so each
-    // community sees every neighbor)
-    val inter = labeled
+    val half = und
+      .join(la, "a")
+      .join(lb, "b")
       .filter(col("ca") =!= col("cb"))
-      .select(col("ca").as("c1"), col("cb").as("c2"))
-      .unionAll(
-        labeled
-          .filter(col("ca") =!= col("cb"))
-          .select(col("cb").as("c1"), col("ca").as("c2"))
-      )
-      .groupBy(col("c1"), col("c2"))
+      .groupBy(least(col("ca"), col("cb")).as("cx"), greatest(col("ca"), col("cb")).as("cy"))
       .agg(count(lit(1)).as("e12"))
+    val inter = half
+      .select(col("cx").as("c1"), col("cy").as("c2"), col("e12"))
+      .unionAll(half.select(col("cy").as("c1"), col("cx").as("c2"), col("e12")))
     val commDeg = deg
       .join(labels, "id")
       .groupBy(col("lbl"))
       .agg(sum(col("deg")).as("d"))
-    val gains = inter
+    inter
       .join(commDeg.select(col("lbl").as("c1"), col("d").as("d1")), "c1")
       .join(commDeg.select(col("lbl").as("c2"), col("d").as("d2")), "c2")
-      .crossJoin(broadcast(mRow))
-      .withColumn(
-        "gain",
-        lit(gammaDen) * lit(2) * col("m") * col("e12") - lit(gammaNum) * col("d1") * col("d2")
-      )
-      .filter(col("gain") > 0)
+  }
+
+  /** Positive-gain top-1 picks per community: gain desc, partner asc. */
+  private def picksFromGains(gains: DataFrame): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("c1"))
       .orderBy(col("gain").desc, col("c2").asc)
     gains
+      .filter(col("gain") > 0)
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
       .select(col("c1").as("src"), col("c2").as("dst"))
   }
+
+  /** MUTUAL best-partner pairs from a picks frame, via ONE keyed aggregate:
+    * picks carry one row per c1, so an unordered pair appearing twice is
+    * exactly "A picked B and B picked A". Replaces the picks-with-picks
+    * self-join — which forced a materialization of picks to avoid computing
+    * the gains window twice — so the whole pass collapses into a single
+    * job. Output (src, dst) with src < dst; pairs are disjoint.
+    */
+  private def mutualPairs(picks: DataFrame): DataFrame =
+    picks
+      .groupBy(least(col("src"), col("dst")).as("src"), greatest(col("src"), col("dst")).as("dst"))
+      .agg(count(lit(1)).as("n"))
+      .filter(col("n") === 2)
+      .select(col("src"), col("dst"))
 
   /** The apply stage: chains of picks (A→B while B→C) resolve by connected
     * components over the picked merge edges — every community in a merge
@@ -306,44 +352,43 @@ object GraphOps {
         .groupBy("id")
         .agg(count(lit(1)).as("deg"))
     )
-    val mRow = Lineage.truncate(u.agg(count(lit(1)).as("m")))
+    val m    = u.count() // scalar once — no per-pass single-row broadcast
     var cur  = Lineage.truncate(labels.select(col("id"), col("lbl")))
     var pass = 0
     var done = false
     while (!done && pass < maxPasses) {
-      val picks = Lineage.truncate(mergePicksWith(u, cur, deg, mRow, gammaNum, gammaDen))
-      if (picks.isEmpty) done = true
-      else {
-        // mutual pairs only; nonempty whenever picks is (see scaladoc)
-        val mutual = picks
-          .as("p")
-          .join(
-            picks.select(col("src").as("msrc"), col("dst").as("mdst")).as("q"),
-            col("p.src") === col("q.mdst") && col("p.dst") === col("q.msrc")
+      // One materializing job per pass: picks → mutual pairs (one keyed
+      // aggregate, see mutualPairs — no self-join, so picks needs no
+      // separate materialization) → relabel → new labels. Mutual pairs are
+      // DISJOINT edges with src < dst, so only the dst side relabels (the
+      // src side's least() is the identity) and the chain resolution that
+      // needs a CC run in applyMerge degenerates to one broadcastable
+      // relabel frame.
+      val relabel = mutualPairs(mergePicksWithM(u, cur, deg, m, gammaNum, gammaDen))
+        .select(col("dst").as("lbl"), col("src").as("new_lbl"))
+      // truncateFresh, not truncate: the label frame feeds back into the
+      // next pass, and plain checkpoints carry the source plan's
+      // size-in-bytes forward — compounding doubly-exponentially across
+      // passes until the OPTIMIZER hangs in BigInteger math (see
+      // Lineage.truncateFresh). The stats reset costs one re-encode of a
+      // community-sized frame per pass.
+      val next = Lineage.truncateFresh(
+        cur
+          .join(relabel, Seq("lbl"), "left")
+          .select(
+            col("id"),
+            coalesce(col("new_lbl"), col("lbl")).as("lbl"),
+            col("new_lbl").isNotNull.as("chg")
           )
-          .filter(col("p.src") < col("p.dst"))
-          .select(col("p.src").as("src"), col("p.dst").as("dst"))
-        // mutual pairs are DISJOINT edges, so the chain resolution that
-        // needs a CC run in applyMerge degenerates to min-of-pair — one
-        // broadcastable relabel frame, no iterative sub-loop per pass
-        val relabel = mutual
-          .select(col("src").as("lbl"), least(col("src"), col("dst")).as("new_lbl"))
-          .unionAll(
-            mutual.select(col("dst").as("lbl"), least(col("src"), col("dst")).as("new_lbl"))
-          )
-        // truncateFresh, not truncate: the label frame feeds back into the
-        // next pass, and plain checkpoints carry the source plan's
-        // size-in-bytes forward — compounding doubly-exponentially across
-        // passes until the OPTIMIZER hangs in BigInteger math (see
-        // Lineage.truncateFresh). The stats reset costs one re-encode of a
-        // community-sized frame per pass.
-        cur = Lineage.truncateFresh(
-          cur
-            .join(relabel, Seq("lbl"), "left")
-            .select(col("id"), coalesce(col("new_lbl"), col("lbl")).as("lbl"))
-        )
-        pass += 1
-      }
+      )
+      // Convergence rides the relabel flag: a limit-1 scan of the frame the
+      // pass materialized anyway, instead of the old separate picks
+      // materialization + emptiness probe (4 actions/pass → 2, r11 #2).
+      // No mutual pair ⇔ no positive-gain pick (the max-gain pick is always
+      // mutual — see the PROGRESSING note above).
+      done = next.filter(col("chg")).isEmpty
+      cur = next.select(col("id"), col("lbl"))
+      pass += 1
     }
     cur
   }
@@ -404,7 +449,7 @@ object GraphOps {
         .groupBy("id")
         .agg(count(lit(1)).as("deg"))
     )
-    val mRow = Lineage.truncate(u.agg(count(lit(1)).as("m")))
+    val m    = u.count() // scalar once — no per-pass single-row broadcast
     val par  = Lineage.truncate(parent.select(col("id"), col("lbl").as("parent")))
     val psz  = Lineage.truncate(par.groupBy("parent").agg(count(lit(1)).as("psz")))
     // singletons, each carrying its parent community
@@ -414,77 +459,76 @@ object GraphOps {
     while (!done && pass < maxPasses) {
       val xa = cur.select(col("id").as("a"), col("lbl").as("ca"), col("parent").as("pa"))
       val xb = cur.select(col("id").as("b"), col("lbl").as("cb"), col("parent").as("pb"))
-      val labeled = u.join(xa, "a").join(xb, "b")
-      // intra-parent, inter-sub-community edge counts (symmetric)
-      val within = labeled.filter(col("pa") === col("pb") && col("ca") =!= col("cb"))
-      val inter = within
-        .select(col("ca").as("c1"), col("cb").as("c2"), col("pa").as("parent"))
-        .unionAll(within.select(col("cb").as("c1"), col("ca").as("c2"), col("pa").as("parent")))
-        .groupBy(col("c1"), col("c2"), col("parent"))
+      // intra-parent, inter-sub-community edges; counts aggregate on the
+      // canonical (least, greatest) pair FIRST and mirror the aggregated
+      // frame after — both union branches share the aggregate's shuffle
+      // (ReusedExchange), so the edge-labeling join runs once per pass
+      // instead of once per direction
+      val within = u
+        .join(xa, "a")
+        .join(xb, "b")
+        .filter(col("pa") === col("pb") && col("ca") =!= col("cb"))
+      val half = within
+        .groupBy(
+          least(col("ca"), col("cb")).as("cx"),
+          greatest(col("ca"), col("cb")).as("cy"),
+          col("pa").as("parent")
+        )
         .agg(count(lit(1)).as("e12"))
-      val sz = cur.groupBy(col("lbl"), col("parent")).agg(count(lit(1)).as("sz"))
-      // cut(R) = E(R, C∖R); sub-communities with no intra-parent neighbors
-      // (R = C, or an isolated singleton parent) have cut 0 and a zero
-      // right-hand side — eligible but partnerless either way
+      val inter = half
+        .select(col("cx").as("c1"), col("cy").as("c2"), col("parent"), col("e12"))
+        .unionAll(half.select(col("cy").as("c1"), col("cx").as("c2"), col("parent"), col("e12")))
+      // sub-community size AND degree sum in ONE keyed aggregate (they were
+      // two — r11 #2); cut(R) = E(R, C∖R) rides the inter frame. A
+      // sub-community with no intra-parent neighbors (R = C, or an isolated
+      // singleton parent) has cut 0 and a zero right-hand side — eligible
+      // ("open") but partnerless either way.
+      val stats = cur
+        .join(deg, "id")
+        .groupBy(col("lbl"), col("parent"))
+        .agg(count(lit(1)).as("sz"), sum(col("deg")).as("d"))
       val cut = inter.groupBy(col("c1")).agg(sum(col("e12")).as("cut"))
-      val elig = sz
+      val elig = stats
         .join(cut.select(col("c1").as("lbl"), col("cut")), Seq("lbl"), "left")
         .join(psz, "parent")
-        .filter(
-          lit(gateDen) * coalesce(col("cut"), lit(0L)) >=
-            lit(gateNum) * col("sz") * (col("psz") - col("sz"))
+        .select(
+          col("lbl"),
+          col("d"),
+          (lit(gateDen) * coalesce(col("cut"), lit(0L)) >=
+            lit(gateNum) * col("sz") * (col("psz") - col("sz"))).as("open")
         )
-        .select(col("lbl"))
-      val cdeg = deg
-        .join(cur.select(col("id"), col("lbl")), "id")
-        .groupBy(col("lbl"))
-        .agg(sum(col("deg")).as("d"))
       val gains = inter
-        .join(elig.select(col("lbl").as("c1")), "c1")
-        .join(elig.select(col("lbl").as("c2")), "c2")
-        .join(cdeg.select(col("lbl").as("c1"), col("d").as("d1")), "c1")
-        .join(cdeg.select(col("lbl").as("c2"), col("d").as("d2")), "c2")
-        .crossJoin(broadcast(mRow))
+        .join(elig.select(col("lbl").as("c1"), col("d").as("d1"), col("open").as("o1")), "c1")
+        .join(elig.select(col("lbl").as("c2"), col("d").as("d2"), col("open").as("o2")), "c2")
+        .filter(col("o1") && col("o2"))
         .withColumn(
           "gain",
-          lit(gammaDen) * lit(2) * col("m") * col("e12") - lit(gammaNum) * col("d1") * col("d2")
+          lit(gammaDen * 2 * m) * col("e12") - lit(gammaNum) * col("d1") * col("d2")
         )
-        .filter(col("gain") > 0)
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("c1"))
-        .orderBy(col("gain").desc, col("c2").asc)
-      val picks = gains
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1)
-        .select(col("c1").as("src"), col("c2").as("dst"))
-      // mutual pairs only (disjoint — see refineMergeFixedPoint); loop ends
-      // at the first pass with NO mutual pair (under the gate the max-gain
-      // pick is still mutual whenever any gain survives, but checking the
-      // mutual frame directly is the guard that cannot hang)
-      val mutual = Lineage.truncate(
-        picks
-          .as("p")
-          .join(
-            picks.select(col("src").as("msrc"), col("dst").as("mdst")).as("q"),
-            col("p.src") === col("q.mdst") && col("p.dst") === col("q.msrc")
+      // mutual pairs only (disjoint, src < dst — so only the dst side
+      // relabels); derived by ONE keyed aggregate over the picks
+      // ([[mutualPairs]]), so the pass needs no separate picks
+      // materialization and the whole relabel is one job
+      val relabel = mutualPairs(picksFromGains(gains))
+        .select(col("dst").as("lbl"), col("src").as("new_lbl"))
+      val next = Lineage.truncateFresh(
+        cur
+          .join(relabel, Seq("lbl"), "left")
+          .select(
+            col("id"),
+            coalesce(col("new_lbl"), col("lbl")).as("lbl"),
+            col("parent"),
+            col("new_lbl").isNotNull.as("chg")
           )
-          .filter(col("p.src") < col("p.dst"))
-          .select(col("p.src").as("src"), col("p.dst").as("dst"))
       )
-      if (mutual.isEmpty) done = true
-      else {
-        val relabel = mutual
-          .select(col("src").as("lbl"), least(col("src"), col("dst")).as("new_lbl"))
-          .unionAll(
-            mutual.select(col("dst").as("lbl"), least(col("src"), col("dst")).as("new_lbl"))
-          )
-        cur = Lineage.truncateFresh(
-          cur
-            .join(relabel, Seq("lbl"), "left")
-            .select(col("id"), coalesce(col("new_lbl"), col("lbl")).as("lbl"), col("parent"))
-        )
-        pass += 1
-      }
+      // Convergence rides the relabel flag (limit-1 over the frame the pass
+      // materialized anyway): loop ends at the first pass with NO mutual
+      // pair — under the gate the max-gain pick is still mutual whenever
+      // any gain survives, but reading the applied frame directly is the
+      // guard that cannot hang. 2 actions/pass, down from 4 (r11 #2).
+      done = next.filter(col("chg")).isEmpty
+      cur = next.select(col("id"), col("lbl"), col("parent"))
+      pass += 1
     }
     cur.select(col("id"), col("lbl"))
   }
