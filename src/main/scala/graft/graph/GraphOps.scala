@@ -218,26 +218,6 @@ object GraphOps {
         )
     )
 
-  /** [[mergePicksWith]] with the edge count as a DRIVER SCALAR — the
-    * fixed-point loops count the (truncated) edge list once up front, so no
-    * pass plan carries the single-row broadcast subtree.
-    */
-  private def mergePicksWithM(
-      und: DataFrame,
-      labels: DataFrame,
-      deg: DataFrame,
-      m: Long,
-      gammaNum: Long,
-      gammaDen: Long
-  ): DataFrame =
-    picksFromGains(
-      interWithDegrees(und, labels, deg)
-        .withColumn(
-          "gain",
-          lit(gammaDen * 2 * m) * col("e12") - lit(gammaNum) * col("d1") * col("d2")
-        )
-    )
-
   /** Inter-community edge counts, SYMMETRIC, annotated with both sides'
     * community degree sums: (c1, c2, e12, d1, d2). The count aggregates on
     * the canonical (least, greatest) pair FIRST and mirrors the aggregated
@@ -352,8 +332,16 @@ object GraphOps {
         .groupBy("id")
         .agg(count(lit(1)).as("deg"))
     )
-    val m    = u.count() // scalar once — no per-pass single-row broadcast
-    var cur  = Lineage.truncate(labels.select(col("id"), col("lbl")))
+    val m = u.count() // scalar once — no per-pass single-row broadcast
+    // Loop state carries the pass-invariant vertex degree so the community
+    // degree sum is ONE aggregate per pass, not a join + aggregate
+    // (edgeless vertices coalesce to 0 — they never appear in inter).
+    var cur = Lineage.truncate(
+      labels
+        .select(col("id"), col("lbl"))
+        .join(deg, Seq("id"), "left")
+        .select(col("id"), col("lbl"), coalesce(col("deg"), lit(0L)).as("deg"))
+    )
     var pass = 0
     var done = false
     while (!done && pass < maxPasses) {
@@ -364,7 +352,26 @@ object GraphOps {
       // src side's least() is the identity) and the chain resolution that
       // needs a CC run in applyMerge degenerates to one broadcastable
       // relabel frame.
-      val relabel = mutualPairs(mergePicksWithM(u, cur, deg, m, gammaNum, gammaDen))
+      val xa = cur.select(col("id").as("a"), col("lbl").as("ca"))
+      val xb = cur.select(col("id").as("b"), col("lbl").as("cb"))
+      val half = u
+        .join(xa, "a")
+        .join(xb, "b")
+        .filter(col("ca") =!= col("cb"))
+        .groupBy(least(col("ca"), col("cb")).as("cx"), greatest(col("ca"), col("cb")).as("cy"))
+        .agg(count(lit(1)).as("e12"))
+      val inter = half
+        .select(col("cx").as("c1"), col("cy").as("c2"), col("e12"))
+        .unionAll(half.select(col("cy").as("c1"), col("cx").as("c2"), col("e12")))
+      val commDeg = cur.groupBy(col("lbl")).agg(sum(col("deg")).as("d"))
+      val gains = inter
+        .join(commDeg.select(col("lbl").as("c1"), col("d").as("d1")), "c1")
+        .join(commDeg.select(col("lbl").as("c2"), col("d").as("d2")), "c2")
+        .withColumn(
+          "gain",
+          lit(gammaDen * 2 * m) * col("e12") - lit(gammaNum) * col("d1") * col("d2")
+        )
+      val relabel = mutualPairs(picksFromGains(gains))
         .select(col("dst").as("lbl"), col("src").as("new_lbl"))
       // truncateFresh, not truncate: the label frame feeds back into the
       // next pass, and plain checkpoints carry the source plan's
@@ -378,6 +385,7 @@ object GraphOps {
           .select(
             col("id"),
             coalesce(col("new_lbl"), col("lbl")).as("lbl"),
+            col("deg"),
             col("new_lbl").isNotNull.as("chg")
           )
       )
@@ -387,10 +395,10 @@ object GraphOps {
       // No mutual pair ⇔ no positive-gain pick (the max-gain pick is always
       // mutual — see the PROGRESSING note above).
       done = next.filter(col("chg")).isEmpty
-      cur = next.select(col("id"), col("lbl"))
+      cur = next.drop("chg")
       pass += 1
     }
-    cur
+    cur.select(col("id"), col("lbl"))
   }
 
   /** The LEIDEN REFINEMENT PHASE (Traag–Waltman–van Eck 2019, the step
@@ -449,11 +457,27 @@ object GraphOps {
         .groupBy("id")
         .agg(count(lit(1)).as("deg"))
     )
-    val m    = u.count() // scalar once — no per-pass single-row broadcast
-    val par  = Lineage.truncate(parent.select(col("id"), col("lbl").as("parent")))
-    val psz  = Lineage.truncate(par.groupBy("parent").agg(count(lit(1)).as("psz")))
-    // singletons, each carrying its parent community
-    var cur  = Lineage.truncate(par.select(col("id"), col("id").as("lbl"), col("parent")))
+    val m   = u.count() // scalar once — no per-pass single-row broadcast
+    val par = parent.select(col("id"), col("lbl").as("parent"))
+    val psz = par.groupBy("parent").agg(count(lit(1)).as("psz"))
+    // Loop state carries the PASS-INVARIANT per-vertex columns (vertex
+    // degree, parent size) alongside (id, lbl, parent): the old shape
+    // re-joined `deg` and `psz` every pass, which cost two more exchange
+    // materializations per pass under AQE. An edgeless vertex has no deg
+    // row — coalesce to 0 (its singleton sub-community never appears in
+    // the inter frame, so it can never merge either way).
+    var cur = Lineage.truncate(
+      par
+        .join(deg, Seq("id"), "left")
+        .join(psz, "parent")
+        .select(
+          col("id"),
+          col("id").as("lbl"),
+          col("parent"),
+          coalesce(col("deg"), lit(0L)).as("deg"),
+          col("psz")
+        )
+    )
     var pass = 0
     var done = false
     while (!done && pass < maxPasses) {
@@ -464,11 +488,10 @@ object GraphOps {
       // frame after — both union branches share the aggregate's shuffle
       // (ReusedExchange), so the edge-labeling join runs once per pass
       // instead of once per direction
-      val within = u
+      val half = u
         .join(xa, "a")
         .join(xb, "b")
         .filter(col("pa") === col("pb") && col("ca") =!= col("cb"))
-      val half = within
         .groupBy(
           least(col("ca"), col("cb")).as("cx"),
           greatest(col("ca"), col("cb")).as("cy"),
@@ -478,29 +501,37 @@ object GraphOps {
       val inter = half
         .select(col("cx").as("c1"), col("cy").as("c2"), col("parent"), col("e12"))
         .unionAll(half.select(col("cy").as("c1"), col("cx").as("c2"), col("parent"), col("e12")))
-      // sub-community size AND degree sum in ONE keyed aggregate (they were
-      // two — r11 #2); cut(R) = E(R, C∖R) rides the inter frame. A
-      // sub-community with no intra-parent neighbors (R = C, or an isolated
-      // singleton parent) has cut 0 and a zero right-hand side — eligible
-      // ("open") but partnerless either way.
+      // Sub-community size, degree sum and parent size in ONE keyed
+      // aggregate over the state frame (they were two aggregates plus a
+      // psz join — r11 #2); psz is constant within a parent, so min() just
+      // reads it through.
       val stats = cur
-        .join(deg, "id")
-        .groupBy(col("lbl"), col("parent"))
-        .agg(count(lit(1)).as("sz"), sum(col("deg")).as("d"))
-      val cut = inter.groupBy(col("c1")).agg(sum(col("e12")).as("cut"))
-      val elig = stats
-        .join(cut.select(col("c1").as("lbl"), col("cut")), Seq("lbl"), "left")
-        .join(psz, "parent")
-        .select(
-          col("lbl"),
-          col("d"),
-          (lit(gateDen) * coalesce(col("cut"), lit(0L)) >=
-            lit(gateNum) * col("sz") * (col("psz") - col("sz"))).as("open")
+        .groupBy(col("lbl"))
+        .agg(count(lit(1)).as("sz"), sum(col("deg")).as("d"), min(col("psz")).as("psz"))
+      // LINEAR pipeline from here — no cut/eligibility diamond: cut(R) =
+      // E(R, C∖R) rides the joined frame as two window sums (the c2-side
+      // window reuses the second join's partitioning, so only the c1-side
+      // window re-shuffles), and the well-connectedness gate
+      // (gateD·cut ≥ gateN·sz·(psz−sz)) filters rows directly. A
+      // sub-community with no intra-parent neighbors has no inter rows —
+      // eligible but partnerless under both shapes.
+      val j = inter
+        .join(
+          stats.select(col("lbl").as("c1"), col("sz").as("sz1"), col("d").as("d1"), col("psz")),
+          "c1"
         )
-      val gains = inter
-        .join(elig.select(col("lbl").as("c1"), col("d").as("d1"), col("open").as("o1")), "c1")
-        .join(elig.select(col("lbl").as("c2"), col("d").as("d2"), col("open").as("o2")), "c2")
-        .filter(col("o1") && col("o2"))
+        .join(stats.select(col("lbl").as("c2"), col("sz").as("sz2"), col("d").as("d2")), "c2")
+      val wc1 = org.apache.spark.sql.expressions.Window.partitionBy(col("c1"))
+      val wc2 = org.apache.spark.sql.expressions.Window.partitionBy(col("c2"))
+      val gains = j
+        .withColumn("cut2", sum(col("e12")).over(wc2))
+        .withColumn("cut1", sum(col("e12")).over(wc1))
+        .filter(
+          lit(gateDen) * col("cut1") >= lit(gateNum) * col("sz1") * (col("psz") - col("sz1"))
+        )
+        .filter(
+          lit(gateDen) * col("cut2") >= lit(gateNum) * col("sz2") * (col("psz") - col("sz2"))
+        )
         .withColumn(
           "gain",
           lit(gammaDen * 2 * m) * col("e12") - lit(gammaNum) * col("d1") * col("d2")
@@ -518,6 +549,8 @@ object GraphOps {
             col("id"),
             coalesce(col("new_lbl"), col("lbl")).as("lbl"),
             col("parent"),
+            col("deg"),
+            col("psz"),
             col("new_lbl").isNotNull.as("chg")
           )
       )
@@ -527,7 +560,7 @@ object GraphOps {
       // any gain survives, but reading the applied frame directly is the
       // guard that cannot hang. 2 actions/pass, down from 4 (r11 #2).
       done = next.filter(col("chg")).isEmpty
-      cur = next.select(col("id"), col("lbl"), col("parent"))
+      cur = next.drop("chg")
       pass += 1
     }
     cur.select(col("id"), col("lbl"))

@@ -626,23 +626,30 @@ object GraphQueries extends QueryModule {
   private def g8c_resolution_hierarchy(s: SparkSession, d: String): DataFrame =
     graft.Memo.cached(resolutionHierMemo, s, d)(g8cResolutionHierarchyCompute(s, d))
 
-  private def g8cResolutionHierarchyCompute(s: SparkSession, d: String): DataFrame = {
-    val (vertices, und) = bridgedNationUnd(s, d)
-    GraphOps
-      .resolutionHierarchy(
-        vertices,
-        und,
-        Seq((2L, 1L), (1L, 2L), (1L, 10L)),
-        3,
-        4
+  private def g8cResolutionHierarchyCompute(s: SparkSession, d: String): DataFrame =
+    // Dimension-graph profile (graft.Tuning): the bridged nation graph is
+    // 25 vertices at every scale factor; the sweep's per-pass cost is pure
+    // fixed overhead dominated by codegen compilation. Truncated inside
+    // the scope so the level-join tail executes under the profile too.
+    graft.Tuning.dimensionGraphProfile(s) {
+      val (vertices, und) = bridgedNationUnd(s, d)
+      graft.Lineage.truncate(
+        GraphOps
+          .resolutionHierarchy(
+            vertices,
+            und,
+            Seq((2L, 1L), (1L, 2L), (1L, 10L)),
+            3,
+            4
+          )
+          .select(
+            col("id").cast("long").as("id"),
+            col("community_0").cast("long").as("community_r20"),
+            col("community_1").cast("long").as("community_r05"),
+            col("community_2").cast("long").as("community_r01")
+          )
       )
-      .select(
-        col("id").cast("long").as("id"),
-        col("community_0").cast("long").as("community_r20"),
-        col("community_1").cast("long").as("community_r05"),
-        col("community_2").cast("long").as("community_r01")
-      )
-  }
+    }
 
   /** G9 — fixed-iteration PageRank over the SUPPLIES bipartite graph
     * (supplier → part), integer-quantized so both engines produce
@@ -1009,7 +1016,16 @@ object GraphQueries extends QueryModule {
     * fixed point is a no-op in both engines, so the unrolled twin with ≥
     * as many passes computes the identical partition).
     */
-  private def g8d_leiden_refinement(s: SparkSession, d: String): DataFrame = {
+  private def g8d_leiden_refinement(s: SparkSession, d: String): DataFrame =
+    // Dimension-graph profile: both harness graphs are nation-bounded (25
+    // vertices at every scale factor), so the ladder runs interpreted and
+    // non-adaptive (graft.Tuning) — codegen compilation of ~15 fresh
+    // stages/pass was the dominant cost. The final 2-row result is
+    // truncated INSIDE the scope so the scoring tail executes under the
+    // profile too.
+    graft.Tuning.dimensionGraphProfile(s)(graft.Lineage.truncate(g8dLadders(s, d)))
+
+  private def g8dLadders(s: SparkSession, d: String): DataFrame = {
     def score(graphName: String, verts: DataFrame, undRaw: DataFrame): DataFrame = {
       val und = graft.Lineage.truncate(undRaw)
       val lpa = graft.Lineage.truncate(
@@ -1017,21 +1033,54 @@ object GraphQueries extends QueryModule {
       )
       val fixed   = graft.Lineage.truncate(GraphOps.refineMergeFixedPoint(und, lpa, maxPasses = 4))
       val refined = GraphOps.refineWithinFixedPoint(und, fixed, maxPasses = 6)
-      val base = GraphOps
-        .modularityComponents(und, fixed)
-        .select(
-          col("n_edges").cast("long").as("n_edges"),
-          col("modularity_num").cast("long").as("q_num_fixed")
+      // BOTH partitions scored through ONE tagged pipeline (r11 #2's
+      // action-count discipline applied to the scoring tail): union the
+      // two labelings under a w∈{f,r} tag, run the modularity ingredients
+      // once grouped by w, and pivot the two rows into the output shape
+      // with a single final aggregate — replacing two modularityComponents
+      // calls plus two countDistinct actions (~32 AQE stage jobs → ~8).
+      // Same integer arithmetic as GraphOps.modularityComponents:
+      // q_num = 4·m·intra − Σ_c d_c².
+      val tagged = fixed
+        .select(lit("f").as("w"), col("id"), col("lbl"))
+        .unionByName(refined.select(lit("r").as("w"), col("id"), col("lbl")))
+      val ea = tagged.select(col("w"), col("id").as("a"), col("lbl").as("la"))
+      val eb = tagged.select(col("w"), col("id").as("b"), col("lbl").as("lb"))
+      val edgeAgg = und
+        .join(ea, "a")
+        .join(eb, Seq("b", "w"))
+        .groupBy(col("w"))
+        .agg(
+          count(lit(1)).as("m"),
+          sum(when(col("la") === col("lb"), 1L).otherwise(0L)).as("intra")
         )
-      val ref = GraphOps
-        .modularityComponents(und, refined)
-        .select(col("modularity_num").cast("long").as("q_num_refined"))
-      val ncF = fixed.agg(countDistinct(col("lbl")).as("n_comms_fixed"))
-      val ncR = refined.agg(countDistinct(col("lbl")).as("n_comms_refined"))
-      base
-        .crossJoin(broadcast(ref))
-        .crossJoin(broadcast(ncF))
-        .crossJoin(broadcast(ncR))
+      val deg = und
+        .select(col("a").as("id"))
+        .unionAll(und.select(col("b").as("id")))
+        .groupBy("id")
+        .agg(count(lit(1)).as("deg"))
+      // LEFT join: vertices with no edges still carry their singleton
+      // community into n_comms (the oracle counts every label), with a
+      // zero degree contribution to Σd².
+      val degAgg = tagged
+        .join(deg, Seq("id"), "left")
+        .groupBy(col("w"), col("lbl"))
+        .agg(sum(coalesce(col("deg"), lit(0L))).as("dsum"))
+        .groupBy(col("w"))
+        .agg(sum(col("dsum") * col("dsum")).as("sum_d2"), count(lit(1)).as("n_comms"))
+      edgeAgg
+        .join(degAgg, "w")
+        .agg(
+          max(when(col("w") === "f", col("m"))).cast("long").as("n_edges"),
+          max(when(col("w") === "f", lit(4) * col("m") * col("intra") - col("sum_d2")))
+            .cast("long")
+            .as("q_num_fixed"),
+          max(when(col("w") === "r", lit(4) * col("m") * col("intra") - col("sum_d2")))
+            .cast("long")
+            .as("q_num_refined"),
+          max(when(col("w") === "f", col("n_comms"))).cast("long").as("n_comms_fixed"),
+          max(when(col("w") === "r", col("n_comms"))).cast("long").as("n_comms_refined")
+        )
         .select(
           lit(graphName).as("graph"),
           col("n_edges"),
