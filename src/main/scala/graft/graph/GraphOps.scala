@@ -569,13 +569,26 @@ object GraphOps {
   /** Resolution-parameterized community hierarchy — the Spark-native form
     * of the reference's 3-resolution Leiden sweep
     * (defs/assets/detect_communities.py:218-246, resolutions [2.0, 0.5,
-    * 0.1]; utils/neo4j_helpers.py:237-268): one fixed-point refinement
-    * ([[refineMergeFixedPoint]]) per resolution, each level SEEDED from
-    * the previous (finer) level's partition, so the levels nest the way a
-    * decreasing-γ sweep nests — higher γ keeps only density-justified
-    * merges, lower γ lets degree-cheap merges through. Level 0 starts
+    * 0.1]; utils/neo4j_helpers.py:237-268): per resolution, the FULL
+    * Leiden shape — local-move merging to the fixed point
+    * ([[refineMergeFixedPoint]]) followed by the REFINEMENT PHASE
+    * ([[refineWithinFixedPoint]], the within-community singleton re-merge
+    * under the well-connectedness gate) — exactly what the reference's
+    * per-resolution `leidenalg` call runs. Each level is SEEDED from the
+    * previous (finer) level's REFINED partition: without the per-level
+    * refinement (refinePassesPerLevel = 0, the pre-r12 behavior) a level
+    * that inherits a bridge-trapped community can only coarsen the
+    * trapped merge at every later level — the exact artifact the
+    * refinement phase exists to prevent (r11 verdict #1; measured
+    * divergence pinned by g8e on the planted dumbbells). Level 0 starts
     * from synchronous LPA (the deterministic substitution SURVEY §7.4
     * declares for seeded Leiden).
+    *
+    * With refinement on, consecutive levels need NOT nest (level k+1's
+    * refinement can split a community level k kept whole) — the
+    * reference's independent per-resolution leidenalg runs do not nest
+    * either; the decreasing-γ ordering still drives each level's merge
+    * phase toward coarser partitions.
     *
     * `und` is the canonical undirected edge list (a < b, distinct);
     * `resolutions` are rationals (γnum, γden), ordered finest first
@@ -588,7 +601,8 @@ object GraphOps {
       und: DataFrame,
       resolutions: Seq[(Long, Long)],
       lpaIters: Int = 3,
-      passesPerLevel: Int = 3
+      passesPerLevel: Int = 3,
+      refinePassesPerLevel: Int = 4
   ): DataFrame = {
     val u = Lineage.truncate(und.select(col("a"), col("b")))
     val lpa = Lineage.truncate(
@@ -596,7 +610,9 @@ object GraphOps {
     )
     val levels = resolutions.zipWithIndex
       .scanLeft(lpa) { case (prev, ((gn, gd), _)) =>
-        refineMergeFixedPoint(u, prev, passesPerLevel, gn, gd)
+        val merged = refineMergeFixedPoint(u, prev, passesPerLevel, gn, gd)
+        if (refinePassesPerLevel <= 0) merged
+        else refineWithinFixedPoint(u, merged, refinePassesPerLevel, gn, gd)
       }
       .drop(1)
     levels.zipWithIndex

@@ -95,10 +95,11 @@ object Pipeline {
 
     // multi-level communities over the artist—country graph: the same
     // resolution-parameterized sweep the quality face measures (g8c) —
-    // LPA seeded, γ ∈ [2.0, 0.5, 0.1] modularity-refined fixed points,
-    // each level seeding the next (the deterministic re-expression of the
-    // reference's 3-resolution Leiden run, detect_communities.py:218-246;
-    // SURVEY §7.4). The pipeline and quality faces consume ONE algorithm.
+    // LPA seeded, γ ∈ [2.0, 0.5, 0.1], FULL Leiden per level (mutual-merge
+    // fixed point + gated refinement phase, r12), each level seeding the
+    // next (the deterministic re-expression of the reference's
+    // 3-resolution Leiden run, detect_communities.py:218-246; SURVEY
+    // §7.4). The pipeline and quality faces consume ONE algorithm.
     val und = edges
       .select(
         least(col("src"), col("dst")).as("a"),

@@ -260,11 +260,12 @@ object GraphQueries extends QueryModule {
     * is computed once (materialized — 25 rows), unpivoted to one
     * (level, nation, community) row per level via `stack`, and the g4
     * metadata aggregation runs per (level, community). Per-level community
-    * counts are pinned to g8c's by construction (5 at γ=2.0, 4 at γ=0.5,
-    * 2 at γ=0.1 on the 25-nation graph → 11 summary rows, every level
-    * covering all 1500 customers). The 75-row level table broadcasts into
-    * the customer join; everything downstream is two hash aggregations and
-    * one small window.
+    * counts are pinned to g8c's by construction — since r12 the REFINED
+    * hierarchy (merge → refinement per level, r11 verdict #1), whose
+    * levels are finer: 10 at γ=2.0, 9 at γ=0.5, 13 at γ=0.1 on the
+    * 25-nation graph → 32 summary rows, every level covering all
+    * customers. The 75-row level table broadcasts into the customer join;
+    * everything downstream is two hash aggregations and one small window.
     */
   private def g4b_multilevel_summaries(s: SparkSession, d: String): DataFrame = {
     val hier = g8c_resolution_hierarchy(s, d) // memoized + already truncated
@@ -596,9 +597,11 @@ object GraphQueries extends QueryModule {
 
   /** G8c — the RESOLUTION-parameterized hierarchy: the reference's
     * 3-resolution Leiden sweep (detect_communities.py:218-246, resolutions
-    * [2.0, 0.5, 0.1]) re-expressed as one fixed-point refinement per
-    * resolution γ under the Reichardt–Bornholdt gain, each level seeded
-    * from the previous finer one ([[graft.graph.GraphOps.resolutionHierarchy]];
+    * [2.0, 0.5, 0.1]) re-expressed as FULL Leiden per resolution γ —
+    * mutual-merge fixed point followed by the gated REFINEMENT PHASE
+    * (r12, closing r11 verdict #1), each level seeded from the previous
+    * finer level's refined partition
+    * ([[graft.graph.GraphOps.resolutionHierarchy]] with refinePasses = 4;
     * γ as a rational — (2,1), (1,2), (1,10) — so the gain stays
     * integer-exact).
     *
@@ -607,12 +610,14 @@ object GraphQueries extends QueryModule {
     * min, i.e. one 25-vertex path (m=24) with two-scale structure —
     * chosen so the sweep is READABLE: merging two fragments with E12=1
     * gains 48·γden − γnum·d1·d2, so rising degree mass d1·d2 prices
-    * merges out sooner at higher γ. Measured (deterministic — every
-    * stage is tie-broken; pinned in GraphOpsSpec): γ=2.0 keeps 16
-    * LPA-fine fragments, γ=0.5 coarsens to 9, γ=0.1 to 3 — three
-    * distinct levels, nested because each seeds the next. One row per
-    * vertex with its community at every resolution — exactly the
-    * reference's per-resolution community assignment shape.
+    * merges out sooner at higher γ. With refinement, a level can be FINER
+    * than its seed (refinement re-forms each community from singletons and
+    * the gate freezes badly-connected sub-pieces), so consecutive levels
+    * need not nest — the reference's independent per-resolution leidenalg
+    * runs do not nest either; every community at every level is CONNECTED
+    * (the Leiden guarantee, pinned in GraphOpsSpec). One row per vertex
+    * with its community at every resolution — exactly the reference's
+    * per-resolution community assignment shape.
     */
   /** g8c's three-resolution sweep is consumed by both g8c itself and g4b's
     * per-level summaries; the sweep is the whole cost of either (iterative
@@ -1101,7 +1106,122 @@ object GraphQueries extends QueryModule {
     Await.result(fa, Duration.Inf).unionByName(Await.result(fb, Duration.Inf))
   }
 
+  /** G8e — the INTEGRATED LEIDEN SWEEP, measured against the merge-only
+    * sweep it replaced (r11 verdict #1; reference utils/neo4j_helpers.py:
+    * 237-268 runs full Leiden — local move, refinement, aggregate — at
+    * EVERY resolution of the [2.0, 0.5, 0.1] sweep): on both planted
+    * dumbbell graphs ([[dumbbellUnd]]), run
+    * [[graft.graph.GraphOps.resolutionHierarchy]] twice — refinePasses = 0
+    * (the pre-r12 merge-only sweep) and refinePasses = 4 (merge → refine
+    * per level) — and report per (graph, level) the community counts and
+    * integer Newman modularity numerators side by side.
+    *
+    * The planted story, per level (measured values in parentheses —
+    * deterministic, every stage tie-broken):
+    *   - LPA floods one label across the bridge, so level r20 inherits the
+    *     bridge-trapped dumbbell. Merge-only can only keep or COARSEN it at
+    *     every level (Q_num stays 0 on `dumbbell` at all three levels) —
+    *     the exact artifact the per-level refinement prevents.
+    *   - `dumbbell` (m = 8): at r20, γ=2 prices EVERY re-merge out
+    *     (γden·2m = 16 < γnum·d1·d2 = 18 already for a K4 pair), so the
+    *     refined level dissolves toward singletons (24 comms, Q_num −20) —
+    *     faithful RB semantics: at high resolution a sparse 8-edge graph
+    *     has no dense cores. From r05 down the levels show the headline
+    *     improvement: the merge phase re-forms the pieces, refinement
+    *     holds {0,1,2,3}|{8,9}, and Q_num is STRICTLY higher than
+    *     merge-only at the same level (46 vs 0 at r05 and r01) — the
+    *     "integrated sweep provably splits what g8c coarsens" case.
+    *   - `dumbbell_ballast` (m = 20): the cross-bridge re-merge gain is
+    *     positive from r05 down (γden·2·20 > 39), so each level's MERGE
+    *     phase re-glues the dumbbell and each level's REFINEMENT re-splits
+    *     it under the connectivity gate, at a modularity cost (856 vs 958
+    *     at r05, 624 vs 768 at r01) — the gate, not the gain, is what the
+    *     sweep now inherits level over level; n_comms_refined >
+    *     n_comms_merge at every level.
+    *
+    * The oracle unrolls BOTH sweeps per graph ([[sweepDivergenceSql]]:
+    * shared LPA + γ=2 merge passes, then diverging chains; pass counts
+    * match the engine exactly — 3 merge + 4 refinement per level — so the
+    * partitions are identical by the iterated-function argument, no
+    * fixed-point reasoning needed). GraphOpsSpec pins the same divergence
+    * on in-memory graphs.
+    */
+  private def g8e_leiden_sweep(s: SparkSession, d: String): DataFrame =
+    graft.Tuning.dimensionGraphProfile(s)(graft.Lineage.truncate(g8eSweeps(s, d)))
+
+  private def g8eSweeps(s: SparkSession, d: String): DataFrame = {
+    val res = Seq((2L, 1L), (1L, 2L), (1L, 10L))
+    def sweep(graphName: String, verts: DataFrame, undRaw: DataFrame): DataFrame = {
+      val und = graft.Lineage.truncate(undRaw)
+      val mergeOnly =
+        graft.Lineage.truncate(GraphOps.resolutionHierarchy(verts, und, res, 3, 3, 0))
+      val integrated =
+        graft.Lineage.truncate(GraphOps.resolutionHierarchy(verts, und, res, 3, 3, 4))
+      val levels = Seq("r20" -> "community_0", "r05" -> "community_1", "r01" -> "community_2")
+      // Six labelings → ONE scoring pipeline keyed by (level, variant):
+      // the g8d tagged-score discipline, so the whole comparison costs one
+      // edge-labeling aggregate and one degree aggregate.
+      def tag(h: DataFrame, v: String): DataFrame = levels
+        .map { case (lv, c) =>
+          h.select(lit(lv).as("level"), lit(v).as("v"), col("id"), col(c).as("lbl"))
+        }
+        .reduce(_ unionByName _)
+      val tagged = tag(mergeOnly, "m").unionByName(tag(integrated, "r"))
+      val ea     = tagged.select(col("level"), col("v"), col("id").as("a"), col("lbl").as("la"))
+      val eb     = tagged.select(col("level"), col("v"), col("id").as("b"), col("lbl").as("lb"))
+      val edgeAgg = und
+        .join(ea, "a")
+        .join(eb, Seq("b", "level", "v"))
+        .groupBy(col("level"), col("v"))
+        .agg(
+          count(lit(1)).as("m"),
+          sum(when(col("la") === col("lb"), 1L).otherwise(0L)).as("intra")
+        )
+      val deg = und
+        .select(col("a").as("id"))
+        .unionAll(und.select(col("b").as("id")))
+        .groupBy("id")
+        .agg(count(lit(1)).as("deg"))
+      val degAgg = tagged
+        .join(deg, Seq("id"), "left")
+        .groupBy(col("level"), col("v"), col("lbl"))
+        .agg(sum(coalesce(col("deg"), lit(0L))).as("dsum"))
+        .groupBy(col("level"), col("v"))
+        .agg(sum(col("dsum") * col("dsum")).as("sum_d2"), count(lit(1)).as("n_comms"))
+      edgeAgg
+        .join(degAgg, Seq("level", "v"))
+        .groupBy(col("level"))
+        .agg(
+          max(when(col("v") === "m", col("n_comms"))).cast("long").as("n_comms_merge"),
+          max(when(col("v") === "r", col("n_comms"))).cast("long").as("n_comms_refined"),
+          max(when(col("v") === "m", lit(4) * col("m") * col("intra") - col("sum_d2")))
+            .cast("long")
+            .as("q_num_merge"),
+          max(when(col("v") === "r", lit(4) * col("m") * col("intra") - col("sum_d2")))
+            .cast("long")
+            .as("q_num_refined")
+        )
+        .select(
+          lit(graphName).as("graph"),
+          col("level"),
+          col("n_comms_merge"),
+          col("n_comms_refined"),
+          col("q_num_merge"),
+          col("q_num_refined")
+        )
+    }
+    val (v1, u1) = dumbbellUnd(s, d, ballast = false)
+    val (v2, u2) = dumbbellUnd(s, d, ballast = true)
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val fa = Future(sweep("dumbbell", v1, u1))
+    val fb = Future(sweep("dumbbell_ballast", v2, u2))
+    Await.result(fa, Duration.Inf).unionByName(Await.result(fb, Duration.Inf))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "g8e_leiden_sweep" -> (g8e_leiden_sweep _),
     "g8d_leiden_refinement" -> (g8d_leiden_refinement _),
     "g18_clustering_coeff" -> (g18_clustering_coeff _),
     "g17_ktruss" -> (g17_ktruss _),
@@ -1350,12 +1470,12 @@ object GraphQueries extends QueryModule {
     (header +: steps :+ score).mkString(",\n")
   }
 
-  /** One planted dumbbell graph's full ladder in SQL (see [[dumbbellUnd]]):
-    * edges → LPA ×3 → mutual merge ×4 (`${p}f4newlab` = the g8b-equivalent
-    * fixed partition with its `${p}f4rii`/`${p}f4rs2` score) → gated
-    * refinement ×6 (`${p}w…`) → community counts `${p}ncf`/`${p}ncr`.
+  /** One planted dumbbell graph's shared substrate in SQL (see
+    * [[dumbbellUnd]]): edges (+ ballast path), symmetric edge list, LPA ×3
+    * (`${p}l3`), degrees, edge count — the prefix both the g8d ladder and
+    * the g8e sweep chains hang off.
     */
-  private def dumbbellLadderSql(p: String, ballast: Boolean): String = {
+  private def dumbbellBaseSql(p: String, ballast: Boolean): String = {
     val ballastSql =
       if (ballast)
         "UNION ALL SELECT n_nationkey - 1, n_nationkey FROM nation WHERE n_nationkey >= 13"
@@ -1378,7 +1498,16 @@ object GraphQueries extends QueryModule {
         ${lpaStepsSql(s"${p}edges", p)},
         ${p}deg AS MATERIALIZED (SELECT v, count(*) AS dg FROM (
             SELECT a AS v FROM ${p}und UNION ALL SELECT b AS v FROM ${p}und) GROUP BY v),
-        ${p}mm AS (SELECT count(*) AS m FROM ${p}und),
+        ${p}mm AS (SELECT count(*) AS m FROM ${p}und)"""
+  }
+
+  /** One planted dumbbell graph's full ladder in SQL (see [[dumbbellUnd]]):
+    * edges → LPA ×3 → mutual merge ×4 (`${p}f4newlab` = the g8b-equivalent
+    * fixed partition with its `${p}f4rii`/`${p}f4rs2` score) → gated
+    * refinement ×6 (`${p}w…`) → community counts `${p}ncf`/`${p}ncr`.
+    */
+  private def dumbbellLadderSql(p: String, ballast: Boolean): String = {
+    s"""${dumbbellBaseSql(p, ballast)},
         ${mergeRefineSql(s"${p}f1", s"${p}und", s"${p}l3", s"${p}deg", s"${p}mm", mutual = true)},
         ${mergeRefineSql(s"${p}f2", s"${p}und", s"${p}f1newlab", s"${p}deg", s"${p}mm", mutual = true)},
         ${mergeRefineSql(s"${p}f3", s"${p}und", s"${p}f2newlab", s"${p}deg", s"${p}mm", mutual = true)},
@@ -1387,6 +1516,61 @@ object GraphQueries extends QueryModule {
         ${p}ncf AS (SELECT count(DISTINCT lbl) AS n FROM ${p}f4newlab),
         ${p}ncr AS (SELECT count(DISTINCT slbl) AS n FROM ${p}wr6)"""
   }
+
+  /** One dumbbell graph's BOTH resolution sweeps in SQL — the g8e oracle's
+    * WITH-body: shared LPA seed, then per resolution γ ∈ {2, 1/2, 1/10}
+    * the merge-only chain (3 mutual-merge passes each, levels chained) and
+    * the INTEGRATED chain (same 3 merge passes + 4 gated refinement passes
+    * per level, the refined labels seeding the next level — the engine's
+    * [[graft.graph.GraphOps.resolutionHierarchy]] with refinePasses = 4).
+    * The γ=2 merge phase is shared by both variants (identical seed and
+    * passes); the chains diverge from the first refinement on. Yields the
+    * six scored labelings: `${p}m{a,b,c}3newlab` (+`rii`/`rs2`) and
+    * `${p}x{a,b,c}r4` (+`wii`/`ws2`), plus count CTEs `${p}nc{m,r}{20,05,01}`.
+    */
+  private def sweepDivergenceSql(p: String, ballast: Boolean): String =
+    s"""${dumbbellBaseSql(p, ballast)},
+        ${mergeRefineSql(s"${p}ma1", s"${p}und", s"${p}l3", s"${p}deg", s"${p}mm", 2L, 1L, mutual = true)},
+        ${mergeRefineSql(s"${p}ma2", s"${p}und", s"${p}ma1newlab", s"${p}deg", s"${p}mm", 2L, 1L, mutual = true)},
+        ${mergeRefineSql(s"${p}ma3", s"${p}und", s"${p}ma2newlab", s"${p}deg", s"${p}mm", 2L, 1L, mutual = true)},
+        ${mergeRefineSql(s"${p}mb1", s"${p}und", s"${p}ma3newlab", s"${p}deg", s"${p}mm", 1L, 2L, mutual = true)},
+        ${mergeRefineSql(s"${p}mb2", s"${p}und", s"${p}mb1newlab", s"${p}deg", s"${p}mm", 1L, 2L, mutual = true)},
+        ${mergeRefineSql(s"${p}mb3", s"${p}und", s"${p}mb2newlab", s"${p}deg", s"${p}mm", 1L, 2L, mutual = true)},
+        ${mergeRefineSql(s"${p}mc1", s"${p}und", s"${p}mb3newlab", s"${p}deg", s"${p}mm", 1L, 10L, mutual = true)},
+        ${mergeRefineSql(s"${p}mc2", s"${p}und", s"${p}mc1newlab", s"${p}deg", s"${p}mm", 1L, 10L, mutual = true)},
+        ${mergeRefineSql(s"${p}mc3", s"${p}und", s"${p}mc2newlab", s"${p}deg", s"${p}mm", 1L, 10L, mutual = true)},
+        ${refineWithinSql(s"${p}xa", s"${p}und", s"${p}ma3newlab", s"${p}deg", s"${p}mm", 4, 2L, 1L)},
+        ${p}alab AS MATERIALIZED (SELECT id, slbl AS lbl FROM ${p}xar4),
+        ${mergeRefineSql(s"${p}ib1", s"${p}und", s"${p}alab", s"${p}deg", s"${p}mm", 1L, 2L, mutual = true)},
+        ${mergeRefineSql(s"${p}ib2", s"${p}und", s"${p}ib1newlab", s"${p}deg", s"${p}mm", 1L, 2L, mutual = true)},
+        ${mergeRefineSql(s"${p}ib3", s"${p}und", s"${p}ib2newlab", s"${p}deg", s"${p}mm", 1L, 2L, mutual = true)},
+        ${refineWithinSql(s"${p}xb", s"${p}und", s"${p}ib3newlab", s"${p}deg", s"${p}mm", 4, 1L, 2L)},
+        ${p}blab AS MATERIALIZED (SELECT id, slbl AS lbl FROM ${p}xbr4),
+        ${mergeRefineSql(s"${p}ic1", s"${p}und", s"${p}blab", s"${p}deg", s"${p}mm", 1L, 10L, mutual = true)},
+        ${mergeRefineSql(s"${p}ic2", s"${p}und", s"${p}ic1newlab", s"${p}deg", s"${p}mm", 1L, 10L, mutual = true)},
+        ${mergeRefineSql(s"${p}ic3", s"${p}und", s"${p}ic2newlab", s"${p}deg", s"${p}mm", 1L, 10L, mutual = true)},
+        ${refineWithinSql(s"${p}xc", s"${p}und", s"${p}ic3newlab", s"${p}deg", s"${p}mm", 4, 1L, 10L)},
+        ${p}ncm20 AS (SELECT count(DISTINCT lbl) AS n FROM ${p}ma3newlab),
+        ${p}ncm05 AS (SELECT count(DISTINCT lbl) AS n FROM ${p}mb3newlab),
+        ${p}ncm01 AS (SELECT count(DISTINCT lbl) AS n FROM ${p}mc3newlab),
+        ${p}ncr20 AS (SELECT count(DISTINCT slbl) AS n FROM ${p}xar4),
+        ${p}ncr05 AS (SELECT count(DISTINCT slbl) AS n FROM ${p}xbr4),
+        ${p}ncr01 AS (SELECT count(DISTINCT slbl) AS n FROM ${p}xcr4)"""
+
+  /** The three per-level result rows of one [[sweepDivergenceSql]] graph. */
+  private def sweepDivergenceRowsSql(p: String, graphName: String): String =
+    Seq(("r20", "ma3", "xa", "20"), ("r05", "mb3", "xb", "05"), ("r01", "mc3", "xc", "01"))
+      .map { case (level, mPre, xPre, lv) =>
+        s"""SELECT '$graphName' AS graph, '$level' AS level,
+               CAST(ncm.n AS BIGINT) AS n_comms_merge,
+               CAST(ncr.n AS BIGINT) AS n_comms_refined,
+               CAST(4 * m.m * mi.intra - ms.sum_d2 AS BIGINT) AS q_num_merge,
+               CAST(4 * m.m * ri.intra - rs.sum_d2 AS BIGINT) AS q_num_refined
+           FROM ${p}mm m, ${p}ncm$lv ncm, ${p}ncr$lv ncr,
+                ${p}${mPre}rii mi, ${p}${mPre}rs2 ms,
+                ${p}${xPre}wii ri, ${p}${xPre}ws2 rs"""
+      }
+      .mkString("\nUNION ALL\n")
 
   /** The 4 k-core peel passes, unrolled (the g2b playbook applied to
     * [[graft.graph.GraphOps.kCorePeel]]): each pass recomputes degrees over
@@ -1458,11 +1642,12 @@ object GraphQueries extends QueryModule {
                FROM deg d JOIN sl3 l ON l.id = d.v GROUP BY l.lbl),
         s2 AS (SELECT sum(dsum * dsum) AS sum_d2 FROM dc)"""
 
-  /** The bridged nation graph + LPA + 4 mutual-merge refinement passes at
-    * γ = 2.0 — the g8c LEVEL-0 labeling (`a4newlab` = (id, lbl)), shared
-    * by the g8c oracle and the community-metadata oracles (g4/g5) so both
-    * faces verifiably consume the SAME partition. Callers must open with
-    * WITH RECURSIVE (mergeRefineSql's relabel closure is recursive).
+  /** The bridged nation graph + LPA + 4 mutual-merge passes at γ = 2.0
+    * (`a4newlab` = (id, lbl) — the merge-phase partition the
+    * community-metadata oracles g4/g5 consume) + 4 gated refinement passes
+    * (`alab` — the REFINED γ=2.0 level the g8c/g4b oracles consume since
+    * r12's integrated sweep). Callers must open with WITH RECURSIVE
+    * (mergeRefineSql's relabel closure is recursive).
     */
   private val bridgedLevel0Sql: String =
     s"""bchain AS (
@@ -1493,22 +1678,30 @@ object GraphQueries extends QueryModule {
         ${mergeRefineSql("a1", "bund", "wl3", "bdeg", "bmm", 2L, 1L, mutual = true)},
         ${mergeRefineSql("a2", "bund", "a1newlab", "bdeg", "bmm", 2L, 1L, mutual = true)},
         ${mergeRefineSql("a3", "bund", "a2newlab", "bdeg", "bmm", 2L, 1L, mutual = true)},
-        ${mergeRefineSql("a4", "bund", "a3newlab", "bdeg", "bmm", 2L, 1L, mutual = true)}"""
+        ${mergeRefineSql("a4", "bund", "a3newlab", "bdeg", "bmm", 2L, 1L, mutual = true)},
+        ${refineWithinSql("aw", "bund", "a4newlab", "bdeg", "bmm", 4, 2L, 1L)},
+        alab AS MATERIALIZED (SELECT id, slbl AS lbl FROM awr4)"""
 
-  /** The γ = 0.5 and γ = 0.1 legs of the resolution sweep, seeded from the
-    * level-0 labeling (`a4newlab`) — shared by the g8c oracle and the
-    * g4b multi-level summary oracle so both verifiably consume the same
-    * three partitions. Requires [[bridgedLevel0Sql]] in scope first.
+  /** The γ = 0.5 and γ = 0.1 legs of the INTEGRATED resolution sweep —
+    * each leg 4 mutual-merge passes seeded from the previous level's
+    * REFINED labels, followed by 4 gated refinement passes (`blab`,
+    * `clab`) — shared by the g8c oracle and the g4b multi-level summary
+    * oracle so both verifiably consume the same three partitions.
+    * Requires [[bridgedLevel0Sql]] in scope first.
     */
   private val resolutionSweepSql: String =
-    s"""${mergeRefineSql("b1", "bund", "a4newlab", "bdeg", "bmm", 1L, 2L, mutual = true)},
+    s"""${mergeRefineSql("b1", "bund", "alab", "bdeg", "bmm", 1L, 2L, mutual = true)},
         ${mergeRefineSql("b2", "bund", "b1newlab", "bdeg", "bmm", 1L, 2L, mutual = true)},
         ${mergeRefineSql("b3", "bund", "b2newlab", "bdeg", "bmm", 1L, 2L, mutual = true)},
         ${mergeRefineSql("b4", "bund", "b3newlab", "bdeg", "bmm", 1L, 2L, mutual = true)},
-        ${mergeRefineSql("c1", "bund", "b4newlab", "bdeg", "bmm", 1L, 10L, mutual = true)},
+        ${refineWithinSql("bw", "bund", "b4newlab", "bdeg", "bmm", 4, 1L, 2L)},
+        blab AS MATERIALIZED (SELECT id, slbl AS lbl FROM bwr4),
+        ${mergeRefineSql("c1", "bund", "blab", "bdeg", "bmm", 1L, 10L, mutual = true)},
         ${mergeRefineSql("c2", "bund", "c1newlab", "bdeg", "bmm", 1L, 10L, mutual = true)},
         ${mergeRefineSql("c3", "bund", "c2newlab", "bdeg", "bmm", 1L, 10L, mutual = true)},
-        ${mergeRefineSql("c4", "bund", "c3newlab", "bdeg", "bmm", 1L, 10L, mutual = true)}"""
+        ${mergeRefineSql("c4", "bund", "c3newlab", "bdeg", "bmm", 1L, 10L, mutual = true)},
+        ${refineWithinSql("cw", "bund", "c4newlab", "bdeg", "bmm", 4, 1L, 10L)},
+        clab AS MATERIALIZED (SELECT id, slbl AS lbl FROM cwr4)"""
 
   private val communityMetaSql =
     s"""$bridgedLevel0Sql,
@@ -1538,6 +1731,12 @@ object GraphQueries extends QueryModule {
          JOIN reps r ON s.community_id = r.community_id)"""
 
   val oracles: Map[String, String] = Map(
+    "g8e_leiden_sweep" ->
+      s"""WITH RECURSIVE ${sweepDivergenceSql("u", ballast = false)},
+          ${sweepDivergenceSql("v", ballast = true)}
+          ${sweepDivergenceRowsSql("u", "dumbbell")}
+          UNION ALL
+          ${sweepDivergenceRowsSql("v", "dumbbell_ballast")}""",
     "g8d_leiden_refinement" ->
       s"""WITH RECURSIVE ${dumbbellLadderSql("u", ballast = false)},
           ${dumbbellLadderSql("v", ballast = true)}
@@ -1738,11 +1937,11 @@ object GraphQueries extends QueryModule {
       s"""WITH RECURSIVE $bridgedLevel0Sql,
           $resolutionSweepSql,
           lv AS (
-            SELECT 'r20' AS level, id AS c_nationkey, lbl AS community_id FROM a4newlab
+            SELECT 'r20' AS level, id AS c_nationkey, lbl AS community_id FROM alab
             UNION ALL
-            SELECT 'r05', id, lbl FROM b4newlab
+            SELECT 'r05', id, lbl FROM blab
             UNION ALL
-            SELECT 'r01', id, lbl FROM c4newlab),
+            SELECT 'r01', id, lbl FROM clab),
           gmembers AS (
             SELECT lv.level, lv.community_id, c.c_custkey, c.c_name, c.c_mktsegment
             FROM customer c JOIN lv ON lv.c_nationkey = c.c_nationkey),
@@ -1874,9 +2073,9 @@ object GraphQueries extends QueryModule {
                  CAST(r20.lbl AS BIGINT) AS community_r20,
                  CAST(r05.lbl AS BIGINT) AS community_r05,
                  CAST(r01.lbl AS BIGINT) AS community_r01
-          FROM a4newlab r20
-          JOIN b4newlab r05 ON r05.id = r20.id
-          JOIN c4newlab r01 ON r01.id = r20.id""",
+          FROM alab r20
+          JOIN blab r05 ON r05.id = r20.id
+          JOIN clab r01 ON r01.id = r20.id""",
     "g13_personalized_pagerank" -> {
       def pprStep(t: Int): String =
         s"""pp$t AS MATERIALIZED (
