@@ -1151,12 +1151,21 @@ object GraphQueries extends QueryModule {
 
   private def g8eSweeps(s: SparkSession, d: String): DataFrame = {
     val res = Seq((2L, 1L), (1L, 2L), (1L, 10L))
+    // The four sweeps (2 graphs × 2 variants) are independent pass chains
+    // of ~10-20 tiny jobs each — overlap ALL of them (not just the two
+    // graphs), so wall time is the slowest single chain, not the sum of
+    // two chains per graph.
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
     def sweep(graphName: String, verts: DataFrame, undRaw: DataFrame): DataFrame = {
       val und = graft.Lineage.truncate(undRaw)
-      val mergeOnly =
-        graft.Lineage.truncate(GraphOps.resolutionHierarchy(verts, und, res, 3, 3, 0))
-      val integrated =
-        graft.Lineage.truncate(GraphOps.resolutionHierarchy(verts, und, res, 3, 3, 4))
+      val fMerge =
+        Future(graft.Lineage.truncate(GraphOps.resolutionHierarchy(verts, und, res, 3, 3, 0)))
+      val fInteg =
+        Future(graft.Lineage.truncate(GraphOps.resolutionHierarchy(verts, und, res, 3, 3, 4)))
+      val mergeOnly  = Await.result(fMerge, Duration.Inf)
+      val integrated = Await.result(fInteg, Duration.Inf)
       val levels = Seq("r20" -> "community_0", "r05" -> "community_1", "r01" -> "community_2")
       // Six labelings → ONE scoring pipeline keyed by (level, variant):
       // the g8d tagged-score discipline, so the whole comparison costs one
@@ -1212,11 +1221,8 @@ object GraphQueries extends QueryModule {
     }
     val (v1, u1) = dumbbellUnd(s, d, ballast = false)
     val (v2, u2) = dumbbellUnd(s, d, ballast = true)
-    import scala.concurrent.{Await, Future}
-    import scala.concurrent.duration.Duration
-    import scala.concurrent.ExecutionContext.Implicits.global
-    val fa = Future(sweep("dumbbell", v1, u1))
-    val fb = Future(sweep("dumbbell_ballast", v2, u2))
+    val fa       = Future(sweep("dumbbell", v1, u1))
+    val fb       = Future(sweep("dumbbell_ballast", v2, u2))
     Await.result(fa, Duration.Inf).unionByName(Await.result(fb, Duration.Inf))
   }
 
