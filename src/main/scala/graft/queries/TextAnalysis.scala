@@ -216,6 +216,91 @@ object TextAnalysis extends QueryModule {
       )
   }
 
+  /** X25 — winnowing MATCH JOIN (the point of MOSS — Schleimer et al. 2003
+    * §4 builds the fingerprint → postings inverted index and reports
+    * document pairs by shared fingerprints; x24 only SELECTS fingerprints
+    * per document): the clone-detection complement of d16's containment.
+    *
+    * Pipeline: per-doc winnowing fingerprints (x24's k=3 positional gram
+    * hashes, window-of-4 minima, distinct) → exploded postings
+    * (fingerprint, doc) → HOT-FINGERPRINT CAP df ≤ 16 (the g16 hub-cap
+    * discipline: a boilerplate gram shared by hundreds of docs carries no
+    * clone signal and would otherwise dominate the pair join) → postings
+    * self-equi-join on the fingerprint → pairs with ≥ 3 shared
+    * fingerprints → EXACT verify on candidates only (full distinct-gram
+    * set intersection, never computed for non-candidates).
+    *
+    * Cost at scale: the pair join emits Σ_fp C(df, 2) ≤ (cap−1)/2 ·
+    * |kept postings| rows — LINEAR in corpus size under the cap, never
+    * all-pairs; the verify join touches candidate pairs only. Planted
+    * truth: every document with ≥ 44 words gets a clone at −doc_id−1
+    * (collision-proof at any corpus size — the r10 planted-id rule)
+    * sharing a 30-word passage, its first 12 words mutated with a '~p'
+    * suffix so ONLY the passage matches; winnowing guarantees any shared
+    * run of ≥ w+k−1 = 6 words shares a fingerprint, so a 30-word passage
+    * clears the ≥3 bar deterministically. Organic near-dup pairs surface
+    * too, with the same exact-verified counts in both engines.
+    */
+  private def x25_winnowing_matches(s: SparkSession, d: String): DataFrame = {
+    val k = 3
+    val w = 4
+    val base = table(s, d, "documents").select(col("doc_id"), words(col("text")).as("ws"))
+    val planted = base
+      .filter(size(col("ws")) >= 44)
+      .select(
+        (-col("doc_id") - 1).as("doc_id"),
+        concat(
+          transform(slice(col("ws"), 1, 12), wd => concat(wd, lit("~p"))),
+          slice(col("ws"), 13, 30)
+        ).as("ws")
+      )
+    val corpus = base.unionByName(planted)
+    val fps = graft.Lineage.truncate(
+      corpus
+        .withColumn(
+          "hs",
+          expr(s"""transform(sequence(0, greatest(size(ws) - $k, 0)),
+                     i -> cast(conv(substr(md5(array_join(slice(ws, i + 1, $k), ' ')), 1, 6), 16, 10) as bigint))""")
+        )
+        .withColumn(
+          "wins",
+          expr(s"""CASE WHEN size(hs) >= $w
+                   THEN transform(sequence(0, size(hs) - $w),
+                          j -> array_min(slice(hs, j + 1, $w)))
+                   ELSE array(array_min(hs)) END""")
+        )
+        .select(
+          col("doc_id"),
+          expr("array_distinct(hs)").as("grams"),
+          expr("array_distinct(wins)").as("fps")
+        )
+    )
+    val postings = fps.select(col("doc_id"), explode(col("fps")).as("fp"))
+    val keep = postings
+      .groupBy(col("fp"))
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") <= 16)
+      .select(col("fp"))
+    val kept = graft.Lineage.truncate(postings.join(keep, "fp"))
+    val pairs = kept
+      .select(col("fp"), col("doc_id").as("doc_a"))
+      .join(kept.select(col("fp"), col("doc_id").as("doc_b")), "fp")
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("shared_fingerprints"))
+      .filter(col("shared_fingerprints") >= 3)
+    pairs
+      .join(fps.select(col("doc_id").as("doc_a"), col("grams").as("ga")), "doc_a")
+      .join(fps.select(col("doc_id").as("doc_b"), col("grams").as("gb")), "doc_b")
+      .select(
+        col("doc_a"),
+        col("doc_b"),
+        col("shared_fingerprints").cast("long").as("shared_fingerprints"),
+        size(array_intersect(col("ga"), col("gb"))).cast("long").as("shared_grams"),
+        (col("doc_a") === -col("doc_b") - 1).as("planted")
+      )
+  }
+
   /** X7 — corpus token statistics: per-token DOCUMENT frequency (the IDF
     * building block — each token counted once per doc via the distinct
     * set), top-100 by (df desc, token). Integer-only output so the oracle
@@ -809,6 +894,7 @@ object TextAnalysis extends QueryModule {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x25_winnowing_matches" -> (x25_winnowing_matches _),
     "x24_winnowing" -> (x24_winnowing _),
     "x22_term_burstiness" -> (x22_term_burstiness _),
     "x21_char_class_entropy" -> (x21_char_class_entropy _),
@@ -840,6 +926,44 @@ object TextAnalysis extends QueryModule {
     s"CAST(len(list_filter(string_split(text, ' '), w -> w IN (${inList(xs)}))) AS BIGINT)"
 
   val oracles: Map[String, String] = Map(
+    "x25_winnowing_matches" ->
+      """WITH b AS (
+           SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+         pl AS (
+           SELECT -doc_id - 1 AS doc_id,
+                  list_concat(list_transform(ws[1:12], w -> w || '~p'), ws[13:42]) AS ws
+           FROM b WHERE len(ws) >= 44),
+         corpus AS (
+           SELECT doc_id, ws FROM b UNION ALL SELECT doc_id, ws FROM pl),
+         h AS (
+           SELECT doc_id,
+                  list_transform(generate_series(0, greatest(len(ws) - 3, 0)),
+                    i -> ('0x' || substr(md5(array_to_string(ws[i+1:i+3], ' ')), 1, 6))::BIGINT)
+                    AS hs
+           FROM corpus),
+         wn AS (
+           SELECT doc_id, list_distinct(hs) AS grams,
+                  list_distinct(CASE WHEN len(hs) >= 4
+                       THEN list_transform(generate_series(0, len(hs) - 4),
+                              j -> list_min(hs[j+1:j+4]))
+                       ELSE [list_min(hs)] END) AS fps
+           FROM h),
+         post AS (SELECT doc_id, unnest(fps) AS fp FROM wn),
+         keep AS (SELECT fp FROM post GROUP BY fp HAVING count(*) <= 16),
+         kept AS MATERIALIZED (SELECT p.doc_id, p.fp FROM post p JOIN keep USING (fp)),
+         pairs AS (
+           SELECT x.doc_id AS doc_a, y.doc_id AS doc_b,
+                  CAST(count(*) AS BIGINT) AS shared_fingerprints
+           FROM kept x JOIN kept y ON x.fp = y.fp AND x.doc_id < y.doc_id
+           GROUP BY 1, 2 HAVING count(*) >= 3)
+         SELECT CAST(p.doc_a AS BIGINT) AS doc_a,
+                CAST(p.doc_b AS BIGINT) AS doc_b,
+                p.shared_fingerprints,
+                CAST(len(list_intersect(a.grams, b.grams)) AS BIGINT) AS shared_grams,
+                (p.doc_a = -p.doc_b - 1) AS planted
+         FROM pairs p
+         JOIN wn a ON a.doc_id = p.doc_a
+         JOIN wn b ON b.doc_id = p.doc_b""",
     "x24_winnowing" ->
       """WITH b AS (
            SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
