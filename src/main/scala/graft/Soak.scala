@@ -335,6 +335,22 @@ object Soak {
       val growth = if (p1x > 0) pNx.toDouble / p1x else Double.NaN
       md.append(f"\nraw_pairs growth: $growth%.2fx at ${n}x replication (linear = ${n}x; quadratic ~ ${n.toLong * n}x).\n")
     }
+
+    // m-family analog (r11 advice): Σ C(occ,2) over m10's (band, key)
+    // buckets — the birthday-collision quadratic term the occupancy cap
+    // exists to bound — measured at 1x vs Nx so "never all-pairs" is a
+    // number, not an assumption.
+    if (soakQueries.exists(_.startsWith("m1"))) {
+      val (c1, h1, x1) = graft.queries.Multimodal.phashBandDiagnostics(spark, src)
+      val (cN, hN, xN) = graft.queries.Multimodal.phashBandDiagnostics(spark, out)
+      md.append(s"\n## m-family band-bucket diagnostic (m10 aHash 4x16 banding, corpus = documents + perturbed copy)\n\n")
+      md.append("| scale | sum C(occ,2) (= uncapped pair-join output) | hot buckets | max occupancy |\n")
+      md.append("|---|---|---|---|\n")
+      md.append(s"| 1x | $c1 | $h1 | $x1 |\n")
+      md.append(s"| ${n}x | $cN | $hN | $xN |\n")
+      val g = if (c1 > 0) cN.toDouble / c1 else Double.NaN
+      md.append(f"\npair growth: $g%.2fx at ${n}x (linear = ${n}x; quadratic ~ ${n.toLong * n}x); the occ<=64 cap bounds the join at 32x|band rows| regardless.\n")
+    }
     print(md)
     java.nio.file.Files.writeString(java.nio.file.Paths.get(reportFile), md.toString)
 
