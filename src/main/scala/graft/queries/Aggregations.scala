@@ -576,7 +576,86 @@ object Aggregations extends QueryModule {
       )
   }
 
+  /** A25 — reliability-WEIGHTED label aggregation: one Dawid–Skene
+    * iteration on top of a24's majority vote (Dawid & Skene 1979 — the
+    * EM estimator's first half-step, kept integer and deterministic; the
+    * r11 verdict's #6). Round 1: plain majority per item (a24's
+    * max_by with the smallest-label tiebreak). Round 2: each annotator's
+    * reliability = basis-point agreement of their votes with the round-1
+    * majorities (ONE keyed aggregate over the voter id — 5 rows); votes
+    * re-weighted by their annotator's reliability and re-aggregated, the
+    * weighted argmax with the same tiebreak. Two extra keyed shuffles
+    * (weights, weighted scores), NO EM loop.
+    *
+    * Planted truth: annotator 4 is a SPAMMER who always votes label 0 —
+    * when one noise annotator happens to agree, label 0 ties the two
+    * reliable annotators' true label and the smallest-label tiebreak
+    * steals the majority. Round 2 prices the spammer down (their round-1
+    * agreement is only the fraction of items whose majority IS 0), so
+    * the reliable pair outweighs spammer+noise and those stolen labels
+    * FLIP back — the `flipped` column marks them (measured: 130 of 500
+    * items at sf0.01).
+    *
+    * Scale shape: the votes frame is materialized once and re-read by
+    * both rounds; the 5-row weight table broadcasts into the re-score;
+    * everything else is item-keyed aggregation. With real annotator
+    * tables (thousands of annotators, billions of votes) the same plan
+    * holds: the weight aggregate is |annotators|-sized and the two
+    * argmax aggregates stay keyed on the item id.
+    */
+  private def a25_weighted_labels(s: SparkSession, d: String): DataFrame = {
+    val votes = graft.Lineage.truncate(
+      table(s, d, "documents")
+        .select(col("doc_id"), explode(expr("sequence(0, 4)")).as("k"))
+        .select(
+          col("doc_id"),
+          col("k"),
+          // annotators 0-1 vote the true label (doc_id mod 4), 2-3 vote
+          // hash noise, 4 is the planted spammer (constant label 0)
+          when(col("k") <= 1, col("doc_id") % 4)
+            .when(col("k") === 4, lit(0L))
+            .otherwise(
+              expr(
+                "cast(conv(substr(md5(concat(cast(doc_id as string), '|', cast(k as string))), 1, 6), 16, 10) as bigint) % 4"
+              )
+            )
+            .as("label")
+        )
+    )
+    val mj = votes
+      .groupBy(col("doc_id"), col("label"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy(col("doc_id"))
+      .agg(expr("max_by(label, struct(n, -label))").as("majority_label"))
+    val mjT = graft.Lineage.truncate(mj)
+    val weights = votes
+      .join(mjT, "doc_id")
+      .groupBy(col("k"))
+      .agg(
+        expr("10000 * sum(CASE WHEN label = majority_label THEN 1 ELSE 0 END) div count(1)")
+          .as("w_bp")
+      )
+    val weighted = votes
+      .join(broadcast(weights), "k")
+      .groupBy(col("doc_id"), col("label"))
+      .agg(sum(col("w_bp")).as("score"))
+      .groupBy(col("doc_id"))
+      .agg(
+        expr("max_by(struct(label, score), struct(score, -label))").as("wj")
+      )
+    mjT
+      .join(weighted, "doc_id")
+      .select(
+        col("doc_id"),
+        col("majority_label").cast("long").as("majority_label"),
+        col("wj.label").cast("long").as("weighted_label"),
+        col("wj.score").cast("long").as("weighted_score_bp"),
+        (col("majority_label") =!= col("wj.label")).as("flipped")
+      )
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "a25_weighted_labels" -> (a25_weighted_labels _),
     "a24_label_aggregation" -> (a24_label_aggregation _),
     "a23_weighted_median" -> (a23_weighted_median _),
     "a22_incremental_merge" -> (a22_incremental_merge _),
@@ -604,6 +683,35 @@ object Aggregations extends QueryModule {
   )
 
   val oracles: Map[String, String] = Map(
+    "a25_weighted_labels" ->
+      """WITH v AS (
+           SELECT doc_id, k,
+                  CASE WHEN k <= 1 THEN doc_id % 4
+                       WHEN k = 4 THEN CAST(0 AS BIGINT)
+                       ELSE ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|' || CAST(k AS VARCHAR)), 1, 6))::BIGINT % 4
+                  END AS label
+           FROM documents, unnest(generate_series(0, 4)) AS t(k)),
+         cnt AS (SELECT doc_id, label, count(*) AS n FROM v GROUP BY 1, 2),
+         mj AS (SELECT doc_id, label AS majority_label FROM (
+                  SELECT *, row_number() OVER (PARTITION BY doc_id
+                         ORDER BY n DESC, label ASC) AS rn FROM cnt)
+                WHERE rn = 1),
+         w AS (SELECT k,
+                      10000 * sum(CASE WHEN v.label = mj.majority_label THEN 1 ELSE 0 END)
+                        // count(*) AS w_bp
+               FROM v JOIN mj USING (doc_id) GROUP BY k),
+         sc AS (SELECT doc_id, label, sum(w_bp) AS score
+                FROM v JOIN w USING (k) GROUP BY 1, 2),
+         wj AS (SELECT doc_id, label AS weighted_label, score FROM (
+                  SELECT *, row_number() OVER (PARTITION BY doc_id
+                         ORDER BY score DESC, label ASC) AS rn FROM sc)
+                WHERE rn = 1)
+         SELECT m.doc_id,
+                CAST(m.majority_label AS BIGINT) AS majority_label,
+                CAST(j.weighted_label AS BIGINT) AS weighted_label,
+                CAST(j.score AS BIGINT) AS weighted_score_bp,
+                m.majority_label <> j.weighted_label AS flipped
+         FROM mj m JOIN wj j USING (doc_id)""",
     "a24_label_aggregation" ->
       """WITH v AS (
            SELECT doc_id, k,
