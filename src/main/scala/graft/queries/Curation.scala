@@ -1053,9 +1053,11 @@ object Curation extends QueryModule {
     * scale-safe construction audited here:
     *
     *   - difficulty phase by FIXED integer thresholds on a per-row score
-    *     (word count — the standard length proxy; the thresholds come
-    *     from a prior census the way d15/d17 price banding, never from a
-    *     run-time global sort);
+    *     (word count — the standard length proxy; the thresholds are the
+    *     FROZEN output of the c25 phase census — [[c25_phase_census]]
+    *     derives tercile cuts from the live length histogram, and a
+    *     training run freezes them the way d15/d17 freeze banding
+    *     parameters — never a run-time global sort);
     *   - within a phase, batch assignment by md5 bucket — a deterministic
     *     shuffle, embarrassingly parallel, reproducible across reruns
     *     (o9's epoch-shuffle discipline);
@@ -1175,7 +1177,77 @@ object Curation extends QueryModule {
       )
   }
 
+  /** C25 — curriculum PHASE CENSUS: the d15/d17-style PRICING QUERY that
+    * produces c22's phase thresholds, so the curriculum audit's inputs are
+    * themselves engine output rather than constants asserted in a comment
+    * (r11 verdict #7). Integer-exact tercile cuts of the word-count
+    * distribution: build the length HISTOGRAM (one hash aggregate — the
+    * a18 discipline: quantiles over the collapsed histogram, never a
+    * global row sort), run one cumulative-count window over the ≤
+    * |distinct lengths| bins, and take qk = the smallest length whose
+    * cumulative count reaches ⌈N·k/3⌉ (cum·3 ≥ k·total — pure integer
+    * comparison, no percentile approximation). Output: one row per phase
+    * with its [lo_incl, hi_excl) boundary, document count, observed
+    * length envelope, and per-mille share.
+    *
+    * Linkage to c22: a real curriculum FREEZES thresholds per training
+    * run; c22 audits batches under the frozen values (40/70) and this
+    * census is the query that prices the next freeze from the live
+    * corpus. The window input is the value-domain-bounded histogram
+    * (PlanSweepSpec pins the bound against executed metrics); the totals
+    * and cut points ride single-row broadcasts.
+    */
+  private def c25_phase_census(s: SparkSession, d: String): DataFrame = {
+    val hist = table(s, d, "documents")
+      .select(size(words(col("text"))).cast("long").as("len"))
+      .groupBy(col("len"))
+      .agg(count(lit(1)).as("n"))
+    val wCum =
+      Window.orderBy(col("len")).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = hist.agg(sum(col("n")).as("total"), (max(col("len")) + 1).as("hi_end"))
+    val cuts = hist
+      .withColumn("cum", sum(col("n")).over(wCum))
+      .crossJoin(broadcast(tot))
+      .agg(
+        min(when(col("cum") * 3 >= col("total"), col("len"))).as("q1"),
+        min(when(col("cum") * 3 >= lit(2) * col("total"), col("len"))).as("q2"),
+        min(col("total")).as("total"),
+        min(col("hi_end")).as("hi_end")
+      )
+    hist
+      .crossJoin(broadcast(cuts))
+      .withColumn(
+        "phase",
+        when(col("len") < col("q1"), 0L).when(col("len") < col("q2"), 1L).otherwise(2L)
+      )
+      .groupBy(col("phase"))
+      .agg(
+        sum(col("n")).as("n_docs"),
+        min(col("len")).as("min_len"),
+        max(col("len")).as("max_len"),
+        min(col("q1")).as("q1"),
+        min(col("q2")).as("q2"),
+        min(col("total")).as("total"),
+        min(col("hi_end")).as("hi_end")
+      )
+      .select(
+        col("phase"),
+        when(col("phase") === 0, 0L).when(col("phase") === 1, col("q1")).otherwise(col("q2"))
+          .cast("long")
+          .as("lo_incl"),
+        when(col("phase") === 0, col("q1")).when(col("phase") === 1, col("q2"))
+          .otherwise(col("hi_end"))
+          .cast("long")
+          .as("hi_excl"),
+        col("n_docs").cast("long").as("n_docs"),
+        col("min_len").cast("long").as("min_len"),
+        col("max_len").cast("long").as("max_len"),
+        expr("1000 * n_docs div total").as("share_pm")
+      )
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "c25_phase_census" -> (c25_phase_census _),
     "c24_shard_manifest" -> (c24_shard_manifest _),
     "c22_curriculum_batches" -> (c22_curriculum_batches _),
     "c23_preference_pairs" -> (c23_preference_pairs _),
@@ -1229,6 +1301,29 @@ object Curation extends QueryModule {
                 FROM q)"""
 
   val oracles: Map[String, String] = Map(
+    "c25_phase_census" ->
+      """WITH lens AS (
+           SELECT len(string_split(text, ' ')) AS l FROM documents),
+         hist AS (SELECT l, count(*) AS n FROM lens GROUP BY 1),
+         cum AS (SELECT l, n,
+                        sum(n) OVER (ORDER BY l ROWS UNBOUNDED PRECEDING) AS c
+                 FROM hist),
+         tot AS (SELECT sum(n) AS total, max(l) + 1 AS hi_end FROM hist),
+         cuts AS (SELECT min(CASE WHEN c * 3 >= total THEN l END) AS q1,
+                         min(CASE WHEN c * 3 >= 2 * total THEN l END) AS q2
+                  FROM cum, tot),
+         ph AS (SELECT CASE WHEN l < q1 THEN 0 WHEN l < q2 THEN 1 ELSE 2 END AS phase,
+                       l, n
+                FROM hist, cuts)
+         SELECT CAST(phase AS BIGINT) AS phase,
+                CAST(CASE phase WHEN 0 THEN 0 WHEN 1 THEN q1 ELSE q2 END AS BIGINT) AS lo_incl,
+                CAST(CASE phase WHEN 0 THEN q1 WHEN 1 THEN q2 ELSE hi_end END AS BIGINT) AS hi_excl,
+                CAST(sum(n) AS BIGINT) AS n_docs,
+                CAST(min(l) AS BIGINT) AS min_len,
+                CAST(max(l) AS BIGINT) AS max_len,
+                CAST(1000 * sum(n) // total AS BIGINT) AS share_pm
+         FROM ph, cuts, tot
+         GROUP BY phase, q1, q2, hi_end, total""",
     "c24_shard_manifest" ->
       """WITH p AS (
            SELECT doc_id, lang,

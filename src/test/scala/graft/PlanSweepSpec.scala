@@ -65,7 +65,8 @@ class PlanSweepSpec extends AnyFunSuite with SparkTestBase {
     "x20_gram_novelty_decay" -> 1L, // single-row max-doc-id broadcast onto the gram-first table
     "o8_range_partition_audit" -> 8L, // ≤7-row quantile spine + single-row boundary-array broadcasts
     "pl9_corpus_funnel"      -> 1L, // four single-row stage-census broadcasts into the 4-row summary
-    "x22_term_burstiness"    -> 1L  // single-row n_docs broadcast over the top-32 rows
+    "x22_term_burstiness"    -> 1L, // single-row n_docs broadcast over the top-32 rows
+    "c25_phase_census"       -> 1L  // single-row totals + single-row cut-point broadcasts
   )
 
   /** Queries allowed a window with an empty partition spec, with the
@@ -84,7 +85,8 @@ class PlanSweepSpec extends AnyFunSuite with SparkTestBase {
     "p8_offset_slice"      -> 600L, // bounded serial stage, limit upstream
     "x14_term_coverage"    -> 20L,  // cumulative share over the top-20 rows only
     "x18_zipf_audit"       -> 32L,  // rank + running max over the top-32 rows only
-    "x20_gram_novelty_decay" -> 10L // cumulative windows over the ≤10-row decile spine
+    "x20_gram_novelty_decay" -> 10L, // cumulative windows over the ≤10-row decile spine
+    "c25_phase_census"     -> 1024L // cumulative count over value-domain-bounded length-histogram bins
   )
 
   test("no query plans a CartesianProduct, an unexpected BNLJ, or an unbounded global window") {
