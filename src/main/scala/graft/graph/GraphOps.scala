@@ -326,13 +326,51 @@ object GraphOps {
       gammaDen: Long = 1L
   ): DataFrame = {
     val u = Lineage.truncate(und.select(col("a"), col("b")))
+    val m = u.count() // scalar once — no per-pass single-row broadcast
+    mergeFixedPointCore(u.withColumn("gm", lit(m)), labels, maxPasses, gammaNum, gammaDen)
+  }
+
+  /** [[refineMergeFixedPoint]] over a DISJOINT UNION of graphs in ONE pass
+    * chain — the multi-graph batching a production system uses to refine
+    * many independent graphs/communities in one job instead of one
+    * driver-sequenced chain per graph (per-pass cost is driver fixed
+    * overhead, so k small graphs batched cost ~1× the passes, not k×).
+    * `undGm` is (a, b, gm) where gm = the OWNING graph's edge count —
+    * the one global the gain formula needs; everything else (degrees,
+    * labels, picks, mutual pairs) is already per-component. Vertex-id
+    * spaces must be disjoint across the batched graphs. Each component's
+    * result is identical to a solo [[refineMergeFixedPoint]] run with the
+    * same pass budget (disjoint graphs share no keys; a converged
+    * component no-ops through the remaining passes).
+    */
+  def refineMergeFixedPointBatched(
+      undGm: DataFrame,
+      labels: DataFrame,
+      maxPasses: Int = 8,
+      gammaNum: Long = 1L,
+      gammaDen: Long = 1L
+  ): DataFrame =
+    mergeFixedPointCore(
+      Lineage.truncate(undGm.select(col("a"), col("b"), col("gm"))),
+      labels,
+      maxPasses,
+      gammaNum,
+      gammaDen
+    )
+
+  private def mergeFixedPointCore(
+      u: DataFrame, // (a, b, gm) — materialized
+      labels: DataFrame,
+      maxPasses: Int,
+      gammaNum: Long,
+      gammaDen: Long
+  ): DataFrame = {
     val deg = Lineage.truncate(
       u.select(col("a").as("id"))
         .unionAll(u.select(col("b").as("id")))
         .groupBy("id")
         .agg(count(lit(1)).as("deg"))
     )
-    val m = u.count() // scalar once — no per-pass single-row broadcast
     // Loop state carries the pass-invariant vertex degree so the community
     // degree sum is ONE aggregate per pass, not a join + aggregate
     // (edgeless vertices coalesce to 0 — they never appear in inter).
@@ -354,22 +392,25 @@ object GraphOps {
       // relabel frame.
       val xa = cur.select(col("id").as("a"), col("lbl").as("ca"))
       val xb = cur.select(col("id").as("b"), col("lbl").as("cb"))
+      // gm (the owning graph's edge count) rides the canonical-pair
+      // aggregate: both communities of an inter pair live in one graph,
+      // so min() just reads it through
       val half = u
         .join(xa, "a")
         .join(xb, "b")
         .filter(col("ca") =!= col("cb"))
         .groupBy(least(col("ca"), col("cb")).as("cx"), greatest(col("ca"), col("cb")).as("cy"))
-        .agg(count(lit(1)).as("e12"))
+        .agg(count(lit(1)).as("e12"), min(col("gm")).as("gm"))
       val inter = half
-        .select(col("cx").as("c1"), col("cy").as("c2"), col("e12"))
-        .unionAll(half.select(col("cy").as("c1"), col("cx").as("c2"), col("e12")))
+        .select(col("cx").as("c1"), col("cy").as("c2"), col("e12"), col("gm"))
+        .unionAll(half.select(col("cy").as("c1"), col("cx").as("c2"), col("e12"), col("gm")))
       val commDeg = cur.groupBy(col("lbl")).agg(sum(col("deg")).as("d"))
       val gains = inter
         .join(commDeg.select(col("lbl").as("c1"), col("d").as("d1")), "c1")
         .join(commDeg.select(col("lbl").as("c2"), col("d").as("d2")), "c2")
         .withColumn(
           "gain",
-          lit(gammaDen * 2 * m) * col("e12") - lit(gammaNum) * col("d1") * col("d2")
+          lit(gammaDen * 2) * col("gm") * col("e12") - lit(gammaNum) * col("d1") * col("d2")
         )
       val relabel = mutualPairs(picksFromGains(gains))
         .select(col("dst").as("lbl"), col("src").as("new_lbl"))
@@ -451,13 +492,58 @@ object GraphOps {
       gateDen: Long = 6L
   ): DataFrame = {
     val u = Lineage.truncate(und.select(col("a"), col("b")))
+    val m = u.count() // scalar once — no per-pass single-row broadcast
+    refineWithinCore(
+      u.withColumn("gm", lit(m)),
+      parent,
+      maxPasses,
+      gammaNum,
+      gammaDen,
+      gateNum,
+      gateDen
+    )
+  }
+
+  /** [[refineWithinFixedPoint]] over a DISJOINT UNION of graphs in one
+    * pass chain (see [[refineMergeFixedPointBatched]] for the batching
+    * contract): `undGm` = (a, b, gm) with gm = the owning graph's edge
+    * count; vertex-id spaces disjoint; per-component results identical to
+    * solo runs with the same pass budget.
+    */
+  def refineWithinFixedPointBatched(
+      undGm: DataFrame,
+      parent: DataFrame,
+      maxPasses: Int = 6,
+      gammaNum: Long = 1L,
+      gammaDen: Long = 1L,
+      gateNum: Long = 1L,
+      gateDen: Long = 6L
+  ): DataFrame =
+    refineWithinCore(
+      Lineage.truncate(undGm.select(col("a"), col("b"), col("gm"))),
+      parent,
+      maxPasses,
+      gammaNum,
+      gammaDen,
+      gateNum,
+      gateDen
+    )
+
+  private def refineWithinCore(
+      u: DataFrame, // (a, b, gm) — materialized
+      parent: DataFrame,
+      maxPasses: Int,
+      gammaNum: Long,
+      gammaDen: Long,
+      gateNum: Long,
+      gateDen: Long
+  ): DataFrame = {
     val deg = Lineage.truncate(
       u.select(col("a").as("id"))
         .unionAll(u.select(col("b").as("id")))
         .groupBy("id")
         .agg(count(lit(1)).as("deg"))
     )
-    val m   = u.count() // scalar once — no per-pass single-row broadcast
     val par = parent.select(col("id"), col("lbl").as("parent"))
     val psz = par.groupBy("parent").agg(count(lit(1)).as("psz"))
     // Loop state carries the PASS-INVARIANT per-vertex columns (vertex
@@ -497,10 +583,12 @@ object GraphOps {
           greatest(col("ca"), col("cb")).as("cy"),
           col("pa").as("parent")
         )
-        .agg(count(lit(1)).as("e12"))
+        .agg(count(lit(1)).as("e12"), min(col("gm")).as("gm"))
       val inter = half
-        .select(col("cx").as("c1"), col("cy").as("c2"), col("parent"), col("e12"))
-        .unionAll(half.select(col("cy").as("c1"), col("cx").as("c2"), col("parent"), col("e12")))
+        .select(col("cx").as("c1"), col("cy").as("c2"), col("parent"), col("e12"), col("gm"))
+        .unionAll(
+          half.select(col("cy").as("c1"), col("cx").as("c2"), col("parent"), col("e12"), col("gm"))
+        )
       // Sub-community size, degree sum and parent size in ONE keyed
       // aggregate over the state frame (they were two aggregates plus a
       // psz join — r11 #2); psz is constant within a parent, so min() just
@@ -534,7 +622,7 @@ object GraphOps {
         )
         .withColumn(
           "gain",
-          lit(gammaDen * 2 * m) * col("e12") - lit(gammaNum) * col("d1") * col("d2")
+          lit(gammaDen * 2) * col("gm") * col("e12") - lit(gammaNum) * col("d1") * col("d2")
         )
       // mutual pairs only (disjoint, src < dst — so only the dst side
       // relabels); derived by ONE keyed aggregate over the picks

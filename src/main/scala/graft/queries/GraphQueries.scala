@@ -1031,79 +1031,94 @@ object GraphQueries extends QueryModule {
     graft.Tuning.dimensionGraphProfile(s)(graft.Lineage.truncate(g8dLadders(s, d)))
 
   private def g8dLadders(s: SparkSession, d: String): DataFrame = {
-    def score(graphName: String, verts: DataFrame, undRaw: DataFrame): DataFrame = {
-      val und = graft.Lineage.truncate(undRaw)
-      val lpa = graft.Lineage.truncate(
-        GraphOps.labelPropagation(verts, und.select(col("a").as("src"), col("b").as("dst")), 3)
+    // BATCHED ladder (r12): the two dumbbells run as a DISJOINT UNION
+    // through ONE pass chain — the ballast copy's vertex ids offset by
+    // +1000 (nation is a fixed 25-row dimension, keys < 1000 at any SF)
+    // and each edge carrying its graph's edge count gm, the one global
+    // the gain formula needs (GraphOps.refineMergeFixedPointBatched).
+    // Per-pass cost is driver fixed overhead, so batching halves the
+    // ladder's wall time vs the two future-overlapped chains it replaces;
+    // per-graph results are identical by shift isomorphism (all label
+    // comparisons are order-preserving under a uniform +1000 shift).
+    val (v1, u1raw) = dumbbellUnd(s, d, ballast = false)
+    val (v2, u2raw) = dumbbellUnd(s, d, ballast = true)
+    val u1 = graft.Lineage.truncate(u1raw)
+    val u2 = graft.Lineage.truncate(u2raw)
+    val m1 = u1.count()
+    val m2 = u2.count()
+    val und = graft.Lineage.truncate(
+      u1.select(col("a"), col("b"), lit(m1).as("gm"))
+        .unionByName(
+          u2.select((col("a") + 1000).as("a"), (col("b") + 1000).as("b"), lit(m2).as("gm"))
+        )
+    )
+    val verts = v1.select(col("id")).unionByName(v2.select((col("id") + 1000).as("id")))
+    val lpa = graft.Lineage.truncate(
+      GraphOps.labelPropagation(verts, und.select(col("a").as("src"), col("b").as("dst")), 3)
+    )
+    val fixed =
+      graft.Lineage.truncate(GraphOps.refineMergeFixedPointBatched(und, lpa, maxPasses = 4))
+    val refined = GraphOps.refineWithinFixedPointBatched(und, fixed, maxPasses = 6)
+    // BOTH partitions of BOTH graphs scored through ONE tagged pipeline
+    // (r11 #2's action-count discipline): union the labelings under a
+    // w∈{f,r} tag, derive the graph from the id range, run the modularity
+    // ingredients once grouped by (graph, w), pivot with a single final
+    // aggregate. Same integer arithmetic as GraphOps.modularityComponents:
+    // q_num = 4·m·intra − Σ_c d_c².
+    val tagged = fixed
+      .select(lit("f").as("w"), col("id"), col("lbl"))
+      .unionByName(refined.select(lit("r").as("w"), col("id"), col("lbl")))
+      .withColumn(
+        "graph",
+        when(col("id") < 1000, "dumbbell").otherwise("dumbbell_ballast")
       )
-      val fixed   = graft.Lineage.truncate(GraphOps.refineMergeFixedPoint(und, lpa, maxPasses = 4))
-      val refined = GraphOps.refineWithinFixedPoint(und, fixed, maxPasses = 6)
-      // BOTH partitions scored through ONE tagged pipeline (r11 #2's
-      // action-count discipline applied to the scoring tail): union the
-      // two labelings under a w∈{f,r} tag, run the modularity ingredients
-      // once grouped by w, and pivot the two rows into the output shape
-      // with a single final aggregate — replacing two modularityComponents
-      // calls plus two countDistinct actions (~32 AQE stage jobs → ~8).
-      // Same integer arithmetic as GraphOps.modularityComponents:
-      // q_num = 4·m·intra − Σ_c d_c².
-      val tagged = fixed
-        .select(lit("f").as("w"), col("id"), col("lbl"))
-        .unionByName(refined.select(lit("r").as("w"), col("id"), col("lbl")))
-      val ea = tagged.select(col("w"), col("id").as("a"), col("lbl").as("la"))
-      val eb = tagged.select(col("w"), col("id").as("b"), col("lbl").as("lb"))
-      val edgeAgg = und
-        .join(ea, "a")
-        .join(eb, Seq("b", "w"))
-        .groupBy(col("w"))
-        .agg(
-          count(lit(1)).as("m"),
-          sum(when(col("la") === col("lb"), 1L).otherwise(0L)).as("intra")
-        )
-      val deg = und
-        .select(col("a").as("id"))
-        .unionAll(und.select(col("b").as("id")))
-        .groupBy("id")
-        .agg(count(lit(1)).as("deg"))
-      // LEFT join: vertices with no edges still carry their singleton
-      // community into n_comms (the oracle counts every label), with a
-      // zero degree contribution to Σd².
-      val degAgg = tagged
-        .join(deg, Seq("id"), "left")
-        .groupBy(col("w"), col("lbl"))
-        .agg(sum(coalesce(col("deg"), lit(0L))).as("dsum"))
-        .groupBy(col("w"))
-        .agg(sum(col("dsum") * col("dsum")).as("sum_d2"), count(lit(1)).as("n_comms"))
-      edgeAgg
-        .join(degAgg, "w")
-        .agg(
-          max(when(col("w") === "f", col("m"))).cast("long").as("n_edges"),
-          max(when(col("w") === "f", lit(4) * col("m") * col("intra") - col("sum_d2")))
-            .cast("long")
-            .as("q_num_fixed"),
-          max(when(col("w") === "r", lit(4) * col("m") * col("intra") - col("sum_d2")))
-            .cast("long")
-            .as("q_num_refined"),
-          max(when(col("w") === "f", col("n_comms"))).cast("long").as("n_comms_fixed"),
-          max(when(col("w") === "r", col("n_comms"))).cast("long").as("n_comms_refined")
-        )
-        .select(
-          lit(graphName).as("graph"),
-          col("n_edges"),
-          col("q_num_fixed"),
-          col("q_num_refined"),
-          col("n_comms_fixed"),
-          col("n_comms_refined")
-        )
-    }
-    val (v1, u1) = dumbbellUnd(s, d, ballast = false)
-    val (v2, u2) = dumbbellUnd(s, d, ballast = true)
-    // Overlap the two graphs' eager truncate chains (see g7).
-    import scala.concurrent.{Await, Future}
-    import scala.concurrent.duration.Duration
-    import scala.concurrent.ExecutionContext.Implicits.global
-    val fa = Future(score("dumbbell", v1, u1))
-    val fb = Future(score("dumbbell_ballast", v2, u2))
-    Await.result(fa, Duration.Inf).unionByName(Await.result(fb, Duration.Inf))
+    val ea =
+      tagged.select(col("graph"), col("w"), col("id").as("a"), col("lbl").as("la"))
+    val eb = tagged.select(col("w"), col("id").as("b"), col("lbl").as("lb"))
+    val edgeAgg = und
+      .join(ea, "a")
+      .join(eb, Seq("b", "w"))
+      .groupBy(col("graph"), col("w"))
+      .agg(
+        count(lit(1)).as("m"),
+        sum(when(col("la") === col("lb"), 1L).otherwise(0L)).as("intra")
+      )
+    val deg = und
+      .select(col("a").as("id"))
+      .unionAll(und.select(col("b").as("id")))
+      .groupBy("id")
+      .agg(count(lit(1)).as("deg"))
+    // LEFT join: vertices with no edges still carry their singleton
+    // community into n_comms (the oracle counts every label), with a
+    // zero degree contribution to Σd².
+    val degAgg = tagged
+      .join(deg, Seq("id"), "left")
+      .groupBy(col("graph"), col("w"), col("lbl"))
+      .agg(sum(coalesce(col("deg"), lit(0L))).as("dsum"))
+      .groupBy(col("graph"), col("w"))
+      .agg(sum(col("dsum") * col("dsum")).as("sum_d2"), count(lit(1)).as("n_comms"))
+    edgeAgg
+      .join(degAgg, Seq("graph", "w"))
+      .groupBy(col("graph"))
+      .agg(
+        max(when(col("w") === "f", col("m"))).cast("long").as("n_edges"),
+        max(when(col("w") === "f", lit(4) * col("m") * col("intra") - col("sum_d2")))
+          .cast("long")
+          .as("q_num_fixed"),
+        max(when(col("w") === "r", lit(4) * col("m") * col("intra") - col("sum_d2")))
+          .cast("long")
+          .as("q_num_refined"),
+        max(when(col("w") === "f", col("n_comms"))).cast("long").as("n_comms_fixed"),
+        max(when(col("w") === "r", col("n_comms"))).cast("long").as("n_comms_refined")
+      )
+      .select(
+        col("graph"),
+        col("n_edges"),
+        col("q_num_fixed"),
+        col("q_num_refined"),
+        col("n_comms_fixed"),
+        col("n_comms_refined")
+      )
   }
 
   /** G8e — the INTEGRATED LEIDEN SWEEP, measured against the merge-only
@@ -1151,79 +1166,112 @@ object GraphQueries extends QueryModule {
 
   private def g8eSweeps(s: SparkSession, d: String): DataFrame = {
     val res = Seq((2L, 1L), (1L, 2L), (1L, 10L))
-    // The four sweeps (2 graphs × 2 variants) are independent pass chains
-    // of ~10-20 tiny jobs each — overlap ALL of them (not just the two
-    // graphs), so wall time is the slowest single chain, not the sum of
-    // two chains per graph.
-    import scala.concurrent.{Await, Future}
-    import scala.concurrent.duration.Duration
-    import scala.concurrent.ExecutionContext.Implicits.global
-    def sweep(graphName: String, verts: DataFrame, undRaw: DataFrame): DataFrame = {
-      val und = graft.Lineage.truncate(undRaw)
-      val fMerge =
-        Future(graft.Lineage.truncate(GraphOps.resolutionHierarchy(verts, und, res, 3, 3, 0)))
-      val fInteg =
-        Future(graft.Lineage.truncate(GraphOps.resolutionHierarchy(verts, und, res, 3, 3, 4)))
-      val mergeOnly  = Await.result(fMerge, Duration.Inf)
-      val integrated = Await.result(fInteg, Duration.Inf)
-      val levels = Seq("r20" -> "community_0", "r05" -> "community_1", "r01" -> "community_2")
-      // Six labelings → ONE scoring pipeline keyed by (level, variant):
-      // the g8d tagged-score discipline, so the whole comparison costs one
-      // edge-labeling aggregate and one degree aggregate.
-      def tag(h: DataFrame, v: String): DataFrame = levels
-        .map { case (lv, c) =>
-          h.select(lit(lv).as("level"), lit(v).as("v"), col("id"), col(c).as("lbl"))
-        }
-        .reduce(_ unionByName _)
-      val tagged = tag(mergeOnly, "m").unionByName(tag(integrated, "r"))
-      val ea     = tagged.select(col("level"), col("v"), col("id").as("a"), col("lbl").as("la"))
-      val eb     = tagged.select(col("level"), col("v"), col("id").as("b"), col("lbl").as("lb"))
-      val edgeAgg = und
-        .join(ea, "a")
-        .join(eb, Seq("b", "level", "v"))
-        .groupBy(col("level"), col("v"))
-        .agg(
-          count(lit(1)).as("m"),
-          sum(when(col("la") === col("lb"), 1L).otherwise(0L)).as("intra")
-        )
-      val deg = und
-        .select(col("a").as("id"))
-        .unionAll(und.select(col("b").as("id")))
-        .groupBy("id")
-        .agg(count(lit(1)).as("deg"))
-      val degAgg = tagged
-        .join(deg, Seq("id"), "left")
-        .groupBy(col("level"), col("v"), col("lbl"))
-        .agg(sum(coalesce(col("deg"), lit(0L))).as("dsum"))
-        .groupBy(col("level"), col("v"))
-        .agg(sum(col("dsum") * col("dsum")).as("sum_d2"), count(lit(1)).as("n_comms"))
-      edgeAgg
-        .join(degAgg, Seq("level", "v"))
-        .groupBy(col("level"))
-        .agg(
-          max(when(col("v") === "m", col("n_comms"))).cast("long").as("n_comms_merge"),
-          max(when(col("v") === "r", col("n_comms"))).cast("long").as("n_comms_refined"),
-          max(when(col("v") === "m", lit(4) * col("m") * col("intra") - col("sum_d2")))
-            .cast("long")
-            .as("q_num_merge"),
-          max(when(col("v") === "r", lit(4) * col("m") * col("intra") - col("sum_d2")))
-            .cast("long")
-            .as("q_num_refined")
-        )
-        .select(
-          lit(graphName).as("graph"),
-          col("level"),
-          col("n_comms_merge"),
-          col("n_comms_refined"),
-          col("q_num_merge"),
-          col("q_num_refined")
-        )
+    // BATCHED sweeps (r12): all four chains — 2 graphs × 2 variants — run
+    // as ONE disjoint union through shared pass chains (the g8d batching
+    // with a second axis). Copies live at id offsets {0, 1000} (merge-only
+    // variant) and {10000, 11000} (integrated variant); each edge carries
+    // its graph's edge count gm. Per level: 3 batched merge passes over
+    // ALL copies (the merge phase is common to both variants), then 4
+    // batched refinement passes over the r-copies only; the level frame
+    // re-unites m-copies' merged labels with r-copies' refined labels and
+    // seeds the next level. 7 driver-sequenced passes per level instead of
+    // the 20 the four solo chains cost; per-copy results identical by
+    // shift isomorphism.
+    val (v1, u1raw) = dumbbellUnd(s, d, ballast = false)
+    val (v2, u2raw) = dumbbellUnd(s, d, ballast = true)
+    val u1 = graft.Lineage.truncate(u1raw)
+    val u2 = graft.Lineage.truncate(u2raw)
+    val m1 = u1.count()
+    val m2 = u2.count()
+    def ecopy(u: DataFrame, m: Long, off: Long): DataFrame =
+      u.select((col("a") + off).as("a"), (col("b") + off).as("b"), lit(m).as("gm"))
+    def vcopy(v: DataFrame, off: Long): DataFrame = v.select((col("id") + off).as("id"))
+    val und4 = graft.Lineage.truncate(
+      ecopy(u1, m1, 0L)
+        .unionByName(ecopy(u2, m2, 1000L))
+        .unionByName(ecopy(u1, m1, 10000L))
+        .unionByName(ecopy(u2, m2, 11000L))
+    )
+    val undR = und4.filter(col("a") >= 10000)
+    val verts = vcopy(v1, 0L)
+      .unionByName(vcopy(v2, 1000L))
+      .unionByName(vcopy(v1, 10000L))
+      .unionByName(vcopy(v2, 11000L))
+    val lpa = graft.Lineage.truncate(
+      GraphOps.labelPropagation(verts, und4.select(col("a").as("src"), col("b").as("dst")), 3)
+    )
+    var prev = lpa
+    val levelFrames = res.map { case (gn, gd) =>
+      val merged = graft.Lineage.truncate(
+        GraphOps.refineMergeFixedPointBatched(und4, prev, 3, gn, gd)
+      )
+      val refinedR = GraphOps.refineWithinFixedPointBatched(
+        undR,
+        merged.filter(col("id") >= 10000),
+        4,
+        gn,
+        gd
+      )
+      val level = graft.Lineage.truncate(
+        merged.filter(col("id") < 10000).unionByName(refinedR)
+      )
+      prev = level
+      level
     }
-    val (v1, u1) = dumbbellUnd(s, d, ballast = false)
-    val (v2, u2) = dumbbellUnd(s, d, ballast = true)
-    val fa       = Future(sweep("dumbbell", v1, u1))
-    val fb       = Future(sweep("dumbbell_ballast", v2, u2))
-    Await.result(fa, Duration.Inf).unionByName(Await.result(fb, Duration.Inf))
+    // Six labelings per graph → ONE scoring pipeline keyed by
+    // (graph, level, variant); graph and variant derive from the id range.
+    val tagged = levelFrames
+      .zip(Seq("r20", "r05", "r01"))
+      .map { case (f, lv) => f.select(lit(lv).as("level"), col("id"), col("lbl")) }
+      .reduce(_ unionByName _)
+      .withColumn("v", when(col("id") < 10000, "m").otherwise("r"))
+      .withColumn(
+        "graph",
+        when(col("id") % 10000 < 1000, "dumbbell").otherwise("dumbbell_ballast")
+      )
+    val ea = tagged
+      .select(col("level"), col("v"), col("graph"), col("id").as("a"), col("lbl").as("la"))
+    val eb = tagged.select(col("level"), col("v"), col("id").as("b"), col("lbl").as("lb"))
+    val edgeAgg = und4
+      .join(ea, "a")
+      .join(eb, Seq("b", "level", "v"))
+      .groupBy(col("graph"), col("level"), col("v"))
+      .agg(
+        count(lit(1)).as("m"),
+        sum(when(col("la") === col("lb"), 1L).otherwise(0L)).as("intra")
+      )
+    val deg = und4
+      .select(col("a").as("id"))
+      .unionAll(und4.select(col("b").as("id")))
+      .groupBy("id")
+      .agg(count(lit(1)).as("deg"))
+    val degAgg = tagged
+      .join(deg, Seq("id"), "left")
+      .groupBy(col("graph"), col("level"), col("v"), col("lbl"))
+      .agg(sum(coalesce(col("deg"), lit(0L))).as("dsum"))
+      .groupBy(col("graph"), col("level"), col("v"))
+      .agg(sum(col("dsum") * col("dsum")).as("sum_d2"), count(lit(1)).as("n_comms"))
+    edgeAgg
+      .join(degAgg, Seq("graph", "level", "v"))
+      .groupBy(col("graph"), col("level"))
+      .agg(
+        max(when(col("v") === "m", col("n_comms"))).cast("long").as("n_comms_merge"),
+        max(when(col("v") === "r", col("n_comms"))).cast("long").as("n_comms_refined"),
+        max(when(col("v") === "m", lit(4) * col("m") * col("intra") - col("sum_d2")))
+          .cast("long")
+          .as("q_num_merge"),
+        max(when(col("v") === "r", lit(4) * col("m") * col("intra") - col("sum_d2")))
+          .cast("long")
+          .as("q_num_refined")
+      )
+      .select(
+        col("graph"),
+        col("level"),
+        col("n_comms_merge"),
+        col("n_comms_refined"),
+        col("q_num_merge"),
+        col("q_num_refined")
+      )
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
