@@ -654,7 +654,77 @@ object Aggregations extends QueryModule {
       )
   }
 
+  /** A26 — FLEISS' KAPPA: the corpus-level chance-corrected
+    * inter-annotator agreement statistic (Fleiss 1971) over a24's vote
+    * table — the one number a labeling campaign reports before anyone
+    * trusts the labels a24/a25 consolidate. κ = (P̄o − P̄e)/(1 − P̄e) with
+    *   P̄o = Σ_i Σ_c n_ic(n_ic−1) / (N·n·(n−1))   (observed agreement)
+    *   P̄e = Σ_c T_c² / (N·n)²                    (chance agreement),
+    * kept EXACT: with n = 5 annotators the whole expression reduces to
+    * κ·bp = 10000·(5N·PoNum − 4·PeNum) div (4·(25N² − PeNum)) — one
+    * integral divide over DECIMAL(38,0) sufficient statistics (x23's
+    * overflow discipline: T_c² sums would overflow a long once N·n
+    * passes ~3×10⁹; products here stay ≤ ~100N², inside 38 digits to
+    * N ≈ 10¹⁸).
+    *
+    * Scale shape: one (item, label) count aggregate (shared shape with
+    * a24), then two branches — a single-row item aggregate for PoNum/N
+    * and a |labels|-row aggregate for the label masses — joined by one
+    * broadcast. Never a pairwise annotator join (the naive κ computes
+    * C(n,2) agreements per item; the n_ic(n_ic−1) identity removes it).
+    * Measured (sf0.01, the a24 vote table: 3 aligned annotators + 2
+    * noise): P̄o 4798 bp, P̄e 2500 bp, κ 3063 bp — "fair agreement", the
+    * honest verdict on a 60%-reliable panel.
+    */
+  private def a26_fleiss_kappa(s: SparkSession, d: String): DataFrame = {
+    val votes = table(s, d, "documents")
+      .select(col("doc_id"), explode(expr("sequence(0, 4)")).as("k"))
+      .select(
+        col("doc_id"),
+        when(
+          col("k") <= 2,
+          col("doc_id") % 4
+        ).otherwise(
+          expr(
+            "cast(conv(substr(md5(concat(cast(doc_id as string), '|', cast(k as string))), 1, 6), 16, 10) as bigint) % 4"
+          )
+        ).as("label")
+      )
+    val cnt = graft.Lineage.truncate(
+      votes.groupBy(col("doc_id"), col("label")).agg(count(lit(1)).as("n"))
+    )
+    val po = cnt.agg(
+      countDistinct(col("doc_id")).as("n_items"),
+      sum(col("n") * (col("n") - 1)).as("po_num")
+    )
+    val pe = cnt
+      .groupBy(col("label"))
+      .agg(sum(col("n")).as("t"))
+      .agg(
+        sum(expr("cast(t as decimal(38,0)) * cast(t as decimal(38,0))")).as("pe_num")
+      )
+    po
+      .crossJoin(broadcast(pe))
+      .select(
+        col("n_items").cast("long").as("n_items"),
+        lit(5L).as("n_annotators"),
+        expr("10000 * po_num div (20 * n_items)").cast("long").as("po_bp"),
+        expr(
+          """cast(10000 as decimal(38,0)) * pe_num div
+             (cast(25 as decimal(38,0)) * n_items * n_items)"""
+        ).cast("long").as("pe_bp"),
+        expr(
+          """(cast(10000 as decimal(38,0)) *
+              (cast(5 as decimal(38,0)) * n_items * po_num - cast(4 as decimal(38,0)) * pe_num))
+             div
+             (cast(4 as decimal(38,0)) *
+              (cast(25 as decimal(38,0)) * n_items * n_items - pe_num))"""
+        ).cast("long").as("kappa_bp")
+      )
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "a26_fleiss_kappa" -> (a26_fleiss_kappa _),
     "a25_weighted_labels" -> (a25_weighted_labels _),
     "a24_label_aggregation" -> (a24_label_aggregation _),
     "a23_weighted_median" -> (a23_weighted_median _),
@@ -683,6 +753,26 @@ object Aggregations extends QueryModule {
   )
 
   val oracles: Map[String, String] = Map(
+    "a26_fleiss_kappa" ->
+      """WITH v AS (
+           SELECT doc_id, k,
+                  CASE WHEN k <= 2 THEN doc_id % 4
+                       ELSE ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|' || CAST(k AS VARCHAR)), 1, 6))::BIGINT % 4
+                  END AS label
+           FROM documents, unnest(generate_series(0, 4)) AS t(k)),
+         cnt AS (SELECT doc_id, label, count(*) AS n FROM v GROUP BY 1, 2),
+         po AS (SELECT count(DISTINCT doc_id) AS n_items,
+                       sum(n * (n - 1)) AS po_num
+                FROM cnt),
+         tc AS (SELECT label, sum(n) AS t FROM cnt GROUP BY 1),
+         pe AS (SELECT sum(t * t) AS pe_num FROM tc)
+         SELECT CAST(n_items AS BIGINT) AS n_items,
+                CAST(5 AS BIGINT) AS n_annotators,
+                CAST(10000 * po_num // (20 * n_items) AS BIGINT) AS po_bp,
+                CAST(10000 * pe_num // (25 * n_items * n_items) AS BIGINT) AS pe_bp,
+                CAST((10000 * (5 * n_items * po_num - 4 * pe_num))
+                     // (4 * (25 * n_items * n_items - pe_num)) AS BIGINT) AS kappa_bp
+         FROM po, pe""",
     "a25_weighted_labels" ->
       """WITH v AS (
            SELECT doc_id, k,
