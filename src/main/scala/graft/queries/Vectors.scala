@@ -321,7 +321,73 @@ object Vectors extends QueryModule {
     )
   }
 
+  /** S19e — PRODUCT QUANTIZATION codebook + encoding (Jégou–Douze–Schmid
+    * 2011, the compression rung between s24's scalar quantization and
+    * s19c's IVF routing): the 64-dim vector splits into M = 4 subvectors
+    * of 16 dims; each SUBSPACE trains its own 8-centroid codebook by one
+    * deterministic Lloyd iteration (s27's discipline transplanted per
+    * subspace — vec_id < 8 seeds, integer-quantized L2, smaller-seed
+    * tiebreak, integer centroid means), then every vector ENCODES as 4
+    * one-byte codes — 256 B of floats to 4 B per vector, the 64×
+    * compression that lets a 100 TB corpus keep its whole index in
+    * executor memory for ADC scanning. Output: the (subspace, code) CELL
+    * CENSUS — membership and integer SSE — the distortion-vs-balance
+    * table an ANN run reads before committing to PQ (dead codes and fat
+    * cells surface here, d15's pricing discipline for the PQ knob).
+    *
+    * Scale shape: one posexplode → per-subspace seed broadcast (8×64
+    * rows) → two keyed argmin aggregates (train-assign, then encode
+    * against the trained centroids, each min(struct(d2, id)) — never a
+    * pairwise vector join); the codebook that encodes is itself a
+    * broadcast (M·K·16 = 512 rows at any corpus size).
+    */
+  private def s19e_pq_encode(s: SparkSession, d: String): DataFrame = {
+    val sw = Dim / 4 // 4 subspaces × 16 dims
+    val dims = graft.Lineage.truncate(
+      table(s, d, "embeddings")
+        .select(col("vec_id"), posexplode(col("embedding").cast("array<double>")))
+        .select(
+          col("vec_id"),
+          expr(s"pos div $sw").cast("long").as("sub"),
+          col("pos").cast("long").as("pos"),
+          floor(col("col") * 1024).cast("long").as("q")
+        )
+    )
+    val seeds = dims
+      .filter(col("vec_id") < 8)
+      .select(col("vec_id").as("seed"), col("sub"), col("pos"), col("q").as("cq"))
+    val assign1 = dims
+      .join(broadcast(seeds), Seq("sub", "pos"))
+      .groupBy(col("vec_id"), col("sub"), col("seed"))
+      .agg(sum((col("q") - col("cq")) * (col("q") - col("cq"))).as("d2"))
+      .groupBy(col("vec_id"), col("sub"))
+      .agg(min(struct(col("d2"), col("seed"))).as("m"))
+      .select(col("vec_id"), col("sub"), col("m.seed").as("cluster"))
+    val cents = dims
+      .join(assign1, Seq("vec_id", "sub"))
+      .groupBy(col("sub"), col("cluster"), col("pos"))
+      .agg(count(lit(1)).as("cn"), sum(col("q") + lit(1024L)).as("sp"))
+      .select(col("sub"), col("cluster"), col("pos"), (expr("sp div cn") - 1024L).as("mean_q"))
+    val encoded = dims
+      .join(broadcast(cents), Seq("sub", "pos"))
+      .groupBy(col("vec_id"), col("sub"), col("cluster"))
+      .agg(sum((col("q") - col("mean_q")) * (col("q") - col("mean_q"))).as("d2"))
+      .groupBy(col("vec_id"), col("sub"))
+      .agg(min(struct(col("d2"), col("cluster"))).as("m"))
+      .select(col("vec_id"), col("sub"), col("m.cluster").as("code"), col("m.d2").as("sse"))
+    encoded
+      .groupBy(col("sub"), col("code"))
+      .agg(count(lit(1)).as("n_vectors"), sum(col("sse")).as("sse_q"))
+      .select(
+        col("sub"),
+        col("code").cast("long").as("code"),
+        col("n_vectors").cast("long").as("n_vectors"),
+        col("sse_q").cast("long").as("sse_q")
+      )
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s19e_pq_encode" -> (s19e_pq_encode _),
     "s24_scalar_quantize" -> (s24_scalar_quantize _),
     "s19_knn_cosine" -> (s19_knn_cosine _),
     "s19b_knn_bucketed" -> (s19b_knn_bucketed _),
@@ -368,6 +434,34 @@ object Vectors extends QueryModule {
                  CAST((n * d2q - sm) * (n * d2q - sm) > 9 * (n * ss - sm * sm)
                       AS INT) AS is_outlier
           FROM d2 JOIN st USING (label)""",
+    "s19e_pq_encode" ->
+      s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+          vq AS (SELECT vec_id, CAST((i - 1) // ${Dim / 4} AS BIGINT) AS sub,
+                        CAST(i - 1 AS BIGINT) AS pos,
+                        CAST(floor(e[i] * 1024) AS BIGINT) AS q
+                 FROM v, (SELECT unnest(range(1, ${Dim + 1})) AS i)),
+          seeds AS (SELECT vec_id AS seed, sub, pos, q AS cq FROM vq WHERE vec_id < 8),
+          d1 AS (SELECT vq.vec_id, vq.sub, seeds.seed,
+                        sum((q - cq) * (q - cq)) AS d2
+                 FROM vq JOIN seeds USING (sub, pos) GROUP BY 1, 2, 3),
+          a1 AS (SELECT vec_id, sub, seed AS cluster,
+                        row_number() OVER (PARTITION BY vec_id, sub ORDER BY d2, seed) AS rn
+                 FROM d1),
+          m1 AS (SELECT vec_id, sub, cluster FROM a1 WHERE rn = 1),
+          cents AS (SELECT vq.sub, m1.cluster, vq.pos,
+                           CAST((sum(q + 1024) // count(*)) - 1024 AS BIGINT) AS mean_q
+                    FROM vq JOIN m1 USING (vec_id, sub) GROUP BY 1, 2, 3),
+          d2s AS (SELECT vq.vec_id, vq.sub, cents.cluster,
+                         sum((q - mean_q) * (q - mean_q)) AS d2
+                  FROM vq JOIN cents USING (sub, pos) GROUP BY 1, 2, 3),
+          a2 AS (SELECT vec_id, sub, cluster AS code, d2,
+                        row_number() OVER (PARTITION BY vec_id, sub ORDER BY d2, cluster) AS rn
+                 FROM d2s),
+          m2 AS (SELECT vec_id, sub, code, d2 FROM a2 WHERE rn = 1)
+          SELECT sub, CAST(code AS BIGINT) AS code,
+                 CAST(count(*) AS BIGINT) AS n_vectors,
+                 CAST(sum(d2) AS BIGINT) AS sse_q
+          FROM m2 GROUP BY 1, 2""",
     "s27_ivf_train" ->
       s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
           vq AS (SELECT vec_id, CAST(i AS BIGINT) AS pos,
