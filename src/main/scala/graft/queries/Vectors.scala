@@ -342,6 +342,26 @@ object Vectors extends QueryModule {
     * broadcast (M·K·16 = 512 rows at any corpus size).
     */
   private def s19e_pq_encode(s: SparkSession, d: String): DataFrame = {
+    val (_, _, encoded) = pqEncoded(s, d)
+    encoded
+      .groupBy(col("sub"), col("code"))
+      .agg(count(lit(1)).as("n_vectors"), sum(col("sse")).as("sse_q"))
+      .select(
+        col("sub"),
+        col("code").cast("long").as("code"),
+        col("n_vectors").cast("long").as("n_vectors"),
+        col("sse_q").cast("long").as("sse_q")
+      )
+  }
+
+  /** The shared PQ training + encoding chain behind s19e/s19f: returns
+    * (dims, cents, encoded) = the quantized per-(sub, pos) components, the
+    * trained per-subspace codebook (sub, cluster, pos, mean_q — M·K·16 =
+    * 512 rows at any corpus size), and each vector's code assignment
+    * (vec_id, sub, code, sse). See [[s19e_pq_encode]] for the training
+    * discipline.
+    */
+  private def pqEncoded(s: SparkSession, d: String): (DataFrame, DataFrame, DataFrame) = {
     val sw = Dim / 4 // 4 subspaces × 16 dims
     val dims = graft.Lineage.truncate(
       table(s, d, "embeddings")
@@ -375,19 +395,45 @@ object Vectors extends QueryModule {
       .groupBy(col("vec_id"), col("sub"))
       .agg(min(struct(col("d2"), col("cluster"))).as("m"))
       .select(col("vec_id"), col("sub"), col("m.cluster").as("code"), col("m.d2").as("sse"))
+    (dims, cents, encoded)
+  }
+
+  /** S19f — PQ ASYMMETRIC-DISTANCE top-k (the ADC scan of
+    * Jégou–Douze–Schmid 2011 §IV, the query path s19e's codebook exists
+    * for): the query subvectors are NOT quantized; instead a 32-row
+    * LOOKUP TABLE lut(sub, code) = ‖q_sub − centroid(sub, code)‖² is
+    * precomputed once per query, and every stored vector's approximate
+    * distance is the sum of its 4 codes' table entries. Per-vector scan
+    * cost collapses from 64 multiply-adds to 4 table lookups + 3 adds —
+    * with the 4-byte codes of s19e, the scan that makes billion-vector
+    * exhaustive search affordable (the FAISS IndexPQ shape).
+    *
+    * Scale shape: the lut is a (≤M·K)-row broadcast built from the
+    * query's 64 components joined to the 512-row codebook; the ADC pass
+    * is one broadcast-hash equi-join on (sub, code) + one vec_id-keyed
+    * sum; the top-k is TakeOrderedAndProject (O(k) per partition, no
+    * global sort). Approximate by construction — rank error vs s19's
+    * exact cosine is the quantization distortion s19e's census prices.
+    */
+  private def s19f_pq_adc(s: SparkSession, d: String): DataFrame = {
+    val (dims, cents, encoded) = pqEncoded(s, d)
+    val qdims = dims.filter(col("vec_id") === 0).select(col("sub"), col("pos"), col("q"))
+    val lut = qdims
+      .join(cents, Seq("sub", "pos"))
+      .groupBy(col("sub"), col("cluster").as("code"))
+      .agg(sum((col("q") - col("mean_q")) * (col("q") - col("mean_q"))).as("qd2"))
     encoded
-      .groupBy(col("sub"), col("code"))
-      .agg(count(lit(1)).as("n_vectors"), sum(col("sse")).as("sse_q"))
-      .select(
-        col("sub"),
-        col("code").cast("long").as("code"),
-        col("n_vectors").cast("long").as("n_vectors"),
-        col("sse_q").cast("long").as("sse_q")
-      )
+      .join(broadcast(lut), Seq("sub", "code"))
+      .groupBy(col("vec_id"))
+      .agg(sum(col("qd2")).as("adc_q"))
+      .orderBy(col("adc_q").asc, col("vec_id").asc)
+      .limit(K)
+      .select(col("vec_id"), col("adc_q").cast("long").as("adc_q"))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s19e_pq_encode" -> (s19e_pq_encode _),
+    "s19f_pq_adc" -> (s19f_pq_adc _),
     "s24_scalar_quantize" -> (s24_scalar_quantize _),
     "s19_knn_cosine" -> (s19_knn_cosine _),
     "s19b_knn_bucketed" -> (s19b_knn_bucketed _),
@@ -462,6 +508,39 @@ object Vectors extends QueryModule {
                  CAST(count(*) AS BIGINT) AS n_vectors,
                  CAST(sum(d2) AS BIGINT) AS sse_q
           FROM m2 GROUP BY 1, 2""",
+    "s19f_pq_adc" ->
+      s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+          vq AS (SELECT vec_id, CAST((i - 1) // ${Dim / 4} AS BIGINT) AS sub,
+                        CAST(i - 1 AS BIGINT) AS pos,
+                        CAST(floor(e[i] * 1024) AS BIGINT) AS q
+                 FROM v, (SELECT unnest(range(1, ${Dim + 1})) AS i)),
+          seeds AS (SELECT vec_id AS seed, sub, pos, q AS cq FROM vq WHERE vec_id < 8),
+          d1 AS (SELECT vq.vec_id, vq.sub, seeds.seed,
+                        sum((q - cq) * (q - cq)) AS d2
+                 FROM vq JOIN seeds USING (sub, pos) GROUP BY 1, 2, 3),
+          a1 AS (SELECT vec_id, sub, seed AS cluster,
+                        row_number() OVER (PARTITION BY vec_id, sub ORDER BY d2, seed) AS rn
+                 FROM d1),
+          m1 AS (SELECT vec_id, sub, cluster FROM a1 WHERE rn = 1),
+          cents AS (SELECT vq.sub, m1.cluster, vq.pos,
+                           CAST((sum(q + 1024) // count(*)) - 1024 AS BIGINT) AS mean_q
+                    FROM vq JOIN m1 USING (vec_id, sub) GROUP BY 1, 2, 3),
+          d2s AS (SELECT vq.vec_id, vq.sub, cents.cluster,
+                         sum((q - mean_q) * (q - mean_q)) AS d2
+                  FROM vq JOIN cents USING (sub, pos) GROUP BY 1, 2, 3),
+          a2 AS (SELECT vec_id, sub, cluster AS code, d2,
+                        row_number() OVER (PARTITION BY vec_id, sub ORDER BY d2, cluster) AS rn
+                 FROM d2s),
+          m2 AS (SELECT vec_id, sub, code, d2 FROM a2 WHERE rn = 1),
+          lut AS (SELECT vq.sub, cents.cluster AS code,
+                         sum((q - mean_q) * (q - mean_q)) AS qd2
+                  FROM vq JOIN cents USING (sub, pos)
+                  WHERE vq.vec_id = 0 GROUP BY 1, 2),
+          adc AS (SELECT m2.vec_id, sum(qd2) AS adc_q
+                  FROM m2 JOIN lut ON m2.sub = lut.sub AND m2.code = lut.code
+                  GROUP BY 1)
+          SELECT vec_id, CAST(adc_q AS BIGINT) AS adc_q
+          FROM adc ORDER BY adc_q, vec_id LIMIT $K""",
     "s27_ivf_train" ->
       s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
           vq AS (SELECT vec_id, CAST(i AS BIGINT) AS pos,
