@@ -723,7 +723,87 @@ object Aggregations extends QueryModule {
       )
   }
 
+  /** A27 — KRIPPENDORFF'S ALPHA (nominal): the chance-corrected agreement
+    * statistic that, unlike a26's Fleiss κ, tolerates MISSING RATINGS —
+    * the real labeling-campaign regime, where annotators skip items
+    * (Krippendorff 2004). α = 1 − Do/De over the coincidence matrix;
+    * items with fewer than two ratings drop out (the standard rule).
+    *
+    * Kept EXACT via two identities: within an item,
+    * Σ_{c≠k} n_ic·n_ik = m_i² − Σ_c n_ic², so the observed disagreement
+    * needs only per-item (m, Σn²) — never a label-pair join; and the
+    * coincidence row marginal collapses to n_c = Σ_i n_ic (the 1/(m_i−1)
+    * weights cancel), so De needs only per-label totals. The per-item
+    * 1/(m_i−1) weights are cleared by the lcm: with ≤5 annotators,
+    * (m_i−1) ∈ {1,2,3,4} all divide 12, so do12 = Σ_i 12(m_i²−Σn²)/(m_i−1)
+    * is integral and α·bp = 10000·(12·(n²−Σn_c²) − (n−1)·do12) div
+    * (12·(n²−Σn_c²)) — DECIMAL(38,0) for the n² products (x23's overflow
+    * discipline).
+    *
+    * Scale shape: one (item, label) count aggregate, one item aggregate
+    * (+ m≥2 filter), one label aggregate over the kept items (semi join),
+    * two single-row frames joined by one broadcast. Missingness is
+    * planted deterministically (each annotator skips ~25% of items by an
+    * md5 rule), so m_i varies across 2..5 and the lcm path is exercised.
+    */
+  private def a27_krippendorff_alpha(s: SparkSession, d: String): DataFrame = {
+    val votes = table(s, d, "documents")
+      .select(col("doc_id"), explode(expr("sequence(0, 4)")).as("k"))
+      .filter(
+        expr(
+          "cast(conv(substr(md5(concat(cast(doc_id as string), '|', cast(k as string), '|p')), 1, 6), 16, 10) as bigint) % 4 != 0"
+        )
+      )
+      .select(
+        col("doc_id"),
+        when(
+          col("k") <= 2,
+          col("doc_id") % 4
+        ).otherwise(
+          expr(
+            "cast(conv(substr(md5(concat(cast(doc_id as string), '|', cast(k as string))), 1, 6), 16, 10) as bigint) % 4"
+          )
+        ).as("label")
+      )
+    val cnt = graft.Lineage.truncate(
+      votes.groupBy(col("doc_id"), col("label")).agg(count(lit(1)).as("n"))
+    )
+    val item = cnt
+      .groupBy("doc_id")
+      .agg(sum(col("n")).as("m"), sum(col("n") * col("n")).as("ss"))
+      .filter(col("m") >= 2)
+    val obs = item.agg(
+      count(lit(1)).as("n_items"),
+      sum(col("m")).as("nr"),
+      sum(expr("(12 * (m * m - ss)) div (m - 1)")).as("do12")
+    )
+    val marg = cnt
+      .join(item.select("doc_id"), Seq("doc_id"), "left_semi")
+      .groupBy("label")
+      .agg(sum(col("n")).as("t"))
+      .agg(sum(expr("cast(t as decimal(38,0)) * cast(t as decimal(38,0))")).as("mg"))
+    obs
+      .crossJoin(broadcast(marg))
+      .select(
+        col("n_items").cast("long").as("n_items"),
+        col("nr").cast("long").as("n_ratings"),
+        expr("(10000 * do12) div (12 * nr)").cast("long").as("do_bp"),
+        expr(
+          """(cast(10000 as decimal(38,0)) * (cast(nr as decimal(38,0)) * nr - mg))
+             div (cast(nr as decimal(38,0)) * (nr - 1))"""
+        ).cast("long").as("de_bp"),
+        expr(
+          """(cast(10000 as decimal(38,0)) *
+              (cast(12 as decimal(38,0)) * (cast(nr as decimal(38,0)) * nr - mg)
+               - (cast(nr as decimal(38,0)) - 1) * do12))
+             div
+             (cast(12 as decimal(38,0)) * (cast(nr as decimal(38,0)) * nr - mg))"""
+        ).cast("long").as("alpha_bp")
+      )
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "a27_krippendorff_alpha" -> (a27_krippendorff_alpha _),
     "a26_fleiss_kappa" -> (a26_fleiss_kappa _),
     "a25_weighted_labels" -> (a25_weighted_labels _),
     "a24_label_aggregation" -> (a24_label_aggregation _),
@@ -753,6 +833,30 @@ object Aggregations extends QueryModule {
   )
 
   val oracles: Map[String, String] = Map(
+    "a27_krippendorff_alpha" ->
+      """WITH v AS (
+           SELECT doc_id, k,
+                  CASE WHEN k <= 2 THEN doc_id % 4
+                       ELSE ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|' || CAST(k AS VARCHAR)), 1, 6))::BIGINT % 4
+                  END AS label
+           FROM documents, unnest(generate_series(0, 4)) AS t(k)
+           WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|' || CAST(k AS VARCHAR) || '|p'), 1, 6))::BIGINT % 4 != 0),
+         cnt AS (SELECT doc_id, label, count(*) AS n FROM v GROUP BY 1, 2),
+         itm AS (SELECT doc_id, sum(n) AS m, sum(n * n) AS ss
+                 FROM cnt GROUP BY 1 HAVING sum(n) >= 2),
+         obs AS (SELECT count(*) AS n_items, sum(m) AS nr,
+                        sum((12 * (m * m - ss)) // (m - 1)) AS do12
+                 FROM itm),
+         mg AS (SELECT sum(t * t) AS mg FROM (
+                  SELECT label, sum(n) AS t
+                  FROM cnt JOIN itm USING (doc_id) GROUP BY 1))
+         SELECT CAST(n_items AS BIGINT) AS n_items,
+                CAST(nr AS BIGINT) AS n_ratings,
+                CAST((10000 * do12) // (12 * nr) AS BIGINT) AS do_bp,
+                CAST((10000 * (nr * nr - mg)) // (nr * (nr - 1)) AS BIGINT) AS de_bp,
+                CAST((10000 * (12 * (nr * nr - mg) - (nr - 1) * do12))
+                     // (12 * (nr * nr - mg)) AS BIGINT) AS alpha_bp
+         FROM obs, mg""",
     "a26_fleiss_kappa" ->
       """WITH v AS (
            SELECT doc_id, k,

@@ -67,7 +67,8 @@ class PlanSweepSpec extends AnyFunSuite with SparkTestBase {
     "pl9_corpus_funnel"      -> 1L, // four single-row stage-census broadcasts into the 4-row summary
     "x22_term_burstiness"    -> 1L, // single-row n_docs broadcast over the top-32 rows
     "c25_phase_census"       -> 1L, // single-row totals + single-row cut-point broadcasts
-    "a26_fleiss_kappa"       -> 1L  // single-row label-mass (pe) broadcast onto the single-row item aggregate
+    "a26_fleiss_kappa"       -> 1L, // single-row label-mass (pe) broadcast onto the single-row item aggregate
+    "a27_krippendorff_alpha" -> 1L  // single-row marginal-mass (mg) broadcast onto the single-row item aggregate
   )
 
   /** Queries allowed a window with an empty partition spec, with the
