@@ -859,6 +859,47 @@ object GraphQueries extends QueryModule {
       .filter(col("shared_parts") >= 2)
   }
 
+  /** G19 — LINK PREDICTION by the resource-allocation index (Zhou–Lü–Zhang
+    * 2009; the strongest of the classic local similarity indices on
+    * co-occurrence graphs): for every NON-adjacent pair (a, b) of the g16
+    * hub-capped co-supply projection, RA(a,b) = Σ_{w ∈ Γ(a)∩Γ(b)} 1/deg(w)
+    * — common neighbors, each discounted by its own degree, so promiscuous
+    * hubs certify nothing. INTEGER-QUANTIZED per the g7/x9 playbook:
+    * ra_q = Σ_w (10⁶ div deg(w)) — bit-identical across engines. The
+    * missing-edge ranking a graph-curation pipeline uses to propose KG
+    * completions (or flag suspicious absences) before an LLM pass reviews
+    * them.
+    *
+    * Scale shape: wedge self-join on the CENTER vertex (the g6 cost
+    * model: Σ deg(w)² over centers), with a center-degree cap deg ≤ 32 —
+    * the g16 hub-cap discipline — bounding wedge fan-out per center; a
+    * capped-out hub could only have contributed ≤ 10⁶/33 per pair, the
+    * declared truncation. Candidate pairs then ANTI-join the edge set
+    * (non-adjacency is the point) and the top-20 by (ra_q desc, pair asc)
+    * is TakeOrderedAndProject — no global sort, no all-pairs anywhere.
+    */
+  private def g19_link_prediction(s: SparkSession, d: String): DataFrame = {
+    val e = graft.Lineage.truncate(
+      g16_cooccurrence_projection(s, d).select(col("s1").as("a"), col("s2").as("b"))
+    )
+    val sym = e
+      .select(col("a").as("v"), col("b").as("n"))
+      .unionAll(e.select(col("b").as("v"), col("a").as("n")))
+    val deg = sym.groupBy(col("v")).agg(count(lit(1)).as("deg"))
+    val adj = sym.join(deg.filter(col("deg") <= 32), "v")
+    val cand = adj
+      .select(col("v"), col("n").as("ca"), col("deg"))
+      .join(adj.select(col("v"), col("n").as("cb")), "v")
+      .filter(col("ca") < col("cb"))
+      .groupBy(col("ca").as("a"), col("cb").as("b"))
+      .agg(sum(expr("1000000 div deg")).as("ra_q"))
+    cand
+      .join(e, Seq("a", "b"), "left_anti")
+      .orderBy(col("ra_q").desc, col("a").asc, col("b").asc)
+      .limit(20)
+      .select(col("a").cast("long").as("a"), col("b").cast("long").as("b"), col("ra_q"))
+  }
+
   /** G17 — k-truss peel (k=4, two fixed passes): the community-core filter
     * one level stronger than k-core — an edge survives only while it
     * closes ≥ k−2 triangles among SURVIVING edges, so bridges and
@@ -1278,6 +1319,7 @@ object GraphQueries extends QueryModule {
     "g8e_leiden_sweep" -> (g8e_leiden_sweep _),
     "g8d_leiden_refinement" -> (g8d_leiden_refinement _),
     "g18_clustering_coeff" -> (g18_clustering_coeff _),
+    "g19_link_prediction" -> (g19_link_prediction _),
     "g17_ktruss" -> (g17_ktruss _),
     "g16_cooccurrence_projection" -> (g16_cooccurrence_projection _),
     "g0_node_table" -> (g0_node_table _),
@@ -1869,6 +1911,25 @@ object GraphQueries extends QueryModule {
          SELECT 's1_after_pass1', CAST(count(*) AS BIGINT) FROM e1
          UNION ALL
          SELECT 's2_after_pass2', CAST(count(*) AS BIGINT) FROM e2""",
+    "g19_link_prediction" ->
+      """WITH sp AS (SELECT DISTINCT l_partkey AS pk, l_suppkey AS sk FROM lineitem),
+         keep AS (SELECT pk FROM sp GROUP BY pk HAVING count(*) <= 16),
+         kept AS (SELECT sp.pk, sp.sk FROM sp JOIN keep ON keep.pk = sp.pk),
+         e AS (SELECT a.sk AS a, b.sk AS b
+               FROM kept a JOIN kept b ON a.pk = b.pk AND a.sk < b.sk
+               GROUP BY 1, 2 HAVING count(*) >= 2),
+         sym AS (SELECT a AS v, b AS n FROM e UNION ALL SELECT b AS v, a AS n FROM e),
+         deg AS (SELECT v, count(*) AS deg FROM sym GROUP BY 1),
+         adj AS (SELECT sym.v, sym.n, deg.deg
+                 FROM sym JOIN deg USING (v) WHERE deg.deg <= 32),
+         cand AS (SELECT n1.n AS a, n2.n AS b, sum(1000000 // n1.deg) AS ra_q
+                  FROM adj n1 JOIN adj n2 ON n1.v = n2.v AND n1.n < n2.n
+                  GROUP BY 1, 2)
+         SELECT CAST(c.a AS BIGINT) AS a, CAST(c.b AS BIGINT) AS b,
+                CAST(c.ra_q AS BIGINT) AS ra_q
+         FROM cand c
+         WHERE NOT EXISTS (SELECT 1 FROM e WHERE e.a = c.a AND e.b = c.b)
+         ORDER BY c.ra_q DESC, c.a, c.b LIMIT 20""",
     "g16_cooccurrence_projection" ->
       """WITH sp AS (SELECT DISTINCT l_partkey AS pk, l_suppkey AS sk FROM lineitem),
          keep AS (SELECT pk FROM sp GROUP BY pk HAVING count(*) <= 16),
