@@ -37,12 +37,22 @@ object Tuning {
     * point, g9's supplies PageRank) deliberately stay on the default
     * profile and are soak-covered at 32×.
     *
-    * Session-global conf: a concurrent query on another thread during `f`
-    * would plan under the profile too — slower, never wrong. The harness
-    * runs queries sequentially; g8d's two-graph overlap wraps OUTSIDE its
-    * futures.
+    * Session-global conf, so the scope is EXCLUSIVE: the whole
+    * save/set/run/restore sequence holds a JVM monitor. Without it, two
+    * threads racing the same cold [[Memo]] key (get/putIfAbsent does not
+    * serialize computes) could interleave their save/restore and one
+    * thread's "saved" values would be the other's IN-PROFILE values —
+    * permanently leaving shuffle.partitions=1 and codegen off for the
+    * session. The monitor is reentrant, so a profiled compute that calls
+    * another profiled compute on the same thread (the g8c→g8e chains) just
+    * saves and restores the already-profiled values — a no-op. No caller
+    * runs concurrent queries UNDER the profile anymore (the g8d
+    * future-based overlap was replaced by the batched disjoint-union
+    * ladder in r12), so serializing profiled sections costs nothing.
     */
-  def dimensionGraphProfile[T](spark: SparkSession)(f: => T): T = {
+  private val profileLock = new Object
+
+  def dimensionGraphProfile[T](spark: SparkSession)(f: => T): T = profileLock.synchronized {
     val conf  = spark.conf
     val saved = ProfileConfs.map { case (k, _) => k -> conf.getOption(k) }
     ProfileConfs.foreach { case (k, v) => conf.set(k, v) }

@@ -708,7 +708,9 @@ object Aggregations extends QueryModule {
       .select(
         col("n_items").cast("long").as("n_items"),
         lit(5L).as("n_annotators"),
-        expr("10000 * po_num div (20 * n_items)").cast("long").as("po_bp"),
+        expr("cast(10000 as decimal(38,0)) * po_num div (cast(20 as decimal(38,0)) * n_items)")
+          .cast("long")
+          .as("po_bp"),
         expr(
           """cast(10000 as decimal(38,0)) * pe_num div
              (cast(25 as decimal(38,0)) * n_items * n_items)"""
@@ -787,7 +789,9 @@ object Aggregations extends QueryModule {
       .select(
         col("n_items").cast("long").as("n_items"),
         col("nr").cast("long").as("n_ratings"),
-        expr("(10000 * do12) div (12 * nr)").cast("long").as("do_bp"),
+        expr("(cast(10000 as decimal(38,0)) * do12) div (cast(12 as decimal(38,0)) * nr)")
+          .cast("long")
+          .as("do_bp"),
         expr(
           """(cast(10000 as decimal(38,0)) * (cast(nr as decimal(38,0)) * nr - mg))
              div (cast(nr as decimal(38,0)) * (nr - 1))"""
