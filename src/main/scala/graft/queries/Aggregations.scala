@@ -806,7 +806,108 @@ object Aggregations extends QueryModule {
       )
   }
 
+  /** A28 — the SECOND Dawid–Skene half-step (Dawid & Skene 1979; r12
+    * verdict #7): a25 stops after one reliability re-weighting; this runs
+    * one more iteration — annotator reliabilities are RE-estimated against
+    * the round-2 WEIGHTED labels (not the round-1 majorities), and the
+    * votes re-aggregated under the new weights into round-3 labels — plus
+    * a convergence census (label flips round 1→2 and round 2→3) showing
+    * the EM fixed point approaching WITHOUT an open-ended EM loop (two
+    * deterministic half-steps, each one keyed aggregate + one broadcast).
+    *
+    * Planted truth (a25's vote table): annotators 0–1 vote the true label,
+    * 2–3 vote hash noise, 4 is a constant-label-0 SPAMMER. Round 2 prices
+    * the spammer by their agreement with round-1 majorities — but those
+    * majorities still contain the ~26% of items the spammer+noise tie
+    * STOLE, so the spammer's round-1 weight is inflated by their own
+    * corruption. Once round 2 flips the stolen labels back, the round-3
+    * re-estimate scores the spammer against CLEANER labels: w2 < w1
+    * strictly for the spammer (measured sf0.01: 4911 → 2980 bp, while the
+    * reliable pair rises 8482 → 9820), and the flip count shrinks
+    * monotonically (130 → 19) — the fixed point approaching, which is the
+    * convergence argument for stopping after two steps. AggregationSpec
+    * pins both inequalities.
+    *
+    * Scale shape: identical to a25 with one more (|annotators|-row
+    * aggregate → broadcast → item-keyed argmax) round — at billions of
+    * votes every frame is either item-keyed or |annotators|-sized; the two
+    * census scalars are single-row broadcasts.
+    */
+  private def a28_ds_second_step(s: SparkSession, d: String): DataFrame = {
+    val votes = graft.Lineage.truncate(
+      table(s, d, "documents")
+        .select(col("doc_id"), explode(expr("sequence(0, 4)")).as("k"))
+        .select(
+          col("doc_id"),
+          col("k"),
+          when(col("k") <= 1, col("doc_id") % 4)
+            .when(col("k") === 4, lit(0L))
+            .otherwise(
+              expr(
+                "cast(conv(substr(md5(concat(cast(doc_id as string), '|', cast(k as string))), 1, 6), 16, 10) as bigint) % 4"
+              )
+            )
+            .as("label")
+        )
+    )
+    val mj1 = graft.Lineage.truncate(
+      votes
+        .groupBy(col("doc_id"), col("label"))
+        .agg(count(lit(1)).as("n"))
+        .groupBy(col("doc_id"))
+        .agg(expr("max_by(label, struct(n, -label))").as("l1"))
+    )
+    val w1 = graft.Lineage.truncate(
+      votes
+        .join(mj1, "doc_id")
+        .groupBy(col("k"))
+        .agg(
+          expr("10000 * sum(CASE WHEN label = l1 THEN 1 ELSE 0 END) div count(1)").as("w1_bp")
+        )
+    )
+    val wj2 = graft.Lineage.truncate(
+      votes
+        .join(broadcast(w1), "k")
+        .groupBy(col("doc_id"), col("label"))
+        .agg(sum(col("w1_bp")).as("score"))
+        .groupBy(col("doc_id"))
+        .agg(expr("max_by(label, struct(score, -label))").as("l2"))
+    )
+    val w2 = graft.Lineage.truncate(
+      votes
+        .join(wj2, "doc_id")
+        .groupBy(col("k"))
+        .agg(
+          expr("10000 * sum(CASE WHEN label = l2 THEN 1 ELSE 0 END) div count(1)").as("w2_bp")
+        )
+    )
+    val wj3 = votes
+      .join(broadcast(w2), "k")
+      .groupBy(col("doc_id"), col("label"))
+      .agg(sum(col("w2_bp")).as("score"))
+      .groupBy(col("doc_id"))
+      .agg(expr("max_by(label, struct(score, -label))").as("l3"))
+    val f12 = mj1
+      .join(wj2, "doc_id")
+      .agg(sum(when(col("l1") =!= col("l2"), 1L).otherwise(0L)).as("flips_12"))
+    val f23 = wj2
+      .join(wj3, "doc_id")
+      .agg(sum(when(col("l2") =!= col("l3"), 1L).otherwise(0L)).as("flips_23"))
+    w1
+      .join(w2, "k")
+      .crossJoin(broadcast(f12))
+      .crossJoin(broadcast(f23))
+      .select(
+        col("k").cast("long").as("k"),
+        col("w1_bp").cast("long").as("w1_bp"),
+        col("w2_bp").cast("long").as("w2_bp"),
+        col("flips_12").cast("long").as("flips_12"),
+        col("flips_23").cast("long").as("flips_23")
+      )
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "a28_ds_second_step" -> (a28_ds_second_step _),
     "a27_krippendorff_alpha" -> (a27_krippendorff_alpha _),
     "a26_fleiss_kappa" -> (a26_fleiss_kappa _),
     "a25_weighted_labels" -> (a25_weighted_labels _),
@@ -837,6 +938,49 @@ object Aggregations extends QueryModule {
   )
 
   val oracles: Map[String, String] = Map(
+    "a28_ds_second_step" ->
+      """WITH v AS (
+           SELECT doc_id, k,
+                  CASE WHEN k <= 1 THEN doc_id % 4
+                       WHEN k = 4 THEN CAST(0 AS BIGINT)
+                       ELSE ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|' || CAST(k AS VARCHAR)), 1, 6))::BIGINT % 4
+                  END AS label
+           FROM documents, unnest(generate_series(0, 4)) AS t(k)),
+         cnt AS (SELECT doc_id, label, count(*) AS n FROM v GROUP BY 1, 2),
+         mj AS (SELECT doc_id, label AS l1 FROM (
+                  SELECT *, row_number() OVER (PARTITION BY doc_id
+                         ORDER BY n DESC, label ASC) AS rn FROM cnt)
+                WHERE rn = 1),
+         w1 AS (SELECT k,
+                       10000 * sum(CASE WHEN v.label = mj.l1 THEN 1 ELSE 0 END)
+                         // count(*) AS w1_bp
+                FROM v JOIN mj USING (doc_id) GROUP BY k),
+         sc2 AS (SELECT doc_id, label, sum(w1_bp) AS score
+                 FROM v JOIN w1 USING (k) GROUP BY 1, 2),
+         wj2 AS (SELECT doc_id, label AS l2 FROM (
+                   SELECT *, row_number() OVER (PARTITION BY doc_id
+                          ORDER BY score DESC, label ASC) AS rn FROM sc2)
+                 WHERE rn = 1),
+         w2 AS (SELECT k,
+                       10000 * sum(CASE WHEN v.label = wj2.l2 THEN 1 ELSE 0 END)
+                         // count(*) AS w2_bp
+                FROM v JOIN wj2 USING (doc_id) GROUP BY k),
+         sc3 AS (SELECT doc_id, label, sum(w2_bp) AS score
+                 FROM v JOIN w2 USING (k) GROUP BY 1, 2),
+         wj3 AS (SELECT doc_id, label AS l3 FROM (
+                   SELECT *, row_number() OVER (PARTITION BY doc_id
+                          ORDER BY score DESC, label ASC) AS rn FROM sc3)
+                 WHERE rn = 1),
+         f12 AS (SELECT sum(CASE WHEN mj.l1 <> wj2.l2 THEN 1 ELSE 0 END) AS flips_12
+                 FROM mj JOIN wj2 USING (doc_id)),
+         f23 AS (SELECT sum(CASE WHEN wj2.l2 <> wj3.l3 THEN 1 ELSE 0 END) AS flips_23
+                 FROM wj2 JOIN wj3 USING (doc_id))
+         SELECT CAST(w1.k AS BIGINT) AS k,
+                CAST(w1_bp AS BIGINT) AS w1_bp,
+                CAST(w2_bp AS BIGINT) AS w2_bp,
+                CAST(flips_12 AS BIGINT) AS flips_12,
+                CAST(flips_23 AS BIGINT) AS flips_23
+         FROM w1 JOIN w2 USING (k), f12, f23""",
     "a27_krippendorff_alpha" ->
       """WITH v AS (
            SELECT doc_id, k,
