@@ -146,17 +146,18 @@ object GraphQueries extends QueryModule {
     * a parallel plain-LPA track (reference detect_communities.py:283-328
     * feeds summarization from the Leiden run's level-0 communities).
     */
-  private def communityAssignCompute(s: SparkSession, d: String): DataFrame = {
-    val (vertices, und) = bridgedNationUnd(s, d)
-    val lpa = GraphOps.labelPropagation(
-      vertices,
-      und.select(col("a").as("src"), col("b").as("dst")),
-      3
-    )
-    GraphOps
-      .refineMergeFixedPoint(und, lpa, 4, 2L, 1L)
-      .select(col("id").as("c_nationkey"), col("lbl").as("community_id"))
-  }
+  private def communityAssignCompute(s: SparkSession, d: String): DataFrame =
+    // The LPA → γ=2.0 merge fixed point is the nation copy's level-0 merge
+    // phase inside the batched five-copy sweep ([[familySweep]] emits it as
+    // the 'a4_nation' rows — computed there anyway, so this chain is free);
+    // ids/labels shift back by the copy offset and re-narrow to the nation
+    // key type so the customer broadcast join keys stay int-typed.
+    familySweep(s, d)
+      .filter(col("level") === "a4_nation")
+      .select(
+        (col("id") - 20000L).cast("int").as("c_nationkey"),
+        (col("lbl") - 20000L).cast("int").as("community_id")
+      )
 
   /** g4 and g5 consume the SAME refined partition; computing it twice put
     * two identical ~2 s refinement runs in the top-10 cost list (r9 verdict
@@ -632,26 +633,25 @@ object GraphQueries extends QueryModule {
     graft.Memo.cached(resolutionHierMemo, s, d)(g8cResolutionHierarchyCompute(s, d))
 
   private def g8cResolutionHierarchyCompute(s: SparkSession, d: String): DataFrame =
-    // Dimension-graph profile (graft.Tuning): the bridged nation graph is
-    // 25 vertices at every scale factor; the sweep's per-pass cost is pure
-    // fixed overhead dominated by codegen compilation. Truncated inside
-    // the scope so the level-join tail executes under the profile too.
+    // The sweep itself rides the batched five-copy chain ([[familySweep]],
+    // r12 verdict #1 — this used to run 24 solo passes under the profile);
+    // what's left here is pivoting the nation copy's three level labelings
+    // (offset 20000, labels shifted with the ids) into one row per vertex.
     graft.Tuning.dimensionGraphProfile(s) {
-      val (vertices, und) = bridgedNationUnd(s, d)
+      val nation = familySweep(s, d).filter(col("id") >= 20000)
       graft.Lineage.truncate(
-        GraphOps
-          .resolutionHierarchy(
-            vertices,
-            und,
-            Seq((2L, 1L), (1L, 2L), (1L, 10L)),
-            3,
-            4
-          )
+        Seq(("r20", "community_r20"), ("r05", "community_r05"), ("r01", "community_r01"))
+          .map { case (lv, cn) =>
+            nation
+              .filter(col("level") === lv)
+              .select((col("id") - 20000L).as("id"), (col("lbl") - 20000L).as(cn))
+          }
+          .reduce(_.join(_, "id"))
           .select(
             col("id").cast("long").as("id"),
-            col("community_0").cast("long").as("community_r20"),
-            col("community_1").cast("long").as("community_r05"),
-            col("community_2").cast("long").as("community_r01")
+            col("community_r20").cast("long").as("community_r20"),
+            col("community_r05").cast("long").as("community_r05"),
+            col("community_r01").cast("long").as("community_r01")
           )
       )
     }
@@ -1205,47 +1205,85 @@ object GraphQueries extends QueryModule {
   private def g8e_leiden_sweep(s: SparkSession, d: String): DataFrame =
     graft.Tuning.dimensionGraphProfile(s)(graft.Lineage.truncate(g8eSweeps(s, d)))
 
-  private def g8eSweeps(s: SparkSession, d: String): DataFrame = {
+  /** The ONE batched pass chain every harness-graph sweep consumer reads
+    * (r12 verdict #1 — the g8c sweep used to run its own 24 solo passes on
+    * top of g8e's 21 batched ones): FIVE disjoint copies ride the shared
+    * chains — g8e's four (dumbbell/ballast × merge-only at offsets
+    * {0, 1000} / integrated at {10000, 11000}) plus the BRIDGED NATION
+    * graph's integrated sweep at offset 20000 (the g8c/g4b hierarchy and,
+    * via its level-0 merge phase, the g4/g5 community assignment). Per
+    * level: 3 batched merge passes over all five copies, then ONE
+    * nation-only merge pass (g8c's oracle budget is 4 merge passes per
+    * level where g8e's is 3 — splitting 4 = 3 batched + 1 solo keeps every
+    * copy's pass count exactly its oracle's: disjoint components never
+    * interact, and a converged component no-ops through extra batched
+    * passes), then 4 batched refinement passes over the integrated copies
+    * (ids ≥ 10000, nation included). 8 driver-sequenced passes per level
+    * instead of the 15 the split chains cost, one LPA seed instead of two;
+    * per-copy results identical to solo runs by shift isomorphism (labels
+    * shift with the uniform id offset — every tiebreak is an id/label
+    * order within one component).
+    *
+    * Output (memoized, ≤ ~470 rows): (level, id, lbl) with level ∈
+    * {r20, r05, r01} for the five copies' per-level labels, plus
+    * level = 'a4_nation' carrying the nation copy's LEVEL-0 MERGE-ONLY
+    * labels (the γ=2.0 fixed point [[communityAssign]] serves to g4/g5 —
+    * computed in the chain anyway, emitted for free).
+    */
+  private val familySweepMemo = graft.Memo.newMap()
+
+  private def familySweep(s: SparkSession, d: String): DataFrame =
+    graft.Memo.cached(familySweepMemo, s, d)(
+      graft.Tuning.dimensionGraphProfile(s)(familySweepCompute(s, d))
+    )
+
+  private def familySweepCompute(s: SparkSession, d: String): DataFrame = {
     val res = Seq((2L, 1L), (1L, 2L), (1L, 10L))
-    // BATCHED sweeps (r12): all four chains — 2 graphs × 2 variants — run
-    // as ONE disjoint union through shared pass chains (the g8d batching
-    // with a second axis). Copies live at id offsets {0, 1000} (merge-only
-    // variant) and {10000, 11000} (integrated variant); each edge carries
-    // its graph's edge count gm. Per level: 3 batched merge passes over
-    // ALL copies (the merge phase is common to both variants), then 4
-    // batched refinement passes over the r-copies only; the level frame
-    // re-unites m-copies' merged labels with r-copies' refined labels and
-    // seeds the next level. 7 driver-sequenced passes per level instead of
-    // the 20 the four solo chains cost; per-copy results identical by
-    // shift isomorphism.
     val (v1, u1raw) = dumbbellUnd(s, d, ballast = false)
     val (v2, u2raw) = dumbbellUnd(s, d, ballast = true)
+    val (vn, unraw) = bridgedNationUnd(s, d)
     val u1 = graft.Lineage.truncate(u1raw)
     val u2 = graft.Lineage.truncate(u2raw)
+    val un = graft.Lineage.truncate(unraw)
     val m1 = u1.count()
     val m2 = u2.count()
+    val mn = un.count()
     def ecopy(u: DataFrame, m: Long, off: Long): DataFrame =
       u.select((col("a") + off).as("a"), (col("b") + off).as("b"), lit(m).as("gm"))
     def vcopy(v: DataFrame, off: Long): DataFrame = v.select((col("id") + off).as("id"))
-    val und4 = graft.Lineage.truncate(
+    val und5 = graft.Lineage.truncate(
       ecopy(u1, m1, 0L)
         .unionByName(ecopy(u2, m2, 1000L))
         .unionByName(ecopy(u1, m1, 10000L))
         .unionByName(ecopy(u2, m2, 11000L))
+        .unionByName(ecopy(un, mn, 20000L))
     )
-    val undR = und4.filter(col("a") >= 10000)
+    val undR = und5.filter(col("a") >= 10000)
+    val undN = und5.filter(col("a") >= 20000)
     val verts = vcopy(v1, 0L)
       .unionByName(vcopy(v2, 1000L))
       .unionByName(vcopy(v1, 10000L))
       .unionByName(vcopy(v2, 11000L))
+      .unionByName(vcopy(vn, 20000L))
     val lpa = graft.Lineage.truncate(
-      GraphOps.labelPropagation(verts, und4.select(col("a").as("src"), col("b").as("dst")), 3)
+      GraphOps.labelPropagation(verts, und5.select(col("a").as("src"), col("b").as("dst")), 3)
     )
     var prev = lpa
-    val levelFrames = res.map { case (gn, gd) =>
-      val merged = graft.Lineage.truncate(
-        GraphOps.refineMergeFixedPointBatched(und4, prev, 3, gn, gd)
+    var a4Nation: DataFrame = null
+    val levelFrames = res.zipWithIndex.map { case ((gn, gd), li) =>
+      val merged3 = graft.Lineage.truncate(
+        GraphOps.refineMergeFixedPointBatched(und5, prev, 3, gn, gd)
       )
+      // The nation copy's 4th merge pass (its oracle unrolls 4 per level).
+      val mergedN = GraphOps.refineMergeFixedPointBatched(
+        undN,
+        merged3.filter(col("id") >= 20000),
+        1,
+        gn,
+        gd
+      )
+      if (li == 0) a4Nation = mergedN
+      val merged = merged3.filter(col("id") < 20000).unionByName(mergedN)
       val refinedR = GraphOps.refineWithinFixedPointBatched(
         undR,
         merged.filter(col("id") >= 10000),
@@ -1259,12 +1297,28 @@ object GraphQueries extends QueryModule {
       prev = level
       level
     }
-    // Six labelings per graph → ONE scoring pipeline keyed by
-    // (graph, level, variant); graph and variant derive from the id range.
-    val tagged = levelFrames
+    levelFrames
       .zip(Seq("r20", "r05", "r01"))
       .map { case (f, lv) => f.select(lit(lv).as("level"), col("id"), col("lbl")) }
       .reduce(_ unionByName _)
+      .unionByName(a4Nation.select(lit("a4_nation").as("level"), col("id"), col("lbl")))
+  }
+
+  private def g8eSweeps(s: SparkSession, d: String): DataFrame = {
+    // Labels come from the memoized family sweep (the five-copy batched
+    // chain above); this is scoring only — rebuild the four-copy edge list
+    // (no counts needed: per-graph m falls out of the edge aggregate) and
+    // key everything by (graph, level, variant) derived from the id range.
+    val (_, u1raw) = dumbbellUnd(s, d, ballast = false)
+    val (_, u2raw) = dumbbellUnd(s, d, ballast = true)
+    def ecopy(u: DataFrame, off: Long): DataFrame =
+      u.select((col("a") + off).as("a"), (col("b") + off).as("b"))
+    val und4 = ecopy(u1raw, 0L)
+      .unionByName(ecopy(u2raw, 1000L))
+      .unionByName(ecopy(u1raw, 10000L))
+      .unionByName(ecopy(u2raw, 11000L))
+    val tagged = familySweep(s, d)
+      .filter(col("level") =!= "a4_nation" && col("id") < 20000)
       .withColumn("v", when(col("id") < 10000, "m").otherwise("r"))
       .withColumn(
         "graph",
