@@ -431,7 +431,125 @@ object Vectors extends QueryModule {
       .select(col("vec_id"), col("adc_q").cast("long").as("adc_q"))
   }
 
+  /** S19g — IVFADC (Jégou–Douze–Schmid 2011 §V, the composition of s19c's
+    * coarse routing with s19f's ADC scanning that production
+    * billion-vector search actually runs): vectors coarse-assign to their
+    * stored cell (label), PQ encodes the RESIDUAL to the cell centroid
+    * (4 subspaces × 8 codes, one deterministic Lloyd iteration seeded by
+    * vec_id < 8 — s19e's discipline on residuals), the query probes its
+    * nprobe = 2 nearest coarse cells, builds one 32-row LUT per probed
+    * cell from ITS residual (residuals are cell-relative, so the LUT is
+    * per-cell where s19f's flat scan had one), and ADC-ranks ONLY the
+    * probed cells' members: 4 lookups + a sum per candidate. Output: the
+    * top-k with the PROBED-FRACTION CENSUS (cells_probed / cells_total,
+    * n_candidates / n_corpus — the knob an operator reads before trusting
+    * the recall) and the RANK-ERROR AUDIT vs s19's exact top-k
+    * (in_exact_topk per returned row).
+    *
+    * Scale shape: coarse centroids and the PQ codebook are fixed-size
+    * broadcasts (cells × 64 and 512 rows at any corpus size); the
+    * candidate set arrives via a broadcast equi-join on (label, sub,
+    * code) against the ≤ nprobe·M·K-row LUT — the label key IS the probe
+    * filter, so unprobed cells never leave the scan; never an all-pairs
+    * vector join. The exact-top-k audit is one extra single-pass scan
+    * (s19's plan) — the one-shot recall audit, not the query path.
+    */
+  private def s19g_ivfadc(s: SparkSession, d: String): DataFrame = {
+    val sw = Dim / 4
+    val e  = table(s, d, "embeddings")
+    val vq = graft.Lineage.truncate(
+      e.select(col("vec_id"), col("label"), posexplode(col("embedding").cast("array<double>")))
+        .select(
+          col("vec_id"),
+          col("label").cast("long").as("label"),
+          expr(s"pos div $sw").cast("long").as("sub"),
+          col("pos").cast("long").as("pos"),
+          floor(col("col") * 1024).cast("long").as("q")
+        )
+    )
+    val ccent = graft.Lineage.truncate(
+      vq.groupBy(col("label"), col("pos"))
+        .agg(count(lit(1)).as("cn"), sum(col("q") + 4096L).as("sp"))
+        .select(col("label"), col("pos"), (expr("sp div cn") - 4096L).as("cq"))
+    )
+    // Residuals to the coarse centroid — what PQ quantizes under IVF.
+    val res = graft.Lineage.truncate(
+      vq.join(broadcast(ccent), Seq("label", "pos"))
+        .select(
+          col("vec_id"),
+          col("label"),
+          col("sub"),
+          col("pos"),
+          (col("q") - col("cq")).as("r")
+        )
+    )
+    val seeds = res
+      .filter(col("vec_id") < 8)
+      .select(col("vec_id").as("seed"), col("sub"), col("pos"), col("r").as("cr"))
+    val assign1 = res
+      .join(broadcast(seeds), Seq("sub", "pos"))
+      .groupBy(col("vec_id"), col("sub"), col("seed"))
+      .agg(sum((col("r") - col("cr")) * (col("r") - col("cr"))).as("d2"))
+      .groupBy(col("vec_id"), col("sub"))
+      .agg(min(struct(col("d2"), col("seed"))).as("m"))
+      .select(col("vec_id"), col("sub"), col("m.seed").as("cluster"))
+    val cents = graft.Lineage.truncate(
+      res
+        .join(assign1, Seq("vec_id", "sub"))
+        .groupBy(col("sub"), col("cluster"), col("pos"))
+        .agg(count(lit(1)).as("cn"), sum(col("r") + 4096L).as("sp"))
+        .select(col("sub"), col("cluster"), col("pos"), (expr("sp div cn") - 4096L).as("mean_q"))
+    )
+    val encoded = res
+      .join(broadcast(cents), Seq("sub", "pos"))
+      .groupBy(col("vec_id"), col("label"), col("sub"), col("cluster"))
+      .agg(sum((col("r") - col("mean_q")) * (col("r") - col("mean_q"))).as("d2"))
+      .groupBy(col("vec_id"), col("label"), col("sub"))
+      .agg(min(struct(col("d2"), col("cluster"))).as("m"))
+      .select(col("vec_id"), col("label"), col("sub"), col("m.cluster").as("code"))
+    // Query side: coarse distances → nprobe = 2 cells → per-cell LUT.
+    val qd = vq.filter(col("vec_id") === 0).select(col("pos"), col("q").as("qv"))
+    val cdist = ccent
+      .join(broadcast(qd), Seq("pos"))
+      .groupBy(col("label"))
+      .agg(sum((col("cq") - col("qv")) * (col("cq") - col("qv"))).as("d2"))
+    val probe = cdist.orderBy(col("d2").asc, col("label").asc).limit(2).select(col("label"))
+    val qres = ccent
+      .join(broadcast(probe), Seq("label"))
+      .join(broadcast(qd), Seq("pos"))
+      .select(col("label"), expr(s"pos div $sw").cast("long").as("sub"), col("pos"),
+        (col("qv") - col("cq")).as("qr"))
+    val lut = qres
+      .join(cents, Seq("sub", "pos"))
+      .groupBy(col("label"), col("sub"), col("cluster"))
+      .agg(sum((col("qr") - col("mean_q")) * (col("qr") - col("mean_q"))).as("qd2"))
+      .select(col("label"), col("sub"), col("cluster").as("code"), col("qd2"))
+    val cand = encoded
+      .join(broadcast(lut), Seq("label", "sub", "code"))
+      .groupBy(col("vec_id"))
+      .agg(sum(col("qd2")).as("adc_q"))
+    val exact = s19_knn_cosine(s, d).select(col("vec_id").as("evid"), lit(1L).as("hit"))
+    cand
+      .orderBy(col("adc_q").asc, col("vec_id").asc)
+      .limit(K)
+      .join(broadcast(exact), col("vec_id") === col("evid"), "left")
+      .crossJoin(broadcast(probe.agg(count(lit(1)).as("cells_probed"))))
+      .crossJoin(broadcast(cdist.agg(count(lit(1)).as("cells_total"))))
+      .crossJoin(broadcast(cand.agg(count(lit(1)).as("n_candidates"))))
+      .crossJoin(broadcast(e.agg(count(lit(1)).as("n_corpus"))))
+      .select(
+        col("vec_id"),
+        col("adc_q").cast("long").as("adc_q"),
+        coalesce(col("hit"), lit(0L)).as("in_exact_topk"),
+        col("cells_probed").cast("long").as("cells_probed"),
+        col("cells_total").cast("long").as("cells_total"),
+        col("n_candidates").cast("long").as("n_candidates"),
+        col("n_corpus").cast("long").as("n_corpus")
+      )
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s19g_ivfadc" -> (s19g_ivfadc _),
     "s19e_pq_encode" -> (s19e_pq_encode _),
     "s19f_pq_adc" -> (s19f_pq_adc _),
     "s24_scalar_quantize" -> (s24_scalar_quantize _),
@@ -480,6 +598,59 @@ object Vectors extends QueryModule {
                  CAST((n * d2q - sm) * (n * d2q - sm) > 9 * (n * ss - sm * sm)
                       AS INT) AS is_outlier
           FROM d2 JOIN st USING (label)""",
+    "s19g_ivfadc" ->
+      s"""WITH v AS (SELECT vec_id, CAST(label AS BIGINT) AS label,
+                            embedding::DOUBLE[] AS e FROM embeddings),
+          vq AS (SELECT vec_id, label, CAST((i - 1) // ${Dim / 4} AS BIGINT) AS sub,
+                        CAST(i - 1 AS BIGINT) AS pos,
+                        CAST(floor(e[i] * 1024) AS BIGINT) AS q
+                 FROM v, (SELECT unnest(range(1, ${Dim + 1})) AS i)),
+          ccent AS (SELECT label, pos, (sum(q + 4096) // count(*)) - 4096 AS cq
+                    FROM vq GROUP BY 1, 2),
+          res AS (SELECT vec_id, vq.label, sub, vq.pos, q - cq AS r
+                  FROM vq JOIN ccent ON ccent.label = vq.label AND ccent.pos = vq.pos),
+          seeds AS (SELECT vec_id AS seed, sub, pos, r AS cr FROM res WHERE vec_id < 8),
+          d1 AS (SELECT res.vec_id, res.sub, seeds.seed,
+                        sum((r - cr) * (r - cr)) AS d2
+                 FROM res JOIN seeds USING (sub, pos) GROUP BY 1, 2, 3),
+          a1 AS (SELECT vec_id, sub, seed AS cluster,
+                        row_number() OVER (PARTITION BY vec_id, sub ORDER BY d2, seed) AS rn
+                 FROM d1),
+          m1 AS (SELECT vec_id, sub, cluster FROM a1 WHERE rn = 1),
+          cents AS (SELECT res.sub, m1.cluster, res.pos,
+                           (sum(r + 4096) // count(*)) - 4096 AS mean_q
+                    FROM res JOIN m1 USING (vec_id, sub) GROUP BY 1, 2, 3),
+          d2s AS (SELECT res.vec_id, res.label, res.sub, cents.cluster,
+                         sum((r - mean_q) * (r - mean_q)) AS d2
+                  FROM res JOIN cents USING (sub, pos) GROUP BY 1, 2, 3, 4),
+          a2 AS (SELECT vec_id, label, sub, cluster AS code,
+                        row_number() OVER (PARTITION BY vec_id, sub ORDER BY d2, cluster) AS rn
+                 FROM d2s),
+          enc AS (SELECT vec_id, label, sub, code FROM a2 WHERE rn = 1),
+          qd AS (SELECT pos, q AS qv FROM vq WHERE vec_id = 0),
+          cdist AS (SELECT label, sum((cq - qv) * (cq - qv)) AS d2
+                    FROM ccent JOIN qd USING (pos) GROUP BY 1),
+          probe AS (SELECT label FROM cdist ORDER BY d2, label LIMIT 2),
+          qres AS (SELECT ccent.label, CAST(pos // ${Dim / 4} AS BIGINT) AS sub,
+                          pos, qv - cq AS qr
+                   FROM ccent JOIN probe USING (label) JOIN qd USING (pos)),
+          lut AS (SELECT qres.label, qres.sub, cents.cluster AS code,
+                         sum((qr - mean_q) * (qr - mean_q)) AS qd2
+                  FROM qres JOIN cents ON cents.sub = qres.sub AND cents.pos = qres.pos
+                  GROUP BY 1, 2, 3),
+          cand AS (SELECT vec_id, sum(qd2) AS adc_q
+                   FROM enc JOIN lut USING (label, sub, code) GROUP BY 1),
+          exact AS (SELECT vec_id FROM v, (SELECT e AS qe FROM v WHERE vec_id = 0) q
+                    ORDER BY $cosSql DESC, vec_id LIMIT $K),
+          topk AS (SELECT vec_id, adc_q FROM cand ORDER BY adc_q, vec_id LIMIT $K)
+          SELECT t.vec_id, CAST(t.adc_q AS BIGINT) AS adc_q,
+                 CAST(CASE WHEN t.vec_id IN (SELECT vec_id FROM exact)
+                      THEN 1 ELSE 0 END AS BIGINT) AS in_exact_topk,
+                 CAST((SELECT count(*) FROM probe) AS BIGINT) AS cells_probed,
+                 CAST((SELECT count(*) FROM cdist) AS BIGINT) AS cells_total,
+                 CAST((SELECT count(*) FROM cand) AS BIGINT) AS n_candidates,
+                 CAST((SELECT count(*) FROM v) AS BIGINT) AS n_corpus
+          FROM topk t""",
     "s19e_pq_encode" ->
       s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
           vq AS (SELECT vec_id, CAST((i - 1) // ${Dim / 4} AS BIGINT) AS sub,

@@ -69,7 +69,8 @@ class PlanSweepSpec extends AnyFunSuite with SparkTestBase {
     "c25_phase_census"       -> 1L, // single-row totals + single-row cut-point broadcasts
     "a26_fleiss_kappa"       -> 1L, // single-row label-mass (pe) broadcast onto the single-row item aggregate
     "a27_krippendorff_alpha" -> 1L, // single-row marginal-mass (mg) broadcast onto the single-row item aggregate
-    "a28_ds_second_step"     -> 1L  // two single-row flip-census broadcasts onto the 5-row annotator frame
+    "a28_ds_second_step"     -> 1L, // two single-row flip-census broadcasts onto the 5-row annotator frame
+    "s19g_ivfadc"            -> 1L  // four single-row census broadcasts onto the k-row top-k
   )
 
   /** Queries allowed a window with an empty partition spec, with the
