@@ -364,6 +364,90 @@ object Dedup extends QueryModule {
       .distinct()
   }
 
+  /** D19 — NORMALIZED benchmark decontamination (r12 verdict #3; the
+    * production form of d6's raw 5-gram overlap): real decontamination —
+    * GPT-3 appendix C, PaLM §C — NORMALIZES before matching (lowercase,
+    * punctuation/whitespace collapse) so cased or re-punctuated copies of
+    * benchmark text still flag, and uses LONGER grams (13) so natural
+    * short-gram collisions don't: on this corpus's ~30-word vocabulary,
+    * organic 5-gram collisions are expected (the d6 rows prove it) while
+    * an organic 13-gram collision is ~30⁻¹³ — only real contamination
+    * matches. Normalization REUSES [[TF.cleanText]] (the engine's ftfy
+    * pipeline — identity on this ASCII corpus, the F1-oracle precondition
+    * TextFunctionsSpec enforces) followed by lowercase + one
+    * non-alphanumeric collapse, so engine and oracle share the pipeline.
+    *
+    * Planted contaminants: each benchmark doc ≤ 5 re-enters the train
+    * side at −doc_id−1 as its UPPERCASED, comma-repunctuated copy — zero
+    * raw 5-gram overlap (d6-blind, proven by n_raw5_planted = 0 in the
+    * output) but full normalized 13-gram overlap (n_norm13_planted = 1
+    * per benchmark row ≤ 5). Output: the per-benchmark census — for each
+    * benchmark doc, distinct contaminated train docs under the normalized
+    * 13-gram rule and under the raw 5-gram rule, each split by planted.
+    *
+    * Scale shape (the GPT-3 discipline): benchmark suites are tiny vs the
+    * corpus, so the bench gram set is a BROADCAST; the train side is one
+    * explode + broadcast equi-join on the gram key + a (doc, bench)
+    * distinct — never a doc×doc join, and the corpus scan happens once
+    * per gram rule.
+    */
+  private def d19_normalized_decontamination(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.{TextFunctions => TF}
+    def norm(c: Column): Column =
+      trim(regexp_replace(lower(TF.cleanText(c)), "[^a-z0-9]+", " "))
+    val docs  = table(s, d, "documents")
+    val bench = docs.filter(col("doc_id") <= 10)
+    val train = docs
+      .filter(col("doc_id") > 10)
+      .select(col("doc_id"), col("text"))
+      .unionAll(
+        bench
+          .filter(col("doc_id") <= 5)
+          .select(
+            (-col("doc_id") - 1).as("doc_id"),
+            upper(regexp_replace(col("text"), " ", ", ")).as("text")
+          )
+      )
+    def hits(expr13: Column => Column, n: Int, tag: String): DataFrame = {
+      val bg = bench
+        .select(
+          col("doc_id").as("bid"),
+          explode(call_function("graft_word_shingles", expr13(col("text")), lit(n))).as("g")
+        )
+        .distinct()
+      train
+        .select(
+          col("doc_id"),
+          explode(call_function("graft_word_shingles", expr13(col("text")), lit(n))).as("g")
+        )
+        .join(broadcast(bg), Seq("g"))
+        .select(col("doc_id"), col("bid"))
+        .distinct()
+        .withColumn("w", lit(tag))
+    }
+    val all = hits(norm, 13, "n13").unionByName(hits(c => c, 5, "r5"))
+    val census = all
+      .groupBy(col("bid"))
+      .agg(
+        countDistinct(when(col("w") === "n13", col("doc_id"))).as("n_norm13"),
+        countDistinct(when(col("w") === "n13" && col("doc_id") < 0, col("doc_id")))
+          .as("n_norm13_planted"),
+        countDistinct(when(col("w") === "r5", col("doc_id"))).as("n_raw5"),
+        countDistinct(when(col("w") === "r5" && col("doc_id") < 0, col("doc_id")))
+          .as("n_raw5_planted")
+      )
+    bench
+      .select(col("doc_id").as("bid"))
+      .join(census, Seq("bid"), "left")
+      .select(
+        col("bid"),
+        coalesce(col("n_norm13"), lit(0L)).cast("long").as("n_norm13"),
+        coalesce(col("n_norm13_planted"), lit(0L)).cast("long").as("n_norm13_planted"),
+        coalesce(col("n_raw5"), lit(0L)).cast("long").as("n_raw5"),
+        coalesce(col("n_raw5_planted"), lit(0L)).cast("long").as("n_raw5_planted")
+      )
+  }
+
   /** D5 — embedding-cosine near-dup pairs, LSH-bucketed: pairs are generated
     * only within a sign-bit bucket (shared plane family with s19b), then
     * exact-cosine filtered.
@@ -825,6 +909,7 @@ object Dedup extends QueryModule {
     "d4_ngram_jaccard" -> (d4_ngram_jaccard _),
     "d5_embed_neardup" -> (d5_embed_neardup _),
     "d6_contamination" -> (d6_contamination _),
+    "d19_normalized_decontamination" -> (d19_normalized_decontamination _),
     "d7_dedup_clusters" -> (d7_dedup_clusters _),
     "d8_url_dedup" -> (d8_url_dedup _),
     "d9_fuzzy_blocking" -> (d9_fuzzy_blocking _),
@@ -906,7 +991,58 @@ object Dedup extends QueryModule {
     )
     .mkString(" || ")
 
+  /** Word n-grams of a text column in DuckDB (the d6 formulation,
+    * parameterized): distinct n-word windows joined by one space.
+    */
+  private def gramSql(txt: String, n: Int): String =
+    s"""unnest(list_distinct(list_transform(
+          generate_series(0, greatest(len(string_split($txt, ' ')) - $n, 0)),
+          i -> array_to_string(string_split($txt, ' ')[i+1:i+$n], ' '))))"""
+
+  /** The d19 normalization in DuckDB — lowercase + non-alphanumeric
+    * collapse; [[graft.functions.TextFunctions.cleanText]]'s ftfy stages
+    * are identity on this ASCII corpus (TextFunctionsSpec pins it).
+    */
+  private def normSql(txt: String): String =
+    s"trim(regexp_replace(lower($txt), '[^a-z0-9]+', ' ', 'g'))"
+
   val oracles: Map[String, String] = Map(
+    "d19_normalized_decontamination" ->
+      s"""WITH bench AS (SELECT doc_id, text FROM documents WHERE doc_id <= 10),
+          train AS (
+            SELECT doc_id, text FROM documents WHERE doc_id > 10
+            UNION ALL
+            SELECT -doc_id - 1 AS doc_id, upper(replace(text, ' ', ', ')) AS text
+            FROM documents WHERE doc_id <= 5),
+          bg13 AS (SELECT DISTINCT doc_id AS bid, g FROM (
+            SELECT doc_id, ${gramSql(normSql("text"), 13)} AS g FROM bench)),
+          tg13 AS (SELECT DISTINCT t.doc_id, bid FROM (
+            SELECT doc_id, ${gramSql(normSql("text"), 13)} AS g FROM train) t
+            JOIN bg13 USING (g)),
+          bg5 AS (SELECT DISTINCT doc_id AS bid, g FROM (
+            SELECT doc_id, ${gramSql("text", 5)} AS g FROM bench)),
+          tg5 AS (SELECT DISTINCT t.doc_id, bid FROM (
+            SELECT doc_id, ${gramSql("text", 5)} AS g FROM train) t
+            JOIN bg5 USING (g)),
+          allh AS (
+            SELECT doc_id, bid, 'n13' AS w FROM tg13
+            UNION ALL
+            SELECT doc_id, bid, 'r5' AS w FROM tg5),
+          census AS (
+            SELECT bid,
+                   count(DISTINCT CASE WHEN w = 'n13' THEN doc_id END) AS n_norm13,
+                   count(DISTINCT CASE WHEN w = 'n13' AND doc_id < 0 THEN doc_id END)
+                     AS n_norm13_planted,
+                   count(DISTINCT CASE WHEN w = 'r5' THEN doc_id END) AS n_raw5,
+                   count(DISTINCT CASE WHEN w = 'r5' AND doc_id < 0 THEN doc_id END)
+                     AS n_raw5_planted
+            FROM allh GROUP BY bid)
+          SELECT b.doc_id AS bid,
+                 CAST(coalesce(n_norm13, 0) AS BIGINT) AS n_norm13,
+                 CAST(coalesce(n_norm13_planted, 0) AS BIGINT) AS n_norm13_planted,
+                 CAST(coalesce(n_raw5, 0) AS BIGINT) AS n_raw5,
+                 CAST(coalesce(n_raw5_planted, 0) AS BIGINT) AS n_raw5_planted
+          FROM bench b LEFT JOIN census ON census.bid = b.doc_id""",
     "d18_lsh_recall" ->
       s"""WITH corpus AS (
             SELECT doc_id, text FROM documents

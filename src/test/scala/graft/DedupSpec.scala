@@ -23,4 +23,20 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     rows.foreach(r => assert(r.getAs[Long]("n_clusters") <= r.getAs[Long]("n_docs")))
     rows.foreach(r => assert(r.getAs[Long]("leak_pairs") == 0L))
   }
+
+  test("d19: planted cased contaminants are 13-gram-caught and raw-5-gram-blind") {
+    val rows = SparkEntry
+      .queries("d19_normalized_decontamination")(spark, sf)
+      .collect()
+      .map(r => r.getAs[Long]("bid") -> r)
+      .toMap
+    for (bid <- 0L to 5L) {
+      // Every uppercased/re-punctuated copy flags under the normalized
+      // 13-gram rule and is invisible to d6's raw 5-gram rule — the whole
+      // point of normalizing before matching.
+      assert(rows(bid).getAs[Long]("n_norm13_planted") == 1L, s"bid $bid planted miss")
+      assert(rows(bid).getAs[Long]("n_raw5_planted") == 0L, s"bid $bid raw-5 should be blind")
+    }
+    assert(rows.size == 11) // census covers every benchmark doc, hit or not
+  }
 }
