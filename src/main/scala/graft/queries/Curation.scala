@@ -1197,6 +1197,109 @@ object Curation extends QueryModule {
     * (PlanSweepSpec pins the bound against executed metrics); the totals
     * and cut points ride single-row broadcasts.
     */
+  /** C26 — hashed LINEAR quality classifier (r12 verdict #4; the
+    * CCNet/fastText-style trained filter production corpora use where
+    * c13's bigram LM is only a frequency gate — CCNet §4.2, LLaMA's
+    * "trained a linear model to classify pages"): word occurrences hash
+    * into 128 feature buckets (c9's md5 discipline), a LABELED SPLIT
+    * (doc_id % 5 == 0) trains integer log-odds weights — positives are
+    * the natural text, negatives the same docs through a deterministic
+    * junk generator (16 md5-derived hex words per doc, the gibberish
+    * x21's entropy signal targets) — and every held-out doc scores as
+    * the sum of its words' bucket weights. Weight w(bk) =
+    * bitlen(pos+1) − bitlen(neg+1) (c13's integer log₂, add-one
+    * smoothed): natural-vocabulary buckets go positive, the junk-soup
+    * buckets (uniform over all 128) go negative. Gate: keep iff
+    * wsum > 0.
+    *
+    * Planted eval rows prove the separation in-output: each doc ≤ 9
+    * re-enters as 'planted_junk' (its junk-generated text, id −2·id−1)
+    * and as 'planted_clean' (its natural text, id −2·id−2) — the junk
+    * keep-rate is 0‰ and its max score sits strictly below the clean
+    * minimum (CurationSpec pins both). Output: per-source census —
+    * docs, kept, keep ‰, score range.
+    *
+    * Score arithmetic: |w| ≤ 63 (bitlen of a long), so wsum + 64·n > 0
+    * and the ‰-quantized mean (1000·(wsum+64n)) div n − 64000 divides
+    * positives only — truncation == floor in both engines.
+    *
+    * Scale shape: the weight table is ≤128 rows broadcast at any corpus
+    * size; training and scoring are each one explode + keyed aggregate;
+    * the census aggregates by source. Nothing all-pairs, nothing global.
+    */
+  private def c26_quality_classifier(s: SparkSession, d: String): DataFrame = {
+    def junk(c: Column): Column =
+      array_join(
+        transform(sequence(lit(0), lit(15)), i => md5(concat(c, i.cast("string")))),
+        " "
+      )
+    def bk(w: Column): Column =
+      (conv(substring(md5(w), 1, 6), 16, 10).cast("long") % 128).as("bk")
+    val docs      = table(s, d, "documents")
+    val trainDocs = docs.filter(col("doc_id") % 5 === 0)
+    val trainWords = graft.Lineage.truncate(
+      trainDocs
+        .select(lit(1L).as("y"), explode(words(col("text"))).as("w"))
+        .unionAll(trainDocs.select(lit(0L).as("y"), explode(words(junk(col("text")))).as("w")))
+        .select(col("y"), bk(col("w")))
+    )
+    val weights = trainWords
+      .groupBy(col("bk"))
+      .agg(sum(col("y")).as("pos"), sum(lit(1L) - col("y")).as("neg"))
+      .select(
+        col("bk"),
+        (length(bin(col("pos") + 1)).cast("long") - length(bin(col("neg") + 1)).cast("long"))
+          .as("w_q")
+      )
+    val eval0 = docs
+      .filter(col("doc_id") % 5 =!= 0)
+      .select(col("doc_id"), col("source"), col("text"))
+      .unionAll(
+        docs
+          .filter(col("doc_id") <= 9)
+          .select(
+            (-col("doc_id") * 2 - 1).as("doc_id"),
+            lit("planted_junk").as("source"),
+            junk(col("text")).as("text")
+          )
+      )
+      .unionAll(
+        docs
+          .filter(col("doc_id") <= 9)
+          .select(
+            (-col("doc_id") * 2 - 2).as("doc_id"),
+            lit("planted_clean").as("source"),
+            col("text")
+          )
+      )
+    eval0
+      .select(col("doc_id"), col("source"), explode(words(col("text"))).as("w"))
+      .select(col("doc_id"), col("source"), bk(col("w")))
+      .join(broadcast(weights), Seq("bk"), "left")
+      .groupBy(col("doc_id"), col("source"))
+      .agg(count(lit(1)).as("n_words"), sum(coalesce(col("w_q"), lit(0L))).as("wsum"))
+      .select(
+        col("source"),
+        expr("(1000 * (wsum + 64 * n_words)) div n_words - 64000").as("score_q"),
+        (col("wsum") > 0).as("keep")
+      )
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
+        min(col("score_q")).as("min_score_q"),
+        max(col("score_q")).as("max_score_q")
+      )
+      .select(
+        col("source"),
+        col("n_docs").cast("long").as("n_docs"),
+        col("n_kept").cast("long").as("n_kept"),
+        expr("1000 * n_kept div n_docs").cast("long").as("keep_pm"),
+        col("min_score_q").cast("long").as("min_score_q"),
+        col("max_score_q").cast("long").as("max_score_q")
+      )
+  }
+
   private def c25_phase_census(s: SparkSession, d: String): DataFrame = {
     val hist = table(s, d, "documents")
       .select(size(words(col("text"))).cast("long").as("len"))
@@ -1247,6 +1350,7 @@ object Curation extends QueryModule {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "c26_quality_classifier" -> (c26_quality_classifier _),
     "c25_phase_census" -> (c25_phase_census _),
     "c24_shard_manifest" -> (c24_shard_manifest _),
     "c22_curriculum_batches" -> (c22_curriculum_batches _),
@@ -1301,6 +1405,50 @@ object Curation extends QueryModule {
                 FROM q)"""
 
   val oracles: Map[String, String] = Map(
+    "c26_quality_classifier" ->
+      """WITH jt AS (
+           SELECT doc_id, source,
+                  array_to_string(list_transform(generate_series(0, 15),
+                    i -> md5(text || CAST(i AS VARCHAR))), ' ') AS jtext,
+                  text
+           FROM documents),
+         trainw AS (
+           SELECT 1 AS y, unnest(string_split(text, ' ')) AS w
+           FROM documents WHERE doc_id % 5 = 0
+           UNION ALL
+           SELECT 0 AS y, unnest(string_split(jtext, ' ')) AS w
+           FROM jt WHERE doc_id % 5 = 0),
+         wt AS (
+           SELECT ('0x' || substr(md5(w), 1, 6))::BIGINT % 128 AS bk,
+                  CAST(length(bin(sum(y) + 1)) - length(bin(sum(1 - y) + 1)) AS BIGINT) AS w_q
+           FROM trainw GROUP BY 1),
+         ev AS (
+           SELECT doc_id, source, text FROM documents WHERE doc_id % 5 <> 0
+           UNION ALL
+           SELECT -doc_id * 2 - 1, 'planted_junk', jtext FROM jt WHERE doc_id <= 9
+           UNION ALL
+           SELECT -doc_id * 2 - 2, 'planted_clean', text FROM jt WHERE doc_id <= 9),
+         ew AS (
+           SELECT doc_id, source,
+                  ('0x' || substr(md5(w), 1, 6))::BIGINT % 128 AS bk
+           FROM (SELECT doc_id, source, unnest(string_split(text, ' ')) AS w FROM ev)),
+         sc AS (
+           SELECT doc_id, source, count(*) AS n_words,
+                  sum(coalesce(w_q, 0)) AS wsum
+           FROM ew LEFT JOIN wt USING (bk) GROUP BY 1, 2),
+         scored AS (
+           SELECT source,
+                  (1000 * (wsum + 64 * n_words)) // n_words - 64000 AS score_q,
+                  wsum > 0 AS keep
+           FROM sc)
+         SELECT source,
+                CAST(count(*) AS BIGINT) AS n_docs,
+                CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+                CAST(1000 * sum(CASE WHEN keep THEN 1 ELSE 0 END) // count(*) AS BIGINT)
+                  AS keep_pm,
+                CAST(min(score_q) AS BIGINT) AS min_score_q,
+                CAST(max(score_q) AS BIGINT) AS max_score_q
+         FROM scored GROUP BY 1""",
     "c25_phase_census" ->
       """WITH lens AS (
            SELECT len(string_split(text, ' ')) AS l FROM documents),

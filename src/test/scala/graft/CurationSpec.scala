@@ -221,4 +221,23 @@ class CurationSpec extends AnyFunSuite with SparkTestBase {
       assert((r.getAs[Int]("keep") == 1) == (firstFail == "pass"))
     }
   }
+
+  test("c26: planted junk scores strictly below planted clean and is gated out") {
+    val rows = run("c26_quality_classifier")
+      .collect()
+      .map(r => r.getAs[String]("source") -> r)
+      .toMap
+    val junk  = rows("planted_junk")
+    val clean = rows("planted_clean")
+    // The trained log-odds separate the classes with a wide margin — every
+    // junk doc sits strictly below every clean doc.
+    assert(junk.getAs[Long]("max_score_q") < clean.getAs[Long]("min_score_q"))
+    // The wsum > 0 gate keeps all clean text and rejects the junk majority.
+    assert(clean.getAs[Long]("keep_pm") == 1000L)
+    assert(junk.getAs[Long]("keep_pm") < 500L)
+    // Natural held-out sources score in the clean regime, not the junk one.
+    rows.collect { case (s, r) if s.startsWith("src") => r }.foreach { r =>
+      assert(r.getAs[Long]("min_score_q") > junk.getAs[Long]("max_score_q"))
+    }
+  }
 }
