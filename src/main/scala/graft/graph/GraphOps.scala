@@ -327,7 +327,36 @@ object GraphOps {
   ): DataFrame = {
     val u = Lineage.truncate(und.select(col("a"), col("b")))
     val m = u.count() // scalar once — no per-pass single-row broadcast
-    mergeFixedPointCore(u.withColumn("gm", lit(m)), labels, maxPasses, gammaNum, gammaDen)
+    mergeFixedPointCore(
+      u.withColumn("w", lit(1L)).withColumn("gm", lit(m)),
+      labels,
+      maxPasses,
+      gammaNum,
+      gammaDen
+    )
+  }
+
+  /** WEIGHTED merge fixed point (r12 verdict #8 — the igraph-with-weights
+    * form the co-occurrence substrate wants): same deterministic
+    * mutual-best-partner passes as [[refineMergeFixedPoint]] with the
+    * weighted-modularity substitution — edge counts become edge-weight
+    * sums (E12 → Σw), vertex degrees become STRENGTHS (Σ incident w), and
+    * the graph constant becomes total weight W — so the gain is
+    * γden·2W·E12w − γnum·s1·s2 (Newman 2004 §V, weighted RB form). The
+    * unweighted entry points are exactly this with w ≡ 1. `undW` is the
+    * canonical undirected edge list (a, b, w), w integral so the
+    * arithmetic stays engine-exact.
+    */
+  def refineMergeFixedPointWeighted(
+      undW: DataFrame,
+      labels: DataFrame,
+      maxPasses: Int = 8,
+      gammaNum: Long = 1L,
+      gammaDen: Long = 1L
+  ): DataFrame = {
+    val u = Lineage.truncate(undW.select(col("a"), col("b"), col("w")))
+    val wTot = u.agg(sum(col("w"))).head().getLong(0)
+    mergeFixedPointCore(u.withColumn("gm", lit(wTot)), labels, maxPasses, gammaNum, gammaDen)
   }
 
   /** [[refineMergeFixedPoint]] over a DISJOINT UNION of graphs in ONE pass
@@ -351,7 +380,7 @@ object GraphOps {
       gammaDen: Long = 1L
   ): DataFrame =
     mergeFixedPointCore(
-      Lineage.truncate(undGm.select(col("a"), col("b"), col("gm"))),
+      Lineage.truncate(undGm.select(col("a"), col("b"), lit(1L).as("w"), col("gm"))),
       labels,
       maxPasses,
       gammaNum,
@@ -359,17 +388,18 @@ object GraphOps {
     )
 
   private def mergeFixedPointCore(
-      u: DataFrame, // (a, b, gm) — materialized
+      u: DataFrame, // (a, b, w, gm) — materialized; w ≡ 1 for unweighted
       labels: DataFrame,
       maxPasses: Int,
       gammaNum: Long,
       gammaDen: Long
   ): DataFrame = {
+    // deg = STRENGTH (Σ incident w) — the plain degree when w ≡ 1.
     val deg = Lineage.truncate(
-      u.select(col("a").as("id"))
-        .unionAll(u.select(col("b").as("id")))
+      u.select(col("a").as("id"), col("w"))
+        .unionAll(u.select(col("b").as("id"), col("w")))
         .groupBy("id")
-        .agg(count(lit(1)).as("deg"))
+        .agg(sum(col("w")).as("deg"))
     )
     // Loop state carries the pass-invariant vertex degree so the community
     // degree sum is ONE aggregate per pass, not a join + aggregate
@@ -400,7 +430,7 @@ object GraphOps {
         .join(xb, "b")
         .filter(col("ca") =!= col("cb"))
         .groupBy(least(col("ca"), col("cb")).as("cx"), greatest(col("ca"), col("cb")).as("cy"))
-        .agg(count(lit(1)).as("e12"), min(col("gm")).as("gm"))
+        .agg(sum(col("w")).as("e12"), min(col("gm")).as("gm"))
       val inter = half
         .select(col("cx").as("c1"), col("cy").as("c2"), col("e12"), col("gm"))
         .unionAll(half.select(col("cy").as("c1"), col("cx").as("c2"), col("e12"), col("gm")))

@@ -878,6 +878,99 @@ object GraphQueries extends QueryModule {
     * (non-adjacency is the point) and the top-20 by (ra_q desc, pair asc)
     * is TakeOrderedAndProject — no global sort, no all-pairs anywhere.
     */
+  /** G20 — WEIGHTED modularity in the community ladder (r12 verdict #8;
+    * Newman 2004 §V / igraph-with-weights, what consuming the g16
+    * co-occurrence substrate with its shared_parts weights actually
+    * requires): run the SAME LPA-seeded mutual-merge fixed point twice on
+    * one planted graph — once unweighted (g8b's
+    * [[graft.graph.GraphOps.refineMergeFixedPoint]]) and once under the
+    * weighted substitution E12 → Σw, degree → strength, m → W
+    * ([[graft.graph.GraphOps.refineMergeFixedPointWeighted]] — one
+    * aggregate substitution in the shared core) — and score both
+    * labelings under weighted modularity.
+    *
+    * The planted graph makes the weights FLIP a merge decision: two
+    * triangles ({0,1,2}, {3,4,5}, unit weights) joined by one bridge
+    * (2, 3) of weight 20. Unweighted, the cross-bridge merge gain is
+    * 2m·E12 − d2·d3 = 14 − 49 < 0 — the triangles stay separate (2
+    * communities). Weighted, the heavy bridge dominates: 2W·E12w − s2·s3
+    * = 2·26·20 − 26·26 = +364 > 0 — the ladder glues the graph (1
+    * community), and the weighted-modularity numerator shows the glue is
+    * RIGHT under the weighted objective (GraphOpsSpec pins the same flip
+    * in-memory). One row per variant: communities, whether the bridge
+    * merged, weighted Q numerator (4W·intra_w − Σ s_c²).
+    *
+    * Scale shape: the ladder is the g8b core (keyed joins + aggregates
+    * per pass, 2 actions/pass); the harness graph is 6 vertices at any
+    * scale factor (dimension-graph profile); scoring is one tagged
+    * pipeline over both labelings.
+    */
+  private def g20_weighted_modularity(s: SparkSession, d: String): DataFrame =
+    graft.Tuning.dimensionGraphProfile(s) {
+      val n = table(s, d, "nation")
+      def tri(lo: Int): DataFrame = {
+        val k = n
+          .filter(col("n_nationkey") >= lo && col("n_nationkey") <= lo + 2)
+          .select(col("n_nationkey").cast("long").as("k"), lit(0).as("g"))
+        k.select(col("k").as("a"), col("g"))
+          .join(k.select(col("k").as("b"), col("g")), "g")
+          .filter(col("a") < col("b"))
+          .select(col("a"), col("b"))
+      }
+      val bridge = n
+        .filter(col("n_nationkey") === 3)
+        .select((col("n_nationkey") - 1).cast("long").as("a"), col("n_nationkey").cast("long").as("b"))
+      val und = graft.Lineage.truncate(tri(0).unionByName(tri(3)).unionByName(bridge))
+      val undW = und.withColumn(
+        "w",
+        when(col("a") === 2 && col("b") === 3, 20L).otherwise(1L)
+      )
+      val verts = n
+        .filter(col("n_nationkey") <= 5)
+        .select(col("n_nationkey").cast("long").as("id"))
+      val lpa = graft.Lineage.truncate(
+        GraphOps.labelPropagation(verts, und.select(col("a").as("src"), col("b").as("dst")), 3)
+      )
+      val unw = GraphOps.refineMergeFixedPoint(und, lpa, 4, 1L, 1L)
+      val wtd = GraphOps.refineMergeFixedPointWeighted(undW, lpa, 4, 1L, 1L)
+      val tagged = unw
+        .select(lit("unweighted").as("variant"), col("id"), col("lbl"))
+        .unionByName(wtd.select(lit("weighted").as("variant"), col("id"), col("lbl")))
+      val ea = tagged.select(col("variant"), col("id").as("a"), col("lbl").as("la"))
+      val eb = tagged.select(col("variant"), col("id").as("b"), col("lbl").as("lb"))
+      val edgeAgg = undW
+        .join(ea, "a")
+        .join(eb, Seq("b", "variant"))
+        .groupBy(col("variant"))
+        .agg(
+          sum(col("w")).as("w_tot"),
+          sum(when(col("la") === col("lb"), col("w")).otherwise(0L)).as("intra_w"),
+          max(when(col("a") === 2 && col("la") === col("lb"), 1L).otherwise(0L))
+            .as("bridge_merged")
+        )
+      val strength = undW
+        .select(col("a").as("id"), col("w"))
+        .unionAll(undW.select(col("b").as("id"), col("w")))
+        .groupBy(col("id"))
+        .agg(sum(col("w")).as("s"))
+      val degAgg = tagged
+        .join(strength, Seq("id"))
+        .groupBy(col("variant"), col("lbl"))
+        .agg(sum(col("s")).as("sc"))
+        .groupBy(col("variant"))
+        .agg(sum(col("sc") * col("sc")).as("sum_s2"), count(lit(1)).as("n_comms"))
+      edgeAgg
+        .join(degAgg, Seq("variant"))
+        .select(
+          col("variant"),
+          col("n_comms").cast("long").as("n_comms"),
+          col("bridge_merged").cast("long").as("bridge_merged"),
+          (lit(4L) * col("w_tot") * col("intra_w") - col("sum_s2"))
+            .cast("long")
+            .as("qw_num")
+        )
+    }
+
   private def g19_link_prediction(s: SparkSession, d: String): DataFrame = {
     val e = graft.Lineage.truncate(
       g16_cooccurrence_projection(s, d).select(col("s1").as("a"), col("s2").as("b"))
@@ -1374,6 +1467,7 @@ object GraphQueries extends QueryModule {
     "g8d_leiden_refinement" -> (g8d_leiden_refinement _),
     "g18_clustering_coeff" -> (g18_clustering_coeff _),
     "g19_link_prediction" -> (g19_link_prediction _),
+    "g20_weighted_modularity" -> (g20_weighted_modularity _),
     "g17_ktruss" -> (g17_ktruss _),
     "g16_cooccurrence_projection" -> (g16_cooccurrence_projection _),
     "g0_node_table" -> (g0_node_table _),
@@ -1497,14 +1591,19 @@ object GraphQueries extends QueryModule {
     */
   private def mergeRefineSql(
       p: String, und: String, labels: String, deg: String, mm: String,
-      gn: Long = 1L, gd: Long = 1L, mutual: Boolean = false): String =
+      gn: Long = 1L, gd: Long = 1L, mutual: Boolean = false,
+      weighted: Boolean = false): String = {
+    // weighted = the Newman-2004 substitution: E12 → Σw (the caller then
+    // passes strengths as $deg and total weight as $mm); w ≡ 1 otherwise.
+    val wSel = if (weighted) ", u.w AS w" else ""
+    val eAgg = if (weighted) "sum(w)" else "count(*)"
     s"""${p}inter AS MATERIALIZED (
-          SELECT c1, c2, count(*) AS e12 FROM (
-            SELECT x.lbl AS c1, y.lbl AS c2
+          SELECT c1, c2, $eAgg AS e12 FROM (
+            SELECT x.lbl AS c1, y.lbl AS c2$wSel
             FROM $und u JOIN $labels x ON x.id = u.a JOIN $labels y ON y.id = u.b
             WHERE x.lbl <> y.lbl
             UNION ALL
-            SELECT y.lbl AS c1, x.lbl AS c2
+            SELECT y.lbl AS c1, x.lbl AS c2$wSel
             FROM $und u JOIN $labels x ON x.id = u.a JOIN $labels y ON y.id = u.b
             WHERE x.lbl <> y.lbl
           ) GROUP BY 1, 2),
@@ -1549,6 +1648,7 @@ object GraphQueries extends QueryModule {
           SELECT l.lbl, sum(d.dg) AS dsum
           FROM $deg d JOIN ${p}newlab l ON l.id = d.v GROUP BY 1),
         ${p}rs2 AS (SELECT sum(dsum * dsum) AS sum_d2 FROM ${p}rdc)"""
+  }
 
   /** The gated within-parent refinement passes, unrolled
     * ([[graft.graph.GraphOps.refineWithinFixedPoint]]'s SQL twin — the
@@ -1881,6 +1981,58 @@ object GraphQueries extends QueryModule {
          JOIN reps r ON s.community_id = r.community_id)"""
 
   val oracles: Map[String, String] = Map(
+    "g20_weighted_modularity" ->
+      s"""WITH RECURSIVE gund AS MATERIALIZED (
+            SELECT na.n_nationkey AS a, nb.n_nationkey AS b,
+                   CASE WHEN na.n_nationkey = 2 AND nb.n_nationkey = 3
+                        THEN 20 ELSE 1 END AS w
+            FROM nation na JOIN nation nb ON na.n_nationkey < nb.n_nationkey
+            WHERE (na.n_nationkey <= 2 AND nb.n_nationkey <= 2)
+               OR (na.n_nationkey BETWEEN 3 AND 5 AND nb.n_nationkey BETWEEN 3 AND 5)
+               OR (na.n_nationkey = 2 AND nb.n_nationkey = 3)),
+          gedges AS MATERIALIZED (
+            SELECT a AS src, b AS dst FROM gund
+            UNION SELECT b, a FROM gund),
+          zl0 AS (SELECT n_nationkey AS id, n_nationkey AS lbl
+                  FROM nation WHERE n_nationkey <= 5),
+          ${lpaStepsSql("gedges", "z")},
+          gdeg AS MATERIALIZED (SELECT v, count(*) AS dg FROM (
+              SELECT a AS v FROM gund UNION ALL SELECT b AS v FROM gund) GROUP BY v),
+          gstr AS MATERIALIZED (SELECT v, sum(w) AS dg FROM (
+              SELECT a AS v, w FROM gund UNION ALL SELECT b AS v, w FROM gund) GROUP BY v),
+          gmm AS (SELECT count(*) AS m FROM gund),
+          gwm AS (SELECT sum(w) AS m FROM gund),
+          ${mergeRefineSql("u1", "gund", "zl3", "gdeg", "gmm", mutual = true)},
+          ${mergeRefineSql("u2", "gund", "u1newlab", "gdeg", "gmm", mutual = true)},
+          ${mergeRefineSql("u3", "gund", "u2newlab", "gdeg", "gmm", mutual = true)},
+          ${mergeRefineSql("u4", "gund", "u3newlab", "gdeg", "gmm", mutual = true)},
+          ${mergeRefineSql("v1", "gund", "zl3", "gstr", "gwm", mutual = true, weighted = true)},
+          ${mergeRefineSql("v2", "gund", "v1newlab", "gstr", "gwm", mutual = true, weighted = true)},
+          ${mergeRefineSql("v3", "gund", "v2newlab", "gstr", "gwm", mutual = true, weighted = true)},
+          ${mergeRefineSql("v4", "gund", "v3newlab", "gstr", "gwm", mutual = true, weighted = true)},
+          lab AS (
+            SELECT 'unweighted' AS variant, id, lbl FROM u4newlab
+            UNION ALL
+            SELECT 'weighted' AS variant, id, lbl FROM v4newlab),
+          eagg AS (
+            SELECT x.variant, sum(w) AS w_tot,
+                   sum(CASE WHEN x.lbl = y.lbl THEN w ELSE 0 END) AS intra_w,
+                   max(CASE WHEN u.a = 2 AND x.lbl = y.lbl THEN 1 ELSE 0 END)
+                     AS bridge_merged
+            FROM gund u
+            JOIN lab x ON x.id = u.a
+            JOIN lab y ON y.id = u.b AND y.variant = x.variant
+            GROUP BY 1),
+          sagg AS (
+            SELECT l.variant, l.lbl, sum(d.dg) AS sc
+            FROM gstr d JOIN lab l ON l.id = d.v GROUP BY 1, 2),
+          s2 AS (SELECT variant, sum(sc * sc) AS sum_s2, count(*) AS n_comms
+                 FROM sagg GROUP BY 1)
+          SELECT e.variant,
+                 CAST(n_comms AS BIGINT) AS n_comms,
+                 CAST(bridge_merged AS BIGINT) AS bridge_merged,
+                 CAST(4 * w_tot * intra_w - sum_s2 AS BIGINT) AS qw_num
+          FROM eagg e JOIN s2 USING (variant)""",
     "g8e_leiden_sweep" ->
       s"""WITH RECURSIVE ${sweepDivergenceSql("u", ballast = false)},
           ${sweepDivergenceSql("v", ballast = true)}

@@ -630,4 +630,32 @@ class GraphOpsSpec extends AnyFunSuite with SparkTestBase {
         .when(col("lbl") === 8L, 0L).otherwise(col("lbl")).as("lbl"))
     assert(GraphOps.modularity(und, glued) > GraphOps.modularity(und, refined))
   }
+
+  test("edge weights flip the cross-bridge merge the unweighted ladder refuses") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // two unit-weight triangles joined by one weight-20 bridge (2, 3):
+    // unweighted gain 2m·E12 − d·d = 14 − 49 < 0 (stay split); weighted
+    // gain 2W·E12w − s2·s3 = 1040 − 676 > 0 (glue) — the g20 plant.
+    val und = Seq((0L, 1L), (0L, 2L), (1L, 2L), (3L, 4L), (3L, 5L), (4L, 5L), (2L, 3L))
+      .toDF("a", "b")
+    val undW = und.withColumn(
+      "w",
+      when(col("a") === 2L && col("b") === 3L, 20L).otherwise(1L)
+    )
+    val verts = (0L to 5L).toDF("id")
+    val lpa = GraphOps.labelPropagation(
+      verts,
+      und.select(col("a").as("src"), col("b").as("dst")),
+      3
+    )
+    def comms(df: org.apache.spark.sql.DataFrame): Map[Long, Long] =
+      df.collect().map(r => r.getAs[Long]("id") -> r.getAs[Long]("lbl")).toMap
+    val unw = comms(GraphOps.refineMergeFixedPoint(und, lpa, 4, 1L, 1L))
+    val wtd = comms(GraphOps.refineMergeFixedPointWeighted(undW, lpa, 4, 1L, 1L))
+    assert(unw(2L) != unw(3L), "unweighted must keep the triangles separate")
+    assert(unw.values.toSet.size == 2)
+    assert(wtd(2L) == wtd(3L), "the weight-20 bridge must glue the triangles")
+    assert(wtd.values.toSet.size == 1)
+  }
 }
