@@ -80,6 +80,9 @@ object Soak {
     "d7_dedup_clusters",
     "pl8_vector_ingest",
     "d2_verified_pairs",
+    // r13: the raw band-join candidate query itself (its census was always
+    // in SOAK.md; the 256× tranche times it as a first-class row too)
+    "d1_minhash_candidates",
     "g1b_degree_stats",
     "pl7_article_merge",
     "x9_tfidf_topk",
