@@ -871,6 +871,139 @@ object TextAnalysis extends QueryModule {
     * corpus pass — d9's vocabulary-first discipline); top-32 via
     * TakeOrdered; the single-row doc count broadcasts.
     */
+  /** X26 — BM25 top-k retrieval (Robertson–Walker–Jones Okapi BM25, the
+    * sparse-retrieval rung a GraphRAG pipeline queries its corpus with —
+    * x9's TF-IDF is the census form, this is the RANKED form with the two
+    * things that make BM25 the production default: tf SATURATION (k1) and
+    * length NORMALIZATION (b)): for a fixed 3-term query, score_q(d) =
+    * Σ_t idf_q(t) · tfn_q(d,t) div 1000 with
+    *
+    *   idf_q = 10⁴·(N − df + 1) div (df + 1)          (ratio-quantized idf
+    *     — the log is monotone in this ratio, and no float log may cross
+    *     the engine boundary; the RANKING is what BM25's log shapes and a
+    *     monotone surrogate preserves it per term)
+    *   tfn_q = 2.2·10⁶·tf div (10³·tf + 12·(25 + 75·len·N div L))
+    *     (k1 = 1.2, b = 0.75 cleared to integers: ×10 and ×100, avglen
+    *     = L/N cleared by multiplying through by N)
+    *
+    * Both floors nest identically in both engines; every operand is
+    * positive so div == floor. Headroom: idf_q·tfn_q ≤ 2.2·10³·10⁴·N —
+    * fine to N ~ 4·10¹¹ docs, beyond that rescale the quantization
+    * constants (c9's note). Output: top-20 (doc_id, score_q, n_terms_hit).
+    *
+    * Scale shape: the explode filters to the query terms AT THE SCAN (a
+    * 3-value isin — at 100 TB this is the inverted-index probe shape:
+    * only matching postings survive the first projection); df/N/L are a
+    * 3-row + single-row broadcast; the score is one doc-keyed aggregate
+    * and the top-k is TakeOrderedAndProject.
+    */
+  /** The doc-level BM25 scores behind x26's top-k — shared with the
+    * hybrid-retrieval fusion (s19h), which ranks the same scores at a
+    * different cut.
+    */
+  private[queries] def bm25Scored(s: SparkSession, d: String): DataFrame = {
+    val qterms = Seq("spark", "vector", "hash")
+    val docs   = table(s, d, "documents")
+    val stats = docs.agg(
+      count(lit(1)).as("nn"),
+      sum(size(words(col("text")))).cast("long").as("ll")
+    )
+    val tf = docs
+      .select(
+        col("doc_id"),
+        size(words(col("text"))).cast("long").as("len"),
+        explode(words(col("text"))).as("w")
+      )
+      .filter(col("w").isin(qterms: _*))
+      .groupBy(col("doc_id"), col("len"), col("w"))
+      .agg(count(lit(1)).as("tf"))
+    val dfr = tf.groupBy(col("w")).agg(count(lit(1)).as("df"))
+    tf.join(broadcast(dfr), Seq("w"))
+      .crossJoin(broadcast(stats))
+      .select(
+        col("doc_id"),
+        expr("10000 * (nn - df + 1) div (df + 1)").as("idf_q"),
+        expr("2200000 * tf div (1000 * tf + 12 * (25 + 75 * len * nn div ll))").as("tfn_q")
+      )
+      .groupBy(col("doc_id"))
+      .agg(
+        sum(expr("idf_q * tfn_q div 1000")).as("score_q"),
+        count(lit(1)).as("n_terms_hit")
+      )
+  }
+
+  private def x26_bm25_topk(s: SparkSession, d: String): DataFrame =
+    bm25Scored(s, d)
+      .orderBy(col("score_q").desc, col("doc_id").asc)
+      .limit(20)
+      .select(
+        col("doc_id"),
+        col("score_q").cast("long").as("score_q"),
+        col("n_terms_hit").cast("long").as("n_terms_hit")
+      )
+
+  /** X27 — PMI collocation mining (Church–Hanks 1990, the association
+    * measure behind collocation/phrase extraction — the entity-mention
+    * bigrams a GraphRAG entity-extraction pass promotes to vocabulary):
+    * for every adjacent word pair with count ≥ 5, the quantized pointwise
+    * mutual information ratio
+    *
+    *   pmi_q = 10⁶ · c(ab) · W² div (B · c(a) · c(b))
+    *
+    * (P(ab)/(P(a)P(b)) with P(ab) = c_ab/B over B bigram positions and
+    * P(w) = c_w/W over W word positions; the log is monotone in the
+    * ratio, so the RANKING is PMI's — no float log crosses the engine
+    * boundary). The count gate is PMI's standard variance guard (rare
+    * pairs otherwise dominate). Products run in DECIMAL(38,0) (W²·c_ab
+    * overflows a long past ~10⁶-word corpora; the a26 discipline), the
+    * quotient narrows back to long. Top-20 by (pmi_q, pair).
+    *
+    * Scale shape: one unigram hash-aggregate + one positional-bigram
+    * hash-aggregate (both map-side-combinable), the ≥5 gate shrinks the
+    * pair frame before the two unigram-count joins (keyed equi-joins on
+    * the word — NOT broadcast: a real vocabulary is large), totals ride
+    * two single-row broadcasts, top-k is TakeOrderedAndProject.
+    */
+  private def x27_pmi_collocations(s: SparkSession, d: String): DataFrame = {
+    val docs = table(s, d, "documents")
+    val uni = graft.Lineage.truncate(
+      docs
+        .select(explode(words(col("text"))).as("w"))
+        .groupBy(col("w"))
+        .agg(count(lit(1)).as("c"))
+    )
+    val biAll = graft.Lineage.truncate(
+      docs
+        .select(explode(call_function("graft_word_ngrams", col("text"), lit(2))).as("g"))
+        .groupBy(col("g"))
+        .agg(count(lit(1)).as("cab"))
+    )
+    val wTot = uni.agg(sum(col("c")).as("wt"))
+    val bTot = biAll.agg(sum(col("cab")).as("bt"))
+    biAll
+      .filter(col("cab") >= 5)
+      .select(
+        split(col("g"), " ")(0).as("wa"),
+        split(col("g"), " ")(1).as("wb"),
+        col("cab")
+      )
+      .join(uni.select(col("w").as("wa"), col("c").as("ca")), Seq("wa"))
+      .join(uni.select(col("w").as("wb"), col("c").as("cb")), Seq("wb"))
+      .crossJoin(broadcast(wTot))
+      .crossJoin(broadcast(bTot))
+      .select(
+        col("wa"),
+        col("wb"),
+        col("cab").cast("long").as("c_ab"),
+        expr(
+          """cast(1000000 as decimal(38,0)) * cab * wt * wt
+             div (cast(bt as decimal(38,0)) * ca * cb)"""
+        ).cast("long").as("pmi_q")
+      )
+      .orderBy(col("pmi_q").desc, col("wa").asc, col("wb").asc)
+      .limit(20)
+  }
+
   private def x22_term_burstiness(s: SparkSession, d: String): DataFrame = {
     val tf = table(s, d, "documents")
       .select(col("doc_id"), explode(words(col("text"))).as("term"))
@@ -896,6 +1029,8 @@ object TextAnalysis extends QueryModule {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x25_winnowing_matches" -> (x25_winnowing_matches _),
     "x24_winnowing" -> (x24_winnowing _),
+    "x27_pmi_collocations" -> (x27_pmi_collocations _),
+    "x26_bm25_topk" -> (x26_bm25_topk _),
     "x22_term_burstiness" -> (x22_term_burstiness _),
     "x21_char_class_entropy" -> (x21_char_class_entropy _),
     "x20_gram_novelty_decay" -> (x20_gram_novelty_decay _),
@@ -926,6 +1061,55 @@ object TextAnalysis extends QueryModule {
     s"CAST(len(list_filter(string_split(text, ' '), w -> w IN (${inList(xs)}))) AS BIGINT)"
 
   val oracles: Map[String, String] = Map(
+    "x27_pmi_collocations" ->
+      """WITH a AS (SELECT string_split(text, ' ') AS a FROM documents),
+         uni AS (SELECT w, count(*) AS c FROM (
+                   SELECT unnest(a) AS w FROM a) GROUP BY 1),
+         bi AS (SELECT g, count(*) AS cab FROM (
+                  SELECT unnest(list_transform(range(1, len(a)),
+                           i -> a[i] || ' ' || a[i + 1])) AS g
+                  FROM a) GROUP BY 1),
+         wt AS (SELECT sum(c) AS wt FROM uni),
+         bt AS (SELECT sum(cab) AS bt FROM bi),
+         sc AS (
+           SELECT string_split(g, ' ')[1] AS wa,
+                  string_split(g, ' ')[2] AS wb,
+                  cab
+           FROM bi WHERE cab >= 5)
+         SELECT sc.wa, sc.wb, CAST(cab AS BIGINT) AS c_ab,
+                CAST(CAST(1000000 AS HUGEINT) * cab * wt * wt
+                     // (CAST(bt AS HUGEINT) * ua.c * ub.c) AS BIGINT) AS pmi_q
+         FROM sc
+         JOIN uni ua ON ua.w = sc.wa
+         JOIN uni ub ON ub.w = sc.wb
+         CROSS JOIN wt CROSS JOIN bt
+         ORDER BY pmi_q DESC, wa ASC, wb ASC
+         LIMIT 20""",
+    "x26_bm25_topk" ->
+      """WITH st AS (
+           SELECT count(*) AS nn,
+                  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS ll
+           FROM documents),
+         tf AS (
+           SELECT doc_id, len, w, count(*) AS tf FROM (
+             SELECT doc_id,
+                    CAST(len(string_split(text, ' ')) AS BIGINT) AS len,
+                    unnest(string_split(text, ' ')) AS w
+             FROM documents)
+           WHERE w IN ('spark', 'vector', 'hash')
+           GROUP BY 1, 2, 3),
+         dfr AS (SELECT w, count(*) AS df FROM tf GROUP BY 1),
+         sc AS (
+           SELECT doc_id,
+                  10000 * (nn - df + 1) // (df + 1) AS idf_q,
+                  2200000 * tf // (1000 * tf + 12 * (25 + 75 * len * nn // ll)) AS tfn_q
+           FROM tf JOIN dfr USING (w) CROSS JOIN st)
+         SELECT doc_id,
+                CAST(sum(idf_q * tfn_q // 1000) AS BIGINT) AS score_q,
+                CAST(count(*) AS BIGINT) AS n_terms_hit
+         FROM sc GROUP BY 1
+         ORDER BY score_q DESC, doc_id ASC
+         LIMIT 20""",
     "x25_winnowing_matches" ->
       """WITH b AS (
            SELECT doc_id, string_split(text, ' ') AS ws FROM documents),

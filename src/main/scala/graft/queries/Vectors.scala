@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Engine.table
@@ -548,7 +549,69 @@ object Vectors extends QueryModule {
       )
   }
 
+  /** S19h — HYBRID retrieval with reciprocal-rank fusion (Cormack–
+    * Clarke–Büttcher 2009, the dense+sparse composition every production
+    * RAG stack runs — a GraphRAG query hits BOTH the vector index and the
+    * keyword index and fuses the rankings): the dense list is the exact
+    * cosine top-50 against query vector 0 (s19's scan at a deeper cut),
+    * the sparse list is the BM25 top-50 for the fixed 3-term query
+    * ([[TextAnalysis.bm25Scored]] — doc_id and vec_id share the id
+    * space), and each document's fused score is Σ_lists 10⁶ div
+    * (60 + rank) — RRF's k = 60, integer-exact, no score normalization
+    * needed (the whole point of fusing RANKS: cosine and BM25 live on
+    * incomparable scales). Output: fused top-10 with both source ranks
+    * (0 = absent from that list's top-50).
+    *
+    * Scale shape: each list is a TakeOrderedAndProject top-50; the two
+    * rank windows run over those 50-row frames only (bounded global
+    * windows, PlanSweepSpec-declared); the fusion is a 50∪50-row
+    * full-outer join. The expensive parts are exactly the two underlying
+    * retrieval scans, each already proven (s19 / x26).
+    */
+  private def s19h_hybrid_rrf(s: SparkSession, d: String): DataFrame = {
+    val e = table(s, d, "embeddings")
+    val dtop = e
+      .crossJoin(broadcast(queryVec(e)))
+      .withColumn("cs", VF.cosine(col("embedding"), col("qe")))
+      .orderBy(col("cs").desc, col("vec_id").asc)
+      .limit(50)
+      .select(col("vec_id").as("doc_id"), col("cs"))
+    val dRank = dtop
+      .withColumn(
+        "r_dense",
+        row_number().over(Window.orderBy(col("cs").desc, col("doc_id").asc))
+      )
+      .select(col("doc_id"), col("r_dense"))
+    val sRank = TextAnalysis
+      .bm25Scored(s, d)
+      .orderBy(col("score_q").desc, col("doc_id").asc)
+      .limit(50)
+      .withColumn(
+        "r_sparse",
+        row_number().over(Window.orderBy(col("score_q").desc, col("doc_id").asc))
+      )
+      .select(col("doc_id"), col("r_sparse"))
+    dRank
+      .join(sRank, Seq("doc_id"), "full_outer")
+      .select(
+        col("doc_id"),
+        (coalesce(expr("1000000 div (60 + r_dense)"), lit(0L)) +
+          coalesce(expr("1000000 div (60 + r_sparse)"), lit(0L))).as("rrf_q"),
+        coalesce(col("r_dense"), lit(0)).cast("long").as("dense_rank"),
+        coalesce(col("r_sparse"), lit(0)).cast("long").as("sparse_rank")
+      )
+      .orderBy(col("rrf_q").desc, col("doc_id").asc)
+      .limit(10)
+      .select(
+        col("doc_id").cast("long").as("doc_id"),
+        col("rrf_q").cast("long").as("rrf_q"),
+        col("dense_rank"),
+        col("sparse_rank")
+      )
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s19h_hybrid_rrf" -> (s19h_hybrid_rrf _),
     "s19g_ivfadc" -> (s19g_ivfadc _),
     "s19e_pq_encode" -> (s19e_pq_encode _),
     "s19f_pq_adc" -> (s19f_pq_adc _),
@@ -598,6 +661,49 @@ object Vectors extends QueryModule {
                  CAST((n * d2q - sm) * (n * d2q - sm) > 9 * (n * ss - sm * sm)
                       AS INT) AS is_outlier
           FROM d2 JOIN st USING (label)""",
+    "s19h_hybrid_rrf" ->
+      s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+          q AS (SELECT e AS qe FROM v WHERE vec_id = 0),
+          dtop AS (SELECT vec_id AS doc_id, $cosSql AS cs
+                   FROM v, q ORDER BY $cosSql DESC, vec_id LIMIT 50),
+          dr AS (SELECT doc_id,
+                        row_number() OVER (ORDER BY cs DESC, doc_id) AS r_dense
+                 FROM dtop),
+          st AS (SELECT count(*) AS nn,
+                        CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS ll
+                 FROM documents),
+          tf AS (SELECT doc_id, len, w, count(*) AS tf FROM (
+                   SELECT doc_id,
+                          CAST(len(string_split(text, ' '))  AS BIGINT) AS len,
+                          unnest(string_split(text, ' ')) AS w
+                   FROM documents)
+                 WHERE w IN ('spark', 'vector', 'hash')
+                 GROUP BY 1, 2, 3),
+          dfr AS (SELECT w, count(*) AS df FROM tf GROUP BY 1),
+          sc AS (SELECT doc_id,
+                        10000 * (nn - df + 1) // (df + 1) AS idf_q,
+                        2200000 * tf // (1000 * tf + 12 * (25 + 75 * len * nn // ll)) AS tfn_q
+                 FROM tf JOIN dfr USING (w) CROSS JOIN st),
+          bm AS (SELECT doc_id, sum(idf_q * tfn_q // 1000) AS score_q
+                 FROM sc GROUP BY 1),
+          stop AS (SELECT doc_id, score_q FROM bm
+                   ORDER BY score_q DESC, doc_id LIMIT 50),
+          sr AS (SELECT doc_id,
+                        row_number() OVER (ORDER BY score_q DESC, doc_id) AS r_sparse
+                 FROM stop),
+          fused AS (
+            SELECT coalesce(dr.doc_id, sr.doc_id) AS doc_id,
+                   coalesce(1000000 // (60 + r_dense), 0) +
+                   coalesce(1000000 // (60 + r_sparse), 0) AS rrf_q,
+                   coalesce(r_dense, 0) AS dense_rank,
+                   coalesce(r_sparse, 0) AS sparse_rank
+            FROM dr FULL OUTER JOIN sr ON dr.doc_id = sr.doc_id)
+          SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                 CAST(rrf_q AS BIGINT) AS rrf_q,
+                 CAST(dense_rank AS BIGINT) AS dense_rank,
+                 CAST(sparse_rank AS BIGINT) AS sparse_rank
+          FROM fused
+          ORDER BY rrf_q DESC, doc_id LIMIT 10""",
     "s19g_ivfadc" ->
       s"""WITH v AS (SELECT vec_id, CAST(label AS BIGINT) AS label,
                             embedding::DOUBLE[] AS e FROM embeddings),

@@ -70,7 +70,10 @@ class PlanSweepSpec extends AnyFunSuite with SparkTestBase {
     "a26_fleiss_kappa"       -> 1L, // single-row label-mass (pe) broadcast onto the single-row item aggregate
     "a27_krippendorff_alpha" -> 1L, // single-row marginal-mass (mg) broadcast onto the single-row item aggregate
     "a28_ds_second_step"     -> 1L, // two single-row flip-census broadcasts onto the 5-row annotator frame
-    "s19g_ivfadc"            -> 1L  // four single-row census broadcasts onto the k-row top-k
+    "s19g_ivfadc"            -> 1L, // four single-row census broadcasts onto the k-row top-k
+    "s19h_hybrid_rrf"        -> 1L, // single-row query-vector broadcast (the s19 scan at a deeper cut)
+    "x26_bm25_topk"          -> 1L, // single-row corpus-stats (N, L) broadcast onto the posting frame
+    "x27_pmi_collocations"   -> 1L  // single-row W / B totals broadcasts onto the gated pair frame
   )
 
   /** Queries allowed a window with an empty partition spec, with the
@@ -90,7 +93,8 @@ class PlanSweepSpec extends AnyFunSuite with SparkTestBase {
     "x14_term_coverage"    -> 20L,  // cumulative share over the top-20 rows only
     "x18_zipf_audit"       -> 32L,  // rank + running max over the top-32 rows only
     "x20_gram_novelty_decay" -> 10L, // cumulative windows over the ≤10-row decile spine
-    "c25_phase_census"     -> 1024L // cumulative count over value-domain-bounded length-histogram bins
+    "c25_phase_census"     -> 1024L, // cumulative count over value-domain-bounded length-histogram bins
+    "s19h_hybrid_rrf"      -> 50L // two rank windows, each over its list's top-50 only
   )
 
   test("no query plans a CartesianProduct, an unexpected BNLJ, or an unbounded global window") {
