@@ -1300,6 +1300,43 @@ object Curation extends QueryModule {
       )
   }
 
+  /** C27 — TEMPERATURE-sampled mixture weights (the multilingual /
+    * multi-source sampling standard — mT5 §3.1, PaLM, XLM-R all sample
+    * source s with probability ∝ n_s^α, α < 1, so small sources are
+    * up-sampled without letting any one source dominate; c8's uniform
+    * rebalance is the α → 0 limit, proportional sampling the α = 1
+    * limit): α = 1/2 keeps the arithmetic ENGINE-EXACT — n^0.5 =
+    * floor(sqrt(n)), and IEEE-754 sqrt is correctly rounded in both
+    * engines so the floor agrees bit-for-bit (no pow/log float crosses
+    * the boundary; other α need a float pow, declared out of the exact
+    * lane). Per source: the mixture share mix_pm = 10⁶·isqrt(n_s) div
+    * Σ isqrt, the per-epoch sampled-doc budget share of N total draws,
+    * and the effective EPOCH count epochs_bp = 10⁴·planned div n_s — the
+    * repetition-rate audit (a small source sampled at temperature
+    * repeats; >1 epoch is the overfit-risk flag a mixing loop reads,
+    * Muennighoff's repetition-harm threshold).
+    *
+    * Scale shape: one source-keyed count aggregate (map-side
+    * combinable), a single-row Σ isqrt broadcast, pure projection after
+    * — the c8 shape with a sub-linear numerator.
+    */
+  private def c27_temperature_mix(s: SparkSession, d: String): DataFrame = {
+    val n = table(s, d, "documents")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"))
+      .select(col("source"), col("n_docs"), floor(sqrt(col("n_docs"))).cast("long").as("w_q"))
+    val tot = n.agg(sum(col("w_q")).as("wsum"), sum(col("n_docs")).as("n_total"))
+    n.crossJoin(broadcast(tot))
+      .select(
+        col("source"),
+        col("n_docs").cast("long").as("n_docs"),
+        col("w_q"),
+        expr("1000000 * w_q div wsum").as("mix_pm"),
+        expr("(n_total * w_q) div wsum").as("planned_docs"),
+        expr("10000 * ((n_total * w_q) div wsum) div n_docs").as("epochs_bp")
+      )
+  }
+
   private def c25_phase_census(s: SparkSession, d: String): DataFrame = {
     val hist = table(s, d, "documents")
       .select(size(words(col("text"))).cast("long").as("len"))
@@ -1350,6 +1387,7 @@ object Curation extends QueryModule {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "c27_temperature_mix" -> (c27_temperature_mix _),
     "c26_quality_classifier" -> (c26_quality_classifier _),
     "c25_phase_census" -> (c25_phase_census _),
     "c24_shard_manifest" -> (c24_shard_manifest _),
@@ -1405,6 +1443,19 @@ object Curation extends QueryModule {
                 FROM q)"""
 
   val oracles: Map[String, String] = Map(
+    "c27_temperature_mix" ->
+      """WITH n AS (
+           SELECT source, count(*) AS n_docs,
+                  CAST(floor(sqrt(count(*))) AS BIGINT) AS w_q
+           FROM documents GROUP BY 1),
+         tot AS (SELECT sum(w_q) AS wsum, sum(n_docs) AS n_total FROM n)
+         SELECT source,
+                CAST(n_docs AS BIGINT) AS n_docs,
+                w_q,
+                CAST(1000000 * w_q // wsum AS BIGINT) AS mix_pm,
+                CAST((n_total * w_q) // wsum AS BIGINT) AS planned_docs,
+                CAST(10000 * ((n_total * w_q) // wsum) // n_docs AS BIGINT) AS epochs_bp
+         FROM n CROSS JOIN tot""",
     "c26_quality_classifier" ->
       """WITH jt AS (
            SELECT doc_id, source,

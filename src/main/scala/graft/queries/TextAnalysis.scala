@@ -1004,6 +1004,78 @@ object TextAnalysis extends QueryModule {
       .limit(20)
   }
 
+  /** X28 — one BPE MERGE STEP (Sennrich–Haddow–Birch 2016 §3.2, the
+    * byte-pair-encoding training iteration every modern tokenizer is
+    * built from — x3's regex estimator COUNTS tokens, this trains the
+    * vocabulary that defines them): from the corpus word-frequency table,
+    * count every adjacent CHARACTER pair weighted by word frequency
+    * (substr(w, i, 2) over i = 1..len−1 — no per-char explode of the
+    * corpus, the vocabulary table is the unit of work, exactly why BPE
+    * training is vocab-keyed and not corpus-keyed), pick the most
+    * frequent pair (deterministic tiebreak), and report the top-10 pair
+    * census with the chosen merge applied: symbols_before/after =
+    * Σ freq·len before and after replacing the winning pair (replace is
+    * left-to-right non-overlapping in both engines — BPE's own merge
+    * order). One deterministic iteration, the a25/a28 discipline: the
+    * fixed point is an EM-style loop, one audited step proves the
+    * machinery without an open loop.
+    *
+    * Scale shape: the vocabulary aggregate is the only corpus-wide
+    * shuffle (map-side combinable); pair counting explodes the VOCAB
+    * (≤ |vocab|·maxlen rows — at 100 TB the vocabulary is millions of
+    * rows, not trillions); the winner is a single-row broadcast into the
+    * after-merge recount; top-10 is TakeOrdered.
+    */
+  private def x28_bpe_merge_step(s: SparkSession, d: String): DataFrame = {
+    val vocab = graft.Lineage.truncate(
+      table(s, d, "documents")
+        .select(explode(words(col("text"))).as("w"))
+        .filter(length(col("w")) >= 2)
+        .groupBy(col("w"))
+        .agg(count(lit(1)).as("freq"))
+    )
+    val pairs = vocab
+      .select(
+        col("w"),
+        col("freq"),
+        explode(expr("sequence(1, length(w) - 1)")).as("i")
+      )
+      .select(expr("substr(w, i, 2)").as("pair"), col("freq"))
+      .groupBy(col("pair"))
+      .agg(sum(col("freq")).as("pair_count"))
+    val top = pairs
+      .orderBy(col("pair_count").desc, col("pair").asc)
+      .limit(1)
+      .select(col("pair").as("mpair"))
+    val totals = vocab
+      .crossJoin(broadcast(top))
+      .select(
+        col("freq"),
+        length(col("w")).cast("long").as("lb"),
+        // each non-overlapping occurrence of the winning pair collapses 2
+        // symbols into 1: after = lb - occ, occ = (lb - len(w stripped of
+        // the pair)) / 2, so after = (lb + stripped) div 2 - exact, the
+        // difference is always even
+        length(expr("replace(w, mpair, '')")).cast("long").as("ls")
+      )
+      .agg(
+        sum(col("freq") * col("lb")).as("symbols_before"),
+        sum(col("freq") * expr("(lb + ls) div 2")).as("symbols_after")
+      )
+    pairs
+      .orderBy(col("pair_count").desc, col("pair").asc)
+      .limit(10)
+      .crossJoin(broadcast(top))
+      .crossJoin(broadcast(totals))
+      .select(
+        col("pair"),
+        col("pair_count").cast("long").as("pair_count"),
+        when(col("pair") === col("mpair"), 1L).otherwise(0L).as("is_merged"),
+        col("symbols_before").cast("long").as("symbols_before"),
+        col("symbols_after").cast("long").as("symbols_after")
+      )
+  }
+
   private def x22_term_burstiness(s: SparkSession, d: String): DataFrame = {
     val tf = table(s, d, "documents")
       .select(col("doc_id"), explode(words(col("text"))).as("term"))
@@ -1029,6 +1101,7 @@ object TextAnalysis extends QueryModule {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x25_winnowing_matches" -> (x25_winnowing_matches _),
     "x24_winnowing" -> (x24_winnowing _),
+    "x28_bpe_merge_step" -> (x28_bpe_merge_step _),
     "x27_pmi_collocations" -> (x27_pmi_collocations _),
     "x26_bm25_topk" -> (x26_bm25_topk _),
     "x22_term_burstiness" -> (x22_term_burstiness _),
@@ -1061,6 +1134,33 @@ object TextAnalysis extends QueryModule {
     s"CAST(len(list_filter(string_split(text, ' '), w -> w IN (${inList(xs)}))) AS BIGINT)"
 
   val oracles: Map[String, String] = Map(
+    "x28_bpe_merge_step" ->
+      """WITH vocab AS (
+           SELECT w, count(*) AS freq FROM (
+             SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+           WHERE length(w) >= 2 GROUP BY 1),
+         pr AS (
+           SELECT pair, sum(freq) AS pair_count FROM (
+             SELECT unnest(list_transform(generate_series(1, length(w) - 1),
+                      i -> substr(w, CAST(i AS INT), 2))) AS pair,
+                    freq
+             FROM vocab)
+           GROUP BY 1),
+         top AS (SELECT pair AS mpair FROM pr
+                 ORDER BY pair_count DESC, pair LIMIT 1),
+         tot AS (
+           SELECT sum(freq * length(w)) AS symbols_before,
+                  sum(freq * ((length(w) + length(replace(w, mpair, ''))) // 2))
+                    AS symbols_after
+           FROM vocab, top),
+         t10 AS (SELECT pair, pair_count FROM pr
+                 ORDER BY pair_count DESC, pair LIMIT 10)
+         SELECT t10.pair, CAST(pair_count AS BIGINT) AS pair_count,
+                CAST(CASE WHEN t10.pair = mpair THEN 1 ELSE 0 END AS BIGINT)
+                  AS is_merged,
+                CAST(symbols_before AS BIGINT) AS symbols_before,
+                CAST(symbols_after AS BIGINT) AS symbols_after
+         FROM t10, top, tot""",
     "x27_pmi_collocations" ->
       """WITH a AS (SELECT string_split(text, ' ') AS a FROM documents),
          uni AS (SELECT w, count(*) AS c FROM (

@@ -73,7 +73,9 @@ class PlanSweepSpec extends AnyFunSuite with SparkTestBase {
     "s19g_ivfadc"            -> 1L, // four single-row census broadcasts onto the k-row top-k
     "s19h_hybrid_rrf"        -> 1L, // single-row query-vector broadcast (the s19 scan at a deeper cut)
     "x26_bm25_topk"          -> 1L, // single-row corpus-stats (N, L) broadcast onto the posting frame
-    "x27_pmi_collocations"   -> 1L  // single-row W / B totals broadcasts onto the gated pair frame
+    "x27_pmi_collocations"   -> 1L, // single-row W / B totals broadcasts onto the gated pair frame
+    "x28_bpe_merge_step"     -> 1L, // single-row winning-pair + totals broadcasts onto vocab/top-10
+    "c27_temperature_mix"    -> 1L  // single-row isqrt-sum / doc-total broadcast onto the source frame
   )
 
   /** Queries allowed a window with an empty partition spec, with the
