@@ -906,7 +906,57 @@ object Aggregations extends QueryModule {
       )
   }
 
+  /** A29 — Poisson-bootstrap confidence replicates for a corpus statistic
+    * (Chamandy–Muralidharan–Najmi–Naidu, "Estimating Uncertainty for
+    * Massive Data Streams", 2012 — THE web-scale bootstrap: resampling
+    * n rows with replacement is impossible in one pass, but each row's
+    * appearance count in a resample is asymptotically Poisson(1), so B
+    * replicate estimates come from ONE scan by giving every (row, b) a
+    * deterministic Poisson weight). Here B = 32 replicates of the mean
+    * document length: u = 24-bit md5(doc_id|b) uniform, weight = the
+    * Poisson(1) inverse-CDF step function on the integer lattice
+    * (floor(2^24·P(X≤k)) thresholds precomputed as shared constants, cap
+    * 7), replicate mean = 10^6·Σw·n_chars div Σw in decimal(38,0) so the
+    * products can't overflow (the a26/a27 discipline). Row b = −1 is the
+    * unresampled point estimate; the spread of the 32 replicate means IS
+    * the standard error a 100 TB census report puts next to every number —
+    * with zero extra passes over the data.
+    *
+    * Scale shape: one 32-way explode of the scanned rows into ONE
+    * map-side-combinable 32-group hash aggregate (the expansion happens
+    * inside the combiner's input, never shuffled raw), unioned with the
+    * plain point-estimate aggregate. No joins, no windows, no broadcast.
+    */
+  private def a29_poisson_bootstrap(s: SparkSession, d: String): DataFrame = {
+    // floor(2^24 * P(Poisson(1) <= k)), k = 0..6; P(>=7) lands on weight 7
+    val th = Seq(6171992L, 12343985L, 15429982L, 16458647L, 16715813L, 16767247L, 16775819L)
+    val wExpr = th.map(t => s"(CASE WHEN u >= ${t}L THEN 1L ELSE 0L END)").mkString(" + ")
+    val docs  = table(s, d, "documents").select(col("doc_id"), col("n_chars"))
+    val rep = docs
+      .select(col("doc_id"), col("n_chars"), explode(expr("sequence(0, 31)")).as("b"))
+      .withColumn(
+        "u",
+        expr(
+          "cast(conv(substr(md5(concat(cast(doc_id as string), '|', cast(b as string))), 1, 6), 16, 10) as bigint)"
+        )
+      )
+      .withColumn("w", expr(wExpr))
+      .groupBy(col("b").cast("long").as("b"))
+      .agg(sum(col("w")).as("n_eff"), sum(col("w") * col("n_chars")).as("wsum"))
+    val point = docs.agg(count(lit(1)).as("n_eff"), sum(col("n_chars")).as("wsum"))
+      .select(lit(-1L).as("b"), col("n_eff"), col("wsum"))
+    rep
+      .unionByName(point)
+      .select(
+        col("b"),
+        col("n_eff").cast("long").as("n_eff"),
+        col("wsum").cast("long").as("wsum"),
+        expr("cast((cast(1000000 as decimal(38,0)) * wsum) div n_eff as bigint)").as("mean_q")
+      )
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "a29_poisson_bootstrap" -> (a29_poisson_bootstrap _),
     "a28_ds_second_step" -> (a28_ds_second_step _),
     "a27_krippendorff_alpha" -> (a27_krippendorff_alpha _),
     "a26_fleiss_kappa" -> (a26_fleiss_kappa _),
@@ -938,6 +988,32 @@ object Aggregations extends QueryModule {
   )
 
   val oracles: Map[String, String] = Map(
+    "a29_poisson_bootstrap" ->
+      """WITH r AS (SELECT doc_id, n_chars, unnest(range(0, 32)) AS b
+                    FROM documents),
+         u AS (SELECT b, n_chars,
+                      ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|' ||
+                                          CAST(b AS VARCHAR)), 1, 6))::BIGINT AS u
+               FROM r),
+         w AS (SELECT b, n_chars,
+                      (CASE WHEN u >= 6171992 THEN 1 ELSE 0 END) +
+                      (CASE WHEN u >= 12343985 THEN 1 ELSE 0 END) +
+                      (CASE WHEN u >= 15429982 THEN 1 ELSE 0 END) +
+                      (CASE WHEN u >= 16458647 THEN 1 ELSE 0 END) +
+                      (CASE WHEN u >= 16715813 THEN 1 ELSE 0 END) +
+                      (CASE WHEN u >= 16767247 THEN 1 ELSE 0 END) +
+                      (CASE WHEN u >= 16775819 THEN 1 ELSE 0 END) AS w
+               FROM u),
+         rep AS (SELECT CAST(b AS BIGINT) AS b, sum(w) AS n_eff,
+                        sum(w * n_chars) AS wsum
+                 FROM w GROUP BY 1),
+         pt AS (SELECT CAST(-1 AS BIGINT) AS b, count(*) AS n_eff,
+                       sum(n_chars) AS wsum
+                FROM documents),
+         a AS (SELECT * FROM rep UNION ALL SELECT * FROM pt)
+         SELECT b, CAST(n_eff AS BIGINT) AS n_eff, CAST(wsum AS BIGINT) AS wsum,
+                CAST((1000000 * wsum) // n_eff AS BIGINT) AS mean_q
+         FROM a""",
     "a28_ds_second_step" ->
       """WITH v AS (
            SELECT doc_id, k,

@@ -600,7 +600,64 @@ object Events extends QueryModule {
       .select(col("from_type"), col("to_type"), col("n"), col("prob_bp"))
   }
 
+  /** E19 — CUSUM drift detection over the daily event-rate series (Page
+    * 1954, the sequential change-point test a data-quality monitor runs on
+    * every ingest stream: "did this source's volume shift?"): per type,
+    * daily counts x_d, reference k = mu + mu/4 (mu = the type's integer
+    * mean daily rate, the quarter-mu slack absorbing normal fluctuation),
+    * and the one-sided cumulative statistic CUSUM+_d = max(0, CUSUM+_{d-1}
+    * + x_d - k) — computed NOT as a per-row recursion but via the exact
+    * prefix identity CUSUM+_d = S_d - min(0, min_{i<=d} S_i) with
+    * S = cumsum(x - k), so two windows over the daily spine replace the
+    * sequential loop (the same running-extreme decomposition e11/j16 use).
+    * Alarm when CUSUM+ > 2·mu. A drift is PLANTED arithmetically on the
+    * spine — the alphabetically-first type gains 4·mu/day over the final 3
+    * days (engine and oracle apply the identical integer plant, the d18/m11
+    * planted-recall discipline) — so the output proves the alarm fires on
+    * the planted window and stays quiet elsewhere.
+    *
+    * Scale shape: the raw event stream collapses to the (type, day) spine
+    * in ONE map-side-combinable hash aggregate; every window after runs on
+    * that |types|·|days|-bounded frame, never on events. The global
+    * (dmax, planted-type) row is a single-row broadcast; mu joins back on
+    * the type key. Missing zero-event days would shorten the prefix sums
+    * identically in both engines (a production monitor would gap-fill via
+    * e7's calendar spine first). All arithmetic is integer, so no float
+    * crosses the engine boundary.
+    */
+  private def e19_cusum_drift(s: SparkSession, d: String): DataFrame = {
+    val daily = table(s, d, "events")
+      .select(col("event_type"), expr("(ts div 1000) div 86400000000").as("day"))
+      .groupBy(col("event_type"), col("day"))
+      .agg(count(lit(1)).as("x"))
+    val glob = daily.agg(max(col("day")).as("dmax"), min(col("event_type")).as("ptype"))
+    val mu   = daily.groupBy(col("event_type")).agg(expr("sum(x) div count(1)").as("mu"))
+    val w    = Window.partitionBy(col("event_type")).orderBy(col("day"))
+    daily
+      .crossJoin(broadcast(glob))
+      .join(mu, "event_type")
+      .select(
+        col("event_type"),
+        col("day"),
+        col("mu"),
+        (col("x") + when(
+          col("event_type") === col("ptype") && col("day") >= col("dmax") - 2,
+          lit(4L) * col("mu")
+        ).otherwise(lit(0L))).as("xp")
+      )
+      .withColumn("ss", sum(col("xp") - col("mu") - expr("mu div 4")).over(w))
+      .withColumn("cusum", col("ss") - least(min(col("ss")).over(w), lit(0L)))
+      .select(
+        col("event_type"),
+        col("day"),
+        col("xp").as("n_events"),
+        col("cusum"),
+        when(col("cusum") > lit(2L) * col("mu"), 1L).otherwise(0L).as("alarm")
+      )
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "e19_cusum_drift" -> (e19_cusum_drift _),
     "e18_transition_matrix" -> (e18_transition_matrix _),
     "e17_window_topk" -> (e17_window_topk _),
     "e16_time_decay" -> (e16_time_decay _),
@@ -622,6 +679,32 @@ object Events extends QueryModule {
   )
 
   val oracles: Map[String, String] = Map(
+    "e19_cusum_drift" ->
+      """WITH daily AS (SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+                               count(*) AS x
+                        FROM events GROUP BY 1, 2),
+         g AS (SELECT max(day) AS dmax, min(event_type) AS ptype FROM daily),
+         m AS (SELECT event_type, sum(x) // count(*) AS mu FROM daily GROUP BY 1),
+         p AS (SELECT d.event_type, d.day, m.mu,
+                      d.x + CASE WHEN d.event_type = g.ptype
+                                  AND d.day >= g.dmax - 2
+                                 THEN 4 * m.mu ELSE 0 END AS xp
+               FROM daily d CROSS JOIN g
+               JOIN m ON d.event_type = m.event_type),
+         sdev AS (SELECT event_type, day, xp, mu,
+                         sum(xp - mu - mu // 4)
+                           OVER (PARTITION BY event_type ORDER BY day) AS ss
+                  FROM p),
+         c AS (SELECT event_type, day, xp, mu,
+                      ss - least(min(ss) OVER (PARTITION BY event_type
+                                               ORDER BY day), 0) AS cusum
+               FROM sdev)
+         SELECT event_type, CAST(day AS BIGINT) AS day,
+                CAST(xp AS BIGINT) AS n_events,
+                CAST(cusum AS BIGINT) AS cusum,
+                CAST(CASE WHEN cusum > 2 * mu THEN 1 ELSE 0 END AS BIGINT)
+                  AS alarm
+         FROM c""",
     "e18_transition_matrix" ->
       """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us, event_type
                     FROM events),

@@ -368,7 +368,69 @@ object WindowsFiltersSorts extends QueryModule {
       .select(col("doc_id"), col("shard"), col("pos"))
   }
 
+  /** O10 — rendezvous-hash elastic-resharding audit (Thaler–Ravishankar
+    * HRW 1998, the consistent-hashing discipline every elastic storage /
+    * shuffle layer rests on): each doc's shard under n shards is the
+    * argmax over s ∈ 0..n−1 of md5(doc_id#s), so growing 8 → 9 shards
+    * moves EXACTLY the docs the new shard wins — an expected 1/9 of the
+    * corpus, every one of them moving TO shard 8 — while mod-N hashing
+    * (shard = h mod n) remaps an expected 8/9 of all docs across every
+    * shard pair. The output is the 9-shard census with both schemes'
+    * moved counts side by side: hrw_moved is 0 on shards 0–7 and equals
+    * hrw_n on shard 8 (the structural guarantee, visible in the data),
+    * mod_moved is ~8/9 of every shard. THE number a 100 TB reshard reads
+    * before choosing its placement function — at petabyte scale the
+    * difference is rewriting 11% vs 89% of the estate.
+    *
+    * Scale shape: the double assignment is a pure scan-parallel
+    * projection (a 9-element array max per row, no shuffle, no state);
+    * the census is two 9-row hash aggregates full-outer-joined on the
+    * shard id. Struct array_max compares (h, s) lexicographically on the
+    * lowercase md5 hex in both engines; ties are md5 collisions, i.e.
+    * never.
+    */
+  private def o10_rendezvous_shards(s: SparkSession, d: String): DataFrame = {
+    val docs = table(s, d, "documents")
+      .select(col("doc_id"))
+      .withColumn(
+        "cand",
+        expr(
+          "transform(sequence(0, 8), s -> struct(md5(concat(cast(doc_id as string), '#', cast(s as string))) as h, cast(s as bigint) as s))"
+        )
+      )
+      .withColumn("hrw9", expr("array_max(cand).s"))
+      .withColumn("hrw8", expr("array_max(slice(cand, 1, 8)).s"))
+      .withColumn(
+        "u",
+        expr("cast(conv(substr(md5(cast(doc_id as string)), 1, 6), 16, 10) as bigint)")
+      )
+      .withColumn("mod8", col("u") % 8)
+      .withColumn("mod9", col("u") % 9)
+    val hrw = docs
+      .groupBy(col("hrw9").as("shard"))
+      .agg(
+        count(lit(1)).as("hrw_n"),
+        sum(when(col("hrw8") =!= col("hrw9"), 1L).otherwise(0L)).as("hrw_moved")
+      )
+    val md = docs
+      .groupBy(col("mod9").as("shard"))
+      .agg(
+        count(lit(1)).as("mod_n"),
+        sum(when(col("mod8") =!= col("mod9"), 1L).otherwise(0L)).as("mod_moved")
+      )
+    hrw
+      .join(md, Seq("shard"), "full_outer")
+      .select(
+        col("shard").cast("long").as("shard"),
+        coalesce(col("hrw_n"), lit(0L)).cast("long").as("hrw_n"),
+        coalesce(col("hrw_moved"), lit(0L)).cast("long").as("hrw_moved"),
+        coalesce(col("mod_n"), lit(0L)).cast("long").as("mod_n"),
+        coalesce(col("mod_moved"), lit(0L)).cast("long").as("mod_moved")
+      )
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "o10_rendezvous_shards" -> (o10_rendezvous_shards _),
     "o9_epoch_shuffle" -> (o9_epoch_shuffle _),
     "o8_range_partition_audit" -> (o8_range_partition_audit _),
     "o7_global_ids" -> (o7_global_ids _),
@@ -396,6 +458,30 @@ object WindowsFiltersSorts extends QueryModule {
     .mkString(" + ")
 
   val oracles: Map[String, String] = Map(
+    "o10_rendezvous_shards" ->
+      """WITH c AS (SELECT doc_id,
+                           list_transform(range(0, 9),
+                             s -> {'h': md5(CAST(doc_id AS VARCHAR) || '#' ||
+                                            CAST(s AS VARCHAR)),
+                                   's': s}) AS cand,
+                           ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6))::BIGINT AS u
+                    FROM documents),
+         a AS (SELECT struct_extract(list_max(cand), 's') AS hrw9,
+                      struct_extract(list_max(cand[1:8]), 's') AS hrw8,
+                      u % 8 AS mod8, u % 9 AS mod9
+               FROM c),
+         h AS (SELECT hrw9 AS shard, count(*) AS hrw_n,
+                      sum(CASE WHEN hrw8 <> hrw9 THEN 1 ELSE 0 END) AS hrw_moved
+               FROM a GROUP BY 1),
+         m AS (SELECT mod9 AS shard, count(*) AS mod_n,
+                      sum(CASE WHEN mod8 <> mod9 THEN 1 ELSE 0 END) AS mod_moved
+               FROM a GROUP BY 1)
+         SELECT CAST(COALESCE(h.shard, m.shard) AS BIGINT) AS shard,
+                CAST(COALESCE(hrw_n, 0) AS BIGINT) AS hrw_n,
+                CAST(COALESCE(hrw_moved, 0) AS BIGINT) AS hrw_moved,
+                CAST(COALESCE(mod_n, 0) AS BIGINT) AS mod_n,
+                CAST(COALESCE(mod_moved, 0) AS BIGINT) AS mod_moved
+         FROM h FULL JOIN m ON h.shard = m.shard""",
     "o9_epoch_shuffle" ->
       """WITH h AS (SELECT doc_id,
                            md5('epoch-7|' || CAST(doc_id AS VARCHAR)) AS h

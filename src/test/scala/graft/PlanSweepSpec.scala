@@ -75,7 +75,8 @@ class PlanSweepSpec extends AnyFunSuite with SparkTestBase {
     "x26_bm25_topk"          -> 1L, // single-row corpus-stats (N, L) broadcast onto the posting frame
     "x27_pmi_collocations"   -> 1L, // single-row W / B totals broadcasts onto the gated pair frame
     "x28_bpe_merge_step"     -> 1L, // single-row winning-pair + totals broadcasts onto vocab/top-10
-    "c27_temperature_mix"    -> 1L  // single-row isqrt-sum / doc-total broadcast onto the source frame
+    "c27_temperature_mix"    -> 1L, // single-row isqrt-sum / doc-total broadcast onto the source frame
+    "e19_cusum_drift"        -> 1L  // single-row (dmax, planted-type) broadcast onto the daily spine
   )
 
   /** Queries allowed a window with an empty partition spec, with the

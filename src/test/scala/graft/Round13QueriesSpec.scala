@@ -2,7 +2,7 @@ package graft
 
 import org.scalatest.funsuite.AnyFunSuite
 
-/** Invariants for the round-13 retrieval additions (x26/s19h/x27) — the
+/** Invariants for the round-13 additions (x26/s19h/x27, o10/a29/e19) — the
   * properties the row-hash oracle proves equal but can't explain.
   */
 class Round13QueriesSpec extends AnyFunSuite with SparkTestBase {
@@ -40,5 +40,50 @@ class Round13QueriesSpec extends AnyFunSuite with SparkTestBase {
     val scores = rows.map(_.getAs[Long]("score_q"))
     assert(scores.sameElements(scores.sorted(Ordering[Long].reverse)))
     rows.foreach(r => assert(r.getAs[Long]("n_terms_hit") >= 1))
+  }
+
+  test("o10: HRW growth moves ONLY docs won by the new shard; mod-N moves most") {
+    val rows = SparkEntry.queries("o10_rendezvous_shards")(spark, sf).collect()
+    // The structural guarantee: shards 0-7 lose nothing, shard 8's docs are
+    // exactly the moved set.
+    rows.foreach { r =>
+      val shard = r.getAs[Long]("shard")
+      val moved = r.getAs[Long]("hrw_moved")
+      if (shard < 8) assert(moved == 0L, s"shard $shard lost docs under HRW")
+      else assert(moved == r.getAs[Long]("hrw_n"), "shard 8 must be all-moved")
+    }
+    val hrwMoved = rows.map(_.getAs[Long]("hrw_moved")).sum
+    val modMoved = rows.map(_.getAs[Long]("mod_moved")).sum
+    val total    = rows.map(_.getAs[Long]("hrw_n")).sum
+    assert(hrwMoved * 3 < total, "HRW moved fraction should be ~1/9")
+    assert(modMoved * 2 > total, "mod-N moved fraction should be ~8/9")
+  }
+
+  test("a29: replicate means bracket the exact point estimate") {
+    val rows  = SparkEntry.queries("a29_poisson_bootstrap")(spark, sf).collect()
+    assert(rows.length == 33)
+    val point = rows.find(_.getAs[Long]("b") == -1L).get.getAs[Long]("mean_q")
+    val reps  = rows.filter(_.getAs[Long]("b") >= 0L).map(_.getAs[Long]("mean_q"))
+    assert(reps.min <= point && point <= reps.max,
+      "point estimate outside the replicate envelope")
+    // Poisson(1) weights resample to ~n rows: every replicate's effective n
+    // stays within a wide CLT bar of the corpus size.
+    val n = rows.find(_.getAs[Long]("b") == -1L).get.getAs[Long]("n_eff")
+    rows.filter(_.getAs[Long]("b") >= 0L).foreach { r =>
+      val ne = r.getAs[Long]("n_eff")
+      assert(ne * 10 > n * 7 && ne * 10 < n * 13, s"replicate n_eff $ne far from $n")
+    }
+  }
+
+  test("e19: the planted drift alarms, the statistic is non-negative") {
+    val rows = SparkEntry.queries("e19_cusum_drift")(spark, sf).collect()
+    rows.foreach(r => assert(r.getAs[Long]("cusum") >= 0L))
+    val ptype = rows.map(_.getAs[String]("event_type")).min
+    val dmax  = rows.map(_.getAs[Long]("day")).max
+    val planted =
+      rows.filter(r => r.getAs[String]("event_type") == ptype && r.getAs[Long]("day") >= dmax - 2)
+    assert(planted.nonEmpty)
+    planted.foreach(r => assert(r.getAs[Long]("alarm") == 1L, s"planted day ${r} silent"))
+    assert(rows.exists(_.getAs[Long]("alarm") == 0L), "no quiet rows at all")
   }
 }
