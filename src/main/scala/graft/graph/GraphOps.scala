@@ -803,6 +803,46 @@ object GraphOps {
     r
   }
 
+  /** WEIGHTED PageRank, integer-quantized: [[pageRankQuantized]] with edge
+    * weights (`src`, `dst`, `w`) — each vertex splits its rank
+    * proportionally to w instead of uniformly, contribution = (r·w) div
+    * strength with strength = Σ out-weights (the g20 substitution, degree →
+    * strength, applied to the rank recursion). Same damping lattice, same
+    * per-term floor division so any aggregation order gives the same sums;
+    * the unweighted form is exactly w ≡ 1. Plan shape is identical: the
+    * strength-annotated edge frame is truncated and pre-partitioned by src
+    * once, each pass is one keyed join + hash aggregate + left merge.
+    */
+  def pageRankQuantizedWeighted(
+      vertexIds: DataFrame,
+      edges: DataFrame,
+      iterations: Int,
+      scale: Long = 1000000L
+  ): DataFrame = {
+    val ed = Lineage.truncate(edges.select(col("src"), col("dst"), col("w")))
+    val strength = Lineage.truncate(
+      ed.groupBy(col("src")).agg(sum(col("w")).as("sw"))
+    )
+    val e = Lineage.truncate(ed.join(strength, "src").repartition(col("src")))
+    var r = vertexIds.select(col("id"), lit(scale).as("r"))
+    (1 to iterations).foreach { i =>
+      val contrib = e
+        .join(r, e("src") === r("id"))
+        .select(e("dst").as("id"), expr("(r * w) div sw").as("c"))
+        .groupBy("id")
+        .agg(sum(col("c")).as("s"))
+      val next = vertexIds
+        .join(contrib, Seq("id"), "left")
+        .select(
+          col("id"),
+          (lit(15L * scale / 100) +
+            expr(s"(85 * coalesce(s, 0)) div 100")).as("r")
+        )
+      r = if (i % 5 == 0 && i < iterations) Lineage.truncate(next) else next
+    }
+    r
+  }
+
   /** Personalized PageRank, integer-quantized, SPARSE: teleport mass goes
     * only to `seeds`, so r₀ lives on the seed set and each pass touches
     * only vertices within one more hop — the frontier-sparse form that

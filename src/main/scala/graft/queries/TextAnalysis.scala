@@ -1076,6 +1076,54 @@ object TextAnalysis extends QueryModule {
       )
   }
 
+  /** X29 — TextRank keyword extraction (Mihalcea–Tarau 2004: PageRank on
+    * the word co-occurrence graph — the unsupervised keyword/keyphrase
+    * baseline every extractive pipeline starts from): vertices are the
+    * words of x27's gated bigram substrate (adjacent-pair count ≥ 5,
+    * self-loops dropped), edges the symmetrized distinct pairs, and the
+    * score three damped iterations of
+    * [[graft.graph.GraphOps.pageRankQuantizedWeighted]] — g9's integer-
+    * quantized core with Mihalcea–Tarau §2.2's edge weights (w = adjacency
+    * count summed over both orientations, contribution = r·w div strength),
+    * because on a co-occurrence graph the WEIGHTS carry the signal an
+    * unweighted walk flattens. Top-20 by (rank desc, word asc). Where x9's
+    * TF-IDF ranks terms by counting, TextRank ranks by RECOMMENDATION — a
+    * word matters because well-connected words stand next to it often.
+    *
+    * Scale shape: the bigram census is the only corpus-wide shuffle
+    * (map-side combinable); the ≥5 gate bounds the graph to the frequent-
+    * word core (vocabulary-sized, like x28's unit of work — at 100 TB the
+    * graph is millions of vertices while the corpus is trillions of
+    * tokens); each PageRank pass is one keyed join + hash aggregate on
+    * the pre-partitioned edge frame; top-20 is TakeOrderedAndProject.
+    */
+  private def x29_textrank(s: SparkSession, d: String): DataFrame = {
+    val bi = graft.Lineage.truncate(
+      table(s, d, "documents")
+        .select(explode(call_function("graft_word_ngrams", col("text"), lit(2))).as("g"))
+        .groupBy(col("g"))
+        .agg(count(lit(1)).as("cab"))
+        .filter(col("cab") >= 5)
+        .select(
+          split(col("g"), " ")(0).as("wa"),
+          split(col("g"), " ")(1).as("wb"),
+          col("cab")
+        )
+        .filter(col("wa") =!= col("wb"))
+    )
+    val edges = bi
+      .select(col("wa").as("src"), col("wb").as("dst"), col("cab").as("w"))
+      .unionByName(bi.select(col("wb").as("src"), col("wa").as("dst"), col("cab").as("w")))
+      .groupBy(col("src"), col("dst"))
+      .agg(sum(col("w")).as("w"))
+    val nodes = edges.select(col("src").as("id")).distinct()
+    graft.graph.GraphOps
+      .pageRankQuantizedWeighted(nodes, edges, 3)
+      .orderBy(col("r").desc, col("id").asc)
+      .limit(20)
+      .select(col("id").as("word"), col("r").cast("long").as("rank_q"))
+  }
+
   private def x22_term_burstiness(s: SparkSession, d: String): DataFrame = {
     val tf = table(s, d, "documents")
       .select(col("doc_id"), explode(words(col("text"))).as("term"))
@@ -1101,6 +1149,7 @@ object TextAnalysis extends QueryModule {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x25_winnowing_matches" -> (x25_winnowing_matches _),
     "x24_winnowing" -> (x24_winnowing _),
+    "x29_textrank" -> (x29_textrank _),
     "x28_bpe_merge_step" -> (x28_bpe_merge_step _),
     "x27_pmi_collocations" -> (x27_pmi_collocations _),
     "x26_bm25_topk" -> (x26_bm25_topk _),
@@ -1133,7 +1182,42 @@ object TextAnalysis extends QueryModule {
   private def stopCountSql(xs: Seq[String]): String =
     s"CAST(len(list_filter(string_split(text, ' '), w -> w IN (${inList(xs)}))) AS BIGINT)"
 
+  private val textrankStep: Int => String = t =>
+    s"""pr$t AS (
+          SELECT n.id, 150000 + (85 * coalesce(s.c, 0)) // 100 AS r
+          FROM prnodes n LEFT JOIN (
+            SELECT e.dst AS id, sum(p.r * e.w // o.sw) AS c
+            FROM predges e
+            JOIN pr${t - 1} p ON p.id = e.src
+            JOIN prstr o ON o.src = e.src
+            GROUP BY e.dst) s ON s.id = n.id)"""
+
   val oracles: Map[String, String] = Map(
+    "x29_textrank" ->
+      s"""WITH a AS (SELECT string_split(text, ' ') AS a FROM documents),
+          bi AS (SELECT g, count(*) AS cab FROM (
+                   SELECT unnest(list_transform(range(1, len(a)),
+                            i -> a[i] || ' ' || a[i + 1])) AS g
+                   FROM a) GROUP BY 1),
+          pp AS (SELECT string_split(g, ' ')[1] AS wa,
+                        string_split(g, ' ')[2] AS wb,
+                        cab
+                 FROM bi
+                 WHERE cab >= 5
+                   AND string_split(g, ' ')[1] <> string_split(g, ' ')[2]),
+          predges AS MATERIALIZED (
+            SELECT src, dst, CAST(sum(w) AS BIGINT) AS w FROM (
+              SELECT wa AS src, wb AS dst, cab AS w FROM pp
+              UNION ALL
+              SELECT wb AS src, wa AS dst, cab AS w FROM pp)
+            GROUP BY 1, 2),
+          prnodes AS MATERIALIZED (SELECT DISTINCT src AS id FROM predges),
+          prstr AS MATERIALIZED (
+            SELECT src, CAST(sum(w) AS BIGINT) AS sw FROM predges GROUP BY src),
+          pr0 AS (SELECT id, CAST(1000000 AS BIGINT) AS r FROM prnodes),
+          ${(1 to 3).map(textrankStep).mkString(", ")}
+          SELECT id AS word, CAST(r AS BIGINT) AS rank_q
+          FROM pr3 ORDER BY r DESC, id LIMIT 20""",
     "x28_bpe_merge_step" ->
       """WITH vocab AS (
            SELECT w, count(*) AS freq FROM (

@@ -42,6 +42,18 @@ class Round13QueriesSpec extends AnyFunSuite with SparkTestBase {
     rows.foreach(r => assert(r.getAs[Long]("n_terms_hit") >= 1))
   }
 
+  test("x29: weighted TextRank differentiates and respects the damping floor") {
+    val rows  = SparkEntry.queries("x29_textrank")(spark, sf).collect()
+    assert(rows.length == 20)
+    val ranks = rows.map(_.getAs[Long]("rank_q"))
+    assert(ranks.sameElements(ranks.sorted(Ordering[Long].reverse)))
+    // every rank carries at least the 0.15 teleport floor on the 10^6 lattice
+    ranks.foreach(r => assert(r >= 150000L))
+    // the weights must actually differentiate (an unweighted walk on this
+    // near-regular synthetic graph collapses to ~uniform ranks)
+    assert(ranks.max > ranks.min, "weighted ranks collapsed to uniform")
+  }
+
   test("o10: HRW growth moves ONLY docs won by the new shard; mod-N moves most") {
     val rows = SparkEntry.queries("o10_rendezvous_shards")(spark, sf).collect()
     // The structural guarantee: shards 0-7 lose nothing, shard 8's docs are
