@@ -125,7 +125,20 @@ object Soak {
     // recall audit (signatures over its own graded corpus) and the
     // perceptual-hash band-bucket join
     "d18_lsh_recall",
-    "m10_phash_neardup"
+    "m10_phash_neardup",
+    // round-13 retrieval/tokenizer rungs: the posting-probe scan (x26 —
+    // the per-word replica salt leaves only the unsalted replica's
+    // postings matching the fixed query terms, so the probe side stays
+    // constant while the scan grows N×, exactly the inverted-probe shape
+    // claim), the corpus-wide bigram shuffles (x27 PMI; x29 weighted
+    // TextRank over N disjoint replica subgraphs — salted words never
+    // co-occur across replicas, so the graph is N disjoint copies and the
+    // rank passes must scale in edges), and the vocab-keyed BPE pair
+    // count (x28 — vocabulary itself grows N× under the salt)
+    "x26_bm25_topk",
+    "x27_pmi_collocations",
+    "x28_bpe_merge_step",
+    "x29_textrank"
   )
 
   private[graft] def buildScaled(spark: SparkSession, src: String, out: String, n: Int): Unit = {
