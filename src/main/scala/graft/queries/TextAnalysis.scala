@@ -1124,6 +1124,58 @@ object TextAnalysis extends QueryModule {
       .select(col("id").as("word"), col("r").cast("long").as("rank_q"))
   }
 
+  /** X30 — Good–Turing frequency-of-frequencies smoothing census (Good
+    * 1953; Gale–Sampson 1995's simple GT is the fitted version of exactly
+    * this table — the probability-mass re-estimation every smoothed LM
+    * and the species-richness literature rest on): over word TRIGRAMS —
+    * the unit with the long tail a smoothed LM actually estimates (the
+    * synthetic corpus's unigram vocabulary is hot everywhere; real GT
+    * applies wherever singletons live) — N_r = how many distinct trigrams
+    * occur exactly r times, the adjusted count r* = (r+1)·N_{r+1}/N_r in
+    * per-mille (the expected true count of an r-count trigram: what c13's
+    * frequency LM SHOULD charge instead of the raw count), and the
+    * unseen-mass estimate P₀ = N₁/T in per-mille (the probability the next
+    * trigram is NEW — the mass a smoothing scheme must reserve, and the
+    * coverage dial next to x14/x20). Rows r = 1..10 — the head of the FoF
+    * table, where GT matters (beyond it raw counts are reliable and
+    * Gale–Sampson switch to them).
+    *
+    * Scale shape: the trigram-count aggregate is the only corpus-wide
+    * shuffle (map-side combinable, gram-vocabulary-sized output — x28's
+    * unit-of-work argument); the count-of-counts aggregate reduces that
+    * vocabulary to a ≤max-count spine, filtered to ≤11 rows BEFORE the
+    * r+1 self-join (a keyed join on a tiny frame, never a window over the
+    * raw spine); the (T, N₁) totals ride one single-row broadcast.
+    */
+  private def x30_good_turing(s: SparkSession, d: String): DataFrame = {
+    val wc = graft.Lineage.truncate(
+      table(s, d, "documents")
+        .select(explode(call_function("graft_word_ngrams", col("text"), lit(3))).as("w"))
+        .groupBy(col("w"))
+        .agg(count(lit(1)).as("c"))
+    )
+    val fof = graft.Lineage.truncate(
+      wc.filter(col("c") <= 11)
+        .groupBy(col("c").as("r"))
+        .agg(count(lit(1)).as("n_r"))
+    )
+    val tot = wc.agg(
+      sum(col("c")).as("t"),
+      sum(when(col("c") === 1, 1L).otherwise(0L)).as("n1")
+    )
+    fof
+      .filter(col("r") <= 10)
+      .join(fof.select((col("r") - 1).as("r"), col("n_r").as("n_r1")), Seq("r"), "left")
+      .crossJoin(broadcast(tot))
+      .select(
+        col("r").cast("long").as("r"),
+        col("n_r").cast("long").as("n_r"),
+        coalesce(col("n_r1"), lit(0L)).cast("long").as("n_r_next"),
+        expr("1000 * (r + 1) * coalesce(n_r1, 0) div n_r").as("r_star_pm"),
+        expr("1000 * n1 div t").as("p0_pm")
+      )
+  }
+
   private def x22_term_burstiness(s: SparkSession, d: String): DataFrame = {
     val tf = table(s, d, "documents")
       .select(col("doc_id"), explode(words(col("text"))).as("term"))
@@ -1149,6 +1201,7 @@ object TextAnalysis extends QueryModule {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x25_winnowing_matches" -> (x25_winnowing_matches _),
     "x24_winnowing" -> (x24_winnowing _),
+    "x30_good_turing" -> (x30_good_turing _),
     "x29_textrank" -> (x29_textrank _),
     "x28_bpe_merge_step" -> (x28_bpe_merge_step _),
     "x27_pmi_collocations" -> (x27_pmi_collocations _),
@@ -1193,6 +1246,27 @@ object TextAnalysis extends QueryModule {
             GROUP BY e.dst) s ON s.id = n.id)"""
 
   val oracles: Map[String, String] = Map(
+    "x30_good_turing" ->
+      """WITH a AS (SELECT string_split(text, ' ') AS a FROM documents),
+         wc AS (SELECT w, count(*) AS c FROM (
+                  SELECT unnest(list_transform(range(1, len(a) - 1),
+                           i -> a[i] || ' ' || a[i + 1] || ' ' || a[i + 2])) AS w
+                  FROM a) GROUP BY 1),
+         fof AS (SELECT c AS r, count(*) AS n_r FROM wc
+                 WHERE c <= 11 GROUP BY 1),
+         tot AS (SELECT sum(c) AS t,
+                        sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS n1
+                 FROM wc)
+         SELECT CAST(f.r AS BIGINT) AS r,
+                CAST(f.n_r AS BIGINT) AS n_r,
+                CAST(COALESCE(g.n_r, 0) AS BIGINT) AS n_r_next,
+                CAST(1000 * (f.r + 1) * COALESCE(g.n_r, 0) // f.n_r AS BIGINT)
+                  AS r_star_pm,
+                CAST(1000 * n1 // t AS BIGINT) AS p0_pm
+         FROM fof f
+         LEFT JOIN fof g ON g.r = f.r + 1
+         CROSS JOIN tot
+         WHERE f.r <= 10""",
     "x29_textrank" ->
       s"""WITH a AS (SELECT string_split(text, ' ') AS a FROM documents),
           bi AS (SELECT g, count(*) AS cab FROM (

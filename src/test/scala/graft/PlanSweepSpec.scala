@@ -76,7 +76,8 @@ class PlanSweepSpec extends AnyFunSuite with SparkTestBase {
     "x27_pmi_collocations"   -> 1L, // single-row W / B totals broadcasts onto the gated pair frame
     "x28_bpe_merge_step"     -> 1L, // single-row winning-pair + totals broadcasts onto vocab/top-10
     "c27_temperature_mix"    -> 1L, // single-row isqrt-sum / doc-total broadcast onto the source frame
-    "e19_cusum_drift"        -> 1L  // single-row (dmax, planted-type) broadcast onto the daily spine
+    "e19_cusum_drift"        -> 1L, // single-row (dmax, planted-type) broadcast onto the daily spine
+    "x30_good_turing"        -> 1L  // single-row (token-total, N1) broadcast onto the <=10-row FoF spine
   )
 
   /** Queries allowed a window with an empty partition spec, with the

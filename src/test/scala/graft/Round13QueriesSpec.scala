@@ -54,6 +54,19 @@ class Round13QueriesSpec extends AnyFunSuite with SparkTestBase {
     assert(ranks.max > ranks.min, "weighted ranks collapsed to uniform")
   }
 
+  test("x30: Good-Turing discounts singletons and reserves unseen mass") {
+    val rows = SparkEntry.queries("x30_good_turing")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val byR = rows.map(r => r.getAs[Long]("r") -> r).toMap
+    // the FoF head decays: singletons are the largest class
+    assert(byR(1L).getAs[Long]("n_r") == rows.map(_.getAs[Long]("n_r")).max)
+    // GT discounts singletons below their raw count (r*_1 < 1.0 per-mille)
+    assert(byR(1L).getAs[Long]("r_star_pm") < 1000L)
+    // the unseen-mass estimate is a constant probability in (0, 1)
+    val p0s = rows.map(_.getAs[Long]("p0_pm")).distinct
+    assert(p0s.length == 1 && p0s.head > 0L && p0s.head < 1000L)
+  }
+
   test("o10: HRW growth moves ONLY docs won by the new shard; mod-N moves most") {
     val rows = SparkEntry.queries("o10_rendezvous_shards")(spark, sf).collect()
     // The structural guarantee: shards 0-7 lose nothing, shard 8's docs are
