@@ -620,6 +620,61 @@ object Dedup extends QueryModule {
     * a verdict row — zero-candidate docs report 'new', never vanish
     * (m4's no-silent-row-loss contract).
     */
+  /** D20 — b-bit minwise hashing audit (Li–König 2010, the signature-
+    * compression result production dedup stores rest on: keep only the
+    * lowest b bits of each minhash component — at b = 2 the 12-component
+    * signature shrinks from 96 to 3 bytes, 32×, which at 100 TB is the
+    * difference between a signature store that fits in memory and one
+    * that doesn't — and correct the estimator for the collisions the
+    * dropped bits introduce: E[agree_b] = 1/2^b + (1 − 1/2^b)·J, so
+    * Ĵ_b = (2^b·A − n) div ((2^b − 1)·n), clamped at 0): for every d1
+    * banding candidate pair, the full-signature agreement next to the
+    * 2-bit agreement and both quantized Jaccard estimates — d10's
+    * calibration discipline applied to the compressed form, so the table
+    * shows directly what 32× compression costs in estimator noise (the
+    * clamp makes the divergent-negative region agree cross-engine even
+    * though Spark div truncates and DuckDB // floors: any negative
+    * quotient clamps to 0 in both).
+    *
+    * Scale shape: identical to d10 — one truncated signature build, band
+    * keys as a projection of it, candidates only via the banded equi-join
+    * (never all pairs), then two 12-term codegen'd comparison sums; no
+    * shingle-set join at all (the POINT of b-bit storage: the verify pass
+    * reads 3-byte rows).
+    */
+  private def d20_bbit_minhash(s: SparkSession, d: String): DataFrame = {
+    val c    = corpus(s, d)
+    val sig  = graft.Lineage.truncate(signatures(c))
+    val cand = candidatePairs(bandKeysFromSig(sig))
+    val a = sig.select(
+      col("doc_id").as("doc1") +: (0 until NumHashes).map(h => col(s"m$h").as(s"a$h")): _*
+    )
+    val b = sig.select(
+      col("doc_id").as("doc2") +: (0 until NumHashes).map(h => col(s"m$h").as(s"b$h")): _*
+    )
+    val nFull = (0 until NumHashes)
+      .map(h => when(col(s"a$h") === col(s"b$h"), 1L).otherwise(0L))
+      .reduce(_ + _)
+    val nB2 = (0 until NumHashes)
+      .map(h => when(col(s"a$h") % 4 === col(s"b$h") % 4, 1L).otherwise(0L))
+      .reduce(_ + _)
+    cand
+      .join(a, "doc1")
+      .join(b, "doc2")
+      .withColumn("agree_full", nFull)
+      .withColumn("agree_b2", nB2)
+      .select(
+        col("doc1"),
+        col("doc2"),
+        col("agree_full"),
+        col("agree_b2"),
+        expr(s"1000 * agree_full div $NumHashes").as("j_full_pm"),
+        expr(s"greatest(0, 1000 * (4 * agree_b2 - $NumHashes) div (3 * $NumHashes))")
+          .cast("long")
+          .as("j_b2_pm")
+      )
+  }
+
   private def d13_incremental_neardup(s: SparkSession, d: String): DataFrame = {
     def isBatch(c: Column): Column =
       (conv(substring(md5(concat(c.cast("string"), lit("|inc"))), 1, 6), 16, 10)
@@ -909,6 +964,7 @@ object Dedup extends QueryModule {
     "d4_ngram_jaccard" -> (d4_ngram_jaccard _),
     "d5_embed_neardup" -> (d5_embed_neardup _),
     "d6_contamination" -> (d6_contamination _),
+    "d20_bbit_minhash" -> (d20_bbit_minhash _),
     "d19_normalized_decontamination" -> (d19_normalized_decontamination _),
     "d7_dedup_clusters" -> (d7_dedup_clusters _),
     "d8_url_dedup" -> (d8_url_dedup _),
@@ -1167,6 +1223,24 @@ object Dedup extends QueryModule {
           LEFT JOIN pb ON pb.bid = c.doc_id""",
     "d1_minhash_candidates" ->
       s"WITH $corpusSql, $shinglesSql, $sigSql, $bandsSql, $candSql SELECT doc1, doc2 FROM cand",
+    "d20_bbit_minhash" -> {
+      val nFull = (0 until NumHashes)
+        .map(h => s"CASE WHEN sa.m$h = sb.m$h THEN 1 ELSE 0 END")
+        .mkString(" + ")
+      val nB2 = (0 until NumHashes)
+        .map(h => s"CASE WHEN sa.m$h % 4 = sb.m$h % 4 THEN 1 ELSE 0 END")
+        .mkString(" + ")
+      s"""WITH $corpusSql, $shinglesSql, $sigSql, $bandsSql, $candSql
+          SELECT c.doc1, c.doc2,
+                 CAST($nFull AS BIGINT) AS agree_full,
+                 CAST($nB2 AS BIGINT) AS agree_b2,
+                 CAST(1000 * ($nFull) // $NumHashes AS BIGINT) AS j_full_pm,
+                 CAST(greatest(0, 1000 * (4 * ($nB2) - $NumHashes)
+                                  // (3 * $NumHashes)) AS BIGINT) AS j_b2_pm
+          FROM cand c
+          JOIN sig sa ON sa.doc_id = c.doc1
+          JOIN sig sb ON sb.doc_id = c.doc2"""
+    },
     "d10_minhash_estimate" -> {
       val nMatch = (0 until NumHashes)
         .map(h => s"CASE WHEN sa.m$h = sb.m$h THEN 1 ELSE 0 END")

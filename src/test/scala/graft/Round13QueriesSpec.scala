@@ -54,6 +54,26 @@ class Round13QueriesSpec extends AnyFunSuite with SparkTestBase {
     assert(ranks.max > ranks.min, "weighted ranks collapsed to uniform")
   }
 
+  test("d20: b-bit agreement dominates full agreement; planted clones stay perfect") {
+    val rows = SparkEntry.queries("d20_bbit_minhash")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      // dropping bits can only CREATE collisions: a full-component match is
+      // always a 2-bit match
+      assert(r.getAs[Long]("agree_b2") >= r.getAs[Long]("agree_full"))
+      assert(r.getAs[Long]("j_b2_pm") >= 0L && r.getAs[Long]("j_b2_pm") <= 1000L)
+    }
+    // the planted near-dup pairs (negated ids, GRADED similarity by design)
+    // stay highly ranked under 32x compression: most keep >=11/12 2-bit
+    // agreement, and the top grade survives at exactly J_b2 = 1
+    val planted = rows.filter(r => r.getAs[Long]("doc1") == -r.getAs[Long]("doc2") - 1)
+    assert(planted.nonEmpty)
+    assert(planted.count(_.getAs[Long]("agree_b2") >= 11L) * 2 > planted.length)
+    assert(planted.exists(r =>
+      r.getAs[Long]("agree_b2") == 12L && r.getAs[Long]("j_b2_pm") == 1000L
+    ))
+  }
+
   test("x30: Good-Turing discounts singletons and reserves unseen mass") {
     val rows = SparkEntry.queries("x30_good_turing")(spark, sf).collect()
     assert(rows.nonEmpty)
