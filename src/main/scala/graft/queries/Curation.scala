@@ -1337,6 +1337,120 @@ object Curation extends QueryModule {
       )
   }
 
+  /** C28 — MAXIMAL repeated-substring dedup census (Lee–Ippolito–Nystrom–
+    * Zhang–Eck–Callison-Burch–Carlini 2022, "Deduplicating Training Data
+    * Makes Language Models Better" §3.1 ExactSubstr: production exact
+    * dedup removes every repeated span ≥ k tokens, which requires the
+    * MAXIMAL spans, not c3's fixed-window count — suffix-array semantics
+    * expressed relationally): a window position is SHARED when its 5-gram
+    * occurs in ≥ 1 other document (c3's cross-doc rule on the same 56-bit
+    * md5-prefix keys); runs of CONSECUTIVE shared positions coalesce into
+    * maximal repeated spans (gaps-and-islands, the c16 span discipline:
+    * pos − row_number is constant exactly on a consecutive run), so a
+    * span's token length is run_len + k − 1 — the exact length of the
+    * repeated substring, which no fixed-k window census can report.
+    * Because two maximal runs < k positions apart still overlap in TOKEN
+    * coverage, the duplicated-token count merges the runs' token intervals
+    * [start, end + k − 1] with a second islands pass (running max of
+    * interval ends) before summing — the per-doc duplicated-token
+    * fraction is over the interval UNION, never double-counted.
+    *
+    * Planted contaminants at −id−1 (collision-proof at any corpus size):
+    * each source doc with ≥ 40 tokens contributes a clone doc whose first
+    * 30 tokens copy the source verbatim and whose tail 10 tokens are
+    * salted unique (`~u<doc_id>`), so the clone's maximal repeated span
+    * is EXACTLY 30 tokens — windows 1..26 are shared (they also live in
+    * the source), window 27 already touches a salted token. The spec pins
+    * max_span_tokens = 30 on every planted row; recovery at the exact
+    * planted length is the operator's correctness claim.
+    *
+    * Scale shape: grams shuffle as 56-bit longs (never 5-word strings);
+    * docs-per-gram is one distinct + one gram-keyed aggregate; the shared
+    * flag arrives via a gram-keyed equi-join; both islands passes are
+    * windows PARTITIONED BY doc_id (per-doc state, arbitrarily many docs
+    * in parallel — never a global window); output is one row per doc.
+    */
+  private def c28_repeated_spans(s: SparkSession, d: String): DataFrame = {
+    val k = 5
+    val base = table(s, d, "documents").select(col("doc_id"), words(col("text")).as("ws"))
+    val planted = base
+      .filter(size(col("ws")) >= 40)
+      .select(
+        (-col("doc_id") - 1).as("doc_id"),
+        concat(
+          slice(col("ws"), 1, 30),
+          transform(slice(col("ws"), 31, 10), w => concat(w, lit("~u"), col("doc_id")))
+        ).as("ws")
+      )
+    val corpus = base.unionByName(planted)
+    val pos = corpus
+      .filter(size(col("ws")) >= k)
+      .select(
+        col("doc_id"),
+        explode(
+          transform(
+            sequence(lit(1), size(col("ws")) - (k - 1)),
+            i =>
+              struct(
+                i.as("pos"),
+                conv(substring(md5(concat_ws(" ", slice(col("ws"), i, lit(k)))), 1, 14), 16, 10)
+                  .cast("long")
+                  .as("gk")
+              )
+          )
+        ).as("pg")
+      )
+      .select(col("doc_id"), col("pg.pos").as("pos"), col("pg.gk").as("gk"))
+    // distinct (doc, gram) rows, so counting them per gram IS docs-per-gram
+    val docsPerGram = pos.select(col("doc_id"), col("gk")).distinct()
+      .groupBy("gk").agg(count(lit(1)).as("n_docs"))
+    val shared = pos
+      .join(docsPerGram, "gk")
+      .filter(col("n_docs") >= 2)
+      .select(col("doc_id"), col("pos"))
+    val wDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val spans = shared
+      .withColumn("isl", col("pos") - row_number().over(wDoc))
+      .groupBy(col("doc_id"), col("isl"))
+      .agg(min(col("pos")).as("sp"), max(col("pos")).as("ep"))
+      .select(col("doc_id"), col("sp"), (col("ep") + (k - 1)).as("et"))
+    val wSpan = Window.partitionBy(col("doc_id")).orderBy(col("sp"))
+    val merged = spans
+      .withColumn(
+        "prev_et",
+        max(col("et")).over(wSpan.rowsBetween(Window.unboundedPreceding, -1))
+      )
+      .withColumn(
+        "grp",
+        sum(when(col("prev_et").isNull || col("sp") > col("prev_et"), 1L).otherwise(0L))
+          .over(wSpan.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+      )
+      .groupBy(col("doc_id"), col("grp"))
+      .agg(min(col("sp")).as("cs"), max(col("et")).as("ce"))
+    val perDocSpans = spans
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_spans"),
+        max(col("et") - col("sp") + 1).as("max_span_tokens")
+      )
+    val perDocCov = merged
+      .groupBy(col("doc_id"))
+      .agg(sum(col("ce") - col("cs") + 1).as("dup_tokens"))
+    corpus
+      .select(col("doc_id"), size(col("ws")).cast("long").as("n_tokens"))
+      .join(perDocSpans, Seq("doc_id"), "left")
+      .join(perDocCov, Seq("doc_id"), "left")
+      .select(
+        col("doc_id").cast("long").as("doc_id"),
+        col("n_tokens"),
+        coalesce(col("n_spans"), lit(0L)).cast("long").as("n_spans"),
+        coalesce(col("max_span_tokens"), lit(0L)).cast("long").as("max_span_tokens"),
+        coalesce(col("dup_tokens"), lit(0L)).cast("long").as("dup_tokens"),
+        expr("1000 * coalesce(dup_tokens, 0) div n_tokens").as("dup_frac_pm"),
+        (col("doc_id") < 0).as("planted")
+      )
+  }
+
   private def c25_phase_census(s: SparkSession, d: String): DataFrame = {
     val hist = table(s, d, "documents")
       .select(size(words(col("text"))).cast("long").as("len"))
@@ -1387,6 +1501,7 @@ object Curation extends QueryModule {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "c28_repeated_spans" -> (c28_repeated_spans _),
     "c27_temperature_mix" -> (c27_temperature_mix _),
     "c26_quality_classifier" -> (c26_quality_classifier _),
     "c25_phase_census" -> (c25_phase_census _),
@@ -1443,6 +1558,54 @@ object Curation extends QueryModule {
                 FROM q)"""
 
   val oracles: Map[String, String] = Map(
+    "c28_repeated_spans" ->
+      """WITH b AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+         pl AS (SELECT -doc_id - 1 AS doc_id,
+                       list_concat(ws[1:30],
+                         list_transform(ws[31:40], w -> w || '~u' || doc_id)) AS ws
+                FROM b WHERE len(ws) >= 40),
+         corpus AS (SELECT doc_id, ws FROM b UNION ALL SELECT doc_id, ws FROM pl),
+         pos AS (SELECT doc_id, CAST(p AS BIGINT) AS pos, gk FROM (
+                   SELECT doc_id,
+                          unnest(generate_series(1, len(ws) - 4)) AS p,
+                          unnest(list_transform(generate_series(1, len(ws) - 4),
+                            i -> ('0x' || substr(md5(array_to_string(ws[i:i+4], ' ')), 1, 14))::BIGINT))
+                            AS gk
+                   FROM corpus WHERE len(ws) >= 5)),
+         dpg AS (SELECT gk, count(*) AS n_docs
+                 FROM (SELECT DISTINCT doc_id, gk FROM pos) GROUP BY 1),
+         sh AS (SELECT doc_id, pos FROM pos JOIN dpg USING (gk) WHERE n_docs >= 2),
+         isl AS (SELECT doc_id, pos,
+                        pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS g
+                 FROM sh),
+         spans AS (SELECT doc_id, min(pos) AS sp, max(pos) + 4 AS et
+                   FROM isl GROUP BY doc_id, g),
+         mk AS (SELECT doc_id, sp, et,
+                       max(et) OVER (PARTITION BY doc_id ORDER BY sp
+                                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                         AS prev_et
+                FROM spans),
+         grp AS (SELECT doc_id, sp, et,
+                        sum(CASE WHEN prev_et IS NULL OR sp > prev_et THEN 1 ELSE 0 END)
+                          OVER (PARTITION BY doc_id ORDER BY sp
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
+                 FROM mk),
+         cov AS (SELECT doc_id, sum(ce - cs + 1) AS dup_tokens FROM (
+                   SELECT doc_id, grp, min(sp) AS cs, max(et) AS ce
+                   FROM grp GROUP BY 1, 2) GROUP BY 1),
+         pds AS (SELECT doc_id, count(*) AS n_spans,
+                        max(et - sp + 1) AS max_span_tokens
+                 FROM spans GROUP BY 1)
+         SELECT CAST(c.doc_id AS BIGINT) AS doc_id,
+                CAST(len(ws) AS BIGINT) AS n_tokens,
+                CAST(COALESCE(n_spans, 0) AS BIGINT) AS n_spans,
+                CAST(COALESCE(max_span_tokens, 0) AS BIGINT) AS max_span_tokens,
+                CAST(COALESCE(dup_tokens, 0) AS BIGINT) AS dup_tokens,
+                CAST(1000 * COALESCE(dup_tokens, 0) // len(ws) AS BIGINT) AS dup_frac_pm,
+                (c.doc_id < 0) AS planted
+         FROM corpus c
+         LEFT JOIN pds ON pds.doc_id = c.doc_id
+         LEFT JOIN cov ON cov.doc_id = c.doc_id""",
     "c27_temperature_mix" ->
       """WITH n AS (
            SELECT source, count(*) AS n_docs,

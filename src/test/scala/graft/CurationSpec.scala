@@ -240,4 +240,28 @@ class CurationSpec extends AnyFunSuite with SparkTestBase {
       assert(r.getAs[Long]("min_score_q") > junk.getAs[Long]("max_score_q"))
     }
   }
+
+  test("c28: planted clones recover their maximal repeated span at exactly 30 tokens") {
+    val rows = run("c28_repeated_spans").collect()
+    val planted = rows.filter(_.getAs[Boolean]("planted"))
+    assert(planted.nonEmpty)
+    planted.foreach { r =>
+      // The clone copies exactly the source's first 30 tokens; its tail 10
+      // tokens are salted unique, so the MAXIMAL repeated span is exactly 30
+      // tokens (5-gram windows 1..26 shared, window 27 touches a salt).
+      assert(r.getAs[Long]("max_span_tokens") == 30L, s"doc ${r.getAs[Long]("doc_id")}")
+      assert(r.getAs[Long]("n_tokens") == 40L)
+      assert(r.getAs[Long]("dup_tokens") >= 30L)
+      // dup fraction covers at least the cloned prefix: 30/40 = 750 permille
+      assert(r.getAs[Long]("dup_frac_pm") >= 750L)
+    }
+    // Interval-union discipline: duplicated tokens never exceed the doc.
+    rows.foreach { r =>
+      assert(r.getAs[Long]("dup_tokens") <= r.getAs[Long]("n_tokens"))
+      // every source doc of a planted clone shares its 30-token prefix back,
+      // so it must itself report a span of >= 30 tokens
+      if (r.getAs[Long]("doc_id") >= 0 && planted.exists(p => p.getAs[Long]("doc_id") == -r.getAs[Long]("doc_id") - 1))
+        assert(r.getAs[Long]("max_span_tokens") >= 30L, s"source doc ${r.getAs[Long]("doc_id")}")
+    }
+  }
 }
