@@ -45,6 +45,17 @@ object Lineage {
   }
 
   def truncate(df: DataFrame): DataFrame = {
+    if (sys.env.contains("GRAFT_PHASE_DEBUG")) {
+      val t0 = System.nanoTime()
+      val r  = truncateImpl(df)
+      val ph = df.queryExecution.tracker.phases.map { case (k, v) => s"$k=${v.endTimeMs - v.startTimeMs}" }
+      println(f"[phase-debug] truncate total=${(System.nanoTime() - t0) / 1e6}%.0f ms  ${ph.mkString(" ")}")
+      return r
+    }
+    truncateImpl(df)
+  }
+
+  private def truncateImpl(df: DataFrame): DataFrame = {
     val spark = df.sparkSession
     spark.conf.getOption(CheckpointDirConf) match {
       case Some(dir) =>

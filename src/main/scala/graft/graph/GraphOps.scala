@@ -377,32 +377,57 @@ object GraphOps {
       labels: DataFrame,
       maxPasses: Int = 8,
       gammaNum: Long = 1L,
-      gammaDen: Long = 1L
-  ): DataFrame =
+      gammaDen: Long = 1L,
+      degIn: Option[DataFrame] = None,
+      preMaterialized: Boolean = false,
+      probe: Boolean = true
+  ): DataFrame = {
+    // preMaterialized: the caller guarantees undGm is already a checkpoint
+    // (or a narrow derivation of one), so the per-call re-truncate job is
+    // skipped — multi-call chains over one edge frame (the family sweep)
+    // otherwise pay it once per call. probe=false runs exactly maxPasses
+    // passes with no convergence scans — the unrolled-oracle discipline.
+    val sel = undGm.select(col("a"), col("b"), lit(1L).as("w"), col("gm"))
     mergeFixedPointCore(
-      Lineage.truncate(undGm.select(col("a"), col("b"), lit(1L).as("w"), col("gm"))),
+      if (preMaterialized) sel else Lineage.truncate(sel),
       labels,
       maxPasses,
       gammaNum,
-      gammaDen
+      gammaDen,
+      degIn,
+      probe
     )
+  }
+
+  /** Vertex STRENGTH table (id, deg = Σ incident w) of a (a, b, w[, gm])
+    * edge frame, materialized. Public so multi-call chains over one edge
+    * frame (the family sweep) can compute it once and pass it to every
+    * fixed-point call instead of paying the aggregate per call.
+    */
+  def vertexStrength(u: DataFrame): DataFrame = Lineage.truncate(
+    u.select(col("a").as("id"), col("w"))
+      .unionAll(u.select(col("b").as("id"), col("w")))
+      .groupBy("id")
+      .agg(sum(col("w")).as("deg"))
+  )
 
   private def mergeFixedPointCore(
       u: DataFrame, // (a, b, w, gm) — materialized; w ≡ 1 for unweighted
       labels: DataFrame,
       maxPasses: Int,
       gammaNum: Long,
-      gammaDen: Long
+      gammaDen: Long,
+      degIn: Option[DataFrame] = None,
+      probe: Boolean = true
   ): DataFrame = {
     // deg = STRENGTH (Σ incident w) — the plain degree when w ≡ 1.
-    val deg = Lineage.truncate(
-      u.select(col("a").as("id"), col("w"))
-        .unionAll(u.select(col("b").as("id"), col("w")))
-        .groupBy("id")
-        .agg(sum(col("w")).as("deg"))
-    )
+    // Callers that run many fixed-point calls over (filters of) ONE edge
+    // frame pass the hoisted strength table in (degIn — disjoint copies
+    // never share vertices, so the union frame's strengths restrict
+    // correctly to any id-range filter of it).
+    val deg = degIn.getOrElse(vertexStrength(u))
     // Loop state carries the pass-invariant vertex degree so the community
-    // degree sum is ONE aggregate per pass, not a join + aggregate
+    // degree sum is ONE window per pass, not an aggregate + two joins
     // (edgeless vertices coalesce to 0 — they never appear in inter).
     var cur = Lineage.truncate(
       labels
@@ -420,28 +445,42 @@ object GraphOps {
       // src side's least() is the identity) and the chain resolution that
       // needs a CC run in applyMerge degenerates to one broadcastable
       // relabel frame.
-      val xa = cur.select(col("id").as("a"), col("lbl").as("ca"))
-      val xb = cur.select(col("id").as("b"), col("lbl").as("cb"))
+      //
+      // Community degree rides the state frame as a window sum and is
+      // CARRIED through the endpoint-labeling join into the canonical-pair
+      // aggregate (min() reads the per-pair constant through), instead of
+      // the old separate commDeg aggregate joined back onto the mirrored
+      // pair frame — that shape cost 5 exchanges per pass (agg + 2×
+      // two-sided joins) where the carry costs 1 (the window), and the
+      // values are identical integers, so the partition is unchanged.
+      val wLbl = org.apache.spark.sql.expressions.Window.partitionBy(col("lbl"))
+      val curD = cur.withColumn("cd", sum(col("deg")).over(wLbl))
+      val xa = curD.select(col("id").as("a"), col("lbl").as("ca"), col("cd").as("da"))
+      val xb = curD.select(col("id").as("b"), col("lbl").as("cb"), col("cd").as("db"))
       // gm (the owning graph's edge count) rides the canonical-pair
       // aggregate: both communities of an inter pair live in one graph,
-      // so min() just reads it through
+      // so min() just reads it through; dx/dy align the carried community
+      // degrees to the canonical (least, greatest) orientation.
       val half = u
         .join(xa, "a")
         .join(xb, "b")
         .filter(col("ca") =!= col("cb"))
         .groupBy(least(col("ca"), col("cb")).as("cx"), greatest(col("ca"), col("cb")).as("cy"))
-        .agg(sum(col("w")).as("e12"), min(col("gm")).as("gm"))
-      val inter = half
-        .select(col("cx").as("c1"), col("cy").as("c2"), col("e12"), col("gm"))
-        .unionAll(half.select(col("cy").as("c1"), col("cx").as("c2"), col("e12"), col("gm")))
-      val commDeg = cur.groupBy(col("lbl")).agg(sum(col("deg")).as("d"))
-      val gains = inter
-        .join(commDeg.select(col("lbl").as("c1"), col("d").as("d1")), "c1")
-        .join(commDeg.select(col("lbl").as("c2"), col("d").as("d2")), "c2")
+        .agg(
+          sum(col("w")).as("e12"),
+          min(col("gm")).as("gm"),
+          min(when(col("ca") <= col("cb"), col("da")).otherwise(col("db"))).as("dx"),
+          min(when(col("ca") <= col("cb"), col("db")).otherwise(col("da"))).as("dy")
+        )
+        // The gain is symmetric in (x, y) — γden·2m·E12 − γnum·d1·d2 — so it
+        // is computed ONCE on the canonical pair and mirrored with the frame.
         .withColumn(
           "gain",
-          lit(gammaDen * 2) * col("gm") * col("e12") - lit(gammaNum) * col("d1") * col("d2")
+          lit(gammaDen * 2) * col("gm") * col("e12") - lit(gammaNum) * col("dx") * col("dy")
         )
+      val gains = half
+        .select(col("cx").as("c1"), col("cy").as("c2"), col("gain"))
+        .unionAll(half.select(col("cy").as("c1"), col("cx").as("c2"), col("gain")))
       val relabel = mutualPairs(picksFromGains(gains))
         .select(col("dst").as("lbl"), col("src").as("new_lbl"))
       // truncateFresh, not truncate: the label frame feeds back into the
@@ -449,26 +488,36 @@ object GraphOps {
       // size-in-bytes forward — compounding doubly-exponentially across
       // passes until the OPTIMIZER hangs in BigInteger math (see
       // Lineage.truncateFresh). The stats reset costs one re-encode of a
-      // community-sized frame per pass.
-      val next = Lineage.truncateFresh(
-        cur
-          .join(relabel, Seq("lbl"), "left")
-          .select(
-            col("id"),
-            coalesce(col("new_lbl"), col("lbl")).as("lbl"),
-            col("deg"),
-            col("new_lbl").isNotNull.as("chg")
-          )
-      )
+      // community-sized frame per pass. The relabel joins onto curD (the
+      // window output, already clustered by lbl) so the state side of the
+      // join reuses the window's exchange.
       // Convergence rides the relabel flag: a limit-1 scan of the frame the
       // pass materialized anyway, instead of the old separate picks
       // materialization + emptiness probe (4 actions/pass → 2, r11 #2).
       // No mutual pair ⇔ no positive-gain pick (the max-gain pick is always
-      // mutual — see the PROGRESSING note above).
-      done = next.filter(col("chg")).isEmpty
-      cur = next.drop("chg")
+      // mutual — see the PROGRESSING note above). The probe is skipped on
+      // the FINAL budgeted pass (its answer cannot change anything) and
+      // entirely under probe=false — callers whose pass budget is pinned
+      // to an unrolled oracle run exactly maxPasses passes either way
+      // (a converged pass is a no-op), and each skipped probe saves one
+      // driver-planned job.
+      val doProbe = probe && pass + 1 < maxPasses
+      val applied = curD
+        .join(relabel, Seq("lbl"), "left")
+        .select(
+          Seq(
+            col("id"),
+            coalesce(col("new_lbl"), col("lbl")).as("lbl"),
+            col("deg")
+          ) ++ (if (doProbe) Seq(col("new_lbl").isNotNull.as("chg")) else Nil): _*
+        )
+      val next = Lineage.truncateFresh(applied)
+      done = if (doProbe) next.filter(col("chg")).isEmpty else false
+      cur = if (doProbe) next.drop("chg") else next
       pass += 1
     }
+    if (sys.env.contains("GRAFT_PASS_DEBUG"))
+      println(s"[pass-debug] merge: ran $pass of $maxPasses (done=$done)")
     cur.select(col("id"), col("lbl"))
   }
 
@@ -547,17 +596,24 @@ object GraphOps {
       gammaNum: Long = 1L,
       gammaDen: Long = 1L,
       gateNum: Long = 1L,
-      gateDen: Long = 6L
-  ): DataFrame =
+      gateDen: Long = 6L,
+      degIn: Option[DataFrame] = None,
+      preMaterialized: Boolean = false,
+      probe: Boolean = true
+  ): DataFrame = {
+    val sel = undGm.select(col("a"), col("b"), col("gm"))
     refineWithinCore(
-      Lineage.truncate(undGm.select(col("a"), col("b"), col("gm"))),
+      if (preMaterialized) sel else Lineage.truncate(sel),
       parent,
       maxPasses,
       gammaNum,
       gammaDen,
       gateNum,
-      gateDen
+      gateDen,
+      degIn,
+      probe
     )
+  }
 
   private def refineWithinCore(
       u: DataFrame, // (a, b, gm) — materialized
@@ -566,13 +622,19 @@ object GraphOps {
       gammaNum: Long,
       gammaDen: Long,
       gateNum: Long,
-      gateDen: Long
+      gateDen: Long,
+      degIn: Option[DataFrame] = None,
+      probe: Boolean = true
   ): DataFrame = {
-    val deg = Lineage.truncate(
-      u.select(col("a").as("id"))
-        .unionAll(u.select(col("b").as("id")))
-        .groupBy("id")
-        .agg(count(lit(1)).as("deg"))
+    // Unweighted degree = strength at w ≡ 1, so a hoisted [[vertexStrength]]
+    // table (sum of 1L per incidence) is value-identical to this count.
+    val deg = degIn.getOrElse(
+      Lineage.truncate(
+        u.select(col("a").as("id"))
+          .unionAll(u.select(col("b").as("id")))
+          .groupBy("id")
+          .agg(count(lit(1)).as("deg"))
+      )
     )
     val par = parent.select(col("id"), col("lbl").as("parent"))
     val psz = par.groupBy("parent").agg(count(lit(1)).as("psz"))
@@ -597,13 +659,39 @@ object GraphOps {
     var pass = 0
     var done = false
     while (!done && pass < maxPasses) {
-      val xa = cur.select(col("id").as("a"), col("lbl").as("ca"), col("parent").as("pa"))
-      val xb = cur.select(col("id").as("b"), col("lbl").as("cb"), col("parent").as("pb"))
+      // Sub-community size and degree sum ride the state frame as ONE
+      // window (by lbl) and are CARRIED through the endpoint-labeling join
+      // into the canonical-pair aggregate — min() reads the per-pair
+      // constants through — instead of the old separate stats aggregate
+      // joined back onto the mirrored pair frame (an agg + two two-sided
+      // joins = 5 exchanges per pass where the carry costs 1). Values are
+      // identical integers, so the partition is unchanged. psz is already
+      // a per-vertex state column.
+      val wLbl = org.apache.spark.sql.expressions.Window.partitionBy(col("lbl"))
+      val curS = cur
+        .withColumn("csz", count(lit(1)).over(wLbl))
+        .withColumn("cd", sum(col("deg")).over(wLbl))
+      val xa = curS.select(
+        col("id").as("a"),
+        col("lbl").as("ca"),
+        col("parent").as("pa"),
+        col("csz").as("sza"),
+        col("cd").as("da"),
+        col("psz").as("psza")
+      )
+      val xb = curS.select(
+        col("id").as("b"),
+        col("lbl").as("cb"),
+        col("parent").as("pb"),
+        col("csz").as("szb"),
+        col("cd").as("db")
+      )
       // intra-parent, inter-sub-community edges; counts aggregate on the
       // canonical (least, greatest) pair FIRST and mirror the aggregated
       // frame after — both union branches share the aggregate's shuffle
       // (ReusedExchange), so the edge-labeling join runs once per pass
-      // instead of once per direction
+      // instead of once per direction. psz is constant within a parent and
+      // both sides share the parent, so min() reads it through.
       val half = u
         .join(xa, "a")
         .join(xb, "b")
@@ -613,35 +701,38 @@ object GraphOps {
           greatest(col("ca"), col("cb")).as("cy"),
           col("pa").as("parent")
         )
-        .agg(count(lit(1)).as("e12"), min(col("gm")).as("gm"))
-      val inter = half
-        .select(col("cx").as("c1"), col("cy").as("c2"), col("parent"), col("e12"), col("gm"))
-        .unionAll(
-          half.select(col("cy").as("c1"), col("cx").as("c2"), col("parent"), col("e12"), col("gm"))
+        .agg(
+          count(lit(1)).as("e12"),
+          min(col("gm")).as("gm"),
+          min(when(col("ca") <= col("cb"), col("sza")).otherwise(col("szb"))).as("szx"),
+          min(when(col("ca") <= col("cb"), col("szb")).otherwise(col("sza"))).as("szy"),
+          min(when(col("ca") <= col("cb"), col("da")).otherwise(col("db"))).as("dx"),
+          min(when(col("ca") <= col("cb"), col("db")).otherwise(col("da"))).as("dy"),
+          min(col("psza")).as("psz")
         )
-      // Sub-community size, degree sum and parent size in ONE keyed
-      // aggregate over the state frame (they were two aggregates plus a
-      // psz join — r11 #2); psz is constant within a parent, so min() just
-      // reads it through.
-      val stats = cur
-        .groupBy(col("lbl"))
-        .agg(count(lit(1)).as("sz"), sum(col("deg")).as("d"), min(col("psz")).as("psz"))
+      val inter = half
+        .select(
+          col("cx").as("c1"), col("cy").as("c2"), col("parent"), col("e12"), col("gm"),
+          col("szx").as("sz1"), col("szy").as("sz2"), col("dx").as("d1"), col("dy").as("d2"),
+          col("psz")
+        )
+        .unionAll(
+          half.select(
+            col("cy").as("c1"), col("cx").as("c2"), col("parent"), col("e12"), col("gm"),
+            col("szy").as("sz1"), col("szx").as("sz2"), col("dy").as("d1"), col("dx").as("d2"),
+            col("psz")
+          )
+        )
       // LINEAR pipeline from here — no cut/eligibility diamond: cut(R) =
-      // E(R, C∖R) rides the joined frame as two window sums (the c2-side
-      // window reuses the second join's partitioning, so only the c1-side
-      // window re-shuffles), and the well-connectedness gate
+      // E(R, C∖R) rides the mirrored frame as two window sums (the c1-side
+      // window runs last so the picks window below reuses its
+      // partitioning), and the well-connectedness gate
       // (gateD·cut ≥ gateN·sz·(psz−sz)) filters rows directly. A
       // sub-community with no intra-parent neighbors has no inter rows —
       // eligible but partnerless under both shapes.
-      val j = inter
-        .join(
-          stats.select(col("lbl").as("c1"), col("sz").as("sz1"), col("d").as("d1"), col("psz")),
-          "c1"
-        )
-        .join(stats.select(col("lbl").as("c2"), col("sz").as("sz2"), col("d").as("d2")), "c2")
       val wc1 = org.apache.spark.sql.expressions.Window.partitionBy(col("c1"))
       val wc2 = org.apache.spark.sql.expressions.Window.partitionBy(col("c2"))
-      val gains = j
+      val gains = inter
         .withColumn("cut2", sum(col("e12")).over(wc2))
         .withColumn("cut1", sum(col("e12")).over(wc1))
         .filter(
@@ -660,27 +751,37 @@ object GraphOps {
       // materialization and the whole relabel is one job
       val relabel = mutualPairs(picksFromGains(gains))
         .select(col("dst").as("lbl"), col("src").as("new_lbl"))
-      val next = Lineage.truncateFresh(
-        cur
-          .join(relabel, Seq("lbl"), "left")
-          .select(
-            col("id"),
-            coalesce(col("new_lbl"), col("lbl")).as("lbl"),
-            col("parent"),
-            col("deg"),
-            col("psz"),
-            col("new_lbl").isNotNull.as("chg")
-          )
-      )
+      // The relabel joins onto curS (the window output, already clustered
+      // by lbl) so the state side reuses the window's exchange.
+      //
       // Convergence rides the relabel flag (limit-1 over the frame the pass
       // materialized anyway): loop ends at the first pass with NO mutual
       // pair — under the gate the max-gain pick is still mutual whenever
       // any gain survives, but reading the applied frame directly is the
-      // guard that cannot hang. 2 actions/pass, down from 4 (r11 #2).
-      done = next.filter(col("chg")).isEmpty
-      cur = next.drop("chg")
+      // guard that cannot hang. 2 actions/pass, down from 4 (r11 #2); the
+      // probe is skipped on the FINAL budgeted pass (its answer cannot
+      // change anything) and entirely under probe=false — callers whose
+      // pass budget is pinned to an unrolled oracle run exactly maxPasses
+      // passes either way (a converged pass is a no-op).
+      val doProbe = probe && pass + 1 < maxPasses
+      val applied = curS
+        .join(relabel, Seq("lbl"), "left")
+        .select(
+          Seq(
+            col("id"),
+            coalesce(col("new_lbl"), col("lbl")).as("lbl"),
+            col("parent"),
+            col("deg"),
+            col("psz")
+          ) ++ (if (doProbe) Seq(col("new_lbl").isNotNull.as("chg")) else Nil): _*
+        )
+      val next = Lineage.truncateFresh(applied)
+      done = if (doProbe) next.filter(col("chg")).isEmpty else false
+      cur = if (doProbe) next.drop("chg") else next
       pass += 1
     }
+    if (sys.env.contains("GRAFT_PASS_DEBUG"))
+      println(s"[pass-debug] refine: ran $pass of $maxPasses (done=$done)")
     cur.select(col("id"), col("lbl"))
   }
 

@@ -1353,6 +1353,11 @@ object GraphQueries extends QueryModule {
     )
     val undR = und5.filter(col("a") >= 10000)
     val undN = und5.filter(col("a") >= 20000)
+    // ONE strength table serves all nine fixed-point calls: the copies are
+    // disjoint, so und5's per-vertex degrees restrict correctly to any
+    // id-range filter (undN/undR), and the labels-side join in each call
+    // picks exactly the relevant ids. Saves a per-call degree aggregate.
+    val deg5 = Some(GraphOps.vertexStrength(und5.select(col("a"), col("b"), lit(1L).as("w"))))
     val verts = vcopy(v1, 0L)
       .unionByName(vcopy(v2, 1000L))
       .unionByName(vcopy(v1, 10000L))
@@ -1365,7 +1370,8 @@ object GraphQueries extends QueryModule {
     var a4Nation: DataFrame = null
     val levelFrames = res.zipWithIndex.map { case ((gn, gd), li) =>
       val merged3 = graft.Lineage.truncate(
-        GraphOps.refineMergeFixedPointBatched(und5, prev, 3, gn, gd)
+        GraphOps.refineMergeFixedPointBatched(
+          und5, prev, 3, gn, gd, deg5, preMaterialized = true, probe = false)
       )
       // The nation copy's 4th merge pass (its oracle unrolls 4 per level).
       val mergedN = GraphOps.refineMergeFixedPointBatched(
@@ -1373,7 +1379,10 @@ object GraphQueries extends QueryModule {
         merged3.filter(col("id") >= 20000),
         1,
         gn,
-        gd
+        gd,
+        deg5,
+        preMaterialized = true,
+        probe = false
       )
       if (li == 0) a4Nation = mergedN
       val merged = merged3.filter(col("id") < 20000).unionByName(mergedN)
@@ -1382,7 +1391,10 @@ object GraphQueries extends QueryModule {
         merged.filter(col("id") >= 10000),
         4,
         gn,
-        gd
+        gd,
+        degIn = deg5,
+        preMaterialized = true,
+        probe = false
       )
       val level = graft.Lineage.truncate(
         merged.filter(col("id") < 10000).unionByName(refinedR)
