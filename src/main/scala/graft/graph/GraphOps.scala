@@ -435,26 +435,24 @@ object GraphOps {
         .join(deg, Seq("id"), "left")
         .select(col("id"), col("lbl"), coalesce(col("deg"), lit(0L)).as("deg"))
     )
-    var pass = 0
-    var done = false
-    while (!done && pass < maxPasses) {
-      // One materializing job per pass: picks → mutual pairs (one keyed
-      // aggregate, see mutualPairs — no self-join, so picks needs no
-      // separate materialization) → relabel → new labels. Mutual pairs are
-      // DISJOINT edges with src < dst, so only the dst side relabels (the
-      // src side's least() is the identity) and the chain resolution that
-      // needs a CC run in applyMerge degenerates to one broadcastable
-      // relabel frame.
-      //
-      // Community degree rides the state frame as a window sum and is
-      // CARRIED through the endpoint-labeling join into the canonical-pair
-      // aggregate (min() reads the per-pair constant through), instead of
-      // the old separate commDeg aggregate joined back onto the mirrored
-      // pair frame — that shape cost 5 exchanges per pass (agg + 2×
-      // two-sided joins) where the carry costs 1 (the window), and the
-      // values are identical integers, so the partition is unchanged.
+    // One materializing job per pass: picks → mutual pairs (one keyed
+    // aggregate, see mutualPairs — no self-join, so picks needs no
+    // separate materialization) → relabel → new labels. Mutual pairs are
+    // DISJOINT edges with src < dst, so only the dst side relabels (the
+    // src side's least() is the identity) and the chain resolution that
+    // needs a CC run in applyMerge degenerates to one broadcastable
+    // relabel frame.
+    //
+    // Community degree rides the state frame as a window sum and is
+    // CARRIED through the endpoint-labeling join into the canonical-pair
+    // aggregate (min() reads the per-pair constant through), instead of
+    // the old separate commDeg aggregate joined back onto the mirrored
+    // pair frame — that shape cost 5 exchanges per pass (agg + 2×
+    // two-sided joins) where the carry costs 1 (the window), and the
+    // values are identical integers, so the partition is unchanged.
+    def onePass(state: DataFrame, withChg: Boolean): DataFrame = {
       val wLbl = org.apache.spark.sql.expressions.Window.partitionBy(col("lbl"))
-      val curD = cur.withColumn("cd", sum(col("deg")).over(wLbl))
+      val curD = state.withColumn("cd", sum(col("deg")).over(wLbl))
       val xa = curD.select(col("id").as("a"), col("lbl").as("ca"), col("cd").as("da"))
       val xb = curD.select(col("id").as("b"), col("lbl").as("cb"), col("cd").as("db"))
       // gm (the owning graph's edge count) rides the canonical-pair
@@ -483,35 +481,44 @@ object GraphOps {
         .unionAll(half.select(col("cy").as("c1"), col("cx").as("c2"), col("gain")))
       val relabel = mutualPairs(picksFromGains(gains))
         .select(col("dst").as("lbl"), col("src").as("new_lbl"))
-      // truncateFresh, not truncate: the label frame feeds back into the
-      // next pass, and plain checkpoints carry the source plan's
-      // size-in-bytes forward — compounding doubly-exponentially across
-      // passes until the OPTIMIZER hangs in BigInteger math (see
-      // Lineage.truncateFresh). The stats reset costs one re-encode of a
-      // community-sized frame per pass. The relabel joins onto curD (the
-      // window output, already clustered by lbl) so the state side of the
-      // join reuses the window's exchange.
-      // Convergence rides the relabel flag: a limit-1 scan of the frame the
-      // pass materialized anyway, instead of the old separate picks
-      // materialization + emptiness probe (4 actions/pass → 2, r11 #2).
-      // No mutual pair ⇔ no positive-gain pick (the max-gain pick is always
-      // mutual — see the PROGRESSING note above). The probe is skipped on
-      // the FINAL budgeted pass (its answer cannot change anything) and
-      // entirely under probe=false — callers whose pass budget is pinned
-      // to an unrolled oracle run exactly maxPasses passes either way
-      // (a converged pass is a no-op), and each skipped probe saves one
-      // driver-planned job.
-      val doProbe = probe && pass + 1 < maxPasses
-      val applied = curD
+      // The relabel joins onto curD (the window output, already clustered
+      // by lbl) so the state side of the join reuses the window's exchange.
+      curD
         .join(relabel, Seq("lbl"), "left")
         .select(
           Seq(
             col("id"),
             coalesce(col("new_lbl"), col("lbl")).as("lbl"),
             col("deg")
-          ) ++ (if (doProbe) Seq(col("new_lbl").isNotNull.as("chg")) else Nil): _*
+          ) ++ (if (withChg) Seq(col("new_lbl").isNotNull.as("chg")) else Nil): _*
         )
-      val next = Lineage.truncateFresh(applied)
+    }
+    // truncateFresh, not truncate, at every checkpoint unit: the label
+    // frame feeds back into the next unit, and plain checkpoints carry the
+    // source plan's size-in-bytes forward — compounding doubly-
+    // exponentially across passes until the OPTIMIZER hangs in BigInteger
+    // math (see Lineage.truncateFresh). The stats reset costs one
+    // re-encode of a community-sized frame per pass. (Composing several
+    // passes into one planned job was MEASURED and rejected: each pass
+    // references its state plan several times — xa, xb, the relabel join —
+    // so a k-pass plan tree grows ~5^k; 4 unrolled refine passes produced
+    // 2341-stage jobs. The checkpoint-per-pass discipline is the floor.)
+    //
+    // Convergence rides the relabel flag: a limit-1 scan of the frame the
+    // unit materialized anyway, instead of the old separate picks
+    // materialization + emptiness probe (4 actions/pass → 2, r11 #2).
+    // No mutual pair ⇔ no positive-gain pick (the max-gain pick is always
+    // mutual — see the PROGRESSING note above). The probe is skipped on
+    // the FINAL budgeted unit (its answer cannot change anything) and
+    // entirely under probe=false — callers whose pass budget is pinned
+    // to an unrolled oracle run exactly maxPasses passes either way
+    // (a converged pass is a no-op), and each skipped probe saves one
+    // driver-planned job.
+    var pass = 0
+    var done = false
+    while (!done && pass < maxPasses) {
+      val doProbe = probe && pass + 1 < maxPasses
+      val next    = Lineage.truncateFresh(onePass(cur, withChg = doProbe))
       done = if (doProbe) next.filter(col("chg")).isEmpty else false
       cur = if (doProbe) next.drop("chg") else next
       pass += 1
@@ -656,19 +663,17 @@ object GraphOps {
           col("psz")
         )
     )
-    var pass = 0
-    var done = false
-    while (!done && pass < maxPasses) {
-      // Sub-community size and degree sum ride the state frame as ONE
-      // window (by lbl) and are CARRIED through the endpoint-labeling join
-      // into the canonical-pair aggregate — min() reads the per-pair
-      // constants through — instead of the old separate stats aggregate
-      // joined back onto the mirrored pair frame (an agg + two two-sided
-      // joins = 5 exchanges per pass where the carry costs 1). Values are
-      // identical integers, so the partition is unchanged. psz is already
-      // a per-vertex state column.
+    // Sub-community size and degree sum ride the state frame as ONE
+    // window (by lbl) and are CARRIED through the endpoint-labeling join
+    // into the canonical-pair aggregate — min() reads the per-pair
+    // constants through — instead of the old separate stats aggregate
+    // joined back onto the mirrored pair frame (an agg + two two-sided
+    // joins = 5 exchanges per pass where the carry costs 1). Values are
+    // identical integers, so the partition is unchanged. psz is already
+    // a per-vertex state column.
+    def onePass(state: DataFrame, withChg: Boolean): DataFrame = {
       val wLbl = org.apache.spark.sql.expressions.Window.partitionBy(col("lbl"))
-      val curS = cur
+      val curS = state
         .withColumn("csz", count(lit(1)).over(wLbl))
         .withColumn("cd", sum(col("deg")).over(wLbl))
       val xa = curS.select(
@@ -753,18 +758,7 @@ object GraphOps {
         .select(col("dst").as("lbl"), col("src").as("new_lbl"))
       // The relabel joins onto curS (the window output, already clustered
       // by lbl) so the state side reuses the window's exchange.
-      //
-      // Convergence rides the relabel flag (limit-1 over the frame the pass
-      // materialized anyway): loop ends at the first pass with NO mutual
-      // pair — under the gate the max-gain pick is still mutual whenever
-      // any gain survives, but reading the applied frame directly is the
-      // guard that cannot hang. 2 actions/pass, down from 4 (r11 #2); the
-      // probe is skipped on the FINAL budgeted pass (its answer cannot
-      // change anything) and entirely under probe=false — callers whose
-      // pass budget is pinned to an unrolled oracle run exactly maxPasses
-      // passes either way (a converged pass is a no-op).
-      val doProbe = probe && pass + 1 < maxPasses
-      val applied = curS
+      curS
         .join(relabel, Seq("lbl"), "left")
         .select(
           Seq(
@@ -773,9 +767,24 @@ object GraphOps {
             col("parent"),
             col("deg"),
             col("psz")
-          ) ++ (if (doProbe) Seq(col("new_lbl").isNotNull.as("chg")) else Nil): _*
+          ) ++ (if (withChg) Seq(col("new_lbl").isNotNull.as("chg")) else Nil): _*
         )
-      val next = Lineage.truncateFresh(applied)
+    }
+    // Convergence rides the relabel flag (limit-1 over the frame the unit
+    // materialized anyway): loop ends at the first unit whose LAST pass
+    // applied NO mutual pair — under the gate the max-gain pick is still
+    // mutual whenever any gain survives, but reading the applied frame
+    // directly is the guard that cannot hang. The probe is skipped on the
+    // FINAL budgeted unit (its answer cannot change anything) and entirely
+    // under probe=false — callers whose pass budget is pinned to an
+    // unrolled oracle run exactly maxPasses passes either way (a converged
+    // pass is a no-op). Passes are checkpointed one at a time — see
+    // mergeFixedPointCore's note on why unrolling explodes the plan.
+    var pass = 0
+    var done = false
+    while (!done && pass < maxPasses) {
+      val doProbe = probe && pass + 1 < maxPasses
+      val next    = Lineage.truncateFresh(onePass(cur, withChg = doProbe))
       done = if (doProbe) next.filter(col("chg")).isEmpty else false
       cur = if (doProbe) next.drop("chg") else next
       pass += 1

@@ -23,7 +23,11 @@ object ProfileSweep {
     spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
       override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
         jobs.incrementAndGet(); stages.addAndGet(j.stageInfos.size)
-        jobT0.put(j.jobId, (System.nanoTime(), j.stageInfos.size)); ()
+        jobT0.put(j.jobId, (System.nanoTime(), j.stageInfos.size))
+        if (sys.env.contains("GRAFT_STAGE_NAMES") && j.stageInfos.size >= 14) {
+          println(s"[prof-sweep] job ${j.jobId} (${j.stageInfos.size} stages):")
+          j.stageInfos.sortBy(_.stageId).foreach(s => println(s"  stage ${s.stageId}: ${s.name}"))
+        }
       }
       override def onJobEnd(j: org.apache.spark.scheduler.SparkListenerJobEnd): Unit = {
         Option(jobT0.remove(j.jobId)).foreach { case (t0, n) =>
