@@ -1198,7 +1198,85 @@ object TextAnalysis extends QueryModule {
       )
   }
 
+  /** X31 — BPE apply round-trip (Sennrich–Haddow–Birch 2016 §3.2 apply
+    * step; closes the train→apply loop x28 opened): train a FOUR-merge
+    * ranking with x28's recurrence — each step re-counts symbol pairs on
+    * the vocabulary REWRITTEN by the previous merges, so later merges may
+    * consume earlier merge symbols (true BPE, not a static top-4 of the
+    * initial pair table) — then apply the merges in rank order to
+    * re-tokenize and re-measure x19's tokens-per-word per language.
+    *
+    * Merge outputs are encoded as reserved single chars 'A'..'D' (the
+    * corpus alphabet is lowercase + space, checked), so symbol count stays
+    * `length(w)` at every step and greedy leftmost non-overlapping rank
+    * application IS `replace` — identical semantics in both engines. Words
+    * rewritten down to ONE symbol are excluded from the next pair count
+    * (`length(w) >= 2` per step — also the cross-engine guard: Spark's
+    * `sequence(1, 0)` is [1, 0] where DuckDB's `generate_series(1, 0)` is
+    * empty).
+    *
+    * Scale shape: training touches only the VOCABULARY (one corpus
+    * aggregate, then 4 vocab-sized pair counts and single-row broadcasts —
+    * x28's unit of work); application is one vocabulary-keyed join back to
+    * the exploded corpus (NOT broadcast — a real vocab is large), then a
+    * per-language hash aggregate. Nothing re-scans the corpus more than
+    * the two passes (vocab build + apply).
+    */
+  private def x31_bpe_apply(s: SparkSession, d: String): DataFrame = {
+    val vocab0 = graft.Lineage.truncate(
+      table(s, d, "documents")
+        .select(explode(words(col("text"))).as("w0"))
+        .filter(length(col("w0")) >= 2)
+        .groupBy(col("w0"))
+        .agg(count(lit(1)).as("freq"))
+        .select(col("w0"), col("w0").as("w"), col("freq"))
+    )
+    val merged = Seq("A", "B", "C", "D").foldLeft(vocab0) { (v, sym) =>
+      val top = v
+        .filter(length(col("w")) >= 2)
+        .select(
+          col("freq"),
+          explode(expr("sequence(1, length(w) - 1)")).as("i"),
+          col("w")
+        )
+        .select(expr("substr(w, i, 2)").as("pair"), col("freq"))
+        .groupBy(col("pair"))
+        .agg(sum(col("freq")).as("pc"))
+        .orderBy(col("pc").desc, col("pair").asc)
+        .limit(1)
+        .select(col("pair").as("mp"))
+      graft.Lineage.truncate(
+        v.crossJoin(broadcast(top))
+          .select(col("w0"), expr(s"replace(w, mp, '$sym')").as("w"), col("freq"))
+      )
+    }
+    val tokMap = merged.select(col("w0"), length(col("w")).cast("long").as("sym_bpe"))
+    table(s, d, "documents")
+      .select(col("lang"), explode(words(col("text"))).as("w0"))
+      .join(tokMap, Seq("w0"), "left")
+      .select(
+        col("lang"),
+        length(col("w0")).cast("long").as("sb"),
+        coalesce(col("sym_bpe"), length(col("w0")).cast("long")).as("sa")
+      )
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("nw"),
+        sum(col("sb")).as("sc"),
+        sum(col("sa")).as("sbp")
+      )
+      .select(
+        col("lang"),
+        col("nw").cast("long").as("n_words"),
+        col("sc").cast("long").as("symbols_char"),
+        col("sbp").cast("long").as("symbols_bpe"),
+        expr("1000 * sc div nw").as("tpw_char_pm"),
+        expr("1000 * sbp div nw").as("tpw_bpe_pm")
+      )
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x31_bpe_apply" -> (x31_bpe_apply _),
     "x25_winnowing_matches" -> (x25_winnowing_matches _),
     "x24_winnowing" -> (x24_winnowing _),
     "x30_good_turing" -> (x30_good_turing _),
@@ -1245,7 +1323,41 @@ object TextAnalysis extends QueryModule {
             JOIN prstr o ON o.src = e.src
             GROUP BY e.dst) s ON s.id = n.id)"""
 
+  /** One BPE merge step in SQL: pick the max-frequency pair from `vPrev`
+    * (freq desc, pair asc tiebreak — binary collation in both engines) and
+    * rewrite the vocabulary with the reserved symbol. Words already at one
+    * symbol contribute no pairs (length guard, see [[x31_bpe_apply]]).
+    */
+  private def bpeStepSql(k: Int, sym: String): String =
+    s"""t$k AS (
+          SELECT pair FROM (
+            SELECT unnest(list_transform(generate_series(1, length(w) - 1),
+                     i -> substr(w, CAST(i AS INT), 2))) AS pair, freq
+            FROM v${k - 1} WHERE length(w) >= 2)
+          GROUP BY 1 ORDER BY sum(freq) DESC, pair LIMIT 1),
+        v$k AS (SELECT w0, replace(w, pair, '$sym') AS w, freq FROM v${k - 1}, t$k)"""
+
   val oracles: Map[String, String] = Map(
+    "x31_bpe_apply" ->
+      s"""WITH v0 AS (
+           SELECT w AS w0, w, count(*) AS freq FROM (
+             SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+           WHERE length(w) >= 2 GROUP BY w),
+         ${bpeStepSql(1, "A")},
+         ${bpeStepSql(2, "B")},
+         ${bpeStepSql(3, "C")},
+         ${bpeStepSql(4, "D")},
+         m AS (SELECT w0, CAST(length(w) AS BIGINT) AS sym_bpe FROM v4),
+         c AS (SELECT lang, unnest(string_split(text, ' ')) AS w0 FROM documents),
+         j AS (SELECT lang, CAST(length(c.w0) AS BIGINT) AS sb,
+                      coalesce(m.sym_bpe, CAST(length(c.w0) AS BIGINT)) AS sa
+               FROM c LEFT JOIN m ON c.w0 = m.w0)
+         SELECT lang, CAST(count(*) AS BIGINT) AS n_words,
+                CAST(sum(sb) AS BIGINT) AS symbols_char,
+                CAST(sum(sa) AS BIGINT) AS symbols_bpe,
+                CAST(1000 * sum(sb) // count(*) AS BIGINT) AS tpw_char_pm,
+                CAST(1000 * sum(sa) // count(*) AS BIGINT) AS tpw_bpe_pm
+         FROM j GROUP BY lang""",
     "x30_good_turing" ->
       """WITH a AS (SELECT string_split(text, ' ') AS a FROM documents),
          wc AS (SELECT w, count(*) AS c FROM (
