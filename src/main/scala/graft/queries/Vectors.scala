@@ -455,7 +455,17 @@ object Vectors extends QueryModule {
     * vector join. The exact-top-k audit is one extra single-pass scan
     * (s19's plan) — the one-shot recall audit, not the query path.
     */
-  private def s19g_ivfadc(s: SparkSession, d: String): DataFrame = {
+  /** The IVFADC candidate scaffold s19g and s19i share, memoized per
+    * (session, dataset): every probed-cell member's ADC score plus the
+    * probe census constants riding as columns — (vec_id, adc_q,
+    * cells_probed, cells_total). Candidate-set-sized (n/cells · nprobe).
+    */
+  private val ivfadcMemo = graft.Memo.newMap()
+
+  private def ivfadcCand(s: SparkSession, d: String): DataFrame =
+    graft.Memo.cached(ivfadcMemo, s, d)(ivfadcCandCompute(s, d))
+
+  private def ivfadcCandCompute(s: SparkSession, d: String): DataFrame = {
     val sw = Dim / 4
     val e  = table(s, d, "embeddings")
     val vq = graft.Lineage.truncate(
@@ -525,17 +535,22 @@ object Vectors extends QueryModule {
       .groupBy(col("label"), col("sub"), col("cluster"))
       .agg(sum((col("qr") - col("mean_q")) * (col("qr") - col("mean_q"))).as("qd2"))
       .select(col("label"), col("sub"), col("cluster").as("code"), col("qd2"))
-    val cand = encoded
+    encoded
       .join(broadcast(lut), Seq("label", "sub", "code"))
       .groupBy(col("vec_id"))
       .agg(sum(col("qd2")).as("adc_q"))
+      .crossJoin(broadcast(probe.agg(count(lit(1)).as("cells_probed"))))
+      .crossJoin(broadcast(cdist.agg(count(lit(1)).as("cells_total"))))
+  }
+
+  private def s19g_ivfadc(s: SparkSession, d: String): DataFrame = {
+    val e     = table(s, d, "embeddings")
+    val cand  = ivfadcCand(s, d)
     val exact = s19_knn_cosine(s, d).select(col("vec_id").as("evid"), lit(1L).as("hit"))
     cand
       .orderBy(col("adc_q").asc, col("vec_id").asc)
       .limit(K)
       .join(broadcast(exact), col("vec_id") === col("evid"), "left")
-      .crossJoin(broadcast(probe.agg(count(lit(1)).as("cells_probed"))))
-      .crossJoin(broadcast(cdist.agg(count(lit(1)).as("cells_total"))))
       .crossJoin(broadcast(cand.agg(count(lit(1)).as("n_candidates"))))
       .crossJoin(broadcast(e.agg(count(lit(1)).as("n_corpus"))))
       .select(
@@ -546,6 +561,67 @@ object Vectors extends QueryModule {
         col("cells_total").cast("long").as("cells_total"),
         col("n_candidates").cast("long").as("n_candidates"),
         col("n_corpus").cast("long").as("n_corpus")
+      )
+  }
+
+  /** S19i — IVFADC RE-RANKING (the FAISS refine step, Jégou–Douze–Schmid
+    * 2011 §V.D / the IndexRefineFlat composition): take the top-R = 4·k
+    * ADC candidates and re-rank them by EXACT cosine against the raw
+    * vectors — ONE keyed join back to the embeddings table, bounded at R
+    * rows — then emit the final top-k with both ranks and the
+    * recall-vs-exact census for BOTH rankings (rerank recall ≥ raw ADC
+    * recall by construction whenever the exact top-k survives the ADC
+    * top-R cut; the spec pins it, the census shows it).
+    *
+    * Scale shape: the scaffold is [[ivfadcCand]]'s (shared with s19g —
+    * fixed-size codebook broadcasts, probe-filtered candidates); the
+    * refine adds a broadcast semi-join of R=32 ids against the vector
+    * table and two windows over the 32-row frame (bounded global windows).
+    * The exact-top-k audit is the same one-shot s19 scan s19g already
+    * pays.
+    */
+  private def s19i_ivfadc_rerank(s: SparkSession, d: String): DataFrame = {
+    val r     = 4 * K
+    val e     = table(s, d, "embeddings")
+    val topR = ivfadcCand(s, d)
+      .orderBy(col("adc_q").asc, col("vec_id").asc)
+      .limit(r)
+      .withColumn("adc_rank", row_number().over(Window.orderBy(col("adc_q").asc, col("vec_id").asc)))
+    val rr = topR
+      .join(e.select(col("vec_id"), col("embedding")), Seq("vec_id"))
+      .crossJoin(broadcast(queryVec(e)))
+      .select(
+        col("vec_id"),
+        col("adc_rank"),
+        VF.cosine(col("embedding"), col("qe")).as("sc")
+      )
+      .withColumn("exact_rank", row_number().over(Window.orderBy(col("sc").desc, col("vec_id").asc)))
+    val exact = s19_knn_cosine(s, d).select(col("vec_id").as("evid"), lit(1L).as("hit"))
+    val flagged = rr.join(broadcast(exact), col("vec_id") === col("evid"), "left")
+      .select(
+        col("vec_id"),
+        col("sc"),
+        col("adc_rank").cast("long").as("adc_rank"),
+        col("exact_rank").cast("long").as("exact_rank"),
+        coalesce(col("hit"), lit(0L)).as("in_exact_topk")
+      )
+    val census = flagged.agg(
+      sum(when(col("exact_rank") <= K, col("in_exact_topk"))).as("hits_rerank"),
+      sum(when(col("adc_rank") <= K, col("in_exact_topk"))).as("hits_adc"),
+      count(lit(1)).as("n_reranked")
+    )
+    flagged
+      .filter(col("exact_rank") <= K)
+      .crossJoin(broadcast(census))
+      .select(
+        col("vec_id"),
+        round(col("sc"), 4).as("score"),
+        col("adc_rank"),
+        col("exact_rank"),
+        col("in_exact_topk"),
+        expr(s"1000 * hits_rerank div $K").as("recall_rerank_pm"),
+        expr(s"1000 * hits_adc div $K").as("recall_adc_pm"),
+        col("n_reranked").cast("long").as("n_reranked")
       )
   }
 
@@ -613,6 +689,7 @@ object Vectors extends QueryModule {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s19h_hybrid_rrf" -> (s19h_hybrid_rrf _),
     "s19g_ivfadc" -> (s19g_ivfadc _),
+    "s19i_ivfadc_rerank" -> (s19i_ivfadc_rerank _),
     "s19e_pq_encode" -> (s19e_pq_encode _),
     "s19f_pq_adc" -> (s19f_pq_adc _),
     "s24_scalar_quantize" -> (s24_scalar_quantize _),
@@ -631,6 +708,54 @@ object Vectors extends QueryModule {
   private val cosSql =
     """list_dot_product(e, qe) /
        (sqrt(list_dot_product(e, e)) * sqrt(list_dot_product(qe, qe)))"""
+
+  /** The IVFADC candidate chain both s19g and s19i oracles share (the SQL
+    * twin of [[ivfadcCandCompute]]): coarse centroids, residual PQ, the
+    * nprobe=2 probe, per-cell LUTs, and every probed-cell member's ADC
+    * score in `cand`.
+    */
+  private val ivfadcPrefixSql =
+    s"""v AS (SELECT vec_id, CAST(label AS BIGINT) AS label,
+                            embedding::DOUBLE[] AS e FROM embeddings),
+          vq AS (SELECT vec_id, label, CAST((i - 1) // ${Dim / 4} AS BIGINT) AS sub,
+                        CAST(i - 1 AS BIGINT) AS pos,
+                        CAST(floor(e[i] * 1024) AS BIGINT) AS q
+                 FROM v, (SELECT unnest(range(1, ${Dim + 1})) AS i)),
+          ccent AS (SELECT label, pos, (sum(q + 4096) // count(*)) - 4096 AS cq
+                    FROM vq GROUP BY 1, 2),
+          res AS (SELECT vec_id, vq.label, sub, vq.pos, q - cq AS r
+                  FROM vq JOIN ccent ON ccent.label = vq.label AND ccent.pos = vq.pos),
+          seeds AS (SELECT vec_id AS seed, sub, pos, r AS cr FROM res WHERE vec_id < 8),
+          d1 AS (SELECT res.vec_id, res.sub, seeds.seed,
+                        sum((r - cr) * (r - cr)) AS d2
+                 FROM res JOIN seeds USING (sub, pos) GROUP BY 1, 2, 3),
+          a1 AS (SELECT vec_id, sub, seed AS cluster,
+                        row_number() OVER (PARTITION BY vec_id, sub ORDER BY d2, seed) AS rn
+                 FROM d1),
+          m1 AS (SELECT vec_id, sub, cluster FROM a1 WHERE rn = 1),
+          cents AS (SELECT res.sub, m1.cluster, res.pos,
+                           (sum(r + 4096) // count(*)) - 4096 AS mean_q
+                    FROM res JOIN m1 USING (vec_id, sub) GROUP BY 1, 2, 3),
+          d2s AS (SELECT res.vec_id, res.label, res.sub, cents.cluster,
+                         sum((r - mean_q) * (r - mean_q)) AS d2
+                  FROM res JOIN cents USING (sub, pos) GROUP BY 1, 2, 3, 4),
+          a2 AS (SELECT vec_id, label, sub, cluster AS code,
+                        row_number() OVER (PARTITION BY vec_id, sub ORDER BY d2, cluster) AS rn
+                 FROM d2s),
+          enc AS (SELECT vec_id, label, sub, code FROM a2 WHERE rn = 1),
+          qd AS (SELECT pos, q AS qv FROM vq WHERE vec_id = 0),
+          cdist AS (SELECT label, sum((cq - qv) * (cq - qv)) AS d2
+                    FROM ccent JOIN qd USING (pos) GROUP BY 1),
+          probe AS (SELECT label FROM cdist ORDER BY d2, label LIMIT 2),
+          qres AS (SELECT ccent.label, CAST(pos // ${Dim / 4} AS BIGINT) AS sub,
+                          pos, qv - cq AS qr
+                   FROM ccent JOIN probe USING (label) JOIN qd USING (pos)),
+          lut AS (SELECT qres.label, qres.sub, cents.cluster AS code,
+                         sum((qr - mean_q) * (qr - mean_q)) AS qd2
+                  FROM qres JOIN cents ON cents.sub = qres.sub AND cents.pos = qres.pos
+                  GROUP BY 1, 2, 3),
+          cand AS (SELECT vec_id, sum(qd2) AS adc_q
+                   FROM enc JOIN lut USING (label, sub, code) GROUP BY 1)"""
 
   private val bucketKeySql: String =
     (0 until NPlanes)
@@ -704,48 +829,37 @@ object Vectors extends QueryModule {
                  CAST(sparse_rank AS BIGINT) AS sparse_rank
           FROM fused
           ORDER BY rrf_q DESC, doc_id LIMIT 10""",
+    "s19i_ivfadc_rerank" ->
+      s"""WITH $ivfadcPrefixSql,
+          topr AS (SELECT vec_id, adc_q,
+                          row_number() OVER (ORDER BY adc_q, vec_id) AS adc_rank
+                   FROM cand ORDER BY adc_q, vec_id LIMIT ${4 * K}),
+          rr AS (SELECT t.vec_id, t.adc_rank, $cosSql AS sc
+                 FROM topr t JOIN v ON v.vec_id = t.vec_id,
+                      (SELECT e AS qe FROM v WHERE vec_id = 0) q),
+          rr2 AS (SELECT vec_id, adc_rank, sc,
+                         row_number() OVER (ORDER BY sc DESC, vec_id) AS exact_rank
+                  FROM rr),
+          exact AS (SELECT vec_id FROM v, (SELECT e AS qe FROM v WHERE vec_id = 0) q
+                    ORDER BY $cosSql DESC, vec_id LIMIT $K),
+          flags AS (SELECT rr2.*,
+                           CAST(CASE WHEN vec_id IN (SELECT vec_id FROM exact)
+                                THEN 1 ELSE 0 END AS BIGINT) AS hit
+                    FROM rr2),
+          cens AS (SELECT sum(CASE WHEN exact_rank <= $K THEN hit END) AS hits_rerank,
+                          sum(CASE WHEN adc_rank <= $K THEN hit END) AS hits_adc,
+                          count(*) AS n_reranked
+                   FROM flags)
+          SELECT vec_id, round(sc, 4) AS score,
+                 CAST(adc_rank AS BIGINT) AS adc_rank,
+                 CAST(exact_rank AS BIGINT) AS exact_rank,
+                 hit AS in_exact_topk,
+                 CAST(1000 * hits_rerank // $K AS BIGINT) AS recall_rerank_pm,
+                 CAST(1000 * hits_adc // $K AS BIGINT) AS recall_adc_pm,
+                 CAST(n_reranked AS BIGINT) AS n_reranked
+          FROM flags, cens WHERE exact_rank <= $K""",
     "s19g_ivfadc" ->
-      s"""WITH v AS (SELECT vec_id, CAST(label AS BIGINT) AS label,
-                            embedding::DOUBLE[] AS e FROM embeddings),
-          vq AS (SELECT vec_id, label, CAST((i - 1) // ${Dim / 4} AS BIGINT) AS sub,
-                        CAST(i - 1 AS BIGINT) AS pos,
-                        CAST(floor(e[i] * 1024) AS BIGINT) AS q
-                 FROM v, (SELECT unnest(range(1, ${Dim + 1})) AS i)),
-          ccent AS (SELECT label, pos, (sum(q + 4096) // count(*)) - 4096 AS cq
-                    FROM vq GROUP BY 1, 2),
-          res AS (SELECT vec_id, vq.label, sub, vq.pos, q - cq AS r
-                  FROM vq JOIN ccent ON ccent.label = vq.label AND ccent.pos = vq.pos),
-          seeds AS (SELECT vec_id AS seed, sub, pos, r AS cr FROM res WHERE vec_id < 8),
-          d1 AS (SELECT res.vec_id, res.sub, seeds.seed,
-                        sum((r - cr) * (r - cr)) AS d2
-                 FROM res JOIN seeds USING (sub, pos) GROUP BY 1, 2, 3),
-          a1 AS (SELECT vec_id, sub, seed AS cluster,
-                        row_number() OVER (PARTITION BY vec_id, sub ORDER BY d2, seed) AS rn
-                 FROM d1),
-          m1 AS (SELECT vec_id, sub, cluster FROM a1 WHERE rn = 1),
-          cents AS (SELECT res.sub, m1.cluster, res.pos,
-                           (sum(r + 4096) // count(*)) - 4096 AS mean_q
-                    FROM res JOIN m1 USING (vec_id, sub) GROUP BY 1, 2, 3),
-          d2s AS (SELECT res.vec_id, res.label, res.sub, cents.cluster,
-                         sum((r - mean_q) * (r - mean_q)) AS d2
-                  FROM res JOIN cents USING (sub, pos) GROUP BY 1, 2, 3, 4),
-          a2 AS (SELECT vec_id, label, sub, cluster AS code,
-                        row_number() OVER (PARTITION BY vec_id, sub ORDER BY d2, cluster) AS rn
-                 FROM d2s),
-          enc AS (SELECT vec_id, label, sub, code FROM a2 WHERE rn = 1),
-          qd AS (SELECT pos, q AS qv FROM vq WHERE vec_id = 0),
-          cdist AS (SELECT label, sum((cq - qv) * (cq - qv)) AS d2
-                    FROM ccent JOIN qd USING (pos) GROUP BY 1),
-          probe AS (SELECT label FROM cdist ORDER BY d2, label LIMIT 2),
-          qres AS (SELECT ccent.label, CAST(pos // ${Dim / 4} AS BIGINT) AS sub,
-                          pos, qv - cq AS qr
-                   FROM ccent JOIN probe USING (label) JOIN qd USING (pos)),
-          lut AS (SELECT qres.label, qres.sub, cents.cluster AS code,
-                         sum((qr - mean_q) * (qr - mean_q)) AS qd2
-                  FROM qres JOIN cents ON cents.sub = qres.sub AND cents.pos = qres.pos
-                  GROUP BY 1, 2, 3),
-          cand AS (SELECT vec_id, sum(qd2) AS adc_q
-                   FROM enc JOIN lut USING (label, sub, code) GROUP BY 1),
+      s"""WITH $ivfadcPrefixSql,
           exact AS (SELECT vec_id FROM v, (SELECT e AS qe FROM v WHERE vec_id = 0) q
                     ORDER BY $cosSql DESC, vec_id LIMIT $K),
           topk AS (SELECT vec_id, adc_q FROM cand ORDER BY adc_q, vec_id LIMIT $K)

@@ -77,7 +77,9 @@ class PlanSweepSpec extends AnyFunSuite with SparkTestBase {
     "x28_bpe_merge_step"     -> 1L, // single-row winning-pair + totals broadcasts onto vocab/top-10
     "c27_temperature_mix"    -> 1L, // single-row isqrt-sum / doc-total broadcast onto the source frame
     "e19_cusum_drift"        -> 1L, // single-row (dmax, planted-type) broadcast onto the daily spine
-    "x30_good_turing"        -> 1L  // single-row (token-total, N1) broadcast onto the <=10-row FoF spine
+    "x30_good_turing"        -> 1L, // single-row (token-total, N1) broadcast onto the <=10-row FoF spine
+    "x31_bpe_apply"          -> 1L, // four single-row winning-pair broadcasts onto the vocab rewrites
+    "s19i_ivfadc_rerank"     -> 1L  // single-row query-vector + census broadcasts onto the ≤32-row refine frame
   )
 
   /** Queries allowed a window with an empty partition spec, with the
@@ -98,7 +100,8 @@ class PlanSweepSpec extends AnyFunSuite with SparkTestBase {
     "x18_zipf_audit"       -> 32L,  // rank + running max over the top-32 rows only
     "x20_gram_novelty_decay" -> 10L, // cumulative windows over the ≤10-row decile spine
     "c25_phase_census"     -> 1024L, // cumulative count over value-domain-bounded length-histogram bins
-    "s19h_hybrid_rrf"      -> 50L // two rank windows, each over its list's top-50 only
+    "s19h_hybrid_rrf"      -> 50L, // two rank windows, each over its list's top-50 only
+    "s19i_ivfadc_rerank"   -> 32L // adc/exact rank windows over the top-R = 32 refine frame only
   )
 
   test("no query plans a CartesianProduct, an unexpected BNLJ, or an unbounded global window") {

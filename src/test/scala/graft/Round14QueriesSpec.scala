@@ -24,4 +24,17 @@ class Round14QueriesSpec extends AnyFunSuite with SparkTestBase {
       assert(r.getAs[Long]("n_words") > 0)
     }
   }
+
+  test("s19i: exact re-ranking never loses recall vs raw ADC; refine stays bounded at R") {
+    val rows = SparkEntry.queries("s19i_ivfadc_rerank")(spark, sf).collect()
+    assert(rows.length == 8)
+    val rr = rows.head.getAs[Long]("recall_rerank_pm")
+    val ra = rows.head.getAs[Long]("recall_adc_pm")
+    assert(rr >= ra, s"re-ranked recall $rr fell below raw ADC recall $ra")
+    // the refine join is bounded at R = 4k candidates
+    assert(rows.head.getAs[Long]("n_reranked") <= 32)
+    // output is the exact-rank top-k, ranks dense from 1
+    assert(rows.map(_.getAs[Long]("exact_rank")).sorted.sameElements(1L to 8L))
+    rows.foreach(r => assert(r.getAs[Long]("adc_rank") >= 1 && r.getAs[Long]("adc_rank") <= 32))
+  }
 }
