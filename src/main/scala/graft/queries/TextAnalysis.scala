@@ -942,6 +942,105 @@ object TextAnalysis extends QueryModule {
         col("n_terms_hit").cast("long").as("n_terms_hit")
       )
 
+  /** X32 — pseudo-relevance feedback (RM3 shape, Lavrenko–Croft 2001 /
+    * Abdul-Jaleel 2004, the classic sparse-retrieval quality lever): take
+    * x26's ranking, treat its top-10 as relevant, mine the top-5 expansion
+    * terms by the relevance-model weight Σ_{d∈F} tf(t,d)·score_q(d)
+    * (integer-exact — each exploded occurrence contributes its document's
+    * BM25 score; original query terms and single chars excluded;
+    * weight-desc/term-asc tiebreak makes the expansion list
+    * deterministic), then re-score ONCE with the 8-term expanded query and
+    * emit the new top-20 with the rank-movement census vs the unexpanded
+    * ranking (rank_old = 0 ⇔ the document ENTERED the list — expansion
+    * recall the base query missed) plus the expansion term list.
+    *
+    * Scale shape: the feedback mine explodes only the TEN feedback
+    * documents (broadcast semi-join on doc_id BEFORE the explode); the
+    * re-probe is x26's posting shape with the 8-row term table as the
+    * broadcast probe filter; df/stats broadcasts and one doc-keyed
+    * aggregate; both rank windows run over their 20-row top lists only.
+    */
+  private def x32_prf_expansion(s: SparkSession, d: String): DataFrame = {
+    val qterms = Seq("spark", "vector", "hash")
+    val docs   = table(s, d, "documents")
+    val base   = bm25Scored(s, d)
+    val fb = base
+      .orderBy(col("score_q").desc, col("doc_id").asc)
+      .limit(10)
+      .select(col("doc_id"), col("score_q"))
+    val exp = docs
+      .select(col("doc_id"), col("text"))
+      .join(broadcast(fb), Seq("doc_id"))
+      .select(col("score_q"), explode(words(col("text"))).as("w"))
+      .filter(!col("w").isin(qterms: _*) && length(col("w")) >= 2)
+      .groupBy(col("w"))
+      .agg(sum(col("score_q")).as("wgt"))
+      .orderBy(col("wgt").desc, col("w").asc)
+      .limit(5)
+    val terms = exp
+      .select(col("w"))
+      .unionByName(s.range(1).select(explode(array(qterms.map(lit): _*)).as("w")))
+    val stats = docs.agg(
+      count(lit(1)).as("nn"),
+      sum(size(words(col("text")))).cast("long").as("ll")
+    )
+    val tf2 = docs
+      .select(
+        col("doc_id"),
+        size(words(col("text"))).cast("long").as("len"),
+        explode(words(col("text"))).as("w")
+      )
+      .join(broadcast(terms), Seq("w"))
+      .groupBy(col("doc_id"), col("len"), col("w"))
+      .agg(count(lit(1)).as("tf"))
+    val dfr2 = tf2.groupBy(col("w")).agg(count(lit(1)).as("df"))
+    val sc2 = tf2
+      .join(broadcast(dfr2), Seq("w"))
+      .crossJoin(broadcast(stats))
+      .select(
+        col("doc_id"),
+        expr("10000 * (nn - df + 1) div (df + 1)").as("idf_q"),
+        expr("2200000 * tf div (1000 * tf + 12 * (25 + 75 * len * nn div ll))").as("tfn_q")
+      )
+      .groupBy(col("doc_id"))
+      .agg(sum(expr("idf_q * tfn_q div 1000")).as("score2_q"))
+    val new20 = sc2
+      .orderBy(col("score2_q").desc, col("doc_id").asc)
+      .limit(20)
+      .withColumn(
+        "rank_new",
+        row_number().over(Window.orderBy(col("score2_q").desc, col("doc_id").asc))
+      )
+    val old20 = base
+      .orderBy(col("score_q").desc, col("doc_id").asc)
+      .limit(20)
+      .withColumn(
+        "rank_old",
+        row_number().over(Window.orderBy(col("score_q").desc, col("doc_id").asc))
+      )
+      .select(col("doc_id"), col("rank_old"))
+    val el = exp.agg(
+      array_join(
+        transform(
+          array_sort(collect_list(struct((-col("wgt")).as("nw"), col("w")))),
+          x => x.getField("w")
+        ),
+        ","
+      ).as("expansion_terms")
+    )
+    new20
+      .join(old20, Seq("doc_id"), "left")
+      .crossJoin(broadcast(el))
+      .select(
+        col("doc_id"),
+        col("score2_q").cast("long").as("score2_q"),
+        col("rank_new").cast("long").as("rank_new"),
+        coalesce(col("rank_old"), lit(0)).cast("long").as("rank_old"),
+        when(col("rank_old").isNull, 1L).otherwise(0L).as("entered"),
+        col("expansion_terms")
+      )
+  }
+
   /** X27 — PMI collocation mining (Church–Hanks 1990, the association
     * measure behind collocation/phrase extraction — the entity-mention
     * bigrams a GraphRAG entity-extraction pass promotes to vocabulary):
@@ -1277,6 +1376,7 @@ object TextAnalysis extends QueryModule {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x31_bpe_apply" -> (x31_bpe_apply _),
+    "x32_prf_expansion" -> (x32_prf_expansion _),
     "x25_winnowing_matches" -> (x25_winnowing_matches _),
     "x24_winnowing" -> (x24_winnowing _),
     "x30_good_turing" -> (x30_good_turing _),
@@ -1455,6 +1555,66 @@ object TextAnalysis extends QueryModule {
          CROSS JOIN wt CROSS JOIN bt
          ORDER BY pmi_q DESC, wa ASC, wb ASC
          LIMIT 20""",
+    "x32_prf_expansion" ->
+      """WITH st AS (
+           SELECT count(*) AS nn,
+                  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS ll
+           FROM documents),
+         tf0 AS (
+           SELECT doc_id, len, w, count(*) AS tf FROM (
+             SELECT doc_id,
+                    CAST(len(string_split(text, ' ')) AS BIGINT) AS len,
+                    unnest(string_split(text, ' ')) AS w
+             FROM documents)
+           WHERE w IN ('spark', 'vector', 'hash')
+           GROUP BY 1, 2, 3),
+         df0 AS (SELECT w, count(*) AS df FROM tf0 GROUP BY 1),
+         sc0 AS (
+           SELECT doc_id,
+                  sum((10000 * (nn - df + 1) // (df + 1)) *
+                      (2200000 * tf // (1000 * tf + 12 * (25 + 75 * len * nn // ll)))
+                      // 1000) AS score_q
+           FROM tf0 JOIN df0 USING (w) CROSS JOIN st GROUP BY 1),
+         fb AS (SELECT doc_id, score_q FROM sc0
+                ORDER BY score_q DESC, doc_id LIMIT 10),
+         expn AS (SELECT w, sum(score_q) AS wgt FROM (
+                    SELECT d.doc_id, unnest(string_split(d.text, ' ')) AS w
+                    FROM documents d JOIN fb USING (doc_id)) t
+                  JOIN fb USING (doc_id)
+                  WHERE w NOT IN ('spark', 'vector', 'hash') AND length(w) >= 2
+                  GROUP BY 1 ORDER BY wgt DESC, w LIMIT 5),
+         terms AS (SELECT w FROM expn
+                   UNION ALL SELECT unnest(['spark', 'vector', 'hash']) AS w),
+         tf2 AS (
+           SELECT doc_id, len, t.w, count(*) AS tf FROM (
+             SELECT doc_id,
+                    CAST(len(string_split(text, ' ')) AS BIGINT) AS len,
+                    unnest(string_split(text, ' ')) AS w
+             FROM documents) t
+           JOIN terms ON terms.w = t.w
+           GROUP BY 1, 2, 3),
+         df2 AS (SELECT w, count(*) AS df FROM tf2 GROUP BY 1),
+         sc2 AS (
+           SELECT doc_id,
+                  sum((10000 * (nn - df + 1) // (df + 1)) *
+                      (2200000 * tf // (1000 * tf + 12 * (25 + 75 * len * nn // ll)))
+                      // 1000) AS score2_q
+           FROM tf2 JOIN df2 USING (w) CROSS JOIN st GROUP BY 1),
+         new20 AS (SELECT doc_id, score2_q,
+                          row_number() OVER (ORDER BY score2_q DESC, doc_id) AS rank_new
+                   FROM sc2 ORDER BY score2_q DESC, doc_id LIMIT 20),
+         old20 AS (SELECT doc_id,
+                          row_number() OVER (ORDER BY score_q DESC, doc_id) AS rank_old
+                   FROM sc0 ORDER BY score_q DESC, doc_id LIMIT 20),
+         el AS (SELECT string_agg(w, ',' ORDER BY wgt DESC, w) AS expansion_terms
+                FROM expn)
+         SELECT n.doc_id,
+                CAST(score2_q AS BIGINT) AS score2_q,
+                CAST(rank_new AS BIGINT) AS rank_new,
+                CAST(coalesce(rank_old, 0) AS BIGINT) AS rank_old,
+                CAST(CASE WHEN rank_old IS NULL THEN 1 ELSE 0 END AS BIGINT) AS entered,
+                expansion_terms
+         FROM new20 n LEFT JOIN old20 o USING (doc_id) CROSS JOIN el""",
     "x26_bm25_topk" ->
       """WITH st AS (
            SELECT count(*) AS nn,

@@ -79,7 +79,8 @@ class PlanSweepSpec extends AnyFunSuite with SparkTestBase {
     "e19_cusum_drift"        -> 1L, // single-row (dmax, planted-type) broadcast onto the daily spine
     "x30_good_turing"        -> 1L, // single-row (token-total, N1) broadcast onto the <=10-row FoF spine
     "x31_bpe_apply"          -> 1L, // four single-row winning-pair broadcasts onto the vocab rewrites
-    "s19i_ivfadc_rerank"     -> 1L  // single-row query-vector + census broadcasts onto the ≤32-row refine frame
+    "s19i_ivfadc_rerank"     -> 1L, // single-row query-vector + census broadcasts onto the ≤32-row refine frame
+    "x32_prf_expansion"      -> 1L  // single-row corpus-stats + expansion-list broadcasts onto posting/top-20 frames
   )
 
   /** Queries allowed a window with an empty partition spec, with the
@@ -101,7 +102,8 @@ class PlanSweepSpec extends AnyFunSuite with SparkTestBase {
     "x20_gram_novelty_decay" -> 10L, // cumulative windows over the ≤10-row decile spine
     "c25_phase_census"     -> 1024L, // cumulative count over value-domain-bounded length-histogram bins
     "s19h_hybrid_rrf"      -> 50L, // two rank windows, each over its list's top-50 only
-    "s19i_ivfadc_rerank"   -> 32L // adc/exact rank windows over the top-R = 32 refine frame only
+    "s19i_ivfadc_rerank"   -> 32L, // adc/exact rank windows over the top-R = 32 refine frame only
+    "x32_prf_expansion"    -> 20L // old/new rank windows over their 20-row top lists only
   )
 
   test("no query plans a CartesianProduct, an unexpected BNLJ, or an unbounded global window") {

@@ -37,4 +37,22 @@ class Round14QueriesSpec extends AnyFunSuite with SparkTestBase {
     assert(rows.map(_.getAs[Long]("exact_rank")).sorted.sameElements(1L to 8L))
     rows.foreach(r => assert(r.getAs[Long]("adc_rank") >= 1 && r.getAs[Long]("adc_rank") <= 32))
   }
+
+  test("x32: expansion list is 5 deterministic non-query terms and movement flags are consistent") {
+    val rows = SparkEntry.queries("x32_prf_expansion")(spark, sf).collect()
+    assert(rows.length == 20)
+    val terms = rows.head.getAs[String]("expansion_terms").split(",")
+    assert(terms.length == 5)
+    assert(terms.toSet.intersect(Set("spark", "vector", "hash")).isEmpty)
+    // all rows carry the same expansion list (a query-level constant)
+    assert(rows.map(_.getAs[String]("expansion_terms")).distinct.length == 1)
+    rows.foreach { r =>
+      val old     = r.getAs[Long]("rank_old")
+      val entered = r.getAs[Long]("entered")
+      assert((old == 0L) == (entered == 1L), "entered flag disagrees with rank_old")
+      assert(old >= 0L && old <= 20L)
+    }
+    val ranks = rows.map(_.getAs[Long]("rank_new")).sorted
+    assert(ranks.sameElements(1L to 20L))
+  }
 }
