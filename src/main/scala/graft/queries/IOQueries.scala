@@ -537,7 +537,124 @@ object IOQueries extends QueryModule {
       )
   }
 
+  /** S32 — batch MERGE INTO census: the three-way lakehouse merge h2
+    * (CDC compaction) and s31 (partition overwrite) don't cover — a keyed
+    * source batch lands on a keyed snapshot and each batch row classifies
+    * as INSERT (key absent), UPDATE (key present, values CHANGED — value
+    * comparison is real, not assumed from the batch's intent), DELETE
+    * (tombstone for a present key), or NOOP (values identical, or a
+    * tombstone for an absent key). Survivors are exactly the rows with
+    * `NOT coalesce(is_delete, FALSE)` after the full-outer join — batch
+    * values win where the batch has the key — and the merged table lands
+    * through [[graft.io.TableIO.writeParquet]]'s staged atomic swap OVER
+    * the snapshot path, then is READ BACK for the post_table digest
+    * (count + length sum + key checksum), so the output proves the swap
+    * committed, not just that the plan was right. The batch is derived
+    * deterministically from `documents` by doc_id mod 10 (0 → changed
+    * text, 1 → tombstone, 2 → identical resend, 3 → insert at the
+    * collision-proof −doc_id−1 key).
+    *
+    * Scale shape: ONE keyed full-outer join (both sides shuffle on the
+    * key — the minimum a merge can do), per-action census as one hash
+    * aggregate over the classification frame; no window, no driver loop.
+    * At 100 TB the snapshot side would be bucketed on the key so the
+    * merge co-locates; the census and digest are aggregate-only.
+    */
+  private def s32_merge_into(s: SparkSession, d: String): DataFrame = {
+    val base = ioDir("s32_merge")
+    val docs = table(s, d, "documents").select(col("doc_id"), col("lang"), col("text"))
+    graft.io.TableIO.writeParquet(docs, s"$base/t")
+    val batch = docs
+      .filter(col("doc_id") % 10 === 0)
+      .select(
+        col("doc_id"),
+        col("lang").as("b_lang"),
+        concat(col("text"), lit(" v2")).as("b_text"),
+        lit(false).as("is_delete")
+      )
+      .unionByName(
+        docs
+          .filter(col("doc_id") % 10 === 1)
+          .select(
+            col("doc_id"),
+            col("lang").as("b_lang"),
+            lit(null).cast("string").as("b_text"),
+            lit(true).as("is_delete")
+          )
+      )
+      .unionByName(
+        docs
+          .filter(col("doc_id") % 10 === 2)
+          .select(
+            col("doc_id"),
+            col("lang").as("b_lang"),
+            col("text").as("b_text"),
+            lit(false).as("is_delete")
+          )
+      )
+      .unionByName(
+        docs
+          .filter(col("doc_id") % 10 === 3)
+          .select(
+            (-col("doc_id") - 1).as("doc_id"),
+            col("lang").as("b_lang"),
+            concat(lit("new "), col("text")).as("b_text"),
+            lit(false).as("is_delete")
+          )
+      )
+    val snap = s.read
+      .parquet(s"$base/t")
+      .select(
+        col("doc_id"),
+        col("lang").as("s_lang"),
+        col("text").as("s_text"),
+        lit(1).as("in_s")
+      )
+    // Materialized BEFORE the merge lands: the census below must read the
+    // classification against the PRE-merge snapshot, and cls's lazy plan
+    // reads the snapshot path the staged swap is about to replace.
+    val cls = graft.Lineage.truncate(
+      snap
+        .join(batch.withColumn("in_b", lit(1)), Seq("doc_id"), "full_outer")
+        .withColumn(
+          "facet",
+          when(col("in_b").isNull, "keep")
+            .when(col("in_s").isNull && !col("is_delete"), "insert")
+            .when(col("in_s").isNull, "noop")
+            .when(col("is_delete"), "delete")
+            .when(col("b_text") === col("s_text") && col("b_lang") === col("s_lang"), "noop")
+            .otherwise("update")
+        )
+    )
+    val merged = cls
+      .filter(!coalesce(col("is_delete"), lit(false)))
+      .select(
+        col("doc_id"),
+        when(col("in_b").isNotNull, col("b_lang")).otherwise(col("s_lang")).as("lang"),
+        when(col("in_b").isNotNull, col("b_text")).otherwise(col("s_text")).as("text")
+      )
+    graft.io.TableIO.writeParquet(merged, s"$base/t")
+    val census = cls
+      .filter(col("in_b").isNotNull)
+      .groupBy(col("facet"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        coalesce(sum(length(col("b_text"))), lit(0L)).cast("long").as("len_sum"),
+        sum(col("doc_id")).cast("long").as("key_sum")
+      )
+    val post = s.read
+      .parquet(s"$base/t")
+      .agg(
+        count(lit(1)).as("n_rows"),
+        sum(length(col("text"))).cast("long").as("len_sum"),
+        sum(col("doc_id")).cast("long").as("key_sum")
+      )
+      .select(lit("post_table").as("facet"), col("n_rows"), col("len_sum"), col("key_sum"))
+    census.unionByName(post)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s32_merge_into" -> (s32_merge_into _),
     "s31_dynamic_partition_overwrite" -> (s31_dynamic_partition_overwrite _),
     "s28_manifest_pruned_scan" -> (s28_manifest_pruned_scan _),
     "b2_bucket_pruned_lookup" -> (b2_bucket_pruned_lookup _),
@@ -557,6 +674,47 @@ object IOQueries extends QueryModule {
   )
 
   val oracles: Map[String, String] = Map(
+    // the full-outer reconstruction of the merge: batch from documents by
+    // doc_id mod 10, classification and survivors exactly as the engine
+    "s32_merge_into" ->
+      """WITH docs AS (SELECT doc_id, lang, text FROM documents),
+         batch AS (
+           SELECT doc_id, lang AS b_lang, text || ' v2' AS b_text,
+                  FALSE AS is_delete FROM docs WHERE doc_id % 10 = 0
+           UNION ALL
+           SELECT doc_id, lang, NULL, TRUE FROM docs WHERE doc_id % 10 = 1
+           UNION ALL
+           SELECT doc_id, lang, text, FALSE FROM docs WHERE doc_id % 10 = 2
+           UNION ALL
+           SELECT -doc_id - 1, lang, 'new ' || text, FALSE
+           FROM docs WHERE doc_id % 10 = 3),
+         j AS (
+           SELECT coalesce(s.doc_id, b.doc_id) AS doc_id,
+                  s.lang AS s_lang, s.text AS s_text,
+                  b.b_lang, b.b_text, b.is_delete,
+                  s.doc_id IS NOT NULL AS in_s,
+                  b.doc_id IS NOT NULL AS in_b
+           FROM docs s FULL OUTER JOIN batch b ON s.doc_id = b.doc_id),
+         cls AS (
+           SELECT *, CASE WHEN NOT in_b THEN 'keep'
+                          WHEN NOT in_s AND NOT is_delete THEN 'insert'
+                          WHEN NOT in_s THEN 'noop'
+                          WHEN is_delete THEN 'delete'
+                          WHEN b_text = s_text AND b_lang = s_lang THEN 'noop'
+                          ELSE 'update' END AS facet
+           FROM j),
+         census AS (
+           SELECT facet, CAST(count(*) AS BIGINT) AS n_rows,
+                  CAST(coalesce(sum(length(b_text)), 0) AS BIGINT) AS len_sum,
+                  CAST(sum(doc_id) AS BIGINT) AS key_sum
+           FROM cls WHERE in_b GROUP BY 1),
+         post AS (
+           SELECT 'post_table' AS facet, CAST(count(*) AS BIGINT) AS n_rows,
+                  CAST(sum(length(CASE WHEN in_b THEN b_text ELSE s_text END))
+                       AS BIGINT) AS len_sum,
+                  CAST(sum(doc_id) AS BIGINT) AS key_sum
+           FROM cls WHERE NOT coalesce(is_delete, FALSE))
+         SELECT * FROM census UNION ALL SELECT * FROM post""",
     // final state = non-en originals + en with the 3-char " v2" suffix
     "s31_dynamic_partition_overwrite" ->
       """SELECT lang,

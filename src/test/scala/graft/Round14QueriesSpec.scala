@@ -55,4 +55,28 @@ class Round14QueriesSpec extends AnyFunSuite with SparkTestBase {
     val ranks = rows.map(_.getAs[Long]("rank_new")).sorted
     assert(ranks.sameElements(1L to 20L))
   }
+
+  test("s32: per-action census equals the planted strata; post-merge count balances") {
+    val byFacet = SparkEntry
+      .queries("s32_merge_into")(spark, sf)
+      .collect()
+      .map(r => r.getAs[String]("facet") -> r)
+      .toMap
+    assert(byFacet.keySet == Set("insert", "update", "delete", "noop", "post_table"))
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    def stratum(m: Int): Long = docs.filter(s"doc_id % 10 = $m").count()
+    assert(byFacet("update").getAs[Long]("n_rows") == stratum(0))
+    assert(byFacet("delete").getAs[Long]("n_rows") == stratum(1))
+    assert(byFacet("noop").getAs[Long]("n_rows") == stratum(2))
+    assert(byFacet("insert").getAs[Long]("n_rows") == stratum(3))
+    // read-back row count balances: snapshot + inserts - deletes
+    assert(
+      byFacet("post_table").getAs[Long]("n_rows") ==
+        docs.count() + stratum(3) - stratum(1)
+    )
+    // inserted keys are the collision-proof negated ids: key checksum < 0
+    assert(byFacet("insert").getAs[Long]("key_sum") < 0L)
+    // tombstones carry no payload
+    assert(byFacet("delete").getAs[Long]("len_sum") == 0L)
+  }
 }
