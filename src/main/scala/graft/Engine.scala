@@ -17,7 +17,17 @@ object Engine {
     SparkSession
       .builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      // Shuffle partitions default to the core count (right for the sf0.1
+      // harness; AQE coalesces below it), but MUST scale with data volume:
+      // at a 256x soak replica, 28 partitions put ~130M rows in one
+      // hash-aggregate task and OOM it (measured: g6's wedge aggregate,
+      // AGGREGATE_OUT_OF_MEMORY at 48g). SPARK_GRAFT_SHUFFLE_PARTITIONS is
+      // the deep-soak override — the same sizing a cluster job does by
+      // data, with AQE coalescing the cheap stages back down.
+      .config(
+        "spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS", cpus)
+      )
       .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")

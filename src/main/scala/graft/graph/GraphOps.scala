@@ -913,6 +913,53 @@ object GraphOps {
     r
   }
 
+  /** Fixed-iteration HITS (Kleinberg 1999) with INTEGER-QUANTIZED
+    * arithmetic and per-pass L∞ normalization, so hub/authority scores are
+    * bit-identical across engines (the [[pageRankQuantized]] playbook):
+    *
+    *   a_t(v) = (scale · Σ_{u→v} h_{t−1}(u)) div max_v(Σ h)
+    *   h_t(u) = (scale · Σ_{u→v} a_t(v))     div max_u(Σ a)
+    *
+    * Every step is an integer sum (order-independent) and one global max —
+    * a single-row broadcast per half-step, the standard power-iteration
+    * rescale that keeps the lattice in [0, scale] at any depth. The raw
+    * sum frames are truncated per half-step because each is consumed twice
+    * (the max aggregate and the normalize projection).
+    *
+    * Per half-step: one equi-join onto the edge list + one keyed hash
+    * aggregate — the same iterative-analytics shape as PageRank; the max
+    * is the only global, and it reduces to one row before broadcasting.
+    * Returns (hubs, authorities) as (id, score) frames.
+    */
+  def hitsQuantized(
+      edges: DataFrame,
+      iterations: Int,
+      scale: Long = 1000000L
+  ): (DataFrame, DataFrame) = {
+    val e = Lineage.truncate(edges.select(col("src"), col("dst")))
+    var h = e.select(col("src").as("id")).distinct().select(col("id"), lit(scale).as("s"))
+    var a: DataFrame = null
+    (1 to iterations).foreach { _ =>
+      val araw = Lineage.truncate(
+        e.join(h, e("src") === h("id"))
+          .groupBy(e("dst").as("id"))
+          .agg(sum(col("s")).as("s"))
+      )
+      a = araw
+        .crossJoin(broadcast(araw.agg(max(col("s")).as("mx"))))
+        .select(col("id"), expr(s"($scale * s) div mx").as("s"))
+      val hraw = Lineage.truncate(
+        e.join(a, e("dst") === a("id"))
+          .groupBy(e("src").as("id"))
+          .agg(sum(col("s")).as("s"))
+      )
+      h = hraw
+        .crossJoin(broadcast(hraw.agg(max(col("s")).as("mx"))))
+        .select(col("id"), expr(s"($scale * s) div mx").as("s"))
+    }
+    (h, a)
+  }
+
   /** WEIGHTED PageRank, integer-quantized: [[pageRankQuantized]] with edge
     * weights (`src`, `dst`, `w`) — each vertex splits its rank
     * proportionally to w instead of uniformly, contribution = (r·w) div

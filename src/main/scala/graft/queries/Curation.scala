@@ -1500,7 +1500,139 @@ object Curation extends QueryModule {
       )
   }
 
+  /** C29 — DSIR importance weighting (Xie et al. 2023, "Data Selection
+    * for Language Models via Importance Resampling" — the principled
+    * successor to c26's binary quality gate that production corpus
+    * curation uses to select RAW data that LOOKS LIKE a target domain):
+    * hashed word-BIGRAM features (B = 8192 md5 buckets, the paper's hashed
+    * n-gram reduction), a bag-of-ngrams model for the TARGET (a PLANTED
+    * domain: the doc_id % 7 == 0 slice through a deterministic word→hex
+    * domain transform — planted because the synthetic corpus shares one
+    * 31-word vocabulary across every lang/source, so no organic domain
+    * signal exists; c26/d19's planting discipline) and for the RAW
+    * scoring population, and a per-document importance score
+    * log ŵ(x) = Σ_features
+    * [log p_target(b) − log p_raw(b)] in c26's integer-log₂ discipline:
+    * per-bucket weight w_q(b) = bitlen(cnt_t+1) − bitlen(cnt_r+1) +
+    * (bitlen(R+B) − bitlen(T+B)) (add-one smoothing; the global
+    * normalizer rides the weight table so the per-feature constant is
+    * exact, not dropped). Selection = importance score > 0 (the
+    * deterministic lane of the paper's Gumbel resampling); the per-mille
+    * score is length-normalized with c26's positive-div trick
+    * (|w_q| ≤ 126 after the normalizer, so wsum + 2B·n > 0).
+    *
+    * Scoring population: every natural doc plus 20 planted in-domain docs
+    * at −id−1 (raw data that LOOKS LIKE the target — what DSIR exists to
+    * find). Output: per-stratum census — docs, selected, sel ‰, score
+    * range. The planted stratum selects at 1000‰ with its score range
+    * strictly above the natural stratum's (spec-pinned): the importance
+    * weights recover the planted domain exactly.
+    *
+    * Scale shape: two explode + keyed aggregates build the 128-row bucket
+    * tables (map-side combinable), the weight table broadcasts at any
+    * corpus size, scoring is one explode + broadcast join + doc-keyed
+    * aggregate, census by language. Nothing all-pairs, no window.
+    */
+  private def c29_dsir_importance(s: SparkSession, d: String): DataFrame = {
+    // 8192 buckets: the corpus has ~2x961 bigram types (31-word shared
+    // vocabulary, natural + domain), so 128 buckets would mix natural and
+    // domain mass in EVERY bucket and erase the per-bucket ratio the
+    // importance weight reads (measured: selection collapsed to 0). At
+    // 8192 most buckets are pure; the weight table is still a trivial
+    // broadcast (the paper runs 10^4 hash buckets at web scale).
+    val b = 8192
+    def bk(w: Column): Column =
+      (conv(substring(md5(w), 1, 6), 16, 10).cast("long") % b).as("bk")
+    // The deterministic DOMAIN TRANSFORM: every word maps to an 8-hex
+    // domain word. The synthetic corpus shares ONE 31-word vocabulary
+    // across all langs/sources (measured — no organic domain signal
+    // exists to select on), so the target domain is PLANTED, the
+    // c26/d19 discipline: distinctive vocabulary, engine-exact.
+    def domainText(c: Column): Column =
+      array_join(
+        transform(words(c), w => substring(md5(concat(w, lit("|dsir"))), 1, 8)),
+        " "
+      )
+    val docs = table(s, d, "documents")
+    // Target sample: the doc_id % 7 == 0 slice THROUGH the transform —
+    // a held-out in-domain corpus, never scored itself.
+    val targetDocs = docs
+      .filter(col("doc_id") % 7 === 0)
+      .select(domainText(col("text")).as("text"))
+    // Scoring population: every natural doc, plus 20 planted in-domain
+    // docs at the collision-proof −id−1 keys (raw data that LOOKS LIKE
+    // the target — what DSIR exists to find).
+    val scored0 = docs
+      .select(col("doc_id"), lit("natural").as("stratum"), col("text"))
+      .unionAll(
+        docs
+          .filter(col("doc_id") <= 19)
+          .select(
+            (-col("doc_id") - 1).as("doc_id"),
+            lit("planted_domain").as("stratum"),
+            domainText(col("text")).as("text")
+          )
+      )
+    def grams(df: DataFrame, cols: Seq[Column]): DataFrame =
+      df.select(
+        cols :+ explode(call_function("graft_word_ngrams", col("text"), lit(2))).as("g"): _*
+      )
+    val target = graft.Lineage.truncate(
+      grams(targetDocs, Nil)
+        .select(bk(col("g")))
+        .groupBy(col("bk"))
+        .agg(count(lit(1)).as("cnt_t"))
+    )
+    val scoredGrams = graft.Lineage.truncate(
+      grams(scored0, Seq(col("doc_id"), col("stratum")))
+        .select(col("doc_id"), col("stratum"), bk(col("g")))
+    )
+    // The RAW model is fit on the scoring population (the paper's raw
+    // distribution: the crawl you're selecting from).
+    val raw = graft.Lineage.truncate(
+      scoredGrams.groupBy(col("bk")).agg(count(lit(1)).as("cnt_r"))
+    )
+    val totals = target
+      .agg(sum(col("cnt_t")).as("t"))
+      .crossJoin(broadcast(raw.agg(sum(col("cnt_r")).as("r"))))
+    val weights = raw
+      .join(target, Seq("bk"), "left")
+      .crossJoin(broadcast(totals))
+      .select(
+        col("bk"),
+        (length(bin(coalesce(col("cnt_t"), lit(0L)) + 1)).cast("long")
+          - length(bin(col("cnt_r") + 1)).cast("long")
+          + length(bin(col("r") + b)).cast("long")
+          - length(bin(col("t") + b)).cast("long")).as("w_q")
+      )
+    scoredGrams
+      .join(broadcast(weights), Seq("bk"))
+      .groupBy(col("doc_id"), col("stratum"))
+      .agg(count(lit(1)).as("n_grams"), sum(col("w_q")).as("wsum"))
+      .select(
+        col("stratum"),
+        expr(s"(1000 * (wsum + ${2 * b} * n_grams)) div n_grams - ${2000 * b}").as("score_q"),
+        (col("wsum") > 0).as("sel")
+      )
+      .groupBy(col("stratum"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("sel"), 1L).otherwise(0L)).as("n_sel"),
+        min(col("score_q")).as("min_score_q"),
+        max(col("score_q")).as("max_score_q")
+      )
+      .select(
+        col("stratum"),
+        col("n_docs").cast("long").as("n_docs"),
+        col("n_sel").cast("long").as("n_sel"),
+        expr("1000 * n_sel div n_docs").cast("long").as("sel_pm"),
+        col("min_score_q").cast("long").as("min_score_q"),
+        col("max_score_q").cast("long").as("max_score_q")
+      )
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "c29_dsir_importance" -> (c29_dsir_importance _),
     "c28_repeated_spans" -> (c28_repeated_spans _),
     "c27_temperature_mix" -> (c27_temperature_mix _),
     "c26_quality_classifier" -> (c26_quality_classifier _),
@@ -1558,6 +1690,55 @@ object Curation extends QueryModule {
                 FROM q)"""
 
   val oracles: Map[String, String] = Map(
+    "c29_dsir_importance" ->
+      """WITH tdoc AS (
+           SELECT list_transform(string_split(text, ' '),
+                    w -> substr(md5(w || '|dsir'), 1, 8)) AS a
+           FROM documents WHERE doc_id % 7 = 0),
+         sdoc AS (
+           SELECT doc_id, 'natural' AS stratum,
+                  string_split(text, ' ') AS a
+           FROM documents
+           UNION ALL
+           SELECT -doc_id - 1, 'planted_domain',
+                  list_transform(string_split(text, ' '),
+                    w -> substr(md5(w || '|dsir'), 1, 8))
+           FROM documents WHERE doc_id <= 19),
+         tg AS (SELECT ('0x' || substr(md5(gr), 1, 6))::BIGINT % 8192 AS bk
+                FROM (SELECT unnest(list_transform(range(1, len(a)),
+                               i -> a[i] || ' ' || a[i + 1])) AS gr
+                      FROM tdoc)),
+         sg AS (SELECT doc_id, stratum,
+                       ('0x' || substr(md5(gr), 1, 6))::BIGINT % 8192 AS bk
+                FROM (SELECT doc_id, stratum,
+                             unnest(list_transform(range(1, len(a)),
+                               i -> a[i] || ' ' || a[i + 1])) AS gr
+                      FROM sdoc)),
+         tgt AS (SELECT bk, count(*) AS cnt_t FROM tg GROUP BY 1),
+         rawc AS (SELECT bk, count(*) AS cnt_r FROM sg GROUP BY 1),
+         tot AS (SELECT (SELECT sum(cnt_t) FROM tgt) AS t,
+                        (SELECT sum(cnt_r) FROM rawc) AS r),
+         wt AS (SELECT rawc.bk,
+                       CAST(length(bin(coalesce(cnt_t, 0) + 1))
+                            - length(bin(cnt_r + 1))
+                            + length(bin(r + 8192)) - length(bin(t + 8192))
+                            AS BIGINT) AS w_q
+                FROM rawc LEFT JOIN tgt USING (bk) CROSS JOIN tot),
+         sc AS (SELECT doc_id, stratum, count(*) AS n_grams, sum(w_q) AS wsum
+                FROM sg JOIN wt USING (bk) GROUP BY 1, 2),
+         scored AS (SELECT stratum,
+                           (1000 * (wsum + 16384 * n_grams)) // n_grams - 16384000
+                             AS score_q,
+                           wsum > 0 AS sel
+                    FROM sc)
+         SELECT stratum,
+                CAST(count(*) AS BIGINT) AS n_docs,
+                CAST(sum(CASE WHEN sel THEN 1 ELSE 0 END) AS BIGINT) AS n_sel,
+                CAST(1000 * sum(CASE WHEN sel THEN 1 ELSE 0 END) // count(*)
+                     AS BIGINT) AS sel_pm,
+                CAST(min(score_q) AS BIGINT) AS min_score_q,
+                CAST(max(score_q) AS BIGINT) AS max_score_q
+         FROM scored GROUP BY 1""",
     "c28_repeated_spans" ->
       """WITH b AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
          pl AS (SELECT -doc_id - 1 AS doc_id,

@@ -1539,7 +1539,34 @@ object GraphQueries extends QueryModule {
       )
   }
 
+  /** G21 — HITS hubs & authorities (Kleinberg 1999) on the supplier→part
+    * bipartite graph (g9's substrate, where the split is semantically
+    * real: suppliers can only be hubs, parts only authorities): 3
+    * power-iteration passes on [[GraphOps.hitsQuantized]]'s integer
+    * lattice with per-pass L∞ normalization, so every score is engine-
+    * exact. Output: top-10 hubs and top-10 authorities, faceted.
+    *
+    * Scale shape: per half-step one keyed equi-join + hash aggregate
+    * (PageRank's shape) plus a single-row max broadcast; the top-10s are
+    * TakeOrderedAndProject. The oracle unrolls all six half-steps.
+    */
+  private def g21_hits(s: SparkSession, d: String): DataFrame = {
+    val edges = table(s, d, "lineitem")
+      .select(
+        concat(lit("s:"), col("l_suppkey")).as("src"),
+        concat(lit("p:"), col("l_partkey")).as("dst")
+      )
+      .distinct()
+    val (h, a) = GraphOps.hitsQuantized(edges, 3)
+    def top(df: DataFrame, facet: String): DataFrame =
+      df.orderBy(col("s").desc, col("id").asc)
+        .limit(10)
+        .select(lit(facet).as("facet"), col("id").as("node_id"), col("s").cast("long").as("score_q"))
+    top(h, "hub").unionByName(top(a, "auth"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "g21_hits" -> (g21_hits _),
     "g8e_leiden_sweep" -> (g8e_leiden_sweep _),
     "g8d_leiden_refinement" -> (g8d_leiden_refinement _),
     "g18_clustering_coeff" -> (g18_clustering_coeff _),
@@ -2058,6 +2085,26 @@ object GraphQueries extends QueryModule {
          JOIN reps r ON s.community_id = r.community_id)"""
 
   val oracles: Map[String, String] = Map(
+    "g21_hits" -> {
+      def hitsStep(t: Int): String =
+        s"""ar$t AS (SELECT e.dst AS id, sum(h.s) AS s
+                   FROM hedges e JOIN h${t - 1} h ON h.id = e.src GROUP BY 1),
+          a$t AS (SELECT id, (1000000 * s) // (SELECT max(s) FROM ar$t) AS s FROM ar$t),
+          hr$t AS (SELECT e.src AS id, sum(a.s) AS s
+                   FROM hedges e JOIN a$t a ON a.id = e.dst GROUP BY 1),
+          h$t AS (SELECT id, (1000000 * s) // (SELECT max(s) FROM hr$t) AS s FROM hr$t)"""
+      s"""WITH hedges AS MATERIALIZED (
+            SELECT DISTINCT 's:' || CAST(l_suppkey AS VARCHAR) AS src,
+                   'p:' || CAST(l_partkey AS VARCHAR) AS dst
+            FROM lineitem),
+          h0 AS (SELECT DISTINCT src AS id, CAST(1000000 AS BIGINT) AS s FROM hedges),
+          ${(1 to 3).map(hitsStep).mkString(", ")},
+          toph AS (SELECT 'hub' AS facet, id AS node_id, CAST(s AS BIGINT) AS score_q
+                   FROM h3 ORDER BY s DESC, id LIMIT 10),
+          topa AS (SELECT 'auth' AS facet, id AS node_id, CAST(s AS BIGINT) AS score_q
+                   FROM a3 ORDER BY s DESC, id LIMIT 10)
+          SELECT * FROM toph UNION ALL SELECT * FROM topa"""
+    },
     "g20_weighted_modularity" ->
       s"""WITH RECURSIVE gund AS MATERIALIZED (
             SELECT na.n_nationkey AS a, nb.n_nationkey AS b,

@@ -80,7 +80,10 @@ class PlanSweepSpec extends AnyFunSuite with SparkTestBase {
     "x30_good_turing"        -> 1L, // single-row (token-total, N1) broadcast onto the <=10-row FoF spine
     "x31_bpe_apply"          -> 1L, // four single-row winning-pair broadcasts onto the vocab rewrites
     "s19i_ivfadc_rerank"     -> 1L, // single-row query-vector + census broadcasts onto the ≤32-row refine frame
-    "x32_prf_expansion"      -> 1L  // single-row corpus-stats + expansion-list broadcasts onto posting/top-20 frames
+    "x32_prf_expansion"      -> 1L, // single-row corpus-stats + expansion-list broadcasts onto posting/top-20 frames
+    "c29_dsir_importance"    -> 1L, // single-row target/raw gram-total broadcasts onto the 8192-row weight table
+    "a30_neyman_allocation"  -> 1L, // single-row Σ(N_h·S_h) totals broadcast onto the per-language strata
+    "g21_hits"               -> 1L  // six single-row L∞-max broadcasts, one per HITS half-step
   )
 
   /** Queries allowed a window with an empty partition spec, with the

@@ -79,4 +79,52 @@ class Round14QueriesSpec extends AnyFunSuite with SparkTestBase {
     // tombstones carry no payload
     assert(byFacet("delete").getAs[Long]("len_sum") == 0L)
   }
+
+  test("c29: importance weights recover the planted domain exactly") {
+    val rows = SparkEntry.queries("c29_dsir_importance")(spark, sf).collect()
+    val byStratum = rows.map(r => r.getAs[String]("stratum") -> r).toMap
+    assert(byStratum.keySet == Set("natural", "planted_domain"))
+    val planted = byStratum("planted_domain")
+    val natural = byStratum("natural")
+    assert(planted.getAs[Long]("n_docs") == 20L)
+    // every planted in-domain doc selects; naturals (a disjoint planted
+    // vocabulary) do not outscore them
+    assert(planted.getAs[Long]("sel_pm") == 1000L)
+    assert(planted.getAs[Long]("sel_pm") > natural.getAs[Long]("sel_pm"))
+    assert(planted.getAs[Long]("min_score_q") > natural.getAs[Long]("max_score_q"))
+  }
+
+  test("a30: Neyman shares are a proper allocation and differ from proportional") {
+    val rows = SparkEntry.queries("a30_neyman_allocation")(spark, sf).collect()
+    assert(rows.length >= 2)
+    val neyman = rows.map(_.getAs[Long]("neyman_pm"))
+    val prop   = rows.map(_.getAs[Long]("prop_pm"))
+    // floor-quantized shares: each sums to at most 10^6 and within one
+    // per-mille-of-a-million per stratum of it
+    assert(neyman.sum <= 1000000L && neyman.sum > 1000000L - 1000L * rows.length)
+    assert(prop.sum <= 1000000L && prop.sum > 1000000L - 1000L * rows.length)
+    // the variance signal must actually move the budget somewhere
+    assert(
+      rows.exists(r => r.getAs[Long]("neyman_pm") != r.getAs[Long]("prop_pm")),
+      "Neyman allocation collapsed to proportional - variance signal lost"
+    )
+    rows.foreach(r => assert(r.getAs[Long]("sd_q") >= 0L && r.getAs[Long]("n_alloc") >= 0L))
+  }
+
+  test("g21: hubs are suppliers, authorities are parts, and the lattice is normalized") {
+    val rows = SparkEntry.queries("g21_hits")(spark, sf).collect()
+    val hubs  = rows.filter(_.getAs[String]("facet") == "hub")
+    val auths = rows.filter(_.getAs[String]("facet") == "auth")
+    assert(hubs.length == 10 && auths.length == 10)
+    hubs.foreach(r => assert(r.getAs[String]("node_id").startsWith("s:")))
+    auths.foreach(r => assert(r.getAs[String]("node_id").startsWith("p:")))
+    // L-infinity normalization: every score in (0, scale], the top of each
+    // facet exactly at the lattice ceiling
+    (hubs ++ auths).foreach { r =>
+      val sc = r.getAs[Long]("score_q")
+      assert(sc > 0L && sc <= 1000000L)
+    }
+    assert(hubs.map(_.getAs[Long]("score_q")).max == 1000000L)
+    assert(auths.map(_.getAs[Long]("score_q")).max == 1000000L)
+  }
 }
