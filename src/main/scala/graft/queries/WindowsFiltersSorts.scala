@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
@@ -429,7 +429,60 @@ object WindowsFiltersSorts extends QueryModule {
       )
   }
 
+  /** O11 — CONSISTENT-HASH RING reshard audit (Karger et al. 1997, the
+    * other production placement function next to o10's HRW — memcached/
+    * Dynamo-style): 9 shards × 64 virtual nodes hash onto the md5 ring,
+    * a key's owner is its SUCCESSOR vnode (first ring position ≥ the
+    * key's hash, wrapping to the ring minimum), and growing 8 → 9 shards
+    * inserts only shard 8's vnodes — so every moved key moves TO shard 8
+    * (ring_moved = 0 on shards 0–7 is STRUCTURAL in the output, the same
+    * stability property o10 proves for HRW) and the expected moved share
+    * is vnodes_new/vnodes_total = 64/576 = 1/9.
+    *
+    * Scale shape: the ring is data-independent — 576 (pos, shard) structs
+    * collapse to ONE sorted-array row that broadcasts onto the document
+    * scan (never a docs×vnodes row amplification); the successor lookup
+    * is a per-row array filter over 576 elements (the relational stand-in
+    * for the binary search a server does), and both the 9-shard and
+    * 8-shard rings ride the same broadcast row. One hash aggregate
+    * censuses the result. md5-hex string order IS ring order in both
+    * engines (binary collation).
+    */
+  private def o11_consistent_ring(s: SparkSession, d: String): DataFrame = {
+    val ring = s
+      .range(576)
+      .select(
+        expr("id div 64").cast("long").as("s"),
+        expr("md5(concat(cast(id div 64 as string), '@', cast(id % 64 as string)))").as("p")
+      )
+    val ringRow = ring
+      .agg(array_sort(collect_list(struct(col("p"), col("s")))).as("ring9"))
+      .select(col("ring9"), expr("filter(ring9, x -> x.s != 8)").as("ring8"))
+    def owner(ringCol: String): Column =
+      coalesce(
+        // try_: a key past the last vnode filters to an EMPTY array and
+        // wraps to the ring minimum (ANSI element_at throws on empty)
+        expr(s"try_element_at(filter($ringCol, x -> x.p >= h), 1)"),
+        expr(s"element_at($ringCol, 1)")
+      ).getField("s")
+    table(s, d, "documents")
+      .select(col("doc_id"), md5(col("doc_id").cast("string")).as("h"))
+      .crossJoin(broadcast(ringRow))
+      .select(owner("ring9").as("own9"), owner("ring8").as("own8"))
+      .groupBy(col("own9").as("shard"))
+      .agg(
+        count(lit(1)).as("ring_n"),
+        sum(when(col("own8") =!= col("own9"), 1L).otherwise(0L)).as("ring_moved")
+      )
+      .select(
+        col("shard").cast("long").as("shard"),
+        col("ring_n").cast("long").as("ring_n"),
+        col("ring_moved").cast("long").as("ring_moved")
+      )
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "o11_consistent_ring" -> (o11_consistent_ring _),
     "o10_rendezvous_shards" -> (o10_rendezvous_shards _),
     "o9_epoch_shuffle" -> (o9_epoch_shuffle _),
     "o8_range_partition_audit" -> (o8_range_partition_audit _),
@@ -458,6 +511,30 @@ object WindowsFiltersSorts extends QueryModule {
     .mkString(" + ")
 
   val oracles: Map[String, String] = Map(
+    "o11_consistent_ring" ->
+      """WITH ring AS (
+           SELECT i // 64 AS s,
+                  md5(CAST(i // 64 AS VARCHAR) || '@' || CAST(i % 64 AS VARCHAR)) AS p
+           FROM (SELECT unnest(range(0, 576)) AS i)),
+         d AS (SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS h FROM documents),
+         succ9 AS (SELECT doc_id, min(p) AS mp FROM d JOIN ring ON ring.p >= d.h
+                   GROUP BY 1),
+         succ8 AS (SELECT doc_id, min(p) AS mp FROM d JOIN ring ON ring.p >= d.h
+                   WHERE ring.s <> 8 GROUP BY 1),
+         wrap AS (SELECT min(p) AS w9,
+                         min(CASE WHEN s <> 8 THEN p END) AS w8 FROM ring),
+         own AS (SELECT d.doc_id,
+                        r9.s AS own9, r8.s AS own8
+                 FROM d LEFT JOIN succ9 USING (doc_id)
+                        LEFT JOIN succ8 USING (doc_id)
+                        CROSS JOIN wrap
+                 JOIN ring r9 ON r9.p = coalesce(succ9.mp, wrap.w9)
+                 JOIN ring r8 ON r8.p = coalesce(succ8.mp, wrap.w8))
+         SELECT CAST(own9 AS BIGINT) AS shard,
+                CAST(count(*) AS BIGINT) AS ring_n,
+                CAST(sum(CASE WHEN own8 <> own9 THEN 1 ELSE 0 END) AS BIGINT)
+                  AS ring_moved
+         FROM own GROUP BY 1""",
     "o10_rendezvous_shards" ->
       """WITH c AS (SELECT doc_id,
                            list_transform(range(0, 9),

@@ -83,7 +83,8 @@ class PlanSweepSpec extends AnyFunSuite with SparkTestBase {
     "x32_prf_expansion"      -> 1L, // single-row corpus-stats + expansion-list broadcasts onto posting/top-20 frames
     "c29_dsir_importance"    -> 1L, // single-row target/raw gram-total broadcasts onto the 8192-row weight table
     "a30_neyman_allocation"  -> 1L, // single-row Σ(N_h·S_h) totals broadcast onto the per-language strata
-    "g21_hits"               -> 1L  // six single-row L∞-max broadcasts, one per HITS half-step
+    "g21_hits"               -> 1L, // six single-row L∞-max broadcasts, one per HITS half-step
+    "o11_consistent_ring"    -> 1L  // the 576-vnode ring collapsed to ONE sorted-array row, broadcast onto the scan
   )
 
   /** Queries allowed a window with an empty partition spec, with the

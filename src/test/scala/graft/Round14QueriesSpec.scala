@@ -127,4 +127,20 @@ class Round14QueriesSpec extends AnyFunSuite with SparkTestBase {
     assert(hubs.map(_.getAs[Long]("score_q")).max == 1000000L)
     assert(auths.map(_.getAs[Long]("score_q")).max == 1000000L)
   }
+
+  test("o11: growing the ring 8→9 moves keys ONLY to the new shard, about 1/9 of them") {
+    val rows = SparkEntry.queries("o11_consistent_ring")(spark, sf).collect()
+    assert(rows.length == 9)
+    val byShard = rows.map(r => r.getAs[Long]("shard") -> r).toMap
+    // stability: every moved key moved TO shard 8 — structural in the ring
+    (0L to 7L).foreach { sh =>
+      assert(byShard(sh).getAs[Long]("ring_moved") == 0L, s"shard $sh moved keys")
+    }
+    val n     = rows.map(_.getAs[Long]("ring_n")).sum
+    val moved = byShard(8L).getAs[Long]("ring_moved")
+    // shard 8 owns exactly what it stole (it didn't exist before)
+    assert(moved == byShard(8L).getAs[Long]("ring_n"))
+    // expected share = 64/576 = 1/9; allow generous vnode variance
+    assert(moved * 100 / n >= 4 && moved * 100 / n <= 22, s"moved $moved of $n")
+  }
 }
