@@ -930,12 +930,21 @@ object GraphOps {
     * aggregate — the same iterative-analytics shape as PageRank; the max
     * is the only global, and it reduces to one row before broadcasting.
     * Returns (hubs, authorities) as (id, score) frames.
+    *
+    * CONTRACT: `iterations >= 1` (enforced — the authorities frame only
+    * exists after the first half-step). Zero-score vertices are ABSENT
+    * rows, not score-0 rows: a vertex with no in-edges never appears in
+    * the authority frame, and a dst-only vertex never appears in the hub
+    * frame — callers ranking top-k (g21) are unaffected, but a caller
+    * needing the full vertex domain must left-join these frames onto its
+    * vertex table and coalesce to 0.
     */
   def hitsQuantized(
       edges: DataFrame,
       iterations: Int,
       scale: Long = 1000000L
   ): (DataFrame, DataFrame) = {
+    require(iterations >= 1, s"hitsQuantized needs iterations >= 1, got $iterations")
     val e = Lineage.truncate(edges.select(col("src"), col("dst")))
     var h = e.select(col("src").as("id")).distinct().select(col("id"), lit(scale).as("s"))
     var a: DataFrame = null

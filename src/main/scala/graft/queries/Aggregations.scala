@@ -963,8 +963,12 @@ object Aggregations extends QueryModule {
     * size, mean document length, the integer standard deviation
     * S_q = floor(sqrt((N·Σx² − (Σx)²) div (N·(N−1)))) (c27's exact
     * isqrt lane — IEEE-754 sqrt is correctly rounded in both engines, so
-    * the floor agrees bit-for-bit; exact while N_h·Σx² < 2⁵², rescale the
-    * quantization beyond — x26's headroom note), and the three allocation
+    * the floor agrees bit-for-bit; the sufficient statistics and every
+    * product ride decimal(38,0) / HUGEINT (the a26/a27 discipline, r15),
+    * so the variance numerator is exact to 10³⁸ instead of silently
+    * wrapping at 2⁶³ in Spark while DuckDB errors — the VARIANCE itself is
+    * ≤ max-doc-length² < 2⁵², inside the correctly-rounded sqrt window at
+    * any corpus size), and the three allocation
     * columns a sampling design compares: neyman_pm = 10⁶·N_h·S_h div
     * Σ(N_h·S_h), prop_pm = 10⁶·N_h div N, and the per-stratum draw count
     * n_alloc for a fixed 1000-sample budget.
@@ -972,7 +976,9 @@ object Aggregations extends QueryModule {
     * Scale shape: ONE language-keyed aggregate (count + two sums,
     * map-side combinable) and a single-row totals broadcast — the c27
     * shape with a variance numerator. Strata of one document pin S_q = 0
-    * rather than divide by zero.
+    * rather than divide by zero; a degenerate corpus where EVERY stratum
+    * has zero variance (wsum = 0) yields NULL allocation columns in both
+    * engines via nullif, not a Spark-null/DuckDB-error divergence.
     */
   private def a30_neyman_allocation(s: SparkSession, d: String): DataFrame = {
     val st = table(s, d, "documents")
@@ -980,7 +986,7 @@ object Aggregations extends QueryModule {
       .agg(
         count(lit(1)).as("n_h"),
         sum(col("n_chars")).as("sx"),
-        sum(col("n_chars") * col("n_chars")).as("sxx")
+        sum(expr("cast(n_chars as decimal(38,0)) * n_chars")).as("sxx")
       )
       .select(
         col("lang"),
@@ -988,21 +994,29 @@ object Aggregations extends QueryModule {
         col("sx"),
         floor(
           sqrt(
-            when(col("n_h") > 1, expr("(n_h * sxx - sx * sx) div (n_h * (n_h - 1))"))
-              .otherwise(lit(0L))
+            when(
+              col("n_h") > 1,
+              expr(
+                "(cast(n_h as decimal(38,0)) * sxx - cast(sx as decimal(38,0)) * sx)" +
+                  " div (cast(n_h as decimal(38,0)) * (n_h - 1))"
+              )
+            ).otherwise(lit(0L))
           )
         ).cast("long").as("sd_q")
       )
-    val tot = st.agg(sum(expr("n_h * sd_q")).as("wsum"), sum(col("n_h")).as("n_total"))
+    val tot = st.agg(
+      sum(expr("cast(n_h as decimal(38,0)) * sd_q")).as("wsum"),
+      sum(col("n_h")).as("n_total")
+    )
     st.crossJoin(broadcast(tot))
       .select(
         col("lang"),
         col("n_h").cast("long").as("n_h"),
         expr("sx div n_h").cast("long").as("mean_chars"),
         col("sd_q"),
-        expr("1000000 * (n_h * sd_q) div wsum").as("neyman_pm"),
-        expr("1000000 * n_h div n_total").as("prop_pm"),
-        expr("(1000 * n_h * sd_q) div wsum").as("n_alloc")
+        expr("1000000 * (cast(n_h as decimal(38,0)) * sd_q) div nullif(wsum, 0)").as("neyman_pm"),
+        expr("1000000 * cast(n_h as decimal(38,0)) div n_total").as("prop_pm"),
+        expr("1000 * (cast(n_h as decimal(38,0)) * sd_q) div nullif(wsum, 0)").as("n_alloc")
       )
   }
 
@@ -1042,19 +1056,20 @@ object Aggregations extends QueryModule {
   val oracles: Map[String, String] = Map(
     "a30_neyman_allocation" ->
       """WITH st AS (SELECT lang, count(*) AS n_h, sum(n_chars) AS sx,
-                            sum(n_chars * n_chars) AS sxx
+                            sum(CAST(n_chars AS HUGEINT) * n_chars) AS sxx
                      FROM documents GROUP BY 1),
          sd AS (SELECT lang, n_h, sx,
                        CAST(floor(sqrt(CASE WHEN n_h > 1
-                            THEN (n_h * sxx - sx * sx) // (n_h * (n_h - 1))
+                            THEN (CAST(n_h AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx)
+                                 // (CAST(n_h AS HUGEINT) * (n_h - 1))
                             ELSE 0 END)) AS BIGINT) AS sd_q
                 FROM st),
-         tot AS (SELECT sum(n_h * sd_q) AS wsum, sum(n_h) AS n_total FROM sd)
+         tot AS (SELECT sum(CAST(n_h AS HUGEINT) * sd_q) AS wsum, sum(n_h) AS n_total FROM sd)
          SELECT lang, CAST(n_h AS BIGINT) AS n_h,
                 CAST(sx // n_h AS BIGINT) AS mean_chars, sd_q,
-                CAST(1000000 * (n_h * sd_q) // wsum AS BIGINT) AS neyman_pm,
-                CAST(1000000 * n_h // n_total AS BIGINT) AS prop_pm,
-                CAST((1000 * n_h * sd_q) // wsum AS BIGINT) AS n_alloc
+                CAST(1000000 * (CAST(n_h AS HUGEINT) * sd_q) // nullif(wsum, 0) AS BIGINT) AS neyman_pm,
+                CAST(1000000 * CAST(n_h AS HUGEINT) // n_total AS BIGINT) AS prop_pm,
+                CAST(1000 * (CAST(n_h AS HUGEINT) * sd_q) // nullif(wsum, 0) AS BIGINT) AS n_alloc
          FROM sd CROSS JOIN tot""",
     "a29_poisson_bootstrap" ->
       """WITH r AS (SELECT doc_id, n_chars, unnest(range(0, 32)) AS b

@@ -1338,6 +1338,7 @@ object GraphQueries extends QueryModule {
     * to the alphabetically first consumer.
     */
   private val sweepEdgesMemo  = graft.Memo.newMap()
+  private val sweepDegMemo    = graft.Memo.newMap()
   private val sweepLpaMemo    = graft.Memo.newMap()
   private val sweepMergedMemo = Vector.fill(3)(graft.Memo.newMap())
   private val sweepLevelMemo  = Vector.fill(3)(graft.Memo.newMap())
@@ -1374,11 +1375,11 @@ object GraphQueries extends QueryModule {
     * exactly the relevant ids. Saves a per-call degree aggregate.
     */
   private def sweepDeg(s: SparkSession, d: String): Option[DataFrame] =
-    Some(
+    Some(graft.Memo.cached(sweepDegMemo, s, d)(graft.Tuning.dimensionGraphProfile(s) {
       GraphOps.vertexStrength(
         sweepEdges(s, d).select(col("a"), col("b"), lit(1L).as("w"))
       )
-    )
+    }))
 
   /** The shared LPA seed (3 synchronous iterations over all five copies). */
   private def sweepLpa(s: SparkSession, d: String): DataFrame =
