@@ -951,7 +951,110 @@ object Dedup extends QueryModule {
       )
   }
 
+  /** D21 — SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning
+    * at web-scale through semantic deduplication"): the k-means-clustered
+    * embedding dedup that made within-cluster pairwise comparison tractable
+    * for LAION/web corpora — cluster first so candidate pairs are Σ occ²
+    * instead of n², then prune each ε-duplicate group down to ONE keeper,
+    * chosen as the member FARTHEST from its cluster centroid (the paper's
+    * §3.2 keep rule: edge-of-cluster examples preserve diversity; the
+    * near-centroid redundancy is what gets dropped). d5/d12 cluster by LSH
+    * sign-bit buckets; d21 is the centroid-based rung — k-means cells from
+    * s27's quantized-Lloyd lane (seeds = the first 8 stored vectors, one
+    * nearest-seed assignment), integer centroids, and an integer squared-L2
+    * duplicate gate (pd2 ≤ 1000 on the floor(x·1024) lattice — on
+    * near-normalized embeddings small L2 IS high cosine, the paper's
+    * normalized-embedding setting, with no float crossing the engine
+    * boundary).
+    *
+    * Planted fixtures: each vec_id < 20 re-enters at −vec_id−1 with dim 1
+    * shifted +0.003 (a 3–4 lattice-step perturbation ⇒ pd2 ≤ 16, far under
+    * the gate; organic quantized distances here are ~10⁷). Duplicate groups
+    * are connected components over the within-cluster ε-pairs; per group the
+    * output row carries the cluster, component label (min member id), size,
+    * the kept member (max centroid-distance, min-id tiebreak), and how many
+    * planted ids it captured.
+    *
+    * Scale shape: assignment is n×k rows against a k×dim broadcast (k is
+    * the paper's hyperparameter — production sets k ∝ n/target-occupancy so
+    * Σ occ² stays ≈ n·occ, the clustering's whole purpose; here k = 8 is a
+    * fixed dimension of the harness). Centroids and centroid-distances are
+    * keyed aggregates on (cluster, pos); the pair join is CLUSTER-KEYED
+    * equi-join — never all-pairs; components come from the shared
+    * pointer-jumping CC on pair endpoints only (dup groups, not the corpus).
+    * Reference anchor: the corpus ingest dedups exact ids only
+    * (utils/chroma_helpers.py:111-124) — this is its semantic upgrade.
+    */
+  private def d21_semdedup(s: SparkSession, d: String): DataFrame = {
+    val qd2 =
+      "aggregate(zip_with(%s, %s, (x, y) -> (floor(x * 1024) - floor(y * 1024)) " +
+        "* (floor(x * 1024) - floor(y * 1024))), 0L, (acc, v) -> acc + v)"
+    val base = table(s, d, "embeddings").select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+    val ve = graft.Lineage.truncate(
+      base.unionByName(
+        base
+          .filter(col("vec_id") < 20)
+          .select(
+            (-col("vec_id") - 1).as("vec_id"),
+            expr("transform(e, (x, i) -> CASE WHEN i = 0 THEN x + CAST(0.003 AS DOUBLE) ELSE x END)").as("e")
+          )
+      )
+    )
+    val seeds = ve.filter(col("vec_id").between(0, 7)).select(col("vec_id").as("seed"), col("e").as("se"))
+    val assign = graft.Lineage.truncate(
+      ve.crossJoin(broadcast(seeds))
+        .select(col("vec_id"), col("seed"), expr(qd2.format("e", "se")).as("sd2"))
+        .groupBy(col("vec_id"))
+        .agg(min(struct(col("sd2"), col("seed"))).as("m"))
+        .select(col("vec_id"), col("m.seed").as("cluster"))
+    )
+    val vq = ve.select(col("vec_id"), posexplode(col("e")))
+      .select(col("vec_id"), col("pos"), floor(col("col") * 1024).cast("long").as("q"))
+    val cent = vq
+      .join(assign, "vec_id")
+      .groupBy(col("cluster"), col("pos"))
+      .agg(count(lit(1)).as("n"), sum(col("q") + 1024L).as("sp"))
+      .select(col("cluster"), col("pos"), (expr("sp div n") - 1024L).as("cq"))
+    val cd2 = vq
+      .join(assign, "vec_id")
+      .join(cent, Seq("cluster", "pos"))
+      .groupBy(col("vec_id"), col("cluster"))
+      .agg(sum((col("q") - col("cq")) * (col("q") - col("cq"))).as("cd2"))
+    val mem = ve.join(assign, "vec_id")
+    val a   = mem.select(col("cluster"), col("vec_id").as("v1"), col("e").as("e1"))
+    val b   = mem.select(col("cluster").as("cl2"), col("vec_id").as("v2"), col("e").as("e2"))
+    val pairs = graft.Lineage.truncate(
+      a.join(b, col("cluster") === col("cl2") && col("v1") < col("v2"))
+        .withColumn("pd2", expr(qd2.format("e1", "e2")))
+        .filter(col("pd2") <= 1000L)
+        .select(col("v1"), col("v2"))
+    )
+    val ids = pairs.select(col("v1").as("id")).unionAll(pairs.select(col("v2").as("id"))).distinct()
+    val comps = graft.graph.GraphOps
+      .connectedComponents(ids, pairs.select(col("v1").as("src"), col("v2").as("dst")))
+    val rows = comps
+      .join(cd2, comps("id") === cd2("vec_id"))
+      .select(col("comp"), col("cluster"), col("vec_id"), col("cd2"))
+    val w = Window.partitionBy(col("comp")).orderBy(col("cd2").desc, col("vec_id").asc)
+    rows
+      .withColumn("rn", row_number().over(w))
+      .groupBy(col("comp"), col("cluster"))
+      .agg(
+        count(lit(1)).as("n_members"),
+        max(when(col("rn") === 1, col("vec_id"))).as("kept_vec"),
+        sum(when(col("vec_id") < 0, 1L).otherwise(0L)).as("n_planted")
+      )
+      .select(
+        col("cluster").cast("long").as("cluster"),
+        col("comp").cast("long").as("comp"),
+        col("n_members").cast("long").as("n_members"),
+        col("kept_vec").cast("long").as("kept_vec"),
+        col("n_planted").cast("long").as("n_planted")
+      )
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d21_semdedup" -> (d21_semdedup _),
     "d18_lsh_recall" -> (d18_lsh_recall _),
     "d17_plane_tuning" -> (d17_plane_tuning _),
     "d16_containment" -> (d16_containment _),
@@ -1063,6 +1166,50 @@ object Dedup extends QueryModule {
     s"trim(regexp_replace(lower($txt), '[^a-z0-9]+', ' ', 'g'))"
 
   val oracles: Map[String, String] = Map(
+    "d21_semdedup" ->
+      """WITH RECURSIVE vb AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+         ve AS (SELECT vec_id, e FROM vb
+                UNION ALL
+                SELECT -vec_id - 1, [e[1] + 0.003::DOUBLE] || e[2:] FROM vb WHERE vec_id < 20),
+         seeds AS (SELECT vec_id AS seed, e AS se FROM ve WHERE vec_id BETWEEN 0 AND 7),
+         sdist AS (SELECT v.vec_id, s.seed,
+                      CAST(list_sum(list_transform(generate_series(1, len(v.e)), i ->
+                        (floor(v.e[i] * 1024) - floor(s.se[i] * 1024)) *
+                        (floor(v.e[i] * 1024) - floor(s.se[i] * 1024)))) AS BIGINT) AS sd2
+                   FROM ve v CROSS JOIN seeds s),
+         ar AS (SELECT vec_id, seed AS cluster,
+                       row_number() OVER (PARTITION BY vec_id ORDER BY sd2, seed) AS rn
+                FROM sdist),
+         asg AS (SELECT vec_id, cluster FROM ar WHERE rn = 1),
+         vq AS (SELECT vec_id, i AS pos, CAST(floor(e[i] * 1024) AS BIGINT) AS q
+                FROM ve, (SELECT unnest(range(1, 65)) AS i)),
+         cent AS (SELECT cluster, pos,
+                         CAST((sum(q + 1024) // count(*)) - 1024 AS BIGINT) AS cq
+                  FROM vq JOIN asg USING (vec_id) GROUP BY 1, 2),
+         cdist AS (SELECT vec_id, cluster, sum((q - cq) * (q - cq)) AS cd2
+                   FROM vq JOIN asg USING (vec_id) JOIN cent USING (cluster, pos)
+                   GROUP BY 1, 2),
+         vme AS (SELECT m.vec_id, m.cluster, v.e FROM asg m JOIN ve v USING (vec_id)),
+         pr AS (SELECT a.vec_id AS v1, b.vec_id AS v2
+                FROM vme a JOIN vme b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+                WHERE CAST(list_sum(list_transform(generate_series(1, len(a.e)), i ->
+                        (floor(a.e[i] * 1024) - floor(b.e[i] * 1024)) *
+                        (floor(a.e[i] * 1024) - floor(b.e[i] * 1024)))) AS BIGINT) <= 1000),
+         pe AS (SELECT v1, v2 FROM pr UNION SELECT v2, v1 FROM pr),
+         pids AS (SELECT DISTINCT v1 AS id FROM pe),
+         reach(id, comp) AS (SELECT id, id FROM pids
+                             UNION
+                             SELECT e.v2, r.comp FROM reach r JOIN pe e ON r.id = e.v1),
+         cc AS (SELECT id, min(comp) AS comp FROM reach GROUP BY id),
+         mem AS (SELECT c.comp, t.cluster, t.vec_id, t.cd2,
+                        row_number() OVER (PARTITION BY c.comp
+                                           ORDER BY t.cd2 DESC, t.vec_id) AS rn
+                 FROM cc c JOIN cdist t ON t.vec_id = c.id)
+         SELECT CAST(cluster AS BIGINT) AS cluster, CAST(comp AS BIGINT) AS comp,
+                CAST(count(*) AS BIGINT) AS n_members,
+                CAST(max(CASE WHEN rn = 1 THEN vec_id END) AS BIGINT) AS kept_vec,
+                CAST(sum(CASE WHEN vec_id < 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_planted
+         FROM mem GROUP BY 1, 2""",
     "d19_normalized_decontamination" ->
       s"""WITH bench AS (SELECT doc_id, text FROM documents WHERE doc_id <= 10),
           train AS (
