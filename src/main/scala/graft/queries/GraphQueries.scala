@@ -1566,7 +1566,45 @@ object GraphQueries extends QueryModule {
     top(h, "hub").unionByName(top(a, "auth"))
   }
 
+  /** G22 — PERSONALIZED PageRank from a seed set (Haveliwala 2002
+    * topic-sensitive PageRank; Jeh–Widom 2003 — the localized ranking a
+    * GraphRAG retrieval step runs from the query's matched entities, and
+    * the recommendation primitive "what does THIS nation's supply chain
+    * touch"): teleport mass goes only to nation-0's suppliers on the g9
+    * supplier→part bipartite graph, 3 integer-quantized passes via
+    * [[graft.graph.GraphOps.personalizedPageRankQuantized]] (ε = 0, the
+    * exact frontier-sparse form — the rank frame carries ONLY reached
+    * vertices, so per-pass cost is frontier-sized, not graph-sized; on a
+    * 100 TB graph that is the difference between a per-query operation and
+    * a global batch job). Output: the top-20 localized ranks plus the
+    * reached-set census (n_reached ≪ |V| is the locality proof — global g9
+    * carries every vertex, this carries the seeds' 3-hop neighborhood).
+    * Oracle: the three passes unrolled with FULL OUTER teleport/contrib
+    * merges, reproducing absent-row-means-zero bit-for-bit.
+    */
+  private def g22_personalized_pagerank(s: SparkSession, d: String): DataFrame = {
+    val edges = table(s, d, "lineitem")
+      .select(
+        concat(lit("s:"), col("l_suppkey")).as("src"),
+        concat(lit("p:"), col("l_partkey")).as("dst")
+      )
+      .distinct()
+    val seeds = table(s, d, "supplier")
+      .filter(col("s_nationkey") === 0)
+      .select(concat(lit("s:"), col("s_suppkey")).as("id"))
+    val r = graft.Lineage.truncate(GraphOps.personalizedPageRankQuantized(seeds, edges, 3))
+    r.crossJoin(broadcast(r.agg(count(lit(1)).as("n_reached"))))
+      .orderBy(col("r").desc, col("id").asc)
+      .limit(20)
+      .select(
+        col("id").as("node_id"),
+        col("r").cast("long").as("rank_q"),
+        col("n_reached").cast("long").as("n_reached")
+      )
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "g22_personalized_pagerank" -> (g22_personalized_pagerank _),
     "g21_hits" -> (g21_hits _),
     "g8e_leiden_sweep" -> (g8e_leiden_sweep _),
     "g8d_leiden_refinement" -> (g8d_leiden_refinement _),
@@ -2086,6 +2124,32 @@ object GraphQueries extends QueryModule {
          JOIN reps r ON s.community_id = r.community_id)"""
 
   val oracles: Map[String, String] = Map(
+    "g22_personalized_pagerank" -> {
+      def pprStep(t: Int): String =
+        s"""ct$t AS (SELECT e.dst AS id, sum(p.r // o.od) AS s
+                   FROM pedges e
+                   JOIN ppr${t - 1} p ON p.id = e.src
+                   JOIN podeg o ON o.src = e.src
+                   GROUP BY e.dst),
+          ppr$t AS (SELECT coalesce(t.id, c.id) AS id,
+                           coalesce(t.tp, 0) + (85 * coalesce(c.s, 0)) // 100 AS r
+                    FROM ptele t FULL OUTER JOIN ct$t c ON t.id = c.id)"""
+      s"""WITH pedges AS MATERIALIZED (
+            SELECT DISTINCT 's:' || CAST(l_suppkey AS VARCHAR) AS src,
+                   'p:' || CAST(l_partkey AS VARCHAR) AS dst
+            FROM lineitem),
+          podeg AS MATERIALIZED (SELECT src, count(*) AS od FROM pedges GROUP BY src),
+          ptele AS MATERIALIZED (
+            SELECT 's:' || CAST(s_suppkey AS VARCHAR) AS id, 150000 AS tp
+            FROM supplier WHERE s_nationkey = 0),
+          ppr0 AS (SELECT id, CAST(1000000 AS BIGINT) AS r FROM ptele),
+          ${(1 to 3).map(pprStep).mkString(", ")},
+          reached AS (SELECT count(*) AS n_reached FROM ppr3)
+          SELECT id AS node_id, CAST(r AS BIGINT) AS rank_q,
+                 CAST(n_reached AS BIGINT) AS n_reached
+          FROM ppr3 CROSS JOIN reached
+          ORDER BY r DESC, id LIMIT 20"""
+    },
     "g21_hits" -> {
       def hitsStep(t: Int): String =
         s"""ar$t AS (SELECT e.dst AS id, sum(h.s) AS s
