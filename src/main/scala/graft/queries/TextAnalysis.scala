@@ -1374,7 +1374,138 @@ object TextAnalysis extends QueryModule {
       )
   }
 
+  /** X33 — STUPID BACKOFF bigram LM perplexity filter (Brants et al. 2007
+    * "Large Language Models in Machine Translation" §4 — the inexpensive
+    * smoothing Google built for corpus-scale LMs precisely because it needs
+    * NO discount estimation, just raw counts and a fixed backoff factor;
+    * Wenzek et al. 2020 (CCNet) §4.3 is the downstream use priced here: score
+    * every document against a reference-corpus LM and bucket the corpus into
+    * head/middle/tail by perplexity terciles — the quality gate most open
+    * LLM corpora shipped through):
+    *
+    *   S(w₂|w₁) = c(w₁w₂)/c(w₁)      if the bigram was seen,
+    *              0.4 · c(w₂)/N      otherwise (no discount — "stupid").
+    *
+    * Everything rides c26's integer-log₂ lane: term = LG(c(w₁)) − LG(c(w₁w₂))
+    * for seen bigrams and LG(5N) − LG(2·c(w₂)+1) for backoff (0.4 = 2/5
+    * folded into the log arguments; +1 is the OOV floor where c(w₂) = 0, and
+    * every term is ≥ 0 BY CONSTRUCTION — c(w₁w₂) ≤ c(w₁) — so the per-doc
+    * perplexity surrogate ppl_q = 1000·Σterm div n_bigrams divides positive
+    * operands only, the d20 truncate-vs-floor discipline). The LM trains on
+    * the natural corpus; scoring covers natural docs PLUS c26's planted junk
+    * at −id−1 (ids < 20): junk bigrams all take the backoff-to-OOV path, so
+    * planted docs land in the tail bucket with ppl_q strictly above every
+    * natural doc (Round15QueriesSpec pins it).
+    *
+    * Tercile cuts use c25's value-domain histogram (ppl_q ≤ 64000 —
+    * bit-length terms are ≤ 64 — so the cumulative window runs over a
+    * BOUNDED bin table, never a corpus-wide sort; CCNet's percentile cut at
+    * 100 TB is exactly this histogram shape). Scale: LM tables are
+    * vocabulary-sized keyed aggregates joined back by gram key (left as
+    * plain equi-joins — AQE broadcasts them while they fit, shuffles when a
+    * real vocabulary doesn't); the corpus sees two linear passes (train
+    * count, score) and nothing all-pairs. Output: (src, bucket) census.
+    */
+  private def x33_stupid_backoff(s: SparkSession, d: String): DataFrame = {
+    def junk(c: Column): Column =
+      array_join(
+        transform(sequence(lit(0), lit(15)), i => md5(concat(c, i.cast("string")))),
+        " "
+      )
+    val docs = table(s, d, "documents")
+    val uni = graft.Lineage.truncate(
+      docs.select(explode(words(col("text"))).as("w")).groupBy("w").agg(count(lit(1)).as("c"))
+    )
+    val big = graft.Lineage.truncate(
+      docs
+        .select(explode(call_function("graft_word_ngrams", col("text"), lit(2))).as("g"))
+        .groupBy("g")
+        .agg(count(lit(1)).as("c12"))
+    )
+    val nTot = uni.agg(sum(col("c")).as("nw"))
+    val ev = docs
+      .select(col("doc_id"), lit("natural").as("src"), col("text"))
+      .unionAll(
+        docs
+          .filter(col("doc_id") < 20)
+          .select(
+            (-col("doc_id") - 1).as("doc_id"),
+            lit("planted_junk").as("src"),
+            junk(col("text")).as("text")
+          )
+      )
+    val bg = ev
+      .select(
+        col("doc_id"),
+        col("src"),
+        explode(call_function("graft_word_ngrams", col("text"), lit(2))).as("g")
+      )
+      .select(
+        col("doc_id"),
+        col("src"),
+        col("g"),
+        split(col("g"), " ")(0).as("w1"),
+        split(col("g"), " ")(1).as("w2")
+      )
+    val terms = bg
+      .join(big, Seq("g"), "left")
+      .join(uni.select(col("w").as("w1"), col("c").as("cw1")), Seq("w1"), "left")
+      .join(uni.select(col("w").as("w2"), col("c").as("cw2")), Seq("w2"), "left")
+      .crossJoin(broadcast(nTot))
+      .select(
+        col("doc_id"),
+        col("src"),
+        when(col("c12").isNotNull, expr("length(bin(cw1)) - length(bin(c12))"))
+          .otherwise(expr("length(bin(5 * nw)) - length(bin(2 * coalesce(cw2, 0L) + 1))"))
+          .cast("long")
+          .as("term")
+      )
+    val perDoc = graft.Lineage.truncate(
+      terms
+        .groupBy(col("doc_id"), col("src"))
+        .agg(count(lit(1)).as("n_bg"), sum(col("term")).as("sbo_q"))
+        .select(col("doc_id"), col("src"), expr("(1000 * sbo_q) div n_bg").as("ppl_q"))
+    )
+    val hist = perDoc.groupBy(col("ppl_q")).agg(count(lit(1)).as("n"))
+    val cum = hist.withColumn(
+      "cacc",
+      sum(col("n")).over(
+        Window.orderBy(col("ppl_q")).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      )
+    )
+    val cuts = cum
+      .crossJoin(broadcast(hist.agg(sum(col("n")).as("total"))))
+      .agg(
+        min(when(col("cacc") * 3 >= col("total"), col("ppl_q"))).as("q1"),
+        min(when(col("cacc") * 3 >= col("total") * 2, col("ppl_q"))).as("q2")
+      )
+    perDoc
+      .crossJoin(broadcast(cuts))
+      .select(
+        col("src"),
+        when(col("ppl_q") < col("q1"), 0L)
+          .when(col("ppl_q") < col("q2"), 1L)
+          .otherwise(2L)
+          .as("bucket"),
+        col("ppl_q")
+      )
+      .groupBy(col("src"), col("bucket"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        min(col("ppl_q")).as("min_ppl_q"),
+        max(col("ppl_q")).as("max_ppl_q")
+      )
+      .select(
+        col("src"),
+        col("bucket"),
+        col("n_docs").cast("long").as("n_docs"),
+        col("min_ppl_q").cast("long").as("min_ppl_q"),
+        col("max_ppl_q").cast("long").as("max_ppl_q")
+      )
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x33_stupid_backoff" -> (x33_stupid_backoff _),
     "x31_bpe_apply" -> (x31_bpe_apply _),
     "x32_prf_expansion" -> (x32_prf_expansion _),
     "x25_winnowing_matches" -> (x25_winnowing_matches _),
@@ -1438,6 +1569,52 @@ object TextAnalysis extends QueryModule {
         v$k AS (SELECT w0, replace(w, pair, '$sym') AS w, freq FROM v${k - 1}, t$k)"""
 
   val oracles: Map[String, String] = Map(
+    "x33_stupid_backoff" ->
+      """WITH tr AS (SELECT string_split(text, ' ') AS a FROM documents),
+         uni AS (SELECT w, count(*) AS c FROM (SELECT unnest(a) AS w FROM tr) GROUP BY 1),
+         big AS (SELECT g, count(*) AS c12 FROM (
+                   SELECT unnest(list_transform(range(1, len(a)),
+                            i -> a[i] || ' ' || a[i + 1])) AS g
+                   FROM tr) GROUP BY 1),
+         nt AS (SELECT sum(c) AS nw FROM uni),
+         jt AS (SELECT doc_id,
+                       array_to_string(list_transform(generate_series(0, 15),
+                         i -> md5(text || CAST(i AS VARCHAR))), ' ') AS jtext
+                FROM documents WHERE doc_id < 20),
+         ev AS (SELECT doc_id, 'natural' AS src, text FROM documents
+                UNION ALL
+                SELECT -doc_id - 1, 'planted_junk', jtext FROM jt),
+         eb AS (SELECT doc_id, src,
+                       unnest(list_transform(range(1, len(a)),
+                         i -> a[i] || ' ' || a[i + 1])) AS g
+                FROM (SELECT doc_id, src, string_split(text, ' ') AS a FROM ev)),
+         et AS (SELECT doc_id, src,
+                       CASE WHEN b.c12 IS NOT NULL
+                            THEN length(bin(u1.c)) - length(bin(b.c12))
+                            ELSE length(bin(5 * nw)) - length(bin(2 * coalesce(u2.c, 0) + 1))
+                       END AS term
+                FROM eb
+                LEFT JOIN big b USING (g)
+                LEFT JOIN uni u1 ON u1.w = string_split(g, ' ')[1]
+                LEFT JOIN uni u2 ON u2.w = string_split(g, ' ')[2]
+                CROSS JOIN nt),
+         pd AS (SELECT doc_id, src, (1000 * sum(term)) // count(*) AS ppl_q
+                FROM et GROUP BY 1, 2),
+         hist AS (SELECT ppl_q, count(*) AS n FROM pd GROUP BY 1),
+         cum AS (SELECT ppl_q, n,
+                        sum(n) OVER (ORDER BY ppl_q ROWS UNBOUNDED PRECEDING) AS cacc
+                 FROM hist),
+         tot AS (SELECT sum(n) AS total FROM hist),
+         cuts AS (SELECT min(CASE WHEN cacc * 3 >= total THEN ppl_q END) AS q1,
+                         min(CASE WHEN cacc * 3 >= 2 * total THEN ppl_q END) AS q2
+                  FROM cum CROSS JOIN tot)
+         SELECT src,
+                CAST(CASE WHEN ppl_q < q1 THEN 0
+                          WHEN ppl_q < q2 THEN 1 ELSE 2 END AS BIGINT) AS bucket,
+                CAST(count(*) AS BIGINT) AS n_docs,
+                CAST(min(ppl_q) AS BIGINT) AS min_ppl_q,
+                CAST(max(ppl_q) AS BIGINT) AS max_ppl_q
+         FROM pd CROSS JOIN cuts GROUP BY 1, 2""",
     "x31_bpe_apply" ->
       s"""WITH v0 AS (
            SELECT w AS w0, w, count(*) AS freq FROM (
