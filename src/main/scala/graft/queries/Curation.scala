@@ -1227,7 +1227,18 @@ object Curation extends QueryModule {
     * size; training and scoring are each one explode + keyed aggregate;
     * the census aggregates by source. Nothing all-pairs, nothing global.
     */
-  private def c26_quality_classifier(s: SparkSession, d: String): DataFrame = {
+  private val c26ScoredMemo = graft.Memo.newMap()
+
+  /** Per-doc scored eval frame `(doc_id, source, n_words, wsum)` shared by
+    * c26's census and a31's ROC/AUC audit — the classifier is trained and
+    * applied ONCE per (session, dataset); each consumer reads its own
+    * reduction of the same scores (the honesty requirement for a
+    * metric-vs-census pair: they must audit the same model).
+    */
+  private def c26ScoredDocs(s: SparkSession, d: String): DataFrame =
+    graft.Memo.cached(c26ScoredMemo, s, d)(c26ScoredDocsCompute(s, d))
+
+  private def c26ScoredDocsCompute(s: SparkSession, d: String): DataFrame = {
     def junk(c: Column): Column =
       array_join(
         transform(sequence(lit(0), lit(15)), i => md5(concat(c, i.cast("string")))),
@@ -1278,6 +1289,10 @@ object Curation extends QueryModule {
       .join(broadcast(weights), Seq("bk"), "left")
       .groupBy(col("doc_id"), col("source"))
       .agg(count(lit(1)).as("n_words"), sum(coalesce(col("w_q"), lit(0L))).as("wsum"))
+  }
+
+  private def c26_quality_classifier(s: SparkSession, d: String): DataFrame = {
+    c26ScoredDocs(s, d)
       .select(
         col("source"),
         expr("(1000 * (wsum + 64 * n_words)) div n_words - 64000").as("score_q"),
@@ -1297,6 +1312,62 @@ object Curation extends QueryModule {
         expr("1000 * n_kept div n_docs").cast("long").as("keep_pm"),
         col("min_score_q").cast("long").as("min_score_q"),
         col("max_score_q").cast("long").as("max_score_q")
+      )
+  }
+
+  /** A31 — classifier ROC/AUC audit via the exact Mann–Whitney U statistic
+    * (Mann–Whitney 1947; Hanley–McNeil 1982 established AUC ≡ U/(n₁n₀) —
+    * the standard answer to "how good is the quality filter?" that a
+    * keep-rate census (c26) cannot give, because keep-rate depends on one
+    * threshold while AUC integrates over all of them): positives are the
+    * planted junk docs, and TWO detectors are scored side by side on the
+    * SAME eval frame — the trained classifier (−wsum, c26's model via the
+    * shared [[c26ScoredDocs]] memo) and the naive length baseline
+    * (−n_words, "short docs are junk"). The paired rows are the
+    * model-vs-baseline lift a production filter team reads before
+    * shipping a gate.
+    *
+    * Tie-exact integer lane: group docs by score value, then
+    * U₂ = Σ_s np_s·(2·(#neg below s) + nn_s) — twice the midrank U, so
+    * ties contribute exactly ½ without any fraction crossing the engine
+    * boundary; auc_bp = 10⁴·U₂ div (2·n₁·n₀). The cumulative window runs
+    * over the VALUE-DOMAIN-bounded (scorer, score) histogram (scores are
+    * ‰-quantized sums bounded by ±64·max_words — c25's bounded-bin
+    * discipline), partitioned by scorer — never a corpus-wide sort.
+    * Scale: one keyed aggregate over the scored frame + a two-partition
+    * window over the histogram; the scored frame itself is amortized
+    * across c26/a31 by the memo.
+    */
+  private def a31_classifier_auc(s: SparkSession, d: String): DataFrame = {
+    val lab = c26ScoredDocs(s, d).select(
+      col("doc_id"),
+      (col("source") === "planted_junk").cast("long").as("y"),
+      col("wsum"),
+      col("n_words")
+    )
+    val scored = lab
+      .select(lit("c26_wsum").as("scorer"), (-col("wsum")).as("score"), col("y"))
+      .unionByName(lab.select(lit("len_words").as("scorer"), (-col("n_words")).as("score"), col("y")))
+    val g = scored
+      .groupBy(col("scorer"), col("score"))
+      .agg(sum(col("y")).as("np"), sum(lit(1L) - col("y")).as("nn"))
+    val w = Window
+      .partitionBy(col("scorer"))
+      .orderBy(col("score").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    g.withColumn("clt", sum(col("nn")).over(w) - col("nn"))
+      .groupBy(col("scorer"))
+      .agg(
+        sum(col("np")).as("n_pos"),
+        sum(col("nn")).as("n_neg"),
+        sum(col("np") * (lit(2L) * col("clt") + col("nn"))).as("u2")
+      )
+      .select(
+        col("scorer"),
+        col("n_pos").cast("long").as("n_pos"),
+        col("n_neg").cast("long").as("n_neg"),
+        col("u2").cast("long").as("u2"),
+        expr("10000 * u2 div (2 * n_pos * n_neg)").cast("long").as("auc_bp")
       )
   }
 
@@ -1636,6 +1707,7 @@ object Curation extends QueryModule {
     "c28_repeated_spans" -> (c28_repeated_spans _),
     "c27_temperature_mix" -> (c27_temperature_mix _),
     "c26_quality_classifier" -> (c26_quality_classifier _),
+    "a31_classifier_auc" -> (a31_classifier_auc _),
     "c25_phase_census" -> (c25_phase_census _),
     "c24_shard_manifest" -> (c24_shard_manifest _),
     "c22_curriculum_batches" -> (c22_curriculum_batches _),
@@ -1688,6 +1760,42 @@ object Curation extends QueryModule {
                        CAST(n_stop >= 2 AS INT) AS g_stop,
                        CAST(distinct_q >= 3000 AS INT) AS g_distinct
                 FROM q)"""
+
+  /** Shared oracle CTE chain ending in `sc(doc_id, source, n_words, wsum)` —
+    * the SQL twin of [[c26ScoredDocs]], consumed by the c26 census and the
+    * a31 AUC audit so both oracles score the identical model.
+    */
+  private val c26ScSql =
+    """jt AS (
+           SELECT doc_id, source,
+                  array_to_string(list_transform(generate_series(0, 15),
+                    i -> md5(text || CAST(i AS VARCHAR))), ' ') AS jtext,
+                  text
+           FROM documents),
+         trainw AS (
+           SELECT 1 AS y, unnest(string_split(text, ' ')) AS w
+           FROM documents WHERE doc_id % 5 = 0
+           UNION ALL
+           SELECT 0 AS y, unnest(string_split(jtext, ' ')) AS w
+           FROM jt WHERE doc_id % 5 = 0),
+         wt AS (
+           SELECT ('0x' || substr(md5(w), 1, 6))::BIGINT % 128 AS bk,
+                  CAST(length(bin(sum(y) + 1)) - length(bin(sum(1 - y) + 1)) AS BIGINT) AS w_q
+           FROM trainw GROUP BY 1),
+         ev AS (
+           SELECT doc_id, source, text FROM documents WHERE doc_id % 5 <> 0
+           UNION ALL
+           SELECT -doc_id * 2 - 1, 'planted_junk', jtext FROM jt WHERE doc_id <= 9
+           UNION ALL
+           SELECT -doc_id * 2 - 2, 'planted_clean', text FROM jt WHERE doc_id <= 9),
+         ew AS (
+           SELECT doc_id, source,
+                  ('0x' || substr(md5(w), 1, 6))::BIGINT % 128 AS bk
+           FROM (SELECT doc_id, source, unnest(string_split(text, ' ')) AS w FROM ev)),
+         sc AS (
+           SELECT doc_id, source, count(*) AS n_words,
+                  sum(coalesce(w_q, 0)) AS wsum
+           FROM ew LEFT JOIN wt USING (bk) GROUP BY 1, 2)"""
 
   val oracles: Map[String, String] = Map(
     "c29_dsir_importance" ->
@@ -1800,37 +1908,30 @@ object Curation extends QueryModule {
                 CAST((n_total * w_q) // wsum AS BIGINT) AS planned_docs,
                 CAST(10000 * ((n_total * w_q) // wsum) // n_docs AS BIGINT) AS epochs_bp
          FROM n CROSS JOIN tot""",
+    "a31_classifier_auc" ->
+      s"""WITH $c26ScSql,
+         lab AS (SELECT doc_id,
+                        CASE WHEN source = 'planted_junk' THEN 1 ELSE 0 END AS y,
+                        wsum, n_words
+                 FROM sc),
+         sc2 AS (SELECT 'c26_wsum' AS scorer, -wsum AS score, y FROM lab
+                 UNION ALL
+                 SELECT 'len_words', -n_words, y FROM lab),
+         gr AS (SELECT scorer, score, sum(y) AS np, sum(1 - y) AS nn
+                FROM sc2 GROUP BY 1, 2),
+         cw AS (SELECT scorer, np, nn,
+                       sum(nn) OVER (PARTITION BY scorer ORDER BY score
+                                     ROWS UNBOUNDED PRECEDING) - nn AS clt
+                FROM gr)
+         SELECT scorer,
+                CAST(sum(np) AS BIGINT) AS n_pos,
+                CAST(sum(nn) AS BIGINT) AS n_neg,
+                CAST(sum(np * (2 * clt + nn)) AS BIGINT) AS u2,
+                CAST(10000 * sum(np * (2 * clt + nn))
+                     // (2 * sum(np) * sum(nn)) AS BIGINT) AS auc_bp
+         FROM cw GROUP BY 1""",
     "c26_quality_classifier" ->
-      """WITH jt AS (
-           SELECT doc_id, source,
-                  array_to_string(list_transform(generate_series(0, 15),
-                    i -> md5(text || CAST(i AS VARCHAR))), ' ') AS jtext,
-                  text
-           FROM documents),
-         trainw AS (
-           SELECT 1 AS y, unnest(string_split(text, ' ')) AS w
-           FROM documents WHERE doc_id % 5 = 0
-           UNION ALL
-           SELECT 0 AS y, unnest(string_split(jtext, ' ')) AS w
-           FROM jt WHERE doc_id % 5 = 0),
-         wt AS (
-           SELECT ('0x' || substr(md5(w), 1, 6))::BIGINT % 128 AS bk,
-                  CAST(length(bin(sum(y) + 1)) - length(bin(sum(1 - y) + 1)) AS BIGINT) AS w_q
-           FROM trainw GROUP BY 1),
-         ev AS (
-           SELECT doc_id, source, text FROM documents WHERE doc_id % 5 <> 0
-           UNION ALL
-           SELECT -doc_id * 2 - 1, 'planted_junk', jtext FROM jt WHERE doc_id <= 9
-           UNION ALL
-           SELECT -doc_id * 2 - 2, 'planted_clean', text FROM jt WHERE doc_id <= 9),
-         ew AS (
-           SELECT doc_id, source,
-                  ('0x' || substr(md5(w), 1, 6))::BIGINT % 128 AS bk
-           FROM (SELECT doc_id, source, unnest(string_split(text, ' ')) AS w FROM ev)),
-         sc AS (
-           SELECT doc_id, source, count(*) AS n_words,
-                  sum(coalesce(w_q, 0)) AS wsum
-           FROM ew LEFT JOIN wt USING (bk) GROUP BY 1, 2),
+      s"""WITH $c26ScSql,
          scored AS (
            SELECT source,
                   (1000 * (wsum + 64 * n_words)) // n_words - 64000 AS score_q,
