@@ -653,7 +653,95 @@ object IOQueries extends QueryModule {
     census.unionByName(post)
   }
 
+  /** S33 — per-partition BLOOM-FILTER data skipping (Bloom 1970; the
+    * point-lookup complement to s26's zone maps — zone maps skip on
+    * RANGES, Blooms skip on set membership, which is why every lakehouse
+    * file format carries both: Parquet column Blooms, Delta/Iceberg file
+    * stats): each `lang` partition publishes a 126-bit Bloom over its
+    * DISTINCT words (k = 2 md5-salted positions; 126 bits = two 63-bit
+    * long words, because a 64-bit shift of bit 63 overflows DuckDB's
+    * BIGINT shift where Spark wraps — the engine-parity constraint picks
+    * the filter geometry). A probe scans a partition only when BOTH its
+    * bit positions are set.
+    *
+    * The probe set is 20 present words (first word of docs 0–19) and 20
+    * structurally absent ones ('zzabsent·i'); per probe the census reads
+    * n_true (partitions actually containing it), n_hit (partitions the
+    * Bloom says to scan), n_fp = hit − true (the Bloom's only error
+    * mode — n_hit ≥ n_true, NO false negatives, is structural and
+    * Round15QueriesSpec pins it) and n_skipped (partitions a scan never
+    * opens — the I/O the filter saves).
+    *
+    * Scale shape: the only corpus-sized work is the distinct (lang, word)
+    * vocabulary aggregate; bit_or is map-side combinable, so each
+    * partition's Bloom reduces locally to ONE row — the manifest a 100 TB
+    * table keeps per file. Probing is probe-set × manifest rows against a
+    * broadcast — the driver-side file-pruning step, never a data scan.
+    */
+  private def s33_bloom_skipping(s: SparkSession, d: String): DataFrame = {
+    def posE(j: Int): String =
+      s"cast(conv(substring(md5(concat(w, '#$j')), 1, 6), 16, 10) as bigint) % 126"
+    val docs = table(s, d, "documents")
+    val vocab = graft.Lineage.truncate(
+      docs.select(col("lang"), explode(split(col("text"), " ")).as("w")).distinct()
+    )
+    val bits = vocab
+      .select(col("lang"), expr(posE(1)).as("p"))
+      .unionAll(vocab.select(col("lang"), expr(posE(2)).as("p")))
+    val blooms = bits
+      .groupBy(col("lang"))
+      .agg(
+        expr(
+          "bit_or(CASE WHEN p div 63 = 0 THEN shiftleft(1L, cast(p % 63 as int)) ELSE 0L END)"
+        ).as("bits0"),
+        expr(
+          "bit_or(CASE WHEN p div 63 = 1 THEN shiftleft(1L, cast(p % 63 as int)) ELSE 0L END)"
+        ).as("bits1")
+      )
+    val probes = docs
+      .filter(col("doc_id") < 20)
+      .select(col("doc_id").as("probe_id"), split(col("text"), " ")(0).as("w"))
+      .unionByName(
+        s.range(20).select((-col("id") - 1000).as("probe_id"), concat(lit("zzabsent"), col("id")).as("w"))
+      )
+      .withColumn("p1", expr(posE(1)))
+      .withColumn("p2", expr(posE(2)))
+    val tested = probes
+      .crossJoin(broadcast(blooms))
+      .withColumn(
+        "hit",
+        expr(
+          """CASE WHEN ((CASE WHEN p1 div 63 = 0 THEN shiftright(bits0, cast(p1 % 63 as int))
+                              ELSE shiftright(bits1, cast(p1 % 63 as int)) END) & 1) = 1
+                   AND ((CASE WHEN p2 div 63 = 0 THEN shiftright(bits0, cast(p2 % 63 as int))
+                              ELSE shiftright(bits1, cast(p2 % 63 as int)) END) & 1) = 1
+              THEN 1L ELSE 0L END"""
+        )
+      )
+      .join(
+        vocab.select(col("lang"), col("w"), lit(1L).as("tru")),
+        Seq("lang", "w"),
+        "left"
+      )
+    tested
+      .groupBy(col("probe_id"), col("w"))
+      .agg(
+        sum(coalesce(col("tru"), lit(0L))).as("n_true"),
+        sum(col("hit")).as("n_hit"),
+        count(lit(1)).as("n_parts")
+      )
+      .select(
+        col("probe_id").cast("long").as("probe_id"),
+        col("w").as("word"),
+        col("n_true").cast("long").as("n_true"),
+        col("n_hit").cast("long").as("n_hit"),
+        (col("n_hit") - col("n_true")).cast("long").as("n_fp"),
+        (col("n_parts") - col("n_hit")).cast("long").as("n_skipped")
+      )
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s33_bloom_skipping" -> (s33_bloom_skipping _),
     "s32_merge_into" -> (s32_merge_into _),
     "s31_dynamic_partition_overwrite" -> (s31_dynamic_partition_overwrite _),
     "s28_manifest_pruned_scan" -> (s28_manifest_pruned_scan _),
@@ -674,6 +762,46 @@ object IOQueries extends QueryModule {
   )
 
   val oracles: Map[String, String] = Map(
+    "s33_bloom_skipping" ->
+      """WITH vocab AS (
+           SELECT DISTINCT lang, w FROM (
+             SELECT lang, unnest(string_split(text, ' ')) AS w FROM documents)),
+         vp AS (
+           SELECT lang, ('0x' || substr(md5(w || '#1'), 1, 6))::BIGINT % 126 AS p FROM vocab
+           UNION ALL
+           SELECT lang, ('0x' || substr(md5(w || '#2'), 1, 6))::BIGINT % 126 AS p FROM vocab),
+         bl AS (
+           SELECT lang,
+                  bit_or(CASE WHEN p // 63 = 0 THEN 1::BIGINT << CAST(p % 63 AS INT) ELSE 0 END) AS bits0,
+                  bit_or(CASE WHEN p // 63 = 1 THEN 1::BIGINT << CAST(p % 63 AS INT) ELSE 0 END) AS bits1
+           FROM vp GROUP BY 1),
+         pr AS (
+           SELECT doc_id AS probe_id, string_split(text, ' ')[1] AS w
+           FROM documents WHERE doc_id < 20
+           UNION ALL
+           SELECT -i - 1000, 'zzabsent' || CAST(i AS VARCHAR)
+           FROM (SELECT unnest(generate_series(0, 19)) AS i)),
+         pp AS (
+           SELECT probe_id, w,
+                  ('0x' || substr(md5(w || '#1'), 1, 6))::BIGINT % 126 AS p1,
+                  ('0x' || substr(md5(w || '#2'), 1, 6))::BIGINT % 126 AS p2
+           FROM pr),
+         hits AS (
+           SELECT probe_id, pp.w,
+                  CASE WHEN ((CASE WHEN p1 // 63 = 0 THEN bits0 >> CAST(p1 % 63 AS INT)
+                                   ELSE bits1 >> CAST(p1 % 63 AS INT) END) & 1) = 1
+                        AND ((CASE WHEN p2 // 63 = 0 THEN bits0 >> CAST(p2 % 63 AS INT)
+                                   ELSE bits1 >> CAST(p2 % 63 AS INT) END) & 1) = 1
+                       THEN 1 ELSE 0 END AS hit,
+                  CASE WHEN v.w IS NOT NULL THEN 1 ELSE 0 END AS tru
+           FROM pp CROSS JOIN bl
+           LEFT JOIN vocab v ON v.lang = bl.lang AND v.w = pp.w)
+         SELECT CAST(probe_id AS BIGINT) AS probe_id, w AS word,
+                CAST(sum(tru) AS BIGINT) AS n_true,
+                CAST(sum(hit) AS BIGINT) AS n_hit,
+                CAST(sum(hit) - sum(tru) AS BIGINT) AS n_fp,
+                CAST(count(*) - sum(hit) AS BIGINT) AS n_skipped
+         FROM hits GROUP BY 1, 2""",
     // the full-outer reconstruction of the merge: batch from documents by
     // doc_id mod 10, classification and survivors exactly as the engine
     "s32_merge_into" ->
