@@ -1570,8 +1570,11 @@ object GraphQueries extends QueryModule {
     * topic-sensitive PageRank; Jeh–Widom 2003 — the localized ranking a
     * GraphRAG retrieval step runs from the query's matched entities, and
     * the recommendation primitive "what does THIS nation's supply chain
-    * touch"): teleport mass goes only to nation-0's suppliers on the g9
-    * supplier→part bipartite graph, 3 integer-quantized passes via
+    * touch"): teleport mass goes only to ONE nation's suppliers on the g9
+    * supplier→part bipartite graph (seed nation = the MINIMUM s_nationkey
+    * present, so the seed set is non-empty at every scale factor — a
+    * single-row broadcast, not a hardcoded key), 3 integer-quantized
+    * passes via
     * [[graft.graph.GraphOps.personalizedPageRankQuantized]] (ε = 0, the
     * exact frontier-sparse form — the rank frame carries ONLY reached
     * vertices, so per-pass cost is frontier-sized, not graph-sized; on a
@@ -1589,8 +1592,10 @@ object GraphQueries extends QueryModule {
         concat(lit("p:"), col("l_partkey")).as("dst")
       )
       .distinct()
-    val seeds = table(s, d, "supplier")
-      .filter(col("s_nationkey") === 0)
+    val sup = table(s, d, "supplier")
+    val seeds = sup
+      .crossJoin(broadcast(sup.agg(min(col("s_nationkey")).as("mnk"))))
+      .filter(col("s_nationkey") === col("mnk"))
       .select(concat(lit("s:"), col("s_suppkey")).as("id"))
     val r = graft.Lineage.truncate(GraphOps.personalizedPageRankQuantized(seeds, edges, 3))
     r.crossJoin(broadcast(r.agg(count(lit(1)).as("n_reached"))))
@@ -2141,7 +2146,8 @@ object GraphQueries extends QueryModule {
           podeg AS MATERIALIZED (SELECT src, count(*) AS od FROM pedges GROUP BY src),
           ptele AS MATERIALIZED (
             SELECT 's:' || CAST(s_suppkey AS VARCHAR) AS id, 150000 AS tp
-            FROM supplier WHERE s_nationkey = 0),
+            FROM supplier
+            WHERE s_nationkey = (SELECT min(s_nationkey) FROM supplier)),
           ppr0 AS (SELECT id, CAST(1000000 AS BIGINT) AS r FROM ptele),
           ${(1 to 3).map(pprStep).mkString(", ")},
           reached AS (SELECT count(*) AS n_reached FROM ppr3)

@@ -84,7 +84,10 @@ class PlanSweepSpec extends AnyFunSuite with SparkTestBase {
     "c29_dsir_importance"    -> 1L, // single-row target/raw gram-total broadcasts onto the 8192-row weight table
     "a30_neyman_allocation"  -> 1L, // single-row Σ(N_h·S_h) totals broadcast onto the per-language strata
     "g21_hits"               -> 1L, // six single-row L∞-max broadcasts, one per HITS half-step
-    "o11_consistent_ring"    -> 1L  // the 576-vnode ring collapsed to ONE sorted-array row, broadcast onto the scan
+    "o11_consistent_ring"    -> 1L, // the 576-vnode ring collapsed to ONE sorted-array row, broadcast onto the scan
+    "g22_personalized_pagerank" -> 1L, // single-row min-nationkey + n_reached broadcasts onto supplier/top-20 frames
+    "s33_bloom_skipping"     -> 8L, // per-lang Bloom manifest (≤|partitions| single-long rows) onto the 40-probe frame
+    "x33_stupid_backoff"     -> 1L  // single-row N-total + tercile-cut broadcasts onto bigram/per-doc frames
   )
 
   /** Queries allowed a window with an empty partition spec, with the
@@ -107,7 +110,8 @@ class PlanSweepSpec extends AnyFunSuite with SparkTestBase {
     "c25_phase_census"     -> 1024L, // cumulative count over value-domain-bounded length-histogram bins
     "s19h_hybrid_rrf"      -> 50L, // two rank windows, each over its list's top-50 only
     "s19i_ivfadc_rerank"   -> 32L, // adc/exact rank windows over the top-R = 32 refine frame only
-    "x32_prf_expansion"    -> 20L // old/new rank windows over their 20-row top lists only
+    "x32_prf_expansion"    -> 20L, // old/new rank windows over their 20-row top lists only
+    "x33_stupid_backoff"   -> 1024L // cumulative count over value-domain-bounded ppl-histogram bins (c25's shape)
   )
 
   test("no query plans a CartesianProduct, an unexpected BNLJ, or an unbounded global window") {

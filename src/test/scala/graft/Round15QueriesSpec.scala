@@ -1,0 +1,93 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Invariants for the round-15 additions — the properties the row-hash
+  * oracle proves equal but can't explain.
+  */
+class Round15QueriesSpec extends AnyFunSuite with SparkTestBase {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("d21: every dup group captures exactly one planted copy; keeper is a group member") {
+    val rows = SparkEntry.queries("d21_semdedup")(spark, sf).collect()
+    assert(rows.length == 20, s"expected the 20 planted groups, got ${rows.length}")
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_members") >= 2, "a dup group must have at least 2 members")
+      assert(r.getAs[Long]("n_planted") == 1, "each planted copy pairs with its source")
+    }
+    // all 20 planted ids (-1 .. -20) recovered across the groups
+    assert(rows.map(_.getAs[Long]("n_planted")).sum == 20)
+    // the SemDeDup keep rule sometimes keeps the planted copy (farther from
+    // centroid) and sometimes the natural source — both must occur, or the
+    // rule degenerated into keep-min-id
+    val keptPlanted = rows.count(_.getAs[Long]("kept_vec") < 0)
+    assert(keptPlanted > 0 && keptPlanted < 20, s"keep rule degenerate: $keptPlanted/20 planted keepers")
+  }
+
+  test("g22: personalized rank localizes — reached set is a strict subset of the vertex set") {
+    val rows = SparkEntry.queries("g22_personalized_pagerank")(spark, sf).collect()
+    assert(rows.length == 20)
+    val nReached = rows.map(_.getAs[Long]("n_reached")).distinct
+    assert(nReached.length == 1, "n_reached is a query-level constant")
+    val nV = spark.read.parquet(s"$sf/supplier.parquet").count() +
+      spark.read.parquet(s"$sf/part.parquet").count()
+    assert(nReached.head < nV, s"PPR reached ${nReached.head} of $nV vertices — not localized")
+    // seeds keep their full teleport mass (150000 = 15% of scale); nothing exceeds init scale
+    assert(rows.map(_.getAs[Long]("rank_q")).max <= 1000000L)
+    rows.foreach(r => assert(r.getAs[Long]("rank_q") > 0))
+  }
+
+  test("x33: planted junk is strictly separated into the tail bucket") {
+    val rows  = SparkEntry.queries("x33_stupid_backoff")(spark, sf).collect()
+    val junk  = rows.filter(_.getAs[String]("src") == "planted_junk")
+    val nat   = rows.filter(_.getAs[String]("src") == "natural")
+    assert(junk.nonEmpty && nat.nonEmpty)
+    // every junk doc backed off to OOV on every bigram -> tail bucket only
+    assert(junk.forall(_.getAs[Long]("bucket") == 2L), "junk escaped the tail bucket")
+    val junkMin = junk.map(_.getAs[Long]("min_ppl_q")).min
+    val natMax  = nat.map(_.getAs[Long]("max_ppl_q")).max
+    assert(junkMin > natMax, s"junk ppl $junkMin not strictly above natural max $natMax")
+    // buckets are terciles of the scored population: head <= middle <= tail boundaries
+    val natByBucket = nat.sortBy(_.getAs[Long]("bucket"))
+    natByBucket.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(a.getAs[Long]("max_ppl_q") < b.getAs[Long]("min_ppl_q"))
+      case _ => ()
+    }
+  }
+
+  test("a31: the trained classifier dominates the length baseline; U2 is tie-exact") {
+    val rows = SparkEntry.queries("a31_classifier_auc")(spark, sf).collect()
+    assert(rows.length == 2)
+    val byScorer = rows.map(r => r.getAs[String]("scorer") -> r).toMap
+    assert(byScorer.keySet == Set("c26_wsum", "len_words"))
+    val model = byScorer("c26_wsum")
+    val base  = byScorer("len_words")
+    // c26's spec pins strict score separation -> the exact AUC must be 1
+    assert(model.getAs[Long]("auc_bp") == 10000L)
+    assert(base.getAs[Long]("auc_bp") < model.getAs[Long]("auc_bp"))
+    rows.foreach { r =>
+      val u2   = r.getAs[Long]("u2")
+      val nPos = r.getAs[Long]("n_pos")
+      val nNeg = r.getAs[Long]("n_neg")
+      assert(u2 >= 0 && u2 <= 2 * nPos * nNeg, "U2 outside its exact range")
+      assert(nPos == 10, "positives are c26's 10 planted junk docs")
+    }
+  }
+
+  test("s33: Bloom skipping has zero false negatives; absent probes never match truth") {
+    val rows = SparkEntry.queries("s33_bloom_skipping")(spark, sf).collect()
+    assert(rows.length == 40)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_hit") >= r.getAs[Long]("n_true"), "Bloom false negative")
+      assert(r.getAs[Long]("n_fp") == r.getAs[Long]("n_hit") - r.getAs[Long]("n_true"))
+      assert(r.getAs[Long]("n_fp") >= 0 && r.getAs[Long]("n_skipped") >= 0)
+    }
+    val absent  = rows.filter(_.getAs[Long]("probe_id") < 0)
+    val present = rows.filter(_.getAs[Long]("probe_id") >= 0)
+    assert(absent.length == 20 && present.length == 20)
+    assert(absent.forall(_.getAs[Long]("n_true") == 0))
+    assert(present.forall(_.getAs[Long]("n_true") >= 1))
+  }
+}
