@@ -1566,50 +1566,82 @@ object GraphQueries extends QueryModule {
     top(h, "hub").unionByName(top(a, "auth"))
   }
 
-  /** G22 — PERSONALIZED PageRank from a seed set (Haveliwala 2002
-    * topic-sensitive PageRank; Jeh–Widom 2003 — the localized ranking a
-    * GraphRAG retrieval step runs from the query's matched entities, and
-    * the recommendation primitive "what does THIS nation's supply chain
-    * touch"): teleport mass goes only to ONE nation's suppliers on the g9
-    * supplier→part bipartite graph (seed nation = the MINIMUM s_nationkey
-    * present, so the seed set is non-empty at every scale factor — a
-    * single-row broadcast, not a hardcoded key), 3 integer-quantized
-    * passes via
-    * [[graft.graph.GraphOps.personalizedPageRankQuantized]] (ε = 0, the
-    * exact frontier-sparse form — the rank frame carries ONLY reached
-    * vertices, so per-pass cost is frontier-sized, not graph-sized; on a
-    * 100 TB graph that is the difference between a per-query operation and
-    * a global batch job). Output: the top-20 localized ranks plus the
-    * reached-set census (n_reached ≪ |V| is the locality proof — global g9
-    * carries every vertex, this carries the seeds' 3-hop neighborhood).
-    * Oracle: the three passes unrolled with FULL OUTER teleport/contrib
-    * merges, reproducing absent-row-means-zero bit-for-bit.
+  /** G22 — DeepWalk WALK-CORPUS generation (Perozzi–Al-Rfou–Skiena 2014
+    * "DeepWalk: online learning of social representations"; node2vec's
+    * p = q = 1 case, Grover–Leskovec 2016): materialize the random-walk
+    * "sentences" a skip-gram graph embedding trains on — the missing
+    * bridge between the graph surface and g3's embedding stub, and the
+    * sampling primitive every walk-based graph-representation pipeline
+    * runs as a BULK corpus job before any model sees a vector.
+    *
+    * Walks are DERANDOMIZED the engine's md5 way: step i from vertex cur
+    * follows the neighbor whose dst-ascending rank equals
+    * md5(start|cur|i) mod deg(cur) — a fixed hash both engines evaluate
+    * identically, so the emitted corpus is bit-reproducible (the property
+    * a training-data pipeline needs from its samplers; a seeded PRNG
+    * would not cross the engine boundary). One walk of length 4 per
+    * vertex of the memoized co-supply projection; each row carries the
+    * walk sentence and its distinct-visit count (revisits are the
+    * walk-locality signal DeepWalk's window exploits).
+    *
+    * Scale shape: the ranked-neighbor table is built once (one degree
+    * aggregate + one per-src row_number window — partitioned by vertex,
+    * never global); each step joins the walk frontier to it KEYED on the
+    * current vertex and filters to the hash-selected rank, so a pass
+    * costs one equi-join probing ≤ Σ deg = 2m rows — walks × length
+    * joins, never materialized neighborhoods. Production fan-out (γ
+    * walks per vertex, the paper's 30–80) multiplies frontier rows, not
+    * passes.
     */
-  private def g22_personalized_pagerank(s: SparkSession, d: String): DataFrame = {
-    val edges = table(s, d, "lineitem")
-      .select(
-        concat(lit("s:"), col("l_suppkey")).as("src"),
-        concat(lit("p:"), col("l_partkey")).as("dst")
+  private def g22_deepwalk_corpus(s: SparkSession, d: String): DataFrame = {
+    val und = coSupplyUndirected(s, d)
+    val sym = und
+      .select(col("a").as("src"), col("b").as("dst"))
+      .unionByName(und.select(col("b").as("src"), col("a").as("dst")))
+    val deg = sym.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    val nbr = graft.Lineage.truncate(
+      sym
+        .join(deg, "src")
+        .withColumn(
+          "rk",
+          row_number().over(Window.partitionBy(col("src")).orderBy(col("dst"))) - 1
+        )
+    )
+    var walks = graft.Lineage.truncate(
+      sym
+        .select(col("src"))
+        .distinct()
+        .select(
+          col("src").as("start"),
+          col("src").as("cur"),
+          concat(lit("s"), col("src").cast("string")).as("path")
+        )
+    )
+    (1 to 4).foreach { i =>
+      walks = graft.Lineage.truncate(
+        walks
+          .join(nbr, walks("cur") === nbr("src"))
+          .filter(
+            col("rk") === expr(
+              s"cast(conv(substring(md5(concat(cast(start as string), '|', cast(cur as string), '|', '$i')), 1, 6), 16, 10) as bigint) % deg"
+            )
+          )
+          .select(
+            col("start"),
+            nbr("dst").as("cur"),
+            concat(col("path"), lit(">s"), nbr("dst").cast("string")).as("path")
+          )
       )
-      .distinct()
-    val sup = table(s, d, "supplier")
-    val seeds = sup
-      .crossJoin(broadcast(sup.agg(min(col("s_nationkey")).as("mnk"))))
-      .filter(col("s_nationkey") === col("mnk"))
-      .select(concat(lit("s:"), col("s_suppkey")).as("id"))
-    val r = graft.Lineage.truncate(GraphOps.personalizedPageRankQuantized(seeds, edges, 3))
-    r.crossJoin(broadcast(r.agg(count(lit(1)).as("n_reached"))))
-      .orderBy(col("r").desc, col("id").asc)
-      .limit(20)
-      .select(
-        col("id").as("node_id"),
-        col("r").cast("long").as("rank_q"),
-        col("n_reached").cast("long").as("n_reached")
-      )
+    }
+    walks.select(
+      col("start").cast("long").as("start"),
+      col("path"),
+      size(array_distinct(split(col("path"), ">"))).cast("long").as("n_unique")
+    )
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "g22_personalized_pagerank" -> (g22_personalized_pagerank _),
+    "g22_deepwalk_corpus" -> (g22_deepwalk_corpus _),
     "g21_hits" -> (g21_hits _),
     "g8e_leiden_sweep" -> (g8e_leiden_sweep _),
     "g8d_leiden_refinement" -> (g8d_leiden_refinement _),
@@ -2129,32 +2161,31 @@ object GraphQueries extends QueryModule {
          JOIN reps r ON s.community_id = r.community_id)"""
 
   val oracles: Map[String, String] = Map(
-    "g22_personalized_pagerank" -> {
-      def pprStep(t: Int): String =
-        s"""ct$t AS (SELECT e.dst AS id, sum(p.r // o.od) AS s
-                   FROM pedges e
-                   JOIN ppr${t - 1} p ON p.id = e.src
-                   JOIN podeg o ON o.src = e.src
-                   GROUP BY e.dst),
-          ppr$t AS (SELECT coalesce(t.id, c.id) AS id,
-                           coalesce(t.tp, 0) + (85 * coalesce(c.s, 0)) // 100 AS r
-                    FROM ptele t FULL OUTER JOIN ct$t c ON t.id = c.id)"""
-      s"""WITH pedges AS MATERIALIZED (
-            SELECT DISTINCT 's:' || CAST(l_suppkey AS VARCHAR) AS src,
-                   'p:' || CAST(l_partkey AS VARCHAR) AS dst
-            FROM lineitem),
-          podeg AS MATERIALIZED (SELECT src, count(*) AS od FROM pedges GROUP BY src),
-          ptele AS MATERIALIZED (
-            SELECT 's:' || CAST(s_suppkey AS VARCHAR) AS id, 150000 AS tp
-            FROM supplier
-            WHERE s_nationkey = (SELECT min(s_nationkey) FROM supplier)),
-          ppr0 AS (SELECT id, CAST(1000000 AS BIGINT) AS r FROM ptele),
-          ${(1 to 3).map(pprStep).mkString(", ")},
-          reached AS (SELECT count(*) AS n_reached FROM ppr3)
-          SELECT id AS node_id, CAST(r AS BIGINT) AS rank_q,
-                 CAST(n_reached AS BIGINT) AS n_reached
-          FROM ppr3 CROSS JOIN reached
-          ORDER BY r DESC, id LIMIT 20"""
+    "g22_deepwalk_corpus" -> {
+      def walkStep(t: Int): String =
+        s"""w$t AS (SELECT w.start, n.dst AS cur,
+                        w.path || '>s' || CAST(n.dst AS VARCHAR) AS path
+                 FROM w${t - 1} w JOIN nbr n ON n.src = w.cur
+                 WHERE n.rk = ('0x' || substr(md5(CAST(w.start AS VARCHAR) || '|' ||
+                                 CAST(w.cur AS VARCHAR) || '|' || '$t'), 1, 6))::BIGINT
+                               % n.deg)"""
+      s"""WITH sp AS (SELECT DISTINCT l_suppkey AS sk, l_partkey AS p
+                      FROM lineitem WHERE l_linenumber = 1),
+          und AS (SELECT DISTINCT a.sk AS a, b.sk AS b
+                  FROM sp a JOIN sp b ON a.p = b.p AND a.sk < b.sk),
+          sym AS (SELECT a AS src, b AS dst FROM und
+                  UNION ALL SELECT b, a FROM und),
+          dg AS (SELECT src, count(*) AS deg FROM sym GROUP BY 1),
+          nbr AS MATERIALIZED (
+            SELECT s.src, s.dst, d.deg,
+                   row_number() OVER (PARTITION BY s.src ORDER BY s.dst) - 1 AS rk
+            FROM sym s JOIN dg d ON d.src = s.src),
+          w0 AS (SELECT DISTINCT src AS start, src AS cur,
+                        's' || CAST(src AS VARCHAR) AS path FROM sym),
+          ${(1 to 4).map(walkStep).mkString(", ")}
+          SELECT CAST(start AS BIGINT) AS start, path,
+                 CAST(len(list_distinct(string_split(path, '>'))) AS BIGINT) AS n_unique
+          FROM w4"""
     },
     "g21_hits" -> {
       def hitsStep(t: Int): String =

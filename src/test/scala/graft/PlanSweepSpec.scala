@@ -85,7 +85,6 @@ class PlanSweepSpec extends AnyFunSuite with SparkTestBase {
     "a30_neyman_allocation"  -> 1L, // single-row Σ(N_h·S_h) totals broadcast onto the per-language strata
     "g21_hits"               -> 1L, // six single-row L∞-max broadcasts, one per HITS half-step
     "o11_consistent_ring"    -> 1L, // the 576-vnode ring collapsed to ONE sorted-array row, broadcast onto the scan
-    "g22_personalized_pagerank" -> 1L, // single-row min-nationkey + n_reached broadcasts onto supplier/top-20 frames
     "s33_bloom_skipping"     -> 8L, // per-lang Bloom manifest (≤|partitions| single-long rows) onto the 40-probe frame
     "x33_stupid_backoff"     -> 1L  // single-row N-total + tercile-cut broadcasts onto bigram/per-doc frames
   )
