@@ -138,7 +138,32 @@ object Soak {
     "x26_bm25_topk",
     "x27_pmi_collocations",
     "x28_bpe_merge_step",
-    "x29_textrank"
+    "x29_textrank",
+    // round-15: the r14/r15 additions earn their replica rungs. Replica
+    // semantics per family: documents are word-salted per replica (grams/
+    // vocab/LM tables grow N×, cross-replica gram collisions impossible);
+    // lineitem keys are offset (graph replicas are disjoint subgraphs);
+    // embeddings replicate as IDENTICAL vectors with offset ids — which
+    // makes d21's duplicate graph grow N² BY CONSTRUCTION (every vector
+    // gains N−1 true identical copies; SemDeDup on an N-duplicated corpus
+    // genuinely has N² dup pairs to find), so d21 carries exp = 2 and a
+    // small-N rung rather than a pretend-linear bar. s32 is excluded: its
+    // staged atomic swap WRITES into the dataset dir, and soak replica
+    // dirs are reused across invocations (the census-read-back makes a
+    // second run grade a mutated snapshot).
+    "c28_repeated_spans",
+    "c29_dsir_importance",
+    "a30_neyman_allocation",
+    "a31_classifier_auc",
+    "g21_hits",
+    "g22_deepwalk_corpus",
+    "o11_consistent_ring",
+    "x31_bpe_apply",
+    "x32_prf_expansion",
+    "x33_stupid_backoff",
+    "s33_bloom_skipping",
+    "s19i_ivfadc_rerank",
+    "d21_semdedup"
   )
 
   private[graft] def buildScaled(spark: SparkSession, src: String, out: String, n: Int): Unit = {
@@ -215,7 +240,13 @@ object Soak {
       // same wedge-join work class as g6, run twice (the g16 substrate's
       // hub cap bounds the constant, not the exponent)
       "g17_ktruss" -> 1.5,
-      "g18_clustering_coeff" -> 1.5
+      "g18_clustering_coeff" -> 1.5,
+      // identical-copy embedding replication: every vector gains N−1 true
+      // duplicates, so the within-cluster pair set (and the dup graph the
+      // query must REPORT) is N² — quadratic work is the correct answer,
+      // not a regression; production keeps occupancy flat by scaling k∝n
+      // (the SemDeDup paper's design), which replication cannot model
+      "d21_semdedup" -> 2.0
     ).withDefaultValue(1.0)
 
   /** Physical-plan join-node census — the soak's plan-flip detector.
