@@ -1053,7 +1053,99 @@ object Dedup extends QueryModule {
       )
   }
 
+  /** D22 — MULTI-PROBE LSH recall/cost trade (Lv–Josephson–Wang–Charikar–Li
+    * 2007 "Multi-probe LSH": instead of paying more hash tables for recall,
+    * probe the buckets that differ from the query's own in ONE bit — the
+    * near-boundary buckets where a near-neighbor lands when a single
+    * hyperplane decision flips). d5/d12/d18 measure exact-bucket LSH; this
+    * is the standard production lever when recall at a fixed table budget
+    * is short, measured with d18's graded-truth discipline on the
+    * EMBEDDING side of the house.
+    *
+    * Graded truth: every natural vector re-enters as query −vec_id−1 with
+    * every 4th dimension shifted by 0.004·(vec_id mod 8) — grade 0 is an
+    * identical copy, grade 7 a 0.028 shift across 16 dims, so the planted
+    * pairs sweep from same-bucket to several-bits-flipped by construction
+    * (all arithmetic double-exact in both engines: correctly-rounded
+    * double multiply, no decimal/double mixing). Each query emits its
+    * exact 6-bit sign key plus the 6 single-bit flips (probe id 0 = exact);
+    * candidates come from ONE equi-join of the 7n probe keys onto the
+    * natural index keys. Output per grade: planted-pair recall for the
+    * exact-bucket probe and for multi-probe, and the per-query candidate
+    * counts — the recall gain AND its ~7× candidate-cost price on one row,
+    * which is exactly the trade the paper's Figure 5 plots.
+    *
+    * Scale shape: probing is a keyed equi-join (7 keys per query, never a
+    * scan of the index); candidate volume is Σ_bucket probes·occupancy —
+    * bounded by bucket occupancy exactly like d5, with the 7× probe
+    * multiplier priced in-output. No soak rung: identical-copy embedding
+    * replication makes every bucket's occupancy grow N× with N² candidate
+    * pairs (d21's note) — the census columns carry the cost honestly at
+    * any scale instead.
+    */
+  private def d22_multiprobe_lsh(s: SparkSession, d: String): DataFrame = {
+    val pls = VF.planes(6, 64)
+    val nat = table(s, d, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+    val idx = graft.Lineage.truncate(
+      nat.select(col("vec_id").as("vid"), VF.signBits(col("e"), pls).as("ibits"))
+    )
+    val qv = nat.select(
+      (-col("vec_id") - 1).as("qid"),
+      (col("vec_id") % 8).cast("long").as("grade"),
+      VF.signBits(
+        expr(
+          "transform(e, (x, i) -> CASE WHEN i % 4 = 0 " +
+            "THEN x + 0.004D * CAST(vec_id % 8 AS DOUBLE) ELSE x END)"
+        ),
+        pls
+      ).as("bits")
+    )
+    val probes = qv.select(
+      col("qid"),
+      col("grade"),
+      posexplode(
+        expr(
+          """transform(sequence(0, 6), j -> CASE WHEN j = 0 THEN bits
+             ELSE concat(substring(bits, 1, j - 1),
+                         CASE WHEN substring(bits, j, 1) = '1' THEN '0' ELSE '1' END,
+                         substring(bits, j + 1)) END)"""
+        )
+      )
+    ).select(col("qid"), col("grade"), col("pos").as("j"), col("col").as("pkey"))
+    val cand = probes.join(idx, probes("pkey") === idx("ibits"))
+    val perQ = cand
+      .groupBy(col("qid"), col("grade"))
+      .agg(
+        countDistinct(col("vid")).as("cand_mp"),
+        countDistinct(when(col("j") === 0, col("vid"))).as("cand_ex"),
+        max(when(col("vid") === -col("qid") - 1, 1L).otherwise(0L)).as("hit_mp"),
+        max(when(col("vid") === -col("qid") - 1 && col("j") === 0, 1L).otherwise(0L)).as("hit_ex")
+      )
+    qv.select(col("qid"), col("grade"))
+      .join(perQ, Seq("qid", "grade"), "left")
+      .groupBy(col("grade"))
+      .agg(
+        count(lit(1)).as("n_pairs"),
+        sum(coalesce(col("hit_ex"), lit(0L))).as("caught_exact"),
+        sum(coalesce(col("hit_mp"), lit(0L))).as("caught_mp"),
+        sum(coalesce(col("cand_ex"), lit(0L))).as("ce"),
+        sum(coalesce(col("cand_mp"), lit(0L))).as("cm")
+      )
+      .select(
+        col("grade"),
+        col("n_pairs").cast("long").as("n_pairs"),
+        col("caught_exact").cast("long").as("caught_exact"),
+        col("caught_mp").cast("long").as("caught_mp"),
+        expr("1000 * caught_exact div n_pairs").as("recall_exact_pm"),
+        expr("1000 * caught_mp div n_pairs").as("recall_mp_pm"),
+        expr("ce div n_pairs").as("cand_per_q_exact"),
+        expr("cm div n_pairs").as("cand_per_q_mp")
+      )
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d22_multiprobe_lsh" -> (d22_multiprobe_lsh _),
     "d21_semdedup" -> (d21_semdedup _),
     "d18_lsh_recall" -> (d18_lsh_recall _),
     "d17_plane_tuning" -> (d17_plane_tuning _),
@@ -1166,6 +1258,46 @@ object Dedup extends QueryModule {
     s"trim(regexp_replace(lower($txt), '[^a-z0-9]+', ' ', 'g'))"
 
   val oracles: Map[String, String] = Map(
+    "d22_multiprobe_lsh" -> {
+      def bk(c: String): String = (0 until 6)
+        .map(p =>
+          s"CASE WHEN list_dot_product($c, ${VF.duckdbPlaneSql(p, 64)}) >= 0 THEN '1' ELSE '0' END"
+        )
+        .mkString(" || ")
+      def flip(j: Int): String =
+        if (j == 0) "bits"
+        else
+          s"substr(bits, 1, ${j - 1}) || (CASE WHEN substr(bits, $j, 1) = '1' THEN '0' ELSE '1' END) || substr(bits, ${j + 1}, 6)"
+      val probeArms =
+        (0 to 6).map(j => s"SELECT qid, grade, $j AS j, ${flip(j)} AS pkey FROM qv").mkString(" UNION ALL ")
+      s"""WITH nat AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+         idx AS (SELECT vec_id AS vid, ${bk("e")} AS ibits FROM nat),
+         qe AS (SELECT -vec_id - 1 AS qid, vec_id % 8 AS grade,
+                       list_transform(generate_series(1, 64),
+                         i -> CASE WHEN (i - 1) % 4 = 0
+                              THEN e[i] + 0.004::DOUBLE * (vec_id % 8)
+                              ELSE e[i] END) AS pe
+                FROM nat),
+         qv AS (SELECT qid, grade, ${bk("pe")} AS bits FROM qe),
+         probes AS ($probeArms),
+         cand AS (SELECT p.qid, p.grade, p.j, i.vid
+                  FROM probes p JOIN idx i ON i.ibits = p.pkey),
+         perq AS (SELECT qid, grade,
+                         count(DISTINCT vid) AS cand_mp,
+                         count(DISTINCT CASE WHEN j = 0 THEN vid END) AS cand_ex,
+                         max(CASE WHEN vid = -qid - 1 THEN 1 ELSE 0 END) AS hit_mp,
+                         max(CASE WHEN vid = -qid - 1 AND j = 0 THEN 1 ELSE 0 END) AS hit_ex
+                  FROM cand GROUP BY 1, 2)
+         SELECT CAST(grade AS BIGINT) AS grade,
+                CAST(count(*) AS BIGINT) AS n_pairs,
+                CAST(sum(coalesce(hit_ex, 0)) AS BIGINT) AS caught_exact,
+                CAST(sum(coalesce(hit_mp, 0)) AS BIGINT) AS caught_mp,
+                CAST(1000 * sum(coalesce(hit_ex, 0)) // count(*) AS BIGINT) AS recall_exact_pm,
+                CAST(1000 * sum(coalesce(hit_mp, 0)) // count(*) AS BIGINT) AS recall_mp_pm,
+                CAST(sum(coalesce(cand_ex, 0)) // count(*) AS BIGINT) AS cand_per_q_exact,
+                CAST(sum(coalesce(cand_mp, 0)) // count(*) AS BIGINT) AS cand_per_q_mp
+         FROM qv LEFT JOIN perq USING (qid, grade) GROUP BY 1"""
+    },
     "d21_semdedup" ->
       """WITH RECURSIVE vb AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
          ve AS (SELECT vec_id, e FROM vb

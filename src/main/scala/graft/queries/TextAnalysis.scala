@@ -1504,7 +1504,86 @@ object TextAnalysis extends QueryModule {
       )
   }
 
+  /** X34 — HARD-NEGATIVE triplet mining for contrastive training
+    * (Karpukhin et al. 2020, DPR §4.2: "negatives from the top BM25
+    * passages that don't contain the answer" — the single trick that made
+    * dense retrievers beat BM25; SimCSE and every embedding-model recipe
+    * since mines the same (anchor, positive, hard-negative) triplets): the
+    * training-data op that CONSUMES this engine's dedup machinery instead
+    * of being one — the positive must be a true near-dup, the negative
+    * must be the most-confusable non-dup, and both must come from bulk
+    * corpus joins, not per-anchor scans.
+    *
+    * Anchors are docs 0–19; each positive is the planted d-corpus copy at
+    * −id−1 (the anchor's text + ' zz tail' — shares every anchor 3-gram by
+    * construction). The hard negative is the pool doc with the HIGHEST
+    * distinct-3-gram overlap that is neither the anchor nor its positive
+    * (3-grams, not c3/d6's 5-grams: on this corpus 5-grams are so
+    * discriminative that most anchors share NONE organically — a mined
+    * negative must exist for every anchor, and the weaker gram is the
+    * honest "confusable" signal) —
+    * lexical-overlap mining on the d6/c3 gram lane (deterministic
+    * row_number tiebreak). Candidates whose overlap reaches 90% of the
+    * positive's are EXCLUDED from the negative pool and counted in the
+    * n_excluded column — they are suspected unlabeled near-dups, and
+    * training on one as a negative is the "false negative in the batch"
+    * failure DPR §5.2 warns poisons the contrastive loss (measured here:
+    * at sf0.001 one anchor's organic neighbor ties its positive's full
+    * overlap — without the gate that doc becomes a margin-0 negative).
+    * The gate makes margin > 0 STRUCTURAL (neg < 0.9·pos by filter);
+    * Round15QueriesSpec pins it on all 20 triplets.
+    *
+    * Scale shape: one gram explode over the pool (corpus-linear), the
+    * overlap join keyed on the gram with a 20-anchor probe side (d6's
+    * contamination shape — probe-bounded, never pool×pool), one
+    * anchor-partitioned top-1 window. At 100 TB the anchor set is the
+    * training batch — bounded by design.
+    */
+  private def x34_hard_negatives(s: SparkSession, d: String): DataFrame = {
+    val docs = table(s, d, "documents")
+    val pool = docs
+      .select(col("doc_id"), col("text"))
+      .unionAll(
+        docs
+          .filter(col("doc_id") < 20)
+          .select((-col("doc_id") - 1).as("doc_id"), concat(col("text"), lit(" zz tail")).as("text"))
+      )
+    val grams = pool.select(
+      col("doc_id"),
+      explode(array_distinct(call_function("graft_word_ngrams", col("text"), lit(3)))).as("g")
+    )
+    val ag = grams.filter(col("doc_id").between(0, 19)).select(col("doc_id").as("a"), col("g"))
+    val ov = ag
+      .join(grams.select(col("doc_id").as("c"), col("g")), Seq("g"))
+      .filter(col("c") =!= col("a"))
+      .groupBy(col("a"), col("c"))
+      .agg(count(lit(1)).as("overlap"))
+    val pos = ov.filter(col("c") === -col("a") - 1).select(col("a"), col("overlap").as("pos_overlap"))
+    val w   = Window.partitionBy(col("a")).orderBy(col("overlap").desc, col("c").asc)
+    val neg = ov
+      .filter(col("c") =!= -col("a") - 1)
+      .join(pos, Seq("a"))
+      .withColumn("suspect", col("overlap") * 10 >= col("pos_overlap") * 9)
+      .withColumn("n_excluded", sum(when(col("suspect"), 1L).otherwise(0L)).over(Window.partitionBy(col("a"))))
+      .filter(!col("suspect"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("a"), col("c").as("neg_id"), col("overlap").as("neg_overlap"), col("n_excluded"))
+    pos
+      .join(neg, Seq("a"))
+      .select(
+        col("a").cast("long").as("anchor_id"),
+        (-col("a") - 1).cast("long").as("pos_id"),
+        col("pos_overlap").cast("long").as("pos_overlap"),
+        col("neg_id").cast("long").as("neg_id"),
+        col("neg_overlap").cast("long").as("neg_overlap"),
+        (col("pos_overlap") - col("neg_overlap")).cast("long").as("margin"),
+        col("n_excluded").cast("long").as("n_excluded")
+      )
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x34_hard_negatives" -> (x34_hard_negatives _),
     "x33_stupid_backoff" -> (x33_stupid_backoff _),
     "x31_bpe_apply" -> (x31_bpe_apply _),
     "x32_prf_expansion" -> (x32_prf_expansion _),
@@ -1569,6 +1648,42 @@ object TextAnalysis extends QueryModule {
         v$k AS (SELECT w0, replace(w, pair, '$sym') AS w, freq FROM v${k - 1}, t$k)"""
 
   val oracles: Map[String, String] = Map(
+    "x34_hard_negatives" ->
+      """WITH pool AS (
+           SELECT doc_id, text FROM documents
+           UNION ALL
+           SELECT -doc_id - 1, text || ' zz tail' FROM documents WHERE doc_id < 20),
+         gr AS (
+           SELECT doc_id, unnest(list_distinct(list_transform(
+                    generate_series(0, greatest(len(string_split(text, ' ')) - 3, 0)),
+                    i -> array_to_string(string_split(text, ' ')[i+1:i+3], ' ')))) AS g
+           FROM pool),
+         ag AS (SELECT doc_id AS a, g FROM gr WHERE doc_id BETWEEN 0 AND 19),
+         ov AS (SELECT ag.a, gr.doc_id AS c, count(*) AS overlap
+                FROM ag JOIN gr USING (g)
+                WHERE gr.doc_id <> ag.a
+                GROUP BY 1, 2),
+         pos AS (SELECT a, overlap AS pos_overlap FROM ov WHERE c = -a - 1),
+         cand AS (SELECT o.a, o.c, o.overlap,
+                         o.overlap * 10 >= p.pos_overlap * 9 AS suspect,
+                         sum(CASE WHEN o.overlap * 10 >= p.pos_overlap * 9
+                                  THEN 1 ELSE 0 END)
+                           OVER (PARTITION BY o.a) AS n_excluded
+                  FROM ov o JOIN pos p USING (a) WHERE o.c <> -o.a - 1),
+         neg AS (SELECT a, c AS neg_id, overlap AS neg_overlap, n_excluded FROM (
+                   SELECT a, c, overlap, n_excluded,
+                          row_number() OVER (PARTITION BY a
+                                             ORDER BY overlap DESC, c) AS rn
+                   FROM cand WHERE NOT suspect)
+                 WHERE rn = 1)
+         SELECT CAST(a AS BIGINT) AS anchor_id,
+                CAST(-a - 1 AS BIGINT) AS pos_id,
+                CAST(pos_overlap AS BIGINT) AS pos_overlap,
+                CAST(neg_id AS BIGINT) AS neg_id,
+                CAST(neg_overlap AS BIGINT) AS neg_overlap,
+                CAST(pos_overlap - neg_overlap AS BIGINT) AS margin,
+                CAST(n_excluded AS BIGINT) AS n_excluded
+         FROM pos JOIN neg USING (a)""",
     "x33_stupid_backoff" ->
       """WITH tr AS (SELECT string_split(text, ' ') AS a FROM documents),
          uni AS (SELECT w, count(*) AS c FROM (SELECT unnest(a) AS w FROM tr) GROUP BY 1),

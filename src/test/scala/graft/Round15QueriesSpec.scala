@@ -99,6 +99,46 @@ class Round15QueriesSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("d22: multi-probe recall dominates exact-bucket recall; perfect at grade 0; costed ~7x") {
+    val rows = SparkEntry.queries("d22_multiprobe_lsh")(spark, sf).collect()
+    assert(rows.length == 8, "one row per perturbation grade 0..7")
+    rows.foreach { r =>
+      assert(r.getAs[Long]("caught_mp") >= r.getAs[Long]("caught_exact"),
+        s"grade ${r.getAs[Long]("grade")}: multi-probe lost a pair exact-bucket caught")
+      assert(r.getAs[Long]("recall_mp_pm") >= r.getAs[Long]("recall_exact_pm"))
+      // probing 7 keys can return at most 7 buckets' worth of candidates,
+      // and always at least the exact bucket's
+      assert(r.getAs[Long]("cand_per_q_mp") >= r.getAs[Long]("cand_per_q_exact"))
+    }
+    val g0 = rows.find(_.getAs[Long]("grade") == 0L).get
+    assert(g0.getAs[Long]("recall_exact_pm") == 1000L, "identical copies must share the bucket")
+    assert(g0.getAs[Long]("recall_mp_pm") == 1000L)
+    // the paper's point: summed over the sweep, multi-probe strictly wins
+    assert(rows.map(_.getAs[Long]("caught_mp")).sum > rows.map(_.getAs[Long]("caught_exact")).sum)
+  }
+
+  test("x34: every anchor gets a triplet with a strictly positive margin") {
+    val rows = SparkEntry.queries("x34_hard_negatives")(spark, sf).collect()
+    assert(rows.length == 20, "one triplet per anchor")
+    rows.foreach { r =>
+      val a = r.getAs[Long]("anchor_id")
+      assert(r.getAs[Long]("pos_id") == -a - 1, "positive is the planted copy")
+      assert(r.getAs[Long]("neg_id") != -a - 1 && r.getAs[Long]("neg_id") != a)
+      assert(r.getAs[Long]("margin") > 0,
+        s"anchor $a: hard negative overlaps ($r) as much as the true positive — batch poison")
+      assert(r.getAs[Long]("margin") ==
+        r.getAs[Long]("pos_overlap") - r.getAs[Long]("neg_overlap"))
+      assert(r.getAs[Long]("neg_overlap") >= 1, "a mined negative must actually be confusable")
+      // the DPR false-negative gate: the kept negative sits strictly below
+      // 90% of the positive's overlap
+      assert(r.getAs[Long]("neg_overlap") * 10 < r.getAs[Long]("pos_overlap") * 9)
+      assert(r.getAs[Long]("n_excluded") >= 0)
+    }
+    // the gate fired somewhere: at sf0.001 at least one anchor has an
+    // organic near-full-overlap neighbor that must NOT become a negative
+    assert(rows.map(_.getAs[Long]("n_excluded")).sum >= 1)
+  }
+
   test("s33: Bloom skipping has zero false negatives; absent probes never match truth") {
     val rows = SparkEntry.queries("s33_bloom_skipping")(spark, sf).collect()
     assert(rows.length == 40)
