@@ -677,47 +677,36 @@ object IOQueries extends QueryModule {
     * partition's Bloom reduces locally to ONE row — the manifest a 100 TB
     * table keeps per file. Probing is probe-set × manifest rows against a
     * broadcast — the driver-side file-pruning step, never a data scan.
+    *
+    * The bit math lives in [[graft.operators.BloomOps]], shared with the
+    * STREAMING manifest maintenance
+    * ([[graft.streaming.StreamOps.bloomManifest]]): bit_or is a
+    * semilattice join, so the incrementally-maintained manifest equals
+    * this batch rebuild bit-for-bit (StreamOpsSpec pins it).
     */
   private def s33_bloom_skipping(s: SparkSession, d: String): DataFrame = {
-    def posE(j: Int): String =
-      s"cast(conv(substring(md5(concat(w, '#$j')), 1, 6), 16, 10) as bigint) % 126"
+    import graft.operators.BloomOps
     val docs = table(s, d, "documents")
     val vocab = graft.Lineage.truncate(
       docs.select(col("lang"), explode(split(col("text"), " ")).as("w")).distinct()
     )
     val bits = vocab
-      .select(col("lang"), expr(posE(1)).as("p"))
-      .unionAll(vocab.select(col("lang"), expr(posE(2)).as("p")))
+      .select(col("lang"), expr(BloomOps.posExpr(1)).as("p"))
+      .unionAll(vocab.select(col("lang"), expr(BloomOps.posExpr(2)).as("p")))
     val blooms = bits
       .groupBy(col("lang"))
-      .agg(
-        expr(
-          "bit_or(CASE WHEN p div 63 = 0 THEN shiftleft(1L, cast(p % 63 as int)) ELSE 0L END)"
-        ).as("bits0"),
-        expr(
-          "bit_or(CASE WHEN p div 63 = 1 THEN shiftleft(1L, cast(p % 63 as int)) ELSE 0L END)"
-        ).as("bits1")
-      )
+      .agg(expr(BloomOps.orAgg(0)).as("bits0"), expr(BloomOps.orAgg(1)).as("bits1"))
     val probes = docs
       .filter(col("doc_id") < 20)
       .select(col("doc_id").as("probe_id"), split(col("text"), " ")(0).as("w"))
       .unionByName(
         s.range(20).select((-col("id") - 1000).as("probe_id"), concat(lit("zzabsent"), col("id")).as("w"))
       )
-      .withColumn("p1", expr(posE(1)))
-      .withColumn("p2", expr(posE(2)))
+      .withColumn("p1", expr(BloomOps.posExpr(1)))
+      .withColumn("p2", expr(BloomOps.posExpr(2)))
     val tested = probes
       .crossJoin(broadcast(blooms))
-      .withColumn(
-        "hit",
-        expr(
-          """CASE WHEN ((CASE WHEN p1 div 63 = 0 THEN shiftright(bits0, cast(p1 % 63 as int))
-                              ELSE shiftright(bits1, cast(p1 % 63 as int)) END) & 1) = 1
-                   AND ((CASE WHEN p2 div 63 = 0 THEN shiftright(bits0, cast(p2 % 63 as int))
-                              ELSE shiftright(bits1, cast(p2 % 63 as int)) END) & 1) = 1
-              THEN 1L ELSE 0L END"""
-        )
-      )
+      .withColumn("hit", expr(s"CASE WHEN ${BloomOps.hitExpr} THEN 1L ELSE 0L END"))
       .join(
         vocab.select(col("lang"), col("w"), lit(1L).as("tru")),
         Seq("lang", "w"),

@@ -209,6 +209,34 @@ object StreamOps {
     * collection tables (the S17 use), wrong for append-heavy fact streams
     * (use partitioned append there instead).
     */
+  /** Streaming Bloom-MANIFEST maintenance — the incremental face of the
+    * s33 data-skipping census (one bit-math definition,
+    * [[graft.operators.BloomOps]]): per `lang` partition, the running
+    * 126-bit Bloom over every word seen so far. Works as a plain
+    * streaming aggregation with NO watermark and NO custom state because
+    * bit_or is a semilattice join (commutative + associative +
+    * IDEMPOTENT): any micro-batch arrival order, any replay after a
+    * crash, and the batch rebuild of the same rows all produce identical
+    * bits — the property that lets a 100 TB table keep its file-skipping
+    * manifests fresh from the ingest stream instead of rebuilding them
+    * nightly. Bits only ever turn ON (monotone), which StreamOpsSpec pins
+    * across micro-batches along with stream ≡ batch equality.
+    *
+    * Input: (lang, text). Output per lang: (bits0, bits1). No distinct
+    * before the OR — idempotence makes dedup pointless, which is also why
+    * no stateful-dedup watermark is needed.
+    */
+  def bloomManifest(docs: DataFrame): DataFrame = {
+    import graft.operators.BloomOps
+    val words = docs.select(col("lang"), explode(split(col("text"), " ")).as("w"))
+    val bits = words
+      .select(col("lang"), expr(BloomOps.posExpr(1)).as("p"))
+      .unionAll(words.select(col("lang"), expr(BloomOps.posExpr(2)).as("p")))
+    bits
+      .groupBy(col("lang"))
+      .agg(expr(BloomOps.orAgg(0)).as("bits0"), expr(BloomOps.orAgg(1)).as("bits1"))
+  }
+
   def upsertSink(batch: DataFrame, path: String, key: String, version: String): Unit = {
     val spark  = batch.sparkSession
     val target = new org.apache.hadoop.fs.Path(path)

@@ -113,6 +113,61 @@ class StreamOpsSpec extends AnyFunSuite with SparkTestBase {
     } finally q.stop()
   }
 
+  test("bloomManifest: running OR-merge is monotone across batches and equals the batch Bloom") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(String, String)]
+    val q = StreamOps
+      .bloomManifest(in.toDF().toDF("lang", "text"))
+      .writeStream
+      .format("memory")
+      .queryName("bloom_manifest")
+      .outputMode(OutputMode.Complete())
+      .start()
+    try {
+      def snap(): Map[String, (Long, Long)] =
+        spark
+          .table("bloom_manifest")
+          .collect()
+          .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2)))
+          .toMap
+      val b1 = Seq("en" -> "alpha beta gamma", "de" -> "delta epsilon")
+      val b2 = Seq("en" -> "beta zeta", "de" -> "eta theta iota", "fr" -> "kappa")
+      in.addData(b1: _*)
+      q.processAllAvailable()
+      val s1 = snap()
+      assert(s1.keySet == Set("en", "de"))
+      in.addData(b2: _*)
+      q.processAllAvailable()
+      val s2 = snap()
+      assert(s2.keySet == Set("en", "de", "fr"))
+      // monotone: every batch-1 bit survives batch 2 (bits only turn on)
+      s1.foreach { case (lang, (b0, b1bits)) =>
+        assert((s2(lang)._1 & b0) == b0, s"$lang lost a bits0 bit across batches")
+        assert((s2(lang)._2 & b1bits) == b1bits, s"$lang lost a bits1 bit across batches")
+      }
+      // stream == batch: the incrementally-maintained manifest equals a
+      // batch rebuild over the union of all rows (the semilattice claim)
+      val batch = StreamOps
+        .bloomManifest((b1 ++ b2).toDF("lang", "text"))
+        .collect()
+        .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2)))
+        .toMap
+      assert(batch == s2, "incremental manifest diverged from the batch rebuild")
+      // no false negatives: every ingested word tests positive in its lang
+      import graft.operators.BloomOps
+      val allWords = (b1 ++ b2).flatMap { case (l, t) => t.split(" ").map(l -> _) }
+      val probe = allWords
+        .toDF("lang", "w")
+        .withColumn("p1", org.apache.spark.sql.functions.expr(BloomOps.posExpr(1)))
+        .withColumn("p2", org.apache.spark.sql.functions.expr(BloomOps.posExpr(2)))
+        .join(spark.table("bloom_manifest"), "lang")
+        .withColumn("hit", org.apache.spark.sql.functions.expr(s"CASE WHEN ${BloomOps.hitExpr} THEN 1L ELSE 0L END"))
+        .collect()
+      assert(probe.nonEmpty && probe.forall(_.getAs[Long]("hit") == 1L))
+    } finally q.stop()
+  }
+
   test("slidingCounts lands every event in exactly two overlapping windows, stream = batch") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
