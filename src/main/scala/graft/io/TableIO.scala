@@ -222,6 +222,30 @@ object TableIO {
       .parquet(path)
       .filter(org.apache.spark.sql.functions.col("gen") <= asOf)
 
+  /** INCREMENTAL (CDC-style) read: only the rows committed in generations
+    * `fromExclusive < gen <= toInclusive` — the "what changed since my
+    * last run" scan every downstream incremental pipeline issues against
+    * a lakehouse table (Iceberg's incremental scan, Delta's CDF read at
+    * table-version granularity). Both bounds land as PARTITION filters,
+    * so the scan opens exactly the delta generations' files: the cost of
+    * consuming a day's changes is proportional to the day's changes, not
+    * to table history (the property that makes incremental downstream
+    * jobs O(delta) at 100 TB). Keep-last conflict resolution inside the
+    * delta stays with the caller, exactly as for [[readSnapshot]].
+    */
+  def readIncremental(
+      spark: SparkSession,
+      path: String,
+      fromExclusive: Int,
+      toInclusive: Int
+  ): DataFrame =
+    spark.read
+      .parquet(path)
+      .filter(
+        org.apache.spark.sql.functions.col("gen") > fromExclusive &&
+          org.apache.spark.sql.functions.col("gen") <= toInclusive
+      )
+
   /** S2 — Parquet scan with declared-schema empty fallback when missing.
     * Existence goes through the Hadoop FileSystem for the path's scheme —
     * `java.io.File` would report false for every hdfs://, s3a://, … URI and

@@ -729,7 +729,81 @@ object IOQueries extends QueryModule {
       )
   }
 
+  /** S34 — INCREMENTAL snapshot scan (the lakehouse CDC read: Iceberg's
+    * incremental scan / Delta's table-version change feed, at s29's
+    * generation granularity): a downstream pipeline that ran at
+    * generation 1 consumes ONLY what generations (1, 3] committed —
+    * [[graft.io.TableIO.readIncremental]] turns both bounds into
+    * PARTITION filters, so the scan opens exactly the delta files and the
+    * cost of catching up is O(delta), never O(table) (TableIOSpec pins
+    * the pruned-partition claim; at 100 TB this is the difference between
+    * an hourly downstream job and a nightly full rebuild).
+    *
+    * The generational fixture: gen 1 = every supplier, gen 2 re-writes
+    * the mod-10 keys, gen 3 re-writes the mod-7 keys AND inserts brand-new
+    * keys at −k−1 for the mod-5 stratum. The consumer's reconciliation —
+    * keep-last WITHIN the delta (a mod-70 key appears in both gens, gen 3
+    * wins), then insert-vs-update classification against the gen-1
+    * snapshot KEYS — is one window over the delta plus one keyed left
+    * join. Output: per-action key counts, raw delta row counts (CDC rows
+    * ≠ keys — the multiplicity census), and the keep-last value sum the
+    * downstream job would fold in.
+    */
+  private def s34_incremental_scan(s: SparkSession, d: String): DataFrame = {
+    val base = ioDir("s34_supplier")
+    val src = table(s, d, "supplier")
+      .select(col("s_suppkey"), col("s_nationkey"), (col("s_suppkey") * 10).as("v"))
+    TableIO.writeGeneration(src, base, 1)
+    TableIO.writeGeneration(
+      src.filter(col("s_suppkey") % 10 === 0).withColumn("v", col("s_suppkey") * 10 + 1),
+      base,
+      2
+    )
+    TableIO.writeGeneration(
+      src
+        .filter(col("s_suppkey") % 7 === 0)
+        .withColumn("v", col("s_suppkey") * 10 + 2)
+        .unionByName(
+          src
+            .filter(col("s_suppkey") % 5 === 0)
+            .select(
+              (-col("s_suppkey") - 1).as("s_suppkey"),
+              col("s_nationkey"),
+              (col("s_suppkey") * 10 + 3).as("v")
+            )
+        ),
+      base,
+      3
+    )
+    val delta = TableIO.readIncremental(s, base, fromExclusive = 1, toInclusive = 3)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("s_suppkey"))
+      .orderBy(col("gen").desc)
+    val snap1Keys = TableIO
+      .readSnapshot(s, base, asOf = 1)
+      .select(col("s_suppkey"))
+      .distinct()
+      .withColumn("existed", lit(1L))
+    delta
+      .withColumn("rn", row_number().over(w))
+      .join(snap1Keys, Seq("s_suppkey"), "left")
+      .withColumn("action", when(col("existed").isNotNull, lit("update")).otherwise(lit("insert")))
+      .groupBy(col("action"))
+      .agg(
+        countDistinct(col("s_suppkey")).as("n_keys"),
+        count(lit(1)).as("n_rows_scanned"),
+        sum(when(col("rn") === 1, col("v")).otherwise(lit(0L))).as("sum_v_latest")
+      )
+      .select(
+        col("action"),
+        col("n_keys").cast("long").as("n_keys"),
+        col("n_rows_scanned").cast("long").as("n_rows_scanned"),
+        col("sum_v_latest").cast("long").as("sum_v_latest")
+      )
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s34_incremental_scan" -> (s34_incremental_scan _),
     "s33_bloom_skipping" -> (s33_bloom_skipping _),
     "s32_merge_into" -> (s32_merge_into _),
     "s31_dynamic_partition_overwrite" -> (s31_dynamic_partition_overwrite _),
@@ -751,6 +825,29 @@ object IOQueries extends QueryModule {
   )
 
   val oracles: Map[String, String] = Map(
+    // closed-form reconstruction of the generational fixture: updates are
+    // the mod-10 ∪ mod-7 keys (gen 3 wins where both wrote), inserts the
+    // planted −k−1 keys from the mod-5 stratum
+    "s34_incremental_scan" ->
+      """WITH upd AS (
+           SELECT s_suppkey AS k,
+                  CASE WHEN s_suppkey % 7 = 0 THEN s_suppkey * 10 + 2
+                       ELSE s_suppkey * 10 + 1 END AS v_latest,
+                  (CASE WHEN s_suppkey % 10 = 0 THEN 1 ELSE 0 END) +
+                  (CASE WHEN s_suppkey % 7 = 0 THEN 1 ELSE 0 END) AS n_rows
+           FROM supplier WHERE s_suppkey % 10 = 0 OR s_suppkey % 7 = 0),
+         ins AS (
+           SELECT -s_suppkey - 1 AS k, s_suppkey * 10 + 3 AS v_latest, 1 AS n_rows
+           FROM supplier WHERE s_suppkey % 5 = 0)
+         SELECT 'update' AS action, CAST(count(*) AS BIGINT) AS n_keys,
+                CAST(sum(n_rows) AS BIGINT) AS n_rows_scanned,
+                CAST(sum(v_latest) AS BIGINT) AS sum_v_latest
+         FROM upd
+         UNION ALL
+         SELECT 'insert', CAST(count(*) AS BIGINT),
+                CAST(sum(n_rows) AS BIGINT),
+                CAST(sum(v_latest) AS BIGINT)
+         FROM ins""",
     "s33_bloom_skipping" ->
       """WITH vocab AS (
            SELECT DISTINCT lang, w FROM (

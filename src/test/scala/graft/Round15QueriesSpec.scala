@@ -139,6 +139,24 @@ class Round15QueriesSpec extends AnyFunSuite with SparkTestBase {
     assert(rows.map(_.getAs[Long]("n_excluded")).sum >= 1)
   }
 
+  test("s34: CDC census separates inserts from updates; keys vs rows multiplicity is honest") {
+    val rows = SparkEntry.queries("s34_incremental_scan")(spark, sf).collect()
+    val byAction = rows.map(r => r.getAs[String]("action") -> r).toMap
+    assert(byAction.keySet == Set("insert", "update"))
+    val sup = spark.read.parquet(s"$sf/supplier.parquet")
+    val nUpd = sup.filter("s_suppkey % 10 = 0 OR s_suppkey % 7 = 0").count()
+    val nIns = sup.filter("s_suppkey % 5 = 0").count()
+    assert(byAction("update").getAs[Long]("n_keys") == nUpd)
+    assert(byAction("insert").getAs[Long]("n_keys") == nIns)
+    // a key rewritten by BOTH delta generations yields two CDC rows but one key
+    val dupRows = sup.filter("s_suppkey % 70 = 0").count()
+    assert(
+      byAction("update").getAs[Long]("n_rows_scanned") ==
+        byAction("update").getAs[Long]("n_keys") + dupRows
+    )
+    assert(byAction("insert").getAs[Long]("n_rows_scanned") == nIns)
+  }
+
   test("s33: Bloom skipping has zero false negatives; absent probes never match truth") {
     val rows = SparkEntry.queries("s33_bloom_skipping")(spark, sf).collect()
     assert(rows.length == 40)

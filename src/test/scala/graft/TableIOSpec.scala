@@ -196,6 +196,26 @@ class TableIOSpec extends AnyFunSuite with SparkTestBase {
     assert(resolved(2) == Map(1L -> "a", 2L -> "b2", 3L -> "c"))
   }
 
+  test("incremental read returns exactly the delta generations and prunes both bounds") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val base = s"$tmp/incremental"
+    TableIO.writeGeneration(Seq((1L, "a"), (2L, "b")).toDF("k", "v"), base, 1)
+    TableIO.writeGeneration(Seq((2L, "b2")).toDF("k", "v"), base, 2)
+    TableIO.writeGeneration(Seq((3L, "c3")).toDF("k", "v"), base, 3)
+    TableIO.writeGeneration(Seq((1L, "a4")).toDF("k", "v"), base, 4)
+    val delta = TableIO.readIncremental(spark, base, fromExclusive = 1, toInclusive = 3)
+    assert(
+      delta.select(col("k").as[Long], col("v").as[String]).collect().toSet ==
+        Set(2L -> "b2", 3L -> "c3"),
+      "delta must carry gens 2..3 only — not the base snapshot, not gen 4"
+    )
+    // O(delta) is a PLAN property: both bounds must prune at planning time
+    val p  = delta.queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode)
+    val pf = p.linesIterator.filter(_.contains("PartitionFilters")).mkString
+    assert(pf.contains("> 1") && pf.contains("<= 3"), p)
+  }
+
   test("partition routing convention and partitioned write/read") {
     import spark.implicits._
     assert(
