@@ -1367,7 +1367,12 @@ object Curation extends QueryModule {
         col("n_pos").cast("long").as("n_pos"),
         col("n_neg").cast("long").as("n_neg"),
         col("u2").cast("long").as("u2"),
-        expr("10000 * u2 div (2 * n_pos * n_neg)").cast("long").as("auc_bp")
+        // decimal lane for the bp product: 10⁴·U₂ wraps 2⁶³ once n₁·n₀
+        // passes ~5·10¹⁷ (a 10⁹-doc eval with planted positives) — the
+        // same silent-wrap class the r15 advice fixed in a30
+        expr("10000 * cast(u2 as decimal(38,0)) div (2 * cast(n_pos as decimal(38,0)) * n_neg)")
+          .cast("long")
+          .as("auc_bp")
       )
   }
 
@@ -1927,8 +1932,8 @@ object Curation extends QueryModule {
                 CAST(sum(np) AS BIGINT) AS n_pos,
                 CAST(sum(nn) AS BIGINT) AS n_neg,
                 CAST(sum(np * (2 * clt + nn)) AS BIGINT) AS u2,
-                CAST(10000 * sum(np * (2 * clt + nn))
-                     // (2 * sum(np) * sum(nn)) AS BIGINT) AS auc_bp
+                CAST(10000 * CAST(sum(np * (2 * clt + nn)) AS HUGEINT)
+                     // (2 * CAST(sum(np) AS HUGEINT) * sum(nn)) AS BIGINT) AS auc_bp
          FROM cw GROUP BY 1""",
     "c26_quality_classifier" ->
       s"""WITH $c26ScSql,
