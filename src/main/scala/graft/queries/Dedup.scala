@@ -1023,8 +1023,16 @@ object Dedup extends QueryModule {
     val mem = ve.join(assign, "vec_id")
     val a   = mem.select(col("cluster"), col("vec_id").as("v1"), col("e").as("e1"))
     val b   = mem.select(col("cluster").as("cl2"), col("vec_id").as("v2"), col("e").as("e2"))
+    // Two-stage distance gate, result-identical: the 8-dim prefix distance
+    // is a LOWER BOUND on pd2 (every term is non-negative), so filtering
+    // prefix > 1000 first discards nothing the exact gate would keep —
+    // and it cuts the per-pair lambda work ~8× on the overwhelming
+    // majority of pairs, which sit at quantized distances ~10⁷ (measured:
+    // 8.8 → ~4 s at sf0.1). The oracle keeps the single-stage form; the
+    // optimization is invisible in the result by construction.
     val pairs = graft.Lineage.truncate(
       a.join(b, col("cluster") === col("cl2") && col("v1") < col("v2"))
+        .filter(expr(qd2.format("slice(e1, 1, 8)", "slice(e2, 1, 8)")) <= 1000L)
         .withColumn("pd2", expr(qd2.format("e1", "e2")))
         .filter(col("pd2") <= 1000L)
         .select(col("v1"), col("v2"))
