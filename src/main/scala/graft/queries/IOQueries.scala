@@ -802,7 +802,109 @@ object IOQueries extends QueryModule {
       )
   }
 
+  /** S35 — COUNTING-Bloom delete maintenance (Fan–Cao–Almeida–Broder 2000
+    * "Summary Cache", the counting filter that made Bloom summaries
+    * deletable): s33's Bloom and its streaming face are MONOTONE — bits
+    * only turn on — so after a retention purge (GDPR delete, license
+    * takedown) the skipping manifest keeps steering scans into partitions
+    * that no longer contain the key, forever. The counting variant keeps
+    * a per-cell insert COUNT instead of a bit; a key whose last document
+    * leaves decrements its cells, and membership (all k cells > 0) goes
+    * false — the filter forgets.
+    *
+    * Set semantics done right: cells count DISTINCT (lang, word) inserts,
+    * and the delete set is the purged docs' vocabulary ANTI-JOINED against
+    * the surviving corpus — a counting filter only deletes a key whose
+    * LAST holder left (decrementing a still-present key corrupts the
+    * summary; the anti-join is the discipline, same shape as s7's
+    * fetch-missing). The purge fixture is c26's junk generator at −id−1
+    * (ids < 20): 320 hex words unique to the purged docs by construction.
+    *
+    * Output per probe (20 purged-doc words + 20 surviving natural words):
+    * membership before and after the purge, the residual min cell count,
+    * and stale_fp = present-before ∧ absent-after — exactly the rows a
+    * monotone Bloom would keep claiming forever (spec pins: every natural
+    * probe survives, no purged probe's absence is missed — residual
+    * positives are honest cell collisions, censused not hidden).
+    *
+    * Scale shape: distinct-(lang, word) vocab aggregate + two ≤
+    * |langs|·126-cell count aggregates (map-side combinable sums) + the
+    * vocab-keyed anti-join; probing joins the bounded cell table. Deletes
+    * are O(purged vocabulary), never a rebuild — the incremental-manifest
+    * property that matters when purges are daily and the table is 100 TB.
+    */
+  private def s35_counting_bloom(s: SparkSession, d: String): DataFrame = {
+    import graft.operators.BloomOps
+    def junk(c: org.apache.spark.sql.Column) =
+      array_join(
+        transform(sequence(lit(0), lit(15)), i => md5(concat(c, i.cast("string")))),
+        " "
+      )
+    val docs = table(s, d, "documents")
+    val planted = docs
+      .filter(col("doc_id") < 20)
+      .select((-col("doc_id") - 1).as("doc_id"), col("lang"), junk(col("text")).as("text"))
+    def vocabOf(df: DataFrame): DataFrame =
+      df.select(col("lang"), explode(split(col("text"), " ")).as("w")).distinct()
+    val natVocab  = graft.Lineage.truncate(vocabOf(docs))
+    val plantedVocab = vocabOf(planted)
+    val allVocab  = natVocab.unionByName(plantedVocab).distinct()
+    // the delete set: purged-doc words whose LAST holder left
+    val delVocab = plantedVocab.join(natVocab, Seq("lang", "w"), "left_anti")
+    def cells(v: DataFrame): DataFrame =
+      v.select(col("lang"), expr(BloomOps.posExpr(1)).as("p"))
+        .unionAll(v.select(col("lang"), expr(BloomOps.posExpr(2)).as("p")))
+    val before = cells(allVocab).groupBy(col("lang"), col("p")).agg(count(lit(1)).as("cb"))
+    val dels   = cells(delVocab).groupBy(col("lang"), col("p")).agg(count(lit(1)).as("cd"))
+    val counts = graft.Lineage.truncate(
+      before
+        .join(dels, Seq("lang", "p"), "left")
+        .select(
+          col("lang"),
+          col("p"),
+          col("cb"),
+          (col("cb") - coalesce(col("cd"), lit(0L))).as("ca")
+        )
+    )
+    val probes = docs
+      .filter(col("doc_id") < 20)
+      .select(col("doc_id").as("probe_id"), col("lang"), split(col("text"), " ")(0).as("w"))
+      .unionByName(
+        planted.select(col("doc_id").as("probe_id"), col("lang"), split(col("text"), " ")(0).as("w"))
+      )
+      .withColumn("p1", expr(BloomOps.posExpr(1)))
+      .withColumn("p2", expr(BloomOps.posExpr(2)))
+    probes
+      .join(
+        counts.select(col("lang"), col("p").as("p1"), col("cb").as("b1"), col("ca").as("a1")),
+        Seq("lang", "p1"),
+        "left"
+      )
+      .join(
+        counts.select(col("lang"), col("p").as("p2"), col("cb").as("b2"), col("ca").as("a2")),
+        Seq("lang", "p2"),
+        "left"
+      )
+      .select(
+        col("probe_id").cast("long").as("probe_id"),
+        col("w").as("word"),
+        when(coalesce(col("b1"), lit(0L)) > 0 && coalesce(col("b2"), lit(0L)) > 0, 1L)
+          .otherwise(0L)
+          .as("present_before"),
+        when(coalesce(col("a1"), lit(0L)) > 0 && coalesce(col("a2"), lit(0L)) > 0, 1L)
+          .otherwise(0L)
+          .as("present_after"),
+        least(coalesce(col("a1"), lit(0L)), coalesce(col("a2"), lit(0L))).as("min_count_after"),
+        when(
+          coalesce(col("b1"), lit(0L)) > 0 && coalesce(col("b2"), lit(0L)) > 0 &&
+            !(coalesce(col("a1"), lit(0L)) > 0 && coalesce(col("a2"), lit(0L)) > 0),
+          1L
+        ).otherwise(0L).as("stale_fp")
+      )
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s35_counting_bloom" -> (s35_counting_bloom _),
     "s34_incremental_scan" -> (s34_incremental_scan _),
     "s33_bloom_skipping" -> (s33_bloom_skipping _),
     "s32_merge_into" -> (s32_merge_into _),
@@ -825,6 +927,50 @@ object IOQueries extends QueryModule {
   )
 
   val oracles: Map[String, String] = Map(
+    "s35_counting_bloom" ->
+      """WITH jt AS (
+           SELECT -doc_id - 1 AS doc_id, lang,
+                  array_to_string(list_transform(generate_series(0, 15),
+                    i -> md5(text || CAST(i AS VARCHAR))), ' ') AS text
+           FROM documents WHERE doc_id < 20),
+         natv AS (SELECT DISTINCT lang, w FROM (
+                    SELECT lang, unnest(string_split(text, ' ')) AS w FROM documents)),
+         plv AS (SELECT DISTINCT lang, w FROM (
+                   SELECT lang, unnest(string_split(text, ' ')) AS w FROM jt)),
+         allv AS (SELECT lang, w FROM natv UNION SELECT lang, w FROM plv),
+         delv AS (SELECT lang, w FROM plv EXCEPT SELECT lang, w FROM natv),
+         cb AS (SELECT lang, p, count(*) AS cb FROM (
+                  SELECT lang, ('0x' || substr(md5(w || '#1'), 1, 6))::BIGINT % 126 AS p FROM allv
+                  UNION ALL
+                  SELECT lang, ('0x' || substr(md5(w || '#2'), 1, 6))::BIGINT % 126 FROM allv)
+                GROUP BY 1, 2),
+         cd AS (SELECT lang, p, count(*) AS cd FROM (
+                  SELECT lang, ('0x' || substr(md5(w || '#1'), 1, 6))::BIGINT % 126 AS p FROM delv
+                  UNION ALL
+                  SELECT lang, ('0x' || substr(md5(w || '#2'), 1, 6))::BIGINT % 126 FROM delv)
+                GROUP BY 1, 2),
+         ct AS (SELECT lang, p, cb.cb AS cb, cb.cb - coalesce(cd.cd, 0) AS ca
+                FROM cb LEFT JOIN cd USING (lang, p)),
+         pr AS (SELECT doc_id AS probe_id, lang, string_split(text, ' ')[1] AS w
+                FROM documents WHERE doc_id < 20
+                UNION ALL
+                SELECT doc_id, lang, string_split(text, ' ')[1] FROM jt),
+         pp AS (SELECT probe_id, lang, w,
+                       ('0x' || substr(md5(w || '#1'), 1, 6))::BIGINT % 126 AS p1,
+                       ('0x' || substr(md5(w || '#2'), 1, 6))::BIGINT % 126 AS p2
+                FROM pr)
+         SELECT CAST(probe_id AS BIGINT) AS probe_id, w AS word,
+                CAST(CASE WHEN coalesce(c1.cb, 0) > 0 AND coalesce(c2.cb, 0) > 0
+                          THEN 1 ELSE 0 END AS BIGINT) AS present_before,
+                CAST(CASE WHEN coalesce(c1.ca, 0) > 0 AND coalesce(c2.ca, 0) > 0
+                          THEN 1 ELSE 0 END AS BIGINT) AS present_after,
+                CAST(least(coalesce(c1.ca, 0), coalesce(c2.ca, 0)) AS BIGINT) AS min_count_after,
+                CAST(CASE WHEN coalesce(c1.cb, 0) > 0 AND coalesce(c2.cb, 0) > 0
+                           AND NOT (coalesce(c1.ca, 0) > 0 AND coalesce(c2.ca, 0) > 0)
+                          THEN 1 ELSE 0 END AS BIGINT) AS stale_fp
+         FROM pp
+         LEFT JOIN ct c1 ON c1.lang = pp.lang AND c1.p = pp.p1
+         LEFT JOIN ct c2 ON c2.lang = pp.lang AND c2.p = pp.p2""",
     // closed-form reconstruction of the generational fixture: updates are
     // the mod-10 ∪ mod-7 keys (gen 3 wins where both wrote), inserts the
     // planted −k−1 keys from the mod-5 stratum

@@ -157,6 +157,35 @@ class Round15QueriesSpec extends AnyFunSuite with SparkTestBase {
     assert(byAction("insert").getAs[Long]("n_rows_scanned") == nIns)
   }
 
+  test("s35: counting Bloom forgets purged keys; surviving keys are never forgotten") {
+    val rows = SparkEntry.queries("s35_counting_bloom")(spark, sf).collect()
+    assert(rows.length == 40)
+    val junk = rows.filter(_.getAs[Long]("probe_id") < 0)
+    val nat  = rows.filter(_.getAs[Long]("probe_id") >= 0)
+    assert(junk.length == 20 && nat.length == 20)
+    // every purged-doc word was present before the purge (structural)
+    assert(junk.forall(_.getAs[Long]("present_before") == 1L))
+    // the filter actually forgets: at least one purged key tests absent
+    // (residual positives are honest cell collisions, censused not hidden)
+    assert(junk.exists(_.getAs[Long]("present_after") == 0L))
+    // a SURVIVING key is never forgotten — the anti-join delete discipline:
+    // decrements only touch keys whose last holder left
+    nat.foreach { r =>
+      assert(r.getAs[Long]("present_before") == 1L && r.getAs[Long]("present_after") == 1L)
+      assert(r.getAs[Long]("min_count_after") >= 1L)
+      assert(r.getAs[Long]("stale_fp") == 0L)
+    }
+    // stale_fp is exactly the before-and-not-after set on every row
+    rows.foreach { r =>
+      val expect =
+        if (r.getAs[Long]("present_before") == 1L && r.getAs[Long]("present_after") == 0L) 1L
+        else 0L
+      assert(r.getAs[Long]("stale_fp") == expect)
+      // membership and residual counts agree
+      assert((r.getAs[Long]("present_after") == 1L) == (r.getAs[Long]("min_count_after") > 0L))
+    }
+  }
+
   test("s33: Bloom skipping has zero false negatives; absent probes never match truth") {
     val rows = SparkEntry.queries("s33_bloom_skipping")(spark, sf).collect()
     assert(rows.length == 40)
