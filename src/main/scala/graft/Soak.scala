@@ -162,6 +162,7 @@ object Soak {
     "x32_prf_expansion",
     "x33_stupid_backoff",
     "s33_bloom_skipping",
+    "s35_counting_bloom",
     "s19i_ivfadc_rerank",
     "d21_semdedup"
   )
