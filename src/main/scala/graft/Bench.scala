@@ -33,6 +33,15 @@ object Bench {
       "org.apache.spark.sql.execution.window.WindowExec",
       org.apache.logging.log4j.Level.ERROR
     )
+    // DAGScheduler's "Broadcasting large task binary" WARNs (hundreds per
+    // full run) are what actually flooded the driver's 2KB stdout-tail in
+    // BENCH_r12..r15 — the totals line printed last but stderr interleaving
+    // still pushed it out of the tail. Benchmark-only silencing; the specs
+    // and Verify keep the default logger.
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.scheduler.DAGScheduler",
+      org.apache.logging.log4j.Level.ERROR
+    )
 
     // Warm-up (untimed, best-effort): touch every table and run a throwaway
     // agg + window probe — deliberately NOT one of the benchmarked queries,
@@ -118,6 +127,13 @@ object Bench {
       s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$slowest,"n_queries":${results.size},"failed":$failed,"sf":"$sfDir","detail":"$detailPath"}"""
     val outPath = java.nio.file.Paths.get("bench_out.json").toAbsolutePath
     java.nio.file.Files.write(outPath, (line + "\n").getBytes("UTF-8"))
+    // Dedicated machine-readable summary (r15 verdict #8, `parsed: null` for
+    // four rounds): the summary JSON — total, n_queries, failed, worst-8 —
+    // is the FIRST and only line of bench_summary.json, a fixed filename the
+    // driver can read without scraping any process output at all.
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get("bench_summary.json").toAbsolutePath,
+      (line + "\n").getBytes("UTF-8"))
     // Compact totals line LAST on stdout (top-8 slowest only, ~400 bytes):
     // the driver parses the tail of captured output, so the totals JSON must
     // be the final line — BENCH_r11 came back `parsed: null` because the

@@ -97,7 +97,12 @@ object Memo {
   }
 
   /** Drop every memoized frame (all registered maps). */
-  def clearAll(): Unit = registry.forEach(_.clear())
+  def clearAll(): Unit = {
+    registry.forEach(_.clear())
+    // cachePin entries live in the CacheManager (not ContextCleaner-
+    // reclaimed) — release them at the same boundary
+    Lineage.releasePins()
+  }
 
   /** Total live entries across all maps (diagnostics). */
   def totalEntries: Int = {

@@ -876,9 +876,10 @@ object GraphOps {
     // plans, and both the degree aggregate and the degree-annotated join
     // below consume it — untruncated, that plan runs twice.
     val ed = Lineage.truncate(edges.select(col("src"), col("dst")))
-    val outDeg = Lineage.truncate(
-      ed.groupBy(col("src")).agg(count(lit(1)).as("od"))
-    )
+    // Out-degree is consumed exactly once (the annotation join below), so
+    // it stays LAZY over the checkpointed edge frame — a second checkpoint
+    // of a one-consumer aggregate is a pure extra job (r16 fold).
+    val outDeg = ed.groupBy(col("src")).agg(count(lit(1)).as("od"))
     // Pre-partition the degree-annotated edge frame by src BEFORE the
     // truncation: checkpointed frames keep their partitioning, so when the
     // rank side outgrows broadcast (the cluster-scale regime) each pass's
@@ -921,14 +922,32 @@ object GraphOps {
     *   h_t(u) = (scale · Σ_{u→v} a_t(v))     div max_u(Σ a)
     *
     * Every step is an integer sum (order-independent) and one global max —
-    * a single-row broadcast per half-step, the standard power-iteration
-    * rescale that keeps the lattice in [0, scale] at any depth. The raw
-    * sum frames are truncated per half-step because each is consumed twice
-    * (the max aggregate and the normalize projection).
+    * the standard power-iteration rescale that keeps the lattice in
+    * [0, scale] at any depth. The raw sum frames are cache-pinned per
+    * half-step ([[graft.Lineage.cachePin]] — the max collect on the next
+    * line fills the cache, one job per half-step where
+    * checkpoint-then-aggregate paid two) because each is consumed twice
+    * (the max aggregate and the normalize projection); the max itself —
+    * one row by construction — is
+    * COLLECTED to the driver and folded into the consuming half-step's
+    * projection as a literal (the Dedup single-row-census pattern), not
+    * broadcast-joined: the r14/r15 verdicts measured this family as
+    * driver-floor-bound, and a literal divisor removes one broadcast
+    * exchange build plus one BroadcastNestedLoopJoin stage from every
+    * half-step while producing bit-identical scores (same integer
+    * arithmetic, the divisor is the same single value either way). At
+    * cluster scale the collect stays a one-row tree-reduce over the
+    * already-checkpointed sum frame — the same data movement the
+    * broadcast build paid, minus the re-publish to every executor.
     *
     * Per half-step: one equi-join onto the edge list + one keyed hash
-    * aggregate — the same iterative-analytics shape as PageRank; the max
-    * is the only global, and it reduces to one row before broadcasting.
+    * aggregate — the same iterative-analytics shape as PageRank. The
+    * score frames are vertex-bounded, so AQE broadcasts them against the
+    * streamed edge scan at every measured scale; past the broadcast
+    * regime a cluster deployment materializes src- and dst-partitioned
+    * edge copies once (the [[pageRankQuantized]] discipline, one per join
+    * orientation) — not done here because each extra upfront
+    * materialization is a full job the measured regime never recoups.
     * Returns (hubs, authorities) as (id, score) frames.
     *
     * CONTRACT: `iterations >= 1` (enforced — the authorities frame only
@@ -946,25 +965,27 @@ object GraphOps {
   ): (DataFrame, DataFrame) = {
     require(iterations >= 1, s"hitsQuantized needs iterations >= 1, got $iterations")
     val e = Lineage.truncate(edges.select(col("src"), col("dst")))
+    // max of an empty half-step frame is null (no edges reached) — any
+    // divisor works then, the normalize projects an empty frame either way
+    def maxOf(raw: DataFrame): Long = {
+      val r = raw.agg(max(col("s"))).head()
+      if (r.isNullAt(0)) 1L else r.getLong(0)
+    }
     var h = e.select(col("src").as("id")).distinct().select(col("id"), lit(scale).as("s"))
     var a: DataFrame = null
     (1 to iterations).foreach { _ =>
-      val araw = Lineage.truncate(
+      val araw = Lineage.cachePin(
         e.join(h, e("src") === h("id"))
           .groupBy(e("dst").as("id"))
           .agg(sum(col("s")).as("s"))
       )
-      a = araw
-        .crossJoin(broadcast(araw.agg(max(col("s")).as("mx"))))
-        .select(col("id"), expr(s"($scale * s) div mx").as("s"))
-      val hraw = Lineage.truncate(
+      a = araw.select(col("id"), expr(s"($scale * s) div ${maxOf(araw)}").as("s"))
+      val hraw = Lineage.cachePin(
         e.join(a, e("dst") === a("id"))
           .groupBy(e("src").as("id"))
           .agg(sum(col("s")).as("s"))
       )
-      h = hraw
-        .crossJoin(broadcast(hraw.agg(max(col("s")).as("mx"))))
-        .select(col("id"), expr(s"($scale * s) div mx").as("s"))
+      h = hraw.select(col("id"), expr(s"($scale * s) div ${maxOf(hraw)}").as("s"))
     }
     (h, a)
   }
@@ -986,9 +1007,8 @@ object GraphOps {
       scale: Long = 1000000L
   ): DataFrame = {
     val ed = Lineage.truncate(edges.select(col("src"), col("dst"), col("w")))
-    val strength = Lineage.truncate(
-      ed.groupBy(col("src")).agg(sum(col("w")).as("sw"))
-    )
+    // one consumer — lazy over the checkpointed edges, like pageRankQuantized
+    val strength = ed.groupBy(col("src")).agg(sum(col("w")).as("sw"))
     val e = Lineage.truncate(ed.join(strength, "src").repartition(col("src")))
     var r = vertexIds.select(col("id"), lit(scale).as("r"))
     (1 to iterations).foreach { i =>
@@ -1037,9 +1057,7 @@ object GraphOps {
     // pass redistributes only the rank frame — which for the ε-truncated
     // variant is the FRONTIER-BOUNDED side
     val ed = Lineage.truncate(edges.select(col("src"), col("dst")))
-    val outDeg = Lineage.truncate(
-      ed.groupBy(col("src")).agg(count(lit(1)).as("od"))
-    )
+    val outDeg = ed.groupBy(col("src")).agg(count(lit(1)).as("od"))
     val e  = Lineage.truncate(ed.join(outDeg, "src").repartition(col("src")))
     val tp = Lineage.truncate(seeds.select(col("id"), lit(15L * scale / 100).as("tp")))
     // no per-pass truncation: the rank frame is consumed once per pass;

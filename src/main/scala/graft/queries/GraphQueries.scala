@@ -366,6 +366,29 @@ object GraphQueries extends QueryModule {
     */
   private val coSupplyMemo = graft.Memo.newMap()
 
+  /** Memoized supplier→part bipartite edge list (namespaced `s:`/`p:`,
+    * distinct) — the substrate g9 PageRank, g13/g13b PPR, and g21 HITS
+    * all iterate over. Before the memo each of the four paid the same
+    * lineitem scan + distinct + checkpoint (~1–1.7 s at sf0.1) before its
+    * first pass; now the first consumer per (session, dataset) builds it
+    * and the rest start from the shared truncated frame (the
+    * [[coSupplyUndirected]]/g4 cumulative-memo discipline). The iterative
+    * operators' own `Lineage.truncate(edges.select(...))` entry steps
+    * recognize the already-checkpointed shape and pass it through instead
+    * of re-encoding it (see [[graft.Lineage]]'s alreadyMaterialized).
+    */
+  private val suppliesMemo = graft.Memo.newMap()
+
+  private def suppliesBipartite(s: SparkSession, d: String): DataFrame =
+    graft.Memo.cached(suppliesMemo, s, d)(
+      table(s, d, "lineitem")
+        .select(
+          concat(lit("s:"), col("l_suppkey")).as("src"),
+          concat(lit("p:"), col("l_partkey")).as("dst")
+        )
+        .distinct()
+    )
+
   private def coSupplyUndirected(s: SparkSession, d: String): DataFrame =
     graft.Memo.cached(coSupplyMemo, s, d)(coSupplyUndirectedCompute(s, d))
 
@@ -669,12 +692,7 @@ object GraphQueries extends QueryModule {
     * is the top 20 by quantized rank with a deterministic tiebreak.
     */
   private def g9_pagerank(s: SparkSession, d: String): DataFrame = {
-    val edges = table(s, d, "lineitem")
-      .select(
-        concat(lit("s:"), col("l_suppkey")).as("src"),
-        concat(lit("p:"), col("l_partkey")).as("dst")
-      )
-      .distinct()
+    val edges = suppliesBipartite(s, d)
     val nodes = table(s, d, "supplier")
       .select(concat(lit("s:"), col("s_suppkey")).as("id"))
       .unionByName(table(s, d, "part").select(concat(lit("p:"), col("p_partkey")).as("id")))
@@ -784,12 +802,7 @@ object GraphQueries extends QueryModule {
     * (the g9 playbook), top-20 by (rank desc, id).
     */
   private def g13_personalized_pagerank(s: SparkSession, d: String): DataFrame = {
-    val base = table(s, d, "lineitem")
-      .select(
-        concat(lit("s:"), col("l_suppkey")).as("src"),
-        concat(lit("p:"), col("l_partkey")).as("dst")
-      )
-      .distinct()
+    val base  = suppliesBipartite(s, d)
     val edges = base.unionByName(base.select(col("dst").as("src"), col("src").as("dst")))
     val seeds = table(s, d, "supplier")
       .filter(col("s_nationkey") === 0)
@@ -813,12 +826,7 @@ object GraphQueries extends QueryModule {
     * unrolled pass, so the approximation itself is cross-engine-verified.
     */
   private def g13b_ppr_truncated(s: SparkSession, d: String): DataFrame = {
-    val base = table(s, d, "lineitem")
-      .select(
-        concat(lit("s:"), col("l_suppkey")).as("src"),
-        concat(lit("p:"), col("l_partkey")).as("dst")
-      )
-      .distinct()
+    val base  = suppliesBipartite(s, d)
     val edges = base.unionByName(base.select(col("dst").as("src"), col("src").as("dst")))
     val seeds = table(s, d, "supplier")
       .filter(col("s_nationkey") === 0)
@@ -1548,16 +1556,12 @@ object GraphQueries extends QueryModule {
     * exact. Output: top-10 hubs and top-10 authorities, faceted.
     *
     * Scale shape: per half-step one keyed equi-join + hash aggregate
-    * (PageRank's shape) plus a single-row max broadcast; the top-10s are
+    * (PageRank's shape) plus a single-row max collected and folded into
+    * the next projection as a literal; the top-10s are
     * TakeOrderedAndProject. The oracle unrolls all six half-steps.
     */
   private def g21_hits(s: SparkSession, d: String): DataFrame = {
-    val edges = table(s, d, "lineitem")
-      .select(
-        concat(lit("s:"), col("l_suppkey")).as("src"),
-        concat(lit("p:"), col("l_partkey")).as("dst")
-      )
-      .distinct()
+    val edges   = suppliesBipartite(s, d)
     val (h, a) = GraphOps.hitsQuantized(edges, 3)
     def top(df: DataFrame, facet: String): DataFrame =
       df.orderBy(col("s").desc, col("id").asc)
