@@ -83,7 +83,6 @@ class PlanSweepSpec extends AnyFunSuite with SparkTestBase {
     "x32_prf_expansion"      -> 1L, // single-row corpus-stats + expansion-list broadcasts onto posting/top-20 frames
     "c29_dsir_importance"    -> 1L, // single-row target/raw gram-total broadcasts onto the 8192-row weight table
     "a30_neyman_allocation"  -> 1L, // single-row Σ(N_h·S_h) totals broadcast onto the per-language strata
-    "g21_hits"               -> 1L, // six single-row L∞-max broadcasts, one per HITS half-step
     "o11_consistent_ring"    -> 1L, // the 576-vnode ring collapsed to ONE sorted-array row, broadcast onto the scan
     "s33_bloom_skipping"     -> 8L, // per-lang Bloom manifest (≤|partitions| single-long rows) onto the 40-probe frame
     "x33_stupid_backoff"     -> 1L  // single-row N-total + tercile-cut broadcasts onto bigram/per-doc frames
@@ -113,24 +112,93 @@ class PlanSweepSpec extends AnyFunSuite with SparkTestBase {
     "x33_stupid_backoff"   -> 1024L // cumulative count over value-domain-bounded ppl-histogram bins (c25's shape)
   )
 
-  test("no query plans a CartesianProduct, an unexpected BNLJ, or an unbounded global window") {
+  /** Queries allowed a BNLJ INSIDE a truncated/cache-pinned stage — plans
+    * that execute at query-construction time and never reach the final
+    * frame (the r15 verdict's structural blind spot, now closed by
+    * [[graft.Lineage]]'s capture hook). Same machine-checked-bound
+    * semantics as [[bnljBounded]]; the bound applies to every BNLJ in
+    * every captured stage of that query. Entries whose stages run under
+    * Memo are attributed to the FIRST query that builds the memoized
+    * frame in this suite's alphabetical order.
+    */
+  private val truncatedBnljBounded: Map[String, Long] = Map(
+    "d21_semdedup"           -> 8L,  // the k = 8 SemDeDup seed-vector broadcast (Dedup.semDedup)
+    "g20_weighted_modularity" -> 8L, // per-pass scalar spine (m + numerators; measured 3 rows)
+    "g4_summary_stub"        -> 8L,  // familySweep per-copy scalar spine, ≤5 nation copies (measured 4)
+    "g8e_leiden_sweep"       -> 8L,  // per-level scalar spine over the resolution ladder (measured 4)
+    "x35_mmr_rerank"         -> 32L  // 1-row query vector + the 32-row top-R similarity broadcast
+  )
+
+  /** Same, for global windows inside truncated stages. */
+  private val truncatedGlobalWindowBounded: Map[String, Long] = Map(
+    "g15_harmonic_centrality" -> 8L,  // region-bridge lead() over the ≤5-row region aggregate
+    "g4_summary_stub"         -> 128L // five-copy nation-ladder spine windows (25 vertices × 5 copies)
+  )
+
+  private def offenderTags(
+      name: String,
+      plan: SparkPlan,
+      bnljAllow: Map[String, Long],
+      gwinAllow: Map[String, Long]
+  ): Seq[String] = {
+    val cart = plan.collect { case p: CartesianProductExec => p }.nonEmpty
+    val bnlj =
+      plan.collect { case p: BroadcastNestedLoopJoinExec => p }.nonEmpty &&
+        !bnljAllow.contains(name)
+    val gwin =
+      plan.collect { case w: WindowExec if w.partitionSpec.isEmpty => w }.nonEmpty &&
+        !gwinAllow.contains(name)
+    Seq(
+      if (cart) Some("CartesianProduct") else None,
+      if (bnlj) Some("BNLJ") else None,
+      if (gwin) Some("global-window") else None
+    ).flatten
+  }
+
+  test("no query plans a CartesianProduct, an unexpected BNLJ, or an unbounded global window — including inside truncated stages") {
+    Lineage.captureClear()
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
-      val plan = fn(spark, sf).queryExecution.sparkPlan
-      val cart = plan.collect { case p: CartesianProductExec => p }.nonEmpty
-      val bnlj =
-        plan.collect { case p: BroadcastNestedLoopJoinExec => p }.nonEmpty &&
-          !bnljBounded.contains(name)
-      val gwin =
-        plan.collect { case w: WindowExec if w.partitionSpec.isEmpty => w }.nonEmpty &&
-          !globalWindowBounded.contains(name)
-      val tags = Seq(
-        if (cart) Some("CartesianProduct") else None,
-        if (bnlj) Some("BNLJ") else None,
-        if (gwin) Some("global-window") else None
-      ).flatten
-      if (tags.isEmpty) None else Some(s"$name: ${tags.mkString(", ")}")
+      Lineage.captureStart(name)
+      val plan =
+        try fn(spark, sf).queryExecution.sparkPlan
+        finally Lineage.captureStop()
+      val finalTags = offenderTags(name, plan, bnljBounded, globalWindowBounded)
+        .map(t => s"$name: $t")
+      finalTags
     }
-    assert(offenders.isEmpty, offenders.mkString("\n"))
+    // every stage materialized during construction, swept with its own
+    // allowlist — a CartesianProduct hidden behind a Lineage.truncate now
+    // fails here instead of sailing through (proven by the fixture test)
+    val truncatedOffenders = Lineage.capturedPlans().flatMap { case (name, qe) =>
+      offenderTags(name, qe.sparkPlan, truncatedBnljBounded ++ bnljBounded,
+        truncatedGlobalWindowBounded ++ globalWindowBounded)
+        .map(t => s"$name (truncated stage): $t")
+    }
+    Lineage.captureClear()
+    val all = offenders ++ truncatedOffenders
+    assert(all.isEmpty, all.distinct.mkString("\n"))
+  }
+
+  test("the sweep sees INSIDE truncated stages: a planted Cartesian stage is flagged even though the final plan is clean") {
+    Lineage.captureClear()
+    Lineage.captureStart("fixture")
+    val saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val bad =
+      try {
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try Lineage.truncate(
+          spark.range(3).toDF("x").crossJoin(spark.range(3).toDF("y"))
+        )
+        finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+      } finally Lineage.captureStop()
+    // the final (post-truncate) plan is a bare checkpoint scan — the r15
+    // sweep would have called this clean
+    assert(offenderTags("fixture", bad.queryExecution.sparkPlan, Map.empty, Map.empty).isEmpty)
+    // the captured pre-truncate plan carries the CartesianProduct
+    val tags = Lineage.capturedPlans().collect { case ("fixture", qe) => qe }
+      .flatMap(qe => offenderTags("fixture", qe.sparkPlan, Map.empty, Map.empty))
+    Lineage.captureClear()
+    assert(tags.contains("CartesianProduct"), s"captured tags: $tags")
   }
 
   /** Walk the EXECUTED plan including adaptive stages and exchange reuse. */
@@ -204,6 +272,60 @@ class PlanSweepSpec extends AnyFunSuite with SparkTestBase {
     assert(
       windowChecked >= 8,
       s"only $windowChecked global windows measured across ${globalWindowBounded.size} allowlisted queries"
+    )
+  }
+
+  test("truncated-stage allowlist bounds hold against construction-time executed metrics") {
+    // the memo must be COLD or a warm lookup skips every truncate and this
+    // test passes vacuously on an empty capture buffer
+    Memo.clearAll()
+    Lineage.captureClear()
+    var bnljChecked   = 0
+    var windowChecked = 0
+    val names = (truncatedBnljBounded.keySet ++ truncatedGlobalWindowBounded.keySet).toSeq.sorted
+    val violations = names.flatMap { name =>
+      Lineage.captureStart(name)
+      try SparkEntry.queries(name)(spark, sf)
+      finally Lineage.captureStop()
+      Lineage.capturedPlans().filter(_._1 == name).flatMap { case (_, qe) =>
+        val plan = flatten(qe.executedPlan)
+        val bnljViolations = plan.collect { case j: BroadcastNestedLoopJoinExec => j }.flatMap { j =>
+          val build = j.buildSide match {
+            case BuildLeft  => j.left
+            case BuildRight => j.right
+          }
+          // cachePin stages execute through the CALLER's later query, so
+          // their captured metrics can be empty — only populated builds
+          // are graded here; the coverage assertion below keeps the test
+          // from rotting into a vacuous pass
+          outputRows(build).flatMap { r =>
+            bnljChecked += 1
+            val bound = truncatedBnljBounded.getOrElse(name, 0L)
+            if (r > bound) Some(s"$name (truncated): BNLJ build side $r rows > declared bound $bound")
+            else None
+          }
+        }
+        val windowViolations =
+          plan.collect { case w: WindowExec if w.partitionSpec.isEmpty => w }.flatMap { w =>
+            outputRows(w.child).flatMap { r =>
+              windowChecked += 1
+              val bound = truncatedGlobalWindowBounded.getOrElse(name, 0L)
+              if (r > bound) Some(s"$name (truncated): global-window input $r rows > declared bound $bound")
+              else None
+            }
+          }
+        bnljViolations ++ windowViolations
+      }
+    }
+    Lineage.captureClear()
+    assert(violations.isEmpty, violations.mkString("\n"))
+    assert(
+      bnljChecked >= 4,
+      s"only $bnljChecked truncated-stage BNLJ builds measured — capture or metrics broke"
+    )
+    assert(
+      windowChecked >= 2,
+      s"only $windowChecked truncated-stage global windows measured — capture or metrics broke"
     )
   }
 }
