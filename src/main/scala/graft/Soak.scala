@@ -164,7 +164,21 @@ object Soak {
     "s33_bloom_skipping",
     "s35_counting_bloom",
     "s19i_ivfadc_rerank",
-    "d21_semdedup"
+    "d21_semdedup",
+    // r16: d22 and x34 get their advised replica rungs. d22 shares d21's
+    // identical-copy embedding quadratic (every bucket's occupancy grows
+    // N×, candidate pairs N² by construction) — exp = 2 with the candidate
+    // census carried in-output; x34's anchors and planted positives live
+    // only in replica 0 (doc_id 0..19 / −1..−20), so the probe side is
+    // CONSTANT while the gram corpus grows N× — the linear bar applies.
+    "d22_multiprobe_lsh",
+    "x34_hard_negatives",
+    // r16: the SemDeDup PRODUCTION configuration — k scales with the
+    // replica factor so cluster occupancy stays ~constant and Σ occ² is
+    // LINEAR in the corpus (the paper's whole point; d21's fixed-k rung
+    // above prices the harness configuration's declared N²). Resolved by
+    // `queryFor` below: k = 8 on the 1× side, k = 8·N on the replica.
+    "d21_semdedup_scaledk"
   )
 
   private[graft] def buildScaled(spark: SparkSession, src: String, out: String, n: Int): Unit = {
@@ -247,7 +261,11 @@ object Soak {
       // query must REPORT) is N² — quadratic work is the correct answer,
       // not a regression; production keeps occupancy flat by scaling k∝n
       // (the SemDeDup paper's design), which replication cannot model
-      "d21_semdedup" -> 2.0
+      "d21_semdedup" -> 2.0,
+      // same identical-copy embedding replication argument as d21: every
+      // probe bucket's occupancy grows N×, so candidates (and the true
+      // graded pairs the query must report) grow N²
+      "d22_multiprobe_lsh" -> 2.0
     ).withDefaultValue(1.0)
 
   /** Physical-plan join-node census — the soak's plan-flip detector.
@@ -294,6 +312,14 @@ object Soak {
       println(s"[soak] using prebuilt ${n}x replica at $out")
     }
 
+    // Scale-aware cells: names resolved here instead of SparkEntry carry a
+    // knob that must move WITH the replica factor (d21's k — constant
+    // occupancy is the configuration the SemDeDup paper actually runs).
+    def queryFor(name: String, dir: String): DataFrame =
+      if (name == "d21_semdedup_scaledk")
+        graft.queries.Dedup.semDedup(spark, dir, k = if (dir == src) 8 else 8 * n)
+      else SparkEntry.queries(name)(spark, dir)
+
     def timeOnce(name: String, dir: String): Double = {
       // Cross-query memoization (Memo) must not leak into the measurement:
       // without this clear, the SECOND soak pass over a memoized query (d2,
@@ -306,7 +332,7 @@ object Soak {
       // below relies on.
       Memo.clearAll()
       val t0 = System.nanoTime()
-      SparkEntry.queries(name)(spark, dir).write.format("noop").mode("overwrite").save()
+      queryFor(name, dir).write.format("noop").mode("overwrite").save()
       val t = (System.nanoTime() - t0) / 1e9
       // Block hygiene between measurements: iterative queries leave their
       // localCheckpoint blocks pinned until the ContextCleaner sees the
@@ -341,8 +367,8 @@ object Soak {
       // the plan either way, and bypassing them would rebuild the substrate
       // raw under every iterative pass just to print a plan.
       def census(dir: String): Map[String, Int] =
-        if (directMemo(q)) Memo.bypass(nodeCensus(SparkEntry.queries(q)(spark, dir)))
-        else nodeCensus(SparkEntry.queries(q)(spark, dir))
+        if (directMemo(q)) Memo.bypass(nodeCensus(queryFor(q, dir)))
+        else nodeCensus(queryFor(q, dir))
       val before = census(src)
       val after  = census(out)
       val flips  = after.collect { case (node, c) if c > before(node) => node }.toSeq

@@ -1,7 +1,7 @@
 package graft.io
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.types.{ByteType, DataType, DoubleType, FloatType, IntegerType, LongType, ShortType, StructType}
 
 /** Library-level sinks/scans — SURVEY.md §2.1 S1–S5 (+S16 overwrite
   * semantics), the Spark-native form of the reference's I/O managers.
@@ -221,6 +221,69 @@ object TableIO {
     spark.read
       .parquet(path)
       .filter(org.apache.spark.sql.functions.col("gen") <= asOf)
+
+  /** Snapshot read across EVOLVED generation schemas — the read half of
+    * lakehouse schema evolution for the two always-safe changes (the
+    * Iceberg/Delta rule): ADD a column (older generations read it as
+    * null) and WIDEN a primitive (int → long, float → double). Spark's
+    * parquet `mergeSchema` REFUSES conflicting primitive types, so
+    * widening cannot ride the file-level merge: each `gen<=asOf`
+    * partition is read with its own file schema, every column is cast to
+    * the WIDEST type any generation declares for that name, and the
+    * frames combine with `unionByName(allowMissingColumns = true)` —
+    * added columns backfill as null, which the caller censuses rather
+    * than hides (IOQueries s36). Column order follows first appearance
+    * across generations; the `gen` column is appended for keep-last /
+    * census use, exactly as [[readSnapshot]] exposes it.
+    *
+    * Pruning: generations beyond `asOf` are never LISTED, let alone read
+    * — the as-of filter is applied to the directory names before any
+    * reader opens a footer, the same no-late-files guarantee
+    * [[readSnapshot]] gets from its partition filter. Incompatible
+    * evolutions (string → int, …) throw loudly instead of silently
+    * coercing.
+    */
+  def readSnapshotEvolved(spark: SparkSession, path: String, asOf: Int): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs   = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val gens = fs
+      .listStatus(root)
+      .filter(_.isDirectory)
+      .map(_.getPath.getName)
+      .collect { case n if n.startsWith("gen=") => n.stripPrefix("gen=").toInt }
+      .filter(_ <= asOf)
+      .sorted
+    require(gens.nonEmpty, s"no gen<=$asOf partitions under $path")
+    val frames = gens.map(g => g -> spark.read.parquet(s"$path/gen=$g"))
+    def intRank(t: DataType): Int = t match {
+      case ByteType => 1; case ShortType => 2; case IntegerType => 3; case LongType => 4
+      case _        => 0
+    }
+    def wider(a: DataType, b: DataType): DataType = (a, b) match {
+      case (x, y) if x == y                             => x
+      case (x, y) if intRank(x) > 0 && intRank(y) > 0   => if (intRank(x) >= intRank(y)) x else y
+      case (FloatType, DoubleType) | (DoubleType, FloatType) => DoubleType
+      case _ =>
+        throw new IllegalArgumentException(
+          s"incompatible schema evolution: $a vs $b (only add + widen are safe)")
+    }
+    val target = frames.foldLeft(Seq.empty[(String, DataType)]) { case (acc, (_, df)) =>
+      df.schema.fields.foldLeft(acc) { (a, f) =>
+        a.indexWhere(_._1 == f.name) match {
+          case -1 => a :+ (f.name -> f.dataType)
+          case i  => a.updated(i, f.name -> wider(a(i)._2, f.dataType))
+        }
+      }
+    }
+    frames
+      .map { case (g, df) =>
+        val have = df.columns.toSet
+        val cols = target.collect { case (n, t) if have(n) => col(n).cast(t) }
+        df.select(cols: _*).withColumn("gen", lit(g))
+      }
+      .reduce(_.unionByName(_, allowMissingColumns = true))
+  }
 
   /** INCREMENTAL (CDC-style) read: only the rows committed in generations
     * `fromExclusive < gen <= toInclusive` — the "what changed since my

@@ -985,7 +985,18 @@ object Dedup extends QueryModule {
     * Reference anchor: the corpus ingest dedups exact ids only
     * (utils/chroma_helpers.py:111-124) — this is its semantic upgrade.
     */
-  private def d21_semdedup(s: SparkSession, d: String): DataFrame = {
+  private def d21_semdedup(s: SparkSession, d: String): DataFrame =
+    semDedup(s, d, k = 8)
+
+  /** [[d21_semdedup]] with the SemDeDup cluster count as a real parameter
+    * (r15 verdict #3): seeds are the first `k` stored vectors, so the
+    * registered query's k = 8 stays byte-identical while the soak ladder
+    * can run k ∝ replica-factor — constant target occupancy, the paper's
+    * production configuration where Σ occ² ≈ n·occ keeps the
+    * within-cluster pair stage LINEAR in the corpus instead of quadratic.
+    */
+  def semDedup(s: SparkSession, d: String, k: Int): DataFrame = {
+    require(k >= 1, s"semDedup needs k >= 1, got $k")
     val qd2 =
       "aggregate(zip_with(%s, %s, (x, y) -> (floor(x * 1024) - floor(y * 1024)) " +
         "* (floor(x * 1024) - floor(y * 1024))), 0L, (acc, v) -> acc + v)"
@@ -1000,7 +1011,7 @@ object Dedup extends QueryModule {
           )
       )
     )
-    val seeds = ve.filter(col("vec_id").between(0, 7)).select(col("vec_id").as("seed"), col("e").as("se"))
+    val seeds = ve.filter(col("vec_id").between(0, k - 1)).select(col("vec_id").as("seed"), col("e").as("se"))
     val assign = graft.Lineage.truncate(
       ve.crossJoin(broadcast(seeds))
         .select(col("vec_id"), col("seed"), expr(qd2.format("e", "se")).as("sd2"))
@@ -1086,10 +1097,10 @@ object Dedup extends QueryModule {
     * Scale shape: probing is a keyed equi-join (7 keys per query, never a
     * scan of the index); candidate volume is Σ_bucket probes·occupancy —
     * bounded by bucket occupancy exactly like d5, with the 7× probe
-    * multiplier priced in-output. No soak rung: identical-copy embedding
-    * replication makes every bucket's occupancy grow N× with N² candidate
-    * pairs (d21's note) — the census columns carry the cost honestly at
-    * any scale instead.
+    * multiplier priced in-output. Soaked at 16× under d21's declared N²
+    * bar (identical-copy embedding replication makes every bucket's
+    * occupancy grow N×, candidate pairs N² by construction), with the
+    * census columns carrying the cost honestly alongside.
     */
   private def d22_multiprobe_lsh(s: SparkSession, d: String): DataFrame = {
     val pls = VF.planes(6, 64)

@@ -802,6 +802,73 @@ object IOQueries extends QueryModule {
       )
   }
 
+  /** S36 — SCHEMA EVOLUTION through the generation path (the two
+    * always-safe lakehouse evolutions, Iceberg/Delta's rule: ADD a
+    * column, WIDEN a primitive): generation 1 lands `documents` on the
+    * original narrow schema with an INT doc_id; generation 2 lands a
+    * refresh with doc_id WIDENED to long, the text revised, and a new
+    * `quality` column the old generation never carried. The union comes
+    * back through [[graft.io.TableIO.readSnapshotEvolved]] — per-
+    * generation file schemas, explicit widest-type casts (parquet
+    * `mergeSchema` refuses int-vs-long, so widening must be a cast), and
+    * `unionByName(allowMissingColumns)` backfilling nulls — and the query
+    * CENSUSES the nulls-for-old-rows per generation instead of hiding
+    * them: (gen, rows, null_quality, Σ doc_id, Σ quality, Σ text length),
+    * each column exercising a different leg of the evolution (widened
+    * key, added column, revised payload). The oracle reconstructs the
+    * same census from the source table's two logical generations, so a
+    * green row proves the write→evolve→read path preserved VALUES, not
+    * just that a schema merged. TableIOSpec pins the read-side contracts:
+    * as-of-1 never lists gen 2 (no `quality` column, doc_id still int),
+    * and an incompatible evolution (string vs long) throws rather than
+    * coercing.
+    *
+    * Scale: per-generation reads stay partition-scoped (directory-level
+    * as-of pruning — a snapshot never opens a newer footer); the census
+    * is one hash aggregate keyed by generation. At 100 TB, add+widen
+    * evolutions land as metadata; this path prices the read-side
+    * reconciliation they imply.
+    */
+  private def s36_schema_evolution(s: SparkSession, d: String): DataFrame = {
+    val base = ioDir("s36_docs")
+    val docs = table(s, d, "documents")
+    TableIO.writeGeneration(
+      docs.select(col("doc_id").cast("int").as("doc_id"), col("lang"), col("text")),
+      base,
+      1
+    )
+    TableIO.writeGeneration(
+      docs
+        .filter(col("doc_id") % 3 === 0)
+        .select(
+          col("doc_id").cast("long").as("doc_id"),
+          col("lang"),
+          concat(col("text"), lit(" v2")).as("text"),
+          length(col("text")).cast("long").as("quality")
+        ),
+      base,
+      2
+    )
+    TableIO
+      .readSnapshotEvolved(s, base, asOf = 2)
+      .groupBy(col("gen"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        sum(when(col("quality").isNull, 1L).otherwise(0L)).as("null_quality"),
+        sum(col("doc_id")).as("sum_doc_id"),
+        sum(coalesce(col("quality"), lit(0L))).as("sum_quality"),
+        sum(length(col("text"))).as("sum_text_len")
+      )
+      .select(
+        col("gen").cast("long").as("gen"),
+        col("n_rows").cast("long").as("n_rows"),
+        col("null_quality").cast("long").as("null_quality"),
+        col("sum_doc_id").cast("long").as("sum_doc_id"),
+        col("sum_quality").cast("long").as("sum_quality"),
+        col("sum_text_len").cast("long").as("sum_text_len")
+      )
+  }
+
   /** S35 — COUNTING-Bloom delete maintenance (Fan–Cao–Almeida–Broder 2000
     * "Summary Cache", the counting filter that made Bloom summaries
     * deletable): s33's Bloom and its streaming face are MONOTONE — bits
@@ -904,6 +971,7 @@ object IOQueries extends QueryModule {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s36_schema_evolution" -> (s36_schema_evolution _),
     "s35_counting_bloom" -> (s35_counting_bloom _),
     "s34_incremental_scan" -> (s34_incremental_scan _),
     "s33_bloom_skipping" -> (s33_bloom_skipping _),
@@ -927,6 +995,24 @@ object IOQueries extends QueryModule {
   )
 
   val oracles: Map[String, String] = Map(
+    "s36_schema_evolution" ->
+      """WITH g1 AS (SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                  CAST(NULL AS BIGINT) AS quality,
+                  CAST(length(text) AS BIGINT) AS tl, 1 AS gen
+           FROM documents),
+         g2 AS (SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                  CAST(length(text) AS BIGINT) AS quality,
+                  CAST(length(text) + 3 AS BIGINT) AS tl, 2 AS gen
+           FROM documents WHERE doc_id % 3 = 0),
+         u AS (SELECT * FROM g1 UNION ALL SELECT * FROM g2)
+         SELECT CAST(gen AS BIGINT) AS gen,
+                CAST(count(*) AS BIGINT) AS n_rows,
+                CAST(sum(CASE WHEN quality IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+                  AS null_quality,
+                CAST(sum(doc_id) AS BIGINT) AS sum_doc_id,
+                CAST(sum(coalesce(quality, 0)) AS BIGINT) AS sum_quality,
+                CAST(sum(tl) AS BIGINT) AS sum_text_len
+         FROM u GROUP BY 1""",
     "s35_counting_bloom" ->
       """WITH jt AS (
            SELECT -doc_id - 1 AS doc_id, lang,

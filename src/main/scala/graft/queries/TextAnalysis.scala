@@ -1321,8 +1321,14 @@ object TextAnalysis extends QueryModule {
     * per-language hash aggregate. Nothing re-scans the corpus more than
     * the two passes (vocab build + apply).
     */
-  private def x31_bpe_apply(s: SparkSession, d: String): DataFrame = {
-    val vocab0 = graft.Lineage.truncate(
+  /** The BPE training substrate x31 and x36 share, materialized once per
+    * (session, dataset): corpus words (length ≥ 2) with frequencies, each
+    * carrying its original form `w0` beside the rewrite column `w`.
+    */
+  private val bpeVocabMemo = graft.Memo.newMap()
+
+  private def bpeVocab0(s: SparkSession, d: String): DataFrame =
+    graft.Memo.cached(bpeVocabMemo, s, d)(
       table(s, d, "documents")
         .select(explode(words(col("text"))).as("w0"))
         .filter(length(col("w0")) >= 2)
@@ -1330,6 +1336,9 @@ object TextAnalysis extends QueryModule {
         .agg(count(lit(1)).as("freq"))
         .select(col("w0"), col("w0").as("w"), col("freq"))
     )
+
+  private def x31_bpe_apply(s: SparkSession, d: String): DataFrame = {
+    val vocab0 = bpeVocab0(s, d)
     val merged = Seq("A", "B", "C", "D").foldLeft(vocab0) { (v, sym) =>
       val top = v
         .filter(length(col("w")) >= 2)
@@ -1372,6 +1381,80 @@ object TextAnalysis extends QueryModule {
         expr("1000 * sc div nw").as("tpw_char_pm"),
         expr("1000 * sbp div nw").as("tpw_bpe_pm")
       )
+  }
+
+  /** X36 — BPE MERGE SCHEDULE to 16 merges (Sennrich–Haddow–Birch 2016
+    * §3.2: the full training recurrence x28 ran one step of and x31 ran
+    * four of, taken to a 16-entry merge TABLE with the per-step census a
+    * real tokenizer build reads before freezing its vocabulary): step k
+    * re-counts adjacent symbol pairs on the vocabulary REWRITTEN by merges
+    * 1..k−1 (later merges consume earlier merge symbols — true BPE), picks
+    * the (count desc, pair asc) winner, rewrites greedily
+    * leftmost-non-overlapping (reserved single chars 'A'..'P', x31's
+    * encoding, so `replace` IS the apply and symbol count stays
+    * `length(w)`), and logs (winning pair, its pair count, symbols saved,
+    * total symbols, tokens-per-word ‰). The tpw curve is MONOTONE
+    * NON-INCREASING by construction — every applied merge collapses ≥ 1
+    * occurrence — which X36Spec pins along with the compression-curve
+    * flattening (later merges save fewer symbols).
+    *
+    * Scale shape: one corpus aggregate builds the shared [[bpeVocab0]];
+    * each of the 16 steps is ONE vocabulary-sized job (pair count + argmax
+    * collapses to a single-row collect — the winning pair is data the next
+    * rewrite's expression needs, the same driver-scalar discipline as
+    * hitsQuantized's L∞ max; the rewrite is cache-pinned and the next
+    * step's count fills it). Per-step totals ride one final job that
+    * unions 17 single-row aggregates over the pinned vocabularies. Work
+    * per step is vocab-bounded at any corpus size — the x28 argument, 16×.
+    * The 16-row census itself assembles on the driver from those
+    * single-row aggregates (pl4's bounded-spine pattern).
+    */
+  private def x36_bpe_schedule(s: SparkSession, d: String): DataFrame = {
+    val Merges = 16
+    val syms   = ('A' to 'P').map(_.toString)
+    val v0     = bpeVocab0(s, d)
+    var v      = v0
+    val picks  = Array.ofDim[(String, Long)](Merges + 1) // 1-based
+    val vs     = Array.ofDim[DataFrame](Merges + 1)
+    vs(0) = v0
+    (1 to Merges).foreach { k =>
+      val top = v
+        .filter(length(col("w")) >= 2)
+        .select(col("freq"), explode(expr("sequence(1, length(w) - 1)")).as("i"), col("w"))
+        .select(expr("substr(w, i, 2)").as("pair"), col("freq"))
+        .groupBy(col("pair"))
+        .agg(sum(col("freq")).as("pc"))
+        .orderBy(col("pc").desc, col("pair").asc)
+        .limit(1)
+        .head()
+      picks(k) = (top.getString(0), top.getLong(1))
+      v = graft.Lineage.cachePin(
+        v.select(col("w0"), expr(s"replace(w, '${picks(k)._1}', '${syms(k - 1)}')").as("w"), col("freq"))
+      )
+      vs(k) = v
+    }
+    val totalsRows = (0 to Merges)
+      .map(k =>
+        vs(k)
+          .agg(
+            sum(col("freq") * length(col("w"))).cast("long").as("ts"),
+            sum(col("freq")).cast("long").as("nw")
+          )
+          .select(lit(k.toLong).as("k"), col("ts"), col("nw"))
+      )
+      .reduce(_.unionByName(_))
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    val nWords = totalsRows(0L)._2
+    val out = (1 to Merges).map { k =>
+      val total = totalsRows(k.toLong)._1
+      val prev  = totalsRows(k.toLong - 1)._1
+      (k.toLong, picks(k)._1, picks(k)._2, prev - total, total, 1000L * total / nWords)
+    }
+    import s.implicits._
+    out.toDF("step", "merge_pair", "pair_count", "symbols_saved", "total_symbols", "tpw_pm")
+      .repartition(1)
   }
 
   /** X33 — STUPID BACKOFF bigram LM perplexity filter (Brants et al. 2007
@@ -1583,6 +1666,7 @@ object TextAnalysis extends QueryModule {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x36_bpe_schedule" -> (x36_bpe_schedule _),
     "x34_hard_negatives" -> (x34_hard_negatives _),
     "x33_stupid_backoff" -> (x33_stupid_backoff _),
     "x31_bpe_apply" -> (x31_bpe_apply _),
@@ -1647,7 +1731,47 @@ object TextAnalysis extends QueryModule {
           GROUP BY 1 ORDER BY sum(freq) DESC, pair LIMIT 1),
         v$k AS (SELECT w0, replace(w, pair, '$sym') AS w, freq FROM v${k - 1}, t$k)"""
 
+  /** One x36 oracle step: like [[bpeStepSql]] but keeps the winner's pair
+    * count and snapshots the post-rewrite total symbol mass, so the
+    * census columns regenerate per step (iterated-function equality — any
+    * prefix of the 16 steps agrees between engines).
+    */
+  private def x36StepSql(k: Int, sym: String): String =
+    s"""t$k AS MATERIALIZED (
+          SELECT pair, CAST(sum(freq) AS BIGINT) AS pc FROM (
+            SELECT unnest(list_transform(generate_series(1, length(w) - 1),
+                     i -> substr(w, CAST(i AS INT), 2))) AS pair, freq
+            FROM v${k - 1} WHERE length(w) >= 2)
+          GROUP BY 1 ORDER BY pc DESC, pair LIMIT 1),
+        v$k AS MATERIALIZED (
+          SELECT w0, replace(w, (SELECT pair FROM t$k), '$sym') AS w, freq
+          FROM v${k - 1}),
+        c$k AS MATERIALIZED (
+          SELECT CAST(sum(freq * length(w)) AS BIGINT) AS ts FROM v$k)"""
+
+  private val x36OracleSql: String = {
+    val syms  = ('A' to 'P').map(_.toString)
+    val steps = (1 to 16).map(k => x36StepSql(k, syms(k - 1))).mkString(",\n        ")
+    val rows = (1 to 16)
+      .map(k => s"""SELECT CAST($k AS BIGINT) AS step,
+                 (SELECT pair FROM t$k) AS merge_pair,
+                 (SELECT pc FROM t$k) AS pair_count,
+                 (SELECT ts FROM c${k - 1}) - (SELECT ts FROM c$k) AS symbols_saved,
+                 (SELECT ts FROM c$k) AS total_symbols,
+                 1000 * (SELECT ts FROM c$k) // (SELECT nw FROM n0) AS tpw_pm""")
+      .mkString(" UNION ALL ")
+    s"""WITH v0 AS MATERIALIZED (
+          SELECT w AS w0, w, CAST(count(*) AS BIGINT) AS freq FROM (
+            SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+          WHERE length(w) >= 2 GROUP BY 1, 2),
+        c0 AS (SELECT CAST(sum(freq * length(w)) AS BIGINT) AS ts FROM v0),
+        n0 AS (SELECT CAST(sum(freq) AS BIGINT) AS nw FROM v0),
+        $steps
+        $rows ORDER BY step"""
+  }
+
   val oracles: Map[String, String] = Map(
+    "x36_bpe_schedule" -> x36OracleSql,
     "x34_hard_negatives" ->
       """WITH pool AS (
            SELECT doc_id, text FROM documents
@@ -1655,7 +1779,7 @@ object TextAnalysis extends QueryModule {
            SELECT -doc_id - 1, text || ' zz tail' FROM documents WHERE doc_id < 20),
          gr AS (
            SELECT doc_id, unnest(list_distinct(list_transform(
-                    generate_series(0, greatest(len(string_split(text, ' ')) - 3, 0)),
+                    generate_series(0, len(string_split(text, ' ')) - 3),
                     i -> array_to_string(string_split(text, ' ')[i+1:i+3], ' ')))) AS g
            FROM pool),
          ag AS (SELECT doc_id AS a, g FROM gr WHERE doc_id BETWEEN 0 AND 19),
@@ -2031,7 +2155,7 @@ object TextAnalysis extends QueryModule {
       """WITH g AS (
            SELECT doc_id,
                   unnest(list_distinct(list_transform(
-                    generate_series(0, greatest(len(string_split(text, ' ')) - 5, 0)),
+                    generate_series(0, len(string_split(text, ' ')) - 5),
                     i -> array_to_string(string_split(text, ' ')[i+1:i+5], ' ')))) AS g
            FROM documents),
          k AS (SELECT doc_id, ('0x' || substr(md5(g), 1, 14))::BIGINT AS gk FROM g),
@@ -2081,7 +2205,7 @@ object TextAnalysis extends QueryModule {
         .mkString(" + ")
       s"""WITH g AS (
             SELECT source, unnest(list_distinct(list_transform(
-                     generate_series(0, greatest(len(string_split(text, ' ')) - ${MH.ShingleN}, 0)),
+                     generate_series(0, len(string_split(text, ' ')) - ${MH.ShingleN}),
                      i -> array_to_string(string_split(text, ' ')[i+1:i+${MH.ShingleN}], ' ')))) AS sh
             FROM documents),
           x AS (SELECT source, ('0x' || substr(md5(sh), 1, 6))::BIGINT AS x FROM g),
@@ -2095,7 +2219,7 @@ object TextAnalysis extends QueryModule {
       """WITH g AS (
            SELECT source, doc_id,
                   unnest(list_distinct(list_transform(
-                    generate_series(0, greatest(len(string_split(text, ' ')) - 5, 0)),
+                    generate_series(0, len(string_split(text, ' ')) - 5),
                     i -> array_to_string(string_split(text, ' ')[i+1:i+5], ' ')))) AS g
            FROM documents),
          k AS (SELECT source, doc_id, ('0x' || substr(md5(g), 1, 14))::BIGINT AS gk,

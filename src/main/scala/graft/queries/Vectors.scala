@@ -686,7 +686,95 @@ object Vectors extends QueryModule {
       )
   }
 
+  /** X35 — MMR DIVERSITY RE-RANK (Carbonell–Goldstein 1998 "The use of
+    * MMR, diversity-based reranking": the retrieval diversification the
+    * reference's raw cosine top-8 lacks — its query path returns the top-k
+    * by similarity alone, reference scripts/query_embeddings.py:39-93, so
+    * near-duplicate passages crowd out coverage): greedy λ-MMR over the
+    * bounded top-R = 32 relevance cut,
+    *
+    *   pick_t = argmax_{c ∉ S} [ λ·rel(c) − (1−λ)·max_{s ∈ S} sim(c, s) ]
+    *
+    * with λ = 0.7 kept as the integer pair (7, 3) over ×10⁴-quantized
+    * cosines (s24's quantization discipline), so every score and every
+    * argmax tiebreak (score desc, vec_id asc) is engine-exact. Step 1 has
+    * no selected set: maxsim = 0 and the pick is the relevance argmax.
+    * Output: the K = 8 picks in selection order with their relevance,
+    * redundancy penalty, and MMR score — X35MmrSpec censuses that the
+    * MMR set's mean pairwise similarity lands strictly below the raw
+    * top-8's (the diversity the operator exists to buy).
+    *
+    * Scale shape: the only corpus-touching work is s19's brute-force
+    * relevance scan (one narrow pass + TakeOrdered top-R); everything
+    * after — the R×R similarity matrix (crossJoin of a broadcast 32-row
+    * frame, ≤992 pairs) and the K-step greedy loop — is bounded by the
+    * R = 32 / K = 8 CONSTANTS at any corpus size, so the loop runs under
+    * [[graft.Tuning.dimensionGraphProfile]] (pair work ≤ R², never
+    * corpus-dependent). At production R (hundreds), the same shape holds:
+    * MMR cost is a function of the cut, not the corpus.
+    */
+  private def x35_mmr_rerank(s: SparkSession, d: String): DataFrame = {
+    val R   = 32
+    val e   = table(s, d, "embeddings")
+    val cand = graft.Lineage.truncate(
+      e.crossJoin(broadcast(queryVec(e)))
+        .select(
+          col("vec_id"),
+          col("embedding"),
+          round(VF.cosine(col("embedding"), col("qe")) * 10000, 0).cast("long").as("rel_q")
+        )
+        .orderBy(col("rel_q").desc, col("vec_id").asc)
+        .limit(R)
+    )
+    graft.Tuning.dimensionGraphProfile(s) {
+      val ca = cand.select(col("vec_id").as("i"), col("embedding").as("ei"))
+      val cb = cand.select(col("vec_id").as("j"), col("embedding").as("ej"))
+      val sim = graft.Lineage.truncate(
+        ca.crossJoin(broadcast(cb))
+          .filter(col("i") =!= col("j"))
+          .select(
+            col("i"),
+            col("j"),
+            round(VF.cosine(col("ei"), col("ej")) * 10000, 0).cast("long").as("sim_q")
+          )
+      )
+      var sel = graft.Lineage.truncate(
+        cand
+          .select(
+            lit(1L).as("step"),
+            col("vec_id"),
+            col("rel_q"),
+            lit(0L).as("maxsim_q"),
+            (lit(7L) * col("rel_q")).as("score_q")
+          )
+          .orderBy(col("score_q").desc, col("vec_id").asc)
+          .limit(1)
+      )
+      (2 to K).foreach { t =>
+        val ms = sim
+          .join(sel.select(col("vec_id").as("j")), "j")
+          .groupBy(col("i"))
+          .agg(max(col("sim_q")).as("maxsim_q"))
+        val pick = cand
+          .join(sel.select(col("vec_id")), Seq("vec_id"), "left_anti")
+          .join(ms, cand("vec_id") === ms("i"))
+          .select(
+            lit(t.toLong).as("step"),
+            col("vec_id"),
+            col("rel_q"),
+            col("maxsim_q"),
+            (lit(7L) * col("rel_q") - lit(3L) * col("maxsim_q")).as("score_q")
+          )
+          .orderBy(col("score_q").desc, col("vec_id").asc)
+          .limit(1)
+        sel = graft.Lineage.truncate(sel.unionByName(pick))
+      }
+      sel.orderBy(col("step"))
+    }
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x35_mmr_rerank" -> (x35_mmr_rerank _),
     "s19h_hybrid_rrf" -> (s19h_hybrid_rrf _),
     "s19g_ivfadc" -> (s19g_ivfadc _),
     "s19i_ivfadc_rerank" -> (s19i_ivfadc_rerank _),
@@ -765,7 +853,54 @@ object Vectors extends QueryModule {
       )
       .mkString(" || ")
 
+  /** One unrolled MMR greedy step for the x35 oracle: pick t from the
+    * candidates not yet in sel(t−1), scoring 7·rel − 3·max-sim-to-selected
+    * with the (score desc, vec_id) tiebreak — the same integer arithmetic
+    * the engine runs, so any k agrees by iterated-function equality (the
+    * g8e pattern).
+    */
+  private def mmrStepSql(t: Int): String =
+    s"""s$t AS MATERIALIZED (
+          SELECT $t AS step, c.vec_id, c.rel_q, m.ms AS maxsim_q,
+                 7 * c.rel_q - 3 * m.ms AS score_q
+          FROM cand c
+          JOIN (SELECT i, max(sim_q) AS ms FROM sim
+                WHERE j IN (SELECT vec_id FROM sel${t - 1}) GROUP BY i) m
+            ON m.i = c.vec_id
+          WHERE c.vec_id NOT IN (SELECT vec_id FROM sel${t - 1})
+          ORDER BY score_q DESC, c.vec_id LIMIT 1),
+        sel$t AS MATERIALIZED (
+          SELECT vec_id FROM sel${t - 1} UNION ALL SELECT vec_id FROM s$t)"""
+
+  private val x35OracleSql: String = {
+    val pairCos =
+      """list_dot_product(a.e, b.e) /
+         (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e)))"""
+    val steps = (2 to K).map(mmrStepSql).mkString(",\n        ")
+    val union = (1 to K).map(t => s"SELECT * FROM s$t").mkString(" UNION ALL ")
+    s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+        q AS (SELECT e AS qe FROM v WHERE vec_id = 0),
+        cand AS MATERIALIZED (
+                 SELECT vec_id, e,
+                        CAST(round(10000 * ($cosSql), 0) AS BIGINT) AS rel_q
+                 FROM v, q ORDER BY rel_q DESC, vec_id LIMIT 32),
+        sim AS MATERIALIZED (
+                SELECT a.vec_id AS i, b.vec_id AS j,
+                       CAST(round(10000 * ($pairCos), 0) AS BIGINT) AS sim_q
+                FROM cand a, cand b WHERE a.vec_id <> b.vec_id),
+        s1 AS MATERIALIZED (
+               SELECT 1 AS step, vec_id, rel_q, CAST(0 AS BIGINT) AS maxsim_q,
+                      7 * rel_q AS score_q
+               FROM cand ORDER BY score_q DESC, vec_id LIMIT 1),
+        sel1 AS (SELECT vec_id FROM s1),
+        $steps
+        SELECT CAST(step AS BIGINT) AS step, CAST(vec_id AS BIGINT) AS vec_id,
+               rel_q, maxsim_q, CAST(score_q AS BIGINT) AS score_q
+        FROM ($union) ORDER BY step"""
+  }
+
   val oracles: Map[String, String] = Map(
+    "x35_mmr_rerank" -> x35OracleSql,
     "x23_embedding_outliers" ->
       s"""WITH v AS (SELECT vec_id, label, embedding::DOUBLE[] AS e FROM embeddings),
           vq AS (SELECT vec_id, label, CAST(i AS BIGINT) AS pos,

@@ -196,19 +196,6 @@ object StreamOps {
         joinType
       )
 
-  /** Keep-last streaming upsert sink (S17's semantics on a stream): each
-    * micro-batch is merged into the parquet collection at `path` — existing
-    * rows lose to same-key batch rows, within-batch ties resolve by highest
-    * `version`. Built on `foreachBatch` + [[graft.io.TableIO.writeParquet]]
-    * (staging + swap), so a crash mid-batch leaves the previous collection
-    * intact and the retried batch converges to the same state (the merge is
-    * idempotent for replayed input — exactly the property a
-    * Structured-Streaming sink must provide over at-least-once delivery).
-    *
-    * Scale note: each merge rewrites the collection — right for dimension/
-    * collection tables (the S17 use), wrong for append-heavy fact streams
-    * (use partitioned append there instead).
-    */
   /** Streaming Bloom-MANIFEST maintenance — the incremental face of the
     * s33 data-skipping census (one bit-math definition,
     * [[graft.operators.BloomOps]]): per `lang` partition, the running
@@ -237,6 +224,19 @@ object StreamOps {
       .agg(expr(BloomOps.orAgg(0)).as("bits0"), expr(BloomOps.orAgg(1)).as("bits1"))
   }
 
+  /** Keep-last streaming upsert sink (S17's semantics on a stream): each
+    * micro-batch is merged into the parquet collection at `path` — existing
+    * rows lose to same-key batch rows, within-batch ties resolve by highest
+    * `version`. Built on `foreachBatch` + [[graft.io.TableIO.writeParquet]]
+    * (staging + swap), so a crash mid-batch leaves the previous collection
+    * intact and the retried batch converges to the same state (the merge is
+    * idempotent for replayed input — exactly the property a
+    * Structured-Streaming sink must provide over at-least-once delivery).
+    *
+    * Scale note: each merge rewrites the collection — right for dimension/
+    * collection tables (the S17 use), wrong for append-heavy fact streams
+    * (use partitioned append there instead).
+    */
   def upsertSink(batch: DataFrame, path: String, key: String, version: String): Unit = {
     val spark  = batch.sparkSession
     val target = new org.apache.hadoop.fs.Path(path)
@@ -254,6 +254,60 @@ object StreamOps {
       .withColumn("graft_rn", row_number().over(w))
       .filter(col("graft_rn") === 1)
       .drop("graft_src", "graft_rn")
+    graft.io.TableIO.writeParquet(merged, path)
+    ()
+  }
+
+  /** Streaming MERGE with TOMBSTONES — s32's insert/update/delete
+    * classification as a streaming sink, the face [[upsertSink]] lacks
+    * (keep-last can only ever ADD or REPLACE; real CDC streams carry
+    * deletes): each micro-batch row carries a boolean `deleteCol`; per
+    * key the winner is chosen by (batch beats existing, then `version`
+    * desc, then a live row beats a tombstone on a full tie — the one
+    * deterministic order that makes a within-batch upsert+delete pair at
+    * the same version resolve the same way in any engine), and a winning
+    * tombstone REMOVES the key — MERGE's `WHEN MATCHED AND is_delete THEN
+    * DELETE` arm, landed through [[graft.io.TableIO.writeParquet]]'s
+    * staged atomic swap so a crash mid-batch leaves the previous
+    * collection intact.
+    *
+    * Replay-idempotent over at-least-once delivery: a replayed tombstone
+    * for an already-removed key wins against nothing and filters out
+    * again; a replayed upsert re-lands identical values — so the final
+    * table equals the batch merge of the same micro-batches applied in
+    * order (StreamOpsSpec pins stream ≡ batch, replay convergence, and
+    * tombstone survival across a checkpointed restart).
+    *
+    * Scale note: rewrites the collection per batch, like [[upsertSink]] —
+    * the dimension/collection-table form; large partitioned facts compose
+    * this classification with [[upsertSinkPartitioned]]'s
+    * touched-partition pruning instead.
+    */
+  def mergeSink(
+      batch: DataFrame,
+      path: String,
+      key: String,
+      version: String,
+      deleteCol: String = "is_delete"
+  ): Unit = {
+    val spark  = batch.sparkSession
+    val target = new org.apache.hadoop.fs.Path(path)
+    val fs     = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val live   = batch.drop(deleteCol) // the collection schema carries no tombstone flag
+    val existing =
+      if (fs.exists(target)) spark.read.parquet(path)
+      else spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], live.schema)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(key))
+      .orderBy(col("graft_src").asc, col(version).desc, col("graft_del").asc)
+    val merged = batch
+      .withColumn("graft_src", lit(0))
+      .withColumn("graft_del", coalesce(col(deleteCol).cast("boolean"), lit(false)))
+      .drop(deleteCol)
+      .unionByName(existing.withColumn("graft_src", lit(1)).withColumn("graft_del", lit(false)))
+      .withColumn("graft_rn", row_number().over(w))
+      .filter(col("graft_rn") === 1 && !col("graft_del"))
+      .drop("graft_src", "graft_del", "graft_rn")
     graft.io.TableIO.writeParquet(merged, path)
     ()
   }

@@ -1,0 +1,97 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Invariants for the round-16 additions — the properties the row-hash
+  * oracle proves equal but can't explain.
+  */
+class Round16QueriesSpec extends AnyFunSuite with SparkTestBase {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("x35: MMR picks are distinct, step-1 is the relevance argmax, and the selected set is measurably more diverse than raw top-k") {
+    import org.apache.spark.sql.functions._
+    val rows = SparkEntry.queries("x35_mmr_rerank")(spark, sf).collect()
+    assert(rows.length == 8)
+    assert(rows.map(_.getAs[Long]("step")).toSeq == (1L to 8L), "one pick per step, in order")
+    val picked = rows.map(_.getAs[Long]("vec_id"))
+    assert(picked.distinct.length == 8, "a candidate must never be picked twice")
+    assert(rows.head.getAs[Long]("maxsim_q") == 0L, "step 1 has no selected set")
+    // every later pick pays a real redundancy penalty and the score is the
+    // declared integer combination
+    rows.drop(1).foreach { r =>
+      assert(
+        r.getAs[Long]("score_q") ==
+          7L * r.getAs[Long]("rel_q") - 3L * r.getAs[Long]("maxsim_q"))
+    }
+
+    // DIVERSITY CENSUS (the operator's reason to exist): mean pairwise
+    // similarity of the MMR set must land strictly below the raw cosine
+    // top-8's — computed from the same embeddings with the same quantizer
+    val e = Engine.table(spark, sf, "embeddings")
+    val q = e.filter(col("vec_id") === 0).select(col("embedding").as("qe"))
+    val topRaw = e
+      .crossJoin(broadcast(q))
+      .select(
+        col("vec_id"),
+        round(graft.functions.VectorFunctions.cosine(col("embedding"), col("qe")) * 10000, 0)
+          .cast("long").as("rel_q")
+      )
+      .orderBy(col("rel_q").desc, col("vec_id").asc)
+      .limit(8)
+      .collect()
+      .map(_.getAs[Long]("vec_id"))
+    def meanPairSim(ids: Seq[Long]): Double = {
+      val sel = e.filter(col("vec_id").isin(ids: _*)).select(col("vec_id").as("i"), col("embedding").as("ei"))
+      val sims = sel
+        .crossJoin(sel.select(col("i").as("j"), col("ei").as("ej")))
+        .filter(col("i") < col("j"))
+        .select(
+          round(graft.functions.VectorFunctions.cosine(col("ei"), col("ej")) * 10000, 0)
+            .cast("long").as("s"))
+        .collect()
+        .map(_.getLong(0))
+      sims.sum.toDouble / sims.length
+    }
+    val mmrSim = meanPairSim(picked.toSeq)
+    val rawSim = meanPairSim(topRaw.toSeq)
+    assert(
+      mmrSim < rawSim,
+      s"MMR must diversify: mean pairwise sim_q $mmrSim !< raw top-k's $rawSim")
+  }
+
+  test("x36: 16 distinct merges, tokens-per-word monotone non-increasing, savings equal the symbol-mass deltas") {
+    val rows = SparkEntry.queries("x36_bpe_schedule")(spark, sf).collect().sortBy(_.getAs[Long]("step"))
+    assert(rows.length == 16)
+    assert(
+      rows.map(_.getAs[String]("merge_pair")).distinct.length == 16,
+      "a pair, once merged, can never win again — its occurrences were rewritten away")
+    rows.foreach { r =>
+      assert(r.getAs[Long]("pair_count") >= 1L)
+      assert(r.getAs[Long]("symbols_saved") >= 1L, "an applied merge must collapse at least one occurrence")
+      // greedy non-overlapping replace: can never save more than the raw
+      // pair count (overlaps only reduce the collapse count)
+      assert(r.getAs[Long]("symbols_saved") <= r.getAs[Long]("pair_count"))
+    }
+    val tpw = rows.map(_.getAs[Long]("tpw_pm")).toSeq
+    assert(tpw.zip(tpw.tail).forall { case (a, b) => b <= a }, s"tpw must be monotone non-increasing: $tpw")
+    val totals = rows.map(_.getAs[Long]("total_symbols")).toSeq
+    assert(totals.zip(totals.tail).forall { case (a, b) => b < a }, "total symbol mass strictly decreases")
+    // the compression curve flattens: the best merge was taken first, so
+    // the first step saves at least as much as the last
+    val saved = rows.map(_.getAs[Long]("symbols_saved")).toSeq
+    assert(saved.head >= saved.last, s"greedy order violated: $saved")
+  }
+
+  test("s36: evolved snapshot censuses old-generation nulls instead of hiding them") {
+    val rows = SparkEntry.queries("s36_schema_evolution")(spark, sf).collect()
+    val byGen = rows.map(r => r.getAs[Long]("gen") -> r).toMap
+    assert(byGen.keySet == Set(1L, 2L))
+    assert(
+      byGen(1L).getAs[Long]("null_quality") == byGen(1L).getAs[Long]("n_rows"),
+      "every generation-1 row predates the added column — all null")
+    assert(byGen(2L).getAs[Long]("null_quality") == 0L)
+    assert(byGen(2L).getAs[Long]("sum_quality") > 0L)
+    assert(byGen(1L).getAs[Long]("n_rows") > byGen(2L).getAs[Long]("n_rows"), "gen 2 is a partial refresh")
+  }
+}

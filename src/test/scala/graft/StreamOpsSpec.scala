@@ -855,6 +855,65 @@ class StreamOpsSpec extends AnyFunSuite with SparkTestBase {
     } finally q.stop()
   }
 
+  test("mergeSink: tombstones delete mid-funnel, replay converges, stream equals batch, restart keeps deletes gone") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val base = s"${sys.props("java.io.tmpdir")}/graft_io/stream_merge_spec"
+    val fs = new org.apache.hadoop.fs.Path(base)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(base), true)
+    val path      = s"$base/t"
+    val batchPath = s"$base/t_batch"
+    val ckpt      = s"$base/ckpt"
+
+    def tableSet(p: String): Set[(Long, String)] =
+      spark.read.parquet(p).select("k", "payload").collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSet
+
+    val b1 = Seq((1L, 1L, "one", false), (2L, 1L, "two", false), (3L, 1L, "three", false))
+    // mid-funnel batch: tombstone k=2, update k=1, insert k=4, tombstone
+    // for an ABSENT key (9) — must be a noop, not a resurrection or error
+    val b2 = Seq((2L, 2L, null.asInstanceOf[String], true), (1L, 2L, "one-v2", false),
+      (4L, 1L, "four", false), (9L, 1L, null.asInstanceOf[String], true))
+    val b3 = Seq((3L, 2L, null.asInstanceOf[String], true))
+
+    val in = MemoryStream[(Long, Long, String, Boolean)]
+    def start() = in.toDF().toDF("k", "version", "payload", "is_delete").writeStream
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        StreamOps.mergeSink(b, path, key = "k", version = "version")
+      }
+      .option("checkpointLocation", ckpt)
+      .outputMode(OutputMode.Append())
+      .start()
+
+    val q = start()
+    try {
+      in.addData(b1: _*); q.processAllAvailable()
+      assert(tableSet(path) == Set((1L, "one"), (2L, "two"), (3L, "three")))
+      in.addData(b2: _*); q.processAllAvailable()
+      val afterB2 = Set((1L, "one-v2"), (3L, "three"), (4L, "four"))
+      assert(tableSet(path) == afterB2, "tombstone k=2 must be gone, absent-key tombstone a noop")
+
+      // replaying the same micro-batch converges to the same state
+      StreamOps.mergeSink(b2.toDF("k", "version", "payload", "is_delete"), path, "k", "version")
+      assert(tableSet(path) == afterB2)
+
+      // stream ≡ batch: applying the same batches in order through the
+      // batch-callable face lands the identical table
+      StreamOps.mergeSink(b1.toDF("k", "version", "payload", "is_delete"), batchPath, "k", "version")
+      StreamOps.mergeSink(b2.toDF("k", "version", "payload", "is_delete"), batchPath, "k", "version")
+      assert(tableSet(batchPath) == afterB2)
+    } finally q.stop()
+
+    // checkpointed restart: the new query resumes from the checkpoint;
+    // earlier deletes stay gone and a post-restart tombstone still deletes
+    val q2 = start()
+    try {
+      in.addData(b3: _*); q2.processAllAvailable()
+      assert(tableSet(path) == Set((1L, "one-v2"), (4L, "four")))
+    } finally q2.stop()
+  }
+
   test("joinStreamsWithinBand: matches inside the band in streaming, same as batch") {
     import spark.implicits._
     import org.apache.spark.sql.functions._

@@ -216,6 +216,46 @@ class TableIOSpec extends AnyFunSuite with SparkTestBase {
     assert(pf.contains("> 1") && pf.contains("<= 3"), p)
   }
 
+  test("evolved snapshot read: adds backfill null, int widens to long, as-of never lists newer gens, incompatible throws") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val base = s"$tmp/evolved"
+    // gen 1: (k int, v) — the narrow original schema
+    TableIO.writeGeneration(
+      Seq((1, "a"), (2, "b")).toDF("k", "v").select(col("k").cast("int").as("k"), col("v")),
+      base, 1)
+    // gen 2: k widened to long, new column q
+    TableIO.writeGeneration(
+      Seq((3L, "c", 30L)).toDF("k", "v", "q"),
+      base, 2)
+
+    val asOf1 = TableIO.readSnapshotEvolved(spark, base, asOf = 1)
+    assert(!asOf1.columns.contains("q"), "as-of 1 must not see generation 2's added column")
+    assert(
+      asOf1.schema("k").dataType == org.apache.spark.sql.types.IntegerType,
+      "as-of 1 must keep the original narrow type — gen 2 was never listed")
+
+    val asOf2 = TableIO.readSnapshotEvolved(spark, base, asOf = 2)
+    assert(
+      asOf2.schema("k").dataType == org.apache.spark.sql.types.LongType,
+      "int must widen to the widest declared type")
+    val got = asOf2
+      .select(col("k").as[Long], col("v").as[String],
+        coalesce(col("q"), lit(-1L)).as[Long], col("gen").as[Int])
+      .collect().toSet
+    assert(got == Set((1L, "a", -1L, 1), (2L, "b", -1L, 1), (3L, "c", 30L, 2)),
+      "old rows must backfill the added column as null (censused via the -1 sentinel here)")
+
+    // only add + widen are safe: a string-vs-long conflict must throw, not coerce
+    val bad = s"$tmp/evolved_bad"
+    TableIO.writeGeneration(Seq((1L, "a")).toDF("k", "v"), bad, 1)
+    TableIO.writeGeneration(Seq(("oops", "b")).toDF("k", "v"), bad, 2)
+    val ex = intercept[IllegalArgumentException] {
+      TableIO.readSnapshotEvolved(spark, bad, asOf = 2)
+    }
+    assert(ex.getMessage.contains("incompatible schema evolution"))
+  }
+
   test("partition routing convention and partitioned write/read") {
     import spark.implicits._
     assert(
