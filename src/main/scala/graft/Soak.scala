@@ -173,6 +173,12 @@ object Soak {
     // CONSTANT while the gram corpus grows N× — the linear bar applies.
     "d22_multiprobe_lsh",
     "x34_hard_negatives",
+    // r16 additions with real replica-scaling work: x36's 16-step pair
+    // counts and x37's piece inventory + per-word DP are vocabulary-sized,
+    // and the per-replica word salt grows the vocabulary N x — the linear
+    // bar applies (x28/x31's argument, deeper recurrences)
+    "x36_bpe_schedule",
+    "x37_unigram_viterbi",
     // r16: the SemDeDup PRODUCTION configuration — k scales with the
     // replica factor so cluster occupancy stays ~constant and Σ occ² is
     // LINEAR in the corpus (the paper's whole point; d21's fixed-k rung

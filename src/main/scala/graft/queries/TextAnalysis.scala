@@ -1457,6 +1457,83 @@ object TextAnalysis extends QueryModule {
       .repartition(1)
   }
 
+  /** X37 — UNIGRAM-LM VITERBI SEGMENTATION (Kudo 2018 "Subword
+    * regularization", the SentencePiece unigram model's inference step —
+    * the OTHER tokenizer family beside x28/x31/x36's BPE: pieces carry
+    * probabilities and a word's tokenization is the max-likelihood
+    * segmentation, found by Viterbi DP over positions): the piece
+    * inventory is every 1–4-char substring of the vocabulary, counted
+    * with multiplicity weighted by word frequency; piece cost is the
+    * integer-log₂ surrogate bitlen(N) − bitlen(cnt) (c13/x33's
+    * `length(bin(x))` lane — ≈ −log₂ p(piece), ≥ 0 since cnt ≤ N by
+    * construction), carried in COMBINED units cost·128 + 1 so one integer
+    * min is the lexicographic (total cost, token count) minimum — the
+    * deterministic tiebreak both engines share (tokens ≤ 16 < 128, and
+    * any real cost difference is ≥ 128 units).
+    *
+    * The DP itself is ONE narrow projection, not an iterative join: each
+    * word joins its (distinct) substring costs into a map once, then a
+    * single `aggregate(sequence(1, L), array(0L), …)` expression folds
+    * dp[j] = min_{i ∈ [j−3, j]} dp[i−1] + cost(w[i..j]) left-to-right
+    * inside the row — the per-row-DP shape real tokenizer inference has
+    * at 100 TB (tokenize the VOCABULARY, then the corpus joins by word —
+    * x31's tokMap discipline; the corpus is never re-scanned per piece).
+    * Single-char pieces always exist, so every word is segmentable.
+    *
+    * Output per vocab word (length ≤ 16): the Viterbi cost and its token
+    * count. Oracle: the identical DP unrolled as 16 MATERIALIZED
+    * position-frontier CTE steps (the g8e iterated-function-equality
+    * pattern on the (word, position) lattice).
+    *
+    * Scale shape: one corpus aggregate (the shared [[bpeVocab0]]), one
+    * vocab-substring aggregate (≤ ~60 pieces/word), one vocab-keyed join
+    * + map build, one narrow DP pass — everything vocabulary-sized; at a
+    * real corpus the pieces table broadcasts and tokenization rides
+    * map-side, the property that makes this the production inference
+    * shape.
+    */
+  private def x37_unigram_viterbi(s: SparkSession, d: String): DataFrame = {
+    val MaxLen = 16
+    val subsExpr =
+      s"""flatten(transform(sequence(1, length(w0)),
+            i -> transform(sequence(i, least(i + 3, length(w0))),
+                   j -> substr(w0, i, j - i + 1))))"""
+    val vocab = bpeVocab0(s, d)
+      .filter(length(col("w0")) <= MaxLen)
+      .select(col("w0"), col("freq"))
+    val pieces = graft.Lineage.truncate(
+      vocab
+        .select(col("freq"), explode(expr(subsExpr)).as("p"))
+        .groupBy(col("p"))
+        .agg(sum(col("freq")).as("cnt"))
+    )
+    val ntot = pieces.agg(sum(col("cnt")).as("nt"))
+    val costed = pieces
+      .crossJoin(broadcast(ntot))
+      .select(col("p"), (expr("length(bin(nt)) - length(bin(cnt))").cast("long") * 128L + 1L).as("uc"))
+    val wsubs = vocab
+      .select(col("w0"), explode(array_distinct(expr(subsExpr))).as("p"))
+      .join(costed, "p")
+      .groupBy(col("w0"))
+      .agg(map_from_entries(collect_list(struct(col("p"), col("uc")))).as("mp"))
+    vocab
+      .join(wsubs, "w0")
+      .withColumn(
+        "best",
+        expr("""aggregate(sequence(1, length(w0)), array(0L),
+                  (acc, j) -> array_append(acc,
+                    array_min(transform(sequence(greatest(j - 3, 1), j),
+                      i -> element_at(acc, i) + coalesce(element_at(mp, substr(w0, i, j - i + 1)), 99999999L)))),
+                  acc -> element_at(acc, length(w0) + 1))""")
+      )
+      .select(
+        col("w0").as("word"),
+        col("freq").cast("long").as("freq"),
+        expr("best div 128").cast("long").as("cost_q"),
+        expr("best % 128").cast("long").as("n_tokens")
+      )
+  }
+
   /** X33 — STUPID BACKOFF bigram LM perplexity filter (Brants et al. 2007
     * "Large Language Models in Machine Translation" §4 — the inexpensive
     * smoothing Google built for corpus-scale LMs precisely because it needs
@@ -1666,6 +1743,7 @@ object TextAnalysis extends QueryModule {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x37_unigram_viterbi" -> (x37_unigram_viterbi _),
     "x36_bpe_schedule" -> (x36_bpe_schedule _),
     "x34_hard_negatives" -> (x34_hard_negatives _),
     "x33_stupid_backoff" -> (x33_stupid_backoff _),
@@ -1770,7 +1848,54 @@ object TextAnalysis extends QueryModule {
         $rows ORDER BY step"""
   }
 
+  /** The x37 oracle: the same integer Viterbi DP unrolled as position-
+    * frontier CTE steps — a$j holds dp for every (word, position ≤ j); a
+    * word's answer sits at position = its length. MATERIALIZED throughout
+    * (the x36 lesson: inlined chained CTEs re-evaluate exponentially).
+    */
+  private val x37OracleSql: String = {
+    val steps = (1 to 16)
+      .map(j => s"""d$j AS MATERIALIZED (
+             SELECT ss.w0, $j AS jj, min(p.dp + ss.uc) AS dp
+             FROM a${j - 1} p JOIN ss ON ss.w0 = p.w0 AND ss.i = p.jj + 1 AND ss.j = $j
+             GROUP BY 1),
+           a$j AS MATERIALIZED (
+             SELECT * FROM a${j - 1} UNION ALL SELECT * FROM d$j)""")
+      .mkString(",\n        ")
+    s"""WITH v0 AS MATERIALIZED (
+          SELECT w AS w0, CAST(count(*) AS BIGINT) AS freq FROM (
+            SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+          WHERE length(w) BETWEEN 2 AND 16 GROUP BY 1),
+        occ AS MATERIALIZED (
+          SELECT unnest(flatten(list_transform(generate_series(1, length(w0)),
+                   i -> list_transform(generate_series(i, least(i + 3, length(w0))),
+                          j -> substr(w0, CAST(i AS INT), CAST(j - i + 1 AS INT)))))) AS p,
+                 freq
+          FROM v0),
+        pieces AS MATERIALIZED (SELECT p, CAST(sum(freq) AS BIGINT) AS cnt FROM occ GROUP BY 1),
+        nt AS (SELECT CAST(sum(cnt) AS BIGINT) AS n FROM pieces),
+        ss AS MATERIALIZED (
+          SELECT t.w0,
+                 CAST(t.u['i'] AS BIGINT) AS i,
+                 CAST(t.u['j'] AS BIGINT) AS j,
+                 (length(bin(nt.n)) - length(bin(c.cnt))) * 128 + 1 AS uc
+          FROM (SELECT w0,
+                       unnest(flatten(list_transform(generate_series(1, length(w0)),
+                         i -> list_transform(generate_series(i, least(i + 3, length(w0))),
+                                j -> {'i': i, 'j': j, 'p': substr(w0, CAST(i AS INT), CAST(j - i + 1 AS INT))})))) AS u
+                FROM v0) t,
+               pieces c, nt
+          WHERE c.p = t.u['p']),
+        a0 AS MATERIALIZED (SELECT w0, 0 AS jj, CAST(0 AS BIGINT) AS dp FROM v0),
+        $steps
+        SELECT v.w0 AS word, v.freq,
+               CAST(a.dp // 128 AS BIGINT) AS cost_q,
+               CAST(a.dp % 128 AS BIGINT) AS n_tokens
+        FROM a16 a JOIN v0 v ON v.w0 = a.w0 AND a.jj = length(v.w0)"""
+  }
+
   val oracles: Map[String, String] = Map(
+    "x37_unigram_viterbi" -> x37OracleSql,
     "x36_bpe_schedule" -> x36OracleSql,
     "x34_hard_negatives" ->
       """WITH pool AS (

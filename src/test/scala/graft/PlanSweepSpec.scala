@@ -85,7 +85,8 @@ class PlanSweepSpec extends AnyFunSuite with SparkTestBase {
     "a30_neyman_allocation"  -> 1L, // single-row Σ(N_h·S_h) totals broadcast onto the per-language strata
     "o11_consistent_ring"    -> 1L, // the 576-vnode ring collapsed to ONE sorted-array row, broadcast onto the scan
     "s33_bloom_skipping"     -> 8L, // per-lang Bloom manifest (≤|partitions| single-long rows) onto the 40-probe frame
-    "x33_stupid_backoff"     -> 1L  // single-row N-total + tercile-cut broadcasts onto bigram/per-doc frames
+    "x33_stupid_backoff"     -> 1L, // single-row N-total + tercile-cut broadcasts onto bigram/per-doc frames
+    "x37_unigram_viterbi"    -> 1L  // single-row piece-mass total broadcast onto the piece-cost table
   )
 
   /** Queries allowed a window with an empty partition spec, with the

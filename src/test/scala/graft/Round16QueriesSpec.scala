@@ -83,6 +83,31 @@ class Round16QueriesSpec extends AnyFunSuite with SparkTestBase {
     assert(saved.head >= saved.last, s"greedy order violated: $saved")
   }
 
+  test("x37: Viterbi segmentation is feasible, piece-bounded, and actually uses multi-char pieces") {
+    val rows = SparkEntry.queries("x37_unigram_viterbi")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val len = r.getAs[String]("word").length
+      val nt  = r.getAs[Long]("n_tokens")
+      assert(nt >= 1 && nt <= len, s"token count must be a real segmentation: $r")
+      // pieces are <= 4 chars, so a length-L word needs >= ceil(L/4) tokens
+      assert(nt >= (len + 3) / 4, s"impossible segmentation (pieces are <= 4 chars): $r")
+      assert(r.getAs[Long]("cost_q") >= 0L)
+    }
+    // the DP must beat the trivial all-single-chars segmentation somewhere,
+    // or the piece inventory did nothing
+    assert(
+      rows.exists(r => r.getAs[Long]("n_tokens") < r.getAs[String]("word").length),
+      "no word used a multi-char piece — the unigram inventory is dead")
+    // every vocab word (2..16 chars) got exactly one row
+    val vocabCount = Engine.table(spark, sf, "documents")
+      .select(org.apache.spark.sql.functions.explode(
+        org.apache.spark.sql.functions.split(org.apache.spark.sql.functions.col("text"), " ")).as("w"))
+      .filter("length(w) between 2 and 16")
+      .select("w").distinct().count()
+    assert(rows.length.toLong == vocabCount, s"${rows.length} rows vs $vocabCount vocab words")
+  }
+
   test("s36: evolved snapshot censuses old-generation nulls instead of hiding them") {
     val rows = SparkEntry.queries("s36_schema_evolution")(spark, sf).collect()
     val byGen = rows.map(r => r.getAs[Long]("gen") -> r).toMap
