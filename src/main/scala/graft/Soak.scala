@@ -184,7 +184,12 @@ object Soak {
     // LINEAR in the corpus (the paper's whole point; d21's fixed-k rung
     // above prices the harness configuration's declared N²). Resolved by
     // `queryFor` below: k = 8 on the 1× side, k = 8·N on the replica.
-    "d21_semdedup_scaledk"
+    "d21_semdedup_scaledk",
+    // the IVF-routed assignment at the same constant-occupancy scaling:
+    // k = 8N fine seeds, c = 4*sqrt(N) coarse cells, so per-vector
+    // assignment work is c + k/c = Theta(sqrt(k)) instead of k — the cell
+    // that prices what the brute-force scaled-k rung pays in assignment
+    "d21b_semdedup_ivf_scaledk"
   )
 
   private[graft] def buildScaled(spark: SparkSession, src: String, out: String, n: Int): Unit = {
@@ -324,7 +329,12 @@ object Soak {
     def queryFor(name: String, dir: String): DataFrame =
       if (name == "d21_semdedup_scaledk")
         graft.queries.Dedup.semDedup(spark, dir, k = if (dir == src) 8 else 8 * n)
-      else SparkEntry.queries(name)(spark, dir)
+      else if (name == "d21b_semdedup_ivf_scaledk") {
+        val (kk, cc) =
+          if (dir == src) (16, 4)
+          else (8 * n, math.max(4, (4 * math.sqrt(n.toDouble)).toInt))
+        graft.queries.Dedup.semDedupIvf(spark, dir, k = kk, c = cc)
+      } else SparkEntry.queries(name)(spark, dir)
 
     def timeOnce(name: String, dir: String): Double = {
       // Cross-query memoization (Memo) must not leak into the measurement:

@@ -995,13 +995,20 @@ object Dedup extends QueryModule {
     * production configuration where Σ occ² ≈ n·occ keeps the
     * within-cluster pair stage LINEAR in the corpus instead of quadratic.
     */
-  def semDedup(s: SparkSession, d: String, k: Int): DataFrame = {
-    require(k >= 1, s"semDedup needs k >= 1, got $k")
-    val qd2 =
-      "aggregate(zip_with(%s, %s, (x, y) -> (floor(x * 1024) - floor(y * 1024)) " +
-        "* (floor(x * 1024) - floor(y * 1024))), 0L, (acc, v) -> acc + v)"
+  /** The quantized squared-L2 expression template shared by the d21
+    * family (brute and IVF-routed assignment).
+    */
+  private val qd2 =
+    "aggregate(zip_with(%s, %s, (x, y) -> (floor(x * 1024) - floor(y * 1024)) " +
+      "* (floor(x * 1024) - floor(y * 1024))), 0L, (acc, v) -> acc + v)"
+
+  /** The d21 family's fixture frame: every stored vector plus, for
+    * vec_id < 20, a planted near-copy at −vec_id−1 with dim 1 shifted
+    * +0.003 (a 3–4 lattice-step perturbation, far under the ε gate).
+    */
+  private def plantedEmbeddings(s: SparkSession, d: String): DataFrame = {
     val base = table(s, d, "embeddings").select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
-    val ve = graft.Lineage.truncate(
+    graft.Lineage.truncate(
       base.unionByName(
         base
           .filter(col("vec_id") < 20)
@@ -1011,6 +1018,11 @@ object Dedup extends QueryModule {
           )
       )
     )
+  }
+
+  def semDedup(s: SparkSession, d: String, k: Int): DataFrame = {
+    require(k >= 1, s"semDedup needs k >= 1, got $k")
+    val ve = plantedEmbeddings(s, d)
     val seeds = ve.filter(col("vec_id").between(0, k - 1)).select(col("vec_id").as("seed"), col("e").as("se"))
     val assign = graft.Lineage.truncate(
       ve.crossJoin(broadcast(seeds))
@@ -1019,6 +1031,17 @@ object Dedup extends QueryModule {
         .agg(min(struct(col("sd2"), col("seed"))).as("m"))
         .select(col("vec_id"), col("m.seed").as("cluster"))
     )
+    semDedupPipeline(ve, assign)
+  }
+
+  /** Everything in SemDeDup AFTER cluster assignment — integer centroids,
+    * centroid distances, the gated within-cluster pair join, CC over pair
+    * endpoints, and the edge-of-cluster keep rule — shared verbatim by the
+    * brute-force assignment ([[semDedup]]) and the IVF-routed one
+    * ([[semDedupIvf]]), so the two variants differ ONLY in how a vector
+    * finds its cluster.
+    */
+  private def semDedupPipeline(ve: DataFrame, assign: DataFrame): DataFrame = {
     val vq = ve.select(col("vec_id"), posexplode(col("e")))
       .select(col("vec_id"), col("pos"), floor(col("col") * 1024).cast("long").as("q"))
     val cent = vq
@@ -1070,6 +1093,65 @@ object Dedup extends QueryModule {
         col("kept_vec").cast("long").as("kept_vec"),
         col("n_planted").cast("long").as("n_planted")
       )
+  }
+
+  /** D21b — SemDeDup with IVF-ROUTED ASSIGNMENT (Abbas et al. 2023 run
+    * the way a production system actually assigns when k ∝ n: Jégou–
+    * Douze–Schmid 2011's coarse-quantizer routing applied to the
+    * CLUSTERING side of the house, closing the caveat
+    * SOAK_DELTA_r16_16x.md declares on d21's brute-force assignment).
+    * Brute assignment is Θ(n·k) distance evaluations — itself quadratic
+    * once k scales with n for constant occupancy. Here a vector first
+    * picks the nearest of c COARSE seeds, then refines only among the
+    * fine seeds ROUTED to that coarse cell: expected evaluations per
+    * vector drop from k to c + k/c — Θ(√k) at the c ≈ √k sweet spot. A
+    * DECLARED approximation: a vector whose true nearest fine seed lives
+    * in a different coarse cell mis-assigns (the standard IVF recall
+    * trade, priced in d22 for search); the oracle runs the identical
+    * two-level rule, so the approximation itself is cross-engine-exact,
+    * and the spec pins that all 20 planted pairs still land together
+    * (identical-to-3-lattice-steps vectors take the same route).
+    *
+    * Everything AFTER assignment — centroids, the gated within-cluster
+    * pair join, CC, the edge-of-cluster keeper — is [[semDedupPipeline]],
+    * shared verbatim with d21. Argmins are min(struct(d2, id)): the
+    * lexicographic (distance, id) tiebreak both engines share. Fine seeds
+    * are the first k stored vectors, coarse the first c — so every coarse
+    * cell is non-empty (seed i < c routes to itself at distance 0).
+    */
+  private def d21b_semdedup_ivf(s: SparkSession, d: String): DataFrame =
+    semDedupIvf(s, d, k = 16, c = 4)
+
+  def semDedupIvf(s: SparkSession, d: String, k: Int, c: Int): DataFrame = {
+    require(k >= c && c >= 1, s"semDedupIvf needs k >= c >= 1, got k=$k c=$c")
+    val ve     = plantedEmbeddings(s, d)
+    val fines  = ve.filter(col("vec_id").between(0, k - 1)).select(col("vec_id").as("seed"), col("e").as("se"))
+    val coarse = ve.filter(col("vec_id").between(0, c - 1)).select(col("vec_id").as("cs"), col("e").as("ce"))
+    // route each fine seed to its coarse cell (k×c — codebook-sized work)
+    val routed = fines
+      .crossJoin(broadcast(coarse))
+      .select(col("seed"), col("cs"), expr(qd2.format("se", "ce")).as("d2"))
+      .groupBy(col("seed"))
+      .agg(min(struct(col("d2"), col("cs"))).as("m"))
+      .select(col("seed"), col("m.cs").as("cs"))
+      .join(fines, "seed")
+    // stage 1: nearest coarse cell per vector (n×c evaluations)
+    val vc = ve
+      .crossJoin(broadcast(coarse))
+      .select(col("vec_id"), col("cs"), expr(qd2.format("e", "ce")).as("d2"))
+      .groupBy(col("vec_id"))
+      .agg(min(struct(col("d2"), col("cs"))).as("mc"))
+      .select(col("vec_id"), col("mc.cs").as("cs"))
+    // stage 2: refine only among the routed cell's fine seeds (n×(k/c) expected)
+    val assign = graft.Lineage.truncate(
+      ve.join(vc, "vec_id")
+        .join(broadcast(routed), "cs")
+        .select(col("vec_id"), col("seed"), expr(qd2.format("e", "se")).as("sd2"))
+        .groupBy(col("vec_id"))
+        .agg(min(struct(col("sd2"), col("seed"))).as("m"))
+        .select(col("vec_id"), col("m.seed").as("cluster"))
+    )
+    semDedupPipeline(ve, assign)
   }
 
   /** D22 — MULTI-PROBE LSH recall/cost trade (Lv–Josephson–Wang–Charikar–Li
@@ -1165,6 +1247,7 @@ object Dedup extends QueryModule {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d22_multiprobe_lsh" -> (d22_multiprobe_lsh _),
+    "d21b_semdedup_ivf" -> (d21b_semdedup_ivf _),
     "d21_semdedup" -> (d21_semdedup _),
     "d18_lsh_recall" -> (d18_lsh_recall _),
     "d17_plane_tuning" -> (d17_plane_tuning _),
@@ -1317,6 +1400,66 @@ object Dedup extends QueryModule {
                 CAST(sum(coalesce(cand_mp, 0)) // count(*) AS BIGINT) AS cand_per_q_mp
          FROM qv LEFT JOIN perq USING (qid, grade) GROUP BY 1"""
     },
+    "d21b_semdedup_ivf" ->
+      """WITH RECURSIVE vb AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+         ve AS (SELECT vec_id, e FROM vb
+                UNION ALL
+                SELECT -vec_id - 1, [e[1] + 0.003::DOUBLE] || e[2:] FROM vb WHERE vec_id < 20),
+         fines AS (SELECT vec_id AS seed, e AS se FROM ve WHERE vec_id BETWEEN 0 AND 15),
+         coarse AS (SELECT vec_id AS cs, e AS ce FROM ve WHERE vec_id BETWEEN 0 AND 3),
+         fr AS (SELECT seed, cs FROM (
+                  SELECT f.seed, c.cs,
+                         row_number() OVER (PARTITION BY f.seed ORDER BY
+                           CAST(list_sum(list_transform(generate_series(1, len(f.se)), i ->
+                             (floor(f.se[i] * 1024) - floor(c.ce[i] * 1024)) *
+                             (floor(f.se[i] * 1024) - floor(c.ce[i] * 1024)))) AS BIGINT), c.cs) AS rn
+                  FROM fines f CROSS JOIN coarse c) WHERE rn = 1),
+         vc AS (SELECT vec_id, cs FROM (
+                  SELECT v.vec_id, c.cs,
+                         row_number() OVER (PARTITION BY v.vec_id ORDER BY
+                           CAST(list_sum(list_transform(generate_series(1, len(v.e)), i ->
+                             (floor(v.e[i] * 1024) - floor(c.ce[i] * 1024)) *
+                             (floor(v.e[i] * 1024) - floor(c.ce[i] * 1024)))) AS BIGINT), c.cs) AS rn
+                  FROM ve v CROSS JOIN coarse c) WHERE rn = 1),
+         asg AS (SELECT vec_id, cluster FROM (
+                  SELECT v.vec_id, f.seed AS cluster,
+                         row_number() OVER (PARTITION BY v.vec_id ORDER BY
+                           CAST(list_sum(list_transform(generate_series(1, len(v.e)), i ->
+                             (floor(v.e[i] * 1024) - floor(f.se[i] * 1024)) *
+                             (floor(v.e[i] * 1024) - floor(f.se[i] * 1024)))) AS BIGINT), f.seed) AS rn
+                  FROM ve v
+                  JOIN vc ON vc.vec_id = v.vec_id
+                  JOIN fr ON fr.cs = vc.cs
+                  JOIN fines f ON f.seed = fr.seed) WHERE rn = 1),
+         vq AS (SELECT vec_id, i AS pos, CAST(floor(e[i] * 1024) AS BIGINT) AS q
+                FROM ve, (SELECT unnest(range(1, 65)) AS i)),
+         cent AS (SELECT cluster, pos,
+                         CAST((sum(q + 1024) // count(*)) - 1024 AS BIGINT) AS cq
+                  FROM vq JOIN asg USING (vec_id) GROUP BY 1, 2),
+         cdist AS (SELECT vec_id, cluster, sum((q - cq) * (q - cq)) AS cd2
+                   FROM vq JOIN asg USING (vec_id) JOIN cent USING (cluster, pos)
+                   GROUP BY 1, 2),
+         vme AS (SELECT m.vec_id, m.cluster, v.e FROM asg m JOIN ve v USING (vec_id)),
+         pr AS (SELECT a.vec_id AS v1, b.vec_id AS v2
+                FROM vme a JOIN vme b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+                WHERE CAST(list_sum(list_transform(generate_series(1, len(a.e)), i ->
+                        (floor(a.e[i] * 1024) - floor(b.e[i] * 1024)) *
+                        (floor(a.e[i] * 1024) - floor(b.e[i] * 1024)))) AS BIGINT) <= 1000),
+         pe AS (SELECT v1, v2 FROM pr UNION SELECT v2, v1 FROM pr),
+         pids AS (SELECT DISTINCT v1 AS id FROM pe),
+         reach(id, comp) AS (SELECT id, id FROM pids
+                             UNION
+                             SELECT e.v2, r.comp FROM reach r JOIN pe e ON r.id = e.v1),
+         cc AS (SELECT id, min(comp) AS comp FROM reach GROUP BY id),
+         mem AS (SELECT c.comp, t.cluster, t.vec_id, t.cd2,
+                        row_number() OVER (PARTITION BY c.comp
+                                           ORDER BY t.cd2 DESC, t.vec_id) AS rn
+                 FROM cc c JOIN cdist t ON t.vec_id = c.id)
+         SELECT CAST(cluster AS BIGINT) AS cluster, CAST(comp AS BIGINT) AS comp,
+                CAST(count(*) AS BIGINT) AS n_members,
+                CAST(max(CASE WHEN rn = 1 THEN vec_id END) AS BIGINT) AS kept_vec,
+                CAST(sum(CASE WHEN vec_id < 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_planted
+         FROM mem GROUP BY 1, 2""",
     "d21_semdedup" ->
       """WITH RECURSIVE vb AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
          ve AS (SELECT vec_id, e FROM vb

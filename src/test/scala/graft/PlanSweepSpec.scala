@@ -124,6 +124,7 @@ class PlanSweepSpec extends AnyFunSuite with SparkTestBase {
     */
   private val truncatedBnljBounded: Map[String, Long] = Map(
     "d21_semdedup"           -> 8L,  // the k = 8 SemDeDup seed-vector broadcast (Dedup.semDedup)
+    "d21b_semdedup_ivf"      -> 16L, // coarse codebook (4 rows) + routed fine-seed table (16 rows)
     "g20_weighted_modularity" -> 8L, // per-pass scalar spine (m + numerators; measured 3 rows)
     "g4_summary_stub"        -> 8L,  // familySweep per-copy scalar spine, ≤5 nation copies (measured 4)
     "g8e_leiden_sweep"       -> 8L,  // per-level scalar spine over the resolution ladder (measured 4)

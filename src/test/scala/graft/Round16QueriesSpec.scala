@@ -108,6 +108,22 @@ class Round16QueriesSpec extends AnyFunSuite with SparkTestBase {
     assert(rows.length.toLong == vocabCount, s"${rows.length} rows vs $vocabCount vocab words")
   }
 
+  test("d21b: IVF-routed assignment still pairs every planted copy with its source; keep rule stays distance-driven") {
+    val rows = SparkEntry.queries("d21b_semdedup_ivf")(spark, sf).collect()
+    assert(rows.length == 20, s"expected the 20 planted groups, got ${rows.length}")
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_members") >= 2)
+      assert(r.getAs[Long]("n_planted") == 1,
+        "a planted copy and its source are 3-4 lattice steps apart — they must take the same two-level route")
+    }
+    assert(rows.map(_.getAs[Long]("n_planted")).sum == 20)
+    val keptPlanted = rows.count(_.getAs[Long]("kept_vec") < 0)
+    assert(keptPlanted > 0 && keptPlanted < 20, s"keep rule degenerate: $keptPlanted/20 planted keepers")
+    // the fine inventory is k = 16: clusters must span beyond d21's k = 8
+    // range somewhere, or the routing collapsed to the coarse cells
+    assert(rows.map(_.getAs[Long]("cluster")).distinct.length > 1)
+  }
+
   test("s36: evolved snapshot censuses old-generation nulls instead of hiding them") {
     val rows = SparkEntry.queries("s36_schema_evolution")(spark, sf).collect()
     val byGen = rows.map(r => r.getAs[Long]("gen") -> r).toMap
