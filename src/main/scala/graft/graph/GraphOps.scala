@@ -1275,6 +1275,55 @@ object GraphOps {
     hops
   }
 
+  /** Per-seed BFS with SHORTEST-PATH COUNTS — [[seededHops]] extended with
+    * the σ (sigma) multiplicities Brandes-style betweenness needs (Brandes
+    * 2001 §3: σ_sv = the number of distinct shortest s→v paths; the pivot
+    * estimator in Brandes–Pich 2007 consumes exactly these per-landmark
+    * counts). Level-synchronous form: the pass-t frontier is every (seed,
+    * vertex) pair first reached at distance t, and its σ is the SUM of the
+    * σ of its pass-(t−1) predecessors — summing only over the previous
+    * frontier (not all visited rows) is what makes the count
+    * shortest-paths-only, so no min-aggregate is needed at all; the
+    * anti-join against already-visited pairs enforces "first reached".
+    *
+    * `seeds` is `(seed, id)` (distance 0, σ = 1 — conventionally seed =
+    * id's own label); `edges` is directed `(src, dst)` — pass a symmetrized
+    * list for undirected graphs. Returns `(seed, id, dist, sigma)` for
+    * every pair within `passes` hops; unreached pairs are absent. σ is
+    * decimal(38,0) — path counts multiply along levels and products of two
+    * σ's must survive downstream (the a30 exact-accumulator discipline).
+    *
+    * Scale shape: per pass ONE equi-join on src + one (seed, dst) sum + one
+    * anti-join, all keyed; state ≤ |seeds| × |reach| rows (the same
+    * Eppstein–Wang landmark bound as seededHops — never all-pairs).
+    */
+  def seededPaths(seeds: DataFrame, edges: DataFrame, passes: Int): DataFrame = {
+    var frontier = Lineage.truncate(
+      seeds.select(
+        col("seed"),
+        col("id"),
+        lit(0L).as("dist"),
+        lit(1L).cast("decimal(38,0)").as("sigma")
+      )
+    )
+    var visited = frontier
+    (1 to passes).foreach { t =>
+      val relaxed = edges
+        .join(frontier, edges("src") === frontier("id"))
+        .select(col("seed"), edges("dst").as("id"), col("sigma"))
+      frontier = Lineage.truncate(
+        relaxed
+          .groupBy("seed", "id")
+          .agg(sum("sigma").cast("decimal(38,0)").as("sigma"))
+          .withColumn("dist", lit(t.toLong))
+          .join(visited.select(col("seed"), col("id")), Seq("seed", "id"), "left_anti")
+          .select(col("seed"), col("id"), col("dist"), col("sigma"))
+      )
+      visited = visited.unionByName(frontier)
+    }
+    visited
+  }
+
   /** Connected components by min-label propagation with pointer jumping:
     * every vertex starts labelled with its own id; each pass every vertex
     * takes the min label in its closed neighborhood, then resolves that

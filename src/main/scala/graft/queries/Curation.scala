@@ -1413,6 +1413,71 @@ object Curation extends QueryModule {
       )
   }
 
+  /** C30 — CAPPED mixture allocation by water-filling (the repetition-cap
+    * pass a real data recipe runs AFTER c27's temperature weights: Gopher
+    * caps any source at a few epochs and Muennighoff et al. 2023 measure
+    * why — past ~4 epochs repeated tokens stop helping — so the sampler
+    * must clamp small sources at cap_s = 4·n_s draws and REDISTRIBUTE the
+    * surplus budget among the uncapped, which plain c27 proportionality
+    * cannot express): two unrolled water-filling rounds on the per-source
+    * frame — round 1 allocates the corpus-sized budget ∝ isqrt(n_s)
+    * clamped at cap_s; round 2 re-divides the leftover among sources
+    * still below cap by the same rule. Integer-exact throughout (c27's
+    * α = 1/2 isqrt lane; products ride decimal(38,0) so a 10¹²-doc corpus
+    * cannot wrap the budget·weight product — the a30 headroom rule).
+    * Per source: the cap, the final allocation, epochs_bp = 10⁴·alloc /
+    * n_s (≤ 4·10⁴ BY CONSTRUCTION — the spec pins it), the capped flag,
+    * and the still-undistributed residue after round 2 (reported, not
+    * hidden — more rounds converge it; two is the declared depth).
+    *
+    * Scale shape: one source-keyed count aggregate, then every round is
+    * arithmetic on the |sources|-row frame against single-row scalar
+    * broadcasts — the allocation loop never touches corpus rows again.
+    */
+  private def c30_capped_mixture(s: SparkSession, d: String): DataFrame = {
+    val n = table(s, d, "documents")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"))
+      .select(
+        col("source"),
+        col("n_docs"),
+        floor(sqrt(col("n_docs"))).cast("long").as("w_q"),
+        (col("n_docs") * 4L).as("cap_docs")
+      )
+    val t0 = n.agg(sum(col("w_q")).as("wsum0"), sum(col("n_docs")).as("budget0"))
+    val r1 = n
+      .crossJoin(broadcast(t0))
+      .withColumn(
+        "alloc1",
+        expr("least(cap_docs, cast(budget0 as decimal(38,0)) * w_q div wsum0)")
+      )
+    val t1 = r1.agg(
+      (max(col("budget0")) - sum(col("alloc1"))).as("left1"),
+      sum(when(col("alloc1") < col("cap_docs"), col("w_q")).otherwise(0L)).as("wsum1")
+    )
+    val r2 = r1
+      .crossJoin(broadcast(t1))
+      .withColumn(
+        "alloc2",
+        when(
+          col("alloc1") < col("cap_docs") && col("wsum1") > 0L,
+          expr("least(cap_docs - alloc1, cast(left1 as decimal(38,0)) * w_q div wsum1)")
+        ).otherwise(lit(0L))
+      )
+    val t2 = r2.agg((max(col("left1")) - sum(col("alloc2"))).as("residue"))
+    r2.crossJoin(broadcast(t2))
+      .select(
+        col("source"),
+        col("n_docs").cast("long").as("n_docs"),
+        col("w_q"),
+        col("cap_docs").cast("long").as("cap_docs"),
+        (col("alloc1") + col("alloc2")).cast("long").as("alloc_docs"),
+        (col("alloc1") + col("alloc2") === col("cap_docs")).as("capped"),
+        expr("10000 * (alloc1 + alloc2) div n_docs").as("epochs_bp"),
+        col("residue").cast("long").as("residue_docs")
+      )
+  }
+
   /** C28 — MAXIMAL repeated-substring dedup census (Lee–Ippolito–Nystrom–
     * Zhang–Eck–Callison-Burch–Carlini 2022, "Deduplicating Training Data
     * Makes Language Models Better" §3.1 ExactSubstr: production exact
@@ -1708,6 +1773,7 @@ object Curation extends QueryModule {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "c30_capped_mixture" -> (c30_capped_mixture _),
     "c29_dsir_importance" -> (c29_dsir_importance _),
     "c28_repeated_spans" -> (c28_repeated_spans _),
     "c27_temperature_mix" -> (c27_temperature_mix _),
@@ -1900,6 +1966,37 @@ object Curation extends QueryModule {
          FROM corpus c
          LEFT JOIN pds ON pds.doc_id = c.doc_id
          LEFT JOIN cov ON cov.doc_id = c.doc_id""",
+    "c30_capped_mixture" ->
+      """WITH n AS (
+           SELECT source, count(*) AS n_docs,
+                  CAST(floor(sqrt(count(*))) AS BIGINT) AS w_q,
+                  CAST(count(*) * 4 AS BIGINT) AS cap_docs
+           FROM documents GROUP BY 1),
+         t0 AS (SELECT sum(w_q) AS wsum0, sum(n_docs) AS budget0 FROM n),
+         r1 AS (
+           SELECT n.source, n.n_docs, n.w_q, n.cap_docs, t0.budget0,
+                  least(cap_docs, budget0 * w_q // wsum0) AS alloc1
+           FROM n CROSS JOIN t0),
+         t1 AS (
+           SELECT max(budget0) - sum(alloc1) AS left1,
+                  sum(CASE WHEN alloc1 < cap_docs THEN w_q ELSE 0 END) AS wsum1
+           FROM r1),
+         r2 AS (
+           SELECT r1.source, r1.n_docs, r1.w_q, r1.cap_docs, r1.alloc1, t1.left1,
+                  CASE WHEN alloc1 < cap_docs AND wsum1 > 0
+                       THEN least(cap_docs - alloc1, left1 * w_q // wsum1)
+                       ELSE 0 END AS alloc2
+           FROM r1 CROSS JOIN t1),
+         t2 AS (SELECT max(left1) - sum(alloc2) AS residue FROM r2)
+         SELECT source,
+                CAST(n_docs AS BIGINT) AS n_docs,
+                w_q,
+                CAST(cap_docs AS BIGINT) AS cap_docs,
+                CAST(alloc1 + alloc2 AS BIGINT) AS alloc_docs,
+                (alloc1 + alloc2 = cap_docs) AS capped,
+                CAST(10000 * (alloc1 + alloc2) // n_docs AS BIGINT) AS epochs_bp,
+                CAST(residue AS BIGINT) AS residue_docs
+         FROM r2 CROSS JOIN t2""",
     "c27_temperature_mix" ->
       """WITH n AS (
            SELECT source, count(*) AS n_docs,

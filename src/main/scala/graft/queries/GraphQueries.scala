@@ -1644,7 +1644,87 @@ object GraphQueries extends QueryModule {
     )
   }
 
+  /** G23 — SAMPLED BETWEENNESS centrality (Brandes 2001's σ path-count
+    * machinery under Brandes–Pich 2007's pivot sampling — the missing
+    * centrality the reference's graph profile would want next to PageRank/
+    * HITS/harmonic: "which vertices sit ON the shortest paths"): exact
+    * per-pivot BFS with shortest-path counts from K = 8 md5-derandomized
+    * supplier pivots over the symmetrized SUPPLIES bipartite graph
+    * ([[graft.graph.GraphOps.seededPaths]], 4 hops), then for every
+    * unordered pivot pair (s, t) with d(s,t) ≤ 4 each vertex v ∉ {s, t}
+    * scores the pair-dependency δ_st(v) = σ_sv·σ_vt / σ_st when
+    * d(s,v) + d(v,t) = d(s,t) — the exact fraction of s↔t shortest paths
+    * passing through v (≤ 1 by construction: paths through v are a subset
+    * of all s↔t shortest paths, which also bounds every quantized term at
+    * the 10⁶ scale). Betweenness estimate = the sum over sampled pairs,
+    * integer-quantized per term (floor at 10⁶ — both engines apply the
+    * identical truncation), top-20 by (score desc, id).
+    *
+    * Endpoint-pair sampling (both endpoints restricted to the pivot set)
+    * is the hop-bounded landmark variant of the pivot estimator: no
+    * backward dependency-accumulation sweep is needed, so the whole
+    * computation is the forward σ-BFS plus ONE per-vertex (≤ K²-fan-in)
+    * combine join — at 1000 executors the per-pass frontier join is the
+    * only shuffle and its state is |K|·|reach|, never all-pairs. σ
+    * products ride decimal(38,0) (the a30 exact-accumulator lane; DuckDB
+    * mirrors in HUGEINT).
+    */
+  private def g23_sampled_betweenness(s: SparkSession, d: String): DataFrame = {
+    val base  = suppliesBipartite(s, d)
+    val edges = base.unionByName(base.select(col("dst").as("src"), col("src").as("dst")))
+    val pivots = table(s, d, "supplier")
+      .select(concat(lit("s:"), col("s_suppkey")).as("seed"), col("s_suppkey").as("k"))
+      .orderBy(expr("md5(cast(k as string))"), col("k"))
+      .limit(8)
+      .select(col("seed"))
+    val v = GraphOps.seededPaths(
+      pivots.select(col("seed"), col("seed").as("id")),
+      edges,
+      4
+    )
+    val pd = v
+      .join(broadcast(pivots.select(col("seed").as("pt"))), v("id") === col("pt"))
+      .filter(col("seed") < col("pt"))
+      .select(
+        col("seed").as("ps"),
+        col("pt"),
+        col("dist").as("d_st"),
+        col("sigma").as("sig_st")
+      )
+    val a = v.select(
+      col("seed").as("ps"),
+      col("id"),
+      col("dist").as("d_sv"),
+      col("sigma").as("sig_sv")
+    )
+    val b = v.select(
+      col("seed").as("pt"),
+      col("id"),
+      col("dist").as("d_tv"),
+      col("sigma").as("sig_tv")
+    )
+    a.join(b, "id")
+      .join(broadcast(pd), Seq("ps", "pt"))
+      .filter(
+        col("id") =!= col("ps") && col("id") =!= col("pt") &&
+          col("d_sv") + col("d_tv") === col("d_st")
+      )
+      .groupBy(col("id"))
+      .agg(
+        sum(expr("(1000000 * sig_sv * sig_tv) div sig_st")).as("bcq"),
+        count(lit(1)).as("np")
+      )
+      .orderBy(col("bcq").desc, col("id").asc)
+      .limit(20)
+      .select(
+        col("id").as("node_id"),
+        col("bcq").cast("long").as("bc_q"),
+        col("np").cast("long").as("n_pairs")
+      )
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "g23_sampled_betweenness" -> (g23_sampled_betweenness _),
     "g22_deepwalk_corpus" -> (g22_deepwalk_corpus _),
     "g21_hits" -> (g21_hits _),
     "g8e_leiden_sweep" -> (g8e_leiden_sweep _),
@@ -2165,6 +2245,54 @@ object GraphQueries extends QueryModule {
          JOIN reps r ON s.community_id = r.community_id)"""
 
   val oracles: Map[String, String] = Map(
+    "g23_sampled_betweenness" -> {
+      // The 4 σ-BFS levels, unrolled (the repo's iterative-oracle pattern:
+      // per level one frontier join + (seed, dst) sum + NOT-EXISTS
+      // anti-join against visited — exactly GraphOps.seededPaths).
+      def lvl(t: Int): String =
+        s"""bf$t AS MATERIALIZED (
+              SELECT f.seed, e.dst AS id, $t AS dist, sum(f.sigma) AS sigma
+              FROM bf${t - 1} f JOIN bedg e ON e.src = f.id
+              WHERE NOT EXISTS (
+                SELECT 1 FROM bv${t - 1} v WHERE v.seed = f.seed AND v.id = e.dst)
+              GROUP BY 1, 2),
+            bv$t AS MATERIALIZED (
+              SELECT * FROM bv${t - 1} UNION ALL SELECT * FROM bf$t)"""
+      s"""WITH bbase AS MATERIALIZED (
+            SELECT DISTINCT 's:' || CAST(l_suppkey AS VARCHAR) AS src,
+                   'p:' || CAST(l_partkey AS VARCHAR) AS dst
+            FROM lineitem),
+          bedg AS MATERIALIZED (
+            SELECT src, dst FROM bbase
+            UNION ALL
+            SELECT dst AS src, src AS dst FROM bbase),
+          bpiv AS MATERIALIZED (
+            SELECT 's:' || CAST(s_suppkey AS VARCHAR) AS seed FROM supplier
+            ORDER BY md5(CAST(s_suppkey AS VARCHAR)), s_suppkey LIMIT 8),
+          bf0 AS MATERIALIZED (
+            SELECT seed, seed AS id, 0 AS dist, CAST(1 AS HUGEINT) AS sigma
+            FROM bpiv),
+          bv0 AS MATERIALIZED (SELECT * FROM bf0),
+          ${(1 to 4).map(lvl).mkString(", ")},
+          bpd AS MATERIALIZED (
+            SELECT v.seed AS ps, v.id AS pt, v.dist AS d_st, v.sigma AS sig_st
+            FROM bv4 v JOIN bpiv p ON p.seed = v.id
+            WHERE v.seed < v.id),
+          bc AS (
+            SELECT a.id,
+                   sum((1000000 * a.sigma * b.sigma) // p.sig_st) AS bcq,
+                   count(*) AS np
+            FROM bv4 a
+            JOIN bv4 b ON b.id = a.id
+            JOIN bpd p ON p.ps = a.seed AND p.pt = b.seed
+            WHERE a.id <> p.ps AND a.id <> p.pt
+              AND a.dist + b.dist = p.d_st
+            GROUP BY 1)
+          SELECT id AS node_id,
+                 CAST(bcq AS BIGINT) AS bc_q,
+                 CAST(np AS BIGINT) AS n_pairs
+          FROM bc ORDER BY bcq DESC, id LIMIT 20"""
+    },
     "g22_deepwalk_corpus" -> {
       def walkStep(t: Int): String =
         s"""w$t AS (SELECT w.start, n.dst AS cur,

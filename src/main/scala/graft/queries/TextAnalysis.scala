@@ -576,6 +576,58 @@ object TextAnalysis extends QueryModule {
       .select(col("cm_row"), col("cm_col"), coalesce(col("cnt"), lit(0L)).as("cnt"))
   }
 
+  /** X38 — count-min HEAVY-HITTER PROBE with the overestimate audit: x12
+    * builds the registers; this is the QUERY side Cormode–Muthukrishnan
+    * 2005 §4.1 actually runs — for the true top-32 tokens, est(w) =
+    * min_j grid[j][h_j(w)] next to the exact count, with the overestimate
+    * (est − true, ≥ 0 by the sketch's one-sided guarantee — the spec pins
+    * it) reported per word. The sketch here is 4×1024 (x12's hash scheme,
+    * wider grid) so collision mass ε·N = e/1024 · |tokens| stays below
+    * the head counts and the audit shows near-exact heavy hitters — the
+    * skew/hot-key detector a 100 TB shuffle planner consults without ever
+    * building a term dictionary.
+    *
+    * Scale: the register build is x12's one narrow posexplode pass into a
+    * 4096-key hash agg (map-side combinable, shards merge cell-wise); the
+    * probe side is the 32 head words × 4 cells — a ≤128-row broadcast
+    * against the 4096-row sketch. The exact counts exist only because the
+    * test corpus affords the audit; production keeps the sketch and drops
+    * the dictionary.
+    */
+  private def x38_countmin_hitters(s: SparkSession, d: String): DataFrame = {
+    val Depth = 4
+    val Width = 1024L
+    def cells(c: Column) = (0 until Depth).map(j =>
+      conv(substring(md5(concat(c, lit(s"|cm$j"))), 1, 6), 16, 10)
+        .cast("long") % Width
+    )
+    val wd = table(s, d, "documents")
+      .select(explode(words(col("text"))).as("w"))
+    val sketch = wd
+      .select(posexplode(array(cells(col("w")): _*)))
+      .select(col("pos").cast("long").as("j"), col("col").as("b"))
+      .groupBy(col("j"), col("b"))
+      .agg(count(lit(1)).as("c"))
+    val top = wd
+      .groupBy(col("w"))
+      .agg(count(lit(1)).as("true_c"))
+      .orderBy(col("true_c").desc, col("w").asc)
+      .limit(32)
+    val probe = top
+      .select(col("w"), col("true_c"), posexplode(array(cells(col("w")): _*)))
+      .select(col("w"), col("true_c"), col("pos").cast("long").as("j"), col("col").as("b"))
+    broadcast(probe)
+      .join(sketch, Seq("j", "b"))
+      .groupBy(col("w"), col("true_c"))
+      .agg(min(col("c")).as("est_c"))
+      .select(
+        col("w"),
+        col("true_c").cast("long").as("true_c"),
+        col("est_c").cast("long").as("est_c"),
+        (col("est_c") - col("true_c")).cast("long").as("overest")
+      )
+  }
+
   /** X15 — per-source distribution drift: an integer-quantized KL-style
     * divergence between each source's unigram distribution and the whole
     * corpus, over 64 hashed word buckets (c9's DSIR bucket discipline).
@@ -1765,6 +1817,7 @@ object TextAnalysis extends QueryModule {
     "x16_novelty_rate" -> (x16_novelty_rate _),
     "x15_source_divergence" -> (x15_source_divergence _),
     "x12_cmsketch_registers" -> (x12_cmsketch_registers _),
+    "x38_countmin_hitters" -> (x38_countmin_hitters _),
     "x11_reservoir_sample" -> (x11_reservoir_sample _),
     "x9_tfidf_topk" -> (x9_tfidf_topk _),
     "x10_hll_registers" -> (x10_hll_registers _),
@@ -2488,6 +2541,33 @@ object TextAnalysis extends QueryModule {
          SELECT doc_id, term, CAST(score_q AS BIGINT) AS score_q,
                 CAST(rank AS BIGINT) AS rank
          FROM r WHERE rank <= 3""",
+    "x38_countmin_hitters" -> {
+      // x12's unrolled-j hash idiom at width 1024: sketch build + head probe.
+      def rows(src: String) = (0 until 4)
+        .map(j =>
+          s"""SELECT w, true_c, $j AS j,
+                     ('0x' || substr(md5(w || '|cm$j'), 1, 6))::BIGINT % 1024 AS b
+              FROM $src"""
+        )
+        .mkString(" UNION ALL ")
+      s"""WITH t AS (SELECT unnest(string_split(text, ' ')) AS w,
+                            CAST(0 AS BIGINT) AS true_c
+                     FROM documents),
+          sk AS MATERIALIZED (
+            SELECT j, b, count(*) AS c FROM (${rows("t")}) GROUP BY 1, 2),
+          top AS MATERIALIZED (
+            SELECT w, count(*) AS true_c FROM t GROUP BY 1
+            ORDER BY count(*) DESC, w LIMIT 32),
+          qp AS (${rows("top")}),
+          qe AS (
+            SELECT q.w, q.true_c, min(s.c) AS est_c
+            FROM qp q JOIN sk s ON s.j = q.j AND s.b = q.b
+            GROUP BY 1, 2)
+          SELECT w, CAST(true_c AS BIGINT) AS true_c,
+                 CAST(est_c AS BIGINT) AS est_c,
+                 CAST(est_c - true_c AS BIGINT) AS overest
+          FROM qe"""
+    },
     "x12_cmsketch_registers" -> {
       val rows = (0 until 4)
         .map(j =>

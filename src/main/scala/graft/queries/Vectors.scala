@@ -773,7 +773,73 @@ object Vectors extends QueryModule {
     }
   }
 
+  /** The ±1 JL projection of a 64-dim embedding column onto 16 dims, as an
+    * expression string parameterized on the input column (the BloomOps
+    * column-contract discipline): y_i = Σ_p q(x_p)·s(i,p) on the
+    * floor(x·1024) lattice, with the sign matrix s(i,p) = 2·(md5('jl'i'#'p)
+    * mod 2) − 1 derived per cell — derandomized, so both engines regenerate
+    * the identical matrix and no matrix table needs to exist anywhere.
+    */
+  private def jlExpr(c: String): String =
+    s"""transform(sequence(0, 15), i -> aggregate(
+          zip_with($c, sequence(0, 63), (x, p) ->
+            cast(floor(x * 1024) as bigint) *
+            (2 * (cast(conv(substr(md5(concat('jl', i, '#', p)), 1, 6), 16, 10) as bigint) % 2) - 1)),
+          cast(0 as bigint), (acc, v) -> acc + v))"""
+
+  /** X39 — Johnson–Lindenstrauss RANDOM-SIGN PROJECTION with a distortion
+    * audit (Achlioptas 2003's database-friendly ±1 matrix — the
+    * dimensionality-reduction rung the ANN family sits on: project 64-dim
+    * embeddings to 16 dims, then verify on real pairs that squared
+    * distances survive ×m): each vector's projection is y_i = Σ_p
+    * q_p·s(i,p) over the quantized components (d21's floor(x·1024)
+    * lattice), signs md5-derandomized per (i, p) cell so the matrix is
+    * REGENERATED identically by both engines instead of stored. The audit
+    * pairs every vector against the vec_id-0 anchor (s19's query-vector
+    * pattern): d²_orig on 64 dims, d²_proj on 16, and ratio_pm =
+    * 1000·d²_proj / (16·d²_orig) — E[ratio_pm] = 1000 under the JL lemma
+    * (E[y_i²] = ‖x‖² for ±1 signs), so the column clustering around 1000
+    * is the lemma made measurable; identical-to-anchor rows ride the
+    * nullif lane.
+    *
+    * Scale shape: the projection is a NARROW PER-ROW MAP — zero shuffle,
+    * no matrix join, nothing to broadcast but the single-row anchor; at
+    * 1000 executors it scans and writes. The 1024 md5s per row trade
+    * recompute for state, the right trade at 100 TB where any shared
+    * matrix table would be a broadcast dependency; a production build
+    * would fold the 64×16 sign matrix into a literal array constant.
+    */
+  private def x39_jl_projection(s: SparkSession, d: String): DataFrame = {
+    val e  = table(s, d, "embeddings")
+    val pe = e.select(col("vec_id"), col("embedding"), expr(jlExpr("embedding")).as("y"))
+    val anchor = broadcast(
+      pe.filter(col("vec_id") === 0)
+        .select(col("embedding").as("ae"), col("y").as("ay"))
+    )
+    pe.filter(col("vec_id") > 0)
+      .crossJoin(anchor)
+      .select(
+        col("vec_id"),
+        expr(
+          """aggregate(zip_with(embedding, ae, (x, y) ->
+               (floor(x * 1024) - floor(y * 1024)) * (floor(x * 1024) - floor(y * 1024))),
+             0L, (acc, v) -> acc + v)"""
+        ).as("d2_orig_q"),
+        expr(
+          """aggregate(zip_with(y, ay, (a, b) -> (a - b) * (a - b)),
+             0L, (acc, v) -> acc + v)"""
+        ).as("d2_proj_q")
+      )
+      .select(
+        col("vec_id"),
+        col("d2_orig_q"),
+        col("d2_proj_q"),
+        expr("(1000 * d2_proj_q) div nullif(16 * d2_orig_q, 0)").as("ratio_pm")
+      )
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x39_jl_projection" -> (x39_jl_projection _),
     "x35_mmr_rerank" -> (x35_mmr_rerank _),
     "s19h_hybrid_rrf" -> (s19h_hybrid_rrf _),
     "s19g_ivfadc" -> (s19g_ivfadc _),
@@ -900,6 +966,31 @@ object Vectors extends QueryModule {
   }
 
   val oracles: Map[String, String] = Map(
+    "x39_jl_projection" ->
+      """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+         pe AS MATERIALIZED (
+           SELECT vec_id, e,
+                  list_transform(generate_series(0, 15), i ->
+                    CAST(list_sum(list_transform(generate_series(0, 63), p ->
+                      CAST(floor(e[p + 1] * 1024) AS BIGINT) *
+                      (2 * (('0x' || substr(md5('jl' || i || '#' || p), 1, 6))::BIGINT % 2) - 1)))
+                      AS BIGINT)) AS y
+           FROM v),
+         an AS (SELECT e AS ae, y AS ay FROM pe WHERE vec_id = 0),
+         dd AS (
+           SELECT p.vec_id,
+                  CAST(list_sum(list_transform(generate_series(1, 64), i ->
+                    CAST((floor(p.e[i] * 1024) - floor(a.ae[i] * 1024)) *
+                         (floor(p.e[i] * 1024) - floor(a.ae[i] * 1024)) AS BIGINT)))
+                    AS BIGINT) AS d2_orig_q,
+                  CAST(list_sum(list_transform(generate_series(1, 16), i ->
+                    (p.y[i] - a.ay[i]) * (p.y[i] - a.ay[i])))
+                    AS BIGINT) AS d2_proj_q
+           FROM pe p, an a
+           WHERE p.vec_id > 0)
+         SELECT vec_id, d2_orig_q, d2_proj_q,
+                CAST((1000 * d2_proj_q) // nullif(16 * d2_orig_q, 0) AS BIGINT) AS ratio_pm
+         FROM dd""",
     "x35_mmr_rerank" -> x35OracleSql,
     "x23_embedding_outliers" ->
       s"""WITH v AS (SELECT vec_id, label, embedding::DOUBLE[] AS e FROM embeddings),

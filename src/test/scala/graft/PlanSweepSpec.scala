@@ -86,7 +86,9 @@ class PlanSweepSpec extends AnyFunSuite with SparkTestBase {
     "o11_consistent_ring"    -> 1L, // the 576-vnode ring collapsed to ONE sorted-array row, broadcast onto the scan
     "s33_bloom_skipping"     -> 8L, // per-lang Bloom manifest (≤|partitions| single-long rows) onto the 40-probe frame
     "x33_stupid_backoff"     -> 1L, // single-row N-total + tercile-cut broadcasts onto bigram/per-doc frames
-    "x37_unigram_viterbi"    -> 1L  // single-row piece-mass total broadcast onto the piece-cost table
+    "x37_unigram_viterbi"    -> 1L, // single-row piece-mass total broadcast onto the piece-cost table
+    "x39_jl_projection"      -> 1L, // single-row (anchor embedding, anchor projection) broadcast onto the scan
+    "c30_capped_mixture"     -> 1L  // three single-row water-filling scalar broadcasts onto the source frame
   )
 
   /** Queries allowed a window with an empty partition spec, with the

@@ -135,4 +135,85 @@ class Round16QueriesSpec extends AnyFunSuite with SparkTestBase {
     assert(byGen(2L).getAs[Long]("sum_quality") > 0L)
     assert(byGen(1L).getAs[Long]("n_rows") > byGen(2L).getAs[Long]("n_rows"), "gen 2 is a partial refresh")
   }
+
+  test("seededPaths: σ counts shortest paths exactly on a hand-built diamond, and level-sync never revisits") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // A—B, A—C, B—D, C—D (undirected diamond) plus tail D—E:
+    // from A: d(B)=d(C)=1 σ=1; d(D)=2 σ=2 (both arms); d(E)=3 σ=2.
+    val und   = Seq(("A", "B"), ("A", "C"), ("B", "D"), ("C", "D"), ("D", "E")).toDF("src", "dst")
+    val edges = und.unionByName(und.select(col("dst").as("src"), col("src").as("dst")))
+    val seeds = Seq("A").toDF("seed").select(col("seed"), col("seed").as("id"))
+    val got = graph.GraphOps
+      .seededPaths(seeds, edges, 4)
+      .collect()
+      .map(r => r.getAs[String]("id") -> (r.getAs[Long]("dist"), r.getAs[java.math.BigDecimal]("sigma").longValueExact()))
+      .toMap
+    assert(got == Map(
+      "A" -> (0L, 1L), "B" -> (1L, 1L), "C" -> (1L, 1L), "D" -> (2L, 2L), "E" -> (3L, 2L)
+    ), s"got $got")
+  }
+
+  test("g23: pair-dependency terms respect the σ subset bound and the ranking is the declared tiebreak") {
+    val rows = SparkEntry.queries("g23_sampled_betweenness")(spark, sf).collect()
+    assert(rows.nonEmpty && rows.length <= 20)
+    rows.foreach { r =>
+      val bc = r.getAs[Long]("bc_q")
+      val np = r.getAs[Long]("n_pairs")
+      assert(np >= 1L)
+      // each term is 10⁶·σ_sv·σ_vt/σ_st with σ_sv·σ_vt ≤ σ_st (paths
+      // through v are a subset of all s↔t shortest paths), so the sum
+      // over n_pairs sampled pairs is capped at 10⁶·n_pairs
+      assert(bc >= 0L && bc <= 1000000L * np, s"bc_q $bc outside [0, 1e6·$np]")
+    }
+    val scores = rows.map(_.getAs[Long]("bc_q")).toSeq
+    assert(scores.zip(scores.tail).forall { case (a, b) => b <= a }, "descending by bc_q")
+  }
+
+  test("x38: count-min estimates are one-sided (est ≥ true, the CM guarantee) and heads are near-exact at width 1024") {
+    val rows = SparkEntry.queries("x38_countmin_hitters")(spark, sf).collect()
+    assert(rows.nonEmpty && rows.length <= 32)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("est_c") >= r.getAs[Long]("true_c"), s"CM underestimated ${r.getAs[String]("w")}")
+      assert(r.getAs[Long]("overest") == r.getAs[Long]("est_c") - r.getAs[Long]("true_c"))
+    }
+    // ε = e/1024 of the token mass bounds every overestimate w.h.p.; at
+    // the harness vocabulary the heads should be exact or nearly so —
+    // a large overestimate means the hash rows collapsed
+    val worst = rows.map(_.getAs[Long]("overest")).max
+    val mass  = rows.map(_.getAs[Long]("true_c")).sum
+    assert(worst * 100 <= mass, s"worst overestimate $worst implausible vs head mass $mass")
+  }
+
+  test("x39: the JL ratio column clusters at 1000 per the lemma, and distances are nonnegative") {
+    val rows = SparkEntry.queries("x39_jl_projection")(spark, sf).collect()
+    assert(rows.length > 100)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("d2_orig_q") >= 0L && r.getAs[Long]("d2_proj_q") >= 0L)
+    }
+    val ratios = rows.flatMap(r => Option(r.getAs[Any]("ratio_pm")).map(_.asInstanceOf[Long]))
+    assert(ratios.length > 100, "nearly every pair has a nonzero original distance")
+    val mean = ratios.sum.toDouble / ratios.length
+    // E[ratio_pm] = 1000 exactly (E[y_i²] = ‖x‖² for ±1 signs); the mean
+    // over hundreds of pairs concentrates — a band this wide only breaks
+    // if the sign matrix or the quantizer is wrong in kind, not in noise
+    assert(mean > 800 && mean < 1200, s"mean JL ratio $mean ∉ (800, 1200)")
+  }
+
+  test("c30: allocation conserves the budget, respects the 4-epoch cap, and redistributes to uncapped sources") {
+    val rows = SparkEntry.queries("c30_capped_mixture")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("alloc_docs") <= r.getAs[Long]("cap_docs"))
+      assert(r.getAs[Long]("epochs_bp") <= 40000L, "the cap IS the 4-epoch bound")
+      assert(
+        r.getAs[Boolean]("capped") == (r.getAs[Long]("alloc_docs") == r.getAs[Long]("cap_docs")))
+    }
+    val residue = rows.head.getAs[Long]("residue_docs")
+    assert(residue >= 0L, "water-filling can never over-allocate")
+    val budget = rows.map(_.getAs[Long]("n_docs")).sum
+    assert(
+      rows.map(_.getAs[Long]("alloc_docs")).sum + residue == budget,
+      "every budgeted draw is either allocated or reported in the residue")
+  }
 }
