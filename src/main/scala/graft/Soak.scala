@@ -189,7 +189,15 @@ object Soak {
     // k = 8N fine seeds, c = 4*sqrt(N) coarse cells, so per-vector
     // assignment work is c + k/c = Theta(sqrt(k)) instead of k — the cell
     // that prices what the brute-force scaled-k rung pays in assignment
-    "d21b_semdedup_ivf_scaledk"
+    "d21b_semdedup_ivf_scaledk",
+    // r16 second wave: g23's per-pass frontier joins probe the 16× edge
+    // table (the pivot count stays 8 — the landmark bound — so the linear
+    // bar prices the edge-scan growth); x38's sketch stays FIXED at 4×1024
+    // cells under a 16× token stream (the register build is the linear
+    // part); x39 is the narrow per-row map — 16× rows, zero shuffle
+    "g23_sampled_betweenness",
+    "x38_countmin_hitters",
+    "x39_jl_projection"
   )
 
   private[graft] def buildScaled(spark: SparkSession, src: String, out: String, n: Int): Unit = {

@@ -1279,49 +1279,112 @@ object GraphOps {
     * the σ (sigma) multiplicities Brandes-style betweenness needs (Brandes
     * 2001 §3: σ_sv = the number of distinct shortest s→v paths; the pivot
     * estimator in Brandes–Pich 2007 consumes exactly these per-landmark
-    * counts). Level-synchronous form: the pass-t frontier is every (seed,
-    * vertex) pair first reached at distance t, and its σ is the SUM of the
-    * σ of its pass-(t−1) predecessors — summing only over the previous
-    * frontier (not all visited rows) is what makes the count
-    * shortest-paths-only, so no min-aggregate is needed at all; the
-    * anti-join against already-visited pairs enforces "first reached".
+    * counts), executed as MULTI-SOURCE BFS (Then et al., VLDB 2014 "The
+    * More the Merrier: Efficient Multi-Source BFS"): all K landmarks ride
+    * ONE K-slot state vector per vertex — per pass the edge relaxation
+    * joins |E| rows ONCE and ships one K-long message array per edge
+    * instead of the K·|E| exploded (seed, vertex) rows the row-per-seed
+    * form shuffles (measured on g23 at sf0.1: the row form's relaxations
+    * peaked at 9.6M shuffled rows and ~6 s per pass; the packed form cut
+    * the query ~2×). Messages fold with [[graft.functions.LongVecSum]]
+    * (elementwise, map-side combinable); a slot is finalized the first
+    * pass it arrives — level-synchronous "first reached" with σ = the sum
+    * over pass-(t−1) predecessors, no anti-join needed because finalized
+    * slots simply refuse later arrivals.
     *
-    * `seeds` is `(seed, id)` (distance 0, σ = 1 — conventionally seed =
-    * id's own label); `edges` is directed `(src, dst)` — pass a symmetrized
-    * list for undirected graphs. Returns `(seed, id, dist, sigma)` for
-    * every pair within `passes` hops; unreached pairs are absent. σ is
-    * decimal(38,0) — path counts multiply along levels and products of two
-    * σ's must survive downstream (the a30 exact-accumulator discipline).
+    * `seeds` is `(seed: string, id)` (distance 0, σ = 1 — conventionally
+    * seed = id's own label); `edges` is directed `(src, dst)` — pass a
+    * symmetrized list for undirected graphs. Returns `(seed, id, dist,
+    * sigma)` for every pair within `passes` hops; unreached pairs are
+    * absent. The seed LABELS are collected to the driver to fix the slot
+    * order — bounded BY CONTRACT at K rows (landmark estimators sample a
+    * small pivot set; that is the entire Eppstein–Wang/Brandes–Pich
+    * design), never data-scale. σ rides a plain long: path counts at
+    * `passes` hops are bounded by (max degree)^passes, so 63 bits hold to
+    * degree ~55k at 4 hops (declared boundary; an extreme-hub deployment
+    * widens the slots to decimal). Consumers forming σ·σ PRODUCTS must
+    * cast to decimal(38,0) first (the a30 discipline — g23 does).
     *
-    * Scale shape: per pass ONE equi-join on src + one (seed, dst) sum + one
-    * anti-join, all keyed; state ≤ |seeds| × |reach| rows (the same
-    * Eppstein–Wang landmark bound as seededHops — never all-pairs).
+    * Scale shape: per pass ONE equi-join on src + one |V|-group vector
+    * aggregate + one |V|-row full-outer state merge, all keyed; state is
+    * |reach| rows × K slots. States are [[Lineage.cachePin]]ned (loop
+    * state consumed by the next pass and the final explode — the r16
+    * job-count discipline), and the pass count keeps the compounded stats
+    * estimate bounded.
     */
   def seededPaths(seeds: DataFrame, edges: DataFrame, passes: Int): DataFrame = {
-    var frontier = Lineage.truncate(
-      seeds.select(
-        col("seed"),
-        col("id"),
-        lit(0L).as("dist"),
-        lit(1L).cast("decimal(38,0)").as("sigma")
-      )
+    val slots = seeds
+      .select(col("seed"))
+      .distinct()
+      .orderBy(col("seed"))
+      .collect()
+      .map(_.get(0).toString)
+    val seedArr = "array(" + slots
+      .map(s => "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'")
+      .mkString(",") + ")"
+    var state = Lineage.cachePin(
+      seeds
+        .groupBy(col("id"))
+        .agg(collect_set(col("seed")).as("ss"))
+        .select(
+          col("id"),
+          expr(
+            s"""transform($seedArr, s -> IF(array_contains(ss, s),
+                  named_struct('dist', 0L, 'sigma', 1L),
+                  named_struct('dist', -1L, 'sigma', 0L)))"""
+          ).as("st")
+        )
     )
-    var visited = frontier
     (1 to passes).foreach { t =>
-      val relaxed = edges
-        .join(frontier, edges("src") === frontier("id"))
-        .select(col("seed"), edges("dst").as("id"), col("sigma"))
-      frontier = Lineage.truncate(
-        relaxed
-          .groupBy("seed", "id")
-          .agg(sum("sigma").cast("decimal(38,0)").as("sigma"))
-          .withColumn("dist", lit(t.toLong))
-          .join(visited.select(col("seed"), col("id")), Seq("seed", "id"), "left_anti")
-          .select(col("seed"), col("id"), col("dist"), col("sigma"))
+      val live = state.filter(expr(s"exists(st, s -> s.dist = ${t - 1})"))
+      // K scalar message columns, not one array: plain long sums stay
+      // inside whole-stage codegen with map-side partial aggregation —
+      // the measured reason this beats both the row-per-seed form and a
+      // typed vector-sum UDAF (per-row encoder cost on |E| rows).
+      val msgCols = slots.indices.map(i =>
+        expr(s"IF(st[$i].dist = ${t - 1}, st[$i].sigma, 0L)").as(s"m$i")
       )
-      visited = visited.unionByName(frontier)
+      val msgs = edges
+        .join(live, edges("src") === live("id"))
+        .select(edges("dst").as("id") +: msgCols: _*)
+      val sums = slots.indices.map(i => sum(col(s"m$i")).as(s"m$i"))
+      val arrivals = msgs
+        .groupBy(col("id"))
+        .agg(sums.head, sums.tail: _*)
+        .select(
+          col("id"),
+          expr(s"array(${slots.indices.map(i => s"m$i").mkString(",")})").as("m")
+        )
+        .filter(expr("exists(m, x -> x > 0)"))
+      state = Lineage.cachePin(
+        state
+          .join(arrivals, Seq("id"), "full_outer")
+          .select(
+            col("id"),
+            expr(
+              s"""CASE
+                    WHEN st IS NULL THEN transform(m, x ->
+                      IF(x > 0, named_struct('dist', ${t}L, 'sigma', x),
+                                named_struct('dist', -1L, 'sigma', 0L)))
+                    WHEN m IS NULL THEN st
+                    ELSE zip_with(st, m, (s, x) ->
+                      IF(s.dist >= 0, s,
+                        IF(x > 0, named_struct('dist', ${t}L, 'sigma', x),
+                                  named_struct('dist', -1L, 'sigma', 0L))))
+                  END"""
+            ).as("st")
+          )
+      )
     }
-    visited
+    state
+      .select(col("id"), posexplode(col("st")))
+      .filter(col("col.dist") >= 0)
+      .select(
+        expr(s"element_at($seedArr, pos + 1)").as("seed"),
+        col("id"),
+        col("col.dist").as("dist"),
+        col("col.sigma").as("sigma")
+      )
   }
 
   /** Connected components by min-label propagation with pointer jumping:

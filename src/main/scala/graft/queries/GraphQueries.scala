@@ -1711,7 +1711,7 @@ object GraphQueries extends QueryModule {
       )
       .groupBy(col("id"))
       .agg(
-        sum(expr("(1000000 * sig_sv * sig_tv) div sig_st")).as("bcq"),
+        sum(expr("(1000000 * cast(sig_sv as decimal(38,0)) * sig_tv) div sig_st")).as("bcq"),
         count(lit(1)).as("np")
       )
       .orderBy(col("bcq").desc, col("id").asc)

@@ -581,8 +581,11 @@ object TextAnalysis extends QueryModule {
     * 2005 §4.1 actually runs — for the true top-32 tokens, est(w) =
     * min_j grid[j][h_j(w)] next to the exact count, with the overestimate
     * (est − true, ≥ 0 by the sketch's one-sided guarantee — the spec pins
-    * it) reported per word. The sketch here is 4×1024 (x12's hash scheme,
-    * wider grid) so collision mass ε·N = e/1024 · |tokens| stays below
+    * it) reported per word. The sketch here is 4×1024
+    * ([[graft.operators.CmOps]] — x12's hash scheme at a wider grid, one
+    * bit-math definition shared with the streaming register maintenance,
+    * the BloomOps discipline) so collision mass ε·N = e/1024 · |tokens|
+    * stays below
     * the head counts and the audit shows near-exact heavy hitters — the
     * skew/hot-key detector a 100 TB shuffle planner consults without ever
     * building a term dictionary.
@@ -595,16 +598,12 @@ object TextAnalysis extends QueryModule {
     * the dictionary.
     */
   private def x38_countmin_hitters(s: SparkSession, d: String): DataFrame = {
-    val Depth = 4
-    val Width = 1024L
-    def cells(c: Column) = (0 until Depth).map(j =>
-      conv(substring(md5(concat(c, lit(s"|cm$j"))), 1, 6), 16, 10)
-        .cast("long") % Width
-    )
+    import graft.operators.CmOps
+    def cells(c: String) = (0 until CmOps.Depth).map(j => expr(CmOps.bucketExpr(c, j)))
     val wd = table(s, d, "documents")
       .select(explode(words(col("text"))).as("w"))
     val sketch = wd
-      .select(posexplode(array(cells(col("w")): _*)))
+      .select(posexplode(array(cells("w"): _*)))
       .select(col("pos").cast("long").as("j"), col("col").as("b"))
       .groupBy(col("j"), col("b"))
       .agg(count(lit(1)).as("c"))
@@ -614,7 +613,7 @@ object TextAnalysis extends QueryModule {
       .orderBy(col("true_c").desc, col("w").asc)
       .limit(32)
     val probe = top
-      .select(col("w"), col("true_c"), posexplode(array(cells(col("w")): _*)))
+      .select(col("w"), col("true_c"), posexplode(array(cells("w"): _*)))
       .select(col("w"), col("true_c"), col("pos").cast("long").as("j"), col("col").as("b"))
     broadcast(probe)
       .join(sketch, Seq("j", "b"))

@@ -816,6 +816,19 @@ object Vectors extends QueryModule {
       pe.filter(col("vec_id") === 0)
         .select(col("embedding").as("ae"), col("y").as("ay"))
     )
+    jlDistances(pe, anchor)
+      .select(
+        col("vec_id"),
+        col("d2_orig_q"),
+        col("d2_proj_q"),
+        expr("(1000 * d2_proj_q) div nullif(16 * d2_orig_q, 0)").as("ratio_pm")
+      )
+  }
+
+  /** (vec_id, d2_orig_q, d2_proj_q) of every non-anchor vector against the
+    * broadcast single-row anchor — the distance frame x39 and x40 share.
+    */
+  private def jlDistances(pe: DataFrame, anchor: DataFrame): DataFrame =
     pe.filter(col("vec_id") > 0)
       .crossJoin(anchor)
       .select(
@@ -830,16 +843,62 @@ object Vectors extends QueryModule {
              0L, (acc, v) -> acc + v)"""
         ).as("d2_proj_q")
       )
+
+  /** X40 — kNN RECALL IN THE PROJECTED SPACE (the audit that makes x39's
+    * projection a search structure, not just a compression trick: JL-style
+    * reduction is the standard first stage of a billion-vector ANN stack —
+    * search the 16-dim space, re-rank survivors in the original space —
+    * and the question that decides whether that stack is sound is "how
+    * much of the TRUE top-k does the projected top-k retain?"): exact
+    * top-8 by quantized L2 against the vec-0 anchor in the ORIGINAL
+    * 64-dim space next to the top-8 in the 16-dim PROJECTED space, full
+    * outer join on the union (≤ 16 rows), each row carrying both ranks
+    * (null = outside that list) and both distances; `in_both` marks the
+    * retained set, so recall@8 is the in_both count over 8. Ranks are
+    * deterministic ((d², vec_id) tiebreak) and the oracle regenerates the
+    * identical lists, so the measured recall itself is cross-engine
+    * pinned — the declared-approximation discipline (g13b, d22).
+    *
+    * Scale shape: one narrow projection scan, two TakeOrderedAndProject
+    * top-8s, rank windows over ≤ 8 rows each (the s19h bounded-window
+    * pattern), one ≤16-row join. At 10⁹ vectors the projected scan reads
+    * 4× less and the re-rank touches k rows — the recall measured here is
+    * the price tag on that speedup.
+    */
+  private def x40_jl_recall(s: SparkSession, d: String): DataFrame = {
+    val e  = table(s, d, "embeddings")
+    val pe = e.select(col("vec_id"), col("embedding"), expr(jlExpr("embedding")).as("y"))
+    val anchor = broadcast(
+      pe.filter(col("vec_id") === 0)
+        .select(col("embedding").as("ae"), col("y").as("ay"))
+    )
+    val dd = jlDistances(pe, anchor)
+    def top8(by: String, rank: String) = dd
+      .orderBy(col(by).asc, col("vec_id").asc)
+      .limit(K)
+      .withColumn(
+        rank,
+        row_number()
+          .over(Window.orderBy(col(by).asc, col("vec_id").asc))
+          .cast("long")
+      )
+      .select(col("vec_id"), col(rank))
+    top8("d2_orig_q", "rank_exact")
+      .join(top8("d2_proj_q", "rank_proj"), Seq("vec_id"), "full_outer")
+      .join(dd, Seq("vec_id"))
       .select(
         col("vec_id"),
+        col("rank_exact"),
+        col("rank_proj"),
         col("d2_orig_q"),
         col("d2_proj_q"),
-        expr("(1000 * d2_proj_q) div nullif(16 * d2_orig_q, 0)").as("ratio_pm")
+        (col("rank_exact").isNotNull && col("rank_proj").isNotNull).as("in_both")
       )
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x39_jl_projection" -> (x39_jl_projection _),
+    "x40_jl_recall" -> (x40_jl_recall _),
     "x35_mmr_rerank" -> (x35_mmr_rerank _),
     "s19h_hybrid_rrf" -> (s19h_hybrid_rrf _),
     "s19g_ivfadc" -> (s19g_ivfadc _),
@@ -965,32 +1024,49 @@ object Vectors extends QueryModule {
         FROM ($union) ORDER BY step"""
   }
 
+  /** The JL projection + anchor-distance CTE chain x39 and x40 share (the
+    * SQL twin of [[jlExpr]] + [[jlDistances]]).
+    */
+  private val jlDdSql =
+    """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+       pe AS MATERIALIZED (
+         SELECT vec_id, e,
+                list_transform(generate_series(0, 15), i ->
+                  CAST(list_sum(list_transform(generate_series(0, 63), p ->
+                    CAST(floor(e[p + 1] * 1024) AS BIGINT) *
+                    (2 * (('0x' || substr(md5('jl' || i || '#' || p), 1, 6))::BIGINT % 2) - 1)))
+                    AS BIGINT)) AS y
+         FROM v),
+       an AS (SELECT e AS ae, y AS ay FROM pe WHERE vec_id = 0),
+       dd AS MATERIALIZED (
+         SELECT p.vec_id,
+                CAST(list_sum(list_transform(generate_series(1, 64), i ->
+                  CAST((floor(p.e[i] * 1024) - floor(a.ae[i] * 1024)) *
+                       (floor(p.e[i] * 1024) - floor(a.ae[i] * 1024)) AS BIGINT)))
+                  AS BIGINT) AS d2_orig_q,
+                CAST(list_sum(list_transform(generate_series(1, 16), i ->
+                  (p.y[i] - a.ay[i]) * (p.y[i] - a.ay[i])))
+                  AS BIGINT) AS d2_proj_q
+         FROM pe p, an a
+         WHERE p.vec_id > 0)"""
+
   val oracles: Map[String, String] = Map(
     "x39_jl_projection" ->
-      """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
-         pe AS MATERIALIZED (
-           SELECT vec_id, e,
-                  list_transform(generate_series(0, 15), i ->
-                    CAST(list_sum(list_transform(generate_series(0, 63), p ->
-                      CAST(floor(e[p + 1] * 1024) AS BIGINT) *
-                      (2 * (('0x' || substr(md5('jl' || i || '#' || p), 1, 6))::BIGINT % 2) - 1)))
-                      AS BIGINT)) AS y
-           FROM v),
-         an AS (SELECT e AS ae, y AS ay FROM pe WHERE vec_id = 0),
-         dd AS (
-           SELECT p.vec_id,
-                  CAST(list_sum(list_transform(generate_series(1, 64), i ->
-                    CAST((floor(p.e[i] * 1024) - floor(a.ae[i] * 1024)) *
-                         (floor(p.e[i] * 1024) - floor(a.ae[i] * 1024)) AS BIGINT)))
-                    AS BIGINT) AS d2_orig_q,
-                  CAST(list_sum(list_transform(generate_series(1, 16), i ->
-                    (p.y[i] - a.ay[i]) * (p.y[i] - a.ay[i])))
-                    AS BIGINT) AS d2_proj_q
-           FROM pe p, an a
-           WHERE p.vec_id > 0)
+      s"""$jlDdSql
          SELECT vec_id, d2_orig_q, d2_proj_q,
                 CAST((1000 * d2_proj_q) // nullif(16 * d2_orig_q, 0) AS BIGINT) AS ratio_pm
          FROM dd""",
+    "x40_jl_recall" ->
+      s"""$jlDdSql,
+         ex AS (SELECT vec_id,
+                       CAST(row_number() OVER (ORDER BY d2_orig_q, vec_id) AS BIGINT) AS rank_exact
+                FROM dd ORDER BY d2_orig_q, vec_id LIMIT 8),
+         pj AS (SELECT vec_id,
+                       CAST(row_number() OVER (ORDER BY d2_proj_q, vec_id) AS BIGINT) AS rank_proj
+                FROM dd ORDER BY d2_proj_q, vec_id LIMIT 8)
+         SELECT vec_id, rank_exact, rank_proj, d.d2_orig_q, d.d2_proj_q,
+                (rank_exact IS NOT NULL AND rank_proj IS NOT NULL) AS in_both
+         FROM ex FULL JOIN pj USING (vec_id) JOIN dd d USING (vec_id)""",
     "x35_mmr_rerank" -> x35OracleSql,
     "x23_embedding_outliers" ->
       s"""WITH v AS (SELECT vec_id, label, embedding::DOUBLE[] AS e FROM embeddings),

@@ -224,6 +224,58 @@ object StreamOps {
       .agg(expr(BloomOps.orAgg(0)).as("bits0"), expr(BloomOps.orAgg(1)).as("bits1"))
   }
 
+  /** Streaming COUNT-MIN register maintenance with an EXACTLY-ONCE fold —
+    * the counter complement of [[bloomManifest]], sharing its bit math
+    * through [[graft.operators.CmOps]] so stream-folded and batch-built
+    * registers are cell-identical by construction. The algebra alone is
+    * NOT enough here: cell counts merge by addition, which is commutative
+    * and associative but not IDEMPOTENT, so a replayed micro-batch
+    * (foreachBatch delivery is at-least-once) would double-count — the
+    * exact reason BloomOps' scaladoc says lakehouse manifests ship Blooms
+    * rather than counters. The canonical foreachBatch discipline closes
+    * the gap transactionally: every sketch row carries the LAST FOLDED
+    * BATCH ID, and each fold commits the updated cells and the new id
+    * through ONE staged atomic swap ([[graft.io.TableIO.writeParquet]]),
+    * so a replay of batch b against a table whose committed id ≥ b is a
+    * detected no-op. Exactly-once by rename atomicity, not merge algebra.
+    * StreamOpsSpec pins stream ≡ batch on the final registers, the replay
+    * no-op, and the batch-id monotone.
+    *
+    * Input batch: a `w` string column. Table: (j, b, c, last_batch) —
+    * ≤ 4×1024 populated cells at ANY corpus size, so the per-batch rewrite
+    * is constant cost while the counted stream is unbounded (the point of
+    * a sketch: the 100 TB ingest keeps live heavy-hitter/hot-key counters
+    * in kilobytes of state).
+    */
+  def cmSketchSink(batch: DataFrame, batchId: Long, path: String): Unit = {
+    import graft.operators.CmOps
+    val spark  = batch.sparkSession
+    val target = new org.apache.hadoop.fs.Path(path)
+    val fs     = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val existing =
+      if (fs.exists(target)) Some(spark.read.parquet(path)) else None
+    val last = existing
+      .map(_.agg(coalesce(max(col("last_batch")), lit(-1L))).head.getLong(0))
+      .getOrElse(-1L)
+    if (batchId <= last) return // replayed batch: already folded and committed
+    val cells = (0 until CmOps.Depth).map(j => expr(CmOps.bucketExpr("w", j)))
+    val add = batch
+      .select(posexplode(array(cells: _*)))
+      .select(col("pos").cast("long").as("j"), col("col").as("b"))
+      .groupBy(col("j"), col("b"))
+      .agg(count(lit(1)).as("c"))
+    val merged = existing match {
+      case Some(ex) =>
+        ex.select(col("j"), col("b"), col("c"))
+          .unionByName(add)
+          .groupBy(col("j"), col("b"))
+          .agg(sum(col("c")).as("c"))
+      case None => add
+    }
+    graft.io.TableIO.writeParquet(merged.withColumn("last_batch", lit(batchId)), path)
+    ()
+  }
+
   /** Keep-last streaming upsert sink (S17's semantics on a stream): each
     * micro-batch is merged into the parquet collection at `path` — existing
     * rows lose to same-key batch rows, within-batch ties resolve by highest

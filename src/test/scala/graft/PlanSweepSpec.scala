@@ -88,6 +88,7 @@ class PlanSweepSpec extends AnyFunSuite with SparkTestBase {
     "x33_stupid_backoff"     -> 1L, // single-row N-total + tercile-cut broadcasts onto bigram/per-doc frames
     "x37_unigram_viterbi"    -> 1L, // single-row piece-mass total broadcast onto the piece-cost table
     "x39_jl_projection"      -> 1L, // single-row (anchor embedding, anchor projection) broadcast onto the scan
+    "x40_jl_recall"          -> 1L, // the same single-row anchor broadcast (shared jlDistances frame)
     "c30_capped_mixture"     -> 1L  // three single-row water-filling scalar broadcasts onto the source frame
   )
 
@@ -112,7 +113,8 @@ class PlanSweepSpec extends AnyFunSuite with SparkTestBase {
     "s19h_hybrid_rrf"      -> 50L, // two rank windows, each over its list's top-50 only
     "s19i_ivfadc_rerank"   -> 32L, // adc/exact rank windows over the top-R = 32 refine frame only
     "x32_prf_expansion"    -> 20L, // old/new rank windows over their 20-row top lists only
-    "x33_stupid_backoff"   -> 1024L // cumulative count over value-domain-bounded ppl-histogram bins (c25's shape)
+    "x33_stupid_backoff"   -> 1024L, // cumulative count over value-domain-bounded ppl-histogram bins (c25's shape)
+    "x40_jl_recall"        -> 8L // exact/projected rank windows, each over its top-8 only (s19h's shape)
   )
 
   /** Queries allowed a BNLJ INSIDE a truncated/cache-pinned stage — plans

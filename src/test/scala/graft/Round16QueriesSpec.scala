@@ -147,7 +147,7 @@ class Round16QueriesSpec extends AnyFunSuite with SparkTestBase {
     val got = graph.GraphOps
       .seededPaths(seeds, edges, 4)
       .collect()
-      .map(r => r.getAs[String]("id") -> (r.getAs[Long]("dist"), r.getAs[java.math.BigDecimal]("sigma").longValueExact()))
+      .map(r => r.getAs[String]("id") -> (r.getAs[Long]("dist"), r.getAs[Long]("sigma")))
       .toMap
     assert(got == Map(
       "A" -> (0L, 1L), "B" -> (1L, 1L), "C" -> (1L, 1L), "D" -> (2L, 2L), "E" -> (3L, 2L)
@@ -198,6 +198,26 @@ class Round16QueriesSpec extends AnyFunSuite with SparkTestBase {
     // over hundreds of pairs concentrates — a band this wide only breaks
     // if the sign matrix or the quantizer is wrong in kind, not in noise
     assert(mean > 800 && mean < 1200, s"mean JL ratio $mean ∉ (800, 1200)")
+  }
+
+  test("x40: both rank lists are full top-8 permutations and in_both marks exactly the retained set") {
+    val rows = SparkEntry.queries("x40_jl_recall")(spark, sf).collect()
+    def ranks(c: String) =
+      rows.flatMap(r => Option(r.getAs[Any](c)).map(_.asInstanceOf[Long])).sorted.toSeq
+    assert(ranks("rank_exact") == (1L to 8L), "exact list must be a full top-8")
+    assert(ranks("rank_proj") == (1L to 8L), "projected list must be a full top-8")
+    val retained = rows.count(_.getAs[Boolean]("in_both"))
+    assert(rows.length == 16 - retained, "the union row count IS the recall identity")
+    rows.foreach { r =>
+      assert(
+        r.getAs[Boolean]("in_both") ==
+          (r.getAs[Any]("rank_exact") != null && r.getAs[Any]("rank_proj") != null))
+      assert(r.getAs[Long]("d2_orig_q") >= 0L && r.getAs[Long]("d2_proj_q") >= 0L)
+    }
+    // rank 1 exists on both sides and distances are consistent with rank
+    val exact = rows.filter(_.getAs[Any]("rank_exact") != null)
+      .sortBy(_.getAs[Long]("rank_exact")).map(_.getAs[Long]("d2_orig_q")).toSeq
+    assert(exact.zip(exact.tail).forall { case (a, b) => a <= b }, "exact ranks follow d2_orig")
   }
 
   test("c30: allocation conserves the budget, respects the 4-epoch cap, and redistributes to uncapped sources") {

@@ -855,6 +855,69 @@ class StreamOpsSpec extends AnyFunSuite with SparkTestBase {
     } finally q.stop()
   }
 
+  test("cmSketchSink: stream-folded registers equal the batch sketch, a replayed batch id is a committed no-op") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.CmOps
+    val path = s"${sys.props("java.io.tmpdir")}/graft_io/stream_cmsketch_spec"
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(path), true)
+
+    def cellsOf(df: org.apache.spark.sql.DataFrame): Map[(Long, Long), Long] =
+      df.collect().map(r => (r.getAs[Long]("j"), r.getAs[Long]("b")) -> r.getAs[Long]("c")).toMap
+    def batchSketch(words: Seq[String]): Map[(Long, Long), Long] = {
+      val cells = (0 until CmOps.Depth).map(j =>
+        org.apache.spark.sql.functions.expr(CmOps.bucketExpr("w", j)))
+      cellsOf(
+        words.toDF("w")
+          .select(org.apache.spark.sql.functions.posexplode(
+            org.apache.spark.sql.functions.array(cells: _*)))
+          .selectExpr("cast(pos as long) as j", "col as b")
+          .groupBy("j", "b").count().withColumnRenamed("count", "c"))
+    }
+
+    val in = MemoryStream[String]
+    val q = in.toDF().toDF("w").writeStream
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+        StreamOps.cmSketchSink(b, id, path)
+      }
+      .outputMode(OutputMode.Append())
+      .start()
+    try {
+      val b1 = Seq("alpha", "beta", "alpha", "gamma")
+      val b2 = Seq("beta", "beta", "delta")
+      in.addData(b1: _*)
+      q.processAllAvailable()
+      in.addData(b2: _*)
+      q.processAllAvailable()
+      val folded = spark.read.parquet(path)
+      val lastId = folded.agg(org.apache.spark.sql.functions.max("last_batch")).head.getLong(0)
+      assert(lastId >= 1L, "two micro-batches must advance the committed id")
+      // stream ≡ batch on the registers
+      assert(cellsOf(folded.select("j", "b", "c")) == batchSketch(b1 ++ b2))
+      // REPLAY: re-folding an already-committed batch id changes nothing —
+      // addition is not idempotent, so this is the transactional guard at work
+      StreamOps.cmSketchSink(b2.toDF("w"), lastId, path)
+      val replayed = spark.read.parquet(path)
+      assert(cellsOf(replayed.select("j", "b", "c")) == batchSketch(b1 ++ b2),
+        "a replayed batch id must not double-count")
+      assert(replayed.agg(org.apache.spark.sql.functions.max("last_batch")).head.getLong(0) == lastId)
+      // a FRESH id folds: the estimate for beta (min over its 4 cells) grows
+      def estBeta(m: Map[(Long, Long), Long]): Long =
+        (0 until CmOps.Depth).map { j =>
+          val b = Seq("beta").toDF("w")
+            .selectExpr(CmOps.bucketExpr("w", j)).head.getLong(0)
+          m.getOrElse((j.toLong, b), 0L)
+        }.min
+      val before = estBeta(cellsOf(replayed.select("j", "b", "c")))
+      StreamOps.cmSketchSink(Seq("beta").toDF("w"), lastId + 1, path)
+      val after = estBeta(cellsOf(spark.read.parquet(path).select("j", "b", "c")))
+      assert(after == before + 1, s"fresh fold must count: $before -> $after")
+      assert(before >= 3L, "CM estimate is one-sided: beta arrived 3 times")
+    } finally q.stop()
+  }
+
   test("mergeSink: tombstones delete mid-funnel, replay converges, stream equals batch, restart keeps deletes gone") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
