@@ -1282,15 +1282,16 @@ object GraphOps {
     * counts), executed as MULTI-SOURCE BFS (Then et al., VLDB 2014 "The
     * More the Merrier: Efficient Multi-Source BFS"): all K landmarks ride
     * ONE K-slot state vector per vertex — per pass the edge relaxation
-    * joins |E| rows ONCE and ships one K-long message array per edge
+    * joins |E| rows ONCE and ships K scalar message columns per edge
     * instead of the K·|E| exploded (seed, vertex) rows the row-per-seed
     * form shuffles (measured on g23 at sf0.1: the row form's relaxations
     * peaked at 9.6M shuffled rows and ~6 s per pass; the packed form cut
-    * the query ~2×). Messages fold with [[graft.functions.LongVecSum]]
-    * (elementwise, map-side combinable); a slot is finalized the first
-    * pass it arrives — level-synchronous "first reached" with σ = the sum
-    * over pass-(t−1) predecessors, no anti-join needed because finalized
-    * slots simply refuse later arrivals.
+    * the query ~2×). Messages fold as K plain `sum`s (whole-stage codegen,
+    * map-side combinable — a typed vector-sum UDAF was measured slower on
+    * |E| rows from per-row encoder cost and dropped); a slot is finalized
+    * the first pass it arrives — level-synchronous "first reached" with σ
+    * = the sum over pass-(t−1) predecessors, no anti-join needed because
+    * finalized slots simply refuse later arrivals.
     *
     * `seeds` is `(seed: string, id)` (distance 0, σ = 1 — conventionally
     * seed = id's own label); `edges` is directed `(src, dst)` — pass a
