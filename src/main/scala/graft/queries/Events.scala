@@ -138,6 +138,44 @@ object Events extends QueryModule {
       )
   }
 
+  /** E20 — RETENTION COHORT MATRIX (the day-N retention table every
+    * product/engagement dashboard is built on, and the one classic
+    * event-analytics output the family still lacked next to e5's funnel
+    * and e18's transitions): cohort = a user's first-active day; cell
+    * (cohort, n) = how many of that cohort's users were active again n
+    * days later, as a per-mille of cohort size. Day 0 is the cohort size
+    * itself by construction (retention_pm = 1000 — the spec pins it);
+    * n is capped at 14 (the day-14 retention window) so the matrix is
+    * value-domain-bounded regardless of the stream's time span.
+    *
+    * Scale shape: ONE distinct over (user, day) — the only corpus-sized
+    * shuffle — then a user-keyed min aggregate, a user-keyed join back,
+    * and a (cohort, n) count-distinct over ≤ cohorts×15 cells. No windows,
+    * no per-user event-list collection; every step is hash-partitioned on
+    * its key and AQE reuses the user_id partitioning across the join.
+    */
+  private def e20_retention_cohorts(s: SparkSession, d: String): DataFrame = {
+    val act = table(s, d, "events")
+      .select(col("user_id"), expr("(ts div 1000) div 86400000000").as("day"))
+      .distinct()
+    val cohort = act.groupBy(col("user_id")).agg(min(col("day")).as("c_day"))
+    val sizes  = cohort.groupBy(col("c_day")).agg(countDistinct(col("user_id")).as("cohort_users"))
+    act
+      .join(cohort, "user_id")
+      .select(col("c_day"), (col("day") - col("c_day")).as("day_n"), col("user_id"))
+      .filter(col("day_n") <= 14)
+      .groupBy(col("c_day"), col("day_n"))
+      .agg(countDistinct(col("user_id")).as("active_users"))
+      .join(sizes, "c_day")
+      .select(
+        col("c_day").cast("long").as("cohort_day"),
+        col("day_n").cast("long").as("day_n"),
+        col("active_users").cast("long").as("active_users"),
+        col("cohort_users").cast("long").as("cohort_users"),
+        expr("1000 * active_users div cohort_users").as("retention_pm")
+      )
+  }
+
   /** E6 — inter-arrival-time histogram: per-user deltas between consecutive
     * events (lag over one user_id shuffle), bucketed to minutes and counted
     * — the distribution that drives session-gap and rate-limit tuning.
@@ -657,6 +695,7 @@ object Events extends QueryModule {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "e20_retention_cohorts" -> (e20_retention_cohorts _),
     "e19_cusum_drift" -> (e19_cusum_drift _),
     "e18_transition_matrix" -> (e18_transition_matrix _),
     "e17_window_topk" -> (e17_window_topk _),
@@ -679,6 +718,25 @@ object Events extends QueryModule {
   )
 
   val oracles: Map[String, String] = Map(
+    "e20_retention_cohorts" ->
+      """WITH act AS (
+           SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day
+           FROM events),
+         cohort AS (SELECT user_id, min(day) AS c_day FROM act GROUP BY 1),
+         sizes AS (SELECT c_day, count(DISTINCT user_id) AS cohort_users
+                   FROM cohort GROUP BY 1),
+         ret AS (
+           SELECT c.c_day, a.day - c.c_day AS day_n,
+                  count(DISTINCT a.user_id) AS active_users
+           FROM act a JOIN cohort c ON a.user_id = c.user_id
+           WHERE a.day - c.c_day <= 14
+           GROUP BY 1, 2)
+         SELECT CAST(r.c_day AS BIGINT) AS cohort_day,
+                CAST(r.day_n AS BIGINT) AS day_n,
+                CAST(r.active_users AS BIGINT) AS active_users,
+                CAST(s.cohort_users AS BIGINT) AS cohort_users,
+                CAST(1000 * r.active_users // s.cohort_users AS BIGINT) AS retention_pm
+         FROM ret r JOIN sizes s ON r.c_day = s.c_day""",
     "e19_cusum_drift" ->
       """WITH daily AS (SELECT event_type, epoch_us(ts) // 86400000000 AS day,
                                count(*) AS x

@@ -576,6 +576,61 @@ object TextAnalysis extends QueryModule {
       .select(col("cm_row"), col("cm_col"), coalesce(col("cnt"), lit(0L)).as("cnt"))
   }
 
+  /** X41 — TEXTTILING topic segmentation (Hearst 1997, Computational
+    * Linguistics 23(1): subtopic boundaries live where LEXICAL COHESION
+    * between adjacent token blocks dips — the semantic chunker the f3
+    * family lacked: fixed/recursive/token-measured chunkers cut by size,
+    * this cuts by content, the split a RAG pipeline wants so a chunk
+    * doesn't straddle a topic shift): per document, w = 8-token blocks;
+    * cohesion at gap i = |distinct(block i) ∩ distinct(block i+1)| (the
+    * paper's block-comparison score on the integer lattice — set overlap
+    * instead of its tf cosine, the declared simplification so both
+    * engines share exact arithmetic); a boundary is a STRICT VALLEY
+    * (cohesion below both neighboring gaps — interior gaps only, Hearst's
+    * depth rule reduced to its sign). Output per document: block count,
+    * boundary count, segment count (= boundaries + 1), mean cohesion
+    * per-mille, and an md5 over the boundary gap indices — the
+    * segmentation fingerprint a downstream chunk-store keys on.
+    *
+    * Scale shape: ZERO SHUFFLE — one narrow projection of array
+    * expressions per document (blocks, the cohesion series, the valley
+    * filter are all within-row HOFs, p8's bounded-serial argument never
+    * even needed); at 1000 executors this scans and writes.
+    */
+  private def x41_texttiling(s: SparkSession, d: String): DataFrame = {
+    val w = 8
+    table(s, d, "documents")
+      .select(col("doc_id"), words(col("text")).as("ws"))
+      .filter(size(col("ws")) >= 3 * w)
+      .withColumn("nwin", expr(s"size(ws) div $w"))
+      .withColumn(
+        "coh",
+        expr(s"""transform(sequence(1, nwin - 1), i ->
+                   cast(size(array_intersect(
+                     array_distinct(slice(ws, (i - 1) * $w + 1, $w)),
+                     array_distinct(slice(ws, i * $w + 1, $w)))) as bigint))""")
+      )
+      .withColumn(
+        "bnd",
+        // domain = 1..size(coh) with the interior guard INSIDE the lambda:
+        // sequence(2, size(coh) - 1) DESCENDS in Spark when the gap count
+        // is 2 (DuckDB's generate_series is empty there) — the engine
+        // divergence x18's oracle note already documents
+        expr("""filter(sequence(1, size(coh)), i ->
+                  i >= 2 AND i <= size(coh) - 1 AND
+                  element_at(coh, i) < element_at(coh, i - 1) AND
+                  element_at(coh, i) < element_at(coh, i + 1))""")
+      )
+      .select(
+        col("doc_id"),
+        col("nwin").cast("long").as("n_blocks"),
+        size(col("bnd")).cast("long").as("n_boundaries"),
+        (size(col("bnd")) + 1).cast("long").as("n_segments"),
+        expr("1000 * aggregate(coh, 0L, (a, x) -> a + x) div size(coh)").as("mean_cohesion_q"),
+        md5(expr("array_join(transform(bnd, x -> cast(x as string)), '|')")).as("boundaries_md5")
+      )
+  }
+
   /** X38 — count-min HEAVY-HITTER PROBE with the overestimate audit: x12
     * builds the registers; this is the QUERY side Cormode–Muthukrishnan
     * 2005 §4.1 actually runs — for the true top-32 tokens, est(w) =
@@ -1817,6 +1872,7 @@ object TextAnalysis extends QueryModule {
     "x15_source_divergence" -> (x15_source_divergence _),
     "x12_cmsketch_registers" -> (x12_cmsketch_registers _),
     "x38_countmin_hitters" -> (x38_countmin_hitters _),
+    "x41_texttiling" -> (x41_texttiling _),
     "x11_reservoir_sample" -> (x11_reservoir_sample _),
     "x9_tfidf_topk" -> (x9_tfidf_topk _),
     "x10_hll_registers" -> (x10_hll_registers _),
@@ -2540,6 +2596,32 @@ object TextAnalysis extends QueryModule {
          SELECT doc_id, term, CAST(score_q AS BIGINT) AS score_q,
                 CAST(rank AS BIGINT) AS rank
          FROM r WHERE rank <= 3""",
+    "x41_texttiling" ->
+      """WITH b AS (
+           SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+         g AS (
+           SELECT doc_id, ws, len(ws) // 8 AS nwin FROM b WHERE len(ws) >= 24),
+         c AS (
+           SELECT doc_id, nwin,
+                  list_transform(generate_series(1, nwin - 1), i ->
+                    CAST(len(list_intersect(
+                      list_distinct(ws[(i - 1) * 8 + 1 : i * 8]),
+                      list_distinct(ws[i * 8 + 1 : (i + 1) * 8]))) AS BIGINT)) AS coh
+           FROM g),
+         v AS (
+           SELECT doc_id, nwin, coh,
+                  list_filter(generate_series(2, len(coh) - 1), i ->
+                    coh[i] < coh[i - 1] AND coh[i] < coh[i + 1]) AS bnd
+           FROM c)
+         SELECT doc_id,
+                CAST(nwin AS BIGINT) AS n_blocks,
+                CAST(len(bnd) AS BIGINT) AS n_boundaries,
+                CAST(len(bnd) + 1 AS BIGINT) AS n_segments,
+                CAST(1000 * list_sum(coh) // len(coh) AS BIGINT) AS mean_cohesion_q,
+                md5(coalesce(
+                  array_to_string(list_transform(bnd, x -> CAST(x AS VARCHAR)), '|'), ''))
+                  AS boundaries_md5
+         FROM v""",
     "x38_countmin_hitters" -> {
       // x12's unrolled-j hash idiom at width 1024: sketch build + head probe.
       def rows(src: String) = (0 until 4)

@@ -220,6 +220,41 @@ class Round16QueriesSpec extends AnyFunSuite with SparkTestBase {
     assert(exact.zip(exact.tail).forall { case (a, b) => a <= b }, "exact ranks follow d2_orig")
   }
 
+  test("e20: day-0 retention is 1000 permille for every cohort and no cell exceeds its cohort") {
+    val rows = SparkEntry.queries("e20_retention_cohorts")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val cohorts = rows.map(_.getAs[Long]("cohort_day")).distinct
+    cohorts.foreach { c =>
+      val day0 = rows.find(r => r.getAs[Long]("cohort_day") == c && r.getAs[Long]("day_n") == 0L)
+      assert(day0.isDefined, s"cohort $c lost its own day-0 row")
+      assert(day0.get.getAs[Long]("retention_pm") == 1000L,
+        "day 0 IS the cohort definition — everyone in it was active that day")
+    }
+    rows.foreach { r =>
+      assert(r.getAs[Long]("day_n") >= 0L && r.getAs[Long]("day_n") <= 14L)
+      assert(r.getAs[Long]("active_users") <= r.getAs[Long]("cohort_users"),
+        "a cohort can never have more returners than members")
+      assert(r.getAs[Long]("retention_pm") <= 1000L)
+    }
+  }
+
+  test("x41: segments = boundaries + 1, a valley needs at least 4 blocks, and the rule actually fires somewhere") {
+    val rows = SparkEntry.queries("x41_texttiling")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_blocks") >= 3L, "the 3w-token gate admits only >= 3-block docs")
+      assert(r.getAs[Long]("n_segments") == r.getAs[Long]("n_boundaries") + 1L)
+      // an interior valley needs >= 3 gaps, i.e. >= 4 blocks; and there are
+      // at most (gaps - 2) interior gaps
+      val gaps = r.getAs[Long]("n_blocks") - 1L
+      if (r.getAs[Long]("n_boundaries") > 0L) assert(gaps >= 3L)
+      assert(r.getAs[Long]("n_boundaries") <= math.max(0L, gaps - 2L))
+      assert(r.getAs[Long]("mean_cohesion_q") >= 0L)
+    }
+    assert(rows.exists(_.getAs[Long]("n_boundaries") > 0L),
+      "no document has a cohesion valley — the segmenter is dead")
+  }
+
   test("c30: allocation conserves the budget, respects the 4-epoch cap, and redistributes to uncapped sources") {
     val rows = SparkEntry.queries("c30_capped_mixture")(spark, sf).collect()
     assert(rows.nonEmpty)
