@@ -197,7 +197,12 @@ object Soak {
     // part); x39 is the narrow per-row map — 16× rows, zero shuffle
     "g23_sampled_betweenness",
     "x38_countmin_hitters",
-    "x39_jl_projection"
+    "x39_jl_projection",
+    // r16 third wave: e20's corpus-sized work is ONE (user, day) distinct
+    // (events replicate with offset user ids — 16× users, same day span);
+    // x41 is the zero-shuffle per-row HOF scan — both linear-bar queries
+    "e20_retention_cohorts",
+    "x41_texttiling"
   )
 
   private[graft] def buildScaled(spark: SparkSession, src: String, out: String, n: Int): Unit = {
