@@ -1669,19 +1669,37 @@ object GraphQueries extends QueryModule {
     * products ride decimal(38,0) (the a30 exact-accumulator lane; DuckDB
     * mirrors in HUGEINT).
     */
-  private def g23_sampled_betweenness(s: SparkSession, d: String): DataFrame = {
-    val base  = suppliesBipartite(s, d)
-    val edges = base.unionByName(base.select(col("dst").as("src"), col("src").as("dst")))
-    val pivots = table(s, d, "supplier")
+  private val pivotPathsMemo = graft.Memo.newMap()
+
+  /** The 8 md5-derandomized supplier pivots (the landmark sample g23/g24
+    * estimate from).
+    */
+  private def supplierPivots(s: SparkSession, d: String): DataFrame =
+    table(s, d, "supplier")
       .select(concat(lit("s:"), col("s_suppkey")).as("seed"), col("s_suppkey").as("k"))
       .orderBy(expr("md5(cast(k as string))"), col("k"))
       .limit(8)
       .select(col("seed"))
-    val v = GraphOps.seededPaths(
-      pivots.select(col("seed"), col("seed").as("id")),
-      edges,
-      4
-    )
+
+  /** The per-pivot σ-BFS table (seed, id, dist, sigma) over the symmetrized
+    * supplies graph, 4 hops — Memo-shared so g23 (betweenness) and g24
+    * (eccentricity/diameter bounds) pay the multi-source BFS ONCE per
+    * dataset, the suppliesBipartite substrate discipline one level up.
+    */
+  private def pivotPaths(s: SparkSession, d: String): DataFrame =
+    graft.Memo.cached(pivotPathsMemo, s, d) {
+      val base  = suppliesBipartite(s, d)
+      val edges = base.unionByName(base.select(col("dst").as("src"), col("src").as("dst")))
+      GraphOps.seededPaths(
+        supplierPivots(s, d).select(col("seed"), col("seed").as("id")),
+        edges,
+        4
+      )
+    }
+
+  private def g23_sampled_betweenness(s: SparkSession, d: String): DataFrame = {
+    val pivots = supplierPivots(s, d)
+    val v      = pivotPaths(s, d)
     val pd = v
       .join(broadcast(pivots.select(col("seed").as("pt"))), v("id") === col("pt"))
       .filter(col("seed") < col("pt"))
@@ -1723,7 +1741,42 @@ object GraphQueries extends QueryModule {
       )
   }
 
+  /** G24 — landmark ECCENTRICITY + DIAMETER LOWER BOUND (Magnien–Latapy–
+    * Habib 2009, the standard cheap answer to "how wide is this graph":
+    * exact BFS from a few landmarks gives ecc(v) per landmark, and
+    * max ecc over landmarks is a valid diameter LOWER bound because every
+    * eccentricity is — the bound production graph profiles report instead
+    * of an all-pairs diameter): per pivot, the hop-bounded eccentricity
+    * (max BFS distance within 4 hops — a lower bound on true ecc, so the
+    * chain ecc_h ≤ ecc ≤ diameter keeps diameter_lb valid), the reached
+    * count, and the mean distance per-mille (the landmark-closeness
+    * column g15's harmonic form complements). Shares the [[pivotPaths]]
+    * Memo substrate with g23 — the BFS is paid once per dataset; this
+    * query is two aggregates over its 8×|reach| rows.
+    */
+  private def g24_eccentricity(s: SparkSession, d: String): DataFrame = {
+    val v = pivotPaths(s, d)
+    val perPivot = v
+      .groupBy(col("seed"))
+      .agg(
+        max(col("dist")).as("ecc_h"),
+        count(lit(1)).as("n_reached"),
+        sum(col("dist")).as("sum_dist")
+      )
+    val lb = perPivot.agg(max(col("ecc_h")).as("diameter_lb"))
+    perPivot
+      .crossJoin(broadcast(lb))
+      .select(
+        col("seed").as("pivot_id"),
+        col("ecc_h").cast("long").as("ecc_h"),
+        col("n_reached").cast("long").as("n_reached"),
+        expr("1000 * sum_dist div n_reached").as("mean_dist_pm"),
+        col("diameter_lb").cast("long").as("diameter_lb")
+      )
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "g24_eccentricity" -> (g24_eccentricity _),
     "g23_sampled_betweenness" -> (g23_sampled_betweenness _),
     "g22_deepwalk_corpus" -> (g22_deepwalk_corpus _),
     "g21_hits" -> (g21_hits _),
@@ -2244,36 +2297,53 @@ object GraphQueries extends QueryModule {
          FROM stats s JOIN tops t ON s.community_id = t.community_id
          JOIN reps r ON s.community_id = r.community_id)"""
 
+  /** The unrolled 4-level σ-BFS CTE chain the g23/g24 oracles share (the
+    * repo's iterative-oracle pattern: per level one frontier join +
+    * (seed, dst) sum + NOT-EXISTS anti-join against visited — exactly
+    * GraphOps.seededPaths; the SQL twin of the Memo-shared pivotPaths).
+    */
+  private val pivotBfsSql: String = {
+    def lvl(t: Int): String =
+      s"""bf$t AS MATERIALIZED (
+            SELECT f.seed, e.dst AS id, $t AS dist, sum(f.sigma) AS sigma
+            FROM bf${t - 1} f JOIN bedg e ON e.src = f.id
+            WHERE NOT EXISTS (
+              SELECT 1 FROM bv${t - 1} v WHERE v.seed = f.seed AND v.id = e.dst)
+            GROUP BY 1, 2),
+          bv$t AS MATERIALIZED (
+            SELECT * FROM bv${t - 1} UNION ALL SELECT * FROM bf$t)"""
+    s"""WITH bbase AS MATERIALIZED (
+          SELECT DISTINCT 's:' || CAST(l_suppkey AS VARCHAR) AS src,
+                 'p:' || CAST(l_partkey AS VARCHAR) AS dst
+          FROM lineitem),
+        bedg AS MATERIALIZED (
+          SELECT src, dst FROM bbase
+          UNION ALL
+          SELECT dst AS src, src AS dst FROM bbase),
+        bpiv AS MATERIALIZED (
+          SELECT 's:' || CAST(s_suppkey AS VARCHAR) AS seed FROM supplier
+          ORDER BY md5(CAST(s_suppkey AS VARCHAR)), s_suppkey LIMIT 8),
+        bf0 AS MATERIALIZED (
+          SELECT seed, seed AS id, 0 AS dist, CAST(1 AS HUGEINT) AS sigma
+          FROM bpiv),
+        bv0 AS MATERIALIZED (SELECT * FROM bf0),
+        ${(1 to 4).map(lvl).mkString(", ")}"""
+  }
+
   val oracles: Map[String, String] = Map(
+    "g24_eccentricity" ->
+      s"""$pivotBfsSql,
+          pp AS (SELECT seed, max(dist) AS ecc, count(*) AS nr, sum(dist) AS sd
+                 FROM bv4 GROUP BY 1),
+          lb AS (SELECT max(ecc) AS dl FROM pp)
+          SELECT seed AS pivot_id,
+                 CAST(ecc AS BIGINT) AS ecc_h,
+                 CAST(nr AS BIGINT) AS n_reached,
+                 CAST(1000 * sd // nr AS BIGINT) AS mean_dist_pm,
+                 CAST(dl AS BIGINT) AS diameter_lb
+          FROM pp CROSS JOIN lb""",
     "g23_sampled_betweenness" -> {
-      // The 4 σ-BFS levels, unrolled (the repo's iterative-oracle pattern:
-      // per level one frontier join + (seed, dst) sum + NOT-EXISTS
-      // anti-join against visited — exactly GraphOps.seededPaths).
-      def lvl(t: Int): String =
-        s"""bf$t AS MATERIALIZED (
-              SELECT f.seed, e.dst AS id, $t AS dist, sum(f.sigma) AS sigma
-              FROM bf${t - 1} f JOIN bedg e ON e.src = f.id
-              WHERE NOT EXISTS (
-                SELECT 1 FROM bv${t - 1} v WHERE v.seed = f.seed AND v.id = e.dst)
-              GROUP BY 1, 2),
-            bv$t AS MATERIALIZED (
-              SELECT * FROM bv${t - 1} UNION ALL SELECT * FROM bf$t)"""
-      s"""WITH bbase AS MATERIALIZED (
-            SELECT DISTINCT 's:' || CAST(l_suppkey AS VARCHAR) AS src,
-                   'p:' || CAST(l_partkey AS VARCHAR) AS dst
-            FROM lineitem),
-          bedg AS MATERIALIZED (
-            SELECT src, dst FROM bbase
-            UNION ALL
-            SELECT dst AS src, src AS dst FROM bbase),
-          bpiv AS MATERIALIZED (
-            SELECT 's:' || CAST(s_suppkey AS VARCHAR) AS seed FROM supplier
-            ORDER BY md5(CAST(s_suppkey AS VARCHAR)), s_suppkey LIMIT 8),
-          bf0 AS MATERIALIZED (
-            SELECT seed, seed AS id, 0 AS dist, CAST(1 AS HUGEINT) AS sigma
-            FROM bpiv),
-          bv0 AS MATERIALIZED (SELECT * FROM bf0),
-          ${(1 to 4).map(lvl).mkString(", ")},
+      s"""$pivotBfsSql,
           bpd AS MATERIALIZED (
             SELECT v.seed AS ps, v.id AS pt, v.dist AS d_st, v.sigma AS sig_st
             FROM bv4 v JOIN bpiv p ON p.seed = v.id

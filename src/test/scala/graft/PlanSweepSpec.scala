@@ -89,7 +89,8 @@ class PlanSweepSpec extends AnyFunSuite with SparkTestBase {
     "x37_unigram_viterbi"    -> 1L, // single-row piece-mass total broadcast onto the piece-cost table
     "x39_jl_projection"      -> 1L, // single-row (anchor embedding, anchor projection) broadcast onto the scan
     "x40_jl_recall"          -> 1L, // the same single-row anchor broadcast (shared jlDistances frame)
-    "c30_capped_mixture"     -> 1L  // three single-row water-filling scalar broadcasts onto the source frame
+    "c30_capped_mixture"     -> 1L, // three single-row water-filling scalar broadcasts onto the source frame
+    "g24_eccentricity"       -> 1L  // single-row diameter-lower-bound broadcast onto the 8-pivot frame
   )
 
   /** Queries allowed a window with an empty partition spec, with the

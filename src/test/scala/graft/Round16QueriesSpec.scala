@@ -220,6 +220,21 @@ class Round16QueriesSpec extends AnyFunSuite with SparkTestBase {
     assert(exact.zip(exact.tail).forall { case (a, b) => a <= b }, "exact ranks follow d2_orig")
   }
 
+  test("g24: hop-bounded eccentricities stay within the hop cap and the diameter bound IS their max") {
+    val rows = SparkEntry.queries("g24_eccentricity")(spark, sf).collect()
+    assert(rows.length == 8, "one row per landmark pivot")
+    val eccs = rows.map(_.getAs[Long]("ecc_h"))
+    val lbs  = rows.map(_.getAs[Long]("diameter_lb")).distinct
+    assert(lbs.length == 1 && lbs.head == eccs.max,
+      "diameter_lb must be the max landmark eccentricity (every ecc is a diameter lower bound)")
+    rows.foreach { r =>
+      assert(r.getAs[Long]("ecc_h") >= 1L && r.getAs[Long]("ecc_h") <= 4L, "4-hop BFS bounds ecc_h")
+      assert(r.getAs[Long]("n_reached") >= 2L, "a pivot reaches at least itself and one neighbor")
+      assert(r.getAs[Long]("mean_dist_pm") <= r.getAs[Long]("ecc_h") * 1000L,
+        "mean distance can never exceed the eccentricity")
+    }
+  }
+
   test("e20: day-0 retention is 1000 permille for every cohort and no cell exceeds its cohort") {
     val rows = SparkEntry.queries("e20_retention_cohorts")(spark, sf).collect()
     assert(rows.nonEmpty)
