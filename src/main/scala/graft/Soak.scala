@@ -202,7 +202,11 @@ object Soak {
     // (events replicate with offset user ids — 16× users, same day span);
     // x41 is the zero-shuffle per-row HOF scan — both linear-bar queries
     "e20_retention_cohorts",
-    "x41_texttiling"
+    "x41_texttiling",
+    // g24 re-pays the Memo-shared pivot BFS under the soak's per-cell
+    // Memo.clearAll — so its rung prices the BFS + aggregate, same linear
+    // class as g23's
+    "g24_eccentricity"
   )
 
   private[graft] def buildScaled(spark: SparkSession, src: String, out: String, n: Int): Unit = {
