@@ -918,6 +918,51 @@ class StreamOpsSpec extends AnyFunSuite with SparkTestBase {
     } finally q.stop()
   }
 
+  test("cmSketchSink: a checkpointed restart never double-counts — the committed batch id guards the replay") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.CmOps
+    val base = s"${sys.props("java.io.tmpdir")}/graft_io/stream_cmsketch_restart_spec"
+    val fs = new org.apache.hadoop.fs.Path(base)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(base), true)
+    val path = s"$base/t"
+    val ckpt = s"$base/ckpt"
+
+    def total(): Long =
+      spark.read.parquet(path)
+        .filter(org.apache.spark.sql.functions.col("j") === 0L)
+        .agg(org.apache.spark.sql.functions.sum("c")).head.getLong(0)
+
+    val in = MemoryStream[String]
+    def start() = in.toDF().toDF("w").writeStream
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+        StreamOps.cmSketchSink(b, id, path)
+      }
+      .option("checkpointLocation", ckpt)
+      .outputMode(OutputMode.Append())
+      .start()
+
+    val q = start()
+    try {
+      in.addData("alpha", "beta", "alpha")
+      q.processAllAvailable()
+      // row 0 of the sketch counts every token exactly once
+      assert(total() == 3L)
+    } finally q.stop()
+
+    // restart from the checkpoint: Structured Streaming may re-offer the
+    // last batch under ITS ORIGINAL ID; addition is not idempotent, so only
+    // the committed-id guard keeps row-0 mass exact. New data still folds.
+    val q2 = start()
+    try {
+      in.addData("gamma")
+      q2.processAllAvailable()
+      assert(total() == 4L, "restart must not double-count the pre-restart batch")
+      assert(CmOps.Depth == 4 && CmOps.Width == 1024L, "spec pins the shared geometry")
+    } finally q2.stop()
+  }
+
   test("mergeSink: tombstones delete mid-funnel, replay converges, stream equals batch, restart keeps deletes gone") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
