@@ -1042,11 +1042,16 @@ object GraphQueries extends QueryModule {
     )
     val e1 = graft.Lineage.truncate(pass(e0))
     val e2 = graft.Lineage.truncate(pass(e1))
-    e0.select(lit("s0_initial").as("stage"))
-      .unionAll(e1.select(lit("s1_after_pass1").as("stage")))
-      .unionAll(e2.select(lit("s2_after_pass2").as("stage")))
-      .groupBy(col("stage"))
-      .agg(count(lit(1)).as("n_edges"))
+    // Per-stage SCALAR counts, not a groupBy over stage labels: a fully
+    // peeled stage must still report its zero row (the label-union form
+    // silently dropped empty stages — caught by the sf0.1 cross-check,
+    // where the k-truss genuinely peels the projection to nothing and the
+    // engine returned 1 row against the oracle's 3).
+    def censusRow(name: String, df: DataFrame) =
+      df.agg(count(lit(1)).as("n_edges")).select(lit(name).as("stage"), col("n_edges"))
+    censusRow("s0_initial", e0)
+      .unionAll(censusRow("s1_after_pass1", e1))
+      .unionAll(censusRow("s2_after_pass2", e2))
   }
 
   /** G18 — local clustering coefficient: per supplier, how close its

@@ -70,26 +70,38 @@ object TextAnalysis extends QueryModule {
     // junk count is a `translate` (table lookup: what survives removing
     // [a-z0-9 ] IS the junk), not a regex — the java.util.regex char-class
     // scan measured 8× slower at the 10× scale point (3.2 s vs 0.4 s).
+    // Ratios ride INTEGER ten-thousandths (round-half-up by +den before
+    // the div) and only the final display divides by 10000.0 — dividing
+    // the same integer by the same power of ten is the one float op both
+    // engines perform bit-identically. The earlier all-double form hit a
+    // .xxxx5 rounding boundary on 2 of 50k docs at sf0.1 (0.5217 vs
+    // 0.5216): the composite's binary representation fell on different
+    // sides of the tie in Spark and DuckDB — the exact divergence class
+    // the repo's integer-lattice discipline exists to remove.
     val w      = words(col("text"))
     val counts = table(s, d, "documents").select(
       col("doc_id"),
-      length(col("text")).cast("double").as("n_chars"),
+      length(col("text")).cast("long").as("n_chars"),
       length(translate(col("text"), "abcdefghijklmnopqrstuvwxyz0123456789 ", ""))
-        .cast("double").as("junk_chars"),
-      stopCount(w, StopEn).cast("double").as("stop_hits"),
-      size(w).cast("double").as("n_words")
+        .cast("long").as("junk_chars"),
+      stopCount(w, StopEn).cast("long").as("stop_hits"),
+      size(w).cast("long").as("n_words")
     )
-    val lenScore  = least(col("n_chars") / 500.0, lit(1.0))
-    val junkRatio = col("junk_chars") / col("n_chars")
-    val stopRatio = col("stop_hits") / col("n_words")
-    counts.select(
-      col("doc_id"),
-      round(lenScore, 4).as("len_score"),
-      round(junkRatio, 4).as("junk_ratio"),
-      round(stopRatio, 4).as("stop_ratio"),
-      round(lenScore * 0.4 + (lit(1.0) - junkRatio) * 0.2 + stopRatio * 0.4, 4)
-        .as("quality")
-    )
+    counts
+      .select(
+        col("doc_id"),
+        expr("least(n_chars * 20, 10000)").as("len_q"),
+        expr("(2 * junk_chars * 10000 + n_chars) div (2 * n_chars)").as("junk_q"),
+        expr("(2 * stop_hits * 10000 + n_words) div (2 * n_words)").as("stop_q")
+      )
+      .select(
+        col("doc_id"),
+        (col("len_q") / 10000.0).as("len_score"),
+        (col("junk_q") / 10000.0).as("junk_ratio"),
+        (col("stop_q") / 10000.0).as("stop_ratio"),
+        (expr("(4 * len_q + 2 * (10000 - junk_q) + 4 * stop_q + 5) div 10") / 10000.0)
+          .as("quality")
+      )
   }
 
   /** X3 — token counting three ways: whitespace tokens, regex (BPE-ish
@@ -2515,17 +2527,23 @@ object TextAnalysis extends QueryModule {
     "x2_quality_score" ->
       s"""WITH q AS (
             SELECT doc_id,
-                   CAST(length(text) AS DOUBLE) AS n,
-                   CAST(length(text) - length(regexp_replace(text, '[^a-z0-9 ]', '', 'g')) AS DOUBLE) AS junk,
-                   CAST(${stopCountSql(StopEn)} AS DOUBLE) AS stp,
-                   CAST(len(string_split(text, ' ')) AS DOUBLE) AS nw
-            FROM documents)
+                   CAST(length(text) AS BIGINT) AS n,
+                   CAST(length(text) - length(regexp_replace(text, '[^a-z0-9 ]', '', 'g')) AS BIGINT) AS junk,
+                   CAST(${stopCountSql(StopEn)} AS BIGINT) AS stp,
+                   CAST(len(string_split(text, ' ')) AS BIGINT) AS nw
+            FROM documents),
+          qq AS (
+            SELECT doc_id,
+                   least(n * 20, 10000) AS len_q,
+                   (2 * junk * 10000 + n) // (2 * n) AS junk_q,
+                   (2 * stp * 10000 + nw) // (2 * nw) AS stop_q
+            FROM q)
           SELECT doc_id,
-                 round(least(n / 500.0, 1.0), 4) AS len_score,
-                 round(junk / n, 4) AS junk_ratio,
-                 round(stp / nw, 4) AS stop_ratio,
-                 round(least(n / 500.0, 1.0) * 0.4 + (1.0 - junk / n) * 0.2 + (stp / nw) * 0.4, 4) AS quality
-          FROM q""",
+                 len_q / 10000.0 AS len_score,
+                 junk_q / 10000.0 AS junk_ratio,
+                 stop_q / 10000.0 AS stop_ratio,
+                 ((4 * len_q + 2 * (10000 - junk_q) + 4 * stop_q + 5) // 10) / 10000.0 AS quality
+          FROM qq""",
     "x3_token_count" ->
       """SELECT doc_id,
                 CAST(len(string_split(text, ' ')) AS BIGINT) AS ws_tokens,
