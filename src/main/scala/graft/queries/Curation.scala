@@ -1376,6 +1376,47 @@ object Curation extends QueryModule {
       )
   }
 
+  /** A32 — classifier CALIBRATION audit by reliability binning (the Guo
+    * et al. 2017 reliability-diagram discipline on the integer score
+    * domain — the complement of a31: AUC measures whether the classifier
+    * RANKS junk below clean, this measures whether the score VALUE means
+    * what a consumer thresholding on it assumes): c26's per-doc quality
+    * score (value-domain-bounded in [−64000, 64000] by construction — the
+    * log-odds weights are bit-lengths, so no rank window is ever needed)
+    * is cut into 10 FIXED-WIDTH bins, and each bin reports its document
+    * count, junk count, observed junk rate in basis points, and mean
+    * score. A calibrated scorer shows junk rate falling as the score bin
+    * rises; the spec pins the junk mass concentrating in the low bins.
+    * Runs on the SHARED memoized scored frame (c26/a31's [[c26ScoredDocs]]
+    * — three consumers, one compute). Mean scores shift by +64000 before
+    * the integer division so truncation equals floor on both engines (the
+    * d20 negative-div discipline).
+    *
+    * Scale shape: one keyed aggregate over the scored frame into ≤ 10
+    * value-domain bins — no sort, no window, no ntile.
+    */
+  private def a32_score_reliability(s: SparkSession, d: String): DataFrame =
+    c26ScoredDocs(s, d)
+      .select(
+        (col("source") === "planted_junk").cast("long").as("y"),
+        expr("(1000 * (wsum + 64 * n_words)) div n_words - 64000").as("score_q")
+      )
+      .withColumn("bin", expr("least(greatest((score_q + 64000) div 12800, 0), 9)"))
+      .groupBy(col("bin"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("y")).as("n_junk"),
+        expr("10000 * sum(y) div count(1)").as("junk_rate_bp"),
+        expr("sum(score_q + 64000) div count(1) - 64000").as("mean_score_q")
+      )
+      .select(
+        col("bin").cast("long").as("bin"),
+        col("n_docs").cast("long").as("n_docs"),
+        col("n_junk").cast("long").as("n_junk"),
+        col("junk_rate_bp").cast("long").as("junk_rate_bp"),
+        col("mean_score_q").cast("long").as("mean_score_q")
+      )
+
   /** C27 — TEMPERATURE-sampled mixture weights (the multilingual /
     * multi-source sampling standard — mT5 §3.1, PaLM, XLM-R all sample
     * source s with probability ∝ n_s^α, α < 1, so small sources are
@@ -1779,6 +1820,7 @@ object Curation extends QueryModule {
     "c27_temperature_mix" -> (c27_temperature_mix _),
     "c26_quality_classifier" -> (c26_quality_classifier _),
     "a31_classifier_auc" -> (a31_classifier_auc _),
+    "a32_score_reliability" -> (a32_score_reliability _),
     "c25_phase_census" -> (c25_phase_census _),
     "c24_shard_manifest" -> (c24_shard_manifest _),
     "c22_curriculum_batches" -> (c22_curriculum_batches _),
@@ -1869,6 +1911,22 @@ object Curation extends QueryModule {
            FROM ew LEFT JOIN wt USING (bk) GROUP BY 1, 2)"""
 
   val oracles: Map[String, String] = Map(
+    "a32_score_reliability" ->
+      s"""WITH $c26ScSql,
+          sq AS (
+            SELECT CASE WHEN source = 'planted_junk' THEN 1 ELSE 0 END AS y,
+                   (1000 * (wsum + 64 * n_words)) // n_words - 64000 AS score_q
+            FROM sc),
+          b AS (
+            SELECT least(greatest((score_q + 64000) // 12800, 0), 9) AS bin,
+                   y, score_q
+            FROM sq)
+          SELECT CAST(bin AS BIGINT) AS bin,
+                 CAST(count(*) AS BIGINT) AS n_docs,
+                 CAST(sum(y) AS BIGINT) AS n_junk,
+                 CAST(10000 * sum(y) // count(*) AS BIGINT) AS junk_rate_bp,
+                 CAST(sum(score_q + 64000) // count(*) - 64000 AS BIGINT) AS mean_score_q
+          FROM b GROUP BY 1""",
     "c29_dsir_importance" ->
       """WITH tdoc AS (
            SELECT list_transform(string_split(text, ' '),

@@ -220,6 +220,32 @@ class Round16QueriesSpec extends AnyFunSuite with SparkTestBase {
     assert(exact.zip(exact.tail).forall { case (a, b) => a <= b }, "exact ranks follow d2_orig")
   }
 
+  test("a32: the reliability bins partition the eval set and junk mass sits strictly below clean mass") {
+    val rows = SparkEntry.queries("a32_score_reliability")(spark, sf).collect()
+    assert(rows.nonEmpty && rows.length <= 10)
+    rows.foreach { r =>
+      val bin = r.getAs[Long]("bin")
+      assert(bin >= 0L && bin <= 9L)
+      assert(r.getAs[Long]("n_junk") <= r.getAs[Long]("n_docs"))
+      assert(r.getAs[Long]("junk_rate_bp") <= 10000L)
+      // the bin's mean score must lie inside the bin's value range (clamped ends excepted)
+      val m = r.getAs[Long]("mean_score_q")
+      if (bin > 0L && bin < 9L)
+        assert(m >= bin * 12800L - 64000L && m < (bin + 1) * 12800L - 64000L, s"bin $bin mean $m")
+    }
+    val junkDocs  = rows.map(_.getAs[Long]("n_junk")).sum
+    assert(junkDocs == 10L, "the eval population plants exactly 10 junk docs")
+    // calibration direction: the junk-weighted mean bin sits strictly below
+    // the clean-weighted mean bin — scores MEAN something, not just rank
+    def wmean(f: org.apache.spark.sql.Row => Long): Double = {
+      val ws = rows.map(r => (r.getAs[Long]("bin"), f(r)))
+      ws.map { case (b, w) => b.toDouble * w }.sum / ws.map(_._2).sum.max(1L)
+    }
+    val junkMean  = wmean(_.getAs[Long]("n_junk"))
+    val cleanMean = wmean(r => r.getAs[Long]("n_docs") - r.getAs[Long]("n_junk"))
+    assert(junkMean < cleanMean, s"junk mean bin $junkMean !< clean mean bin $cleanMean")
+  }
+
   test("g24: hop-bounded eccentricities stay within the hop cap and the diameter bound IS their max") {
     val rows = SparkEntry.queries("g24_eccentricity")(spark, sf).collect()
     assert(rows.length == 8, "one row per landmark pivot")
