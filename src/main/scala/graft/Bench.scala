@@ -81,8 +81,21 @@ object Bench {
     // SPARK_GRAFT_ONLY=q1,q2 restricts the run — the A/B loop for a single
     // query's plan work without paying for the other 150.
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").map(_.trim).toSet)
-    val ordered = SparkEntry.queries.toSeq
+    // SUBSTRATE PHASE (r16 verdict #4): the Memo-shared substrates (the
+    // family-sweep ladder, the supplies bipartite distinct, the MinHash
+    // pair frame, …) are forced FIRST each pass as their own timed
+    // `_sub_*` lines, so shared build cost lands on a visible substrate
+    // entry instead of whichever consumer runs first alphabetically (g4b
+    // was billed ~7 s of ladder its siblings read for free). Totals are
+    // unchanged — the same work runs either way; only attribution moves.
+    // `_` sorts before every letter, so a plain name sort places them
+    // ahead of their consumers. Under SPARK_GRAFT_ONLY the substrates run
+    // only when named explicitly — the single-query A/B loop keeps
+    // measuring cold-build + query exactly as before.
+    val subEntries = SparkEntry.substrates
       .filter { case (n, _) => only.forall(_.contains(n)) }
+    val ordered = (subEntries ++ SparkEntry.queries.toSeq
+      .filter { case (n, _) => only.forall(_.contains(n)) })
       .sortBy(_._1)
     val pass1 = ordered.map { case (name, fn) => (name, timeOnce(name, fn)) }
     // Second full pass, interleaved: a query that failed in pass 1 fails

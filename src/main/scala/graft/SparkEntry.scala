@@ -57,4 +57,15 @@ object SparkEntry {
     */
   def oracleSql: Map[String, String] =
     uniqueToMap(modules.flatMap(_.oracles), "oracle")
+
+  /** Cross-query Memo-shared substrate builders, for the benchmark's
+    * visible substrate phase (see [[QueryModule.substrates]]). Not part of
+    * the correctness surface — Verify never runs these; a cold consumer
+    * still builds its substrate on demand.
+    */
+  def substrates: Seq[(String, (SparkSession, String) => DataFrame)] = {
+    val all = modules.flatMap(_.substrates)
+    uniqueToMap(all, "substrate") // loud duplicate check
+    all
+  }
 }

@@ -1813,6 +1813,13 @@ object Curation extends QueryModule {
       )
   }
 
+  /** Memo-shared substrate (see [[QueryModule.substrates]]): the scored
+    * document frame c26/c27/c29 read.
+    */
+  override def substrates: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
+    "_sub_curation_scored_docs" -> ((s, d) => c26ScoredDocs(s, d))
+  )
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "c30_capped_mixture" -> (c30_capped_mixture _),
     "c29_dsir_importance" -> (c29_dsir_importance _),

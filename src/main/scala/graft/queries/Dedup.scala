@@ -1245,6 +1245,17 @@ object Dedup extends QueryModule {
       )
   }
 
+  /** Memo-shared substrates (see [[QueryModule.substrates]]): the MinHash
+    * candidate-pair frame and its CC clusters feed the d2→d7→d11/d12/d16
+    * chain; the embedding near-dup pairs feed d5's consumers.
+    */
+  override def substrates: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
+    // numbered so a name sort runs dependencies first (clusters read pairs)
+    "_sub_dedup_1_minhash_pairs" -> ((s, d) => d2_verified_pairs(s, d)),
+    "_sub_dedup_2_clusters" -> ((s, d) => d7_dedup_clusters(s, d)),
+    "_sub_dedup_3_embed_pairs" -> ((s, d) => d5_embed_neardup(s, d))
+  )
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d22_multiprobe_lsh" -> (d22_multiprobe_lsh _),
     "d21b_semdedup_ivf" -> (d21b_semdedup_ivf _),

@@ -1816,6 +1816,23 @@ object GraphQueries extends QueryModule {
     "g13b_ppr_truncated" -> (g13b_ppr_truncated _)
   )
 
+  /** Memo-shared substrates (see [[QueryModule.substrates]]): forcing each
+    * fills the memo the consumer queries read, so a benchmark that runs
+    * these first bills the build to a visible `_sub_*` line instead of the
+    * alphabetically-first consumer (g4b was billed the whole 27-pass
+    * family-sweep ladder; g13 the supplies distinct; g23 the 4-hop BFS).
+    * Construction of [[familySweep]] is already eager (every stage is a
+    * Memo.cached truncate), so the returned frames are cheap projections.
+    */
+  override def substrates: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
+    // numbered so a name sort runs dependencies first (pivotPaths reads
+    // the supplies frame; attribution stays per-substrate)
+    "_sub_graph_1_supplies" -> ((s, d) => suppliesBipartite(s, d)),
+    "_sub_graph_2_pivot_paths" -> ((s, d) => pivotPaths(s, d)),
+    "_sub_graph_3_family_sweep" -> ((s, d) => familySweep(s, d)),
+    "_sub_graph_4_cosupply" -> ((s, d) => coSupplyUndirected(s, d))
+  )
+
   /** G15 — sampled harmonic centrality (the Eppstein–Wang landmark
     * estimator): exact per-seed BFS distances from the 5 region-anchor
     * seeds over the bridged nation graph (g8c's connected harness graph),

@@ -208,6 +208,14 @@ object PipelineQueries extends QueryModule {
       )
   }
 
+  /** Memo-shared substrates (see [[QueryModule.substrates]]): the resolved
+    * artist frame and the merged-articles frame feed the pl* chain.
+    */
+  override def substrates: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
+    "_sub_pipeline_artists" -> ((s, d) => artists(s, d)),
+    "_sub_pipeline_merged" -> ((s, d) => mergedArticles(s, d))
+  )
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "pl10_incremental_recompute" -> (pl10_incremental_recompute _),
     "s7_cache_fetch_missing" -> (s7_cache_fetch_missing _),

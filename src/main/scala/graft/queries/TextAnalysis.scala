@@ -202,26 +202,37 @@ object TextAnalysis extends QueryModule {
   private def x24_winnowing(s: SparkSession, d: String): DataFrame = {
     val k = 3
     val w = 4
+    // FULL windows only (graft_word_ngrams' contract, Shingles.scala:109):
+    // a doc with < k words yields ZERO grams and ZERO windows, not one
+    // partial-window gram — the r16 verdict #3 clamp (`greatest(…, 0)`)
+    // silently hashed a short doc's whole word list as if it were a
+    // k-gram. The size guard is explicit because Spark's sequence(0, -1)
+    // is a DESCENDING sequence, not an empty one.
     table(s, d, "documents")
       .select(col("doc_id"), words(col("text")).as("ws"))
       .withColumn(
         "hs",
-        expr(s"""transform(sequence(0, greatest(size(ws) - $k, 0)),
-                   i -> cast(conv(substr(md5(array_join(slice(ws, i + 1, $k), ' ')), 1, 6), 16, 10) as bigint))""")
+        expr(s"""CASE WHEN size(ws) >= $k
+                 THEN transform(sequence(0, size(ws) - $k),
+                        i -> cast(conv(substr(md5(array_join(slice(ws, i + 1, $k), ' ')), 1, 6), 16, 10) as bigint))
+                 ELSE cast(array() as array<bigint>) END""")
       )
       .withColumn(
         "wins",
         expr(s"""CASE WHEN size(hs) >= $w
                  THEN transform(sequence(0, size(hs) - $w),
                         j -> array_min(slice(hs, j + 1, $w)))
-                 ELSE array(array_min(hs)) END""")
+                 WHEN size(hs) >= 1 THEN array(array_min(hs))
+                 ELSE cast(array() as array<bigint>) END""")
       )
       .select(
         col("doc_id"),
         size(col("hs")).cast("long").as("n_grams"),
         size(col("wins")).cast("long").as("n_windows"),
         expr("size(array_distinct(wins))").cast("long").as("n_fingerprints"),
-        expr("1000 * size(array_distinct(wins)) div size(wins)").as("density_pm"),
+        expr(
+          "CASE WHEN size(wins) > 0 THEN 1000 * size(array_distinct(wins)) div size(wins) ELSE CAST(NULL AS BIGINT) END"
+        ).as("density_pm"),
         md5(expr(
           "array_join(transform(array_sort(array_distinct(wins)), x -> cast(x as string)), '|')"
         )).as("selection_md5")
@@ -269,17 +280,22 @@ object TextAnalysis extends QueryModule {
     val corpus = base.unionByName(planted)
     val fps = graft.Lineage.truncate(
       corpus
+        // full windows only — see x24's contract note (short docs yield
+        // zero grams/windows, never a partial-window hash)
         .withColumn(
           "hs",
-          expr(s"""transform(sequence(0, greatest(size(ws) - $k, 0)),
-                     i -> cast(conv(substr(md5(array_join(slice(ws, i + 1, $k), ' ')), 1, 6), 16, 10) as bigint))""")
+          expr(s"""CASE WHEN size(ws) >= $k
+                   THEN transform(sequence(0, size(ws) - $k),
+                          i -> cast(conv(substr(md5(array_join(slice(ws, i + 1, $k), ' ')), 1, 6), 16, 10) as bigint))
+                   ELSE cast(array() as array<bigint>) END""")
         )
         .withColumn(
           "wins",
           expr(s"""CASE WHEN size(hs) >= $w
                    THEN transform(sequence(0, size(hs) - $w),
                           j -> array_min(slice(hs, j + 1, $w)))
-                   ELSE array(array_min(hs)) END""")
+                   WHEN size(hs) >= 1 THEN array(array_min(hs))
+                   ELSE cast(array() as array<bigint>) END""")
         )
         .select(
           col("doc_id"),
@@ -1860,6 +1876,13 @@ object TextAnalysis extends QueryModule {
       )
   }
 
+  /** Memo-shared substrate (see [[QueryModule.substrates]]): the word
+    * inventory the BPE family (x26/x36/x37) trains from.
+    */
+  override def substrates: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
+    "_sub_text_bpe_words" -> ((s, d) => bpeVocab0(s, d))
+  )
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x37_unigram_viterbi" -> (x37_unigram_viterbi _),
     "x36_bpe_schedule" -> (x36_bpe_schedule _),
@@ -2312,16 +2335,18 @@ object TextAnalysis extends QueryModule {
            SELECT doc_id, ws FROM b UNION ALL SELECT doc_id, ws FROM pl),
          h AS (
            SELECT doc_id,
-                  list_transform(generate_series(0, greatest(len(ws) - 3, 0)),
+                  CASE WHEN len(ws) >= 3
+                  THEN list_transform(generate_series(0, len(ws) - 3),
                     i -> ('0x' || substr(md5(array_to_string(ws[i+1:i+3], ' ')), 1, 6))::BIGINT)
-                    AS hs
+                  ELSE []::BIGINT[] END AS hs
            FROM corpus),
          wn AS (
            SELECT doc_id, list_distinct(hs) AS grams,
                   list_distinct(CASE WHEN len(hs) >= 4
                        THEN list_transform(generate_series(0, len(hs) - 4),
                               j -> list_min(hs[j+1:j+4]))
-                       ELSE [list_min(hs)] END) AS fps
+                       WHEN len(hs) >= 1 THEN [list_min(hs)]
+                       ELSE []::BIGINT[] END) AS fps
            FROM h),
          post AS (SELECT doc_id, unnest(fps) AS fp FROM wn),
          keep AS (SELECT fp FROM post GROUP BY fp HAVING count(*) <= 16),
@@ -2344,22 +2369,26 @@ object TextAnalysis extends QueryModule {
            SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
          h AS (
            SELECT doc_id,
-                  list_transform(generate_series(0, greatest(len(ws) - 3, 0)),
+                  CASE WHEN len(ws) >= 3
+                  THEN list_transform(generate_series(0, len(ws) - 3),
                     i -> ('0x' || substr(md5(array_to_string(ws[i+1:i+3], ' ')), 1, 6))::BIGINT)
-                    AS hs
+                  ELSE []::BIGINT[] END AS hs
            FROM b),
          wn AS (
            SELECT doc_id, hs,
                   CASE WHEN len(hs) >= 4
                        THEN list_transform(generate_series(0, len(hs) - 4),
                               j -> list_min(hs[j+1:j+4]))
-                       ELSE [list_min(hs)] END AS wins
+                       WHEN len(hs) >= 1 THEN [list_min(hs)]
+                       ELSE []::BIGINT[] END AS wins
            FROM h)
          SELECT doc_id,
                 CAST(len(hs) AS BIGINT) AS n_grams,
                 CAST(len(wins) AS BIGINT) AS n_windows,
                 CAST(len(list_distinct(wins)) AS BIGINT) AS n_fingerprints,
-                CAST(1000 * len(list_distinct(wins)) // len(wins) AS BIGINT) AS density_pm,
+                CASE WHEN len(wins) > 0
+                     THEN CAST(1000 * len(list_distinct(wins)) // len(wins) AS BIGINT)
+                     ELSE NULL END AS density_pm,
                 md5(array_to_string(list_sort(list_distinct(wins)), '|')) AS selection_md5
          FROM wn""",
     "x22_term_burstiness" ->

@@ -899,6 +899,13 @@ object Vectors extends QueryModule {
       )
   }
 
+  /** Memo-shared substrate (see [[QueryModule.substrates]]): the IVFADC
+    * candidate frame s19g/s19h read.
+    */
+  override def substrates: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
+    "_sub_vector_ivfadc" -> ((s, d) => ivfadcCand(s, d))
+  )
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x39_jl_projection" -> (x39_jl_projection _),
     "x40_jl_recall" -> (x40_jl_recall _),

@@ -1,0 +1,47 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Invariants for the round-17 changes — the properties the row-hash
+  * oracle proves equal but can't explain.
+  */
+class Round17QueriesSpec extends AnyFunSuite with SparkTestBase {
+
+  test("x24: a document with fewer than k=3 words yields ZERO grams and windows (full-window contract), not one partial-window hash") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // The testdata corpora have no short docs, so the pre-r17 clamp
+    // (`greatest(len - 3, 0)` → one gram hashing the whole 2-word list)
+    // passed the gate while violating graft_word_ngrams' documented
+    // full-window contract (Shingles.scala:109-111). Plant one.
+    val dir = java.nio.file.Files.createTempDirectory("x24short").toString
+    Seq(
+      (1L, "two words"),
+      (2L, "exactly three words"),
+      (3L, "a longer document with enough words for real windows here")
+    ).toDF("doc_id", "text").write.parquet(s"$dir/documents.parquet")
+
+    val rows = SparkEntry
+      .queries("x24_winnowing")(spark, dir)
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") -> r)
+      .toMap
+
+    val short = rows(1L)
+    assert(short.getAs[Long]("n_grams") == 0L, "2-word doc: no full k=3 window exists")
+    assert(short.getAs[Long]("n_windows") == 0L)
+    assert(short.getAs[Long]("n_fingerprints") == 0L)
+    assert(short.isNullAt(short.fieldIndex("density_pm")), "0 windows → density undefined, not a division")
+    // md5 of the empty selection — same constant either engine derives
+    assert(short.getAs[String]("selection_md5") == "d41d8cd98f00b204e9800998ecf8427e")
+
+    val exact = rows(2L)
+    assert(exact.getAs[Long]("n_grams") == 1L, "3-word doc: exactly one full window")
+    assert(exact.getAs[Long]("n_windows") == 1L, "fewer grams than w=4 → one window over all grams")
+    assert(exact.getAs[Long]("n_fingerprints") == 1L)
+
+    val long = rows(3L)
+    assert(long.getAs[Long]("n_grams") == 8L, "10 words → 8 full k=3 windows")
+    assert(long.getAs[Long]("n_windows") == 5L, "8 grams → 5 w=4 windows")
+  }
+}
