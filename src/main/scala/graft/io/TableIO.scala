@@ -63,7 +63,19 @@ object TableIO {
       target: org.apache.hadoop.fs.Path
   ): Unit = {
     val parked = new org.apache.hadoop.fs.Path(target.toString + "._old")
-    if (fs.exists(parked)) fs.delete(parked, true) // leftover from a prior crash
+    if (fs.exists(parked)) {
+      // Two distinct crash leftovers share this path. A parked copy NEXT
+      // TO a live target is the post-promote cleanup that never ran —
+      // safe to drop. A parked copy with NO target is the window BETWEEN
+      // the park and promote renames: the park is the only committed
+      // data (for an accumulating sink like cmSketchSink, the only copy
+      // anywhere) — restoring it here both repairs readers and keeps
+      // this promote's own park step from destroying it (r16 ADVICE:
+      // the old unconditional delete silently lost the accumulator).
+      if (fs.exists(target)) fs.delete(parked, true)
+      else if (!fs.rename(parked, target))
+        throw new java.io.IOException(s"recover $parked -> $target failed")
+    }
     val hadOld = fs.exists(target) && {
       if (!fs.rename(target, parked))
         throw new java.io.IOException(s"park $target -> $parked failed")
@@ -317,6 +329,27 @@ object TableIO {
     * partial data): with `strict=true` it throws; by default each dropped
     * path is logged so partial reads stay visible.
     */
+  /** Reader-side crash-recovery heal for staged-swap tables: if `path` is
+    * missing but its `._old` park exists, the writer crashed between the
+    * park and promote renames of [[writeParquet]]'s swap and the park is
+    * the only committed copy — rename it back before reading. Sinks whose
+    * table IS their accumulated state (cmSketchSink's registers,
+    * upsertSink collections) call this on load so the crash window can
+    * never read as a fresh/empty table (r16 ADVICE: cmSketchSink would
+    * refold a replayed batch into an empty table AND delete the park).
+    * Returns true when a recovery happened. No-op when the target exists.
+    */
+  def healParked(spark: SparkSession, path: String): Boolean = {
+    val target = new org.apache.hadoop.fs.Path(path)
+    val fs     = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val parked = new org.apache.hadoop.fs.Path(path + "._old")
+    if (!fs.exists(target) && fs.exists(parked)) {
+      if (!fs.rename(parked, target))
+        throw new java.io.IOException(s"recover $parked -> $target failed")
+      true
+    } else false
+  }
+
   def readParquet(
       spark: SparkSession,
       schema: StructType,

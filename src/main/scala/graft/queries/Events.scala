@@ -155,6 +155,15 @@ object Events extends QueryModule {
     * its key and AQE reuses the user_id partitioning across the join.
     */
   private def e20_retention_cohorts(s: SparkSession, d: String): DataFrame = {
+    // `act` feeds three consumers (the cohort min aggregate, the join
+    // back, and — through cohort — sizes), but all three live in ONE plan
+    // tree, so the distinct's exchange is computed once and re-read via
+    // ReusedExchange — unlike x40's jlDistances, whose consumers run as
+    // SEPARATE actions and need the cachePin. MEASURED (r17, the r16
+    // ADVICE's alternative): pinning act ran 0.84 s vs 0.77 s unpinned at
+    // sf0.1 (solo A/B, min of two) — the InMemoryRelation fill plus
+    // non-codegen cache scans cost more than the exchange reuse they
+    // replace — so the single-plan shape deliberately stays unpinned.
     val act = table(s, d, "events")
       .select(col("user_id"), expr("(ts div 1000) div 86400000000").as("day"))
       .distinct()

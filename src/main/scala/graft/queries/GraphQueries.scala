@@ -1673,6 +1673,18 @@ object GraphQueries extends QueryModule {
     * only shuffle and its state is |K|·|reach|, never all-pairs. σ
     * products ride decimal(38,0) (the a30 exact-accumulator lane; DuckDB
     * mirrors in HUGEINT).
+    *
+    * PRODUCT-LANE LIMIT (r16 ADVICE): the per-term product
+    * 10⁶·σ_sv·σ_tv must fit decimal(38,0), and past it Spark overflows
+    * precision to NULL (the term silently drops from sum()) while
+    * DuckDB's HUGEINT errors loudly — a silent-vs-loud cross-engine
+    * divergence on extreme-hub graphs. The combine join therefore
+    * carries an `assert_true(σ < 10¹⁵)` on both factors (10⁶·10¹⁵·10¹⁵ =
+    * 10³⁶ per term, two decades of headroom for the ≤ K² = 64-term
+    * per-vertex sum): an out-of-lane graph now FAILS the job on both
+    * engines instead of scoring wrong on one. 4-hop σ on a graph with
+    * max degree Δ is ≤ Δ⁴ — 10¹⁵ admits Δ ≈ 5600, far past any supplies
+    * projection the harness reaches.
     */
   private val pivotPathsMemo = graft.Memo.newMap()
 
@@ -1734,7 +1746,14 @@ object GraphQueries extends QueryModule {
       )
       .groupBy(col("id"))
       .agg(
-        sum(expr("(1000000 * cast(sig_sv as decimal(38,0)) * sig_tv) div sig_st")).as("bcq"),
+        // the coalesce(assert_true(...), 0) term is 0 on every in-lane row
+        // and FAILS THE JOB past the documented 10^15 σ product lane —
+        // loud on both engines instead of a silent Spark NULL-drop
+        sum(expr(
+          """(1000000 * cast(sig_sv as decimal(38,0)) * sig_tv
+             + coalesce(cast(assert_true(sig_sv < 1000000000000000 and sig_tv < 1000000000000000,
+                 'g23: sigma exceeds the 10^15 product-lane bound (see scaladoc)') as decimal(38,0)), 0)
+            ) div sig_st""")).as("bcq"),
         count(lit(1)).as("np")
       )
       .orderBy(col("bcq").desc, col("id").asc)

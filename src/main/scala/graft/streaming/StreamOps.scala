@@ -252,6 +252,11 @@ object StreamOps {
     val spark  = batch.sparkSession
     val target = new org.apache.hadoop.fs.Path(path)
     val fs     = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // This table is the ONLY copy of the accumulated registers and of the
+    // exactly-once batch-id guard: heal the park-vs-promote crash window
+    // before the existence check, or a replayed batch would refold into a
+    // fresh table (last = -1) while the swap deleted the surviving park.
+    graft.io.TableIO.healParked(spark, path)
     val existing =
       if (fs.exists(target)) Some(spark.read.parquet(path)) else None
     val last = existing
@@ -293,6 +298,9 @@ object StreamOps {
     val spark  = batch.sparkSession
     val target = new org.apache.hadoop.fs.Path(path)
     val fs     = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // the collection is accumulated state — heal the swap crash window
+    // before the existence check (see cmSketchSink)
+    graft.io.TableIO.healParked(spark, path)
     val existing =
       if (fs.exists(target)) spark.read.parquet(path)
       else spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], batch.schema)
@@ -346,6 +354,8 @@ object StreamOps {
     val target = new org.apache.hadoop.fs.Path(path)
     val fs     = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val live   = batch.drop(deleteCol) // the collection schema carries no tombstone flag
+    // accumulated state — heal the swap crash window (see cmSketchSink)
+    graft.io.TableIO.healParked(spark, path)
     val existing =
       if (fs.exists(target)) spark.read.parquet(path)
       else spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], live.schema)
@@ -406,6 +416,8 @@ object StreamOps {
       val target = new org.apache.hadoop.fs.Path(pPath)
       val fs     = target.getFileSystem(conf)
       val slice  = batch.filter(col(partCol) === lit(pv)).drop(partCol)
+      // per-partition accumulated state — heal the swap crash window
+      graft.io.TableIO.healParked(spark, pPath)
       val existing =
         if (fs.exists(target)) spark.read.schema(slice.schema).parquet(pPath)
         else

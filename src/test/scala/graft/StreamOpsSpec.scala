@@ -963,6 +963,42 @@ class StreamOpsSpec extends AnyFunSuite with SparkTestBase {
     } finally q2.stop()
   }
 
+  test("cmSketchSink: a crash between the park and promote renames is healed — the parked accumulator is recovered, not deleted") {
+    import spark.implicits._
+    import graft.operators.CmOps
+    val path = s"${sys.props("java.io.tmpdir")}/graft_io/stream_cmsketch_heal_spec"
+    val hp   = new org.apache.hadoop.fs.Path(path)
+    val fs   = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(hp, true)
+    fs.delete(new org.apache.hadoop.fs.Path(path + "._old"), true)
+
+    StreamOps.cmSketchSink(Seq("alpha", "beta", "alpha").toDF("w"), 0L, path)
+    def row0(): Long =
+      spark.read.parquet(path)
+        .filter(org.apache.spark.sql.functions.col("j") === 0L)
+        .agg(org.apache.spark.sql.functions.sum("c")).head.getLong(0)
+    assert(row0() == 3L)
+
+    // Simulate the writeParquet swap crashing AFTER parking the previous
+    // table and BEFORE promoting the staging dir: the park is the only
+    // copy of the accumulated registers and the committed batch id.
+    assert(fs.rename(hp, new org.apache.hadoop.fs.Path(path + "._old")))
+    assert(!fs.exists(hp))
+
+    // The r16 ADVICE failure mode: the next fold saw no table (last = -1),
+    // refolded a REPLAYED batch into an empty sketch, and the swap deleted
+    // the park as a "leftover" — silent total loss. Healed, the replay is
+    // a committed no-op and the registers are intact.
+    StreamOps.cmSketchSink(Seq("alpha", "beta", "alpha").toDF("w"), 0L, path)
+    assert(row0() == 3L, "replayed batch against the healed table must be a no-op")
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(path + "._old")), "the park is consumed by the heal")
+
+    // and a genuinely new batch folds on top of the recovered mass
+    StreamOps.cmSketchSink(Seq("gamma").toDF("w"), 1L, path)
+    assert(row0() == 4L, "fresh fold counts on top of the recovered accumulator")
+    assert(CmOps.Depth == 4, "geometry unchanged")
+  }
+
   test("mergeSink: tombstones delete mid-funnel, replay converges, stream equals batch, restart keeps deletes gone") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
