@@ -1310,8 +1310,11 @@ object GraphOps {
     * aggregate + one |V|-row full-outer state merge, all keyed; state is
     * |reach| rows × K slots. States are [[Lineage.cachePin]]ned (loop
     * state consumed by the next pass and the final explode — the r16
-    * job-count discipline), and the pass count keeps the compounded stats
-    * estimate bounded.
+    * job-count discipline), each pass FORCES its cache and releases the
+    * previous generation's blocks (bounded two-generation memory window;
+    * the r16 256× soak spilled with every generation pinned to the
+    * releasePins boundary), and the pass count keeps the compounded
+    * stats estimate bounded.
     */
   def seededPaths(seeds: DataFrame, edges: DataFrame, passes: Int): DataFrame = {
     val slots = seeds
@@ -1336,6 +1339,15 @@ object GraphOps {
           ).as("st")
         )
     )
+    // Bounded TWO-GENERATION memory window (r16 soak: all `passes`+1
+    // pinned states stayed cached simultaneously and spilled at the 256×
+    // rung): each pass FORCES its state's cache with a count — pass k's
+    // cached rows no longer need pass k−1's — and releases the previous
+    // generation's blocks. The count is one cheap driver job per pass;
+    // blocks freed here would otherwise survive to the releasePins()
+    // boundary. The LAST state stays pinned: the caller's explode (and a
+    // memoizing caller's truncate) still reads it.
+    var prevGen: DataFrame = state
     (1 to passes).foreach { t =>
       val live = state.filter(expr(s"exists(st, s -> s.dist = ${t - 1})"))
       // K scalar message columns, not one array: plain long sums stay
@@ -1376,6 +1388,9 @@ object GraphOps {
             ).as("st")
           )
       )
+      state.count() // fill pass t's cache so pass t−1's blocks can go
+      prevGen.unpersist(blocking = false)
+      prevGen = state
     }
     state
       .select(col("id"), posexplode(col("st")))

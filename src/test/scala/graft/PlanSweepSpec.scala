@@ -52,7 +52,6 @@ class PlanSweepSpec extends AnyFunSuite with SparkTestBase {
     "g7_modularity"          -> 1L, // single-row m / sum_d2 scalar broadcasts
     "g8_refined_modularity"  -> 1L, // single-row before/after numerator broadcasts
     "g8b_refined_fixed_point" -> 1L, // single-row LPA/pass1/fixed-point numerator broadcasts
-    "g8d_leiden_refinement"  -> 1L, // single-row fixed/refined numerator + community-count broadcasts
     "pl4_check_report"       -> 8L, // ≤8-row check-report spine
     "x9_tfidf_topk"          -> 1L, // single-row n_docs broadcast
     "x10_hll_registers"      -> 1L, // single-row harmonic-sum broadcast
@@ -78,7 +77,6 @@ class PlanSweepSpec extends AnyFunSuite with SparkTestBase {
     "c27_temperature_mix"    -> 1L, // single-row isqrt-sum / doc-total broadcast onto the source frame
     "e19_cusum_drift"        -> 1L, // single-row (dmax, planted-type) broadcast onto the daily spine
     "x30_good_turing"        -> 1L, // single-row (token-total, N1) broadcast onto the <=10-row FoF spine
-    "x31_bpe_apply"          -> 1L, // four single-row winning-pair broadcasts onto the vocab rewrites
     "s19i_ivfadc_rerank"     -> 1L, // single-row query-vector + census broadcasts onto the ≤32-row refine frame
     "x32_prf_expansion"      -> 1L, // single-row corpus-stats + expansion-list broadcasts onto posting/top-20 frames
     "c29_dsir_importance"    -> 1L, // single-row target/raw gram-total broadcasts onto the 8192-row weight table
@@ -88,7 +86,6 @@ class PlanSweepSpec extends AnyFunSuite with SparkTestBase {
     "x33_stupid_backoff"     -> 1L, // single-row N-total + tercile-cut broadcasts onto bigram/per-doc frames
     "x37_unigram_viterbi"    -> 1L, // single-row piece-mass total broadcast onto the piece-cost table
     "x39_jl_projection"      -> 1L, // single-row (anchor embedding, anchor projection) broadcast onto the scan
-    "x40_jl_recall"          -> 1L, // the same single-row anchor broadcast (shared jlDistances frame)
     "c30_capped_mixture"     -> 1L, // three single-row water-filling scalar broadcasts onto the source frame
     "g24_eccentricity"       -> 1L  // single-row diameter-lower-bound broadcast onto the 8-pivot frame
   )
@@ -133,7 +130,14 @@ class PlanSweepSpec extends AnyFunSuite with SparkTestBase {
     "g20_weighted_modularity" -> 8L, // per-pass scalar spine (m + numerators; measured 3 rows)
     "g4_summary_stub"        -> 8L,  // familySweep per-copy scalar spine, ≤5 nation copies (measured 4)
     "g8e_leiden_sweep"       -> 8L,  // per-level scalar spine over the resolution ladder (measured 4)
-    "x35_mmr_rerank"         -> 32L  // 1-row query vector + the 32-row top-R similarity broadcast
+    "x35_mmr_rerank"         -> 32L, // 1-row query vector + the 32-row top-R similarity broadcast
+    // moved down from bnljBounded by the r17 dead-entry ratchet: their
+    // BNLJs live only inside truncated/pinned stages now
+    "g8d_leiden_refinement"  -> 8L,  // per-pass scalar spine (fixed/refined numerators; measured 4 rows)
+    "x31_bpe_apply"          -> 1L,  // four single-row winning-pair broadcasts onto the vocab rewrites
+    "x40_jl_recall"          -> 1L   // the anchor BNLJ lives in the cachePinned jlDistances stage (x40
+                                     // pins it at construction, so its FINAL plan never carries it;
+                                     // x39's unpinned twin stays in bnljBounded)
   )
 
   /** Same, for global windows inside truncated stages. */
@@ -148,13 +152,17 @@ class PlanSweepSpec extends AnyFunSuite with SparkTestBase {
       bnljAllow: Map[String, Long],
       gwinAllow: Map[String, Long]
   ): Seq[String] = {
-    val cart = plan.collect { case p: CartesianProductExec => p }.nonEmpty
+    // flatten, not a tree collect: the sweep must see inside cached
+    // relations too (see [[flatten]]'s IMR note)
+    val nodes = flatten(plan)
+    val cart  = nodes.exists(_.isInstanceOf[CartesianProductExec])
     val bnlj =
-      plan.collect { case p: BroadcastNestedLoopJoinExec => p }.nonEmpty &&
-        !bnljAllow.contains(name)
+      nodes.exists(_.isInstanceOf[BroadcastNestedLoopJoinExec]) && !bnljAllow.contains(name)
     val gwin =
-      plan.collect { case w: WindowExec if w.partitionSpec.isEmpty => w }.nonEmpty &&
-        !gwinAllow.contains(name)
+      nodes.exists {
+        case w: WindowExec => w.partitionSpec.isEmpty
+        case _             => false
+      } && !gwinAllow.contains(name)
     Seq(
       if (cart) Some("CartesianProduct") else None,
       if (bnlj) Some("BNLJ") else None,
@@ -169,7 +177,13 @@ class PlanSweepSpec extends AnyFunSuite with SparkTestBase {
       val plan =
         try fn(spark, sf).queryExecution.sparkPlan
         finally Lineage.captureStop()
-      val finalTags = offenderTags(name, plan, bnljBounded, globalWindowBounded)
+      // union allowlists: one semantic — "query X may plan this node,
+      // bounded at N rows, wherever it sits" — because a cachePinned
+      // stage's nodes can surface in the FINAL plan as an embedded
+      // InMemoryRelation (x40's anchor BNLJ) now that the sweep descends
+      // into cached relations
+      val finalTags = offenderTags(name, plan, truncatedBnljBounded ++ bnljBounded,
+        truncatedGlobalWindowBounded ++ globalWindowBounded)
         .map(t => s"$name: $t")
       finalTags
     }
@@ -208,12 +222,21 @@ class PlanSweepSpec extends AnyFunSuite with SparkTestBase {
     assert(tags.contains("CartesianProduct"), s"captured tags: $tags")
   }
 
-  /** Walk the EXECUTED plan including adaptive stages and exchange reuse. */
+  /** Walk the EXECUTED plan including adaptive stages, exchange reuse, and
+    * CACHED RELATIONS: an InMemoryTableScan's cachedPlan is not a child,
+    * so a tree collect is blind to everything behind a [[Lineage.cachePin]]
+    * — a captured pinned frame even self-substitutes (its lazily-planned
+    * QueryExecution resolves AFTER the pin registers, so the captured plan
+    * is an IMR scan over itself and the real join tree hides inside the
+    * relation). Descending closes the r17-found blind spot.
+    */
   private def flatten(p: SparkPlan): Seq[SparkPlan] = p match {
     case a: AdaptiveSparkPlanExec => p +: flatten(a.executedPlan)
     case s: QueryStageExec        => p +: flatten(s.plan)
     case r: ReusedExchangeExec    => p +: flatten(r.child)
-    case _                        => p +: p.children.flatMap(flatten)
+    case t: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec =>
+      p +: flatten(t.relation.cachedPlan)
+    case _ => p +: p.children.flatMap(flatten)
   }
 
   /** Nearest `numOutputRows` SQL metric at-or-below `p` — the actual row
@@ -226,11 +249,34 @@ class PlanSweepSpec extends AnyFunSuite with SparkTestBase {
       .find(_ >= 0)
 
   test("allowlisted BNLJ broadcast sides and global-window inputs stay within their declared bounds") {
+    // earlier tests leave memoized checkpoints AND cachePinned frames
+    // behind; a pin registered by one query (x40's jlDistances) would
+    // substitute into another's plan (x39's) and make its allowlist entry
+    // read falsely dead — start from a clean cache state
+    Memo.clearAll()
     var bnljChecked   = 0
     var windowChecked = 0
+    // DEAD-ENTRY RATCHET (r16 verdict #8): every allowlist row must still
+    // be EARNED — a query that no longer plans the node it is excused for
+    // rots the floor exactly like a stale comment did pre-r10 (a later
+    // refactor could reintroduce the anti-pattern under the old excuse).
+    val deadBnlj = scala.collection.mutable.Set.empty[String] ++ bnljBounded.keySet
+    val deadWin  = scala.collection.mutable.Set.empty[String] ++ globalWindowBounded.keySet
     val names = (bnljBounded.keySet ++ globalWindowBounded.keySet).toSeq.sorted
     val violations = names.flatMap { name =>
       val df = SparkEntry.queries(name)(spark, sf)
+      // aliveness rides the query's TRUE compile-time shape — Memo
+      // BYPASSED, so an entry doesn't read dead just because an earlier
+      // suite query left its shared substrate memo-warm (x39/x40's anchor
+      // BNLJ lives upstream of the jlDistances checkpoint and vanishes
+      // from warm plans), and not the executed tree, where AQE
+      // occasionally elides a single-row BNLJ the compile-time plan still
+      // needs an excuse for
+      val compilePlan = Memo.bypass(SparkEntry.queries(name)(spark, sf)).queryExecution.sparkPlan
+      if (compilePlan.collect { case p: BroadcastNestedLoopJoinExec => p }.nonEmpty)
+        deadBnlj -= name
+      if (compilePlan.collect { case w: WindowExec if w.partitionSpec.isEmpty => w }.nonEmpty)
+        deadWin -= name
       df.foreach(_ => ()) // execute through df's own queryExecution so metrics populate
       val plan = flatten(df.queryExecution.executedPlan)
       bnljChecked += plan.count(_.isInstanceOf[BroadcastNestedLoopJoinExec])
@@ -243,8 +289,11 @@ class PlanSweepSpec extends AnyFunSuite with SparkTestBase {
           case BuildLeft  => j.left
           case BuildRight => j.right
         }
-        val rows  = outputRows(build)
-        val bound = bnljBounded.getOrElse(name, 0L)
+        val rows = outputRows(build)
+        // union lookup: the flatten now surfaces nodes living inside a
+        // pinned stage's cached relation, whose bound is declared in the
+        // truncated map (x40's anchor BNLJ under its jlDistances pin)
+        val bound = bnljBounded.getOrElse(name, truncatedBnljBounded.getOrElse(name, 0L))
         rows match {
           case Some(r) if r > bound =>
             Some(s"$name: BNLJ broadcast side $r rows > declared bound $bound")
@@ -255,8 +304,9 @@ class PlanSweepSpec extends AnyFunSuite with SparkTestBase {
       }
       val windowViolations =
         plan.collect { case w: WindowExec if w.partitionSpec.isEmpty => w }.flatMap { w =>
-          val rows  = outputRows(w.child)
-          val bound = globalWindowBounded.getOrElse(name, 0L)
+          val rows = outputRows(w.child)
+          val bound =
+            globalWindowBounded.getOrElse(name, truncatedGlobalWindowBounded.getOrElse(name, 0L))
           rows match {
             case Some(r) if r > bound =>
               Some(s"$name: global-window input $r rows > declared bound $bound")
@@ -280,6 +330,14 @@ class PlanSweepSpec extends AnyFunSuite with SparkTestBase {
       windowChecked >= 8,
       s"only $windowChecked global windows measured across ${globalWindowBounded.size} allowlisted queries"
     )
+    assert(
+      deadBnlj.isEmpty,
+      s"DEAD bnljBounded entries (query no longer plans a BNLJ — prune them): ${deadBnlj.toSeq.sorted.mkString(", ")}"
+    )
+    assert(
+      deadWin.isEmpty,
+      s"DEAD globalWindowBounded entries (query no longer plans a global window — prune them): ${deadWin.toSeq.sorted.mkString(", ")}"
+    )
   }
 
   test("truncated-stage allowlist bounds hold against construction-time executed metrics") {
@@ -289,6 +347,11 @@ class PlanSweepSpec extends AnyFunSuite with SparkTestBase {
     Lineage.captureClear()
     var bnljChecked   = 0
     var windowChecked = 0
+    // dead-entry ratchet for the truncated lists too — node PRESENCE in a
+    // captured stage keeps the entry alive (metrics may legitimately be
+    // empty for cachePin stages, see below)
+    val deadBnlj = scala.collection.mutable.Set.empty[String] ++ truncatedBnljBounded.keySet
+    val deadWin  = scala.collection.mutable.Set.empty[String] ++ truncatedGlobalWindowBounded.keySet
     val names = (truncatedBnljBounded.keySet ++ truncatedGlobalWindowBounded.keySet).toSeq.sorted
     val violations = names.flatMap { name =>
       Lineage.captureStart(name)
@@ -296,6 +359,9 @@ class PlanSweepSpec extends AnyFunSuite with SparkTestBase {
       finally Lineage.captureStop()
       Lineage.capturedPlans().filter(_._1 == name).flatMap { case (_, qe) =>
         val plan = flatten(qe.executedPlan)
+        if (plan.exists(_.isInstanceOf[BroadcastNestedLoopJoinExec])) deadBnlj -= name
+        if (plan.exists { case w: WindowExec => w.partitionSpec.isEmpty; case _ => false })
+          deadWin -= name
         val bnljViolations = plan.collect { case j: BroadcastNestedLoopJoinExec => j }.flatMap { j =>
           val build = j.buildSide match {
             case BuildLeft  => j.left
@@ -333,6 +399,14 @@ class PlanSweepSpec extends AnyFunSuite with SparkTestBase {
     assert(
       windowChecked >= 2,
       s"only $windowChecked truncated-stage global windows measured — capture or metrics broke"
+    )
+    assert(
+      deadBnlj.isEmpty,
+      s"DEAD truncatedBnljBounded entries (no captured stage plans a BNLJ — prune them): ${deadBnlj.toSeq.sorted.mkString(", ")}"
+    )
+    assert(
+      deadWin.isEmpty,
+      s"DEAD truncatedGlobalWindowBounded entries (no captured stage plans a global window — prune them): ${deadWin.toSeq.sorted.mkString(", ")}"
     )
   }
 }
