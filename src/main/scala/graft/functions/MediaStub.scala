@@ -1,16 +1,24 @@
 package graft.functions
 
-/** Typed rows + deterministic STUB decoder for the multimodal column path.
+/** Typed rows + the media decode boundary for the multimodal column path.
   *
-  * Real media decoding (image/audio/video codecs) is unavailable in this
-  * offline container, so [[decode]] is a clearly-marked deterministic fake:
-  * it derives plausible media dimensions from an md5 of the payload bytes.
-  * Everything AROUND it is the real production plumbing — opaque `binary`
-  * payload column, typed metadata row, per-partition batch iteration — and a
-  * real codec drops in behind the same signature.
+  * No real corpus media ships in this offline container, so the PAYLOAD is
+  * synthetic: [[synthesizeContainer]] wraps each row's bytes into a
+  * STRUCTURALLY REAL (A)PNG container — 8-byte PNG signature, IHDR chunk
+  * with big-endian width/height, an APNG `acTL` chunk carrying the frame
+  * count, the original bytes as the data chunk, IEND, every chunk with a
+  * real CRC-32 — whose header fields derive deterministically from an md5
+  * of the original bytes (the [[Md5Seed]] cross-engine contract, so the
+  * DuckDB oracle regenerates the same values arithmetically).
   *
-  * The stub arithmetic is intentionally SQL-expressible (md5 → integer
-  * fields) so the harness can oracle-check the full pipeline.
+  * [[decode]] is a REAL header parser, not a hash: it validates the
+  * signature, walks the chunk stream (length-prefixed, big-endian),
+  * verifies each chunk's CRC-32, and extracts width/height/frame-count
+  * from the IHDR/acTL fields — exactly the byte-level work an image
+  * header sniffer does before handing the pixel data to a codec. The ONLY
+  * remaining stub is the pixel decode itself (nothing consumes pixels
+  * here); a full codec drops in behind the same `MediaInput ⇒
+  * MediaFeatures` signature.
   */
 object MediaStub {
 
@@ -22,17 +30,85 @@ object MediaStub {
   /** Typed decode output — the metadata struct a real decoder would emit. */
   final case class MediaFeatures(doc_id: Long, width: Long, height: Long, n_frames: Long)
 
-  /** STUB — deterministic fake decode (see object scaladoc). Derives
-    * width/height/frame-count from the payload's md5; replace with a real
-    * codec call behind this exact signature.
+  private val PngSignature: Array[Byte] =
+    Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
+
+  private def be32(v: Long): Array[Byte] =
+    Array((v >>> 24).toByte, (v >>> 16).toByte, (v >>> 8).toByte, v.toByte)
+
+  private def readBe32(b: Array[Byte], off: Int): Long =
+    ((b(off) & 0xffL) << 24) | ((b(off + 1) & 0xffL) << 16) |
+      ((b(off + 2) & 0xffL) << 8) | (b(off + 3) & 0xffL)
+
+  private def chunk(chunkType: String, data: Array[Byte]): Array[Byte] = {
+    val t   = chunkType.getBytes("US-ASCII")
+    val crc = new java.util.zip.CRC32
+    crc.update(t)
+    crc.update(data)
+    be32(data.length.toLong) ++ t ++ data ++ be32(crc.getValue)
+  }
+
+  /** SYNTHETIC-PAYLOAD step (declared in FIXTURES.md): wrap raw bytes in a
+    * real (A)PNG container whose IHDR width/height and acTL frame count
+    * derive from the md5 of the ORIGINAL bytes — the same arithmetic the
+    * oracle regenerates. Bit depth 8 / color type 6 (RGBA), the original
+    * bytes ride an `rAWd` private ancillary chunk (pixel data is out of
+    * scope — see object scaladoc).
+    */
+  def synthesizeContainer(in: MediaInput): MediaInput = {
+    val h      = Md5Seed.prefixLong(in.payload, 6)
+    val width  = 160 + h % 480
+    val height = 90 + (h / 7) % 270
+    val frames = 1 + (h / 11) % 120
+    val ihdr   = be32(width) ++ be32(height) ++ Array[Byte](8, 6, 0, 0, 0)
+    val actl   = be32(frames) ++ be32(0L) // num_frames, num_plays (APNG acTL)
+    val bytes = PngSignature ++
+      chunk("IHDR", ihdr) ++
+      chunk("acTL", actl) ++
+      chunk("rAWd", in.payload) ++
+      chunk("IEND", Array.emptyByteArray)
+    MediaInput(in.doc_id, bytes)
+  }
+
+  /** REAL header parse (see object scaladoc): signature check → chunk walk
+    * with per-chunk CRC-32 verification → big-endian field extraction.
+    * Malformed input FAILS LOUDLY (a silent fallback would let corrupt
+    * media score as decoded at corpus scale); n_frames defaults to 1 when
+    * no acTL chunk is present — the actual APNG semantic for a still PNG.
     */
   def decode(in: MediaInput): MediaFeatures = {
-    val h = Md5Seed.prefixLong(in.payload, 6)
-    MediaFeatures(
-      doc_id = in.doc_id,
-      width = 160 + h % 480,
-      height = 90 + (h / 7) % 270,
-      n_frames = 1 + (h / 11) % 120
+    val b = in.payload
+    require(
+      b.length >= 8 && PngSignature.indices.forall(i => b(i) == PngSignature(i)),
+      s"doc ${in.doc_id}: not a PNG container (bad signature)"
     )
+    var off      = 8
+    var width    = -1L
+    var height   = -1L
+    var nFrames  = 1L
+    var sawIend  = false
+    while (!sawIend) {
+      require(off + 8 <= b.length, s"doc ${in.doc_id}: truncated chunk header at $off")
+      val len = readBe32(b, off)
+      val t   = new String(b, off + 4, 4, "US-ASCII")
+      require(off + 12 + len <= b.length, s"doc ${in.doc_id}: truncated $t chunk at $off")
+      val crc = new java.util.zip.CRC32
+      crc.update(b, off + 4, 4 + len.toInt)
+      require(
+        crc.getValue == readBe32(b, off + 8 + len.toInt),
+        s"doc ${in.doc_id}: CRC mismatch in $t chunk"
+      )
+      t match {
+        case "IHDR" =>
+          width = readBe32(b, off + 8)
+          height = readBe32(b, off + 12)
+        case "acTL" => nFrames = readBe32(b, off + 8)
+        case "IEND" => sawIend = true
+        case _      => () // data/ancillary chunks: pixel decode out of scope
+      }
+      off += 12 + len.toInt
+    }
+    require(width > 0 && height > 0, s"doc ${in.doc_id}: missing or invalid IHDR")
+    MediaFeatures(in.doc_id, width, height, nFrames)
   }
 }

@@ -43,13 +43,20 @@ object Multimodal extends QueryModule {
   }
 
   /** M2 — decode/feature-extract over the binary column: typed Dataset →
-    * mapPartitions(stub decoder) → typed features.
+    * synthetic (A)PNG containerization (the declared no-media-offline
+    * step) → mapPartitions over a REAL header parser (signature check,
+    * CRC-verified chunk walk, big-endian IHDR/acTL field extraction —
+    * see [[graft.functions.MediaStub.decode]]) → typed features. The
+    * field VALUES still derive from the md5 arithmetic the oracle
+    * regenerates, so the decode boundary is exercised with real
+    * byte-level work while results stay cross-engine checkable.
     */
   private def m2_feature_extract(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     table(s, d, "documents")
       .select(col("doc_id"), col("text").cast("binary").as("payload"))
       .as[MediaInput]
+      .mapPartitions(_.map(MediaStub.synthesizeContainer)) // declared synthetic step
       .mapPartitions { rows =>
         // one decoder context per partition; rows stream through it
         rows.map(MediaStub.decode)

@@ -44,4 +44,48 @@ class Round17QueriesSpec extends AnyFunSuite with SparkTestBase {
     assert(long.getAs[Long]("n_grams") == 8L, "10 words → 8 full k=3 windows")
     assert(long.getAs[Long]("n_windows") == 5L, "8 grams → 5 w=4 windows")
   }
+
+  test("m2's decode boundary is a real header parser: round-trip, still-PNG frame default, and loud failures on corrupt bytes") {
+    import graft.functions.MediaStub
+    import graft.functions.MediaStub.MediaInput
+
+    // round-trip: the container the synthesis step writes parses back to
+    // exactly the md5-derived fields
+    val in  = MediaInput(7L, "some synthetic document payload".getBytes("UTF-8"))
+    val enc = MediaStub.synthesizeContainer(in)
+    val f   = MediaStub.decode(enc)
+    val h   = graft.functions.Md5Seed.prefixLong(in.payload, 6)
+    assert(f.doc_id == 7L)
+    assert(f.width == 160 + h % 480)
+    assert(f.height == 90 + (h / 7) % 270)
+    assert(f.n_frames == 1 + (h / 11) % 120)
+
+    // a still PNG (no acTL chunk) decodes with the APNG default of 1 frame
+    val stripped = {
+      val b    = enc.payload
+      // walk chunks, dropping acTL: 8-byte signature, then len|type|data|crc
+      val outB = Array.newBuilder[Byte]
+      outB ++= b.take(8)
+      var off = 8
+      while (off < b.length) {
+        val len = (((b(off) & 0xffL) << 24) | ((b(off + 1) & 0xffL) << 16) |
+          ((b(off + 2) & 0xffL) << 8) | (b(off + 3) & 0xffL)).toInt
+        val t = new String(b, off + 4, 4, "US-ASCII")
+        if (t != "acTL") outB ++= b.slice(off, off + 12 + len)
+        off += 12 + len
+      }
+      MediaInput(8L, outB.result())
+    }
+    assert(MediaStub.decode(stripped).n_frames == 1L, "no acTL → still image, 1 frame")
+
+    // corrupt media must FAIL, not silently score as decoded: bad
+    // signature, and a flipped byte inside a CRC-protected chunk
+    intercept[IllegalArgumentException] {
+      MediaStub.decode(MediaInput(9L, "not a png at all".getBytes("UTF-8")))
+    }
+    val flipped = enc.payload.clone()
+    flipped(16) = (flipped(16) ^ 0x01).toByte // inside IHDR data
+    val e = intercept[IllegalArgumentException](MediaStub.decode(MediaInput(10L, flipped)))
+    assert(e.getMessage.contains("CRC"), s"expected a CRC failure, got: ${e.getMessage}")
+  }
 }
