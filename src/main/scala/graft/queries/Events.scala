@@ -154,27 +154,38 @@ object Events extends QueryModule {
     * no per-user event-list collection; every step is hash-partitioned on
     * its key and AQE reuses the user_id partitioning across the join.
     */
-  private def e20_retention_cohorts(s: SparkSession, d: String): DataFrame = {
-    // `act` feeds three consumers (the cohort min aggregate, the join
-    // back, and — through cohort — sizes), but all three live in ONE plan
-    // tree, so the distinct's exchange is computed once and re-read via
-    // ReusedExchange — unlike x40's jlDistances, whose consumers run as
-    // SEPARATE actions and need the cachePin. MEASURED (r17, the r16
-    // ADVICE's alternative): pinning act ran 0.84 s vs 0.77 s unpinned at
-    // sf0.1 (solo A/B, min of two) — the InMemoryRelation fill plus
-    // non-codegen cache scans cost more than the exchange reuse they
-    // replace — so the single-plan shape deliberately stays unpinned.
-    val act = table(s, d, "events")
-      .select(col("user_id"), expr("(ts div 1000) div 86400000000").as("day"))
-      .distinct()
+  /** The per-user COHORT STATE — (user_id, c_day, mask) with c_day = the
+    * user's first-active day and mask = the 15-bit day-0..14 activity
+    * bitmap — from a distinct (user_id, day) activity frame. This is the
+    * batch form of the state [[graft.streaming.StreamOps.retentionCohorts]]
+    * folds incrementally (min/bit_or are a semilattice, so the stream fold
+    * and this batch build land on identical rows); one row per user,
+    * value-domain-bounded columns.
+    */
+  private[graft] def cohortState(act: DataFrame): DataFrame = {
     val cohort = act.groupBy(col("user_id")).agg(min(col("day")).as("c_day"))
-    val sizes  = cohort.groupBy(col("c_day")).agg(countDistinct(col("user_id")).as("cohort_users"))
     act
       .join(cohort, "user_id")
-      .select(col("c_day"), (col("day") - col("c_day")).as("day_n"), col("user_id"))
-      .filter(col("day_n") <= 14)
+      .filter(col("day") - col("c_day") <= 14)
+      .groupBy(col("user_id"), col("c_day"))
+      .agg(
+        expr("bit_or(shiftleft(1L, cast(day - c_day as int)))").as("mask")
+      )
+  }
+
+  /** The retention matrix from the cohort state: one row per (cohort, n)
+    * with a set day-n bit, as per-mille of cohort size — the exact output
+    * shape e20 always had (day 0 is the cohort size by construction).
+    */
+  private[graft] def cohortMatrix(state: DataFrame): DataFrame = {
+    val sizes = state.groupBy(col("c_day")).agg(count(lit(1)).as("cohort_users"))
+    state
+      .select(
+        col("c_day"),
+        explode(expr("filter(sequence(0, 14), n -> (shiftright(mask, n) & 1) = 1)")).as("day_n")
+      )
       .groupBy(col("c_day"), col("day_n"))
-      .agg(countDistinct(col("user_id")).as("active_users"))
+      .agg(count(lit(1)).as("active_users"))
       .join(sizes, "c_day")
       .select(
         col("c_day").cast("long").as("cohort_day"),
@@ -183,6 +194,24 @@ object Events extends QueryModule {
         col("cohort_users").cast("long").as("cohort_users"),
         expr("1000 * active_users div cohort_users").as("retention_pm")
       )
+  }
+
+  private def e20_retention_cohorts(s: SparkSession, d: String): DataFrame = {
+    // `act` feeds multiple consumers, but all inside ONE plan tree, so the
+    // distinct's exchange is computed once and re-read via ReusedExchange
+    // — unlike x40's jlDistances, whose consumers run as SEPARATE actions
+    // and need the cachePin. MEASURED (r17, the r16 ADVICE's alternative):
+    // pinning act ran 0.84 s vs 0.77 s unpinned at sf0.1 (solo A/B, min
+    // of two) — the InMemoryRelation fill plus non-codegen cache scans
+    // cost more than the exchange reuse they replace — so the single-plan
+    // shape deliberately stays unpinned. The matrix derivation is shared
+    // with the streaming face through [[cohortState]]/[[cohortMatrix]]:
+    // per-user 15-bit activity masks, identical output rows (a user's
+    // distinct active day within the window = a set bit = one count).
+    val act = table(s, d, "events")
+      .select(col("user_id"), expr("(ts div 1000) div 86400000000").as("day"))
+      .distinct()
+    cohortMatrix(cohortState(act))
   }
 
   /** E6 — inter-arrival-time histogram: per-user deltas between consecutive

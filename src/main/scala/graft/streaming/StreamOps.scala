@@ -281,6 +281,79 @@ object StreamOps {
     ()
   }
 
+  /** Streaming RETENTION-COHORT maintenance (e20's matrix kept fresh from
+    * the ingest stream): the durable state is ONE ROW PER USER —
+    * (user_id, c_day = first-active day, mask = 15-bit day-0..14 activity
+    * bitmap) — exactly the frame [[graft.queries.Events.cohortState]]
+    * builds in batch, so the live matrix is
+    * `Events.cohortMatrix(read(path))` and stream ≡ batch holds row-for-row
+    * (StreamOpsSpec pins it across a checkpointed restart).
+    *
+    * Replay-idempotent WITHOUT a batch-id guard: the fold is a
+    * SEMILATTICE join — c_day merges by min, the bitmap by OR, both
+    * idempotent — so an at-least-once redelivery re-lands the same bits
+    * (bloomManifest's class, not cmSketchSink's additive counters). An
+    * out-of-order FIRST event (a day earlier than the stored c_day)
+    * re-bases the user: stored bits shift to their new day-n positions
+    * and anything pushed past day 14 drops out of the window, which is
+    * also what the batch build computes from the same rows. State is one
+    * bounded row per user; the per-batch rewrite cost is |users|, not
+    * |events| (the sketch-table discipline).
+    *
+    * Input batch: (user_id, day) — callers derive `day` from their event
+    * time with the same floor-division e20 uses.
+    */
+  def retentionCohorts(batch: DataFrame, path: String): Unit = {
+    val spark  = batch.sparkSession
+    val target = new org.apache.hadoop.fs.Path(path)
+    val fs     = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // accumulated state — heal the swap crash window (see cmSketchSink)
+    graft.io.TableIO.healParked(spark, path)
+    val perUser = batch
+      .select(col("user_id"), col("day").cast("long").as("day"))
+      .groupBy(col("user_id"))
+      .agg(min(col("day")).as("b_min"), collect_set(col("day")).as("ds"))
+    val existing =
+      if (fs.exists(target)) spark.read.parquet(path).select(col("user_id"), col("c_day"), col("mask"))
+      else
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("user_id", org.apache.spark.sql.types.LongType),
+            org.apache.spark.sql.types.StructField("c_day", org.apache.spark.sql.types.LongType),
+            org.apache.spark.sql.types.StructField("mask", org.apache.spark.sql.types.LongType)
+          ))
+        )
+    val merged = existing
+      .join(perUser, Seq("user_id"), "full_outer")
+      .select(
+        col("user_id"),
+        least(coalesce(col("c_day"), col("b_min")), coalesce(col("b_min"), col("c_day"))).as("nc"),
+        col("c_day"),
+        col("mask"),
+        col("ds")
+      )
+      .select(
+        col("user_id"),
+        col("nc").as("c_day"),
+        // old bits re-base to the (possibly earlier) new cohort day: bit n
+        // meant c_day + n, which is day-n (c_day - nc) + n under nc; a
+        // shift past the 15-bit window drops the bit — the same rows the
+        // batch build's day_n <= 14 filter drops. The shift guard matters:
+        // shiftleft wraps at 64 in the JVM, so a >14-day re-base zeroes
+        // explicitly instead of wrapping.
+        expr(
+          """CASE WHEN mask IS NULL THEN 0L
+                  WHEN c_day - nc > 14 THEN 0L
+                  ELSE shiftleft(mask, cast(c_day - nc as int)) & 32767 END
+             | coalesce(aggregate(filter(ds, x -> x - nc <= 14),
+                 0L, (acc, x) -> acc | shiftleft(1L, cast(x - nc as int))), 0L)"""
+        ).as("mask")
+      )
+    graft.io.TableIO.writeParquet(merged, path)
+    ()
+  }
+
   /** Keep-last streaming upsert sink (S17's semantics on a stream): each
     * micro-batch is merged into the parquet collection at `path` — existing
     * rows lose to same-key batch rows, within-batch ties resolve by highest

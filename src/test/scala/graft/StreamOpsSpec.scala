@@ -999,6 +999,68 @@ class StreamOpsSpec extends AnyFunSuite with SparkTestBase {
     assert(CmOps.Depth == 4, "geometry unchanged")
   }
 
+  test("retentionCohorts: stream-folded cohort matrix equals the batch build across a checkpointed restart, including an out-of-order re-base") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.queries.Events
+    val base = s"${sys.props("java.io.tmpdir")}/graft_io/stream_retention_spec"
+    val fs = new org.apache.hadoop.fs.Path(base)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(base), true)
+    val path = s"$base/state"
+    val ckpt = s"$base/ckpt"
+
+    // (user, day) activity; user 3's FIRST event arrives LAST (day 100 in
+    // batch 1, day 98 in batch 2 → the stream must re-base its cohort and
+    // shift the day-2 bit into place); user 1's day-20 row falls outside
+    // the 14-day window; duplicate rows appear within and across batches.
+    val b1 = Seq((1L, 10L), (1L, 11L), (2L, 10L), (3L, 100L), (1L, 10L))
+    val b2 = Seq((1L, 17L), (1L, 20L), (2L, 10L), (3L, 98L), (4L, 12L))
+
+    val in = MemoryStream[(Long, Long)]
+    def start() = in.toDF().toDF("user_id", "day").writeStream
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        StreamOps.retentionCohorts(b, path)
+      }
+      .option("checkpointLocation", ckpt)
+      .outputMode(OutputMode.Append())
+      .start()
+
+    val q = start()
+    try {
+      in.addData(b1: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    // checkpointed restart: the sink may see the last batch AGAIN — the
+    // min/bit_or semilattice makes the replay a no-op without any batch-id
+    // guard (bloomManifest's idempotence class)
+    val q2 = start()
+    try {
+      in.addData(b2: _*)
+      q2.processAllAvailable()
+    } finally q2.stop()
+
+    def rows(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Long, Long, Long)] =
+      df.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+        .toSet
+
+    val streamMatrix = rows(Events.cohortMatrix(spark.read.parquet(path)))
+    val batchMatrix = rows(
+      Events.cohortMatrix(Events.cohortState((b1 ++ b2).toDF("user_id", "day").distinct()))
+    )
+    assert(streamMatrix == batchMatrix, s"stream $streamMatrix != batch $batchMatrix")
+
+    // the re-based user landed where the batch build puts it: cohort day
+    // 98 with bits 0 (day 98) and 2 (day 100) set
+    val u3 = spark.read.parquet(path).filter($"user_id" === 3L).collect().head
+    assert(u3.getAs[Long]("c_day") == 98L)
+    assert(u3.getAs[Long]("mask") == 5L, "bits 0 and 2")
+    // and an explicit replay of batch 2 converges (idempotent fold)
+    StreamOps.retentionCohorts(b2.toDF("user_id", "day"), path)
+    assert(rows(Events.cohortMatrix(spark.read.parquet(path))) == batchMatrix)
+  }
+
   test("mergeSink: tombstones delete mid-funnel, replay converges, stream equals batch, restart keeps deletes gone") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
