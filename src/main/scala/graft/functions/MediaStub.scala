@@ -111,4 +111,109 @@ object MediaStub {
     require(width > 0 && height > 0, s"doc ${in.doc_id}: missing or invalid IHDR")
     MediaFeatures(in.doc_id, width, height, nFrames)
   }
+
+  /** Typed decode output for the audio path: header fields plus the
+    * 64-sample-window energy profile summary a VAD/segmentation stage
+    * reads (full windows only — the x24 contract).
+    */
+  final case class AudioFeatures(
+      doc_id: Long,
+      sample_rate: Long,
+      n_samples: Long,
+      n_windows: Long,
+      peak_window: Long,
+      peak_energy: Long
+  )
+
+  private def le32(v: Long): Array[Byte] =
+    Array(v.toByte, (v >>> 8).toByte, (v >>> 16).toByte, (v >>> 24).toByte)
+
+  private def le16(v: Long): Array[Byte] = Array(v.toByte, (v >>> 8).toByte)
+
+  private def readLe32(b: Array[Byte], off: Int): Long =
+    (b(off) & 0xffL) | ((b(off + 1) & 0xffL) << 8) |
+      ((b(off + 2) & 0xffL) << 16) | ((b(off + 3) & 0xffL) << 24)
+
+  private def readLe16(b: Array[Byte], off: Int): Long =
+    (b(off) & 0xffL) | ((b(off + 1) & 0xffL) << 8)
+
+  /** SYNTHETIC-PAYLOAD step, audio face (declared in FIXTURES.md): a real
+    * RIFF/WAVE container — RIFF header, PCM `fmt ` chunk (mono, 16-bit,
+    * little-endian throughout, the actual WAV wire format), `data` chunk —
+    * holding n = 256 + (h mod 256) samples s_k = ((h + 2654435761·k) mod
+    * 65536) − 32768 at rate 8000·(1 + (h div 5) mod 6) Hz, all derived
+    * from the md5 of the original bytes so the oracle regenerates the
+    * exact waveform arithmetically.
+    */
+  def synthesizeWav(in: MediaInput): MediaInput = {
+    val h        = Md5Seed.prefixLong(in.payload, 6)
+    val n        = 256 + (h % 256).toInt
+    val rate     = 8000L * (1 + (h / 5) % 6)
+    val samples  = Array.tabulate(n)(k => ((h + 2654435761L * k) % 65536L - 32768L).toShort)
+    val dataLen  = 2L * n
+    val fmt = le16(1L) ++ le16(1L) ++ le32(rate) ++ le32(rate * 2) ++ le16(2L) ++ le16(16L)
+    val body = "WAVE".getBytes("US-ASCII") ++
+      "fmt ".getBytes("US-ASCII") ++ le32(fmt.length.toLong) ++ fmt ++
+      "data".getBytes("US-ASCII") ++ le32(dataLen) ++
+      samples.flatMap(s => le16(s & 0xffffL))
+    MediaInput(in.doc_id, "RIFF".getBytes("US-ASCII") ++ le32(body.length.toLong) ++ body)
+  }
+
+  /** REAL RIFF/WAVE parse + PCM16 energy segmentation: validates the
+    * RIFF/WAVE magic, walks the little-endian chunk stream, reads the PCM
+    * format fields, decodes the 16-bit signed samples, and computes the
+    * per-64-sample-window energy Σs² with the (peak window, peak energy)
+    * argmax (ties → lowest window index). Malformed audio FAILS LOUDLY —
+    * the m2 decode-boundary discipline on the audio modality.
+    */
+  def decodeWav(in: MediaInput): AudioFeatures = {
+    val b = in.payload
+    require(
+      b.length >= 12 && new String(b, 0, 4, "US-ASCII") == "RIFF" &&
+        new String(b, 8, 4, "US-ASCII") == "WAVE",
+      s"doc ${in.doc_id}: not a RIFF/WAVE container"
+    )
+    require(readLe32(b, 4) == b.length - 8L, s"doc ${in.doc_id}: RIFF size mismatch")
+    var off        = 12
+    var rate       = -1L
+    var bits       = -1L
+    var channels   = -1L
+    var dataOff    = -1
+    var dataLen    = -1L
+    while (off + 8 <= b.length) {
+      val t   = new String(b, off, 4, "US-ASCII")
+      val len = readLe32(b, off + 4)
+      require(off + 8 + len <= b.length, s"doc ${in.doc_id}: truncated $t chunk")
+      t match {
+        case "fmt " =>
+          require(readLe16(b, off + 8) == 1L, s"doc ${in.doc_id}: not PCM")
+          channels = readLe16(b, off + 10)
+          rate = readLe32(b, off + 12)
+          bits = readLe16(b, off + 22)
+        case "data" => dataOff = off + 8; dataLen = len
+        case _      => ()
+      }
+      off += 8 + len.toInt
+    }
+    require(rate > 0 && bits == 16 && channels == 1, s"doc ${in.doc_id}: missing/unsupported fmt")
+    require(dataOff >= 0, s"doc ${in.doc_id}: no data chunk")
+    val n = (dataLen / 2).toInt
+    var w          = 0
+    var peakW      = -1L
+    var peakE      = -1L
+    val nWindows   = n / 64
+    while (w < nWindows) {
+      var e = 0L
+      var k = w * 64
+      val end = k + 64
+      while (k < end) {
+        val s = ((b(dataOff + 2 * k) & 0xff) | (b(dataOff + 2 * k + 1) << 8)).toShort.toLong
+        e += s * s
+        k += 1
+      }
+      if (e > peakE) { peakE = e; peakW = w.toLong }
+      w += 1
+    }
+    AudioFeatures(in.doc_id, rate, n.toLong, nWindows.toLong, peakW, peakE)
+  }
 }

@@ -1417,6 +1417,80 @@ object Curation extends QueryModule {
         col("mean_score_q").cast("long").as("mean_score_q")
       )
 
+  /** A33 — BRADLEY–TERRY strength ratings from pairwise preferences
+    * (Bradley–Terry 1952 via Hunter 2005's MM algorithm — the model
+    * behind every LLM-arena leaderboard and RLHF reward sanity check:
+    * P(i beats j) = r_i/(r_i+r_j), ratings fit by the minorize–maximize
+    * update r_i ← W_i / Σ_j n_ij/(r_i+r_j)): "policies" are the 8
+    * doc_id-mod-8 residue classes, matches come from c23's preference
+    * pairs (chosen's policy beats rejected's; same-policy pairs carry no
+    * signal and drop), and THREE unrolled MM passes run on the 10⁶
+    * integer lattice — per-term floor division, per-pass L∞
+    * normalization to the lattice top (the hitsQuantized discipline) —
+    * so every rating is engine-exact and the oracle replays the passes
+    * verbatim. Zero-sum denominators ride greatest(·, 1): a zero-win
+    * policy's rating hits lattice 0 and stays there, deterministically.
+    *
+    * Scale shape: the corpus-sized work is c23's pair construction (one
+    * grouped aggregate); everything after runs on the POLICY-bounded
+    * match table (≤ 8×8 rows at any corpus size — value-domain-bounded
+    * by the mod), with the per-pass L∞ max a collected literal folded
+    * into the next projection, never a broadcast join. Overflow lane:
+    * wins·10¹² ≤ |prompts|·10¹² — fits a long to ~9M prompts; wider
+    * corpora move the lane to decimal (the g23 discipline).
+    */
+  private def a33_bradley_terry(s: SparkSession, d: String): DataFrame = {
+    val pairs = c23_preference_pairs(s, d)
+      .select(expr("chosen_doc % 8").as("w"), expr("rejected_doc % 8").as("l"))
+      .filter(col("w") =!= col("l"))
+    val m = graft.Lineage.truncate(
+      pairs.groupBy(col("w"), col("l")).agg(count(lit(1)).as("n"))
+    )
+    val wins = m.groupBy(col("w").as("p")).agg(sum(col("n")).as("wins"))
+    val gp = m
+      .select(least(col("w"), col("l")).as("a"), greatest(col("w"), col("l")).as("b"), col("n"))
+      .groupBy(col("a"), col("b"))
+      .agg(sum(col("n")).as("g"))
+    val games = gp
+      .select(col("a").as("i"), col("b").as("j"), col("g"))
+      .unionByName(gp.select(col("b").as("i"), col("a").as("j"), col("g")))
+    val perPlayer = graft.Lineage.truncate(
+      games
+        .groupBy(col("i").as("p"))
+        .agg(sum(col("g")).as("games"))
+        .join(wins, Seq("p"), "left")
+        .select(col("p"), col("games"), coalesce(col("wins"), lit(0L)).as("wins"))
+    )
+    var r = graft.Lineage.truncate(perPlayer.select(col("p"), lit(1000000L).as("r")))
+    (1 to 3).foreach { _ =>
+      val denom = games
+        .join(r.select(col("p").as("i"), col("r").as("ri")), "i")
+        .join(r.select(col("p").as("j"), col("r").as("rj")), "j")
+        .groupBy(col("i").as("p"))
+        .agg(sum(expr("(g * 1000000) div greatest(ri + rj, 1)")).as("dq"))
+      val updated = perPlayer
+        .join(denom, "p")
+        .select(col("p"), expr("(wins * 1000000000000) div greatest(dq, 1)").as("r"))
+      val raw = graft.Lineage.truncate(updated)
+      // per-pass L∞ normalization — the max is a COLLECTED literal folded
+      // into the projection (the g21/HITS shape), valid because the frame
+      // is policy-bounded (≤ 8 rows by the mod), never data-scale
+      val mx = raw.agg(max(col("r"))).head.getLong(0)
+      r = graft.Lineage.truncate(
+        raw.select(col("p"), expr(s"(r * 1000000) div greatest(${mx}L, 1)").as("r"))
+      )
+    }
+    perPlayer
+      .join(r, "p")
+      .orderBy(col("r").desc, col("p").asc)
+      .select(
+        col("p").cast("long").as("player_id"),
+        col("r").cast("long").as("rating_q"),
+        col("wins").cast("long").as("wins"),
+        col("games").cast("long").as("games")
+      )
+  }
+
   /** C27 — TEMPERATURE-sampled mixture weights (the multilingual /
     * multi-source sampling standard — mT5 §3.1, PaLM, XLM-R all sample
     * source s with probability ∝ n_s^α, α < 1, so small sources are
@@ -1828,6 +1902,7 @@ object Curation extends QueryModule {
     "c26_quality_classifier" -> (c26_quality_classifier _),
     "a31_classifier_auc" -> (a31_classifier_auc _),
     "a32_score_reliability" -> (a32_score_reliability _),
+    "a33_bradley_terry" -> (a33_bradley_terry _),
     "c25_phase_census" -> (c25_phase_census _),
     "c24_shard_manifest" -> (c24_shard_manifest _),
     "c22_curriculum_batches" -> (c22_curriculum_batches _),
@@ -1917,7 +1992,60 @@ object Curation extends QueryModule {
                   sum(coalesce(w_q, 0)) AS wsum
            FROM ew LEFT JOIN wt USING (bk) GROUP BY 1, 2)"""
 
+  /** One unrolled Bradley–Terry MM pass for the a33 oracle: ratings `rin`
+    * → `rout`, mirroring the engine's greatest-guarded integer lattice.
+    */
+  private def btPassSql(rin: String, rout: String): String =
+    s"""d$rout AS (SELECT gm.i AS p,
+                    sum((gm.g * 1000000) // greatest(ri.r + rj.r, 1)) AS dq
+             FROM gm JOIN $rin ri ON ri.p = gm.i JOIN $rin rj ON rj.p = gm.j
+             GROUP BY 1),
+         u$rout AS MATERIALIZED (
+           SELECT pp.p, (pp.wins * 1000000000000) // greatest(d$rout.dq, 1) AS r
+           FROM pp JOIN d$rout ON d$rout.p = pp.p),
+         $rout AS MATERIALIZED (
+           SELECT p, (r * 1000000) // greatest((SELECT max(r) FROM u$rout), 1) AS r
+           FROM u$rout)"""
+
   val oracles: Map[String, String] = Map(
+    "a33_bradley_terry" ->
+      s"""WITH sc AS (
+           SELECT doc_id // 8 AS prompt_id, doc_id,
+                  CAST(1000 * len(list_distinct(string_split(text, ' ')))
+                       // len(string_split(text, ' ')) AS BIGINT) AS reward_q
+           FROM documents),
+         ch AS (SELECT prompt_id, doc_id AS chosen_doc, reward_q AS chosen_q FROM (
+                  SELECT *, row_number() OVER (PARTITION BY prompt_id
+                         ORDER BY reward_q DESC, doc_id ASC) AS rn FROM sc)
+                WHERE rn = 1),
+         rj AS (SELECT prompt_id, doc_id AS rejected_doc, reward_q AS rejected_q FROM (
+                  SELECT *, row_number() OVER (PARTITION BY prompt_id
+                         ORDER BY reward_q ASC, doc_id ASC) AS rn FROM sc)
+                WHERE rn = 1),
+         prs AS (SELECT c.chosen_doc % 8 AS w, r.rejected_doc % 8 AS l
+                 FROM ch c JOIN rj r USING (prompt_id)
+                 WHERE c.chosen_q - r.rejected_q >= 50
+                   AND c.chosen_doc % 8 <> r.rejected_doc % 8),
+         m AS MATERIALIZED (SELECT w, l, count(*) AS n FROM prs GROUP BY 1, 2),
+         wn AS (SELECT w AS p, sum(n) AS wins FROM m GROUP BY 1),
+         gp AS (SELECT least(w, l) AS a, greatest(w, l) AS b, sum(n) AS g
+                FROM m GROUP BY 1, 2),
+         gm AS MATERIALIZED (SELECT a AS i, b AS j, g FROM gp
+                             UNION ALL SELECT b, a, g FROM gp),
+         pp AS MATERIALIZED (
+           SELECT g1.p, g1.games, COALESCE(wn.wins, 0) AS wins
+           FROM (SELECT i AS p, sum(g) AS games FROM gm GROUP BY 1) g1
+           LEFT JOIN wn ON wn.p = g1.p),
+         r0 AS MATERIALIZED (SELECT p, CAST(1000000 AS BIGINT) AS r FROM pp),
+         ${btPassSql("r0", "r1")},
+         ${btPassSql("r1", "r2")},
+         ${btPassSql("r2", "r3")}
+         SELECT CAST(pp.p AS BIGINT) AS player_id,
+                CAST(r3.r AS BIGINT) AS rating_q,
+                CAST(pp.wins AS BIGINT) AS wins,
+                CAST(pp.games AS BIGINT) AS games
+         FROM pp JOIN r3 ON r3.p = pp.p
+         ORDER BY rating_q DESC, player_id ASC""",
     "a32_score_reliability" ->
       s"""WITH $c26ScSql,
           sq AS (

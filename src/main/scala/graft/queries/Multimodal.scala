@@ -64,6 +64,27 @@ object Multimodal extends QueryModule {
       .toDF()
   }
 
+  /** M12 — AUDIO decode + energy segmentation (m2's discipline on the
+    * audio modality): synthetic but structurally REAL RIFF/WAVE container
+    * (PCM fmt chunk, little-endian throughout — the declared
+    * no-media-offline step) → a real parser (magic + size validation,
+    * chunk walk, PCM16 sample decode) → per-64-sample-window energy Σs²
+    * with the peak-window argmax — the first stage of any VAD/audio
+    * segmentation pipeline. Waveform and header fields derive from the
+    * md5 of the original bytes, so the oracle regenerates the exact
+    * samples arithmetically while the engine earns them by parsing
+    * bytes. Zero shuffle: typed mapPartitions, one row in → one row out.
+    */
+  private def m12_wav_energy(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    table(s, d, "documents")
+      .select(col("doc_id"), col("text").cast("binary").as("payload"))
+      .as[MediaInput]
+      .mapPartitions(_.map(MediaStub.synthesizeWav)) // declared synthetic step
+      .mapPartitions(_.map(MediaStub.decodeWav))
+      .toDF()
+  }
+
   /** M3 — frame sampling: every 10th frame index from the decoded frame
     * count, fanned out to (doc_id, frame_idx, frame_id) rows.
     */
@@ -522,6 +543,7 @@ object Multimodal extends QueryModule {
     "m6_payload_chunks" -> (m6_payload_chunks _),
     "m1_binary_meta" -> (m1_binary_meta _),
     "m2_feature_extract" -> (m2_feature_extract _),
+    "m12_wav_energy" -> (m12_wav_energy _),
     "m3_frame_sample" -> (m3_frame_sample _),
     "m4_modality_dispatch" -> (m4_modality_dispatch _),
     "m5_modality_partitioned" -> (m5_modality_partitioned _),
@@ -756,6 +778,38 @@ object Multimodal extends QueryModule {
          FROM documents""",
     "m2_feature_extract" ->
       s"WITH $decodeSql SELECT doc_id, width, height, n_frames FROM decoded",
+    "m12_wav_energy" ->
+      """WITH p AS (
+           SELECT doc_id, ('0x' || substr(md5(text), 1, 6))::BIGINT AS h
+           FROM documents),
+         base AS (
+           SELECT doc_id, h,
+                  256 + (h % 256) AS n,
+                  8000 * (1 + (h // 5) % 6) AS rate
+           FROM p),
+         w AS (
+           SELECT doc_id, n, rate,
+                  unnest(generate_series(0, n // 64 - 1)) AS wi,
+                  h
+           FROM base),
+         e AS (
+           SELECT doc_id, n, rate, wi,
+                  list_aggregate(list_transform(generate_series(wi * 64, wi * 64 + 63),
+                    k -> ((h + 2654435761 * k) % 65536 - 32768)
+                       * ((h + 2654435761 * k) % 65536 - 32768)), 'sum') AS energy
+           FROM w),
+         pk AS (
+           SELECT doc_id, n, rate, wi, energy,
+                  row_number() OVER (PARTITION BY doc_id
+                                     ORDER BY energy DESC, wi ASC) AS rn
+           FROM e)
+         SELECT doc_id,
+                CAST(rate AS BIGINT) AS sample_rate,
+                CAST(n AS BIGINT) AS n_samples,
+                CAST(n // 64 AS BIGINT) AS n_windows,
+                CAST(wi AS BIGINT) AS peak_window,
+                CAST(energy AS BIGINT) AS peak_energy
+         FROM pk WHERE rn = 1""",
     "m3_frame_sample" ->
       s"""WITH $decodeSql
           SELECT doc_id, frame_idx,
