@@ -206,7 +206,13 @@ object Soak {
     // g24 re-pays the Memo-shared pivot BFS under the soak's per-cell
     // Memo.clearAll — so its rung prices the BFS + aggregate, same linear
     // class as g23's
-    "g24_eccentricity"
+    "g24_eccentricity",
+    // r17: a33's corpus-sized work is c23's grouped pair construction
+    // (prompt groups grow N× under the doc_id offset; the MM passes run
+    // on the fixed 8-policy table either way); m12 is the zero-shuffle
+    // per-row synthesize+parse byte crunch (m2's class) — both linear
+    "a33_bradley_terry",
+    "m12_wav_energy"
   )
 
   private[graft] def buildScaled(spark: SparkSession, src: String, out: String, n: Int): Unit = {
