@@ -625,6 +625,69 @@ object TextAnalysis extends QueryModule {
     * filter are all within-row HOFs, p8's bounded-serial argument never
     * even needed); at 1000 executors this scans and writes.
     */
+  /** X42 — DEGENERATE-GENERATION LOOP DETECTOR: tail PERIODICITY over the
+    * last 32 words (Holtzman et al. 2020's neural-degeneration failure
+    * mode — a sampler stuck repeating a short phrase — and the filter an
+    * inference-output or synthetic-data ingest pipeline runs before
+    * anything re-enters training; x8 counts gram OCCURRENCES anywhere,
+    * which a long document full of legitimate repeats also trips — the
+    * loop signature is a PERIOD: w[i] = w[i−p] for every tail position):
+    * per doc, score_p = 1000·|{i ≥ p : t[i] = t[i−p]}| div (n−p) for
+    * p = 1..8 over the ≤32-word tail; loop_period = the SMALLEST p with a
+    * perfect score over ≥ 8 matched positions (0 = no loop), rep_pm = the
+    * max partial score. Planted loops at −doc_id−1 (the first 4 words
+    * repeated 8×, the r10 planted-id rule) are caught at period ≤ 4 — ≤,
+    * not =, because a planted phrase with its own internal period (e.g. a
+    * repeated word) legitimately loops at the shorter one; natural prose
+    * scores below the loop bar, and `planted` marks ground truth.
+    *
+    * Scale shape: zero shuffle — one narrow projection of array HOFs over
+    * a bounded (32-word) tail; the 8 periods are unrolled compile-time
+    * constants, so the work per row is O(32·8) regardless of corpus size.
+    */
+  private def x42_loop_detector(s: SparkSession, d: String): DataFrame = {
+    val base = table(s, d, "documents")
+      .select(col("doc_id"), words(col("text")).as("ws"))
+    val planted = base
+      .filter(size(col("ws")) >= 4)
+      .select(
+        (-col("doc_id") - 1).as("doc_id"),
+        expr("flatten(transform(sequence(1, 8), x -> slice(ws, 1, 4)))").as("ws")
+      )
+    val scoreCols = (1 to 8).map { p =>
+      // Spark array indexing is 0-BASED (t[0]..t[n−1]) where the DuckDB
+      // twin is 1-based — the oracle's t[i+1] IS this t[i]
+      expr(
+        s"""CASE WHEN n > $p THEN
+              1000 * size(filter(sequence($p, n - 1), i -> t[i] = t[i - $p]))
+                div (n - $p)
+            ELSE 0 END"""
+      ).as(s"s$p")
+    }
+    base
+      .unionByName(planted)
+      .select(
+        col("doc_id"),
+        expr("slice(ws, greatest(size(ws) - 31, 1), 32)").as("t"),
+        (col("doc_id") < 0).as("planted")
+      )
+      .withColumn("n", size(col("t")))
+      .select(Seq(col("doc_id"), col("n"), col("planted")) ++ scoreCols: _*)
+      .select(
+        col("doc_id"),
+        col("n").cast("long").as("tail_words"),
+        expr(
+          (1 to 8)
+            .map(p => s"WHEN s$p = 1000 AND n - $p >= 8 THEN ${p}L")
+            .mkString("CASE ", " ", " ELSE 0L END")
+        ).as("loop_period"),
+        expr("greatest(" + (1 to 8).map(p => s"s$p").mkString(", ") + ")")
+          .cast("long")
+          .as("rep_pm"),
+        col("planted")
+      )
+  }
+
   private def x41_texttiling(s: SparkSession, d: String): DataFrame = {
     val w = 8
     table(s, d, "documents")
@@ -1908,6 +1971,7 @@ object TextAnalysis extends QueryModule {
     "x12_cmsketch_registers" -> (x12_cmsketch_registers _),
     "x38_countmin_hitters" -> (x38_countmin_hitters _),
     "x41_texttiling" -> (x41_texttiling _),
+    "x42_loop_detector" -> (x42_loop_detector _),
     "x11_reservoir_sample" -> (x11_reservoir_sample _),
     "x9_tfidf_topk" -> (x9_tfidf_topk _),
     "x10_hll_registers" -> (x10_hll_registers _),
@@ -2643,6 +2707,37 @@ object TextAnalysis extends QueryModule {
          SELECT doc_id, term, CAST(score_q AS BIGINT) AS score_q,
                 CAST(rank AS BIGINT) AS rank
          FROM r WHERE rank <= 3""",
+    "x42_loop_detector" -> {
+      val scores = (1 to 8)
+        .map(p => s"""CASE WHEN len(t) > $p
+               THEN CAST(1000 * len(list_filter(generate_series($p, len(t) - 1),
+                      i -> t[i + 1] = t[i - $p + 1])) // (len(t) - $p) AS BIGINT)
+               ELSE 0 END AS s$p""")
+        .mkString(",\n                ")
+      val period = (1 to 8)
+        .map(p => s"WHEN s$p = 1000 AND n - $p >= 8 THEN $p")
+        .mkString("CASE ", " ", " ELSE 0 END")
+      s"""WITH b AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+         corpus AS (
+           SELECT doc_id, ws FROM b
+           UNION ALL
+           SELECT -doc_id - 1,
+                  flatten(list_transform(generate_series(1, 8), x -> ws[1:4]))
+           FROM b WHERE len(ws) >= 4),
+         tl AS (SELECT doc_id,
+                       ws[greatest(len(ws) - 31, 1):len(ws)] AS t,
+                       doc_id < 0 AS planted
+                FROM corpus),
+         sc AS (SELECT doc_id, len(t) AS n, planted,
+                $scores
+           FROM tl)
+         SELECT doc_id,
+                CAST(n AS BIGINT) AS tail_words,
+                CAST($period AS BIGINT) AS loop_period,
+                CAST(greatest(${(1 to 8).map(p => s"s$p").mkString(", ")}) AS BIGINT) AS rep_pm,
+                planted
+         FROM sc"""
+    },
     "x41_texttiling" ->
       """WITH b AS (
            SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
