@@ -45,6 +45,27 @@ class Round17QueriesSpec extends AnyFunSuite with SparkTestBase {
     assert(long.getAs[Long]("n_windows") == 5L, "8 grams → 5 w=4 windows")
   }
 
+  test("x42: every planted loop is caught at its period (or a divisor), no natural document is flagged, and rep_pm separates the classes") {
+    val rows = SparkEntry
+      .queries("x42_loop_detector")(spark, "/root/testdata/sf0.001")
+      .collect()
+    val (planted, natural) = rows.partition(_.getAs[Boolean]("planted"))
+    assert(planted.nonEmpty && natural.nonEmpty)
+    // a 4-word phrase repeated 8x loops at period 4 — or a DIVISOR if the
+    // phrase has internal structure; never longer, never unflagged
+    planted.foreach { r =>
+      val p = r.getAs[Long]("loop_period")
+      assert(p >= 1 && p <= 4, s"planted doc ${r.getAs[Long]("doc_id")} period $p")
+      assert(r.getAs[Long]("rep_pm") == 1000L)
+    }
+    natural.foreach { r =>
+      assert(r.getAs[Long]("loop_period") == 0L,
+        s"natural doc ${r.getAs[Long]("doc_id")} falsely flagged")
+    }
+    val maxNat = natural.map(_.getAs[Long]("rep_pm")).max
+    assert(maxNat < 1000L, s"natural tails must not score a perfect period (max $maxNat)")
+  }
+
   test("m2's decode boundary is a real header parser: round-trip, still-PNG frame default, and loud failures on corrupt bytes") {
     import graft.functions.MediaStub
     import graft.functions.MediaStub.MediaInput
