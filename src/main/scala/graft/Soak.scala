@@ -212,7 +212,10 @@ object Soak {
     // on the fixed 8-policy table either way); m12 is the zero-shuffle
     // per-row synthesize+parse byte crunch (m2's class) — both linear
     "a33_bradley_terry",
-    "m12_wav_energy"
+    "m12_wav_energy",
+    // x42: zero-shuffle bounded-tail HOF scan + the planted-union branch —
+    // x41's linear class
+    "x42_loop_detector"
   )
 
   private[graft] def buildScaled(spark: SparkSession, src: String, out: String, n: Int): Unit = {

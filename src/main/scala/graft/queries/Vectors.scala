@@ -809,21 +809,35 @@ object Vectors extends QueryModule {
     * matrix table would be a broadcast dependency; a production build
     * would fold the 64×16 sign matrix into a literal array constant.
     */
-  private def x39_jl_projection(s: SparkSession, d: String): DataFrame = {
-    val e  = table(s, d, "embeddings")
-    val pe = e.select(col("vec_id"), col("embedding"), expr(jlExpr("embedding")).as("y"))
-    val anchor = broadcast(
-      pe.filter(col("vec_id") === 0)
-        .select(col("embedding").as("ae"), col("y").as("ay"))
-    )
-    jlDistances(pe, anchor)
+  private def x39_jl_projection(s: SparkSession, d: String): DataFrame =
+    jlDistancesShared(s, d)
       .select(
         col("vec_id"),
         col("d2_orig_q"),
         col("d2_proj_q"),
         expr("(1000 * d2_proj_q) div nullif(16 * d2_orig_q, 0)").as("ratio_pm")
       )
-  }
+
+  /** x39/x40's shared anchor-distance frame, Memo-materialized once per
+    * (session, dataset): both consumers pay the 1024-md5-per-row
+    * projection through ONE build (the d2-pairs substrate discipline —
+    * each query separately paid ~2.5 s at sf0.1 for the identical frame).
+    * The SIGN MATRIX stays regenerated-not-stored (the scaladoc trade
+    * above); what's shared is the per-dataset distance TABLE, ordinary
+    * columnar state.
+    */
+  private val jlDistMemo = graft.Memo.newMap()
+
+  private def jlDistancesShared(s: SparkSession, d: String): DataFrame =
+    graft.Memo.cached(jlDistMemo, s, d) {
+      val e  = table(s, d, "embeddings")
+      val pe = e.select(col("vec_id"), col("embedding"), expr(jlExpr("embedding")).as("y"))
+      val anchor = broadcast(
+        pe.filter(col("vec_id") === 0)
+          .select(col("embedding").as("ae"), col("y").as("ay"))
+      )
+      jlDistances(pe, anchor)
+    }
 
   /** (vec_id, d2_orig_q, d2_proj_q) of every non-anchor vector against the
     * broadcast single-row anchor — the distance frame x39 and x40 share.
@@ -866,16 +880,11 @@ object Vectors extends QueryModule {
     * the price tag on that speedup.
     */
   private def x40_jl_recall(s: SparkSession, d: String): DataFrame = {
-    val e  = table(s, d, "embeddings")
-    val pe = e.select(col("vec_id"), col("embedding"), expr(jlExpr("embedding")).as("y"))
-    val anchor = broadcast(
-      pe.filter(col("vec_id") === 0)
-        .select(col("embedding").as("ae"), col("y").as("ay"))
-    )
-    // Pin the distance frame: three consumers (both top-8s and the final
-    // re-attach join) would otherwise each recompute the 1024-md5-per-row
-    // projection — measured 4.8 → ~2 s at sf0.1.
-    val dd = graft.Lineage.cachePin(jlDistances(pe, anchor))
+    // The distance frame is the Memo-shared checkpoint (r17 — previously
+    // a per-query cachePin here, 4.8 → ~2 s for x40's three consumers;
+    // the memo additionally shares the build with x39, ~2.5 s more):
+    // every consumer below re-reads stored rows, never the projection.
+    val dd = jlDistancesShared(s, d)
     def top8(by: String, rank: String) = dd
       .orderBy(col(by).asc, col("vec_id").asc)
       .limit(K)
@@ -903,7 +912,8 @@ object Vectors extends QueryModule {
     * candidate frame s19g/s19h read.
     */
   override def substrates: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
-    "_sub_vector_ivfadc" -> ((s, d) => ivfadcCand(s, d))
+    "_sub_vector_ivfadc" -> ((s, d) => ivfadcCand(s, d)),
+    "_sub_vector_jl_distances" -> ((s, d) => jlDistancesShared(s, d))
   )
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
