@@ -13,11 +13,15 @@ package graft.functions
   *
   * [[decode]] is a REAL header parser, not a hash: it validates the
   * signature, walks the chunk stream (length-prefixed, big-endian),
-  * verifies each chunk's CRC-32, and extracts width/height/frame-count
-  * from the IHDR/acTL fields — exactly the byte-level work an image
-  * header sniffer does before handing the pixel data to a codec. The ONLY
-  * remaining stub is the pixel decode itself (nothing consumes pixels
-  * here); a full codec drops in behind the same `MediaInput ⇒
+  * verifies each chunk's CRC-32, requires the stream to END at IEND (no
+  * trailing bytes — the fails-loudly contract), and extracts
+  * width/height/frame-count from the IHDR/acTL fields. The IDAT payload
+  * is a REAL zlib stream (stored-block DEFLATE + adler32) that decode
+  * inflates with `java.util.zip.Inflater` — the adler32 is verified by
+  * the inflater on finish — and censuses as a pixel byte-sum the oracle
+  * regenerates arithmetically. The only remaining stub is that the
+  * "pixels" are md5-derived bytes rather than an encoded image (declared
+  * in FIXTURES.md); a full codec drops in behind the same `MediaInput ⇒
   * MediaFeatures` signature.
   */
 object MediaStub {
@@ -27,8 +31,17 @@ object MediaStub {
     */
   final case class MediaInput(doc_id: Long, payload: Array[Byte])
 
-  /** Typed decode output — the metadata struct a real decoder would emit. */
-  final case class MediaFeatures(doc_id: Long, width: Long, height: Long, n_frames: Long)
+  /** Typed decode output — the metadata struct a real decoder would emit,
+    * plus the inflated-pixel byte-sum census (the cheapest whole-payload
+    * proof that the zlib stream round-tripped).
+    */
+  final case class MediaFeatures(
+      doc_id: Long,
+      width: Long,
+      height: Long,
+      n_frames: Long,
+      pix_sum: Long
+  )
 
   private val PngSignature: Array[Byte] =
     Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
@@ -48,12 +61,43 @@ object MediaStub {
     be32(data.length.toLong) ++ t ++ data ++ be32(crc.getValue)
   }
 
+  /** The synthetic "pixel" payload: 64 md5-stream bytes (4 blocks × 16
+    * digest bytes, seeded `payload ++ "|px<blk>"`) — byte-for-byte what
+    * the DuckDB oracle regenerates as
+    * `('0x' || substr(md5(text || '|px' || (i//16)), (i%16)*2+1, 2))`.
+    */
+  private[graft] def pixelBytes(payload: Array[Byte]): Array[Byte] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    (0 until 4).toArray.flatMap { blk =>
+      md.reset()
+      md.update(payload)
+      md.update(s"|px$blk".getBytes("US-ASCII"))
+      md.digest()
+    }
+  }
+
+  /** A REAL zlib stream around `raw`: 0x78 0x01 header, one stored-block
+    * DEFLATE frame (BFINAL=1, BTYPE=00, LEN/NLEN little-endian — RFC 1951
+    * §3.2.4), big-endian adler32 trailer (RFC 1950). `Inflater` consumes
+    * it like any compressed stream and checks the adler on finish.
+    */
+  private[graft] def zlibStored(raw: Array[Byte]): Array[Byte] = {
+    require(raw.length <= 0xffff, "single stored block supports <= 65535 bytes")
+    val adler = new java.util.zip.Adler32
+    adler.update(raw)
+    Array[Byte](0x78, 0x01, 0x01,
+      (raw.length & 0xff).toByte, ((raw.length >>> 8) & 0xff).toByte,
+      (~raw.length & 0xff).toByte, ((~raw.length >>> 8) & 0xff).toByte) ++
+      raw ++ be32(adler.getValue)
+  }
+
   /** SYNTHETIC-PAYLOAD step (declared in FIXTURES.md): wrap raw bytes in a
     * real (A)PNG container whose IHDR width/height and acTL frame count
     * derive from the md5 of the ORIGINAL bytes — the same arithmetic the
     * oracle regenerates. Bit depth 8 / color type 6 (RGBA), the original
-    * bytes ride an `rAWd` private ancillary chunk (pixel data is out of
-    * scope — see object scaladoc).
+    * bytes ride an `rAWd` private ancillary chunk, and the IDAT carries
+    * the md5-derived [[pixelBytes]] as a genuine stored-block zlib stream
+    * ([[zlibStored]]) so decode runs a real `Inflater`.
     */
   def synthesizeContainer(in: MediaInput): MediaInput = {
     val h      = Md5Seed.prefixLong(in.payload, 6)
@@ -66,15 +110,20 @@ object MediaStub {
       chunk("IHDR", ihdr) ++
       chunk("acTL", actl) ++
       chunk("rAWd", in.payload) ++
+      chunk("IDAT", zlibStored(pixelBytes(in.payload))) ++
       chunk("IEND", Array.emptyByteArray)
     MediaInput(in.doc_id, bytes)
   }
 
   /** REAL header parse (see object scaladoc): signature check → chunk walk
-    * with per-chunk CRC-32 verification → big-endian field extraction.
-    * Malformed input FAILS LOUDLY (a silent fallback would let corrupt
-    * media score as decoded at corpus scale); n_frames defaults to 1 when
-    * no acTL chunk is present — the actual APNG semantic for a still PNG.
+    * with per-chunk CRC-32 verification → big-endian field extraction →
+    * a genuine `Inflater` pass over the IDAT zlib stream (stored-block
+    * DEFLATE; the inflater validates the adler32 on finish) censused as
+    * the pixel byte-sum. Malformed input FAILS LOUDLY (a silent fallback
+    * would let corrupt media score as decoded at corpus scale): bad
+    * signature, truncated or CRC-broken chunks, a corrupt zlib stream,
+    * and bytes trailing IEND all throw. n_frames defaults to 1 when no
+    * acTL chunk is present — the actual APNG semantic for a still PNG.
     */
   def decode(in: MediaInput): MediaFeatures = {
     val b = in.payload
@@ -86,6 +135,7 @@ object MediaStub {
     var width    = -1L
     var height   = -1L
     var nFrames  = 1L
+    var pixSum   = -1L
     var sawIend  = false
     while (!sawIend) {
       require(off + 8 <= b.length, s"doc ${in.doc_id}: truncated chunk header at $off")
@@ -103,13 +153,42 @@ object MediaStub {
           width = readBe32(b, off + 8)
           height = readBe32(b, off + 12)
         case "acTL" => nFrames = readBe32(b, off + 8)
+        case "IDAT" =>
+          // real inflate: the zlib wrapper's adler32 is checked by the
+          // JDK inflater when the stream finishes — a corrupted trailer
+          // (or body) surfaces as DataFormatException / !finished
+          val inf = new java.util.zip.Inflater()
+          inf.setInput(b, off + 8, len.toInt)
+          val out = new Array[Byte](65536)
+          var n   = 0
+          try {
+            var done = false
+            while (!done) {
+              val got = inf.inflate(out, n, out.length - n)
+              require(
+                got > 0 || inf.finished(),
+                s"doc ${in.doc_id}: IDAT zlib stream stalled (truncated?)"
+              )
+              n += got
+              done = inf.finished()
+            }
+          } catch {
+            case e: java.util.zip.DataFormatException =>
+              throw new IllegalArgumentException(
+                s"doc ${in.doc_id}: corrupt IDAT zlib stream: ${e.getMessage}")
+          } finally inf.end()
+          pixSum = 0L
+          var k = 0
+          while (k < n) { pixSum += (out(k) & 0xff); k += 1 }
         case "IEND" => sawIend = true
-        case _      => () // data/ancillary chunks: pixel decode out of scope
+        case _      => () // ancillary chunks carry no decoded state
       }
       off += 12 + len.toInt
     }
+    require(off == b.length, s"doc ${in.doc_id}: ${b.length - off} trailing bytes after IEND")
     require(width > 0 && height > 0, s"doc ${in.doc_id}: missing or invalid IHDR")
-    MediaFeatures(in.doc_id, width, height, nFrames)
+    require(pixSum >= 0, s"doc ${in.doc_id}: no IDAT chunk")
+    MediaFeatures(in.doc_id, width, height, nFrames, pixSum)
   }
 
   /** Typed decode output for the audio path: header fields plus the
@@ -193,8 +272,12 @@ object MediaStub {
         case "data" => dataOff = off + 8; dataLen = len
         case _      => ()
       }
-      off += 8 + len.toInt
+      // RIFF pads odd-sized chunks to even offsets (the pad byte is not
+      // counted in the chunk length) — a real WAV with an odd ancillary
+      // chunk misparses without this
+      off += 8 + len.toInt + (len % 2).toInt
     }
+    require(off == b.length, s"doc ${in.doc_id}: ${b.length - off} trailing bytes in RIFF")
     require(rate > 0 && bits == 16 && channels == 1, s"doc ${in.doc_id}: missing/unsupported fmt")
     require(dataOff >= 0, s"doc ${in.doc_id}: no data chunk")
     val n = (dataLen / 2).toInt

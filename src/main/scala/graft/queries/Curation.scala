@@ -1436,8 +1436,14 @@ object Curation extends QueryModule {
     * match table (≤ 8×8 rows at any corpus size — value-domain-bounded
     * by the mod), with the per-pass L∞ max a collected literal folded
     * into the next projection, never a broadcast join. Overflow lane:
-    * wins·10¹² ≤ |prompts|·10¹² — fits a long to ~9M prompts; wider
-    * corpora move the lane to decimal (the g23 discipline).
+    * every product (wins·10¹², g·10⁶, r·10⁶) rides decimal(38,0) — the
+    * g23 sufficient-statistic discipline — so no corpus size can wrap
+    * it; `div` folds each quotient back to the long lattice (quotients
+    * are lattice-bounded by construction: normalization caps r at 10⁶,
+    * so r·10⁶ div mx ≤ 10⁶ and wins·10¹² div dq ≲ 2·(r_i+r_j) ≤ 4·10⁶).
+    * An EMPTY match table (all pairs same-policy, or no prompt clears
+    * the margin) short-circuits to an empty result, matching the
+    * oracle, instead of NPE-ing on the collected max.
     */
   private def a33_bradley_terry(s: SparkSession, d: String): DataFrame = {
     val pairs = c23_preference_pairs(s, d)
@@ -1467,17 +1473,23 @@ object Curation extends QueryModule {
         .join(r.select(col("p").as("i"), col("r").as("ri")), "i")
         .join(r.select(col("p").as("j"), col("r").as("rj")), "j")
         .groupBy(col("i").as("p"))
-        .agg(sum(expr("(g * 1000000) div greatest(ri + rj, 1)")).as("dq"))
+        .agg(sum(expr(
+          "(cast(g as decimal(38,0)) * 1000000) div greatest(ri + rj, 1)")).as("dq"))
       val updated = perPlayer
         .join(denom, "p")
-        .select(col("p"), expr("(wins * 1000000000000) div greatest(dq, 1)").as("r"))
+        .select(col("p"), expr(
+          "(cast(wins as decimal(38,0)) * 1000000000000) div greatest(dq, 1)").as("r"))
       val raw = graft.Lineage.truncate(updated)
       // per-pass L∞ normalization — the max is a COLLECTED literal folded
       // into the projection (the g21/HITS shape), valid because the frame
-      // is policy-bounded (≤ 8 rows by the mod), never data-scale
-      val mx = raw.agg(max(col("r"))).head.getLong(0)
+      // is policy-bounded (≤ 8 rows by the mod), never data-scale. Read
+      // through Option: an empty match table yields a NULL max, and the
+      // lattice floor 1 keeps the (empty) projection well-typed.
+      val mx = Option(raw.agg(max(col("r"))).head.getAs[java.lang.Long](0))
+        .map(_.longValue).getOrElse(1L)
       r = graft.Lineage.truncate(
-        raw.select(col("p"), expr(s"(r * 1000000) div greatest(${mx}L, 1)").as("r"))
+        raw.select(col("p"),
+          expr(s"(cast(r as decimal(38,0)) * 1000000) div greatest(${mx}L, 1)").as("r"))
       )
     }
     perPlayer
@@ -1994,17 +2006,21 @@ object Curation extends QueryModule {
 
   /** One unrolled Bradley–Terry MM pass for the a33 oracle: ratings `rin`
     * → `rout`, mirroring the engine's greatest-guarded integer lattice.
+    * Products ride HUGEINT, matching the engine's decimal(38,0) lane.
     */
   private def btPassSql(rin: String, rout: String): String =
     s"""d$rout AS (SELECT gm.i AS p,
-                    sum((gm.g * 1000000) // greatest(ri.r + rj.r, 1)) AS dq
+                    sum((CAST(gm.g AS HUGEINT) * 1000000) // greatest(ri.r + rj.r, 1)) AS dq
              FROM gm JOIN $rin ri ON ri.p = gm.i JOIN $rin rj ON rj.p = gm.j
              GROUP BY 1),
          u$rout AS MATERIALIZED (
-           SELECT pp.p, (pp.wins * 1000000000000) // greatest(d$rout.dq, 1) AS r
+           SELECT pp.p,
+                  (CAST(pp.wins AS HUGEINT) * 1000000000000) // greatest(d$rout.dq, 1) AS r
            FROM pp JOIN d$rout ON d$rout.p = pp.p),
          $rout AS MATERIALIZED (
-           SELECT p, (r * 1000000) // greatest((SELECT max(r) FROM u$rout), 1) AS r
+           SELECT p,
+                  (CAST(r AS HUGEINT) * 1000000)
+                    // greatest((SELECT max(r) FROM u$rout), 1) AS r
            FROM u$rout)"""
 
   val oracles: Map[String, String] = Map(

@@ -597,14 +597,20 @@ object Multimodal extends QueryModule {
       )
   }
 
-  /** The stub decoder's md5 arithmetic, regenerated in DuckDB. */
+  /** The stub decoder's md5 arithmetic, regenerated in DuckDB. pix_sum
+    * replays the 64 md5-stream pixel bytes the engine EARNS by inflating
+    * the IDAT zlib stream ([[graft.functions.MediaStub.pixelBytes]]).
+    */
   private val decodeSql =
     """decoded AS (
          SELECT doc_id,
                 160 + h % 480 AS width,
                 90 + (h // 7) % 270 AS height,
-                1 + (h // 11) % 120 AS n_frames
-         FROM (SELECT doc_id,
+                1 + (h // 11) % 120 AS n_frames,
+                list_sum(list_transform(generate_series(0, 63), i ->
+                  ('0x' || substr(md5(text || '|px' || CAST(i // 16 AS VARCHAR)),
+                                  (i % 16) * 2 + 1, 2))::BIGINT))::BIGINT AS pix_sum
+         FROM (SELECT doc_id, text,
                       ('0x' || substr(md5(text), 1, 6))::BIGINT AS h
                FROM documents))"""
 
@@ -777,7 +783,7 @@ object Multimodal extends QueryModule {
                      ELSE 'fmt/unknown' END AS sniffed_format
          FROM documents""",
     "m2_feature_extract" ->
-      s"WITH $decodeSql SELECT doc_id, width, height, n_frames FROM decoded",
+      s"WITH $decodeSql SELECT doc_id, width, height, n_frames, pix_sum FROM decoded",
     "m12_wav_energy" ->
       """WITH p AS (
            SELECT doc_id, ('0x' || substr(md5(text), 1, 6))::BIGINT AS h

@@ -7,10 +7,12 @@ import graft.functions.{MediaStub, Md5Seed}
 import graft.functions.MediaStub.MediaInput
 
 /** Property tests for the media decode boundaries (m2's (A)PNG header
-  * parser, m12's RIFF/WAV parser): round-trip identity on ARBITRARY
-  * payload bytes, and loud failure on a random single-byte corruption of
-  * any CRC-protected region — the invariants a real codec front-end
-  * guarantees and a length-hash stub can't.
+  * parser + zlib IDAT inflate, m12's RIFF/WAV parser): round-trip identity
+  * on ARBITRARY payload bytes, loud failure on a random single-byte
+  * corruption of any CRC-protected region, loud failure on a corrupt zlib
+  * adler32 even when the chunk CRC is valid, the RIFF odd-chunk pad rule,
+  * and the no-trailing-bytes contracts — the invariants a real codec
+  * front-end guarantees and a length-hash stub can't.
   */
 class MediaCodecSpec extends AnyFunSuite {
 
@@ -25,14 +27,27 @@ class MediaCodecSpec extends AnyFunSuite {
     bs <- Gen.listOfN(n, Gen.choose(-128, 127).map(_.toByte))
   } yield (id, bs.toArray)
 
-  test("PNG container: synthesize → decode round-trips the md5-derived fields for arbitrary payload bytes") {
+  /** The oracle's pixel arithmetic, recomputed independently of
+    * [[MediaStub.pixelBytes]]: byte i = byte (i mod 16) of
+    * md5(payload ++ "|px" ++ (i div 16)).
+    */
+  private def oraclePixSum(payload: Array[Byte]): Long =
+    (0 until 64).map { i =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      md.update(payload)
+      md.update(s"|px${i / 16}".getBytes("US-ASCII"))
+      md.digest()(i % 16) & 0xffL
+    }.sum
+
+  test("PNG container: synthesize → decode round-trips the md5-derived fields (incl. the inflated pixel sum) for arbitrary payload bytes") {
     checkProp(Prop.forAll(payloadGen) { case (id, bytes) =>
       val f = MediaStub.decode(MediaStub.synthesizeContainer(MediaInput(id, bytes)))
       val h = Md5Seed.prefixLong(bytes, 6)
       f.doc_id == id &&
       f.width == 160 + h % 480 &&
       f.height == 90 + (h / 7) % 270 &&
-      f.n_frames == 1 + (h / 11) % 120
+      f.n_frames == 1 + (h / 11) % 120 &&
+      f.pix_sum == oraclePixSum(bytes)
     })
   }
 
@@ -65,6 +80,83 @@ class MediaCodecSpec extends AnyFunSuite {
       val bad = enc.payload.clone()
       bad(off) = (bad(off) ^ (1 << bit)).toByte
       try { MediaStub.decode(MediaInput(enc.doc_id, bad)); false }
+      catch { case _: IllegalArgumentException => true }
+    })
+  }
+
+  /** Walk the PNG chunk stream and return (dataOff, dataLen) of the first
+    * chunk of the given type — test-side mirror of the decoder's walk.
+    */
+  private def findChunk(b: Array[Byte], chunkType: String): (Int, Int) = {
+    def be32(off: Int): Int =
+      ((b(off) & 0xff) << 24) | ((b(off + 1) & 0xff) << 16) |
+        ((b(off + 2) & 0xff) << 8) | (b(off + 3) & 0xff)
+    var off = 8
+    while (new String(b, off + 4, 4, "US-ASCII") != chunkType) off += 12 + be32(off)
+    (off + 8, be32(off))
+  }
+
+  test("PNG container: a corrupt zlib adler32 in IDAT fails loudly even when the chunk CRC is re-patched valid — the inflate is real, not a CRC proxy") {
+    checkProp(Prop.forAll(payloadGen) { case (id, bytes) =>
+      val enc = MediaStub.synthesizeContainer(MediaInput(id, bytes))
+      val bad = enc.payload.clone()
+      val (dOff, dLen) = findChunk(bad, "IDAT")
+      // flip a bit in the adler32 trailer (last 4 bytes of the zlib
+      // stream), then RECOMPUTE the chunk CRC so only the inflater can
+      // catch it
+      bad(dOff + dLen - 1) = (bad(dOff + dLen - 1) ^ 0x01).toByte
+      val crc = new java.util.zip.CRC32
+      crc.update(bad, dOff - 4, 4 + dLen)
+      val v = crc.getValue
+      bad(dOff + dLen) = (v >>> 24).toByte
+      bad(dOff + dLen + 1) = (v >>> 16).toByte
+      bad(dOff + dLen + 2) = (v >>> 8).toByte
+      bad(dOff + dLen + 3) = v.toByte
+      try { MediaStub.decode(MediaInput(id, bad)); false }
+      catch { case _: IllegalArgumentException => true }
+    })
+  }
+
+  test("PNG container: bytes trailing IEND fail loudly (fails-loudly contract covers the whole stream)") {
+    checkProp(Prop.forAll(payloadGen) { case (id, bytes) =>
+      val enc = MediaStub.synthesizeContainer(MediaInput(id, bytes))
+      val bad = enc.payload :+ 0x00.toByte
+      try { MediaStub.decode(MediaInput(id, bad)); false }
+      catch { case _: IllegalArgumentException => true }
+    })
+  }
+
+  test("WAV container: an odd-length ancillary chunk is padded to an even offset (RIFF pad rule) and decode is unchanged") {
+    checkProp(Prop.forAll(payloadGen) { case (id, bytes) =>
+      val enc  = MediaStub.synthesizeWav(MediaInput(id, bytes))
+      val base = enc.payload
+      // splice an odd-length "note" chunk (3 data bytes + 1 pad byte)
+      // between "fmt " (ends at 36: 12-byte RIFF/WAVE header + 8 + 16)
+      // and "data", patching the RIFF size
+      val note = "note".getBytes("US-ASCII") ++
+        Array[Byte](3, 0, 0, 0) ++ Array[Byte](1, 2, 3) ++ Array[Byte](0)
+      val spliced = base.slice(0, 36) ++ note ++ base.drop(36)
+      val sz = (base.length - 8) + note.length
+      spliced(4) = sz.toByte
+      spliced(5) = (sz >>> 8).toByte
+      spliced(6) = (sz >>> 16).toByte
+      spliced(7) = (sz >>> 24).toByte
+      MediaStub.decodeWav(MediaInput(id, spliced)) == MediaStub.decodeWav(enc)
+    })
+  }
+
+  test("WAV container: trailing bytes inside the declared RIFF size fail loudly") {
+    checkProp(Prop.forAll(payloadGen) { case (id, bytes) =>
+      val enc = MediaStub.synthesizeWav(MediaInput(id, bytes))
+      // append 3 bytes AND patch the RIFF size so the size check passes —
+      // only the end-of-walk contract can catch the leftover
+      val bad = enc.payload ++ Array[Byte](0, 0, 0)
+      val sz  = bad.length - 8
+      bad(4) = sz.toByte
+      bad(5) = (sz >>> 8).toByte
+      bad(6) = (sz >>> 16).toByte
+      bad(7) = (sz >>> 24).toByte
+      try { MediaStub.decodeWav(MediaInput(id, bad)); false }
       catch { case _: IllegalArgumentException => true }
     })
   }

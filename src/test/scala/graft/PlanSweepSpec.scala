@@ -135,9 +135,9 @@ class PlanSweepSpec extends AnyFunSuite with SparkTestBase {
     // BNLJs live only inside truncated/pinned stages now
     "g8d_leiden_refinement"  -> 8L,  // per-pass scalar spine (fixed/refined numerators; measured 4 rows)
     "x31_bpe_apply"          -> 1L,  // four single-row winning-pair broadcasts onto the vocab rewrites
-    "x40_jl_recall"          -> 1L   // the anchor BNLJ lives in the cachePinned jlDistances stage (x40
-                                     // pins it at construction, so its FINAL plan never carries it;
-                                     // x39's unpinned twin stays in bnljBounded)
+    "x40_jl_recall"          -> 1L   // the anchor BNLJ lives in the Memo-shared jlDistances substrate
+                                     // stage (truncated at construction, so x40's FINAL plan reads the
+                                     // checkpoint; x39's unpinned twin stays in bnljBounded)
   )
 
   /** Same, for global windows inside truncated stages. */
@@ -150,19 +150,32 @@ class PlanSweepSpec extends AnyFunSuite with SparkTestBase {
       name: String,
       plan: SparkPlan,
       bnljAllow: Map[String, Long],
-      gwinAllow: Map[String, Long]
+      gwinAllow: Map[String, Long],
+      // nodes reached only THROUGH a cached relation (an IMR scan's
+      // cachedPlan) may carry a wider excuse: a truncated/pinned stage's
+      // tree can self-substitute into the final plan as an embedded IMR,
+      // so truncated* entries legitimately cover those — but a TOP-LEVEL
+      // node must be excused by the final-plan allowlist alone, or a
+      // regression reintroducing a top-level BNLJ in a truncated-listed
+      // query would sail through (r17 ADVICE)
+      cachedBnljAllow: Map[String, Long] = Map.empty,
+      cachedGwinAllow: Map[String, Long] = Map.empty
   ): Seq[String] = {
-    // flatten, not a tree collect: the sweep must see inside cached
-    // relations too (see [[flatten]]'s IMR note)
-    val nodes = flatten(plan)
-    val cart  = nodes.exists(_.isInstanceOf[CartesianProductExec])
-    val bnlj =
-      nodes.exists(_.isInstanceOf[BroadcastNestedLoopJoinExec]) && !bnljAllow.contains(name)
-    val gwin =
-      nodes.exists {
-        case w: WindowExec => w.partitionSpec.isEmpty
-        case _             => false
-      } && !gwinAllow.contains(name)
+    // flattenTagged, not a tree collect: the sweep must see inside cached
+    // relations too (see [[flatten]]'s IMR note), tagging which side of
+    // the cache boundary each node sits on
+    val nodes = flattenTagged(plan, inCached = false)
+    def allowed(inCached: Boolean, top: Map[String, Long], cached: Map[String, Long]) =
+      top.contains(name) || (inCached && cached.contains(name))
+    val cart = nodes.exists(_._1.isInstanceOf[CartesianProductExec])
+    val bnlj = nodes.exists { case (n, inC) =>
+      n.isInstanceOf[BroadcastNestedLoopJoinExec] && !allowed(inC, bnljAllow, cachedBnljAllow)
+    }
+    val gwin = nodes.exists {
+      case (w: WindowExec, inC) =>
+        w.partitionSpec.isEmpty && !allowed(inC, gwinAllow, cachedGwinAllow)
+      case _ => false
+    }
     Seq(
       if (cart) Some("CartesianProduct") else None,
       if (bnlj) Some("BNLJ") else None,
@@ -177,13 +190,13 @@ class PlanSweepSpec extends AnyFunSuite with SparkTestBase {
       val plan =
         try fn(spark, sf).queryExecution.sparkPlan
         finally Lineage.captureStop()
-      // union allowlists: one semantic — "query X may plan this node,
-      // bounded at N rows, wherever it sits" — because a cachePinned
-      // stage's nodes can surface in the FINAL plan as an embedded
-      // InMemoryRelation (x40's anchor BNLJ) now that the sweep descends
-      // into cached relations
-      val finalTags = offenderTags(name, plan, truncatedBnljBounded ++ bnljBounded,
-        truncatedGlobalWindowBounded ++ globalWindowBounded)
+      // TOP-LEVEL nodes answer to the final-plan allowlist ALONE; nodes
+      // surfaced from INSIDE a cached relation (a pinned stage embedding
+      // itself as an IMR — x40's anchor BNLJ) may additionally carry a
+      // truncated* excuse. A plain union excused top-level regressions in
+      // truncated-listed queries (r17 ADVICE).
+      val finalTags = offenderTags(name, plan, bnljBounded, globalWindowBounded,
+        truncatedBnljBounded, truncatedGlobalWindowBounded)
         .map(t => s"$name: $t")
       finalTags
     }
@@ -238,6 +251,20 @@ class PlanSweepSpec extends AnyFunSuite with SparkTestBase {
       p +: flatten(t.relation.cachedPlan)
     case _ => p +: p.children.flatMap(flatten)
   }
+
+  /** [[flatten]] plus a per-node flag: was this node reached THROUGH a
+    * cached relation (an IMR scan's cachedPlan)? The offender sweep keys
+    * its allowlist choice on it — see [[offenderTags]].
+    */
+  private def flattenTagged(p: SparkPlan, inCached: Boolean): Seq[(SparkPlan, Boolean)] =
+    p match {
+      case a: AdaptiveSparkPlanExec => (p, inCached) +: flattenTagged(a.executedPlan, inCached)
+      case s: QueryStageExec        => (p, inCached) +: flattenTagged(s.plan, inCached)
+      case r: ReusedExchangeExec    => (p, inCached) +: flattenTagged(r.child, inCached)
+      case t: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec =>
+        (p, inCached) +: flattenTagged(t.relation.cachedPlan, inCached = true)
+      case _ => (p, inCached) +: p.children.flatMap(flattenTagged(_, inCached))
+    }
 
   /** Nearest `numOutputRows` SQL metric at-or-below `p` — the actual row
     * count that flowed out of that subtree during execution.
