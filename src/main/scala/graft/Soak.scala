@@ -215,7 +215,12 @@ object Soak {
     "m12_wav_energy",
     // x42: zero-shuffle bounded-tail HOF scan + the planted-union branch —
     // x41's linear class
-    "x42_loop_detector"
+    "x42_loop_detector",
+    // r18: s19j's corpus-sized work is the kNN-graph build — 6 band
+    // equi-joins with a 256-per-bucket occupancy cap, so pair count (and
+    // the rung) grows linearly once buckets saturate; the beam itself is
+    // 5 bounded 72-id passes at any corpus size
+    "s19j_graph_beam"
   )
 
   private[graft] def buildScaled(spark: SparkSession, src: String, out: String, n: Int): Unit = {

@@ -87,7 +87,8 @@ class PlanSweepSpec extends AnyFunSuite with SparkTestBase {
     "x37_unigram_viterbi"    -> 1L, // single-row piece-mass total broadcast onto the piece-cost table
     "x39_jl_projection"      -> 1L, // single-row (anchor embedding, anchor projection) broadcast onto the scan
     "c30_capped_mixture"     -> 1L, // three single-row water-filling scalar broadcasts onto the source frame
-    "g24_eccentricity"       -> 1L  // single-row diameter-lower-bound broadcast onto the 8-pivot frame
+    "g24_eccentricity"       -> 1L, // single-row diameter-lower-bound broadcast onto the 8-pivot frame
+    "s19j_graph_beam"        -> 1L  // single-row query-vector + recall/edge census broadcasts onto the 8-row beam
   )
 
   /** Queries allowed a window with an empty partition spec, with the
@@ -112,7 +113,8 @@ class PlanSweepSpec extends AnyFunSuite with SparkTestBase {
     "s19i_ivfadc_rerank"   -> 32L, // adc/exact rank windows over the top-R = 32 refine frame only
     "x32_prf_expansion"    -> 20L, // old/new rank windows over their 20-row top lists only
     "x33_stupid_backoff"   -> 1024L, // cumulative count over value-domain-bounded ppl-histogram bins (c25's shape)
-    "x40_jl_recall"        -> 8L // exact/projected rank windows, each over its top-8 only (s19h's shape)
+    "x40_jl_recall"        -> 8L, // exact/projected rank windows, each over its top-8 only (s19h's shape)
+    "s19j_graph_beam"      -> 8L // rank window over the 8-row final beam only
   )
 
   /** Queries allowed a BNLJ INSIDE a truncated/cache-pinned stage — plans
@@ -135,6 +137,7 @@ class PlanSweepSpec extends AnyFunSuite with SparkTestBase {
     // BNLJs live only inside truncated/pinned stages now
     "g8d_leiden_refinement"  -> 8L,  // per-pass scalar spine (fixed/refined numerators; measured 4 rows)
     "x31_bpe_apply"          -> 1L,  // four single-row winning-pair broadcasts onto the vocab rewrites
+    "s19j_graph_beam"        -> 1L,  // per-pass single-row query-vector broadcast inside each truncated beam stage
     "x40_jl_recall"          -> 1L   // the anchor BNLJ lives in the Memo-shared jlDistances substrate
                                      // stage (truncated at construction, so x40's FINAL plan reads the
                                      // checkpoint; x39's unpinned twin stays in bnljBounded)
