@@ -1731,6 +1731,128 @@ object TextAnalysis extends QueryModule {
       )
   }
 
+  /** X43 — UNIGRAM-LM TRAINING: one audited EM E-step + vocabulary PRUNE
+    * (Kudo 2018 "Subword regularization" §3.2 — the training half of the
+    * SentencePiece unigram model whose INFERENCE half x37 runs, closing
+    * the train→apply loop the BPE family closed with x28/x31/x36):
+    * seed vocabulary = the 256 most frequent multi-char (2–4) pieces plus
+    * the full character alphabet (the feasibility base — every word stays
+    * segmentable, so no forward/backward value is ever 0), E-step =
+    * exact forward–backward occupancy over each word's segmentation
+    * lattice — f[j] counts lattice paths covering the prefix, e[m] the
+    * suffix, and a piece occurrence (i..j) carries mass f[i−1]·e[L−j] —
+    * M-step = expected-count shares, prune = drop pieces below 100 ppm of
+    * total expected mass UNLESS single-char (the feasibility invariant
+    * the spec pins). Declared lane (FIXTURES discipline): paths are
+    * UNIFORMLY weighted (the max-entropy seed — integer-exact in both
+    * engines); production SentencePiece weights paths by seed
+    * probabilities and prunes by likelihood loss, a float lane outside
+    * the exact-oracle scope, with expected-count share the standard cheap
+    * surrogate.
+    *
+    * The whole DP is ROW-LOCAL (x37's shape): each word joins its
+    * inventory-membership map once, then two `aggregate` HOFs fold the
+    * forward and backward count arrays inside the row — no iterative
+    * join, no per-pass shuffle. Per-word masses quantize ×10⁶ against the
+    * word's own path total (one integer div, identical in both engines).
+    *
+    * Scale shape: one corpus aggregate (the shared [[bpeVocab0]]), one
+    * piece-count aggregate, a vocabulary-keyed membership join, one
+    * narrow DP pass, one piece-keyed sum — everything vocabulary-sized;
+    * the expected-count share census rides a single-row total broadcast.
+    * Oracle: the SAME forward/backward frontiers unrolled as 2×12
+    * MATERIALIZED position CTE steps (the x37/g8e pattern).
+    */
+  private def x43_unigram_em_prune(s: SparkSession, d: String): DataFrame = {
+    val MaxLen   = 12
+    val TopMulti = 256
+    val subsStr =
+      s"""flatten(transform(sequence(1, length(w0)),
+            i -> transform(sequence(i, least(i + 3, length(w0))),
+                   j -> substr(w0, i, j - i + 1))))"""
+    val subsPos =
+      s"""flatten(transform(sequence(1, length(w0)),
+            i -> transform(sequence(i, least(i + 3, length(w0))),
+                   j -> named_struct('i', i, 'j', j, 'p', substr(w0, i, j - i + 1)))))"""
+    val vocab = bpeVocab0(s, d)
+      .filter(length(col("w0")) <= MaxLen)
+      .select(col("w0"), col("freq"))
+    val pieceCnt = vocab
+      .select(col("freq"), explode(expr(subsStr)).as("p"))
+      .groupBy(col("p"))
+      .agg(sum(col("freq")).as("cnt"))
+    val inv = graft.Lineage.truncate(
+      pieceCnt
+        .filter(length(col("p")) === 1)
+        .unionByName(
+          pieceCnt
+            .filter(length(col("p")) > 1)
+            .orderBy(col("cnt").desc, col("p").asc)
+            .limit(TopMulti))
+        .select(col("p"), col("cnt"), (length(col("p")) === 1).cast("long").as("is_char"))
+    )
+    val wmap = vocab
+      .select(col("w0"), explode(array_distinct(expr(subsStr))).as("p"))
+      .join(inv.select(col("p")), "p")
+      .groupBy(col("w0"))
+      .agg(map_from_entries(collect_list(struct(col("p"), lit(1L)))).as("mp"))
+    // forward path counts f[0..L] (f[j] at array index j+1) and backward
+    // suffix counts e[0..L] by distance-from-end — both fold inside the row
+    val fExpr =
+      """aggregate(sequence(1, length(w0)), array(1L),
+           (acc, j) -> array_append(acc,
+             aggregate(sequence(1, least(j, 4)), 0L,
+               (sa, k) -> sa + coalesce(element_at(mp, substr(w0, j - k + 1, k)), 0L)
+                             * element_at(acc, j - k + 1))),
+           acc -> acc)"""
+    val eExpr =
+      """aggregate(sequence(1, length(w0)), array(1L),
+           (acc, m) -> array_append(acc,
+             aggregate(sequence(1, least(m, 4)), 0L,
+               (sa, k) -> sa + coalesce(element_at(mp, substr(w0, length(w0) - m + 1, k)), 0L)
+                             * element_at(acc, m - k + 1))),
+           acc -> acc)"""
+    val ec = vocab
+      .join(wmap, "w0")
+      .withColumn("f", expr(fExpr))
+      .withColumn("e", expr(eExpr))
+      .select(
+        col("w0"),
+        col("freq"),
+        col("mp"),
+        col("f"),
+        col("e"),
+        expr("element_at(f, length(w0) + 1)").as("fl"),
+        explode(expr(subsPos)).as("u"))
+      .filter(expr("element_at(mp, u.p)").isNotNull)
+      .select(
+        col("w0"),
+        col("freq"),
+        col("fl"),
+        col("u.p").as("p"),
+        (expr("element_at(f, u.i)") * expr("element_at(e, length(w0) - u.j + 1)")).as("occm"))
+      .groupBy(col("w0"), col("freq"), col("fl"), col("p"))
+      .agg(sum(col("occm")).as("mass"))
+      .select(col("p"), (col("freq") * expr("(1000000 * mass) div greatest(fl, 1)")).as("ecc"))
+      .groupBy(col("p"))
+      .agg(sum(col("ecc")).as("ec_q"))
+    val joined = inv
+      .join(ec, Seq("p"), "left")
+      .select(col("p"), col("cnt"), col("is_char"), coalesce(col("ec_q"), lit(0L)).as("ec_q"))
+    val tot = joined.agg(sum(col("ec_q")).as("t"))
+    joined
+      .crossJoin(broadcast(tot))
+      .select(
+        col("p").as("piece"),
+        col("is_char"),
+        col("cnt").cast("long").as("seed_cnt"),
+        col("ec_q").cast("long").as("ec_q"),
+        expr("(cast(ec_q as decimal(38,0)) * 1000000) div greatest(t, 1)").as("share_ppm"))
+      .withColumn(
+        "kept",
+        (col("is_char") === 1L || col("share_ppm") >= 100L).cast("long"))
+  }
+
   /** X33 — STUPID BACKOFF bigram LM perplexity filter (Brants et al. 2007
     * "Large Language Models in Machine Translation" §4 — the inexpensive
     * smoothing Google built for corpus-scale LMs precisely because it needs
@@ -1948,6 +2070,7 @@ object TextAnalysis extends QueryModule {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x37_unigram_viterbi" -> (x37_unigram_viterbi _),
+    "x43_unigram_em_prune" -> (x43_unigram_em_prune _),
     "x36_bpe_schedule" -> (x36_bpe_schedule _),
     "x34_hard_negatives" -> (x34_hard_negatives _),
     "x33_stupid_backoff" -> (x33_stupid_backoff _),
@@ -2101,8 +2224,93 @@ object TextAnalysis extends QueryModule {
         FROM a16 a JOIN v0 v ON v.w0 = a.w0 AND a.jj = length(v.w0)"""
   }
 
+  /** The x43 oracle: the same uniform-lattice forward/backward counts
+    * unrolled as 2×12 MATERIALIZED position-frontier CTE steps (x37's
+    * frontier shape with `sum` where Viterbi had `min`), then occupancy
+    * mass per (word, piece), the ×10⁶ per-word quantization, and the
+    * share/prune census.
+    */
+  private val x43OracleSql: String = {
+    val fSteps = (1 to 12)
+      .map(j => s"""fd$j AS MATERIALIZED (
+             SELECT ss.w0, $j AS jj, sum(p.f) AS f
+             FROM fa${j - 1} p JOIN ss ON ss.w0 = p.w0 AND ss.i = p.jj + 1 AND ss.j = $j
+             GROUP BY 1),
+           fa$j AS MATERIALIZED (
+             SELECT * FROM fa${j - 1} UNION ALL SELECT * FROM fd$j)""")
+      .mkString(",\n        ")
+    val eSteps = (1 to 12)
+      .map(m => s"""ed$m AS MATERIALIZED (
+             SELECT ss.w0, $m AS mm, sum(p.e) AS e
+             FROM eb${m - 1} p JOIN ss
+               ON ss.w0 = p.w0 AND ss.i = ss.len - $m + 1 AND p.mm = ss.len - ss.j
+             GROUP BY 1),
+           eb$m AS MATERIALIZED (
+             SELECT * FROM eb${m - 1} UNION ALL SELECT * FROM ed$m)""")
+      .mkString(",\n        ")
+    s"""WITH v0 AS MATERIALIZED (
+          SELECT w AS w0, CAST(count(*) AS BIGINT) AS freq FROM (
+            SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+          WHERE length(w) BETWEEN 2 AND 12 GROUP BY 1),
+        occ AS MATERIALIZED (
+          SELECT unnest(flatten(list_transform(generate_series(1, length(w0)),
+                   i -> list_transform(generate_series(i, least(i + 3, length(w0))),
+                          j -> substr(w0, CAST(i AS INT), CAST(j - i + 1 AS INT)))))) AS p,
+                 freq
+          FROM v0),
+        pcnt AS MATERIALIZED (SELECT p, CAST(sum(freq) AS BIGINT) AS cnt FROM occ GROUP BY 1),
+        inv AS MATERIALIZED (
+          SELECT p, cnt, CAST(1 AS BIGINT) AS is_char FROM pcnt WHERE length(p) = 1
+          UNION ALL
+          SELECT p, cnt, CAST(0 AS BIGINT) AS is_char FROM (
+            SELECT p, cnt FROM pcnt WHERE length(p) > 1 ORDER BY cnt DESC, p LIMIT 256)),
+        ss AS MATERIALIZED (
+          SELECT t.w0, t.len,
+                 CAST(t.u['i'] AS BIGINT) AS i,
+                 CAST(t.u['j'] AS BIGINT) AS j,
+                 t.u['p'] AS p
+          FROM (SELECT w0, length(w0) AS len,
+                       unnest(flatten(list_transform(generate_series(1, length(w0)),
+                         i -> list_transform(generate_series(i, least(i + 3, length(w0))),
+                                j -> {'i': i, 'j': j,
+                                      'p': substr(w0, CAST(i AS INT), CAST(j - i + 1 AS INT))})))) AS u
+                FROM v0) t
+          WHERE t.u['p'] IN (SELECT p FROM inv)),
+        fa0 AS MATERIALIZED (SELECT w0, 0 AS jj, CAST(1 AS BIGINT) AS f FROM v0),
+        $fSteps,
+        eb0 AS MATERIALIZED (SELECT w0, 0 AS mm, CAST(1 AS BIGINT) AS e FROM v0),
+        $eSteps,
+        mass AS MATERIALIZED (
+          SELECT ss.w0, ss.p, sum(fa.f * eb.e) AS mass
+          FROM ss
+          JOIN fa12 fa ON fa.w0 = ss.w0 AND fa.jj = ss.i - 1
+          JOIN eb12 eb ON eb.w0 = ss.w0 AND eb.mm = ss.len - ss.j
+          GROUP BY 1, 2),
+        fl AS MATERIALIZED (
+          SELECT fa12.w0, fa12.f AS fl FROM fa12 JOIN v0 ON v0.w0 = fa12.w0
+          WHERE fa12.jj = length(v0.w0)),
+        ec AS MATERIALIZED (
+          SELECT mass.p,
+                 CAST(sum(v0.freq * ((1000000 * mass.mass) // greatest(fl.fl, 1))) AS BIGINT) AS ec_q
+          FROM mass JOIN v0 ON v0.w0 = mass.w0 JOIN fl ON fl.w0 = mass.w0
+          GROUP BY 1),
+        jn AS MATERIALIZED (
+          SELECT inv.p, inv.cnt, inv.is_char, coalesce(ec.ec_q, 0) AS ec_q
+          FROM inv LEFT JOIN ec USING (p)),
+        tot AS (SELECT sum(ec_q) AS t FROM jn),
+        shares AS (
+          SELECT p AS piece, is_char, CAST(cnt AS BIGINT) AS seed_cnt,
+                 CAST(ec_q AS BIGINT) AS ec_q,
+                 CAST((CAST(ec_q AS HUGEINT) * 1000000) // greatest(tot.t, 1) AS BIGINT) AS share_ppm
+          FROM jn, tot)
+        SELECT piece, is_char, seed_cnt, ec_q, share_ppm,
+               CAST(CASE WHEN is_char = 1 OR share_ppm >= 100 THEN 1 ELSE 0 END AS BIGINT) AS kept
+        FROM shares"""
+  }
+
   val oracles: Map[String, String] = Map(
     "x37_unigram_viterbi" -> x37OracleSql,
+    "x43_unigram_em_prune" -> x43OracleSql,
     "x36_bpe_schedule" -> x36OracleSql,
     "x34_hard_negatives" ->
       """WITH pool AS (

@@ -48,6 +48,27 @@ class Round18QueriesSpec extends AnyFunSuite with SparkTestBase {
     assert(hits >= 5L, s"measured recall floor (7/8 at sf0.01/0.1, ≥5 pinned): $hits")
   }
 
+  test("x43: pruning never removes a single-char piece (feasibility), shares sum to ~1e6, and every piece carries positive expected mass") {
+    val rows = SparkEntry.queries("x43_unigram_em_prune")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val chars = rows.filter(_.getAs[Long]("is_char") == 1L)
+    assert(chars.nonEmpty, "character alphabet must be in the inventory")
+    assert(chars.forall(_.getAs[Long]("kept") == 1L),
+      "FEASIBILITY: a single-char piece must never be pruned")
+    // every inventory piece occurs in some segmentation (chars make all
+    // words segmentable, so forward/backward counts are >= 1)
+    assert(rows.forall(_.getAs[Long]("ec_q") > 0L), "zero expected mass on an inventory piece")
+    val shareSum = rows.map(_.getAs[Long]("share_ppm")).sum
+    assert(shareSum > 990000L && shareSum <= 1000000L,
+      s"shares must sum to ~1e6 ppm (floor-div slack only): $shareSum")
+    // the prune must actually prune something on real data, and keep the
+    // bulk of the mass
+    val pruned = rows.filter(_.getAs[Long]("kept") == 0L)
+    assert(pruned.forall(r => r.getAs[Long]("share_ppm") < 100L && r.getAs[Long]("is_char") == 0L))
+    val keptMass = rows.filter(_.getAs[Long]("kept") == 1L).map(_.getAs[Long]("share_ppm")).sum
+    assert(keptMass > 900000L, s"kept pieces must hold the bulk of expected mass: $keptMass")
+  }
+
   test("a33: an empty match table (no cross-policy preference pairs) returns an empty frame, not an NPE") {
     import spark.implicits._
     // every doc in the same policy class (doc_id % 8 == 0) → all pairs
