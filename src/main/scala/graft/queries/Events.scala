@@ -732,6 +732,32 @@ object Events extends QueryModule {
       )
   }
 
+  /** CUSUM+ statistic and alarm over a (event_type, day, x) daily spine —
+    * the read side of the STREAMING face
+    * ([[graft.streaming.StreamOps.cusumDailySink]] maintains the spine,
+    * this derives the live alarms; no plant — real rates, unlike e19's
+    * demo which rides an arithmetic drift plant on top of the unplanted
+    * reference mu): per type, mu = integer mean daily rate, reference
+    * k = mu + mu/4, CUSUM+_d via the prefix identity
+    * S_d − min(0, min_{i≤d} S_i), alarm when CUSUM+ > 2·mu. All windows
+    * run on the |types|·|days|-bounded spine.
+    */
+  private[graft] def cusumOverDaily(daily: DataFrame): DataFrame = {
+    val mu = daily.groupBy(col("event_type")).agg(expr("sum(x) div count(1)").as("mu"))
+    val w  = Window.partitionBy(col("event_type")).orderBy(col("day"))
+    daily
+      .join(mu, "event_type")
+      .withColumn("ss", sum(col("x") - col("mu") - expr("mu div 4")).over(w))
+      .withColumn("cusum", col("ss") - least(min(col("ss")).over(w), lit(0L)))
+      .select(
+        col("event_type"),
+        col("day"),
+        col("x").as("n_events"),
+        col("cusum"),
+        when(col("cusum") > lit(2L) * col("mu"), 1L).otherwise(0L).as("alarm")
+      )
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "e20_retention_cohorts" -> (e20_retention_cohorts _),
     "e19_cusum_drift" -> (e19_cusum_drift _),

@@ -281,6 +281,59 @@ object StreamOps {
     ()
   }
 
+  /** Streaming CUSUM-DRIFT maintenance (e19's sequential change-point
+    * monitor kept live from the ingest stream — the ops-triad member with
+    * the natural production use: a corpus-mixing loop watching its source
+    * rates for volume shifts as data lands): the durable state is the
+    * (event_type, day, x) DAILY SPINE — additive counters, so this is
+    * cmSketchSink's BATCH-ID-GUARD class, NOT retentionCohorts'
+    * semilattice class: per-type (running count) sums are not idempotent
+    * under replay (a redelivered batch would double-count a day), so the
+    * fold carries the exactly-once guard — `last_batch` rides the table,
+    * a replayed batchId ≤ last_batch is a detected no-op, and
+    * [[graft.io.TableIO.healParked]] closes the park-vs-promote crash
+    * window before the guard reads.
+    *
+    * The live alarms derive on read:
+    * `Events.cusumOverDaily(read(path))` — mu, the CUSUM+ prefix
+    * identity, and the 2·mu alarm all recompute from the spine each
+    * inspection, so stream ≡ batch holds by construction on any prefix of
+    * the stream (StreamOpsSpec pins alarm-day equality across a
+    * checkpointed restart with replay).
+    *
+    * Input batch: (event_type, day) event rows — callers derive `day`
+    * from event time with e19's floor division. State is
+    * |types|·|days|-bounded regardless of event volume (the sketch-table
+    * discipline: the 100 TB stream folds to kilobytes of spine).
+    */
+  def cusumDailySink(batch: DataFrame, batchId: Long, path: String): Unit = {
+    val spark  = batch.sparkSession
+    val target = new org.apache.hadoop.fs.Path(path)
+    val fs     = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // accumulated state — heal the swap crash window (see cmSketchSink)
+    graft.io.TableIO.healParked(spark, path)
+    val existing =
+      if (fs.exists(target)) Some(spark.read.parquet(path)) else None
+    val last = existing
+      .map(_.agg(coalesce(max(col("last_batch")), lit(-1L))).head.getLong(0))
+      .getOrElse(-1L)
+    if (batchId <= last) return // replayed batch: already folded and committed
+    val add = batch
+      .select(col("event_type"), col("day").cast("long").as("day"))
+      .groupBy(col("event_type"), col("day"))
+      .agg(count(lit(1)).as("x"))
+    val merged = existing match {
+      case Some(ex) =>
+        ex.select(col("event_type"), col("day"), col("x"))
+          .unionByName(add)
+          .groupBy(col("event_type"), col("day"))
+          .agg(sum(col("x")).as("x"))
+      case None => add
+    }
+    graft.io.TableIO.writeParquet(merged.withColumn("last_batch", lit(batchId)), path)
+    ()
+  }
+
   /** Streaming RETENTION-COHORT maintenance (e20's matrix kept fresh from
     * the ingest stream): the durable state is ONE ROW PER USER —
     * (user_id, c_day = first-active day, mask = 15-bit day-0..14 activity

@@ -1328,4 +1328,81 @@ class StreamOpsSpec extends AnyFunSuite with SparkTestBase {
     val out = StreamOps.Sessionizer(events, gapUs).collect().toSeq
     assert(out == Seq(Session(1L, 2L, 500L * 1000000)))
   }
+
+  test("cusumDailySink: stream ≡ batch on alarm days across a checkpointed restart, and the batch-id guard blocks replay double-counts") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions._
+    val base = s"${sys.props("java.io.tmpdir")}/graft_io/stream_cusum_spec"
+    val fs = new org.apache.hadoop.fs.Path(base)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(base), true)
+    val path = s"$base/t"
+    val ckpt = s"$base/ckpt"
+
+    // a quiet source at ~2/day and a drifting source that jumps to 8/day
+    // from day 6 on — the shift the monitor exists to catch
+    def day(t: String, d: Long, n: Int): Seq[(String, Long)] =
+      Seq.fill(n)((t, d))
+    val batch1 = (0L to 5L).flatMap(d => day("quiet", d, 2) ++ day("drift", d, 2))
+    val batch2 = (6L to 9L).flatMap(d => day("quiet", d, 2) ++ day("drift", d, 8))
+
+    val in = MemoryStream[(String, Long)]
+    def start() = in.toDF().toDF("event_type", "day").writeStream
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+        StreamOps.cusumDailySink(b, id, path)
+      }
+      .option("checkpointLocation", ckpt)
+      .outputMode(OutputMode.Append())
+      .start()
+
+    val q = start()
+    try {
+      in.addData(batch1: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+
+    // restart from the checkpoint: the last batch may be re-offered under
+    // its original id; daily counts are ADDITIVE (not a semilattice), so
+    // only the committed-id guard keeps the spine exact
+    val q2 = start()
+    try {
+      in.addData(batch2: _*)
+      q2.processAllAvailable()
+    } finally q2.stop()
+
+    val spine = spark.read.parquet(path)
+    // stream-folded spine == batch aggregation of the same history
+    val want = (batch1 ++ batch2).toDF("event_type", "day")
+      .groupBy("event_type", "day").agg(count(lit(1)).as("x"))
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val got = spine.select("event_type", "day", "x")
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got == want, "restart/replay must not double-count the daily spine")
+
+    // explicit replay of an already-committed id: a detected no-op
+    val lastId = spine.agg(max("last_batch")).head.getLong(0)
+    StreamOps.cusumDailySink(batch2.toDF("event_type", "day"), lastId, path)
+    val replayed = spark.read.parquet(path).select("event_type", "day", "x")
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(replayed == got, "a replayed batch id must not refold")
+
+    // the live monitor (read side) equals the batch CUSUM on the same
+    // history: alarm fires on the drifting source's shifted window only
+    val live = graft.queries.Events
+      .cusumOverDaily(spark.read.parquet(path).select("event_type", "day", "x"))
+      .collect()
+    val batchCusum = graft.queries.Events
+      .cusumOverDaily(
+        (batch1 ++ batch2).toDF("event_type", "day")
+          .groupBy("event_type", "day").agg(count(lit(1)).as("x")))
+      .collect()
+    def alarmDays(rows: Array[org.apache.spark.sql.Row]): Set[(String, Long)] =
+      rows.filter(_.getAs[Long]("alarm") == 1L)
+        .map(r => (r.getAs[String]("event_type"), r.getAs[Long]("day"))).toSet
+    assert(alarmDays(live) == alarmDays(batchCusum), "stream ≡ batch on alarm days")
+    assert(alarmDays(live).nonEmpty && alarmDays(live).forall(_._1 == "drift"),
+      s"the alarm must fire on the drifting source only: ${alarmDays(live)}")
+    assert(live.filter(_.getAs[String]("event_type") == "quiet").forall(_.getAs[Long]("alarm") == 0L))
+  }
 }
