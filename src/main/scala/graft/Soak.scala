@@ -220,7 +220,11 @@ object Soak {
     // equi-joins with a 256-per-bucket occupancy cap, so pair count (and
     // the rung) grows linearly once buckets saturate; the beam itself is
     // 5 bounded 72-id passes at any corpus size
-    "s19j_graph_beam"
+    "s19j_graph_beam",
+    // x43's corpus-sized work is the bpeVocab0 word count + the piece
+    // count aggregate; the DP is row-local over the (replica-offset-fixed)
+    // vocabulary, so the rung prices the two linear aggregates
+    "x43_unigram_em_prune"
   )
 
   private[graft] def buildScaled(spark: SparkSession, src: String, out: String, n: Int): Unit = {

@@ -88,7 +88,8 @@ class PlanSweepSpec extends AnyFunSuite with SparkTestBase {
     "x39_jl_projection"      -> 1L, // single-row (anchor embedding, anchor projection) broadcast onto the scan
     "c30_capped_mixture"     -> 1L, // three single-row water-filling scalar broadcasts onto the source frame
     "g24_eccentricity"       -> 1L, // single-row diameter-lower-bound broadcast onto the 8-pivot frame
-    "s19j_graph_beam"        -> 1L  // single-row query-vector + recall/edge census broadcasts onto the 8-row beam
+    "s19j_graph_beam"        -> 1L, // single-row query-vector + recall/edge census broadcasts onto the 8-row beam
+    "x43_unigram_em_prune"   -> 1L  // single-row expected-mass total broadcast onto the inventory frame
   )
 
   /** Queries allowed a window with an empty partition spec, with the
