@@ -800,6 +800,63 @@ object Vectors extends QueryModule {
       )
   }
 
+  /** S19k — RETRIEVAL-QUALITY metrics rollup across the ANN ladder (the
+    * standard IR eval harness — Manning–Raghavan–Schütze IR ch.8 — a
+    * vector-store operator runs before trusting an approximate index in
+    * production; the per-query twin of x40's recall census): each
+    * method's top-8 (exact s19 as the sanity row, LSH s19b, IVF s19c,
+    * graph-beam s19j) is re-ranked deterministically (score desc, vec_id
+    * asc — identical in both engines because the scores themselves are
+    * oracle-hash-equal) and scored against binary relevance = membership
+    * in the exact top-8:
+    *   recall@8 ‰, MRR ×10⁶ (10⁶ div first-relevant rank — exact
+    *   rational), precision@4 ‰, plus n_returned (an LSH bucket may
+    *   under-fill k — reported, not hidden).
+    * The exact row pins the harness itself: recall 1000, MRR 10⁶, P@4
+    * 1000, or the metric arithmetic is wrong.
+    *
+    * Scale shape: every input is an already-bounded top-8 frame; the rank
+    * window is PARTITIONED by method (never global); relevance joins
+    * against a broadcast 8-row set; the rollup is a 4-group aggregate.
+    * The underlying retrieval scans are the ladder members' own plans,
+    * each already proven.
+    */
+  private def s19k_retrieval_metrics(s: SparkSession, d: String): DataFrame = {
+    val scored3 = Seq(
+      "1_exact" -> s19_knn_cosine(s, d),
+      "2_lsh"   -> s19b_knn_bucketed(s, d),
+      "3_ivf"   -> s19c_knn_ivf(s, d)
+    ).map { case (m, df) => df.select(lit(m).as("method"), col("vec_id"), col("score")) }
+      .reduce(_ unionByName _)
+    val rankedAll = scored3
+      .withColumn(
+        "rank",
+        row_number()
+          .over(Window.partitionBy(col("method")).orderBy(col("score").desc, col("vec_id").asc))
+          .cast("long"))
+      .drop("score")
+      .unionByName(
+        s19j_graph_beam(s, d).select(lit("4_graph").as("method"), col("vec_id"), col("rank")))
+    val rel = s19_knn_cosine(s, d).select(col("vec_id"), lit(1L).as("rel"))
+    rankedAll
+      .join(broadcast(rel), Seq("vec_id"), "left")
+      .select(col("method"), col("rank"), coalesce(col("rel"), lit(0L)).as("rel"))
+      .groupBy(col("method"))
+      .agg(
+        count(lit(1)).as("n_returned"),
+        sum(col("rel")).as("hits"),
+        min(when(col("rel") === 1L, col("rank"))).as("fr"),
+        sum(when(col("rank") <= 4L && col("rel") === 1L, 1L).otherwise(0L)).as("h4"))
+      .select(
+        col("method"),
+        col("n_returned").cast("long").as("n_returned"),
+        col("hits").cast("long").as("hits"),
+        expr(s"1000 * hits div $K").as("recall_pm"),
+        coalesce(expr("1000000 div fr"), lit(0L)).as("mrr_q"),
+        expr("1000 * h4 div 4").as("p_at_4_pm")
+      )
+  }
+
   /** S19h — HYBRID retrieval with reciprocal-rank fusion (Cormack–
     * Clarke–Büttcher 2009, the dense+sparse composition every production
     * RAG stack runs — a GraphRAG query hits BOTH the vector index and the
@@ -1100,6 +1157,7 @@ object Vectors extends QueryModule {
     "s19g_ivfadc" -> (s19g_ivfadc _),
     "s19i_ivfadc_rerank" -> (s19i_ivfadc_rerank _),
     "s19j_graph_beam" -> (s19j_graph_beam _),
+    "s19k_retrieval_metrics" -> (s19k_retrieval_metrics _),
     "s19e_pq_encode" -> (s19e_pq_encode _),
     "s19f_pq_adc" -> (s19f_pq_adc _),
     "s24_scalar_quantize" -> (s24_scalar_quantize _),
@@ -1190,12 +1248,17 @@ object Vectors extends QueryModule {
           SELECT qs.vec_id, qs.sim_q FROM qs JOIN c$t USING (vec_id)
           ORDER BY sim_q DESC, vec_id LIMIT $K)"""
 
-  private val s19jOracleSql: String = {
+  /** The s19j beam-lattice CTE chain (index build + 5 beam passes + the
+    * exact set) — shared by the s19j oracle and s19k's graph-method rows.
+    * Defines CTEs v, keyed, capped, prs, nb0, nbrs, q, qs, entry,
+    * b0..b$JPasses, exact.
+    */
+  private val s19jLatticeSql: String = {
     val bands = (0 until JBands)
       .map(b => s"SELECT $b AS band, vec_id, qa, ${jBandKeySql(b)} AS bk FROM v")
       .mkString(" UNION ALL ")
     val passes = (1 to JPasses).map(jBeamPassSql).mkString(",\n        ")
-    s"""WITH v AS MATERIALIZED (
+    s"""v AS MATERIALIZED (
             SELECT vec_id, embedding::DOUBLE[] AS e,
                    list_transform(embedding::DOUBLE[], x -> floor(x * 1024)) AS qa
             FROM embeddings),
@@ -1226,8 +1289,13 @@ object Vectors extends QueryModule {
                   ORDER BY substr(md5(CAST(vec_id AS VARCHAR)), 1, 8), vec_id LIMIT 1),
         b0 AS MATERIALIZED (SELECT qs.vec_id, qs.sim_q FROM qs JOIN entry USING (vec_id)),
         $passes,
-        exact AS (SELECT vec_id FROM v, (SELECT e AS qe FROM v WHERE vec_id = 0) q2
-                  ORDER BY $cosSql DESC, vec_id LIMIT $K),
+        exact AS MATERIALIZED (
+          SELECT vec_id FROM v, (SELECT e AS qe FROM v WHERE vec_id = 0) q2
+          ORDER BY $cosSql DESC, vec_id LIMIT $K)"""
+  }
+
+  private val s19jOracleSql: String =
+    s"""WITH $s19jLatticeSql,
         flags AS (SELECT vec_id, sim_q,
                          CAST(row_number() OVER (ORDER BY sim_q DESC, vec_id) AS BIGINT) AS rank,
                          CAST(CASE WHEN vec_id IN (SELECT vec_id FROM exact)
@@ -1238,7 +1306,6 @@ object Vectors extends QueryModule {
                CAST(1000 * hits // $K AS BIGINT) AS recall_pm,
                CAST((SELECT count(*) FROM nbrs) AS BIGINT) AS n_edges
         FROM flags, cens"""
-  }
 
   private val bucketKeySql: String =
     (0 until NPlanes)
@@ -1339,6 +1406,55 @@ object Vectors extends QueryModule {
          FROM ex FULL JOIN pj USING (vec_id) JOIN dd d USING (vec_id)""",
     "x35_mmr_rerank" -> x35OracleSql,
     "s19j_graph_beam" -> s19jOracleSql,
+    "s19k_retrieval_metrics" ->
+      s"""WITH $s19jLatticeSql,
+          lshv AS (SELECT vec_id, e, $bucketKeySql AS bk
+                   FROM (SELECT vec_id, embedding::DOUBLE[] AS e, embedding FROM embeddings)),
+          lq AS (SELECT e AS qe, bk AS qbk FROM lshv WHERE vec_id = 0),
+          lshtop AS (SELECT vec_id, round($cosSql, 4) AS score
+                     FROM lshv, lq WHERE bk = qbk
+                     ORDER BY $cosSql DESC, vec_id LIMIT $K),
+          ivfv AS (SELECT vec_id, label, embedding::DOUBLE[] AS e FROM embeddings),
+          idims AS (SELECT label, i AS pos, e[i] AS val
+                    FROM ivfv, (SELECT unnest(range(1, ${Dim + 1})) AS i)),
+          icent AS (SELECT label, pos, avg(val) AS c FROM idims GROUP BY 1, 2),
+          iq AS (SELECT e AS qe FROM ivfv WHERE vec_id = 0),
+          iqd AS (SELECT i AS pos, qe[i] AS qv
+                  FROM iq, (SELECT unnest(range(1, ${Dim + 1})) AS i)),
+          idist AS (SELECT label, sum((c - qv) * (c - qv)) AS d2
+                    FROM icent JOIN iqd USING (pos) GROUP BY label),
+          iprobe AS (SELECT label FROM idist ORDER BY d2, label LIMIT 1),
+          ivftop AS (SELECT vec_id, round($cosSql, 4) AS score
+                     FROM ivfv, iq WHERE ivfv.label = (SELECT label FROM iprobe)
+                     ORDER BY $cosSql DESC, vec_id LIMIT $K),
+          extop AS (SELECT vec_id, round($cosSql, 4) AS score
+                    FROM v, (SELECT e AS qe FROM v WHERE vec_id = 0) qx
+                    ORDER BY $cosSql DESC, vec_id LIMIT $K),
+          ranked AS MATERIALIZED (
+            SELECT method, vec_id,
+                   CAST(row_number() OVER (PARTITION BY method
+                        ORDER BY score DESC, vec_id) AS BIGINT) AS rank
+            FROM (SELECT '1_exact' AS method, * FROM extop
+                  UNION ALL SELECT '2_lsh', * FROM lshtop
+                  UNION ALL SELECT '3_ivf', * FROM ivftop)
+            UNION ALL
+            SELECT '4_graph', vec_id,
+                   CAST(row_number() OVER (ORDER BY sim_q DESC, vec_id) AS BIGINT)
+            FROM b$JPasses),
+          flagged AS (
+            SELECT method, rank,
+                   CAST(CASE WHEN vec_id IN (SELECT vec_id FROM exact)
+                        THEN 1 ELSE 0 END AS BIGINT) AS rel
+            FROM ranked)
+          SELECT method,
+                 CAST(count(*) AS BIGINT) AS n_returned,
+                 CAST(sum(rel) AS BIGINT) AS hits,
+                 CAST(1000 * sum(rel) // $K AS BIGINT) AS recall_pm,
+                 CAST(coalesce(1000000 // min(CASE WHEN rel = 1 THEN rank END), 0)
+                      AS BIGINT) AS mrr_q,
+                 CAST(1000 * sum(CASE WHEN rank <= 4 AND rel = 1 THEN 1 ELSE 0 END) // 4
+                      AS BIGINT) AS p_at_4_pm
+          FROM flagged GROUP BY 1""",
     "x23_embedding_outliers" ->
       s"""WITH v AS (SELECT vec_id, label, embedding::DOUBLE[] AS e FROM embeddings),
           vq AS (SELECT vec_id, label, CAST(i AS BIGINT) AS pos,

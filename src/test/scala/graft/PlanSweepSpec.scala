@@ -89,7 +89,8 @@ class PlanSweepSpec extends AnyFunSuite with SparkTestBase {
     "c30_capped_mixture"     -> 1L, // three single-row water-filling scalar broadcasts onto the source frame
     "g24_eccentricity"       -> 1L, // single-row diameter-lower-bound broadcast onto the 8-pivot frame
     "s19j_graph_beam"        -> 1L, // single-row query-vector + recall/edge census broadcasts onto the 8-row beam
-    "x43_unigram_em_prune"   -> 1L  // single-row expected-mass total broadcast onto the inventory frame
+    "x43_unigram_em_prune"   -> 1L, // single-row expected-mass total broadcast onto the inventory frame
+    "s19k_retrieval_metrics" -> 8L  // embeds s19j's final select (1-row census BNLJs) + the 8-row relevance broadcast
   )
 
   /** Queries allowed a window with an empty partition spec, with the
@@ -115,7 +116,8 @@ class PlanSweepSpec extends AnyFunSuite with SparkTestBase {
     "x32_prf_expansion"    -> 20L, // old/new rank windows over their 20-row top lists only
     "x33_stupid_backoff"   -> 1024L, // cumulative count over value-domain-bounded ppl-histogram bins (c25's shape)
     "x40_jl_recall"        -> 8L, // exact/projected rank windows, each over its top-8 only (s19h's shape)
-    "s19j_graph_beam"      -> 8L // rank window over the 8-row final beam only
+    "s19j_graph_beam"      -> 8L, // rank window over the 8-row final beam only
+    "s19k_retrieval_metrics" -> 8L // s19j's embedded rank window over its 8-row beam
   )
 
   /** Queries allowed a BNLJ INSIDE a truncated/cache-pinned stage — plans
@@ -139,6 +141,7 @@ class PlanSweepSpec extends AnyFunSuite with SparkTestBase {
     "g8d_leiden_refinement"  -> 8L,  // per-pass scalar spine (fixed/refined numerators; measured 4 rows)
     "x31_bpe_apply"          -> 1L,  // four single-row winning-pair broadcasts onto the vocab rewrites
     "s19j_graph_beam"        -> 1L,  // per-pass single-row query-vector broadcast inside each truncated beam stage
+    "s19k_retrieval_metrics" -> 1L,  // the same beam stages when s19k builds them first (suite order / Memo attribution)
     "x40_jl_recall"          -> 1L   // the anchor BNLJ lives in the Memo-shared jlDistances substrate
                                      // stage (truncated at construction, so x40's FINAL plan reads the
                                      // checkpoint; x39's unpinned twin stays in bnljBounded)

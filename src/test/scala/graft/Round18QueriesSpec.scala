@@ -69,6 +69,27 @@ class Round18QueriesSpec extends AnyFunSuite with SparkTestBase {
     assert(keptMass > 900000L, s"kept pieces must hold the bulk of expected mass: $keptMass")
   }
 
+  test("s19k: the exact control row pins the metric arithmetic, and every metric stays in range") {
+    val rows = SparkEntry.queries("s19k_retrieval_metrics")(spark, sf)
+      .collect().map(r => r.getAs[String]("method") -> r).toMap
+    assert(rows.keySet == Set("1_exact", "2_lsh", "3_ivf", "4_graph"))
+    val ex = rows("1_exact")
+    assert(ex.getAs[Long]("hits") == 8L && ex.getAs[Long]("recall_pm") == 1000L &&
+      ex.getAs[Long]("mrr_q") == 1000000L && ex.getAs[Long]("p_at_4_pm") == 1000L,
+      "the exact method scored against itself must be perfect — else the harness is wrong")
+    rows.values.foreach { r =>
+      assert(r.getAs[Long]("n_returned") <= 8L)
+      assert(r.getAs[Long]("hits") <= r.getAs[Long]("n_returned"))
+      assert(r.getAs[Long]("recall_pm") <= 1000L && r.getAs[Long]("p_at_4_pm") <= 1000L)
+      assert(r.getAs[Long]("mrr_q") <= 1000000L)
+    }
+    // the graph-routed index exists to beat the one-probe routes at recall
+    // (875 vs 250/125 per-mille on the test embeddings — data-backed, and
+    // the property the ladder's story rests on)
+    assert(rows("4_graph").getAs[Long]("recall_pm") > rows("3_ivf").getAs[Long]("recall_pm"),
+      "graph-beam must out-recall single-probe IVF here")
+  }
+
   test("a33: an empty match table (no cross-policy preference pairs) returns an empty frame, not an NPE") {
     import spark.implicits._
     // every doc in the same policy class (doc_id % 8 == 0) → all pairs
