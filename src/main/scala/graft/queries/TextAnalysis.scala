@@ -1853,6 +1853,79 @@ object TextAnalysis extends QueryModule {
         (col("is_char") === 1L || col("share_ppm") >= 100L).cast("long"))
   }
 
+  /** X44 — SELF-BLEU diversity census per source (Zhu et al. 2018
+    * "Texygen" §4.1 — the standard diversity gate a SYNTHETIC-data ingest
+    * runs: when a generator mode-collapses, every document's n-grams
+    * reappear in other documents and self-BLEU → 1, so a corpus-mixing
+    * loop reads this census before admitting a synthetic source): per
+    * document, the fraction of its DISTINCT n-grams (n = 2 and 3) that
+    * also appear in at least one OTHER document — the presence-clipped
+    * precision (declared simplification of BLEU's count-clipping;
+    * presence-clipping is what diversity gating uses since the reference
+    * side is the whole rest of the corpus) — then per (n, source): doc
+    * count, mean and max precision ‰. High mean = low diversity.
+    *
+    * A maximally-DIVERSE source is PLANTED arithmetically (the d18/x33
+    * discipline, engine and oracle apply the identical plant): docs
+    * -id-1 for id < 20 under source 'planted_diverse', each word an md5
+    * of (id, position) — globally unique grams, so its self-BLEU is
+    * exactly 0 while the low-entropy natural sources sit near 1000 ‰;
+    * the census proves the gate separates (spec-pinned).
+    *
+    * Scale shape: grams ride 56-bit md5 keys (the c28 discipline — never
+    * shuffle strings), ONE gram-keyed distinct-doc-count aggregate
+    * (map-side combinable), one doc-keyed reassembly join, and a
+    * |sources|-row census. Nothing all-pairs: the "rest of the corpus"
+    * comparison is the gram doc-count ≥ 2 test, not a doc×doc join.
+    */
+  private def x44_self_bleu(s: SparkSession, d: String): DataFrame = {
+    val docs = table(s, d, "documents")
+    val corpus = docs
+      .select(col("doc_id"), col("source"), col("text"))
+      .unionByName(
+        docs
+          .filter(col("doc_id") < 20)
+          .select(
+            (-col("doc_id") - 1).as("doc_id"),
+            lit("planted_diverse").as("source"),
+            array_join(
+              transform(
+                sequence(lit(0), lit(15)),
+                i => md5(concat(col("doc_id").cast("string"), lit("#"), i.cast("string")))),
+              " ").as("text")))
+    def order(n: Int): DataFrame = {
+      val grams = corpus
+        .select(
+          col("doc_id"),
+          col("source"),
+          explode(array_distinct(call_function("graft_word_ngrams", col("text"), lit(n)))).as("g"))
+        .select(
+          col("doc_id"),
+          col("source"),
+          conv(substring(md5(col("g")), 1, 14), 16, 10).cast("long").as("gk"))
+      val dc = grams.groupBy(col("gk")).agg(countDistinct(col("doc_id")).as("dc"))
+      grams
+        .join(dc, "gk")
+        .groupBy(col("doc_id"), col("source"))
+        .agg(
+          count(lit(1)).as("ng"),
+          sum(when(col("dc") >= 2, 1L).otherwise(0L)).as("shared"))
+        .select(col("source"), expr("1000 * shared div ng").as("p_pm"))
+        .groupBy(col("source"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          expr("sum(p_pm) div count(1)").as("mean_p_pm"),
+          max(col("p_pm")).as("max_p_pm"))
+        .select(
+          lit(n.toLong).as("n"),
+          col("source"),
+          col("n_docs").cast("long").as("n_docs"),
+          col("mean_p_pm").cast("long").as("mean_p_pm"),
+          col("max_p_pm").cast("long").as("max_p_pm"))
+    }
+    order(2).unionByName(order(3))
+  }
+
   /** X33 — STUPID BACKOFF bigram LM perplexity filter (Brants et al. 2007
     * "Large Language Models in Machine Translation" §4 — the inexpensive
     * smoothing Google built for corpus-scale LMs precisely because it needs
@@ -2071,6 +2144,7 @@ object TextAnalysis extends QueryModule {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x37_unigram_viterbi" -> (x37_unigram_viterbi _),
     "x43_unigram_em_prune" -> (x43_unigram_em_prune _),
+    "x44_self_bleu" -> (x44_self_bleu _),
     "x36_bpe_schedule" -> (x36_bpe_schedule _),
     "x34_hard_negatives" -> (x34_hard_negatives _),
     "x33_stupid_backoff" -> (x33_stupid_backoff _),
@@ -2311,6 +2385,43 @@ object TextAnalysis extends QueryModule {
   val oracles: Map[String, String] = Map(
     "x37_unigram_viterbi" -> x37OracleSql,
     "x43_unigram_em_prune" -> x43OracleSql,
+    "x44_self_bleu" -> {
+      def order(n: Int): String = {
+        val gramExpr =
+          if (n == 2) "list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i + 1])"
+          else "list_transform(range(1, len(ws) - 1), i -> ws[i] || ' ' || ws[i + 1] || ' ' || ws[i + 2])"
+        s"""SELECT CAST($n AS BIGINT) AS n, source,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(p_pm) // count(*) AS BIGINT) AS mean_p_pm,
+                   CAST(max(p_pm) AS BIGINT) AS max_p_pm
+            FROM (
+              SELECT doc_id, source, 1000 * sum(CASE WHEN dc >= 2 THEN 1 ELSE 0 END) // count(*) AS p_pm
+              FROM (
+                SELECT g.doc_id, g.source, g.gk, dcnt.dc
+                FROM (SELECT doc_id, source,
+                             ('0x' || substr(md5(gr), 1, 14))::BIGINT AS gk
+                      FROM (SELECT doc_id, source,
+                                   unnest(list_distinct($gramExpr)) AS gr
+                            FROM (SELECT doc_id, source, string_split(text, ' ') AS ws
+                                  FROM corpus))) g
+                JOIN (SELECT gk, count(DISTINCT doc_id) AS dc FROM
+                        (SELECT doc_id, ('0x' || substr(md5(gr), 1, 14))::BIGINT AS gk
+                         FROM (SELECT doc_id, unnest(list_distinct($gramExpr)) AS gr
+                               FROM (SELECT doc_id, string_split(text, ' ') AS ws
+                                     FROM corpus))) GROUP BY 1) dcnt
+                  ON dcnt.gk = g.gk)
+              GROUP BY 1, 2)
+            GROUP BY 2"""
+      }
+      s"""WITH corpus AS MATERIALIZED (
+            SELECT doc_id, source, text FROM documents
+            UNION ALL
+            SELECT -doc_id - 1, 'planted_diverse',
+                   array_to_string(list_transform(generate_series(0, 15),
+                     i -> md5(CAST(doc_id AS VARCHAR) || '#' || CAST(i AS VARCHAR))), ' ')
+            FROM documents WHERE doc_id < 20)
+          ${order(2)} UNION ALL ${order(3)}"""
+    },
     "x36_bpe_schedule" -> x36OracleSql,
     "x34_hard_negatives" ->
       """WITH pool AS (

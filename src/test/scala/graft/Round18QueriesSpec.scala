@@ -90,6 +90,23 @@ class Round18QueriesSpec extends AnyFunSuite with SparkTestBase {
       "graph-beam must out-recall single-probe IVF here")
   }
 
+  test("x44: the planted diverse source scores exactly 0 self-BLEU, natural sources score high — the gate separates") {
+    val rows = SparkEntry.queries("x44_self_bleu")(spark, sf).collect()
+    val (planted, natural) = rows.partition(_.getAs[String]("source") == "planted_diverse")
+    assert(planted.length == 2, "one row per n-gram order for the planted source")
+    planted.foreach { r =>
+      assert(r.getAs[Long]("mean_p_pm") == 0L && r.getAs[Long]("max_p_pm") == 0L,
+        "md5-unique grams can never reappear in another doc")
+    }
+    // the low-entropy natural corpus must sit clearly above the plant at
+    // bigram order — that distance IS the gate
+    val nat2 = natural.filter(_.getAs[Long]("n") == 2L)
+    assert(nat2.nonEmpty && nat2.forall(_.getAs[Long]("mean_p_pm") > 500L),
+      "natural sources share bigrams heavily on this corpus")
+    rows.foreach(r => assert(r.getAs[Long]("mean_p_pm") <= 1000L &&
+      r.getAs[Long]("max_p_pm") <= 1000L))
+  }
+
   test("a33: an empty match table (no cross-policy preference pairs) returns an empty frame, not an NPE") {
     import spark.implicits._
     // every doc in the same policy class (doc_id % 8 == 0) → all pairs
