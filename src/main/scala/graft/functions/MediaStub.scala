@@ -191,6 +191,158 @@ object MediaStub {
     MediaFeatures(in.doc_id, width, height, nFrames, pixSum)
   }
 
+  /** Typed decode output for the video path: the ISO-BMFF movie-header
+    * fields a container sniffer extracts before handing samples to a
+    * codec, plus the raw-payload byte census proving the (large)size box
+    * walk covered the whole stream.
+    */
+  final case class Mp4Features(
+      doc_id: Long,
+      version: Long,
+      timescale: Long,
+      duration: Long,
+      duration_ms: Long,
+      n_tracks: Long,
+      payload_bytes: Long
+  )
+
+  /** One ISO-BMFF box: 32-bit big-endian size (INCLUDING the 8-byte
+    * header), 4-char type, payload. size=1 switches to the 64-bit
+    * `largesize` form (header grows to 16), size=0 means "extends to the
+    * end of the file" — both real format quirks ([ISO/IEC 14496-12 §4.2])
+    * the walker must handle.
+    */
+  private def box(boxType: String, payload: Array[Byte], large: Boolean = false,
+      toEof: Boolean = false): Array[Byte] = {
+    val t = boxType.getBytes("US-ASCII")
+    if (toEof) be32(0L) ++ t ++ payload
+    else if (large)
+      be32(1L) ++ t ++ be32(0L) ++ be32(16L + payload.length) ++ payload
+    else be32(8L + payload.length) ++ t ++ payload
+  }
+
+  /** SYNTHETIC-PAYLOAD step, video face (declared in FIXTURES.md): a real
+    * ISO-BMFF (MP4-family) container — `ftyp` (isom), `moov`>`mvhd` with
+    * the VERSION-DEPENDENT field widths (v0 = 32-bit times/duration,
+    * v1 = 64-bit; version = h mod 2 so both paths stay exercised), the
+    * original bytes in a `rawd` box that takes the 64-bit `largesize`
+    * form when h mod 3 = 0, and a trailing `free` box that uses the
+    * size=0 "to end of file" form when h mod 5 = 0 — all header fields
+    * md5-derived so the oracle regenerates them arithmetically.
+    */
+  def synthesizeMp4(in: MediaInput): MediaInput = {
+    val h         = Md5Seed.prefixLong(in.payload, 6)
+    val version   = h % 2
+    val timescale = 600L * (1 + h % 8)
+    val duration  = timescale * (1 + (h / 7) % 300) + (h / 11) % timescale
+    val nTracks   = (h / 13) % 4 + 1
+    val ctime     = h % 100000
+    val mtime     = ctime + (h / 3) % 1000
+    def be64(v: Long): Array[Byte] = be32(v >>> 32) ++ be32(v & 0xffffffffL)
+    val matrix = Array(0x00010000L, 0L, 0L, 0L, 0x00010000L, 0L, 0L, 0L, 0x40000000L)
+      .flatMap(be32)
+    val mvhd =
+      if (version == 0)
+        Array[Byte](0, 0, 0, 0) ++ be32(ctime) ++ be32(mtime) ++ be32(timescale) ++
+          be32(duration) ++ be32(0x00010000L) ++ Array[Byte](1, 0, 0, 0) ++
+          new Array[Byte](8) ++ matrix ++ new Array[Byte](24) ++ be32(nTracks + 1)
+      else
+        Array[Byte](1, 0, 0, 0) ++ be64(ctime) ++ be64(mtime) ++ be32(timescale) ++
+          be64(duration) ++ be32(0x00010000L) ++ Array[Byte](1, 0, 0, 0) ++
+          new Array[Byte](8) ++ matrix ++ new Array[Byte](24) ++ be32(nTracks + 1)
+    val ftyp = "isom".getBytes("US-ASCII") ++ be32(512L) ++
+      "isom".getBytes("US-ASCII") ++ "mp41".getBytes("US-ASCII")
+    val bytes = box("ftyp", ftyp) ++
+      box("moov", box("mvhd", mvhd)) ++
+      box("rawd", in.payload, large = h % 3 == 0) ++
+      box("free", Array[Byte](0, 0, 0, 0), toEof = h % 5 == 0)
+    MediaInput(in.doc_id, bytes)
+  }
+
+  /** REAL ISO-BMFF box walk + movie-header parse: validates the `ftyp`
+    * leader and brand, walks the top-level box stream handling BOTH size
+    * quirks (size=1 → 64-bit largesize header; size=0 → box extends to
+    * EOF and must be last), recurses into `moov`, parses `mvhd` with
+    * version-dependent field widths, and censuses the `rawd` payload
+    * bytes. Malformed input FAILS LOUDLY: truncated/undersized boxes, a
+    * missing or duplicated mvhd, an unknown mvhd version, a box
+    * overrunning its enclosing scope, or a walk that does not end exactly
+    * at EOF. (A size=0 box consumes everything to scope end BY THE FORMAT
+    * — trailing bytes after it are its payload, not an error.)
+    */
+  def decodeMp4(in: MediaInput): Mp4Features = {
+    val b = in.payload
+    require(
+      b.length >= 16 && new String(b, 4, 4, "US-ASCII") == "ftyp" &&
+        new String(b, 8, 4, "US-ASCII") == "isom",
+      s"doc ${in.doc_id}: not an isom ISO-BMFF container"
+    )
+    def be64At(off: Int): Long = (readBe32(b, off) << 32) | readBe32(b, off + 4)
+    var version   = -1L
+    var timescale = -1L
+    var duration  = -1L
+    var nTracks   = -1L
+    var payloadN  = -1L
+    var sawMvhd   = false
+    def parseMvhd(off: Int, len: Long): Unit = {
+      require(!sawMvhd, s"doc ${in.doc_id}: duplicate mvhd")
+      sawMvhd = true
+      version = b(off) & 0xffL
+      version match {
+        case 0L =>
+          require(len >= 100, s"doc ${in.doc_id}: short mvhd v0")
+          timescale = readBe32(b, off + 12)
+          duration = readBe32(b, off + 16)
+          nTracks = readBe32(b, off + 96) - 1
+        case 1L =>
+          require(len >= 112, s"doc ${in.doc_id}: short mvhd v1")
+          timescale = readBe32(b, off + 20)
+          duration = be64At(off + 24)
+          nTracks = readBe32(b, off + 108) - 1
+        case v => throw new IllegalArgumentException(s"doc ${in.doc_id}: unknown mvhd version $v")
+      }
+    }
+    // walk boxes in [from, to); recurse into containers we understand
+    def walk(from: Int, to: Int, depth: Int): Unit = {
+      var off = from
+      while (off < to) {
+        require(off + 8 <= to, s"doc ${in.doc_id}: truncated box header at $off")
+        val size32 = readBe32(b, off)
+        val t      = new String(b, off + 4, 4, "US-ASCII")
+        val (hdr, size): (Int, Long) = size32 match {
+          case 0L => (8, (to - off).toLong) // to end of enclosing scope — must be last
+          case 1L =>
+            require(off + 16 <= to, s"doc ${in.doc_id}: truncated largesize header")
+            (16, be64At(off + 8))
+          case s => (8, s)
+        }
+        require(size >= hdr, s"doc ${in.doc_id}: box $t size $size < header")
+        require(off + size <= to, s"doc ${in.doc_id}: box $t overruns its scope")
+        t match {
+          case "moov" => walk(off + hdr, (off + size).toInt, depth + 1)
+          case "mvhd" => parseMvhd(off + hdr, size - hdr)
+          case "rawd" => payloadN = size - hdr
+          case _      => () // ftyp/free/unknown: validated and skipped
+        }
+        off += size.toInt
+      }
+      require(off == to, s"doc ${in.doc_id}: box walk overran scope end")
+    }
+    walk(0, b.length, 0)
+    require(sawMvhd, s"doc ${in.doc_id}: no mvhd box")
+    require(payloadN >= 0, s"doc ${in.doc_id}: no rawd box")
+    require(timescale > 0, s"doc ${in.doc_id}: invalid timescale")
+    Mp4Features(
+      in.doc_id,
+      version,
+      timescale,
+      duration,
+      1000L * duration / timescale,
+      nTracks,
+      payloadN
+    )
+  }
+
   /** Typed decode output for the audio path: header fields plus the
     * 64-sample-window energy profile summary a VAD/segmentation stage
     * reads (full windows only — the x24 contract).

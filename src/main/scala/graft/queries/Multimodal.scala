@@ -101,6 +101,30 @@ object Multimodal extends QueryModule {
           .as("frame_id")
       )
 
+  /** M13 — VIDEO container decode (m2/m12's discipline on the third
+    * modality, completing the image/audio/video triad): synthetic but
+    * structurally REAL ISO-BMFF (MP4-family) container — ftyp brand
+    * check, moov>mvhd with VERSION-DEPENDENT field widths (v0 32-bit /
+    * v1 64-bit times, version = h mod 2 so both parse paths run on every
+    * corpus), the 64-bit `largesize` box form (h mod 3 = 0) and the
+    * size=0 to-EOF form (h mod 5 = 0) — parsed by a real recursive box
+    * walker ([[graft.functions.MediaStub.decodeMp4]]) that fails loudly
+    * on truncation, scope overrun, or a missing/duplicate/unknown-version
+    * mvhd. Header fields derive from the md5 of the original bytes, so
+    * the oracle regenerates them arithmetically while the engine earns
+    * them by walking boxes. Zero shuffle: typed mapPartitions, one row in
+    * → one row out.
+    */
+  private def m13_mp4_meta(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    table(s, d, "documents")
+      .select(col("doc_id"), col("text").cast("binary").as("payload"))
+      .as[MediaInput]
+      .mapPartitions(_.map(MediaStub.synthesizeMp4)) // declared synthetic step
+      .mapPartitions(_.map(MediaStub.decodeMp4))
+      .toDF()
+  }
+
   /** M4 — modality dispatch: route rows by the magic-byte sniff into
     * per-modality feature branches (image → width/height arithmetic,
     * audio → sample-rate/duration arithmetic, unknown → quarantined with
@@ -544,6 +568,7 @@ object Multimodal extends QueryModule {
     "m1_binary_meta" -> (m1_binary_meta _),
     "m2_feature_extract" -> (m2_feature_extract _),
     "m12_wav_energy" -> (m12_wav_energy _),
+    "m13_mp4_meta" -> (m13_mp4_meta _),
     "m3_frame_sample" -> (m3_frame_sample _),
     "m4_modality_dispatch" -> (m4_modality_dispatch _),
     "m5_modality_partitioned" -> (m5_modality_partitioned _),
@@ -784,6 +809,23 @@ object Multimodal extends QueryModule {
          FROM documents""",
     "m2_feature_extract" ->
       s"WITH $decodeSql SELECT doc_id, width, height, n_frames, pix_sum FROM decoded",
+    "m13_mp4_meta" ->
+      """WITH p AS (
+           SELECT doc_id, ('0x' || substr(md5(text), 1, 6))::BIGINT AS h,
+                  CAST(octet_length(encode(text)) AS BIGINT) AS nb
+           FROM documents),
+         f AS (
+           SELECT doc_id,
+                  h % 2 AS version,
+                  600 * (1 + h % 8) AS timescale,
+                  600 * (1 + h % 8) * (1 + (h // 7) % 300) + (h // 11) % (600 * (1 + h % 8)) AS duration,
+                  (h // 13) % 4 + 1 AS n_tracks,
+                  nb AS payload_bytes
+           FROM p)
+         SELECT doc_id, version, timescale, duration,
+                1000 * duration // timescale AS duration_ms,
+                n_tracks, payload_bytes
+         FROM f""",
     "m12_wav_energy" ->
       """WITH p AS (
            SELECT doc_id, ('0x' || substr(md5(text), 1, 6))::BIGINT AS h

@@ -145,6 +145,49 @@ class MediaCodecSpec extends AnyFunSuite {
     })
   }
 
+  test("MP4 container: synthesize → decode round-trips the md5-derived movie header for arbitrary payloads, across v0/v1, largesize, and to-EOF box forms") {
+    checkProp(Prop.forAll(payloadGen) { case (id, bytes) =>
+      val f = MediaStub.decodeMp4(MediaStub.synthesizeMp4(MediaInput(id, bytes)))
+      val h  = Md5Seed.prefixLong(bytes, 6)
+      val ts = 600L * (1 + h % 8)
+      val du = ts * (1 + (h / 7) % 300) + (h / 11) % ts
+      f.doc_id == id && f.version == h % 2 && f.timescale == ts && f.duration == du &&
+      f.duration_ms == 1000L * du / ts && f.n_tracks == (h / 13) % 4 + 1 &&
+      f.payload_bytes == bytes.length.toLong
+    })
+  }
+
+  test("MP4 container: truncation and corrupt box sizes fail loudly, never mis-decode") {
+    checkProp(Prop.forAll(payloadGen) { case (id, bytes) =>
+      val enc = MediaStub.synthesizeMp4(MediaInput(id, bytes))
+      // cut PAST the trailing free box (12 bytes): a size=0 to-EOF box
+      // legitimately absorbs small tail truncations by the format, so the
+      // cut must reach the rawd/moov structure to be detectable
+      val truncated = MediaInput(id, enc.payload.dropRight(13 + (id % 7).toInt))
+      val overrun = {
+        val bad = enc.payload.clone()
+        // inflate the ftyp box size so it overruns the file
+        bad(0) = 0x7f.toByte
+        MediaInput(id, bad)
+      }
+      def loud(in: MediaInput): Boolean =
+        try { MediaStub.decodeMp4(in); false }
+        catch { case _: IllegalArgumentException => true }
+      loud(truncated) && loud(overrun)
+    })
+  }
+
+  test("MP4 container: an unknown mvhd version fails loudly (a real sniffer must not guess field widths)") {
+    checkProp(Prop.forAll(payloadGen) { case (id, bytes) =>
+      val enc = MediaStub.synthesizeMp4(MediaInput(id, bytes))
+      val bad = enc.payload.clone()
+      // mvhd payload starts right after ftyp(24) + moov hdr(8) + mvhd hdr(8)
+      bad(40) = 7.toByte
+      try { MediaStub.decodeMp4(MediaInput(id, bad)); false }
+      catch { case _: IllegalArgumentException => true }
+    })
+  }
+
   test("WAV container: trailing bytes inside the declared RIFF size fail loudly") {
     checkProp(Prop.forAll(payloadGen) { case (id, bytes) =>
       val enc = MediaStub.synthesizeWav(MediaInput(id, bytes))
