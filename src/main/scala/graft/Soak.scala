@@ -224,7 +224,12 @@ object Soak {
     // x43's corpus-sized work is the bpeVocab0 word count + the piece
     // count aggregate; the DP is row-local over the (replica-offset-fixed)
     // vocabulary, so the rung prices the two linear aggregates
-    "x43_unigram_em_prune"
+    "x43_unigram_em_prune",
+    // x44 is two gram-keyed aggregates + a doc-keyed reassembly (d6's
+    // linear class); m13 is the zero-shuffle per-row synthesize+box-walk
+    // byte crunch (m2/m12's class)
+    "x44_self_bleu",
+    "m13_mp4_meta"
   )
 
   private[graft] def buildScaled(spark: SparkSession, src: String, out: String, n: Int): Unit = {
