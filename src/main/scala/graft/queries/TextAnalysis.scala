@@ -1853,6 +1853,44 @@ object TextAnalysis extends QueryModule {
         (col("is_char") === 1L || col("share_ppm") >= 100L).cast("long"))
   }
 
+  /** X45 — TOKENIZER FERTILITY census per language (the multilingual
+    * tokenizer-equity audit — Ács 2019 / the mBERT–XLM-R analyses: a
+    * tokenizer's FERTILITY (tokens per word) varies by language, and a
+    * high-fertility language pays more sequence length per sentence, so a
+    * multilingual data recipe reads this census before fixing context
+    * budgets and sampling weights): every word occurrence joins the
+    * x37 unigram-Viterbi segmentation (the x31 tokMap discipline — the
+    * VOCABULARY is tokenized once, the corpus joins by word and is never
+    * re-segmented per occurrence), then per language: word count, the
+    * covered fraction ‰ (words outside the ≤16-char model vocabulary are
+    * reported, not silently dropped), fertility = tokens per covered word
+    * ‰, and chars per token ‰ (the compression rate).
+    *
+    * Scale shape: one corpus explode + a vocabulary-keyed join (broadcast
+    * at real scale), one |langs|-row census; the Viterbi DP cost is
+    * x37's, paid on the vocabulary only.
+    */
+  private def x45_tokenizer_fertility(s: SparkSession, d: String): DataFrame = {
+    val vit = x37_unigram_viterbi(s, d).select(col("word"), col("n_tokens"))
+    table(s, d, "documents")
+      .select(col("lang"), explode(words(col("text"))).as("word"))
+      .join(vit, Seq("word"), "left")
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_words"),
+        sum(when(col("n_tokens").isNotNull, 1L).otherwise(0L)).as("covered"),
+        sum(coalesce(col("n_tokens"), lit(0L))).as("tok"),
+        sum(when(col("n_tokens").isNotNull, length(col("word")).cast("long"))
+          .otherwise(0L)).as("chars"))
+      .select(
+        col("lang"),
+        col("n_words").cast("long").as("n_words"),
+        expr("1000 * covered div n_words").as("covered_pm"),
+        expr("1000 * tok div greatest(covered, 1)").as("fertility_pm"),
+        expr("1000 * chars div greatest(tok, 1)").as("cpt_pm")
+      )
+  }
+
   /** X44 — SELF-BLEU diversity census per source (Zhu et al. 2018
     * "Texygen" §4.1 — the standard diversity gate a SYNTHETIC-data ingest
     * runs: when a generator mode-collapses, every document's n-grams
@@ -2145,6 +2183,7 @@ object TextAnalysis extends QueryModule {
     "x37_unigram_viterbi" -> (x37_unigram_viterbi _),
     "x43_unigram_em_prune" -> (x43_unigram_em_prune _),
     "x44_self_bleu" -> (x44_self_bleu _),
+    "x45_tokenizer_fertility" -> (x45_tokenizer_fertility _),
     "x36_bpe_schedule" -> (x36_bpe_schedule _),
     "x34_hard_negatives" -> (x34_hard_negatives _),
     "x33_stupid_backoff" -> (x33_stupid_backoff _),
@@ -2257,7 +2296,11 @@ object TextAnalysis extends QueryModule {
     * word's answer sits at position = its length. MATERIALIZED throughout
     * (the x36 lesson: inlined chained CTEs re-evaluate exponentially).
     */
-  private val x37OracleSql: String = {
+  /** The x37 Viterbi-lattice CTE chain (v0, pieces, costs, 16 frontier
+    * steps → a16) — shared by the x37 oracle and x45's per-word token
+    * counts.
+    */
+  private val x37LatticeSql: String = {
     val steps = (1 to 16)
       .map(j => s"""d$j AS MATERIALIZED (
              SELECT ss.w0, $j AS jj, min(p.dp + ss.uc) AS dp
@@ -2266,7 +2309,7 @@ object TextAnalysis extends QueryModule {
            a$j AS MATERIALIZED (
              SELECT * FROM a${j - 1} UNION ALL SELECT * FROM d$j)""")
       .mkString(",\n        ")
-    s"""WITH v0 AS MATERIALIZED (
+    s"""v0 AS MATERIALIZED (
           SELECT w AS w0, CAST(count(*) AS BIGINT) AS freq FROM (
             SELECT unnest(string_split(text, ' ')) AS w FROM documents)
           WHERE length(w) BETWEEN 2 AND 16 GROUP BY 1),
@@ -2291,12 +2334,17 @@ object TextAnalysis extends QueryModule {
                pieces c, nt
           WHERE c.p = t.u['p']),
         a0 AS MATERIALIZED (SELECT w0, 0 AS jj, CAST(0 AS BIGINT) AS dp FROM v0),
-        $steps
-        SELECT v.w0 AS word, v.freq,
-               CAST(a.dp // 128 AS BIGINT) AS cost_q,
-               CAST(a.dp % 128 AS BIGINT) AS n_tokens
-        FROM a16 a JOIN v0 v ON v.w0 = a.w0 AND a.jj = length(v.w0)"""
+        $steps,
+        vit AS MATERIALIZED (
+          SELECT v.w0 AS word, v.freq,
+                 CAST(a.dp // 128 AS BIGINT) AS cost_q,
+                 CAST(a.dp % 128 AS BIGINT) AS n_tokens
+          FROM a16 a JOIN v0 v ON v.w0 = a.w0 AND a.jj = length(v.w0))"""
   }
+
+  private val x37OracleSql: String =
+    s"""WITH $x37LatticeSql
+        SELECT word, freq, cost_q, n_tokens FROM vit"""
 
   /** The x43 oracle: the same uniform-lattice forward/backward counts
     * unrolled as 2×12 MATERIALIZED position-frontier CTE steps (x37's
@@ -2384,6 +2432,21 @@ object TextAnalysis extends QueryModule {
 
   val oracles: Map[String, String] = Map(
     "x37_unigram_viterbi" -> x37OracleSql,
+    "x45_tokenizer_fertility" ->
+      s"""WITH $x37LatticeSql,
+          occw AS (SELECT lang, unnest(string_split(text, ' ')) AS word FROM documents),
+          j AS (SELECT occw.lang, occw.word, vit.n_tokens, length(occw.word) AS wl
+                FROM occw LEFT JOIN vit ON vit.word = occw.word)
+          SELECT lang,
+                 CAST(count(*) AS BIGINT) AS n_words,
+                 CAST(1000 * sum(CASE WHEN n_tokens IS NOT NULL THEN 1 ELSE 0 END)
+                      // count(*) AS BIGINT) AS covered_pm,
+                 CAST(1000 * sum(coalesce(n_tokens, 0))
+                      // greatest(sum(CASE WHEN n_tokens IS NOT NULL THEN 1 ELSE 0 END), 1)
+                      AS BIGINT) AS fertility_pm,
+                 CAST(1000 * sum(CASE WHEN n_tokens IS NOT NULL THEN wl ELSE 0 END)
+                      // greatest(sum(coalesce(n_tokens, 0)), 1) AS BIGINT) AS cpt_pm
+          FROM j GROUP BY 1""",
     "x43_unigram_em_prune" -> x43OracleSql,
     "x44_self_bleu" -> {
       def order(n: Int): String = {
