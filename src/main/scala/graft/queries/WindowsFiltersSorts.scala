@@ -481,7 +481,68 @@ object WindowsFiltersSorts extends QueryModule {
       )
   }
 
+  /** O12 — Z-ORDER layout audit (Morton-curve multi-dimensional
+    * clustering — the lakehouse `OPTIMIZE ZORDER BY` primitive
+    * Delta/Iceberg/Hudi run on exactly this 100 TB layout problem, after
+    * Orenstein–Merrett 1984: a file sorted on ONE column skips perfectly
+    * on that column and not at all on any other; interleaving the bits of
+    * two quantized columns bounds BOTH per-file value ranges, so min/max
+    * file statistics prune on either predicate): each lineitem row
+    * quantizes (l_partkey, l_suppkey) to 6-bit lattice ranks via the
+    * broadcast min/max bounds, the Morton code interleaves the bits, and
+    * rows bucket into 64 "files" by z-prefix vs the LINEAR layout's
+    * qx-prefix. The audit is the data-skipping effectiveness census a
+    * table-optimizer reports: per layout, the mean per-bucket span of
+    * each dimension in ‰ of its 64-value domain — linear is ~perfect on x
+    * and ~blind (≈1000‰) on y; z-order pays a little x to bound both (the
+    * reason OPTIMIZE ZORDER exists; the spec pins the worst-dimension
+    * win).
+    *
+    * Scale shape: ONE narrow scan (two int columns), a single-row
+    * min/max bounds broadcast, two 64-bucket hash aggregates, a 2-row
+    * output. The z-value rides o6's native codegen'd `graft_zorder`
+    * Morton expression — this audit is the effectiveness half of the
+    * layout primitive o6 writes, exactly what a real OPTIMIZE job reports
+    * after its range-repartition write.
+    */
+  private def o12_zorder_audit(s: SparkSession, d: String): DataFrame = {
+    val li = table(s, d, "lineitem")
+      .select(col("l_partkey").cast("long").as("x"), col("l_suppkey").cast("long").as("y"))
+    val bounds = li.agg(
+      min(col("x")).as("minx"), max(col("x")).as("maxx"),
+      min(col("y")).as("miny"), max(col("y")).as("maxy"))
+    val q = li
+      .crossJoin(broadcast(bounds))
+      .select(
+        expr("((x - minx) * 64) div (maxx - minx + 1)").as("qx"),
+        expr("((y - miny) * 64) div (maxy - miny + 1)").as("qy"))
+      .select(
+        col("qx"),
+        col("qy"),
+        shiftright(call_function("graft_zorder", col("qx"), col("qy")), 6).as("zb"))
+    def census(tag: String, bucket: Column) =
+      q.groupBy(bucket.as("bkt"))
+        .agg(
+          count(lit(1)).as("n"),
+          (max(col("qx")) - min(col("qx")) + 1).as("sx"),
+          (max(col("qy")) - min(col("qy")) + 1).as("sy"))
+        .agg(
+          count(lit(1)).as("n_buckets"),
+          sum(col("n")).as("n_rows"),
+          expr("1000 * sum(sx) div (count(1) * 64)").as("span_x_pm"),
+          expr("1000 * sum(sy) div (count(1) * 64)").as("span_y_pm"))
+        .select(
+          lit(tag).as("layout"),
+          col("n_buckets").cast("long").as("n_buckets"),
+          col("n_rows").cast("long").as("n_rows"),
+          col("span_x_pm").cast("long").as("span_x_pm"),
+          col("span_y_pm").cast("long").as("span_y_pm"),
+          greatest(col("span_x_pm"), col("span_y_pm")).cast("long").as("worst_span_pm"))
+    census("linear_x", col("qx")).unionByName(census("zorder", col("zb")))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "o12_zorder_audit" -> (o12_zorder_audit _),
     "o11_consistent_ring" -> (o11_consistent_ring _),
     "o10_rendezvous_shards" -> (o10_rendezvous_shards _),
     "o9_epoch_shuffle" -> (o9_epoch_shuffle _),
@@ -510,7 +571,47 @@ object WindowsFiltersSorts extends QueryModule {
     .map(i => s"(((x >> $i) & 1) << ${2 * i}) + (((y >> $i) & 1) << ${2 * i + 1})")
     .mkString(" + ")
 
+  /** 6-bit Morton interleave over the quantized ranks (graft_zorder's
+    * convention: first arg at even bit positions) for the o12 oracle.
+    */
+  private val zb6Sql: String = (0 until 6)
+    .map(i => s"(((qx >> $i) & 1) << ${2 * i}) + (((qy >> $i) & 1) << ${2 * i + 1})")
+    .mkString(" + ")
+
   val oracles: Map[String, String] = Map(
+    "o12_zorder_audit" ->
+      s"""WITH li AS (SELECT CAST(l_partkey AS BIGINT) AS x,
+                             CAST(l_suppkey AS BIGINT) AS y FROM lineitem),
+          b AS (SELECT min(x) AS minx, max(x) AS maxx,
+                       min(y) AS miny, max(y) AS maxy FROM li),
+          q AS MATERIALIZED (
+            SELECT ((li.x - minx) * 64) // (maxx - minx + 1) AS qx,
+                   ((li.y - miny) * 64) // (maxy - miny + 1) AS qy
+            FROM li, b),
+          zq AS MATERIALIZED (SELECT qx, qy, ($zb6Sql) >> 6 AS zb FROM q),
+          lb AS (SELECT qx AS bkt, count(*) AS n,
+                        max(qx) - min(qx) + 1 AS sx, max(qy) - min(qy) + 1 AS sy
+                 FROM zq GROUP BY 1),
+          zbk AS (SELECT zb AS bkt, count(*) AS n,
+                         max(qx) - min(qx) + 1 AS sx, max(qy) - min(qy) + 1 AS sy
+                  FROM zq GROUP BY 1)
+          SELECT 'linear_x' AS layout,
+                 CAST(count(*) AS BIGINT) AS n_buckets,
+                 CAST(sum(n) AS BIGINT) AS n_rows,
+                 CAST(1000 * sum(sx) // (count(*) * 64) AS BIGINT) AS span_x_pm,
+                 CAST(1000 * sum(sy) // (count(*) * 64) AS BIGINT) AS span_y_pm,
+                 CAST(greatest(1000 * sum(sx) // (count(*) * 64),
+                               1000 * sum(sy) // (count(*) * 64)) AS BIGINT) AS worst_span_pm
+          FROM lb
+          UNION ALL
+          SELECT 'zorder',
+                 CAST(count(*) AS BIGINT),
+                 CAST(sum(n) AS BIGINT),
+                 CAST(1000 * sum(sx) // (count(*) * 64) AS BIGINT),
+                 CAST(1000 * sum(sy) // (count(*) * 64) AS BIGINT),
+                 CAST(greatest(1000 * sum(sx) // (count(*) * 64),
+                               1000 * sum(sy) // (count(*) * 64)) AS BIGINT)
+          FROM zbk""",
     "o11_consistent_ring" ->
       """WITH ring AS (
            SELECT i // 64 AS s,

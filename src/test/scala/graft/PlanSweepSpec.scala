@@ -90,7 +90,9 @@ class PlanSweepSpec extends AnyFunSuite with SparkTestBase {
     "g24_eccentricity"       -> 1L, // single-row diameter-lower-bound broadcast onto the 8-pivot frame
     "s19j_graph_beam"        -> 1L, // single-row query-vector + recall/edge census broadcasts onto the 8-row beam
     "x43_unigram_em_prune"   -> 1L, // single-row expected-mass total broadcast onto the inventory frame
-    "s19k_retrieval_metrics" -> 8L  // embeds s19j's final select (1-row census BNLJs) + the 8-row relevance broadcast
+    "s19k_retrieval_metrics" -> 8L, // embeds s19j's final select (1-row census BNLJs) + the 8-row relevance broadcast
+    "o12_zorder_audit"       -> 1L, // single-row min/max bounds broadcast onto the two-column scan
+    "x45_tokenizer_fertility" -> 1L // embeds x37's single-row piece-mass total broadcast
   )
 
   /** Queries allowed a window with an empty partition spec, with the

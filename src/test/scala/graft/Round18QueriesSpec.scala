@@ -107,6 +107,19 @@ class Round18QueriesSpec extends AnyFunSuite with SparkTestBase {
       r.getAs[Long]("max_p_pm") <= 1000L))
   }
 
+  test("o12: z-order bounds BOTH dimensions' per-bucket spans while the linear layout is blind on the second — the reason OPTIMIZE ZORDER exists") {
+    val rows = SparkEntry.queries("o12_zorder_audit")(spark, sf)
+      .collect().map(r => r.getAs[String]("layout") -> r).toMap
+    assert(rows.keySet == Set("linear_x", "zorder"))
+    val lin = rows("linear_x"); val z = rows("zorder")
+    assert(lin.getAs[Long]("n_rows") == z.getAs[Long]("n_rows"), "both layouts cover every row")
+    assert(lin.getAs[Long]("span_x_pm") < z.getAs[Long]("span_x_pm"),
+      "linear is (near-)perfect on its own sort column")
+    assert(lin.getAs[Long]("span_y_pm") > 900L, "linear is blind on the other dimension")
+    assert(z.getAs[Long]("worst_span_pm") < lin.getAs[Long]("worst_span_pm"),
+      "z-order must win on the worst dimension — the whole point")
+  }
+
   test("a33: an empty match table (no cross-policy preference pairs) returns an empty frame, not an NPE") {
     import spark.implicits._
     // every doc in the same policy class (doc_id % 8 == 0) → all pairs
