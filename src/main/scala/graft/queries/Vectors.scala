@@ -677,8 +677,30 @@ object Vectors extends QueryModule {
 
   private def knnGraph(s: SparkSession, d: String): DataFrame =
     graft.Memo.cached(knnGraphMemo, s, d) {
-      val base = table(s, d, "embeddings")
-        .select(col("vec_id"), col("embedding"), quantArr(col("embedding")).as("qa"))
+      knnGraphOver(
+        table(s, d, "embeddings")
+          .select(col("vec_id"), col("embedding"), quantArr(col("embedding")).as("qa")))
+    }
+
+  /** s19l's COARSE layer: the same construction over the 1-in-8
+    * md5-sampled node subset — the HNSW level assignment (P(level ≥ 1) =
+    * 1/M with M = 8), derandomized on the id hash.
+    */
+  private val knnL1Memo = graft.Memo.newMap()
+
+  private def knnGraphL1(s: SparkSession, d: String): DataFrame =
+    graft.Memo.cached(knnL1Memo, s, d) {
+      knnGraphOver(
+        table(s, d, "embeddings")
+          .filter(expr("conv(substr(md5(cast(vec_id as string)), 1, 6), 16, 10) % 8 = 0"))
+          .select(col("vec_id"), col("embedding"), quantArr(col("embedding")).as("qa")))
+    }
+
+  /** The banded degree-bounded symmetric kNN graph over any
+    * (vec_id, embedding, qa) base — see [[knnGraph]]'s scaladoc for the
+    * construction and its bounds.
+    */
+  private def knnGraphOver(base: DataFrame): DataFrame = {
       val keyed = (0 until JBands)
         .map(b =>
           base.select(
@@ -752,31 +774,44 @@ object Vectors extends QueryModule {
     * frontier discipline). The exact-top-k audit is the same one-shot s19
     * scan s19g/s19i already pay — the audit, not the query path.
     */
+  /** Exact integer-lattice score of a BOUNDED id set against query
+    * vector 0 — the per-pass scorer of the graph searches (a point-lookup
+    * in a real store; a broadcast-filtered narrow scan here, the s19i
+    * refine discipline).
+    */
+  private def scoreAgainstQuery(s: SparkSession, d: String)(ids: DataFrame): DataFrame = {
+    val e  = table(s, d, "embeddings")
+    val qq = e.filter(col("vec_id") === 0).select(quantArr(col("embedding")).as("qq"))
+    e.join(broadcast(ids), Seq("vec_id"))
+      .crossJoin(broadcast(qq))
+      .select(col("vec_id"), VF.dot(quantArr(col("embedding")), col("qq")).cast("long").as("sim_q"))
+  }
+
+  /** One truncated beam pass: expand `beam`'s neighbors in `nbrs`, score
+    * beam ∪ neighbors, keep the top-`width`.
+    */
+  private def beamPass(s: SparkSession, d: String, nbrs: DataFrame, width: Int)(
+      beam: DataFrame): DataFrame = {
+    val cand = beam
+      .select(col("vec_id"))
+      .unionByName(
+        nbrs
+          .join(broadcast(beam.select(col("vec_id").as("u"))), Seq("u"))
+          .select(col("v").as("vec_id")))
+      .distinct()
+    graft.Lineage.truncate(
+      scoreAgainstQuery(s, d)(cand).orderBy(col("sim_q").desc, col("vec_id").asc).limit(width))
+  }
+
   private def s19j_graph_beam(s: SparkSession, d: String): DataFrame = {
     val e    = table(s, d, "embeddings")
     val nbrs = knnGraph(s, d)
-    val qq   = e.filter(col("vec_id") === 0).select(quantArr(col("embedding")).as("qq"))
-    // exact integer-lattice score of a bounded id set against the query
-    def scoreIds(ids: DataFrame): DataFrame =
-      e.join(broadcast(ids), Seq("vec_id"))
-        .crossJoin(broadcast(qq))
-        .select(col("vec_id"), VF.dot(quantArr(col("embedding")), col("qq")).cast("long").as("sim_q"))
     val entry = e
       .select(col("vec_id"))
       .orderBy(substring(md5(col("vec_id").cast("string")), 1, 8).asc, col("vec_id").asc)
       .limit(1)
-    var beam = graft.Lineage.truncate(scoreIds(entry))
-    (1 to JPasses).foreach { _ =>
-      val cand = beam
-        .select(col("vec_id"))
-        .unionByName(
-          nbrs
-            .join(broadcast(beam.select(col("vec_id").as("u"))), Seq("u"))
-            .select(col("v").as("vec_id")))
-        .distinct()
-      beam = graft.Lineage.truncate(
-        scoreIds(cand).orderBy(col("sim_q").desc, col("vec_id").asc).limit(K))
-    }
+    var beam = graft.Lineage.truncate(scoreAgainstQuery(s, d)(entry))
+    (1 to JPasses).foreach { _ => beam = beamPass(s, d, nbrs, K)(beam) }
     val exact = s19_knn_cosine(s, d).select(col("vec_id").as("evid"), lit(1L).as("hit"))
     val flagged = beam
       .withColumn("rank", row_number().over(Window.orderBy(col("sim_q").desc, col("vec_id").asc)))
@@ -797,6 +832,58 @@ object Vectors extends QueryModule {
         col("in_exact_topk"),
         expr(s"1000 * hits div $K").as("recall_pm"),
         col("n_edges").cast("long").as("n_edges")
+      )
+  }
+
+  /** S19l — HIERARCHICAL graph search (HNSW's actual structure, Malkov–
+    * Yashunin 2016 §4 — the LAYERED refinement of s19j's flat NSW: a
+    * coarse layer over the 1-in-8 md5-sampled node subset — the level
+    * assignment P(level ≥ 1) = 1/M, derandomized — descends to a good
+    * layer-0 entry in cheap passes over a graph 8× smaller, then the full
+    * graph finishes): 2 beam passes on the coarse graph from the coarse
+    * entry, the surviving beam seeds 4 passes on the full graph.
+    * Measured: recall ties flat s19j (7/8 at both test scales) with 4
+    * full-graph passes instead of 5 — the hierarchy moves traversal work
+    * onto the small layer, the property that makes HNSW log-depth at real
+    * scale (more layers at larger n; two suffice for the test corpus).
+    * Output: s19j's census shape plus the layer-1 node count.
+    *
+    * Scale shape: both graphs are [[knnGraphOver]]'s bounded banded
+    * build (the coarse one over n/8 nodes); every pass is a ≤72-id
+    * broadcast-scored frame (the seededPaths frontier discipline).
+    */
+  private def s19l_hnsw_layers(s: SparkSession, d: String): DataFrame = {
+    val e      = table(s, d, "embeddings")
+    val nbrs0  = knnGraph(s, d)
+    val nbrs1  = knnGraphL1(s, d)
+    val l1Base = e.filter(expr("conv(substr(md5(cast(vec_id as string)), 1, 6), 16, 10) % 8 = 0"))
+    val entry = l1Base
+      .select(col("vec_id"))
+      .orderBy(substring(md5(col("vec_id").cast("string")), 1, 8).asc, col("vec_id").asc)
+      .limit(1)
+    var beam = graft.Lineage.truncate(scoreAgainstQuery(s, d)(entry))
+    (1 to 2).foreach { _ => beam = beamPass(s, d, nbrs1, K)(beam) } // coarse descent
+    (1 to 4).foreach { _ => beam = beamPass(s, d, nbrs0, K)(beam) } // fine search
+    val exact = s19_knn_cosine(s, d).select(col("vec_id").as("evid"), lit(1L).as("hit"))
+    val flagged = beam
+      .withColumn("rank", row_number().over(Window.orderBy(col("sim_q").desc, col("vec_id").asc)))
+      .join(broadcast(exact), col("vec_id") === col("evid"), "left")
+      .select(
+        col("vec_id"),
+        col("sim_q"),
+        col("rank").cast("long").as("rank"),
+        coalesce(col("hit"), lit(0L)).as("in_exact_topk"))
+    val census = flagged.agg(sum(col("in_exact_topk")).as("hits"))
+    flagged
+      .crossJoin(broadcast(census))
+      .crossJoin(broadcast(l1Base.agg(count(lit(1)).as("n_layer1"))))
+      .select(
+        col("vec_id"),
+        col("sim_q"),
+        col("rank"),
+        col("in_exact_topk"),
+        expr(s"1000 * hits div $K").as("recall_pm"),
+        col("n_layer1").cast("long").as("n_layer1")
       )
   }
 
@@ -1146,7 +1233,8 @@ object Vectors extends QueryModule {
   override def substrates: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "_sub_vector_ivfadc" -> ((s, d) => ivfadcCand(s, d)),
     "_sub_vector_jl_distances" -> ((s, d) => jlDistancesShared(s, d)),
-    "_sub_vector_knn_graph" -> ((s, d) => knnGraph(s, d))
+    "_sub_vector_knn_graph" -> ((s, d) => knnGraph(s, d)),
+    "_sub_vector_knn_graph_l1" -> ((s, d) => knnGraphL1(s, d))
   )
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1158,6 +1246,7 @@ object Vectors extends QueryModule {
     "s19i_ivfadc_rerank" -> (s19i_ivfadc_rerank _),
     "s19j_graph_beam" -> (s19j_graph_beam _),
     "s19k_retrieval_metrics" -> (s19k_retrieval_metrics _),
+    "s19l_hnsw_layers" -> (s19l_hnsw_layers _),
     "s19e_pq_encode" -> (s19e_pq_encode _),
     "s19f_pq_adc" -> (s19f_pq_adc _),
     "s24_scalar_quantize" -> (s24_scalar_quantize _),
@@ -1307,6 +1396,79 @@ object Vectors extends QueryModule {
                CAST((SELECT count(*) FROM nbrs) AS BIGINT) AS n_edges
         FROM flags, cens"""
 
+  /** The s19l oracle: BOTH graphs (full + 1-in-8 coarse layer) built by
+    * the same banded SQL, 2 coarse + 4 fine unrolled beam passes, s19j's
+    * census shape plus the layer-1 node count.
+    */
+  private val s19lOracleSql: String = {
+    def graphSql(tag: String, src: String): String = {
+      val bands = (0 until JBands)
+        .map(b => s"SELECT $b AS band, vec_id, qa, ${jBandKeySql(b)} AS bk FROM $src")
+        .mkString(" UNION ALL ")
+      s"""k$tag AS ($bands),
+        cap$tag AS MATERIALIZED (
+          SELECT band, bk, vec_id, qa FROM (
+            SELECT *, row_number() OVER (PARTITION BY band, bk
+                   ORDER BY substr(md5(CAST(vec_id AS VARCHAR)), 1, 8), vec_id) AS rn
+            FROM k$tag) WHERE rn <= $JCap),
+        prs$tag AS MATERIALIZED (
+          SELECT a.vec_id AS u, b.vec_id AS v2,
+                 max(CAST(list_dot_product(a.qa, b.qa) AS BIGINT)) AS sim_uv
+          FROM cap$tag a JOIN cap$tag b
+            ON a.band = b.band AND a.bk = b.bk AND a.vec_id <> b.vec_id
+          GROUP BY 1, 2),
+        nbz$tag AS (
+          SELECT u, v2 AS v, sim_uv FROM (
+            SELECT *, row_number() OVER (PARTITION BY u ORDER BY sim_uv DESC, v2) AS rn
+            FROM prs$tag) WHERE rn <= $JDeg),
+        nbrs$tag AS MATERIALIZED (
+          SELECT u, v, max(sim_uv) AS sim_uv FROM (
+            SELECT u, v, sim_uv FROM nbz$tag
+            UNION ALL SELECT v, u, sim_uv FROM nbz$tag) GROUP BY 1, 2)"""
+    }
+    def passSql(layer: String, t: Int, prev: String): String =
+      s"""c$layer$t AS (SELECT vec_id FROM $prev
+              UNION SELECT n.v FROM $prev JOIN nbrs$layer n ON n.u = $prev.vec_id),
+        b$layer$t AS MATERIALIZED (
+          SELECT qs.vec_id, qs.sim_q FROM qs JOIN c$layer$t USING (vec_id)
+          ORDER BY sim_q DESC, vec_id LIMIT $K)"""
+    val coarse = (1 to 2)
+      .map(t => passSql("f", t, if (t == 1) "e1" else s"bf${t - 1}"))
+      .mkString(",\n        ")
+    val fine = (1 to 4)
+      .map(t => passSql("g", t, if (t == 1) "bf2" else s"bg${t - 1}"))
+      .mkString(",\n        ")
+    s"""WITH v AS MATERIALIZED (
+            SELECT vec_id, embedding::DOUBLE[] AS e,
+                   list_transform(embedding::DOUBLE[], x -> floor(x * 1024)) AS qa
+            FROM embeddings),
+        v1 AS MATERIALIZED (
+            SELECT * FROM v
+            WHERE ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 6))::BIGINT % 8 = 0),
+        ${graphSql("g", "v")},
+        ${graphSql("f", "v1")},
+        q AS (SELECT qa AS qq FROM v WHERE vec_id = 0),
+        qs AS MATERIALIZED (
+          SELECT vec_id, CAST(list_dot_product(v.qa, q.qq) AS BIGINT) AS sim_q FROM v, q),
+        entry AS (SELECT vec_id FROM v1
+                  ORDER BY substr(md5(CAST(vec_id AS VARCHAR)), 1, 8), vec_id LIMIT 1),
+        e1 AS MATERIALIZED (SELECT qs.vec_id, qs.sim_q FROM qs JOIN entry USING (vec_id)),
+        $coarse,
+        $fine,
+        exact AS (SELECT vec_id FROM v, (SELECT e AS qe FROM v WHERE vec_id = 0) q2
+                  ORDER BY $cosSql DESC, vec_id LIMIT $K),
+        flags AS (SELECT vec_id, sim_q,
+                         CAST(row_number() OVER (ORDER BY sim_q DESC, vec_id) AS BIGINT) AS rank,
+                         CAST(CASE WHEN vec_id IN (SELECT vec_id FROM exact)
+                              THEN 1 ELSE 0 END AS BIGINT) AS in_exact_topk
+                  FROM bg4),
+        cens AS (SELECT sum(in_exact_topk) AS hits FROM flags)
+        SELECT vec_id, sim_q, rank, in_exact_topk,
+               CAST(1000 * hits // $K AS BIGINT) AS recall_pm,
+               CAST((SELECT count(*) FROM v1) AS BIGINT) AS n_layer1
+        FROM flags, cens"""
+  }
+
   private val bucketKeySql: String =
     (0 until NPlanes)
       .map(p =>
@@ -1406,6 +1568,7 @@ object Vectors extends QueryModule {
          FROM ex FULL JOIN pj USING (vec_id) JOIN dd d USING (vec_id)""",
     "x35_mmr_rerank" -> x35OracleSql,
     "s19j_graph_beam" -> s19jOracleSql,
+    "s19l_hnsw_layers" -> s19lOracleSql,
     "s19k_retrieval_metrics" ->
       s"""WITH $s19jLatticeSql,
           lshv AS (SELECT vec_id, e, $bucketKeySql AS bk

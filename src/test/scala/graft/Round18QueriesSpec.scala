@@ -120,6 +120,27 @@ class Round18QueriesSpec extends AnyFunSuite with SparkTestBase {
       "z-order must win on the worst dimension — the whole point")
   }
 
+  test("s19l: the hierarchical search matches the flat beam's recall with fewer full-graph passes, and the coarse layer is the declared 1-in-8 sample") {
+    import org.apache.spark.sql.functions._
+    val rows = SparkEntry.queries("s19l_hnsw_layers")(spark, sf).collect()
+    assert(rows.length == 8)
+    val hits  = rows.map(_.getAs[Long]("in_exact_topk")).sum
+    val flat  = SparkEntry.queries("s19j_graph_beam")(spark, sf)
+      .collect().map(_.getAs[Long]("in_exact_topk")).sum
+    assert(hits >= flat, s"the hierarchy must not LOSE recall vs flat NSW: $hits vs $flat")
+    val n  = spark.read.parquet(s"$sf/embeddings.parquet").count()
+    val l1 = rows.head.getAs[Long]("n_layer1")
+    // 1-in-8 md5 sample: binomial around n/8 — wide band, structural check
+    assert(l1 > n / 16 && l1 < n / 4, s"layer-1 size $l1 should be ~n/8 of $n")
+    // and the coarse layer must genuinely be a subset graph, not a copy
+    val g1 = SparkEntry.substrates.collectFirst {
+      case (nm, fn) if nm == "_sub_vector_knn_graph_l1" => fn(spark, sf)
+    }.get
+    val offLayer = g1.filter(
+      expr("conv(substr(md5(cast(u as string)), 1, 6), 16, 10) % 8 != 0")).count()
+    assert(offLayer == 0L, "every coarse-graph endpoint must be a layer-1 member")
+  }
+
   test("a33: an empty match table (no cross-policy preference pairs) returns an empty frame, not an NPE") {
     import spark.implicits._
     // every doc in the same policy class (doc_id % 8 == 0) → all pairs
