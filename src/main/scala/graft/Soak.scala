@@ -229,7 +229,13 @@ object Soak {
     // linear class); m13 is the zero-shuffle per-row synthesize+box-walk
     // byte crunch (m2/m12's class)
     "x44_self_bleu",
-    "m13_mp4_meta"
+    "m13_mp4_meta",
+    // s19l re-pays BOTH banded graph builds under the soak's per-cell
+    // Memo.clearAll (full + the 1-in-8 coarse layer — same capped-pair
+    // linear class as s19j); x45 is one corpus explode + a vocab-keyed
+    // join over the replica-fixed vocabulary
+    "s19l_hnsw_layers",
+    "x45_tokenizer_fertility"
   )
 
   private[graft] def buildScaled(spark: SparkSession, src: String, out: String, n: Int): Unit = {
