@@ -1931,40 +1931,37 @@ object TextAnalysis extends QueryModule {
                 sequence(lit(0), lit(15)),
                 i => md5(concat(col("doc_id").cast("string"), lit("#"), i.cast("string")))),
               " ").as("text")))
-    // BOTH gram orders ride ONE corpus scan: each order's distinct grams
-    // tag themselves with n in a single exploded projection, so the
-    // doc-count aggregate and the reassembly join shuffle once on
-    // (n, gram-key) instead of scanning and shuffling per order
-    def tag(n: Int) =
-      transform(
-        array_distinct(call_function("graft_word_ngrams", col("text"), lit(n))),
-        g => struct(lit(n.toLong).as("n"), g.as("g")))
-    val grams = corpus
-      .select(col("doc_id"), col("source"), explode(concat(tag(2), tag(3))).as("u"))
-      .select(
-        col("doc_id"),
-        col("source"),
-        col("u.n").as("n"),
-        conv(substring(md5(col("u.g")), 1, 14), 16, 10).cast("long").as("gk"))
-    val dc = grams.groupBy(col("n"), col("gk")).agg(countDistinct(col("doc_id")).as("dc"))
-    grams
-      .join(dc, Seq("n", "gk"))
-      .groupBy(col("n"), col("doc_id"), col("source"))
-      .agg(
-        count(lit(1)).as("ng"),
-        sum(when(col("dc") >= 2, 1L).otherwise(0L)).as("shared"))
-      .select(col("n"), col("source"), expr("1000 * shared div ng").as("p_pm"))
-      .groupBy(col("n"), col("source"))
-      .agg(
-        count(lit(1)).as("n_docs"),
-        expr("sum(p_pm) div count(1)").as("mean_p_pm"),
-        max(col("p_pm")).as("max_p_pm"))
-      .select(
-        col("n").cast("long").as("n"),
-        col("source"),
-        col("n_docs").cast("long").as("n_docs"),
-        col("mean_p_pm").cast("long").as("mean_p_pm"),
-        col("max_p_pm").cast("long").as("max_p_pm"))
+    def order(n: Int): DataFrame = {
+      val grams = corpus
+        .select(
+          col("doc_id"),
+          col("source"),
+          explode(array_distinct(call_function("graft_word_ngrams", col("text"), lit(n)))).as("g"))
+        .select(
+          col("doc_id"),
+          col("source"),
+          conv(substring(md5(col("g")), 1, 14), 16, 10).cast("long").as("gk"))
+      val dc = grams.groupBy(col("gk")).agg(countDistinct(col("doc_id")).as("dc"))
+      grams
+        .join(dc, "gk")
+        .groupBy(col("doc_id"), col("source"))
+        .agg(
+          count(lit(1)).as("ng"),
+          sum(when(col("dc") >= 2, 1L).otherwise(0L)).as("shared"))
+        .select(col("source"), expr("1000 * shared div ng").as("p_pm"))
+        .groupBy(col("source"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          expr("sum(p_pm) div count(1)").as("mean_p_pm"),
+          max(col("p_pm")).as("max_p_pm"))
+        .select(
+          lit(n.toLong).as("n"),
+          col("source"),
+          col("n_docs").cast("long").as("n_docs"),
+          col("mean_p_pm").cast("long").as("mean_p_pm"),
+          col("max_p_pm").cast("long").as("max_p_pm"))
+    }
+    order(2).unionByName(order(3))
   }
 
   /** X33 — STUPID BACKOFF bigram LM perplexity filter (Brants et al. 2007
