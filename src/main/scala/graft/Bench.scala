@@ -131,7 +131,9 @@ object Bench {
       two.map { case (n, t1, t2, ok) =>
         val best = third.get(n).filter(_._2).map(_._1)
           .fold(math.min(t1, t2))(t3 => math.min(math.min(t1, t2), t3))
-        (n, best, ok)
+        // A flaky third-pass failure must surface in ok/failed, not vanish
+        // because passes 1-2 happened to succeed (r18 ADVICE).
+        (n, best, ok && third.get(n).forall(_._2))
       }
     }
     val qs = results

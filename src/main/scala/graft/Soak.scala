@@ -235,7 +235,12 @@ object Soak {
     // linear class as s19j); x45 is one corpus explode + a vocab-keyed
     // join over the replica-fixed vocabulary
     "s19l_hnsw_layers",
-    "x45_tokenizer_fertility"
+    "x45_tokenizer_fertility",
+    // r19: s19m's corpus-sized work is the BASE graph build (s19j's capped
+    // linear class); the probe itself scales with the BATCH (the 1-in-16
+    // slice — so the rung also prices the batch dimension growing N×),
+    // ≤ bands·|Δ|·cap pairs, and both beams stay bounded 72-id passes
+    "s19m_graph_insert"
   )
 
   private[graft] def buildScaled(spark: SparkSession, src: String, out: String, n: Int): Unit = {

@@ -696,30 +696,51 @@ object Vectors extends QueryModule {
           .select(col("vec_id"), col("embedding"), quantArr(col("embedding")).as("qa")))
     }
 
+  /** All [[JBands]] band views of a (vec_id, embedding, qa) frame —
+    * (band, vec_id, qa, bk) rows, the key space both the graph BUILD and
+    * the s19m insert PROBE hash into.
+    */
+  private def bandKeyed(base: DataFrame): DataFrame =
+    (0 until JBands)
+      .map(b =>
+        base.select(
+          lit(b).as("band"),
+          col("vec_id"),
+          col("qa"),
+          VF.signBits(col("embedding"), jBandPlanes(b)).as("bk")
+        ))
+      .reduce(_ unionByName _)
+
+  /** [[bandKeyed]] with the per-bucket occupancy cap applied (rank by
+    * md5(vec_id) — the m9/m10 banding discipline). This frame IS the
+    * persistent "bucket index" a production store would keep on disk:
+    * s19m probes a delta batch against it without touching the rest of
+    * the corpus.
+    */
+  private def bandCapped(base: DataFrame): DataFrame =
+    bandKeyed(base)
+      .withColumn(
+        "rn",
+        row_number().over(
+          Window
+            .partitionBy(col("band"), col("bk"))
+            .orderBy(substring(md5(col("vec_id").cast("string")), 1, 8).asc, col("vec_id").asc))
+      )
+      .filter(col("rn") <= JCap)
+      .drop("rn")
+
   /** The banded degree-bounded symmetric kNN graph over any
     * (vec_id, embedding, qa) base — see [[knnGraph]]'s scaladoc for the
     * construction and its bounds.
     */
-  private def knnGraphOver(base: DataFrame): DataFrame = {
-      val keyed = (0 until JBands)
-        .map(b =>
-          base.select(
-            lit(b).as("band"),
-            col("vec_id"),
-            col("qa"),
-            VF.signBits(col("embedding"), jBandPlanes(b)).as("bk")
-          ))
-        .reduce(_ unionByName _)
-      val capped = keyed
-        .withColumn(
-          "rn",
-          row_number().over(
-            Window
-              .partitionBy(col("band"), col("bk"))
-              .orderBy(substring(md5(col("vec_id").cast("string")), 1, 8).asc, col("vec_id").asc))
-        )
-        .filter(col("rn") <= JCap)
-        .drop("rn")
+  private def knnGraphOver(base: DataFrame): DataFrame =
+    knnGraphFromCapped(bandCapped(base))
+
+  /** Pair join + top-M + symmetrize over an already-capped bucket frame
+    * (split from [[knnGraphOver]] so s19m can reuse the capped buckets as
+    * the probe target).
+    */
+  private def knnGraphFromCapped(capped: DataFrame): DataFrame = {
       val pairs = capped
         .join(
           capped.select(col("band"), col("bk"), col("vec_id").as("v2"), col("qa").as("qa2")),
@@ -779,18 +800,27 @@ object Vectors extends QueryModule {
     * in a real store; a broadcast-filtered narrow scan here, the s19i
     * refine discipline).
     */
-  private def scoreAgainstQuery(s: SparkSession, d: String)(ids: DataFrame): DataFrame = {
-    val e  = table(s, d, "embeddings")
-    val qq = e.filter(col("vec_id") === 0).select(quantArr(col("embedding")).as("qq"))
-    e.join(broadcast(ids), Seq("vec_id"))
+  /** Same, against an arbitrary single-row (qq = quantized query) frame —
+    * s19m's self-recall beam queries an INSERTED vector, not vector 0.
+    */
+  private def scoreAgainstVec(s: SparkSession, d: String, qq: DataFrame)(
+      ids: DataFrame): DataFrame =
+    table(s, d, "embeddings")
+      .join(broadcast(ids), Seq("vec_id"))
       .crossJoin(broadcast(qq))
       .select(col("vec_id"), VF.dot(quantArr(col("embedding")), col("qq")).cast("long").as("sim_q"))
+
+  private def scoreAgainstQuery(s: SparkSession, d: String)(ids: DataFrame): DataFrame = {
+    val qq = table(s, d, "embeddings")
+      .filter(col("vec_id") === 0)
+      .select(quantArr(col("embedding")).as("qq"))
+    scoreAgainstVec(s, d, qq)(ids)
   }
 
   /** One truncated beam pass: expand `beam`'s neighbors in `nbrs`, score
-    * beam ∪ neighbors, keep the top-`width`.
+    * beam ∪ neighbors via `scorer`, keep the top-`width`.
     */
-  private def beamPass(s: SparkSession, d: String, nbrs: DataFrame, width: Int)(
+  private def beamPassWith(nbrs: DataFrame, width: Int, scorer: DataFrame => DataFrame)(
       beam: DataFrame): DataFrame = {
     val cand = beam
       .select(col("vec_id"))
@@ -800,8 +830,12 @@ object Vectors extends QueryModule {
           .select(col("v").as("vec_id")))
       .distinct()
     graft.Lineage.truncate(
-      scoreAgainstQuery(s, d)(cand).orderBy(col("sim_q").desc, col("vec_id").asc).limit(width))
+      scorer(cand).orderBy(col("sim_q").desc, col("vec_id").asc).limit(width))
   }
+
+  private def beamPass(s: SparkSession, d: String, nbrs: DataFrame, width: Int)(
+      beam: DataFrame): DataFrame =
+    beamPassWith(nbrs, width, scoreAgainstQuery(s, d))(beam)
 
   private def s19j_graph_beam(s: SparkSession, d: String): DataFrame = {
     val e    = table(s, d, "embeddings")
@@ -884,6 +918,154 @@ object Vectors extends QueryModule {
         col("in_exact_topk"),
         expr(s"1000 * hits div $K").as("recall_pm"),
         col("n_layer1").cast("long").as("n_layer1")
+      )
+  }
+
+  // ---- s19m: incremental index maintenance ----------------------------
+  // The insert batch is the 1-in-16 md5-sampled vec_id slice (residue 3 —
+  // vector 0, the query, hashes to residue 0 and stays in the base).
+  private val JInsMod    = 16
+  private val JInsRes    = 3
+  // The query beam needs 7 passes here vs s19j's 5: insertion attaches new
+  // nodes but never rewires base↔base shortcuts a full rebuild would
+  // create, so paths from the entry run slightly longer. Measured (DuckDB
+  // twin, both SFs): 5 passes = 250‰ recall at sf0.1, 6+ = 875‰ (ties the
+  // full rebuild), converged through 12; 7 = convergence + 1 margin.
+  private val JInsPasses = 7
+
+  private def insertBatchPred: Column =
+    expr(s"conv(substr(md5(cast(vec_id as string)), 1, 6), 16, 10) % $JInsMod = $JInsRes")
+
+  private def embQa(s: SparkSession, d: String): DataFrame =
+    table(s, d, "embeddings")
+      .select(col("vec_id"), col("embedding"), quantArr(col("embedding")).as("qa"))
+
+  /** The BASE corpus's capped band buckets — the persistent "bucket index"
+    * the insert path probes (memo-shared with the base graph build).
+    */
+  private val baseCapMemo = graft.Memo.newMap()
+
+  private def baseCapped(s: SparkSession, d: String): DataFrame =
+    graft.Memo.cached(baseCapMemo, s, d) {
+      bandCapped(embQa(s, d).filter(!insertBatchPred))
+    }
+
+  /** The kNN graph over the BASE corpus only — the "existing index" state
+    * s19m starts from (its own bench substrate, like [[knnGraph]]).
+    */
+  private val knnBaseMemo = graft.Memo.newMap()
+
+  private def knnGraphBase(s: SparkSession, d: String): DataFrame =
+    graft.Memo.cached(knnBaseMemo, s, d) {
+      knnGraphFromCapped(baseCapped(s, d))
+    }
+
+  /** S19m — INCREMENTAL ANN-INDEX MAINTENANCE: insert a delta batch into
+    * the existing kNN graph WITHOUT a rebuild — the operation that makes a
+    * graph index production-viable (vector stores are insert-heavy;
+    * reference anchor: the upsert path, defs/assets/ingest_vector_db.py:
+    * 181-204). HNSW's own insert (Malkov–Yashunin 2016 §4 INSERT) works
+    * exactly this way: search for the new node's neighbors, link both
+    * directions. Here the d13/dedupIngest asymmetric-probe discipline
+    * supplies the candidate search: the batch's band keys probe the
+    * EXISTING capped buckets ([[baseCapped]] — cost ∝ batch × occupancy,
+    * never index-wide), each inserted node links to its top-M candidates
+    * by exact lattice sim, links are symmetrized (new→old AND old→new),
+    * and the merged graph = base edges ∪ new edges (max-sim on dups).
+    * The degree invariant |E| ≤ 2·M·n survives: inserts add ≤ 2·M·Δn.
+    *
+    * Verification census (both halves of "insert worked"):
+    *   - query 0's beam on the MERGED graph: recall vs the full-corpus
+    *     exact top-8 ties the full rebuild's 875‰ (at [[JInsPasses]]=7 —
+    *     see the constant's measured ladder);
+    *   - SELF-RECALL: a beam searching for the minimum-id INSERTED
+    *     vector must retrieve that node itself (self_found — an
+    *     unreachable insert is data loss in a vector store), plus
+    *     attach_pm (‰ of inserted nodes that found ≥1 link) and the
+    *     n_inserted / n_new_edges sizes.
+    *
+    * Scale shape: the probe is [[JBands]] equi-joins of the batch's keys
+    * against capped buckets (≤ bands·|Δ|·cap pairs — batch-proportional,
+    * the whole point); top-M is a window partitioned by inserted node;
+    * the merged graph is truncated ONCE and each beam pass is the same
+    * ≤72-id broadcast-scored frame as s19j. Nothing rescans the base
+    * corpus except the one memo-shared base index build.
+    */
+  private def s19m_graph_insert(s: SparkSession, d: String): DataFrame = {
+    val delta = embQa(s, d).filter(insertBatchPred)
+    val probed = bandKeyed(delta)
+      .join(
+        baseCapped(s, d)
+          .select(col("band"), col("bk"), col("vec_id").as("v2"), col("qa").as("qa2")),
+        Seq("band", "bk"))
+      .select(
+        col("vec_id").as("u"),
+        col("v2"),
+        VF.dot(col("qa"), col("qa2")).cast("long").as("sim_uv"))
+      .groupBy(col("u"), col("v2"))
+      .agg(max(col("sim_uv")).as("sim_uv"))
+    val newDirected = probed
+      .withColumn(
+        "nrn",
+        row_number().over(Window.partitionBy(col("u")).orderBy(col("sim_uv").desc, col("v2").asc)))
+      .filter(col("nrn") <= JDeg)
+      .select(col("u"), col("v2").as("v"), col("sim_uv"))
+    val newEdges = graft.Lineage.truncate(
+      newDirected
+        .unionByName(newDirected.select(col("v").as("u"), col("u").as("v"), col("sim_uv")))
+        .groupBy(col("u"), col("v"))
+        .agg(max(col("sim_uv")).as("sim_uv")))
+    val nbrs = graft.Lineage.truncate(
+      knnGraphBase(s, d)
+        .unionByName(newEdges)
+        .groupBy(col("u"), col("v"))
+        .agg(max(col("sim_uv")).as("sim_uv")))
+    val entry = table(s, d, "embeddings")
+      .select(col("vec_id"))
+      .orderBy(substring(md5(col("vec_id").cast("string")), 1, 8).asc, col("vec_id").asc)
+      .limit(1)
+    // query-0 beam on the merged graph
+    var beam = graft.Lineage.truncate(scoreAgainstQuery(s, d)(entry))
+    (1 to JInsPasses).foreach { _ => beam = beamPass(s, d, nbrs, K)(beam) }
+    // self-recall beam: query = the minimum-id inserted vector (5 passes
+    // suffice — measured self_found = 1 at both SFs)
+    val dqid   = delta.select(col("vec_id")).orderBy(col("vec_id").asc).limit(1)
+    val dq     = delta.orderBy(col("vec_id").asc).limit(1).select(col("qa").as("qq"))
+    val scorer = scoreAgainstVec(s, d, dq) _
+    var selfBeam = graft.Lineage.truncate(scorer(entry))
+    (1 to JPasses).foreach { _ => selfBeam = beamPassWith(nbrs, K, scorer)(selfBeam) }
+    val exact = s19_knn_cosine(s, d).select(col("vec_id").as("evid"), lit(1L).as("hit"))
+    val flagged = beam
+      .withColumn("rank", row_number().over(Window.orderBy(col("sim_q").desc, col("vec_id").asc)))
+      .join(broadcast(exact), col("vec_id") === col("evid"), "left")
+      .select(
+        col("vec_id"),
+        col("sim_q"),
+        col("rank").cast("long").as("rank"),
+        coalesce(col("hit"), lit(0L)).as("in_exact_topk"))
+    val census    = flagged.agg(sum(col("in_exact_topk")).as("hits"))
+    val insCensus = delta.agg(count(lit(1)).as("n_inserted"))
+    val edgCensus = newEdges.agg(count(lit(1)).as("n_new_edges"))
+    val attCensus = newDirected.agg(countDistinct(col("u")).as("n_attached"))
+    val sfCensus = selfBeam
+      .join(broadcast(dqid), Seq("vec_id"), "left_semi")
+      .agg(count(lit(1)).as("sf_cnt"))
+    flagged
+      .crossJoin(broadcast(census))
+      .crossJoin(broadcast(insCensus))
+      .crossJoin(broadcast(edgCensus))
+      .crossJoin(broadcast(attCensus))
+      .crossJoin(broadcast(sfCensus))
+      .select(
+        col("vec_id"),
+        col("sim_q"),
+        col("rank"),
+        col("in_exact_topk"),
+        expr(s"1000 * hits div $K").as("recall_pm"),
+        col("n_inserted").cast("long").as("n_inserted"),
+        col("n_new_edges").cast("long").as("n_new_edges"),
+        expr("1000 * n_attached div n_inserted").as("attach_pm"),
+        when(col("sf_cnt") > 0, 1L).otherwise(0L).as("self_found")
       )
   }
 
@@ -1234,6 +1416,7 @@ object Vectors extends QueryModule {
     "_sub_vector_ivfadc" -> ((s, d) => ivfadcCand(s, d)),
     "_sub_vector_jl_distances" -> ((s, d) => jlDistancesShared(s, d)),
     "_sub_vector_knn_graph" -> ((s, d) => knnGraph(s, d)),
+    "_sub_vector_knn_graph_base" -> ((s, d) => knnGraphBase(s, d)),
     "_sub_vector_knn_graph_l1" -> ((s, d) => knnGraphL1(s, d))
   )
 
@@ -1247,6 +1430,7 @@ object Vectors extends QueryModule {
     "s19j_graph_beam" -> (s19j_graph_beam _),
     "s19k_retrieval_metrics" -> (s19k_retrieval_metrics _),
     "s19l_hnsw_layers" -> (s19l_hnsw_layers _),
+    "s19m_graph_insert" -> (s19m_graph_insert _),
     "s19e_pq_encode" -> (s19e_pq_encode _),
     "s19f_pq_adc" -> (s19f_pq_adc _),
     "s24_scalar_quantize" -> (s24_scalar_quantize _),
@@ -1395,6 +1579,111 @@ object Vectors extends QueryModule {
                CAST(1000 * hits // $K AS BIGINT) AS recall_pm,
                CAST((SELECT count(*) FROM nbrs) AS BIGINT) AS n_edges
         FROM flags, cens"""
+
+  /** The s19m oracle: base graph over the 15-in-16 md5 slice, the delta
+    * batch probed against the base's capped buckets, symmetrized new
+    * links merged in, then TWO beams on the merged graph — query 0 at 7
+    * passes (the measured convergence ladder on
+    * [[s19m_graph_insert]]'s JInsPasses) and the self-recall beam for the
+    * minimum-id inserted vector at 5.
+    */
+  private val s19mOracleSql: String = {
+    val bandsB = (0 until JBands)
+      .map(b => s"SELECT $b AS band, vec_id, qa, ${jBandKeySql(b)} AS bk FROM vb")
+      .mkString(" UNION ALL ")
+    val bandsD = (0 until JBands)
+      .map(b => s"SELECT $b AS band, vec_id, qa, ${jBandKeySql(b)} AS bk FROM vd")
+      .mkString(" UNION ALL ")
+    def passSql(tag: String, t: Int, qstab: String): String = {
+      val prev = s"b$tag${t - 1}"
+      s"""c$tag$t AS (SELECT vec_id FROM $prev
+              UNION SELECT n.v FROM $prev JOIN nbrs n ON n.u = $prev.vec_id),
+        b$tag$t AS MATERIALIZED (
+          SELECT $qstab.vec_id, $qstab.sim_q FROM $qstab JOIN c$tag$t USING (vec_id)
+          ORDER BY sim_q DESC, vec_id LIMIT $K)"""
+    }
+    val passesQ = (1 to JInsPasses).map(passSql("q", _, "qs")).mkString(",\n        ")
+    val passesS = (1 to JPasses).map(passSql("s", _, "qs2")).mkString(",\n        ")
+    s"""WITH v AS MATERIALIZED (
+            SELECT vec_id, embedding::DOUBLE[] AS e,
+                   list_transform(embedding::DOUBLE[], x -> floor(x * 1024)) AS qa
+            FROM embeddings),
+        vb AS MATERIALIZED (SELECT * FROM v
+          WHERE ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 6))::BIGINT % $JInsMod <> $JInsRes),
+        vd AS MATERIALIZED (SELECT * FROM v
+          WHERE ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 6))::BIGINT % $JInsMod = $JInsRes),
+        kb AS ($bandsB),
+        capb AS MATERIALIZED (
+          SELECT band, bk, vec_id, qa FROM (
+            SELECT *, row_number() OVER (PARTITION BY band, bk
+                   ORDER BY substr(md5(CAST(vec_id AS VARCHAR)), 1, 8), vec_id) AS rn
+            FROM kb) WHERE rn <= $JCap),
+        prsb AS MATERIALIZED (
+          SELECT a.vec_id AS u, b.vec_id AS v2,
+                 max(CAST(list_dot_product(a.qa, b.qa) AS BIGINT)) AS sim_uv
+          FROM capb a JOIN capb b
+            ON a.band = b.band AND a.bk = b.bk AND a.vec_id <> b.vec_id
+          GROUP BY 1, 2),
+        nbzb AS (
+          SELECT u, v2 AS v, sim_uv FROM (
+            SELECT *, row_number() OVER (PARTITION BY u ORDER BY sim_uv DESC, v2) AS rn
+            FROM prsb) WHERE rn <= $JDeg),
+        nbrsb AS MATERIALIZED (
+          SELECT u, v, max(sim_uv) AS sim_uv FROM (
+            SELECT u, v, sim_uv FROM nbzb
+            UNION ALL SELECT v, u, sim_uv FROM nbzb) GROUP BY 1, 2),
+        kd AS ($bandsD),
+        prsd AS MATERIALIZED (
+          SELECT d.vec_id AS u, c.vec_id AS v2,
+                 max(CAST(list_dot_product(d.qa, c.qa) AS BIGINT)) AS sim_uv
+          FROM kd d JOIN capb c ON d.band = c.band AND d.bk = c.bk
+          GROUP BY 1, 2),
+        newd AS (
+          SELECT u, v2 AS v, sim_uv FROM (
+            SELECT *, row_number() OVER (PARTITION BY u ORDER BY sim_uv DESC, v2) AS rn
+            FROM prsd) WHERE rn <= $JDeg),
+        newe AS MATERIALIZED (
+          SELECT u, v, max(sim_uv) AS sim_uv FROM (
+            SELECT u, v, sim_uv FROM newd
+            UNION ALL SELECT v, u, sim_uv FROM newd) GROUP BY 1, 2),
+        nbrs AS MATERIALIZED (
+          SELECT u, v, max(sim_uv) AS sim_uv FROM (
+            SELECT * FROM nbrsb UNION ALL SELECT * FROM newe) GROUP BY 1, 2),
+        q AS (SELECT qa AS qq FROM v WHERE vec_id = 0),
+        qs AS MATERIALIZED (
+          SELECT vec_id, CAST(list_dot_product(v.qa, q.qq) AS BIGINT) AS sim_q FROM v, q),
+        entry AS (SELECT vec_id FROM v
+                  ORDER BY substr(md5(CAST(vec_id AS VARCHAR)), 1, 8), vec_id LIMIT 1),
+        bq0 AS MATERIALIZED (SELECT qs.vec_id, qs.sim_q FROM qs JOIN entry USING (vec_id)),
+        $passesQ,
+        dq AS (SELECT vec_id AS dqid, qa AS dqa FROM vd ORDER BY vec_id LIMIT 1),
+        qs2 AS MATERIALIZED (
+          SELECT v.vec_id, CAST(list_dot_product(v.qa, dq.dqa) AS BIGINT) AS sim_q FROM v, dq),
+        bs0 AS MATERIALIZED (SELECT qs2.vec_id, qs2.sim_q FROM qs2 JOIN entry USING (vec_id)),
+        $passesS,
+        exact AS MATERIALIZED (
+          SELECT vec_id FROM v, (SELECT e AS qe FROM v WHERE vec_id = 0) q2
+          ORDER BY $cosSql DESC, vec_id LIMIT $K),
+        flags AS (SELECT vec_id, sim_q,
+                         CAST(row_number() OVER (ORDER BY sim_q DESC, vec_id) AS BIGINT) AS rank,
+                         CAST(CASE WHEN vec_id IN (SELECT vec_id FROM exact)
+                              THEN 1 ELSE 0 END AS BIGINT) AS in_exact_topk
+                  FROM bq$JInsPasses),
+        cens AS (SELECT sum(in_exact_topk) AS hits FROM flags),
+        icens AS (SELECT count(*) AS n_inserted FROM vd),
+        ecens AS (SELECT count(*) AS n_new_edges FROM newe),
+        acens AS (SELECT count(DISTINCT u) AS n_attached FROM newd),
+        scens AS (SELECT CAST(CASE WHEN EXISTS (
+                    SELECT 1 FROM bs$JPasses JOIN dq ON bs$JPasses.vec_id = dq.dqid)
+                    THEN 1 ELSE 0 END AS BIGINT) AS self_found)
+        SELECT vec_id, sim_q, rank, in_exact_topk,
+               CAST(1000 * hits // $K AS BIGINT) AS recall_pm,
+               CAST(n_inserted AS BIGINT) AS n_inserted,
+               CAST(n_new_edges AS BIGINT) AS n_new_edges,
+               CAST(1000 * n_attached // n_inserted AS BIGINT) AS attach_pm,
+               self_found
+        FROM flags, cens, icens, ecens, acens, scens"""
+  }
 
   /** The s19l oracle: BOTH graphs (full + 1-in-8 coarse layer) built by
     * the same banded SQL, 2 coarse + 4 fine unrolled beam passes, s19j's
@@ -1569,6 +1858,7 @@ object Vectors extends QueryModule {
     "x35_mmr_rerank" -> x35OracleSql,
     "s19j_graph_beam" -> s19jOracleSql,
     "s19l_hnsw_layers" -> s19lOracleSql,
+    "s19m_graph_insert" -> s19mOracleSql,
     "s19k_retrieval_metrics" ->
       s"""WITH $s19jLatticeSql,
           lshv AS (SELECT vec_id, e, $bucketKeySql AS bk

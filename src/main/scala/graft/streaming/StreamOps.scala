@@ -330,6 +330,11 @@ object StreamOps {
           .agg(sum(col("x")).as("x"))
       case None => add
     }
+    // CONTRACT (r18 ADVICE): `merged` lazily READS `path` while writeParquet
+    // is about to REPLACE `path` — safe only because TableIO.writeParquet
+    // fully materializes the frame into a staging dir BEFORE the
+    // park/promote swap touches the live path. A future writeParquet that
+    // streamed or overwrote in place would corrupt the spine mid-read.
     graft.io.TableIO.writeParquet(merged.withColumn("last_batch", lit(batchId)), path)
     ()
   }

@@ -93,6 +93,7 @@ class PlanSweepSpec extends AnyFunSuite with SparkTestBase {
     "s19k_retrieval_metrics" -> 8L, // embeds s19j's final select (1-row census BNLJs) + the 8-row relevance broadcast
     "o12_zorder_audit"       -> 1L, // single-row min/max bounds broadcast onto the two-column scan
     "s19l_hnsw_layers"       -> 1L, // s19j's shape: single-row query-vector + census broadcasts
+    "s19m_graph_insert"      -> 1L, // s19j's shape: query-vector + 5 single-row insert censuses onto the 8-row beam
     "x45_tokenizer_fertility" -> 1L // embeds x37's single-row piece-mass total broadcast
   )
 
@@ -121,7 +122,8 @@ class PlanSweepSpec extends AnyFunSuite with SparkTestBase {
     "x40_jl_recall"        -> 8L, // exact/projected rank windows, each over its top-8 only (s19h's shape)
     "s19j_graph_beam"      -> 8L, // rank window over the 8-row final beam only
     "s19k_retrieval_metrics" -> 8L, // s19j's embedded rank window over its 8-row beam
-    "s19l_hnsw_layers"     -> 8L // rank window over the 8-row final beam only
+    "s19l_hnsw_layers"     -> 8L, // rank window over the 8-row final beam only
+    "s19m_graph_insert"    -> 8L // rank window over the 8-row final beam only
   )
 
   /** Queries allowed a BNLJ INSIDE a truncated/cache-pinned stage — plans
@@ -147,6 +149,7 @@ class PlanSweepSpec extends AnyFunSuite with SparkTestBase {
     "s19j_graph_beam"        -> 1L,  // per-pass single-row query-vector broadcast inside each truncated beam stage
     "s19k_retrieval_metrics" -> 1L,  // the same beam stages when s19k builds them first (suite order / Memo attribution)
     "s19l_hnsw_layers"       -> 1L,  // per-pass single-row query-vector broadcast inside each truncated beam stage
+    "s19m_graph_insert"      -> 1L,  // per-pass single-row query-vector broadcast inside each truncated beam stage
     "x40_jl_recall"          -> 1L   // the anchor BNLJ lives in the Memo-shared jlDistances substrate
                                      // stage (truncated at construction, so x40's FINAL plan reads the
                                      // checkpoint; x39's unpinned twin stays in bnljBounded)

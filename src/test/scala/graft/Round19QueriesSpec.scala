@@ -1,0 +1,64 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Invariants for the round-19 changes — the properties the row-hash
+  * oracle proves equal but can't explain.
+  */
+class Round19QueriesSpec extends AnyFunSuite with SparkTestBase {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("s19m: inserting a delta batch preserves the degree invariant, attaches every node, makes inserts findable, and ties the full rebuild's recall") {
+    import org.apache.spark.sql.functions._
+    val rows = SparkEntry
+      .queries("s19m_graph_insert")(spark, sf)
+      .collect()
+      .sortBy(_.getAs[Long]("rank"))
+    assert(rows.length == 8)
+    assert(rows.map(_.getAs[Long]("rank")).toSeq == (1L to 8L), "ranks 1..8")
+    val sims = rows.map(_.getAs[Long]("sim_q")).toSeq
+    assert(sims == sims.sorted.reverse, "beam sorted by sim desc")
+    val hits = rows.map(_.getAs[Long]("in_exact_topk")).sum
+    assert(rows.forall(_.getAs[Long]("recall_pm") == 1000L * hits / 8L), "census = 1000·hits/8")
+    val head = rows.head
+    // the 1-in-16 md5 slice is a real batch on every test SF
+    assert(head.getAs[Long]("n_inserted") > 0L, "empty insert batch — the census proves nothing")
+    // degree invariant survives insertion: ≤ M directed links per inserted
+    // node, ≤ 2·M·Δn after symmetrization
+    assert(
+      head.getAs[Long]("n_new_edges") <= 16L * head.getAs[Long]("n_inserted"),
+      "insert may add at most 2·M edges per inserted node")
+    // every inserted node found ≥1 link through the band probe (an
+    // unattached insert is unreachable — data loss in a vector store)
+    assert(head.getAs[Long]("attach_pm") == 1000L, "every inserted node must attach")
+    // the self-recall beam must retrieve the inserted vector itself
+    assert(head.getAs[Long]("self_found") == 1L, "inserted node must be findable by search")
+    // incremental maintenance must not lose recall vs the full rebuild
+    val flat = SparkEntry
+      .queries("s19j_graph_beam")(spark, sf)
+      .collect()
+      .map(_.getAs[Long]("in_exact_topk"))
+      .sum
+    assert(hits >= flat, s"insert-maintained recall must tie the rebuild: $hits vs $flat")
+    // and the top-1 must be the exact best (the query vector itself is in
+    // the base slice on every test SF — md5('0') % 16 = 0)
+    assert(head.getAs[Long]("in_exact_topk") == 1L, "beam top-1 must be an exact-topk member")
+  }
+
+  test("s19m: the base graph substrate excludes the delta slice — the index state the insert starts from is honestly partial") {
+    import org.apache.spark.sql.functions._
+    val base = SparkEntry.substrates.collectFirst {
+      case (n, fn) if n == "_sub_vector_knn_graph_base" => fn(spark, sf)
+    }.get
+    val deltaIds = spark.read
+      .parquet(s"$sf/embeddings.parquet")
+      .filter(expr("conv(substr(md5(cast(vec_id as string)), 1, 6), 16, 10) % 16 = 3"))
+      .select(col("vec_id"))
+    val leaked = base
+      .join(deltaIds.select(col("vec_id").as("u")), Seq("u"), "left_semi")
+      .count() +
+      base.join(deltaIds.select(col("vec_id").as("v")), Seq("v"), "left_semi").count()
+    assert(leaked == 0L, s"base graph must not contain delta nodes: $leaked edge endpoints")
+  }
+}

@@ -22,11 +22,17 @@ def load(path):
 
 
 def main():
-    args = [a for a in sys.argv[1:] if not a.startswith("--")]
-    out = None
-    for i, a in enumerate(sys.argv[1:]):
-        if a == "--out":
-            out = sys.argv[1:][i + 1]
+    argv = sys.argv[1:]
+    args, out, i = [], None, 0
+    while i < len(argv):
+        if argv[i] == "--out":
+            out = argv[i + 1]
+            i += 2  # skip the flag's value so it never lands in positionals
+        elif argv[i].startswith("--"):
+            i += 1
+        else:
+            args.append(argv[i])
+            i += 1
     a, b = load(args[0]), load(args[1])
     if set(a) != set(b):
         print(f"WARN: sidecar line sets differ ({len(a)} vs {len(b)}); pairing the union")
