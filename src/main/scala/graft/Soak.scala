@@ -240,7 +240,11 @@ object Soak {
     // linear class); the probe itself scales with the BATCH (the 1-in-16
     // slice — so the rung also prices the batch dimension growing N×),
     // ≤ bands·|Δ|·cap pairs, and both beams stay bounded 72-id passes
-    "s19m_graph_insert"
+    "s19m_graph_insert",
+    // s19n shares s19j's memoized graph in Bench but re-pays the build
+    // under the soak's per-cell clearAll (same capped-pair linear class);
+    // the 15-pass sweep itself is scale-constant bounded frames
+    "s19n_operating_curve"
   )
 
   private[graft] def buildScaled(spark: SparkSession, src: String, out: String, n: Int): Unit = {

@@ -1069,6 +1069,71 @@ object Vectors extends QueryModule {
       )
   }
 
+  /** S19n — graph-search OPERATING-CURVE audit: sweep beam width
+    * {4, 8, 16} × passes {3, 5} over s19j's kNN graph and price
+    * recall-vs-candidates — the d15/d17/m11 knob-pricing discipline
+    * applied to the two knobs s19j fixed by fiat (an ANN deployment
+    * chooses its efSearch-style operating point from exactly this curve;
+    * Malkov–Yashunin 2016 fig. 10 publishes it as recall vs. scan cost).
+    * One row per operating point: (beam_w, n_passes, n_scored = total
+    * candidate ids scored across the passes — the cost axis, a
+    * point-lookup count in a real store), recall_pm vs the exact top-8.
+    *
+    * Measured curve (both engines agree by hash): wider beams never lose
+    * recall at fixed passes (spec-pinned weak monotonicity), beam 4 is
+    * too narrow to converge, and the r18 question "does beam 16 buy the
+    * 8th hit?" prices out as yes at sf0.01 (recall 1000‰ for +61%
+    * candidates over beam 8) but no at sf0.1 — the residual miss there
+    * is a genuine graph blind spot no beam width under 17 repairs, which
+    * is the honest answer the audit exists to surface.
+    *
+    * Scale shape: the 3-width sweep shares one memoized graph build and
+    * one 5-pass chain per width (the pass-3 row snapshots the prefix —
+    * nothing runs twice); every pass is the same ≤ w·(M+1)-id broadcast-
+    * scored frame as s19j, and each census row is single-row arithmetic.
+    */
+  private def s19n_operating_curve(s: SparkSession, d: String): DataFrame = {
+    val nbrs = knnGraph(s, d)
+    val entry = table(s, d, "embeddings")
+      .select(col("vec_id"))
+      .orderBy(substring(md5(col("vec_id").cast("string")), 1, 8).asc, col("vec_id").asc)
+      .limit(1)
+    val exact  = s19_knn_cosine(s, d).select(col("vec_id"), lit(1L).as("hit"))
+    val scorer = scoreAgainstQuery(s, d) _
+    val snaps = Seq(4, 8, 16).flatMap { w =>
+      var beam   = graft.Lineage.truncate(scorer(entry))
+      var counts = List.empty[DataFrame]
+      (1 to 5).flatMap { t =>
+        val cand = beam
+          .select(col("vec_id"))
+          .unionByName(
+            nbrs
+              .join(broadcast(beam.select(col("vec_id").as("u"))), Seq("u"))
+              .select(col("v").as("vec_id")))
+          .distinct()
+        beam = graft.Lineage.truncate(
+          scorer(cand).orderBy(col("sim_q").desc, col("vec_id").asc).limit(w))
+        counts ::= cand.agg(count(lit(1)).as("c"))
+        if (t != 3 && t != 5) None
+        else {
+          val nScored = counts.reduce(_ unionByName _).agg(sum(col("c")).as("n_scored"))
+          val hits = beam
+            .join(broadcast(exact), Seq("vec_id"), "left")
+            .agg(coalesce(sum(col("hit")), lit(0L)).as("hits"))
+          Some(
+            nScored
+              .crossJoin(broadcast(hits))
+              .select(
+                lit(w.toLong).as("beam_w"),
+                lit(t.toLong).as("n_passes"),
+                col("n_scored").cast("long").as("n_scored"),
+                expr(s"1000 * hits div $K").as("recall_pm")))
+        }
+      }
+    }
+    snaps.reduce(_ unionByName _).orderBy(col("beam_w").asc, col("n_passes").asc)
+  }
+
   /** S19k — RETRIEVAL-QUALITY metrics rollup across the ANN ladder (the
     * standard IR eval harness — Manning–Raghavan–Schütze IR ch.8 — a
     * vector-store operator runs before trusting an approximate index in
@@ -1431,6 +1496,7 @@ object Vectors extends QueryModule {
     "s19k_retrieval_metrics" -> (s19k_retrieval_metrics _),
     "s19l_hnsw_layers" -> (s19l_hnsw_layers _),
     "s19m_graph_insert" -> (s19m_graph_insert _),
+    "s19n_operating_curve" -> (s19n_operating_curve _),
     "s19e_pq_encode" -> (s19e_pq_encode _),
     "s19f_pq_adc" -> (s19f_pq_adc _),
     "s24_scalar_quantize" -> (s24_scalar_quantize _),
@@ -1685,6 +1751,41 @@ object Vectors extends QueryModule {
         FROM flags, cens, icens, ecens, acens, scens"""
   }
 
+  /** The s19n oracle: s19j's lattice (graph + scoring table + entry +
+    * exact), then one unrolled 5-pass chain per beam width with pass-3
+    * and pass-5 snapshot rows counting the per-pass candidate sets.
+    */
+  private val s19nOracleSql: String = {
+    val widths = Seq(4, 8, 16)
+    val chains = widths.flatMap { w =>
+      (1 to 5).map { t =>
+        val prev = s"b${w}_${t - 1}"
+        s"""c${w}_$t AS (SELECT vec_id FROM $prev
+              UNION SELECT n.v FROM $prev JOIN nbrs n ON n.u = $prev.vec_id),
+        b${w}_$t AS MATERIALIZED (
+          SELECT qs.vec_id, qs.sim_q FROM qs JOIN c${w}_$t USING (vec_id)
+          ORDER BY sim_q DESC, vec_id LIMIT $w)"""
+      }
+    }
+    val seeds = widths.map(w =>
+      s"b${w}_0 AS MATERIALIZED (SELECT qs.vec_id, qs.sim_q FROM qs JOIN entry USING (vec_id))")
+    val snaps = widths.flatMap { w =>
+      Seq(3, 5).map { p =>
+        val cnt = (1 to p).map(t => s"(SELECT count(*) FROM c${w}_$t)").mkString(" + ")
+        s"""SELECT CAST($w AS BIGINT) AS beam_w, CAST($p AS BIGINT) AS n_passes,
+               CAST($cnt AS BIGINT) AS n_scored,
+               CAST(1000 * (SELECT count(*) FROM b${w}_$p
+                            WHERE vec_id IN (SELECT vec_id FROM exact)) // $K AS BIGINT)
+                 AS recall_pm"""
+      }
+    }
+    s"""WITH $s19jLatticeSql,
+        ${seeds.mkString(",\n        ")},
+        ${chains.mkString(",\n        ")}
+        ${snaps.mkString(" UNION ALL ")}
+        ORDER BY beam_w, n_passes"""
+  }
+
   /** The s19l oracle: BOTH graphs (full + 1-in-8 coarse layer) built by
     * the same banded SQL, 2 coarse + 4 fine unrolled beam passes, s19j's
     * census shape plus the layer-1 node count.
@@ -1859,6 +1960,7 @@ object Vectors extends QueryModule {
     "s19j_graph_beam" -> s19jOracleSql,
     "s19l_hnsw_layers" -> s19lOracleSql,
     "s19m_graph_insert" -> s19mOracleSql,
+    "s19n_operating_curve" -> s19nOracleSql,
     "s19k_retrieval_metrics" ->
       s"""WITH $s19jLatticeSql,
           lshv AS (SELECT vec_id, e, $bucketKeySql AS bk

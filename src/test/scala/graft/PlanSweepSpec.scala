@@ -94,6 +94,7 @@ class PlanSweepSpec extends AnyFunSuite with SparkTestBase {
     "o12_zorder_audit"       -> 1L, // single-row min/max bounds broadcast onto the two-column scan
     "s19l_hnsw_layers"       -> 1L, // s19j's shape: single-row query-vector + census broadcasts
     "s19m_graph_insert"      -> 1L, // s19j's shape: query-vector + 5 single-row insert censuses onto the 8-row beam
+    "s19n_operating_curve"   -> 1L, // six single-row (n_scored x hits) census BNLJs, one per operating point
     "x45_tokenizer_fertility" -> 1L // embeds x37's single-row piece-mass total broadcast
   )
 
@@ -150,6 +151,7 @@ class PlanSweepSpec extends AnyFunSuite with SparkTestBase {
     "s19k_retrieval_metrics" -> 1L,  // the same beam stages when s19k builds them first (suite order / Memo attribution)
     "s19l_hnsw_layers"       -> 1L,  // per-pass single-row query-vector broadcast inside each truncated beam stage
     "s19m_graph_insert"      -> 1L,  // per-pass single-row query-vector broadcast inside each truncated beam stage
+    "s19n_operating_curve"   -> 1L,  // per-pass single-row query-vector broadcast inside each truncated beam stage
     "x40_jl_recall"          -> 1L   // the anchor BNLJ lives in the Memo-shared jlDistances substrate
                                      // stage (truncated at construction, so x40's FINAL plan reads the
                                      // checkpoint; x39's unpinned twin stays in bnljBounded)

@@ -61,4 +61,33 @@ class Round19QueriesSpec extends AnyFunSuite with SparkTestBase {
       base.join(deltaIds.select(col("vec_id").as("v")), Seq("v"), "left_semi").count()
     assert(leaked == 0L, s"base graph must not contain delta nodes: $leaked edge endpoints")
   }
+
+  test("s19n: the operating curve prices the knobs — recall weakly monotone in beam width, cost strictly monotone in width and passes") {
+    val rows = SparkEntry
+      .queries("s19n_operating_curve")(spark, sf)
+      .collect()
+      .map(r =>
+        (r.getAs[Long]("beam_w"), r.getAs[Long]("n_passes")) ->
+          (r.getAs[Long]("n_scored"), r.getAs[Long]("recall_pm")))
+      .toMap
+    assert(rows.keySet == Set(4L, 8L, 16L).flatMap(w => Set(w -> 3L, w -> 5L)))
+    for (p <- Seq(3L, 5L); Seq(w1, w2) <- Seq(4L, 8L, 16L).sliding(2)) {
+      // a wider beam is a superset search policy: it must never lose
+      // recall at fixed depth (measured at every SF; the property an
+      // efSearch-style knob is priced on)
+      assert(rows(w1 -> p)._2 <= rows(w2 -> p)._2,
+        s"recall regressed widening $w1->$w2 at $p passes")
+      assert(rows(w1 -> p)._1 < rows(w2 -> p)._1,
+        s"candidate cost must strictly grow with beam width ($w1->$w2 at $p passes)")
+    }
+    for (w <- Seq(4L, 8L, 16L)) {
+      assert(rows(w -> 3L)._1 < rows(w -> 5L)._1,
+        s"candidate cost must strictly grow with passes (beam $w)")
+      assert(rows(w -> 3L)._2 <= rows(w -> 5L)._2,
+        s"beam quality is monotone in passes — the beam is always a candidate (beam $w)")
+    }
+    // the sweep must show real separation (beam 4 under-converges, the
+    // wide end converges) or the audit prices nothing
+    assert(rows(4L -> 5L)._2 < rows(16L -> 5L)._2, "the curve must separate its endpoints")
+  }
 }
