@@ -203,7 +203,10 @@ object MediaStub {
       duration: Long,
       duration_ms: Long,
       n_tracks: Long,
-      payload_bytes: Long
+      payload_bytes: Long,
+      codec: String,
+      n_chunks: Long,
+      chunk_span: Long
   )
 
   /** One ISO-BMFF box: 32-bit big-endian size (INCLUDING the 8-byte
@@ -252,8 +255,34 @@ object MediaStub {
           new Array[Byte](8) ++ matrix ++ new Array[Byte](24) ++ be32(nTracks + 1)
     val ftyp = "isom".getBytes("US-ASCII") ++ be32(512L) ++
       "isom".getBytes("US-ASCII") ++ "mp41".getBytes("US-ASCII")
+    // trak > mdia > minf > stbl > (stsd + stco): the sample-description
+    // entry carries a REAL codec fourcc, and the chunk-offset table
+    // carries REAL absolute file offsets into the rawd payload — chunk i
+    // starts at rawd_payload_start + i·(len div n_chunks), which requires
+    // computing the moov subtree's own size first (exactly the layout
+    // arithmetic a muxer does; ISO/IEC 14496-12 §8.5.2/§8.7.5).
+    val codec    = Seq("avc1", "hev1", "mp4v", "av01")((h / 19 % 4).toInt)
+    val nChunks  = (h / 17) % 8 + 1
+    val stsdEntry = be32(16L) ++ codec.getBytes("US-ASCII") ++
+      new Array[Byte](6) ++ Array[Byte](0, 1)
+    val stsd    = box("stsd", Array[Byte](0, 0, 0, 0) ++ be32(1L) ++ stsdEntry)
+    val rawdHdr  = if (h % 3 == 0) 16L else 8L
+    val mvhdBox  = box("mvhd", mvhd)
+    // moov = 8 + mvhd + trak; trak = 8 + mdia = 8+8 + minf = 8+8+8 + stbl;
+    // stbl = 8 + stsd + stco with stco = 16 + 4·n
+    val stblLen  = 8L + stsd.length + (16L + 4L * nChunks)
+    val moovLen  = 8L + mvhdBox.length + (24L + stblLen)
+    val rawdPayloadStart = 24L + moovLen + rawdHdr
+    val step     = in.payload.length.toLong / nChunks
+    val stco = box("stco",
+      Array[Byte](0, 0, 0, 0) ++ be32(nChunks) ++
+        (0L until nChunks).toArray.flatMap(i => be32(rawdPayloadStart + i * step)))
+    val stbl = box("stbl", stsd ++ stco)
+    val trak = box("trak", box("mdia", box("minf", stbl)))
+    val moov = box("moov", mvhdBox ++ trak)
+    assert(moov.length == moovLen, s"moov layout arithmetic drifted: ${moov.length} vs $moovLen")
     val bytes = box("ftyp", ftyp) ++
-      box("moov", box("mvhd", mvhd)) ++
+      moov ++
       box("rawd", in.payload, large = h % 3 == 0) ++
       box("free", Array[Byte](0, 0, 0, 0), toEof = h % 5 == 0)
     MediaInput(in.doc_id, bytes)
@@ -284,6 +313,9 @@ object MediaStub {
     var nTracks   = -1L
     var payloadN  = -1L
     var sawMvhd   = false
+    var codec     = ""
+    var chunkOffs = Array.emptyLongArray
+    var rawdStart = -1L
     def parseMvhd(off: Int, len: Long): Unit = {
       require(!sawMvhd, s"doc ${in.doc_id}: duplicate mvhd")
       sawMvhd = true
@@ -319,10 +351,34 @@ object MediaStub {
         require(size >= hdr, s"doc ${in.doc_id}: box $t size $size < header")
         require(off + size <= to, s"doc ${in.doc_id}: box $t overruns its scope")
         t match {
-          case "moov" => walk(off + hdr, (off + size).toInt, depth + 1)
+          case "moov" | "trak" | "mdia" | "minf" | "stbl" =>
+            walk(off + hdr, (off + size).toInt, depth + 1)
           case "mvhd" => parseMvhd(off + hdr, size - hdr)
-          case "rawd" => payloadN = size - hdr
-          case _      => () // ftyp/free/unknown: validated and skipped
+          case "stsd" =>
+            // sample description (§8.5.2): ver/flags, entry_count, then
+            // entries each led by (size, fourcc) — the codec identity
+            require(size - hdr >= 16, s"doc ${in.doc_id}: short stsd")
+            require(codec.isEmpty, s"doc ${in.doc_id}: duplicate stsd")
+            val n = readBe32(b, off + hdr + 4)
+            require(n == 1, s"doc ${in.doc_id}: expected one sample entry, got $n")
+            val esz = readBe32(b, off + hdr + 8)
+            require(esz >= 16 && hdr + 8 + esz <= size,
+              s"doc ${in.doc_id}: stsd entry overruns its box")
+            codec = new String(b, off + hdr + 12, 4, "US-ASCII")
+          case "stco" =>
+            // chunk-offset table (§8.7.5): ver/flags, entry_count, then
+            // 32-bit ABSOLUTE file offsets — validated against the rawd
+            // extent once the walk completes
+            require(chunkOffs.isEmpty, s"doc ${in.doc_id}: duplicate stco")
+            require(size - hdr >= 8, s"doc ${in.doc_id}: short stco")
+            val n = readBe32(b, off + hdr + 4)
+            require(size - hdr == 8 + 4 * n,
+              s"doc ${in.doc_id}: stco declares $n entries but carries ${(size - hdr - 8) / 4}")
+            chunkOffs = Array.tabulate(n.toInt)(i => readBe32(b, off + hdr + 8 + 4 * i))
+          case "rawd" =>
+            payloadN = size - hdr
+            rawdStart = off + hdr
+          case _ => () // ftyp/free/unknown: validated and skipped
         }
         off += size.toInt
       }
@@ -332,6 +388,15 @@ object MediaStub {
     require(sawMvhd, s"doc ${in.doc_id}: no mvhd box")
     require(payloadN >= 0, s"doc ${in.doc_id}: no rawd box")
     require(timescale > 0, s"doc ${in.doc_id}: invalid timescale")
+    require(codec.nonEmpty, s"doc ${in.doc_id}: no stsd box")
+    require(chunkOffs.nonEmpty, s"doc ${in.doc_id}: no stco box")
+    // every chunk offset must land inside the media payload it indexes —
+    // an out-of-range stco entry is the corrupt-container case a demuxer
+    // must refuse (it would read another box's bytes as samples)
+    chunkOffs.foreach { o =>
+      require(o >= rawdStart && o < rawdStart + math.max(payloadN, 1L),
+        s"doc ${in.doc_id}: stco offset $o outside rawd [$rawdStart, ${rawdStart + payloadN})")
+    }
     Mp4Features(
       in.doc_id,
       version,
@@ -339,7 +404,10 @@ object MediaStub {
       duration,
       1000L * duration / timescale,
       nTracks,
-      payloadN
+      payloadN,
+      codec,
+      chunkOffs.length.toLong,
+      chunkOffs.last - chunkOffs.head
     )
   }
 

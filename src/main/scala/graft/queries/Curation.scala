@@ -1445,6 +1445,59 @@ object Curation extends QueryModule {
     * the margin) short-circuits to an empty result, matching the
     * oracle, instead of NPE-ing on the collected max.
     */
+  /** A34 — EXPECTED CALIBRATION ERROR for c26's classifier (Guo et al.
+    * 2017 §2, Naeini et al. 2015's ECE — the fourth leg of the eval-stats
+    * family: a31 ranks (AUC), a32 bins the raw score, a33 rates policies;
+    * a reward/quality model REPORTS its calibration before anyone
+    * thresholds on its probabilities): the integer score is squashed to a
+    * junk-probability lattice p_junk_pm = clamp(500 − score_q/8, 0, 1000)
+    * (slope matched to the observed ±4000 score mass; computed as
+    * 8500 − (score_q+64000) div 8 so every division sees positive
+    * operands — the d20 truncate-vs-floor discipline), cut into 5
+    * fixed-width probability bins (the a18/c25 value-domain shape), and
+    * each bin reports observed junk rate vs mean predicted probability.
+    * The rollup census is the ECE proper: Σ_b n_b·|rate_b − p̄_b| div N,
+    * in per-mille on every row.
+    *
+    * What it shows (spec-pinned at every SF): the clean mass sits in bin
+    * 0 nearly calibrated (gap < 100‰), while every junk-occupied bin is
+    * UNDERCONFIDENT — observed junk rate 1000‰ against predicted
+    * 500–960‰ — i.e. the linear squash under-calls junk certainty, the
+    * direction a consumer thresholding at 500 must know about.
+    *
+    * Scale shape: rides the SHARED memoized scored frame ([[c26ScoredDocs]]
+    * — fourth consumer, one compute); one keyed aggregate into ≤ 5
+    * value-domain bins, one single-row ECE census broadcast. No sort, no
+    * window, no per-doc state.
+    */
+  private def a34_calibration_ece(s: SparkSession, d: String): DataFrame = {
+    val binned = c26ScoredDocs(s, d)
+      .select(
+        (col("source") === "planted_junk").cast("long").as("y"),
+        expr("(1000 * (wsum + 64 * n_words)) div n_words - 64000").as("score_q"))
+      .select(
+        col("y"),
+        expr("least(greatest(8500 - (score_q + 64000) div 8, 0), 1000)").as("p_junk_pm"))
+      .groupBy(expr("least(p_junk_pm div 200, 4)").as("bin"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("y")).as("n_junk"),
+        expr("1000 * sum(y) div count(1)").as("junk_rate_pm"),
+        expr("sum(p_junk_pm) div count(1)").as("mean_p_pm"))
+    binned
+      .crossJoin(broadcast(
+        binned.agg(
+          expr("sum(n_docs * abs(junk_rate_pm - mean_p_pm)) div sum(n_docs)").as("ece_pm"))))
+      .select(
+        col("bin").cast("long").as("bin"),
+        col("n_docs").cast("long").as("n_docs"),
+        col("n_junk").cast("long").as("n_junk"),
+        col("junk_rate_pm").cast("long").as("junk_rate_pm"),
+        col("mean_p_pm").cast("long").as("mean_p_pm"),
+        abs(col("junk_rate_pm") - col("mean_p_pm")).cast("long").as("gap_pm"),
+        col("ece_pm").cast("long").as("ece_pm"))
+  }
+
   private def a33_bradley_terry(s: SparkSession, d: String): DataFrame = {
     val pairs = c23_preference_pairs(s, d)
       .select(expr("chosen_doc % 8").as("w"), expr("rejected_doc % 8").as("l"))
@@ -1915,6 +1968,7 @@ object Curation extends QueryModule {
     "a31_classifier_auc" -> (a31_classifier_auc _),
     "a32_score_reliability" -> (a32_score_reliability _),
     "a33_bradley_terry" -> (a33_bradley_terry _),
+    "a34_calibration_ece" -> (a34_calibration_ece _),
     "c25_phase_census" -> (c25_phase_census _),
     "c24_shard_manifest" -> (c24_shard_manifest _),
     "c22_curriculum_batches" -> (c22_curriculum_batches _),
@@ -2062,6 +2116,29 @@ object Curation extends QueryModule {
                 CAST(pp.games AS BIGINT) AS games
          FROM pp JOIN r3 ON r3.p = pp.p
          ORDER BY rating_q DESC, player_id ASC""",
+    "a34_calibration_ece" ->
+      s"""WITH $c26ScSql,
+          sq AS (
+            SELECT CASE WHEN source = 'planted_junk' THEN 1 ELSE 0 END AS y,
+                   (1000 * (wsum + 64 * n_words)) // n_words - 64000 AS score_q
+            FROM sc),
+          pr AS (
+            SELECT y, least(greatest(8500 - (score_q + 64000) // 8, 0), 1000) AS p_junk_pm
+            FROM sq),
+          agg AS (
+            SELECT least(p_junk_pm // 200, 4) AS bin, count(*) AS n_docs, sum(y) AS n_junk,
+                   1000 * sum(y) // count(*) AS junk_rate_pm,
+                   sum(p_junk_pm) // count(*) AS mean_p_pm
+            FROM pr GROUP BY 1),
+          tot AS (SELECT sum(n_docs * abs(junk_rate_pm - mean_p_pm)) // sum(n_docs) AS ece_pm
+                  FROM agg)
+          SELECT CAST(bin AS BIGINT) AS bin, CAST(n_docs AS BIGINT) AS n_docs,
+                 CAST(n_junk AS BIGINT) AS n_junk,
+                 CAST(junk_rate_pm AS BIGINT) AS junk_rate_pm,
+                 CAST(mean_p_pm AS BIGINT) AS mean_p_pm,
+                 CAST(abs(junk_rate_pm - mean_p_pm) AS BIGINT) AS gap_pm,
+                 CAST(ece_pm AS BIGINT) AS ece_pm
+          FROM agg, tot""",
     "a32_score_reliability" ->
       s"""WITH $c26ScSql,
           sq AS (

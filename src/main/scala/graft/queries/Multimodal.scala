@@ -110,7 +110,12 @@ object Multimodal extends QueryModule {
     * size=0 to-EOF form (h mod 5 = 0) — parsed by a real recursive box
     * walker ([[graft.functions.MediaStub.decodeMp4]]) that fails loudly
     * on truncation, scope overrun, or a missing/duplicate/unknown-version
-    * mvhd. Header fields derive from the md5 of the original bytes, so
+    * mvhd. r19 adds the trak>mdia>minf>stbl descent: stsd yields the
+    * codec fourcc, stco yields REAL absolute chunk offsets (each must
+    * land inside the rawd payload — the walker refuses an offset into
+    * another box, the corrupt-container case), censused as
+    * codec/n_chunks/chunk_span. Header fields derive from the md5 of the
+    * original bytes, so
     * the oracle regenerates them arithmetically while the engine earns
     * them by walking boxes. Zero shuffle: typed mapPartitions, one row in
     * → one row out.
@@ -820,11 +825,15 @@ object Multimodal extends QueryModule {
                   600 * (1 + h % 8) AS timescale,
                   600 * (1 + h % 8) * (1 + (h // 7) % 300) + (h // 11) % (600 * (1 + h % 8)) AS duration,
                   (h // 13) % 4 + 1 AS n_tracks,
-                  nb AS payload_bytes
+                  nb AS payload_bytes,
+                  ['avc1', 'hev1', 'mp4v', 'av01'][CAST((h // 19) % 4 AS INT) + 1] AS codec,
+                  (h // 17) % 8 + 1 AS n_chunks
            FROM p)
          SELECT doc_id, version, timescale, duration,
                 1000 * duration // timescale AS duration_ms,
-                n_tracks, payload_bytes
+                n_tracks, payload_bytes, codec,
+                n_chunks,
+                (n_chunks - 1) * (payload_bytes // n_chunks) AS chunk_span
          FROM f""",
     "m12_wav_energy" ->
       """WITH p AS (

@@ -177,6 +177,40 @@ class MediaCodecSpec extends AnyFunSuite {
     })
   }
 
+  test("MP4 container: stsd/stco walk — codec fourcc, chunk count and REAL offsets round-trip; corrupt tables fail loudly") {
+    def idxOf(hay: Array[Byte], needle: String): Int = {
+      val n = needle.getBytes("US-ASCII")
+      hay.indices
+        .find(i => i + n.length <= hay.length && n.indices.forall(j => hay(i + j) == n(j)))
+        .get
+    }
+    checkProp(Prop.forAll(payloadGen) { case (id, bytes) =>
+      val h       = Md5Seed.prefixLong(bytes, 6)
+      val enc     = MediaStub.synthesizeMp4(MediaInput(id, bytes))
+      val f       = MediaStub.decodeMp4(enc)
+      val nChunks = (h / 17) % 8 + 1
+      val codecOk = f.codec == Seq("avc1", "hev1", "mp4v", "av01")((h / 19 % 4).toInt)
+      val tableOk = f.n_chunks == nChunks &&
+        f.chunk_span == (nChunks - 1) * (bytes.length.toLong / nChunks)
+      // the real stco box precedes the rawd payload, so the first ASCII
+      // match is the genuine box type (mvhd's numeric fields can't spell it)
+      val i = idxOf(enc.payload, "stco")
+      def loud(mut: Array[Byte] => Unit): Boolean = {
+        val bad = enc.payload.clone(); mut(bad)
+        try { MediaStub.decodeMp4(MediaInput(id, bad)); false }
+        catch { case _: IllegalArgumentException => true }
+      }
+      // declared entry count disagrees with the box extent (count <= 8, no wrap)
+      val countCorrupt = loud(b => b(i + 11) = (b(i + 11) + 1).toByte)
+      // first offset re-pointed at byte 0 — outside the rawd payload: the
+      // corrupt container a demuxer must refuse, not read another box's bytes
+      val rangeCorrupt = loud { b =>
+        b(i + 12) = 0; b(i + 13) = 0; b(i + 14) = 0; b(i + 15) = 0
+      }
+      codecOk && tableOk && countCorrupt && rangeCorrupt
+    })
+  }
+
   test("MP4 container: an unknown mvhd version fails loudly (a real sniffer must not guess field widths)") {
     checkProp(Prop.forAll(payloadGen) { case (id, bytes) =>
       val enc = MediaStub.synthesizeMp4(MediaInput(id, bytes))

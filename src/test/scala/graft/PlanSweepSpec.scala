@@ -95,6 +95,7 @@ class PlanSweepSpec extends AnyFunSuite with SparkTestBase {
     "s19l_hnsw_layers"       -> 1L, // s19j's shape: single-row query-vector + census broadcasts
     "s19m_graph_insert"      -> 1L, // s19j's shape: query-vector + 5 single-row insert censuses onto the 8-row beam
     "s19n_operating_curve"   -> 1L, // six single-row (n_scored x hits) census BNLJs, one per operating point
+    "a34_calibration_ece"    -> 1L, // single-row ECE census broadcast onto the <=5-bin frame
     "x45_tokenizer_fertility" -> 1L // embeds x37's single-row piece-mass total broadcast
   )
 

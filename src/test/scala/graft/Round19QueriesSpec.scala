@@ -90,4 +90,32 @@ class Round19QueriesSpec extends AnyFunSuite with SparkTestBase {
     // wide end converges) or the audit prices nothing
     assert(rows(4L -> 5L)._2 < rows(16L -> 5L)._2, "the curve must separate its endpoints")
   }
+
+  test("a34: clean mass sits near-calibrated, every junk bin is underconfident, and the ECE rollup is a real nonzero weighted sum") {
+    val rows = SparkEntry.queries("a34_calibration_ece")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val ece = rows.head.getAs[Long]("ece_pm")
+    assert(rows.forall(_.getAs[Long]("ece_pm") == ece), "census constant across rows")
+    assert(ece > 0L && ece < 100L,
+      s"junk is rare, so the weighted ECE must be small but nonzero: $ece")
+    val byBin = rows.map(r => r.getAs[Long]("bin") -> r).toMap
+    assert(byBin.contains(0L), "the clean mass must occupy the low-probability bin")
+    assert(byBin(0L).getAs[Long]("n_junk") == 0L, "no junk may look confidently clean")
+    assert(byBin(0L).getAs[Long]("gap_pm") < 100L, "bin 0 is nearly calibrated")
+    val junkBins = rows.filter(_.getAs[Long]("n_junk") > 0L)
+    assert(junkBins.nonEmpty, "the planted junk must land somewhere")
+    junkBins.foreach { r =>
+      // the expected miscalibration direction: observed junk rate exceeds
+      // the predicted probability — the squash UNDER-calls junk certainty
+      assert(r.getAs[Long]("junk_rate_pm") == 1000L, "junk bins hold only junk on this corpus")
+      assert(r.getAs[Long]("mean_p_pm") < r.getAs[Long]("junk_rate_pm"),
+        s"junk bin ${r.getAs[Long]("bin")} must be underconfident")
+      assert(r.getAs[Long]("bin") >= 2L, "junk must land in the predicted-junk half")
+    }
+    rows.foreach { r =>
+      assert(r.getAs[Long]("gap_pm") ==
+        math.abs(r.getAs[Long]("junk_rate_pm") - r.getAs[Long]("mean_p_pm")))
+      assert(r.getAs[Long]("mean_p_pm") >= 0L && r.getAs[Long]("mean_p_pm") <= 1000L)
+    }
+  }
 }
