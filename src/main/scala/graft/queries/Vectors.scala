@@ -627,27 +627,21 @@ object Vectors extends QueryModule {
 
   // ---- S19j: graph-routed ANN (the NSW/HNSW family) -------------------
 
-  private val JBands  = 6   // independent LSH band views (cross-cluster navigability)
-  private val JPlanes = 3   // planes per band → 8 buckets per view
-  private val JDeg    = 8   // degree bound M: top-M out-neighbors kept per node
-  private val JCap    = 256 // bucket occupancy cap (the m9/m10 discipline)
-  private val JPasses = 5   // fixed beam-search depth (measured convergence point)
+  // Graph-index machinery shared with the streaming ingest face — ONE
+  // construction for the batch build and its incremental maintenance
+  // (the MinHashOps precedent): [[graft.operators.KnnGraphOps]].
+  private val JBands  = graft.operators.KnnGraphOps.Bands
+  private val JPlanes = graft.operators.KnnGraphOps.Planes
+  private val JDeg    = graft.operators.KnnGraphOps.Deg
+  private val JCap    = graft.operators.KnnGraphOps.Cap
+  private val JPasses = 5 // fixed beam-search depth (measured convergence point)
 
   /** Integer-lattice component quantization (the floor(e·1024) lane every
     * quantized vector query here rides): exact in both engines — ×1024 is
     * an exponent shift, floor is IEEE-exact — and kept as array<double>
     * so [[VF.dot]] (codegen'd strict fold) computes the exact integer dot.
     */
-  private def quantArr(c: Column): Column =
-    transform(c.cast("array<double>"), x => floor(x * lit(1024)))
-
-  /** Band `b`'s hyperplanes: plane indices 100+3b+k so the md5 seeds never
-    * collide with s19b's planes 0..3; the oracle regenerates plane p via
-    * [[VF.duckdbPlaneSql]] with the same index.
-    */
-  private def jBandPlanes(b: Int): Seq[Seq[Double]] =
-    Seq.tabulate(JPlanes)(k =>
-      Seq.tabulate(Dim)(j => VF.hashUnit(s"${100 + 3 * b + k}_${j}")))
+  private def quantArr(c: Column): Column = graft.operators.KnnGraphOps.quantArr(c)
 
   /** The DEGREE-BOUNDED kNN neighbor graph substrate s19j routes over —
     * the index-build half of an NSW/HNSW-family ANN structure (Malkov–
@@ -701,15 +695,7 @@ object Vectors extends QueryModule {
     * the s19m insert PROBE hash into.
     */
   private def bandKeyed(base: DataFrame): DataFrame =
-    (0 until JBands)
-      .map(b =>
-        base.select(
-          lit(b).as("band"),
-          col("vec_id"),
-          col("qa"),
-          VF.signBits(col("embedding"), jBandPlanes(b)).as("bk")
-        ))
-      .reduce(_ unionByName _)
+    graft.operators.KnnGraphOps.bandKeyed(base)
 
   /** [[bandKeyed]] with the per-bucket occupancy cap applied (rank by
     * md5(vec_id) — the m9/m10 banding discipline). This frame IS the
@@ -718,16 +704,7 @@ object Vectors extends QueryModule {
     * the corpus.
     */
   private def bandCapped(base: DataFrame): DataFrame =
-    bandKeyed(base)
-      .withColumn(
-        "rn",
-        row_number().over(
-          Window
-            .partitionBy(col("band"), col("bk"))
-            .orderBy(substring(md5(col("vec_id").cast("string")), 1, 8).asc, col("vec_id").asc))
-      )
-      .filter(col("rn") <= JCap)
-      .drop("rn")
+    graft.operators.KnnGraphOps.bandCapped(base)
 
   /** The banded degree-bounded symmetric kNN graph over any
     * (vec_id, embedding, qa) base — see [[knnGraph]]'s scaladoc for the
@@ -740,32 +717,8 @@ object Vectors extends QueryModule {
     * (split from [[knnGraphOver]] so s19m can reuse the capped buckets as
     * the probe target).
     */
-  private def knnGraphFromCapped(capped: DataFrame): DataFrame = {
-      val pairs = capped
-        .join(
-          capped.select(col("band"), col("bk"), col("vec_id").as("v2"), col("qa").as("qa2")),
-          Seq("band", "bk"))
-        .filter(col("vec_id") =!= col("v2"))
-        .select(
-          col("vec_id").as("u"),
-          col("v2").as("v"),
-          VF.dot(col("qa"), col("qa2")).cast("long").as("sim_uv"))
-        // a pair met in several bands carries the same exact sim — max = the value
-        .groupBy(col("u"), col("v"))
-        .agg(max(col("sim_uv")).as("sim_uv"))
-      val directed = pairs
-        .withColumn(
-          "nrn",
-          row_number().over(Window.partitionBy(col("u")).orderBy(col("sim_uv").desc, col("v").asc)))
-        .filter(col("nrn") <= JDeg)
-        .select(col("u"), col("v"), col("sim_uv"))
-      // NSW/HNSW links are undirected: add each edge's reverse so a node
-      // chosen INTO someone's top-M is reachable FROM it too
-      directed
-        .unionByName(directed.select(col("v").as("u"), col("u").as("v"), col("sim_uv")))
-        .groupBy(col("u"), col("v"))
-        .agg(max(col("sim_uv")).as("sim_uv"))
-    }
+  private def knnGraphFromCapped(capped: DataFrame): DataFrame =
+    graft.operators.KnnGraphOps.graphFromCapped(capped)
 
   /** S19j — GRAPH-ROUTED ANN: fixed-depth beam search over the
     * degree-bounded kNN graph ([[knnGraph]]) — the NSW/HNSW-family query
@@ -992,29 +945,13 @@ object Vectors extends QueryModule {
     * corpus except the one memo-shared base index build.
     */
   private def s19m_graph_insert(s: SparkSession, d: String): DataFrame = {
+    import graft.operators.{KnnGraphOps => KG}
     val delta = embQa(s, d).filter(insertBatchPred)
-    val probed = bandKeyed(delta)
-      .join(
-        baseCapped(s, d)
-          .select(col("band"), col("bk"), col("vec_id").as("v2"), col("qa").as("qa2")),
-        Seq("band", "bk"))
-      .select(
-        col("vec_id").as("u"),
-        col("v2"),
-        VF.dot(col("qa"), col("qa2")).cast("long").as("sim_uv"))
-      .groupBy(col("u"), col("v2"))
-      .agg(max(col("sim_uv")).as("sim_uv"))
-    val newDirected = probed
-      .withColumn(
-        "nrn",
-        row_number().over(Window.partitionBy(col("u")).orderBy(col("sim_uv").desc, col("v2").asc)))
-      .filter(col("nrn") <= JDeg)
-      .select(col("u"), col("v2").as("v"), col("sim_uv"))
-    val newEdges = graft.Lineage.truncate(
-      newDirected
-        .unionByName(newDirected.select(col("v").as("u"), col("u").as("v"), col("sim_uv")))
-        .groupBy(col("u"), col("v"))
-        .agg(max(col("sim_uv")).as("sim_uv")))
+    val probed = KG.bucketPairs(
+      bandKeyed(delta),
+      baseCapped(s, d).select(col("band"), col("bk"), col("vec_id").as("v2"), col("qa").as("qa2")))
+    val newDirected = KG.topMLinks(probed)
+    val newEdges    = graft.Lineage.truncate(KG.symmetrize(newDirected))
     val nbrs = graft.Lineage.truncate(
       knnGraphBase(s, d)
         .unionByName(newEdges)

@@ -699,6 +699,77 @@ object StreamOps {
       }
       .start()
 
+  /** Streaming face of s19m's incremental ANN-index maintenance (the
+    * [[dedupIngest]] on-disk-index discipline applied to the kNN graph):
+    * the durable state is the graph index itself — `$indexPath/buckets`
+    * (the occupancy-capped band buckets, the probe target) and
+    * `$indexPath/edges` (the symmetric degree-bounded adjacency) — and
+    * each micro-batch of vectors is probed against the EXISTING buckets
+    * plus its own bucket-mates (cost ∝ batch × bucket occupancy, never
+    * index-wide), linked top-M both ways, and appended. The first batch
+    * therefore builds EXACTLY the batch construction
+    * ([[graft.operators.KnnGraphOps.graphFromCapped]] over its capped
+    * buckets — StreamOpsSpec pins frame equality), and later batches
+    * reproduce s19m's insert semantics plus intra-batch links (two new
+    * vectors arriving together may link to each other — dedupIngest's
+    * self-probe rationale). Bucket occupancy is capped against what is
+    * ALREADY on disk ([[graft.operators.KnnGraphOps.capAgainst]]) so a
+    * bucket never exceeds Cap across the index's lifetime, and the
+    * degree invariant |E| ≤ 2·M·n survives every batch (each new node
+    * adds ≤ M directed links, symmetrized).
+    *
+    * Exactly-once: a `meta` spine carries the last folded batch id (the
+    * [[cusumDailySink]] guard) — a replayed micro-batch is skipped
+    * instead of double-appending edges.
+    */
+  def knnGraphIngest(
+      vecs: DataFrame,
+      indexPath: String,
+      checkpoint: String
+  ): org.apache.spark.sql.streaming.StreamingQuery =
+    vecs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        import graft.operators.{KnnGraphOps => KG}
+        val spark = batch.sparkSession
+        val conf  = spark.sparkContext.hadoopConfiguration
+        def exists(p: String): Boolean = {
+          val hp = new org.apache.hadoop.fs.Path(p)
+          hp.getFileSystem(conf).exists(hp)
+        }
+        graft.io.TableIO.healParked(spark, s"$indexPath/meta")
+        val last =
+          if (!exists(s"$indexPath/meta")) -1L
+          else
+            spark.read
+              .parquet(s"$indexPath/meta")
+              .agg(coalesce(max(col("last_batch")), lit(-1L)))
+              .head
+              .getLong(0)
+        if (batchId > last) {
+          val bqa = batch
+            .select(col("vec_id"), col("embedding"), KG.quantArr(col("embedding")).as("qa"))
+            .localCheckpoint(true)
+          val keyed = KG.bandKeyed(bqa).localCheckpoint(true)
+          val existing =
+            if (exists(s"$indexPath/buckets")) spark.read.parquet(s"$indexPath/buckets")
+            else keyed.limit(0)
+          val occ        = existing.groupBy(col("band"), col("bk")).agg(count(lit(1)).as("n_occ"))
+          val newBuckets = KG.capAgainst(keyed, occ).localCheckpoint(true)
+          val target = existing
+            .unionByName(newBuckets)
+            .select(col("band"), col("bk"), col("vec_id").as("v2"), col("qa").as("qa2"))
+          val edges = KG.symmetrize(KG.topMLinks(KG.bucketPairs(newBuckets, target)))
+          edges.write.mode("append").parquet(s"$indexPath/edges")
+          newBuckets.write.mode("append").parquet(s"$indexPath/buckets")
+          graft.io.TableIO.writeParquet(
+            spark.range(1).select(lit(batchId).as("last_batch")),
+            s"$indexPath/meta")
+        }
+        ()
+      }
+      .start()
+
   final case class TransIn(user_id: Long, us: Long, event_id: Long, event_type: String)
   final case class TransPair(user_id: Long, from_type: String, to_type: String)
   final case class LastSeen(us: Long, event_id: Long, event_type: String)

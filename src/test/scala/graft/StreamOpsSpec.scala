@@ -1405,4 +1405,62 @@ class StreamOpsSpec extends AnyFunSuite with SparkTestBase {
       s"the alarm must fire on the drifting source only: ${alarmDays(live)}")
     assert(live.filter(_.getAs[String]("event_type") == "quiet").forall(_.getAs[Long]("alarm") == 0L))
   }
+
+  test("knnGraphIngest: batch 1 builds exactly the batch graph, the index survives a checkpointed restart, and stream-maintained recall ties the batch insert (s19m)") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.{KnnGraphOps => KG}
+    val sf  = "/root/testdata/sf0.001"
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val deltaPred = expr("conv(substr(md5(cast(vec_id as string)), 1, 6), 16, 10) % 16 = 3")
+    def rows(df: org.apache.spark.sql.DataFrame): Seq[(Long, Seq[Double])] =
+      df.select(col("vec_id"), col("embedding").cast("array<double>"))
+        .as[(Long, Seq[Double])].collect().toSeq
+    val baseRows  = rows(emb.filter(!deltaPred))
+    val deltaRows = rows(emb.filter(deltaPred))
+    val dir  = java.nio.file.Files.createTempDirectory("graft_knn_ingest").toString
+    val in   = MemoryStream[(Long, Seq[Double])]
+    def start() = StreamOps.knnGraphIngest(
+      in.toDF().toDF("vec_id", "embedding"), s"$dir/index", s"$dir/ckpt")
+
+    // run 1: the base corpus as one micro-batch, then STOP
+    val q1 = start()
+    try { in.addData(baseRows); q1.processAllAvailable() } finally q1.stop()
+    val streamedBase = spark.read.parquet(s"$dir/index/edges")
+    val batchBase = KG.graphFromCapped(KG.bandCapped(
+      emb.filter(!deltaPred)
+        .select(col("vec_id"), col("embedding"), KG.quantArr(col("embedding")).as("qa"))))
+    assert(streamedBase.exceptAll(batchBase).isEmpty && batchBase.exceptAll(streamedBase).isEmpty,
+      "first streamed batch must equal the batch construction bit-for-bit")
+
+    // run 2: NEW query from the same checkpoint inserts the delta batch —
+    // the on-disk index (not the query's memory) is the durable state
+    val q2 = start()
+    try { in.addData(deltaRows); q2.processAllAvailable() } finally q2.stop()
+    val edges = spark.read.parquet(s"$dir/index/edges")
+    // every inserted node attached (s19m's attach census, here as a set check)
+    val deltaIds    = deltaRows.map(_._1).toSet
+    val attachedIds = edges.select(col("u")).as[Long].collect().toSet
+    assert(deltaIds.subsetOf(attachedIds), "every inserted node must carry an edge")
+    // degree invariant across the stream's lifetime
+    val n = baseRows.size + deltaRows.size
+    assert(edges.count() <= 16L * n, "|E| <= 2·M·n must survive incremental ingest")
+    // stream-maintained recall ties the batch insert: the same 7-pass beam
+    // over the streamed edges finds the same number of exact-top-8 members
+    // as s19m reports (intra-batch delta links may only ADD reachability)
+    val beam  = KG.beamTopK(emb, edges, queryVecId = 0L, k = 8, passes = 7)
+    val exact = SparkEntry.queries("s19_knn_cosine")(spark, sf).select(col("vec_id")).as[Long].collect().toSet
+    val hits  = beam.select(col("vec_id")).as[Long].collect().count(exact)
+    val s19mRecall = SparkEntry.queries("s19m_graph_insert")(spark, sf)
+      .select(col("recall_pm")).head.getLong(0)
+    assert(1000L * hits / 8L >= s19mRecall,
+      s"stream-maintained recall ($hits/8) must tie or beat the batch insert ($s19mRecall pm)")
+    // replay guard: re-processing the same batch id must not double-append
+    val before = edges.count()
+    val q3 = start()
+    try { q3.processAllAvailable() } finally q3.stop()
+    assert(spark.read.parquet(s"$dir/index/edges").count() == before,
+      "a replayed/empty trigger must not grow the index")
+  }
 }
