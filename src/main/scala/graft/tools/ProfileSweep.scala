@@ -38,6 +38,16 @@ object ProfileSweep {
         tasks.incrementAndGet(); ()
       }
     })
+    // GRAFT_WARMUP=1: one untimed tiny-graph pass through the SAME code
+    // paths (LPA loop machinery on sf0.001) before the timed rounds —
+    // measures how much of the cold-round tax is shared JIT/planning
+    // infrastructure a generic warmup can absorb (r18 verdict #4).
+    if (sys.env.contains("GRAFT_WARMUP")) {
+      val t0 = System.nanoTime()
+      val n  = SparkEntry.queries("g4_summary_stub")(spark, "/root/testdata/sf0.001").collect().length
+      graft.Memo.clearAll()
+      println(f"[prof-sweep] warmup (sf0.001): ${(System.nanoTime() - t0) / 1e9}%.2f s rows=$n")
+    }
     (1 to 2).foreach { round =>
       graft.Memo.clearAll()
       val j0 = jobs.get; val s0 = stages.get; val k0 = tasks.get

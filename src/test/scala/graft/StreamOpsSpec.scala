@@ -1463,4 +1463,43 @@ class StreamOpsSpec extends AnyFunSuite with SparkTestBase {
     assert(spark.read.parquet(s"$dir/index/edges").count() == before,
       "a replayed/empty trigger must not grow the index")
   }
+
+  test("streaming soak: knnGraphIngest per-batch wall time stays flat as the index grows") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.functions.Md5Seed
+    val in  = MemoryStream[(Long, Seq[Double])]
+    val dir = java.nio.file.Files.createTempDirectory("graft_knn_soak").toString
+    val q = StreamOps.knnGraphIngest(
+      in.toDF().toDF("vec_id", "embedding"), s"$dir/index", s"$dir/ckpt")
+    try {
+      // md5-derived 64-d vectors, the g3 stub's recipe — deterministic
+      def vec(i: Long): Seq[Double] =
+        (0 until 64).map(j => Md5Seed.prefixLong(s"soak_${i}_$j", 6) / 16777216.0 - 0.5)
+      val perBatch = 16
+      val times = (0 until 12).map { b =>
+        val vs = (0 until perBatch).map(k => (b * 1000L + k, vec(b * 1000L + k)))
+        in.addData(vs: _*)
+        val t0 = System.nanoTime()
+        q.processAllAvailable()
+        (System.nanoTime() - t0) / 1e9
+      }
+      // the index grows 12× over the run; probe cost is ∝ batch × bucket
+      // occupancy (capped), so per-batch time must stay FLAT
+      def median(xs: Seq[Double]) = xs.sorted.apply(xs.size / 2)
+      val early = median(times.slice(1, 6))
+      val late  = median(times.slice(6, 12))
+      assert(
+        late <= early * 3.0,
+        s"per-batch time grew with index size: early=$early late=$late (${times.mkString(", ")})"
+      )
+      // every vector entered the bucket index exactly once per band view
+      val buckets = spark.read.parquet(s"$dir/index/buckets")
+      assert(buckets.count() == 12L * perBatch * graft.operators.KnnGraphOps.Bands)
+      // and the degree invariant holds across the whole run
+      assert(spark.read.parquet(s"$dir/index/edges").count() <=
+        16L * 12L * perBatch, "|E| <= 2·M·n across incremental growth")
+    } finally q.stop()
+  }
 }
