@@ -244,7 +244,10 @@ object Soak {
     // s19n shares s19j's memoized graph in Bench but re-pays the build
     // under the soak's per-cell clearAll (same capped-pair linear class);
     // the 15-pass sweep itself is scale-constant bounded frames
-    "s19n_operating_curve"
+    "s19n_operating_curve",
+    // s19o = 2x s19j's bounded beams over the same memoized graph (the
+    // soak re-pays the build per cell, same capped-pair linear class)
+    "s19o_multi_entry"
   )
 
   private[graft] def buildScaled(spark: SparkSession, src: String, out: String, n: Int): Unit = {

@@ -91,13 +91,49 @@ object MediaStub {
       raw ++ be32(adler.getValue)
   }
 
+  /** A REAL zlib stream around `raw` using one FIXED-HUFFMAN DEFLATE
+    * block (RFC 1951 §3.2.6: BFINAL=1, BTYPE=01, every byte emitted as a
+    * literal through the fixed literal/length code — 8-bit codes
+    * 0x30+L for L ≤ 143, 9-bit codes 0x190+(L−144) above, 7-bit
+    * end-of-block — header fields packed LSB-first, Huffman codes packed
+    * MSB-first per §3.1.1), adler32 trailer. A literal-only fixed block
+    * is fully legal DEFLATE; `Inflater` decodes it through its actual
+    * Huffman path rather than the stored-block shortcut.
+    */
+  private[graft] def zlibFixedHuffman(raw: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    var cur = 0
+    var nb  = 0
+    def put(bit: Int): Unit = {
+      cur |= (bit & 1) << nb; nb += 1
+      if (nb == 8) { out.write(cur); cur = 0; nb = 0 }
+    }
+    def putLsb(v: Int, n: Int): Unit  = (0 until n).foreach(i => put((v >>> i) & 1))
+    def putHuff(code: Int, n: Int): Unit = ((n - 1) to 0 by -1).foreach(i => put((code >>> i) & 1))
+    putLsb(1, 1) // BFINAL
+    putLsb(1, 2) // BTYPE = 01 (fixed Huffman)
+    raw.foreach { b0 =>
+      val l = b0 & 0xff
+      if (l <= 143) putHuff(0x30 + l, 8) else putHuff(0x190 + (l - 144), 9)
+    }
+    putHuff(0, 7)          // end-of-block (symbol 256)
+    if (nb > 0) out.write(cur) // zero-pad to the byte boundary
+    val adler = new java.util.zip.Adler32
+    adler.update(raw)
+    Array[Byte](0x78, 0x01) ++ out.toByteArray ++ be32(adler.getValue)
+  }
+
   /** SYNTHETIC-PAYLOAD step (declared in FIXTURES.md): wrap raw bytes in a
     * real (A)PNG container whose IHDR width/height and acTL frame count
     * derive from the md5 of the ORIGINAL bytes — the same arithmetic the
     * oracle regenerates. Bit depth 8 / color type 6 (RGBA), the original
     * bytes ride an `rAWd` private ancillary chunk, and the IDAT carries
-    * the md5-derived [[pixelBytes]] as a genuine stored-block zlib stream
-    * ([[zlibStored]]) so decode runs a real `Inflater`.
+    * the md5-derived [[pixelBytes]] as a genuine zlib stream — a
+    * stored-block frame ([[zlibStored]]) when h is even, a FIXED-HUFFMAN
+    * frame ([[zlibFixedHuffman]]) when h is odd, so both DEFLATE block
+    * types run through the real `Inflater` on every corpus (only
+    * dynamic-Huffman encoding remains out of scope, declared in
+    * FIXTURES.md).
     */
   def synthesizeContainer(in: MediaInput): MediaInput = {
     val h      = Md5Seed.prefixLong(in.payload, 6)
@@ -106,11 +142,13 @@ object MediaStub {
     val frames = 1 + (h / 11) % 120
     val ihdr   = be32(width) ++ be32(height) ++ Array[Byte](8, 6, 0, 0, 0)
     val actl   = be32(frames) ++ be32(0L) // num_frames, num_plays (APNG acTL)
+    val px     = pixelBytes(in.payload)
+    val idat   = if (h % 2 == 0) zlibStored(px) else zlibFixedHuffman(px)
     val bytes = PngSignature ++
       chunk("IHDR", ihdr) ++
       chunk("acTL", actl) ++
       chunk("rAWd", in.payload) ++
-      chunk("IDAT", zlibStored(pixelBytes(in.payload))) ++
+      chunk("IDAT", idat) ++
       chunk("IEND", Array.emptyByteArray)
     MediaInput(in.doc_id, bytes)
   }

@@ -117,6 +117,44 @@ class MediaCodecSpec extends AnyFunSuite {
     })
   }
 
+  test("PNG container: the fixed-Huffman encoder is bit-exact RFC 1951 — Inflater round-trips it to the same bytes as the stored form, and a corrupt Huffman body fails loudly under a re-patched chunk CRC") {
+    checkProp(Prop.forAll(payloadGen) { case (id, bytes) =>
+      val px = MediaStub.pixelBytes(bytes)
+      def inflate(z: Array[Byte]): Array[Byte] = {
+        val inf = new java.util.zip.Inflater()
+        inf.setInput(z)
+        val out = new Array[Byte](4096)
+        val n   = inf.inflate(out)
+        assert(inf.finished(), "stream must finish (adler verified)")
+        out.take(n)
+      }
+      val viaFixed  = inflate(MediaStub.zlibFixedHuffman(px))
+      val viaStored = inflate(MediaStub.zlibStored(px))
+      val roundTrip = viaFixed.sameElements(px) && viaStored.sameElements(px)
+      // and the fixed form is what an odd-hash container actually carries:
+      // full synthesize → decode agrees on pix_sum regardless of block type
+      val f      = MediaStub.decode(MediaStub.synthesizeContainer(MediaInput(id, bytes)))
+      val sumOk  = f.pix_sum == px.map(_ & 0xffL).sum
+      // corrupt one bit INSIDE the Huffman body (not header, not adler),
+      // re-patch the chunk CRC: only the real inflate path can catch it
+      val enc          = MediaStub.synthesizeContainer(MediaInput(id, bytes))
+      val (dOff, dLen) = findChunk(enc.payload, "IDAT")
+      val bad          = enc.payload.clone()
+      bad(dOff + dLen / 2) = (bad(dOff + dLen / 2) ^ 0x10).toByte
+      val crc = new java.util.zip.CRC32
+      crc.update(bad, dOff - 4, 4 + dLen)
+      val v = crc.getValue
+      bad(dOff + dLen) = (v >>> 24).toByte
+      bad(dOff + dLen + 1) = (v >>> 16).toByte
+      bad(dOff + dLen + 2) = (v >>> 8).toByte
+      bad(dOff + dLen + 3) = v.toByte
+      val loud =
+        try { MediaStub.decode(MediaInput(id, bad)); false }
+        catch { case _: IllegalArgumentException => true }
+      roundTrip && sumOk && loud
+    })
+  }
+
   test("PNG container: bytes trailing IEND fail loudly (fails-loudly contract covers the whole stream)") {
     checkProp(Prop.forAll(payloadGen) { case (id, bytes) =>
       val enc = MediaStub.synthesizeContainer(MediaInput(id, bytes))

@@ -96,6 +96,7 @@ class PlanSweepSpec extends AnyFunSuite with SparkTestBase {
     "s19m_graph_insert"      -> 1L, // s19j's shape: query-vector + 5 single-row insert censuses onto the 8-row beam
     "s19n_operating_curve"   -> 1L, // six single-row (n_scored x hits) census BNLJs, one per operating point
     "a34_calibration_ece"    -> 1L, // single-row ECE census broadcast onto the <=5-bin frame
+    "s19o_multi_entry"       -> 1L, // s19j's shape: single-row recall census onto the 8-row fused beam
     "x45_tokenizer_fertility" -> 1L // embeds x37's single-row piece-mass total broadcast
   )
 
@@ -125,7 +126,8 @@ class PlanSweepSpec extends AnyFunSuite with SparkTestBase {
     "s19j_graph_beam"      -> 8L, // rank window over the 8-row final beam only
     "s19k_retrieval_metrics" -> 8L, // s19j's embedded rank window over its 8-row beam
     "s19l_hnsw_layers"     -> 8L, // rank window over the 8-row final beam only
-    "s19m_graph_insert"    -> 8L // rank window over the 8-row final beam only
+    "s19m_graph_insert"    -> 8L, // rank window over the 8-row final beam only
+    "s19o_multi_entry"     -> 16L // rank window over the 8+8-row fused beam only
   )
 
   /** Queries allowed a BNLJ INSIDE a truncated/cache-pinned stage — plans
@@ -153,6 +155,7 @@ class PlanSweepSpec extends AnyFunSuite with SparkTestBase {
     "s19l_hnsw_layers"       -> 1L,  // per-pass single-row query-vector broadcast inside each truncated beam stage
     "s19m_graph_insert"      -> 1L,  // per-pass single-row query-vector broadcast inside each truncated beam stage
     "s19n_operating_curve"   -> 1L,  // per-pass single-row query-vector broadcast inside each truncated beam stage
+    "s19o_multi_entry"       -> 1L,  // per-pass single-row query-vector broadcast inside each truncated beam stage
     "x40_jl_recall"          -> 1L   // the anchor BNLJ lives in the Memo-shared jlDistances substrate
                                      // stage (truncated at construction, so x40's FINAL plan reads the
                                      // checkpoint; x39's unpinned twin stays in bnljBounded)

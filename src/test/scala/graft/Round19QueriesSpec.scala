@@ -91,6 +91,28 @@ class Round19QueriesSpec extends AnyFunSuite with SparkTestBase {
     assert(rows(4L -> 5L)._2 < rows(16L -> 5L)._2, "the curve must separate its endpoints")
   }
 
+  test("s19o: the second entry buys the 8th hit the single-entry beam never finds, and fusion never loses recall vs s19j") {
+    val rows = SparkEntry.queries("s19o_multi_entry")(spark, sf).collect()
+    assert(rows.length == 8)
+    val hits = rows.map(_.getAs[Long]("in_exact_topk")).sum
+    val flat = SparkEntry
+      .queries("s19j_graph_beam")(spark, sf)
+      .collect()
+      .map(_.getAs[Long]("in_exact_topk"))
+      .sum
+    assert(hits >= flat, s"fusion is a superset policy — it must not lose recall: $hits vs $flat")
+    // the motivating measurement: at the small SFs the antipodal entry
+    // finds the member s19j's entry never reaches (875 -> 1000 pm)
+    assert(hits == 8L, s"two entries must reach full recall on this corpus: $hits/8")
+    assert(rows.forall(_.getAs[Long]("recall_pm") == 1000L))
+    // provenance flags are meaningful: every row came from at least one
+    // beam, and BOTH beams contributed somewhere (else the fusion is moot)
+    rows.foreach(r =>
+      assert(r.getAs[Long]("from_a") + r.getAs[Long]("from_b") >= 1L, "unsourced fused row"))
+    assert(rows.exists(_.getAs[Long]("from_b") == 1L),
+      "entry B must contribute — otherwise the multi-entry story is dead weight")
+  }
+
   test("a34: clean mass sits near-calibrated, every junk bin is underconfident, and the ECE rollup is a real nonzero weighted sum") {
     val rows = SparkEntry.queries("a34_calibration_ece")(spark, sf).collect()
     assert(rows.nonEmpty)
