@@ -1498,6 +1498,67 @@ object Curation extends QueryModule {
         col("ece_pm").cast("long").as("ece_pm"))
   }
 
+  /** A35 — BRIER SCORE with the Murphy decomposition (Brier 1950; Murphy
+    * 1973's REL − RES + UNC partition — the proper-scoring-rule audit
+    * that complements a34's ECE: ECE prices |gap| alone, the Brier
+    * partition says whether the forecaster has SKILL (resolution above
+    * reliability) and how far it sits from the no-skill climatology
+    * forecast): per-doc squared error (p − 1000·y)² on the per-mille²
+    * lattice, decomposed over a34's 5 probability bins —
+    *   REL = Σ n_b(p̄_b − ȳ_b)²/N (miscalibration, ≥ 0),
+    *   RES = Σ n_b(ȳ_b − ȳ)²/N   (how much the bins separate),
+    *   UNC = ȳ(1000 − ȳ)          (corpus climatology, forecaster-free) —
+    * plus the within-bin variance residual (Stephenson et al. 2008's
+    * generalized terms; nonzero whenever p varies inside a bin, reported
+    * honestly instead of pretending the textbook identity closes under
+    * binning). Spec pins the skill claims: brier < unc (beats the
+    * climatology forecast) and res > rel (separation dominates
+    * miscalibration) — c26's classifier is skilled-but-miscalibrated,
+    * the same story a31 (AUC high) + a34 (underconfident) tell.
+    *
+    * Scale shape: rides [[c26ScoredDocs]] (fifth consumer, one compute);
+    * one corpus aggregate + one ≤5-bin aggregate + single-row census
+    * math. Squared-error sums ride decimal(38,0) (the a33 lane — 10¹²
+    * docs × 10⁶ pm² would wrap a long); every division sees positive
+    * operands (p and the squash are shifted nonnegative).
+    */
+  private def a35_brier_decomposition(s: SparkSession, d: String): DataFrame = {
+    val pr = c26ScoredDocs(s, d)
+      .select(
+        (col("source") === "planted_junk").cast("long").as("y"),
+        expr("(1000 * (wsum + 64 * n_words)) div n_words - 64000").as("score_q"))
+      .select(
+        col("y"),
+        expr("least(greatest(8500 - (score_q + 64000) div 8, 0), 1000)").as("p"))
+    val scal = pr.agg(
+      count(lit(1)).as("nt"),
+      expr("1000 * sum(y) div count(1)").as("ybar"),
+      expr("sum(cast((p - 1000 * y) * (p - 1000 * y) as decimal(38,0)))").as("bnum"))
+    val bins = pr
+      .groupBy(expr("least(p div 200, 4)").as("bin"))
+      .agg(
+        count(lit(1)).as("nb"),
+        expr("1000 * sum(y) div count(1)").as("yb"),
+        expr("sum(p) div count(1)").as("pb"))
+    bins
+      .crossJoin(broadcast(scal))
+      .agg(
+        expr("max(bnum) div max(nt)").cast("long").as("brier_pm2"),
+        expr("sum(cast(nb as decimal(38,0)) * (pb - yb) * (pb - yb)) div max(nt)")
+          .cast("long")
+          .as("rel_pm2"),
+        expr("sum(cast(nb as decimal(38,0)) * (yb - ybar) * (yb - ybar)) div max(nt)")
+          .cast("long")
+          .as("res_pm2"),
+        expr("max(ybar * (1000 - ybar))").cast("long").as("unc_pm2"))
+      .select(
+        col("brier_pm2"),
+        col("rel_pm2"),
+        col("res_pm2"),
+        col("unc_pm2"),
+        expr("brier_pm2 - (rel_pm2 - res_pm2 + unc_pm2)").as("resid_pm2"))
+  }
+
   private def a33_bradley_terry(s: SparkSession, d: String): DataFrame = {
     val pairs = c23_preference_pairs(s, d)
       .select(expr("chosen_doc % 8").as("w"), expr("rejected_doc % 8").as("l"))
@@ -1969,6 +2030,7 @@ object Curation extends QueryModule {
     "a32_score_reliability" -> (a32_score_reliability _),
     "a33_bradley_terry" -> (a33_bradley_terry _),
     "a34_calibration_ece" -> (a34_calibration_ece _),
+    "a35_brier_decomposition" -> (a35_brier_decomposition _),
     "c25_phase_census" -> (c25_phase_census _),
     "c24_shard_manifest" -> (c24_shard_manifest _),
     "c22_curriculum_batches" -> (c22_curriculum_batches _),
@@ -2116,6 +2178,34 @@ object Curation extends QueryModule {
                 CAST(pp.games AS BIGINT) AS games
          FROM pp JOIN r3 ON r3.p = pp.p
          ORDER BY rating_q DESC, player_id ASC""",
+    "a35_brier_decomposition" ->
+      s"""WITH $c26ScSql,
+          sq AS (
+            SELECT CASE WHEN source = 'planted_junk' THEN 1 ELSE 0 END AS y,
+                   (1000 * (wsum + 64 * n_words)) // n_words - 64000 AS score_q
+            FROM sc),
+          pr AS (
+            SELECT y, least(greatest(8500 - (score_q + 64000) // 8, 0), 1000) AS p
+            FROM sq),
+          n AS (SELECT count(*) AS nt, 1000 * sum(y) // count(*) AS ybar,
+                       sum((p - 1000 * y) * (p - 1000 * y)) AS bnum
+                FROM pr),
+          agg AS (
+            SELECT least(p // 200, 4) AS bin, count(*) AS nb,
+                   1000 * sum(y) // count(*) AS yb,
+                   sum(p) // count(*) AS pb
+            FROM pr GROUP BY 1),
+          dec AS (
+            SELECT sum(nb * (pb - yb) * (pb - yb)) // (SELECT nt FROM n) AS rel,
+                   sum(nb * (yb - (SELECT ybar FROM n)) * (yb - (SELECT ybar FROM n)))
+                     // (SELECT nt FROM n) AS res
+            FROM agg)
+          SELECT CAST(bnum // nt AS BIGINT) AS brier_pm2,
+                 CAST(rel AS BIGINT) AS rel_pm2,
+                 CAST(res AS BIGINT) AS res_pm2,
+                 CAST(ybar * (1000 - ybar) AS BIGINT) AS unc_pm2,
+                 CAST(bnum // nt - (rel - res + ybar * (1000 - ybar)) AS BIGINT) AS resid_pm2
+          FROM n, dec""",
     "a34_calibration_ece" ->
       s"""WITH $c26ScSql,
           sq AS (

@@ -1147,7 +1147,8 @@ object Vectors extends QueryModule {
     * vector-store operator runs before trusting an approximate index in
     * production; the per-query twin of x40's recall census): each
     * method's top-8 (exact s19 as the sanity row, LSH s19b, IVF s19c,
-    * graph-beam s19j) is re-ranked deterministically (score desc, vec_id
+    * graph-beam s19j, multi-entry fusion s19o) is re-ranked
+    * deterministically (score desc, vec_id
     * asc — identical in both engines because the scores themselves are
     * oracle-hash-equal) and scored against binary relevance = membership
     * in the exact top-8:
@@ -1179,6 +1180,8 @@ object Vectors extends QueryModule {
       .drop("score")
       .unionByName(
         s19j_graph_beam(s, d).select(lit("4_graph").as("method"), col("vec_id"), col("rank")))
+      .unionByName(
+        s19o_multi_entry(s, d).select(lit("5_fused").as("method"), col("vec_id"), col("rank")))
     val rel = s19_knn_cosine(s, d).select(col("vec_id"), lit(1L).as("rel"))
     rankedAll
       .join(broadcast(rel), Seq("vec_id"), "left")
@@ -1659,7 +1662,10 @@ object Vectors extends QueryModule {
     * chain from the maximal-md5 entry, fused by global top-K on the
     * shared lattice score, with per-row beam-provenance flags.
     */
-  private val s19oOracleSql: String = {
+  /** The entry-B (maximal-md5) beam chain on top of [[s19jLatticeSql]] —
+    * shared by the s19o oracle and s19k's fused-method row.
+    */
+  private val s19oBChainSql: String = {
     def passB(t: Int): String = {
       val prev = s"bb${t - 1}"
       s"""cb$t AS (SELECT vec_id FROM $prev
@@ -1669,11 +1675,15 @@ object Vectors extends QueryModule {
           ORDER BY sim_q DESC, vec_id LIMIT $K)"""
     }
     val passesB = (1 to JPasses).map(passB).mkString(",\n        ")
-    s"""WITH $s19jLatticeSql,
-        entryb AS (SELECT vec_id FROM v
+    s"""entryb AS (SELECT vec_id FROM v
                    ORDER BY substr(md5(CAST(vec_id AS VARCHAR)), 1, 8) DESC, vec_id DESC LIMIT 1),
         bb0 AS MATERIALIZED (SELECT qs.vec_id, qs.sim_q FROM qs JOIN entryb USING (vec_id)),
-        $passesB,
+        $passesB"""
+  }
+
+  private val s19oOracleSql: String = {
+    s"""WITH $s19jLatticeSql,
+        $s19oBChainSql,
         fused AS (
           SELECT vec_id, sim_q, max(from_a) AS from_a, max(from_b) AS from_b FROM (
             SELECT vec_id, sim_q, 1 AS from_a, 0 AS from_b FROM b$JPasses
@@ -2010,6 +2020,7 @@ object Vectors extends QueryModule {
     "s19o_multi_entry" -> s19oOracleSql,
     "s19k_retrieval_metrics" ->
       s"""WITH $s19jLatticeSql,
+          $s19oBChainSql,
           lshv AS (SELECT vec_id, e, $bucketKeySql AS bk
                    FROM (SELECT vec_id, embedding::DOUBLE[] AS e, embedding FROM embeddings)),
           lq AS (SELECT e AS qe, bk AS qbk FROM lshv WHERE vec_id = 0),
@@ -2042,7 +2053,14 @@ object Vectors extends QueryModule {
             UNION ALL
             SELECT '4_graph', vec_id,
                    CAST(row_number() OVER (ORDER BY sim_q DESC, vec_id) AS BIGINT)
-            FROM b$JPasses),
+            FROM b$JPasses
+            UNION ALL
+            SELECT '5_fused', vec_id,
+                   CAST(row_number() OVER (ORDER BY sim_q DESC, vec_id) AS BIGINT)
+            FROM (SELECT vec_id, sim_q FROM (
+                    SELECT vec_id, sim_q FROM b$JPasses
+                    UNION SELECT vec_id, sim_q FROM bb$JPasses)
+                  ORDER BY sim_q DESC, vec_id LIMIT $K)),
           flagged AS (
             SELECT method, rank,
                    CAST(CASE WHEN vec_id IN (SELECT vec_id FROM exact)

@@ -97,6 +97,7 @@ class PlanSweepSpec extends AnyFunSuite with SparkTestBase {
     "s19n_operating_curve"   -> 1L, // six single-row (n_scored x hits) census BNLJs, one per operating point
     "a34_calibration_ece"    -> 1L, // single-row ECE census broadcast onto the <=5-bin frame
     "s19o_multi_entry"       -> 1L, // s19j's shape: single-row recall census onto the 8-row fused beam
+    "a35_brier_decomposition" -> 1L, // single-row corpus-moments broadcast onto the <=5-bin frame
     "x45_tokenizer_fertility" -> 1L // embeds x37's single-row piece-mass total broadcast
   )
 
@@ -124,7 +125,7 @@ class PlanSweepSpec extends AnyFunSuite with SparkTestBase {
     "x33_stupid_backoff"   -> 1024L, // cumulative count over value-domain-bounded ppl-histogram bins (c25's shape)
     "x40_jl_recall"        -> 8L, // exact/projected rank windows, each over its top-8 only (s19h's shape)
     "s19j_graph_beam"      -> 8L, // rank window over the 8-row final beam only
-    "s19k_retrieval_metrics" -> 8L, // s19j's embedded rank window over its 8-row beam
+    "s19k_retrieval_metrics" -> 16L, // s19j's 8-row + s19o's 16-row fused rank windows, embedded
     "s19l_hnsw_layers"     -> 8L, // rank window over the 8-row final beam only
     "s19m_graph_insert"    -> 8L, // rank window over the 8-row final beam only
     "s19o_multi_entry"     -> 16L // rank window over the 8+8-row fused beam only

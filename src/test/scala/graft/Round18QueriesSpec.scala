@@ -72,7 +72,7 @@ class Round18QueriesSpec extends AnyFunSuite with SparkTestBase {
   test("s19k: the exact control row pins the metric arithmetic, and every metric stays in range") {
     val rows = SparkEntry.queries("s19k_retrieval_metrics")(spark, sf)
       .collect().map(r => r.getAs[String]("method") -> r).toMap
-    assert(rows.keySet == Set("1_exact", "2_lsh", "3_ivf", "4_graph"))
+    assert(rows.keySet == Set("1_exact", "2_lsh", "3_ivf", "4_graph", "5_fused"))
     val ex = rows("1_exact")
     assert(ex.getAs[Long]("hits") == 8L && ex.getAs[Long]("recall_pm") == 1000L &&
       ex.getAs[Long]("mrr_q") == 1000000L && ex.getAs[Long]("p_at_4_pm") == 1000L,
@@ -88,6 +88,8 @@ class Round18QueriesSpec extends AnyFunSuite with SparkTestBase {
     // the property the ladder's story rests on)
     assert(rows("4_graph").getAs[Long]("recall_pm") > rows("3_ivf").getAs[Long]("recall_pm"),
       "graph-beam must out-recall single-probe IVF here")
+    assert(rows("5_fused").getAs[Long]("recall_pm") >= rows("4_graph").getAs[Long]("recall_pm"),
+      "multi-entry fusion is a superset policy over the graph beam")
   }
 
   test("x44: the planted diverse source scores exactly 0 self-BLEU, natural sources score high — the gate separates") {

@@ -113,6 +113,27 @@ class Round19QueriesSpec extends AnyFunSuite with SparkTestBase {
       "entry B must contribute — otherwise the multi-entry story is dead weight")
   }
 
+  test("a35: the Brier partition shows skill — beats climatology, resolution dominates reliability, and the within-bin residual is honest") {
+    val r = SparkEntry.queries("a35_brier_decomposition")(spark, sf).collect()
+    assert(r.length == 1)
+    val row   = r.head
+    val brier = row.getAs[Long]("brier_pm2")
+    val rel   = row.getAs[Long]("rel_pm2")
+    val res   = row.getAs[Long]("res_pm2")
+    val unc   = row.getAs[Long]("unc_pm2")
+    val resid = row.getAs[Long]("resid_pm2")
+    assert(brier > 0L && brier < 1000000L)
+    // SKILL: the classifier must beat the no-skill climatology forecast
+    assert(brier < unc, s"Brier $brier must undercut climatology $unc")
+    // skilled-but-miscalibrated — the a31+a34 story in one partition
+    assert(res > rel, s"resolution $res must dominate reliability $rel")
+    assert(rel > 0L, "a34 measured real miscalibration; REL must see it too")
+    // the binned identity does NOT close (p varies within bins) — the
+    // residual is the honest within-bin variance term, not an error
+    assert(resid > 0L, s"within-bin residual must be positive here: $resid")
+    assert(brier == rel - res + unc + resid, "partition must reassemble exactly")
+  }
+
   test("a34: clean mass sits near-calibrated, every junk bin is underconfident, and the ECE rollup is a real nonzero weighted sum") {
     val rows = SparkEntry.queries("a34_calibration_ece")(spark, sf).collect()
     assert(rows.nonEmpty)
