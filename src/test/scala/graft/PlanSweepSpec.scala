@@ -156,7 +156,7 @@ class PlanSweepSpec extends AnyFunSuite with SparkTestBase {
     "s19l_hnsw_layers"       -> 1L,  // per-pass single-row query-vector broadcast inside each truncated beam stage
     "s19m_graph_insert"      -> 1L,  // per-pass single-row query-vector broadcast inside each truncated beam stage
     "s19n_operating_curve"   -> 1L,  // per-pass single-row query-vector broadcast inside each truncated beam stage
-    "s19o_multi_entry"       -> 1L,  // per-pass single-row query-vector broadcast inside each truncated beam stage
+                                     // (s19o's beam stages are Memo-attributed to s19k, the first builder)
     "x40_jl_recall"          -> 1L   // the anchor BNLJ lives in the Memo-shared jlDistances substrate
                                      // stage (truncated at construction, so x40's FINAL plan reads the
                                      // checkpoint; x39's unpinned twin stays in bnljBounded)
@@ -165,7 +165,9 @@ class PlanSweepSpec extends AnyFunSuite with SparkTestBase {
   /** Same, for global windows inside truncated stages. */
   private val truncatedGlobalWindowBounded: Map[String, Long] = Map(
     "g15_harmonic_centrality" -> 8L,  // region-bridge lead() over the ≤5-row region aggregate
-    "g4_summary_stub"         -> 128L // five-copy nation-ladder spine windows (25 vertices × 5 copies)
+    "g4_summary_stub"         -> 128L, // five-copy nation-ladder spine windows (25 vertices × 5 copies)
+    "s19k_retrieval_metrics"  -> 16L // s19o's fused rank window (<= 8+8 rows) built inside the memoized
+                                     // stage — attributed to s19k, the alphabetically-first builder
   )
 
   private def offenderTags(
