@@ -123,17 +123,129 @@ object MediaStub {
     Array[Byte](0x78, 0x01) ++ out.toByteArray ++ be32(adler.getValue)
   }
 
+  /** A REAL zlib stream around `raw` using one DYNAMIC-HUFFMAN DEFLATE
+    * block (RFC 1951 §3.2.7, BTYPE=10 — the third and last block type):
+    * a true frequency-built Huffman code over the literal alphabet
+    * (+ end-of-block), its code lengths transmitted through the
+    * 19-symbol code-length code in the spec's magic permutation order,
+    * zero runs compressed with symbols 17/18 (3/7 extra bits), two
+    * declared-but-unused length-1 distance codes forming a complete
+    * distance tree. The code-length code itself is a balanced complete
+    * canonical code (k = 2^L − n symbols at L−1, rest at L — Kraft sums
+    * to exactly 1, depth ≤ 5 < the 3-bit-field limit of 7). `Inflater`
+    * must parse BOTH transmitted trees to decode a single byte — the
+    * full dynamic path, not the fixed-table shortcut.
+    *
+    * Literal-only (no LZ77 back-references) is fully legal DEFLATE; the
+    * Huffman depth bound (15) cannot bind at this payload size (worst
+    * case depth grows ~log_φ of total weight; weight = |raw| + 1 ≤ 65
+    * here) and is asserted anyway.
+    */
+  private[graft] def zlibDynamicHuffman(raw: Array[Byte]): Array[Byte] = {
+    // --- true Huffman lengths over the literal alphabet + EOB ---
+    val freq = new Array[Long](257)
+    raw.foreach(b => freq(b & 0xff) += 1)
+    freq(256) = 1 // end-of-block
+    final case class Node(w: Long, sym: Int, l: Node, r: Node)
+    val ord = Ordering.by[Node, (Long, Int)](n => (n.w, n.sym))
+    val pq  = scala.collection.mutable.PriorityQueue.empty[Node](ord.reverse)
+    for (s <- 0 to 256 if freq(s) > 0) pq.enqueue(Node(freq(s), s, null, null))
+    val litLen = new Array[Int](257)
+    if (pq.size == 1) litLen(pq.head.sym) = 1 // degenerate single-symbol alphabet
+    else {
+      while (pq.size > 1) {
+        val a = pq.dequeue(); val b = pq.dequeue()
+        pq.enqueue(Node(a.w + b.w, math.min(a.sym, b.sym), a, b))
+      }
+      def depths(n: Node, d: Int): Unit =
+        if (n.l == null) litLen(n.sym) = math.max(d, 1)
+        else { depths(n.l, d + 1); depths(n.r, d + 1) }
+      depths(pq.dequeue(), 0)
+    }
+    require(litLen.forall(_ <= 15), "literal code depth exceeded 15 — payload contract broken")
+    val distLen = Array(1, 1) // complete, never-used distance tree
+    // --- canonical codes from lengths (RFC 1951 §3.2.2) ---
+    def canonical(lens: Array[Int]): Array[Int] = {
+      val maxL    = lens.max
+      val blCount = new Array[Int](maxL + 1)
+      lens.foreach(l => if (l > 0) blCount(l) += 1)
+      val nextCode = new Array[Int](maxL + 2)
+      var code     = 0
+      for (l <- 1 to maxL) { code = (code + blCount(l - 1)) << 1; nextCode(l) = code }
+      lens.map { l =>
+        if (l == 0) 0 else { val c = nextCode(l); nextCode(l) += 1; c }
+      }
+    }
+    val litCode = canonical(litLen)
+    // --- code-length-code symbol stream for litLen ++ distLen ---
+    val allLens = litLen ++ distLen
+    val clSyms  = scala.collection.mutable.ArrayBuffer.empty[(Int, Int, Int)] // (sym, extra, nbits)
+    var i = 0
+    while (i < allLens.length) {
+      if (allLens(i) == 0) {
+        var run = 0
+        while (i + run < allLens.length && allLens(i + run) == 0) run += 1
+        var left = run
+        while (left >= 11) { val t = math.min(left, 138); clSyms += ((18, t - 11, 7)); left -= t }
+        if (left >= 3) { clSyms += ((17, left - 3, 3)); left = 0 }
+        while (left > 0) { clSyms += ((0, 0, 0)); left -= 1 }
+        i += run
+      } else { clSyms += ((allLens(i), 0, 0)); i += 1 }
+    }
+    // --- balanced complete code for the code-length alphabet ---
+    val clUsed = clSyms.map(_._1).distinct.sorted
+    val n      = clUsed.size
+    val clLens = new Array[Int](19)
+    if (n == 1) clLens(clUsed.head) = 1
+    else {
+      val bigL = 32 - Integer.numberOfLeadingZeros(n - 1) // ceil(log2 n)
+      val k    = (1 << bigL) - n                          // symbols that get length bigL-1
+      clUsed.zipWithIndex.foreach { case (s, idx) =>
+        clLens(s) = if (idx < k) bigL - 1 else bigL
+      }
+    }
+    val clCode = canonical(clLens)
+    // --- bit stream ---
+    val out = new java.io.ByteArrayOutputStream()
+    var cur = 0
+    var nb  = 0
+    def put(bit: Int): Unit = {
+      cur |= (bit & 1) << nb; nb += 1
+      if (nb == 8) { out.write(cur); cur = 0; nb = 0 }
+    }
+    def putLsb(v: Int, w: Int): Unit  = (0 until w).foreach(j => put((v >>> j) & 1))
+    def putHuff(code0: Int, w: Int): Unit = ((w - 1) to 0 by -1).foreach(j => put((code0 >>> j) & 1))
+    putLsb(1, 1) // BFINAL
+    putLsb(2, 2) // BTYPE = 10 (dynamic)
+    putLsb(0, 5) // HLIT: 257 literal/length codes (covers 0..256)
+    putLsb(1, 5) // HDIST: 2 distance codes
+    val clOrder = Array(16, 17, 18, 0, 8, 7, 9, 6, 10, 5, 11, 4, 12, 3, 13, 2, 14, 1, 15)
+    val hclen   = math.max(4, clOrder.lastIndexWhere(s => clLens(s) > 0) + 1)
+    putLsb(hclen - 4, 4)
+    (0 until hclen).foreach(j => putLsb(clLens(clOrder(j)), 3))
+    clSyms.foreach { case (sym, extra, ebits) =>
+      putHuff(clCode(sym), clLens(sym))
+      if (ebits > 0) putLsb(extra, ebits)
+    }
+    raw.foreach(b => putHuff(litCode(b & 0xff), litLen(b & 0xff)))
+    putHuff(litCode(256), litLen(256)) // end of block
+    if (nb > 0) out.write(cur)
+    val adler = new java.util.zip.Adler32
+    adler.update(raw)
+    Array[Byte](0x78, 0x01) ++ out.toByteArray ++ be32(adler.getValue)
+  }
+
   /** SYNTHETIC-PAYLOAD step (declared in FIXTURES.md): wrap raw bytes in a
     * real (A)PNG container whose IHDR width/height and acTL frame count
     * derive from the md5 of the ORIGINAL bytes — the same arithmetic the
     * oracle regenerates. Bit depth 8 / color type 6 (RGBA), the original
     * bytes ride an `rAWd` private ancillary chunk, and the IDAT carries
-    * the md5-derived [[pixelBytes]] as a genuine zlib stream — a
-    * stored-block frame ([[zlibStored]]) when h is even, a FIXED-HUFFMAN
-    * frame ([[zlibFixedHuffman]]) when h is odd, so both DEFLATE block
-    * types run through the real `Inflater` on every corpus (only
-    * dynamic-Huffman encoding remains out of scope, declared in
-    * FIXTURES.md).
+    * the md5-derived [[pixelBytes]] as a genuine zlib stream — the
+    * DEFLATE block type rotates on h mod 3 across stored
+    * ([[zlibStored]]), fixed-Huffman ([[zlibFixedHuffman]]) and
+    * dynamic-Huffman ([[zlibDynamicHuffman]]) frames, so ALL THREE
+    * RFC 1951 block types run through the real `Inflater` on every
+    * corpus.
     */
   def synthesizeContainer(in: MediaInput): MediaInput = {
     val h      = Md5Seed.prefixLong(in.payload, 6)
@@ -142,8 +254,12 @@ object MediaStub {
     val frames = 1 + (h / 11) % 120
     val ihdr   = be32(width) ++ be32(height) ++ Array[Byte](8, 6, 0, 0, 0)
     val actl   = be32(frames) ++ be32(0L) // num_frames, num_plays (APNG acTL)
-    val px     = pixelBytes(in.payload)
-    val idat   = if (h % 2 == 0) zlibStored(px) else zlibFixedHuffman(px)
+    val px = pixelBytes(in.payload)
+    val idat = (h % 3) match {
+      case 0 => zlibStored(px)
+      case 1 => zlibFixedHuffman(px)
+      case _ => zlibDynamicHuffman(px)
+    }
     val bytes = PngSignature ++
       chunk("IHDR", ihdr) ++
       chunk("acTL", actl) ++

@@ -128,9 +128,11 @@ class MediaCodecSpec extends AnyFunSuite {
         assert(inf.finished(), "stream must finish (adler verified)")
         out.take(n)
       }
-      val viaFixed  = inflate(MediaStub.zlibFixedHuffman(px))
-      val viaStored = inflate(MediaStub.zlibStored(px))
-      val roundTrip = viaFixed.sameElements(px) && viaStored.sameElements(px)
+      val viaFixed   = inflate(MediaStub.zlibFixedHuffman(px))
+      val viaStored  = inflate(MediaStub.zlibStored(px))
+      val viaDynamic = inflate(MediaStub.zlibDynamicHuffman(px))
+      val roundTrip = viaFixed.sameElements(px) && viaStored.sameElements(px) &&
+        viaDynamic.sameElements(px)
       // and the fixed form is what an odd-hash container actually carries:
       // full synthesize → decode agrees on pix_sum regardless of block type
       val f      = MediaStub.decode(MediaStub.synthesizeContainer(MediaInput(id, bytes)))
