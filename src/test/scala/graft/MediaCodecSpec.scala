@@ -133,7 +133,7 @@ class MediaCodecSpec extends AnyFunSuite {
       val viaDynamic = inflate(MediaStub.zlibDynamicHuffman(px))
       val roundTrip = viaFixed.sameElements(px) && viaStored.sameElements(px) &&
         viaDynamic.sameElements(px)
-      // and the fixed form is what an odd-hash container actually carries:
+      // and whichever of the three forms this hash's container carries:
       // full synthesize → decode agrees on pix_sum regardless of block type
       val f      = MediaStub.decode(MediaStub.synthesizeContainer(MediaInput(id, bytes)))
       val sumOk  = f.pix_sum == px.map(_ & 0xffL).sum
