@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{CharNgrams, DotProduct, FixMojibake, MinHashSig, NormalizeNFKC, SortedIntersectSize, UnescapeHtml, WordNgrams, WordShingles, ZOrderKey}
+import graft.functions.{AbsDiffSumLong, CharNgrams, DotProduct, FixMojibake, GramHash6, MinHashSig, NormalizeNFKC, PhashPix, QuantDist2, QuantSignDot, SortedIntersectSize, SqDiffSumLong, UnescapeHtml, WinMin, WordNgrams, WordShingles, ZOrderKey}
 
 /** Session extension registering graft's native Catalyst expressions, wired
   * through `spark.sql.extensions` (see [[Engine.builder]]) the same way a
@@ -59,5 +59,20 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       ZOrderKey(e.head, e(1))
     )
     register(ext, "graft_minhash_sig", 1, classOf[MinHashSig].getName)(e => MinHashSig(e.head))
+    register(ext, "graft_qd2", 2, classOf[QuantDist2].getName)(e => QuantDist2(e.head, e(1)))
+    register(ext, "graft_l2sq_long", 2, classOf[SqDiffSumLong].getName)(e =>
+      SqDiffSumLong(e.head, e(1))
+    )
+    register(ext, "graft_sad_long", 2, classOf[AbsDiffSumLong].getName)(e =>
+      AbsDiffSumLong(e.head, e(1))
+    )
+    register(ext, "graft_qdot_long", 2, classOf[QuantSignDot].getName)(e =>
+      QuantSignDot(e.head, e(1))
+    )
+    register(ext, "graft_gram_h6", 3, classOf[GramHash6].getName)(e =>
+      GramHash6(e.head, e(1), e(2))
+    )
+    register(ext, "graft_win_min", 2, classOf[WinMin].getName)(e => WinMin(e.head, e(1)))
+    register(ext, "graft_phash_pix", 1, classOf[PhashPix].getName)(e => PhashPix(e.head))
   }
 }

@@ -659,14 +659,18 @@ object Curation extends QueryModule {
     * side (c3's hashed-key rule).
     */
   private def c15_cdc_chunks(s: SparkSession, d: String): DataFrame = {
-    val w = words(col("text"))
-    val n = size(w)
-    // boundary after word i (1-based, i ≥ 5) when h6(gram(i-4..i)) % 16 == 0
+    // boundary after word i (1-based, i ≥ 5) when h6(gram(i-4..i)) % 16 == 0.
+    // The per-word gram hashing rides the native graft_gram_h6 kernel
+    // (one byte-walk + digest per gram; value-pinned vs the old
+    // slice/join/md5 lambda by GramHashSpec) — gram ENDING at word i is
+    // array position i-4 of the start-indexed gram-hash array. The chunk
+    // re-hash below touches ~n/16 chunks, so it keeps the lambda form but
+    // reuses the already-split `ws` instead of re-splitting text per chunk.
     val bounds = when(
-      n >= 5,
+      col("n") >= 5,
       filter(
-        sequence(lit(5), n),
-        i => h6(array_join(slice(w, i - 4, lit(5)), " "), "|cdc") % 16 === 0
+        sequence(lit(5), col("n")),
+        i => element_at(col("gh"), i - 4) % 16 === 0
       )
     ).otherwise(array().cast("array<int>"))
     val starts = concat(array(lit(1)), transform(col("bounds"), b => b + 1))
@@ -676,12 +680,15 @@ object Curation extends QueryModule {
       zip_with(
         starts, ends,
         (st, en) =>
-          when(en >= st, h6(array_join(slice(words(col("text")), st, en - st + 1), " "), "|cdcch"))
+          when(en >= st, h6(array_join(slice(col("ws"), st, en - st + 1), " "), "|cdcch"))
       ),
       x => x.isNotNull
     )
     table(s, d, "documents")
-      .select(col("doc_id"), col("source"), col("text"), bounds.as("bounds"), n.as("n"))
+      .select(col("doc_id"), col("source"), words(col("text")).as("ws"))
+      .withColumn("n", size(col("ws")))
+      .withColumn("gh", expr("graft_gram_h6(ws, 5, '|cdc')"))
+      .select(col("doc_id"), col("source"), col("ws"), col("n"), bounds.as("bounds"))
       .select(col("doc_id"), col("source"), explode(chunkHashes).as("ch"))
       .groupBy(col("source"), col("ch"))
       .agg(count(lit(1)).as("occ"), countDistinct(col("doc_id")).as("n_docs_with"))

@@ -998,9 +998,14 @@ object Dedup extends QueryModule {
   /** The quantized squared-L2 expression template shared by the d21
     * family (brute and IVF-routed assignment).
     */
-  private val qd2 =
-    "aggregate(zip_with(%s, %s, (x, y) -> (floor(x * 1024) - floor(y * 1024)) " +
-      "* (floor(x * 1024) - floor(y * 1024))), 0L, (acc, v) -> acc + v)"
+  // graft_qd2 is the native codegen'd kernel for the template
+  //   aggregate(zip_with(a, b, (x, y) -> (floor(x * 1024) - floor(y * 1024))
+  //     * (floor(x * 1024) - floor(y * 1024))), 0L, (acc, v) -> acc + v)
+  // — identical long arithmetic and NULL semantics (QuantVec.scala), so the
+  // oracle SQL keeps the spelled-out form while Spark runs one tight loop
+  // per pair instead of an interpreted per-element lambda (the DotProduct
+  // rationale; the d21 pair gate evaluates this over every candidate pair).
+  private val qd2 = "graft_qd2(%s, %s)"
 
   /** The d21 family's fixture frame: every stored vector plus, for
     * vec_id < 20, a planted near-copy at −vec_id−1 with dim 1 shifted

@@ -375,11 +375,14 @@ object Multimodal extends QueryModule {
     val docs = table(s, d, "documents")
     val a    = docs.select(col("doc_id"), col("doc_id").as("src"), lit(false).as("pert"))
     val b    = docs.select((-col("doc_id") - 1).as("doc_id"), col("doc_id").as("src"), lit(true).as("pert"))
+    // graft_phash_pix is the native kernel for the md5 pixel stream
+    // (8 digests per image instead of 64 interpreted md5-lambda element
+    // evaluations; GramHashSpec pins value equality); the perturbation
+    // rides a cheap arithmetic transform on top — (pix + 128) % 256 equals
+    // the old (rawconv + 128) % 256 because pix = rawconv % 256.
     val pixExpr =
-      """transform(sequence(0, 63), i ->
-           (cast(conv(substr(md5(concat(cast(src as string), '|px', cast(i div 8 as string))),
-                      (i % 8) * 4 + 1, 2), 16, 10) as bigint)
-            + CASE WHEN pert AND i = cast(src % 64 AS int) THEN 128 ELSE 0 END) % 256)"""
+      """transform(graft_phash_pix(src), (x, i) ->
+           (x + CASE WHEN pert AND i = cast(src % 64 AS int) THEN 128 ELSE 0 END) % 256)"""
     val imgs = a
       .unionByName(b)
       .withColumn("pix", expr(pixExpr))
@@ -423,8 +426,12 @@ object Multimodal extends QueryModule {
       .join(img.select(col("doc_id").as("doc1"), col("bits").as("b1")), "doc1")
       .join(img.select(col("doc_id").as("doc2"), col("bits").as("b2")), "doc2")
       .withColumn(
+        // native kernel for aggregate(zip_with(b1, b2, (p, q) -> abs(p - q)),
+        // 0L, (acc, x) -> acc + x) — identical arithmetic + NULL semantics
+        // (QuantVec.scala), codegen'd instead of the interpreted lambda; the
+        // oracle keeps the spelled-out SQL.
         "hamming",
-        expr("aggregate(zip_with(b1, b2, (p, q) -> abs(p - q)), 0L, (acc, x) -> acc + x)")
+        expr("graft_sad_long(b1, b2)")
       )
       .filter(col("hamming") <= 6)
       .select(col("doc1"), col("doc2"), col("hamming"))
@@ -442,11 +449,14 @@ object Multimodal extends QueryModule {
     val a    = docs.select(col("doc_id"), col("doc_id").as("src"), lit(false).as("pert"))
     val b =
       docs.select((-col("doc_id") - 1).as("doc_id"), col("doc_id").as("src"), lit(true).as("pert"))
+    // graft_phash_pix is the native kernel for the md5 pixel stream
+    // (8 digests per image instead of 64 interpreted md5-lambda element
+    // evaluations; GramHashSpec pins value equality); the perturbation
+    // rides a cheap arithmetic transform on top — (pix + 128) % 256 equals
+    // the old (rawconv + 128) % 256 because pix = rawconv % 256.
     val pixExpr =
-      """transform(sequence(0, 63), i ->
-           (cast(conv(substr(md5(concat(cast(src as string), '|px', cast(i div 8 as string))),
-                      (i % 8) * 4 + 1, 2), 16, 10) as bigint)
-            + CASE WHEN pert AND i = cast(src % 64 AS int) THEN 128 ELSE 0 END) % 256)"""
+      """transform(graft_phash_pix(src), (x, i) ->
+           (x + CASE WHEN pert AND i = cast(src % 64 AS int) THEN 128 ELSE 0 END) % 256)"""
     val row = a
       .unionByName(b)
       .withColumn("pix", expr(pixExpr))
@@ -495,10 +505,9 @@ object Multimodal extends QueryModule {
     */
   private def m11_phash_recall(s: SparkSession, d: String): DataFrame = {
     val docs = table(s, d, "documents").select(col("doc_id").as("src"))
-    val pixExpr =
-      """transform(sequence(0, 63), i ->
-           cast(conv(substr(md5(concat(cast(src as string), '|px', cast(i div 8 as string))),
-                      (i % 8) * 4 + 1, 2), 16, 10) as bigint) % 256)"""
+    // native md5 pixel stream — see m10's pixExpr note (GramHashSpec pins
+    // value equality with the spelled-out conv/substr/md5 form)
+    val pixExpr = "graft_phash_pix(src)"
     val img = graft.Lineage.truncate(
       docs
         .withColumn("pix", expr(pixExpr))

@@ -210,21 +210,14 @@ object TextAnalysis extends QueryModule {
     // is a DESCENDING sequence, not an empty one.
     table(s, d, "documents")
       .select(col("doc_id"), words(col("text")).as("ws"))
-      .withColumn(
-        "hs",
-        expr(s"""CASE WHEN size(ws) >= $k
-                 THEN transform(sequence(0, size(ws) - $k),
-                        i -> cast(conv(substr(md5(array_join(slice(ws, i + 1, $k), ' ')), 1, 6), 16, 10) as bigint))
-                 ELSE cast(array() as array<bigint>) END""")
-      )
-      .withColumn(
-        "wins",
-        expr(s"""CASE WHEN size(hs) >= $w
-                 THEN transform(sequence(0, size(hs) - $w),
-                        j -> array_min(slice(hs, j + 1, $w)))
-                 WHEN size(hs) >= 1 THEN array(array_min(hs))
-                 ELSE cast(array() as array<bigint>) END""")
-      )
+      // graft_gram_h6 / graft_win_min are the native codegen'd kernels for
+      // the transform(sequence(...)) chains spelled out in the scaladoc
+      // (full windows only built in; GramHashSpec pins value equality) —
+      // one byte-walk + one digest per gram instead of an interpreted
+      // slice/join/md5 lambda per gram (the DotProduct rationale). The
+      // oracle keeps the spelled-out SQL.
+      .withColumn("hs", expr(s"graft_gram_h6(ws, $k, '')"))
+      .withColumn("wins", expr(s"graft_win_min(hs, $w)"))
       .select(
         col("doc_id"),
         size(col("hs")).cast("long").as("n_grams"),
@@ -281,22 +274,10 @@ object TextAnalysis extends QueryModule {
     val fps = graft.Lineage.truncate(
       corpus
         // full windows only — see x24's contract note (short docs yield
-        // zero grams/windows, never a partial-window hash)
-        .withColumn(
-          "hs",
-          expr(s"""CASE WHEN size(ws) >= $k
-                   THEN transform(sequence(0, size(ws) - $k),
-                          i -> cast(conv(substr(md5(array_join(slice(ws, i + 1, $k), ' ')), 1, 6), 16, 10) as bigint))
-                   ELSE cast(array() as array<bigint>) END""")
-        )
-        .withColumn(
-          "wins",
-          expr(s"""CASE WHEN size(hs) >= $w
-                   THEN transform(sequence(0, size(hs) - $w),
-                          j -> array_min(slice(hs, j + 1, $w)))
-                   WHEN size(hs) >= 1 THEN array(array_min(hs))
-                   ELSE cast(array() as array<bigint>) END""")
-        )
+        // zero grams/windows, never a partial-window hash); native kernels,
+        // value-pinned against the old transform chains by GramHashSpec
+        .withColumn("hs", expr(s"graft_gram_h6(ws, $k, '')"))
+        .withColumn("wins", expr(s"graft_win_min(hs, $w)"))
         .select(
           col("doc_id"),
           expr("array_distinct(hs)").as("grams"),

@@ -756,19 +756,33 @@ object Vectors extends QueryModule {
   /** Same, against an arbitrary single-row (qq = quantized query) frame —
     * s19m's self-recall beam queries an INSERTED vector, not vector 0.
     */
-  private def scoreAgainstVec(s: SparkSession, d: String, qq: DataFrame)(
+  private def scoreAgainstVec(s: SparkSession, d: String, qq: Seq[Long])(
       ids: DataFrame): DataFrame =
     table(s, d, "embeddings")
       .join(broadcast(ids), Seq("vec_id"))
-      .crossJoin(broadcast(qq))
-      .select(col("vec_id"), VF.dot(quantArr(col("embedding")), col("qq")).cast("long").as("sim_q"))
+      .select(
+        col("vec_id"),
+        VF.dot(quantArr(col("embedding")), typedlit(qq)).cast("long").as("sim_q"))
 
-  private def scoreAgainstQuery(s: SparkSession, d: String)(ids: DataFrame): DataFrame = {
-    val qq = table(s, d, "embeddings")
+  /** The ×1024-quantized query vector (vec 0), collected ONCE per query
+    * construction — bounded by contract (one row, 64 lattice longs; the
+    * GraphOps K=8 seed-collect discipline) — and folded into every beam
+    * pass as a LITERAL. Before this, each pass re-planned the qq subquery:
+    * one extra vector-table scan plus one broadcast build per pass, ~2
+    * driver-scheduled jobs of pure overhead × every pass of every beam
+    * chain (s19j 5, s19l 6, s19m 12, s19n 15, s19o 10). The scored values
+    * are identical: VF.dot cast the broadcast array<bigint> qq column to
+    * array<double> exactly as it casts this literal.
+    */
+  private def queryQq(s: SparkSession, d: String): Seq[Long] =
+    table(s, d, "embeddings")
       .filter(col("vec_id") === 0)
       .select(quantArr(col("embedding")).as("qq"))
-    scoreAgainstVec(s, d, qq)(ids)
-  }
+      .head
+      .getSeq[Long](0)
+
+  private def scoreAgainstQuery(s: SparkSession, d: String): DataFrame => DataFrame =
+    scoreAgainstVec(s, d, queryQq(s, d))
 
   /** One truncated beam pass: expand `beam`'s neighbors in `nbrs`, score
     * beam ∪ neighbors via `scorer`, keep the top-`width`.
@@ -786,10 +800,6 @@ object Vectors extends QueryModule {
       scorer(cand).orderBy(col("sim_q").desc, col("vec_id").asc).limit(width))
   }
 
-  private def beamPass(s: SparkSession, d: String, nbrs: DataFrame, width: Int)(
-      beam: DataFrame): DataFrame =
-    beamPassWith(nbrs, width, scoreAgainstQuery(s, d))(beam)
-
   private def s19j_graph_beam(s: SparkSession, d: String): DataFrame = {
     val e    = table(s, d, "embeddings")
     val nbrs = knnGraph(s, d)
@@ -797,8 +807,11 @@ object Vectors extends QueryModule {
       .select(col("vec_id"))
       .orderBy(substring(md5(col("vec_id").cast("string")), 1, 8).asc, col("vec_id").asc)
       .limit(1)
-    var beam = graft.Lineage.truncate(scoreAgainstQuery(s, d)(entry))
-    (1 to JPasses).foreach { _ => beam = beamPass(s, d, nbrs, K)(beam) }
+    // scorer built ONCE per query (see queryQq) — every pass reuses the
+    // literal-folded query vector instead of re-planning its subquery
+    val scorer = scoreAgainstQuery(s, d)
+    var beam   = graft.Lineage.truncate(scorer(entry))
+    (1 to JPasses).foreach { _ => beam = beamPassWith(nbrs, K, scorer)(beam) }
     val exact = s19_knn_cosine(s, d).select(col("vec_id").as("evid"), lit(1L).as("hit"))
     val flagged = beam
       .withColumn("rank", row_number().over(Window.orderBy(col("sim_q").desc, col("vec_id").asc)))
@@ -848,9 +861,10 @@ object Vectors extends QueryModule {
       .select(col("vec_id"))
       .orderBy(substring(md5(col("vec_id").cast("string")), 1, 8).asc, col("vec_id").asc)
       .limit(1)
-    var beam = graft.Lineage.truncate(scoreAgainstQuery(s, d)(entry))
-    (1 to 2).foreach { _ => beam = beamPass(s, d, nbrs1, K)(beam) } // coarse descent
-    (1 to 4).foreach { _ => beam = beamPass(s, d, nbrs0, K)(beam) } // fine search
+    val scorer = scoreAgainstQuery(s, d) // one literal-folded qq for all 6 passes
+    var beam   = graft.Lineage.truncate(scorer(entry))
+    (1 to 2).foreach { _ => beam = beamPassWith(nbrs1, K, scorer)(beam) } // coarse descent
+    (1 to 4).foreach { _ => beam = beamPassWith(nbrs0, K, scorer)(beam) } // fine search
     val exact = s19_knn_cosine(s, d).select(col("vec_id").as("evid"), lit(1L).as("hit"))
     val flagged = beam
       .withColumn("rank", row_number().over(Window.orderBy(col("sim_q").desc, col("vec_id").asc)))
@@ -961,16 +975,19 @@ object Vectors extends QueryModule {
       .select(col("vec_id"))
       .orderBy(substring(md5(col("vec_id").cast("string")), 1, 8).asc, col("vec_id").asc)
       .limit(1)
-    // query-0 beam on the merged graph
-    var beam = graft.Lineage.truncate(scoreAgainstQuery(s, d)(entry))
-    (1 to JInsPasses).foreach { _ => beam = beamPass(s, d, nbrs, K)(beam) }
+    // query-0 beam on the merged graph (scorer once — see queryQq)
+    val scorer = scoreAgainstQuery(s, d)
+    var beam   = graft.Lineage.truncate(scorer(entry))
+    (1 to JInsPasses).foreach { _ => beam = beamPassWith(nbrs, K, scorer)(beam) }
     // self-recall beam: query = the minimum-id inserted vector (5 passes
-    // suffice — measured self_found = 1 at both SFs)
-    val dqid   = delta.select(col("vec_id")).orderBy(col("vec_id").asc).limit(1)
-    val dq     = delta.orderBy(col("vec_id").asc).limit(1).select(col("qa").as("qq"))
-    val scorer = scoreAgainstVec(s, d, dq) _
-    var selfBeam = graft.Lineage.truncate(scorer(entry))
-    (1 to JPasses).foreach { _ => selfBeam = beamPassWith(nbrs, K, scorer)(selfBeam) }
+    // suffice — measured self_found = 1 at both SFs); its qa is collected
+    // once like queryQq (bounded: one row)
+    val dqid = delta.select(col("vec_id")).orderBy(col("vec_id").asc).limit(1)
+    val dq =
+      delta.orderBy(col("vec_id").asc).limit(1).select(col("qa")).head.getSeq[Long](0)
+    val selfScorer = scoreAgainstVec(s, d, dq) _
+    var selfBeam   = graft.Lineage.truncate(selfScorer(entry))
+    (1 to JPasses).foreach { _ => selfBeam = beamPassWith(nbrs, K, selfScorer)(selfBeam) }
     val exact = s19_knn_cosine(s, d).select(col("vec_id").as("evid"), lit(1L).as("hit"))
     val flagged = beam
       .withColumn("rank", row_number().over(Window.orderBy(col("sim_q").desc, col("vec_id").asc)))
@@ -1036,7 +1053,7 @@ object Vectors extends QueryModule {
       .orderBy(substring(md5(col("vec_id").cast("string")), 1, 8).asc, col("vec_id").asc)
       .limit(1)
     val exact  = s19_knn_cosine(s, d).select(col("vec_id"), lit(1L).as("hit"))
-    val scorer = scoreAgainstQuery(s, d) _
+    val scorer = scoreAgainstQuery(s, d) // one literal-folded qq for all 15 passes
     val snaps = Seq(4, 8, 16).flatMap { w =>
       var beam   = graft.Lineage.truncate(scorer(entry))
       var counts = List.empty[DataFrame]
@@ -1112,9 +1129,11 @@ object Vectors extends QueryModule {
       .select(col("vec_id"))
       .orderBy(substring(md5(col("vec_id").cast("string")), 1, 8).desc, col("vec_id").desc)
       .limit(1)
+    // one literal-folded qq shared by BOTH entry chains (see queryQq)
+    val scorer = scoreAgainstQuery(s, d)
     def runBeam(entry: DataFrame): DataFrame = {
-      var beam = graft.Lineage.truncate(scoreAgainstQuery(s, d)(entry))
-      (1 to JPasses).foreach { _ => beam = beamPass(s, d, nbrs, K)(beam) }
+      var beam = graft.Lineage.truncate(scorer(entry))
+      (1 to JPasses).foreach { _ => beam = beamPassWith(nbrs, K, scorer)(beam) }
       beam
     }
     val beamA = runBeam(entryA)
@@ -1366,12 +1385,25 @@ object Vectors extends QueryModule {
     * mod 2) − 1 derived per cell — derandomized, so both engines regenerate
     * the identical matrix and no matrix table needs to exist anywhere.
     */
-  private def jlExpr(c: String): String =
-    s"""transform(sequence(0, 15), i -> aggregate(
-          zip_with($c, sequence(0, 63), (x, p) ->
-            cast(floor(x * 1024) as bigint) *
-            (2 * (cast(conv(substr(md5(concat('jl', i, '#', p)), 1, 6), 16, 10) as bigint) % 2) - 1)),
-          cast(0 as bigint), (acc, v) -> acc + v))"""
+  private def jlExpr(c: String): String = {
+    // The 64×16 ±1 sign matrix is a CONSTANT — md5 of literal 'jl{i}#{p}'
+    // seeds — so it is folded to literal arrays at plan-construction time
+    // (the scaladoc above always declared this the production build; the
+    // VF.hashUnit/Md5Seed plane discipline applied to the JL matrix). The
+    // per-row work drops from 1024 interpreted md5+lambda evaluations to 16
+    // codegen'd 64-step integer dots (graft_qdot_long = the
+    // aggregate(zip_with(...)) fold, QuantVec.scala). Cell values are
+    // bit-identical: Md5Seed.prefixLong IS conv(substr(md5(s),1,6),16,10),
+    // and the oracle keeps regenerating the matrix in SQL.
+    val signRows = Seq.tabulate(16) { i =>
+      Seq.tabulate(64) { p =>
+        2L * (graft.functions.Md5Seed.prefixLong(s"jl$i#$p", 6) % 2L) - 1L
+      }.mkString("array(", "L, ", "L)")
+    }
+    signRows
+      .map(row => s"graft_qdot_long($c, $row)")
+      .mkString("array(", ", ", ")")
+  }
 
   /** X39 — Johnson–Lindenstrauss RANDOM-SIGN PROJECTION with a distortion
     * audit (Achlioptas 2003's database-friendly ±1 matrix — the
@@ -1433,15 +1465,12 @@ object Vectors extends QueryModule {
       .crossJoin(anchor)
       .select(
         col("vec_id"),
-        expr(
-          """aggregate(zip_with(embedding, ae, (x, y) ->
-               (floor(x * 1024) - floor(y * 1024)) * (floor(x * 1024) - floor(y * 1024))),
-             0L, (acc, v) -> acc + v)"""
-        ).as("d2_orig_q"),
-        expr(
-          """aggregate(zip_with(y, ay, (a, b) -> (a - b) * (a - b)),
-             0L, (acc, v) -> acc + v)"""
-        ).as("d2_proj_q")
+        // native kernels for the two aggregate(zip_with(...)) folds —
+        // identical long arithmetic + NULL semantics (QuantVec.scala), one
+        // codegen'd loop per row instead of the interpreted per-element
+        // lambda; the oracle keeps the spelled-out SQL.
+        expr("graft_qd2(embedding, ae)").as("d2_orig_q"),
+        expr("graft_l2sq_long(y, ay)").as("d2_proj_q")
       )
 
   /** X40 — kNN RECALL IN THE PROJECTED SPACE (the audit that makes x39's

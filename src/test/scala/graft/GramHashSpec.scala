@@ -1,0 +1,98 @@
+package graft
+
+import org.apache.spark.sql.functions.expr
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The GramHash native kernels (graft_gram_h6 / graft_win_min /
+  * graft_phash_pix) must be RESULT-IDENTICAL to the interpreted
+  * `transform(sequence(...))` SQL templates they replaced in x24/x25, c15
+  * and m10/m11 — gram windows, edge rules (short docs → empty / single
+  * global min) and every md5-derived value. Kernel and template run side
+  * by side on the same rows; any drift fails here before it can touch an
+  * oracle hash.
+  */
+class GramHashSpec extends AnyFunSuite with SparkTestBase {
+
+  private def assertSameArrays(rows: Array[org.apache.spark.sql.Row]): Unit = {
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      var i = 0
+      while (i < r.length) {
+        assert(r.isNullAt(i) == r.isNullAt(i + 1), s"null flags differ at $i: $r")
+        if (!r.isNullAt(i))
+          assert(r.getSeq[Long](i) == r.getSeq[Long](i + 1), s"arrays differ at $i: $r")
+        i += 2
+      }
+    }
+  }
+
+  // the x24/x25 hs template (k-gram md5-prefix hashes, full windows only)
+  private def hsTpl(k: Int, ws: String = "ws") =
+    s"""CASE WHEN size($ws) >= $k
+        THEN transform(sequence(0, size($ws) - $k),
+               i -> cast(conv(substr(md5(array_join(slice($ws, i + 1, $k), ' ')), 1, 6), 16, 10) as bigint))
+        ELSE cast(array() as array<bigint>) END"""
+
+  // the x24/x25 wins template (window-of-w minima with the short-doc rule)
+  private def winsTpl(w: Int, hs: String) =
+    s"""CASE WHEN size($hs) >= $w
+        THEN transform(sequence(0, size($hs) - $w), j -> array_min(slice($hs, j + 1, $w)))
+        WHEN size($hs) >= 1 THEN array(array_min($hs))
+        ELSE cast(array() as array<bigint>) END"""
+
+  test("graft_gram_h6 equals the x24 gram-hash template (salt '') and the c15 salted form") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(99)
+    val docs = Seq.tabulate(60) { i =>
+      val n = rnd.nextInt(40) // includes 0/1/2-word shorties below every k
+      Seq.fill(n)(s"w${rnd.nextInt(30)}").mkString(" ")
+    } :+ "" :+ "one" :+ "a b"
+    val df = docs.toDF("text").selectExpr("split(text, ' ') AS ws")
+    Seq(3, 5).foreach { k =>
+      assertSameArrays(
+        df.select(
+          expr(s"graft_gram_h6(ws, $k, '')"),
+          expr(hsTpl(k))
+        ).collect())
+    }
+    // c15's salted boundary-gram form: md5(concat(gram, '|cdc'))
+    val salted =
+      s"""CASE WHEN size(ws) >= 5
+          THEN transform(sequence(0, size(ws) - 5),
+                 i -> cast(conv(substr(md5(concat(array_join(slice(ws, i + 1, 5), ' '), '|cdc')), 1, 6), 16, 10) as bigint))
+          ELSE cast(array() as array<bigint>) END"""
+    assertSameArrays(
+      df.select(expr("graft_gram_h6(ws, 5, '|cdc')"), expr(salted)).collect())
+  }
+
+  test("graft_win_min equals the x24 window-minima template including both edge rules") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(5)
+    val df = (Seq.tabulate(50)(_ => Seq.fill(rnd.nextInt(20))(rnd.nextLong() & 0xffffffL)) ++
+      Seq(Seq.empty[Long], Seq(7L), Seq(3L, 1L, 2L)))
+      .toDF("hs")
+    assertSameArrays(
+      df.select(expr("graft_win_min(hs, 4)"), expr(winsTpl(4, "hs"))).collect())
+  }
+
+  test("graft_phash_pix equals the m11 pixel template, and m10's perturbed form composes identically") {
+    import spark.implicits._
+    val df = (Seq(0L, 1L, 63L, 64L, 12345L, 999999L) ++ Seq.tabulate(40)(i => i * 37L))
+      .toDF("src")
+      .selectExpr("src", "src % 2 = 0 AS pert")
+    val plainTpl =
+      """transform(sequence(0, 63), i ->
+           cast(conv(substr(md5(concat(cast(src as string), '|px', cast(i div 8 as string))),
+                      (i % 8) * 4 + 1, 2), 16, 10) as bigint) % 256)"""
+    assertSameArrays(df.select(expr("graft_phash_pix(src)"), expr(plainTpl)).collect())
+    val pertOld =
+      """transform(sequence(0, 63), i ->
+           (cast(conv(substr(md5(concat(cast(src as string), '|px', cast(i div 8 as string))),
+                      (i % 8) * 4 + 1, 2), 16, 10) as bigint)
+            + CASE WHEN pert AND i = cast(src % 64 AS int) THEN 128 ELSE 0 END) % 256)"""
+    val pertNew =
+      """transform(graft_phash_pix(src), (x, i) ->
+           (x + CASE WHEN pert AND i = cast(src % 64 AS int) THEN 128 ELSE 0 END) % 256)"""
+    assertSameArrays(df.select(expr(pertNew), expr(pertOld)).collect())
+  }
+}

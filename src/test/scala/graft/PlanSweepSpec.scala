@@ -151,12 +151,11 @@ class PlanSweepSpec extends AnyFunSuite with SparkTestBase {
     // BNLJs live only inside truncated/pinned stages now
     "g8d_leiden_refinement"  -> 8L,  // per-pass scalar spine (fixed/refined numerators; measured 4 rows)
     "x31_bpe_apply"          -> 1L,  // four single-row winning-pair broadcasts onto the vocab rewrites
-    "s19j_graph_beam"        -> 1L,  // per-pass single-row query-vector broadcast inside each truncated beam stage
-    "s19k_retrieval_metrics" -> 1L,  // the same beam stages when s19k builds them first (suite order / Memo attribution)
-    "s19l_hnsw_layers"       -> 1L,  // per-pass single-row query-vector broadcast inside each truncated beam stage
-    "s19m_graph_insert"      -> 1L,  // per-pass single-row query-vector broadcast inside each truncated beam stage
-    "s19n_operating_curve"   -> 1L,  // per-pass single-row query-vector broadcast inside each truncated beam stage
-                                     // (s19o's beam stages are Memo-attributed to s19k, the first builder)
+    // r19 OPTIMIZATION: the per-pass single-row query-vector BNLJ inside the
+    // s19j/s19l/s19m/s19n beam stages is GONE — the qq subquery is collected
+    // once per query and folded into the scorer as a literal (Vectors.queryQq),
+    // so those four entries were pruned by this suite's dead-entry ratchet.
+    "s19k_retrieval_metrics" -> 1L,  // s19o's census BNLJ in the beam stages s19k builds first (suite order / Memo attribution)
     "x40_jl_recall"          -> 1L   // the anchor BNLJ lives in the Memo-shared jlDistances substrate
                                      // stage (truncated at construction, so x40's FINAL plan reads the
                                      // checkpoint; x39's unpinned twin stays in bnljBounded)
