@@ -24,6 +24,22 @@ object Tuning {
     "spark.sql.codegen.factoryMode"    -> "NO_CODEGEN"
   )
 
+  /** The beam/frontier variant of the profile: every EXCHANGE inside a
+    * beam-pass job moves a frame bounded by query constants (beam width ×
+    * (degree bound + 1) × #tagged chains ≤ ~250 rows at ANY scale factor —
+    * the s19j family's contract), so 32 shuffle partitions + an AQE
+    * re-optimization loop per pass is pure driver overhead. Unlike
+    * [[ProfileConfs]], CODEGEN STAYS ON: each pass also contains a
+    * scale-bearing scan (the corpus-side of the broadcast score join),
+    * which is shuffle-free — its parallelism comes from input splits,
+    * untouched by `shuffle.partitions` — but needs compiled evaluation at
+    * real scale.
+    */
+  private val FrontierConfs = Seq(
+    "spark.sql.adaptive.enabled"   -> "false",
+    "spark.sql.shuffle.partitions" -> "1"
+  )
+
   /** Run `f` with interpreted (no-codegen), non-adaptive, single-partition
     * execution — correct ONLY for computations whose every frame is bounded
     * by a fixed dimension table. Results are identical (the flags change
@@ -52,11 +68,25 @@ object Tuning {
     */
   private val profileLock = new Object
 
-  def dimensionGraphProfile[T](spark: SparkSession)(f: => T): T = profileLock.synchronized {
-    val conf  = spark.conf
-    val saved = ProfileConfs.map { case (k, _) => k -> conf.getOption(k) }
-    ProfileConfs.foreach { case (k, v) => conf.set(k, v) }
-    try f
-    finally saved.foreach { case (k, v) => v.fold(conf.unset(k))(conf.set(k, _)) }
-  }
+  def dimensionGraphProfile[T](spark: SparkSession)(f: => T): T =
+    withConfs(spark, ProfileConfs)(f)
+
+  /** Scoped profile for BOUNDED-FRONTIER loops (the s19j/l/m/n/o beam
+    * passes): single-partition shuffles + no AQE, codegen kept on — see
+    * [[FrontierConfs]] for why this is scale-safe for exactly these loops.
+    * Same exclusive save/set/run/restore monitor as
+    * [[dimensionGraphProfile]] (reentrant, so nesting either profile on
+    * one thread is a no-op).
+    */
+  def boundedFrontierProfile[T](spark: SparkSession)(f: => T): T =
+    withConfs(spark, FrontierConfs)(f)
+
+  private def withConfs[T](spark: SparkSession, confs: Seq[(String, String)])(f: => T): T =
+    profileLock.synchronized {
+      val conf  = spark.conf
+      val saved = confs.map { case (k, _) => k -> conf.getOption(k) }
+      confs.foreach { case (k, v) => conf.set(k, v) }
+      try f
+      finally saved.foreach { case (k, v) => v.fold(conf.unset(k))(conf.set(k, _)) }
+    }
 }

@@ -215,8 +215,11 @@ object TextAnalysis extends QueryModule {
       // (full windows only built in; GramHashSpec pins value equality) —
       // one byte-walk + one digest per gram instead of an interpreted
       // slice/join/md5 lambda per gram (the DotProduct rationale). The
-      // oracle keeps the spelled-out SQL.
-      .withColumn("hs", expr(s"graft_gram_h6(ws, $k, '')"))
+      // oracle keeps the spelled-out SQL. coalesce(ws, array()): the
+      // kernel is null-intolerant where the template's CASE returned an
+      // EMPTY array for a NULL text — pin the template's semantics so a
+      // NULL document can never diverge from the oracle (r19 ADVICE).
+      .withColumn("hs", expr(s"graft_gram_h6(coalesce(ws, array()), $k, '')"))
       .withColumn("wins", expr(s"graft_win_min(hs, $w)"))
       .select(
         col("doc_id"),
@@ -275,8 +278,9 @@ object TextAnalysis extends QueryModule {
       corpus
         // full windows only — see x24's contract note (short docs yield
         // zero grams/windows, never a partial-window hash); native kernels,
-        // value-pinned against the old transform chains by GramHashSpec
-        .withColumn("hs", expr(s"graft_gram_h6(ws, $k, '')"))
+        // value-pinned against the old transform chains by GramHashSpec;
+        // coalesce = the template's NULL→empty semantics (see x24)
+        .withColumn("hs", expr(s"graft_gram_h6(coalesce(ws, array()), $k, '')"))
         .withColumn("wins", expr(s"graft_win_min(hs, $w)"))
         .select(
           col("doc_id"),

@@ -778,11 +778,51 @@ object Vectors extends QueryModule {
     table(s, d, "embeddings")
       .filter(col("vec_id") === 0)
       .select(quantArr(col("embedding")).as("qq"))
-      .head
+      .head(1)
+      .headOption
+      // NOTE the eager-collect side effect: query CONSTRUCTION runs one
+      // bounded Spark job; a corpus missing vec_id 0 fails here with an
+      // explicit error instead of an empty result (r19 ADVICE).
+      .getOrElse(throw new NoSuchElementException(
+        "query vector (vec_id=0) missing from embeddings"))
       .getSeq[Long](0)
 
   private def scoreAgainstQuery(s: SparkSession, d: String): DataFrame => DataFrame =
     scoreAgainstVec(s, d, queryQq(s, d))
+
+  /** One batched beam pass over a TAG-PARTITIONED frontier frame
+    * (tag, vec_id, sim_q): expand every tag's beam through `nbrs`, score
+    * the tagged candidate union in ONE broadcast join against the corpus
+    * (`sim` = the per-row score expression, which may branch on
+    * col("tag")), keep each tag's top-`width` by (sim_q desc, vec_id asc).
+    * Exactly equivalent to running the per-tag chains separately — tags
+    * never interact (cand, window rank and cut are all per-tag), and the
+    * per-tag window cut equals the solo chain's orderBy+limit because
+    * vec_id is unique, so the order is total — but the whole pass is ONE
+    * driver-scheduled materialization instead of one per tag (the r20
+    * "fold passes into tagged union frames" batching; cuts s19o's pass
+    * jobs 10→5 and s19m's 12→7).
+    */
+  private def taggedBeamPass(emb: DataFrame, nbrs: DataFrame, sim: Column, width: Int)(
+      state: DataFrame): DataFrame = {
+    val cand = state
+      .select(col("tag"), col("vec_id"))
+      .unionByName(
+        nbrs
+          .join(broadcast(state.select(col("tag"), col("vec_id").as("u"))), Seq("u"))
+          .select(col("tag"), col("v").as("vec_id")))
+      .distinct()
+    graft.Lineage.truncate(
+      emb
+        .join(broadcast(cand), Seq("vec_id"))
+        .select(col("tag"), col("vec_id"), sim.as("sim_q"))
+        .withColumn(
+          "rn",
+          row_number().over(
+            Window.partitionBy(col("tag")).orderBy(col("sim_q").desc, col("vec_id").asc)))
+        .filter(col("rn") <= width)
+        .drop("rn"))
+  }
 
   /** One truncated beam pass: expand `beam`'s neighbors in `nbrs`, score
     * beam ∪ neighbors via `scorer`, keep the top-`width`.
@@ -808,10 +848,17 @@ object Vectors extends QueryModule {
       .orderBy(substring(md5(col("vec_id").cast("string")), 1, 8).asc, col("vec_id").asc)
       .limit(1)
     // scorer built ONCE per query (see queryQq) — every pass reuses the
-    // literal-folded query vector instead of re-planning its subquery
+    // literal-folded query vector instead of re-planning its subquery.
+    // The pass loop runs under the bounded-frontier profile: every
+    // exchange in a pass moves ≤ K·(Deg+1) rows by construction, so
+    // 32-way shuffles + per-pass AQE re-planning were pure driver
+    // overhead (the r19 anti-scaling diagnosis).
     val scorer = scoreAgainstQuery(s, d)
-    var beam   = graft.Lineage.truncate(scorer(entry))
-    (1 to JPasses).foreach { _ => beam = beamPassWith(nbrs, K, scorer)(beam) }
+    val beam = graft.Tuning.boundedFrontierProfile(s) {
+      var b = graft.Lineage.truncate(scorer(entry))
+      (1 to JPasses).foreach { _ => b = beamPassWith(nbrs, K, scorer)(b) }
+      b
+    }
     val exact = s19_knn_cosine(s, d).select(col("vec_id").as("evid"), lit(1L).as("hit"))
     val flagged = beam
       .withColumn("rank", row_number().over(Window.orderBy(col("sim_q").desc, col("vec_id").asc)))
@@ -862,9 +909,12 @@ object Vectors extends QueryModule {
       .orderBy(substring(md5(col("vec_id").cast("string")), 1, 8).asc, col("vec_id").asc)
       .limit(1)
     val scorer = scoreAgainstQuery(s, d) // one literal-folded qq for all 6 passes
-    var beam   = graft.Lineage.truncate(scorer(entry))
-    (1 to 2).foreach { _ => beam = beamPassWith(nbrs1, K, scorer)(beam) } // coarse descent
-    (1 to 4).foreach { _ => beam = beamPassWith(nbrs0, K, scorer)(beam) } // fine search
+    val beam = graft.Tuning.boundedFrontierProfile(s) { // bounded passes — see s19j
+      var b = graft.Lineage.truncate(scorer(entry))
+      (1 to 2).foreach { _ => b = beamPassWith(nbrs1, K, scorer)(b) } // coarse descent
+      (1 to 4).foreach { _ => b = beamPassWith(nbrs0, K, scorer)(b) } // fine search
+      b
+    }
     val exact = s19_knn_cosine(s, d).select(col("vec_id").as("evid"), lit(1L).as("hit"))
     val flagged = beam
       .withColumn("rank", row_number().over(Window.orderBy(col("sim_q").desc, col("vec_id").asc)))
@@ -975,19 +1025,42 @@ object Vectors extends QueryModule {
       .select(col("vec_id"))
       .orderBy(substring(md5(col("vec_id").cast("string")), 1, 8).asc, col("vec_id").asc)
       .limit(1)
-    // query-0 beam on the merged graph (scorer once — see queryQq)
-    val scorer = scoreAgainstQuery(s, d)
-    var beam   = graft.Lineage.truncate(scorer(entry))
-    (1 to JInsPasses).foreach { _ => beam = beamPassWith(nbrs, K, scorer)(beam) }
-    // self-recall beam: query = the minimum-id inserted vector (5 passes
+    // self-recall query = the minimum-id inserted vector (5 passes
     // suffice — measured self_found = 1 at both SFs); its qa is collected
     // once like queryQq (bounded: one row)
     val dqid = delta.select(col("vec_id")).orderBy(col("vec_id").asc).limit(1)
-    val dq =
-      delta.orderBy(col("vec_id").asc).limit(1).select(col("qa")).head.getSeq[Long](0)
-    val selfScorer = scoreAgainstVec(s, d, dq) _
-    var selfBeam   = graft.Lineage.truncate(selfScorer(entry))
-    (1 to JPasses).foreach { _ => selfBeam = beamPassWith(nbrs, K, selfScorer)(selfBeam) }
+    val dq = delta
+      .orderBy(col("vec_id").asc)
+      .limit(1)
+      .select(col("qa"))
+      .head(1)
+      .headOption
+      .getOrElse(throw new NoSuchElementException("s19m: insert delta batch is empty"))
+      .getSeq[Long](0)
+    // The query-0 beam (7 passes) and the self-recall beam (5) ride ONE
+    // tag-partitioned frame for the shared 5 passes — each pass scores
+    // the tag's own query vector via the `when(tag)` branch — then the
+    // query tag alone runs its 2 extra passes: 7 (+1 entry)
+    // materializations instead of 12 (+2), per-tag results identical
+    // (see taggedBeamPass). The literal qq/dq folds are unchanged.
+    val e    = table(s, d, "embeddings")
+    val qq   = queryQq(s, d)
+    val simQ = VF.dot(quantArr(col("embedding")), typedlit(qq)).cast("long")
+    val simS = VF.dot(quantArr(col("embedding")), typedlit(dq)).cast("long")
+    val sim  = when(col("tag") === "q", simQ).otherwise(simS)
+    val (beam, selfBeam) = graft.Tuning.boundedFrontierProfile(s) {
+      val e0 = e.join(broadcast(entry), Seq("vec_id"))
+      var state = graft.Lineage.truncate(
+        e0.select(lit("q").as("tag"), col("vec_id"), simQ.as("sim_q"))
+          .unionByName(e0.select(lit("s").as("tag"), col("vec_id"), simS.as("sim_q"))))
+      (1 to JPasses).foreach { _ => state = taggedBeamPass(e, nbrs, sim, K)(state) }
+      val sBeam  = state.filter(col("tag") === "s") // frozen at its 5-pass budget
+      var qState = state.filter(col("tag") === "q")
+      (JPasses + 1 to JInsPasses).foreach { _ =>
+        qState = taggedBeamPass(e, nbrs, sim, K)(qState)
+      }
+      (qState, sBeam)
+    }
     val exact = s19_knn_cosine(s, d).select(col("vec_id").as("evid"), lit(1L).as("hit"))
     val flagged = beam
       .withColumn("rank", row_number().over(Window.orderBy(col("sim_q").desc, col("vec_id").asc)))
@@ -1052,40 +1125,67 @@ object Vectors extends QueryModule {
       .select(col("vec_id"))
       .orderBy(substring(md5(col("vec_id").cast("string")), 1, 8).asc, col("vec_id").asc)
       .limit(1)
-    val exact  = s19_knn_cosine(s, d).select(col("vec_id"), lit(1L).as("hit"))
-    val scorer = scoreAgainstQuery(s, d) // one literal-folded qq for all 15 passes
-    val snaps = Seq(4, 8, 16).flatMap { w =>
-      var beam   = graft.Lineage.truncate(scorer(entry))
-      var counts = List.empty[DataFrame]
+    val exact = s19_knn_cosine(s, d).select(col("vec_id"), lit(1L).as("hit"))
+    val e     = table(s, d, "embeddings")
+    val qq    = queryQq(s, d) // one literal-folded qq for all passes
+    val sim   = VF.dot(quantArr(col("embedding")), typedlit(qq)).cast("long")
+    // The 3-width sweep rides ONE width-tagged frame: 5 batched passes
+    // (+1 entry materialization) instead of 15 (+3). Each pass expands,
+    // scores and cuts every width in one materialization — widths never
+    // interact (cand, window rank and the rn ≤ beam_w cut are all
+    // per-width, and the cut equals the solo chain's orderBy+limit under
+    // the same total order). The per-pass candidate count rides the state
+    // as a CUMULATIVE column (nsc), so each snapshot row reads off the
+    // already-materialized checkpoint instead of re-executing a lazy
+    // per-pass count plan at result time.
+    val widths = Seq(4L, 8L, 16L)
+    val wPart  = Window.partitionBy(col("beam_w"))
+    val wRank  = wPart.orderBy(col("sim_q").desc, col("vec_id").asc)
+    val snaps = graft.Tuning.boundedFrontierProfile(s) {
+      var state = graft.Lineage.truncate(
+        e.join(broadcast(entry), Seq("vec_id"))
+          .select(col("vec_id"), sim.as("sim_q"), explode(typedlit(widths)).as("beam_w"))
+          .withColumn("nsc", lit(0L)))
       (1 to 5).flatMap { t =>
-        val cand = beam
-          .select(col("vec_id"))
+        val cand = state
+          .select(col("beam_w"), col("vec_id"))
           .unionByName(
             nbrs
-              .join(broadcast(beam.select(col("vec_id").as("u"))), Seq("u"))
-              .select(col("v").as("vec_id")))
+              .join(broadcast(state.select(col("beam_w"), col("vec_id").as("u"))), Seq("u"))
+              .select(col("beam_w"), col("v").as("vec_id")))
           .distinct()
-        beam = graft.Lineage.truncate(
-          scorer(cand).orderBy(col("sim_q").desc, col("vec_id").asc).limit(w))
-        counts ::= cand.agg(count(lit(1)).as("c"))
-        if (t != 3 && t != 5) None
-        else {
-          val nScored = counts.reduce(_ unionByName _).agg(sum(col("c")).as("n_scored"))
-          val hits = beam
-            .join(broadcast(exact), Seq("vec_id"), "left")
-            .agg(coalesce(sum(col("hit")), lit(0L)).as("hits"))
-          Some(
-            nScored
-              .crossJoin(broadcast(hits))
-              .select(
-                lit(w.toLong).as("beam_w"),
-                lit(t.toLong).as("n_passes"),
-                col("n_scored").cast("long").as("n_scored"),
-                expr(s"1000 * hits div $K").as("recall_pm")))
-        }
+        val nsPrev = state.groupBy(col("beam_w")).agg(min(col("nsc")).as("nsc0"))
+        state = graft.Lineage.truncate(
+          e.join(broadcast(cand), Seq("vec_id"))
+            .select(col("beam_w"), col("vec_id"), sim.as("sim_q"))
+            .withColumn("pc", count(lit(1)).over(wPart))
+            .withColumn("rn", row_number().over(wRank))
+            .filter(col("rn") <= col("beam_w"))
+            .join(broadcast(nsPrev), Seq("beam_w"))
+            .select(
+              col("beam_w"),
+              col("vec_id"),
+              col("sim_q"),
+              (col("nsc0") + col("pc")).as("nsc")))
+        if (t != 3 && t != 5) None else Some((t, state))
       }
     }
-    snaps.reduce(_ unionByName _).orderBy(col("beam_w").asc, col("n_passes").asc)
+    snaps
+      .map { case (t, snap) =>
+        snap
+          .join(broadcast(exact), Seq("vec_id"), "left")
+          .groupBy(col("beam_w"))
+          .agg(
+            min(col("nsc")).as("n_scored"),
+            coalesce(sum(col("hit")), lit(0L)).as("hits"))
+          .select(
+            col("beam_w"),
+            lit(t.toLong).as("n_passes"),
+            col("n_scored").cast("long").as("n_scored"),
+            expr(s"1000 * hits div $K").as("recall_pm"))
+      }
+      .reduce(_ unionByName _)
+      .orderBy(col("beam_w").asc, col("n_passes").asc)
   }
 
   /** S19o — MULTI-ENTRY graph beam search (the standard production answer
@@ -1129,19 +1229,28 @@ object Vectors extends QueryModule {
       .select(col("vec_id"))
       .orderBy(substring(md5(col("vec_id").cast("string")), 1, 8).desc, col("vec_id").desc)
       .limit(1)
-    // one literal-folded qq shared by BOTH entry chains (see queryQq)
-    val scorer = scoreAgainstQuery(s, d)
-    def runBeam(entry: DataFrame): DataFrame = {
-      var beam = graft.Lineage.truncate(scorer(entry))
-      (1 to JPasses).foreach { _ => beam = beamPassWith(nbrs, K, scorer)(beam) }
-      beam
+    // one literal-folded qq shared by BOTH entry chains (see queryQq).
+    // Both chains ride ONE tag-partitioned frame: 5 batched passes
+    // (+1 entry materialization) instead of 10 (+2) — per-tag results
+    // identical (see taggedBeamPass).
+    val qq  = queryQq(s, d)
+    val sim = VF.dot(quantArr(col("embedding")), typedlit(qq)).cast("long")
+    val beams = graft.Tuning.boundedFrontierProfile(s) {
+      var state = graft.Lineage.truncate(
+        e.join(broadcast(entryA), Seq("vec_id"))
+          .select(lit("a").as("tag"), col("vec_id"), sim.as("sim_q"))
+          .unionByName(
+            e.join(broadcast(entryB), Seq("vec_id"))
+              .select(lit("b").as("tag"), col("vec_id"), sim.as("sim_q"))))
+      (1 to JPasses).foreach { _ => state = taggedBeamPass(e, nbrs, sim, K)(state) }
+      state
     }
-    val beamA = runBeam(entryA)
-    val beamB = runBeam(entryB)
-    val fused = beamA
-      .select(col("vec_id"), col("sim_q"), lit(1L).as("from_a"), lit(0L).as("from_b"))
-      .unionByName(
-        beamB.select(col("vec_id"), col("sim_q"), lit(0L).as("from_a"), lit(1L).as("from_b")))
+    val fused = beams
+      .select(
+        col("vec_id"),
+        col("sim_q"),
+        when(col("tag") === "a", 1L).otherwise(0L).as("from_a"),
+        when(col("tag") === "b", 1L).otherwise(0L).as("from_b"))
       .groupBy(col("vec_id"), col("sim_q"))
       .agg(max(col("from_a")).as("from_a"), max(col("from_b")).as("from_b"))
       .orderBy(col("sim_q").desc, col("vec_id").asc)

@@ -65,6 +65,22 @@ class GramHashSpec extends AnyFunSuite with SparkTestBase {
       df.select(expr("graft_gram_h6(ws, 5, '|cdc')"), expr(salted)).collect())
   }
 
+  test("NULL ws: the coalesce'd call-site form preserves the template's empty-array rule") {
+    // The kernel itself is null-intolerant (NULL array in → NULL out), but
+    // the x24/x25 templates' CASE returned an EMPTY array for a NULL text
+    // (size(NULL) never satisfies >= k) — so the call sites wrap the input
+    // in coalesce(ws, array()) to pin the template's semantics (r19 ADVICE).
+    val df = spark.sql(
+      "SELECT cast(null as array<string>) AS ws UNION ALL SELECT split('a b c d', ' ') AS ws")
+    assertSameArrays(
+      df.select(
+        expr("graft_gram_h6(coalesce(ws, array()), 3, '')"),
+        expr(hsTpl(3))
+      ).collect())
+    // and the raw kernel's null-intolerance is intentional, not accidental
+    assert(df.select(expr("graft_gram_h6(ws, 3, '')")).collect().exists(_.isNullAt(0)))
+  }
+
   test("graft_win_min equals the x24 window-minima template including both edge rules") {
     import spark.implicits._
     val rnd = new scala.util.Random(5)
