@@ -22,6 +22,11 @@ object Tuning {
     "spark.sql.shuffle.partitions"     -> "1",
     "spark.sql.codegen.wholeStage"     -> "false",
     "spark.sql.codegen.factoryMode"    -> "NO_CODEGEN"
+    // MEASURED AND REJECTED (r20): autoBroadcastJoinThreshold=-1 here cuts
+    // the per-pass broadcast-build jobs (48→37 jobs on the g4 sweep
+    // prefix) but the replacement single-partition SMJs add interpreted
+    // sort+exchange stages (105→113) and the warm chain got SLOWER
+    // (5.67 s → 6.41 s, ProfileSweep round 2). Broadcasts stay.
   )
 
   /** The beam/frontier variant of the profile: every EXCHANGE inside a

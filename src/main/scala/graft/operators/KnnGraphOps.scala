@@ -94,11 +94,36 @@ object KnnGraphOps {
       .filter(col("rn") <= Cap)
       .drop("rn")
 
-  /** Pair join + top-M + symmetrize over an already-capped bucket frame. */
-  def graphFromCapped(capped: DataFrame): DataFrame =
-    symmetrize(topMLinks(bucketPairs(
-      capped,
-      capped.select(col("band"), col("bk"), col("vec_id").as("v2"), col("qa").as("qa2")))))
+  /** Pair join + top-M + symmetrize over an already-capped bucket frame.
+    *
+    * The self-join is SYMMETRIC and the exact sim is symmetric (a_i·b_i =
+    * b_i·a_i exactly in IEEE, same strict fold order), so candidate pairs
+    * are generated ONCE per unordered pair (vec_id < v2) and mirrored
+    * AFTER the max-over-bands aggregate — half the pair-join output, half
+    * the dot evaluations, half the (u, v2) aggregate shuffle of the
+    * both-directions join this replaces (guide §2.3: shuffle fewer
+    * bytes). The mirrored frame contains exactly the rows the
+    * both-directions form produced (max-then-mirror = mirror-then-max),
+    * so topMLinks/symmetrize see identical input. [[bucketPairs]] keeps
+    * the general probe≠target form for the s19m/stream ingest path, where
+    * the two sides are disjoint and no mirror exists.
+    */
+  def graphFromCapped(capped: DataFrame): DataFrame = {
+    val half = capped
+      .join(
+        capped.select(col("band"), col("bk"), col("vec_id").as("v2"), col("qa").as("qa2")),
+        Seq("band", "bk"))
+      .filter(col("vec_id") < col("v2"))
+      .select(
+        col("vec_id").as("u"),
+        col("v2"),
+        VF.dot(col("qa"), col("qa2")).cast("long").as("sim_uv"))
+      .groupBy(col("u"), col("v2"))
+      .agg(max(col("sim_uv")).as("sim_uv"))
+    val pairs = half.unionByName(
+      half.select(col("v2").as("u"), col("u").as("v2"), col("sim_uv")))
+    symmetrize(topMLinks(pairs))
+  }
 
   /** Bucket-mate candidate pairs between a probe side and a target side
     * (equi-join on (band, bk), self-pairs dropped, exact sim computed in
