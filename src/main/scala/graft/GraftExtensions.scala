@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{AbsDiffSumLong, CharNgrams, DotProduct, FixMojibake, GramHash6, MinHashSig, NormalizeNFKC, PhashPix, QuantDist2, QuantSignDot, SortedIntersectSize, SqDiffSumLong, UnescapeHtml, WinMin, WordNgrams, WordShingles, ZOrderKey}
+import graft.functions.{AbsDiffSumLong, BandKeys, CharNgrams, DotProduct, FixMojibake, FlipBits, GramHash14, GramHash6, MinHashSig, NormalizeNFKC, PhashBits, PhashPix, QuantDist2, QuantSignDot, SortedIntersectSize, SqDiffSumLong, UnescapeHtml, WinMin, WordNgrams, WordShingles, ZOrderKey}
 
 /** Session extension registering graft's native Catalyst expressions, wired
   * through `spark.sql.extensions` (see [[Engine.builder]]) the same way a
@@ -74,5 +74,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     )
     register(ext, "graft_win_min", 2, classOf[WinMin].getName)(e => WinMin(e.head, e(1)))
     register(ext, "graft_phash_pix", 1, classOf[PhashPix].getName)(e => PhashPix(e.head))
+    register(ext, "graft_gram_h14", 3, classOf[GramHash14].getName)(e =>
+      GramHash14(e.head, e(1), e(2))
+    )
+    register(ext, "graft_phash_bits", 2, classOf[PhashBits].getName)(e =>
+      PhashBits(e.head, e(1))
+    )
+    register(ext, "graft_band_keys", 1, classOf[BandKeys].getName)(e => BandKeys(e.head))
+    register(ext, "graft_flip_bits", 4, classOf[FlipBits].getName)(e =>
+      FlipBits(e.head, e(1), e(2), e(3))
+    )
   }
 }

@@ -172,11 +172,22 @@ object KnnGraphOps {
       k: Int,
       passes: Int): DataFrame = {
     val qa = emb.select(col("vec_id"), col("embedding"), quantArr(col("embedding")).as("qa"))
-    val qq = qa.filter(col("vec_id") === queryVecId).select(col("qa").as("qq"))
+    // query vector collected ONCE (bounded by contract: one row, 64 lattice
+    // longs) and folded into every pass as a literal — the batch side's
+    // Vectors.queryQq discipline; the old per-pass crossJoin(broadcast(qq))
+    // re-planned a vector-table scan + broadcast build each pass. Identical
+    // scores: VF.dot casts the literal exactly as it cast the qq column.
+    val qq = qa
+      .filter(col("vec_id") === queryVecId)
+      .select(col("qa"))
+      .head(1)
+      .headOption
+      .getOrElse(throw new NoSuchElementException(
+        s"beamTopK: query vector (vec_id=$queryVecId) missing"))
+      .getSeq[Long](0)
     def score(ids: DataFrame): DataFrame =
       qa.join(broadcast(ids.select(col("vec_id"))), Seq("vec_id"))
-        .crossJoin(broadcast(qq))
-        .select(col("vec_id"), VF.dot(col("qa"), col("qq")).cast("long").as("sim_q"))
+        .select(col("vec_id"), VF.dot(col("qa"), typedlit(qq)).cast("long").as("sim_q"))
     val entry = qa
       .select(col("vec_id"))
       .orderBy(substring(md5(col("vec_id").cast("string")), 1, 8).asc, col("vec_id").asc)

@@ -1772,24 +1772,17 @@ object Curation extends QueryModule {
         ).as("ws")
       )
     val corpus = base.unionByName(planted)
+    // Per-position gram keys ride the native graft_gram_h14 kernel (one
+    // byte-walk + digest per gram, codegen'd) instead of an interpreted
+    // slice/concat_ws/md5 lambda per position — same values by the
+    // GramHashSpec pin (14 hex digits = conv(substr(md5(gram), 1, 14),
+    // 16, 10), gram = space-joined full k-window); array index i ↔
+    // position i+1, recovered via posexplode. The oracle keeps the
+    // spelled-out SQL.
     val pos = corpus
       .filter(size(col("ws")) >= k)
-      .select(
-        col("doc_id"),
-        explode(
-          transform(
-            sequence(lit(1), size(col("ws")) - (k - 1)),
-            i =>
-              struct(
-                i.as("pos"),
-                conv(substring(md5(concat_ws(" ", slice(col("ws"), i, lit(k)))), 1, 14), 16, 10)
-                  .cast("long")
-                  .as("gk")
-              )
-          )
-        ).as("pg")
-      )
-      .select(col("doc_id"), col("pg.pos").as("pos"), col("pg.gk").as("gk"))
+      .select(col("doc_id"), posexplode(expr(s"graft_gram_h14(ws, $k, '')")))
+      .select(col("doc_id"), (col("pos") + 1).as("pos"), col("col").as("gk"))
     // distinct (doc, gram) rows, so counting them per gram IS docs-per-gram
     val docsPerGram = pos.select(col("doc_id"), col("gk")).distinct()
       .groupBy("gk").agg(count(lit(1)).as("n_docs"))

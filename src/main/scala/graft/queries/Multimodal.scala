@@ -375,24 +375,19 @@ object Multimodal extends QueryModule {
     val docs = table(s, d, "documents")
     val a    = docs.select(col("doc_id"), col("doc_id").as("src"), lit(false).as("pert"))
     val b    = docs.select((-col("doc_id") - 1).as("doc_id"), col("doc_id").as("src"), lit(true).as("pert"))
-    // graft_phash_pix is the native kernel for the md5 pixel stream
-    // (8 digests per image instead of 64 interpreted md5-lambda element
-    // evaluations; GramHashSpec pins value equality); the perturbation
-    // rides a cheap arithmetic transform on top — (pix + 128) % 256 equals
-    // the old (rawconv + 128) % 256 because pix = rawconv % 256.
-    val pixExpr =
-      """transform(graft_phash_pix(src), (x, i) ->
-           (x + CASE WHEN pert AND i = cast(src % 64 AS int) THEN 128 ELSE 0 END) % 256)"""
+    // graft_phash_bits fuses the whole per-image chain — md5 pixel stream
+    // (8 digests), the single-pixel perturbation ((pix + 128) % 256 at
+    // src % 64 when pert), the mean fold and the bit threshold — into ONE
+    // codegen'd call where the old chain ran three interpreted HOF lambdas
+    // per image on top of graft_phash_pix; graft_band_keys folds the 4 ×
+    // 16-bit LSH keys the same way. GramHashSpec pins value equality with
+    // the spelled-out templates; the oracle keeps the spelled-out SQL.
     val imgs = a
       .unionByName(b)
-      .withColumn("pix", expr(pixExpr))
-      .withColumn("mean_q", expr("aggregate(pix, 0L, (acc, x) -> acc + x) div 64"))
-      .withColumn("bits", expr("transform(pix, x -> CASE WHEN x > mean_q THEN 1L ELSE 0L END)"))
       .withColumn(
-        "bk",
-        expr("""transform(sequence(0, 3), b ->
-                  aggregate(slice(bits, b * 16 + 1, 16), 0L, (acc, x) -> acc * 2 + x))""")
-      )
+        "bits",
+        expr("graft_phash_bits(src, IF(pert, cast(src % 64 AS int), -1))"))
+      .withColumn("bk", expr("graft_band_keys(bits)"))
       .select(col("doc_id"), col("bits"), col("bk"))
     val img = graft.Lineage.truncate(imgs)
     val bands = img
@@ -449,26 +444,13 @@ object Multimodal extends QueryModule {
     val a    = docs.select(col("doc_id"), col("doc_id").as("src"), lit(false).as("pert"))
     val b =
       docs.select((-col("doc_id") - 1).as("doc_id"), col("doc_id").as("src"), lit(true).as("pert"))
-    // graft_phash_pix is the native kernel for the md5 pixel stream
-    // (8 digests per image instead of 64 interpreted md5-lambda element
-    // evaluations; GramHashSpec pins value equality); the perturbation
-    // rides a cheap arithmetic transform on top — (pix + 128) % 256 equals
-    // the old (rawconv + 128) % 256 because pix = rawconv % 256.
-    val pixExpr =
-      """transform(graft_phash_pix(src), (x, i) ->
-           (x + CASE WHEN pert AND i = cast(src % 64 AS int) THEN 128 ELSE 0 END) % 256)"""
+    // graft_phash_bits/graft_band_keys — see m10 (value-pinned fused kernels)
     val row = a
       .unionByName(b)
-      .withColumn("pix", expr(pixExpr))
-      .withColumn("mean_q", expr("aggregate(pix, 0L, (acc, x) -> acc + x) div 64"))
-      .withColumn("bits", expr("transform(pix, x -> CASE WHEN x > mean_q THEN 1L ELSE 0L END)"))
-      .select(
-        col("doc_id"),
-        posexplode(
-          expr("""transform(sequence(0, 3), b ->
-                    aggregate(slice(bits, b * 16 + 1, 16), 0L, (acc, x) -> acc * 2 + x))""")
-        )
-      )
+      .withColumn(
+        "bits",
+        expr("graft_phash_bits(src, IF(pert, cast(src % 64 AS int), -1))"))
+      .select(col("doc_id"), posexplode(expr("graft_band_keys(bits)")))
       .select(col("pos").as("band"), col("col").as("key"))
       .groupBy(col("band"), col("key"))
       .agg(count(lit(1)).as("occ"))
@@ -505,14 +487,12 @@ object Multimodal extends QueryModule {
     */
   private def m11_phash_recall(s: SparkSession, d: String): DataFrame = {
     val docs = table(s, d, "documents").select(col("doc_id").as("src"))
-    // native md5 pixel stream — see m10's pixExpr note (GramHashSpec pins
-    // value equality with the spelled-out conv/substr/md5 form)
-    val pixExpr = "graft_phash_pix(src)"
+    // graft_phash_bits — the fused native aHash chain (see m10); the flip
+    // geometry and band keys ride graft_flip_bits / graft_band_keys, all
+    // value-pinned against the spelled-out templates by GramHashSpec
     val img = graft.Lineage.truncate(
       docs
-        .withColumn("pix", expr(pixExpr))
-        .withColumn("mean_q", expr("aggregate(pix, 0L, (acc, x) -> acc + x) div 64"))
-        .withColumn("bits", expr("transform(pix, x -> CASE WHEN x > mean_q THEN 1L ELSE 0L END)"))
+        .withColumn("bits", expr("graft_phash_bits(src, -1)"))
         .withColumn("f", (col("src") % 12 + 1).cast("int"))
         // per-image flip GEOMETRY: arithmetic progression (start + j·step)
         // mod 64 with md5-derived start and ODD step (odd ⇒ the f ≤ 12
@@ -532,25 +512,9 @@ object Multimodal extends QueryModule {
             "2 * (cast(conv(substr(md5(concat(cast(src as string), '|st')), 1, 4), 16, 10) as bigint) % 32) + 1"
           )
         )
-        .withColumn(
-          "flips",
-          expr("transform(sequence(0, f - 1), j -> cast((fstart + j * fstep) % 64 as int))")
-        )
-        .withColumn(
-          "bits2",
-          expr("""transform(sequence(0, 63), i ->
-                    CASE WHEN array_contains(flips, i) THEN 1L - bits[i] ELSE bits[i] END)""")
-        )
-        .withColumn(
-          "bk",
-          expr("""transform(sequence(0, 3), b ->
-                    aggregate(slice(bits, b * 16 + 1, 16), 0L, (acc, x) -> acc * 2 + x))""")
-        )
-        .withColumn(
-          "bk2",
-          expr("""transform(sequence(0, 3), b ->
-                    aggregate(slice(bits2, b * 16 + 1, 16), 0L, (acc, x) -> acc * 2 + x))""")
-        )
+        .withColumn("bits2", expr("graft_flip_bits(bits, f, fstart, fstep)"))
+        .withColumn("bk", expr("graft_band_keys(bits)"))
+        .withColumn("bk2", expr("graft_band_keys(bits2)"))
         .select(col("src"), col("f"), col("bk"), col("bk2"))
     )
     val b1 = img

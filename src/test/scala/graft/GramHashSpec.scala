@@ -91,6 +91,65 @@ class GramHashSpec extends AnyFunSuite with SparkTestBase {
       df.select(expr("graft_win_min(hs, 4)"), expr(winsTpl(4, "hs"))).collect())
   }
 
+  test("graft_gram_h14 equals the c28 per-position 14-hex gram-key template") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(17)
+    val docs = Seq.tabulate(40) { _ =>
+      Seq.fill(rnd.nextInt(30))(s"w${rnd.nextInt(20)}").mkString(" ")
+    } :+ "" :+ "a b c d" :+ "a b c d e" :+ "a b c d e f"
+    val df = docs.toDF("text").selectExpr("split(text, ' ') AS ws")
+    // c28's spelled-out form: concat_ws over the 1-based k-slice, first 14
+    // md5 hex digits as a long, one per full window
+    val tpl =
+      """CASE WHEN size(ws) >= 5
+          THEN transform(sequence(1, size(ws) - 4),
+                 i -> cast(conv(substring(md5(concat_ws(' ', slice(ws, i, 5))), 1, 14), 16, 10) as bigint))
+          ELSE cast(array() as array<bigint>) END"""
+    assertSameArrays(df.select(expr("graft_gram_h14(ws, 5, '')"), expr(tpl)).collect())
+  }
+
+  test("graft_phash_bits / graft_band_keys / graft_flip_bits equal the m10/m11 templates") {
+    import spark.implicits._
+    val df = (Seq(0L, 1L, 63L, 64L, 12345L, 999999L) ++ Seq.tabulate(60)(i => i * 41L + 3))
+      .toDF("src")
+      .selectExpr("src", "src % 2 = 0 AS pert")
+    // m10's spelled-out chain: perturbed pixels -> mean -> bits
+    val pixTpl =
+      """transform(graft_phash_pix(src), (x, i) ->
+           (x + CASE WHEN pert AND i = cast(src % 64 AS int) THEN 128 ELSE 0 END) % 256)"""
+    val bitsTpl =
+      s"""transform($pixTpl, x ->
+            CASE WHEN x > aggregate($pixTpl, 0L, (acc, y) -> acc + y) div 64 THEN 1L ELSE 0L END)"""
+    assertSameArrays(
+      df.select(
+        expr("graft_phash_bits(src, IF(pert, cast(src % 64 AS int), -1))"),
+        expr(bitsTpl)
+      ).collect())
+    // band keys over the kernel bits vs the spelled-out slice folds
+    val bk = df.selectExpr("graft_phash_bits(src, -1) AS bits")
+    assertSameArrays(
+      bk.select(
+        expr("graft_band_keys(bits)"),
+        expr("""transform(sequence(0, 3), b ->
+                  aggregate(slice(bits, b * 16 + 1, 16), 0L, (acc, x) -> acc * 2 + x))""")
+      ).collect())
+    // m11's flip geometry (array_contains semantics, distinct-by-odd-step)
+    val fl = df.selectExpr(
+      "graft_phash_bits(src, -1) AS bits",
+      "cast(src % 12 + 1 as int) AS f",
+      "cast(conv(substr(md5(concat(cast(src as string), '|fs')), 1, 4), 16, 10) as bigint) % 64 AS fstart",
+      "2 * (cast(conv(substr(md5(concat(cast(src as string), '|st')), 1, 4), 16, 10) as bigint) % 32) + 1 AS fstep"
+    )
+    assertSameArrays(
+      fl.select(
+        expr("graft_flip_bits(bits, f, fstart, fstep)"),
+        expr("""transform(sequence(0, 63), i ->
+                  CASE WHEN array_contains(transform(sequence(0, f - 1),
+                                             j -> cast((fstart + j * fstep) % 64 as int)), i)
+                       THEN 1L - bits[i] ELSE bits[i] END)""")
+      ).collect())
+  }
+
   test("graft_phash_pix equals the m11 pixel template, and m10's perturbed form composes identically") {
     import spark.implicits._
     val df = (Seq(0L, 1L, 63L, 64L, 12345L, 999999L) ++ Seq.tabulate(40)(i => i * 37L))
