@@ -29,6 +29,16 @@ object Engine {
         sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS", cpus)
       )
       .config("spark.sql.extensions", "graft.GraftExtensions")
+      // MEASURED AND REJECTED (r20): spark.sql.join.preferSortMergeJoin=
+      // false (the tuning guide's batch-ETL baseline) was A/B'd with two
+      // full back-to-back sf0.1 suite invocations — total 311.2 s → 318.7 s
+      // (+2.4%). The d-family pair joins improved slightly but the
+      // iterative graph family regressed hard (g8b +1.6 s, g2c +1.0 s,
+      // g2/g16/g17/g21 +0.5-0.7 s each): per-pass hash-table builds on
+      // small checkpoint-leaf partitions cost more than the sorts they
+      // replace, and each pass re-pays it. Spark's sort-merge default
+      // stays; revisit only with a per-query hint if a single join ever
+      // dominates.
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
